@@ -1,13 +1,51 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` aggregates every operator catalog module; each key has a
+  * DuckDB oracle in `oracleSql` unless the operator is not
+  * SQL-expressible (UDF/sketch-based), in which case the driver records
+  * a rows-only check.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Enriched classification aggregate: fact scan → broadcast dim joins →
+    * classify → hash agg (the §7.3 minimum-slice shape). */
+  def entry(spark: SparkSession): DataFrame = {
+    val d = "/root/testdata/sf0.001"
+    val li = Tables.lineitem(spark, d)
+    val ord = Tables.orders(spark, d)
+    val cust = Tables.customer(spark, d)
+    val nat = Tables.nation(spark, d)
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"), "left")
+      .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"), "left")
+      .withColumn("class",
+        when(col("o_totalprice") > 150000.0, "high").otherwise("low"))
+      .groupBy(col("n_name"), col("class"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          .as("revenue"))
+      .orderBy(col("n_name"), col("class"))
+  }
+
+  private val modules: Seq[QueryModule] = Seq(
+    QueryModule(ops.CoreRelational.queries, ops.CoreRelational.oracles))
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    modules.flatMap(_.queries).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    modules.flatMap(_.oracles).toMap
 }
+
+final case class QueryModule(
+    queries: Map[String, (SparkSession, String) => DataFrame],
+    oracles: Map[String, String])

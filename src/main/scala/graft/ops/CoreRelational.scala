@@ -1,0 +1,442 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Core relational operator catalog over the TESTDATA tables.
+  *
+  * Each entry re-expresses one operator family from SURVEY.md §2 (the
+  * reference's BigQuery/ES/pandas relational surface) as an idiomatic
+  * Spark DataFrame plan, paired with an ANSI-SQL oracle in
+  * [[CoreRelational.oracles]] for the DuckDB correctness gate.
+  *
+  * Conventions (hash-match safety, see Verify):
+  *  - money aggregates go through decimal(18,2) for exact arithmetic,
+  *    then cast to double so both engines emit identical values+schema;
+  *  - every query ends with a total ORDER BY over a unique key (Catalyst
+  *    drops the sort under count(), so bench cost is unaffected);
+  *  - DuckDB integer SUM/year() are cast to match Spark's bigint/int.
+  *
+  * Scale notes: fact tables (lineitem/orders) are only ever joined to
+  * dims via broadcast hints; aggregations are partial+final hash aggs;
+  * no collect()s. At 100 TB the same plans hold: dims stay broadcast,
+  * facts shuffle only on their agg/join keys.
+  */
+object CoreRelational {
+
+  private def money(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** P1+A: flagship-style agg — pricing summary over lineitem
+    * (mirrors the reference's master-table aggregation shape). */
+  def q01Pricing(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") < lit("1998-09-01").cast("date"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).cast("double").as("sum_qty"),
+        sum(money(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(money(col("l_extendedprice")) * (lit(1) - money(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** P1: projection + rename (contributions.sql `other_id AS source`). */
+  def p01Project(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(
+        col("l_orderkey").as("order_id"),
+        col("l_linenumber").as("line_no"),
+        col("l_partkey").as("part_id"),
+        col("l_extendedprice").as("price"))
+      .orderBy(col("order_id"), col("line_no"))
+
+  /** P2: classification predicate algebra — substring prefix tests,
+    * LIKE, NOT(... AND ...), null guards (contributions.sql:6-61). */
+  def p02Classify(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(
+        !(substring(col("o_orderpriority"), 1, 1).isin("4", "5")
+          && !col("o_orderpriority").isin("4-NOT SPECIFIED"))
+          && col("o_orderstatus").like("%O%")
+          && col("o_custkey").isNotNull)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+      .orderBy(col("o_orderkey"))
+
+  /** P3: memo-row exclusion — derived nullable column, IS NULL filter. */
+  def p03NullFilter(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .withColumn("memo_cd",
+        when(col("l_returnflag") === "R", lit("M")))
+      .filter(col("memo_cd").isNull)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** P6: range filter over a timestamp (ES `last_indexed > now-1d`). */
+  def p06Range(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp")
+        && col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+      .orderBy(col("o_orderkey"))
+
+  /** P7: ids filter (`isin` against a key list). */
+  def p07Ids(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .filter(col("c_custkey").isin(1L, 2L, 3L, 5L, 8L, 13L, 21L, 34L, 55L, 89L))
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+
+  /** J1: fact × two broadcast dims, left joins (contributions enrich). */
+  def j01Enrich(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val sup = Tables.supplier(s, d)
+    val prt = Tables.part(s, d)
+    li.join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"), "left")
+      .join(broadcast(prt), li("l_partkey") === prt("p_partkey"), "left")
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("s_name").as("supplier_name"),
+        col("p_name").as("part_name"),
+        col("p_brand").as("brand"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** J3: same dim joined twice under aliases (cm22 as source AND target):
+    * nation looked up for the customer side and the supplier side. */
+  def j03SelfDim(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val ord = Tables.orders(s, d)
+    val cust = Tables.customer(s, d)
+    val sup = Tables.supplier(s, d)
+    val cNat = Tables.nation(s, d)
+      .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+    val sNat = Tables.nation(s, d)
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"), "left")
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"), "left")
+      .join(broadcast(cNat), col("c_nationkey") === col("cn_key"), "left")
+      .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"), "left")
+      .join(broadcast(sNat), col("s_nationkey") === col("sn_key"), "left")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("cust_nation"), col("supp_nation"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** J5: left join against a restricted dim + IFNULL-style coalescing of
+    * the missing side (expenditures master-table union enrich). */
+  def j05Coalesce(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val bigParts = Tables.part(s, d).filter(col("p_size") > 25)
+    li.join(broadcast(bigParts), li("l_partkey") === bigParts("p_partkey"), "left")
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        coalesce(col("p_name"), lit("UNKNOWN")).as("part_name"),
+        coalesce(col("p_retailprice"), col("l_extendedprice")).as("eff_price"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** J6: incremental anti-join — "rows not yet loaded" (LEFT ANTI on the
+    * progress key-set; the LIMIT batching of the reference dissolves). */
+  def j06Anti(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+    val loaded = ord.filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey").as("loaded_key"))
+    ord.join(loaded, ord("o_orderkey") === loaded("loaded_key"), "left_anti")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** J10/J13: membership check as LEFT SEMI (registry lookups). */
+  def j10Semi(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+    val big = Tables.orders(s, d).filter(col("o_totalprice") > 200000.0)
+    cust.join(big, cust("c_custkey") === big("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** J9: FULL OUTER merge of two per-key summaries (AllSides ⟗ MBFC). */
+  def j09FullOuter(s: SparkSession, d: String): DataFrame = {
+    val cBy = Tables.customer(s, d).groupBy(col("c_nationkey").as("nk"))
+      .agg(count(lit(1)).as("n_customers"))
+    val sBy = Tables.supplier(s, d).groupBy(col("s_nationkey").as("nk"))
+      .agg(count(lit(1)).as("n_suppliers"))
+    cBy.join(sBy, Seq("nk"), "outer")
+      .select(col("nk").as("nationkey"),
+        coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+        coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"))
+      .orderBy(col("nationkey"))
+  }
+
+  /** J11: theta (non-equi) join — fact bucketed against a tiny bound
+    * table (broadcast nested loop; the only sane physical plan, same as
+    * the reference's Domain⟗Source containment match). */
+  def j11Theta(s: SparkSession, d: String): DataFrame = {
+    val buckets = Tables.region(s, d).select(
+      col("r_regionkey").cast("int").as("bucket_id"),
+      (col("r_regionkey") * 10).cast("double").as("lo"),
+      ((col("r_regionkey") + 1) * 10).cast("double").as("hi"))
+    val li = Tables.lineitem(s, d)
+    li.join(broadcast(buckets),
+        li("l_quantity") >= buckets("lo") && li("l_quantity") < buckets("hi"),
+        "inner")
+      .groupBy(col("bucket_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity")).cast("double").as("sum_qty"))
+      .orderBy(col("bucket_id"))
+  }
+
+  /** A1: SELECT DISTINCT over several columns (master-table dedup). */
+  def a01Distinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        year(col("l_shipdate")).as("ship_year"))
+      .distinct()
+      .orderBy(col("l_returnflag"), col("l_linestatus"), col("ship_year"))
+
+  /** A2: keep-oldest-per-group via row_number window (article dedup). */
+  def a02KeepOldest(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("first_order_date"))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** A3: group into sorted arrays (linkage fan-out collect_list). */
+  def a03CollectList(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_custkey") <= 20)
+      .groupBy(col("o_custkey"))
+      .agg(sort_array(collect_list(col("o_orderkey"))).as("order_keys"))
+      .orderBy(col("o_custkey"))
+
+  /** A6: min/max cursor maintenance per key (tweet id cursors). */
+  def a06MinMax(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_custkey"))
+
+  /** A8: day-range expansion via explode(sequence(...)) (ad delivery). */
+  def a08DayExplode(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") <= 100)
+      .select(col("o_orderkey"),
+        explode(sequence(
+          col("o_orderdate").cast("date"),
+          date_add(col("o_orderdate").cast("date"), 2),
+          expr("interval 1 day"))).as("d"))
+      .select(col("o_orderkey"), date_format(col("d"), "yyyy-MM-dd").as("day"))
+      .orderBy(col("o_orderkey"), col("day"))
+
+  /** O1/O2: top-k with deterministic tiebreak (staleness top-k). */
+  def o01TopK(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+      .select(col("o_orderkey"), col("o_totalprice"))
+
+  /** O7: deterministic pseudo-random sample — ORDER BY md5(key) LIMIT n
+    * (cross-engine-stable stand-in for ORDER BY rand()). */
+  def o07Sample(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .orderBy(md5(col("c_custkey").cast("string")).asc, col("c_custkey").asc)
+      .limit(50)
+      .select(col("c_custkey"), col("c_name"))
+
+  /** U3: UNION ALL of classification branches with null-padded schema
+    * alignment (contributions_elastic22 shape). */
+  def u03UnionPad(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+    val high = ord.filter(col("o_totalprice") > 150000.0)
+      .select(col("o_orderkey"), lit("high").as("class"),
+        col("o_totalprice").as("amount"),
+        col("o_orderpriority").as("priority"))
+    val low = ord.filter(col("o_totalprice") <= 150000.0)
+      .select(col("o_orderkey"), lit("low").as("class"),
+        col("o_totalprice").as("amount"),
+        lit(null).cast("string").as("priority"))
+    high.unionByName(low).orderBy(col("o_orderkey"))
+  }
+
+  /** W: running aggregate window per key (beyond-reference windowing). */
+  def w02Running(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .withColumn("running_spend",
+        sum(money(col("o_totalprice"))).over(w).cast("double"))
+      .select(col("o_custkey"), col("o_orderkey"), col("running_spend"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing"    -> q01Pricing _,
+    "p01_project"    -> p01Project _,
+    "p02_classify"   -> p02Classify _,
+    "p03_nullfilter" -> p03NullFilter _,
+    "p06_range"      -> p06Range _,
+    "p07_ids"        -> p07Ids _,
+    "j01_enrich"     -> j01Enrich _,
+    "j03_selfdim"    -> j03SelfDim _,
+    "j05_coalesce"   -> j05Coalesce _,
+    "j06_anti"       -> j06Anti _,
+    "j09_fullouter"  -> j09FullOuter _,
+    "j10_semi"       -> j10Semi _,
+    "j11_theta"      -> j11Theta _,
+    "a01_distinct"   -> a01Distinct _,
+    "a02_keepoldest" -> a02KeepOldest _,
+    "a03_collect"    -> a03CollectList _,
+    "a06_minmax"     -> a06MinMax _,
+    "a08_dayexplode" -> a08DayExplode _,
+    "o01_topk"       -> o01TopK _,
+    "o07_sample"     -> o07Sample _,
+    "u03_unionpad"   -> u03UnionPad _,
+    "w02_running"    -> w02Running _)
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate < DATE '1998-09-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "p01_project" ->
+      """SELECT l_orderkey AS order_id, l_linenumber AS line_no,
+        |  l_partkey AS part_id, l_extendedprice AS price
+        |FROM lineitem ORDER BY order_id, line_no""".stripMargin,
+    "p02_classify" ->
+      """SELECT o_orderkey, o_custkey, o_orderpriority FROM orders
+        |WHERE NOT (substring(o_orderpriority, 1, 1) IN ('4','5')
+        |           AND o_orderpriority NOT IN ('4-NOT SPECIFIED'))
+        |  AND o_orderstatus LIKE '%O%' AND o_custkey IS NOT NULL
+        |ORDER BY o_orderkey""".stripMargin,
+    "p03_nullfilter" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag
+        |FROM (SELECT *, CASE WHEN l_returnflag = 'R' THEN 'M' END AS memo_cd
+        |      FROM lineitem)
+        |WHERE memo_cd IS NULL ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "p06_range" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |ORDER BY o_orderkey""".stripMargin,
+    "p07_ids" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE c_custkey IN (1,2,3,5,8,13,21,34,55,89) ORDER BY c_custkey""".stripMargin,
+    "j01_enrich" ->
+      """SELECT l.l_orderkey, l.l_linenumber, s.s_name AS supplier_name,
+        |  p.p_name AS part_name, p.p_brand AS brand
+        |FROM lineitem l
+        |LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |LEFT JOIN part p ON l.l_partkey = p.p_partkey
+        |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin,
+    "j03_selfdim" ->
+      """SELECT l.l_orderkey, l.l_linenumber,
+        |  cn.n_name AS cust_nation, sn.n_name AS supp_nation
+        |FROM lineitem l
+        |LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |LEFT JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        |LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |LEFT JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin,
+    "j05_coalesce" ->
+      """SELECT l.l_orderkey, l.l_linenumber,
+        |  COALESCE(p.p_name, 'UNKNOWN') AS part_name,
+        |  COALESCE(p.p_retailprice, l.l_extendedprice) AS eff_price
+        |FROM lineitem l
+        |LEFT JOIN (SELECT * FROM part WHERE p_size > 25) p
+        |  ON l.l_partkey = p.p_partkey
+        |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin,
+    "j06_anti" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders o
+        |WHERE NOT EXISTS (SELECT 1 FROM orders l
+        |  WHERE l.o_orderstatus = 'F' AND l.o_orderkey = o.o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "j09_fullouter" ->
+      """SELECT COALESCE(c.nk, s.nk) AS nationkey,
+        |  COALESCE(c.n_customers, 0) AS n_customers,
+        |  COALESCE(s.n_suppliers, 0) AS n_suppliers
+        |FROM (SELECT c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_customers
+        |      FROM customer GROUP BY c_nationkey) c
+        |FULL OUTER JOIN (SELECT s_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_suppliers
+        |      FROM supplier GROUP BY s_nationkey) s
+        |  ON c.nk = s.nk
+        |ORDER BY nationkey""".stripMargin,
+    "j10_semi" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "j11_theta" ->
+      """SELECT b.bucket_id, COUNT(*) AS n_rows,
+        |  CAST(SUM(l.l_quantity) AS DOUBLE) AS sum_qty
+        |FROM lineitem l
+        |JOIN (SELECT CAST(r_regionkey AS INTEGER) AS bucket_id,
+        |        CAST(r_regionkey * 10 AS DOUBLE) AS lo,
+        |        CAST((r_regionkey + 1) * 10 AS DOUBLE) AS hi
+        |      FROM region) b
+        |  ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
+        |GROUP BY b.bucket_id ORDER BY b.bucket_id""".stripMargin,
+    "a01_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus,
+        |  CAST(year(l_shipdate) AS INTEGER) AS ship_year
+        |FROM lineitem ORDER BY l_returnflag, l_linestatus, ship_year""".stripMargin,
+    "a02_keepoldest" ->
+      """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS first_order_date
+        |FROM (SELECT *, row_number() OVER
+        |        (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+        |      FROM orders)
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+    "a03_collect" ->
+      """SELECT o_custkey, list_sort(list(o_orderkey)) AS order_keys
+        |FROM orders WHERE o_custkey <= 20
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "a06_minmax" ->
+      """SELECT o_custkey, MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+        |  COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "a08_dayexplode" ->
+      """SELECT o_orderkey,
+        |  strftime(UNNEST(generate_series(CAST(o_orderdate AS DATE),
+        |    CAST(o_orderdate AS DATE) + INTERVAL 2 DAY, INTERVAL 1 DAY)), '%Y-%m-%d') AS day
+        |FROM orders WHERE o_orderkey <= 100
+        |ORDER BY o_orderkey, day""".stripMargin,
+    "o01_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+    "o07_sample" ->
+      """SELECT c_custkey, c_name FROM customer
+        |ORDER BY md5(CAST(c_custkey AS VARCHAR)) ASC, c_custkey ASC LIMIT 50""".stripMargin,
+    "u03_unionpad" ->
+      """SELECT * FROM (
+        |  SELECT o_orderkey, 'high' AS class, o_totalprice AS amount,
+        |    o_orderpriority AS priority
+        |  FROM orders WHERE o_totalprice > 150000.0
+        |  UNION ALL
+        |  SELECT o_orderkey, 'low' AS class, o_totalprice AS amount,
+        |    CAST(NULL AS VARCHAR) AS priority
+        |  FROM orders WHERE o_totalprice <= 150000.0
+        |) ORDER BY o_orderkey""".stripMargin,
+    "w02_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS running_spend
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)
+}
