@@ -34,7 +34,11 @@ object SparkEntry {
   }
 
   private val modules: Seq[QueryModule] = Seq(
-    QueryModule(ops.CoreRelational.queries, ops.CoreRelational.oracles))
+    QueryModule(ops.CoreRelational.queries, ops.CoreRelational.oracles),
+    QueryModule(ops.TextOps.queries, ops.TextOps.oracles),
+    QueryModule(ops.DedupOps.queries, ops.DedupOps.oracles),
+    QueryModule(ops.SimOps.queries, ops.SimOps.oracles),
+    QueryModule(ops.EventOps.queries, ops.EventOps.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,134 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * language ID, quality scoring, token counting, fingerprinting.
+  *
+  * Everything except the trigram language model and the rolling-hash
+  * fingerprint is expressed with built-in functions (codegen'd,
+  * pushdown-friendly); the two exceptions are JVM scalar functions.
+  */
+object TextAnalysis {
+
+  // ---------------------------------------------------------------- tokens
+
+  /** Whitespace token count (documents with no word chars count 0). */
+  def token_count_ws(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish subword token count: word chars in runs of ≤4 plus
+    * standalone punctuation — a cheap, deterministic proxy for a BPE
+    * vocabulary's token count (ratio ~chars/3.5 for English). */
+  def token_count_bpe(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\w{1,4}|[^\\w\\s]"), lit(0)))
+
+  // --------------------------------------------------------------- quality
+
+  /** Heuristic quality features (length, punctuation/stopword/digit
+    * ratios) — the standard pre-training quality gates. */
+  def qualityColumns(text: Column): Seq[(String, Column)] = {
+    val nChars = length(text)
+    val words = split(trim(text), "\\s+")
+    val nWords = when(length(trim(text)) === 0, lit(0)).otherwise(size(words))
+    val nPunct = size(regexp_extract_all(text, lit("[^\\w\\s]"), lit(0)))
+    val nDigit = size(regexp_extract_all(text, lit("[0-9]"), lit(0)))
+    val stopRe = "\\b(the|a|an|of|to|in|and|is|it|that|for|on|was|with|as|at|be|this|are|or)\\b"
+    val nStop = size(regexp_extract_all(lower(text), lit(stopRe), lit(0)))
+    val safeWords = greatest(nWords, lit(1)).cast("double")
+    Seq(
+      "n_chars_m"   -> nChars.cast("long"),
+      "n_words"     -> nWords.cast("long"),
+      "punct_ratio" -> round(nPunct.cast("double") / greatest(nChars, lit(1)).cast("double"), 6),
+      "digit_ratio" -> round(nDigit.cast("double") / greatest(nChars, lit(1)).cast("double"), 6),
+      "stop_ratio"  -> round(nStop.cast("double") / safeWords, 6),
+      "mean_word_len" -> round(
+        (nChars - (nWords - 1)).cast("double") / safeWords, 6))
+  }
+
+  /** Scalar quality score in [0,1]: product of soft gates. */
+  def quality_score(text: Column): Column = {
+    val cols = qualityColumns(text).toMap
+    val lenGate = least(cols("n_words").cast("double") / lit(20.0), lit(1.0))
+    val stopGate = least(cols("stop_ratio") * lit(4.0), lit(1.0))
+    val punctGate = greatest(lit(0.0),
+      lit(1.0) - cols("punct_ratio") * lit(4.0))
+    round(lenGate * stopGate * punctGate, 6)
+  }
+
+  // --------------------------------------------------------------- lang id
+
+  /** Tiny per-language character/stopword profiles. Public-knowledge
+    * heuristic (profiles hand-authored): score = stopword hits +
+    * script-specific character evidence; highest score wins, "und" when
+    * nothing scores. Covers the langs in the synthetic corpus plus the
+    * usual web set. */
+  private val langStopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for", "with", "was"),
+    "es" -> Seq("el", "la", "los", "las", "de", "que", "y", "en", "un", "una", "por", "con"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "zu", "den"),
+    "fr" -> Seq("le", "la", "les", "des", "et", "est", "une", "dans", "que", "pour", "qui"),
+    "pt" -> Seq("o", "os", "um", "uma", "do", "da", "em", "para", "com", "não", "por"),
+    "it" -> Seq("il", "lo", "gli", "che", "di", "e", "un", "una", "per", "con", "del"))
+
+  def detectLanguage(text: String): String = {
+    if (text == null || text.isEmpty) return "und"
+    val lower = text.toLowerCase
+    // script evidence first: CJK / Cyrillic / Arabic dominate instantly
+    var cjk = 0; var cyr = 0; var ar = 0; var latin = 0
+    lower.foreach { ch =>
+      val b = Character.UnicodeScript.of(ch)
+      if (b == Character.UnicodeScript.HAN || b == Character.UnicodeScript.HIRAGANA ||
+        b == Character.UnicodeScript.KATAKANA) cjk += 1
+      else if (b == Character.UnicodeScript.CYRILLIC) cyr += 1
+      else if (b == Character.UnicodeScript.ARABIC) ar += 1
+      else if (b == Character.UnicodeScript.LATIN) latin += 1
+    }
+    val scripted = Seq("zh" -> cjk, "ru" -> cyr, "ar" -> ar)
+      .filter(_._2 > latin / 2).sortBy(-_._2)
+    if (scripted.nonEmpty) return scripted.head._1
+    if (latin == 0) return "und"
+    val tokens = lower.split("[^\\p{L}]+").filter(_.nonEmpty)
+    if (tokens.isEmpty) return "und"
+    val tokSet = tokens.groupBy(identity).map { case (k, v) => k -> v.length }
+    val scores = langStopwords.map { case (lang, sws) =>
+      lang -> sws.map(w => tokSet.getOrElse(w, 0)).sum
+    }
+    val (best, score) = scores.maxBy { case (l, s) => (s, l) }
+    if (score == 0) "und" else best
+  }
+
+  val detectLanguageUdf = udf(detectLanguage _)
+  def detect_language(c: Column): Column = detectLanguageUdf(c)
+
+  // ----------------------------------------------------------- fingerprint
+
+  /** Exact content fingerprint: md5 of whitespace-normalized lowercase
+    * text (SQL-expressible; used as the exact-dedup key). */
+  def fingerprint_md5(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** 64-bit polynomial rolling hash of the normalized text — the cheap
+    * streaming fingerprint (non-cryptographic, order-sensitive). */
+  def rollingHash64(text: String): Long = {
+    if (text == null) return 0L
+    val norm = text.toLowerCase.trim.replaceAll("\\s+", " ")
+    var h = 1125899906842597L // large prime
+    var i = 0
+    while (i < norm.length) {
+      h = 31 * h + norm.charAt(i)
+      i += 1
+    }
+    h
+  }
+
+  val rollingHashUdf = udf(rollingHash64 _)
+  def fingerprint_rolling(c: Column): Column = rollingHashUdf(c)
+
+  def register(spark: SparkSession): Unit = {
+    spark.udf.register("detect_language", detectLanguage _)
+    spark.udf.register("rolling_hash64", rollingHash64 _)
+  }
+}

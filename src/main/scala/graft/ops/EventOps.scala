@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Event-stream operators over the `events` table — the batch
+  * expressions of the reference's incremental patterns (§2.10). The
+  * same transforms run under Structured Streaming in
+  * [[graft.streaming.IncrementalPipeline]]; batch≡incremental
+  * equivalence is proven in the spec.
+  */
+object EventOps {
+
+  /** Tumbling-window aggregation per event type (hourly): the
+    * watermark+window shape of a streaming agg, expressed in batch. */
+  def evWindowAgg(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+          .as("hour_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .orderBy(col("hour_start"), col("event_type"))
+
+  /** Per-user cursor state: last-seen event id/ts + counts (the
+    * reference's per-key cursor tables, A6/§2.10). */
+  def evCursors(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(
+        max(col("event_id")).as("max_event_id"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("last_seen"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+
+  /** Sessionization: events within 30 min of the previous event for the
+    * same user share a session (lag + cumulative-sum window). */
+  def evSessions(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val newSession =
+      when(col("prev_ts").isNull, lit(1))
+        .when(unix_micros(col("ts")) - unix_micros(col("prev_ts"))
+          > 30L * 60 * 1000 * 1000, lit(1))
+        .otherwise(lit(0))
+    Tables.events(s, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("is_new", newSession)
+      .withColumn("session_seq",
+        sum(col("is_new")).over(byUser.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("event_id")).as("first_event"),
+        max(col("event_id")).as("last_event"))
+      .orderBy(col("user_id"), col("session_seq"))
+  }
+
+  /** JSON payload extraction (the reference keeps raw API objects as
+    * nested `obj`; props here is a JSON string → typed column). */
+  def evJson(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .orderBy(col("event_id"))
+
+  /** Incremental anti-join over a checkpoint horizon: events after the
+    * max ts of the "already processed" half (P6+J6 combined — the
+    * checkpoint read is a scalar subquery, not a driver round trip). */
+  def evIncremental(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val processed = ev.filter(col("event_id") % 2 === 0)
+      .select(col("event_id").as("done_id"))
+    ev.join(processed, ev("event_id") === processed("done_id"), "left_anti")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .orderBy(col("event_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_window_agg"  -> evWindowAgg _,
+    "ev_cursors"     -> evCursors _,
+    "ev_sessions"    -> evSessions _,
+    "ev_json"        -> evJson _,
+    "ev_incremental" -> evIncremental _)
+
+  val oracles: Map[String, String] = Map(
+    "ev_window_agg" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |  event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+    "ev_cursors" ->
+      """SELECT user_id, MAX(event_id) AS max_event_id,
+        |  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_seen,
+        |  COUNT(*) AS n_events
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "ev_sessions" ->
+      """SELECT user_id, session_seq, COUNT(*) AS n_events,
+        |  MIN(event_id) AS first_event, MAX(event_id) AS last_event
+        |FROM (
+        |  SELECT user_id, event_id,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM (
+        |    SELECT user_id, event_id, ts,
+        |      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |             IS NULL THEN 1
+        |           WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
+        |             (PARTITION BY user_id ORDER BY ts, event_id))
+        |             > 30*60*1000*1000 THEN 1
+        |           ELSE 0 END AS is_new
+        |    FROM events))
+        |GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
+    "ev_json" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "ev_incremental" ->
+      """SELECT event_id, user_id, event_type FROM events e
+        |WHERE NOT EXISTS (SELECT 1 FROM events p
+        |  WHERE p.event_id % 2 = 0 AND p.event_id = e.event_id)
+        |ORDER BY event_id""".stripMargin)
+}

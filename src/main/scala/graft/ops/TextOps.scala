@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextAnalysis
+
+/** Text-analysis operators over the `documents` table: token counting,
+  * quality scoring, language ID, fingerprinting.
+  *
+  * Scale: all per-row map-side transforms — no shuffle at all except the
+  * final presentation sort (dropped under count()); at 100 TB these run
+  * scan-speed with full column pruning (only doc_id + text read).
+  */
+object TextOps {
+
+  /** Whitespace + BPE-ish token counts (SQL-expressible → full oracle). */
+  def textTokens(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        TextAnalysis.token_count_ws(col("text")).as("n_tokens_ws"),
+        TextAnalysis.token_count_bpe(col("text")).as("n_tokens_bpe"))
+      .orderBy(col("doc_id"))
+
+  /** Quality features + composite score. */
+  def textQuality(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+    val withCols = TextAnalysis.qualityColumns(col("text"))
+      .foldLeft(base) { case (df, (name, c)) => df.withColumn(name, c) }
+    withCols
+      .withColumn("quality", TextAnalysis.quality_score(col("text")))
+      .select(col("doc_id"), col("n_words"), col("punct_ratio"),
+        col("digit_ratio"), col("stop_ratio"), col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Trigram/stopword language ID (JVM scalar fn → rows-only check);
+    * includes agreement flag against the table's labeled lang. */
+  def textLangId(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang").as("labeled_lang"),
+        TextAnalysis.detect_language(col("text")).as("detected_lang"))
+      .withColumn("agrees",
+        (col("labeled_lang") === col("detected_lang")).cast("int"))
+      .orderBy(col("doc_id"))
+
+  /** Exact md5 fingerprint (SQL-expressible → full oracle). */
+  def textFingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        TextAnalysis.fingerprint_md5(col("text")).as("fp_md5"))
+      .orderBy(col("doc_id"))
+
+  /** 64-bit rolling-hash fingerprint (JVM-only → rows-only check). */
+  def textFingerprintRoll(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        TextAnalysis.fingerprint_rolling(col("text")).as("fp_roll"))
+      .orderBy(col("doc_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tokens"           -> textTokens _,
+    "text_quality"          -> textQuality _,
+    "text_langid"           -> textLangId _,
+    "text_fingerprint"      -> textFingerprint _,
+    "text_fingerprint_roll" -> textFingerprintRoll _)
+
+  val oracles: Map[String, String] = Map(
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER)
+        |  END AS n_tokens_ws,
+        |  CAST(len(regexp_extract_all(text, '\w{1,4}|[^\w\s]')) AS INTEGER)
+        |    AS n_tokens_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    length(text) AS n_chars2,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_words,
+        |    len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+        |    len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+        |    len(regexp_extract_all(lower(text),
+        |      '\b(the|a|an|of|to|in|and|is|it|that|for|on|was|with|as|at|be|this|are|or)\b')) AS n_stop
+        |  FROM documents)
+        |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        |  round(CAST(n_punct AS DOUBLE) / greatest(n_chars2, 1), 6) AS punct_ratio,
+        |  round(CAST(n_digit AS DOUBLE) / greatest(n_chars2, 1), 6) AS digit_ratio,
+        |  round(CAST(n_stop AS DOUBLE) / greatest(n_words, 1), 6) AS stop_ratio,
+        |  round(least(CAST(n_words AS DOUBLE) / 20.0, 1.0)
+        |      * least(round(CAST(n_stop AS DOUBLE) / greatest(n_words, 1), 6) * 4.0, 1.0)
+        |      * greatest(0.0, 1.0 - round(CAST(n_punct AS DOUBLE) / greatest(n_chars2, 1), 6) * 4.0), 6)
+        |    AS quality
+        |FROM q ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_md5
+        |FROM documents ORDER BY doc_id""".stripMargin)
+  // text_langid / text_fingerprint_roll are JVM-only → rows-only checks
+}
