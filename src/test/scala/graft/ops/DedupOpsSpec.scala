@@ -1,0 +1,109 @@
+package graft.ops
+
+import graft.SparkFunSuite
+import graft.functions.{MinHash, SimHash, Vectors}
+import org.apache.spark.sql.functions._
+
+/** Near-dup detection correctness on corpora with INJECTED duplicates
+  * (the synthetic tables contain none, by construction). */
+class DedupOpsSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  private val baseDocs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumped over the lazy dog near the river bank today"),  // near-dup of 1
+    (3L, "completely different text about federal election campaign finance data"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank today"),  // exact dup of 1
+    (5L, "spark structured streaming processes unbounded data in incremental micro batches"),
+    (6L, "federal election campaign finance data completely different text about"))  // shuffled 3
+
+  test("minhash LSH finds the exact and near duplicate pairs") {
+    val docs = baseDocs.toDF("doc_id", "text")
+    val sigs = docs.select($"doc_id",
+      MinHash.minhash_signature($"text").as("sig"))
+    val banded = sigs.select($"doc_id",
+      explode(MinHash.band_keys($"sig", 16)).as("bucket"))
+    val pairs = banded.as("a").join(banded.as("b"), Seq("bucket"))
+      .filter($"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b")).distinct()
+      .join(docs.select($"doc_id".as("doc_a"), $"text".as("text_a")), Seq("doc_a"))
+      .join(docs.select($"doc_id".as("doc_b"), $"text".as("text_b")), Seq("doc_b"))
+      .withColumn("j", MinHash.exact_jaccard($"text_a", $"text_b"))
+      .filter($"j" >= 0.5)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L))) // exact dup
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L))) // near dup
+    assert(!pairs.exists(p => p._1 == 3L && p._2 == 5L))
+  }
+
+  test("simhash hamming blocking finds near dups") {
+    val sh = baseDocs.map { case (id, t) => (id, SimHash.simhash64(t)) }
+    val exact = sh.find(_._1 == 1L).get._2 ^ sh.find(_._1 == 4L).get._2
+    assert(java.lang.Long.bitCount(exact) == 0)
+    // substitution edit (no shingle re-alignment) stays within the
+    // dedup threshold; an insertion edit shifts downstream shingles and
+    // lands in the moderate band — both well under unrelated text
+    val a = SimHash.simhash64("the quick brown fox jumps over the lazy dog near the river bank today")
+    val sub = SimHash.simhash64("the quick brown fox jumps over the lazy cog near the river bank today")
+    assert(SimHash.hammingDistance(a, sub) <= 10)
+    val ins = sh.find(_._1 == 2L).get._2
+    assert(SimHash.hammingDistance(a, ins) < 20)
+    val far = sh.find(_._1 == 3L).get._2
+    assert(SimHash.hammingDistance(a, far) > 20)
+  }
+
+  test("embedding LSH + cosine threshold finds injected near-dup vectors") {
+    val base = Array.tabulate(64)(i => math.sin(i * 0.7).toFloat)
+    val nearDup = base.zipWithIndex.map { case (x, i) =>
+      x + (if (i % 7 == 0) 0.02f else 0.0f) }
+    val other = Array.tabulate(64)(i => math.cos(i * 1.3 + 2).toFloat)
+    val emb = Seq((10L, base.toSeq), (11L, nearDup.toSeq), (12L, other.toSeq))
+      .toDF("vec_id", "embedding")
+      .withColumn("embedding", $"embedding".cast("array<float>"))
+    val seeds = Seq(7, 21, 63, 127)
+    val sketched = emb.select($"vec_id",
+      explode(array(seeds.map(sd => struct(lit(sd).as("seed"),
+        Vectors.hyperplane_sketch($"embedding", 8, sd).as("bucket"))): _*)).as("sk"))
+      .select($"vec_id", $"sk.seed", $"sk.bucket")
+    val pairs = sketched.as("a").join(sketched.as("b"), Seq("seed", "bucket"))
+      .filter($"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("va"), $"b.vec_id".as("vb")).distinct()
+      .join(emb.select($"vec_id".as("va"), $"embedding".as("ea")), Seq("va"))
+      .join(emb.select($"vec_id".as("vb"), $"embedding".as("eb")), Seq("vb"))
+      .withColumn("cos", Vectors.cosine_sim($"ea", $"eb"))
+      .filter($"cos" >= 0.95)
+      .select($"va", $"vb").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((10L, 11L)))
+    assert(!pairs.contains((10L, 12L)))
+  }
+
+  test("dedup_exact keeps one canonical row per content fingerprint") {
+    val out = DedupOps.dedupExact(spark, sfDir)
+    val total = graft.Tables.documents(spark, sfDir).count()
+    assert(out.agg(sum($"n_copies")).as[Long].head() == total)
+  }
+}
+
+/** IVF ANN recall against the exact brute-force top-k. */
+class SimOpsSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  test("IVF top-20 achieves >= 50% recall of brute-force top-20") {
+    val exact = SimOps.annBrute(spark, sfDir).select($"vec_id")
+      .as[Long].collect().toSet
+    val approx = SimOps.annIvf(spark, sfDir).select($"vec_id")
+      .as[Long].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    info(s"IVF recall@20 = $recall")
+    assert(recall >= 0.5)
+  }
+
+  test("IVF assigns every vector to exactly one centroid") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val cents = SimOps.ivfCentroids(emb)
+    assert(cents.count() == 16)
+    val assigned = SimOps.assignToCentroid(emb, cents)
+    assert(assigned.count() == emb.count())
+    assert(assigned.select($"vec_id").distinct().count() == emb.count())
+  }
+}
