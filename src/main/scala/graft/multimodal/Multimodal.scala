@@ -1,0 +1,124 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, processed by per-partition batch
+  * functions (the Scala analog of arrow-batched pandas UDFs — one
+  * decoder instantiation per partition, rows streamed through it).
+  *
+  * The actual media decode is STUBBED behind [[MediaCodec]] (decode
+  * libraries are not in this container): `FakeCodec` derives
+  * deterministic pseudo-features from the bytes so the Spark-side
+  * plumbing — schema, partitioning, batch shape, feature extraction —
+  * is real and tested end-to-end. Swapping in a real codec is a
+  * one-object change.
+  */
+object Multimodal {
+
+  /** Typed metadata carried next to every media payload. */
+  val metadataSchema: StructType = StructType(Seq(
+    StructField("media_type", StringType),   // image | audio | video
+    StructField("format", StringType),       // png/jpeg/wav/mp4/...
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("duration_ms", LongType),
+    StructField("source_uri", StringType)))
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("payload", BinaryType),
+    StructField("meta", metadataSchema)))
+
+  /** Decoder contract: bytes → fixed-length feature vector + dims. */
+  trait MediaCodec extends Serializable {
+    def featureDim: Int
+    /** Decode one payload; None for undecodable bytes (quarantined). */
+    def decode(payload: Array[Byte], meta: Row): Option[Array[Float]]
+  }
+
+  /** Deterministic stand-in codec: "decodes" bytes into a byte-value
+    * histogram normalized to unit L1 — stable, content-sensitive, and
+    * shaped exactly like an embedding head's output. */
+  final class FakeCodec(val featureDim: Int = 32) extends MediaCodec {
+    def decode(payload: Array[Byte], meta: Row): Option[Array[Float]] = {
+      if (payload == null || payload.isEmpty) return None
+      val hist = new Array[Float](featureDim)
+      var i = 0
+      while (i < payload.length) {
+        hist((payload(i) & 0xff) % featureDim) += 1f
+        i += 1
+      }
+      val total = payload.length.toFloat
+      Some(hist.map(_ / total))
+    }
+  }
+
+  /** Build a media table from the documents table: payload = utf-8
+    * bytes of the text (the deterministic fake "image"), metadata
+    * synthesized from the row. Real deployments read binary files via
+    * `spark.read.format("binaryFile")` into the same schema. */
+  def mediaFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(
+        lit("image").as("media_type"),
+        lit("fake").as("format"),
+        (col("n_chars") % 640).cast("int").as("width"),
+        (col("n_chars") % 480).cast("int").as("height"),
+        lit(null).cast("long").as("duration_ms"),
+        concat(lit("synthetic://doc/"), col("doc_id")).as("source_uri"))
+        .as("meta"))
+
+  /** Per-partition batched decode → (media_id, ok, features). The codec
+    * is constructed once per partition (the expensive init a real
+    * decoder amortizes), rows stream through — mapPartitions keeps the
+    * whole stage pipelined with the scan. */
+  def extractFeatures(media: DataFrame, codec: MediaCodec): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("ok", BooleanType, nullable = false),
+      StructField("features", ArrayType(FloatType))))
+    implicit val enc: Encoder[Row] =
+      ExpressionEncoder(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema))
+    media.select(col("media_id"), col("payload"), col("meta"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val decoded = codec.decode(r.getAs[Array[Byte]]("payload"),
+            r.getAs[Row]("meta"))
+          Row(r.getAs[Long]("media_id"), decoded.isDefined,
+            decoded.map(_.toSeq).orNull)
+        }
+      }(enc)
+  }
+
+  /** Frame sampling for video-like payloads: split the payload into
+    * `frames` windows and decode each (posexplode keeps the frame
+    * index). Demonstrates the explode-then-decode batch shape. */
+  def sampleFrames(media: DataFrame, frames: Int): DataFrame =
+    media.select(col("media_id"),
+      posexplode(split_payload(col("payload"), frames))
+        .as(Seq("frame_no", "frame_bytes")))
+
+  private def split_payload(payload: org.apache.spark.sql.Column,
+      n: Int): org.apache.spark.sql.Column = {
+    val f = udf((bytes: Array[Byte]) => {
+      if (bytes == null || bytes.isEmpty) Seq.empty[Array[Byte]]
+      else {
+        val k = math.min(n, bytes.length)
+        val step = bytes.length / k
+        (0 until k).map { i =>
+          // last frame absorbs the remainder so frames tile the payload
+          val end = if (i == k - 1) bytes.length else (i + 1) * step
+          bytes.slice(i * step, end)
+        }
+      }
+    })
+    f(payload)
+  }
+}
