@@ -76,5 +76,5 @@ object Dates {
 
   /** Amount normalization (F13): strip '$', ',', spaces → double. */
   def parse_amount(c: Column): Column =
-    regexp_replace(c, "[$, ]", "").cast("double")
+    regexp_replace(c, "[$, ]", "").try_cast("double")
 }
