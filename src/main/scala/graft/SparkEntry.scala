@@ -39,7 +39,8 @@ object SparkEntry {
     QueryModule(ops.DedupOps.queries, ops.DedupOps.oracles),
     QueryModule(ops.SimOps.queries, ops.SimOps.oracles),
     QueryModule(ops.EventOps.queries, ops.EventOps.oracles),
-    QueryModule(ops.MultimodalOps.queries, ops.MultimodalOps.oracles))
+    QueryModule(ops.MultimodalOps.queries, ops.MultimodalOps.oracles),
+    QueryModule(ops.FuncOps.queries, ops.FuncOps.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,195 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{Bias, Dates, Names, Urls, Zips}
+
+/** Scalar-function operators (SURVEY §2.8) exercised over the testdata
+  * tables with synthesized inputs, each with a DuckDB oracle where the
+  * function is SQL-expressible (process_name is JVM-only → rows-only).
+  */
+object FuncOps {
+
+  /** F1: name canonicalization over synthesized `LAST, FIRST TITLE`
+    * forms (JVM function → rows-only; unit-tested exhaustively). */
+  def f01ProcessName(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(col("c_custkey"),
+        concat(upper(col("c_name")), lit(", "),
+          upper(col("c_mktsegment")), lit(" DR")).as("raw"))
+      .withColumn("name", Names.process_name(col("raw")))
+      .orderBy(col("c_custkey"))
+
+  /** F2: clean_zip over synthesized numeric zips incl zero + 9-digit. */
+  def f02CleanZip(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(col("c_custkey"),
+        when(col("c_custkey") % 10 === 0, lit("0"))
+          .when(col("c_custkey") % 7 === 0,
+            concat(lit("9411012"), (col("c_custkey") % 100).cast("string")))
+          .otherwise((col("c_custkey") * 37 % 100000).cast("string"))
+          .as("raw_zip"))
+      .withColumn("zip", Zips.clean_zip(col("raw_zip")))
+      .orderBy(col("c_custkey"))
+
+  /** F4: FEC MMDDYYYY → ISO reshuffle (pure substring concat). */
+  def f04FecDate(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "MMddyyyy").as("raw"))
+      .withColumn("iso", Dates.fec_date_iso(col("raw")))
+      .orderBy(col("o_orderkey"))
+
+  /** F7: multi-format parse ladder over 3 synthesized formats. */
+  def f07DateLadder(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val raw = when(col("event_id") % 3 === 0,
+        date_format(col("ts"), "M/d/yyyy H:mm"))
+      .when(col("event_id") % 3 === 1,
+        date_format(col("ts"), "yyyy-MM-dd"))
+      .otherwise(date_format(col("ts"), "MMM d, yyyy"))
+    ev.select(col("event_id"), raw.as("raw"))
+      .withColumn("parsed", date_format(
+        Dates.parse_date_ladder(col("raw"),
+          Seq("M/d/yyyy H:mm", "yyyy-MM-dd", "MMM d, yyyy")),
+        "yyyy-MM-dd HH:mm"))
+      .orderBy(col("event_id"))
+  }
+
+  /** F13: amount normalization `$1,234.50` → double round-trip. */
+  def f13Amount(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        concat(lit("$"), (col("o_orderkey") / 1000).cast("long").cast("string"),
+          lit(","),
+          lpad((col("o_orderkey") % 1000).cast("string"), 3, "0"),
+          lit(".50")).as("raw"))
+      .withColumn("amount", Dates.parse_amount(col("raw")))
+      .orderBy(col("o_orderkey"))
+
+  /** F15: domain normalization over synthesized urls (built-ins only →
+    * full oracle). */
+  def f15Domain(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(col("p_partkey"),
+        concat(lit("HTTPS://WWW."),
+          regexp_replace(lower(col("p_brand")), "[^a-z0-9]", ""),
+          lit(".com/"), lower(col("p_type")), lit("  ")).as("raw"))
+      .withColumn("domain", Urls.normalize_domain(col("raw")))
+      .orderBy(col("p_partkey"))
+
+  /** F16: name join (concat_ws skips nulls) + upper. */
+  def f16NameJoin(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(col("c_custkey"),
+        upper(concat_ws(" ", col("c_name"),
+          when(col("c_custkey") % 2 === 0, col("c_mktsegment")),
+          lit("JR"))).as("full_name"))
+      .orderBy(col("c_custkey"))
+
+  /** F14/A4: bias scoring + null-aware average over present ratings. */
+  def f14Bias(s: SparkSession, d: String): DataFrame = {
+    val labeled = Tables.customer(s, d).select(col("c_custkey"),
+      when(col("c_mktsegment") === "BUILDING", "left")
+        .when(col("c_mktsegment") === "AUTOMOBILE", "lean left")
+        .when(col("c_mktsegment") === "MACHINERY", "center")
+        .when(col("c_mktsegment") === "HOUSEHOLD", "lean right")
+        .otherwise("right").as("label"),
+      when(col("c_custkey") % 3 === 0, col("c_acctbal")).as("score2"))
+    labeled
+      .select(col("c_custkey"),
+        Bias.allsidesScore(col("label")).as("score1"), col("score2"))
+      .withColumn("avg_present",
+        round(Bias.avgPresent(col("score1"), col("score2")), 6))
+      .orderBy(col("c_custkey"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f01_process_name" -> f01ProcessName _,
+    "f02_clean_zip"    -> f02CleanZip _,
+    "f04_fec_date"     -> f04FecDate _,
+    "f07_date_ladder"  -> f07DateLadder _,
+    "f13_amount"       -> f13Amount _,
+    "f15_domain"       -> f15Domain _,
+    "f16_name_join"    -> f16NameJoin _,
+    "f14_bias"         -> f14Bias _)
+
+  val oracles: Map[String, String] = Map(
+    "f02_clean_zip" ->
+      """WITH z AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 10 = 0 THEN '0'
+        |         WHEN c_custkey % 7 = 0 THEN '9411012' || CAST(c_custkey % 100 AS VARCHAR)
+        |         ELSE CAST(c_custkey * 37 % 100000 AS VARCHAR) END AS raw_zip
+        |  FROM customer)
+        |SELECT c_custkey, raw_zip,
+        |  CASE WHEN CAST(raw_zip AS BIGINT) = 0 THEN ''
+        |       WHEN length(CAST(CAST(raw_zip AS BIGINT) AS VARCHAR)) >= 5
+        |         THEN CAST(CAST(raw_zip AS BIGINT) AS VARCHAR)
+        |       ELSE lpad(CAST(CAST(raw_zip AS BIGINT) AS VARCHAR), 5, '0')
+        |  END AS zip
+        |FROM z ORDER BY c_custkey""".stripMargin,
+    "f04_fec_date" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%m%d%Y') AS raw,
+        |  substring(strftime(o_orderdate, '%m%d%Y'), 5, 4) || '-' ||
+        |  substring(strftime(o_orderdate, '%m%d%Y'), 1, 2) || '-' ||
+        |  substring(strftime(o_orderdate, '%m%d%Y'), 3, 2) AS iso
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "f07_date_ladder" ->
+      """WITH r AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_id % 3 = 0 THEN strftime(ts, '%-m/%-d/%Y %-H:%M')
+        |         WHEN event_id % 3 = 1 THEN strftime(ts, '%Y-%m-%d')
+        |         ELSE strftime(ts, '%b %-d, %Y') END AS raw
+        |  FROM events)
+        |SELECT event_id, raw,
+        |  strftime(COALESCE(
+        |    try_strptime(raw, '%-m/%-d/%Y %-H:%M'),
+        |    try_strptime(raw, '%Y-%m-%d'),
+        |    try_strptime(raw, '%b %-d, %Y')), '%Y-%m-%d %H:%M') AS parsed
+        |FROM r ORDER BY event_id""".stripMargin,
+    "f13_amount" ->
+      """SELECT o_orderkey,
+        |  '$' || CAST(o_orderkey // 1000 AS VARCHAR) || ',' ||
+        |    lpad(CAST(o_orderkey % 1000 AS VARCHAR), 3, '0') || '.50' AS raw,
+        |  CAST(o_orderkey AS DOUBLE) + 0.5 AS amount
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "f15_domain" ->
+      """WITH r AS (
+        |  SELECT p_partkey,
+        |    'HTTPS://WWW.' || regexp_replace(lower(p_brand), '[^a-z0-9]', '', 'g')
+        |      || '.com/' || lower(p_type) || '  ' AS raw
+        |  FROM part)
+        |SELECT p_partkey, raw,
+        |  regexp_replace(regexp_replace(regexp_replace(
+        |    split_part(regexp_replace(lower(trim(raw)),
+        |      '^[a-z][a-z0-9+.-]*://', ''), '/', 1),
+        |    '^www\.', ''), ',[^,]*$', ''), '^\.', '') AS domain
+        |FROM r ORDER BY p_partkey""".stripMargin,
+    "f16_name_join" ->
+      """SELECT c_custkey,
+        |  upper(concat_ws(' ', c_name,
+        |    CASE WHEN c_custkey % 2 = 0 THEN c_mktsegment END, 'JR'))
+        |    AS full_name
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "f14_bias" ->
+      """WITH l AS (
+        |  SELECT c_custkey,
+        |    CASE c_mktsegment WHEN 'BUILDING' THEN 'left'
+        |      WHEN 'AUTOMOBILE' THEN 'lean left' WHEN 'MACHINERY' THEN 'center'
+        |      WHEN 'HOUSEHOLD' THEN 'lean right' ELSE 'right' END AS label,
+        |    CASE WHEN c_custkey % 3 = 0 THEN c_acctbal END AS score2
+        |  FROM customer),
+        |s AS (
+        |  SELECT c_custkey,
+        |    CASE label WHEN 'left' THEN -2.0 WHEN 'lean left' THEN -1.0
+        |      WHEN 'center' THEN 0.0 WHEN 'lean right' THEN 1.0
+        |      WHEN 'right' THEN 2.0 END AS score1, score2
+        |  FROM l)
+        |SELECT c_custkey, score1, score2,
+        |  round((COALESCE(score1, 0) + COALESCE(score2, 0)) /
+        |    ((CASE WHEN score1 IS NOT NULL THEN 1 ELSE 0 END) +
+        |     (CASE WHEN score2 IS NOT NULL THEN 1 ELSE 0 END)), 6) AS avg_present
+        |FROM s ORDER BY c_custkey""".stripMargin)
+}
