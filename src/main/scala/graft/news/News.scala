@@ -108,6 +108,11 @@ object News {
       .drop("rn")
   }
 
+  /** P12: "article url must contain its domain" guard
+    * (`news_articles_ingest_get_articles/main.py:114-116`). */
+  def articlesMatchingDomain(articles: DataFrame): DataFrame =
+    articles.filter(col("url").contains(col("domain")))
+
   /** J10: article-registry membership — scrape only urls in neither the
     * scraped nor the 404 registry (`get_articles/main.py:118-127`). */
   def unscrapedUrls(candidates: DataFrame, scraped: DataFrame,
