@@ -51,7 +51,7 @@ object SimOps {
 
   private val ivfNList = 16
   private val ivfNProbe = 4
-  private val ivfIters = 3
+  private val ivfIters = 2
 
   /** IVF coarse quantizer: deterministic init (the vectors whose id
     * hashes lowest), then `ivfIters` Lloyd rounds, all as DataFrame
@@ -100,17 +100,19 @@ object SimOps {
     if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   })
 
-  /** Assign every vector to its nearest centroid (broadcast centroids,
-    * one pass, argmax via window). */
-  def assignToCentroid(emb: DataFrame, centroids: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("sim").desc, col("centroid_id").asc)
+  /** Assign every vector to its nearest centroid: broadcast centroids,
+    * one pass, argmax via `max_by` hash-aggregate (partial map-side agg,
+    * no per-key sort — strictly better than a row_number window here). */
+  def assignToCentroid(emb: DataFrame, centroids: DataFrame): DataFrame =
     emb.crossJoin(broadcast(centroids))
       .withColumn("sim", cosineDD(col("embedding"), col("centroid")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .drop("rk", "sim", "centroid")
-  }
+      .groupBy(col("vec_id"))
+      .agg(
+        first(col("embedding")).as("embedding"),
+        // ties break to the lowest centroid id (max of (sim, -id))
+        max_by(col("centroid_id"),
+          struct(col("sim"), (-col("centroid_id")).as("neg")))
+          .as("centroid_id"))
 
   /** IVF ANN: probe the nprobe closest centroid partitions only, then
     * exact cosine within the probed cells. Rows-only check (approximate
