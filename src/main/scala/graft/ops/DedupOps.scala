@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.functions.{MinHash, SimHash, TextAnalysis, Vectors}
+import graft.functions.expressions.CosineSimilarity
 
 /** Deduplication operators over the `documents` / `embeddings` tables:
   * exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine.
@@ -176,7 +177,8 @@ object DedupOps {
       .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")),
         Seq("vec_b"))
       .withColumn("cos",
-        round(Vectors.cosine_sim(col("emb_a"), col("emb_b")), 6))
+        round(CosineSimilarity.cosine_native(s,
+          col("emb_a"), col("emb_b")), 6))
       .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cos"))
   }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.functions.Vectors
+import graft.functions.expressions.CosineSimilarity
 
 /** Approximate-nearest-neighbor search over the `embeddings` table.
   *
@@ -22,12 +23,15 @@ object SimOps {
     broadcast(Tables.embeddings(s, d).filter(col("vec_id") === 0)
       .select(col("embedding").as("q_emb")))
 
-  /** Brute-force exact cosine top-k against the vec_id=0 query. */
+  /** Brute-force exact cosine top-k against the vec_id=0 query.
+    * Uses the native codegen CosineSimilarity expression (unboxed
+    * float-array loop inside whole-stage codegen). */
   def annBrute(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     emb.crossJoin(queryVec(s, d))
       .select(col("vec_id"),
-        round(Vectors.cosine_sim(col("embedding"), col("q_emb")), 6).as("cos"))
+        round(CosineSimilarity.cosine_native(s,
+          col("embedding"), col("q_emb")), 6).as("cos"))
       .filter(col("vec_id") =!= 0)
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(20)
@@ -41,7 +45,8 @@ object SimOps {
       .orderBy(col("cos").desc, col("vec_id").asc)
     emb.crossJoin(queryVec(s, d))
       .select(col("vec_id"), col("label"),
-        round(Vectors.cosine_sim(col("embedding"), col("q_emb")), 6).as("cos"))
+        round(CosineSimilarity.cosine_native(s,
+          col("embedding"), col("q_emb")), 6).as("cos"))
       .filter(col("vec_id") =!= 0)
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
@@ -133,7 +138,8 @@ object SimOps {
       .join(broadcast(probed), Seq("centroid_id"))
       .crossJoin(q)
       .select(col("vec_id"),
-        round(Vectors.cosine_sim(col("embedding"), col("q_emb")), 6).as("cos"))
+        round(CosineSimilarity.cosine_native(s,
+          col("embedding"), col("q_emb")), 6).as("cos"))
       .filter(col("vec_id") =!= 0)
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(20)
