@@ -40,7 +40,8 @@ object SparkEntry {
     QueryModule(ops.SimOps.queries, ops.SimOps.oracles),
     QueryModule(ops.EventOps.queries, ops.EventOps.oracles),
     QueryModule(ops.MultimodalOps.queries, ops.MultimodalOps.oracles),
-    QueryModule(ops.FuncOps.queries, ops.FuncOps.oracles))
+    QueryModule(ops.FuncOps.queries, ops.FuncOps.oracles),
+    QueryModule(ops.Headline.queries, ops.Headline.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

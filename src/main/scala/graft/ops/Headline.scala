@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Headline analytical queries — multi-join aggregate shapes (the
+  * classic warehouse patterns) over the testdata star schema. These are
+  * the bench's representative "big" plans: fact-fact join, broadcast
+  * dims, group-agg, top-k.
+  */
+object Headline {
+
+  private def money(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** Shipping-priority shape: filtered fact ⋈ fact ⋈ dim → group →
+    * revenue top-10. */
+  def q03Shipping(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") < lit("1997-06-01").cast("timestamp"))
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") > lit("1997-06-01").cast("date"))
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .groupBy(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("o_orderpriority"))
+      .agg(sum(money(col("l_extendedprice")) * (lit(1) - money(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  /** Local-supplier-volume shape: 5-way join through both fact sides of
+    * nation (customer nation = supplier nation), group by nation. */
+  def q05LocalSupplier(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val ord = Tables.orders(s, d)
+    val cust = Tables.customer(s, d)
+    val sup = Tables.supplier(s, d)
+    val nat = Tables.nation(s, d)
+    val reg = Tables.region(s, d)
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey")
+        && cust("c_nationkey") === sup("s_nationkey"))
+      .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+      .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(money(col("l_extendedprice")) * (lit(1) - money(col("l_discount"))))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("revenue").desc, col("n_name").asc)
+  }
+
+  /** Top-customer shape: fact agg → broadcast-enrich → top-k (the
+    * reverse order — aggregate FIRST, then join the small result to
+    * dims — the plan that survives a 100× fact scale-up). */
+  def q10TopCustomers(s: SparkSession, d: String): DataFrame = {
+    val spend = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(sum(money(col("o_totalprice"))).cast("double").as("total_spend"),
+        count(lit(1)).as("n_orders"))
+    val cust = Tables.customer(s, d)
+    val nat = Tables.nation(s, d)
+    spend.join(broadcast(cust), spend("o_custkey") === cust("c_custkey"))
+      .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+      .select(col("o_custkey").as("custkey"), col("c_name"),
+        col("n_name").as("nation"), col("total_spend"), col("n_orders"))
+      .orderBy(col("total_spend").desc, col("custkey").asc)
+      .limit(20)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q03_shipping"  -> q03Shipping _,
+    "q05_localsupp" -> q05LocalSupplier _,
+    "q10_topcust"   -> q10TopCustomers _)
+
+  val oracles: Map[String, String] = Map(
+    "q03_shipping" ->
+      """SELECT l.l_orderkey, strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+        |  o.o_orderpriority,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |    (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1997-06-01'
+        |  AND l.l_shipdate > DATE '1997-06-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, l.l_orderkey ASC LIMIT 10""".stripMargin,
+    "q05_localsupp" ->
+      """SELECT n.n_name,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |    (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  AND c.c_nationkey = s.s_nationkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY n.n_name
+        |ORDER BY revenue DESC, n.n_name ASC""".stripMargin,
+    "q10_topcust" ->
+      """SELECT o.o_custkey AS custkey, c.c_name, n.n_name AS nation,
+        |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_spend,
+        |  COUNT(*) AS n_orders
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY 1, 2, 3
+        |ORDER BY total_spend DESC, custkey ASC LIMIT 20""".stripMargin)
+}

@@ -1,0 +1,71 @@
+package graft.ops
+
+import graft.{SparkFunSuite, SparkEntry}
+import graft.io.PartitionedTable
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Physical-plan audit: the properties that make these plans survive a
+  * 100× scale-up, asserted so a refactor cannot silently regress them. */
+class PlanAuditSpec extends SparkFunSuite {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filters and projections reach the parquet scan") {
+    val p = plan(CoreRelational.p06Range(spark, sfDir))
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate)"))
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_orderdate:timestamp"))
+    assert(!p.contains("o_totalprice")) // unused columns pruned
+  }
+
+  test("dim joins broadcast; no shuffle join against small sides") {
+    Seq(
+      CoreRelational.j01Enrich(spark, sfDir),
+      CoreRelational.j05Coalesce(spark, sfDir),
+      Headline.q05LocalSupplier(spark, sfDir)
+    ).foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(5).mkString)
+    }
+  }
+
+  test("presentation sorts are eliminated under aggregation") {
+    Seq("q01_pricing", "j01_enrich", "a06_minmax").foreach { name =>
+      val q = SparkEntry.queries(name)(spark, sfDir)
+      assert(!plan(q.groupBy().count()).contains("Sort"),
+        s"$name retains a sort under count()")
+    }
+  }
+
+  test("theta join is the intended broadcast nested loop, nothing else is") {
+    val theta = plan(CoreRelational.j11Theta(spark, sfDir))
+    assert(theta.contains("BroadcastNestedLoopJoin"))
+    // equi-join catalog entries never degrade to NLJ
+    Seq("j01_enrich", "j03_selfdim", "j06_anti", "j09_fullouter")
+      .foreach { name =>
+        val p = plan(SparkEntry.queries(name)(spark, sfDir))
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$name degraded to nested-loop")
+      }
+  }
+
+  test("partitioned table prunes partitions at scan time") {
+    val dir = Files.createTempDirectory("ptab").toString + "/t"
+    val df = graft.Tables.orders(spark, sfDir)
+      .withColumn("cycle", (col("o_orderkey") % 3 + 2018).cast("int"))
+    PartitionedTable.write(df, dir, "cycle")
+    val pruned = PartitionedTable.readPartition(spark, dir, "cycle", 2019)
+    val p = plan(pruned)
+    assert(p.contains("PartitionFilters: [isnotnull(cycle"))
+    assert(pruned.count() == df.filter(col("cycle") === 2019).count())
+    // dynamic overwrite replaces only the touched partition
+    PartitionedTable.write(
+      df.filter(col("cycle") === 2019).limit(10), dir, "cycle")
+    val after = PartitionedTable.read(spark, dir)
+    assert(after.filter(col("cycle") === 2019).count() == 10)
+    assert(after.filter(col("cycle") === 2018).count() ==
+      df.filter(col("cycle") === 2018).count())
+  }
+}
