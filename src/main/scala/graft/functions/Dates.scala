@@ -48,7 +48,7 @@ object Dates {
     * 28) by retrying with the day clamped when all formats miss. */
   def parse_date_ladder(c: Column, formats: Seq[String]): Column = {
     val attempts = formats.map(f => try_to_timestamp(c, lit(f)))
-    val clamped = regexp_replace(c, "^(\\d{2})/(3[01]|29)/", "$1/28/")
+    val clamped = regexp_replace(c, "^(\\d{1,2})/(3[01]|29)/", "$1/28/")
     val repairAttempts = formats.map(f => try_to_timestamp(clamped, lit(f)))
     coalesce((attempts ++ repairAttempts): _*)
   }
