@@ -47,10 +47,14 @@ final class DocStore(spark: SparkSession, baseDir: String) {
       .forEach(f => Files.delete(f))
 
   private def dedupLastWins(batch: DataFrame, key: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(key)).orderBy(monotonically_increasing_id().desc)
-    batch.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+    // max_by hash-agg (no per-key sort): keep the LAST row per key,
+    // matching sequential bulk-API application order
+    val props = batch.columns.filterNot(_ == key).toSeq
+    if (props.isEmpty) batch.dropDuplicates(key)
+    else batch.withColumn("__ord", monotonically_increasing_id())
+      .groupBy(col(key))
+      .agg(max_by(struct(props.map(col): _*), col("__ord")).as("__s"))
+      .select(col(key) +: props.map(c => col(s"__s.$c").as(c)): _*)
   }
 
   /** K1: overwrite-by-id. */
