@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Library entry point: one call registers the full SQL function
+  * surface so `spark.sql` users get the engine's scalar library —
+  * `process_name`, `clean_zip` (via expr), `strip_url`, `get_domain`,
+  * `parse_proxy`, `simhash64`, `hamming64`, `detect_language`,
+  * `rolling_hash64`, `cosine_sim`, `l2_norm`, `cosine_sim_native`.
+  */
+object Graft {
+
+  def init(spark: SparkSession): SparkSession = {
+    functions.Names.register(spark)
+    functions.Urls.register(spark)
+    functions.SimHash.register(spark)
+    functions.TextAnalysis.register(spark)
+    functions.Vectors.register(spark)
+    functions.expressions.CosineSimilarity.register(spark)
+    spark
+  }
+
+  /** Recommended session for this engine (local mode; on a cluster the
+    * master/shuffle settings come from spark-submit instead). */
+  def session(appName: String = "graft", master: String = "local[*]",
+      shufflePartitions: Int = 32): SparkSession = {
+    val s = SparkSession.builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    init(s)
+  }
+}

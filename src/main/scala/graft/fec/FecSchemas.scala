@@ -170,4 +170,30 @@ object FecSchemas {
     if (path.endsWith(".txt")) readPipeText(spark, schema, path)
     else readCsv(spark, schema, path)
   }
+
+  /** Lenient variant for dirty feeds at scale: malformed rows land in a
+    * `_corrupt_record` quarantine column instead of failing the load
+    * (the reference's BQ load job fails the whole file on a bad row —
+    * at 100 TB a single bad row must not kill the batch). Returns
+    * (clean rows, quarantined raw lines). */
+  def readBulkFileQuarantined(spark: SparkSession, table: String,
+      path: String): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.col
+    val schema = registry.getOrElse(table,
+      throw new IllegalArgumentException(s"unexpected file: $table"))
+    val withCorrupt = StructType(schema.fields :+
+      StructField("_corrupt_record", StringType, nullable = true))
+    val reader = spark.read.schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+    val df =
+      if (path.endsWith(".txt"))
+        reader.option("delimiter", "|").option("quote", "")
+          .option("header", "false").csv(path)
+      else reader.option("header", "true").option("quote", "\"").csv(path)
+    val cached = df.cache()
+    (cached.filter(col("_corrupt_record").isNull).drop("_corrupt_record"),
+      cached.filter(col("_corrupt_record").isNotNull)
+        .select(col("_corrupt_record")))
+  }
 }

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+class GraftApiSpec extends SparkFunSuite {
+
+  test("Graft.init exposes the scalar library to SQL") {
+    Graft.init(spark)
+    val r = spark.sql(
+      """SELECT process_name('SMITH, JOHN JR') AS n,
+        |  get_domain('www.example.com/a') AS d,
+        |  simhash64('hello world') AS s,
+        |  detect_language('the cat and the dog in the house') AS l
+        |""".stripMargin).head()
+    assert(r.getAs[String]("n") == "JOHN SMITH JR")
+    assert(r.getAs[String]("d") == "example.com")
+    assert(r.getAs[Long]("s") != 0L)
+    assert(r.getAs[String]("l") == "en")
+  }
+
+  test("quarantined bulk read splits malformed rows instead of failing") {
+    val d = Files.createTempDirectory("quar").toString
+    Files.writeString(Paths.get(s"$d/ccl22.txt"), Seq(
+      "H001|2022|2022|C001|H|A|1001",
+      "H002|NOT_A_YEAR|2022|C002|S|B|1002", // bad INT field
+      "H003|2022|2022|C003|Q|U|1003").mkString("\n"))
+    val (clean, quarantined) =
+      fec.FecSchemas.readBulkFileQuarantined(spark, "ccl22", s"$d/ccl22.txt")
+    assert(clean.count() == 2)
+    assert(quarantined.count() == 1)
+    assert(quarantined.head().getString(0).contains("NOT_A_YEAR"))
+    // strict reader on the same file nulls the bad cell instead
+    val strict = fec.FecSchemas.readBulkFile(spark, "ccl22", s"$d/ccl22.txt")
+    assert(strict.count() == 3)
+  }
+}
