@@ -62,7 +62,11 @@ object SimHash {
   def simhash(c: Column): Column = simhashUdf(c)
 
   val hammingUdf = udf(hammingDistance _)
-  def hamming(a: Column, b: Column): Column = hammingUdf(a, b)
+
+  /** Column form via built-ins — `bit_count(a XOR b)` stays inside
+    * whole-stage codegen (no UDF boundary on the verify hot path). */
+  def hamming(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.bit_count(a.bitwiseXOR(b))
 
   def register(spark: SparkSession): Unit = {
     spark.udf.register("simhash64", simhash64 _)

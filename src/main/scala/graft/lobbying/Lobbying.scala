@@ -47,6 +47,17 @@ object Lobbying {
   def readFilings(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(filingSchema).json(path)
 
+  /** F18: singleton→array coercion for XML-derived payloads
+    * (`house..._disclosures/main.py:310-312`): xmltodict emits a bare
+    * object when an element occurs once and a list when repeated. Given
+    * the raw JSON string of such a field, parse as array first, else
+    * wrap the single-object parse — the pinned ArrayType alone would
+    * silently null the singleton case. */
+  def singletonOrArray(rawJson: Column, element: DataType): Column =
+    coalesce(
+      from_json(rawJson, ArrayType(element)),
+      array(from_json(rawJson, element)))
+
   /** F16: UPPER(concat_ws of non-null name parts)
     * (`federal_senate_lobbying_ingest_get_contributions/main.py:62-68`). */
   def joinName(first: Column, middle: Column, last: Column,

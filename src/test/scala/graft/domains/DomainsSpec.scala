@@ -258,3 +258,26 @@ class NewsSpec extends SparkFunSuite {
     assert(dupes == Set(1L)) // keeps 2 (oldest for u1) and 3
   }
 }
+
+class LobbyingSingletonSpec extends SparkFunSuite {
+  import graft.lobbying.Lobbying
+  import org.apache.spark.sql.types._
+  import spark.implicits._
+
+  test("F18: singleton object and list both parse to an array") {
+    val element = StructType(Seq(
+      StructField("general_issue_code", StringType)))
+    val df = Seq(
+      ("single", """{"general_issue_code":"TAX"}"""),
+      ("list", """[{"general_issue_code":"ENV"},{"general_issue_code":"AGR"}]"""))
+      .toDF("kind", "raw")
+      .select($"kind",
+        Lobbying.singletonOrArray($"raw", element).as("arr"))
+    val sizes = df.select($"kind", size($"arr").as("n"))
+      .as[(String, Int)].collect().toMap
+    assert(sizes("single") == 1 && sizes("list") == 2)
+    val codes = df.filter($"kind" === "single")
+      .select($"arr"(0)("general_issue_code")).as[String].head()
+    assert(codes == "TAX")
+  }
+}
