@@ -35,3 +35,21 @@ class GraftApiSpec extends SparkFunSuite {
     assert(strict.count() == 3)
   }
 }
+
+class CatalogIntegritySpec extends SparkFunSuite {
+  test("catalog keys are collision-free and every oracle has a query") {
+    val moduleSizes = Seq(
+      graft.ops.CoreRelational.queries.size, graft.ops.TextOps.queries.size,
+      graft.ops.DedupOps.queries.size, graft.ops.SimOps.queries.size,
+      graft.ops.EventOps.queries.size, graft.ops.MultimodalOps.queries.size,
+      graft.ops.FuncOps.queries.size, graft.ops.Headline.queries.size)
+    assert(SparkEntry.queries.size == moduleSizes.sum,
+      "duplicate query name across modules")
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without queries: $orphans")
+  }
+
+  test("flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
