@@ -72,12 +72,50 @@ object Headline {
       .limit(20)
   }
 
+  /** Forecast-revenue shape: tight filtered single-table agg — the
+    * pushdown/pruning showcase (one scalar out of a fact scan). */
+  def q06Forecast(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("date")
+        && col("l_shipdate") < lit("1998-01-01").cast("date")
+        && col("l_discount") >= 0.02 && col("l_discount") <= 0.06
+        && col("l_quantity") < 24)
+      .agg(sum(money(col("l_extendedprice")) * money(col("l_discount")))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  /** Hierarchical rollup (beyond-reference breadth: Catalyst gives
+    * ROLLUP/CUBE for free): per (returnflag, linestatus) with subtotal
+    * and grand-total rows. */
+  def a09Rollup(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).cast("double").as("sum_qty"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q03_shipping"  -> q03Shipping _,
     "q05_localsupp" -> q05LocalSupplier _,
-    "q10_topcust"   -> q10TopCustomers _)
+    "q06_forecast"  -> q06Forecast _,
+    "q10_topcust"   -> q10TopCustomers _,
+    "a09_rollup"    -> a09Rollup _)
 
   val oracles: Map[String, String] = Map(
+    "q06_forecast" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+        |  AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24""".stripMargin,
+    "a09_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty, COUNT(*) AS n_lines
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
     "q03_shipping" ->
       """SELECT l.l_orderkey, strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
         |  o.o_orderpriority,
