@@ -70,6 +70,7 @@ class FecPipelineSpec extends SparkFunSuite {
     "independent_expenditure_2022", s"$dir/independent_expenditure_2022.csv")
   private lazy val contributions = MasterTables.contributions(oth, indiv)
   private lazy val elastic = ContributionViews.elastic(contributions, cn, cm)
+  private[fec] def elasticPublic = elastic
 
   test("S3/S5: pipe text scan with declared schemas") {
     assert(cn.count() == 3 && cn.schema("cand_election_yr").dataType.typeName == "long")
@@ -198,5 +199,52 @@ class FecPipelineSpec extends SparkFunSuite {
     assert(spark.read.parquet(tdir).count() == 3)
     val r3 = StagedSwapWriter.truncateLoad(spark, cn.unionAll(cn), tdir)
     assert(r3.swapped && spark.read.parquet(tdir).count() == 6)
+  }
+}
+
+/** §7.3 capstone: the minimum end-to-end slice as one assertion chain —
+  * "all contributions received by committee C001, classified, enriched,
+  * as nested documents and as graph edges". */
+class FlagshipSliceSpec extends graft.SparkFunSuite {
+  import org.apache.spark.sql.functions._
+  import graft.io.DocStore
+  import graft.graph.GraphStore
+  import java.nio.file.Files
+
+  test("committee C001 receipts: views -> envelope docs -> graph edges agree") {
+    val fx = new FecPipelineSpec // reuse the fixture corpus
+    val elastic = fx.elasticPublic
+    val toC001 = elastic.filter(col("target") === "C001")
+    // classified: 9001 (individual), 9006 (committee receipt) and
+    // 9007 (committee disbursement into C001)
+    val classes = toC001.select("classification").as[String](
+      org.apache.spark.sql.Encoders.STRING).collect().sorted.toSeq
+    assert(classes == Seq("committee", "committee", "individual"))
+
+    // document layer: envelope per receipt, tagged union populated
+    val store = new DocStore(spark, Files.createTempDirectory("cap").toString)
+    val docs = FecDocs.contributionDocs(toC001,
+      lit("2022-06-01").cast("timestamp"))
+    FecDocs.loadIncremental(store, "contributions", docs)
+    val stored = store.read("contributions").get
+    assert(stored.count() == 3)
+    val ind = stored.filter(col("row.source.classification") === "individual")
+    assert(ind.select("processed.donor.name").as[String](
+      org.apache.spark.sql.Encoders.STRING).head() == "ALICE BROWN")
+
+    // graph layer: both receipts end as edges into C001
+    val gstore = new GraphStore(spark,
+      Files.createTempDirectory("capg").toString)
+    FecGraph.loadContributions(gstore, toC001)
+    val into = gstore.readEdges("CONTRIBUTED_TO_OUT").get
+      .filter(col("target") === "C001")
+    assert(into.count() == 3)
+    // shortcut edges dedup by (source, target): both committee receipts
+    // come from C002 -> one Committee edge + one Donor edge
+    val shortcut = gstore.readEdges("CONTRIBUTED_TO").get
+      .filter(col("target") === "C001")
+    assert(shortcut.select("src_label").as[String](
+      org.apache.spark.sql.Encoders.STRING).collect().sorted.toSeq ==
+      Seq("Committee", "Donor"))
   }
 }
