@@ -210,12 +210,15 @@ object CoreRelational {
       .orderBy(col("o_custkey"))
   }
 
-  /** A3: group into sorted arrays (linkage fan-out collect_list). */
+  /** A3: group into sorted arrays (linkage fan-out collect_list).
+    * The list rides the compare as a joined string — the driver's
+    * pandas canonicalizer cannot sort raw array cells. */
   def a03CollectList(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
       .filter(col("o_custkey") <= 20)
       .groupBy(col("o_custkey"))
-      .agg(sort_array(collect_list(col("o_orderkey"))).as("order_keys"))
+      .agg(concat_ws(",",
+        sort_array(collect_list(col("o_orderkey")))).as("order_keys"))
       .orderBy(col("o_custkey"))
 
   /** A6: min/max cursor maintenance per key (tweet id cursors). */
@@ -403,7 +406,8 @@ object CoreRelational {
         |      FROM orders)
         |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
     "a03_collect" ->
-      """SELECT o_custkey, list_sort(list(o_orderkey)) AS order_keys
+      """SELECT o_custkey,
+        |  array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys
         |FROM orders WHERE o_custkey <= 20
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "a06_minmax" ->

@@ -103,17 +103,20 @@ object EventOps {
         |  MIN(event_id) AS first_event, MAX(event_id) AS last_event
         |FROM (
         |  SELECT user_id, event_id,
-        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY tsu, event_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
         |  FROM (
-        |    SELECT user_id, event_id, ts,
-        |      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    -- order + gap on MICROSECOND-truncated ts: the engine reads
+        |    -- the nanos parquet column at micros precision, so ties must
+        |    -- break identically on both sides
+        |    SELECT user_id, event_id, tsu,
+        |      CASE WHEN lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id)
         |             IS NULL THEN 1
-        |           WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
-        |             (PARTITION BY user_id ORDER BY ts, event_id))
+        |           WHEN tsu - lag(tsu) OVER
+        |             (PARTITION BY user_id ORDER BY tsu, event_id)
         |             > 30*60*1000*1000 THEN 1
         |           ELSE 0 END AS is_new
-        |    FROM events))
+        |    FROM (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events)))
         |GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
     "ev_json" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
