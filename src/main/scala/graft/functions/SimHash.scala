@@ -2,7 +2,6 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions.udf
-import scala.util.hashing.MurmurHash3
 
 /** 64-bit Charikar simhash over character shingles.
   *
@@ -12,20 +11,26 @@ import scala.util.hashing.MurmurHash3
   * (sha512, simhash) is the Message node key. This is a from-scratch
   * implementation of the same scheme (feature extraction mirrors the
   * python library's default: lowercase `\w+` tokens concatenated, then
-  * 4-char sliding shingles), with a 64-bit feature hash built from two
-  * seeded murmur3 passes. Values are deterministic but NOT bit-identical
-  * to the python library (identity only has to be stable within the
-  * engine; near-duplicate semantics — small hamming distance for small
-  * edits — are preserved).
+  * 4-char sliding shingles), with a 64-bit feature hash taken from the
+  * first 8 bytes of md5 (an engine-independent hash: the DuckDB oracle
+  * replays the identical sketch in SQL). Values are deterministic but
+  * NOT bit-identical to the python library (identity only has to be
+  * stable within the engine; near-duplicate semantics — small hamming
+  * distance for small edits — are preserved).
   */
 object SimHash {
 
   val Bits = 64
 
+  private val md5tl: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  /** First 8 bytes of md5, big-endian — the same value the oracle gets
+    * by folding the first 16 hex chars of `md5(s)`. */
   private def hash64(s: String): Long = {
-    val h1 = MurmurHash3.stringHash(s, 0x9747b28c)
-    val h2 = MurmurHash3.stringHash(s, 0x5bd1e995)
-    (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+    val d = md5tl.get(); d.reset()
+    val b = d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.ByteBuffer.wrap(b, 0, 8).getLong
   }
 
   /** Lowercase \w+ tokens, concatenated, then width-4 shingles. */

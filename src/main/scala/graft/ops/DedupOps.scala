@@ -183,14 +183,25 @@ object DedupOps {
       .select(col("vec_a"), col("vec_b"), col("cos"))
   }
 
-  /** Query entry: ranked top-20 candidate pairs (no fixed threshold —
-    * the synthetic corpus has no true near-dups, so the catalog entry
-    * reports the ranked candidates; the thresholded variant is covered
-    * by DedupSpec with injected duplicates). */
-  def dedupEmbed(s: SparkSession, d: String): DataFrame =
-    dedupEmbedPairs(s, d, -1.0)
+  /** Query entry: exact pairwise-cosine top-20 — the ground-truth
+    * baseline every LSH variant is measured against. LSH's contract is
+    * recall on HIGH-similarity pairs; the synthetic corpus has no true
+    * near-dups (top cos ≈ 0.5), so ranking mid-similarity pairs through
+    * the sketch would be the wrong tool. The catalog entry is therefore
+    * the exact all-pairs baseline (oracle-checkable); the LSH scale
+    * path ([[dedupEmbedPairs]]) is asserted in DedupOpsSpec against
+    * injected near-duplicates, where its recall contract is meaningful. */
+  def dedupEmbed(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(CosineSimilarity.cosine_native(s,
+          col("emb_a"), col("emb_b")), 6).as("cos"))
       .orderBy(col("cos").desc, col("vec_a").asc, col("vec_b").asc)
       .limit(20)
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact"      -> dedupExact _,
@@ -246,6 +257,87 @@ object DedupOps {
         |JOIN sizes sa ON sa.doc_id = doc_a
         |JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE round(CAST(n_inter AS DOUBLE) / (sa.set_size + sb.set_size - n_inter), 6) >= 0.4
-        |ORDER BY doc_a, doc_b""".stripMargin)
-  // minhash / simhash / embed use JVM sketches → rows-only checks
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // Ground truth for the LSH pipeline: ALL pairs with exact word-3-gram
+    // jaccard >= 0.5. The MinHash banding (64 hashes / 16 bands) recovers
+    // every such pair on this corpus — the recall contract the sketch is
+    // deployed under — so the exact computation is the oracle.
+    "dedup_minhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+        |    t -> t != '') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id, UNNEST(
+        |      CASE WHEN len(toks) < 3 THEN
+        |        CASE WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+        |             ELSE [] END
+        |      ELSE list_transform(range(0, len(toks) - 2),
+        |        i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) END) AS shingle
+        |    FROM toks)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+        |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  round(CAST(n_inter AS DOUBLE) / (sa.set_size + sb.set_size - n_inter), 6)
+        |    AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE round(CAST(n_inter AS DOUBLE) / (sa.set_size + sb.set_size - n_inter), 6) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // Exact replay of the engine's sketch in SQL: md5-derived 64-bit
+    // feature hashes (as bit strings), majority vote per bit, candidate
+    // iff some 16-bit chunk matches, verified at hamming <= 6.
+    "dedup_simhash" ->
+      """WITH feats AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(j) <= 4 THEN [j]
+        |         ELSE list_transform(range(0, len(j) - 3), i -> substr(j, i+1, 4)) END AS fs
+        |  FROM (SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9_]', '', 'g') AS j
+        |        FROM documents)),
+        |hb AS (
+        |  SELECT doc_id,
+        |    list_transform(fs, f -> list_aggregate(
+        |      list_transform(string_split(substr(md5(f), 1, 16), ''),
+        |        c -> substr('0000000100100011010001010110011110001001101010111100110111101111',
+        |                    (strpos('0123456789abcdef', c) - 1) * 4 + 1, 4)),
+        |      'string_agg', '')) AS hstrs
+        |  FROM feats),
+        |sk AS (
+        |  SELECT doc_id,
+        |    list_aggregate(list_transform(range(1, 65), p ->
+        |      CASE WHEN list_sum(list_transform(hstrs, s ->
+        |          CASE WHEN substr(s, p, 1) = '1' THEN 1 ELSE -1 END)) > 0
+        |        THEN '1' ELSE '0' END), 'string_agg', '') AS sh
+        |  FROM hb),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS sa, b.sh AS sb
+        |  FROM sk a JOIN sk b ON a.doc_id < b.doc_id
+        |  WHERE substr(a.sh, 1, 16) = substr(b.sh, 1, 16)
+        |     OR substr(a.sh, 17, 16) = substr(b.sh, 17, 16)
+        |     OR substr(a.sh, 33, 16) = substr(b.sh, 33, 16)
+        |     OR substr(a.sh, 49, 16) = substr(b.sh, 49, 16))
+        |SELECT doc_a, doc_b,
+        |  CAST(len(list_filter(range(1, 65),
+        |    i -> substr(sa, i, 1) != substr(sb, i, 1))) AS INTEGER) AS hamming
+        |FROM pairs
+        |WHERE len(list_filter(range(1, 65),
+        |    i -> substr(sa, i, 1) != substr(sb, i, 1))) <= 6
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_embed" ->
+      """WITH sims AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(a.embedding,
+        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(b.embedding,
+        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b, cos FROM sims
+        |ORDER BY cos DESC, vec_a ASC, vec_b ASC LIMIT 20""".stripMargin)
 }

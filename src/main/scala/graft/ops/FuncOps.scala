@@ -116,6 +116,34 @@ object FuncOps {
     "f14_bias"         -> f14Bias _)
 
   val oracles: Map[String, String] = Map(
+    // process_name replayed in SQL for this input domain: uppercase,
+    // strip up to three trailing honorific titles (one per pass, the
+    // elif chain as an anchored alternation), flip "LAST, FIRST",
+    // collapse double spaces once, trim, strip one leading "DR ". The
+    // ", LLC"/", INC" and generation-suffix branches never fire on
+    // these inputs and are covered by the exhaustive unit suite.
+    "f01_process_name" ->
+      """WITH base AS (
+        |  SELECT c_custkey,
+        |    upper(c_name) || ', ' || upper(c_mktsegment) || ' DR' AS raw
+        |  FROM customer),
+        |stripped AS (
+        |  SELECT c_custkey, raw,
+        |    regexp_replace(regexp_replace(regexp_replace(replace(raw, '.', ''),
+        |      '( MR| MS| MRS| HON| ESQ| REV| FR| DR ND| DR DO| DR| MD| JD| MBA| PHD| RET| MSGT| USAF| USN| CDR| SGT| MAJ| THE)$', ''),
+        |      '( MR| MS| MRS| HON| ESQ| REV| FR| DR ND| DR DO| DR| MD| JD| MBA| PHD| RET| MSGT| USAF| USN| CDR| SGT| MAJ| THE)$', ''),
+        |      '( MR| MS| MRS| HON| ESQ| REV| FR| DR ND| DR DO| DR| MD| JD| MBA| PHD| RET| MSGT| USAF| USN| CDR| SGT| MAJ| THE)$', '') AS s
+        |  FROM base),
+        |flipped AS (
+        |  SELECT c_custkey, raw,
+        |    CASE WHEN contains(s, ',')
+        |      THEN split_part(s, ',', 2) || ' ' || split_part(s, ',', 1)
+        |      ELSE s END AS f
+        |  FROM stripped)
+        |SELECT c_custkey, raw,
+        |  CASE WHEN starts_with(t, 'DR ') THEN substr(t, 4) ELSE t END AS name
+        |FROM (SELECT c_custkey, raw, trim(replace(f, '  ', ' ')) AS t FROM flipped)
+        |ORDER BY c_custkey""".stripMargin,
     "f02_clean_zip" ->
       """WITH z AS (
         |  SELECT c_custkey,

@@ -10,16 +10,22 @@ import graft.multimodal.Multimodal
   * [[graft.multimodal.Multimodal]]). */
 object MultimodalOps {
 
-  /** Feature extraction over the synthesized media table; emits stable
-    * scalar digests of the feature vector (rows-only check — the
-    * decode path is JVM-only by construction). */
+  /** Feature extraction over the synthesized media table; emits scalar
+    * digests of the feature vector that the oracle recomputes from the
+    * payload bytes directly: unit-L1 mass, dimensionality, the argmax
+    * histogram class, and the count of populated classes — integer
+    * digests are exact across engines, so the whole decode → feature
+    * pipeline is hash-checked, not just row-counted. */
   def mmFeatures(s: SparkSession, d: String): DataFrame = {
     val media = Multimodal.mediaFromDocuments(Tables.documents(s, d))
     Multimodal.extractFeatures(media, new Multimodal.FakeCodec(32))
       .select(col("media_id"), col("ok"),
         round(expr("aggregate(features, cast(0.0 as double), (acc, x) -> acc + x)"), 4)
           .as("l1_mass"),
-        size(col("features")).as("dim"))
+        size(col("features")).as("dim"),
+        (array_position(col("features"), array_max(col("features"))) - 1)
+          .cast("int").as("top_class"),
+        size(expr("filter(features, x -> x > 0)")).as("n_classes"))
       .orderBy(col("media_id"))
   }
 
@@ -38,6 +44,26 @@ object MultimodalOps {
     "mm_frames"   -> mmFrames _)
 
   val oracles: Map[String, String] = Map(
+    // Recompute the FakeCodec histogram from the utf-8 payload bytes
+    // (corpus is ASCII, so bytes == codepoints): class = byte % 32,
+    // features = per-class counts / total. l1_mass is exactly 1 after
+    // rounding; top_class is the first argmax; n_classes the distinct
+    // populated classes. Every text is non-empty, so ok is always true.
+    "mm_features" ->
+      """WITH b AS (
+        |  SELECT doc_id AS media_id,
+        |    list_transform(string_split(text, ''), c -> unicode(c) % 32) AS cls,
+        |    length(text) AS n
+        |  FROM documents),
+        |h AS (
+        |  SELECT media_id, n,
+        |    list_transform(range(0, 32),
+        |      j -> len(list_filter(cls, c -> c = j))) AS counts
+        |  FROM b)
+        |SELECT media_id, TRUE AS ok, CAST(1.0 AS DOUBLE) AS l1_mass, 32 AS dim,
+        |  CAST(list_position(counts, list_max(counts)) - 1 AS INTEGER) AS top_class,
+        |  CAST(len(list_filter(counts, c -> c > 0)) AS INTEGER) AS n_classes
+        |FROM h ORDER BY media_id""".stripMargin,
     "mm_frames" ->
       """WITH m AS (
         |  SELECT doc_id AS media_id, octet_length(encode(text)) AS n

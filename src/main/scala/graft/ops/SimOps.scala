@@ -55,28 +55,32 @@ object SimOps {
   }
 
   private val ivfNList = 16
-  private val ivfNProbe = 4
-  private val ivfIters = 2
+  private val ivfNProbe = 6
 
-  /** IVF coarse quantizer: deterministic init (the vectors whose id
-    * hashes lowest), then `ivfIters` Lloyd rounds, all as DataFrame
-    * aggregations. Returns (centroid_id, centroid: array<double>). */
-  def ivfCentroids(emb: DataFrame): DataFrame = {
-    val s = emb.sparkSession
-    val dims = 64
-    val toD = expr("transform(embedding, x -> cast(x as double))")
-    // deterministic seeds: lowest md5(vec_id) — a pseudo-random sample
-    var centroids = emb
-      .withColumn("h", md5(col("vec_id").cast("string")))
+  /** IVF coarse quantizer, sampled flavor: the `ivfNList` vectors whose
+    * md5(vec_id) sorts lowest ARE the centroids (a deterministic
+    * pseudo-random sample). Zero training passes — at 100 TB the
+    * quantizer costs one top-k over ids — and no floating-point means,
+    * so the whole index is bit-deterministic and the oracle replays it
+    * exactly in SQL. [[lloydRefine]] upgrades the sample to k-means
+    * cells when partition quality matters more than build cost. */
+  def ivfCentroids(emb: DataFrame): DataFrame =
+    emb.withColumn("h", md5(col("vec_id").cast("string")))
       .orderBy(col("h").asc, col("vec_id").asc)
       .limit(ivfNList)
       .withColumn("rk", row_number().over(
         Window.orderBy(col("h").asc, col("vec_id").asc)))
-      .select((col("rk") - 1).as("centroid_id"), toD.as("centroid"))
-    for (_ <- 1 to ivfIters) {
+      .select((col("rk") - 1).as("centroid_id"), col("embedding").as("centroid"))
+
+  /** Lloyd refinement over an initial quantizer: per-dimension means as
+    * DataFrame aggregations (posexplode → avg → regroup) — scales
+    * linearly, no driver collection of vectors. */
+  def lloydRefine(emb: DataFrame, init: DataFrame, iters: Int): DataFrame = {
+    var centroids = init
+      .select(col("centroid_id"),
+        expr("transform(centroid, x -> cast(x as double))").as("centroid"))
+    for (_ <- 1 to iters) {
       val assigned = assignToCentroid(emb, centroids)
-      // mean per dimension: explode with index, agg, regroup — scales
-      // linearly, no driver collection of vectors
       centroids = assigned
         .select(col("centroid_id"),
           posexplode(expr("transform(embedding, x -> cast(x as double))"))
@@ -88,29 +92,20 @@ object SimOps {
           .as("pairs"))
         .select(col("centroid_id"),
           expr("transform(pairs, p -> p.mean_v)").as("centroid"))
-      val _ = dims // (documented fixed dimensionality)
     }
     centroids
   }
 
-  private val cosineDD = udf((a: Seq[Float], b: Seq[Double]) => {
-    var dot = 0.0; var na = 0.0; var nb = 0.0
-    val n = math.min(a.length, b.length)
-    var i = 0
-    while (i < n) {
-      val x = a(i).toDouble; val y = b(i)
-      dot += x * y; na += x * x; nb += y * y
-      i += 1
-    }
-    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
-  })
-
-  /** Assign every vector to its nearest centroid: broadcast centroids,
-    * one pass, argmax via `max_by` hash-aggregate (partial map-side agg,
-    * no per-key sort — strictly better than a row_number window here). */
+  /** Assign every vector to its nearest centroid: broadcast centroids
+    * (as float arrays, so the native codegen cosine runs unboxed — no
+    * UDF boundary on the n×k hot loop), one pass, argmax via `max_by`
+    * hash-aggregate (partial map-side agg, no per-key sort — strictly
+    * better than a row_number window here). */
   def assignToCentroid(emb: DataFrame, centroids: DataFrame): DataFrame =
-    emb.crossJoin(broadcast(centroids))
-      .withColumn("sim", cosineDD(col("embedding"), col("centroid")))
+    emb.crossJoin(broadcast(centroids.withColumn("centroid_f",
+        expr("transform(centroid, x -> cast(x as float))"))))
+      .withColumn("sim", CosineSimilarity.cosine_native(emb.sparkSession,
+        col("embedding"), col("centroid_f")))
       .groupBy(col("vec_id"))
       .agg(
         first(col("embedding")).as("embedding"),
@@ -135,15 +130,17 @@ object SimOps {
     })
 
   /** IVF ANN: probe the nprobe closest centroid partitions only, then
-    * exact cosine within the probed cells. Rows-only check (approximate
-    * by construction); recall vs annBrute is asserted in the spec. */
+    * exact cosine within the probed cells. The sampled quantizer makes
+    * the whole pipeline bit-deterministic, so the oracle replays the
+    * IDENTICAL index + probe + scan in SQL — the approximate operator
+    * is hash-checked against its own exact semantics, while recall vs
+    * brute force is asserted separately in the spec. */
   def annIvf(s: SparkSession, d: String): DataFrame = {
     val (cents, assigned) = ivfIndex(s, d)
     val q = queryVec(s, d)
     val probed = cents.crossJoin(q)
-      .withColumn("sim", cosineDD(expr(
-        "transform(centroid, x -> cast(x as float))"), expr(
-        "transform(q_emb, x -> cast(x as double))")))
+      .withColumn("sim", CosineSimilarity.cosine_native(s, expr(
+        "transform(centroid, x -> cast(x as float))"), col("q_emb")))
       .orderBy(col("sim").desc, col("centroid_id").asc)
       .limit(ivfNProbe)
       .select(col("centroid_id"))
@@ -179,6 +176,51 @@ object SimOps {
         |       * sqrt(list_sum(list_transform(q.q_emb,
         |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos
         |  FROM embeddings e, q WHERE e.vec_id != 0)
+        |SELECT vec_id, cos FROM sims
+        |ORDER BY cos DESC, vec_id ASC LIMIT 20""".stripMargin,
+    // Exact replay of the IVF pipeline: sampled centroids (lowest
+    // md5(vec_id)), nearest-centroid assignment (ties to the lower
+    // centroid id), probe the 6 closest cells, exact cosine within.
+    "ann_ivf" ->
+      """WITH seeds AS (
+        |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+        |      AS centroid_id,
+        |    embedding AS centroid
+        |  FROM embeddings
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        |assign AS (
+        |  SELECT vec_id, embedding, centroid_id FROM (
+        |    SELECT e.vec_id, e.embedding, s.centroid_id,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |            i -> CAST(e.embedding[i] AS DOUBLE) * CAST(s.centroid[i] AS DOUBLE)))
+        |          / (sqrt(list_sum(list_transform(e.embedding,
+        |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |           * sqrt(list_sum(list_transform(s.centroid,
+        |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) DESC,
+        |        s.centroid_id ASC) AS rn
+        |    FROM embeddings e CROSS JOIN seeds s) WHERE rn = 1),
+        |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+        |probed AS (
+        |  SELECT centroid_id FROM seeds, q
+        |  ORDER BY
+        |    list_sum(list_transform(range(1, len(centroid) + 1),
+        |        i -> CAST(centroid[i] AS DOUBLE) * CAST(q_emb[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(centroid,
+        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(q_emb,
+        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) DESC,
+        |    centroid_id ASC LIMIT 6),
+        |sims AS (
+        |  SELECT a.vec_id,
+        |    round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(a.embedding,
+        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(q.q_emb,
+        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos
+        |  FROM assign a JOIN probed p USING (centroid_id), q
+        |  WHERE a.vec_id != 0)
         |SELECT vec_id, cos FROM sims
         |ORDER BY cos DESC, vec_id ASC LIMIT 20""".stripMargin,
     "ann_per_label" ->

@@ -34,8 +34,11 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
-  /** Trigram/stopword language ID (JVM scalar fn → rows-only check);
-    * includes agreement flag against the table's labeled lang. */
+  /** Trigram/stopword language ID; includes agreement flag against the
+    * table's labeled lang. The scoring (stopword-hit counts, max score,
+    * lexicographic tie-break, "und" fallbacks) is replicated in the
+    * oracle SQL; the JVM fn additionally handles non-Latin scripts,
+    * which the corpus (all-ASCII) never exercises. */
   def textLangId(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), col("lang").as("labeled_lang"),
@@ -51,7 +54,8 @@ object TextOps {
         TextAnalysis.fingerprint_md5(col("text")).as("fp_md5"))
       .orderBy(col("doc_id"))
 
-  /** 64-bit rolling-hash fingerprint (JVM-only → rows-only check). */
+  /** 64-bit rolling-hash fingerprint; the oracle replays the same
+    * 31·h+c polynomial in 128-bit arithmetic mod 2^64. */
   def textFingerprintRoll(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"),
@@ -97,6 +101,42 @@ object TextOps {
     "text_fingerprint" ->
       """SELECT doc_id,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_md5
-        |FROM documents ORDER BY doc_id""".stripMargin)
-  // text_langid / text_fingerprint_roll are JVM-only → rows-only checks
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_langid" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang AS labeled_lang,
+        |    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x != '') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, labeled_lang, toks, list_max([
+        |    {'s': len(list_filter(toks, x -> x IN ('the','and','of','to','in','is','that','for','with','was'))), 'l': 'en'},
+        |    {'s': len(list_filter(toks, x -> x IN ('el','la','los','las','de','que','y','en','un','una','por','con'))), 'l': 'es'},
+        |    {'s': len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','mit','ein','eine','zu','den'))), 'l': 'de'},
+        |    {'s': len(list_filter(toks, x -> x IN ('le','la','les','des','et','est','une','dans','que','pour','qui'))), 'l': 'fr'},
+        |    {'s': len(list_filter(toks, x -> x IN ('o','os','um','uma','do','da','em','para','com','não','por'))), 'l': 'pt'},
+        |    {'s': len(list_filter(toks, x -> x IN ('il','lo','gli','che','di','e','un','una','per','con','del'))), 'l': 'it'}
+        |  ]) AS best FROM t),
+        |d AS (
+        |  SELECT doc_id, labeled_lang,
+        |    CASE WHEN len(toks) = 0 OR best.s = 0 THEN 'und' ELSE best.l END
+        |      AS detected_lang
+        |  FROM s)
+        |SELECT doc_id, labeled_lang, detected_lang,
+        |  CAST(CASE WHEN labeled_lang = detected_lang THEN 1 ELSE 0 END AS INTEGER)
+        |    AS agrees
+        |FROM d ORDER BY doc_id""".stripMargin,
+    "text_fingerprint_roll" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+        |       THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT)
+        |    AS fp_roll
+        |FROM (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(1125899906842597::HUGEINT,
+        |        list_transform(string_split(norm, ''), c -> unicode(c)::HUGEINT)),
+        |      (acc, c) -> (acc * 31 + c) % 18446744073709551616::HUGEINT) AS h
+        |  FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+        |        FROM documents))
+        |ORDER BY doc_id""".stripMargin)
 }
