@@ -32,6 +32,18 @@ object Tables {
     else raw
   }
 
+  /** Spread a scan across the cluster before a compute-heavy narrow
+    * stage (sketching, decoding, pairwise loops). Input splits normally
+    * provide the parallelism, but a source with fewer splits than cores
+    * — a single small file, one parquet row group — would otherwise run
+    * the whole stage on one thread. No-op when the scan already has
+    * enough partitions, so at real scale (thousands of splits) no extra
+    * shuffle is introduced. */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame   = load(s, d, "customer")

@@ -53,40 +53,68 @@ object DedupOps {
     * jaccard >= 0.5, doc_a < doc_b. */
   def dedupMinhash(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-    val banded = docs
+    // signature is the compute-heavy stage — spread the scan first
+    val banded = Tables.spread(docs)
       .select(col("doc_id"),
         explode(MinHash.band_keys(
           MinHash.minhash_signature(col("text")), lshBands)).as("bucket"))
-    // cap bucket size: rank within bucket, keep the first maxBucketSize
-    val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id").asc)
-    val capped = banded.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= maxBucketSize)
-    // pair generation over ids ONLY — text never rides the band shuffle
-    val a = capped.select(col("bucket"), col("doc_id").as("doc_a"))
-    val b = capped.select(col("bucket"), col("doc_id").as("doc_b"))
-    val pairs = a.join(b, Seq("bucket"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
+    // Pair generation in ONE aggregation pass: collect the (capped,
+    // sorted) member ids per bucket, explode the within-bucket
+    // combinations. A bucket self-join would scan `banded` twice —
+    // i.e. run the signature UDF over the corpus twice — and need a
+    // window sort for the cap; the hash-agg does cap + pairs in the
+    // single map-side-combined shuffle. Text never rides the shuffle.
+    val pairs = banded.groupBy(col("bucket"))
+      .agg(slice(sort_array(collect_list(col("doc_id"))), 1, maxBucketSize)
+        .as("ids"))
+      .select(explode(expr(
+        """flatten(transform(ids, (a, i) ->
+          |  transform(slice(ids, i + 2, size(ids)), b ->
+          |    struct(a as doc_a, b as doc_b))))""".stripMargin)).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
       .distinct() // same pair may collide in several bands
-    // verify: fetch the two texts by key, exact jaccard
+    // verify: join each side to its PRECOMPUTED shingle set (built once
+    // per doc, broadcast) and take exact jaccard via array_intersect —
+    // all codegen'd built-ins; a per-pair tokenize UDF would redo the
+    // shingling candidate-count times instead of corpus-size times
+    val sh = shingleSets(docs)
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    val uni = size(col("sh_a")) + size(col("sh_b")) - inter
     pairs
-      .join(docs.select(col("doc_id").as("doc_a"), col("text").as("text_a")),
+      .join(broadcast(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))),
         Seq("doc_a"))
-      .join(docs.select(col("doc_id").as("doc_b"), col("text").as("text_b")),
+      .join(broadcast(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))),
         Seq("doc_b"))
-      .withColumn("jaccard",
-        round(MinHash.exact_jaccard(col("text_a"), col("text_b")), 6))
+      .withColumn("jaccard", round(when(uni === 0, 1.0)
+        .otherwise(inter.cast("double") / uni.cast("double")), 6))
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** Per-doc distinct word-3-gram shingle sets as an array column —
+    * the relational form of [[MinHash.shingles]] (same tokenization,
+    * same <3-token fallback), used by the exact-jaccard verify. */
+  private def shingleSets(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        split(lower(col("text")), "[^\\p{L}\\p{N}]+").as("toks0"))
+      .select(col("doc_id"),
+        expr("filter(toks0, t -> t != '')").as("toks"))
+      .select(col("doc_id"),
+        array_distinct(when(size(col("toks")) < 3,
+            when(size(col("toks")) > 0,
+              array(concat_ws(" ", col("toks")))).otherwise(array()))
+          .otherwise(expr(
+            "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")))
+          .as("sh"))
 
   /** SimHash near-dup: 64-bit sketch, bucket by the four 16-bit chunks
     * (any pair within hamming distance 3 shares at least one chunk when
     * differences spread; standard simhash blocking), verify by true
     * hamming distance <= 6. */
   def dedupSimhash(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+    val docs = Tables.spread(Tables.documents(s, d))
       .select(col("doc_id"), SimHash.simhash(col("text")).as("sh"))
     val chunks = docs.select(col("doc_id"), col("sh"),
       explode(array((0 until 4).map(i =>
@@ -116,7 +144,7 @@ object DedupOps {
   def dedupNgram(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
     // distinct word-3-gram shingles per doc, via built-in transforms
-    val toks = docs.select(col("doc_id"),
+    val toks = Tables.spread(docs).select(col("doc_id"),
       split(lower(col("text")), "[^a-z0-9]+").as("toks"))
       .select(col("doc_id"), expr("filter(toks, t -> t != '')").as("toks"))
     val sh = toks.select(col("doc_id"),
@@ -127,15 +155,22 @@ object DedupOps {
           "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")))
         .as("shingle"))
       .distinct()
+      // feeds BOTH the set sizes and the inverted index — persist so
+      // tokenize+explode+distinct runs once, not once per consumer
+      .persist()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("set_size"))
-    // inverted-index self-join on shingle; skew-capped like LSH buckets
-    val w = Window.partitionBy(col("shingle")).orderBy(col("doc_id").asc)
-    val capped = sh.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= maxBucketSize)
-    val a = capped.select(col("shingle"), col("doc_id").as("doc_a"))
-    val b = capped.select(col("shingle"), col("doc_id").as("doc_b"))
-    val inter = a.join(b, Seq("shingle"))
-      .filter(col("doc_a") < col("doc_b"))
+    // inverted index via one hash-agg: cap + within-posting pairs in a
+    // single map-side-combined shuffle. A shingle self-join would scan
+    // (and re-tokenize) `sh` twice and need a window sort for the
+    // skew cap; collecting the sorted posting list does both at once.
+    val inter = sh.groupBy(col("shingle"))
+      .agg(slice(sort_array(collect_list(col("doc_id"))), 1, maxBucketSize)
+        .as("ids"))
+      .select(explode(expr(
+        """flatten(transform(ids, (a, i) ->
+          |  transform(slice(ids, i + 2, size(ids)), b ->
+          |    struct(a as doc_a, b as doc_b))))""".stripMargin)).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_inter"))
     inter
@@ -193,7 +228,9 @@ object DedupOps {
     * injected near-duplicates, where its recall contract is meaningful. */
   def dedupEmbed(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    // stream side spread: the n²/2 cosine loop parallelizes across it
+    val a = Tables.spread(emb)
+      .select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
     val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
     a.join(b, col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),

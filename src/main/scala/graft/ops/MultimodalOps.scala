@@ -17,7 +17,8 @@ object MultimodalOps {
     * digests are exact across engines, so the whole decode → feature
     * pipeline is hash-checked, not just row-counted. */
   def mmFeatures(s: SparkSession, d: String): DataFrame = {
-    val media = Multimodal.mediaFromDocuments(Tables.documents(s, d))
+    val media =
+      Multimodal.mediaFromDocuments(Tables.spread(Tables.documents(s, d)))
     Multimodal.extractFeatures(media, new Multimodal.FakeCodec(32))
       .select(col("media_id"), col("ok"),
         round(expr("aggregate(features, cast(0.0 as double), (acc, x) -> acc + x)"), 4)
