@@ -242,6 +242,44 @@ object CoreRelational {
       .select(col("o_orderkey"), date_format(col("d"), "yyyy-MM-dd").as("day"))
       .orderBy(col("o_orderkey"), col("day"))
 
+  /** J7: linkage fan-out — per key, the deduped related records rolled
+    * into one sorted digest (collect_list after key-dedup; the digest
+    * string keeps the array comparable across engines). */
+  def j07Linkage(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .dropDuplicates("o_orderkey")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        concat_ws(";", sort_array(collect_list(concat_ws(":",
+          col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd"))))).as("linkages"))
+      .orderBy(col("o_custkey"))
+
+  /** J8: hydration join — explode per-row reference list (a tagged
+    * union of id kinds), resolve each against its broadcast dimension
+    * (tweet author/referenced-tweet hydration vs `includes`). */
+  def j08Hydrate(s: SparkSession, d: String): DataFrame = {
+    val refs = Tables.lineitem(s, d)
+      .filter(col("l_orderkey") <= 200)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        explode(array(
+          struct(lit("part").as("ref_type"), col("l_partkey").as("ref_id")),
+          struct(lit("supp").as("ref_type"), col("l_suppkey").as("ref_id"))))
+          .as("r"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("r.ref_type"), col("r.ref_id"))
+    val part = Tables.part(s, d).select(col("p_partkey"), col("p_name"))
+    val sup = Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"))
+    refs
+      .join(broadcast(part),
+        col("ref_type") === "part" && col("ref_id") === col("p_partkey"), "left")
+      .join(broadcast(sup),
+        col("ref_type") === "supp" && col("ref_id") === col("s_suppkey"), "left")
+      .select(col("l_orderkey"), col("l_linenumber"), col("ref_type"),
+        col("ref_id"), coalesce(col("p_name"), col("s_name")).as("ref_name"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("ref_type"))
+  }
+
   /** O1/O2: top-k with deterministic tiebreak (staleness top-k). */
   def o01TopK(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
@@ -256,6 +294,37 @@ object CoreRelational {
       .orderBy(md5(col("c_custkey").cast("string")).asc, col("c_custkey").asc)
       .limit(50)
       .select(col("c_custkey"), col("c_name"))
+
+  /** O5 + G8: amendment replay — newest filing per key wins (max_by on
+    * the (date, id) changelog order; one hash-agg, no window sort). */
+  def o05Amendment(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(max_by(
+        struct(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("od")),
+        struct(col("o_orderdate"), col("o_orderkey"))).as("last"))
+      .select(col("o_custkey"),
+        col("last.o_orderkey").as("latest_order"),
+        col("last.od").as("latest_date"))
+      .orderBy(col("o_custkey"))
+
+  /** U1 + A1: SELECT DISTINCT over a UNION ALL (master-table dedup). */
+  def u01UnionDistinct(s: SparkSession, d: String): DataFrame = {
+    val a = Tables.orders(s, d)
+      .select(col("o_custkey").as("key"), lit("ord").as("src"))
+    val b = Tables.lineitem(s, d)
+      .select(col("l_suppkey").as("key"), lit("li").as("src"))
+    a.unionByName(b).distinct().orderBy(col("key"), col("src"))
+  }
+
+  /** P10: domain-blacklist + empty-value guard filter. */
+  def p10Blacklist(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(!col("source").isin("src1", "src7", "src13")
+        && col("source").isNotNull && col("source") =!= "")
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
 
   /** U3: UNION ALL of classification branches with null-padded schema
     * alignment (contributions_elastic22 shape). */
@@ -284,8 +353,27 @@ object CoreRelational {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** W: lag/delta window — per-key change vs the previous event (the
+    * cursor-advance shape; unique (ts, event_id) tiebreak both sides). */
+  def w03LagDelta(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(s, d)
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .select(col("event_id"), col("user_id"),
+        round(col("value") - coalesce(col("prev_value"), lit(0.0)), 6)
+          .as("delta"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing"    -> q01Pricing _,
+    "p10_blacklist"  -> p10Blacklist _,
+    "j07_linkage"    -> j07Linkage _,
+    "j08_hydrate"    -> j08Hydrate _,
+    "o05_amendment"  -> o05Amendment _,
+    "u01_uniondist"  -> u01UnionDistinct _,
+    "w03_lagdelta"   -> w03LagDelta _,
     "p01_project"    -> p01Project _,
     "p02_classify"   -> p02Classify _,
     "p03_nullfilter" -> p03NullFilter _,
@@ -309,6 +397,52 @@ object CoreRelational {
     "w02_running"    -> w02Running _)
 
   val oracles: Map[String, String] = Map(
+    "p10_blacklist" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE source NOT IN ('src1', 'src7', 'src13')
+        |  AND source IS NOT NULL AND source != ''
+        |ORDER BY doc_id""".stripMargin,
+    "j07_linkage" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+        |  array_to_string(list_sort(list(
+        |    CAST(o_orderkey AS VARCHAR) || ':' || strftime(o_orderdate, '%Y-%m-%d'))), ';')
+        |    AS linkages
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "j08_hydrate" ->
+      """WITH refs AS (
+        |  SELECT l_orderkey, l_linenumber, r.ref_type, r.ref_id
+        |  FROM lineitem, UNNEST([
+        |    {'ref_type': 'part', 'ref_id': l_partkey},
+        |    {'ref_type': 'supp', 'ref_id': l_suppkey}]) AS t(r)
+        |  WHERE l_orderkey <= 200)
+        |SELECT l_orderkey, l_linenumber, ref_type, ref_id,
+        |  coalesce(p.p_name, s.s_name) AS ref_name
+        |FROM refs
+        |LEFT JOIN part p ON ref_type = 'part' AND ref_id = p.p_partkey
+        |LEFT JOIN supplier s ON ref_type = 'supp' AND ref_id = s.s_suppkey
+        |ORDER BY l_orderkey, l_linenumber, ref_type""".stripMargin,
+    "o05_amendment" ->
+      """SELECT o_custkey, o_orderkey AS latest_order,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS latest_date
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |      FROM orders)
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+    "u01_uniondist" ->
+      """SELECT DISTINCT key, src FROM (
+        |  SELECT o_custkey AS key, 'ord' AS src FROM orders
+        |  UNION ALL
+        |  SELECT l_suppkey AS key, 'li' AS src FROM lineitem)
+        |ORDER BY key, src""".stripMargin,
+    "w03_lagdelta" ->
+      """SELECT event_id, user_id,
+        |  round(value - coalesce(prev_value, 0.0), 6) AS delta
+        |FROM (
+        |  SELECT event_id, user_id, value,
+        |    lag(value) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS prev_value
+        |  FROM events)
+        |ORDER BY event_id""".stripMargin,
     "q01_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,

@@ -3,16 +3,17 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.{Bias, Dates, Names, Urls, Zips}
+import graft.functions.{Bias, Dates, Names, SimHash, Urls, Zips}
 
 /** Scalar-function operators (SURVEY §2.8) exercised over the testdata
-  * tables with synthesized inputs, each with a DuckDB oracle where the
-  * function is SQL-expressible (process_name is JVM-only → rows-only).
+  * tables with synthesized inputs, each with a DuckDB oracle (the JVM
+  * functions are replayed in SQL; process_name's replay covers this
+  * input domain, with the quirk branches unit-tested exhaustively).
   */
 object FuncOps {
 
   /** F1: name canonicalization over synthesized `LAST, FIRST TITLE`
-    * forms (JVM function → rows-only; unit-tested exhaustively). */
+    * forms (SQL replay in the oracle; unit-tested exhaustively). */
   def f01ProcessName(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d)
       .select(col("c_custkey"),
@@ -88,6 +89,36 @@ object FuncOps {
           lit("JR"))).as("full_name"))
       .orderBy(col("c_custkey"))
 
+  /** F12: message-identity pair — cryptographic hash + simhash sketch
+    * of the body (the Facebook Message node key (sha, simhash)). */
+  def f12HashPair(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        sha2(col("text"), 256).as("sha"),
+        SimHash.simhash(col("text")).as("simhash"))
+      .orderBy(col("doc_id"))
+
+  /** F17: tweet-text flatten — collapse newline runs to one space. */
+  def f17Flatten(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        length(regexp_replace(col("text"), "\\n+", " ")).as("flat_len"),
+        md5(regexp_replace(col("text"), "\\n+", " ")).as("flat_md5"))
+      .orderBy(col("doc_id"))
+
+  /** F21: date-part explosion incl. the EST day-attribution variant
+    * (graph Day nodes are keyed on America/New_York wall-clock). */
+  def f21DateParts(s: SparkSession, d: String): DataFrame = {
+    val est = from_utc_timestamp(col("ts"), "America/New_York")
+    Tables.events(s, d)
+      .select(col("event_id"),
+        year(col("ts")).as("y"), month(col("ts")).as("m"),
+        dayofmonth(col("ts")).as("d"), hour(col("ts")).as("h"),
+        minute(col("ts")).as("mi"),
+        dayofmonth(est).as("d_est"), hour(est).as("h_est"))
+      .orderBy(col("event_id"))
+  }
+
   /** F14/A4: bias scoring + null-aware average over present ratings. */
   def f14Bias(s: SparkSession, d: String): DataFrame = {
     val labeled = Tables.customer(s, d).select(col("c_custkey"),
@@ -107,6 +138,9 @@ object FuncOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f01_process_name" -> f01ProcessName _,
+    "f12_hash_pair"    -> f12HashPair _,
+    "f17_flatten"      -> f17Flatten _,
+    "f21_dateparts"    -> f21DateParts _,
     "f02_clean_zip"    -> f02CleanZip _,
     "f04_fec_date"     -> f04FecDate _,
     "f07_date_ladder"  -> f07DateLadder _,
@@ -116,6 +150,53 @@ object FuncOps {
     "f14_bias"         -> f14Bias _)
 
   val oracles: Map[String, String] = Map(
+    // sha256 is native in both engines; the simhash sketch is replayed
+    // as in the dedup_simhash oracle, folded back to a signed 64-bit.
+    "f12_hash_pair" ->
+      """WITH feats AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN len(j) <= 4 THEN [j]
+        |         ELSE list_transform(range(0, len(j) - 3), i -> substr(j, i+1, 4)) END AS fs
+        |  FROM (SELECT doc_id, text,
+        |          regexp_replace(lower(text), '[^a-z0-9_]', '', 'g') AS j
+        |        FROM documents)),
+        |hb AS (
+        |  SELECT doc_id, text,
+        |    list_transform(fs, f -> list_aggregate(
+        |      list_transform(string_split(substr(md5(f), 1, 16), ''),
+        |        c -> substr('0000000100100011010001010110011110001001101010111100110111101111',
+        |                    (strpos('0123456789abcdef', c) - 1) * 4 + 1, 4)),
+        |      'string_agg', '')) AS hstrs
+        |  FROM feats),
+        |sk AS (
+        |  SELECT doc_id, text,
+        |    list_reduce(list_prepend(0::HUGEINT,
+        |      list_transform(range(1, 65), p ->
+        |        CASE WHEN list_sum(list_transform(hstrs, s ->
+        |            CASE WHEN substr(s, p, 1) = '1' THEN 1 ELSE -1 END)) > 0
+        |          THEN 1::HUGEINT ELSE 0::HUGEINT END)),
+        |      (a, b) -> a * 2 + b) AS u
+        |  FROM hb)
+        |SELECT doc_id, sha256(text) AS sha,
+        |  CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+        |       THEN u - 18446744073709551616::HUGEINT ELSE u END AS BIGINT)
+        |    AS simhash
+        |FROM sk ORDER BY doc_id""".stripMargin,
+    "f17_flatten" ->
+      """SELECT doc_id,
+        |  length(regexp_replace(text, '\n+', ' ', 'g')) AS flat_len,
+        |  md5(regexp_replace(text, '\n+', ' ', 'g')) AS flat_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "f21_dateparts" ->
+      """SELECT event_id,
+        |  CAST(year(ts) AS INTEGER) AS y, CAST(month(ts) AS INTEGER) AS m,
+        |  CAST(day(ts) AS INTEGER) AS d, CAST(hour(ts) AS INTEGER) AS h,
+        |  CAST(minute(ts) AS INTEGER) AS mi,
+        |  CAST(day(est) AS INTEGER) AS d_est, CAST(hour(est) AS INTEGER) AS h_est
+        |FROM (SELECT event_id, ts,
+        |        timezone('America/New_York', timezone('UTC', CAST(ts AS TIMESTAMP))) AS est
+        |      FROM events)
+        |ORDER BY event_id""".stripMargin,
     // process_name replayed in SQL for this input domain: uppercase,
     // strip up to three trailing honorific titles (one per pass, the
     // elif chain as an anchored alternation), flip "LAST, FIRST",
