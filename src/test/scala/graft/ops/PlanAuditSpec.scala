@@ -51,6 +51,29 @@ class PlanAuditSpec extends SparkFunSuite {
       }
   }
 
+  test("filter pushdown survives Tables.spread's repartition") {
+    val q = graft.Tables.spread(graft.Tables.orders(spark, sfDir))
+      .filter(col("o_orderkey") <= 10)
+      .select(col("o_orderkey"))
+    val p = plan(q)
+    assert(p.contains("LessThanOrEqual(o_orderkey,10)"),
+      "filter not pushed through the repartition to the scan")
+  }
+
+  test("amendment replay and LSH pair generation stay window-free") {
+    // o05: one max_by hash-agg, no per-key sort
+    assert(!plan(CoreRelational.o05Amendment(spark, sfDir)).contains("Window"))
+    // posting-list pair-gen replaced the window-capped bucket self-join
+    assert(!plan(DedupOps.dedupMinhash(spark, sfDir)).contains("Window"))
+    assert(!plan(DedupOps.dedupNgram(spark, sfDir)).contains("Window"))
+  }
+
+  test("hydration join resolves references via broadcast hash joins") {
+    val p = plan(CoreRelational.j08Hydrate(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("partitioned table prunes partitions at scan time") {
     val dir = Files.createTempDirectory("ptab").toString + "/t"
     val df = graft.Tables.orders(spark, sfDir)
