@@ -326,6 +326,60 @@ object CoreRelational {
       .select(col("doc_id"), col("source"))
       .orderBy(col("doc_id"))
 
+  /** P8: ES bool-should with minimum_should_match=1 — keep rows where
+    * at least one of two optional signals is present. */
+  def p08BoolShould(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(get_json_object(col("props"), "$.k").isNotNull
+        || col("event_type") === "click")
+      .select(col("event_id"), col("event_type"))
+      .orderBy(col("event_id"))
+
+  /** P12: containment guard — the "article url must contain its domain"
+    * rule as a substring predicate. */
+  def p12ContainsGuard(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(col("text").contains("the") && col("source") =!= "")
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+
+  /** G7: the reified + shortcut double-edge pattern under MERGE
+    * semantics — Donor→Contribution→Committee plus the direct
+    * Donor→Committee shortcut, key-deduped exactly like the batched
+    * Cypher MERGE (`dropDuplicates` on the edge key). */
+  def g07ReifiedEdges(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+    val reified1 = ord.select(
+      concat(lit("donor:"), col("o_custkey")).as("src"),
+      concat(lit("contrib:"), col("o_orderkey")).as("dst"),
+      lit("CONTRIBUTED").as("rel"))
+    val reified2 = ord.select(
+      concat(lit("contrib:"), col("o_orderkey")).as("src"),
+      concat(lit("cmte:"), col("o_orderpriority")).as("dst"),
+      lit("CONTRIBUTED_TO").as("rel"))
+    val shortcut = ord.select(
+      concat(lit("donor:"), col("o_custkey")).as("src"),
+      concat(lit("cmte:"), col("o_orderpriority")).as("dst"),
+      lit("CONTRIBUTED_TO").as("rel"))
+    reified1.unionByName(reified2).unionByName(shortcut)
+      .dropDuplicates("src", "dst", "rel")
+      .orderBy(col("src"), col("dst"), col("rel"))
+  }
+
+  /** G8: amendment tombstones as relational algebra — a filing whose
+    * key is named as some later filing's `prev` is DETACH-DELETEd;
+    * survivors are the anti-join against the tombstone set. */
+  def g08Tombstones(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+    // synthetic amendment chain: every 10th filing amends its
+    // predecessor key
+    val tombstones = ord.filter(col("o_orderkey") % 10 === 0)
+      .select((col("o_orderkey") - 1).as("prev_key"))
+    ord.join(tombstones, col("o_orderkey") === col("prev_key"), "left_anti")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** U3: UNION ALL of classification branches with null-padded schema
     * alignment (contributions_elastic22 shape). */
   def u03UnionPad(s: SparkSession, d: String): DataFrame = {
@@ -368,7 +422,11 @@ object CoreRelational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing"    -> q01Pricing _,
+    "p08_boolshould" -> p08BoolShould _,
     "p10_blacklist"  -> p10Blacklist _,
+    "p12_contains"   -> p12ContainsGuard _,
+    "g07_reified"    -> g07ReifiedEdges _,
+    "g08_tombstone"  -> g08Tombstones _,
     "j07_linkage"    -> j07Linkage _,
     "j08_hydrate"    -> j08Hydrate _,
     "o05_amendment"  -> o05Amendment _,
@@ -397,6 +455,35 @@ object CoreRelational {
     "w02_running"    -> w02Running _)
 
   val oracles: Map[String, String] = Map(
+    "p08_boolshould" ->
+      """SELECT event_id, event_type FROM events
+        |WHERE json_extract_string(props, '$.k') IS NOT NULL
+        |   OR event_type = 'click'
+        |ORDER BY event_id""".stripMargin,
+    "p12_contains" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE contains(text, 'the') AND source != ''
+        |ORDER BY doc_id""".stripMargin,
+    "g07_reified" ->
+      """SELECT DISTINCT src, dst, rel FROM (
+        |  SELECT 'donor:' || o_custkey AS src,
+        |    'contrib:' || o_orderkey AS dst, 'CONTRIBUTED' AS rel
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'contrib:' || o_orderkey, 'cmte:' || o_orderpriority,
+        |    'CONTRIBUTED_TO'
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'donor:' || o_custkey, 'cmte:' || o_orderpriority,
+        |    'CONTRIBUTED_TO'
+        |  FROM orders)
+        |ORDER BY src, dst, rel""".stripMargin,
+    "g08_tombstone" ->
+      """SELECT o_orderkey, o_custkey FROM orders o
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders a
+        |  WHERE a.o_orderkey % 10 = 0 AND a.o_orderkey - 1 = o.o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
     "p10_blacklist" ->
       """SELECT doc_id, source FROM documents
         |WHERE source NOT IN ('src1', 'src7', 'src13')
