@@ -98,6 +98,18 @@ class SimOpsSpec extends SparkFunSuite {
     assert(recall >= 0.5)
   }
 
+  test("lloydRefine keeps k centroids at full dim; quantizer stays non-degenerate") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val init = SimOps.ivfCentroids(emb)
+    val refined = SimOps.lloydRefine(emb, init, 1)
+    assert(refined.count() == init.count())
+    assert(refined.select(org.apache.spark.sql.functions.size($"centroid"))
+      .as[Int].head() == 64)
+    val cellsUsed = SimOps.assignToCentroid(emb, refined)
+      .select($"centroid_id").distinct().count()
+    assert(cellsUsed > 1, "Lloyd round collapsed the quantizer")
+  }
+
   test("IVF assigns every vector to exactly one centroid") {
     val emb = graft.Tables.embeddings(spark, sfDir)
     val cents = SimOps.ivfCentroids(emb)
