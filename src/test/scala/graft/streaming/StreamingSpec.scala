@@ -105,6 +105,41 @@ class MultimodalSpec extends SparkFunSuite {
     assert(feats.filter(!col("ok")).select("features").head().isNullAt(0))
   }
 
+  test("stateful streaming sessionization over micro-batches == batch ev_sessions") {
+    val tmp = Files.createTempDirectory("sess").toString
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tsu"))
+    // four time-ordered chunk files written sequentially (distinct
+    // mtimes), so maxFilesPerTrigger=1 delivers each user's events in
+    // nondecreasing event time across micro-batches
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("tsu"), col("event_id"))
+    val chunked = ev.withColumn("chunk", ntile(4).over(w))
+    for (k <- 1 to 4) {
+      chunked.filter(col("chunk") === k).drop("chunk")
+        .coalesce(1).write.mode("append").parquet(s"$tmp/src")
+      Thread.sleep(1100)
+    }
+    val schema = spark.read.parquet(s"$tmp/src").schema
+
+    // upserting sink keyed by (user_id, session_seq) — update-mode
+    // rows converge to the final session set
+    val sink = scala.collection.mutable.Map.empty[(Long, Long), (Long, Long, Long)]
+    IncrementalPipeline.runAvailableNow(
+      spark, s"$tmp/src", schema, s"$tmp/ckpt",
+      df => SessionState.sessionize(df.as[SessionState.SessEvent]).toDF(),
+      (batch, _) => batch.collect().foreach { r =>
+        sink((r.getLong(0), r.getLong(1))) =
+          (r.getLong(2), r.getLong(3), r.getLong(4))
+      },
+      maxFilesPerTrigger = Some(1))
+
+    val expected = graft.ops.EventOps.evSessions(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(sink.toMap == expected)
+  }
+
   test("frame sampling covers the payload without overlap") {
     val media = Multimodal.mediaFromDocuments(
       Tables.documents(spark, sfDir).limit(10))
