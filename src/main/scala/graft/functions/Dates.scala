@@ -28,10 +28,18 @@ object Dates {
     when(c.isNull || c === "", lit(null).cast("date"))
       .otherwise(try_to_timestamp(c, lit("M/d/yyyy")).cast("date"))
 
-  /** PARSE_DATE('%d-%b-%y') (e.g. '03-JAN-22') with empty→null guard. */
-  def parse_date_dby(c: Column): Column =
+  /** PARSE_DATE('%d-%b-%y') (e.g. '03-JAN-22') with empty→null guard.
+    * The two-digit year uses the POSIX `%y` pivot the reference's
+    * strptime applies — 69-99 → 19xx, 00-68 → 20xx — NOT Java's
+    * base-2000 reduced year ('97' must be 1997, not 2097). */
+  def parse_date_dby(c: Column): Column = {
+    val y2 = substring_index(c, "-", -1).try_cast("int")
+    val c4 = concat(regexp_replace(c, "[0-9]{1,2}$", ""),
+      when(y2 >= 69, lit("19")).otherwise(lit("20")),
+      lpad(substring_index(c, "-", -1), 2, "0"))
     when(c.isNull || c === "", lit(null).cast("date"))
-      .otherwise(try_to_timestamp(initcap(lower(c)), lit("dd-MMM-yy")).cast("date"))
+      .otherwise(try_to_timestamp(lower(c4), lit("dd-MMM-yyyy")).cast("date"))
+  }
 
   /** Naive local datetime in America/New_York → UTC timestamp. */
   def est_to_utc(c: Column): Column =

@@ -89,6 +89,50 @@ object FuncOps {
           lit("JR"))).as("full_name"))
       .orderBy(col("c_custkey"))
 
+  /** F5: PARSE_DATE('%m/%d/%Y') / ('%d-%b-%y') with empty→null guard,
+    * over raws synthesized from the order date (so the oracle can state
+    * the expected value without strptime round-trips). */
+  def f05ParseDates(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 11 === 0, lit(""))
+          .otherwise(date_format(col("o_orderdate"), "M/d/yyyy")).as("raw_mdy"),
+        date_format(col("o_orderdate"), "dd-MMM-yy").as("raw_dby"))
+      .select(col("o_orderkey"), col("raw_mdy"), col("raw_dby"),
+        date_format(Dates.parse_date_mdy(col("raw_mdy")), "yyyy-MM-dd")
+          .as("parsed_mdy"),
+        date_format(Dates.parse_date_dby(col("raw_dby")), "yyyy-MM-dd")
+          .as("parsed_dby"))
+      .orderBy(col("o_orderkey"))
+
+  /** F6: naive local date → America/New_York-localized → UTC (the
+    * contribution-date normalization; EST/EDT both occur in the data). */
+  def f06TzLocalize(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("raw"))
+      .select(col("o_orderkey"), col("raw"),
+        date_format(Dates.est_to_utc(to_timestamp(col("raw"))),
+          "yyyy-MM-dd HH:mm:ss").as("utc_ts"))
+      .orderBy(col("o_orderkey"))
+
+  /** F9+F10: strip_url (args/fragment dropped, `v=` kept for YouTube
+    * watch urls, scheme+www stripped) then get_domain, over urls
+    * synthesized from the documents table. */
+  def f09StripUrl(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        when(col("doc_id") % 10 === 0,
+          concat(lit("https://www.youtube.com/watch?v=abc"), col("doc_id"),
+            lit("&t=9#x")))
+          .otherwise(concat(lit("https://www."), col("source"),
+            lit(".com/articles/"), col("doc_id"), lit("?utm=1&x=2#top")))
+          .as("raw_url"))
+      .select(col("doc_id"), col("raw_url"),
+        Urls.strip_url(col("raw_url")).as("stripped"),
+        Urls.get_domain(Urls.strip_url(col("raw_url"))).as("domain"))
+      .orderBy(col("doc_id"))
+
   /** F12: message-identity pair — cryptographic hash + simhash sketch
     * of the body (the Facebook Message node key (sha, simhash)). */
   def f12HashPair(s: SparkSession, d: String): DataFrame =
@@ -138,6 +182,9 @@ object FuncOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f01_process_name" -> f01ProcessName _,
+    "f05_parse_dates"  -> f05ParseDates _,
+    "f06_tzlocalize"   -> f06TzLocalize _,
+    "f09_strip_url"    -> f09StripUrl _,
     "f12_hash_pair"    -> f12HashPair _,
     "f17_flatten"      -> f17Flatten _,
     "f21_dateparts"    -> f21DateParts _,
@@ -150,6 +197,34 @@ object FuncOps {
     "f14_bias"         -> f14Bias _)
 
   val oracles: Map[String, String] = Map(
+    "f05_parse_dates" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 11 = 0 THEN ''
+        |       ELSE strftime(o_orderdate, '%-m/%-d/%Y') END AS raw_mdy,
+        |  strftime(o_orderdate, '%d-%b-%y') AS raw_dby,
+        |  CASE WHEN o_orderkey % 11 = 0 THEN NULL
+        |       ELSE strftime(o_orderdate, '%Y-%m-%d') END AS parsed_mdy,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS parsed_dby
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "f06_tzlocalize" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS raw,
+        |  strftime(timezone('UTC',
+        |    timezone('America/New_York', CAST(o_orderdate AS TIMESTAMP))),
+        |    '%Y-%m-%d %H:%M:%S') AS utc_ts
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "f09_strip_url" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 10 = 0
+        |    THEN 'https://www.youtube.com/watch?v=abc' || doc_id || '&t=9#x'
+        |    ELSE 'https://www.' || source || '.com/articles/' || doc_id || '?utm=1&x=2#top'
+        |  END AS raw_url,
+        |  CASE WHEN doc_id % 10 = 0
+        |    THEN 'youtube.com/watch?v=abc' || doc_id
+        |    ELSE source || '.com/articles/' || doc_id
+        |  END AS stripped,
+        |  CASE WHEN doc_id % 10 = 0 THEN 'youtube.com'
+        |    ELSE source || '.com' END AS domain
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // sha256 is native in both engines; the simhash sketch is replayed
     // as in the dedup_simhash oracle, folded back to a signed 64-bit.
     "f12_hash_pair" ->
