@@ -133,6 +133,41 @@ object FuncOps {
         Urls.get_domain(Urls.strip_url(col("raw_url"))).as("domain"))
       .orderBy(col("doc_id"))
 
+  /** F11: recover the target url from a scraper-proxy wrapper (strip
+    * everything through `&url=`; pass-through when absent). */
+  def f11ParseProxy(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("http://proxy.example/api?key=K&url=https://www."),
+            col("source"), lit(".com/x")))
+          .otherwise(concat(lit("https://"), col("source"), lit(".com/y")))
+          .as("raw_url"))
+      .withColumn("target",
+        when(col("raw_url").contains("&url="),
+          substring_index(col("raw_url"), "&url=", -1))
+          .otherwise(col("raw_url")))
+      .orderBy(col("doc_id"))
+
+  /** F19: reddit self-text key/value parser over synthesized ad markup
+    * (HTML strip, key snake_casing incl. -/ replacement, M/d/yy date
+    * normalization); the map rides the compare as a sorted k=v digest. */
+  def f19RedditKv(s: SparkSession, d: String): DataFrame = {
+    val html = concat(
+      lit("<p>Ad Buyer Information and Related Data:</p>"),
+      lit("<p>Buyer: Acme "), col("doc_id"), lit("</p>"),
+      lit("<p>Paid-By/Agency: Org "), col("source"), lit("</p>"),
+      lit("<p>Start Date: 1/15/22</p>"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.reddit.Reddit.parse_selftext(html).as("kv"))
+      .select(col("doc_id"),
+        concat_ws(";", sort_array(expr(
+          "transform(map_entries(kv), e -> concat(e.key, '=', e.value))")))
+          .as("kv_digest"))
+      .orderBy(col("doc_id"))
+  }
+
   /** F12: message-identity pair — cryptographic hash + simhash sketch
     * of the body (the Facebook Message node key (sha, simhash)). */
   def f12HashPair(s: SparkSession, d: String): DataFrame =
@@ -185,6 +220,8 @@ object FuncOps {
     "f05_parse_dates"  -> f05ParseDates _,
     "f06_tzlocalize"   -> f06TzLocalize _,
     "f09_strip_url"    -> f09StripUrl _,
+    "f11_parse_proxy"  -> f11ParseProxy _,
+    "f19_reddit_kv"    -> f19RedditKv _,
     "f12_hash_pair"    -> f12HashPair _,
     "f17_flatten"      -> f17Flatten _,
     "f21_dateparts"    -> f21DateParts _,
@@ -224,6 +261,21 @@ object FuncOps {
         |  END AS stripped,
         |  CASE WHEN doc_id % 10 = 0 THEN 'youtube.com'
         |    ELSE source || '.com' END AS domain
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "f11_parse_proxy" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0
+        |    THEN 'http://proxy.example/api?key=K&url=https://www.' || source || '.com/x'
+        |    ELSE 'https://' || source || '.com/y' END AS raw_url,
+        |  CASE WHEN doc_id % 3 = 0
+        |    THEN 'https://www.' || source || '.com/x'
+        |    ELSE 'https://' || source || '.com/y' END AS target
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "f19_reddit_kv" ->
+      """SELECT doc_id,
+        |  'buyer=Acme ' || doc_id ||
+        |  ';paid_by_agency=Org ' || source ||
+        |  ';start_date=2022-01-15' AS kv_digest
         |FROM documents ORDER BY doc_id""".stripMargin,
     // sha256 is native in both engines; the simhash sketch is replayed
     // as in the dedup_simhash oracle, folded back to a signed 64-bit.
