@@ -407,6 +407,19 @@ object CoreRelational {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** Skew-safe aggregation: two-phase salted sum/count over a skewed
+    * key (l_returnflag owns ~half the rows) — result provably equal to
+    * the direct aggregate, which is exactly what the oracle computes. */
+  def a10SaltedAgg(s: SparkSession, d: String): DataFrame =
+    SkewJoin.saltedSumCount(
+      Tables.lineitem(s, d),
+      "l_returnflag",
+      col("l_quantity").cast("decimal(18,2)"),
+      "l_orderkey", 8)
+      .select(col("l_returnflag"),
+        col("total").cast("double").as("total_qty"), col("n_rows"))
+      .orderBy(col("l_returnflag"))
+
   /** W: lag/delta window — per-key change vs the previous event (the
     * cursor-advance shape; unique (ts, event_id) tiebreak both sides). */
   def w03LagDelta(s: SparkSession, d: String): DataFrame = {
@@ -430,6 +443,7 @@ object CoreRelational {
     "j07_linkage"    -> j07Linkage _,
     "j08_hydrate"    -> j08Hydrate _,
     "o05_amendment"  -> o05Amendment _,
+    "a10_saltedagg"  -> a10SaltedAgg _,
     "u01_uniondist"  -> u01UnionDistinct _,
     "w03_lagdelta"   -> w03LagDelta _,
     "p01_project"    -> p01Project _,
@@ -508,6 +522,11 @@ object CoreRelational {
         |LEFT JOIN part p ON ref_type = 'part' AND ref_id = p.p_partkey
         |LEFT JOIN supplier s ON ref_type = 'supp' AND ref_id = s.s_suppkey
         |ORDER BY l_orderkey, l_linenumber, ref_type""".stripMargin,
+    "a10_saltedagg" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "o05_amendment" ->
       """SELECT o_custkey, o_orderkey AS latest_order,
         |  strftime(o_orderdate, '%Y-%m-%d') AS latest_date
