@@ -71,6 +71,7 @@ class FecPipelineSpec extends SparkFunSuite {
   private lazy val contributions = MasterTables.contributions(oth, indiv)
   private lazy val elastic = ContributionViews.elastic(contributions, cn, cm)
   private[fec] def elasticPublic = elastic
+  private[fec] def bulkDirPublic = dir
 
   test("S3/S5: pipe text scan with declared schemas") {
     assert(cn.count() == 3 && cn.schema("cand_election_yr").dataType.typeName == "long")
@@ -246,5 +247,33 @@ class FlagshipSliceSpec extends graft.SparkFunSuite {
     assert(shortcut.select("src_label").as[String](
       org.apache.spark.sql.Encoders.STRING).collect().sorted.toSeq ==
       Seq("Committee", "Donor"))
+  }
+}
+
+/** §3.1 flagship DAG as one call: FecPipeline.run over the fixture
+  * corpus, asserted end-to-end and idempotent under replay. */
+class FecPipelineRunnerSpec extends graft.SparkFunSuite {
+  import org.apache.spark.sql.functions._
+
+  test("FecPipeline.run: bulk -> masters -> views -> docs -> graph, replay-idempotent") {
+    val fx = new FecPipelineSpec
+    val out = java.nio.file.Files.createTempDirectory("fecrun").toString
+    val ts = lit("2022-06-01").cast("timestamp")
+    val s = FecPipeline.run(spark, fx.bulkDirPublic, out, ts)
+    assert(s.masterContributions == 7)
+    assert(s.elasticRows == 7)
+    // 1 non-memo operating + 3 independent expenditures
+    assert(s.masterExpenditures == 4)
+    assert(s.docIndexes("federal_fec_candidates") == 3)
+    assert(s.docIndexes("federal_fec_committees") == 3)
+    assert(s.docIndexes("federal_fec_contributions") == 7)
+    assert(s.graphVertices("Candidate") == 3)
+    assert(s.graphVertices("Committee") == 3)
+    assert(s.graphVertices("Contribution") == 7)
+    assert(s.graphEdges("CONTRIBUTED_TO") > 0)
+    assert(s.graphEdges("HAPPENED_ON") > 0)
+    // MERGE semantics: a full second run converges to the same store
+    val s2 = FecPipeline.run(spark, fx.bulkDirPublic, out, ts)
+    assert(s2 == s)
   }
 }
