@@ -51,4 +51,19 @@ class PipelineRunnersSpec extends SparkFunSuite {
     val news2 = NewsPipeline.run(spark, allsides, mbfc, graph)
     assert(tw2 == tw && news2 == news)
   }
+
+  test("facebook runner: stop-on-seen skips the whole batch on replay") {
+    val d = Files.createTempDirectory("fbrun").toString
+    val ads = Seq(
+      """{"id":"a1","ad_creation_time":"2022-05-01T10:00:00+0000","ad_creative_body":"Vote for change","ad_delivery_start_time":"2022-05-02","ad_delivery_stop_time":"2022-05-04","currency":"USD","spend":{"lower_bound":"100","upper_bound":"199"},"page_id":"p1","page_name":"Good Page","funding_entity":"Citizens Fund"}""",
+      """{"id":"a2","ad_creation_time":"2022-05-03","ad_creative_body":"Different body","ad_delivery_start_time":"2022-05-03T08:00:00+0000","currency":"USD","page_id":"p1","page_name":"Good Page","funding_entity":"Citizens Fund"}""")
+    Files.writeString(Paths.get(s"$d/ads.jsonl"), ads.mkString("\n"))
+    val graph = new GraphStore(spark, s"$d/graph")
+    val fb = graft.facebook.FacebookPipeline.run(spark, s"$d/ads.jsonl", graph)
+    assert(fb.newAds == 2 && fb.adVertices == 2 && fb.messageVertices == 2)
+    assert(fb.deliveryEdges == 3) // a1 spans 3 EST days; a2 has no stop
+    val fb2 = graft.facebook.FacebookPipeline.run(spark, s"$d/ads.jsonl", graph)
+    assert(fb2.newAds == 0) // J13: both ads already in the sink
+    assert(fb2.adVertices == 2 && fb2.deliveryEdges == 3)
+  }
 }
