@@ -41,7 +41,10 @@ object Tables {
     * shuffle is introduced. */
   def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // file count as the split proxy: cheaper than instantiating the
+    // scan's RDD just to read a partition count, and parquet here is
+    // one row group per file, so files ≈ max usable scan partitions
+    if (df.inputFiles.length < target) df.repartition(target) else df
   }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")

@@ -46,9 +46,15 @@ object FecPipeline {
     val oppexp = bulk(spark, bulkDir, "oppexp22")
     val indExp = bulk(spark, bulkDir, "independent_expenditure_2022")
 
+    // each master stage feeds several consumers (doc writes, graph
+    // loads, summary counts) — materialize once instead of re-running
+    // the bulk-read + join chain per consumer
     val contributions = MasterTables.contributions(oth, indiv)
+      .localCheckpoint(true)
     val expenditures = MasterTables.expenditures(oppexp, indExp, cm, cn)
+      .localCheckpoint(true)
     val elastic = ContributionViews.elastic(contributions, cn, cm)
+      .localCheckpoint(true)
 
     val docs = new DocStore(spark, s"$storeDir/docs")
     docs.index("federal_fec_candidates", "doc_id",

@@ -27,7 +27,10 @@ object TwitterPipeline {
     Twitter.loadGraph(graph, hydrated)
     Twitter.extractDomains(graph)
     val queue = Twitter.referencedTweetQueue(hydrated, runTs)
+    // materialized so the caller can overwrite its cursor table with
+    // the result — the lazy plan would read the files being replaced
     val cursors = Twitter.updateCursors(hydrated, prevCursors)
+      .localCheckpoint(true)
     val summary = Summary(
       tweets = graph.readVertices("Tweet").map(_.count()).getOrElse(0L),
       tweeters = graph.readVertices("Tweeter").map(_.count()).getOrElse(0L),
