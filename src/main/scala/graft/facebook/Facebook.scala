@@ -147,4 +147,23 @@ object Facebook {
     * which ads of the batch are new (left_anti vs sink keys). */
   def unseenAds(batch: DataFrame, sinkKeys: DataFrame): DataFrame =
     batch.join(sinkKeys.select(col("id")), Seq("id"), "left_anti")
+
+  /** `facebook_ads` document envelope
+    * (`facebook_ingest_get_ads/main.py:90-111`): doc_as_upsert keyed by
+    * ad id with `obj` = the raw API ad, `processed.regions` = the
+    * region names lifted out of region_distribution (`:92-95`), and
+    * `context.last_indexed` always / `first_indexed` only when the ad
+    * batch is a first load (`:96-100`). */
+  def adDocs(raw: DataFrame, runTs: Column, firstLoad: Boolean): DataFrame =
+    raw.select(
+      col("id").as("doc_id"),
+      struct(raw.columns.map(col): _*).as("obj"),
+      struct(
+        when(col("region_distribution").isNotNull,
+          transform(col("region_distribution"), r => r.getField("region")))
+          .as("regions")).as("processed"),
+      struct(
+        runTs.as("last_indexed"),
+        (if (firstLoad) runTs else lit(null).cast("timestamp"))
+          .as("first_indexed")).as("context"))
 }

@@ -104,15 +104,25 @@ final class DocStore(spark: SparkSession, baseDir: String) {
         val oldSt = joined.schema(s"__old_$c").dataType.asInstanceOf[StructType]
         val fields = (st.fieldNames ++
           oldSt.fieldNames.filterNot(st.fieldNames.contains)).distinct
+        def fieldType(f: String) =
+          st.fields.find(_.name == f).map(_.dataType)
+            .getOrElse(oldSt(f).dataType)
+        // every branch must carry the SAME widened struct type: a
+        // partial doc (fewer fields) pads its missing fields with
+        // typed nulls (the ES partial update never narrows the doc)
+        def widen(src: Column, s: StructType) = struct(fields.map { f =>
+          (if (s.fieldNames.contains(f)) src.getField(f)
+           else lit(null).cast(fieldType(f))).as(f)
+        }: _*)
         val mergedStruct = struct(fields.map { f =>
           val nf = if (st.fieldNames.contains(f)) n.getField(f)
-            else lit(null)
+            else lit(null).cast(fieldType(f))
           val of = if (oldSt.fieldNames.contains(f)) o.getField(f)
-            else lit(null)
+            else lit(null).cast(fieldType(f))
           coalesce(nf, of).as(f)
         }: _*)
         when(n.isNotNull && o.isNotNull, mergedStruct)
-          .when(n.isNotNull, n).otherwise(o)
+          .when(n.isNotNull, widen(n, st)).otherwise(widen(o, oldSt))
       case _ => when(col("__present").isNotNull, coalesce(n, o)).otherwise(o)
     }
   }

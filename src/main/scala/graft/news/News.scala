@@ -120,4 +120,41 @@ object News {
     candidates
       .join(scraped.select(col("url")), Seq("url"), "left_anti")
       .join(notFound.select(col("url")), Seq("url"), "left_anti")
+
+  /** `news_sources` document envelope
+    * (`news_sources_ingest_verify_domain/main.py:51-58`): keyed by
+    * domain, `extracted` = the merged source row, `context.last_updated`
+    * stamped per run. */
+  def sourceDocs(merged: DataFrame, runTs: Column): DataFrame =
+    merged.select(
+      col("Domain").as("doc_id"),
+      struct(merged.columns.map(col): _*).as("extracted"),
+      struct(runTs.as("last_updated")).as("context"))
+
+  /** F11 as a codegen'd Column: recover the target url from a
+    * scraper-proxy wrapper (everything after the first `&url=`). */
+  private def parseProxyCol(c: Column): Column =
+    when(c.contains("&url="), regexp_replace(c, "^.*?&url=", "")).otherwise(c)
+
+  /** `news_articles` document envelope
+    * (`news_articles_ingest_get_articles/main.py:158-184`): the
+    * scraped-article fields nested as `extracted` (url/source urls
+    * de-proxied, F11) with metadata + source sub-structs, and
+    * `context` = {scraper, last_indexed}. Input columns mirror the
+    * scraper output: url, title, date, authors, text, keywords,
+    * description, language, canonical_link, meta_sitename, source_url,
+    * scraper. */
+  def articleDocs(articles: DataFrame, runTs: Column): DataFrame =
+    articles.select(
+      // ES autogenerates the _id; key on the de-proxied url (unique
+      // post keep-oldest dedup, A2)
+      parseProxyCol(col("url")).as("doc_id"),
+      struct(
+        parseProxyCol(col("url")).as("url"),
+        col("title"), col("date"), col("authors"), col("text"),
+        struct(col("keywords"), col("description"), col("language"),
+          col("canonical_link").as("url")).as("metadata"),
+        struct(parseProxyCol(col("source_url")).as("url"),
+          col("meta_sitename").as("sitename")).as("source")).as("extracted"),
+      struct(col("scraper"), runTs.as("last_indexed")).as("context"))
 }

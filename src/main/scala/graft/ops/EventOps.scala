@@ -103,8 +103,10 @@ object EventOps {
         |  MIN(event_id) AS first_event, MAX(event_id) AS last_event
         |FROM (
         |  SELECT user_id, event_id,
-        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY tsu, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |    -- CAST: DuckDB's windowed SUM yields HUGEINT, which pandas reads
+        |    -- as float64 (1.0 vs Spark's BIGINT 1) and hash-mismatches
+        |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
         |  FROM (
         |    -- order + gap on MICROSECOND-truncated ts: the engine reads
         |    -- the nanos parquet column at micros precision, so ties must
