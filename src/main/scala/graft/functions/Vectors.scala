@@ -70,6 +70,45 @@ object Vectors {
     f(c)
   }
 
+  // ------------------------------------- md5-derived hyperplane LSH
+  // Same Charikar sign-sketch, but the plane components derive from
+  // md5("hp:seed:plane:dim") instead of murmur — md5 exists in every
+  // SQL engine, so the sketch (hence the whole LSH candidate set) is
+  // exactly replayable by the DuckDB oracle.
+
+  /** First 4 md5 bytes as uint32, mapped to [-1, 1). */
+  def md5PlaneComponent(plane: Int, dim: Int, seed: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(s"hp:$seed:$plane:$dim".getBytes("UTF-8"))
+    val u = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+      ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+    u.toDouble / 2147483648.0 - 1.0
+  }
+
+  private val maxSketchDims = 512
+
+  def md5_hyperplane_sketch(c: Column, nBits: Int, seed: Int): Column = {
+    // components are data-independent constants: precompute the matrix
+    // once per plan instead of hashing per row
+    val comps = Array.tabulate(nBits, maxSketchDims)(
+      (p, i) => md5PlaneComponent(p, i, seed))
+    val f = udf((v: Seq[Float]) => {
+      require(v.length <= maxSketchDims, s"vector dims > $maxSketchDims")
+      var out = 0L
+      var p = 0
+      while (p < nBits) {
+        var s = 0.0
+        var i = 0
+        val row = comps(p)
+        while (i < v.length) { s += v(i).toDouble * row(i); i += 1 }
+        if (s >= 0) out |= (1L << p)
+        p += 1
+      }
+      out
+    })
+    f(c)
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.udf.register("cosine_sim", cosine _)
     spark.udf.register("l2_norm", norm _)

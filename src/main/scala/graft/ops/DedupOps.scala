@@ -256,13 +256,49 @@ object DedupOps {
       .limit(20)
   }
 
+  /** The GRADED scale path for embedding near-dup: md5-derived
+    * hyperplane LSH buckets (8 bits × 2 seeds) → ids-only candidate
+    * pairs → exact-cosine verify ≥ 0.3. Identical plan shape to
+    * [[dedupEmbedPairs]], but the sketch is md5-based
+    * ([[Vectors.md5_hyperplane_sketch]]) so the DuckDB oracle replays
+    * the candidate set bit-exactly — candidate pairs never leave an LSH
+    * bucket, payload vectors join in by key only for the verify. */
+  def dedupEmbedLsh(s: SparkSession, d: String): DataFrame = {
+    val seeds = Seq(7, 21)
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val spreadEmb = Tables.spread(emb)
+    val sketched = spreadEmb.select(col("vec_id"),
+      explode(array(seeds.map(sd =>
+        struct(lit(sd).as("seed"),
+          Vectors.md5_hyperplane_sketch(col("embedding"), 8, sd)
+            .as("bucket"))): _*)).as("sk"))
+      .select(col("vec_id"), col("sk.seed"), col("sk.bucket"))
+    val a = sketched.select(col("seed"), col("bucket"), col("vec_id").as("vec_a"))
+    val b = sketched.select(col("seed"), col("bucket"), col("vec_id").as("vec_b"))
+    val pairs = a.join(b, Seq("seed", "bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"))
+      .distinct()
+    pairs
+      .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")),
+        Seq("vec_a"))
+      .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")),
+        Seq("vec_b"))
+      .withColumn("cos",
+        round(CosineSimilarity.cosine_native(s, col("emb_a"), col("emb_b")), 6))
+      .filter(col("cos") >= 0.3)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact"      -> dedupExact _,
     "dedup_exact_keep" -> dedupExactKeep _,
     "dedup_minhash"    -> dedupMinhash _,
     "dedup_simhash"    -> dedupSimhash _,
     "dedup_ngram"      -> dedupNgram _,
-    "dedup_embed"      -> dedupEmbed _)
+    "dedup_embed"      -> dedupEmbed _,
+    "dedup_embed_lsh"  -> dedupEmbedLsh _)
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
@@ -392,5 +428,38 @@ object DedupOps {
         |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
         |SELECT vec_a, vec_b, cos FROM sims
-        |ORDER BY cos DESC, vec_a ASC, vec_b ASC LIMIT 20""".stripMargin)
+        |ORDER BY cos DESC, vec_a ASC, vec_b ASC LIMIT 20""".stripMargin,
+    // exact replay of the md5 hyperplane sketch: uint32 from the first
+    // 8 md5 hex digits (nibble positional fold) → [-1,1) component →
+    // sign bits → bucket join → cosine verify, all in SQL
+    "dedup_embed_lsh" ->
+      """WITH sk AS (
+        |  SELECT vec_id, seed,
+        |    CAST(list_sum(list_transform(range(0, 8), p ->
+        |      CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1), i ->
+        |          CAST(embedding[i] AS DOUBLE) *
+        |          (list_sum(list_transform(range(1, 9), k ->
+        |             (strpos('0123456789abcdef',
+        |                substr(md5('hp:' || seed || ':' || p || ':' || (i - 1)),
+        |                  k, 1)) - 1) * (16 ** (8 - k))))
+        |           / 2147483648.0 - 1.0))) >= 0
+        |        THEN (2 ** p) ELSE 0 END)) AS BIGINT) AS bucket
+        |  FROM embeddings, (SELECT UNNEST([7, 21]) AS seed)),
+        |pairs AS (
+        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM sk a JOIN sk b
+        |    ON a.seed = b.seed AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        |sims AS (
+        |  SELECT p.vec_a, p.vec_b,
+        |    round(list_sum(list_transform(range(1, len(ea.embedding) + 1),
+        |        i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(ea.embedding,
+        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(eb.embedding,
+        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos
+        |  FROM pairs p
+        |  JOIN embeddings ea ON ea.vec_id = p.vec_a
+        |  JOIN embeddings eb ON eb.vec_id = p.vec_b)
+        |SELECT vec_a, vec_b, cos FROM sims WHERE cos >= 0.3
+        |ORDER BY vec_a, vec_b""".stripMargin)
 }

@@ -42,7 +42,8 @@ class CatalogIntegritySpec extends SparkFunSuite {
       graft.ops.CoreRelational.queries.size, graft.ops.TextOps.queries.size,
       graft.ops.DedupOps.queries.size, graft.ops.SimOps.queries.size,
       graft.ops.EventOps.queries.size, graft.ops.MultimodalOps.queries.size,
-      graft.ops.FuncOps.queries.size, graft.ops.Headline.queries.size)
+      graft.ops.FuncOps.queries.size, graft.ops.Headline.queries.size,
+      graft.ops.DocOps.queries.size)
     assert(SparkEntry.queries.size == moduleSizes.sum,
       "duplicate query name across modules")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
