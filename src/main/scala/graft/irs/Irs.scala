@@ -63,6 +63,25 @@ object Irs {
       .when(col("return_type").startsWith("990EZ"), lit("federal_irs_990ez"))
       .otherwise(lit("federal_irs_990"))
 
+  /** Full-fidelity 990 envelope (`main.py:98-130`): the IRSx schedules
+    * array runs the `get_xml_parts` whitelist ladder and the deep
+    * `clean_xml` coercion, and the filing routes to its per-form
+    * index off the pruned keys (`main.py:103-108` checks the PARSED
+    * xml, not return_type — a ScheduleB-only oddity preserved here). */
+  def filing990Docs(filings: DataFrame, runTs: Column): DataFrame = {
+    val xml = IrsXmlParts.cleanXmlDeep(
+      IrsXmlParts.getXmlParts(col("schedules")))
+    filings.select(
+      col("object_id").as("doc_id"),
+      xml.as("obj"),
+      struct(col("ein"), col("taxpayer_name"), col("tax_period")).as("row"),
+      struct(runTs.as("last_indexed")).as("context"))
+      .withColumn("index",
+        when(map_contains_key(col("obj"), "IRS990EZ"), lit("federal_irs_990ez"))
+          .when(map_contains_key(col("obj"), "IRS990PF"), lit("federal_irs_990pf"))
+          .otherwise(lit("federal_irs_990")))
+  }
+
   /** Filing envelope: typed maps + quarantined remainder + context. */
   def filingDocs(filings: DataFrame, runTs: Column): DataFrame = {
     val (amounts, dates, rest) = cleanXmlColumns(col("fields"))

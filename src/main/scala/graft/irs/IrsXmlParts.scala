@@ -1,0 +1,176 @@
+package graft.irs
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The 990 part/schedule selection ladder (SURVEY S11 hard part —
+  * round-2 verdict "What's missing" #3): a faithful re-expression of
+  * `get_xml_parts` (`federal_irs_ingest_get_990s/utilities.py:4-179`)
+  * and the deep `clean_xml` coercion (`utilities.py:181-199`) over a
+  * typed schedules column instead of a recursive python dict walk.
+  *
+  * Input model (what IRSx's `filing.get_result()` hands the
+  * reference): one row per filing with an array of schedules, each
+  * `(schedule_name, schedule_parts: part→{leaf→value},
+  * groups: group→[{leaf→value}…])`.
+  *
+  * Pruning semantics preserved exactly:
+  *  - only the 8 known schedule names survive; anything else drops;
+  *  - within a schedule, only whitelisted part/group keys survive;
+  *  - a schedule kind that never initializes `groups` (header) or
+  *    `schedule_parts` (schedules F/I/R) emits NULL for that slot —
+  *    the typed stand-in for "key absent from the dict" — while a
+  *    kind that initializes the dict but finds no whitelisted keys
+  *    emits an EMPTY map, exactly like the reference's `{}`;
+  *  - duplicate schedule names collapse last-writer-wins (python dict
+  *    assignment order).
+  *
+  * `clean_xml` fidelity (two deliberate typed deviations, both
+  * documented at the call sites): coercion is by key CONTAINMENT
+  * (`"Amt" in k`), not suffix; float is attempted before the date
+  * parse, so a key matching both rules floats if floatable and only
+  * then tries `%Y-%m-%d`; a successful date renders as the EST/EDT
+  * wall-clock string `yyyy-MM-ddTHH:mm:ss-0500` (pytz localize +
+  * `%z`). Because a Spark map value cannot be a string|double|date
+  * union, each leaf map splits into `(amounts, dates, other)` — a
+  * value that fails its coercion stays a string in `other`, just as
+  * the reference's `except: pass` leaves it.
+  */
+object IrsXmlParts {
+
+  val leafType: MapType = MapType(StringType, StringType)
+  val partsType: MapType = MapType(StringType, leafType)
+  val groupsType: MapType = MapType(StringType, ArrayType(leafType))
+
+  /** One schedule as IRSx emits it. */
+  val scheduleSchema: StructType = StructType(Seq(
+    StructField("schedule_name", StringType),
+    StructField("schedule_parts", partsType),
+    StructField("groups", groupsType)))
+
+  /** (schedule_name, part whitelist | None, group whitelist | None) —
+    * None means the reference never initializes that dict for the
+    * kind (`utilities.py:11-177`). */
+  val pruneTable: Seq[(String, Option[Seq[String]], Option[Seq[String]])] = Seq(
+    ("ReturnHeader990x",
+      Some(Seq("returnheader990x_part_i")), None),
+    ("IRS990",
+      Some(Seq("part_0", "part_i", "part_iii")),
+      Some(Seq("PrgSrvcAccmActyOthr", "Frm990PrtVIISctnA", "CntrctrCmpnstn"))),
+    ("IRS990ScheduleC",
+      Some(Seq("skedc_part_0", "skedc_part_iia", "skedc_part_iib")),
+      Some(Seq("SkdCSctn527PltclOrg", "SkdCSpplmntlInfrmtnDtl"))),
+    ("IRS990ScheduleF",
+      None, Some(Seq("SkdFGrntsTOrgOtsdUS", "SkdFFrgnIndvdlsGrnts"))),
+    ("IRS990ScheduleI",
+      None, Some(Seq("SkdIRcpntTbl", "SkdIGrntsOthrAsstTIndvInUS"))),
+    ("IRS990ScheduleR",
+      None, Some(Seq("SkdRIdDsrgrddEntts", "SkdRIdRltdTxExmptOrg",
+        "SkdRIdRltdOrgTxblPrtnrshp", "SkdRIdRltdOrgTxblCrpTr",
+        "SkdRTrnsctnsRltdOrg", "SkdRUnrltdOrgTxblPrtnrshp"))),
+    ("IRS990EZ",
+      Some(Seq("ez_part_0", "ez_part_i", "ez_part_iii")),
+      Some(Seq("EZPrgrmSrvcAccmplshmnt", "EZOffcrDrctrTrstEmpl",
+        "EZCmpnstnHghstPdEmpl", "EZCmpnstnOfHghstPdCntrct"))),
+    ("IRS990PF",
+      Some(Seq("pf_part_0", "pf_part_i", "pf_part_viia", "pf_part_ixa")),
+      Some(Seq("PFOffcrDrTrstKyEmpl", "PFCmpnstnHghstPdEmpl",
+        "PFCmpnstnOfHghstPdCntrct", "PFGrntOrCntrApprvFrFt",
+        "PFGrntOrCntrbtnPdDrYr", "PFRltnshpSkdDtl", "PFTrnsfrSkdDtl"))))
+
+  /** name → whitelist array (null when the kind omits the dict), as a
+    * when-chain so the lookup stays inside codegen. */
+  private def whitelist(name: Column,
+      sel: ((String, Option[Seq[String]], Option[Seq[String]])) => Option[Seq[String]]): Column =
+    pruneTable.foldRight(lit(null).cast(ArrayType(StringType))) {
+      case (row, acc) => sel(row) match {
+        case Some(keys) =>
+          when(name === row._1, array(keys.map(lit): _*)).otherwise(acc)
+        case None => when(name === row._1, lit(null).cast(ArrayType(StringType)))
+          .otherwise(acc)
+      }
+    }
+
+  /** `get_xml_parts`: schedules array → map(schedule_name → pruned
+    * {schedule_parts, groups}). Pure column expressions — the ladder
+    * is a narrow map over each row, no shuffle. */
+  def getXmlParts(schedules: Column): Column = {
+    val knownNames = pruneTable.map(_._1)
+    val known = filter(schedules,
+      s => s.getField("schedule_name").isin(knownNames: _*))
+    // python dict assignment: the LAST schedule with a name wins —
+    // drop any element that has a later same-named sibling
+    val lastWins = filter(known, (s, i) =>
+      !exists(slice(known, i + lit(2), size(known)),
+        t => t.getField("schedule_name") === s.getField("schedule_name")))
+    val entries = transform(lastWins, s => {
+      val name = s.getField("schedule_name")
+      val partsWl = whitelist(name, _._2)
+      val groupsWl = whitelist(name, _._3)
+      struct(
+        name.as("key"),
+        struct(
+          when(partsWl.isNotNull,
+            coalesce(
+              map_filter(s.getField("schedule_parts"),
+                (k, _) => array_contains(partsWl, k)),
+              map_from_arrays(array().cast(ArrayType(StringType)),
+                array().cast(ArrayType(leafType)))))
+            .as("schedule_parts"),
+          when(groupsWl.isNotNull,
+            coalesce(
+              map_filter(s.getField("groups"),
+                (k, _) => array_contains(groupsWl, k)),
+              map_from_arrays(array().cast(ArrayType(StringType)),
+                array().cast(ArrayType(ArrayType(leafType))))))
+            .as("groups")).as("value"))
+    })
+    map_from_entries(entries)
+  }
+
+  /** A parsed `%Y-%m-%d` date as the reference's post-`clean_xml`
+    * string: EST/EDT wall clock + `%z` offset (`utilities.py:192-196`
+    * — pytz US/Eastern localize of the naive midnight, so the offset
+    * is DST-aware per date). Session tz is UTC, so `d` is the naive
+    * wall clock and the UTC delta IS the zone offset. */
+  private def estDateString(d: Column): Column = {
+    val utc = to_utc_timestamp(d, "America/New_York")
+    val offHours = ((unix_timestamp(utc) - unix_timestamp(d)) / 3600).cast("int")
+    concat(date_format(d, "yyyy-MM-dd'T'HH:mm:ss"),
+      lit("-0"), offHours, lit("00"))
+  }
+
+  /** `clean_xml` over one leaf map: `(amounts, dates, other)` with the
+    * reference's containment tests and float-before-date order. */
+  def cleanLeaf(m: Column): Column = {
+    val es = map_entries(m)
+    def k(e: Column) = e.getField("key")
+    def v(e: Column) = e.getField("value")
+    val amtKey = (e: Column) => k(e).contains("Amt") || k(e).contains("Hrs")
+    val asDouble = (e: Column) => try_cast_double(v(e))
+    val dtKey = (e: Column) => k(e).contains("Dt")
+    val asDate = (e: Column) => try_to_timestamp(v(e), lit("yyyy-M-d"))
+    val isAmt = (e: Column) => amtKey(e) && asDouble(e).isNotNull
+    val isDate = (e: Column) => !isAmt(e) && dtKey(e) && asDate(e).isNotNull
+    struct(
+      map_from_entries(transform(filter(es, e => isAmt(e)),
+        e => struct(k(e).as("key"), asDouble(e).as("value")))).as("amounts"),
+      map_from_entries(transform(filter(es, e => isDate(e)),
+        e => struct(k(e).as("key"),
+          estDateString(asDate(e)).as("value")))).as("dates"),
+      map_from_entries(filter(es, e => !isAmt(e) && !isDate(e))).as("other"))
+  }
+
+  private def try_cast_double(c: Column): Column = c.try_cast(DoubleType)
+
+  /** `clean_xml` applied through the whole pruned structure: every
+    * part's and every group record's leaf map splits into its typed
+    * `(amounts, dates, other)` triple. */
+  def cleanXmlDeep(pruned: Column): Column =
+    transform_values(pruned, (_, sched) => struct(
+      transform_values(sched.getField("schedule_parts"),
+        (_, leaf) => cleanLeaf(leaf)).as("schedule_parts"),
+      transform_values(sched.getField("groups"),
+        (_, recs) => transform(recs, r => cleanLeaf(r))).as("groups")))
+}
