@@ -114,6 +114,69 @@ object FecDocs {
       struct(runTs.as("last_indexed"),
         lit(null).cast("timestamp").as("last_graphed")).as("context"))
 
+  /** Candidate financial summaries (weball22 ∪ webl22) keyed for
+    * context enrichment. webl (the House/Senate current-campaign
+    * slice, identical shape — FecSchemas.scala:52-54) wins over weball
+    * when both carry a candidate; within a file the row with the
+    * latest coverage end (then highest receipts, a deterministic
+    * tie-break) wins. Money + election fields only — identity and
+    * address already live in the cn master `row`. */
+  def candidateFinancials(weball: DataFrame, webl: DataFrame): DataFrame = {
+    val keep = Seq("ttl_receipts", "trans_from_auth", "ttl_disb",
+      "trans_to_auth", "coh_bop", "coh_cop", "cand_contrib", "cand_loans",
+      "other_loans", "cand_loan_repay", "other_loan_repay", "debts_owed_by",
+      "ttl_indiv_contrib", "spec_election", "prim_election", "run_election",
+      "gen_election", "gen_election_precent", "other_pol_cmte_contrib",
+      "pol_pty_contrib", "cvg_end_dt", "indiv_refunds", "cmte_refunds")
+    val all = webl.withColumn("__prio", lit(2)).withColumn("__src", lit("webl"))
+      .unionByName(
+        weball.withColumn("__prio", lit(1)).withColumn("__src", lit("weball")))
+    all.groupBy(col("cand_id"))
+      .agg(max_by(
+        struct((col("__src").as("src") +: keep.map(col)): _*),
+        struct(col("__prio"), Dates.parse_date_mdy(col("cvg_end_dt")),
+          col("ttl_receipts"))).as("__s"))
+      .select(col("cand_id").as("doc_id"),
+        struct((col("__s.src").as("src") +:
+          keep.map(c => col(s"__s.$c"))): _*).as("financials"))
+  }
+
+  /** PAC financial summaries (webk22) keyed for committee context. */
+  def committeeFinancials(webk: DataFrame): DataFrame = {
+    val keep = webk.columns.filterNot(Seq("cmte_id", "cmte_nm", "cmte_tp",
+      "cmte_dsgn", "cmte_filing_freq").contains).toSeq
+    webk.groupBy(col("cmte_id"))
+      .agg(max_by(struct(keep.map(col): _*),
+        struct(Dates.parse_date_mdy(col("cvg_end_dt")), col("ttl_receipts")))
+        .as("__s"))
+      .select(col("cmte_id").as("doc_id"),
+        struct(keep.map(c => col(s"__s.$c")): _*).as("financials"))
+  }
+
+  /** Join a keyed `financials` struct into an envelope's `context`.
+    * Summaries are cycle-level dims (thousands of rows at 100 TB fact
+    * scale) → broadcast; docs without a summary keep a null struct. */
+  def withFinancialContext(docs: DataFrame, financials: DataFrame): DataFrame = {
+    val ctxFields = docs.select(col("context.*")).columns.toSeq
+    docs.join(broadcast(financials), Seq("doc_id"), "left")
+      .withColumn("context", struct(
+        (ctxFields.map(f => col(s"context.$f")) :+
+          col("financials").as("financials")): _*))
+      .drop("financials")
+  }
+
+  /** Candidate envelope + weball/webl summary context (the three
+    * financial-summary schemas' downstream consumer). */
+  def candidateDocsWithFinancials(cn: DataFrame, weball: DataFrame,
+      webl: DataFrame, runTs: Column): DataFrame =
+    withFinancialContext(candidateDocs(cn, runTs),
+      candidateFinancials(weball, webl))
+
+  /** Committee envelope + webk summary context. */
+  def committeeDocsWithFinancials(cm: DataFrame, webk: DataFrame,
+      runTs: Column): DataFrame =
+    withFinancialContext(committeeDocs(cm, runTs), committeeFinancials(webk))
+
   /** J7/A3: linkage arrays — one doc per committee with its candidate
     * linkages, one per candidate with its committee linkages; each
     * array deduped by linkage_id and sorted for determinism. */
