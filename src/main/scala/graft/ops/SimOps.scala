@@ -155,10 +155,57 @@ object SimOps {
       .limit(20)
   }
 
+  /** Lloyd-refined IVF index: one k-means iteration over the sampled
+    * quantizer (all-DataFrame means — the trainable-index path), the
+    * refined means rounded to 6 decimals. The rounding is what makes
+    * the trained index oracle-able: Spark's avg and DuckDB's avg can
+    * differ in the last ulp (different summation orders), but both
+    * land on the same 1e-6 grid point, and the float cast at use time
+    * (IEEE round-to-nearest) is then identical in both engines. */
+  private val lloydIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]()
+
+  def ivfLloydIndex(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    lloydIndexCache.computeIfAbsent(s.hashCode() + "|" + d, { _ =>
+      val emb = Tables.embeddings(s, d)
+      val cents = lloydRefine(emb, ivfCentroids(emb), 1)
+        .select(col("centroid_id"),
+          expr("transform(centroid, x -> round(x, 6))").as("centroid"))
+        .persist()
+      val assigned = assignToCentroid(emb, cents).persist()
+      assigned.count()
+      (cents, assigned)
+    })
+
+  /** IVF ANN over the Lloyd-refined quantizer — identical probe/scan
+    * shape to [[annIvf]]; proves the trainable-index path end-to-end
+    * (round-2 verdict "Next round" #10). The oracle replays the whole
+    * train-assign-probe-scan pipeline in SQL. */
+  def annIvfLloyd(s: SparkSession, d: String): DataFrame = {
+    val (cents, assigned) = ivfLloydIndex(s, d)
+    val q = queryVec(s, d)
+    val probed = cents.crossJoin(q)
+      .withColumn("sim", CosineSimilarity.cosine_native(s, expr(
+        "transform(centroid, x -> cast(x as float))"), col("q_emb")))
+      .orderBy(col("sim").desc, col("centroid_id").asc)
+      .limit(ivfNProbe)
+      .select(col("centroid_id"))
+    assigned
+      .join(broadcast(probed), Seq("centroid_id"))
+      .crossJoin(q)
+      .select(col("vec_id"),
+        round(CosineSimilarity.cosine_native(s,
+          col("embedding"), col("q_emb")), 6).as("cos"))
+      .filter(col("vec_id") =!= 0)
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_brute"     -> annBrute _,
     "ann_per_label" -> annPerLabel _,
-    "ann_ivf"       -> annIvf _)
+    "ann_ivf"       -> annIvf _,
+    "ann_ivf_lloyd" -> annIvfLloyd _)
 
   // cosine over float arrays: DuckDB's summation order inside
   // list-reduce matches a sequential loop, and both engines do the
@@ -208,6 +255,75 @@ object SimOps {
         |        i -> CAST(centroid[i] AS DOUBLE) * CAST(q_emb[i] AS DOUBLE)))
         |      / (sqrt(list_sum(list_transform(centroid,
         |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(q_emb,
+        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) DESC,
+        |    centroid_id ASC LIMIT 6),
+        |sims AS (
+        |  SELECT a.vec_id,
+        |    round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(a.embedding,
+        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(q.q_emb,
+        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos
+        |  FROM assign a JOIN probed p USING (centroid_id), q
+        |  WHERE a.vec_id != 0)
+        |SELECT vec_id, cos FROM sims
+        |ORDER BY cos DESC, vec_id ASC LIMIT 20""".stripMargin,
+    // Full replay of the TRAINED index: seed sample → initial assign →
+    // per-dim avg rounded to 1e-6 then floated (the grid both engines
+    // agree on) → reassign → probe 6 → exact cosine. Zipped UNNESTs
+    // give (dim, value) pairs; list(... ORDER BY dim) rebuilds the
+    // centroid vector.
+    "ann_ivf_lloyd" ->
+      """WITH seeds AS (
+        |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+        |      AS centroid_id,
+        |    embedding AS centroid
+        |  FROM embeddings
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        |assign0 AS (
+        |  SELECT vec_id, embedding, centroid_id FROM (
+        |    SELECT e.vec_id, e.embedding, s.centroid_id,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |            i -> CAST(e.embedding[i] AS DOUBLE) * CAST(s.centroid[i] AS DOUBLE)))
+        |          / (sqrt(list_sum(list_transform(e.embedding,
+        |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |           * sqrt(list_sum(list_transform(s.centroid,
+        |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) DESC,
+        |        s.centroid_id ASC) AS rn
+        |    FROM embeddings e CROSS JOIN seeds s) WHERE rn = 1),
+        |dims AS (
+        |  SELECT centroid_id,
+        |    UNNEST(range(1, len(embedding) + 1)) AS dim,
+        |    UNNEST(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+        |  FROM assign0),
+        |cents AS (
+        |  SELECT centroid_id, list(m ORDER BY dim) AS centroid FROM (
+        |    SELECT centroid_id, dim,
+        |      CAST(CAST(round(avg(v), 6) AS REAL) AS DOUBLE) AS m
+        |    FROM dims GROUP BY centroid_id, dim)
+        |  GROUP BY centroid_id),
+        |assign AS (
+        |  SELECT vec_id, embedding, centroid_id FROM (
+        |    SELECT e.vec_id, e.embedding, c.centroid_id,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |            i -> CAST(e.embedding[i] AS DOUBLE) * c.centroid[i]))
+        |          / (sqrt(list_sum(list_transform(e.embedding,
+        |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |           * sqrt(list_sum(list_transform(c.centroid,
+        |              x -> x * x)))) DESC,
+        |        c.centroid_id ASC) AS rn
+        |    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+        |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+        |probed AS (
+        |  SELECT centroid_id FROM cents, q
+        |  ORDER BY
+        |    list_sum(list_transform(range(1, len(centroid) + 1),
+        |        i -> centroid[i] * CAST(q_emb[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(centroid, x -> x * x)))
         |       * sqrt(list_sum(list_transform(q_emb,
         |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) DESC,
         |    centroid_id ASC LIMIT 6),
