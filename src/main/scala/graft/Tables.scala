@@ -41,10 +41,12 @@ object Tables {
     * shuffle is introduced. */
   def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    // file count as the split proxy: cheaper than instantiating the
-    // scan's RDD just to read a partition count, and parquet here is
-    // one row group per file, so files ≈ max usable scan partitions
-    if (df.inputFiles.length < target) df.repartition(target) else df
+    // the scan's REAL split count (file packing under
+    // maxPartitionBytes), not a file-count proxy — a multi-row-group
+    // file would under-count splits and trigger a pointless full
+    // repartition at scale. Driver-side plan instantiation only; no
+    // job runs.
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")

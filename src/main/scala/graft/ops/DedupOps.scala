@@ -273,11 +273,20 @@ object DedupOps {
           Vectors.md5_hyperplane_sketch(col("embedding"), 8, sd)
             .as("bucket"))): _*)).as("sk"))
       .select(col("vec_id"), col("sk.seed"), col("sk.bucket"))
-    val a = sketched.select(col("seed"), col("bucket"), col("vec_id").as("vec_a"))
-    val b = sketched.select(col("seed"), col("bucket"), col("vec_id").as("vec_b"))
-    val pairs = a.join(b, Seq("seed", "bucket"))
-      .filter(col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"))
+    // pair generation in ONE aggregation pass (the dedupMinhash idiom):
+    // capped sorted member list per (seed, bucket), combinations
+    // exploded. A bucket self-join would run the sketch UDF over the
+    // corpus twice and shuffle both sides; the hash agg sketches once,
+    // shuffles ids only, and the cap bounds a hot bucket (clusters of
+    // near-identical vectors) to O(cap²) pairs.
+    val pairs = sketched.groupBy(col("seed"), col("bucket"))
+      .agg(slice(sort_array(collect_list(col("vec_id"))), 1, maxBucketSize)
+        .as("ids"))
+      .select(explode(expr(
+        """flatten(transform(ids, (a, i) ->
+          |  transform(slice(ids, i + 2, size(ids)), b ->
+          |    struct(a as vec_a, b as vec_b))))""".stripMargin)).as("p"))
+      .select(col("p.vec_a"), col("p.vec_b"))
       .distinct()
     pairs
       .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")),
@@ -445,9 +454,14 @@ object DedupOps {
         |           / 2147483648.0 - 1.0))) >= 0
         |        THEN (2 ** p) ELSE 0 END)) AS BIGINT) AS bucket
         |  FROM embeddings, (SELECT UNNEST([7, 21]) AS seed)),
+        |capped AS (
+        |  SELECT seed, bucket, vec_id FROM (
+        |    SELECT seed, bucket, vec_id,
+        |      row_number() OVER (PARTITION BY seed, bucket ORDER BY vec_id) AS rk
+        |    FROM sk) WHERE rk <= 64),
         |pairs AS (
         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-        |  FROM sk a JOIN sk b
+        |  FROM capped a JOIN capped b
         |    ON a.seed = b.seed AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
         |sims AS (
         |  SELECT p.vec_a, p.vec_b,
