@@ -50,6 +50,19 @@ object Dates {
   def utc_to_est(c: Column): Column =
     from_utc_timestamp(c, "America/New_York")
 
+  /** A naive America/New_York wall-clock timestamp rendered as the
+    * reference's pytz `%z` string — `yyyy-MM-ddTHH:mm:ss-0500` /
+    * `-0400`, DST-aware per date (IRS clean_xml dates, lobbying
+    * contribution dates). Session tz is UTC, so the UTC delta IS the
+    * zone offset. */
+  def est_offset_string(d: Column): Column = {
+    val utc = to_utc_timestamp(d, "America/New_York")
+    val offHours =
+      ((unix_timestamp(utc) - unix_timestamp(d)) / 3600).cast("int")
+    concat(date_format(d, "yyyy-MM-dd'T'HH:mm:ss"),
+      lit("-0"), offHours, lit("00"))
+  }
+
   /** Multi-format parse ladder: try each format in order, first hit
     * wins; unparseable → null. Mirrors the lobbying date ladder.
     * Repairs the known bad day-overflow (e.g. '02/31/2008' → Feb 29 /

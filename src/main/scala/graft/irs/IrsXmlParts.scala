@@ -131,15 +131,9 @@ object IrsXmlParts {
 
   /** A parsed `%Y-%m-%d` date as the reference's post-`clean_xml`
     * string: EST/EDT wall clock + `%z` offset (`utilities.py:192-196`
-    * — pytz US/Eastern localize of the naive midnight, so the offset
-    * is DST-aware per date). Session tz is UTC, so `d` is the naive
-    * wall clock and the UTC delta IS the zone offset. */
-  private def estDateString(d: Column): Column = {
-    val utc = to_utc_timestamp(d, "America/New_York")
-    val offHours = ((unix_timestamp(utc) - unix_timestamp(d)) / 3600).cast("int")
-    concat(date_format(d, "yyyy-MM-dd'T'HH:mm:ss"),
-      lit("-0"), offHours, lit("00"))
-  }
+    * — pytz US/Eastern localize of the naive midnight). */
+  private def estDateString(d: Column): Column =
+    graft.functions.Dates.est_offset_string(d)
 
   /** `clean_xml` over one leaf map: `(amounts, dates, other)` with the
     * reference's containment tests and float-before-date order. */
