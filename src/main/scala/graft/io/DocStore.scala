@@ -69,6 +69,27 @@ final class DocStore(spark: SparkSession, baseDir: String) {
     swapIn(indexName, merged)
   }
 
+  /** The reference's `es.exists` guard as a set operation: index ONLY
+    * batch rows whose key is not already stored (parents immutable
+    * once indexed — the lobbying ingest pattern). Returns the
+    * actually-inserted rows, pinned with a localCheckpoint because the
+    * caller consumes them AFTER the swap has replaced the files the
+    * anti-join read. */
+  def insertNew(indexName: String, key: String, batch: DataFrame): DataFrame = {
+    val deduped = dedupLastWins(batch, key)
+    val fresh = (read(indexName) match {
+      case None => deduped
+      case Some(old) =>
+        deduped.join(old.select(col(key)), Seq(key), "left_anti")
+    }).localCheckpoint(true)
+    read(indexName) match {
+      case None => swapIn(indexName, fresh)
+      case Some(old) => swapIn(indexName,
+        old.unionByName(fresh, allowMissingColumns = true))
+    }
+    fresh
+  }
+
   /** K2: doc_as_upsert partial merge; see class doc. */
   def upsert(indexName: String, key: String, batch: DataFrame): Unit = {
     val deduped = dedupLastWins(batch, key)

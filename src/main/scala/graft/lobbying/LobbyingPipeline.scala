@@ -1,0 +1,67 @@
+package graft.lobbying
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.DocStore
+
+/** The lobbying DAG as one call: per-chamber disclosure and
+  * contribution filings → parent envelopes into their four indices +
+  * `_nested` child docs, with the reference's insert-only `es.exists`
+  * guard (`senate .../main.py:81`, `house .../main.py:324`) — a parent
+  * already indexed is never rewritten, and children are emitted ONLY
+  * alongside a newly inserted parent, so replaying the same filings is
+  * a no-op (idempotent by construction).
+  *
+  * Children carry no natural id in the reference (ES auto-ids); here
+  * they key on md5 of their full JSON rendering, which makes the child
+  * insert idempotent too — a deliberate strengthening, same family as
+  * the GraphStore's deterministic uuids.
+  */
+object LobbyingPipeline {
+
+  final case class Summary(
+      senateDisclosures: Long, houseDisclosures: Long,
+      senateContributions: Long, houseContributions: Long,
+      childDocs: Long)
+
+  private def childKey(df: DataFrame): DataFrame =
+    df.withColumn("doc_id",
+      md5(to_json(struct(df.columns.map(col): _*))))
+
+  /** Insert unseen parents; then insert the children belonging to just
+    * those parents. Returns (new parents, new children) counts. */
+  private def insertFamily(docs: DocStore, index: String,
+      parents: DataFrame, children: DataFrame): (Long, Long) = {
+    val inserted = docs.insertNew(index, "doc_id", parents)
+    val newIds = inserted.select(col("doc_id").as("__pid"))
+    val newKids = childKey(
+      children.withColumn("__pid", col("context.parent_id"))
+        .join(broadcast(newIds), Seq("__pid"), "left_semi")
+        .drop("__pid"))
+    val insertedKids = docs.insertNew(s"${index}_nested", "doc_id", newKids)
+    (inserted.count(), insertedKids.count())
+  }
+
+  def run(spark: SparkSession,
+      senateDisclosureFilings: DataFrame,
+      houseDisclosureFilings: DataFrame,
+      senateContributionFilings: DataFrame,
+      houseContributionFilings: DataFrame,
+      docs: DocStore,
+      runTs: Column = lit(null).cast("timestamp")): Summary = {
+    val sd = insertFamily(docs, "federal_senate_lobbying_disclosures",
+      LobbyingChambers.senateParentDocs(senateDisclosureFilings, runTs),
+      LobbyingChambers.senateChildDocs(senateDisclosureFilings, runTs))
+    val hd = insertFamily(docs, "federal_house_lobbying_disclosures",
+      LobbyingChambers.houseParentDocs(houseDisclosureFilings, runTs),
+      LobbyingChambers.houseChildDocs(houseDisclosureFilings, runTs))
+    val sc = insertFamily(docs, "federal_senate_lobbying_contributions",
+      LobbyingContributions.senateParentDocs(senateContributionFilings, runTs),
+      LobbyingContributions.senateChildDocs(senateContributionFilings, runTs))
+    val hc = insertFamily(docs, "federal_house_lobbying_contributions",
+      LobbyingContributions.houseParentDocs(houseContributionFilings, runTs),
+      LobbyingContributions.houseChildDocs(houseContributionFilings, runTs))
+    Summary(sd._1, hd._1, sc._1, hc._1,
+      sd._2 + hd._2 + sc._2 + hc._2)
+  }
+}

@@ -1,0 +1,87 @@
+package graft.domains
+
+import graft.SparkFunSuite
+import graft.io.DocStore
+import graft.lobbying.{LobbyingContributions, LobbyingChambers, LobbyingPipeline}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** The lobbying DAG runner: four index families fill from per-chamber
+  * filings, children only accompany newly inserted parents, and a
+  * replay (plus an overlapping second batch) inserts exactly the
+  * novel filings — the reference's es.exists guard as a set op. */
+class LobbyingPipelineSpec extends SparkFunSuite {
+
+  private val runTs = lit("2022-06-01").cast("timestamp")
+
+  private def writeJsonl(name: String, rows: String*): String = {
+    val d = Files.createTempDirectory(name).toString
+    Files.writeString(Paths.get(s"$d/f.jsonl"), rows.mkString("\n"))
+    s"$d/f.jsonl"
+  }
+
+  private def senateDisc(uuid: String): String =
+    s"""{"filing_uuid":"$uuid","filing_year":2021,"filing_type":"Q1",
+       |"lobbying_activities":[{"general_issue_code":"TAX","lobbyists":[
+       |  {"lobbyist":{"id":1,"first_name":"Jo","last_name":"Smith"}}]}]}"""
+      .stripMargin.replace("\n", "")
+
+  private def houseDisc(id: String): String =
+    s"""{"id":"$id","reportYear":"2021","reportType":"Q1",
+       |"signedDate":"4/7/2021","senateID":"400-12",
+       |"alis":{"ali_info":[{"issueAreaCode":"TAX","lobbyists":{"lobbyist":[
+       |  {"lobbyistFirstName":"Jo","lobbyistLastName":"Smith"}]}}]}}"""
+      .stripMargin.replace("\n", "")
+
+  private def senateContrib(uuid: String): String =
+    s"""{"filing_uuid":"$uuid","filing_year":2022,"filing_type":"MM",
+       |"contribution_items":[{"contributor_name":"X","amount":"10.00",
+       |  "date":"2022-01-15"}]}""".stripMargin.replace("\n", "")
+
+  private def houseContrib(id: String): String =
+    s"""{"id":"$id","reportYear":"2022","reportType":"MM",
+       |"contributions":{"contribution":[{"type":"FECA",
+       |  "contributorName":"Y","date":"1/15/2022"}]}}"""
+      .stripMargin.replace("\n", "")
+
+  private def load(
+      sd: Seq[String], hd: Seq[String],
+      sc: Seq[String], hc: Seq[String]): Seq[DataFrame] = Seq(
+    LobbyingChambers.readSenateFilings(spark, writeJsonl("sd", sd: _*)),
+    LobbyingChambers.readHouseFilings(spark, writeJsonl("hd", hd: _*)),
+    LobbyingContributions.readSenateFilings(spark, writeJsonl("sc", sc: _*)),
+    LobbyingContributions.readHouseFilings(spark, writeJsonl("hc", hc: _*)))
+
+  test("four families fill; replay no-ops; overlap inserts only novel filings") {
+    val store = new DocStore(spark,
+      Files.createTempDirectory("lobdocs").toString)
+    val batch1 = load(
+      Seq(senateDisc("S1")), Seq(houseDisc("H1")),
+      Seq(senateContrib("SC1")), Seq(houseContrib("HC1")))
+
+    val s1 = LobbyingPipeline.run(spark,
+      batch1(0), batch1(1), batch1(2), batch1(3), store, runTs)
+    assert(s1 == LobbyingPipeline.Summary(1, 1, 1, 1, 4))
+    assert(store.read("federal_senate_lobbying_disclosures_nested")
+      .get.count() == 1)
+
+    // exact replay: nothing inserted anywhere
+    val s2 = LobbyingPipeline.run(spark,
+      batch1(0), batch1(1), batch1(2), batch1(3), store, runTs)
+    assert(s2 == LobbyingPipeline.Summary(0, 0, 0, 0, 0))
+
+    // overlapping second pull: one seen + one new filing per family
+    val batch2 = load(
+      Seq(senateDisc("S1"), senateDisc("S2")),
+      Seq(houseDisc("H1"), houseDisc("H2")),
+      Seq(senateContrib("SC1"), senateContrib("SC2")),
+      Seq(houseContrib("HC1"), houseContrib("HC2")))
+    val s3 = LobbyingPipeline.run(spark,
+      batch2(0), batch2(1), batch2(2), batch2(3), store, runTs)
+    assert(s3 == LobbyingPipeline.Summary(1, 1, 1, 1, 4))
+    assert(store.read("federal_house_lobbying_contributions").get.count() == 2)
+    assert(store.read("federal_house_lobbying_contributions_nested")
+      .get.count() == 2)
+  }
+}
