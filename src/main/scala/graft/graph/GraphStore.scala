@@ -2,7 +2,8 @@ package graft.graph
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import java.nio.file.{Files, Paths}
+import graft.io.BucketedParquet
+import graft.io.BucketedParquet.B
 
 /** Property-graph vertex/edge store with Cypher-MERGE semantics over
   * Parquet (SURVEY §1.3, §2.9).
@@ -21,77 +22,32 @@ import java.nio.file.{Files, Paths}
   *    reference's "stable once created" contract AND makes replays
   *    byte-identical (stronger idempotency than the original).
   *
-  * Scale: every label table is hash-bucketed by its identity key into
-  * `__bucket=K` subdirectories (K = murmur3(key) % numBuckets). A
-  * MERGE or DETACH-DELETE batch computes the buckets it touches (a
-  * bounded ≤numBuckets-value collect — metadata, not data), reads ONLY
-  * those buckets (partition pruning on `__bucket`), outer-joins old ⟗
-  * new within them, and swaps ONLY those bucket directories; the other
-  * N−1 bucket files are left byte-identical on disk. A 1k-row
+  * Scale: tables are hash-bucketed via [[BucketedParquet]] — a MERGE
+  * or DETACH-DELETE batch rewrites only the buckets it touches; the
+  * other N−1 bucket files are left byte-identical on disk. A 1k-row
   * amendment batch against a 100 TB Expenditure table therefore
-  * rewrites ~batch-sized buckets, not the store. Writes go through a
-  * staging dir first (the merge plan reads the files being replaced)
-  * and the merged rows are repartitioned on the bucket id so each
-  * bucket directory stays one file per write.
+  * rewrites ~batch-sized buckets, not the store.
   */
 final class GraphStore(spark: SparkSession, baseDir: String,
     numBuckets: Int = 16) {
 
-  private val B = "__bucket"
-
   private def vertexDir(label: String) = s"$baseDir/vertices/$label"
   private def edgeDir(tpe: String) = s"$baseDir/edges/$tpe"
-
-  private def exists(dir: String) = Files.exists(Paths.get(dir))
-
-  private def keyStrings(keyCols: Seq[String]): Seq[Column] =
-    keyCols.map(c => coalesce(col(c).cast("string"), lit(" ")))
 
   private def keyUuid(keyCols: Seq[String], kind: String,
       name: String): Column = {
     // deterministic uuid from the identity key: md5 → 8-4-4-4-12
     val h = md5(concat_ws("",
-      (lit(kind) +: lit(name) +: keyStrings(keyCols)): _*))
+      (lit(kind) +: lit(name) +: BucketedParquet.keyStrings(keyCols)): _*))
     concat_ws("-",
       substring(h, 1, 8), substring(h, 9, 4), substring(h, 13, 4),
       substring(h, 17, 4), substring(h, 21, 12))
   }
 
-  /** murmur3 over the normalized key strings, mod numBuckets. */
-  private def bucketOf(keyCols: Seq[String]): Column =
-    pmod(hash(keyStrings(keyCols): _*), lit(numBuckets))
-
-  private def readOr(dir: String): Option[DataFrame] =
-    if (exists(dir)) Some(spark.read.parquet(dir).drop(B)) else None
-
-  /** Read only the given buckets — partition pruning keeps the scan off
-    * the untouched N−k directories. `keepBucket` retains the stored
-    * bucket id for writers that must preserve the layout. */
-  private def readBuckets(dir: String, touched: Seq[Int],
-      keepBucket: Boolean = false): Option[DataFrame] =
-    if (!exists(dir)) None
-    else {
-      val pruned = spark.read.parquet(dir)
-        .filter(col(B).isin(touched.map(Integer.valueOf): _*))
-      Some(if (keepBucket) pruned else pruned.drop(B))
-    }
-
-  /** The key columns this table's buckets were laid out by (persisted
-    * at first write so later callers can tell compute-pruning from
-    * scan-discovery). */
-  private def layoutKey(dir: String): Option[Seq[String]] = {
-    val p = Paths.get(s"$dir/_BUCKET_KEY")
-    if (Files.exists(p)) Some(Files.readString(p).split(",").toSeq) else None
-  }
-
-  def readVertices(label: String): Option[DataFrame] = readOr(vertexDir(label))
-  def readEdges(tpe: String): Option[DataFrame] = readOr(edgeDir(tpe))
-
-  /** The touched bucket ids of a batch: bounded by numBuckets, so the
-    * collect is metadata-sized regardless of batch size. */
-  private def touchedBuckets(df: DataFrame, keyCols: Seq[String]): Seq[Int] =
-    df.select(bucketOf(keyCols).as(B)).distinct()
-      .collect().map(_.getInt(0)).toSeq.sorted
+  def readVertices(label: String): Option[DataFrame] =
+    BucketedParquet.readAll(spark, vertexDir(label))
+  def readEdges(tpe: String): Option[DataFrame] =
+    BucketedParquet.readAll(spark, edgeDir(tpe))
 
   /** MERGE semantics on a keyed table; see class doc. */
   private def mergeInto(dir: String, keyCols: Seq[String], batch: DataFrame,
@@ -110,9 +66,9 @@ final class GraphStore(spark: SparkSession, baseDir: String,
     // evaluated twice (touched-bucket collect + merge join) — persist
     // for the duration of the write, released before returning
     val deduped = deduped0.withColumn("uuid", uuidCol).persist()
-    val touched = touchedBuckets(deduped, keyCols)
+    val touched = BucketedParquet.touchedBuckets(deduped, keyCols, numBuckets)
     if (touched.isEmpty) { deduped.unpersist(); return }
-    val merged = readBuckets(dir, touched) match {
+    val merged = BucketedParquet.readBuckets(spark, dir, touched) match {
       case None => deduped
       case Some(old) =>
         val propCols = deduped.columns.filterNot(keyCols.contains).toSeq
@@ -135,46 +91,11 @@ final class GraphStore(spark: SparkSession, baseDir: String,
         }
         joined.select(outCols: _*)
     }
-    writeBuckets(dir, merged.withColumn(B, bucketOf(keyCols)), touched,
-      markerKey = keyCols)
+    BucketedParquet.writeBuckets(dir,
+      merged.withColumn(B, BucketedParquet.bucketOf(keyCols, numBuckets)),
+      touched, markerKey = keyCols)
     deduped.unpersist()
   }
-
-  /** Stage the touched buckets, then swap ONLY their directories in;
-    * every other bucket's files are untouched bytes. `rows` must carry
-    * the bucket-id column. */
-  private def writeBuckets(dir: String, rows: DataFrame, touched: Seq[Int],
-      markerKey: Seq[String]): Unit = {
-    val staging = dir + ".staging"
-    // repartition on the bucket id: each bucket lands wholly in one
-    // task → one file per bucket directory
-    rows.repartition(col(B))
-      .write.mode("overwrite").partitionBy(B).parquet(staging)
-    if (!exists(dir)) {
-      // first write: adopt the staging dir wholesale + layout marker
-      Files.move(Paths.get(staging), Paths.get(dir))
-      Files.writeString(Paths.get(s"$dir/_BUCKET_KEY"),
-        markerKey.mkString(","))
-      return
-    }
-    val trash = Paths.get(dir + ".trash")
-    if (Files.exists(trash)) deleteTree(trash)
-    Files.createDirectories(trash)
-    touched.foreach { k =>
-      val live = Paths.get(s"$dir/$B=$k")
-      val staged = Paths.get(s"$staging/$B=$k")
-      if (Files.exists(live)) Files.move(live, trash.resolve(s"$B=$k"))
-      // a touched bucket with zero surviving rows simply disappears
-      if (Files.exists(staged)) Files.move(staged, live)
-    }
-    deleteTree(Paths.get(staging))
-    deleteTree(trash)
-  }
-
-  private def deleteTree(p: java.nio.file.Path): Unit =
-    if (Files.exists(p))
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => Files.delete(f))
 
   /** MERGE a vertex batch: `batch` columns = keyCols ++ props. */
   def mergeVertices(label: String, keyCols: Seq[String],
@@ -207,23 +128,26 @@ final class GraphStore(spark: SparkSession, baseDir: String,
 
   private def deleteFrom(dir: String, matchCols: Seq[String],
       keysD: DataFrame): Unit = {
-    if (!exists(dir)) return
+    if (!BucketedParquet.exists(dir)) return
     // bucket ids are computable from the keys only when the table is
     // laid out by exactly the match columns (vertices); an edge deleted
     // via a SUBSET of its identity (e.g. SPENT by (file_num, tran_id))
     // discovers its touched buckets with a key-column-pruned semi-join
     // scan instead — still no rewrite outside them.
     val touched: Seq[Int] =
-      if (layoutKey(dir).contains(matchCols)) touchedBuckets(keysD, matchCols)
+      if (BucketedParquet.layoutKey(dir).contains(matchCols))
+        BucketedParquet.touchedBuckets(keysD, matchCols, numBuckets)
       else spark.read.parquet(dir)
         .join(keysD, matchCols, "left_semi")
         .select(col(B)).distinct().collect().map(_.getInt(0)).toSeq.sorted
     if (touched.isEmpty) return
-    readBuckets(dir, touched, keepBucket = true).foreach { old =>
-      // rows keep their STORED bucket — the layout key may not be
-      // recomputable from matchCols
-      val kept = old.join(keysD, matchCols, "left_anti")
-      writeBuckets(dir, kept, touched, markerKey = matchCols)
-    }
+    BucketedParquet.readBuckets(spark, dir, touched, keepBucket = true)
+      .foreach { old =>
+        // rows keep their STORED bucket — the layout key may not be
+        // recomputable from matchCols
+        val kept = old.join(keysD, matchCols, "left_anti")
+        BucketedParquet.writeBuckets(dir, kept, touched,
+          markerKey = matchCols)
+      }
   }
 }

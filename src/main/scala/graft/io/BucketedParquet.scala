@@ -1,0 +1,102 @@
+package graft.io
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Path, Paths}
+
+/** Hash-bucketed parquet layout shared by the keyed stores
+  * ([[GraphStore|graft.graph.GraphStore]] vertices/edges,
+  * [[DocStore]] indices): each table lives as `__bucket=K`
+  * subdirectories with K = murmur3(normalized key) % numBuckets.
+  *
+  * The point is incremental read-modify-write at 100 TB: a batch
+  * computes the buckets it touches (a bounded ≤numBuckets-value
+  * collect — metadata, not data), reads ONLY those via partition
+  * pruning, merges, and swaps ONLY those directories through a staging
+  * dir; every other bucket's files stay byte-identical on disk. A
+  * 1k-row batch against a 100 TB table rewrites ~batch-sized buckets,
+  * not the store. Rows are repartitioned on the bucket id before the
+  * write so each bucket directory stays one file per write.
+  */
+object BucketedParquet {
+
+  val B = "__bucket"
+
+  def exists(dir: String): Boolean = Files.exists(Paths.get(dir))
+
+  /** Null-safe normalized key strings (null → single space, so a null
+    * key still buckets deterministically). */
+  def keyStrings(keyCols: Seq[String]): Seq[Column] =
+    keyCols.map(c => coalesce(col(c).cast("string"), lit(" ")))
+
+  /** murmur3 over the normalized key strings, mod numBuckets. */
+  def bucketOf(keyCols: Seq[String], numBuckets: Int): Column =
+    pmod(hash(keyStrings(keyCols): _*), lit(numBuckets))
+
+  /** The touched bucket ids of a batch: bounded by numBuckets, so the
+    * collect is metadata-sized regardless of batch size. */
+  def touchedBuckets(df: DataFrame, keyCols: Seq[String],
+      numBuckets: Int): Seq[Int] =
+    df.select(bucketOf(keyCols, numBuckets).as(B)).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+
+  /** Whole-table read. mergeSchema because buckets written in
+    * different eras may carry different column sets (a batch with new
+    * columns only rewrites the buckets it touches). */
+  def readAll(spark: SparkSession, dir: String): Option[DataFrame] =
+    if (exists(dir))
+      Some(spark.read.option("mergeSchema", "true").parquet(dir).drop(B))
+    else None
+
+  /** Read only the given buckets — partition pruning keeps the scan
+    * off the untouched N−k directories. `keepBucket` retains the
+    * stored bucket id for writers that must preserve the layout. */
+  def readBuckets(spark: SparkSession, dir: String, touched: Seq[Int],
+      keepBucket: Boolean = false): Option[DataFrame] =
+    if (!exists(dir)) None
+    else {
+      val pruned = spark.read.option("mergeSchema", "true").parquet(dir)
+        .filter(col(B).isin(touched.map(Integer.valueOf): _*))
+      Some(if (keepBucket) pruned else pruned.drop(B))
+    }
+
+  /** The key columns this table's buckets were laid out by (persisted
+    * at first write so later callers can tell compute-pruning from
+    * scan-discovery). */
+  def layoutKey(dir: String): Option[Seq[String]] = {
+    val p = Paths.get(s"$dir/_BUCKET_KEY")
+    if (Files.exists(p)) Some(Files.readString(p).split(",").toSeq) else None
+  }
+
+  /** Stage the touched buckets, then swap ONLY their directories in.
+    * `rows` must carry the bucket-id column [[B]]. */
+  def writeBuckets(dir: String, rows: DataFrame, touched: Seq[Int],
+      markerKey: Seq[String]): Unit = {
+    val staging = dir + ".staging"
+    rows.repartition(col(B))
+      .write.mode("overwrite").partitionBy(B).parquet(staging)
+    if (!exists(dir)) {
+      Files.move(Paths.get(staging), Paths.get(dir))
+      Files.writeString(Paths.get(s"$dir/_BUCKET_KEY"),
+        markerKey.mkString(","))
+      return
+    }
+    val trash = Paths.get(dir + ".trash")
+    if (Files.exists(trash)) deleteTree(trash)
+    Files.createDirectories(trash)
+    touched.foreach { k =>
+      val live = Paths.get(s"$dir/$B=$k")
+      val staged = Paths.get(s"$staging/$B=$k")
+      if (Files.exists(live)) Files.move(live, trash.resolve(s"$B=$k"))
+      // a touched bucket with zero surviving rows simply disappears
+      if (Files.exists(staged)) Files.move(staged, live)
+    }
+    deleteTree(Paths.get(staging))
+    deleteTree(trash)
+  }
+
+  def deleteTree(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(f => Files.delete(f))
+}

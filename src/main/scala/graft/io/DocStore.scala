@@ -3,7 +3,7 @@ package graft.io
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
-import java.nio.file.{Files, Paths}
+import graft.io.BucketedParquet.B
 
 /** Keyed document store over Parquet with the reference's two ES write
   * modes (SURVEY K1/K2):
@@ -20,31 +20,19 @@ import java.nio.file.{Files, Paths}
   *
   * Scale: one shuffle on the key per upsert batch (full-outer merge);
   * the conflict-retry machinery of the reference dissolves — a batch
-  * merge has no concurrent writers.
+  * merge has no concurrent writers. Indices are hash-bucketed via
+  * [[BucketedParquet]]: every write mode computes the buckets its
+  * batch touches, reads and merges ONLY those, and swaps only those
+  * directories — a small upsert against a 100 TB index rewrites
+  * batch-sized buckets, not the index.
   */
-final class DocStore(spark: SparkSession, baseDir: String) {
+final class DocStore(spark: SparkSession, baseDir: String,
+    numBuckets: Int = 16) {
 
   private def dir(index: String) = s"$baseDir/$index"
 
-  def read(index: String): Option[DataFrame] = {
-    val d = dir(index)
-    if (Files.exists(Paths.get(d))) Some(spark.read.parquet(d)) else None
-  }
-
-  private def swapIn(index: String, df: DataFrame): Unit = {
-    val d = dir(index)
-    val staging = d + ".staging"
-    df.write.mode("overwrite").parquet(staging)
-    val trash = Paths.get(d + ".trash")
-    if (Files.exists(trash)) rm(trash)
-    if (Files.exists(Paths.get(d))) Files.move(Paths.get(d), trash)
-    Files.move(Paths.get(staging), Paths.get(d))
-    if (Files.exists(trash)) rm(trash)
-  }
-
-  private def rm(p: java.nio.file.Path): Unit =
-    Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-      .forEach(f => Files.delete(f))
+  def read(index: String): Option[DataFrame] =
+    BucketedParquet.readAll(spark, dir(index))
 
   private def dedupLastWins(batch: DataFrame, key: String): DataFrame = {
     // max_by hash-agg (no per-key sort): keep the LAST row per key,
@@ -57,45 +45,71 @@ final class DocStore(spark: SparkSession, baseDir: String) {
       .select(col(key) +: props.map(c => col(s"__s.$c").as(c)): _*)
   }
 
+  /** Merge `deduped` into the touched buckets of `index` with
+    * `combine(old, deduped)` and swap only those buckets in. The
+    * deduped batch is persisted for its two evaluations (touched
+    * collect + merge) and released before returning. */
+  private def mergeTouched(index: String, key: String, deduped0: DataFrame)(
+      combine: (Option[DataFrame], DataFrame) => DataFrame): Unit = {
+    val deduped = deduped0.persist()
+    val touched = BucketedParquet.touchedBuckets(deduped, Seq(key), numBuckets)
+    if (touched.isEmpty) { deduped.unpersist(); return }
+    val old = BucketedParquet.readBuckets(spark, dir(index), touched)
+    val merged = combine(old, deduped)
+    BucketedParquet.writeBuckets(dir(index),
+      merged.withColumn(B, BucketedParquet.bucketOf(Seq(key), numBuckets)),
+      touched, markerKey = Seq(key))
+    deduped.unpersist()
+  }
+
   /** K1: overwrite-by-id. */
-  def index(indexName: String, key: String, batch: DataFrame): Unit = {
-    val deduped = dedupLastWins(batch, key)
-    val merged = read(indexName) match {
-      case None => deduped
-      case Some(old) =>
+  def index(indexName: String, key: String, batch: DataFrame): Unit =
+    mergeTouched(indexName, key, dedupLastWins(batch, key)) {
+      case (None, deduped) => deduped
+      case (Some(old), deduped) =>
         old.join(deduped.select(col(key)), Seq(key), "left_anti")
           .unionByName(deduped, allowMissingColumns = true)
     }
-    swapIn(indexName, merged)
-  }
 
   /** The reference's `es.exists` guard as a set operation: index ONLY
     * batch rows whose key is not already stored (parents immutable
     * once indexed — the lobbying ingest pattern). Returns the
     * actually-inserted rows, pinned with a localCheckpoint because the
     * caller consumes them AFTER the swap has replaced the files the
-    * anti-join read. */
+    * anti-join read. The anti-join only ever needs the batch's OWN
+    * buckets — collisions cannot live elsewhere. */
   def insertNew(indexName: String, key: String, batch: DataFrame): DataFrame = {
     val deduped = dedupLastWins(batch, key)
-    val fresh = (read(indexName) match {
+    // the anti-join reads the whole BATCH's buckets, but only buckets
+    // actually RECEIVING a novel row are rewritten — a stop-on-seen
+    // batch that is 99% already-stored leaves the stale 99%'s buckets
+    // untouched on disk
+    val batchBuckets =
+      BucketedParquet.touchedBuckets(deduped, Seq(key), numBuckets)
+    if (batchBuckets.isEmpty) return deduped.limit(0).localCheckpoint(true)
+    val seen = BucketedParquet.readBuckets(spark, dir(indexName), batchBuckets)
+    val fresh = (seen match {
       case None => deduped
-      case Some(old) =>
-        deduped.join(old.select(col(key)), Seq(key), "left_anti")
+      case Some(o) => deduped.join(o.select(col(key)), Seq(key), "left_anti")
     }).localCheckpoint(true)
-    read(indexName) match {
-      case None => swapIn(indexName, fresh)
-      case Some(old) => swapIn(indexName,
-        old.unionByName(fresh, allowMissingColumns = true))
-    }
+    val touched = BucketedParquet.touchedBuckets(fresh, Seq(key), numBuckets)
+    if (touched.isEmpty) return fresh
+    val merged =
+      BucketedParquet.readBuckets(spark, dir(indexName), touched) match {
+        case None => fresh
+        case Some(o) => o.unionByName(fresh, allowMissingColumns = true)
+      }
+    BucketedParquet.writeBuckets(dir(indexName),
+      merged.withColumn(B, BucketedParquet.bucketOf(Seq(key), numBuckets)),
+      touched, markerKey = Seq(key))
     fresh
   }
 
   /** K2: doc_as_upsert partial merge; see class doc. */
-  def upsert(indexName: String, key: String, batch: DataFrame): Unit = {
-    val deduped = dedupLastWins(batch, key)
-    val merged = read(indexName) match {
-      case None => deduped
-      case Some(old) =>
+  def upsert(indexName: String, key: String, batch: DataFrame): Unit =
+    mergeTouched(indexName, key, dedupLastWins(batch, key)) {
+      case (None, deduped) => deduped
+      case (Some(old), deduped) =>
         val newCols = deduped.columns.filterNot(_ == key).toSeq
         val oldCols = old.columns.filterNot(_ == key).toSeq
         val oldR = old.select(col(key) +: oldCols.map(c => col(c).as(s"__old_$c")): _*)
@@ -113,8 +127,6 @@ final class DocStore(spark: SparkSession, baseDir: String) {
         }
         joined.select(col(key) +: out: _*)
     }
-    swapIn(indexName, merged)
-  }
 
   /** Field merge: struct → field-wise coalesce(new, old) one level
     * deep; scalar → new when the batch row carries a non-null value. */

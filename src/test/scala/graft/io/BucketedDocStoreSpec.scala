@@ -1,0 +1,67 @@
+package graft.io
+
+import graft.SparkFunSuite
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+/** K1/K2 at scale: DocStore indices are hash-bucketed and every write
+  * mode rewrites only the buckets its batch touches. */
+class BucketedDocStoreSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  private def snapshot(dir: String): Map[String, (Long, Long)] = {
+    val root = Paths.get(dir)
+    Files.walk(root).iterator().asScala
+      .filter(Files.isRegularFile(_))
+      .map { p: Path =>
+        root.relativize(p).toString ->
+          (Files.size(p), Files.getLastModifiedTime(p).toMillis)
+      }.toMap
+  }
+
+  private def assertOneBucketChanged(before: Map[String, (Long, Long)],
+      after: Map[String, (Long, Long)]): Unit = {
+    val changed = after.filter { case (f, m) => before.get(f) != Some(m) }
+      .keySet ++ before.keySet.diff(after.keySet)
+    val buckets = changed.map(_.split("/")(0)).filter(_.startsWith("__bucket="))
+    assert(buckets.size == 1, s"changed: $changed")
+    before.keySet.intersect(after.keySet)
+      .filterNot(f => buckets.exists(f.startsWith))
+      .foreach(f => assert(before(f) == after(f), s"$f was rewritten"))
+  }
+
+  test("1-row index / upsert / insertNew each rewrite exactly one bucket") {
+    val d = Files.createTempDirectory("bdocs").toString
+    val store = new DocStore(spark, d, numBuckets = 8)
+    val base = (1 to 200).map(i => (s"d$i", i)).toDF("doc_id", "v")
+    store.index("idx", "doc_id", base)
+    val dir = s"$d/idx"
+    assert(Files.list(Paths.get(dir)).iterator().asScala
+      .count(_.getFileName.toString.startsWith("__bucket=")) > 1)
+
+    val s1 = snapshot(dir)
+    store.index("idx", "doc_id", Seq(("d1", 999)).toDF("doc_id", "v"))
+    val s2 = snapshot(dir)
+    assertOneBucketChanged(s1, s2)
+    assert(store.read("idx").get.count() == 200)
+    assert(store.read("idx").get.filter($"doc_id" === "d1")
+      .head().getAs[Int]("v") == 999)
+
+    store.upsert("idx", "doc_id", Seq(("d2", 777)).toDF("doc_id", "v"))
+    val s3 = snapshot(dir)
+    assertOneBucketChanged(s2, s3)
+    assert(store.read("idx").get.filter($"doc_id" === "d2")
+      .head().getAs[Int]("v") == 777)
+
+    val inserted = store.insertNew("idx", "doc_id",
+      Seq(("d2", 1), ("d999", 42)).toDF("doc_id", "v"))
+    // d2 exists → only d999 inserts; its bucket is the only change
+    assert(inserted.collect().map(_.getString(0)).toList == List("d999"))
+    val s4 = snapshot(dir)
+    assertOneBucketChanged(s3, s4)
+    assert(store.read("idx").get.count() == 201)
+    assert(store.read("idx").get.filter($"doc_id" === "d2")
+      .head().getAs[Int]("v") == 777) // insertNew never overwrites
+  }
+}
