@@ -127,6 +127,37 @@ object TextAnalysis {
   val rollingHashUdf = udf(rollingHash64 _)
   def fingerprint_rolling(c: Column): Column = rollingHashUdf(c)
 
+  // ----------------------------------------------------------- PII scan
+  // RE2-safe patterns (no lookaround/backrefs) so the Java regex engine
+  // and the DuckDB oracle match identically. Order matters in the
+  // redaction: SSN before phone (an SSN is a substring shape a loose
+  // phone pattern could otherwise claim).
+
+  val emailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val ssnPattern = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+  val phonePattern = "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b"
+
+  /** Per-doc PII features: counts + redacted text. */
+  def piiColumns(text: Column): Seq[(String, Column)] = {
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, emailPattern, "[EMAIL]"),
+          ssnPattern, "[SSN]"),
+        phonePattern, "[PHONE]")
+    Seq(
+      "n_emails" -> regexp_count(text, lit(emailPattern)).cast("int"),
+      "n_ssns" -> regexp_count(text, lit(ssnPattern)).cast("int"),
+      "n_phones" -> regexp_count(
+        regexp_replace(text, ssnPattern, "[SSN]"), lit(phonePattern))
+        .cast("int"),
+      "has_pii" -> (regexp_count(text, lit(emailPattern)) +
+        regexp_count(text, lit(ssnPattern)) +
+        regexp_count(regexp_replace(text, ssnPattern, "[SSN]"),
+          lit(phonePattern)) > 0).cast("int"),
+      "redacted" -> redacted)
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.udf.register("detect_language", detectLanguage _)
     spark.udf.register("rolling_hash64", rollingHash64 _)

@@ -62,7 +62,24 @@ object TextOps {
         TextAnalysis.fingerprint_rolling(col("text")).as("fp_roll"))
       .orderBy(col("doc_id"))
 
+  /** PII scan + redaction (the training-data scrub stage): per-doc
+    * match counts for emails / US phone numbers / SSNs and the
+    * redacted text. Patterns are deliberately RE2-safe (no lookaround,
+    * no backrefs) so Java and the SQL oracle agree byte-for-byte; the
+    * synthetic corpus contains no PII (all counts 0, redacted ≡ text
+    * — still hash-verified), and PiiSpec proves detection/redaction on
+    * injected fixtures. Narrow map transform — scan-speed at 100 TB. */
+  def textPii(s: SparkSession, d: String): DataFrame = {
+    val doc = Tables.documents(s, d)
+    TextAnalysis.piiColumns(col("text"))
+      .foldLeft(doc.select(col("doc_id"), col("text"))) {
+        case (df, (name, c)) => df.withColumn(name, c) }
+      .drop("text")
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_pii"              -> textPii _,
     "text_tokens"           -> textTokens _,
     "text_quality"          -> textQuality _,
     "text_langid"           -> textLangId _,
@@ -70,6 +87,28 @@ object TextOps {
     "text_fingerprint_roll" -> textFingerprintRoll _)
 
   val oracles: Map[String, String] = Map(
+    "text_pii" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS INT)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS INT) AS n_ssns,
+        |  CAST(len(regexp_extract_all(
+        |    regexp_replace(text, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '[SSN]', 'g'),
+        |    '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b')) AS INT) AS n_phones,
+        |  CAST(
+        |    len(regexp_extract_all(text,
+        |      '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) +
+        |    len(regexp_extract_all(text, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) +
+        |    len(regexp_extract_all(
+        |      regexp_replace(text, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '[SSN]', 'g'),
+        |      '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b')) > 0 AS INT) AS has_pii,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |      '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '[EMAIL]', 'g'),
+        |    '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '[SSN]', 'g'),
+        |    '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '[PHONE]', 'g') AS redacted
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         |  CASE WHEN length(trim(text)) = 0 THEN 0
