@@ -79,8 +79,13 @@ object DedupOps {
     // shingling candidate-count times instead of corpus-size times
     // NOTE: no broadcast hint — the shingle-set table is corpus-sized,
     // so the join strategy must stay AQE's choice (shuffle join at
-    // scale, runtime broadcast when it happens to be small)
-    val sh = shingleSets(docs)
+    // scale, runtime broadcast when it happens to be small).
+    // Memoized + persisted: the set table joins in TWICE (a-side and
+    // b-side — different shuffle keys, so exchange reuse cannot kick
+    // in) and every catalog call would otherwise re-tokenize the
+    // corpus twice; like every ANN/near-dup index it is built once per
+    // dataset and amortized.
+    val sh = minhashShingleIndex(s, d, docs)
     val inter = size(array_intersect(col("sh_a"), col("sh_b")))
     val uni = size(col("sh_a")) + size(col("sh_b")) - inter
     pairs
@@ -94,6 +99,19 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  private val minhashShingleCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** Per-doc shingle SETS for the minhash verify, memoized per
+    * (session, dataset) and persisted — see the note at the use site. */
+  private def minhashShingleIndex(s: SparkSession, d: String,
+      docs: DataFrame): DataFrame =
+    minhashShingleCache.computeIfAbsent(s.hashCode() + "|" + d, { _ =>
+      val sh = shingleSets(Tables.spread(docs)).persist()
+      sh.count()
+      sh
+    })
 
   private val shingleIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
