@@ -74,6 +74,21 @@ object CoreRelational {
       .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
 
+  /** P4: exists / not-exists membership filter (the reference's
+    * `context.last_graphed IS NULL` work-selection pattern): customers
+    * that have never placed an URGENT order, via a LEFT ANTI
+    * membership probe — the NOT EXISTS plan shape (no payload from the
+    * probe side, one shuffle, null-safe unlike NOT IN; the probe's
+    * filter pushes to its scan). */
+  def p04Exists(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey").as("c_custkey")),
+        Seq("c_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
   /** P6: range filter over a timestamp (ES `last_indexed > now-1d`). */
   def p06Range(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
@@ -449,6 +464,7 @@ object CoreRelational {
     "p01_project"    -> p01Project _,
     "p02_classify"   -> p02Classify _,
     "p03_nullfilter" -> p03NullFilter _,
+    "p04_exists"     -> p04Exists _,
     "p06_range"      -> p06Range _,
     "p07_ids"        -> p07Ids _,
     "j01_enrich"     -> j01Enrich _,
@@ -573,6 +589,11 @@ object CoreRelational {
         |FROM (SELECT *, CASE WHEN l_returnflag = 'R' THEN 'M' END AS memo_cd
         |      FROM lineitem)
         |WHERE memo_cd IS NULL ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "p04_exists" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
     "p06_range" ->
       """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'

@@ -64,4 +64,23 @@ class BucketedDocStoreSpec extends SparkFunSuite {
     assert(store.read("idx").get.filter($"doc_id" === "d2")
       .head().getAs[Int]("v") == 777) // insertNew never overwrites
   }
+
+  test("schema-widening batch only rewrites its buckets; read merges schemas") {
+    val d = Files.createTempDirectory("bwide").toString
+    val store = new DocStore(spark, d, numBuckets = 8)
+    store.index("idx", "doc_id",
+      (1 to 100).map(i => (s"d$i", i)).toDF("doc_id", "v"))
+    val before = snapshot(s"$d/idx")
+    // one doc arrives with an extra column: only ITS bucket gains the
+    // new schema on disk...
+    store.index("idx", "doc_id",
+      Seq(("d1", 5, "fresh")).toDF("doc_id", "v", "tag"))
+    assertOneBucketChanged(before, snapshot(s"$d/idx"))
+    // ...and the merged read surfaces it everywhere, null elsewhere
+    val all = store.read("idx").get
+    assert(all.columns.contains("tag"))
+    assert(all.filter($"doc_id" === "d1").head().getAs[String]("tag") == "fresh")
+    assert(all.filter($"tag".isNotNull).count() == 1)
+    assert(all.count() == 100)
+  }
 }
