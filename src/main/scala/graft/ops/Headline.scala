@@ -95,7 +95,24 @@ object Headline {
       .orderBy(col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first)
 
+  /** Exact linear-interpolation percentiles per group (the quantile
+    * family the catalog otherwise lacks; Spark `percentile` ≡ DuckDB
+    * `quantile_cont` — both sort-and-interpolate, so the oracle is a
+    * hash match after rounding). At 100 TB exact percentiles need a
+    * per-group sort; swap to `approx_percentile` (t-digest, no sort)
+    * when error tolerance allows — same plan shape, sketch-based. */
+  def a12Percentile(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(expr("percentile(CAST(o_totalprice AS DOUBLE), 0.5)"), 6)
+          .as("p50"),
+        round(expr("percentile(CAST(o_totalprice AS DOUBLE), 0.95)"), 6)
+          .as("p95"))
+      .orderBy(col("o_orderpriority"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a12_percentile" -> a12Percentile _,
     "q03_shipping"  -> q03Shipping _,
     "q05_localsupp" -> q05LocalSupplier _,
     "q06_forecast"  -> q06Forecast _,
@@ -103,6 +120,12 @@ object Headline {
     "a09_rollup"    -> a09Rollup _)
 
   val oracles: Map[String, String] = Map(
+    "a12_percentile" ->
+      """SELECT o_orderpriority,
+        |  round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5), 6) AS p50,
+        |  round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.95), 6) AS p95
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "q06_forecast" ->
       """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
         |    CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
