@@ -80,7 +80,49 @@ object EventOps {
       .orderBy(col("event_id"))
   }
 
+  /** AS-OF join — an operator Spark lacks natively: each purchase
+    * event picks up the user's most recent click at or before it.
+    * Composed scale-first as union + running `last()` window: tag both
+    * sides, sort within user by (time, side) so a same-instant click
+    * sorts before its purchase (inclusive as-of), and carry the last
+    * click struct forward. ONE shuffle on user_id and a linear pass —
+    * versus the quadratic per-row range probe a naive
+    * `ts_b <= ts_a` theta join would plan. Clicks pre-aggregate to one
+    * row per (user, instant) (highest event_id wins) so tie-breaks are
+    * deterministic in both engines; the oracle is DuckDB's NATIVE
+    * `ASOF LEFT JOIN`, proving the composition against a reference
+    * implementation of the operator. */
+  def evAsof(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).withColumn("tsu", unix_micros(col("ts")))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("tsu"), col("event_id"),
+        lit(null).cast("long").as("click_id"), lit(1).as("is_p"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("tsu"))
+      .agg(max(col("event_id")).as("click_id"))
+      .select(col("user_id"), col("tsu"),
+        lit(null).cast("long").as("event_id"), col("click_id"),
+        lit(0).as("is_p"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tsu").asc, col("is_p").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    purchases.unionByName(clicks)
+      .withColumn("last_click",
+        last(when(col("is_p") === 0,
+          struct(col("tsu").as("c_tsu"), col("click_id").as("c_id"))),
+          ignoreNulls = true).over(w))
+      .filter(col("is_p") === 1)
+      .select(
+        col("event_id").as("purchase_id"), col("user_id"),
+        col("tsu").as("purchase_tsu"),
+        col("last_click.c_id").as("click_id"),
+        col("last_click.c_tsu").as("click_tsu"),
+        (col("tsu") - col("last_click.c_tsu")).as("gap_us"))
+      .orderBy(col("purchase_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_asof"        -> evAsof _,
     "ev_window_agg"  -> evWindowAgg _,
     "ev_cursors"     -> evCursors _,
     "ev_sessions"    -> evSessions _,
@@ -88,6 +130,23 @@ object EventOps {
     "ev_incremental" -> evIncremental _)
 
   val oracles: Map[String, String] = Map(
+    // DuckDB's native ASOF LEFT JOIN is the reference implementation
+    // the union+window composition must reproduce exactly
+    "ev_asof" ->
+      """WITH p AS (
+        |  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS purchase_tsu
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, epoch_us(ts) AS click_tsu,
+        |    max(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click'
+        |  GROUP BY user_id, epoch_us(ts))
+        |SELECT p.purchase_id, p.user_id, p.purchase_tsu,
+        |  c.click_id, c.click_tsu,
+        |  p.purchase_tsu - c.click_tsu AS gap_us
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.purchase_tsu >= c.click_tsu
+        |ORDER BY purchase_id""".stripMargin,
     "ev_window_agg" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
         |  event_type, COUNT(*) AS n_events,
