@@ -121,8 +121,39 @@ object EventOps {
       .orderBy(col("purchase_id"))
   }
 
+  private val rangeBucketUs = 300000000L // 5 min
+
+  /** RANGE join — the second operator Spark lacks a native physical
+    * strategy for: purchases landing inside any error's 5-minute
+    * follow-up window. A naive `BETWEEN` theta join plans a broadcast
+    * nested loop (quadratic); here each interval explodes into the
+    * coarse time buckets it overlaps and each point maps to exactly
+    * ONE bucket, so the join is an equi-join on the bucket key plus an
+    * exact range filter — a shuffle-hash plan that scales linearly,
+    * and no dedup is needed because a point joins each interval via
+    * its single bucket. The oracle is DuckDB's native range join
+    * (IEJoin) over the same predicate. */
+  def evRange(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).withColumn("tsu", unix_micros(col("ts")))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("tsu").as("t0"))
+      .withColumn("bucket", explode(sequence(
+        floor(col("t0") / rangeBucketUs),
+        floor((col("t0") + rangeBucketUs) / rangeBucketUs))))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("tsu").as("ptsu"))
+      .withColumn("bucket", floor(col("ptsu") / rangeBucketUs))
+    errors.join(purchases, Seq("bucket"))
+      .filter(col("ptsu") >= col("t0")
+        && col("ptsu") <= col("t0") + rangeBucketUs)
+      .select(col("err_id"), col("purchase_id"),
+        (col("ptsu") - col("t0")).as("delta_us"))
+      .orderBy(col("err_id"), col("purchase_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_asof"        -> evAsof _,
+    "ev_range"       -> evRange _,
     "ev_window_agg"  -> evWindowAgg _,
     "ev_cursors"     -> evCursors _,
     "ev_sessions"    -> evSessions _,
@@ -147,6 +178,19 @@ object EventOps {
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND p.purchase_tsu >= c.click_tsu
         |ORDER BY purchase_id""".stripMargin,
+    // DuckDB plans this BETWEEN as its native range join (IEJoin) —
+    // the reference implementation the bucketed equi-join reproduces
+    "ev_range" ->
+      """WITH e AS (
+        |  SELECT event_id AS err_id, epoch_us(ts) AS t0
+        |  FROM events WHERE event_type = 'error'),
+        |p AS (
+        |  SELECT event_id AS purchase_id, epoch_us(ts) AS ptsu
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT e.err_id, p.purchase_id, p.ptsu - e.t0 AS delta_us
+        |FROM e JOIN p
+        |  ON p.ptsu >= e.t0 AND p.ptsu <= e.t0 + 300000000
+        |ORDER BY err_id, purchase_id""".stripMargin,
     "ev_window_agg" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
         |  event_type, COUNT(*) AS n_events,
