@@ -74,6 +74,17 @@ class PlanAuditSpec extends SparkFunSuite {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("as-of and range joins avoid the nested-loop plan") {
+    // as-of: union + running-last window, never a range probe
+    val asof = plan(EventOps.evAsof(spark, sfDir))
+    assert(!asof.contains("NestedLoop"))
+    assert(asof.contains("Window"))
+    // range: interval bucketing makes the BETWEEN an equi-join
+    val range = plan(EventOps.evRange(spark, sfDir))
+    assert(!range.contains("NestedLoop"))
+    assert(range.contains("HashJoin") || range.contains("SortMergeJoin"))
+  }
+
   test("partitioned table prunes partitions at scan time") {
     val dir = Files.createTempDirectory("ptab").toString + "/t"
     val df = graft.Tables.orders(spark, sfDir)
