@@ -34,9 +34,11 @@ object LobbyingPipeline {
       parents: DataFrame, children: DataFrame): (Long, Long) = {
     val inserted = docs.insertNew(index, "doc_id", parents)
     val newIds = inserted.select(col("doc_id").as("__pid"))
+    // no broadcast hint: on a first-run backfill newIds IS the whole
+    // corpus — the join strategy must stay AQE's choice
     val newKids = childKey(
       children.withColumn("__pid", col("context.parent_id"))
-        .join(broadcast(newIds), Seq("__pid"), "left_semi")
+        .join(newIds, Seq("__pid"), "left_semi")
         .drop("__pid"))
     val insertedKids = docs.insertNew(s"${index}_nested", "doc_id", newKids)
     (inserted.count(), insertedKids.count())
