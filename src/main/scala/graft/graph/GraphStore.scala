@@ -66,7 +66,10 @@ final class GraphStore(spark: SparkSession, baseDir: String,
     // evaluated twice (touched-bucket collect + merge join) — persist
     // for the duration of the write, released before returning
     val deduped = deduped0.withColumn("uuid", uuidCol).persist()
-    val touched = BucketedParquet.touchedBuckets(deduped, keyCols, numBuckets)
+    // the stored layout's bucket count is authoritative over the
+    // constructor default once the table exists
+    val n = BucketedParquet.layoutBuckets(dir, numBuckets)
+    val touched = BucketedParquet.touchedBuckets(deduped, keyCols, n)
     if (touched.isEmpty) { deduped.unpersist(); return }
     val merged = BucketedParquet.readBuckets(spark, dir, touched) match {
       case None => deduped
@@ -92,8 +95,8 @@ final class GraphStore(spark: SparkSession, baseDir: String,
         joined.select(outCols: _*)
     }
     BucketedParquet.writeBuckets(dir,
-      merged.withColumn(B, BucketedParquet.bucketOf(keyCols, numBuckets)),
-      touched, markerKey = keyCols)
+      merged.withColumn(B, BucketedParquet.bucketOf(keyCols, n)),
+      touched, markerKey = keyCols, numBuckets = n)
     deduped.unpersist()
   }
 
@@ -134,9 +137,10 @@ final class GraphStore(spark: SparkSession, baseDir: String,
     // via a SUBSET of its identity (e.g. SPENT by (file_num, tran_id))
     // discovers its touched buckets with a key-column-pruned semi-join
     // scan instead — still no rewrite outside them.
+    val n = BucketedParquet.layoutBuckets(dir, numBuckets)
     val touched: Seq[Int] =
       if (BucketedParquet.layoutKey(dir).contains(matchCols))
-        BucketedParquet.touchedBuckets(keysD, matchCols, numBuckets)
+        BucketedParquet.touchedBuckets(keysD, matchCols, n)
       else spark.read.parquet(dir)
         .join(keysD, matchCols, "left_semi")
         .select(col(B)).distinct().collect().map(_.getInt(0)).toSeq.sorted
@@ -147,7 +151,7 @@ final class GraphStore(spark: SparkSession, baseDir: String,
         // recomputable from matchCols
         val kept = old.join(keysD, matchCols, "left_anti")
         BucketedParquet.writeBuckets(dir, kept, touched,
-          markerKey = matchCols)
+          markerKey = matchCols, numBuckets = n)
       }
   }
 }

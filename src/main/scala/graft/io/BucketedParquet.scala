@@ -68,10 +68,19 @@ object BucketedParquet {
     if (Files.exists(p)) Some(Files.readString(p).split(",").toSeq) else None
   }
 
+  /** The bucket count this table was laid out with. Persisted at first
+    * write and AUTHORITATIVE from then on: a caller reopening the
+    * store with a different `numBuckets` would otherwise compute wrong
+    * touched sets and merge against the wrong directories. */
+  def layoutBuckets(dir: String, default: Int): Int = {
+    val p = Paths.get(s"$dir/_NUM_BUCKETS")
+    if (Files.exists(p)) Files.readString(p).trim.toInt else default
+  }
+
   /** Stage the touched buckets, then swap ONLY their directories in.
     * `rows` must carry the bucket-id column [[B]]. */
   def writeBuckets(dir: String, rows: DataFrame, touched: Seq[Int],
-      markerKey: Seq[String]): Unit = {
+      markerKey: Seq[String], numBuckets: Int = -1): Unit = {
     val staging = dir + ".staging"
     rows.repartition(col(B))
       .write.mode("overwrite").partitionBy(B).parquet(staging)
@@ -79,6 +88,9 @@ object BucketedParquet {
       Files.move(Paths.get(staging), Paths.get(dir))
       Files.writeString(Paths.get(s"$dir/_BUCKET_KEY"),
         markerKey.mkString(","))
+      if (numBuckets > 0)
+        Files.writeString(Paths.get(s"$dir/_NUM_BUCKETS"),
+          numBuckets.toString)
       return
     }
     val trash = Paths.get(dir + ".trash")

@@ -52,13 +52,16 @@ final class DocStore(spark: SparkSession, baseDir: String,
   private def mergeTouched(index: String, key: String, deduped0: DataFrame)(
       combine: (Option[DataFrame], DataFrame) => DataFrame): Unit = {
     val deduped = deduped0.persist()
-    val touched = BucketedParquet.touchedBuckets(deduped, Seq(key), numBuckets)
+    // the stored layout's bucket count is authoritative over the
+    // constructor default once the index exists
+    val n = BucketedParquet.layoutBuckets(dir(index), numBuckets)
+    val touched = BucketedParquet.touchedBuckets(deduped, Seq(key), n)
     if (touched.isEmpty) { deduped.unpersist(); return }
     val old = BucketedParquet.readBuckets(spark, dir(index), touched)
     val merged = combine(old, deduped)
     BucketedParquet.writeBuckets(dir(index),
-      merged.withColumn(B, BucketedParquet.bucketOf(Seq(key), numBuckets)),
-      touched, markerKey = Seq(key))
+      merged.withColumn(B, BucketedParquet.bucketOf(Seq(key), n)),
+      touched, markerKey = Seq(key), numBuckets = n)
     deduped.unpersist()
   }
 
@@ -84,15 +87,16 @@ final class DocStore(spark: SparkSession, baseDir: String,
     // actually RECEIVING a novel row are rewritten — a stop-on-seen
     // batch that is 99% already-stored leaves the stale 99%'s buckets
     // untouched on disk
+    val n = BucketedParquet.layoutBuckets(dir(indexName), numBuckets)
     val batchBuckets =
-      BucketedParquet.touchedBuckets(deduped, Seq(key), numBuckets)
+      BucketedParquet.touchedBuckets(deduped, Seq(key), n)
     if (batchBuckets.isEmpty) return deduped.limit(0).localCheckpoint(true)
     val seen = BucketedParquet.readBuckets(spark, dir(indexName), batchBuckets)
     val fresh = (seen match {
       case None => deduped
       case Some(o) => deduped.join(o.select(col(key)), Seq(key), "left_anti")
     }).localCheckpoint(true)
-    val touched = BucketedParquet.touchedBuckets(fresh, Seq(key), numBuckets)
+    val touched = BucketedParquet.touchedBuckets(fresh, Seq(key), n)
     if (touched.isEmpty) return fresh
     val merged =
       BucketedParquet.readBuckets(spark, dir(indexName), touched) match {
@@ -100,8 +104,8 @@ final class DocStore(spark: SparkSession, baseDir: String,
         case Some(o) => o.unionByName(fresh, allowMissingColumns = true)
       }
     BucketedParquet.writeBuckets(dir(indexName),
-      merged.withColumn(B, BucketedParquet.bucketOf(Seq(key), numBuckets)),
-      touched, markerKey = Seq(key))
+      merged.withColumn(B, BucketedParquet.bucketOf(Seq(key), n)),
+      touched, markerKey = Seq(key), numBuckets = n)
     fresh
   }
 

@@ -65,6 +65,20 @@ class BucketedDocStoreSpec extends SparkFunSuite {
       .head().getAs[Int]("v") == 777) // insertNew never overwrites
   }
 
+  test("stored bucket count is authoritative when reopened with a different N") {
+    val d = Files.createTempDirectory("bn").toString
+    new DocStore(spark, d, numBuckets = 8).index("idx", "doc_id",
+      (1 to 100).map(i => (s"d$i", i)).toDF("doc_id", "v"))
+    val before = snapshot(s"$d/idx")
+    // a misconfigured reopen must still compute buckets with N=8
+    val reopened = new DocStore(spark, d, numBuckets = 4)
+    reopened.index("idx", "doc_id", Seq(("d1", 999)).toDF("doc_id", "v"))
+    assertOneBucketChanged(before, snapshot(s"$d/idx"))
+    assert(reopened.read("idx").get.count() == 100)
+    assert(reopened.read("idx").get.filter($"doc_id" === "d1")
+      .head().getAs[Int]("v") == 999)
+  }
+
   test("schema-widening batch only rewrites its buckets; read merges schemas") {
     val d = Files.createTempDirectory("bwide").toString
     val store = new DocStore(spark, d, numBuckets = 8)
