@@ -318,7 +318,54 @@ object DedupOps {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** Cluster assignment over the verified near-dup pairs — what a
+    * production pipeline DOES with pairs: connected components, one
+    * canonical doc kept per component. Pregel-style iterative
+    * min-label propagation: every doc starts labeled with its own id,
+    * each round takes the min of its own and its neighbors' labels,
+    * fixpoint = component-minimum ids. Data never leaves the cluster —
+    * the driver only checks the change count — and rounds are bounded
+    * by component diameter (near-dup clusters are shallow). The oracle
+    * computes the same components with a recursive CTE over the exact
+    * ground-truth pair set. */
+  def dedupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = dedupMinhash(s, d).select(col("doc_a"), col("doc_b"))
+      .localCheckpoint(true)
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    var labels = Tables.documents(s, d)
+      .select(col("doc_id"), col("doc_id").as("label"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val neigh = edges
+        .join(labels.select(col("doc_id").as("src"),
+          col("label").as("src_label")), Seq("src"))
+        .groupBy(col("dst").as("doc_id"))
+        .agg(min(col("src_label")).as("nmin"))
+      val updated = labels.join(neigh, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nmin"), col("label")))
+            .as("label"))
+        .localCheckpoint(true) // cut lineage per round
+      changed = updated
+        .join(labels.select(col("doc_id"), col("label").as("old")),
+          Seq("doc_id"))
+        .filter(col("label") =!= col("old")).count()
+      labels = updated
+      rounds += 1
+    }
+    val sizes = labels.groupBy(col("label"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("label"))
+      .select(col("doc_id"), col("label").as("cluster_id"),
+        col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_clusters"   -> dedupClusters _,
     "dedup_exact"      -> dedupExact _,
     "dedup_exact_keep" -> dedupExactKeep _,
     "dedup_minhash"    -> dedupMinhash _,
@@ -328,6 +375,44 @@ object DedupOps {
     "dedup_embed_lsh"  -> dedupEmbedLsh _)
 
   val oracles: Map[String, String] = Map(
+    // ground-truth pairs (the dedup_minhash oracle's CTEs) + recursive
+    // min-label reachability = connected components
+    "dedup_clusters" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+        |    t -> t != '') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id, UNNEST(
+        |      CASE WHEN len(toks) < 3 THEN
+        |        CASE WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+        |             ELSE [] END
+        |      ELSE list_transform(range(0, len(toks) - 2),
+        |        i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) END) AS shingle
+        |    FROM toks)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+        |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE round(CAST(n_inter AS DOUBLE) / (sa.set_size + sb.set_size - n_inter), 6) >= 0.5),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(id, label) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+        |cc AS (SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id)
+        |SELECT c.doc_id, c.cluster_id, n.cluster_size
+        |FROM cc c JOIN (SELECT cluster_id, COUNT(*) AS cluster_size
+        |                FROM cc GROUP BY cluster_id) n USING (cluster_id)
+        |ORDER BY c.doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
         |  MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
