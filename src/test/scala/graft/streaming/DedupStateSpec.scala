@@ -51,4 +51,32 @@ class DedupStateSpec extends SparkFunSuite {
     // delta emission: keys re-emit only on change, not once per batch
     assert(emitted < 4L * expected.size)
   }
+
+  test("bounded-state dedup: dropDuplicatesWithinWatermark emits each fp once") {
+    // the built-in alternative to DedupState when duplicates arrive
+    // within a bounded lateness: state EVICTS past the watermark
+    // instead of growing one row per distinct fingerprint forever
+    val tmp = Files.createTempDirectory("wdedup").toString
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val dups = docs.orderBy("doc_id").limit(15)
+      .withColumn("doc_id", col("doc_id") + 100000)
+    docs.union(dups)
+      .select(col("doc_id"),
+        TextAnalysis.fingerprint_md5(col("text")).as("fp"))
+      .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:00")))
+      .coalesce(1).write.parquet(s"$tmp/src")
+    val schema = spark.read.parquet(s"$tmp/src").schema
+
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    IncrementalPipeline.runAvailableNow(
+      spark, s"$tmp/src", schema, s"$tmp/ckpt",
+      df => df.withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark("fp"),
+      (batch, _) => out ++= batch.collect().map(_.getAs[String]("fp")))
+
+    val distinctFps = spark.read.parquet(s"$tmp/src")
+      .select("fp").distinct().count()
+    assert(out.size == distinctFps)     // one survivor per fingerprint
+    assert(out.toSet.size == out.size)  // never emitted twice
+  }
 }
