@@ -137,7 +137,9 @@ object TextAnalysis {
   val ssnPattern = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
   val phonePattern = "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b"
 
-  /** Per-doc PII features: counts + redacted text. */
+  /** Per-doc PII features: counts + redacted text. Derive `has_pii`
+    * from the named count columns (`pii_flag`) instead of re-running
+    * the regexes. */
   def piiColumns(text: Column): Seq[(String, Column)] = {
     val redacted =
       regexp_replace(
@@ -151,12 +153,13 @@ object TextAnalysis {
       "n_phones" -> regexp_count(
         regexp_replace(text, ssnPattern, "[SSN]"), lit(phonePattern))
         .cast("int"),
-      "has_pii" -> (regexp_count(text, lit(emailPattern)) +
-        regexp_count(text, lit(ssnPattern)) +
-        regexp_count(regexp_replace(text, ssnPattern, "[SSN]"),
-          lit(phonePattern)) > 0).cast("int"),
       "redacted" -> redacted)
   }
+
+  /** has_pii over the ALREADY-COMPUTED count columns — the regexes
+    * run once per doc, not twice. */
+  def pii_flag: Column =
+    (col("n_emails") + col("n_ssns") + col("n_phones") > 0).cast("int")
 
   def register(spark: SparkSession): Unit = {
     spark.udf.register("detect_language", detectLanguage _)

@@ -36,8 +36,12 @@ final class GraphStore(spark: SparkSession, baseDir: String,
 
   private def keyUuid(keyCols: Seq[String], kind: String,
       name: String): Column = {
-    // deterministic uuid from the identity key: md5 → 8-4-4-4-12
-    val h = md5(concat_ws("",
+    // deterministic uuid from the identity key: md5 → 8-4-4-4-12.
+    // The \u0001 separator is load-bearing: without it, distinct
+    // composite keys whose concatenations collide (("ann","ab") vs
+    // ("anna","b")) — or a label/key boundary shift — would mint the
+    // SAME uuid for different nodes.
+    val h = md5(concat_ws("\u0001",
       (lit(kind) +: lit(name) +: BucketedParquet.keyStrings(keyCols)): _*))
     concat_ws("-",
       substring(h, 1, 8), substring(h, 9, 4), substring(h, 13, 4),
@@ -141,7 +145,7 @@ final class GraphStore(spark: SparkSession, baseDir: String,
     val touched: Seq[Int] =
       if (BucketedParquet.layoutKey(dir).contains(matchCols))
         BucketedParquet.touchedBuckets(keysD, matchCols, n)
-      else spark.read.parquet(dir)
+      else spark.read.option("mergeSchema", "true").parquet(dir)
         .join(keysD, matchCols, "left_semi")
         .select(col(B)).distinct().collect().map(_.getInt(0)).toSeq.sorted
     if (touched.isEmpty) return

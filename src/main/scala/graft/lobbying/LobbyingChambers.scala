@@ -203,13 +203,25 @@ object LobbyingChambers {
   /** Parse a house date string and localize the naive EST wall-clock
     * to its UTC instant (the reference's pytz `US/Eastern`.localize).
     * Java's `yy` pivots 2000-2099 while python's %y pivots at 69 —
-    * re-pivot 2069+ back a century, as parse_date_dby does. */
+    * re-pivot 2069+ back a century, as parse_date_dby does, but ONLY
+    * for strings that matched a 2-digit-year format: a genuine 4-digit
+    * year like 12/31/2099 must stay 2099. The two format classes are
+    * disjoint on input (strict `yyyy` needs 4 digits, `yy` exactly 2),
+    * so trying the 4-digit ladder first preserves the original order. */
   def houseDate(c: Column, formats: Seq[String]): Column = {
-    val parsed = Dates.parse_date_ladder(c, formats)
-    val pivoted = when(year(parsed) >= 2069, parsed - expr("INTERVAL 100 YEARS"))
-      .otherwise(parsed)
-    Dates.est_to_utc(pivoted)
+    val (two, four) = formats.partition(isTwoDigitYear)
+    val nullTs = lit(null).cast("timestamp")
+    val parsed4 =
+      if (four.isEmpty) nullTs else Dates.parse_date_ladder(c, four)
+    val parsed2 =
+      if (two.isEmpty) nullTs else Dates.parse_date_ladder(c, two)
+    val pivoted2 = when(year(parsed2) >= 2069,
+      parsed2 - expr("INTERVAL 100 YEARS")).otherwise(parsed2)
+    Dates.est_to_utc(coalesce(parsed4, pivoted2))
   }
+
+  private[lobbying] def isTwoDigitYear(f: String): Boolean =
+    f.contains("yy") && !f.contains("yyyy")
 
   private def houseSenateIdPart(idx: Int): Column =
     when(col("senateID").contains("-"),

@@ -190,11 +190,18 @@ object LobbyingContributions {
     * HERE — the item-drop rule is applied where items are built. */
   private def houseItemDate(c: Column): Column = {
     val repaired = when(c === "02/31/2008", lit("02/29/2008")).otherwise(c)
-    val parsed = coalesce(houseContribDateFormats
-      .map(f => try_to_timestamp(repaired, lit(f))): _*)
-    val pivoted = when(year(parsed) >= 2069,
-      parsed - expr("INTERVAL 100 YEARS")).otherwise(parsed)
-    when(c.isNotNull, Dates.est_offset_string(pivoted))
+    // pivot only 2-digit-year matches — a genuine 4-digit 2099 stays
+    // (see LobbyingChambers.houseDate); no general day-clamp here
+    val (two, four) =
+      houseContribDateFormats.partition(LobbyingChambers.isTwoDigitYear)
+    val nullTs = lit(null).cast("timestamp")
+    val parsed4 = if (four.isEmpty) nullTs
+      else coalesce(four.map(f => try_to_timestamp(repaired, lit(f))): _*)
+    val parsed2 = if (two.isEmpty) nullTs
+      else coalesce(two.map(f => try_to_timestamp(repaired, lit(f))): _*)
+    val pivoted2 = when(year(parsed2) >= 2069,
+      parsed2 - expr("INTERVAL 100 YEARS")).otherwise(parsed2)
+    when(c.isNotNull, Dates.est_offset_string(coalesce(parsed4, pivoted2)))
   }
 
   private def houseLobbyist: Column = {

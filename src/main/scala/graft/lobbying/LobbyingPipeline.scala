@@ -24,9 +24,18 @@ object LobbyingPipeline {
       senateContributions: Long, houseContributions: Long,
       childDocs: Long)
 
-  private def childKey(df: DataFrame): DataFrame =
+  private def childKey(df: DataFrame): DataFrame = {
+    val js = to_json(struct(df.columns.map(col): _*))
+    // a filing can legitimately list the SAME item twice (the
+    // reference's ES auto-ids store both) — rank equal renderings and
+    // fold the ordinal into the key so duplicates survive. Ordinal
+    // assignment among identical rows is arbitrary, but the resulting
+    // key SET {md5(json#1..k)} is deterministic, so replays converge.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(js).orderBy(lit(1))
     df.withColumn("doc_id",
-      md5(to_json(struct(df.columns.map(col): _*))))
+      md5(concat(js, lit("#"), row_number().over(w).cast("string"))))
+  }
 
   /** Insert unseen parents; then insert the children belonging to just
     * those parents. Returns (new parents, new children) counts. */

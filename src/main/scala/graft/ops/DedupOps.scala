@@ -48,6 +48,24 @@ object DedupOps {
     * more than this many members contributes only its smallest ids. */
   private val maxBucketSize = 64
 
+  /** The capped-bucket pair-generation idiom shared by every LSH
+    * variant: ONE map-side-combined hash agg collects the sorted
+    * member ids per bucket key (capped at [[maxBucketSize]] smallest),
+    * then explodes the within-bucket combinations — the sketch runs
+    * once over the corpus, only ids ride the shuffle, and a bucket
+    * self-join (double scan + window sort for the cap) never happens.
+    * Output columns: (aName, bName) with a < b. */
+  private def cappedBucketPairs(bucketed: DataFrame, bucketCols: Seq[String],
+      idCol: String, aName: String, bName: String): DataFrame =
+    bucketed.groupBy(bucketCols.map(col): _*)
+      .agg(slice(sort_array(collect_list(col(idCol))), 1, maxBucketSize)
+        .as("ids"))
+      .select(explode(expr(
+        s"""flatten(transform(ids, (a, i) ->
+           |  transform(slice(ids, i + 2, size(ids)), b ->
+           |    struct(a as $aName, b as $bName))))""".stripMargin)).as("p"))
+      .select(col(s"p.$aName"), col(s"p.$bName"))
+
   /** MinHash+LSH near-dup candidate pairs with exact-Jaccard verify.
     * shingle→minhash→band→bucket-join; emits verified pairs with
     * jaccard >= 0.5, doc_a < doc_b. */
@@ -64,15 +82,9 @@ object DedupOps {
     // i.e. run the signature UDF over the corpus twice — and need a
     // window sort for the cap; the hash-agg does cap + pairs in the
     // single map-side-combined shuffle. Text never rides the shuffle.
-    val pairs = banded.groupBy(col("bucket"))
-      .agg(slice(sort_array(collect_list(col("doc_id"))), 1, maxBucketSize)
-        .as("ids"))
-      .select(explode(expr(
-        """flatten(transform(ids, (a, i) ->
-          |  transform(slice(ids, i + 2, size(ids)), b ->
-          |    struct(a as doc_a, b as doc_b))))""".stripMargin)).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
-      .distinct() // same pair may collide in several bands
+    val pairs =
+      cappedBucketPairs(banded, Seq("bucket"), "doc_id", "doc_a", "doc_b")
+        .distinct() // same pair may collide in several bands
     // verify: join each side to its PRECOMPUTED shingle set (built once
     // per doc, broadcast) and take exact jaccard via array_intersect —
     // all codegen'd built-ins; a per-pair tokenize UDF would redo the
@@ -197,14 +209,8 @@ object DedupOps {
     // single map-side-combined shuffle. A shingle self-join would scan
     // (and re-tokenize) `sh` twice and need a window sort for the
     // skew cap; collecting the sorted posting list does both at once.
-    val inter = sh.groupBy(col("shingle"))
-      .agg(slice(sort_array(collect_list(col("doc_id"))), 1, maxBucketSize)
-        .as("ids"))
-      .select(explode(expr(
-        """flatten(transform(ids, (a, i) ->
-          |  transform(slice(ids, i + 2, size(ids)), b ->
-          |    struct(a as doc_a, b as doc_b))))""".stripMargin)).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
+    val inter =
+      cappedBucketPairs(sh, Seq("shingle"), "doc_id", "doc_a", "doc_b")
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_inter"))
     inter
@@ -297,15 +303,8 @@ object DedupOps {
     // corpus twice and shuffle both sides; the hash agg sketches once,
     // shuffles ids only, and the cap bounds a hot bucket (clusters of
     // near-identical vectors) to O(cap²) pairs.
-    val pairs = sketched.groupBy(col("seed"), col("bucket"))
-      .agg(slice(sort_array(collect_list(col("vec_id"))), 1, maxBucketSize)
-        .as("ids"))
-      .select(explode(expr(
-        """flatten(transform(ids, (a, i) ->
-          |  transform(slice(ids, i + 2, size(ids)), b ->
-          |    struct(a as vec_a, b as vec_b))))""".stripMargin)).as("p"))
-      .select(col("p.vec_a"), col("p.vec_b"))
-      .distinct()
+    val pairs = cappedBucketPairs(sketched, Seq("seed", "bucket"),
+      "vec_id", "vec_a", "vec_b").distinct()
     pairs
       .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")),
         Seq("vec_a"))
@@ -363,6 +362,11 @@ object DedupOps {
       labels = updated
       rounds += 1
     }
+    // a silent cap would return non-minimum labels that diverge from
+    // the oracle's fixpoint — fail loudly instead (50 rounds = a
+    // component of diameter 50, absurd for near-dup clusters)
+    require(changed == 0,
+      s"dedupClusters did not converge after $rounds rounds")
     val sizes = labels.groupBy(col("label"))
       .agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, Seq("label"))

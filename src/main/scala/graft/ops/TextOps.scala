@@ -74,6 +74,7 @@ object TextOps {
     TextAnalysis.piiColumns(col("text"))
       .foldLeft(doc.select(col("doc_id"), col("text"))) {
         case (df, (name, c)) => df.withColumn(name, c) }
+      .withColumn("has_pii", TextAnalysis.pii_flag)
       .drop("text")
       .orderBy(col("doc_id"))
   }

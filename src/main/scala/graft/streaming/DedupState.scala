@@ -12,8 +12,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * Unlike sessionization there is NO ordering contract: min and count
   * are commutative over any batch interleaving, so an upserting sink
   * keyed by fingerprint converges to exactly the batch result under
-  * arbitrary arrival order. A batch only re-emits a key when its kept
-  * row actually changed (Update-mode delta, not a full re-dump).
+  * arbitrary arrival order. Emission is per-key-per-batch: only keys
+  * whose group actually received rows this batch emit (any arrival
+  * changes n_copies, so every invocation IS a change).
   *
   * 100 TB posture: state is one tiny row per DISTINCT fingerprint —
   * the natural floor for exact dedup. For bounded-lateness dedup
@@ -32,13 +33,12 @@ object DedupState {
     var n = 0L
     docs.foreach { d => if (d.doc_id < minId) minId = d.doc_id; n += 1 }
     if (n == 0) return Iterator.empty
-    val prev = state.getOption
-    val next = prev match {
+    val next = state.getOption match {
       case None => Kept(fp, minId, n)
       case Some(k) => Kept(fp, math.min(k.keep_doc_id, minId), k.n_copies + n)
     }
     state.update(next)
-    if (prev.contains(next)) Iterator.empty else Iterator.single(next)
+    Iterator.single(next)
   }
 
   /** Works on both streaming and batch Datasets (batch = the

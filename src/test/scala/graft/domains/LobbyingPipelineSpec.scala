@@ -84,4 +84,24 @@ class LobbyingPipelineSpec extends SparkFunSuite {
     assert(store.read("federal_house_lobbying_contributions_nested")
       .get.count() == 2)
   }
+
+  test("identical duplicate items in one filing keep BOTH child docs") {
+    val store = new DocStore(spark,
+      Files.createTempDirectory("lobdup").toString)
+    // the same contribution listed twice — the reference's ES auto-ids
+    // store both; the content-derived keys must too
+    val twice =
+      s"""{"filing_uuid":"SD1","filing_year":2022,"filing_type":"MM",
+         |"contribution_items":[
+         |  {"contributor_name":"X","amount":"10.00","date":"2022-01-15"},
+         |  {"contributor_name":"X","amount":"10.00","date":"2022-01-15"}]}"""
+        .stripMargin.replace("\n", "")
+    val empty = Seq.empty[String]
+    val batch = load(empty, empty, Seq(twice), empty)
+    val s = LobbyingPipeline.run(spark,
+      batch(0), batch(1), batch(2), batch(3), store, runTs)
+    assert(s.childDocs == 2)
+    assert(store.read("federal_senate_lobbying_contributions_nested")
+      .get.count() == 2)
+  }
 }

@@ -68,6 +68,23 @@ class BucketedGraphStoreSpec extends SparkFunSuite {
     assert(store.readVertices("N").get.count() == 2)
   }
 
+  test("composite-key and label-boundary shifts mint DISTINCT uuids") {
+    val d = Files.createTempDirectory("buuid").toString
+    val store = new GraphStore(spark, d, numBuckets = 4)
+    // concatenations collide without a separator: ("ann","ab")+("anna","b")
+    store.mergeVertices("P", Seq("first", "last"),
+      Seq(("ann", "ab", 1), ("anna", "b", 2)).toDF("first", "last", "v"))
+    val uuids = store.readVertices("P").get
+      .select("uuid").collect().map(_.getString(0)).toSet
+    assert(uuids.size == 2)
+    // label/key boundary: label "AB" key "c" vs label "A" key "Bc"
+    store.mergeVertices("AB", Seq("k"), Seq(("c", 1)).toDF("k", "v"))
+    store.mergeVertices("A", Seq("k"), Seq(("Bc", 1)).toDF("k", "v"))
+    val u1 = store.readVertices("AB").get.head().getAs[String]("uuid")
+    val u2 = store.readVertices("A").get.head().getAs[String]("uuid")
+    assert(u1 != u2)
+  }
+
   test("subset-key detachDelete prunes by scan and leaves other buckets untouched") {
     val d = Files.createTempDirectory("bstore3").toString
     val store = new GraphStore(spark, d, numBuckets = 8)

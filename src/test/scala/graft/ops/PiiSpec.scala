@@ -14,6 +14,7 @@ class PiiSpec extends SparkFunSuite {
     val df = Seq((1L, text)).toDF("doc_id", "text")
     val out = TextAnalysis.piiColumns(col("text"))
       .foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
+      .withColumn("has_pii", TextAnalysis.pii_flag)
     out.head()
   }
 

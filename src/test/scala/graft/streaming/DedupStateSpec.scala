@@ -48,7 +48,8 @@ class DedupStateSpec extends SparkFunSuite {
     assert(sink.toMap == expected)
     // duplicates actually exercised the state merge
     assert(expected.values.count(_._2 > 1) >= 20)
-    // delta emission: keys re-emit only on change, not once per batch
+    // per-key-per-batch emission: keys emit only in batches where
+    // they actually received rows, not once per batch each
     assert(emitted < 4L * expected.size)
   }
 
