@@ -43,22 +43,62 @@ object BucketedParquet {
   /** Whole-table read. mergeSchema because buckets written in
     * different eras may carry different column sets (a batch with new
     * columns only rewrites the buckets it touches). */
-  def readAll(spark: SparkSession, dir: String): Option[DataFrame] =
+  def readAll(spark: SparkSession, dir: String): Option[DataFrame] = {
+    recover(dir)
     if (exists(dir))
       Some(spark.read.option("mergeSchema", "true").parquet(dir).drop(B))
     else None
+  }
 
   /** Read only the given buckets — partition pruning keeps the scan
     * off the untouched N−k directories. `keepBucket` retains the
     * stored bucket id for writers that must preserve the layout. */
   def readBuckets(spark: SparkSession, dir: String, touched: Seq[Int],
-      keepBucket: Boolean = false): Option[DataFrame] =
+      keepBucket: Boolean = false): Option[DataFrame] = {
+    recover(dir)
     if (!exists(dir)) None
     else {
       val pruned = spark.read.option("mergeSchema", "true").parquet(dir)
         .filter(col(B).isin(touched.map(Integer.valueOf): _*))
       Some(if (keepBucket) pruned else pruned.drop(B))
     }
+  }
+
+  private def journalPath(dir: String) = Paths.get(dir + ".swap-journal")
+
+  /** Complete a bucket swap interrupted mid-loop. The journal is
+    * written only AFTER the staging dir is fully materialized, so the
+    * staged buckets are the commit point and recovery ROLLS FORWARD:
+    * a touched bucket whose staged dir still exists has not had its
+    * second move (stage→live) yet — the old live (if any) goes to
+    * trash and the staged version moves in; a touched bucket with no
+    * staged dir either finished its swap or legitimately ended empty.
+    * Idempotent, crash-safe to re-crash inside, and a no-op without a
+    * journal — called from every read/write entry point. */
+  def recover(dir: String): Unit = {
+    val j = journalPath(dir)
+    if (!Files.exists(j)) return
+    val staging = dir + ".staging"
+    val trash = Paths.get(dir + ".trash")
+    Files.createDirectories(trash)
+    val touched = Files.readString(j).trim.split(",")
+      .filter(_.nonEmpty).map(_.toInt)
+    touched.foreach { k =>
+      val live = Paths.get(s"$dir/$B=$k")
+      val staged = Paths.get(s"$staging/$B=$k")
+      if (Files.exists(staged)) {
+        if (Files.exists(live)) {
+          val t = trash.resolve(s"$B=$k")
+          if (Files.exists(t)) deleteTree(t)
+          Files.move(live, t)
+        }
+        Files.move(staged, live)
+      }
+    }
+    deleteTree(Paths.get(staging))
+    deleteTree(trash)
+    Files.delete(j)
+  }
 
   /** The key columns this table's buckets were laid out by (persisted
     * at first write so later callers can tell compute-pruning from
@@ -81,6 +121,7 @@ object BucketedParquet {
     * `rows` must carry the bucket-id column [[B]]. */
   def writeBuckets(dir: String, rows: DataFrame, touched: Seq[Int],
       markerKey: Seq[String], numBuckets: Int = -1): Unit = {
+    recover(dir)
     val staging = dir + ".staging"
     rows.repartition(col(B))
       .write.mode("overwrite").partitionBy(B).parquet(staging)
@@ -93,6 +134,10 @@ object BucketedParquet {
           numBuckets.toString)
       return
     }
+    // commit point: staging is complete — journal the touched set so a
+    // crash inside the move loop rolls FORWARD on next open instead of
+    // leaving silently-missing buckets (see recover)
+    Files.writeString(journalPath(dir), touched.mkString(","))
     val trash = Paths.get(dir + ".trash")
     if (Files.exists(trash)) deleteTree(trash)
     Files.createDirectories(trash)
@@ -105,6 +150,7 @@ object BucketedParquet {
     }
     deleteTree(Paths.get(staging))
     deleteTree(trash)
+    Files.delete(journalPath(dir))
   }
 
   def deleteTree(p: Path): Unit =

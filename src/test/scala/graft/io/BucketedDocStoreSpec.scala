@@ -79,6 +79,53 @@ class BucketedDocStoreSpec extends SparkFunSuite {
       .head().getAs[Int]("v") == 999)
   }
 
+  private def copyTree(src: Path, dst: Path): Unit =
+    Files.walk(src).iterator().asScala.foreach { p =>
+      val t = dst.resolve(src.relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else { Files.createDirectories(t.getParent); Files.copy(p, t) }
+    }
+
+  test("interrupted bucket swap rolls forward to the committed write") {
+    import org.apache.spark.sql.functions.col
+    val base = (1 to 200).map(i => (s"d$i", i)).toDF("doc_id", "v")
+    val update = Seq(("d1", 999)).toDF("doc_id", "v")
+
+    // reference store: the write completes normally
+    val dFull = Files.createTempDirectory("crashF").toString
+    val full = new DocStore(spark, dFull, numBuckets = 8)
+    full.index("idx", "doc_id", base)
+    full.index("idx", "doc_id", update)
+    val expected = full.read("idx").get.collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    val k = BucketedParquet.touchedBuckets(update, Seq("doc_id"), 8).head
+
+    // crash state A: staging + journal written, NO moves done yet
+    def buildInterrupted(): String = {
+      val d = Files.createTempDirectory("crashA").toString
+      new DocStore(spark, d, numBuckets = 8).index("idx", "doc_id", base)
+      copyTree(Paths.get(s"$dFull/idx/__bucket=$k"),
+        Paths.get(s"$d/idx.staging/__bucket=$k"))
+      Files.writeString(Paths.get(s"$d/idx.swap-journal"), k.toString)
+      d
+    }
+    val a = buildInterrupted()
+    val gotA = new DocStore(spark, a, numBuckets = 8).read("idx").get
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(gotA == expected)
+    assert(!Files.exists(Paths.get(s"$a/idx.swap-journal")))
+
+    // crash state B: old live bucket already moved to trash
+    val b = buildInterrupted()
+    Files.createDirectories(Paths.get(s"$b/idx.trash"))
+    Files.move(Paths.get(s"$b/idx/__bucket=$k"),
+      Paths.get(s"$b/idx.trash/__bucket=$k"))
+    val gotB = new DocStore(spark, b, numBuckets = 8).read("idx").get
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(gotB == expected)
+    assert(!Files.exists(Paths.get(s"$b/idx.staging")))
+  }
+
   test("schema-widening batch only rewrites its buckets; read merges schemas") {
     val d = Files.createTempDirectory("bwide").toString
     val store = new DocStore(spark, d, numBuckets = 8)
