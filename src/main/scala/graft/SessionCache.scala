@@ -1,0 +1,49 @@
+package graft
+
+import java.lang.ref.WeakReference
+import java.util.concurrent.ConcurrentHashMap
+import org.apache.spark.sql.SparkSession
+
+/** Memoization scoped to a live (SparkSession, dataset) pair, for the
+  * persisted index artifacts the dedup/ANN operators amortize across
+  * calls (shingle tables, IVF quantizers, verified pair sets).
+  *
+  * Two properties the naive `session.hashCode + dir` key lacked:
+  *
+  *  - **unique keys**: each session instance gets a fresh UUID
+  *    (identity-keyed weak map), so two sessions can never collide and
+  *    hand out persisted DataFrames bound to the wrong — possibly
+  *    stopped — session;
+  *  - **eviction**: every access sweeps entries whose owning session
+  *    has been garbage-collected or stopped, so persisted blocks are
+  *    not pinned for the JVM lifetime after a session ends.
+  */
+final class SessionCache[V] {
+
+  private val m = new ConcurrentHashMap[String, (WeakReference[SparkSession], V)]()
+
+  def getOrCompute(s: SparkSession, dataset: String)(f: => V): V = {
+    sweep()
+    m.computeIfAbsent(SessionCache.sessionId(s) + "|" + dataset,
+      _ => (new WeakReference(s), f))._2
+  }
+
+  private def sweep(): Unit = {
+    val it = m.entrySet().iterator()
+    while (it.hasNext) {
+      val owner = it.next().getValue._1.get
+      if (owner == null || owner.sparkContext.isStopped) it.remove()
+    }
+  }
+}
+
+object SessionCache {
+  // WeakHashMap keys by identity and drops collected sessions; the
+  // UUID value makes the cache key genuinely unique per session
+  // instance (Object.hashCode is neither)
+  private val ids = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
+
+  def sessionId(s: SparkSession): String =
+    ids.computeIfAbsent(s, _ => java.util.UUID.randomUUID().toString)
+}

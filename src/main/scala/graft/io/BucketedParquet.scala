@@ -72,7 +72,9 @@ object BucketedParquet {
     * a touched bucket whose staged dir still exists has not had its
     * second move (stage→live) yet — the old live (if any) goes to
     * trash and the staged version moves in; a touched bucket with no
-    * staged dir either finished its swap or legitimately ended empty.
+    * staged dir has unambiguously finished its swap (the writer stages
+    * an explicit EMPTY dir for touched buckets with zero surviving
+    * rows, so "missing" can never mean "legitimately empty").
     * Idempotent, crash-safe to re-crash inside, and a no-op without a
     * journal — called from every read/write entry point. */
   def recover(dir: String): Unit = {
@@ -134,6 +136,15 @@ object BucketedParquet {
           numBuckets.toString)
       return
     }
+    // Spark writes no partition dir for an empty bucket; materialize an
+    // empty staged dir for every touched bucket so that during recovery
+    // "no staged dir" can only mean "this bucket's swap already
+    // finished" — otherwise a crash after journaling would leave an
+    // all-rows-deleted bucket's old live dir in place forever.
+    touched.foreach { k =>
+      val staged = Paths.get(s"$staging/$B=$k")
+      if (!Files.exists(staged)) Files.createDirectories(staged)
+    }
     // commit point: staging is complete — journal the touched set so a
     // crash inside the move loop rolls FORWARD on next open instead of
     // leaving silently-missing buckets (see recover)
@@ -145,7 +156,9 @@ object BucketedParquet {
       val live = Paths.get(s"$dir/$B=$k")
       val staged = Paths.get(s"$staging/$B=$k")
       if (Files.exists(live)) Files.move(live, trash.resolve(s"$B=$k"))
-      // a touched bucket with zero surviving rows simply disappears
+      // every touched bucket has a staged dir (empty if zero surviving
+      // rows — an empty live dir reads as zero rows); the exists check
+      // only guards re-entry after a recover already moved it
       if (Files.exists(staged)) Files.move(staged, live)
     }
     deleteTree(Paths.get(staging))

@@ -8,9 +8,10 @@ import graft.io.DocStore
   * contribution filings → parent envelopes into their four indices +
   * `_nested` child docs, with the reference's insert-only `es.exists`
   * guard (`senate .../main.py:81`, `house .../main.py:324`) — a parent
-  * already indexed is never rewritten, and children are emitted ONLY
-  * alongside a newly inserted parent, so replaying the same filings is
-  * a no-op (idempotent by construction).
+  * already indexed is never rewritten, and both sides dedupe against
+  * their own index, so replaying the same filings is a no-op
+  * (idempotent by construction, and crash-safe at any point between
+  * the two swaps: a re-run re-attempts both sides unconditionally).
   *
   * Children carry no natural id in the reference (ES auto-ids); here
   * they key on md5 of their full JSON rendering, which makes the child
@@ -37,19 +38,19 @@ object LobbyingPipeline {
       md5(concat(js, lit("#"), row_number().over(w).cast("string"))))
   }
 
-  /** Insert unseen parents; then insert the children belonging to just
-    * those parents. Returns (new parents, new children) counts. */
+  /** Insert unseen children, then unseen parents. Children commit
+    * FIRST and are NOT gated on the parent delta: their keys are
+    * idempotent, so [[DocStore.insertNew]]'s own anti-join against the
+    * `_nested` index dedupes replays — and a crash between the two
+    * swaps can no longer strand children (the old parent-delta gate
+    * made them unrecoverable: on replay the parents were already
+    * "seen", the gated child set came back empty forever).
+    * Returns (new parents, new children) counts. */
   private def insertFamily(docs: DocStore, index: String,
       parents: DataFrame, children: DataFrame): (Long, Long) = {
+    val insertedKids =
+      docs.insertNew(s"${index}_nested", "doc_id", childKey(children))
     val inserted = docs.insertNew(index, "doc_id", parents)
-    val newIds = inserted.select(col("doc_id").as("__pid"))
-    // no broadcast hint: on a first-run backfill newIds IS the whole
-    // corpus — the join strategy must stay AQE's choice
-    val newKids = childKey(
-      children.withColumn("__pid", col("context.parent_id"))
-        .join(newIds, Seq("__pid"), "left_semi")
-        .drop("__pid"))
-    val insertedKids = docs.insertNew(s"${index}_nested", "doc_id", newKids)
     (inserted.count(), insertedKids.count())
   }
 

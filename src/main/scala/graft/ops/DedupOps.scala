@@ -112,21 +112,19 @@ object DedupOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  private val minhashShingleCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val minhashShingleCache = new graft.SessionCache[DataFrame]
 
   /** Per-doc shingle SETS for the minhash verify, memoized per
     * (session, dataset) and persisted — see the note at the use site. */
   private def minhashShingleIndex(s: SparkSession, d: String,
       docs: DataFrame): DataFrame =
-    minhashShingleCache.computeIfAbsent(s.hashCode() + "|" + d, { _ =>
+    minhashShingleCache.getOrCompute(s, d) {
       val sh = shingleSets(Tables.spread(docs)).persist()
       sh.count()
       sh
-    })
+    }
 
-  private val shingleIndexCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val shingleIndexCache = new graft.SessionCache[DataFrame]
 
   /** Distinct (doc_id, shingle) rows for `dedupNgram`, memoized per
     * (session, dataset) and persisted: it feeds the per-doc set sizes
@@ -134,7 +132,7 @@ object DedupOps {
     * query — one cached copy total, not one per call. */
   private def ngramShingleIndex(s: SparkSession, d: String,
       docs: DataFrame): DataFrame =
-    shingleIndexCache.computeIfAbsent(s.hashCode() + "|" + d, { _ =>
+    shingleIndexCache.getOrCompute(s, d) {
       val toks = Tables.spread(docs).select(col("doc_id"),
         split(lower(col("text")), "[^a-z0-9]+").as("toks"))
         .select(col("doc_id"), expr("filter(toks, t -> t != '')").as("toks"))
@@ -147,7 +145,7 @@ object DedupOps {
           .as("shingle"))
         .distinct()
         .persist()
-    })
+    }
 
   /** Per-doc distinct word-3-gram shingle sets as an array column —
     * the relational form of [[MinHash.shingles]] (same tokenization,
@@ -327,16 +325,16 @@ object DedupOps {
     * by component diameter (near-dup clusters are shallow). The oracle
     * computes the same components with a recursive CTE over the exact
     * ground-truth pair set. */
-  private val clusterPairsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val clusterPairsCache = new graft.SessionCache[DataFrame]
 
   def dedupClusters(s: SparkSession, d: String): DataFrame = {
     // the verified pair set is an INDEX artifact like the shingle
     // tables — materialize once per dataset, every clustering call
     // pays only the propagation
-    val pairs = clusterPairsCache.computeIfAbsent(s.hashCode() + "|" + d,
-      _ => dedupMinhash(s, d).select(col("doc_a"), col("doc_b"))
-        .localCheckpoint(true))
+    val pairs = clusterPairsCache.getOrCompute(s, d) {
+      dedupMinhash(s, d).select(col("doc_a"), col("doc_b"))
+        .localCheckpoint(true)
+    }
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     var labels = Tables.documents(s, d)

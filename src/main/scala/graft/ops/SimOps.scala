@@ -117,17 +117,16 @@ object SimOps {
   /** IVF index memo: the coarse quantizer + assignment are an INDEX —
     * built once per (session, dataset), reused by every query against
     * it (persisted; the amortization every ANN index relies on). */
-  private val ivfIndexCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]()
+  private val ivfIndexCache = new graft.SessionCache[(DataFrame, DataFrame)]
 
   def ivfIndex(s: SparkSession, d: String): (DataFrame, DataFrame) =
-    ivfIndexCache.computeIfAbsent(s.hashCode() + "|" + d, { _ =>
+    ivfIndexCache.getOrCompute(s, d) {
       val emb = Tables.embeddings(s, d)
       val cents = ivfCentroids(emb).persist()
       val assigned = assignToCentroid(emb, cents).persist()
       assigned.count() // materialize once
       (cents, assigned)
-    })
+    }
 
   /** IVF ANN: probe the nprobe closest centroid partitions only, then
     * exact cosine within the probed cells. The sampled quantizer makes
@@ -162,11 +161,10 @@ object SimOps {
     * differ in the last ulp (different summation orders), but both
     * land on the same 1e-6 grid point, and the float cast at use time
     * (IEEE round-to-nearest) is then identical in both engines. */
-  private val lloydIndexCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]()
+  private val lloydIndexCache = new graft.SessionCache[(DataFrame, DataFrame)]
 
   def ivfLloydIndex(s: SparkSession, d: String): (DataFrame, DataFrame) =
-    lloydIndexCache.computeIfAbsent(s.hashCode() + "|" + d, { _ =>
+    lloydIndexCache.getOrCompute(s, d) {
       val emb = Tables.embeddings(s, d)
       val cents = lloydRefine(emb, ivfCentroids(emb), 1)
         .select(col("centroid_id"),
@@ -175,7 +173,7 @@ object SimOps {
       val assigned = assignToCentroid(emb, cents).persist()
       assigned.count()
       (cents, assigned)
-    })
+    }
 
   /** IVF ANN over the Lloyd-refined quantizer — identical probe/scan
     * shape to [[annIvf]]; proves the trainable-index path end-to-end

@@ -8,8 +8,8 @@ import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Paths}
 
 /** The lobbying DAG runner: four index families fill from per-chamber
-  * filings, children only accompany newly inserted parents, and a
-  * replay (plus an overlapping second batch) inserts exactly the
+  * filings, both parents and children dedupe against their own index,
+  * and a replay (plus an overlapping second batch) inserts exactly the
   * novel filings — the reference's es.exists guard as a set op. */
 class LobbyingPipelineSpec extends SparkFunSuite {
 
@@ -83,6 +83,25 @@ class LobbyingPipelineSpec extends SparkFunSuite {
     assert(store.read("federal_house_lobbying_contributions").get.count() == 2)
     assert(store.read("federal_house_lobbying_contributions_nested")
       .get.count() == 2)
+  }
+
+  test("replay recovers children stranded by a crash between the two swaps") {
+    val store = new DocStore(spark,
+      Files.createTempDirectory("lobcrash").toString)
+    val empty = Seq.empty[String]
+    val batch = load(Seq(senateDisc("S9")), empty, empty, empty)
+    // simulate a prior run that committed the parent swap but lost the
+    // child swap (the state the old parent-delta gate could never heal:
+    // on replay the parent was "seen", so the gated child set was empty)
+    store.insertNew("federal_senate_lobbying_disclosures", "doc_id",
+      LobbyingChambers.senateParentDocs(batch(0), runTs))
+    assert(store.read("federal_senate_lobbying_disclosures_nested").isEmpty)
+    val s = LobbyingPipeline.run(spark,
+      batch(0), batch(1), batch(2), batch(3), store, runTs)
+    assert(s.senateDisclosures == 0) // parent already indexed
+    assert(s.childDocs == 1) // child re-derived and recovered
+    assert(store.read("federal_senate_lobbying_disclosures_nested")
+      .get.count() == 1)
   }
 
   test("identical duplicate items in one filing keep BOTH child docs") {

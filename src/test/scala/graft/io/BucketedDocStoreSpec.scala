@@ -126,6 +126,60 @@ class BucketedDocStoreSpec extends SparkFunSuite {
     assert(!Files.exists(Paths.get(s"$b/idx.staging")))
   }
 
+  test("crash state C: all-rows-deleted bucket rolls forward to empty, not stale") {
+    // A merge can leave a touched bucket EMPTY (every row deleted).
+    // Spark writes no partition dir for zero rows, so the writer stages
+    // an explicit empty dir — otherwise a crash after journaling would
+    // leave the old live data in place forever and recovery couldn't
+    // tell "deleted" from "swap already finished".
+    val base = (1 to 200).map(i => (s"d$i", i)).toDF("doc_id", "v")
+    val d = Files.createTempDirectory("crashC").toString
+    new DocStore(spark, d, numBuckets = 8).index("idx", "doc_id", base)
+    val k = BucketedParquet.touchedBuckets(
+      Seq(("d1", 0)).toDF("doc_id", "v"), Seq("doc_id"), 8).head
+    // simulate the writer crashing right after the commit point of a
+    // batch that deleted ALL of bucket k: empty staged dir + journal,
+    // old live dir still in place
+    Files.createDirectories(Paths.get(s"$d/idx.staging/__bucket=$k"))
+    Files.writeString(Paths.get(s"$d/idx.swap-journal"), k.toString)
+    val expected = base
+      .withColumn("b", BucketedParquet.bucketOf(Seq("doc_id"), 8))
+      .filter($"b" =!= k).select("doc_id").as[String].collect().toSet
+    assert(expected.size < 200) // bucket k was non-empty
+    val got = new DocStore(spark, d, numBuckets = 8).read("idx").get
+      .select("doc_id").as[String].collect().toSet
+    assert(got == expected)
+    assert(!Files.exists(Paths.get(s"$d/idx.swap-journal")))
+    assert(!Files.exists(Paths.get(s"$d/idx.staging")))
+  }
+
+  test("detachDelete that empties a bucket deletes its rows durably") {
+    import graft.graph.GraphStore
+    val d = Files.createTempDirectory("gdel").toString
+    val g = new GraphStore(spark, d, numBuckets = 4)
+    val people = (1 to 80).map(i => (s"p$i", i)).toDF("pid", "age")
+    g.mergeVertices("Person", Seq("pid"), people)
+    val withB = people
+      .withColumn("b", BucketedParquet.bucketOf(Seq("pid"), 4))
+    val k = withB.select("b").head().getInt(0)
+    val victims = withB.filter($"b" === k).select("pid").localCheckpoint(true)
+    val survivors = withB.filter($"b" =!= k)
+      .select("pid").as[String].collect().toSet
+    val before = snapshot(s"$d/vertices/Person")
+    g.detachDelete("Person", Seq("pid"), victims, Seq.empty)
+    // only bucket k changed; its rows are gone from the merged read
+    val buckets = {
+      val after = snapshot(s"$d/vertices/Person")
+      (after.filter { case (f, m) => before.get(f) != Some(m) }.keySet ++
+        before.keySet.diff(after.keySet))
+        .map(_.split("/")(0)).filter(_.startsWith("__bucket="))
+    }
+    assert(buckets == Set(s"__bucket=$k"))
+    val got = g.readVertices("Person").get
+      .select("pid").as[String].collect().toSet
+    assert(got == survivors)
+  }
+
   test("schema-widening batch only rewrites its buckets; read merges schemas") {
     val d = Files.createTempDirectory("bwide").toString
     val store = new DocStore(spark, d, numBuckets = 8)
