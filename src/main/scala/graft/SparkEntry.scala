@@ -42,6 +42,7 @@ object SparkEntry {
     QueryModule(ops.MultimodalOps.queries, ops.MultimodalOps.oracles),
     QueryModule(ops.FuncOps.queries, ops.FuncOps.oracles),
     QueryModule(ops.DocOps.queries, ops.DocOps.oracles),
+    QueryModule(ops.TrainOps.queries, ops.TrainOps.oracles),
     QueryModule(ops.Headline.queries, ops.Headline.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */

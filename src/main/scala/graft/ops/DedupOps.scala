@@ -126,6 +126,12 @@ object DedupOps {
 
   private val shingleIndexCache = new graft.SessionCache[DataFrame]
 
+  /** The shared (doc_id, shingle) inverted index, exposed for
+    * [[TrainOps.textContaminated]] — same memoized artifact the ngram
+    * dedup amortizes. */
+  private[ops] def shingleRows(s: SparkSession, d: String): DataFrame =
+    ngramShingleIndex(s, d, Tables.documents(s, d))
+
   /** Distinct (doc_id, shingle) rows for `dedupNgram`, memoized per
     * (session, dataset) and persisted: it feeds the per-doc set sizes
     * AND the inverted index, and every bench/verify invocation of the

@@ -1,0 +1,337 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.TextAnalysis
+import graft.functions.expressions.CosineSimilarity
+
+/** Training-data pipeline composition operators: sequence packing,
+  * benchmark-contamination checks, stratified sampling, corpus-LM
+  * quality scoring, embedding outlier detection. These are the stages
+  * between "cleaned corpus" and "training batches" that a 100 TB
+  * pretraining pipeline runs after dedup/PII ([[DedupOps]],
+  * [[TextOps]]).
+  */
+object TrainOps {
+
+  /** Tokens per packed training sequence. */
+  private val chunkBudget = 512
+
+  /** Logical prefix-sum group width (see [[packChunks]]). */
+  private val packGroup = 4096
+
+  private def tokenized(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      TextAnalysis.token_count_bpe(col("text")).cast("bigint").as("n_tokens"))
+
+  /** Concat-and-chunk sequence packing (the standard pretraining
+    * batcher): documents are laid end-to-end in doc_id order and the
+    * token stream is cut every `chunkBudget` tokens; each document's
+    * placement is fully determined by the exclusive prefix sum of
+    * token counts.
+    *
+    * The prefix sum is computed as a TWO-LEVEL distributed cumsum —
+    * an intra-group running sum windowed by a logical group id
+    * (`doc_id div packGroup`, so the result is independent of physical
+    * partitioning), plus a group-offset table whose global window runs
+    * over corpus/packGroup rows only. At 10^11 docs the offset table
+    * is ~10^7 rows (one narrow window task); widen `packGroup` or add
+    * a third level long before that becomes the bottleneck. No global
+    * sort of the data ever happens.
+    */
+  def packChunks(s: SparkSession, d: String): DataFrame = {
+    val t = tokenized(s, d)
+      .filter(col("n_tokens") > 0) // empty docs pack nothing
+      .withColumn("gid", expr(s"doc_id div $packGroup"))
+    val wIn = Window.partitionBy("gid").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wOff = Window.orderBy("gid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = t.groupBy("gid").agg(sum("n_tokens").as("g_tot"))
+      .withColumn("g_off", coalesce(sum("g_tot").over(wOff), lit(0L)))
+      .select("gid", "g_off")
+    t.withColumn("run_in", sum("n_tokens").over(wIn))
+      .join(offs, "gid")
+      .withColumn("start_off", col("g_off") + col("run_in") - col("n_tokens"))
+      .withColumn("chunk_first", expr(s"start_off div $chunkBudget"))
+      .withColumn("chunk_last",
+        expr(s"(start_off + n_tokens - 1) div $chunkBudget"))
+      .withColumn("n_chunks",
+        (col("chunk_last") - col("chunk_first") + 1).cast("int"))
+      .select("doc_id", "n_tokens", "start_off",
+        "chunk_first", "chunk_last", "n_chunks")
+      .orderBy("doc_id")
+  }
+
+  /** The chunk→document manifest: one row per (chunk, contributing
+    * doc) with the token count the doc contributes to that chunk —
+    * what a data loader actually reads. Derived from [[packChunks]] by
+    * exploding each doc's chunk span (bounded fan-out: a doc spans
+    * ⌈n/budget⌉+1 chunks). */
+  def packManifest(s: SparkSession, d: String): DataFrame =
+    packChunks(s, d)
+      .withColumn("chunk_id",
+        explode(sequence(col("chunk_first"), col("chunk_last"))))
+      .withColumn("tok_from",
+        greatest(col("start_off"), col("chunk_id") * chunkBudget))
+      .withColumn("tok_to", // exclusive
+        least(col("start_off") + col("n_tokens"),
+          (col("chunk_id") + 1) * chunkBudget))
+      .select(col("chunk_id"), col("doc_id"),
+        (col("tok_to") - col("tok_from")).as("n_tok_in_chunk"))
+      .orderBy(col("chunk_id"), col("doc_id"))
+
+  /** Benchmark-contamination check: flag training documents sharing
+    * any word-3-gram shingle with the held-out eval slice (docs with
+    * doc_id ≡ 0 mod 97 stand in for the benchmark set). Reuses the
+    * memoized (doc_id, shingle) inverted index of `dedup_ngram`; the
+    * eval shingle set is a distinct projection of a ~1% slice, so the
+    * probe join broadcasts under AQE when small and degrades to a
+    * shuffle join when not — no hint either way. */
+  def textContaminated(s: SparkSession, d: String): DataFrame = {
+    val sh = DedupOps.shingleRows(s, d)
+    val isEval = col("doc_id") % 97 === 0
+    val evalSh = sh.filter(isEval).select("shingle").distinct()
+    val hits = sh.filter(!isEval)
+      .join(evalSh, "shingle")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    Tables.documents(s, d).filter(!isEval).select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) > 0).cast("int")
+          .as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic stratified sample: within each language stratum,
+    * rank docs by md5(doc_id) (a stable pseudo-random shuffle both
+    * engines compute identically) and keep the first ⌈20%⌉. One
+    * shuffle on the stratum key; a skewed stratum is one window
+    * partition — AQE's skew handling applies, and the md5 sort key
+    * spreads ties uniformly. */
+  def sampleStratified(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("lang")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_stratum", count(lit(1)).over(Window.partitionBy("lang")))
+      .filter(col("rk") <= ceil(col("n_stratum") * 0.2).cast("bigint"))
+      .select("doc_id", "lang", "rk", "n_stratum")
+      .orderBy("doc_id")
+  }
+
+  /** Data mixing: cap every source's contribution at a fixed token
+    * budget. Docs are taken in a deterministic md5-shuffled order per
+    * source until the running token total crosses the cap — the
+    * "N tokens of books, M of web" knob of a pretraining mix, as a
+    * per-stratum running-sum window (one shuffle on the source key;
+    * each source sorts independently, in parallel). */
+  def mixBudget(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.token_count_bpe(col("text")).cast("bigint")
+          .as("n_tokens"))
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .filter(col("cum_tokens") <= 1024)
+      .select("doc_id", "source", "n_tokens", "cum_tokens")
+      .orderBy("doc_id")
+  }
+
+  /** Corpus-unigram-LM quality score (perplexity-style filter): train
+    * a unigram model on the corpus itself (token relative frequencies)
+    * and score each doc by its mean negative log-likelihood — low =
+    * stereotypical text, high = rare-token soup. Two hash aggregations
+    * plus one join on the token key; the 1-row total rides a broadcast
+    * cross join (the [[SimOps]] query-vector pattern). */
+  def textUnigramLm(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(expr(
+          "filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')"))
+          .as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("freq"))
+    val total = vocab.agg(sum("freq").as("total"))
+    toks.join(vocab, "tok")
+      .crossJoin(broadcast(total))
+      .withColumn("nlp",
+        -log(col("freq").cast("double") / col("total").cast("double")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"),
+        round(avg(col("nlp")), 6).as("avg_neg_logp"))
+      .orderBy("doc_id")
+  }
+
+  /** Embedding outlier detection: per-label mean centroid (rounded to
+    * the 1e-6 grid then cast float — the cross-engine-stable trained
+    * index recipe from `ann_ivf_lloyd`), cosine of every vector
+    * against its own label's centroid, keep the 3 least-similar per
+    * label. The centroid table is |labels|×dims — joined back on the
+    * label key with no broadcast hint (labels may be high-cardinality
+    * at scale; AQE decides). */
+  def embOutliers(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val cents = emb
+      .select(col("label"),
+        posexplode(expr("transform(embedding, x -> cast(x as double))"))
+          .as(Seq("dim", "v")))
+      .groupBy("label", "dim")
+      .agg(expr("cast(round(avg(v), 6) as float)").as("m"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("dim"), col("m"))))
+        .as("pairs"))
+      .select(col("label"),
+        expr("transform(pairs, p -> p.m)").as("centroid"))
+    val w = Window.partitionBy("label")
+      .orderBy(col("sim").asc, col("vec_id").asc)
+    emb.join(cents, "label")
+      .select(col("label"), col("vec_id"),
+        round(CosineSimilarity.cosine_native(s,
+          col("embedding"), col("centroid")), 6).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("label", "rk", "vec_id", "sim")
+      .orderBy("label", "rk")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pack_chunks"        -> packChunks _,
+    "pack_manifest"      -> packManifest _,
+    "text_contaminated"  -> textContaminated _,
+    "sample_stratified"  -> sampleStratified _,
+    "mix_budget"         -> mixBudget _,
+    "text_unigram_lm"    -> textUnigramLm _,
+    "emb_outliers"       -> embOutliers _)
+
+  private val bpeTokens =
+    """CAST(len(regexp_extract_all(text, '\w{1,4}|[^\w\s]')) AS BIGINT)"""
+
+  // the dedup_ngram shingle construction, reused verbatim by the
+  // contamination oracle
+  private val shingleCte =
+    """toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |    t -> t != '') AS toks
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, shingle FROM (
+      |    SELECT doc_id, UNNEST(
+      |      CASE WHEN len(toks) < 3 THEN
+      |        CASE WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+      |             ELSE [] END
+      |      ELSE list_transform(range(0, len(toks) - 2),
+      |        i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+      |      END) AS shingle
+      |    FROM toks))""".stripMargin
+
+  private val packCte =
+    s"""t AS (SELECT doc_id, $bpeTokens AS n_tokens FROM documents),
+      |p AS (
+      |  SELECT doc_id, n_tokens,
+      |    CAST(sum(n_tokens) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      - n_tokens AS start_off
+      |  FROM t WHERE n_tokens > 0),
+      |c AS (
+      |  SELECT doc_id, n_tokens, start_off,
+      |    start_off // 512 AS chunk_first,
+      |    (start_off + n_tokens - 1) // 512 AS chunk_last,
+      |    CAST((start_off + n_tokens - 1) // 512 - start_off // 512 + 1
+      |      AS INTEGER) AS n_chunks
+      |  FROM p)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "pack_chunks" ->
+      s"""WITH $packCte
+        |SELECT doc_id, n_tokens, start_off, chunk_first, chunk_last, n_chunks
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "pack_manifest" ->
+      s"""WITH $packCte
+        |SELECT chunk_id, doc_id,
+        |  least(start_off + n_tokens, (chunk_id + 1) * 512)
+        |    - greatest(start_off, chunk_id * 512) AS n_tok_in_chunk
+        |FROM (SELECT *, UNNEST(range(chunk_first, chunk_last + 1)) AS chunk_id
+        |      FROM c)
+        |ORDER BY chunk_id, doc_id""".stripMargin,
+    "text_contaminated" ->
+      s"""WITH $shingleCte,
+        |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+        |hits AS (
+        |  SELECT doc_id, COUNT(*) AS n_shared
+        |  FROM sh JOIN ev USING (shingle)
+        |  WHERE doc_id % 97 != 0 GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(h.n_shared, 0) AS n_shared,
+        |  CAST(COALESCE(h.n_shared, 0) > 0 AS INTEGER) AS contaminated
+        |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        |WHERE d.doc_id % 97 != 0
+        |ORDER BY d.doc_id""".stripMargin,
+    "sample_stratified" ->
+      """SELECT doc_id, lang, rk, n_stratum FROM (
+        |  SELECT doc_id, lang,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS rk,
+        |    COUNT(*) OVER (PARTITION BY lang) AS n_stratum
+        |  FROM documents)
+        |WHERE rk <= CAST(ceil(n_stratum * 0.2) AS BIGINT)
+        |ORDER BY doc_id""".stripMargin,
+    "mix_budget" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, source, $bpeTokens AS n_tokens FROM documents),
+        |r AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_tokens
+        |  FROM t)
+        |SELECT doc_id, source, n_tokens, cum_tokens FROM r
+        |WHERE cum_tokens <= 1024 ORDER BY doc_id""".stripMargin,
+    "text_unigram_lm" ->
+      """WITH toks AS (
+        |  SELECT doc_id, UNNEST(list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'), t -> t != ''))
+        |    AS tok
+        |  FROM documents),
+        |vocab AS (SELECT tok, COUNT(*) AS freq FROM toks GROUP BY tok),
+        |tot AS (SELECT SUM(freq) AS total FROM vocab)
+        |SELECT doc_id, COUNT(*) AS n_toks,
+        |  round(avg(-ln(CAST(freq AS DOUBLE) / CAST(total AS DOUBLE))), 6)
+        |    AS avg_neg_logp
+        |FROM toks JOIN vocab USING (tok), tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "emb_outliers" ->
+      """WITH dims AS (
+        |  SELECT label,
+        |    UNNEST(range(1, len(embedding) + 1)) AS dim,
+        |    UNNEST(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+        |  FROM embeddings),
+        |cents AS (
+        |  SELECT label, list(m ORDER BY dim) AS centroid FROM (
+        |    SELECT label, dim,
+        |      CAST(CAST(round(avg(v), 6) AS REAL) AS DOUBLE) AS m
+        |    FROM dims GROUP BY label, dim)
+        |  GROUP BY label),
+        |sims AS (
+        |  SELECT e.label, e.vec_id,
+        |    round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |        i -> CAST(e.embedding[i] AS DOUBLE) * c.centroid[i]))
+        |      / (sqrt(list_sum(list_transform(e.embedding,
+        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(c.centroid, x -> x * x)))), 6)
+        |      AS sim
+        |  FROM embeddings e JOIN cents c USING (label)),
+        |ranked AS (
+        |  SELECT label, vec_id, sim,
+        |    CAST(row_number() OVER (PARTITION BY label
+        |      ORDER BY sim ASC, vec_id ASC) AS INTEGER) AS rk
+        |  FROM sims)
+        |SELECT label, rk, vec_id, sim FROM ranked
+        |WHERE rk <= 3 ORDER BY label, rk""".stripMargin)
+}

@@ -1,0 +1,138 @@
+package graft.ops
+
+import graft.SparkFunSuite
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Semantic properties of the training-pipeline composition operators
+  * on an injected fixture (the catalog rows prove engine-vs-oracle
+  * agreement; this proves the operators mean what they claim). */
+class TrainOpsSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("trainops").toString
+    val docs = Seq(
+      // doc_id % 97 == 0 → held-out eval slice (0 and 97)
+      (0L, "zeroth evaluation document completely distinct wording", "en"),
+      (97L, "unique benchmark shingle sequence held out for eval", "en"),
+      // 5 copies the benchmark phrasing → contaminated
+      (5L, "training doc leaking the unique benchmark shingle sequence", "en"),
+      (1L, "the quick brown fox jumps over one lazy dog", "en"),
+      (2L, "the quick brown fox jumps over two lazy dogs", "en"),
+      (3L, "a slow green turtle walks under three tall trees", "en"),
+      (4L, "rain falls on the gray roof during four long nights", "en"),
+      (6L, "children play near the old stone bridge at noon", "en"),
+      (20L, "the the the the the the the the", "en"),
+      (21L, "xylophone quixotic zygote jabberwock vermillion obelisk", "en"),
+      (11L, "el perro corre por la plaza cada manana", "es"),
+      (12L, "la casa blanca tiene dos puertas grandes", "es"),
+      (13L, "un gato negro duerme sobre la mesa vieja", "es"))
+      .map { case (id, t, l) => (id, t, l, "fix", t.length.toLong) }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val emb = Seq(
+      (1L, Array(1f, 0.01f, 0f, 0f), 0), (2L, Array(0.98f, 0f, 0.02f, 0f), 0),
+      (3L, Array(1f, 0f, 0.01f, 0.01f), 0), (4L, Array(0.97f, 0.02f, 0f, 0f), 0),
+      (6L, Array(-1f, 0.01f, 0f, 0f), 0), // label-0 outlier
+      (7L, Array(0f, 1f, 0.01f, 0f), 1), (8L, Array(0.02f, 0.99f, 0f, 0f), 1),
+      (9L, Array(0f, 1f, 0f, 0.02f), 1), (10L, Array(0.01f, 0.98f, 0.01f, 0f), 1),
+      (12L, Array(0f, -1f, 0f, 0.01f), 1)) // label-1 outlier
+    emb.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  test("pack_chunks conserves the token stream and packs contiguously") {
+    val packed = TrainOps.packChunks(spark, dir).collect()
+    val total = packed.map(_.getAs[Long]("n_tokens")).sum
+    // offsets tile [0, total) with no gap or overlap, in doc_id order
+    var expectedOff = 0L
+    packed.foreach { r =>
+      assert(r.getAs[Long]("start_off") == expectedOff)
+      expectedOff += r.getAs[Long]("n_tokens")
+    }
+    assert(expectedOff == total)
+    packed.foreach { r =>
+      assert(r.getAs[Long]("chunk_first") == r.getAs[Long]("start_off") / 512)
+      assert(r.getAs[Int]("n_chunks") >= 1)
+    }
+  }
+
+  test("pack_manifest conserves per-doc tokens and fills interior chunks") {
+    val packed = TrainOps.packChunks(spark, dir)
+    val manifest = TrainOps.packManifest(spark, dir)
+    // each doc's manifest slices sum back to its token count
+    val byDoc = manifest.groupBy("doc_id")
+      .agg(sum("n_tok_in_chunk").as("m"))
+      .join(packed.select("doc_id", "n_tokens"), "doc_id")
+    assert(byDoc.filter($"m" =!= $"n_tokens").count() == 0)
+    // every chunk except the last carries exactly the budget
+    val lastChunk = manifest.agg(max("chunk_id")).head().getLong(0)
+    val short = manifest.groupBy("chunk_id")
+      .agg(sum("n_tok_in_chunk").as("filled"))
+      .filter($"chunk_id" =!= lastChunk && $"filled" =!= 512)
+    assert(short.count() == 0)
+  }
+
+  test("contamination flags the leaked doc and nothing else") {
+    val out = TrainOps.textContaminated(spark, dir)
+    val flagged = out.filter($"contaminated" === 1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(flagged == Set(5L))
+    // eval docs themselves are excluded from the scored set
+    val scored = out.select("doc_id").as[Long].collect().toSet
+    assert(!scored.contains(0L) && !scored.contains(97L))
+  }
+
+  test("stratified sample keeps ceil(20%) per stratum, deterministically") {
+    val out = TrainOps.sampleStratified(spark, dir)
+    val perLang = out.groupBy("lang").count().as[(String, Long)]
+      .collect().toMap
+    assert(perLang("en") == 2) // ceil(10 * 0.2)
+    assert(perLang("es") == 1) // ceil(3 * 0.2)
+    val run1 = out.select("doc_id").as[Long].collect().toSortedSet
+    val run2 = TrainOps.sampleStratified(spark, dir)
+      .select("doc_id").as[Long].collect().toSortedSet
+    assert(run1 == run2)
+  }
+
+  test("mix budget keeps a per-source prefix and never exceeds the cap") {
+    val out = TrainOps.mixBudget(spark, dir).collect()
+    // running totals stay within budget and are consistent per source
+    out.groupBy(_.getAs[String]("source")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("cum_tokens"))
+      var run = 0L
+      sorted.foreach { r =>
+        run += r.getAs[Long]("n_tokens")
+        assert(r.getAs[Long]("cum_tokens") == run)
+      }
+      assert(run <= 1024)
+    }
+  }
+
+  test("unigram LM scores common-token docs below rare-token docs") {
+    val scores = TrainOps.textUnigramLm(spark, dir)
+      .select("doc_id", "avg_neg_logp").as[(Long, Double)].collect().toMap
+    assert(scores(20L) < scores(21L)) // "the the the…" ≪ rare-token soup
+    scores.values.foreach(v => assert(v > 0))
+  }
+
+  test("embedding outliers rank the anti-centroid vector first per label") {
+    val out = TrainOps.embOutliers(spark, dir)
+    val rk1 = out.filter($"rk" === 1)
+      .select("label", "vec_id").as[(Int, Long)].collect().toMap
+    assert(rk1 == Map(0 -> 6L, 1 -> 12L))
+    // outlier similarity is far below the in-cluster rank-2 value
+    val sims = out.filter($"rk" <= 2)
+      .select("label", "rk", "sim").as[(Int, Int, Double)].collect()
+    sims.groupBy(_._1).foreach { case (_, rows) =>
+      val byRk = rows.map(r => r._2 -> r._3).toMap
+      assert(byRk(1) < 0 && byRk(2) > 0.9)
+    }
+  }
+
+  private implicit class SortedSetOps(a: Array[Long]) {
+    def toSortedSet: List[Long] = a.toList.sorted
+  }
+}
