@@ -41,7 +41,24 @@ object TrainOps {
     * a third level long before that becomes the bottleneck. No global
     * sort of the data ever happens.
     */
-  def packChunks(s: SparkSession, d: String): DataFrame = {
+  def packChunks(s: SparkSession, d: String): DataFrame =
+    packedDocs(s, d).orderBy("doc_id")
+
+  /** The pack layout is a corpus-level INDEX artifact ([[packChunks]]
+    * and [[packManifest]] both read it; a real pipeline materializes
+    * it once per corpus snapshot) — memoized like the shingle/IVF
+    * indexes, and cached UNSORTED so the artifact never pays a global
+    * sort (each reader adds its own presentation order). */
+  private def packedDocs(s: SparkSession, d: String): DataFrame =
+    packCache.getOrCompute(s, d) {
+      val p = packPlan(s, d).persist()
+      p.count()
+      p
+    }
+
+  private val packCache = new graft.SessionCache[DataFrame]
+
+  private def packPlan(s: SparkSession, d: String): DataFrame = {
     val t = tokenized(s, d)
       .filter(col("n_tokens") > 0) // empty docs pack nothing
       .withColumn("gid", expr(s"doc_id div $packGroup"))
@@ -62,7 +79,6 @@ object TrainOps {
         (col("chunk_last") - col("chunk_first") + 1).cast("int"))
       .select("doc_id", "n_tokens", "start_off",
         "chunk_first", "chunk_last", "n_chunks")
-      .orderBy("doc_id")
   }
 
   /** The chunk→document manifest: one row per (chunk, contributing
@@ -71,7 +87,7 @@ object TrainOps {
     * exploding each doc's chunk span (bounded fan-out: a doc spans
     * ⌈n/budget⌉+1 chunks). */
   def packManifest(s: SparkSession, d: String): DataFrame =
-    packChunks(s, d)
+    packedDocs(s, d)
       .withColumn("chunk_id",
         explode(sequence(col("chunk_first"), col("chunk_last"))))
       .withColumn("tok_from",
