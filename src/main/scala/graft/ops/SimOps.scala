@@ -199,17 +199,78 @@ object SimOps {
       .limit(20)
   }
 
+  /** LSH-bucketed ANN (the third scale path next to IVF): every
+    * vector is sketched into 4-bit md5-hyperplane buckets under two
+    * seeds ([[graft.functions.Vectors.md5_hyperplane_sketch]] — the
+    * same index `dedup_embed_lsh` uses, so the oracle replays it
+    * bit-exactly); the probe joins the query's own (seed, bucket)
+    * rows — a 2-row broadcast, i.e. bucket pruning — and only the
+    * candidate ids fetch their payload vectors for the exact cosine
+    * top-k. At 100 TB the sketch table is the stored index: ids-only,
+    * one shuffle to build, probes touch matching buckets only. */
+  def annLsh(s: SparkSession, d: String): DataFrame = {
+    val seeds = Seq(7, 21)
+    val nBits = 4
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val sk = Tables.spread(emb).select(col("vec_id"),
+      explode(array(seeds.map(sd => struct(lit(sd).as("seed"),
+        Vectors.md5_hyperplane_sketch(col("embedding"), nBits, sd)
+          .as("bucket"))): _*)).as("sk"))
+      .select(col("vec_id"), col("sk.seed"), col("sk.bucket"))
+    val qb = sk.filter(col("vec_id") === 0).select(col("seed"), col("bucket"))
+    val cands = sk.join(broadcast(qb), Seq("seed", "bucket"))
+      .filter(col("vec_id") =!= 0)
+      .select("vec_id").distinct()
+    cands.join(emb, "vec_id")
+      .crossJoin(queryVec(s, d))
+      .select(col("vec_id"),
+        round(CosineSimilarity.cosine_native(s,
+          col("embedding"), col("q_emb")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_brute"     -> annBrute _,
     "ann_per_label" -> annPerLabel _,
     "ann_ivf"       -> annIvf _,
-    "ann_ivf_lloyd" -> annIvfLloyd _)
+    "ann_ivf_lloyd" -> annIvfLloyd _,
+    "ann_lsh"       -> annLsh _)
 
   // cosine over float arrays: DuckDB's summation order inside
   // list-reduce matches a sequential loop, and both engines do the
   // arithmetic in double after the explicit casts — verified
   // empirically; round(.,6) guards the display value.
   val oracles: Map[String, String] = Map(
+    "ann_lsh" ->
+      """WITH sk AS (
+        |  SELECT vec_id, seed,
+        |    CAST(list_sum(list_transform(range(0, 4), p ->
+        |      CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1), i ->
+        |          CAST(embedding[i] AS DOUBLE) *
+        |          (list_sum(list_transform(range(1, 9), k ->
+        |             (strpos('0123456789abcdef',
+        |                substr(md5('hp:' || seed || ':' || p || ':' || (i - 1)),
+        |                  k, 1)) - 1) * (16 ** (8 - k))))
+        |           / 2147483648.0 - 1.0))) >= 0
+        |        THEN (2 ** p) ELSE 0 END)) AS BIGINT) AS bucket
+        |  FROM embeddings, (SELECT UNNEST([7, 21]) AS seed)),
+        |qb AS (SELECT seed, bucket FROM sk WHERE vec_id = 0),
+        |cands AS (
+        |  SELECT DISTINCT vec_id FROM sk JOIN qb USING (seed, bucket)
+        |  WHERE vec_id != 0),
+        |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+        |sims AS (
+        |  SELECT e.vec_id,
+        |    round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(e.embedding,
+        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(q.q_emb,
+        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos
+        |  FROM cands c JOIN embeddings e ON e.vec_id = c.vec_id, q)
+        |SELECT vec_id, cos FROM sims
+        |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin,
     "ann_brute" ->
       """WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
         |sims AS (

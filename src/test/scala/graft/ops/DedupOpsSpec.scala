@@ -88,6 +88,20 @@ class DedupOpsSpec extends SparkFunSuite {
 class SimOpsSpec extends SparkFunSuite {
   import spark.implicits._
 
+  test("ann_lsh returns true cosines from a candidate subset") {
+    val brute = SimOps.annBrute(spark, sfDir)
+      .as[(Long, Double)].collect().toMap
+    val lsh = SimOps.annLsh(spark, sfDir).as[(Long, Double)].collect()
+    assert(lsh.length == 10)
+    assert(lsh.map(_._2).sliding(2).forall(p => p.head >= p.last))
+    assert(lsh.map(_._1).distinct.length == 10)
+    // subset property: the LSH top-1 can never beat the exact top-1
+    assert(lsh.head._2 <= brute.values.max)
+    // reported similarity is the TRUE cosine wherever brute ranked it
+    lsh.filter(r => brute.contains(r._1))
+      .foreach { case (id, cos) => assert(cos == brute(id)) }
+  }
+
   test("IVF top-20 achieves >= 50% recall of brute-force top-20") {
     val exact = SimOps.annBrute(spark, sfDir).select($"vec_id")
       .as[Long].collect().toSet
