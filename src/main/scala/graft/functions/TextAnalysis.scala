@@ -23,7 +23,10 @@ object TextAnalysis {
     * standalone punctuation — a cheap, deterministic proxy for a BPE
     * vocabulary's token count (ratio ~chars/3.5 for English). */
   def token_count_bpe(text: Column): Column =
-    size(regexp_extract_all(text, lit("\\w{1,4}|[^\\w\\s]"), lit(0)))
+    // regexp_count, not size(regexp_extract_all): counting must not
+    // materialize every match as a string — this runs on every byte of
+    // a 100 TB corpus
+    regexp_count(text, lit("\\w{1,4}|[^\\w\\s]"))
 
   // --------------------------------------------------------------- quality
 
@@ -33,10 +36,10 @@ object TextAnalysis {
     val nChars = length(text)
     val words = split(trim(text), "\\s+")
     val nWords = when(length(trim(text)) === 0, lit(0)).otherwise(size(words))
-    val nPunct = size(regexp_extract_all(text, lit("[^\\w\\s]"), lit(0)))
-    val nDigit = size(regexp_extract_all(text, lit("[0-9]"), lit(0)))
+    val nPunct = regexp_count(text, lit("[^\\w\\s]"))
+    val nDigit = regexp_count(text, lit("[0-9]"))
     val stopRe = "\\b(the|a|an|of|to|in|and|is|it|that|for|on|was|with|as|at|be|this|are|or)\\b"
-    val nStop = size(regexp_extract_all(lower(text), lit(stopRe), lit(0)))
+    val nStop = regexp_count(lower(text), lit(stopRe))
     val safeWords = greatest(nWords, lit(1)).cast("double")
     Seq(
       "n_chars_m"   -> nChars.cast("long"),

@@ -184,6 +184,25 @@ object TrainOps {
       .orderBy("doc_id")
   }
 
+  /** Per-source dataset card: doc/token counts, mean quality score,
+    * median doc length — the report a mixing decision reads. One hash
+    * aggregate over narrow derived columns (scan-speed at 100 TB; the
+    * percentile is the only non-partial aggregate and runs per source
+    * group). */
+  def corpusStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("source"),
+        TextAnalysis.token_count_bpe(col("text")).cast("bigint")
+          .as("n_tokens"),
+        TextAnalysis.quality_score(col("text")).as("quality"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        round(avg("quality"), 6).as("avg_quality"),
+        round(expr("percentile(CAST(n_tokens AS DOUBLE), 0.5)"), 6)
+          .as("p50_tokens"))
+      .orderBy("source")
+
   /** Embedding outlier detection: per-label mean centroid (rounded to
     * the 1e-6 grid then cast float — the cross-engine-stable trained
     * index recipe from `ann_ivf_lloyd`), cosine of every vector
@@ -223,6 +242,7 @@ object TrainOps {
     "sample_stratified"  -> sampleStratified _,
     "mix_budget"         -> mixBudget _,
     "text_unigram_lm"    -> textUnigramLm _,
+    "corpus_stats"       -> corpusStats _,
     "emb_outliers"       -> embOutliers _)
 
   private val bpeTokens =
@@ -322,6 +342,28 @@ object TrainOps {
         |    AS avg_neg_logp
         |FROM toks JOIN vocab USING (tok), tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "corpus_stats" ->
+      s"""WITH t AS (
+        |  SELECT source, $bpeTokens AS n_tokens,
+        |    length(text) AS n_chars2,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_words,
+        |    len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+        |    len(regexp_extract_all(lower(text),
+        |      '\\b(the|a|an|of|to|in|and|is|it|that|for|on|was|with|as|at|be|this|are|or)\\b')) AS n_stop
+        |  FROM documents),
+        |q AS (
+        |  SELECT source, n_tokens,
+        |    round(least(CAST(n_words AS DOUBLE) / 20.0, 1.0)
+        |      * least(round(CAST(n_stop AS DOUBLE) / greatest(n_words, 1), 6) * 4.0, 1.0)
+        |      * greatest(0.0, 1.0 - round(CAST(n_punct AS DOUBLE) / greatest(n_chars2, 1), 6) * 4.0), 6)
+        |      AS quality
+        |  FROM t)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |  round(avg(quality), 6) AS avg_quality,
+        |  round(quantile_cont(CAST(n_tokens AS DOUBLE), 0.5), 6) AS p50_tokens
+        |FROM q GROUP BY source ORDER BY source""".stripMargin,
     "emb_outliers" ->
       """WITH dims AS (
         |  SELECT label,
