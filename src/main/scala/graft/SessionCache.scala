@@ -1,6 +1,5 @@
 package graft
 
-import java.lang.ref.WeakReference
 import java.util.concurrent.ConcurrentHashMap
 import org.apache.spark.sql.SparkSession
 
@@ -15,24 +14,26 @@ import org.apache.spark.sql.SparkSession
   *    hand out persisted DataFrames bound to the wrong — possibly
   *    stopped — session;
   *  - **eviction**: every access sweeps entries whose owning session
-  *    has been garbage-collected or stopped, so persisted blocks are
-  *    not pinned for the JVM lifetime after a session ends.
+  *    has been STOPPED, so persisted blocks are not pinned for the JVM
+  *    lifetime after a session ends. (A cached DataFrame strongly
+  *    references its session, so GC can never collect an un-stopped
+  *    owner while its entry lives — `stop()` is the eviction signal,
+  *    which is also the only point its persisted blocks are freed.)
   */
 final class SessionCache[V] {
 
-  private val m = new ConcurrentHashMap[String, (WeakReference[SparkSession], V)]()
+  private val m = new ConcurrentHashMap[String, (SparkSession, V)]()
 
   def getOrCompute(s: SparkSession, dataset: String)(f: => V): V = {
     sweep()
     m.computeIfAbsent(SessionCache.sessionId(s) + "|" + dataset,
-      _ => (new WeakReference(s), f))._2
+      _ => (s, f))._2
   }
 
   private def sweep(): Unit = {
     val it = m.entrySet().iterator()
     while (it.hasNext) {
-      val owner = it.next().getValue._1.get
-      if (owner == null || owner.sparkContext.isStopped) it.remove()
+      if (it.next().getValue._1.sparkContext.isStopped) it.remove()
     }
   }
 }

@@ -26,7 +26,20 @@ object LobbyingPipeline {
       childDocs: Long)
 
   private def childKey(df: DataFrame): DataFrame = {
-    val js = to_json(struct(df.columns.map(col): _*))
+    // identity rendering: every column EXCEPT the volatile ingest
+    // timestamp (context.last_indexed). A replay of the same filings
+    // at a LATER runTs must produce the same key set — hashing the
+    // timestamp would turn every periodic re-fetch into a full
+    // duplicate insert of the overlap's children.
+    val identityCols: Seq[Column] = df.columns.toSeq.map {
+      case "context" =>
+        val ctx = df.schema("context").dataType
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        struct(ctx.fieldNames.toSeq.filterNot(_ == "last_indexed")
+          .map(f => col(s"context.$f").as(f)): _*).as("context")
+      case c => col(c)
+    }
+    val js = to_json(struct(identityCols: _*))
     // a filing can legitimately list the SAME item twice (the
     // reference's ES auto-ids store both) — rank equal renderings and
     // fold the ordinal into the key so duplicates survive. Ordinal

@@ -208,15 +208,28 @@ object SimOps {
     * candidate ids fetch their payload vectors for the exact cosine
     * top-k. At 100 TB the sketch table is the stored index: ids-only,
     * one shuffle to build, probes touch matching buckets only. */
+  private val lshIndexCache = new graft.SessionCache[DataFrame]
+
+  /** The (vec_id, seed, bucket) sketch rows — built once per (session,
+    * dataset) and persisted, like every other ANN index here. */
+  private def lshIndex(s: SparkSession, d: String): DataFrame =
+    lshIndexCache.getOrCompute(s, d) {
+      val seeds = Seq(7, 21)
+      val nBits = 4
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val sk = Tables.spread(emb).select(col("vec_id"),
+        explode(array(seeds.map(sd => struct(lit(sd).as("seed"),
+          Vectors.md5_hyperplane_sketch(col("embedding"), nBits, sd)
+            .as("bucket"))): _*)).as("sk"))
+        .select(col("vec_id"), col("sk.seed"), col("sk.bucket"))
+        .persist()
+      sk.count()
+      sk
+    }
+
   def annLsh(s: SparkSession, d: String): DataFrame = {
-    val seeds = Seq(7, 21)
-    val nBits = 4
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val sk = Tables.spread(emb).select(col("vec_id"),
-      explode(array(seeds.map(sd => struct(lit(sd).as("seed"),
-        Vectors.md5_hyperplane_sketch(col("embedding"), nBits, sd)
-          .as("bucket"))): _*)).as("sk"))
-      .select(col("vec_id"), col("sk.seed"), col("sk.bucket"))
+    val sk = lshIndex(s, d)
     val qb = sk.filter(col("vec_id") === 0).select(col("seed"), col("bucket"))
     val cands = sk.join(broadcast(qb), Seq("seed", "bucket"))
       .filter(col("vec_id") =!= 0)

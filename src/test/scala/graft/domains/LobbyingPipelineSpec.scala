@@ -104,6 +104,24 @@ class LobbyingPipelineSpec extends SparkFunSuite {
       .get.count() == 1)
   }
 
+  test("replay at a different runTs inserts nothing (keys are ts-independent)") {
+    val store = new DocStore(spark,
+      Files.createTempDirectory("lobreplay").toString)
+    val batch = load(
+      Seq(senateDisc("S1")), Seq(houseDisc("H1")),
+      Seq(senateContrib("SC1")), Seq(houseContrib("HC1")))
+    val s1 = LobbyingPipeline.run(spark,
+      batch(0), batch(1), batch(2), batch(3), store, runTs)
+    assert(s1 == LobbyingPipeline.Summary(1, 1, 1, 1, 4))
+    // the periodic re-fetch case: same filings, later ingest timestamp
+    val later = lit("2023-01-15").cast("timestamp")
+    val s2 = LobbyingPipeline.run(spark,
+      batch(0), batch(1), batch(2), batch(3), store, later)
+    assert(s2 == LobbyingPipeline.Summary(0, 0, 0, 0, 0))
+    assert(store.read("federal_senate_lobbying_disclosures_nested")
+      .get.count() == 1)
+  }
+
   test("identical duplicate items in one filing keep BOTH child docs") {
     val store = new DocStore(spark,
       Files.createTempDirectory("lobdup").toString)
