@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.expressions.CosineSimilarity
+
+/** Config-only injection point: `--conf
+  * spark.sql.extensions=graft.GraftExtensions` registers the engine's
+  * native Catalyst expressions in every new session with no code —
+  * the path for pure-SQL users (JDBC/Thrift, spark-sql shell).
+  * Programmatic users call [[Graft.init]] instead, which additionally
+  * registers the scalar UDF library (UDFs can't be injected here:
+  * SparkSessionExtensions carries Expression builders only).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim_native"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName,
+        "cosine_sim_native"),
+      (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1))))
+  }
+}

