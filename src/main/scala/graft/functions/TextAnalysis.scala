@@ -130,6 +130,51 @@ object TextAnalysis {
   val rollingHashUdf = udf(rollingHash64 _)
   def fingerprint_rolling(c: Column): Column = rollingHashUdf(c)
 
+  // ---------------------------------------------------------- repetition
+  // Within-document repetition signals (the Gopher/MassiveText family):
+  // a doc dominated by one repeated bigram, or whose 5-grams mostly
+  // occur more than once, is boilerplate/spam. All pure higher-order
+  // array expressions — narrow, no shuffle, scan-speed at 100 TB. The
+  // per-row cost is O(distinct-grams × grams); bounded in practice by
+  // document length, and the signals are meant for the short-to-medium
+  // docs a quality gate sees (cap inputs upstream for pathological docs).
+
+  /** Non-empty whitespace tokens (split of "" yields [""], so filter). */
+  def wordTokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => length(t) > 0)
+
+  /** All word n-grams of the token array, space-joined, in order. */
+  def wordGrams(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+
+  /** Occurrence count of each DISTINCT gram, aligned with
+    * array_distinct(grams). */
+  private def gramCounts(grams: Column): Column =
+    transform(array_distinct(grams),
+      g => size(filter(grams, x => x === g)))
+
+  /** Fraction of n-gram occurrences claimed by the single most frequent
+    * n-gram (0.0 when the doc has fewer than n tokens). */
+  def topGramFraction(toks: Column, n: Int): Column = {
+    val g = wordGrams(toks, n)
+    when(size(g) === 0, lit(0.0)).otherwise(
+      round(array_max(gramCounts(g)).cast("double") /
+        size(g).cast("double"), 6))
+  }
+
+  /** Fraction of n-gram occurrences belonging to n-grams that appear
+    * more than once in the document. */
+  def dupGramFraction(toks: Column, n: Int): Column = {
+    val g = wordGrams(toks, n)
+    val dupOcc = aggregate(
+      filter(gramCounts(g), c => c >= 2),
+      lit(0), (acc, c) => acc + c)
+    when(size(g) === 0, lit(0.0)).otherwise(
+      round(dupOcc.cast("double") / size(g).cast("double"), 6))
+  }
+
   // ----------------------------------------------------------- PII scan
   // RE2-safe patterns (no lookaround/backrefs) so the Java regex engine
   // and the DuckDB oracle match identically. Order matters in the

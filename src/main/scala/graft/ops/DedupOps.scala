@@ -379,7 +379,54 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus-wide duplicated-passage coverage — the scalable
+    * approximation of ExactSubstr dedup (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better") at a fixed gram
+    * width: any word-8-gram that occurs anywhere else in the corpus
+    * marks its 8 token positions as duplicated, and each doc reports
+    * the fraction of its token stream so covered.
+    *
+    * Plan, in shuffle terms: posexplode the grams (narrow) → one
+    * map-side-combined hash-agg on the gram to find grams with ≥2
+    * occurrences → left-semi the occurrences back (same gram key — AQE
+    * reuses the exchange) → explode each surviving occurrence into its
+    * 8 covered positions, distinct, count per doc. Keys are grams and
+    * doc ids, never payloads; at 100 TB that is ~tokens×1 rows through
+    * two key-only shuffles — no pairwise blowup anywhere (this signal
+    * deliberately avoids the O(dups²) pair table the near-dup family
+    * produces). Docs shorter than the gram width can't be flagged;
+    * they're the exact-dedup family's job. */
+  def dedupSubstr(s: SparkSession, d: String): DataFrame = {
+    val W = 8
+    val toks = Tables.spread(Tables.documents(s, d))
+      .select(col("doc_id"),
+        graft.functions.TextAnalysis.wordTokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("n_tokens"))
+    val grams = toks.select(col("doc_id"), col("n_tokens"),
+      posexplode(when(size(col("toks")) < W, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(col("toks")) - (W - 1)),
+          i => concat_ws(" ", slice(col("toks"), i, lit(W)))))))
+      .toDF("doc_id", "n_tokens", "pos", "gram")
+    val dupGrams = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2)
+      .select(col("gram"))
+    val covered = grams.join(dupGrams, Seq("gram"), "left_semi")
+      // posexplode pos is 0-based; token positions are 1-based
+      .select(col("doc_id"),
+        explode(sequence(col("pos") + 1, col("pos") + W)).as("cov"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_tokens"))
+    toks.select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .withColumn("n_dup_tokens", coalesce(col("n_dup_tokens"), lit(0L)))
+      .withColumn("dup_frac", round(col("n_dup_tokens").cast("double") /
+        greatest(col("n_tokens"), lit(1L)).cast("double"), 6))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_substr"     -> dedupSubstr _,
     "dedup_clusters"   -> dedupClusters _,
     "dedup_exact"      -> dedupExact _,
     "dedup_exact_keep" -> dedupExactKeep _,
@@ -390,6 +437,31 @@ object DedupOps {
     "dedup_embed_lsh"  -> dedupEmbedLsh _)
 
   val oracles: Map[String, String] = Map(
+    "dedup_substr" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')
+        |      AS toks
+        |  FROM documents),
+        |n AS (SELECT doc_id, len(toks) AS n_tokens, toks FROM t),
+        |o AS (
+        |  SELECT doc_id, pos, array_to_string(toks[pos:pos+7], ' ') AS gram
+        |  FROM (
+        |    SELECT doc_id, toks,
+        |      unnest(CASE WHEN n_tokens < 8 THEN []::BIGINT[]
+        |             ELSE range(1, n_tokens - 6) END) AS pos
+        |    FROM n)),
+        |dup AS (SELECT gram FROM o GROUP BY gram HAVING count(*) >= 2),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, cp FROM (
+        |    SELECT doc_id, unnest(range(pos, pos + 8)) AS cp
+        |    FROM o WHERE gram IN (SELECT gram FROM dup))),
+        |agg AS (SELECT doc_id, count(*) AS n_dup_tokens FROM cov GROUP BY doc_id)
+        |SELECT n.doc_id, CAST(n.n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(agg.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
+        |  round(CAST(coalesce(agg.n_dup_tokens, 0) AS DOUBLE)
+        |    / greatest(n.n_tokens, 1), 6) AS dup_frac
+        |FROM n LEFT JOIN agg USING (doc_id) ORDER BY n.doc_id""".stripMargin,
     // ground-truth pairs (the dedup_minhash oracle's CTEs) + recursive
     // min-label reachability = connected components
     "dedup_clusters" ->

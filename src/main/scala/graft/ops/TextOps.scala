@@ -79,7 +79,26 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Within-doc repetition signals (the Gopher/MassiveText gates):
+    * fraction of bigram/trigram occurrences claimed by the most
+    * frequent one, and the fraction of 5-gram occurrences that are
+    * repeats. Pure higher-order array expressions — narrow map, no
+    * shuffle; at 100 TB this is scan-speed beside the other quality
+    * gates. */
+  def textRepetition(s: SparkSession, d: String): DataFrame = {
+    val toks = TextAnalysis.wordTokens(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        TextAnalysis.topGramFraction(col("toks"), 2).as("top2_frac"),
+        TextAnalysis.topGramFraction(col("toks"), 3).as("top3_frac"),
+        TextAnalysis.dupGramFraction(col("toks"), 5).as("dup5_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_repetition"       -> textRepetition _,
     "text_pii"              -> textPii _,
     "text_tokens"           -> textTokens _,
     "text_quality"          -> textQuality _,
@@ -88,6 +107,42 @@ object TextOps {
     "text_fingerprint_roll" -> textFingerprintRoll _)
 
   val oracles: Map[String, String] = Map(
+    "text_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')
+        |      AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, len(toks) AS n_toks,
+        |    CASE WHEN len(toks) < 2 THEN []::VARCHAR[] ELSE
+        |      list_transform(range(1, len(toks)),
+        |        i -> array_to_string(toks[i:i+1], ' ')) END AS g2,
+        |    CASE WHEN len(toks) < 3 THEN []::VARCHAR[] ELSE
+        |      list_transform(range(1, len(toks) - 1),
+        |        i -> array_to_string(toks[i:i+2], ' ')) END AS g3,
+        |    CASE WHEN len(toks) < 5 THEN []::VARCHAR[] ELSE
+        |      list_transform(range(1, len(toks) - 3),
+        |        i -> array_to_string(toks[i:i+4], ' ')) END AS g5
+        |  FROM t),
+        |c AS (
+        |  SELECT doc_id, n_toks, g2, g3, g5,
+        |    list_transform(list_distinct(g2),
+        |      d -> len(list_filter(g2, x -> x = d))) AS c2,
+        |    list_transform(list_distinct(g3),
+        |      d -> len(list_filter(g3, x -> x = d))) AS c3,
+        |    list_transform(list_distinct(g5),
+        |      d -> len(list_filter(g5, x -> x = d))) AS c5
+        |  FROM g)
+        |SELECT doc_id, CAST(n_toks AS BIGINT) AS n_tokens,
+        |  CASE WHEN len(g2) = 0 THEN 0.0 ELSE
+        |    round(CAST(list_max(c2) AS DOUBLE) / len(g2), 6) END AS top2_frac,
+        |  CASE WHEN len(g3) = 0 THEN 0.0 ELSE
+        |    round(CAST(list_max(c3) AS DOUBLE) / len(g3), 6) END AS top3_frac,
+        |  CASE WHEN len(g5) = 0 THEN 0.0 ELSE
+        |    round(CAST(coalesce(list_sum(list_filter(c5, x -> x >= 2)), 0)
+        |      AS DOUBLE) / len(g5), 6) END AS dup5_frac
+        |FROM c ORDER BY doc_id""".stripMargin,
     "text_pii" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text,

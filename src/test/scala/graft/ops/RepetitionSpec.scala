@@ -1,0 +1,78 @@
+package graft.ops
+
+import graft.SparkFunSuite
+import java.nio.file.Files
+
+/** Semantic properties of the within-doc repetition signals and the
+  * corpus-wide duplicated-passage coverage on injected fixtures (the
+  * synthetic corpus has no within-doc repetition — dup5_frac is 0.0
+  * across all 500 docs — so the catalog rows alone can't prove the
+  * positive cases). */
+class RepetitionSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  private val shared =
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("repspec").toString
+    Seq(
+      (1L, "spam spam spam spam spam spam spam spam spam spam"),
+      (2L, "one two three four five six seven eight nine ten"),
+      (3L, "hi"),
+      (4L, ""),
+      (10L, s"unique1 unique2 $shared"),           // shared 10-token passage
+      (11L, s"x1 x2 x3 $shared"),                  // same passage, other host
+      (12L, "entirely fresh words never repeated anywhere in this corpus today"),
+      (13L, "entirely fresh words never repeated anywhere in this corpus today"))
+      .map { case (id, t) => (id, t, "en", "fix", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  private def repRow(id: Long) =
+    TextOps.textRepetition(spark, dir).filter($"doc_id" === id).head()
+
+  test("a one-word-spam doc maxes every repetition signal") {
+    val r = repRow(1L)
+    assert(r.getAs[Long]("n_tokens") == 10L)
+    assert(r.getAs[Double]("top2_frac") == 1.0) // all 9 bigrams identical
+    assert(r.getAs[Double]("top3_frac") == 1.0)
+    assert(r.getAs[Double]("dup5_frac") == 1.0) // every 5-gram repeats
+  }
+
+  test("an all-distinct doc has uniform top fractions and no dup 5-grams") {
+    val r = repRow(2L)
+    assert(r.getAs[Double]("top2_frac") == 0.111111) // 1 of 9
+    assert(r.getAs[Double]("top3_frac") == 0.125)    // 1 of 8
+    assert(r.getAs[Double]("dup5_frac") == 0.0)
+  }
+
+  test("docs shorter than the gram width score 0.0, not null") {
+    for (id <- Seq(3L, 4L)) {
+      val r = repRow(id)
+      assert(r.getAs[Double]("top2_frac") == 0.0)
+      assert(r.getAs[Double]("dup5_frac") == 0.0)
+    }
+    assert(repRow(4L).getAs[Long]("n_tokens") == 0L)
+  }
+
+  test("dedup_substr covers exactly the cross-doc shared passage") {
+    val rows = DedupOps.dedupSubstr(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_dup_tokens"), r.getAs[Double]("dup_frac"))).toMap
+    // the 10-token shared run is covered in both hosts; the unique
+    // prefixes are not (their 8-grams mix unique + shared tokens)
+    assert(rows(10L) == (10L, 0.833333)) // 10 of 12
+    assert(rows(11L) == (10L, 0.769231)) // 10 of 13
+    // exact copies cover everything; spam self-repetition too (its
+    // 8-grams all collide with each other)
+    assert(rows(12L)._2 == 1.0 && rows(13L)._2 == 1.0)
+    assert(rows(1L)._2 == 1.0)
+    // all-distinct docs and short docs are never flagged
+    assert(rows(2L) == (0L, 0.0))
+    assert(rows(3L) == (0L, 0.0))
+    assert(rows(4L) == (0L, 0.0))
+  }
+}
