@@ -55,7 +55,7 @@ object DedupOps {
     * once over the corpus, only ids ride the shuffle, and a bucket
     * self-join (double scan + window sort for the cap) never happens.
     * Output columns: (aName, bName) with a < b. */
-  private def cappedBucketPairs(bucketed: DataFrame, bucketCols: Seq[String],
+  private[ops] def cappedBucketPairs(bucketed: DataFrame, bucketCols: Seq[String],
       idCol: String, aName: String, bName: String): DataFrame =
     bucketed.groupBy(bucketCols.map(col): _*)
       .agg(slice(sort_array(collect_list(col(idCol))), 1, maxBucketSize)
@@ -321,6 +321,40 @@ object DedupOps {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** SemDeDup-style semantic dedup: partition the embedding space with
+    * the deterministic IVF coarse quantizer ([[SimOps.ivfIndex]] — the
+    * same memoized index ANN probes), then prune, within each cell, any
+    * vector that has a lower-id cell-mate with cosine ≥ 0.4. Emits the
+    * full keep/prune decision per vector.
+    *
+    * Scale: this is the SemDeDup recipe exactly — pairwise cosine never
+    * crosses a cell, and nlist grows with the corpus so cells stay
+    * bounded; the capped posting list (smallest 64 ids per cell, the
+    * shared LSH idiom) hard-bounds a degenerate cell at O(cap²) pairs.
+    * The oracle replays quantizer, cap, and prune rule bit-exactly. */
+  def dedupSemantic(s: SparkSession, d: String): DataFrame = {
+    val (_, assigned) = SimOps.ivfIndex(s, d)
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val pairs = cappedBucketPairs(
+      assigned.select(col("centroid_id"), col("vec_id")),
+      Seq("centroid_id"), "vec_id", "vec_a", "vec_b")
+    val pruned = pairs
+      .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")),
+        Seq("vec_a"))
+      .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")),
+        Seq("vec_b"))
+      .filter(round(CosineSimilarity.cosine_native(s,
+        col("emb_a"), col("emb_b")), 6) >= 0.4)
+      .select(col("vec_b").as("vec_id")).distinct()
+      .withColumn("is_pruned", lit(1))
+    assigned
+      .join(pruned, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        col("centroid_id").cast("int").as("cluster_id"),
+        col("is_pruned").isNull.cast("int").as("keep"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Cluster assignment over the verified near-dup pairs — what a
     * production pipeline DOES with pairs: connected components, one
     * canonical doc kept per component. Pregel-style iterative
@@ -426,6 +460,7 @@ object DedupOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_semantic"   -> dedupSemantic _,
     "dedup_substr"     -> dedupSubstr _,
     "dedup_clusters"   -> dedupClusters _,
     "dedup_exact"      -> dedupExact _,
@@ -437,6 +472,50 @@ object DedupOps {
     "dedup_embed_lsh"  -> dedupEmbedLsh _)
 
   val oracles: Map[String, String] = Map(
+    // exact replay of the SemDeDup pipeline: sampled IVF quantizer
+    // (lowest md5(vec_id) = centroids, nearest-centroid assignment,
+    // ties to the lower centroid id — the ann_ivf CTEs), capped cell
+    // posting (64 smallest ids), within-cell prune of any vector with
+    // a lower-id τ-similar cell-mate
+    "dedup_semantic" ->
+      """WITH seeds AS (
+        |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+        |      AS centroid_id,
+        |    embedding AS centroid
+        |  FROM embeddings
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        |assign AS (
+        |  SELECT vec_id, embedding, centroid_id FROM (
+        |    SELECT e.vec_id, e.embedding, s.centroid_id,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |            i -> CAST(e.embedding[i] AS DOUBLE) * CAST(s.centroid[i] AS DOUBLE)))
+        |          / (sqrt(list_sum(list_transform(e.embedding,
+        |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |           * sqrt(list_sum(list_transform(s.centroid,
+        |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) DESC,
+        |        s.centroid_id ASC) AS rn
+        |    FROM embeddings e CROSS JOIN seeds s) WHERE rn = 1),
+        |m AS (
+        |  SELECT vec_id, embedding, centroid_id,
+        |    row_number() OVER (PARTITION BY centroid_id ORDER BY vec_id) AS rk
+        |  FROM assign),
+        |pruned AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM m a JOIN m b
+        |    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+        |  WHERE a.rk <= 64 AND b.rk <= 64
+        |    AND round(
+        |      list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |        / (sqrt(list_sum(list_transform(a.embedding,
+        |            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(b.embedding,
+        |            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) >= 0.4)
+        |SELECT a.vec_id, CAST(a.centroid_id AS INTEGER) AS cluster_id,
+        |  CAST(CASE WHEN p.vec_id IS NULL THEN 1 ELSE 0 END AS INTEGER) AS keep
+        |FROM assign a LEFT JOIN pruned p USING (vec_id)
+        |ORDER BY a.vec_id""".stripMargin,
     "dedup_substr" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -58,6 +58,29 @@ class RepetitionSpec extends SparkFunSuite {
     assert(repRow(4L).getAs[Long]("n_tokens") == 0L)
   }
 
+  test("dedup_semantic prunes the higher id of an identical vector pair") {
+    val d = Files.createTempDirectory("semded").toString
+    // identical vectors tie on every centroid similarity, so they land
+    // in the same IVF cell no matter which sampled vectors become
+    // centroids — the one fixture shape robust to the md5 sample
+    // 24-dim one-hot fillers: every non-dup pair is exactly orthogonal,
+    // so the only τ-similar pair in ANY cell is the duplicate pair
+    def oneHot(dim: Int): Array[Float] =
+      Array.tabulate(24)(j => if (j == dim) 1f else 0f)
+    val dup = Array.tabulate(24)(j =>
+      if (j == 21) 0.6f else if (j == 22) 0.8f else 0f)
+    val emb = Seq(100L -> dup, 101L -> dup, 102L -> oneHot(20)) ++
+      (1L to 17L).map(i => i -> oneHot(i.toInt - 1))
+    emb.map { case (id, v) => (id, v, 0) }
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$d/embeddings.parquet")
+    val rows = DedupOps.dedupSemantic(spark, d).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("keep")).toMap
+    assert(rows(100L) == 1 && rows(101L) == 0) // lower id survives
+    assert(rows(102L) == 1)                    // singleton cell untouched
+    assert(rows.size == 20 && rows.values.sum >= 18)
+  }
+
   test("dedup_substr covers exactly the cross-doc shared passage") {
     val rows = DedupOps.dedupSubstr(spark, dir)
       .collect().map(r => r.getAs[Long]("doc_id") ->
