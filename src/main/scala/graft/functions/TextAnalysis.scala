@@ -130,6 +130,30 @@ object TextAnalysis {
   val rollingHashUdf = udf(rollingHash64 _)
   def fingerprint_rolling(c: Column): Column = rollingHashUdf(c)
 
+  // ------------------------------------------------------- normalization
+
+  /** Unicode accent folding: NFD-decompose, drop combining marks —
+    * the JVM twin of DuckDB/ICU `strip_accents` on Latin text. A
+    * genuinely algorithmic scalar (Unicode tables), so a JVM function
+    * rather than built-ins; everything around it stays codegen'd. */
+  def stripAccents(text: String): String = {
+    if (text == null) null
+    else java.text.Normalizer
+      .normalize(text, java.text.Normalizer.Form.NFD)
+      .replaceAll("\\p{M}+", "")
+  }
+
+  val stripAccentsUdf = udf(stripAccents _)
+  def strip_accents(c: Column): Column = stripAccentsUdf(c)
+
+  /** Whitespace-collapsed form (the exact-dedup normalization). */
+  def norm_ws(text: Column): Column =
+    regexp_replace(trim(text), "\\s+", " ")
+
+  /** Lowercased alphanumeric-only form (the shingling normalization). */
+  def norm_alnum(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
   // ---------------------------------------------------------- repetition
   // Within-document repetition signals (the Gopher/MassiveText family):
   // a doc dominated by one repeated bigram, or whose 5-grams mostly

@@ -97,7 +97,69 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Canonical text forms every downstream stage keys on: whitespace-
+    * collapsed (exact dedup), lowercase alphanumeric (shingling), and
+    * accent-folded (matching/joins). Narrow map; the only non-builtin
+    * is the Unicode fold, and the corpus being ASCII means the oracle
+    * hash-checks the plumbing while FunctionsSpec proves the fold on
+    * real diacritics. */
+  def textNormalize(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        TextAnalysis.norm_ws(col("text")).as("norm_ws"),
+        TextAnalysis.norm_alnum(col("text")).as("norm_alnum"),
+        TextAnalysis.strip_accents(lower(
+          TextAnalysis.norm_ws(col("text")))).as("norm_ascii"))
+      .orderBy(col("doc_id"))
+
+  /** The dataset-card funnel: one pass computes every doc's cumulative
+    * survival through the standard pre-training gates (nonempty →
+    * target language → quality ≥ 0.2 → token bounds → exact-unique),
+    * then ONE hash-agg folds the flags into per-stage counts and an
+    * unpivot presents them as rows. Zero per-stage scans: at 100 TB
+    * this costs a single corpus read + a window on the fingerprint
+    * (needed only for the final dedup stage). */
+  def filterFunnel(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = TextAnalysis.token_count_ws(col("text"))
+    val s2 = length(trim(col("text"))) > 0
+    val s3 = s2 && col("lang") === "en"
+    val s4 = s3 && TextAnalysis.quality_score(col("text")) >= 0.2
+    val s5 = s4 && toks.between(20, 5000)
+    val flagged = Tables.documents(s, d)
+      .withColumn("s2", s2).withColumn("s3", s3)
+      .withColumn("s4", s4).withColumn("s5", s5)
+      .withColumn("fp", TextAnalysis.fingerprint_md5(col("text")))
+    // survivor-min per fingerprint: the doc that represents its content
+    // among stage-5 survivors (null when no survivor has this fp)
+    val minSurvivor = min(when(col("s5"), col("doc_id")))
+      .over(Window.partitionBy(col("fp")))
+    val counts = flagged
+      .withColumn("s6", col("s5") && col("doc_id") === minSurvivor)
+      .agg(
+        count(lit(1)).as("n1"),
+        sum(col("s2").cast("long")).as("n2"),
+        sum(col("s3").cast("long")).as("n3"),
+        sum(col("s4").cast("long")).as("n4"),
+        sum(col("s5").cast("long")).as("n5"),
+        sum(col("s6").cast("long")).as("n6"))
+    counts.select(explode(array(
+        struct(lit(1).as("stage_idx"), lit("total").as("stage"), col("n1").as("n_docs")),
+        struct(lit(2).as("stage_idx"), lit("nonempty").as("stage"), col("n2").as("n_docs")),
+        struct(lit(3).as("stage_idx"), lit("lang_en").as("stage"), col("n3").as("n_docs")),
+        struct(lit(4).as("stage_idx"), lit("quality").as("stage"), col("n4").as("n_docs")),
+        struct(lit(5).as("stage_idx"), lit("token_range").as("stage"), col("n5").as("n_docs")),
+        struct(lit(6).as("stage_idx"), lit("exact_unique").as("stage"), col("n6").as("n_docs"))))
+        .as("r"), col("n1"))
+      .select(col("r.stage_idx"), col("r.stage"), col("r.n_docs"),
+        round(col("r.n_docs").cast("double") /
+          greatest(col("n1"), lit(1L)).cast("double"), 6).as("retained_frac"))
+      .orderBy(col("stage_idx"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_normalize"        -> textNormalize _,
+    "filter_funnel"         -> filterFunnel _,
     "text_repetition"       -> textRepetition _,
     "text_pii"              -> textPii _,
     "text_tokens"           -> textTokens _,
@@ -107,6 +169,65 @@ object TextOps {
     "text_fingerprint_roll" -> textFingerprintRoll _)
 
   val oracles: Map[String, String] = Map(
+    "text_normalize" ->
+      """SELECT doc_id,
+        |  regexp_replace(trim(text), '\s+', ' ', 'g') AS norm_ws,
+        |  trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+        |    AS norm_alnum,
+        |  strip_accents(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+        |    AS norm_ascii
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "filter_funnel" ->
+      """WITH f AS (
+        |  SELECT doc_id, lang,
+        |    length(trim(text)) > 0 AS s2,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_words,
+        |    len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+        |    length(text) AS n_chars2,
+        |    len(regexp_extract_all(lower(text),
+        |      '\b(the|a|an|of|to|in|and|is|it|that|for|on|was|with|as|at|be|this|are|or)\b'))
+        |      AS n_stop
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, fp, s2,
+        |    s2 AND lang = 'en' AS s3,
+        |    s2 AND lang = 'en' AND
+        |      round(least(CAST(n_words AS DOUBLE) / 20.0, 1.0)
+        |        * least(round(CAST(n_stop AS DOUBLE) / greatest(n_words, 1), 6) * 4.0, 1.0)
+        |        * greatest(0.0, 1.0 - round(CAST(n_punct AS DOUBLE) / greatest(n_chars2, 1), 6) * 4.0), 6)
+        |        >= 0.2 AS s4,
+        |    n_words AS n_words
+        |  FROM f),
+        |h AS (
+        |  SELECT doc_id, fp, s2, s3, s4,
+        |    s4 AND n_words BETWEEN 20 AND 5000 AS s5
+        |  FROM g),
+        |i AS (
+        |  SELECT *,
+        |    s5 AND doc_id = min(CASE WHEN s5 THEN doc_id END)
+        |      OVER (PARTITION BY fp) AS s6
+        |  FROM h),
+        |c AS (
+        |  SELECT count(*) AS n1,
+        |    count(*) FILTER (s2) AS n2, count(*) FILTER (s3) AS n3,
+        |    count(*) FILTER (s4) AS n4, count(*) FILTER (s5) AS n5,
+        |    count(*) FILTER (s6) AS n6
+        |  FROM i)
+        |SELECT 1 AS stage_idx, 'total' AS stage, n1 AS n_docs,
+        |  round(CAST(n1 AS DOUBLE) / greatest(n1, 1), 6) AS retained_frac FROM c
+        |UNION ALL SELECT 2, 'nonempty', n2,
+        |  round(CAST(n2 AS DOUBLE) / greatest(n1, 1), 6) FROM c
+        |UNION ALL SELECT 3, 'lang_en', n3,
+        |  round(CAST(n3 AS DOUBLE) / greatest(n1, 1), 6) FROM c
+        |UNION ALL SELECT 4, 'quality', n4,
+        |  round(CAST(n4 AS DOUBLE) / greatest(n1, 1), 6) FROM c
+        |UNION ALL SELECT 5, 'token_range', n5,
+        |  round(CAST(n5 AS DOUBLE) / greatest(n1, 1), 6) FROM c
+        |UNION ALL SELECT 6, 'exact_unique', n6,
+        |  round(CAST(n6 AS DOUBLE) / greatest(n1, 1), 6) FROM c
+        |ORDER BY stage_idx""".stripMargin,
     "text_repetition" ->
       """WITH t AS (
         |  SELECT doc_id,

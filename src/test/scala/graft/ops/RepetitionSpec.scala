@@ -58,6 +58,27 @@ class RepetitionSpec extends SparkFunSuite {
     assert(repRow(4L).getAs[Long]("n_tokens") == 0L)
   }
 
+  test("filter_funnel stages are monotone and count the fixture exactly") {
+    val rows = TextOps.filterFunnel(spark, dir).collect()
+      .map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_docs")).toMap
+    assert(rows("total") == 8L)
+    assert(rows("nonempty") == 7L) // doc 4 is empty
+    // every stage retains no more than the previous one
+    val ordered = TextOps.filterFunnel(spark, dir).collect()
+      .sortBy(_.getAs[Int]("stage_idx")).map(_.getAs[Long]("n_docs"))
+    assert(ordered.zip(ordered.tail).forall { case (a, b) => b <= a })
+    // all fixture docs are under the 20-token floor
+    assert(rows("token_range") == 0L && rows("exact_unique") == 0L)
+  }
+
+  test("accent folding matches the ICU behavior on real diacritics") {
+    import graft.functions.TextAnalysis
+    assert(TextAnalysis.stripAccents("café Ünïcödé naïve") == "cafe Unicode naive")
+    assert(TextAnalysis.stripAccents("São Paulo, Ångström") == "Sao Paulo, Angstrom")
+    assert(TextAnalysis.stripAccents(null) == null)
+    assert(TextAnalysis.stripAccents("plain ascii") == "plain ascii")
+  }
+
   test("dedup_semantic prunes the higher id of an identical vector pair") {
     val d = Files.createTempDirectory("semded").toString
     // identical vectors tie on every centroid similarity, so they land
