@@ -160,6 +160,47 @@ object TrainOps {
       .orderBy("doc_id")
   }
 
+  /** Temperature-scaled source mixing: per-source budgets B_s ∝ n_s^α
+    * with α = 0.5 — the multilingual-LM temperature knob that
+    * up-weights small sources relative to proportional sampling — then
+    * the [[mixBudget]] running-sum cut inside each source. Two corpus
+    * aggregates + one per-source window; the per-source stat table is
+    * tiny and broadcasts.
+    *
+    * Cross-engine determinism: sqrt is IEEE-correctly-rounded in both
+    * engines, 0.5·total is a power-of-two multiply, and the weight
+    * denominator folds over a source-name-SORTED array so the
+    * summation order (hence the last ulp) is pinned. */
+  def mixTemperature(s: SparkSession, d: String): DataFrame = {
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.token_count_bpe(col("text")).cast("bigint")
+          .as("n_tokens"))
+    val stats = t.groupBy("source")
+      .agg(sum("n_tokens").as("src_tokens"))
+      .withColumn("w", sqrt(col("src_tokens").cast("double")))
+    val denom = stats
+      .agg(array_sort(collect_list(struct(col("source"), col("w"))))
+          .as("ws"),
+        sum(col("src_tokens")).as("total_tokens"))
+      .select(
+        aggregate(expr("transform(ws, x -> x.w)"), lit(0.0),
+          (a, b) => a + b).as("denom"),
+        floor(col("total_tokens").cast("double") * 0.5).as("b_total"))
+    val budgets = stats.crossJoin(broadcast(denom))
+      .select(col("source"),
+        floor(col("b_total") * col("w") / col("denom")).cast("bigint")
+          .as("budget_tokens"))
+    val w = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.withColumn("cum_tokens", sum("n_tokens").over(w))
+      .join(broadcast(budgets), Seq("source"))
+      .filter(col("cum_tokens") <= col("budget_tokens"))
+      .select("doc_id", "source", "n_tokens", "cum_tokens", "budget_tokens")
+      .orderBy("doc_id")
+  }
+
   /** Corpus-unigram-LM quality score (perplexity-style filter): train
     * a unigram model on the corpus itself (token relative frequencies)
     * and score each doc by its mean negative log-likelihood — low =
@@ -241,6 +282,7 @@ object TrainOps {
     "text_contaminated"  -> textContaminated _,
     "sample_stratified"  -> sampleStratified _,
     "mix_budget"         -> mixBudget _,
+    "mix_temperature"    -> mixTemperature _,
     "text_unigram_lm"    -> textUnigramLm _,
     "corpus_stats"       -> corpusStats _,
     "emb_outliers"       -> embOutliers _)
@@ -329,6 +371,37 @@ object TrainOps {
         |  FROM t)
         |SELECT doc_id, source, n_tokens, cum_tokens FROM r
         |WHERE cum_tokens <= 1024 ORDER BY doc_id""".stripMargin,
+    // temperature mixing: sqrt weights are correctly-rounded IEEE in
+    // both engines; the denominator folds over a source-sorted list
+    // (list_reduce is left-to-right, as is Spark's aggregate with a
+    // 0.0 seed) so the FP sum is bit-identical
+    "mix_temperature" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, source, $bpeTokens AS n_tokens FROM documents),
+        |s AS (SELECT source, sum(n_tokens) AS src_tokens FROM t GROUP BY source),
+        |ws AS (SELECT source, sqrt(CAST(src_tokens AS DOUBLE)) AS w FROM s),
+        |d AS (
+        |  SELECT
+        |    list_reduce(list_transform(
+        |      list_sort(list(struct_pack(source := source, w := w))),
+        |      x -> x.w), (a, b) -> a + b) AS denom,
+        |    floor(CAST((SELECT sum(src_tokens) FROM s) AS DOUBLE) * 0.5)
+        |      AS b_total
+        |  FROM ws),
+        |b AS (
+        |  SELECT source, CAST(floor(d.b_total * ws.w / d.denom) AS BIGINT)
+        |    AS budget_tokens
+        |  FROM ws, d),
+        |r AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_tokens
+        |  FROM t)
+        |SELECT doc_id, source, n_tokens, cum_tokens, budget_tokens
+        |FROM r JOIN b USING (source)
+        |WHERE cum_tokens <= budget_tokens ORDER BY doc_id""".stripMargin,
     "text_unigram_lm" ->
       """WITH toks AS (
         |  SELECT doc_id, UNNEST(list_filter(

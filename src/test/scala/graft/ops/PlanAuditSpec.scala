@@ -85,6 +85,43 @@ class PlanAuditSpec extends SparkFunSuite {
     assert(range.contains("HashJoin") || range.contains("SortMergeJoin"))
   }
 
+  test("repetition gates are shuffle-free; funnel scans the corpus once") {
+    // everything before the presentation sort is a narrow projection:
+    // under count() the only Exchange left is the final single-partition
+    // gather of the global aggregate
+    val rep = plan(TextOps.textRepetition(spark, sfDir).groupBy().count())
+    assert(rep.linesIterator.count(_.contains("Exchange")) == 1,
+      "text_repetition shuffled before the aggregate")
+    // funnel: exactly one documents scan feeds all six stages
+    val fun = plan(TextOps.filterFunnel(spark, sfDir))
+    assert(fun.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("documents")) == 1,
+      "filter_funnel re-scans the corpus per stage")
+  }
+
+  test("semantic dedup and passage coverage stay window- and NLJ-free") {
+    // the pair-generation idiom itself: one hash-agg shuffle, no window
+    // sort, no nested loop (the IVF lineage inside dedup_semantic's plan
+    // legitimately prints the 16-row centroid window/cross several times
+    // through cached-plan nodes, so assert the idiom in isolation)
+    val bucketed = spark.range(100)
+      .select((col("id") % 10).as("b"), col("id")).toDF("b", "id")
+    val pairPlan = plan(
+      DedupOps.cappedBucketPairs(bucketed, Seq("b"), "id", "pa", "pb"))
+    assert(!pairPlan.contains("Window"), "cap degraded to a window sort")
+    assert(!pairPlan.contains("NestedLoop"))
+    assert(pairPlan.linesIterator.count(_.contains("Exchange")) == 1,
+      "pair generation should be exactly one hash-agg shuffle")
+    // the semantic entry reuses the memoized IVF index, not a rebuild
+    SimOps.ivfIndex(spark, sfDir) // ensure built (persist is lazy until first use)
+    val sem = plan(DedupOps.dedupSemantic(spark, sfDir))
+    assert(sem.contains("InMemoryTableScan"),
+      "dedup_semantic rebuilt the IVF index instead of reusing it")
+    val sub = plan(DedupOps.dedupSubstr(spark, sfDir))
+    assert(!sub.contains("NestedLoop"))
+    assert(!sub.contains("Window"))
+  }
+
   test("partitioned table prunes partitions at scan time") {
     val dir = Files.createTempDirectory("ptab").toString + "/t"
     val df = graft.Tables.orders(spark, sfDir)

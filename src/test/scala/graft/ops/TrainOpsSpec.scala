@@ -111,6 +111,31 @@ class TrainOpsSpec extends SparkFunSuite {
     }
   }
 
+  test("temperature mixing up-weights the small source vs proportional") {
+    val d2 = Files.createTempDirectory("mixtemp").toString
+    // big source: 40 docs of ~12 tokens; small source: 4 docs of same
+    // shape — proportional sampling would give small ~9% of the mix,
+    // sqrt temperature lifts it toward sqrt(4/40) ≈ 24%
+    val docs = (1L to 40L).map(i =>
+      (i, s"alpha beta gamma delta epsilon word$i tail tokens here now", "big")) ++
+      (101L to 104L).map(i =>
+        (i, s"omega psi chi phi upsilon word$i tail tokens here now", "small"))
+    docs.map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d2/documents.parquet")
+    val out = TrainOps.mixTemperature(spark, d2).collect()
+    val bySrc = out.groupBy(_.getAs[String]("source"))
+      .view.mapValues(_.map(_.getAs[Long]("n_tokens")).sum).toMap
+    val smallShare = bySrc.getOrElse("small", 0L).toDouble /
+      (bySrc.values.sum.toDouble max 1.0)
+    assert(smallShare > 0.15, s"small source share $smallShare not lifted")
+    // budgets respected: cum_tokens never exceeds budget_tokens
+    out.foreach { r =>
+      assert(r.getAs[Long]("cum_tokens") <= r.getAs[Long]("budget_tokens"))
+    }
+    assert(out.nonEmpty)
+  }
+
   test("unigram LM scores common-token docs below rare-token docs") {
     val scores = TrainOps.textUnigramLm(spark, dir)
       .select("doc_id", "avg_neg_logp").as[(Long, Double)].collect().toMap
