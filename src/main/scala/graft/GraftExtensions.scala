@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.expressions.CosineSimilarity
+import graft.functions.expressions.{CosineSimilarity, MinHashBandKeys, SimHash64}
 
 /** Config-only injection point: `--conf
   * spark.sql.extensions=graft.GraftExtensions` registers the engine's
@@ -20,5 +20,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSimilarity].getName,
         "cosine_sim_native"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_bands_native"),
+      new ExpressionInfo(classOf[MinHashBandKeys].getName,
+        "minhash_bands_native"),
+      (exprs: Seq[Expression]) => MinHashBandKeys(exprs.head, 64, 16)))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64_native"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64_native"),
+      (exprs: Seq[Expression]) => SimHash64(exprs.head)))
   }
 }

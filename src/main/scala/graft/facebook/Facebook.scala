@@ -4,7 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.graph.GraphStore
-import graft.functions.{Dates, SimHash}
+import graft.functions.Dates
+import graft.functions.expressions.SimHash64
 
 /** Facebook ads pipeline (SURVEY G10, A8, F12): ad docs → graph with
   * message identity (sha512, simhash64), EST day attribution, and the
@@ -96,7 +97,8 @@ object Facebook {
     adsDf.filter(col("ad_creative_body").isNotNull)
       .select(col("id"),
         sha2(col("ad_creative_body"), 512).as("sha512"),
-        SimHash.simhash(col("ad_creative_body")).cast("string").as("simhash"))
+        SimHash64.simhash_native(adsDf.sparkSession, col("ad_creative_body"))
+          .cast("string").as("simhash"))
 
   /** G10: load ads/messages/pages/buyers/days/states into the store
     * (`cypher.py:8-86`, F20 upper-trim entity normalization). */

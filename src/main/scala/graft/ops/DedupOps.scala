@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
-import graft.functions.{MinHash, SimHash, TextAnalysis, Vectors}
-import graft.functions.expressions.CosineSimilarity
+import graft.functions.{SimHash, TextAnalysis, Vectors}
+import graft.functions.expressions.{CosineSimilarity, MinHashBandKeys, SimHash64}
 
 /** Deduplication operators over the `documents` / `embeddings` tables:
   * exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine.
@@ -71,11 +71,12 @@ object DedupOps {
     * jaccard >= 0.5, doc_a < doc_b. */
   def dedupMinhash(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-    // signature is the compute-heavy stage — spread the scan first
+    // signature is the compute-heavy stage — spread the scan first; the
+    // fused native expression computes text → band keys in one codegen
+    // step (no UDF boundary, no boxed intermediate signature)
     val banded = Tables.spread(docs)
       .select(col("doc_id"),
-        explode(MinHash.band_keys(
-          MinHash.minhash_signature(col("text")), lshBands)).as("bucket"))
+        explode(MinHashBandKeys.bands_native(s, col("text"))).as("bucket"))
     // Pair generation in ONE aggregation pass: collect the (capped,
     // sorted) member ids per bucket, explode the within-bucket
     // combinations. A bucket self-join would scan `banded` twice —
@@ -176,7 +177,7 @@ object DedupOps {
     * hamming distance <= 6. */
   def dedupSimhash(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.spread(Tables.documents(s, d))
-      .select(col("doc_id"), SimHash.simhash(col("text")).as("sh"))
+      .select(col("doc_id"), SimHash64.simhash_native(s, col("text")).as("sh"))
     val chunks = docs.select(col("doc_id"), col("sh"),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("chunk_id"),

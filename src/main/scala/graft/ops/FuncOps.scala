@@ -3,7 +3,8 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.{Bias, Dates, Names, SimHash, Urls, Zips}
+import graft.functions.{Bias, Dates, Names, Urls, Zips}
+import graft.functions.expressions.SimHash64
 
 /** Scalar-function operators (SURVEY §2.8) exercised over the testdata
   * tables with synthesized inputs, each with a DuckDB oracle (the JVM
@@ -174,7 +175,7 @@ object FuncOps {
     Tables.documents(s, d)
       .select(col("doc_id"),
         sha2(col("text"), 256).as("sha"),
-        SimHash.simhash(col("text")).as("simhash"))
+        SimHash64.simhash_native(s, col("text")).as("simhash"))
       .orderBy(col("doc_id"))
 
   /** F17: tweet-text flatten — collapse newline runs to one space. */

@@ -119,17 +119,25 @@ object TextOps {
     * unpivot presents them as rows. Zero per-stage scans: at 100 TB
     * this costs a single corpus read + a window on the fingerprint
     * (needed only for the final dedup stage). */
-  def filterFunnel(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** The cumulative stage flags s2..s5 + content fingerprint — shared
+    * by the batch funnel and the streaming intake
+    * ([[graft.streaming.FunnelIntake]]), so both paths gate with
+    * literally the same expressions. */
+  def funnelFlags(docs: DataFrame): DataFrame = {
     val toks = TextAnalysis.token_count_ws(col("text"))
     val s2 = length(trim(col("text"))) > 0
     val s3 = s2 && col("lang") === "en"
     val s4 = s3 && TextAnalysis.quality_score(col("text")) >= 0.2
     val s5 = s4 && toks.between(20, 5000)
-    val flagged = Tables.documents(s, d)
+    docs
       .withColumn("s2", s2).withColumn("s3", s3)
       .withColumn("s4", s4).withColumn("s5", s5)
       .withColumn("fp", TextAnalysis.fingerprint_md5(col("text")))
+  }
+
+  def filterFunnel(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val flagged = funnelFlags(Tables.documents(s, d))
     // survivor-min per fingerprint: the doc that represents its content
     // among stage-5 survivors (null when no survivor has this fp)
     val minSurvivor = min(when(col("s5"), col("doc_id")))
