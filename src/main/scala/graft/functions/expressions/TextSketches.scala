@@ -1,8 +1,10 @@
 package graft.functions.expressions
 
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
@@ -27,13 +29,29 @@ case class MinHashBandKeys(child: Expression, k: Int, bands: Int)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  override def nullSafeEval(input: Any): Any =
-    MinHashBandKeys.compute(input.asInstanceOf[UTF8String], k, bands)
+  // Non-nullable, like the UDF it replaces (null text sketches as the
+  // empty document). This matters for PLANS, not just semantics: a
+  // nullable sketch in a join-key derivation makes
+  // InferFiltersFromConstraints push `isnotnull(sketch(text))` BELOW
+  // the projection — and the sketch then runs twice per row.
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    MinHashBandKeys.compute(
+      if (v == null) null else v.asInstanceOf[UTF8String], k, bands)
+  }
 
   override protected def doGenCode(ctx: CodegenContext,
-      ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c =>
-      s"graft.functions.expressions.MinHashBandKeys.compute($c, $k, $bands)")
+      ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${c.code}
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+        graft.functions.expressions.MinHashBandKeys.compute(
+          ${c.isNull} ? null : ${c.value}, $k, $bands);
+    """, isNull = FalseLiteral)
+  }
 
   override protected def withNewChildInternal(
       newChild: Expression): MinHashBandKeys = copy(child = newChild)
@@ -42,10 +60,13 @@ case class MinHashBandKeys(child: Expression, k: Int, bands: Int)
 object MinHashBandKeys {
 
   /** Static entry the generated code calls (Scala emits a static
-    * forwarder on the companion class). */
+    * forwarder on the companion class). Null text = empty document
+    * (the [[MinHash.signature]] null path), matching the legacy UDF. */
   def compute(text: UTF8String, k: Int, bands: Int): ArrayData =
     new GenericArrayData(
-      MinHash.bandKeys(MinHash.signature(text.toString, k), bands))
+      MinHash.bandKeys(
+        MinHash.signature(if (text == null) null else text.toString, k),
+        bands))
 
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -64,13 +85,25 @@ case class SimHash64(child: Expression)
 
   override def dataType: DataType = LongType
 
-  override def nullSafeEval(input: Any): Any =
-    SimHash64.compute(input.asInstanceOf[UTF8String])
+  // non-nullable: null text sketches to 0L (the legacy UDF contract);
+  // see the MinHashBandKeys note — this keeps the inferred isnotnull
+  // filter from recomputing the sketch below the projection
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    SimHash64.compute(if (v == null) null else v.asInstanceOf[UTF8String])
+  }
 
   override protected def doGenCode(ctx: CodegenContext,
-      ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c =>
-      s"graft.functions.expressions.SimHash64.compute($c)")
+      ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${c.code}
+      long ${ev.value} = graft.functions.expressions.SimHash64.compute(
+        ${c.isNull} ? null : ${c.value});
+    """, isNull = FalseLiteral)
+  }
 
   override protected def withNewChildInternal(
       newChild: Expression): SimHash64 = copy(child = newChild)
@@ -78,7 +111,9 @@ case class SimHash64(child: Expression)
 
 object SimHash64 {
 
-  def compute(text: UTF8String): Long = SimHash.simhash64(text.toString)
+  /** simhash64 of the text; null = 0L ([[SimHash.simhash64]]'s guard). */
+  def compute(text: UTF8String): Long =
+    SimHash.simhash64(if (text == null) null else text.toString)
 
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -36,9 +36,14 @@ class TextSketchExpressionSpec extends SparkFunSuite {
     out.foreach { r =>
       assert(r.getLong(1) == r.getLong(2), s"id=${r.getLong(0)}")
     }
+    // null text sketches as the empty document (0L) — the legacy UDF
+    // contract, and what keeps the expression non-nullable so no
+    // isnotnull(sketch) filter gets inferred below the projection
     val n = Seq((1L, null: String)).toDF("id", "text")
-      .select(SimHash64.simhash_native(spark, $"text").as("s")).head()
-    assert(n.isNullAt(0))
+      .select(SimHash64.simhash_native(spark, $"text").as("s"),
+        MinHashBandKeys.bands_native(spark, $"text").as("b")).head()
+    assert(n.getLong(0) == 0L)
+    assert(n.getSeq[Long](1).length == 16)
   }
 
   test("the sketch projection stays inside whole-stage codegen") {

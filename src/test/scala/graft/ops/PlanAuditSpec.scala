@@ -122,6 +122,17 @@ class PlanAuditSpec extends SparkFunSuite {
     assert(!sub.contains("Window"))
   }
 
+  test("sketches compute once per row side — no inferred-filter recompute") {
+    // a NULLABLE sketch in a join-key derivation makes Catalyst push
+    // isnotnull(sketch(text)) below the projection and run the sketch
+    // twice per row; the non-nullable expressions must keep it at one
+    // Project per join side (dedup_simhash scans documents twice: a/b)
+    val p = plan(DedupOps.dedupSimhash(spark, sfDir))
+    assert("simhash64".r.findAllIn(p).length == 2,
+      "simhash recomputed outside the two per-side projections")
+    assert(!p.contains("isnotnull(simhash64"))
+  }
+
   test("partitioned table prunes partitions at scan time") {
     val dir = Files.createTempDirectory("ptab").toString + "/t"
     val df = graft.Tables.orders(spark, sfDir)
