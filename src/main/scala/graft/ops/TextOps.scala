@@ -165,7 +165,29 @@ object TextOps {
       .orderBy(col("stage_idx"))
   }
 
+  /** Character-level Shannon entropy (the gibberish/low-information
+    * gate: natural text sits ~4.0-4.5 bits, single-char spam near 0,
+    * uniform noise near log2(alphabet)). Same narrow higher-order
+    * array idiom as the repetition gates — distinct chars × chars per
+    * row, no shuffle. */
+  def textEntropy(s: SparkSession, d: String): DataFrame = {
+    val chars = split(col("text"), "")
+    // sorted distinct chars: pins the fold order, so the FP sum is
+    // bit-identical to the oracle's sorted left fold
+    val counts = transform(array_sort(array_distinct(chars)),
+      c => size(filter(chars, x => x === c)).cast("double"))
+    val n = size(chars).cast("double")
+    val entropy = when(length(col("text")) === 0, lit(0.0))
+      .otherwise(round(-aggregate(counts, lit(0.0),
+        (acc, c) => acc + (c / n) * log2(c / n)), 6))
+    Tables.documents(s, d)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+        entropy.as("char_entropy"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_entropy"          -> textEntropy _,
     "text_normalize"        -> textNormalize _,
     "filter_funnel"         -> filterFunnel _,
     "text_repetition"       -> textRepetition _,
@@ -177,6 +199,20 @@ object TextOps {
     "text_fingerprint_roll" -> textFingerprintRoll _)
 
   val oracles: Map[String, String] = Map(
+    "text_entropy" ->
+      """WITH c AS (
+        |  SELECT doc_id, length(text) AS n_chars,
+        |    string_split(text, '') AS chars
+        |  FROM documents)
+        |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |  CASE WHEN n_chars = 0 THEN 0.0 ELSE
+        |    round(-list_reduce(list_prepend(0.0,
+        |      list_transform(list_sort(list_distinct(chars)),
+        |        d -> (CAST(len(list_filter(chars, x -> x = d)) AS DOUBLE) / n_chars)
+        |          * log2(CAST(len(list_filter(chars, x -> x = d)) AS DOUBLE) / n_chars))),
+        |      (a, b) -> a + b), 6)
+        |  END AS char_entropy
+        |FROM c ORDER BY doc_id""".stripMargin,
     "text_normalize" ->
       """SELECT doc_id,
         |  regexp_replace(trim(text), '\s+', ' ', 'g') AS norm_ws,

@@ -58,6 +58,20 @@ class RepetitionSpec extends SparkFunSuite {
     assert(repRow(4L).getAs[Long]("n_tokens") == 0L)
   }
 
+  test("char entropy: 0 for one-symbol docs, log2(n) for uniform docs") {
+    val rows = TextOps.textEntropy(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("char_entropy"))
+      .toMap
+    // doc 4 is empty -> 0.0 by convention
+    assert(rows(4L) == 0.0)
+    // "hi" = two distinct chars, uniform -> exactly 1 bit
+    assert(rows(3L) == 1.0)
+    // spam doc: dominated by one word -> entropy well below doc 2's
+    // all-distinct wording
+    assert(rows(1L) < rows(2L))
+    assert(rows.values.forall(e => e >= 0.0 && e <= 8.0))
+  }
+
   test("filter_funnel stages are monotone and count the fixture exactly") {
     val rows = TextOps.filterFunnel(spark, dir).collect()
       .map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_docs")).toMap
