@@ -17,6 +17,8 @@ object Graft {
     functions.TextAnalysis.register(spark)
     functions.Vectors.register(spark)
     functions.expressions.CosineSimilarity.register(spark)
+    functions.expressions.MinHashBandKeys.register(spark)
+    functions.expressions.SimHash64.register(spark)
     spark
   }
 

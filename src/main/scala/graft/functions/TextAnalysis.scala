@@ -236,5 +236,6 @@ object TextAnalysis {
   def register(spark: SparkSession): Unit = {
     spark.udf.register("detect_language", detectLanguage _)
     spark.udf.register("rolling_hash64", rollingHash64 _)
+    spark.udf.register("strip_accents", stripAccents _)
   }
 }

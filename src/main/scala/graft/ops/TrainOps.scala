@@ -201,6 +201,22 @@ object TrainOps {
       .orderBy("doc_id")
   }
 
+  /** Deterministic train/val/test split (80/10/10): the first 8 hex
+    * chars of md5(doc_id) are compared lexicographically against fixed
+    * hex thresholds (0.8·2³² = cccccccc, 0.9·2³² = e6666666) — pure
+    * string comparison, so the assignment is identical in any engine,
+    * stable across runs, and independent of corpus order/partitioning
+    * (the properties an eval split must have). Narrow map. */
+  def evalSplit(s: SparkSession, d: String): DataFrame = {
+    val h = substring(md5(col("doc_id").cast("string")), 1, 8)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        when(h < "cccccccc", "train")
+          .when(h < "e6666666", "val")
+          .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Corpus-unigram-LM quality score (perplexity-style filter): train
     * a unigram model on the corpus itself (token relative frequencies)
     * and score each doc by its mean negative log-likelihood — low =
@@ -283,6 +299,7 @@ object TrainOps {
     "sample_stratified"  -> sampleStratified _,
     "mix_budget"         -> mixBudget _,
     "mix_temperature"    -> mixTemperature _,
+    "eval_split"         -> evalSplit _,
     "text_unigram_lm"    -> textUnigramLm _,
     "corpus_stats"       -> corpusStats _,
     "emb_outliers"       -> embOutliers _)
@@ -371,6 +388,14 @@ object TrainOps {
         |  FROM t)
         |SELECT doc_id, source, n_tokens, cum_tokens FROM r
         |WHERE cum_tokens <= 1024 ORDER BY doc_id""".stripMargin,
+    "eval_split" ->
+      """SELECT doc_id, source,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc'
+        |         THEN 'train'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666'
+        |         THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // temperature mixing: sqrt weights are correctly-rounded IEEE in
     // both engines; the denominator folds over a source-sorted list
     // (list_reduce is left-to-right, as is Spark's aggregate with a

@@ -136,6 +136,22 @@ class TrainOpsSpec extends SparkFunSuite {
     assert(out.nonEmpty)
   }
 
+  test("eval split is ~80/10/10, deterministic, and id-keyed only") {
+    val a = TrainOps.evalSplit(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val b = TrainOps.evalSplit(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(a == b) // rerun-stable
+    val n = a.size.toDouble
+    val frac = a.values.groupBy(identity).view.mapValues(_.size / n).toMap
+    assert(frac("train") > 0.6 && frac("train") < 0.95)
+    assert(frac.getOrElse("val", 0.0) + frac.getOrElse("test", 0.0) < 0.4)
+    // the same doc_id lands in the same split under a different corpus
+    val big = TrainOps.evalSplit(spark, "/root/testdata/sf0.01").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    a.keys.foreach { id => assert(big(id) == a(id)) }
+  }
+
   test("unigram LM scores common-token docs below rare-token docs") {
     val scores = TrainOps.textUnigramLm(spark, dir)
       .select("doc_id", "avg_neg_logp").as[(Long, Double)].collect().toMap
