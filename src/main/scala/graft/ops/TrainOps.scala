@@ -99,6 +99,24 @@ object TrainOps {
         (col("tok_to") - col("tok_from")).as("n_tok_in_chunk"))
       .orderBy(col("chunk_id"), col("doc_id"))
 
+  /** Doc-boundary-respecting packing — the no-cross-attention
+    * alternative to [[packChunks]]: each document gets its own
+    * ⌈n/budget⌉ chunks, the last padded. Trivially parallel (no prefix
+    * sum at all — per-row arithmetic), at the price of padding waste;
+    * the per-doc `pad_tokens` column is what a mixing decision weighs
+    * against concat-and-chunk's cross-doc attention leakage. */
+  def packPadded(s: SparkSession, d: String): DataFrame =
+    tokenized(s, d)
+      .filter(col("n_tokens") > 0)
+      .withColumn("n_chunks",
+        expr(s"cast((n_tokens + $chunkBudget - 1) div $chunkBudget as int)"))
+      .withColumn("pad_tokens",
+        col("n_chunks").cast("bigint") * chunkBudget - col("n_tokens"))
+      .withColumn("pad_frac", round(col("pad_tokens").cast("double") /
+        (col("n_chunks").cast("double") * chunkBudget), 6))
+      .select("doc_id", "n_tokens", "n_chunks", "pad_tokens", "pad_frac")
+      .orderBy("doc_id")
+
   /** Benchmark-contamination check: flag training documents sharing
     * any word-3-gram shingle with the held-out eval slice (docs with
     * doc_id ≡ 0 mod 97 stand in for the benchmark set). Reuses the
@@ -300,6 +318,7 @@ object TrainOps {
     "mix_budget"         -> mixBudget _,
     "mix_temperature"    -> mixTemperature _,
     "eval_split"         -> evalSplit _,
+    "pack_padded"        -> packPadded _,
     "text_unigram_lm"    -> textUnigramLm _,
     "corpus_stats"       -> corpusStats _,
     "emb_outliers"       -> embOutliers _)
@@ -354,6 +373,15 @@ object TrainOps {
         |FROM (SELECT *, UNNEST(range(chunk_first, chunk_last + 1)) AS chunk_id
         |      FROM c)
         |ORDER BY chunk_id, doc_id""".stripMargin,
+    "pack_padded" ->
+      s"""WITH t AS (SELECT doc_id, $bpeTokens AS n_tokens FROM documents)
+        |SELECT doc_id, n_tokens,
+        |  CAST((n_tokens + 511) // 512 AS INTEGER) AS n_chunks,
+        |  CAST(((n_tokens + 511) // 512) * 512 - n_tokens AS BIGINT)
+        |    AS pad_tokens,
+        |  round(CAST(((n_tokens + 511) // 512) * 512 - n_tokens AS DOUBLE)
+        |    / (((n_tokens + 511) // 512) * 512), 6) AS pad_frac
+        |FROM t WHERE n_tokens > 0 ORDER BY doc_id""".stripMargin,
     "text_contaminated" ->
       s"""WITH $shingleCte,
         |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),

@@ -136,6 +136,18 @@ class TrainOpsSpec extends SparkFunSuite {
     assert(out.nonEmpty)
   }
 
+  test("padded packing conserves tokens and pads only the last chunk") {
+    val rows = TrainOps.packPadded(spark, dir).collect()
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_tokens")
+      val chunks = r.getAs[Int]("n_chunks")
+      val pad = r.getAs[Long]("pad_tokens")
+      assert(chunks == ((n + 511) / 512).toInt)
+      assert(chunks.toLong * 512 == n + pad)
+      assert(pad >= 0 && pad < 512) // never a whole wasted chunk
+    }
+  }
+
   test("eval split is ~80/10/10, deterministic, and id-keyed only") {
     val a = TrainOps.evalSplit(spark, sfDir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
