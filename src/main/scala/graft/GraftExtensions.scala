@@ -24,7 +24,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("minhash_bands_native"),
       new ExpressionInfo(classOf[MinHashBandKeys].getName,
         "minhash_bands_native"),
-      (exprs: Seq[Expression]) => MinHashBandKeys(exprs.head, 64, 16)))
+      (exprs: Seq[Expression]) => MinHashBandKeys(exprs.head,
+        MinHashBandKeys.DefaultK, MinHashBandKeys.DefaultBands)))
     ext.injectFunction((
       FunctionIdentifier("simhash64_native"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64_native"),

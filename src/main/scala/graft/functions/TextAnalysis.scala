@@ -174,29 +174,31 @@ object TextAnalysis {
         i => concat_ws(" ", slice(toks, i, lit(n)))))
 
   /** Occurrence count of each DISTINCT gram, aligned with
-    * array_distinct(grams). */
-  private def gramCounts(grams: Column): Column =
+    * array_distinct(grams). Callers should materialize this as its own
+    * projection column: higher-order-function subtrees are excluded
+    * from Spark's subexpression elimination, so a fraction expression
+    * that inlines both the grams and the counts would rebuild the gram
+    * array several times per row. */
+  def gram_counts(grams: Column): Column =
     transform(array_distinct(grams),
       g => size(filter(grams, x => x === g)))
 
   /** Fraction of n-gram occurrences claimed by the single most frequent
-    * n-gram (0.0 when the doc has fewer than n tokens). */
-  def topGramFraction(toks: Column, n: Int): Column = {
-    val g = wordGrams(toks, n)
-    when(size(g) === 0, lit(0.0)).otherwise(
-      round(array_max(gramCounts(g)).cast("double") /
-        size(g).cast("double"), 6))
-  }
+    * n-gram (0.0 for docs shorter than the gram width). `grams` and
+    * `counts` must be MATERIALIZED columns (see [[gram_counts]]). */
+  def topFracOf(grams: Column, counts: Column): Column =
+    when(size(grams) === 0, lit(0.0)).otherwise(
+      round(array_max(counts).cast("double") /
+        size(grams).cast("double"), 6))
 
   /** Fraction of n-gram occurrences belonging to n-grams that appear
-    * more than once in the document. */
-  def dupGramFraction(toks: Column, n: Int): Column = {
-    val g = wordGrams(toks, n)
+    * more than once in the document; same materialization contract. */
+  def dupFracOf(grams: Column, counts: Column): Column = {
     val dupOcc = aggregate(
-      filter(gramCounts(g), c => c >= 2),
+      filter(counts, c => c >= 2),
       lit(0), (acc, c) => acc + c)
-    when(size(g) === 0, lit(0.0)).otherwise(
-      round(dupOcc.cast("double") / size(g).cast("double"), 6))
+    when(size(grams) === 0, lit(0.0)).otherwise(
+      round(dupOcc.cast("double") / size(grams).cast("double"), 6))
   }
 
   // ----------------------------------------------------------- PII scan

@@ -2,12 +2,13 @@ package graft.functions.expressions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 import graft.functions.{MinHash, SimHash}
 
@@ -25,7 +26,12 @@ import graft.functions.{MinHash, SimHash}
   * the DuckDB oracles and every existing spec hold unchanged.
   */
 case class MinHashBandKeys(child: Expression, k: Int, bands: Int)
-    extends UnaryExpression with Serializable {
+    extends UnaryExpression with ExpectsInputTypes with Serializable {
+
+  // reject non-string arguments at ANALYSIS time (a SQL user can reach
+  // this through the registry; without the contract a bad argument
+  // only fails at execution, inside generated code)
+  override def inputTypes: Seq[DataType] = Seq(StringType)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -59,11 +65,18 @@ case class MinHashBandKeys(child: Expression, k: Int, bands: Int)
 
 object MinHashBandKeys {
 
+  /** The one place the signature width / band count live — the column
+    * helper, the SQL registration, and GraftExtensions all read these,
+    * so the two registration paths can never drift apart. */
+  val DefaultK = 64
+  val DefaultBands = 16
+
   /** Static entry the generated code calls (Scala emits a static
     * forwarder on the companion class). Null text = empty document
-    * (the [[MinHash.signature]] null path), matching the legacy UDF. */
+    * (the [[MinHash.signature]] null path), matching the legacy UDF.
+    * fromPrimitiveArray keeps the band keys unboxed end-to-end. */
   def compute(text: UTF8String, k: Int, bands: Int): ArrayData =
-    new GenericArrayData(
+    UnsafeArrayData.fromPrimitiveArray(
       MinHash.bandKeys(
         MinHash.signature(if (text == null) null else text.toString, k),
         bands))
@@ -71,7 +84,8 @@ object MinHashBandKeys {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_bands_native",
-      exprs => MinHashBandKeys(exprs.head, 64, 16), "built-in")
+      exprs => MinHashBandKeys(exprs.head, DefaultK, DefaultBands),
+      "built-in")
 
   /** text → 16 LSH band keys of the 64-hash signature, fused. */
   def bands_native(spark: SparkSession, text: Column): Column = {
@@ -81,7 +95,9 @@ object MinHashBandKeys {
 }
 
 case class SimHash64(child: Expression)
-    extends UnaryExpression with Serializable {
+    extends UnaryExpression with ExpectsInputTypes with Serializable {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
 
   override def dataType: DataType = LongType
 

@@ -43,7 +43,6 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
-  private val lshBands = 16
   /** Keep LSH buckets tractable under adversarial skew: a bucket with
     * more than this many members contributes only its smallest ids. */
   private val maxBucketSize = 64
@@ -328,11 +327,16 @@ object DedupOps {
     * vector that has a lower-id cell-mate with cosine ≥ 0.4. Emits the
     * full keep/prune decision per vector.
     *
-    * Scale: this is the SemDeDup recipe exactly — pairwise cosine never
-    * crosses a cell, and nlist grows with the corpus so cells stay
-    * bounded; the capped posting list (smallest 64 ids per cell, the
-    * shared LSH idiom) hard-bounds a degenerate cell at O(cap²) pairs.
-    * The oracle replays quantizer, cap, and prune rule bit-exactly. */
+    * Scale: pairwise cosine never crosses a cell, and the capped
+    * posting list (smallest 64 ids per cell, the shared LSH idiom)
+    * hard-bounds any cell at O(cap²) pairs. The honest caveat: this
+    * catalog entry inherits [[SimOps]]' FIXED nlist=16 quantizer, so
+    * beyond ~nlist×cap vectors the cap starts excluding members from
+    * pruning consideration — at real scale SemDeDup sizes nlist ∝
+    * corpus (cells stay ~constant and the cap is only a skew guard);
+    * the operator takes whatever quantizer [[SimOps.ivfIndex]] built,
+    * so that knob lives there. The oracle replays quantizer, cap, and
+    * prune rule bit-exactly at the catalog's scale. */
   def dedupSemantic(s: SparkSession, d: String): DataFrame = {
     val (_, assigned) = SimOps.ivfIndex(s, d)
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
@@ -423,14 +427,18 @@ object DedupOps {
     *
     * Plan, in shuffle terms: posexplode the grams (narrow) → one
     * map-side-combined hash-agg on the gram to find grams with ≥2
-    * occurrences → left-semi the occurrences back (same gram key — AQE
-    * reuses the exchange) → explode each surviving occurrence into its
-    * 8 covered positions, distinct, count per doc. Keys are grams and
-    * doc ids, never payloads; at 100 TB that is ~tokens×1 rows through
-    * two key-only shuffles — no pairwise blowup anywhere (this signal
+    * occurrences → left-semi the occurrences back on the gram key →
+    * explode each surviving occurrence into its 8 covered positions,
+    * distinct, count per doc. Keys are grams and doc ids, never
+    * payloads, and there is no pairwise blowup anywhere (this signal
     * deliberately avoids the O(dups²) pair table the near-dup family
-    * produces). Docs shorter than the gram width can't be flagged;
-    * they're the exact-dedup family's job. */
+    * produces). The `grams` subtree is consumed twice (agg + probe
+    * side), so documents is scanned and tokenized twice, plus a third
+    * column-pruned scan for the (doc_id, n_tokens) spine — deliberate:
+    * a corpus-sized exploded gram table is the one index NOT worth
+    * persisting, so two scans beat materializing it. Docs shorter than
+    * the gram width can't be flagged; they're the exact-dedup family's
+    * job. */
   def dedupSubstr(s: SparkSession, d: String): DataFrame = {
     val W = 8
     val toks = Tables.spread(Tables.documents(s, d))
@@ -438,9 +446,7 @@ object DedupOps {
         graft.functions.TextAnalysis.wordTokens(col("text")).as("toks"))
       .select(col("doc_id"), col("toks"), size(col("toks")).as("n_tokens"))
     val grams = toks.select(col("doc_id"), col("n_tokens"),
-      posexplode(when(size(col("toks")) < W, array().cast("array<string>"))
-        .otherwise(transform(sequence(lit(1), size(col("toks")) - (W - 1)),
-          i => concat_ws(" ", slice(col("toks"), i, lit(W)))))))
+      posexplode(graft.functions.TextAnalysis.wordGrams(col("toks"), W)))
       .toDF("doc_id", "n_tokens", "pos", "gram")
     val dupGrams = grams.groupBy(col("gram"))
       .agg(count(lit(1)).as("n_occ"))

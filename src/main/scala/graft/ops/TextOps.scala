@@ -86,14 +86,26 @@ object TextOps {
     * shuffle; at 100 TB this is scan-speed beside the other quality
     * gates. */
   def textRepetition(s: SparkSession, d: String): DataFrame = {
-    val toks = TextAnalysis.wordTokens(col("text"))
+    import TextAnalysis.{wordGrams, gram_counts, topFracOf, dupFracOf}
+    // grams and counts are materialized as their own projection steps:
+    // HOF subtrees are excluded from subexpression elimination, so
+    // inlining them into the fraction expressions would rebuild each
+    // gram array ~3x per row on this scan-speed path
     Tables.documents(s, d)
-      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), TextAnalysis.wordTokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        wordGrams(col("toks"), 2).as("g2"),
+        wordGrams(col("toks"), 3).as("g3"),
+        wordGrams(col("toks"), 5).as("g5"))
+      .select(col("doc_id"), col("toks"), col("g2"), col("g3"), col("g5"),
+        gram_counts(col("g2")).as("c2"),
+        gram_counts(col("g3")).as("c3"),
+        gram_counts(col("g5")).as("c5"))
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
-        TextAnalysis.topGramFraction(col("toks"), 2).as("top2_frac"),
-        TextAnalysis.topGramFraction(col("toks"), 3).as("top3_frac"),
-        TextAnalysis.dupGramFraction(col("toks"), 5).as("dup5_frac"))
+        topFracOf(col("g2"), col("c2")).as("top2_frac"),
+        topFracOf(col("g3"), col("c3")).as("top3_frac"),
+        dupFracOf(col("g5"), col("c5")).as("dup5_frac"))
       .orderBy(col("doc_id"))
   }
 
@@ -112,13 +124,6 @@ object TextOps {
           TextAnalysis.norm_ws(col("text")))).as("norm_ascii"))
       .orderBy(col("doc_id"))
 
-  /** The dataset-card funnel: one pass computes every doc's cumulative
-    * survival through the standard pre-training gates (nonempty →
-    * target language → quality ≥ 0.2 → token bounds → exact-unique),
-    * then ONE hash-agg folds the flags into per-stage counts and an
-    * unpivot presents them as rows. Zero per-stage scans: at 100 TB
-    * this costs a single corpus read + a window on the fingerprint
-    * (needed only for the final dedup stage). */
   /** The cumulative stage flags s2..s5 + content fingerprint — shared
     * by the batch funnel and the streaming intake
     * ([[graft.streaming.FunnelIntake]]), so both paths gate with
@@ -135,6 +140,13 @@ object TextOps {
       .withColumn("fp", TextAnalysis.fingerprint_md5(col("text")))
   }
 
+  /** The dataset-card funnel: one pass computes every doc's cumulative
+    * survival through the standard pre-training gates (nonempty →
+    * target language → quality ≥ 0.2 → token bounds → exact-unique),
+    * then ONE hash-agg folds the flags into per-stage counts and an
+    * unpivot presents them as rows. Zero per-stage scans: at 100 TB
+    * this costs a single corpus read + a window on the fingerprint
+    * (needed only for the final dedup stage). */
   def filterFunnel(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val flagged = funnelFlags(Tables.documents(s, d))
@@ -145,12 +157,14 @@ object TextOps {
     val counts = flagged
       .withColumn("s6", col("s5") && col("doc_id") === minSurvivor)
       .agg(
+        // coalesce: a zero-row corpus must report 0 per stage (as the
+        // oracle's FILTER counts do), not NULL from an empty sum
         count(lit(1)).as("n1"),
-        sum(col("s2").cast("long")).as("n2"),
-        sum(col("s3").cast("long")).as("n3"),
-        sum(col("s4").cast("long")).as("n4"),
-        sum(col("s5").cast("long")).as("n5"),
-        sum(col("s6").cast("long")).as("n6"))
+        coalesce(sum(col("s2").cast("long")), lit(0L)).as("n2"),
+        coalesce(sum(col("s3").cast("long")), lit(0L)).as("n3"),
+        coalesce(sum(col("s4").cast("long")), lit(0L)).as("n4"),
+        coalesce(sum(col("s5").cast("long")), lit(0L)).as("n5"),
+        coalesce(sum(col("s6").cast("long")), lit(0L)).as("n6"))
     counts.select(explode(array(
         struct(lit(1).as("stage_idx"), lit("total").as("stage"), col("n1").as("n_docs")),
         struct(lit(2).as("stage_idx"), lit("nonempty").as("stage"), col("n2").as("n_docs")),
@@ -171,18 +185,20 @@ object TextOps {
     * array idiom as the repetition gates — distinct chars × chars per
     * row, no shuffle. */
   def textEntropy(s: SparkSession, d: String): DataFrame = {
-    val chars = split(col("text"), "")
-    // sorted distinct chars: pins the fold order, so the FP sum is
-    // bit-identical to the oracle's sorted left fold
-    val counts = transform(array_sort(array_distinct(chars)),
-      c => size(filter(chars, x => x === c)).cast("double"))
-    val n = size(chars).cast("double")
-    val entropy = when(length(col("text")) === 0, lit(0.0))
-      .otherwise(round(-aggregate(counts, lit(0.0),
+    // chars and counts materialize as projection columns (the
+    // textRepetition HOF-recompute note applies); sorted distinct
+    // chars pin the fold order so the FP sum is bit-identical to the
+    // oracle's sorted left fold
+    val n = size(col("chars")).cast("double")
+    val entropy = when(col("n_chars") === 0, lit(0.0))
+      .otherwise(round(-aggregate(col("cnt"), lit(0.0),
         (acc, c) => acc + (c / n) * log2(c / n)), 6))
     Tables.documents(s, d)
       .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
-        entropy.as("char_entropy"))
+        split(col("text"), "").as("chars"))
+      .withColumn("cnt", transform(array_sort(array_distinct(col("chars"))),
+        c => size(filter(col("chars"), x => x === c)).cast("double")))
+      .select(col("doc_id"), col("n_chars"), entropy.as("char_entropy"))
       .orderBy(col("doc_id"))
   }
 

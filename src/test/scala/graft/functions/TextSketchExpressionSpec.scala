@@ -46,6 +46,17 @@ class TextSketchExpressionSpec extends SparkFunSuite {
     assert(n.getSeq[Long](1).length == 16)
   }
 
+  test("non-string arguments are rejected at analysis time") {
+    SimHash64.register(spark)
+    MinHashBandKeys.register(spark)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT simhash64_native(123)").collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT minhash_bands_native(array(1, 2))").collect()
+    }
+  }
+
   test("the sketch projection stays inside whole-stage codegen") {
     // a local Seq would be ConvertToLocalRelation-folded at plan time;
     // a parquet scan forces the real codegen'd projection
