@@ -235,6 +235,26 @@ object TrainOps {
       .orderBy(col("doc_id"))
   }
 
+  /** BPE-merge pair statistics — the first step of byte-pair-encoding
+    * vocabulary training: corpus-wide counts of adjacent character
+    * pairs within words, top-20 (the pair a BPE trainer would merge
+    * first, then re-count). One narrow double-explode → one map-side-
+    * combined hash-agg on a ≤|alphabet|² key space (the combine
+    * collapses it to near-nothing before the shuffle) → TakeOrdered.
+    * Iterating merge→re-count is the same plan in a driver loop (the
+    * [[graft.ops.DedupOps.dedupClusters]] pattern); one step is enough
+    * to pin the machinery under the oracle. */
+  def bpePairs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(TextAnalysis.wordTokens(lower(col("text")))).as("w"))
+      .select(explode(expr(
+        """CASE WHEN length(w) < 2 THEN cast(array() as array<string>)
+          |ELSE transform(sequence(1, length(w) - 1),
+          |  i -> substring(w, i, 2)) END""".stripMargin)).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("pair"))
+      .limit(20)
+
   /** Corpus-unigram-LM quality score (perplexity-style filter): train
     * a unigram model on the corpus itself (token relative frequencies)
     * and score each doc by its mean negative log-likelihood — low =
@@ -319,6 +339,7 @@ object TrainOps {
     "mix_temperature"    -> mixTemperature _,
     "eval_split"         -> evalSplit _,
     "pack_padded"        -> packPadded _,
+    "bpe_pairs"          -> bpePairs _,
     "text_unigram_lm"    -> textUnigramLm _,
     "corpus_stats"       -> corpusStats _,
     "emb_outliers"       -> embOutliers _)
@@ -373,6 +394,18 @@ object TrainOps {
         |FROM (SELECT *, UNNEST(range(chunk_first, chunk_last + 1)) AS chunk_id
         |      FROM c)
         |ORDER BY chunk_id, doc_id""".stripMargin,
+    "bpe_pairs" ->
+      """WITH w AS (
+        |  SELECT unnest(list_filter(
+        |    string_split_regex(trim(lower(text)), '\s+'), x -> x != '')) AS w
+        |  FROM documents),
+        |p AS (
+        |  SELECT unnest(CASE WHEN length(w) < 2 THEN []::VARCHAR[]
+        |    ELSE list_transform(range(1, length(w)),
+        |      i -> substr(w, i, 2)) END) AS pair
+        |  FROM w)
+        |SELECT pair, count(*) AS n FROM p GROUP BY pair
+        |ORDER BY n DESC, pair LIMIT 20""".stripMargin,
     "pack_padded" ->
       s"""WITH t AS (SELECT doc_id, $bpeTokens AS n_tokens FROM documents)
         |SELECT doc_id, n_tokens,

@@ -136,6 +136,19 @@ class TrainOpsSpec extends SparkFunSuite {
     assert(out.nonEmpty)
   }
 
+  test("bpe pair counts rank the dominant adjacent pair first") {
+    val rows = TrainOps.bpePairs(spark, dir).collect()
+      .map(r => r.getAs[String]("pair") -> r.getAs[Long]("n"))
+    // descending by count, ties broken by pair string
+    rows.zip(rows.tail).foreach { case ((pa, na), (pb, nb)) =>
+      assert(na > nb || (na == nb && pa < pb))
+    }
+    // "the the the ..." spam doc (8 repeats) + "the quick" docs make
+    // 'th'/'he' the dominant pairs of the fixture corpus
+    assert(rows.take(3).map(_._1).toSet.intersect(Set("th", "he")).nonEmpty)
+    rows.foreach { case (p, n) => assert(p.length == 2 && n >= 1) }
+  }
+
   test("padded packing conserves tokens and pads only the last chunk") {
     val rows = TrainOps.packPadded(spark, dir).collect()
     rows.foreach { r =>
