@@ -246,11 +246,14 @@ object TrainOps {
     * to pin the machinery under the oracle. */
   def bpePairs(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .select(explode(TextAnalysis.wordTokens(lower(col("text")))).as("w"))
+      // one fused explode: per-doc pair array built by nested HOFs, so
+      // the intermediate one-row-per-word stage never materializes
       .select(explode(expr(
-        """CASE WHEN length(w) < 2 THEN cast(array() as array<string>)
-          |ELSE transform(sequence(1, length(w) - 1),
-          |  i -> substring(w, i, 2)) END""".stripMargin)).as("pair"))
+        """flatten(transform(
+          |  filter(split(trim(lower(text)), '\\s+'), t -> t != ''),
+          |  w -> CASE WHEN length(w) < 2 THEN cast(array() as array<string>)
+          |       ELSE transform(sequence(1, length(w) - 1),
+          |         i -> substring(w, i, 2)) END))""".stripMargin)).as("pair"))
       .groupBy("pair").agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), col("pair"))
       .limit(20)
