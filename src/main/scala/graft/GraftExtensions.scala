@@ -14,21 +14,37 @@ import graft.functions.expressions.{CosineSimilarity, MinHashBandKeys, SimHash64
   * SparkSessionExtensions carries Expression builders only).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  // exprs(i) on a wrong-arity call would surface as an
+  // IndexOutOfBoundsException out of the analyzer (and extra args
+  // would be silently dropped) — fail with a real message instead
+  private def arity(name: String, n: Int,
+      exprs: Seq[Expression]): Seq[Expression] = {
+    require(exprs.length == n,
+      s"$name expects exactly $n argument(s), got ${exprs.length}")
+    exprs
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("cosine_sim_native"),
       new ExpressionInfo(classOf[CosineSimilarity].getName,
         "cosine_sim_native"),
-      (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) => {
+        val a = arity("cosine_sim_native", 2, exprs)
+        CosineSimilarity(a.head, a(1))
+      }))
     ext.injectFunction((
       FunctionIdentifier("minhash_bands_native"),
       new ExpressionInfo(classOf[MinHashBandKeys].getName,
         "minhash_bands_native"),
-      (exprs: Seq[Expression]) => MinHashBandKeys(exprs.head,
+      (exprs: Seq[Expression]) => MinHashBandKeys(
+        arity("minhash_bands_native", 1, exprs).head,
         MinHashBandKeys.DefaultK, MinHashBandKeys.DefaultBands)))
     ext.injectFunction((
       FunctionIdentifier("simhash64_native"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64_native"),
-      (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+      (exprs: Seq[Expression]) =>
+        SimHash64(arity("simhash64_native", 1, exprs).head)))
   }
 }

@@ -22,18 +22,29 @@ import org.apache.spark.sql.SparkSession
   */
 final class SessionCache[V] {
 
-  private val m = new ConcurrentHashMap[String, (SparkSession, V)]()
+  // The map stores a MEMO CELL, not the built value: computeIfAbsent
+  // must stay short (CHM holds the bin lock through the mapping
+  // function, so building a cluster-scale index inside it would
+  // serialize unrelated sessions/datasets that share a bin). The cell's
+  // lazy val then runs the build outside the map lock, synchronized
+  // only with same-key callers.
+  private final class Cell(s: SparkSession, f: () => V) {
+    val session: SparkSession = s
+    lazy val value: V = f()
+  }
+
+  private val m = new ConcurrentHashMap[String, Cell]()
 
   def getOrCompute(s: SparkSession, dataset: String)(f: => V): V = {
     sweep()
     m.computeIfAbsent(SessionCache.sessionId(s) + "|" + dataset,
-      _ => (s, f))._2
+      _ => new Cell(s, () => f)).value
   }
 
   private def sweep(): Unit = {
     val it = m.entrySet().iterator()
     while (it.hasNext) {
-      if (it.next().getValue._1.sparkContext.isStopped) it.remove()
+      if (it.next().getValue.session.sparkContext.isStopped) it.remove()
     }
   }
 }

@@ -84,7 +84,11 @@ object CosineSimilarity {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim_native",
-      exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+      exprs => {
+        require(exprs.length == 2,
+          s"cosine_sim_native expects exactly 2 arguments, got ${exprs.length}")
+        CosineSimilarity(exprs(0), exprs(1))
+      }, "built-in")
 
   /** Column form (requires register(spark) once per session). */
   def cosine_native(spark: SparkSession, a: Column, b: Column): Column = {

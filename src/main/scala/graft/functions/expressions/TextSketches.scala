@@ -84,8 +84,11 @@ object MinHashBandKeys {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_bands_native",
-      exprs => MinHashBandKeys(exprs.head, DefaultK, DefaultBands),
-      "built-in")
+      exprs => {
+        require(exprs.length == 1,
+          s"minhash_bands_native expects exactly 1 argument, got ${exprs.length}")
+        MinHashBandKeys(exprs.head, DefaultK, DefaultBands)
+      }, "built-in")
 
   /** text → 16 LSH band keys of the 64-hash signature, fused. */
   def bands_native(spark: SparkSession, text: Column): Column = {
@@ -134,7 +137,11 @@ object SimHash64 {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64_native",
-      exprs => SimHash64(exprs.head), "built-in")
+      exprs => {
+        require(exprs.length == 1,
+          s"simhash64_native expects exactly 1 argument, got ${exprs.length}")
+        SimHash64(exprs.head)
+      }, "built-in")
 
   def simhash_native(spark: SparkSession, text: Column): Column = {
     register(spark)

@@ -34,6 +34,21 @@ final class DocStore(spark: SparkSession, baseDir: String,
   def read(index: String): Option[DataFrame] =
     BucketedParquet.readAll(spark, dir(index))
 
+  /** The stored key values among `candidates`' buckets — the
+    * membership probe behind es.exists-style gates. Bucket-pruned:
+    * only the buckets the candidate keys hash into are read, never the
+    * whole index. */
+  def storedKeys(indexName: String, key: String,
+      candidates: DataFrame): DataFrame = {
+    val n = BucketedParquet.layoutBuckets(dir(indexName), numBuckets)
+    val buckets = BucketedParquet.touchedBuckets(
+      candidates.select(col(key)), Seq(key), n)
+    BucketedParquet.readBuckets(spark, dir(indexName), buckets) match {
+      case None => candidates.select(col(key)).limit(0)
+      case Some(stored) => stored.select(col(key))
+    }
+  }
+
   private def dedupLastWins(batch: DataFrame, key: String): DataFrame = {
     // max_by hash-agg (no per-key sort): keep the LAST row per key,
     // matching sequential bulk-API application order

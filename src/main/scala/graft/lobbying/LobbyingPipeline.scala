@@ -25,6 +25,10 @@ object LobbyingPipeline {
       senateContributions: Long, houseContributions: Long,
       childDocs: Long)
 
+  /** Public form of the child keying, for specs that need to stage a
+    * partially-committed store state. */
+  def keyedChildren(df: DataFrame): DataFrame = childKey(df)
+
   private def childKey(df: DataFrame): DataFrame = {
     // identity rendering: every column EXCEPT the volatile ingest
     // timestamp (context.last_indexed). A replay of the same filings
@@ -35,8 +39,10 @@ object LobbyingPipeline {
       case "context" =>
         val ctx = df.schema("context").dataType
           .asInstanceOf[org.apache.spark.sql.types.StructType]
+        // getField, not a dot-path string: a future field name with a
+        // dot in it must address the field literally, not as a path
         struct(ctx.fieldNames.toSeq.filterNot(_ == "last_indexed")
-          .map(f => col(s"context.$f").as(f)): _*).as("context")
+          .map(f => col("context").getField(f).as(f)): _*).as("context")
       case c => col(c)
     }
     val js = to_json(struct(identityCols: _*))
@@ -52,17 +58,25 @@ object LobbyingPipeline {
   }
 
   /** Insert unseen children, then unseen parents. Children commit
-    * FIRST and are NOT gated on the parent delta: their keys are
-    * idempotent, so [[DocStore.insertNew]]'s own anti-join against the
-    * `_nested` index dedupes replays — and a crash between the two
-    * swaps can no longer strand children (the old parent-delta gate
-    * made them unrecoverable: on replay the parents were already
-    * "seen", the gated child set came back empty forever).
+    * FIRST, gated on the parent key being ABSENT from the parent
+    * STORE (a bucket-pruned membership probe — the reference's
+    * es.exists guard skips a whole already-indexed filing, so a
+    * re-fetch whose child content drifted must not land a second
+    * generation of children under the stale parent). Gating against
+    * the store rather than this run's parent delta keeps the crash
+    * window healed: a crash between the two swaps leaves the parent
+    * absent, so a replay re-derives these children (their idempotent
+    * keys dedupe) and then lands the parent.
     * Returns (new parents, new children) counts. */
   private def insertFamily(docs: DocStore, index: String,
       parents: DataFrame, children: DataFrame): (Long, Long) = {
+    val storedParents = docs
+      .storedKeys(index, "doc_id", parents.select(col("doc_id")))
+      .select(col("doc_id").as("__parent"))
+    val newFamilies = children.join(storedParents,
+      col("context.parent_id") === col("__parent"), "left_anti")
     val insertedKids =
-      docs.insertNew(s"${index}_nested", "doc_id", childKey(children))
+      docs.insertNew(s"${index}_nested", "doc_id", childKey(newFamilies))
     val inserted = docs.insertNew(index, "doc_id", parents)
     (inserted.count(), insertedKids.count())
   }

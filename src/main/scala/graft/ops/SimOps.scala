@@ -202,7 +202,10 @@ object SimOps {
   /** LSH-bucketed ANN (the third scale path next to IVF): every
     * vector is sketched into 4-bit md5-hyperplane buckets under two
     * seeds ([[graft.functions.Vectors.md5_hyperplane_sketch]] — the
-    * same index `dedup_embed_lsh` uses, so the oracle replays it
+    * same CONSTRUCTION as `dedup_embed_lsh`'s index, but a separate
+    * artifact: dedup sketches 8 bits for pair recall, ANN 4 bits for
+    * wider probe buckets, so the two are not shareable; the
+    * md5-deterministic sketch is what lets the oracle replay it
     * bit-exactly); the probe joins the query's own (seed, bucket)
     * rows — a 2-row broadcast, i.e. bucket pruning — and only the
     * candidate ids fetch their payload vectors for the exact cosine

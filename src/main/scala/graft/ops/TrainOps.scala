@@ -264,12 +264,27 @@ object TrainOps {
     * stereotypical text, high = rare-token soup. Two hash aggregations
     * plus one join on the token key; the 1-row total rides a broadcast
     * cross join (the [[SimOps]] query-vector pattern). */
+  private val tokRowsCache = new graft.SessionCache[DataFrame]
+
+  /** (doc_id, tok) rows, memoized per (session, dataset) and
+    * persisted: the unigram LM consumes them TWICE (vocab aggregate +
+    * join probe side — different downstream operators, so exchange
+    * reuse can't kick in), and without the index artifact the corpus
+    * would be scanned and regex-tokenized twice per invocation. */
+  private def tokRows(s: SparkSession, d: String): DataFrame =
+    tokRowsCache.getOrCompute(s, d) {
+      val t = Tables.spread(Tables.documents(s, d))
+        .select(col("doc_id"),
+          explode(expr(
+            "filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')"))
+            .as("tok"))
+        .persist()
+      t.count()
+      t
+    }
+
   def textUnigramLm(s: SparkSession, d: String): DataFrame = {
-    val toks = Tables.documents(s, d)
-      .select(col("doc_id"),
-        explode(expr(
-          "filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')"))
-          .as("tok"))
+    val toks = tokRows(s, d)
     val vocab = toks.groupBy("tok").agg(count(lit(1)).as("freq"))
     val total = vocab.agg(sum("freq").as("total"))
     toks.join(vocab, "tok")

@@ -19,18 +19,44 @@ class GraftApiSpec extends SparkFunSuite {
     assert(r.getAs[String]("l") == "en")
   }
 
-  test("GraftExtensions injects the native expression into a fresh session") {
-    // the shared test session predates any extensions config, so drive
-    // the injection point directly and then prove the same builder the
-    // extension registers evaluates correctly through SQL
-    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
-    functions.expressions.CosineSimilarity.register(spark)
-    val r = spark.sql(
-      """SELECT cosine_sim_native(
-        |  array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
-        |  array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c""".stripMargin)
-      .head().getDouble(0)
-    assert(r == 1.0)
+  test("GraftExtensions injects the native expressions into a fresh session") {
+    import org.apache.spark.sql.SparkSession
+    // build a REAL session through the extension (reusing the shared
+    // SparkContext): the SQL below must resolve with NO register call,
+    // or the injection itself is broken
+    val shared = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val ext = SparkSession.builder()
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      try {
+        val r = ext.sql(
+          """SELECT cosine_sim_native(
+            |  array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+            |  array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c,
+            |  simhash64_native('hello world') AS s,
+            |  size(minhash_bands_native('hello world')) AS b""".stripMargin)
+          .head()
+        assert(r.getDouble(0) == 1.0)
+        assert(r.getLong(1) == functions.SimHash.simhash64("hello world"))
+        assert(r.getInt(2) == 16)
+        // wrong arity fails with the builder's message, not an
+        // IndexOutOfBoundsException from inside the analyzer
+        val e = intercept[Exception] {
+          ext.sql("SELECT cosine_sim_native(array(CAST(1.0 AS FLOAT)))")
+            .collect()
+        }
+        assert(!e.isInstanceOf[IndexOutOfBoundsException])
+      } finally {
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+      }
+    } finally {
+      SparkSession.setDefaultSession(shared)
+      SparkSession.setActiveSession(shared)
+    }
   }
 
   test("quarantined bulk read splits malformed rows instead of failing") {

@@ -85,21 +85,43 @@ class LobbyingPipelineSpec extends SparkFunSuite {
       .get.count() == 2)
   }
 
-  test("replay recovers children stranded by a crash between the two swaps") {
+  test("replay heals the crash window: children committed, parent absent") {
     val store = new DocStore(spark,
       Files.createTempDirectory("lobcrash").toString)
     val empty = Seq.empty[String]
     val batch = load(Seq(senateDisc("S9")), empty, empty, empty)
-    // simulate a prior run that committed the parent swap but lost the
-    // child swap (the state the old parent-delta gate could never heal:
-    // on replay the parent was "seen", so the gated child set was empty)
-    store.insertNew("federal_senate_lobbying_disclosures", "doc_id",
-      LobbyingChambers.senateParentDocs(batch(0), runTs))
-    assert(store.read("federal_senate_lobbying_disclosures_nested").isEmpty)
+    // children insert FIRST, so the only state a crash between the two
+    // swaps can leave is children committed + parent missing (each
+    // swap itself is journal-atomic); simulate it, then replay
+    store.insertNew("federal_senate_lobbying_disclosures_nested", "doc_id",
+      LobbyingPipeline.keyedChildren(
+        LobbyingChambers.senateChildDocs(batch(0), runTs)))
+    assert(store.read("federal_senate_lobbying_disclosures").isEmpty)
     val s = LobbyingPipeline.run(spark,
       batch(0), batch(1), batch(2), batch(3), store, runTs)
-    assert(s.senateDisclosures == 0) // parent already indexed
-    assert(s.childDocs == 1) // child re-derived and recovered
+    assert(s.senateDisclosures == 1) // parent lands on replay
+    assert(s.childDocs == 0)         // children dedupe against the index
+    assert(store.read("federal_senate_lobbying_disclosures_nested")
+      .get.count() == 1)             // exactly one generation
+  }
+
+  test("a re-fetch with drifted child content adds no second generation") {
+    val store = new DocStore(spark,
+      Files.createTempDirectory("lobdrift").toString)
+    val empty = Seq.empty[String]
+    val batch = load(Seq(senateDisc("S9")), empty, empty, empty)
+    LobbyingPipeline.run(spark,
+      batch(0), batch(1), batch(2), batch(3), store, runTs)
+    // upstream amends the child's content under the SAME filing id:
+    // the parent is already indexed, so per the es.exists skip
+    // semantics the drifted children must be ignored, not inserted as
+    // a second generation with new content keys
+    val drifted = load(Seq(senateDisc("S9").replace(
+      "\"general_issue_code\":\"TAX\"", "\"general_issue_code\":\"HCR\"")),
+      empty, empty, empty)
+    val s = LobbyingPipeline.run(spark,
+      drifted(0), drifted(1), drifted(2), drifted(3), store, runTs)
+    assert(s.senateDisclosures == 0 && s.childDocs == 0)
     assert(store.read("federal_senate_lobbying_disclosures_nested")
       .get.count() == 1)
   }
