@@ -235,6 +235,39 @@ object TrainOps {
       .orderBy(col("doc_id"))
   }
 
+  /** The integrated curation decision — what a pipeline actually ships
+    * to training: per doc, the final keep/reject plus the FIRST gate
+    * that rejected it (empty → lang → quality → length → exact-dup →
+    * near-dup). Composes [[graft.ops.TextOps.funnelFlags]] with the
+    * verified MinHash near-dup pairs ([[graft.ops.DedupOps.dedupMinhash]]
+    * — prune the higher id of each pair); every piece is an operator
+    * already oracle-checked on its own, and this entry pins their
+    * COMPOSITION under one hash check. One corpus pass for the gates,
+    * the memoized near-dup pair set, a fingerprint window, one join. */
+  def corpusKeep(s: SparkSession, d: String): DataFrame = {
+    val flagged = TextOps.funnelFlags(Tables.documents(s, d))
+    val minSurvivor = min(when(col("s5"), col("doc_id")))
+      .over(Window.partitionBy("fp"))
+    val losers = DedupOps.dedupMinhash(s, d)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("is_neardup", lit(1))
+    flagged
+      .withColumn("s6", col("s5") && col("doc_id") === minSurvivor)
+      .join(losers, Seq("doc_id"), "left")
+      .withColumn("keep",
+        (col("s6") && col("is_neardup").isNull).cast("int"))
+      .withColumn("reason",
+        when(!col("s2"), "empty")
+          .when(!col("s3"), "lang")
+          .when(!col("s4"), "quality")
+          .when(!col("s5"), "length")
+          .when(!col("s6"), "dup_exact")
+          .when(col("is_neardup").isNotNull, "near_dup")
+          .otherwise("kept"))
+      .select("doc_id", "keep", "reason")
+      .orderBy("doc_id")
+  }
+
   /** BPE-merge pair statistics — the first step of byte-pair-encoding
     * vocabulary training: corpus-wide counts of adjacent character
     * pairs within words, top-20 (the pair a BPE trainer would merge
@@ -358,6 +391,7 @@ object TrainOps {
     "eval_split"         -> evalSplit _,
     "pack_padded"        -> packPadded _,
     "bpe_pairs"          -> bpePairs _,
+    "corpus_keep"        -> corpusKeep _,
     "text_unigram_lm"    -> textUnigramLm _,
     "corpus_stats"       -> corpusStats _,
     "emb_outliers"       -> embOutliers _)
@@ -412,6 +446,77 @@ object TrainOps {
         |FROM (SELECT *, UNNEST(range(chunk_first, chunk_last + 1)) AS chunk_id
         |      FROM c)
         |ORDER BY chunk_id, doc_id""".stripMargin,
+    // the funnel-flag CTEs (filter_funnel's oracle) + the exact
+    // ground-truth near-dup pairs (dedup_clusters' oracle) composed
+    // into the final keep/reason decision
+    "corpus_keep" ->
+      """WITH f AS (
+        |  SELECT doc_id, lang,
+        |    length(trim(text)) > 0 AS s2,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_words,
+        |    len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+        |    length(text) AS n_chars2,
+        |    len(regexp_extract_all(lower(text),
+        |      '\b(the|a|an|of|to|in|and|is|it|that|for|on|was|with|as|at|be|this|are|or)\b'))
+        |      AS n_stop
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, fp, s2,
+        |    s2 AND lang = 'en' AS s3,
+        |    s2 AND lang = 'en' AND
+        |      round(least(CAST(n_words AS DOUBLE) / 20.0, 1.0)
+        |        * least(round(CAST(n_stop AS DOUBLE) / greatest(n_words, 1), 6) * 4.0, 1.0)
+        |        * greatest(0.0, 1.0 - round(CAST(n_punct AS DOUBLE) / greatest(n_chars2, 1), 6) * 4.0), 6)
+        |        >= 0.2 AS s4,
+        |    n_words AS n_words
+        |  FROM f),
+        |h AS (
+        |  SELECT doc_id, fp, s2, s3, s4,
+        |    s4 AND n_words BETWEEN 20 AND 5000 AS s5
+        |  FROM g),
+        |i AS (
+        |  SELECT *,
+        |    s5 AND doc_id = min(CASE WHEN s5 THEN doc_id END)
+        |      OVER (PARTITION BY fp) AS s6
+        |  FROM h),
+        |mtoks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+        |    t -> t != '') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id, UNNEST(
+        |      CASE WHEN len(toks) < 3 THEN
+        |        CASE WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+        |             ELSE [] END
+        |      ELSE list_transform(range(0, len(toks) - 2),
+        |        i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) END) AS shingle
+        |    FROM mtoks)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+        |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |prs AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE round(CAST(n_inter AS DOUBLE) / (sa.set_size + sb.set_size - n_inter), 6) >= 0.5),
+        |losers AS (SELECT DISTINCT doc_b AS doc_id FROM prs)
+        |SELECT i.doc_id,
+        |  CAST(CASE WHEN i.s6 AND l.doc_id IS NULL THEN 1 ELSE 0 END
+        |    AS INTEGER) AS keep,
+        |  CASE WHEN NOT i.s2 THEN 'empty'
+        |       WHEN NOT i.s3 THEN 'lang'
+        |       WHEN NOT i.s4 THEN 'quality'
+        |       WHEN NOT i.s5 THEN 'length'
+        |       WHEN NOT i.s6 THEN 'dup_exact'
+        |       WHEN l.doc_id IS NOT NULL THEN 'near_dup'
+        |       ELSE 'kept' END AS reason
+        |FROM i LEFT JOIN losers l USING (doc_id)
+        |ORDER BY i.doc_id""".stripMargin,
     "bpe_pairs" ->
       """WITH w AS (
         |  SELECT unnest(list_filter(

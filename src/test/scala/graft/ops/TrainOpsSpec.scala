@@ -136,6 +136,31 @@ class TrainOpsSpec extends SparkFunSuite {
     assert(out.nonEmpty)
   }
 
+  test("corpus_keep assigns the first failing gate as the reason") {
+    val d2 = Files.createTempDirectory("curation").toString
+    val keepText = "the quick brown fox jumps over the lazy dog and then " +
+      "the dog runs to the river bank in the morning light today"
+    Seq(
+      (1L, keepText, "en"),                                   // kept
+      (20L, keepText, "en"),                                  // exact dup
+      (21L, keepText.replace("quick", "swift"), "en"),        // near dup
+      (30L, "el perro corre por la plaza cada manana y luego duerme", "es"),
+      (40L, "the cat and the dog sat on the old mat", "en"),  // 10 words
+      (50L, "", "en"))                                        // empty
+      .map { case (id, t, l) => (id, t, l, "fix", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d2/documents.parquet")
+    val rows = TrainOps.corpusKeep(spark, d2).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("keep"), r.getAs[String]("reason"))).toMap
+    assert(rows(1L) == (1, "kept"))
+    assert(rows(20L) == (0, "dup_exact")) // exact dup loses before near-dup
+    assert(rows(21L) == (0, "near_dup"))
+    assert(rows(30L) == (0, "lang"))
+    assert(rows(40L) == (0, "length"))    // quality passes, token floor fails
+    assert(rows(50L) == (0, "empty"))
+  }
+
   test("bpe pair counts rank the dominant adjacent pair first") {
     val rows = TrainOps.bpePairs(spark, dir).collect()
       .map(r => r.getAs[String]("pair") -> r.getAs[Long]("n"))
