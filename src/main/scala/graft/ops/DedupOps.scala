@@ -329,14 +329,14 @@ object DedupOps {
     *
     * Scale: pairwise cosine never crosses a cell, and the capped
     * posting list (smallest 64 ids per cell, the shared LSH idiom)
-    * hard-bounds any cell at O(cap²) pairs. The honest caveat: this
-    * catalog entry inherits [[SimOps]]' FIXED nlist=16 quantizer, so
-    * beyond ~nlist×cap vectors the cap starts excluding members from
-    * pruning consideration — at real scale SemDeDup sizes nlist ∝
-    * corpus (cells stay ~constant and the cap is only a skew guard);
-    * the operator takes whatever quantizer [[SimOps.ivfIndex]] built,
-    * so that knob lives there. The oracle replays quantizer, cap, and
-    * prune rule bit-exactly at the catalog's scale. */
+    * hard-bounds any cell at O(cap²) pairs. The quantizer width is the
+    * `spark.graft.ann.nlist` session conf (default 16 — what the
+    * oracle replays): at real scale SemDeDup sizes nlist ∝ corpus so
+    * cells stay ~constant and the cap is only a skew guard; beyond
+    * ~nlist×cap vectors at the DEFAULT the cap would start excluding
+    * members from pruning consideration, so deployments must raise the
+    * knob with the corpus. The oracle replays quantizer, cap, and
+    * prune rule bit-exactly at the catalog's pinned default. */
   def dedupSemantic(s: SparkSession, d: String): DataFrame = {
     val (_, assigned) = SimOps.ivfIndex(s, d)
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))

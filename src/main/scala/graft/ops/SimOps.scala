@@ -54,23 +54,34 @@ object SimOps {
       .orderBy(col("label"), col("rk"))
   }
 
-  private val ivfNList = 16
-  private val ivfNProbe = 6
+  // nlist/nprobe are SESSION CONF knobs: at real scale nlist must grow
+  // with the corpus (SemDeDup sizes cells ~constant; IVF recall/probe
+  // cost trade on nprobe/nlist). The defaults are what every oracle
+  // replays, so the catalog stays pinned while a deployment sets
+  // spark.graft.ann.nlist/nprobe per corpus. The index caches key on
+  // the effective nlist, so changing the conf mid-session builds a
+  // fresh index instead of returning a stale one.
+  private def ivfNList(s: SparkSession): Int =
+    s.conf.get("spark.graft.ann.nlist", "16").toInt
+  private def ivfNProbe(s: SparkSession): Int =
+    s.conf.get("spark.graft.ann.nprobe", "6").toInt
 
-  /** IVF coarse quantizer, sampled flavor: the `ivfNList` vectors whose
+  /** IVF coarse quantizer, sampled flavor: the `nlist` vectors whose
     * md5(vec_id) sorts lowest ARE the centroids (a deterministic
     * pseudo-random sample). Zero training passes — at 100 TB the
     * quantizer costs one top-k over ids — and no floating-point means,
     * so the whole index is bit-deterministic and the oracle replays it
     * exactly in SQL. [[lloydRefine]] upgrades the sample to k-means
     * cells when partition quality matters more than build cost. */
-  def ivfCentroids(emb: DataFrame): DataFrame =
+  def ivfCentroids(emb: DataFrame): DataFrame = {
+    val nlist = ivfNList(emb.sparkSession)
     emb.withColumn("h", md5(col("vec_id").cast("string")))
       .orderBy(col("h").asc, col("vec_id").asc)
-      .limit(ivfNList)
+      .limit(nlist)
       .withColumn("rk", row_number().over(
         Window.orderBy(col("h").asc, col("vec_id").asc)))
       .select((col("rk") - 1).as("centroid_id"), col("embedding").as("centroid"))
+  }
 
   /** Lloyd refinement over an initial quantizer: per-dimension means as
     * DataFrame aggregations (posexplode → avg → regroup) — scales
@@ -120,7 +131,7 @@ object SimOps {
   private val ivfIndexCache = new graft.SessionCache[(DataFrame, DataFrame)]
 
   def ivfIndex(s: SparkSession, d: String): (DataFrame, DataFrame) =
-    ivfIndexCache.getOrCompute(s, d) {
+    ivfIndexCache.getOrCompute(s, s"$d|nlist=${ivfNList(s)}") {
       val emb = Tables.embeddings(s, d)
       val cents = ivfCentroids(emb).persist()
       val assigned = assignToCentroid(emb, cents).persist()
@@ -141,7 +152,7 @@ object SimOps {
       .withColumn("sim", CosineSimilarity.cosine_native(s, expr(
         "transform(centroid, x -> cast(x as float))"), col("q_emb")))
       .orderBy(col("sim").desc, col("centroid_id").asc)
-      .limit(ivfNProbe)
+      .limit(ivfNProbe(s))
       .select(col("centroid_id"))
     assigned
       .join(broadcast(probed), Seq("centroid_id"))
@@ -164,7 +175,7 @@ object SimOps {
   private val lloydIndexCache = new graft.SessionCache[(DataFrame, DataFrame)]
 
   def ivfLloydIndex(s: SparkSession, d: String): (DataFrame, DataFrame) =
-    lloydIndexCache.getOrCompute(s, d) {
+    lloydIndexCache.getOrCompute(s, s"$d|nlist=${ivfNList(s)}") {
       val emb = Tables.embeddings(s, d)
       val cents = lloydRefine(emb, ivfCentroids(emb), 1)
         .select(col("centroid_id"),
@@ -186,7 +197,7 @@ object SimOps {
       .withColumn("sim", CosineSimilarity.cosine_native(s, expr(
         "transform(centroid, x -> cast(x as float))"), col("q_emb")))
       .orderBy(col("sim").desc, col("centroid_id").asc)
-      .limit(ivfNProbe)
+      .limit(ivfNProbe(s))
       .select(col("centroid_id"))
     assigned
       .join(broadcast(probed), Seq("centroid_id"))

@@ -132,4 +132,18 @@ class SimOpsSpec extends SparkFunSuite {
     assert(assigned.count() == emb.count())
     assert(assigned.select($"vec_id").distinct().count() == emb.count())
   }
+
+  test("nlist is a session conf knob; resized indexes don't collide") {
+    try {
+      spark.conf.set("spark.graft.ann.nlist", "8")
+      val (cents8, _) = SimOps.ivfIndex(spark, sfDir)
+      assert(cents8.count() == 8)
+      spark.conf.set("spark.graft.ann.nlist", "16")
+      // a DIFFERENT cache entry, not the stale 8-cell index
+      val (cents16, assigned16) = SimOps.ivfIndex(spark, sfDir)
+      assert(cents16.count() == 16)
+      assert(assigned16.select(countDistinct($"centroid_id")).head()
+        .getLong(0) > 8)
+    } finally spark.conf.unset("spark.graft.ann.nlist")
+  }
 }
