@@ -81,4 +81,45 @@ class PropertySpec extends AnyFunSuite {
       est >= 0.0 && est <= 1.0 && MinHash.estJaccard(sa, sa) == 1.0
     })
   }
+
+  // arbitrary unicode (incl. supplementary-plane chars the UTF8String
+  // round-trip could mangle)
+  // valid-UTF-16 fragments only (Spark stores valid UTF-8; an unpaired
+  // surrogate would be lossily transcoded at the UTF8String boundary
+  // and the comparison would test the transcoder, not the sketch)
+  private val anyText: Gen[String] = Gen.listOf(Gen.oneOf(
+    Gen.alphaNumChar.map(_.toString), Gen.const(" "), Gen.const("é"),
+    Gen.const("ß"), Gen.const("中"), Gen.const("\t"),
+    Gen.choose(' ', '~').map(_.toString),
+    Gen.const("𝕏"))).map(_.mkString) // 𝕏 as a proper pair
+
+  test("native sketch expressions match the Scala functions across the UTF8String boundary") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.expressions.{MinHashBandKeys, SimHash64}
+    check(Prop.forAll(anyText) { s =>
+      SimHash64.compute(UTF8String.fromString(s)) == SimHash.simhash64(s)
+    })
+    check(Prop.forAll(anyText) { s =>
+      MinHashBandKeys.compute(UTF8String.fromString(s), 64, 16)
+        .toLongArray().toSeq ==
+        MinHash.bandKeys(MinHash.signature(s), 16).toSeq
+    })
+  }
+
+  test("strip_accents is idempotent and fixes ASCII") {
+    check(Prop.forAll(anyText) { s =>
+      val once = TextAnalysis.stripAccents(s)
+      TextAnalysis.stripAccents(once) == once
+    })
+    val ascii = Gen.listOf(Gen.choose(' ', '~')).map(_.mkString)
+    check(Prop.forAll(ascii) { s => TextAnalysis.stripAccents(s) == s })
+  }
+
+  test("rolling hash: whitespace-normalization invariance") {
+    val text = Gen.nonEmptyListOf(word).map(_.mkString(" "))
+    check(Prop.forAll(text) { t =>
+      TextAnalysis.rollingHash64(t) ==
+        TextAnalysis.rollingHash64("  " + t.replace(" ", "   ") + " ")
+    })
+  }
 }
