@@ -439,24 +439,34 @@ object DedupOps {
     * persisting, so two scans beat materializing it. Docs shorter than
     * the gram width can't be flagged; they're the exact-dedup family's
     * job. */
-  def dedupSubstr(s: SparkSession, d: String): DataFrame = {
-    val W = 8
+  private val substrW = 8
+
+  /** The shared front of the passage-coverage family: per-doc token
+    * arrays and the DISTINCT duplicated token positions (1-based). */
+  private def substrCoverage(s: SparkSession,
+      d: String): (DataFrame, DataFrame) = {
     val toks = Tables.spread(Tables.documents(s, d))
       .select(col("doc_id"),
         graft.functions.TextAnalysis.wordTokens(col("text")).as("toks"))
       .select(col("doc_id"), col("toks"), size(col("toks")).as("n_tokens"))
     val grams = toks.select(col("doc_id"), col("n_tokens"),
-      posexplode(graft.functions.TextAnalysis.wordGrams(col("toks"), W)))
+      posexplode(graft.functions.TextAnalysis.wordGrams(col("toks"), substrW)))
       .toDF("doc_id", "n_tokens", "pos", "gram")
     val dupGrams = grams.groupBy(col("gram"))
       .agg(count(lit(1)).as("n_occ"))
       .filter(col("n_occ") >= 2)
       .select(col("gram"))
-    val covered = grams.join(dupGrams, Seq("gram"), "left_semi")
+    val covRows = grams.join(dupGrams, Seq("gram"), "left_semi")
       // posexplode pos is 0-based; token positions are 1-based
       .select(col("doc_id"),
-        explode(sequence(col("pos") + 1, col("pos") + W)).as("cov"))
+        explode(sequence(col("pos") + 1, col("pos") + substrW)).as("cov"))
       .distinct()
+    (toks, covRows)
+  }
+
+  def dedupSubstr(s: SparkSession, d: String): DataFrame = {
+    val (toks, covRows) = substrCoverage(s, d)
+    val covered = covRows
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_tokens"))
     toks.select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"))
       .join(covered, Seq("doc_id"), "left")
@@ -466,9 +476,30 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
+  /** The transformative form of [[dedupSubstr]] — what the ExactSubstr
+    * treatment actually does to the corpus: REMOVE every duplicated
+    * token position and re-join the survivors. Same coverage pipeline,
+    * plus one sorted collect per doc and a positional filter (narrow). */
+  def dedupSubstrClean(s: SparkSession, d: String): DataFrame = {
+    val (toks, covRows) = substrCoverage(s, d)
+    val covList = covRows.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("cov"))).as("cov"))
+    toks.join(covList, Seq("doc_id"), "left")
+      .withColumn("cov",
+        coalesce(col("cov"), array().cast("array<int>")))
+      .select(col("doc_id"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        size(col("cov")).cast("long").as("n_dup_tokens"),
+        concat_ws(" ", filter(col("toks"),
+          // Spark's filter index is 0-based; coverage is 1-based
+          (t, i) => !array_contains(col("cov"), i + 1))).as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_semantic"   -> dedupSemantic _,
     "dedup_substr"     -> dedupSubstr _,
+    "dedup_substr_clean" -> dedupSubstrClean _,
     "dedup_clusters"   -> dedupClusters _,
     "dedup_exact"      -> dedupExact _,
     "dedup_exact_keep" -> dedupExactKeep _,
@@ -548,6 +579,35 @@ object DedupOps {
         |  round(CAST(coalesce(agg.n_dup_tokens, 0) AS DOUBLE)
         |    / greatest(n.n_tokens, 1), 6) AS dup_frac
         |FROM n LEFT JOIN agg USING (doc_id) ORDER BY n.doc_id""".stripMargin,
+    "dedup_substr_clean" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')
+        |      AS toks
+        |  FROM documents),
+        |n AS (SELECT doc_id, len(toks) AS n_tokens, toks FROM t),
+        |o AS (
+        |  SELECT doc_id, pos, array_to_string(toks[pos:pos+7], ' ') AS gram
+        |  FROM (
+        |    SELECT doc_id, toks,
+        |      unnest(CASE WHEN n_tokens < 8 THEN []::BIGINT[]
+        |             ELSE range(1, n_tokens - 6) END) AS pos
+        |    FROM n)),
+        |dup AS (SELECT gram FROM o GROUP BY gram HAVING count(*) >= 2),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, cp FROM (
+        |    SELECT doc_id, unnest(range(pos, pos + 8)) AS cp
+        |    FROM o WHERE gram IN (SELECT gram FROM dup))),
+        |cl AS (SELECT doc_id, list_sort(list(cp)) AS cov
+        |       FROM cov GROUP BY doc_id)
+        |SELECT n.doc_id, CAST(n.n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(len(cl.cov), 0) AS BIGINT) AS n_dup_tokens,
+        |  -- array_to_string([]) is NULL in DuckDB; Spark's concat_ws
+        |  -- of an empty array is '' — pin the fully-covered case
+        |  coalesce(array_to_string(list_filter(n.toks,
+        |    (x, i) -> NOT list_contains(coalesce(cl.cov, []), i)), ' '), '')
+        |    AS clean_text
+        |FROM n LEFT JOIN cl USING (doc_id) ORDER BY n.doc_id""".stripMargin,
     // ground-truth pairs (the dedup_minhash oracle's CTEs) + recursive
     // min-label reachability = connected components
     "dedup_clusters" ->

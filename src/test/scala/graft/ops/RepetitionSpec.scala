@@ -133,4 +133,15 @@ class RepetitionSpec extends SparkFunSuite {
     assert(rows(3L) == (0L, 0.0))
     assert(rows(4L) == (0L, 0.0))
   }
+
+  test("dedup_substr_clean removes exactly the shared passage") {
+    val clean = DedupOps.dedupSubstrClean(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("clean_text"))
+      .toMap
+    assert(clean(10L) == "unique1 unique2") // shared tail excised
+    assert(clean(11L) == "x1 x2 x3")
+    assert(clean(12L) == "" && clean(13L) == "") // exact copies vanish
+    assert(clean(2L) == "one two three four five six seven eight nine ten")
+    assert(clean(1L) == "") // self-repeating spam fully covered
+  }
 }
