@@ -52,8 +52,13 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    // compact duplicate LAST: the driver tail-captures output, and the
-    // long line above can be truncated from the head — this one survives.
+    // Durable per-query times: the long line above can be head-truncated
+    // by the driver's tail capture, so ALSO emit each query as its own
+    // short line — every one survives a tail capture individually.
+    results.foreach { case (k, v) =>
+      println(s"""{"metric":"query","name":"$k","value":$v,"unit":"sec"}""")
+    }
+    // compact total LAST: the last line always survives the tail.
     println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }

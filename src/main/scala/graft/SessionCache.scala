@@ -20,7 +20,7 @@ import org.apache.spark.sql.SparkSession
   *    owner while its entry lives — `stop()` is the eviction signal,
   *    which is also the only point its persisted blocks are freed.)
   */
-final class SessionCache[V] {
+final class SessionCache[V](onEvict: V => Unit = (_: V) => ()) {
 
   // The map stores a MEMO CELL, not the built value: computeIfAbsent
   // must stay short (CHM holds the bin lock through the mapping
@@ -30,7 +30,10 @@ final class SessionCache[V] {
   // only with same-key callers.
   private final class Cell(s: SparkSession, f: () => V) {
     val session: SparkSession = s
-    lazy val value: V = f()
+    @volatile private var computed = false
+    lazy val value: V = { val v = f(); computed = true; v }
+    // for eviction: never force a build just to tear it down
+    def valueIfComputed: Option[V] = if (computed) Some(value) else None
   }
 
   private val m = new ConcurrentHashMap[String, Cell]()
@@ -41,9 +44,34 @@ final class SessionCache[V] {
       _ => new Cell(s, () => f)).value
   }
 
+  /** Evict this session's entries whose dataset key starts with
+    * `prefix`, except `keep`, running `onEvict` (e.g. unpersist) on
+    * each already-built value. For caches whose key embeds a tuning
+    * knob (the IVF nlist): a knob change supersedes the old entry,
+    * which would otherwise pin its persisted blocks until session
+    * stop. A value still mid-build is skipped (its builder finishes
+    * and the entry is already unreachable; storage for that edge is
+    * reclaimed at session stop as before). */
+  def evictSiblings(s: SparkSession, prefix: String, keep: String): Unit = {
+    val sid = SessionCache.sessionId(s) + "|"
+    val keepKey = sid + keep
+    val it = m.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey.startsWith(sid + prefix) && e.getKey != keepKey) {
+        it.remove()
+        e.getValue.valueIfComputed.foreach { v =>
+          try onEvict(v) catch { case _: Throwable => () }
+        }
+      }
+    }
+  }
+
   private def sweep(): Unit = {
     val it = m.entrySet().iterator()
     while (it.hasNext) {
+      // stopped session: just drop the entry — its persisted blocks
+      // died with the executor, unpersist would be a no-op at best
       if (it.next().getValue.session.sparkContext.isStopped) it.remove()
     }
   }

@@ -209,19 +209,30 @@ object DedupOps {
     // by repeated calls — no cached-copy accumulation across calls.
     val sh = ngramShingleIndex(s, d, docs)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("set_size"))
+    // Attach each doc's set size to its posting entries (one linear
+    // join against the cached index) so pair generation emits
+    // (doc_id, set_size) structs: the LENGTH PREFILTER then runs at
+    // the explode site, BEFORE the per-pair aggregation shuffle —
+    // jaccard = inter/union ≤ min/max, so J ≥ 0.4 is impossible unless
+    // max_size ≤ 2.5·min_size; incompatible pairs (the bulk of the
+    // candidate volume between differently-sized docs) never ride the
+    // shuffle, and the post-agg size joins disappear since the sizes
+    // arrive with the pair.
+    val posting = sh.join(sizes, Seq("doc_id"))
+      .select(col("shingle"),
+        struct(col("doc_id"), col("set_size")).as("m"))
     // inverted index via one hash-agg: cap + within-posting pairs in a
     // single map-side-combined shuffle. A shingle self-join would scan
     // (and re-tokenize) `sh` twice and need a window sort for the
     // skew cap; collecting the sorted posting list does both at once.
     val inter =
-      cappedBucketPairs(sh, Seq("shingle"), "doc_id", "doc_a", "doc_b")
-      .groupBy(col("doc_a"), col("doc_b"))
+      cappedBucketPairs(posting, Seq("shingle"), "m", "a", "b")
+      .filter(col("a.set_size").cast("double") <= col("b.set_size") * 2.5
+        && col("b.set_size").cast("double") <= col("a.set_size") * 2.5)
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.set_size").as("size_a"), col("b.set_size").as("size_b"))
       .agg(count(lit(1)).as("n_inter"))
     inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("set_size", "size_a"), Seq("doc_a"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("set_size", "size_b"), Seq("doc_b"))
       .withColumn("jaccard", round(col("n_inter").cast("double") /
         (col("size_a") + col("size_b") - col("n_inter")).cast("double"), 6))
       .filter(col("jaccard") >= 0.4)

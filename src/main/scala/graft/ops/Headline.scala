@@ -21,8 +21,12 @@ object Headline {
       .filter(col("o_orderdate") < lit("1997-06-01").cast("timestamp"))
     val li = Tables.lineitem(s, d)
       .filter(col("l_shipdate") > lit("1997-06-01").cast("date"))
+    // No broadcast hint on customer: it scales with the corpus (unlike
+    // nation/region's fixed 25/5 rows). AQE picks broadcast-vs-shuffle
+    // from runtime stats — it still broadcasts at small SF, but won't
+    // force an 8 GB+ driver broadcast at 100×.
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
       .groupBy(col("l_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
         col("o_orderpriority"))
@@ -41,9 +45,11 @@ object Headline {
     val sup = Tables.supplier(s, d)
     val nat = Tables.nation(s, d)
     val reg = Tables.region(s, d)
+    // customer/supplier are SF-proportional: no forced broadcast (AQE
+    // decides); nation/region are fixed-size dims: hint is always safe.
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
-      .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey")
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(sup, li("l_suppkey") === sup("s_suppkey")
         && cust("c_nationkey") === sup("s_nationkey"))
       .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
       .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
@@ -64,7 +70,10 @@ object Headline {
         count(lit(1)).as("n_orders"))
     val cust = Tables.customer(s, d)
     val nat = Tables.nation(s, d)
-    spend.join(broadcast(cust), spend("o_custkey") === cust("c_custkey"))
+    // spend is already ≤|customer| rows post-agg; join it to the
+    // SF-scaling customer without a forced hint (AQE decides), keep the
+    // hint only on fixed-size nation.
+    spend.join(cust, spend("o_custkey") === cust("c_custkey"))
       .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
       .select(col("o_custkey").as("custkey"), col("c_name"),
         col("n_name").as("nation"), col("total_spend"), col("n_orders"))

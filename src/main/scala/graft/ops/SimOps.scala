@@ -127,17 +127,28 @@ object SimOps {
 
   /** IVF index memo: the coarse quantizer + assignment are an INDEX —
     * built once per (session, dataset), reused by every query against
-    * it (persisted; the amortization every ANN index relies on). */
-  private val ivfIndexCache = new graft.SessionCache[(DataFrame, DataFrame)]
+    * it (persisted; the amortization every ANN index relies on). The
+    * evict hook unpersists a superseded index when the nlist knob
+    * changes mid-session — without it each resize would pin the old
+    * centroid/assignment blocks until session stop. */
+  private def unpersistIvf(v: (DataFrame, DataFrame)): Unit = {
+    v._1.unpersist(); v._2.unpersist(); ()
+  }
 
-  def ivfIndex(s: SparkSession, d: String): (DataFrame, DataFrame) =
-    ivfIndexCache.getOrCompute(s, s"$d|nlist=${ivfNList(s)}") {
+  private val ivfIndexCache =
+    new graft.SessionCache[(DataFrame, DataFrame)](unpersistIvf)
+
+  def ivfIndex(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val key = s"$d|nlist=${ivfNList(s)}"
+    ivfIndexCache.evictSiblings(s, s"$d|nlist=", key)
+    ivfIndexCache.getOrCompute(s, key) {
       val emb = Tables.embeddings(s, d)
       val cents = ivfCentroids(emb).persist()
       val assigned = assignToCentroid(emb, cents).persist()
       assigned.count() // materialize once
       (cents, assigned)
     }
+  }
 
   /** IVF ANN: probe the nprobe closest centroid partitions only, then
     * exact cosine within the probed cells. The sampled quantizer makes
@@ -172,10 +183,13 @@ object SimOps {
     * differ in the last ulp (different summation orders), but both
     * land on the same 1e-6 grid point, and the float cast at use time
     * (IEEE round-to-nearest) is then identical in both engines. */
-  private val lloydIndexCache = new graft.SessionCache[(DataFrame, DataFrame)]
+  private val lloydIndexCache =
+    new graft.SessionCache[(DataFrame, DataFrame)](unpersistIvf)
 
-  def ivfLloydIndex(s: SparkSession, d: String): (DataFrame, DataFrame) =
-    lloydIndexCache.getOrCompute(s, s"$d|nlist=${ivfNList(s)}") {
+  def ivfLloydIndex(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val key = s"$d|nlist=${ivfNList(s)}"
+    lloydIndexCache.evictSiblings(s, s"$d|nlist=", key)
+    lloydIndexCache.getOrCompute(s, key) {
       val emb = Tables.embeddings(s, d)
       val cents = lloydRefine(emb, ivfCentroids(emb), 1)
         .select(col("centroid_id"),
@@ -185,6 +199,7 @@ object SimOps {
       assigned.count()
       (cents, assigned)
     }
+  }
 
   /** IVF ANN over the Lloyd-refined quantizer — identical probe/scan
     * shape to [[annIvf]]; proves the trainable-index path end-to-end

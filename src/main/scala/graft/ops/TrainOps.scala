@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -140,20 +140,80 @@ object TrainOps {
       .orderBy("doc_id")
   }
 
+  /** 16^4 = 65536 md5-prefix groups per stratum: the two-level
+    * rank/cumsum group width for the mixing and sampling operators. A
+    * 90 TB source splits into ~1.4 GB window partitions; the
+    * per-source offset table is ≤65536 rows. */
+  private val mixGroupChars = 4
+
+  /** Adds the deterministic-shuffle sort key `__h = md5(doc_id)` and
+    * its prefix group id `__gid`. Because `__gid` is a PREFIX of the
+    * sort key, ordering by (__gid, __h, doc_id) ≡ ordering by
+    * (__h, doc_id): intra-group windows + a per-stratum group-offset
+    * table compose to the exact global per-stratum order. */
+  private def mixKeyed(t: DataFrame): DataFrame =
+    t.withColumn("__h", md5(col("doc_id").cast("string")))
+      .withColumn("__gid", substring(col("__h"), 1, mixGroupChars))
+
+  /** Two-level per-source running token sum in (md5(doc_id), doc_id)
+    * order — `cum_tokens` without a monolithic per-source window. One
+    * source at 100 TB is ~90% of a pretraining mix; as a single window
+    * partition that is a single-task 90 TB sort, and AQE can NEVER
+    * split a window partition (all rows of one must co-locate — skew
+    * handling applies to joins/aggs only), so the split must live in
+    * the key itself: window by (source, md5-prefix group), then add
+    * the per-source exclusive prefix sum of group totals (the
+    * [[packChunks]] idiom; offset window runs over ≤65536 rows per
+    * source). Costs one extra narrow aggregate pass over the token
+    * table — the price of never sorting a source in one task. */
+  private def sourceCumTokens(t: DataFrame): DataFrame = {
+    val keyed = mixKeyed(t)
+    val wIn = Window.partitionBy("source", "__gid")
+      .orderBy(col("__h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wOff = Window.partitionBy("source").orderBy("__gid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = keyed.groupBy(col("source"), col("__gid"))
+      .agg(sum("n_tokens").as("__g_tot"))
+      .withColumn("__g_off", coalesce(sum("__g_tot").over(wOff), lit(0L)))
+      .select("source", "__gid", "__g_off")
+    keyed
+      .withColumn("__run_in", sum("n_tokens").over(wIn))
+      .join(offs, Seq("source", "__gid"))
+      .withColumn("cum_tokens", col("__g_off") + col("__run_in"))
+      .drop("__h", "__gid", "__run_in", "__g_off")
+  }
+
   /** Deterministic stratified sample: within each language stratum,
     * rank docs by md5(doc_id) (a stable pseudo-random shuffle both
-    * engines compute identically) and keep the first ⌈20%⌉. One
-    * shuffle on the stratum key; a skewed stratum is one window
-    * partition — AQE's skew handling applies, and the md5 sort key
-    * spreads ties uniformly. */
+    * engines compute identically) and keep the first ⌈20%⌉.
+    *
+    * The rank is a TWO-LEVEL distributed row_number (the cumsum idiom
+    * with n = 1): row_number within (lang, md5-prefix group) + the
+    * count of earlier groups from a per-stratum offset table. No
+    * stratum — however dominant (English ≈ half a multilingual
+    * corpus) — is ever a single window partition. A pure md5-threshold
+    * (the [[evalSplit]] idiom) would be window-free entirely but
+    * yields an EXPECTED 20% rather than the exact ⌈20%⌉ this
+    * operator's contract (and its `rk` output column) guarantees. */
   def sampleStratified(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("lang")
-      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"))
-      .withColumn("rk", row_number().over(w))
-      .withColumn("n_stratum", count(lit(1)).over(Window.partitionBy("lang")))
-      .filter(col("rk") <= ceil(col("n_stratum") * 0.2).cast("bigint"))
+    val keyed = mixKeyed(
+      Tables.documents(s, d).select(col("doc_id"), col("lang")))
+    val wIn = Window.partitionBy("lang", "__gid")
+      .orderBy(col("__h"), col("doc_id"))
+    val wOff = Window.partitionBy("lang").orderBy("__gid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = keyed.groupBy(col("lang"), col("__gid"))
+      .agg(count(lit(1)).as("__g_n"))
+      .withColumn("__g_off", coalesce(sum("__g_n").over(wOff), lit(0L)))
+    // |langs| is bounded (~hundreds) regardless of SF: broadcast is safe
+    val strata = offs.groupBy("lang").agg(sum("__g_n").as("n_stratum"))
+    keyed
+      .withColumn("__rn", row_number().over(wIn))
+      .join(offs.select("lang", "__gid", "__g_off"), Seq("lang", "__gid"))
+      .withColumn("rk", (col("__g_off") + col("__rn")).cast("int"))
+      .join(broadcast(strata), Seq("lang"))
+      .filter(col("rk").cast("bigint") <= ceil(col("n_stratum") * 0.2).cast("bigint"))
       .select("doc_id", "lang", "rk", "n_stratum")
       .orderBy("doc_id")
   }
@@ -161,18 +221,15 @@ object TrainOps {
   /** Data mixing: cap every source's contribution at a fixed token
     * budget. Docs are taken in a deterministic md5-shuffled order per
     * source until the running token total crosses the cap — the
-    * "N tokens of books, M of web" knob of a pretraining mix, as a
-    * per-stratum running-sum window (one shuffle on the source key;
-    * each source sorts independently, in parallel). */
+    * "N tokens of books, M of web" knob of a pretraining mix. The
+    * running sum is the two-level [[sourceCumTokens]], so the dominant
+    * source never becomes one window partition. */
   def mixBudget(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("source")
-      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(s, d)
+    val t = Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
         TextAnalysis.token_count_bpe(col("text")).cast("bigint")
           .as("n_tokens"))
-      .withColumn("cum_tokens", sum("n_tokens").over(w))
+    sourceCumTokens(t)
       .filter(col("cum_tokens") <= 1024)
       .select("doc_id", "source", "n_tokens", "cum_tokens")
       .orderBy("doc_id")
@@ -181,9 +238,9 @@ object TrainOps {
   /** Temperature-scaled source mixing: per-source budgets B_s ∝ n_s^α
     * with α = 0.5 — the multilingual-LM temperature knob that
     * up-weights small sources relative to proportional sampling — then
-    * the [[mixBudget]] running-sum cut inside each source. Two corpus
-    * aggregates + one per-source window; the per-source stat table is
-    * tiny and broadcasts.
+    * the [[mixBudget]] running-sum cut inside each source (the
+    * two-level [[sourceCumTokens]] — no monolithic per-source window).
+    * The per-source stat table is tiny and broadcasts.
     *
     * Cross-engine determinism: sqrt is IEEE-correctly-rounded in both
     * engines, 0.5·total is a power-of-two multiply, and the weight
@@ -209,10 +266,7 @@ object TrainOps {
       .select(col("source"),
         floor(col("b_total") * col("w") / col("denom")).cast("bigint")
           .as("budget_tokens"))
-    val w = Window.partitionBy("source")
-      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    t.withColumn("cum_tokens", sum("n_tokens").over(w))
+    sourceCumTokens(t)
       .join(broadcast(budgets), Seq("source"))
       .filter(col("cum_tokens") <= col("budget_tokens"))
       .select("doc_id", "source", "n_tokens", "cum_tokens", "budget_tokens")
@@ -251,17 +305,23 @@ object TrainOps {
     val losers = DedupOps.dedupMinhash(s, d)
       .select(col("doc_b").as("doc_id")).distinct()
       .withColumn("is_neardup", lit(1))
+    // NULL text/lang propagates NULL through the flag chain; a NULL
+    // flag means the gate did NOT pass, so fold NULLs to false before
+    // negating — keep emits 0 (matching the oracle's CASE ... ELSE 0)
+    // and reason lands on the first failed gate, never 'kept'
+    def failed(c: Column): Column = !coalesce(c, lit(false))
     flagged
       .withColumn("s6", col("s5") && col("doc_id") === minSurvivor)
       .join(losers, Seq("doc_id"), "left")
       .withColumn("keep",
-        (col("s6") && col("is_neardup").isNull).cast("int"))
+        coalesce((col("s6") && col("is_neardup").isNull).cast("int"),
+          lit(0)))
       .withColumn("reason",
-        when(!col("s2"), "empty")
-          .when(!col("s3"), "lang")
-          .when(!col("s4"), "quality")
-          .when(!col("s5"), "length")
-          .when(!col("s6"), "dup_exact")
+        when(failed(col("s2")), "empty")
+          .when(failed(col("s3")), "lang")
+          .when(failed(col("s4")), "quality")
+          .when(failed(col("s5")), "length")
+          .when(failed(col("s6")), "dup_exact")
           .when(col("is_neardup").isNotNull, "near_dup")
           .otherwise("kept"))
       .select("doc_id", "keep", "reason")
@@ -299,34 +359,41 @@ object TrainOps {
     * cross join (the [[SimOps]] query-vector pattern). */
   private val tokRowsCache = new graft.SessionCache[DataFrame]
 
-  /** (doc_id, tok) rows, memoized per (session, dataset) and
-    * persisted: the unigram LM consumes them TWICE (vocab aggregate +
-    * join probe side — different downstream operators, so exchange
-    * reuse can't kick in), and without the index artifact the corpus
-    * would be scanned and regex-tokenized twice per invocation. */
-  private def tokRows(s: SparkSession, d: String): DataFrame =
+  /** Per-doc token counts (doc_id, tok, n) — the FOLDED form of the
+    * token stream: one row per distinct (doc, token) rather than one
+    * per occurrence, shrinking everything downstream by the in-doc
+    * repetition factor ("the" alone is ~5% of a corpus's occurrences
+    * but one row per doc here). The unigram LM consumes it twice
+    * (vocab aggregate + probe side — different downstream operators,
+    * so exchange reuse can't kick in), hence the memo; no eager
+    * count() — the first real action materializes the cache, so
+    * explain/plan-only paths never pay a corpus scan. */
+  private def docTokCounts(s: SparkSession, d: String): DataFrame =
     tokRowsCache.getOrCompute(s, d) {
-      val t = Tables.spread(Tables.documents(s, d))
+      Tables.spread(Tables.documents(s, d))
         .select(col("doc_id"),
           explode(expr(
             "filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')"))
             .as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("n"))
         .persist()
-      t.count()
-      t
     }
 
   def textUnigramLm(s: SparkSession, d: String): DataFrame = {
-    val toks = tokRows(s, d)
-    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("freq"))
+    val dt = docTokCounts(s, d)
+    val vocab = dt.groupBy("tok").agg(sum("n").as("freq"))
     val total = vocab.agg(sum("freq").as("total"))
-    toks.join(vocab, "tok")
+    // probe side is distinct doc-tokens, NOT occurrences: the Zipf-key
+    // join input shrinks by the repetition factor; the occurrence
+    // weighting moves into the final agg (sum(nlp·n)/sum(n) ≡ the
+    // per-occurrence avg)
+    dt.join(vocab, "tok")
       .crossJoin(broadcast(total))
       .withColumn("nlp",
         -log(col("freq").cast("double") / col("total").cast("double")))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_toks"),
-        round(avg(col("nlp")), 6).as("avg_neg_logp"))
+      .agg(sum("n").as("n_toks"),
+        round(sum(col("nlp") * col("n")) / sum("n"), 6).as("avg_neg_logp"))
       .orderBy("doc_id")
   }
 
@@ -611,18 +678,22 @@ object TrainOps {
         |SELECT doc_id, source, n_tokens, cum_tokens, budget_tokens
         |FROM r JOIN b USING (source)
         |WHERE cum_tokens <= budget_tokens ORDER BY doc_id""".stripMargin,
+    // folded form mirrors the Spark plan: per-doc (tok, n) counts,
+    // vocab freq = sum(n), weighted mean sum(nlp·n)/sum(n)
     "text_unigram_lm" ->
       """WITH toks AS (
         |  SELECT doc_id, UNNEST(list_filter(
         |    string_split_regex(lower(text), '[^a-z0-9]+'), t -> t != ''))
         |    AS tok
         |  FROM documents),
-        |vocab AS (SELECT tok, COUNT(*) AS freq FROM toks GROUP BY tok),
-        |tot AS (SELECT SUM(freq) AS total FROM vocab)
-        |SELECT doc_id, COUNT(*) AS n_toks,
-        |  round(avg(-ln(CAST(freq AS DOUBLE) / CAST(total AS DOUBLE))), 6)
-        |    AS avg_neg_logp
-        |FROM toks JOIN vocab USING (tok), tot
+        |dt AS (SELECT doc_id, tok, COUNT(*) AS n FROM toks GROUP BY doc_id, tok),
+        |vocab AS (SELECT tok, CAST(SUM(n) AS BIGINT) AS freq FROM dt GROUP BY tok),
+        |tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS total FROM vocab)
+        |SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_toks,
+        |  round(SUM(-ln(CAST(freq AS DOUBLE) / CAST(total AS DOUBLE))
+        |      * CAST(n AS DOUBLE))
+        |    / CAST(SUM(n) AS DOUBLE), 6) AS avg_neg_logp
+        |FROM dt JOIN vocab USING (tok), tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "corpus_stats" ->
       s"""WITH t AS (

@@ -68,8 +68,26 @@ class TextSketchExpressionSpec extends SparkFunSuite {
     val p = df.queryExecution.executedPlan.toString
     assert(p.linesIterator.next().startsWith("*(1) Project"),
       p.linesIterator.take(4).mkString("\n"))
-    // and the generated code compiles/executes (a codegen error would
-    // fall back silently — the distinct count proves real evaluation)
-    assert(df.select(countDistinct($"sh")).head().getLong(0) > 1)
+    // and the generated code compiles/executes WITHOUT the silent
+    // interpreted fallback: CODEGEN_ONLY + fallback off turns a Janino
+    // compile failure of the doGenCode template into a test failure
+    // instead of an identical-result interpreted run
+    withSQLConf(
+      "spark.sql.codegen.factoryMode" -> "CODEGEN_ONLY",
+      "spark.sql.codegen.fallback" -> "false") {
+      assert(df.select(countDistinct($"sh")).head().getLong(0) > 1)
+      assert(df.select(countDistinct($"bands".cast("string"))).head()
+        .getLong(0) > 1)
+    }
+  }
+
+  /** Set SQL confs for the duration of `f`, restoring prior values. */
+  private def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
+    val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 }

@@ -136,14 +136,22 @@ class SimOpsSpec extends SparkFunSuite {
   test("nlist is a session conf knob; resized indexes don't collide") {
     try {
       spark.conf.set("spark.graft.ann.nlist", "8")
-      val (cents8, _) = SimOps.ivfIndex(spark, sfDir)
+      val (cents8, assigned8) = SimOps.ivfIndex(spark, sfDir)
       assert(cents8.count() == 8)
+      assert(assigned8.storageLevel.useMemory) // persisted index
       spark.conf.set("spark.graft.ann.nlist", "16")
       // a DIFFERENT cache entry, not the stale 8-cell index
       val (cents16, assigned16) = SimOps.ivfIndex(spark, sfDir)
       assert(cents16.count() == 16)
       assert(assigned16.select(countDistinct($"centroid_id")).head()
         .getLong(0) > 8)
-    } finally spark.conf.unset("spark.graft.ann.nlist")
+      // the superseded 8-cell index was unpersisted on resize — its
+      // cached blocks don't leak for the session's lifetime
+      assert(!cents8.storageLevel.useMemory && !assigned8.storageLevel.useMemory)
+      assert(assigned16.storageLevel.useMemory)
+    } finally {
+      spark.conf.unset("spark.graft.ann.nlist")
+      SimOps.ivfIndex(spark, sfDir) // restore the default-16 entry
+    }
   }
 }

@@ -3,6 +3,7 @@ package graft.ops
 import graft.{SparkFunSuite, SparkEntry}
 import graft.io.PartitionedTable
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
 import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
@@ -29,6 +30,32 @@ class PlanAuditSpec extends SparkFunSuite {
       val p = plan(q)
       assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(5).mkString)
     }
+  }
+
+  test("no forced broadcast hint on SF-scaling tables in the headline trio") {
+    // customer/supplier grow with the corpus; a forced broadcast() hint
+    // on them dies (8 GB broadcast limit / driver OOM) at 100×. Only
+    // fixed-size nation/region may carry hints — AQE decides the rest
+    // from runtime stats. Asserted on the analyzed plan's hints, not the
+    // physical join (AQE legitimately still broadcasts them at sf0.01).
+    def hintTargets(df: DataFrame): Seq[String] =
+      df.queryExecution.analyzed.collect {
+        case h: ResolvedHint => h.child.collectLeaves().map(_.toString).mkString
+      }
+    Seq(
+      "q03" -> Headline.q03Shipping(spark, sfDir),
+      "q05" -> Headline.q05LocalSupplier(spark, sfDir),
+      "q10" -> Headline.q10TopCustomers(spark, sfDir)
+    ).foreach { case (name, q) =>
+      hintTargets(q).foreach { leaves =>
+        assert(!leaves.contains("customer") && !leaves.contains("supplier"),
+          s"$name forces a broadcast of an SF-scaling table")
+      }
+    }
+    // and the fixed-size dims DO keep their hints (q05: nation + region)
+    val q05 = hintTargets(Headline.q05LocalSupplier(spark, sfDir))
+    assert(q05.size == 2 && q05.exists(_.contains("nation"))
+      && q05.exists(_.contains("region")))
   }
 
   test("presentation sorts are eliminated under aggregation") {

@@ -146,8 +146,11 @@ class TrainOpsSpec extends SparkFunSuite {
       (21L, keepText.replace("quick", "swift"), "en"),        // near dup
       (30L, "el perro corre por la plaza cada manana y luego duerme", "es"),
       (40L, "the cat and the dog sat on the old mat", "en"),  // 10 words
-      (50L, "", "en"))                                        // empty
-      .map { case (id, t, l) => (id, t, l, "fix", t.length.toLong) }
+      (50L, "", "en"),                                        // empty
+      (60L, null, "en"),                                      // NULL text
+      (70L, keepText.replace("fox", "wolf"), null))           // NULL lang
+      .map { case (id, t, l) =>
+        (id, t, l, "fix", Option(t).fold(0L)(_.length.toLong)) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.parquet(s"$d2/documents.parquet")
     val rows = TrainOps.corpusKeep(spark, d2).collect()
@@ -159,6 +162,9 @@ class TrainOpsSpec extends SparkFunSuite {
     assert(rows(30L) == (0, "lang"))
     assert(rows(40L) == (0, "length"))    // quality passes, token floor fails
     assert(rows(50L) == (0, "empty"))
+    // NULL flags fold to a failed gate, never to NULL keep or 'kept'
+    assert(rows(60L) == (0, "empty"))
+    assert(rows(70L) == (0, "lang"))
   }
 
   test("bpe pair counts rank the dominant adjacent pair first") {
