@@ -1,0 +1,184 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native single-pass counting expressions for the quality gates that
+  * would otherwise be quadratic-per-row higher-order functions.
+  *
+  * `transform(array_distinct(xs), d -> size(filter(xs, x -> x = d)))`
+  * is O(distinct × length) per row — a 5,000-token document costs tens
+  * of millions of comparisons. These expressions compute the SAME
+  * statistics in one sort-and-run-scan (entropy) or one hash-count
+  * pass (gram stats) over unboxed input, stay inside whole-stage
+  * codegen (plain static call in doGenCode), and reproduce the HOF
+  * arithmetic bit-for-bit so the DuckDB oracles hold unchanged.
+  */
+case class CharEntropy(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes with Serializable {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+
+  override def dataType: DataType = DoubleType
+
+  // non-nullable: null/empty text has entropy 0.0 (the empty-doc gate
+  // value) — and the TextSketches nullability lesson applies: a
+  // nullable derivation invites an inferred isnotnull recompute
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    CharEntropy.compute(if (v == null) null else v.asInstanceOf[UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${c.code}
+      double ${ev.value} = graft.functions.expressions.CharEntropy.compute(
+        ${c.isNull} ? null : ${c.value});
+    """, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): CharEntropy = copy(child = newChild)
+}
+
+object CharEntropy {
+
+  private val Log2 = Math.log(2.0)
+
+  /** Shannon entropy over the text's UTF-16 code units — the exact
+    * replay of the HOF form `-aggregate(counts_of_sorted_distinct,
+    * 0.0, (acc, c) -> acc + (c/n)*log2(c/n))` where the char array is
+    * `split(text, '')`: same per-code-unit splitting, same
+    * ascending-char fold order (UTF-8 binary order of one-char strings
+    * ≡ ascending code unit for BMP text), same `(c/n)*log2(c/n)` term
+    * shape with log2 = log(x)/log(2) (Spark's Log2). Sort + run-scan:
+    * O(L log L) per row instead of O(distinct × L). */
+  def compute(text: UTF8String): Double = {
+    if (text == null) return 0.0
+    val s = text.toString
+    val n = s.length
+    if (n == 0) return 0.0
+    val a = s.toCharArray
+    java.util.Arrays.sort(a)
+    val nd = n.toDouble
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n && a(j) == a(i)) j += 1
+      val p = (j - i) / nd
+      acc += p * (Math.log(p) / Log2)
+      i = j
+    }
+    -acc
+  }
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "char_entropy_native",
+      exprs => {
+        require(exprs.length == 1,
+          s"char_entropy_native expects exactly 1 argument, got ${exprs.length}")
+        CharEntropy(exprs.head)
+      }, "built-in")
+
+  def char_entropy(spark: SparkSession, text: Column): Column = {
+    register(spark)
+    call_function("char_entropy_native", text)
+  }
+}
+
+case class GramStats(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes with Serializable {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+
+  override def dataType: DataType = GramStats.schema
+
+  // non-nullable: a null/empty gram array yields (0, 0), the zero-gram
+  // document the fraction gates map to 0.0
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    GramStats.compute(if (v == null) null else v.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${c.code}
+      org.apache.spark.sql.catalyst.InternalRow ${ev.value} =
+        graft.functions.expressions.GramStats.compute(
+          ${c.isNull} ? null : (org.apache.spark.sql.catalyst.util.ArrayData) ${c.value});
+    """, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): GramStats = copy(child = newChild)
+}
+
+object GramStats {
+
+  val schema: StructType = StructType(Seq(
+    StructField("max_count", IntegerType, nullable = false),
+    StructField("dup_occ", IntegerType, nullable = false)))
+
+  /** One hash-count pass over the gram array: the occurrence count of
+    * the most frequent gram (`array_max(gram_counts)`) and the total
+    * occurrences of grams appearing ≥ 2 times (the dup-fraction
+    * numerator). Pure integer arithmetic — identical values to the
+    * HOF formulation, with no distinct × length blowup. Null elements
+    * are skipped (the HOF's `x = d` comparison never matches null). */
+  def compute(grams: ArrayData): InternalRow = {
+    if (grams == null || grams.numElements() == 0)
+      return new GenericInternalRow(Array[Any](0, 0))
+    val n = grams.numElements()
+    val counts = new java.util.HashMap[UTF8String, Array[Int]](n * 2)
+    var i = 0
+    while (i < n) {
+      if (!grams.isNullAt(i)) {
+        val g = grams.getUTF8String(i)
+        val c = counts.get(g)
+        if (c == null) counts.put(g, Array(1)) else c(0) += 1
+      }
+      i += 1
+    }
+    var max = 0
+    var dup = 0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next()(0)
+      if (c > max) max = c
+      if (c >= 2) dup += c
+    }
+    new GenericInternalRow(Array[Any](max, dup))
+  }
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "gram_stats_native",
+      exprs => {
+        require(exprs.length == 1,
+          s"gram_stats_native expects exactly 1 argument, got ${exprs.length}")
+        GramStats(exprs.head)
+      }, "built-in")
+
+  def gram_stats(spark: SparkSession, grams: Column): Column = {
+    register(spark)
+    call_function("gram_stats_native", grams)
+  }
+}

@@ -124,6 +124,30 @@ final class DocStore(spark: SparkSession, baseDir: String,
     fresh
   }
 
+  /** Delete-by-key — the `es.delete` drain of a deletion queue
+    * (`news_articles_ingest_delete_duplicate/main.py:30-37`): remove
+    * stored rows whose key appears in `ids`. Only the buckets holding
+    * deleted keys are read and rewritten; the other bucket files stay
+    * byte-identical (the [[graft.graph.GraphStore.detachDelete]]
+    * pattern). */
+  def delete(indexName: String, key: String, ids: DataFrame): Unit = {
+    val d = dir(indexName)
+    if (!BucketedParquet.exists(d)) return
+    // materialized once: reused for the touched collect + anti-join,
+    // and callers commonly derive `ids` from THIS index's files, which
+    // the swap below replaces
+    val keysD = ids.select(col(key)).distinct().localCheckpoint(true)
+    val n = BucketedParquet.layoutBuckets(d, numBuckets)
+    val touched = BucketedParquet.touchedBuckets(keysD, Seq(key), n)
+    if (touched.isEmpty) return
+    BucketedParquet.readBuckets(spark, d, touched, keepBucket = true)
+      .foreach { old =>
+        val kept = old.join(keysD, Seq(key), "left_anti")
+        BucketedParquet.writeBuckets(d, kept, touched,
+          markerKey = Seq(key), numBuckets = n)
+      }
+  }
+
   /** K2: doc_as_upsert partial merge; see class doc. */
   def upsert(indexName: String, key: String, batch: DataFrame): Unit =
     mergeTouched(indexName, key, dedupLastWins(batch, key)) {

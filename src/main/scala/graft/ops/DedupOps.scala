@@ -132,17 +132,19 @@ object DedupOps {
   private[ops] def shingleRows(s: SparkSession, d: String): DataFrame =
     ngramShingleIndex(s, d, Tables.documents(s, d))
 
-  /** Distinct (doc_id, shingle) rows for `dedupNgram`, memoized per
-    * (session, dataset) and persisted: it feeds the per-doc set sizes
-    * AND the inverted index, and every bench/verify invocation of the
-    * query — one cached copy total, not one per call. */
+  /** Distinct (doc_id, shingle, set_size) rows for `dedupNgram`,
+    * memoized per (session, dataset) and persisted: it feeds the
+    * inverted index AND carries each doc's shingle-set size on every
+    * posting entry (one window count paid ONCE at index build), so the
+    * pair stage's length prefilter and jaccard denominator need no
+    * per-query size join at all. */
   private def ngramShingleIndex(s: SparkSession, d: String,
       docs: DataFrame): DataFrame =
     shingleIndexCache.getOrCompute(s, d) {
       val toks = Tables.spread(docs).select(col("doc_id"),
         split(lower(col("text")), "[^a-z0-9]+").as("toks"))
         .select(col("doc_id"), expr("filter(toks, t -> t != '')").as("toks"))
-      toks.select(col("doc_id"),
+      val dist = toks.select(col("doc_id"),
         explode(when(size(col("toks")) < 3,
             when(size(col("toks")) > 0,
               array(concat_ws(" ", col("toks")))).otherwise(array()))
@@ -150,7 +152,13 @@ object DedupOps {
             "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")))
           .as("shingle"))
         .distinct()
-        .persist()
+      // per-doc size via agg+join (not a window: the pair-gen plans
+      // assert window-freedom through the cached lineage); the distinct
+      // exchange is shared by both branches, and it runs once per
+      // dataset anyway
+      val sizes = dist.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("set_size"))
+      dist.join(sizes, Seq("doc_id")).persist()
     }
 
   /** Per-doc distinct word-3-gram shingle sets as an array column —
@@ -207,20 +215,16 @@ object DedupOps {
     // The distinct (doc, shingle) table is an INDEX: built once per
     // (session, dataset), persisted, reused by both consumers here and
     // by repeated calls — no cached-copy accumulation across calls.
+    // The index already carries set_size on every posting entry (paid
+    // once at build), so pair generation emits (doc_id, set_size)
+    // structs for free: the LENGTH PREFILTER runs at the explode site,
+    // BEFORE the per-pair aggregation shuffle — jaccard = inter/union
+    // ≤ min/max, so J ≥ 0.4 is impossible unless max_size ≤
+    // 2.5·min_size; incompatible pairs never ride the shuffle, and no
+    // post-agg size join exists since the sizes arrive with the pair.
     val sh = ngramShingleIndex(s, d, docs)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("set_size"))
-    // Attach each doc's set size to its posting entries (one linear
-    // join against the cached index) so pair generation emits
-    // (doc_id, set_size) structs: the LENGTH PREFILTER then runs at
-    // the explode site, BEFORE the per-pair aggregation shuffle —
-    // jaccard = inter/union ≤ min/max, so J ≥ 0.4 is impossible unless
-    // max_size ≤ 2.5·min_size; incompatible pairs (the bulk of the
-    // candidate volume between differently-sized docs) never ride the
-    // shuffle, and the post-agg size joins disappear since the sizes
-    // arrive with the pair.
-    val posting = sh.join(sizes, Seq("doc_id"))
-      .select(col("shingle"),
-        struct(col("doc_id"), col("set_size")).as("m"))
+    val posting = sh.select(col("shingle"),
+      struct(col("doc_id"), col("set_size")).as("m"))
     // inverted index via one hash-agg: cap + within-posting pairs in a
     // single map-side-combined shuffle. A shingle self-join would scan
     // (and re-tokenize) `sh` twice and need a window sort for the

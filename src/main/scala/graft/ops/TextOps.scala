@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextAnalysis
@@ -86,11 +86,17 @@ object TextOps {
     * shuffle; at 100 TB this is scan-speed beside the other quality
     * gates. */
   def textRepetition(s: SparkSession, d: String): DataFrame = {
-    import TextAnalysis.{wordGrams, gram_counts, topFracOf, dupFracOf}
-    // grams and counts are materialized as their own projection steps:
-    // HOF subtrees are excluded from subexpression elimination, so
-    // inlining them into the fraction expressions would rebuild each
-    // gram array ~3x per row on this scan-speed path
+    import TextAnalysis.wordGrams
+    import graft.functions.expressions.GramStats
+    // grams materialize as their own projection step (HOF subtrees are
+    // excluded from subexpression elimination); the per-gram-width
+    // occurrence statistics then come from the native single-pass
+    // GramStats expression — one hash-count per row instead of the
+    // O(distinct × length) HOF count array (identical integer values;
+    // TextCountingSpec proves equivalence and the superlinear win)
+    def frac(num: Column, grams: Column): Column =
+      when(size(grams) === 0, lit(0.0)).otherwise(
+        round(num.cast("double") / size(grams).cast("double"), 6))
     Tables.documents(s, d)
       .select(col("doc_id"), TextAnalysis.wordTokens(col("text")).as("toks"))
       .select(col("doc_id"), col("toks"),
@@ -98,14 +104,14 @@ object TextOps {
         wordGrams(col("toks"), 3).as("g3"),
         wordGrams(col("toks"), 5).as("g5"))
       .select(col("doc_id"), col("toks"), col("g2"), col("g3"), col("g5"),
-        gram_counts(col("g2")).as("c2"),
-        gram_counts(col("g3")).as("c3"),
-        gram_counts(col("g5")).as("c5"))
+        GramStats.gram_stats(s, col("g2")).as("s2"),
+        GramStats.gram_stats(s, col("g3")).as("s3"),
+        GramStats.gram_stats(s, col("g5")).as("s5"))
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
-        topFracOf(col("g2"), col("c2")).as("top2_frac"),
-        topFracOf(col("g3"), col("c3")).as("top3_frac"),
-        dupFracOf(col("g5"), col("c5")).as("dup5_frac"))
+        frac(col("s2.max_count"), col("g2")).as("top2_frac"),
+        frac(col("s3.max_count"), col("g3")).as("top3_frac"),
+        frac(col("s5.dup_occ"), col("g5")).as("dup5_frac"))
       .orderBy(col("doc_id"))
   }
 
@@ -185,20 +191,16 @@ object TextOps {
     * array idiom as the repetition gates — distinct chars × chars per
     * row, no shuffle. */
   def textEntropy(s: SparkSession, d: String): DataFrame = {
-    // chars and counts materialize as projection columns (the
-    // textRepetition HOF-recompute note applies); sorted distinct
-    // chars pin the fold order so the FP sum is bit-identical to the
-    // oracle's sorted left fold
-    val n = size(col("chars")).cast("double")
-    val entropy = when(col("n_chars") === 0, lit(0.0))
-      .otherwise(round(-aggregate(col("cnt"), lit(0.0),
-        (acc, c) => acc + (c / n) * log2(c / n)), 6))
+    // native single-pass expression (sort + run-scan per row) replaying
+    // the HOF form's exact arithmetic — ascending-char fold order, the
+    // (c/n)·log2(c/n) term shape — so the oracle's sorted left fold
+    // still hash-matches; TextCountingSpec proves bit-equivalence
+    // against the HOF formula and the superlinear win on long docs
+    import graft.functions.expressions.CharEntropy
     Tables.documents(s, d)
       .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
-        split(col("text"), "").as("chars"))
-      .withColumn("cnt", transform(array_sort(array_distinct(col("chars"))),
-        c => size(filter(col("chars"), x => x === c)).cast("double")))
-      .select(col("doc_id"), col("n_chars"), entropy.as("char_entropy"))
+        round(CharEntropy.char_entropy(s, col("text")), 6)
+          .as("char_entropy"))
       .orderBy(col("doc_id"))
   }
 
