@@ -3,7 +3,7 @@ package graft.ops
 import graft.{SparkFunSuite, SparkEntry}
 import graft.io.PartitionedTable
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, ResolvedHint, Window => LogicalWindow}
 import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
@@ -85,6 +85,34 @@ class PlanAuditSpec extends SparkFunSuite {
     val p = plan(q)
     assert(p.contains("LessThanOrEqual(o_orderkey,10)"),
       "filter not pushed through the repartition to the scan")
+  }
+
+  test("mixing/sampling/packing windows are two-level — never monolithic per stratum") {
+    // AQE can never split a window partition (all its rows co-locate),
+    // so a window keyed by the bare source/lang/corpus makes one
+    // dominant stratum a single-task sort at 100 TB. Every window in
+    // these plans must either be keyed by (stratum, md5-prefix group)
+    // — ≥2 partition expressions — or run over a group-level AGGREGATE
+    // (the ≤65536-row offset table), never over raw corpus rows.
+    Seq(
+      "mix_budget"        -> TrainOps.mixBudget(spark, sfDir),
+      "mix_temperature"   -> TrainOps.mixTemperature(spark, sfDir),
+      "sample_stratified" -> TrainOps.sampleStratified(spark, sfDir),
+      "pack_chunks"       -> TrainOps.packChunks(spark, sfDir)
+    ).foreach { case (name, q) =>
+      val windows = q.queryExecution.optimizedPlan.collect {
+        case w: LogicalWindow => w
+      }
+      assert(windows.nonEmpty || name == "pack_chunks", // memoized: may be cached
+        s"$name lost its windows — did the plan change shape?")
+      windows.foreach { w =>
+        val twoLevel = w.partitionSpec.size >= 2
+        val overAggregate =
+          w.child.collectFirst { case a: Aggregate => a }.isDefined
+        assert(twoLevel || overAggregate,
+          s"$name has a monolithic per-stratum window: ${w.partitionSpec}")
+      }
+    }
   }
 
   test("amendment replay and LSH pair generation stay window-free") {
