@@ -273,6 +273,93 @@ object TrainOps {
       .orderBy("doc_id")
   }
 
+  /** Quality-weighted deterministic sampling (the importance-sampling
+    * knob of a data-mixing pipeline): each doc is kept with
+    * probability equal to its quality score, decided by comparing the
+    * doc's md5-derived uniform [0,1) fraction against the score — no
+    * RNG, rerun-stable, corpus-order-independent, and engine-exact
+    * (the 8-hex fraction is an exact dyadic double in both engines;
+    * the score is the 6-decimal quality gate). Narrow map —
+    * scan-speed at 100 TB. */
+  def sampleImportance(s: SparkSession, d: String): DataFrame = {
+    val frac = conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+      16, 10).cast("long").cast("double") / lit(4294967296.0)
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        TextAnalysis.quality_score(col("text")).as("quality"),
+        round(frac, 6).as("u"))
+      .withColumn("keep", (col("u") < col("quality")).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  /** CCNet-style perplexity bucketing: per-language head/middle/tail
+    * terciles of the corpus-unigram-LM score ([[textUnigramLm]] —
+    * low = stereotypical text, high = rare-token soup). The cut table
+    * is |langs| rows (bounded regardless of SF) and broadcasts; the
+    * scores reuse the memoized per-doc token counts. */
+  def textPplBuckets(s: SparkSession, d: String): DataFrame = {
+    val lm = textUnigramLm(s, d).select(col("doc_id"), col("avg_neg_logp"))
+    val langs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+    val scored = lm.join(langs, "doc_id")
+    val cuts = scored.groupBy("lang").agg(
+      round(expr("percentile(avg_neg_logp, 0.33)"), 6).as("t33"),
+      round(expr("percentile(avg_neg_logp, 0.67)"), 6).as("t67"))
+    scored.join(broadcast(cuts), Seq("lang"))
+      .withColumn("bucket",
+        when(col("avg_neg_logp") <= col("t33"), "head")
+          .when(col("avg_neg_logp") <= col("t67"), "middle")
+          .otherwise("tail"))
+      .select("doc_id", "lang", "avg_neg_logp", "bucket")
+      .orderBy("doc_id")
+  }
+
+  /** Tokens per training shard for [[packShards]]. */
+  private val shardBudget = 2048L
+
+  /** Token-balanced contiguous training shards over the DETERMINISTIC
+    * GLOBAL SHUFFLE order (md5(doc_id)) — the "shuffle, then cut into
+    * shards" stage between curation and training. The global running
+    * sum is the two-level cumsum grouped by the md5 PREFIX (the
+    * [[sourceCumTokens]] idiom without a stratum): intra-group windows
+    * over ~1/65536 of the corpus each, one offset window over ≤65536
+    * rows. No global sort of the data, no monolithic window. */
+  def packShards(s: SparkSession, d: String): DataFrame = {
+    val keyed = mixKeyed(tokenized(s, d).filter(col("n_tokens") > 0))
+    val wIn = Window.partitionBy("__gid").orderBy(col("__h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wOff = Window.orderBy("__gid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = keyed.groupBy(col("__gid"))
+      .agg(sum("n_tokens").as("__g_tot"))
+      .withColumn("__g_off", coalesce(sum("__g_tot").over(wOff), lit(0L)))
+      .select("__gid", "__g_off")
+    keyed.withColumn("__run_in", sum("n_tokens").over(wIn))
+      .join(offs, Seq("__gid"))
+      .withColumn("start_off",
+        col("__g_off") + col("__run_in") - col("n_tokens"))
+      .withColumn("shard_id", expr(s"start_off div $shardBudget"))
+      .select("doc_id", "n_tokens", "start_off", "shard_id")
+      .orderBy("doc_id")
+  }
+
+  /** Cross-source leakage: verified near-dup pairs whose docs entered
+    * the corpus through DIFFERENT sources — the duplication a mixing
+    * decision most cares about (the same passage arriving via two
+    * feeds double-counts its weight). Reuses the memoized MinHash pair
+    * set ([[graft.ops.DedupOps.dedupMinhash]]); two key joins fetch
+    * the sources. */
+  def dedupCrossSource(s: SparkSession, d: String): DataFrame = {
+    val srcs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    DedupOps.dedupMinhash(s, d)
+      .join(srcs.select(col("doc_id").as("doc_a"),
+        col("source").as("source_a")), Seq("doc_a"))
+      .join(srcs.select(col("doc_id").as("doc_b"),
+        col("source").as("source_b")), Seq("doc_b"))
+      .filter(col("source_a") =!= col("source_b"))
+      .select("doc_a", "doc_b", "jaccard", "source_a", "source_b")
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Deterministic train/val/test split (80/10/10): the first 8 hex
     * chars of md5(doc_id) are compared lexicographically against fixed
     * hex thresholds (0.8·2³² = cccccccc, 0.9·2³² = e6666666) — pure
@@ -461,7 +548,11 @@ object TrainOps {
     "corpus_keep"        -> corpusKeep _,
     "text_unigram_lm"    -> textUnigramLm _,
     "corpus_stats"       -> corpusStats _,
-    "emb_outliers"       -> embOutliers _)
+    "emb_outliers"       -> embOutliers _,
+    "sample_importance"  -> sampleImportance _,
+    "text_ppl_buckets"   -> textPplBuckets _,
+    "pack_shards"        -> packShards _,
+    "dedup_cross_source" -> dedupCrossSource _)
 
   private val bpeTokens =
     """CAST(len(regexp_extract_all(text, '\w{1,4}|[^\w\s]')) AS BIGINT)"""
@@ -501,6 +592,114 @@ object TrainOps {
       |  FROM p)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the md5-hex uniform fraction is exact integer arithmetic in
+    // doubles (digits × powers of 16 < 2^32), so both engines compare
+    // the identical value against the 6-decimal quality score
+    "sample_importance" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    length(text) AS n_chars2,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_words,
+        |    len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+        |    len(regexp_extract_all(lower(text),
+        |      '\b(the|a|an|of|to|in|and|is|it|that|for|on|was|with|as|at|be|this|are|or)\b'))
+        |      AS n_stop
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    round(least(CAST(n_words AS DOUBLE) / 20.0, 1.0)
+        |      * least(round(CAST(n_stop AS DOUBLE) / greatest(n_words, 1), 6) * 4.0, 1.0)
+        |      * greatest(0.0, 1.0 - round(CAST(n_punct AS DOUBLE) / greatest(n_chars2, 1), 6) * 4.0), 6)
+        |      AS quality,
+        |    round(list_sum(list_transform(range(1, 9), k ->
+        |      (strpos('0123456789abcdef',
+        |         substr(md5(CAST(doc_id AS VARCHAR)), k, 1)) - 1)
+        |        * (16 ** (8 - k)))) / 4294967296.0, 6) AS u
+        |  FROM q)
+        |SELECT doc_id, quality, u, CAST(u < quality AS INTEGER) AS keep
+        |FROM s ORDER BY doc_id""".stripMargin,
+    // per-lang terciles of the unigram-LM score (CCNet head/middle/
+    // tail); quantile_cont ≡ Spark percentile (both sort+interpolate)
+    "text_ppl_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id, UNNEST(list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'), t -> t != ''))
+        |    AS tok
+        |  FROM documents),
+        |dt AS (SELECT doc_id, tok, COUNT(*) AS n FROM toks GROUP BY doc_id, tok),
+        |vocab AS (SELECT tok, CAST(SUM(n) AS BIGINT) AS freq FROM dt GROUP BY tok),
+        |tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS total FROM vocab),
+        |lm AS (
+        |  SELECT doc_id,
+        |    round(SUM(-ln(CAST(freq AS DOUBLE) / CAST(total AS DOUBLE))
+        |        * CAST(n AS DOUBLE)) / CAST(SUM(n) AS DOUBLE), 6)
+        |      AS avg_neg_logp
+        |  FROM dt JOIN vocab USING (tok), tot GROUP BY doc_id),
+        |scored AS (
+        |  SELECT d.doc_id, d.lang, lm.avg_neg_logp
+        |  FROM documents d JOIN lm ON d.doc_id = lm.doc_id),
+        |cuts AS (
+        |  SELECT lang,
+        |    round(quantile_cont(avg_neg_logp, 0.33), 6) AS t33,
+        |    round(quantile_cont(avg_neg_logp, 0.67), 6) AS t67
+        |  FROM scored GROUP BY lang)
+        |SELECT doc_id, s.lang, avg_neg_logp,
+        |  CASE WHEN avg_neg_logp <= t33 THEN 'head'
+        |       WHEN avg_neg_logp <= t67 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM scored s JOIN cuts USING (lang)
+        |ORDER BY doc_id""".stripMargin,
+    "pack_shards" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, $bpeTokens AS n_tokens FROM documents),
+        |r AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(sum(n_tokens) OVER (
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      - n_tokens AS start_off
+        |  FROM t WHERE n_tokens > 0)
+        |SELECT doc_id, n_tokens, start_off,
+        |  start_off // 2048 AS shard_id
+        |FROM r ORDER BY doc_id""".stripMargin,
+    // exact all-pairs ground truth (the dedup_minhash/dedup_clusters
+    // oracle construction) + source fetch; only cross-source pairs
+    "dedup_cross_source" ->
+      """WITH mtoks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+        |    t -> t != '') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id, UNNEST(
+        |      CASE WHEN len(toks) < 3 THEN
+        |        CASE WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+        |             ELSE [] END
+        |      ELSE list_transform(range(0, len(toks) - 2),
+        |        i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) END) AS shingle
+        |    FROM mtoks)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+        |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |prs AS (
+        |  SELECT doc_a, doc_b,
+        |    round(CAST(n_inter AS DOUBLE)
+        |      / (sa.set_size + sb.set_size - n_inter), 6) AS jaccard
+        |  FROM inter
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE round(CAST(n_inter AS DOUBLE)
+        |    / (sa.set_size + sb.set_size - n_inter), 6) >= 0.5)
+        |SELECT doc_a, doc_b, jaccard,
+        |  da.source AS source_a, db.source AS source_b
+        |FROM prs
+        |JOIN documents da ON da.doc_id = doc_a
+        |JOIN documents db ON db.doc_id = doc_b
+        |WHERE da.source != db.source
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "pack_chunks" ->
       s"""WITH $packCte
         |SELECT doc_id, n_tokens, start_off, chunk_first, chunk_last, n_chunks

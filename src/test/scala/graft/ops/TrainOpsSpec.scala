@@ -208,6 +208,71 @@ class TrainOpsSpec extends SparkFunSuite {
     a.keys.foreach { id => assert(big(id) == a(id)) }
   }
 
+  test("importance sampling keeps iff the md5 fraction beats the quality") {
+    val rows = TrainOps.sampleImportance(spark, dir).collect()
+    rows.foreach { r =>
+      val expect = if (r.getAs[Double]("u") < r.getAs[Double]("quality")) 1 else 0
+      assert(r.getAs[Int]("keep") == expect)
+      val u = r.getAs[Double]("u")
+      assert(u >= 0.0 && u < 1.0)
+    }
+    // rerun-stable (no RNG)
+    val again = TrainOps.sampleImportance(spark, dir).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("ppl buckets are ordered head <= middle <= tail within a language") {
+    val rows = TrainOps.textPplBuckets(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("bucket"),
+        r.getAs[Double]("avg_neg_logp")))
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val by = rs.groupBy(_._2).view.mapValues(_.map(_._3)).toMap
+      for {
+        h <- by.get("head"); t <- by.get("tail")
+      } assert(h.max <= t.min)
+      for {
+        h <- by.get("head"); m <- by.get("middle")
+      } assert(h.max <= m.min)
+    }
+  }
+
+  test("shards tile the shuffled token stream contiguously") {
+    val rows = TrainOps.packShards(spark, dir).collect()
+    val total = rows.map(_.getAs[Long]("n_tokens")).sum
+    // offsets tile [0, total) with no gap/overlap in md5-shuffle order
+    val inOrder = rows.sortBy(_.getAs[Long]("start_off"))
+    var expected = 0L
+    inOrder.foreach { r =>
+      assert(r.getAs[Long]("start_off") == expected)
+      assert(r.getAs[Long]("shard_id") == r.getAs[Long]("start_off") / 2048)
+      expected += r.getAs[Long]("n_tokens")
+    }
+    assert(expected == total)
+    // and the shuffle order is NOT doc_id order (it's md5 order)
+    val byDoc = rows.sortBy(_.getAs[Long]("doc_id")).map(_.getAs[Long]("start_off"))
+    assert(byDoc.toSeq != byDoc.sorted.toSeq)
+  }
+
+  test("cross-source dedup reports only pairs spanning two sources") {
+    val d2 = Files.createTempDirectory("xsrc").toString
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "the dog runs to the river bank in the morning light today"
+    Seq(
+      (1L, base, "web"),
+      (2L, base.replace("quick", "swift"), "books"), // near-dup, CROSS
+      (3L, base.replace("quick", "rapid"), "web"),   // near-dup, same as 1
+      (4L, "completely unrelated content about campaign finance records", "web"))
+      .map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d2/documents.parquet")
+    val out = TrainOps.dedupCrossSource(spark, d2).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[String]("source_a"), r.getAs[String]("source_b")))
+    assert(out.forall { case (_, _, a, b) => a != b })
+    assert(out.map(p => (p._1, p._2)).toSet == Set((1L, 2L), (2L, 3L)))
+  }
+
   test("unigram LM scores common-token docs below rare-token docs") {
     val scores = TrainOps.textUnigramLm(spark, dir)
       .select("doc_id", "avg_neg_logp").as[(Long, Double)].collect().toMap
