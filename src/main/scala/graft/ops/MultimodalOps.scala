@@ -40,9 +40,30 @@ object MultimodalOps {
       .orderBy(col("media_id"), col("frame_no"))
   }
 
+  /** Exact binary dedup: md5 over the raw payload bytes — the media
+    * twin of `dedup_exact` (identical bytes = identical asset; the
+    * first dedup pass every multimodal corpus runs, BEFORE any decode
+    * spend). One hash-agg on the digest; at 100 TB the payloads never
+    * ride the shuffle — only (digest, id, size). The synthetic corpus
+    * has no duplicate payloads at the gate SF, so the catalog row pins
+    * the digest plumbing and MultimodalSpec proves the dedup on
+    * injected duplicate payloads. */
+  def mmDedup(s: SparkSession, d: String): DataFrame = {
+    val media = Multimodal.mediaFromDocuments(Tables.documents(s, d))
+    media
+      .select(col("media_id"), md5(col("payload")).as("payload_md5"),
+        length(col("payload")).as("n_bytes"))
+      .groupBy(col("payload_md5"))
+      .agg(min(col("media_id")).as("keep_media_id"),
+        count(lit(1)).as("n_copies"),
+        min(col("n_bytes")).as("n_bytes"))
+      .orderBy(col("payload_md5"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_features" -> mmFeatures _,
-    "mm_frames"   -> mmFrames _)
+    "mm_frames"   -> mmFrames _,
+    "mm_dedup"    -> mmDedup _)
 
   val oracles: Map[String, String] = Map(
     // Recompute the FakeCodec histogram from the utf-8 payload bytes
@@ -65,6 +86,14 @@ object MultimodalOps {
         |  CAST(list_position(counts, list_max(counts)) - 1 AS INTEGER) AS top_class,
         |  CAST(len(list_filter(counts, c -> c > 0)) AS INTEGER) AS n_classes
         |FROM h ORDER BY media_id""".stripMargin,
+    // md5 of the VARCHAR is md5 of its utf-8 bytes — exactly Spark's
+    // md5(encode(text, 'UTF-8')) payload digest
+    "mm_dedup" ->
+      """SELECT md5(text) AS payload_md5,
+        |  min(doc_id) AS keep_media_id,
+        |  COUNT(*) AS n_copies,
+        |  CAST(min(octet_length(encode(text))) AS INTEGER) AS n_bytes
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "mm_frames" ->
       """WITH m AS (
         |  SELECT doc_id AS media_id, octet_length(encode(text)) AS n

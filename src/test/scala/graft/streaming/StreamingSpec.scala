@@ -96,6 +96,21 @@ class MultimodalSpec extends SparkFunSuite {
     assert(math.abs(mass._1 - 1.0) < 1e-5 && math.abs(mass._2 - 1.0) < 1e-5)
   }
 
+  test("binary dedup groups identical payloads, keeps the smallest id") {
+    val d = Files.createTempDirectory("mmdedup").toString
+    Seq(
+      (10L, "identical bytes", "en", "web", 15L),
+      (11L, "identical bytes", "en", "books", 15L), // dup across sources
+      (12L, "different bytes", "en", "web", 15L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val out = graft.ops.MultimodalOps.mmDedup(spark, d).collect()
+    assert(out.length == 2)
+    val dup = out.find(_.getAs[Long]("n_copies") == 2).get
+    assert(dup.getAs[Long]("keep_media_id") == 10L)
+    assert(dup.getAs[Int]("n_bytes") == "identical bytes".getBytes.length)
+  }
+
   test("empty payload is quarantined, not crashed") {
     val media = Seq((1L, Array.empty[Byte]), (2L, "abc".getBytes.toArray))
       .toDF("media_id", "payload")
