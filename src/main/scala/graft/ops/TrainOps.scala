@@ -298,7 +298,7 @@ object TrainOps {
     * is |langs| rows (bounded regardless of SF) and broadcasts; the
     * scores reuse the memoized per-doc token counts. */
   def textPplBuckets(s: SparkSession, d: String): DataFrame = {
-    val lm = textUnigramLm(s, d).select(col("doc_id"), col("avg_neg_logp"))
+    val lm = lmScores(s, d).select(col("doc_id"), col("avg_neg_logp"))
     val langs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
     val scored = lm.join(langs, "doc_id")
     val cuts = scored.groupBy("lang").agg(
@@ -466,23 +466,34 @@ object TrainOps {
         .persist()
     }
 
-  def textUnigramLm(s: SparkSession, d: String): DataFrame = {
-    val dt = docTokCounts(s, d)
-    val vocab = dt.groupBy("tok").agg(sum("n").as("freq"))
-    val total = vocab.agg(sum("freq").as("total"))
-    // probe side is distinct doc-tokens, NOT occurrences: the Zipf-key
-    // join input shrinks by the repetition factor; the occurrence
-    // weighting moves into the final agg (sum(nlp·n)/sum(n) ≡ the
-    // per-occurrence avg)
-    dt.join(vocab, "tok")
-      .crossJoin(broadcast(total))
-      .withColumn("nlp",
-        -log(col("freq").cast("double") / col("total").cast("double")))
-      .groupBy("doc_id")
-      .agg(sum("n").as("n_toks"),
-        round(sum(col("nlp") * col("n")) / sum("n"), 6).as("avg_neg_logp"))
-      .orderBy("doc_id")
-  }
+  private val lmScoreCache = new graft.SessionCache[DataFrame]
+
+  /** The per-doc unigram-LM score table (doc_id, n_toks, avg_neg_logp)
+    * — a corpus-level SCORE ARTIFACT (one narrow row per doc) consumed
+    * by both [[textUnigramLm]] and [[textPplBuckets]]; memoized and
+    * persisted like the shingle/IVF indexes so the vocab join runs
+    * once per (session, dataset). */
+  private def lmScores(s: SparkSession, d: String): DataFrame =
+    lmScoreCache.getOrCompute(s, d) {
+      val dt = docTokCounts(s, d)
+      val vocab = dt.groupBy("tok").agg(sum("n").as("freq"))
+      val total = vocab.agg(sum("freq").as("total"))
+      // probe side is distinct doc-tokens, NOT occurrences: the
+      // Zipf-key join input shrinks by the repetition factor; the
+      // occurrence weighting moves into the final agg
+      // (sum(nlp·n)/sum(n) ≡ the per-occurrence avg)
+      dt.join(vocab, "tok")
+        .crossJoin(broadcast(total))
+        .withColumn("nlp",
+          -log(col("freq").cast("double") / col("total").cast("double")))
+        .groupBy("doc_id")
+        .agg(sum("n").as("n_toks"),
+          round(sum(col("nlp") * col("n")) / sum("n"), 6).as("avg_neg_logp"))
+        .persist()
+    }
+
+  def textUnigramLm(s: SparkSession, d: String): DataFrame =
+    lmScores(s, d).orderBy("doc_id")
 
   /** Per-source dataset card: doc/token counts, mean quality score,
     * median doc length — the report a mixing decision reads. One hash
