@@ -151,6 +151,26 @@ object EventOps {
       .orderBy(col("err_id"), col("purchase_id"))
   }
 
+  /** Cohort retention matrix: users grouped by first-seen day,
+    * distinct-counted per (cohort_day, day_offset) — the classic
+    * warehouse retention shape. Two hash aggregations + one key join;
+    * the cohort table is one narrow row per user and joins back on
+    * the user key (AQE picks the strategy — at 100 TB it is a shuffle
+    * join on a uniform key, never a window). */
+  def evRetention(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val cohorts = ev.groupBy(col("user_id"))
+      .agg(date_trunc("day", min(col("ts"))).as("cohort_ts"))
+    ev.join(cohorts, "user_id")
+      .groupBy(
+        date_format(col("cohort_ts"), "yyyy-MM-dd").as("cohort_day"),
+        datediff(date_trunc("day", col("ts")), col("cohort_ts"))
+          .cast("int").as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_asof"        -> evAsof _,
     "ev_range"       -> evRange _,
@@ -158,9 +178,20 @@ object EventOps {
     "ev_cursors"     -> evCursors _,
     "ev_sessions"    -> evSessions _,
     "ev_json"        -> evJson _,
-    "ev_incremental" -> evIncremental _)
+    "ev_incremental" -> evIncremental _,
+    "ev_retention"   -> evRetention _)
 
   val oracles: Map[String, String] = Map(
+    "ev_retention" ->
+      """WITH c AS (
+        |  SELECT user_id, date_trunc('day', min(ts)) AS cohort_ts
+        |  FROM events GROUP BY user_id)
+        |SELECT strftime(cohort_ts, '%Y-%m-%d') AS cohort_day,
+        |  CAST(date_diff('day', cohort_ts, date_trunc('day', ts)) AS INTEGER)
+        |    AS day_offset,
+        |  COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+        |FROM events JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // DuckDB's native ASOF LEFT JOIN is the reference implementation
     // the union+window composition must reproduce exactly
     "ev_asof" ->
