@@ -57,20 +57,22 @@ object CharEntropy {
 
   private val Log2 = Math.log(2.0)
 
-  /** Shannon entropy over the text's UTF-16 code units — the exact
-    * replay of the HOF form `-aggregate(counts_of_sorted_distinct,
-    * 0.0, (acc, c) -> acc + (c/n)*log2(c/n))` where the char array is
-    * `split(text, '')`: same per-code-unit splitting, same
-    * ascending-char fold order (UTF-8 binary order of one-char strings
-    * ≡ ascending code unit for BMP text), same `(c/n)*log2(c/n)` term
-    * shape with log2 = log(x)/log(2) (Spark's Log2). Sort + run-scan:
-    * O(L log L) per row instead of O(distinct × L). */
+  /** Shannon entropy over the text's CODE POINTS — the exact replay of
+    * the HOF form `-aggregate(counts_of_sorted_distinct, 0.0,
+    * (acc, c) -> acc + (c/n)*log2(c/n))` where the char array is
+    * `split(text, '')`: Java's regex splits between code points (a
+    * surrogate pair stays one element), ascending-code-point fold
+    * order ≡ UTF-8 binary sort of the one-char strings (UTF-8 byte
+    * order preserves code point order, supplementary planes included),
+    * same `(c/n)*log2(c/n)` term shape with log2 = log(x)/log(2)
+    * (Spark's Log2), and n = code point count ≡ Spark `length()`.
+    * Null text counts as the empty doc (entropy 0.0, non-nullable).
+    * Sort + run-scan: O(L log L) per row instead of O(distinct × L). */
   def compute(text: UTF8String): Double = {
     if (text == null) return 0.0
-    val s = text.toString
-    val n = s.length
+    val a = text.toString.codePoints().toArray
+    val n = a.length
     if (n == 0) return 0.0
-    val a = s.toCharArray
     java.util.Arrays.sort(a)
     val nd = n.toDouble
     var acc = 0.0

@@ -133,18 +133,28 @@ final class DocStore(spark: SparkSession, baseDir: String,
   def delete(indexName: String, key: String, ids: DataFrame): Unit = {
     val d = dir(indexName)
     if (!BucketedParquet.exists(d)) return
-    // materialized once: reused for the touched collect + anti-join,
-    // and callers commonly derive `ids` from THIS index's files, which
+    // materialized once: reused for the touched collect + joins, and
+    // callers commonly derive `ids` from THIS index's files, which
     // the swap below replaces
     val keysD = ids.select(col(key)).distinct().localCheckpoint(true)
     val n = BucketedParquet.layoutBuckets(d, numBuckets)
-    val touched = BucketedParquet.touchedBuckets(keysD, Seq(key), n)
-    if (touched.isEmpty) return
-    BucketedParquet.readBuckets(spark, d, touched, keepBucket = true)
+    val candidate = BucketedParquet.touchedBuckets(keysD, Seq(key), n)
+    if (candidate.isEmpty) return
+    BucketedParquet.readBuckets(spark, d, candidate, keepBucket = true)
       .foreach { old =>
-        val kept = old.join(keysD, Seq(key), "left_anti")
-        BucketedParquet.writeBuckets(d, kept, touched,
-          markerKey = Seq(key), numBuckets = n)
+        // rewrite ONLY buckets that actually LOSE a row (the insertNew
+        // refinement): a replayed/no-op drain whose keys are already
+        // gone must not rewrite byte-identical buckets
+        val hit = old.join(keysD, Seq(key), "left_semi")
+          .select(col(BucketedParquet.B)).distinct()
+          .collect().map(_.getInt(0)).toSeq.sorted
+        if (hit.nonEmpty) {
+          val kept = old
+            .filter(col(BucketedParquet.B).isin(hit.map(Integer.valueOf): _*))
+            .join(keysD, Seq(key), "left_anti")
+          BucketedParquet.writeBuckets(d, kept, hit,
+            markerKey = Seq(key), numBuckets = n)
+        }
       }
   }
 

@@ -57,10 +57,13 @@ object ArticlesPipeline {
     val candidates = scraperOut.persist()
     // 1. P12: throw out articles not actually from their domain
     val inDomain = News.articlesMatchingDomain(candidates)
-    // 2. J10: registry membership on the stripped url (the form the
-    // registries store — `strip_url(unshorten(url))` in the reference)
+    // 2. J10: registry membership on the stripped DE-PROXIED url — the
+    // exact form the registry rows store (strip_url(extracted.url)
+    // below, where extracted.url is parse_proxy'd). Stripping the raw
+    // url would strip the PROXY host for proxy-wrapped candidates and
+    // never match the registry, re-scraping them every run.
     val stripped = inDomain.withColumn("__url_raw", col("url"))
-      .withColumn("url", Urls.strip_url(col("url")))
+      .withColumn("url", Urls.strip_url(News.parseProxyCol(col("url"))))
     val emptyReg = stripped.select(col("url")).limit(0)
     val scrapedReg = docs.read("news_scraped")
       .map(_.select(col("url"))).getOrElse(emptyReg)

@@ -132,8 +132,10 @@ object News {
       struct(runTs.as("last_updated")).as("context"))
 
   /** F11 as a codegen'd Column: recover the target url from a
-    * scraper-proxy wrapper (everything after the first `&url=`). */
-  private def parseProxyCol(c: Column): Column =
+    * scraper-proxy wrapper (everything after the first `&url=`).
+    * Package-visible: the articles runner must key its registry gate
+    * on the SAME de-proxied form the stored registry rows use. */
+  private[news] def parseProxyCol(c: Column): Column =
     when(c.contains("&url="), regexp_replace(c, "^.*?&url=", "")).otherwise(c)
 
   /** `news_articles` document envelope

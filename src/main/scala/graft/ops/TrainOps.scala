@@ -444,45 +444,36 @@ object TrainOps {
     * stereotypical text, high = rare-token soup. Two hash aggregations
     * plus one join on the token key; the 1-row total rides a broadcast
     * cross join (the [[SimOps]] query-vector pattern). */
-  private val tokRowsCache = new graft.SessionCache[DataFrame]
-
-  /** Per-doc token counts (doc_id, tok, n) — the FOLDED form of the
-    * token stream: one row per distinct (doc, token) rather than one
-    * per occurrence, shrinking everything downstream by the in-doc
-    * repetition factor ("the" alone is ~5% of a corpus's occurrences
-    * but one row per doc here). The unigram LM consumes it twice
-    * (vocab aggregate + probe side — different downstream operators,
-    * so exchange reuse can't kick in), hence the memo; no eager
-    * count() — the first real action materializes the cache, so
-    * explain/plan-only paths never pay a corpus scan. */
-  private def docTokCounts(s: SparkSession, d: String): DataFrame =
-    tokRowsCache.getOrCompute(s, d) {
-      Tables.spread(Tables.documents(s, d))
-        .select(col("doc_id"),
-          explode(expr(
-            "filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')"))
-            .as("tok"))
-        .groupBy("doc_id", "tok").agg(count(lit(1)).as("n"))
-        .persist()
-    }
-
   private val lmScoreCache = new graft.SessionCache[DataFrame]
 
   /** The per-doc unigram-LM score table (doc_id, n_toks, avg_neg_logp)
     * — a corpus-level SCORE ARTIFACT (one narrow row per doc) consumed
     * by both [[textUnigramLm]] and [[textPplBuckets]]; memoized and
     * persisted like the shingle/IVF indexes so the vocab join runs
-    * once per (session, dataset). */
+    * once per (session, dataset).
+    *
+    * The intermediate per-doc token counts (doc_id, tok, n) — the
+    * FOLDED form of the token stream, one row per distinct (doc,
+    * token), shrinking the Zipf-key join by the in-doc repetition
+    * factor — are persisted only WITHIN this builder: they feed the
+    * vocab aggregate and the probe side (different shuffle keys, so
+    * exchange reuse can't cover both), and once the narrow score
+    * table materializes the corpus-scale count table is unpersisted
+    * rather than pinned for the session. */
   private def lmScores(s: SparkSession, d: String): DataFrame =
     lmScoreCache.getOrCompute(s, d) {
-      val dt = docTokCounts(s, d)
+      val dt = Tables.spread(Tables.documents(s, d))
+        .select(col("doc_id"),
+          explode(expr(
+            "filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')"))
+            .as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("n"))
+        .persist()
       val vocab = dt.groupBy("tok").agg(sum("n").as("freq"))
       val total = vocab.agg(sum("freq").as("total"))
-      // probe side is distinct doc-tokens, NOT occurrences: the
-      // Zipf-key join input shrinks by the repetition factor; the
-      // occurrence weighting moves into the final agg
-      // (sum(nlp·n)/sum(n) ≡ the per-occurrence avg)
-      dt.join(vocab, "tok")
+      // occurrence weighting lives in the final agg: sum(nlp·n)/sum(n)
+      // ≡ the per-occurrence avg
+      val scores = dt.join(vocab, "tok")
         .crossJoin(broadcast(total))
         .withColumn("nlp",
           -log(col("freq").cast("double") / col("total").cast("double")))
@@ -490,6 +481,9 @@ object TrainOps {
         .agg(sum("n").as("n_toks"),
           round(sum(col("nlp") * col("n")) / sum("n"), 6).as("avg_neg_logp"))
         .persist()
+      scores.count() // materialize now so dt can be released
+      dt.unpersist()
+      scores
     }
 
   def textUnigramLm(s: SparkSession, d: String): DataFrame =

@@ -16,7 +16,10 @@ class TextCountingSpec extends SparkFunSuite {
     (2L, "aaaaaaa"),
     (3L, ""),
     (4L, "héllo wörld — mixed ünïcode, punctuation!! 12345"),
-    (5L, "the the the the the the quick quick brown"))
+    (5L, "the the the the the the quick quick brown"),
+    // supplementary-plane code points: split(text,'') keeps surrogate
+    // pairs together, so the native code-point pass must agree
+    (6L, "math 𝕏 and emoji 😀😀 beyond the BMP 𝄞"))
 
   private def hofEntropy = {
     // the pre-native HOF formulation, verbatim
@@ -63,8 +66,13 @@ class TextCountingSpec extends SparkFunSuite {
   }
 
   test("both expressions run under CODEGEN_ONLY (no silent fallback)") {
-    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    // fallback=false matters: factoryMode alone doesn't stop
+    // WholeStageCodegenExec from swallowing a Janino compile failure
+    // and re-executing interpreted with identical results
+    val keys = Seq("spark.sql.codegen.factoryMode", "spark.sql.codegen.fallback")
+    val prev = keys.map(k => k -> spark.conf.getOption(k))
     spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
     try {
       val out = graft.Tables.documents(spark, sfDir)
         .select(CharEntropy.char_entropy(spark, col("text")).as("e"),
@@ -73,9 +81,9 @@ class TextCountingSpec extends SparkFunSuite {
             .as("s"))
       assert(out.select(countDistinct($"e")).head().getLong(0) > 1)
       assert(out.select(countDistinct($"s.max_count")).head().getLong(0) >= 1)
-    } finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
-      case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
     }
   }
 
@@ -88,14 +96,17 @@ class TextCountingSpec extends SparkFunSuite {
       .withColumn("g2", TextAnalysis.wordGrams(
         TextAnalysis.wordTokens(col("text")), 2))
       .localCheckpoint(true)
+    // min-of-2 runs each, native measured AFTER its codegen warmup:
+    // robust to a one-off GC pause / scheduling stall
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    val tNative = time {
+    def minOf2(f: => Unit): Double = math.min(time(f), time(f))
+    val tNative = minOf2 {
       doc.select(GramStats.gram_stats(spark, $"g2").as("s"))
         .agg(sum($"s.dup_occ")).head()
     }
-    val tHof = time {
+    val tHof = minOf2 {
       doc.withColumn("c2", TextAnalysis.gram_counts($"g2"))
         .select(aggregate(filter($"c2", c => c >= 2), lit(0),
           (acc, c) => acc + c).as("d"))
