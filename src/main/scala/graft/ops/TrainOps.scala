@@ -155,6 +155,13 @@ object TrainOps {
     t.withColumn("__h", md5(col("doc_id").cast("string")))
       .withColumn("__gid", substring(col("__h"), 1, mixGroupChars))
 
+  /** Per-(source, md5-prefix-group) token totals — the narrow table
+    * both the offset windows and [[mixTemperature]]'s per-source stats
+    * derive from (identical subtree → one exchange, reused). */
+  private def mixGroupTotals(keyed: DataFrame): DataFrame =
+    keyed.groupBy(col("source"), col("__gid"))
+      .agg(sum("n_tokens").as("__g_tot"))
+
   /** Two-level per-source running token sum in (md5(doc_id), doc_id)
     * order — `cum_tokens` without a monolithic per-source window. One
     * source at 100 TB is ~90% of a pretraining mix; as a single window
@@ -166,15 +173,13 @@ object TrainOps {
     * [[packChunks]] idiom; offset window runs over ≤65536 rows per
     * source). Costs one extra narrow aggregate pass over the token
     * table — the price of never sorting a source in one task. */
-  private def sourceCumTokens(t: DataFrame): DataFrame = {
-    val keyed = mixKeyed(t)
+  private def cumFromGroups(keyed: DataFrame, groups: DataFrame): DataFrame = {
     val wIn = Window.partitionBy("source", "__gid")
       .orderBy(col("__h"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wOff = Window.partitionBy("source").orderBy("__gid")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offs = keyed.groupBy(col("source"), col("__gid"))
-      .agg(sum("n_tokens").as("__g_tot"))
+    val offs = groups
       .withColumn("__g_off", coalesce(sum("__g_tot").over(wOff), lit(0L)))
       .select("source", "__gid", "__g_off")
     keyed
@@ -182,6 +187,11 @@ object TrainOps {
       .join(offs, Seq("source", "__gid"))
       .withColumn("cum_tokens", col("__g_off") + col("__run_in"))
       .drop("__h", "__gid", "__run_in", "__g_off")
+  }
+
+  private def sourceCumTokens(t: DataFrame): DataFrame = {
+    val keyed = mixKeyed(t)
+    cumFromGroups(keyed, mixGroupTotals(keyed))
   }
 
   /** Deterministic stratified sample: within each language stratum,
@@ -251,8 +261,14 @@ object TrainOps {
       .select(col("doc_id"), col("source"),
         TextAnalysis.token_count_bpe(col("text")).cast("bigint")
           .as("n_tokens"))
-    val stats = t.groupBy("source")
-      .agg(sum("n_tokens").as("src_tokens"))
+    val keyed = mixKeyed(t)
+    val groups = mixGroupTotals(keyed)
+    // per-source totals DERIVED from the same group-totals subtree the
+    // offset window consumes (exact: bigint sums reassociate freely),
+    // so exchange reuse covers both and the corpus is tokenized twice,
+    // not three times
+    val stats = groups.groupBy("source")
+      .agg(sum("__g_tot").as("src_tokens"))
       .withColumn("w", sqrt(col("src_tokens").cast("double")))
     val denom = stats
       .agg(array_sort(collect_list(struct(col("source"), col("w"))))
@@ -266,7 +282,7 @@ object TrainOps {
       .select(col("source"),
         floor(col("b_total") * col("w") / col("denom")).cast("bigint")
           .as("budget_tokens"))
-    sourceCumTokens(t)
+    cumFromGroups(keyed, groups)
       .join(broadcast(budgets), Seq("source"))
       .filter(col("cum_tokens") <= col("budget_tokens"))
       .select("doc_id", "source", "n_tokens", "cum_tokens", "budget_tokens")
