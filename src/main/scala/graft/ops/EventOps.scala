@@ -171,7 +171,35 @@ object EventOps {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** Ordered conversion funnel per user: first-view → first-click →
+    * first-purchase, each stage counting only if its first occurrence
+    * is at-or-after the previous stage's (the strict-ordering funnel).
+    * ONE conditional hash aggregate on the user key — no window, no
+    * self-join; at 100 TB this is a map-side-combined agg plus narrow
+    * per-row stage logic. Conversion latency in µs where the full
+    * funnel completed. */
+  def evUserFunnel(s: SparkSession, d: String): DataFrame = {
+    val perUser = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+        min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+    val s1 = col("t_view").isNotNull
+    val s2 = s1 && col("t_click").isNotNull && col("t_click") >= col("t_view")
+    val s3 = s2 && col("t_purchase").isNotNull &&
+      col("t_purchase") >= col("t_click")
+    perUser.select(col("user_id"),
+        s1.cast("int").as("reached_view"),
+        s2.cast("int").as("reached_click"),
+        s3.cast("int").as("reached_purchase"),
+        when(s3, unix_micros(col("t_purchase")) - unix_micros(col("t_view")))
+          .as("convert_us"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_user_funnel" -> evUserFunnel _,
     "ev_asof"        -> evAsof _,
     "ev_range"       -> evRange _,
     "ev_window_agg"  -> evWindowAgg _,
@@ -182,6 +210,30 @@ object EventOps {
     "ev_retention"   -> evRetention _)
 
   val oracles: Map[String, String] = Map(
+    "ev_user_funnel" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    min(ts) FILTER (event_type = 'view') AS t_view,
+        |    min(ts) FILTER (event_type = 'click') AS t_click,
+        |    min(ts) FILTER (event_type = 'purchase') AS t_purchase
+        |  FROM events GROUP BY user_id),
+        |f AS (
+        |  SELECT user_id, t_view, t_click, t_purchase,
+        |    t_view IS NOT NULL AS s1,
+        |    t_view IS NOT NULL AND t_click IS NOT NULL
+        |      AND t_click >= t_view AS s2
+        |  FROM u),
+        |g AS (
+        |  SELECT *, s2 AND t_purchase IS NOT NULL
+        |    AND t_purchase >= t_click AS s3
+        |  FROM f)
+        |SELECT user_id,
+        |  CAST(s1 AS INTEGER) AS reached_view,
+        |  CAST(s2 AS INTEGER) AS reached_click,
+        |  CAST(s3 AS INTEGER) AS reached_purchase,
+        |  CASE WHEN s3 THEN epoch_us(t_purchase) - epoch_us(t_view)
+        |       ELSE NULL END AS convert_us
+        |FROM g ORDER BY user_id""".stripMargin,
     "ev_retention" ->
       """WITH c AS (
         |  SELECT user_id, date_trunc('day', min(ts)) AS cohort_ts
