@@ -65,10 +65,27 @@ object DedupOps {
            |    struct(a as $aName, b as $bName))))""".stripMargin)).as("p"))
       .select(col(s"p.$aName"), col(s"p.$bName"))
 
+  private val minhashPairsCache = new graft.SessionCache[DataFrame]
+
+  /** The VERIFIED near-dup pair set (doc_a, doc_b, jaccard ≥ 0.5) — an
+    * INDEX artifact like the shingle tables, materialized once per
+    * (session, dataset) and consumed by `dedup_minhash`,
+    * `dedup_clusters`, `corpus_keep` and `dedup_cross_source`; without
+    * the memo each of those would re-run the whole
+    * sketch→bucket→verify pipeline. Unsorted — each reader adds its
+    * own presentation order. */
+  private[ops] def minhashPairs(s: SparkSession, d: String): DataFrame =
+    minhashPairsCache.getOrCompute(s, d) {
+      minhashPairsPlan(s, d).localCheckpoint(true)
+    }
+
   /** MinHash+LSH near-dup candidate pairs with exact-Jaccard verify.
     * shingle→minhash→band→bucket-join; emits verified pairs with
     * jaccard >= 0.5, doc_a < doc_b. */
-  def dedupMinhash(s: SparkSession, d: String): DataFrame = {
+  def dedupMinhash(s: SparkSession, d: String): DataFrame =
+    minhashPairs(s, d).orderBy(col("doc_a"), col("doc_b"))
+
+  private def minhashPairsPlan(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
     // signature is the compute-heavy stage — spread the scan first; the
     // fused native expression computes text → band keys in one codegen
@@ -109,7 +126,6 @@ object DedupOps {
         .otherwise(inter.cast("double") / uni.cast("double")), 6))
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   private val minhashShingleCache = new graft.SessionCache[DataFrame]
@@ -385,16 +401,10 @@ object DedupOps {
     * by component diameter (near-dup clusters are shallow). The oracle
     * computes the same components with a recursive CTE over the exact
     * ground-truth pair set. */
-  private val clusterPairsCache = new graft.SessionCache[DataFrame]
-
   def dedupClusters(s: SparkSession, d: String): DataFrame = {
-    // the verified pair set is an INDEX artifact like the shingle
-    // tables — materialize once per dataset, every clustering call
-    // pays only the propagation
-    val pairs = clusterPairsCache.getOrCompute(s, d) {
-      dedupMinhash(s, d).select(col("doc_a"), col("doc_b"))
-        .localCheckpoint(true)
-    }
+    // the shared memoized pair artifact — every clustering call pays
+    // only the propagation
+    val pairs = minhashPairs(s, d).select(col("doc_a"), col("doc_b"))
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     var labels = Tables.documents(s, d)

@@ -366,7 +366,7 @@ object TrainOps {
     * the sources. */
   def dedupCrossSource(s: SparkSession, d: String): DataFrame = {
     val srcs = Tables.documents(s, d).select(col("doc_id"), col("source"))
-    DedupOps.dedupMinhash(s, d)
+    DedupOps.minhashPairs(s, d)
       .join(srcs.select(col("doc_id").as("doc_a"),
         col("source").as("source_a")), Seq("doc_a"))
       .join(srcs.select(col("doc_id").as("doc_b"),
@@ -405,7 +405,7 @@ object TrainOps {
     val flagged = TextOps.funnelFlags(Tables.documents(s, d))
     val minSurvivor = min(when(col("s5"), col("doc_id")))
       .over(Window.partitionBy("fp"))
-    val losers = DedupOps.dedupMinhash(s, d)
+    val losers = DedupOps.minhashPairs(s, d)
       .select(col("doc_b").as("doc_id")).distinct()
       .withColumn("is_neardup", lit(1))
     // NULL text/lang propagates NULL through the flag chain; a NULL
