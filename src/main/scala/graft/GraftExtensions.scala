@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.expressions.{CosineSimilarity, MinHashBandKeys, SimHash64}
+import graft.functions.expressions.{CharEntropy, CosineSimilarity, GramStats, MinHashBandKeys, SimHash64}
 
 /** Config-only injection point: `--conf
   * spark.sql.extensions=graft.GraftExtensions` registers the engine's
@@ -46,5 +46,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64_native"),
       (exprs: Seq[Expression]) =>
         SimHash64(arity("simhash64_native", 1, exprs).head)))
+    ext.injectFunction((
+      FunctionIdentifier("char_entropy_native"),
+      new ExpressionInfo(classOf[CharEntropy].getName, "char_entropy_native"),
+      (exprs: Seq[Expression]) =>
+        CharEntropy(arity("char_entropy_native", 1, exprs).head)))
+    ext.injectFunction((
+      FunctionIdentifier("gram_stats_native"),
+      new ExpressionInfo(classOf[GramStats].getName, "gram_stats_native"),
+      (exprs: Seq[Expression]) =>
+        GramStats(arity("gram_stats_native", 1, exprs).head)))
   }
 }

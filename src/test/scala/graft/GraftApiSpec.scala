@@ -37,11 +37,16 @@ class GraftApiSpec extends SparkFunSuite {
             |  array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
             |  array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c,
             |  simhash64_native('hello world') AS s,
-            |  size(minhash_bands_native('hello world')) AS b""".stripMargin)
+            |  size(minhash_bands_native('hello world')) AS b,
+            |  char_entropy_native('aa') AS e,
+            |  gram_stats_native(array('x', 'x', 'y')).max_count AS g"""
+            .stripMargin)
           .head()
         assert(r.getDouble(0) == 1.0)
         assert(r.getLong(1) == functions.SimHash.simhash64("hello world"))
         assert(r.getInt(2) == 16)
+        assert(r.getDouble(3) == 0.0) // one distinct char: -1*log2(1)
+        assert(r.getInt(4) == 2)
         // wrong arity fails with the builder's message, not an
         // IndexOutOfBoundsException from inside the analyzer
         val e = intercept[Exception] {
