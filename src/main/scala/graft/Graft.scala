@@ -19,6 +19,8 @@ object Graft {
     functions.expressions.CosineSimilarity.register(spark)
     functions.expressions.MinHashBandKeys.register(spark)
     functions.expressions.SimHash64.register(spark)
+    functions.expressions.CharEntropy.register(spark)
+    functions.expressions.GramStats.register(spark)
     spark
   }
 
