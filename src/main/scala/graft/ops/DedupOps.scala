@@ -68,15 +68,17 @@ object DedupOps {
   private val minhashPairsCache = new graft.SessionCache[DataFrame]
 
   /** The VERIFIED near-dup pair set (doc_a, doc_b, jaccard ≥ 0.5) — an
-    * INDEX artifact like the shingle tables, materialized once per
-    * (session, dataset) and consumed by `dedup_minhash`,
-    * `dedup_clusters`, `corpus_keep` and `dedup_cross_source`; without
-    * the memo each of those would re-run the whole
-    * sketch→bucket→verify pipeline. Unsorted — each reader adds its
-    * own presentation order. */
+    * INDEX artifact like the shingle tables, memoized per (session,
+    * dataset) and consumed by `dedup_minhash`, `dedup_clusters`,
+    * `corpus_keep` and `dedup_cross_source`; without the memo each of
+    * those would re-run the whole sketch→bucket→verify pipeline.
+    * Unsorted — each reader adds its own presentation order. Lazily
+    * persisted (NOT checkpointed): plan-only consumers never pay the
+    * corpus pass, and the cached lineage stays visible to the plan
+    * audits (PLANS.md, PlanAuditSpec's window-freedom assertions). */
   private[ops] def minhashPairs(s: SparkSession, d: String): DataFrame =
     minhashPairsCache.getOrCompute(s, d) {
-      minhashPairsPlan(s, d).localCheckpoint(true)
+      minhashPairsPlan(s, d).persist()
     }
 
   /** MinHash+LSH near-dup candidate pairs with exact-Jaccard verify.

@@ -471,11 +471,12 @@ object TrainOps {
     * The intermediate per-doc token counts (doc_id, tok, n) — the
     * FOLDED form of the token stream, one row per distinct (doc,
     * token), shrinking the Zipf-key join by the in-doc repetition
-    * factor — are persisted only WITHIN this builder: they feed the
-    * vocab aggregate and the probe side (different shuffle keys, so
-    * exchange reuse can't cover both), and once the narrow score
-    * table materializes the corpus-scale count table is unpersisted
-    * rather than pinned for the session. */
+    * factor — are deliberately NOT persisted: their two consumers
+    * (vocab aggregate + probe side) each scan-and-tokenize once
+    * during the artifact's single build, and two corpus scans beat
+    * pinning a corpus-scale count table (the dedup_substr trade).
+    * The memo itself stays LAZY — no eager count — so plan-only
+    * paths never pay the corpus pass. */
   private def lmScores(s: SparkSession, d: String): DataFrame =
     lmScoreCache.getOrCompute(s, d) {
       val dt = Tables.spread(Tables.documents(s, d))
@@ -484,12 +485,11 @@ object TrainOps {
             "filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')"))
             .as("tok"))
         .groupBy("doc_id", "tok").agg(count(lit(1)).as("n"))
-        .persist()
       val vocab = dt.groupBy("tok").agg(sum("n").as("freq"))
       val total = vocab.agg(sum("freq").as("total"))
       // occurrence weighting lives in the final agg: sum(nlp·n)/sum(n)
       // ≡ the per-occurrence avg
-      val scores = dt.join(vocab, "tok")
+      dt.join(vocab, "tok")
         .crossJoin(broadcast(total))
         .withColumn("nlp",
           -log(col("freq").cast("double") / col("total").cast("double")))
@@ -497,9 +497,6 @@ object TrainOps {
         .agg(sum("n").as("n_toks"),
           round(sum(col("nlp") * col("n")) / sum("n"), 6).as("avg_neg_logp"))
         .persist()
-      scores.count() // materialize now so dt can be released
-      dt.unpersist()
-      scores
     }
 
   def textUnigramLm(s: SparkSession, d: String): DataFrame =
