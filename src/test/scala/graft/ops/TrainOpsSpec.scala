@@ -208,6 +208,41 @@ class TrainOpsSpec extends SparkFunSuite {
     a.keys.foreach { id => assert(big(id) == a(id)) }
   }
 
+  test("two-level cumsum == monolithic per-source window on skewed random data") {
+    // the scale rewrite must be EXACTLY the old semantics: compare
+    // mix_budget's (source, __gid)-grouped running sum against a
+    // directly-computed single-window reference on a seeded random
+    // corpus with one dominant source (the skew the rewrite exists for)
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TextAnalysis
+    val rnd = new scala.util.Random(42)
+    val d2 = Files.createTempDirectory("cum2l").toString
+    (1L to 400L).map { i =>
+      val src = if (rnd.nextInt(10) < 8) "web" else s"s${rnd.nextInt(3)}"
+      val words = Seq.fill(1 + rnd.nextInt(30))(s"w${rnd.nextInt(50)}")
+        .mkString(" ")
+      (i, words, "en", src, words.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d2/documents.parquet")
+    val got = TrainOps.mixBudget(spark, d2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val w = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ref = spark.read.parquet(s"$d2/documents.parquet")
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.token_count_bpe(col("text")).cast("bigint")
+          .as("n_tokens"))
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .filter(col("cum_tokens") <= 1024)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == ref)
+    assert(got.nonEmpty && got.map(_._2).size >= 2)
+  }
+
   test("importance sampling keeps iff the md5 fraction beats the quality") {
     val rows = TrainOps.sampleImportance(spark, dir).collect()
     rows.foreach { r =>
