@@ -312,7 +312,13 @@ object TrainOps {
     * terciles of the corpus-unigram-LM score ([[textUnigramLm]] —
     * low = stereotypical text, high = rare-token soup). The cut table
     * is |langs| rows (bounded regardless of SF) and broadcasts; the
-    * scores reuse the memoized per-doc token counts. */
+    * scores reuse the memoized per-doc score artifact.
+    *
+    * Scale note: `percentile` is EXACT (per-group value buffer) —
+    * right for the oracle-pinned catalog entry; at 100 TB swap the
+    * cut computation to `approx_percentile` (t-digest, no buffer) —
+    * same plan shape, and a tercile boundary is exactly the place a
+    * sketch's ε-error is immaterial (the a12_percentile trade). */
   def textPplBuckets(s: SparkSession, d: String): DataFrame = {
     val lm = lmScores(s, d).select(col("doc_id"), col("avg_neg_logp"))
     val langs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
