@@ -204,7 +204,56 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** BM25-scored full-text retrieval — the ranked `match` query of the
+    * reference's document stores, as pure relational algebra: one
+    * tokenize+aggregate pass builds per-doc term frequencies and
+    * lengths, a 1-row corpus stat table (N, avgdl, per-term df)
+    * broadcasts, and the Okapi BM25 score (k1=1.2, b=0.75) is a fixed
+    * per-row expression — scan + one hash agg at 100 TB, top-k via
+    * TakeOrdered. Cross-engine FP: the oracle mirrors the exact
+    * expression tree (same association order), the 4 term scores add
+    * in fixed order, and the presentation sorts on the ROUNDED score.
+    * (A deployment parameterizes the query terms; the catalog entry
+    * pins a fixed query so the oracle replays it.) */
+  def textSearchBm25(s: SparkSession, d: String): DataFrame = {
+    val qterms = Seq("stream", "window", "fast", "query")
+    val k1 = 1.2
+    val b = 0.75
+    val toks = Tables.documents(s, d).select(col("doc_id"),
+      explode(expr(
+        "filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')"))
+        .as("tok"))
+    val perDoc = toks.groupBy("doc_id").agg(
+      count(lit(1)).as("dl"),
+      qterms.map(t =>
+        sum(when(col("tok") === t, 1L).otherwise(0L)).as(s"tf_$t")): _*)
+    val stats = perDoc.agg(
+      count(lit(1)).as("n_docs"),
+      avg(col("dl").cast("double")).as("avgdl") +:
+        qterms.map(t =>
+          sum((col(s"tf_$t") > 0).cast("long")).as(s"df_$t")): _*)
+    def termScore(t: String): Column = {
+      val tf = col(s"tf_$t").cast("double")
+      val df = col(s"df_$t").cast("double")
+      val idf = log(lit(1.0) +
+        (col("n_docs").cast("double") - df + lit(0.5)) / (df + lit(0.5)))
+      // lit(2.2), NOT lit(k1 + 1): the Scala sum 1.2+1.0 can differ
+      // from the parsed literal 2.2 in the last ulp, and the oracle
+      // parses "2.2"
+      idf * (tf * lit(2.2)) /
+        (tf + lit(k1) * (lit(1.0) - lit(b) +
+          lit(b) * col("dl").cast("double") / col("avgdl")))
+    }
+    perDoc.crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("dl"),
+        round(qterms.map(termScore).reduce(_ + _), 6).as("bm25"))
+      .filter(col("bm25") > 0)
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_search_bm25"      -> textSearchBm25 _,
     "text_entropy"          -> textEntropy _,
     "text_normalize"        -> textNormalize _,
     "filter_funnel"         -> filterFunnel _,
@@ -217,6 +266,55 @@ object TextOps {
     "text_fingerprint_roll" -> textFingerprintRoll _)
 
   val oracles: Map[String, String] = Map(
+    // exact replay of the BM25 expression tree: same association
+    // order, fixed term-sum order, sort on the rounded score
+    "text_search_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, UNNEST(list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'), t -> t != ''))
+        |    AS tok
+        |  FROM documents),
+        |pd AS (
+        |  SELECT doc_id, COUNT(*) AS dl,
+        |    COUNT(*) FILTER (tok = 'stream') AS tf_stream,
+        |    COUNT(*) FILTER (tok = 'window') AS tf_window,
+        |    COUNT(*) FILTER (tok = 'fast') AS tf_fast,
+        |    COUNT(*) FILTER (tok = 'query') AS tf_query
+        |  FROM toks GROUP BY doc_id),
+        |st AS (
+        |  SELECT COUNT(*) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl,
+        |    COUNT(*) FILTER (tf_stream > 0) AS df_stream,
+        |    COUNT(*) FILTER (tf_window > 0) AS df_window,
+        |    COUNT(*) FILTER (tf_fast > 0) AS df_fast,
+        |    COUNT(*) FILTER (tf_query > 0) AS df_query
+        |  FROM pd),
+        |sc AS (
+        |  SELECT doc_id, dl,
+        |    round(
+        |      ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_stream AS DOUBLE) + 0.5)
+        |          / (CAST(df_stream AS DOUBLE) + 0.5))
+        |        * (CAST(tf_stream AS DOUBLE) * 2.2)
+        |        / (CAST(tf_stream AS DOUBLE) + 1.2 * (1.0 - 0.75
+        |            + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+        |      + ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_window AS DOUBLE) + 0.5)
+        |          / (CAST(df_window AS DOUBLE) + 0.5))
+        |        * (CAST(tf_window AS DOUBLE) * 2.2)
+        |        / (CAST(tf_window AS DOUBLE) + 1.2 * (1.0 - 0.75
+        |            + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+        |      + ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_fast AS DOUBLE) + 0.5)
+        |          / (CAST(df_fast AS DOUBLE) + 0.5))
+        |        * (CAST(tf_fast AS DOUBLE) * 2.2)
+        |        / (CAST(tf_fast AS DOUBLE) + 1.2 * (1.0 - 0.75
+        |            + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+        |      + ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_query AS DOUBLE) + 0.5)
+        |          / (CAST(df_query AS DOUBLE) + 0.5))
+        |        * (CAST(tf_query AS DOUBLE) * 2.2)
+        |        / (CAST(tf_query AS DOUBLE) + 1.2 * (1.0 - 0.75
+        |            + 0.75 * CAST(dl AS DOUBLE) / avgdl)), 6) AS bm25
+        |  FROM pd, st)
+        |SELECT doc_id, dl, bm25 FROM sc
+        |WHERE bm25 > 0
+        |ORDER BY bm25 DESC, doc_id ASC LIMIT 20""".stripMargin,
     "text_entropy" ->
       """WITH c AS (
         |  SELECT doc_id, length(text) AS n_chars,
