@@ -198,7 +198,42 @@ object EventOps {
       .orderBy(col("user_id"))
   }
 
+  /** Daily-volume anomaly detection: per (event_type, day) counts
+    * z-scored against that type's own mean/std over the observed span,
+    * |z| > 2 flagged — the monitoring query every ingestion pipeline
+    * runs over its intake counters. One map-side-combined hash agg over
+    * the raw events (the only corpus-scale pass); the per-type stats
+    * table is bounded by event-type cardinality (a domain constant,
+    * NOT scale-factor-proportional) so its broadcast is safe at any SF.
+    * Cross-engine FP: mean/std are derived from EXACT integer sums
+    * (count, sum, sum-of-squares) through an expression tree mirrored
+    * verbatim in the oracle, and the spike flag compares the ROUNDED z. */
+  def evAnomaly(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val mean = col("s1").cast("double") / col("n_days").cast("double")
+    val stats = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("n_events")).as("s1"),
+        sum(col("n_events") * col("n_events")).as("s2"))
+      .withColumn("mean", mean)
+      .withColumn("std", sqrt(
+        (col("s2").cast("double") -
+          col("n_days").cast("double") * col("mean") * col("mean")) /
+          (col("n_days").cast("double") - lit(1.0))))
+      .select(col("event_type").as("et"), col("mean"), col("std"))
+    daily.join(broadcast(stats), daily("event_type") === col("et"))
+      .withColumn("z", round(
+        (col("n_events").cast("double") - col("mean")) / col("std"), 6))
+      .select(col("event_type"), col("day"), col("n_events"), col("z"),
+        (abs(col("z")) > lit(2.0)).cast("int").as("is_spike"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_anomaly"     -> evAnomaly _,
     "ev_user_funnel" -> evUserFunnel _,
     "ev_asof"        -> evAsof _,
     "ev_range"       -> evRange _,
@@ -210,6 +245,34 @@ object EventOps {
     "ev_retention"   -> evRetention _)
 
   val oracles: Map[String, String] = Map(
+    // mean/std derive from exact integer sums via the SAME expression
+    // tree as the engine (left-assoc n*mean*mean), so the doubles are
+    // bit-identical; the flag compares the rounded z on both sides
+    "ev_anomaly" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |    COUNT(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type, COUNT(*) AS n_days,
+        |    SUM(n_events) AS s1, SUM(n_events * n_events) AS s2
+        |  FROM daily GROUP BY 1),
+        |st2 AS (
+        |  SELECT event_type,
+        |    CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean,
+        |    sqrt((CAST(s2 AS DOUBLE)
+        |        - CAST(n_days AS DOUBLE)
+        |          * (CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE))
+        |          * (CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE)))
+        |      / (CAST(n_days AS DOUBLE) - 1.0)) AS std
+        |  FROM st)
+        |SELECT d.event_type, d.day, d.n_events,
+        |  round((CAST(d.n_events AS DOUBLE) - s.mean) / s.std, 6) AS z,
+        |  CAST(abs(round((CAST(d.n_events AS DOUBLE) - s.mean) / s.std, 6))
+        |       > 2.0 AS INTEGER) AS is_spike
+        |FROM daily d JOIN st2 s USING (event_type)
+        |ORDER BY 1, 2""".stripMargin,
     "ev_user_funnel" ->
       """WITH u AS (
         |  SELECT user_id,

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.functions.TextAnalysis
 
@@ -252,7 +253,39 @@ object TextOps {
       .limit(20)
   }
 
+  /** Per-source characteristic vocabulary: TF-IDF with each SOURCE as
+    * the "document" (the dataset-card "what does this feed talk about"
+    * panel, and the vocabulary-drift monitor between crawls). One
+    * corpus-scale tokenize+hash-agg collapses to (source, term)
+    * counts; everything after runs on VOCABULARY-sized tables (distinct
+    * terms × sources — orders of magnitude below corpus scale at
+    * 100 TB), so the per-source top-k window is cheap and the 1-row
+    * source-count table broadcasts. idf = ln(n_sources/df) naturally
+    * zeroes out terms present in every feed (stopwords need no list).
+    * Rank is taken over the ROUNDED score with a term tiebreak so both
+    * engines order identically. */
+  def textTopTerms(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d).select(col("source"),
+      explode(expr(
+        "filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')"))
+        .as("tok"))
+    val tf = toks.groupBy("source", "tok").agg(count(lit(1)).as("tf"))
+    val dfTab = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val nSrc = tf.select(countDistinct(col("source")).as("n_src"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("score").desc, col("tok").asc)
+    tf.join(dfTab, "tok").crossJoin(broadcast(nSrc))
+      .withColumn("score", round(col("tf").cast("double") *
+        log(col("n_src").cast("double") / col("df").cast("double")), 6))
+      .filter(col("score") > 0)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("source"), col("rk"), col("tok"), col("score"))
+      .orderBy(col("source"), col("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_topterms"         -> textTopTerms _,
     "text_search_bm25"      -> textSearchBm25 _,
     "text_entropy"          -> textEntropy _,
     "text_normalize"        -> textNormalize _,
@@ -266,6 +299,29 @@ object TextOps {
     "text_fingerprint_roll" -> textFingerprintRoll _)
 
   val oracles: Map[String, String] = Map(
+    // rank over the ROUNDED tf·ln(n/df) score with a term tiebreak —
+    // identical ordering on both engines
+    "text_topterms" ->
+      """WITH toks AS (
+        |  SELECT source, UNNEST(list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'), t -> t != ''))
+        |    AS tok
+        |  FROM documents),
+        |tf AS (SELECT source, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(DISTINCT source) AS n_src FROM tf),
+        |scored AS (
+        |  SELECT tf.source, tf.tok,
+        |    round(CAST(tf.tf AS DOUBLE)
+        |      * ln(CAST(n.n_src AS DOUBLE) / CAST(df.df AS DOUBLE)), 6)
+        |      AS score
+        |  FROM tf JOIN df USING (tok) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT source, tok, score, row_number() OVER
+        |      (PARTITION BY source ORDER BY score DESC, tok ASC) AS rk
+        |  FROM scored WHERE score > 0)
+        |SELECT source, rk, tok, score FROM ranked
+        |WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
     // exact replay of the BM25 expression tree: same association
     // order, fixed term-sum order, sort on the rounded score
     "text_search_bm25" ->

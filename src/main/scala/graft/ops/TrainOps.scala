@@ -559,7 +559,38 @@ object TrainOps {
       .orderBy("label", "rk")
   }
 
+  /** Corpus snapshot diff — the incremental-refresh primitive: when a
+    * 100 TB corpus is re-crawled, the next pipeline run should touch
+    * only what CHANGED, and this op computes exactly that delta. Two
+    * snapshot views (derived here deterministically from the pinned
+    * corpus: doc_id%10==7 rows are "newly crawled", %10==3 rows were
+    * dropped, %11==0 rows were re-crawled with edited text) are
+    * compared by content fingerprint through ONE full-outer shuffle
+    * join on the uniform doc key; everything else is narrow per-row
+    * work. At 100 TB the join is the only corpus-scale exchange, and
+    * downstream stages (re-embed, re-dedup) consume the
+    * added/changed slice — typically orders of magnitude smaller than
+    * the corpus. */
+  def corpusDiff(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val old = docs.filter(col("doc_id") % 10 =!= 7)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("fp_old"))
+    val neu = docs.filter(col("doc_id") % 10 =!= 3)
+      .select(col("doc_id"), col("source").as("source_new"),
+        md5(when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text"))).as("fp_new"))
+    old.join(neu, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("source"), col("source_new")).as("source"),
+        when(col("fp_old").isNull, "added")
+          .when(col("fp_new").isNull, "removed")
+          .when(col("fp_old") =!= col("fp_new"), "changed")
+          .otherwise("unchanged").as("status"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_diff"        -> corpusDiff _,
     "pack_chunks"        -> packChunks _,
     "pack_manifest"      -> packManifest _,
     "text_contaminated"  -> textContaminated _,
@@ -616,6 +647,23 @@ object TrainOps {
       |  FROM p)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "corpus_diff" ->
+      """WITH old AS (
+        |  SELECT doc_id, source, md5(text) AS fp_old
+        |  FROM documents WHERE doc_id % 10 != 7),
+        |neu AS (
+        |  SELECT doc_id, source AS source_new,
+        |    md5(CASE WHEN doc_id % 11 = 0 THEN text || ' v2'
+        |             ELSE text END) AS fp_new
+        |  FROM documents WHERE doc_id % 10 != 3)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |  COALESCE(o.source, n.source_new) AS source,
+        |  CASE WHEN o.fp_old IS NULL THEN 'added'
+        |       WHEN n.fp_new IS NULL THEN 'removed'
+        |       WHEN o.fp_old != n.fp_new THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM old o FULL OUTER JOIN neu n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin,
     // the md5-hex uniform fraction is exact integer arithmetic in
     // doubles (digits × powers of 16 < 2^32), so both engines compare
     // the identical value against the 6-decimal quality score
