@@ -448,7 +448,26 @@ object CoreRelational {
       .orderBy(col("event_id"))
   }
 
+  /** A: pivot — per-day event counts spread across one column per
+    * event type (the dashboard "crosstab" shape). The value list is
+    * explicit, so this is ONE hash aggregate (no value-discovery job
+    * and no second shuffle — `pivot` without values runs a distinct
+    * scan first) with fixed output width; missing (day, type) cells
+    * surface as NULL from the pivot and are pinned to 0 to match the
+    * oracle's conditional counts. */
+  def a13Pivot(s: SparkSession, d: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val p = Tables.events(s, d)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    types.foldLeft(p)((df, t) =>
+      df.withColumn(t, coalesce(col(t), lit(0L))))
+      .orderBy(col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a13_pivot"      -> a13Pivot _,
     "q01_pricing"    -> q01Pricing _,
     "p08_boolshould" -> p08BoolShould _,
     "p10_blacklist"  -> p10Blacklist _,
@@ -485,6 +504,14 @@ object CoreRelational {
     "w02_running"    -> w02Running _)
 
   val oracles: Map[String, String] = Map(
+    "a13_pivot" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |  COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+        |  COUNT(*) FILTER (WHERE event_type = 'error')    AS error,
+        |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup,
+        |  COUNT(*) FILTER (WHERE event_type = 'view')     AS view
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
     "p08_boolshould" ->
       """SELECT event_id, event_type FROM events
         |WHERE json_extract_string(props, '$.k') IS NOT NULL

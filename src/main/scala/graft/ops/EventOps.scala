@@ -232,7 +232,23 @@ object EventOps {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Value-distribution histogram per event type: fixed-width buckets
+    * (width 25) as a pure hash aggregate — the metric-distribution
+    * panel behind every ops dashboard. Bucketing is arithmetic
+    * (floor(value/width)·width), not a window or sort, so the plan is
+    * one map-side-combined agg over ≤ |types|·|buckets| keys at any
+    * scale. floor and double division are IEEE-exact in both engines,
+    * so bucket edges agree without rounding. */
+  def evHistogram(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"),
+        (floor(col("value") / lit(25.0)) * 25).cast("long").as("bucket_lo"))
+      .groupBy(col("event_type"), col("bucket_lo"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type"), col("bucket_lo"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_histogram"   -> evHistogram _,
     "ev_anomaly"     -> evAnomaly _,
     "ev_user_funnel" -> evUserFunnel _,
     "ev_asof"        -> evAsof _,
@@ -245,6 +261,12 @@ object EventOps {
     "ev_retention"   -> evRetention _)
 
   val oracles: Map[String, String] = Map(
+    "ev_histogram" ->
+      """SELECT event_type,
+        |  CAST(floor(value / 25.0) * 25 AS BIGINT) AS bucket_lo,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY 1, 2
+        |ORDER BY event_type, bucket_lo""".stripMargin,
     // mean/std derive from exact integer sums via the SAME expression
     // tree as the engine (left-assoc n*mean*mean), so the doubles are
     // bit-identical; the flag compares the rounded z on both sides

@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Whole-graph algorithms over relationally-derived edge sets — the
+  * analytics companion to [[graft.graph.GraphStore]] (which holds the
+  * persisted property graph; reference builds the graph with per-batch
+  * Cypher merges and leaves ranking/centrality to the warehouse).
+  * Pattern shared with `dedup_clusters`' label propagation: iterative
+  * DataFrame compute, `localCheckpoint` per round to truncate lineage.
+  */
+object GraphOps {
+
+  /** PageRank over the customer↔supplier trading graph (who-trades-
+    * with-whom influence): damping 0.85, 5 fixed iterations.
+    *
+    * Edge derivation is itself relational: distinct (customer,
+    * supplier) pairs from orders ⋈ lineitem, then symmetrized (both
+    * directions), so every node has out-degree ≥ 1 and no dangling
+    * mass exists — rank = (1−d)/N + d·Σ in-contribs needs no
+    * global dangling-sum term (which would be a per-iteration
+    * driver-side action at scale).
+    *
+    * 100 TB posture: the edge+degree table is built once, persisted,
+    * and reused across iterations (the per-iteration work is one
+    * shuffle join edges⋈ranks on src + one hash agg on dst — the
+    * minimal PageRank round under hash partitioning); lineage is cut
+    * per round with `localCheckpoint` so the plan stays O(1) deep, not
+    * O(iterations). At cluster scale swap localCheckpoint for a
+    * reliable `checkpoint` dir and pre-`repartition` the edge table by
+    * src so the join side stays co-partitioned across rounds.
+    *
+    * Cross-engine FP: the per-node in-contribution sum is a SORTED
+    * fold (sort_array → aggregate), mirrored by list_sort →
+    * list_reduce in the oracle, so both engines add the same doubles
+    * in the same order — bit-identical ranks without rounding. In
+    * production use a plain `sum` (order-free, map-side combinable);
+    * the sorted fold is oracle-pinning only.
+    */
+  def graphPagerank(s: SparkSession, d: String): DataFrame = {
+    val damping = 0.85
+    val iters = 5
+    val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+    val pairs = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
+      .distinct()
+    // symmetrize: prefixes keep the two directions disjoint, so this
+    // union introduces no duplicate edges
+    val edges = pairs.union(
+      pairs.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val edgesDeg = edges.join(deg, "src").persist()
+    // bounded driver scalar (node count), like the bucket-id collects
+    val nNodes = edgesDeg.select(countDistinct(col("src"))).first().getLong(0)
+    // literal 0.15, NOT 1.0 - 0.85: the Scala subtraction yields
+    // 0.15000000000000002 while the oracle parses "0.15" — last-ulp skew
+    val base = 0.15 / nNodes
+
+    var ranks = edgesDeg.select(col("src").as("node")).distinct()
+      .withColumn("rank", lit(1.0 / nNodes))
+    for (_ <- 1 to iters) {
+      ranks = edgesDeg.join(ranks, edgesDeg("src") === ranks("node"))
+        .select(col("dst"), (col("rank") / col("outdeg")).as("c"))
+        .groupBy(col("dst"))
+        .agg(expr(
+          "aggregate(sort_array(collect_list(c)), cast(0.0 as double)," +
+            " (a, x) -> a + x)").as("insum"))
+        .select(col("dst").as("node"),
+          (lit(base) + lit(damping) * col("insum")).as("rank"))
+        .localCheckpoint()
+    }
+    edgesDeg.unpersist()
+    ranks.orderBy(col("node"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_pagerank" -> graphPagerank _)
+
+  val oracles: Map[String, String] = Map(
+    // unrolled 5 iterations; list_sort → list_reduce replays the
+    // engine's sorted fold so the doubles are bit-identical
+    "graph_pagerank" -> {
+      val iter = (prev: String, cur: String) =>
+        s"""$cur AS (
+           |  SELECT e.dst AS node,
+           |    0.15/(SELECT nn FROM n) + 0.85 * list_reduce(
+           |      list_sort(list(p.rank / e.outdeg)), (a, x) -> a + x)
+           |      AS rank
+           |  FROM ed e JOIN $prev p ON e.src = p.node GROUP BY e.dst)"""
+          .stripMargin
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT 'c' || o.o_custkey AS src,
+         |                  's' || l.l_suppkey AS dst
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         |edges AS (SELECT src, dst FROM pairs
+         |          UNION ALL SELECT dst, src FROM pairs),
+         |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+         |ed AS (SELECT e.src, e.dst, d.outdeg
+         |       FROM edges e JOIN deg d USING (src)),
+         |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM deg),
+         |pr0 AS (SELECT src AS node, 1.0/(SELECT nn FROM n) AS rank
+         |        FROM deg),
+         |${iter("pr0", "pr1")},
+         |${iter("pr1", "pr2")},
+         |${iter("pr2", "pr3")},
+         |${iter("pr3", "pr4")},
+         |${iter("pr4", "pr5")}
+         |SELECT node, rank FROM pr5 ORDER BY node""".stripMargin
+    })
+}

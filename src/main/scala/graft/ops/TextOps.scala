@@ -284,7 +284,44 @@ object TextOps {
       .orderBy(col("source"), col("rk"))
   }
 
+  /** Token-pair PMI (pointwise mutual information) over per-document
+    * co-occurrence — the collocation/phrase-mining signal ("new york"
+    * scores high, "the of" scores ~0). Document frequencies come from
+    * one tokenize+hash-agg pass; the pair table is generated by a
+    * self-join on doc_id over the VOCAB-PRUNED token table (df ≥ 25
+    * here; at 100 TB cap the vocabulary to a deterministic top-V by
+    * df), so per-doc pair fan-out is bounded by the pruned vocab — the
+    * raw-token k² blowup never materializes. df_a/df_b ride along as
+    * grouping keys (functionally dependent on the pair) so no re-join
+    * is needed; the 1-row doc count broadcasts. Ordering is on the
+    * ROUNDED pmi with a pair tiebreak, as in text_topterms. */
+  def textPmi(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d).select(col("doc_id"),
+      explode(array_distinct(expr(
+        "filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')")))
+        .as("tok"))
+    val dfTab = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 25)
+    val nDocs = Tables.documents(s, d)
+      .select(countDistinct(col("doc_id")).as("n_docs"))
+    val vt = toks.join(dfTab, "tok")
+    val pairs = vt.as("a").join(vt.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.tok") < col("b.tok"))
+      .groupBy(col("a.tok").as("tok_a"), col("b.tok").as("tok_b"),
+        col("a.df").as("df_a"), col("b.df").as("df_b"))
+      .agg(count(lit(1)).as("co_df"))
+      .filter(col("co_df") >= 10)
+    pairs.crossJoin(broadcast(nDocs))
+      .select(col("tok_a"), col("tok_b"), col("co_df"),
+        round(log(col("co_df").cast("double") * col("n_docs").cast("double")
+          / (col("df_a").cast("double") * col("df_b").cast("double"))), 6)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("tok_a").asc, col("tok_b").asc)
+      .limit(50)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_pmi"              -> textPmi _,
     "text_topterms"         -> textTopTerms _,
     "text_search_bm25"      -> textSearchBm25 _,
     "text_entropy"          -> textEntropy _,
@@ -299,6 +336,30 @@ object TextOps {
     "text_fingerprint_roll" -> textFingerprintRoll _)
 
   val oracles: Map[String, String] = Map(
+    // same association order as the engine: (co·n) / (df_a·df_b),
+    // sorted on the rounded pmi with the pair tiebreak
+    "text_pmi" ->
+      """WITH toks AS (
+        |  SELECT doc_id, UNNEST(list_distinct(list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'), t -> t != '')))
+        |    AS tok
+        |  FROM documents),
+        |df AS (SELECT tok, COUNT(*) AS df FROM toks GROUP BY 1
+        |       HAVING COUNT(*) >= 25),
+        |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+        |vt AS (SELECT t.doc_id, t.tok, df.df FROM toks t
+        |       JOIN df USING (tok)),
+        |pairs AS (
+        |  SELECT a.tok AS tok_a, b.tok AS tok_b, a.df AS df_a,
+        |    b.df AS df_b, COUNT(*) AS co_df
+        |  FROM vt a JOIN vt b
+        |    ON a.doc_id = b.doc_id AND a.tok < b.tok
+        |  GROUP BY 1, 2, 3, 4 HAVING COUNT(*) >= 10)
+        |SELECT tok_a, tok_b, co_df,
+        |  round(ln(CAST(co_df AS DOUBLE) * CAST(n.n_docs AS DOUBLE)
+        |    / (CAST(df_a AS DOUBLE) * CAST(df_b AS DOUBLE))), 6) AS pmi
+        |FROM pairs CROSS JOIN n
+        |ORDER BY pmi DESC, tok_a ASC, tok_b ASC LIMIT 50""".stripMargin,
     // rank over the ROUNDED tf·ln(n/df) score with a term tiebreak —
     // identical ordering on both engines
     "text_topterms" ->

@@ -1,0 +1,61 @@
+package graft.ops
+
+import graft.SparkFunSuite
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** Semantic properties of the crosstab/histogram/collocation operators
+  * (a13_pivot, ev_histogram, text_pmi) on injected fixtures. */
+class AnalyticsOpsSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("analyticsops").toString
+    // day 1: 2 clicks + 1 view; day 2: 1 purchase only (other cells 0);
+    // values chosen to land in buckets -25, 0, 25, 50
+    val ev = Seq(
+      (1L, Timestamp.valueOf("2024-03-01 10:00:00"), 1L, "click", -5.0),
+      (2L, Timestamp.valueOf("2024-03-01 11:00:00"), 1L, "click", 10.0),
+      (3L, Timestamp.valueOf("2024-03-01 12:00:00"), 2L, "view", 30.0),
+      (4L, Timestamp.valueOf("2024-03-02 09:00:00"), 2L, "purchase", 55.0))
+    ev.map { case (id, ts, u, t, v) => (id, ts, u, t, v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$d/events.parquet")
+    // 25 docs "alpha beta" (the collocation), 15 filler docs whose
+    // token stays under the df>=25 vocab floor
+    val docs = (1 to 25).map(i => (i.toLong, "alpha beta")) ++
+      (26 to 40).map(i => (i.toLong, "delta"))
+    docs.map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("a13_pivot: explicit-value crosstab with absent cells pinned to 0") {
+    val rows = CoreRelational.a13Pivot(spark, dir).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("2024-03-01", "2024-03-02"))
+    val d1 = rows(0)
+    assert(d1.getAs[Long]("click") == 2L && d1.getAs[Long]("view") == 1L
+      && d1.getAs[Long]("purchase") == 0L)
+    val d2 = rows(1)
+    assert(d2.getAs[Long]("purchase") == 1L && d2.getAs[Long]("click") == 0L)
+  }
+
+  test("ev_histogram: floor bucketing incl. the negative bucket") {
+    val got = EventOps.evHistogram(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      ("click", -25L) -> 1L, ("click", 0L) -> 1L,
+      ("view", 25L) -> 1L, ("purchase", 50L) -> 1L))
+  }
+
+  test("text_pmi: the injected collocation is the only pair, pmi = ln(n·co/df²)") {
+    val rows = TextOps.textPmi(spark, dir).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert((r.getString(0), r.getString(1)) == ("alpha", "beta"))
+    assert(r.getLong(2) == 25L)
+    // df(alpha)=df(beta)=co=25, n=40 → pmi = ln(25·40/625) = ln(1.6)
+    assert(math.abs(r.getDouble(3) - math.log(1.6)) < 1e-6)
+  }
+}

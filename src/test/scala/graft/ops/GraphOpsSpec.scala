@@ -1,0 +1,42 @@
+package graft.ops
+
+import graft.SparkFunSuite
+import java.nio.file.Files
+
+/** Semantic properties of graph_pagerank on a hand-checkable star
+  * graph (the catalog row proves engine-vs-oracle agreement; this
+  * proves the algorithm means what it claims). */
+class GraphOpsSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  // c1—s1, c2—s1: two customers each buying from the one supplier
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graphops").toString
+    Seq((1L, 1L), (2L, 2L))
+      .toDF("o_orderkey", "o_custkey").write.parquet(s"$d/orders.parquet")
+    Seq((1L, 1L), (2L, 1L))
+      .toDF("l_orderkey", "l_suppkey").write.parquet(s"$d/lineitem.parquet")
+    d
+  }
+
+  test("pagerank on the star: hub ranks highest, leaves tie, mass conserved") {
+    val out = GraphOps.graphPagerank(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out.keySet == Set("c1", "c2", "s1"))
+    // leaves are symmetric → identical rank (bitwise: same plan subtree)
+    assert(out("c1") == out("c2"))
+    assert(out("s1") > out("c1"))
+    // symmetric edges → no dangling mass: ranks sum to 1 up to FP
+    assert(math.abs(out.values.sum - 1.0) < 1e-9)
+    // replay the recurrence exactly (damping .85, 5 iters, N=3):
+    // hub receives both leaves' full rank, each leaf half the hub's
+    var (hub, leaf) = (1.0 / 3, 1.0 / 3)
+    for (_ <- 1 to 5) {
+      val h2 = 0.15 / 3 + 0.85 * (leaf + leaf)
+      val l2 = 0.15 / 3 + 0.85 * (hub / 2)
+      hub = h2; leaf = l2
+    }
+    assert(math.abs(out("s1") - hub) < 1e-12)
+    assert(math.abs(out("c1") - leaf) < 1e-12)
+  }
+}
