@@ -104,6 +104,27 @@ object Headline {
       .orderBy(col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first)
 
+  /** Explicit GROUPING SETS (beyond ROLLUP's prefix lattice): the
+    * by-priority and by-status subtotals plus the grand total in ONE
+    * pass — Catalyst expands the sets into a single Expand+Aggregate,
+    * so the fact is scanned once however many panels the dashboard
+    * asks for. grouping() flags (cast to int both engines) distinguish
+    * subtotal NULLs from data NULLs; null ordering pinned NULLS FIRST
+    * (DuckDB defaults NULLS LAST for ASC). */
+  def a14GroupingSets(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+    ord.groupingSets(
+        Seq(Seq(col("o_orderpriority")), Seq(col("o_orderstatus")), Seq()),
+        col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(money(col("o_totalprice"))).cast("double").as("total"),
+        grouping(col("o_orderpriority")).cast("int").as("gp"),
+        grouping(col("o_orderstatus")).cast("int").as("gs"))
+      .orderBy(col("gp"), col("gs"),
+        col("o_orderpriority").asc_nulls_first,
+        col("o_orderstatus").asc_nulls_first)
+  }
+
   /** Exact linear-interpolation percentiles per group (the quantile
     * family the catalog otherwise lacks; Spark `percentile` ≡ DuckDB
     * `quantile_cont` — both sort-and-interpolate, so the oracle is a
@@ -121,6 +142,7 @@ object Headline {
       .orderBy(col("o_orderpriority"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a14_groupingsets" -> a14GroupingSets _,
     "a12_percentile" -> a12Percentile _,
     "q03_shipping"  -> q03Shipping _,
     "q05_localsupp" -> q05LocalSupplier _,
@@ -129,6 +151,16 @@ object Headline {
     "a09_rollup"    -> a09Rollup _)
 
   val oracles: Map[String, String] = Map(
+    "a14_groupingsets" ->
+      """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total,
+        |  CAST(GROUPING(o_orderpriority) AS INTEGER) AS gp,
+        |  CAST(GROUPING(o_orderstatus) AS INTEGER) AS gs
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        |ORDER BY gp, gs, o_orderpriority ASC NULLS FIRST,
+        |  o_orderstatus ASC NULLS FIRST""".stripMargin,
     "a12_percentile" ->
       """SELECT o_orderpriority,
         |  round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5), 6) AS p50,

@@ -1,43 +1,38 @@
 package graft.io
 
 import graft.SparkFunSuite
-import org.apache.spark.sql.functions._
 
-/** Bucketing evidence for the scale posture: two tables bucketed on
-  * the merge key join WITHOUT a shuffle on either side — this is what
-  * the Graph/Doc stores buy by keeping their tables bucketed at real
-  * scale (every incremental merge is map-side co-located). */
+/** Evidence for the "co-locate repeated joins via bucketing" 100 TB
+  * claim: two tables bucketed by the join key join with ZERO shuffle
+  * exchanges — the physical plan reads each bucket pair directly into
+  * the sort-merge join. At cluster scale this is the difference
+  * between an O(corpus) network shuffle per join and none. */
 class BucketedJoinSpec extends SparkFunSuite {
+  import spark.implicits._
 
-  test("bucketed-by-key tables join with no exchange") {
-    val bdir = java.nio.file.Files.createTempDirectory("buckets").toString
-    val old = Tables.ordersDf(spark, sfDir)
-    old.write.mode("overwrite")
-      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .option("path", s"$bdir/store_t1").saveAsTable("store_t1")
-    old.withColumn("o_totalprice", col("o_totalprice") * 2)
-      .write.mode("overwrite")
-      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .option("path", s"$bdir/store_t2").saveAsTable("store_t2")
-
-    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+  test("bucketed-by-key tables sort-merge join with no shuffle exchange") {
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // force the join planner's hand: no broadcast shortcut (at real
+    // scale neither side would fit), so a shuffle would be visible
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val joined = spark.table("store_t1").as("a")
-        .join(spark.table("store_t2").as("b"), Seq("o_orderkey"))
-      val plan = joined.queryExecution.executedPlan.toString
-      assert(!plan.contains("Exchange hashpartitioning"),
-        "bucketed join still shuffles")
-      assert(joined.count() == old.count())
+      val n = 1000
+      (1 to n).map(i => (i.toLong, s"a$i")).toDF("k", "va")
+        .write.bucketBy(8, "k").sortBy("k").mode("overwrite")
+        .saveAsTable("bj_left")
+      (1 to n).map(i => (i.toLong, s"b$i")).toDF("k", "vb")
+        .write.bucketBy(8, "k").sortBy("k").mode("overwrite")
+        .saveAsTable("bj_right")
+      val j = spark.table("bj_left").join(spark.table("bj_right"), "k")
+      val physical = j.queryExecution.sparkPlan.toString
+      assert(physical.contains("SortMergeJoin"), physical.take(500))
+      assert(!physical.contains("Exchange"),
+        s"bucketed join still shuffles:\n${physical.take(800)}")
+      assert(j.count() == n)
     } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-      spark.sql("DROP TABLE IF EXISTS store_t1")
-      spark.sql("DROP TABLE IF EXISTS store_t2")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.sql("DROP TABLE IF EXISTS bj_left")
+      spark.sql("DROP TABLE IF EXISTS bj_right")
     }
-  }
-
-  private object Tables {
-    def ordersDf(s: org.apache.spark.sql.SparkSession, d: String) =
-      graft.Tables.orders(s, d)
   }
 }
