@@ -448,6 +448,53 @@ object CoreRelational {
       .orderBy(col("event_id"))
   }
 
+  /** U: INTERSECT DISTINCT — customers active in BOTH halves of 1997.
+    * Catalyst plans set intersection as a left-semi join under
+    * distinct (one key shuffle per side), never a sort-based set op. */
+  def u04Intersect(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+    val h1 = ord.filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp")
+      && col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    val h2 = ord.filter(col("o_orderdate") >= lit("1997-07-01").cast("timestamp")
+      && col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    h1.intersect(h2).orderBy(col("o_custkey"))
+  }
+
+  /** U: EXCEPT DISTINCT — churned customers: active in H1, gone in H2
+    * (left-anti join under distinct, the set-difference twin of
+    * `u04_intersect`). */
+  def u05Except(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+    val h1 = ord.filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp")
+      && col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    val h2 = ord.filter(col("o_orderdate") >= lit("1997-07-01").cast("timestamp")
+      && col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    h1.except(h2).orderBy(col("o_custkey"))
+  }
+
+  /** P: the correlated-scalar-subquery shape ("orders above their
+    * priority's average"), restated as the scale form: a per-group
+    * aggregate joined back to the fact. The aggregate table is
+    * GROUP-cardinality-sized (domain constant, not SF-proportional),
+    * so its broadcast is safe at any scale — the fact is scanned
+    * twice but never shuffled. The average is pinned cross-engine as
+    * exact-decimal sum → double ÷ count (never avg() over doubles,
+    * whose accumulation order is nondeterministic). */
+  def p14AboveAvg(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+    val avgP = ord.groupBy(col("o_orderpriority"))
+      .agg((sum(money(col("o_totalprice"))).cast("double")
+        / count(lit(1))).as("ap"))
+    ord.join(broadcast(avgP), "o_orderpriority")
+      .filter(col("o_totalprice").cast("double") > col("ap"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** A: pivot — per-day event counts spread across one column per
     * event type (the dashboard "crosstab" shape). The value list is
     * explicit, so this is ONE hash aggregate (no value-discovery job
@@ -467,6 +514,9 @@ object CoreRelational {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "u04_intersect"  -> u04Intersect _,
+    "u05_except"     -> u05Except _,
+    "p14_aboveavg"   -> p14AboveAvg _,
     "a13_pivot"      -> a13Pivot _,
     "q01_pricing"    -> q01Pricing _,
     "p08_boolshould" -> p08BoolShould _,
@@ -504,6 +554,34 @@ object CoreRelational {
     "w02_running"    -> w02Running _)
 
   val oracles: Map[String, String] = Map(
+    "u04_intersect" ->
+      """SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-07-01'
+        |INTERSECT
+        |SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |ORDER BY o_custkey""".stripMargin,
+    "u05_except" ->
+      """SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-07-01'
+        |EXCEPT
+        |SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |ORDER BY o_custkey""".stripMargin,
+    "p14_aboveavg" ->
+      """WITH ap AS (
+        |  SELECT o_orderpriority,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      / COUNT(*) AS ap
+        |  FROM orders GROUP BY 1)
+        |SELECT o.o_orderkey, o.o_custkey, o.o_orderpriority
+        |FROM orders o JOIN ap USING (o_orderpriority)
+        |WHERE CAST(o.o_totalprice AS DOUBLE) > ap.ap
+        |ORDER BY o.o_orderkey""".stripMargin,
     "a13_pivot" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day,
         |  COUNT(*) FILTER (WHERE event_type = 'click')    AS click,

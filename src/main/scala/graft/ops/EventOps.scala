@@ -232,6 +232,32 @@ object EventOps {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Time-series gap filling: the per-(type, day) count grid with
+    * MISSING days zero-filled — the densification step every
+    * charting/forecasting consumer needs (a gap means "no events",
+    * not "no data point"). The day spine is generated from the 1-row
+    * min/max span (sequence + explode), crossed with the distinct
+    * type table — both DIMENSION-sized, so the grid build and its
+    * broadcast stay trivially cheap at any corpus scale; the only
+    * corpus-scale work is the one daily-count hash agg the grid
+    * left-joins. */
+  def evGapfill(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val daily = ev.groupBy(col("event_type"),
+        date_trunc("day", col("ts")).as("day_ts"))
+      .agg(count(lit(1)).as("n"))
+    val days = ev.agg(date_trunc("day", min(col("ts"))).as("d0"),
+        date_trunc("day", max(col("ts"))).as("d1"))
+      .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day_ts"))
+    val types = ev.select(col("event_type")).distinct()
+    days.crossJoin(types)
+      .join(daily, Seq("event_type", "day_ts"), "left")
+      .select(col("event_type"),
+        date_format(col("day_ts"), "yyyy-MM-dd").as("day"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** Value-distribution histogram per event type: fixed-width buckets
     * (width 25) as a pure hash aggregate — the metric-distribution
     * panel behind every ops dashboard. Bucketing is arithmetic
@@ -248,6 +274,7 @@ object EventOps {
       .orderBy(col("event_type"), col("bucket_lo"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_gapfill"     -> evGapfill _,
     "ev_histogram"   -> evHistogram _,
     "ev_anomaly"     -> evAnomaly _,
     "ev_user_funnel" -> evUserFunnel _,
@@ -261,6 +288,26 @@ object EventOps {
     "ev_retention"   -> evRetention _)
 
   val oracles: Map[String, String] = Map(
+    "ev_gapfill" ->
+      """WITH span AS (
+        |  SELECT date_trunc('day', MIN(ts)) AS d0,
+        |    date_trunc('day', MAX(ts)) AS d1
+        |  FROM events),
+        |days AS (
+        |  SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+        |    AS day_ts
+        |  FROM span),
+        |types AS (SELECT DISTINCT event_type FROM events),
+        |daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day_ts,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT t.event_type, strftime(d.day_ts, '%Y-%m-%d') AS day,
+        |  COALESCE(daily.n, 0) AS n
+        |FROM days d CROSS JOIN types t
+        |LEFT JOIN daily
+        |  ON daily.event_type = t.event_type AND daily.day_ts = d.day_ts
+        |ORDER BY t.event_type, day""".stripMargin,
     "ev_histogram" ->
       """SELECT event_type,
         |  CAST(floor(value / 25.0) * 25 AS BIGINT) AS bucket_lo,

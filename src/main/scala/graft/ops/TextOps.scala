@@ -287,31 +287,44 @@ object TextOps {
   /** Token-pair PMI (pointwise mutual information) over per-document
     * co-occurrence — the collocation/phrase-mining signal ("new york"
     * scores high, "the of" scores ~0). Document frequencies come from
-    * one tokenize+hash-agg pass; the pair table is generated by a
-    * self-join on doc_id over the VOCAB-PRUNED token table (df ≥ 25
-    * here; at 100 TB cap the vocabulary to a deterministic top-V by
-    * df), so per-doc pair fan-out is bounded by the pruned vocab — the
-    * raw-token k² blowup never materializes. df_a/df_b ride along as
-    * grouping keys (functionally dependent on the pair) so no re-join
-    * is needed; the 1-row doc count broadcasts. Ordering is on the
-    * ROUNDED pmi with a pair tiebreak, as in text_topterms. */
+    * one tokenize+hash-agg pass (df ≥ 25 prunes the vocabulary; at
+    * 100 TB cap it to a deterministic top-V by df). Pairs are then
+    * generated NARROWLY — each doc's sorted distinct-token array is
+    * intersected with the broadcast vocab array and expanded in-row to
+    * its ordered pairs by a nested-transform HOF — so there is no
+    * corpus self-join on doc_id anywhere: the only pair-side shuffle
+    * is the map-side-combined aggregate on the ≤|vocab|² key space.
+    * df_a/df_b re-attach to the AGGREGATED pair table (vocab-sized)
+    * by broadcast joins; the 1-row doc count broadcasts. Ordering is
+    * on the ROUNDED pmi with a pair tiebreak, as in text_topterms. */
   def textPmi(s: SparkSession, d: String): DataFrame = {
-    val toks = Tables.documents(s, d).select(col("doc_id"),
-      explode(array_distinct(expr(
-        "filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')")))
-        .as("tok"))
-    val dfTab = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val tokArr = "filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')"
+    val dfTab = Tables.documents(s, d).select(
+        explode(array_distinct(expr(tokArr))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 25)
+    val vocab = dfTab.agg(sort_array(collect_list(col("tok"))).as("vocab"))
     val nDocs = Tables.documents(s, d)
       .select(countDistinct(col("doc_id")).as("n_docs"))
-    val vt = toks.join(dfTab, "tok")
-    val pairs = vt.as("a").join(vt.as("b"),
-        col("a.doc_id") === col("b.doc_id") && col("a.tok") < col("b.tok"))
-      .groupBy(col("a.tok").as("tok_a"), col("b.tok").as("tok_b"),
-        col("a.df").as("df_a"), col("b.df").as("df_b"))
-      .agg(count(lit(1)).as("co_df"))
+    val pairs = Tables.documents(s, d)
+      .select(sort_array(array_distinct(expr(tokArr))).as("ts"))
+      .crossJoin(broadcast(vocab))
+      // sorted ∩ vocab keeps first-arg (ascending) order, so the
+      // nested expansion below emits each unordered pair once, a < b
+      .select(expr("array_intersect(ts, vocab)").as("tv"))
+      .select(explode(expr(
+        "flatten(transform(tv, (x, i) ->" +
+          " transform(slice(tv, i + 2, size(tv))," +
+          " y -> struct(x AS tok_a, y AS tok_b))))")).as("p"))
+      .select(col("p.tok_a"), col("p.tok_b"))
+      .groupBy("tok_a", "tok_b").agg(count(lit(1)).as("co_df"))
       .filter(col("co_df") >= 10)
-    pairs.crossJoin(broadcast(nDocs))
+    pairs
+      .join(broadcast(dfTab.select(col("tok").as("tok_a"),
+        col("df").as("df_a"))), "tok_a")
+      .join(broadcast(dfTab.select(col("tok").as("tok_b"),
+        col("df").as("df_b"))), "tok_b")
+      .crossJoin(broadcast(nDocs))
       .select(col("tok_a"), col("tok_b"), col("co_df"),
         round(log(col("co_df").cast("double") * col("n_docs").cast("double")
           / (col("df_a").cast("double") * col("df_b").cast("double"))), 6)

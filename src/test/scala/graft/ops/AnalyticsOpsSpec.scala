@@ -49,6 +49,26 @@ class AnalyticsOpsSpec extends SparkFunSuite {
       ("view", 25L) -> 1L, ("purchase", 50L) -> 1L))
   }
 
+  test("ev_gapfill: full type×day grid with the absent cells zero-filled") {
+    val rows = EventOps.evGapfill(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // 3 types × 2 days — every combination present exactly once
+    assert(rows.size == 6)
+    assert(rows(("click", "2024-03-01")) == 2L)
+    assert(rows(("click", "2024-03-02")) == 0L) // filled gap
+    assert(rows(("purchase", "2024-03-01")) == 0L)
+    assert(rows(("purchase", "2024-03-02")) == 1L)
+  }
+
+  test("set ops: intersect ∪ except partition the first half's key set") {
+    val h1h2 = CoreRelational.u04Intersect(spark, sfDir).collect()
+      .map(_.getLong(0)).toSet
+    val h1only = CoreRelational.u05Except(spark, sfDir).collect()
+      .map(_.getLong(0)).toSet
+    assert((h1h2 & h1only).isEmpty)
+    assert(h1h2.nonEmpty && h1only.nonEmpty)
+  }
+
   test("text_pmi: the injected collocation is the only pair, pmi = ln(n·co/df²)") {
     val rows = TextOps.textPmi(spark, dir).collect()
     assert(rows.length == 1)
