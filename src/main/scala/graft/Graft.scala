@@ -21,6 +21,7 @@ object Graft {
     functions.expressions.SimHash64.register(spark)
     functions.expressions.CharEntropy.register(spark)
     functions.expressions.GramStats.register(spark)
+    functions.expressions.KmvDistinct.register(spark)
     spark
   }
 

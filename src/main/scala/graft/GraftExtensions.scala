@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.expressions.{CharEntropy, CosineSimilarity, GramStats, MinHashBandKeys, SimHash64}
+import graft.functions.expressions.{CharEntropy, CosineSimilarity, GramStats, KmvDistinct, MinHashBandKeys, SimHash64}
 
 /** Config-only injection point: `--conf
   * spark.sql.extensions=graft.GraftExtensions` registers the engine's
@@ -56,5 +56,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[GramStats].getName, "gram_stats_native"),
       (exprs: Seq[Expression]) =>
         GramStats(arity("gram_stats_native", 1, exprs).head)))
+    ext.injectFunction((
+      FunctionIdentifier("kmv_distinct_native"),
+      new ExpressionInfo(classOf[KmvDistinct].getName, "kmv_distinct_native"),
+      (exprs: Seq[Expression]) => KmvDistinct(
+        arity("kmv_distinct_native", 1, exprs).head, KmvDistinct.DefaultK)))
   }
 }

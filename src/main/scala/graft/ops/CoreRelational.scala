@@ -495,6 +495,23 @@ object CoreRelational {
       .orderBy(col("o_orderkey"))
   }
 
+  /** A: approximate distinct via the KMV sketch aggregate
+    * ([[graft.functions.expressions.KmvDistinct]], a custom
+    * TypedImperativeAggregate): per-group buffer is O(k)=64 doubles at
+    * EVERY stage — partial agg, shuffle, merge — where countDistinct
+    * pays a full dedup shuffle of the group's members. The md5-based
+    * sketch is deterministic, so the oracle replays the estimate
+    * bit-for-bit (unlike HLL-based approx_count_distinct); the exact
+    * count rides along as the accuracy reference. */
+  def a15Kmv(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        round(graft.functions.expressions.KmvDistinct.kmv_native(s,
+          col("user_id").cast("string")), 6).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .orderBy(col("event_type"))
+
   /** A: pivot — per-day event counts spread across one column per
     * event type (the dashboard "crosstab" shape). The value list is
     * explicit, so this is ONE hash aggregate (no value-discovery job
@@ -517,6 +534,7 @@ object CoreRelational {
     "u04_intersect"  -> u04Intersect _,
     "u05_except"     -> u05Except _,
     "p14_aboveavg"   -> p14AboveAvg _,
+    "a15_kmv"        -> a15Kmv _,
     "a13_pivot"      -> a13Pivot _,
     "q01_pricing"    -> q01Pricing _,
     "p08_boolshould" -> p08BoolShould _,
@@ -582,6 +600,33 @@ object CoreRelational {
         |FROM orders o JOIN ap USING (o_orderpriority)
         |WHERE CAST(o.o_totalprice AS DOUBLE) > ap.ap
         |ORDER BY o.o_orderkey""".stripMargin,
+    // replays the KMV sketch exactly: frac = first 52 md5 bits / 2^52
+    // (every Σ digit·16^(12-i) term and the sum are exact doubles),
+    // k smallest DISTINCT fracs, est = 63/h_64 (exact size below 64)
+    "a15_kmv" ->
+      """WITH vals AS (
+        |  SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS u
+        |  FROM events),
+        |fr AS (
+        |  SELECT event_type,
+        |    list_sum(list_transform(range(13), i ->
+        |      CAST(strpos('0123456789abcdef',
+        |        substr(md5(u), CAST(i AS INTEGER) + 1, 1)) - 1 AS DOUBLE)
+        |      * power(16.0, CAST(12 - i AS DOUBLE))))
+        |      / 4503599627370496.0 AS frac
+        |  FROM vals),
+        |ks AS (
+        |  SELECT event_type, list_sort(list(DISTINCT frac)) AS arr
+        |  FROM fr GROUP BY 1),
+        |ex AS (
+        |  SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+        |  FROM events GROUP BY 1)
+        |SELECT ks.event_type,
+        |  round(CASE WHEN len(arr) < 64 THEN CAST(len(arr) AS DOUBLE)
+        |        ELSE 63.0 / arr[64] END, 6) AS approx_users,
+        |  ex.exact_users
+        |FROM ks JOIN ex USING (event_type)
+        |ORDER BY event_type""".stripMargin,
     "a13_pivot" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day,
         |  COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
