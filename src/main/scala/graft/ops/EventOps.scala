@@ -232,6 +232,23 @@ object EventOps {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Attribution interval join — the batch form of
+    * [[graft.streaming.StreamJoin]] (SAME Column expressions; the
+    * streaming form adds watermarks, equivalence proven in
+    * StreamJoinSpec): each purchase matched to the same user's views
+    * in the preceding 30 minutes. Plans as an equi-join on the
+    * high-cardinality user_id with the time range as a residual
+    * filter — never a nested-loop, never a low-cardinality partition. */
+  def evAttribution(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    graft.streaming.StreamJoin.attributionJoin(
+        ev.filter(col("event_type") === "view"),
+        ev.filter(col("event_type") === "purchase"))
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        unix_micros(col("p_ts")).as("p_us"), col("value"))
+      .orderBy(col("user_id"), col("view_id"), col("purchase_id"))
+  }
+
   /** Time-series gap filling: the per-(type, day) count grid with
     * MISSING days zero-filled — the densification step every
     * charting/forecasting consumer needs (a gap means "no events",
@@ -274,6 +291,7 @@ object EventOps {
       .orderBy(col("event_type"), col("bucket_lo"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_attribution" -> evAttribution _,
     "ev_gapfill"     -> evGapfill _,
     "ev_histogram"   -> evHistogram _,
     "ev_anomaly"     -> evAnomaly _,
@@ -288,6 +306,16 @@ object EventOps {
     "ev_retention"   -> evRetention _)
 
   val oracles: Map[String, String] = Map(
+    // µs-epoch comparison (the repo-wide ns-vs-µs truncation bridge)
+    "ev_attribution" ->
+      """SELECT v.user_id, v.event_id AS view_id,
+        |  p.event_id AS purchase_id, epoch_us(p.ts) AS p_us, p.value
+        |FROM events v JOIN events p
+        |  ON v.user_id = p.user_id
+        |  AND v.event_type = 'view' AND p.event_type = 'purchase'
+        |  AND epoch_us(p.ts) >= epoch_us(v.ts)
+        |  AND epoch_us(p.ts) <= epoch_us(v.ts) + 1800000000
+        |ORDER BY v.user_id, view_id, purchase_id""".stripMargin,
     "ev_gapfill" ->
       """WITH span AS (
         |  SELECT date_trunc('day', MIN(ts)) AS d0,
