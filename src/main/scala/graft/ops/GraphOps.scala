@@ -98,8 +98,24 @@ object GraphOps {
     ranks.orderBy(col("node"))
   }
 
+  /** Degree distribution of the trading graph: how many nodes have
+    * each degree, split by node kind (customer/supplier) — the
+    * first-look structural profile of any graph (and the skew
+    * diagnostic: a heavy tail here predicts hot keys in every
+    * edge-keyed shuffle). Reuses the memoized edge+degree index, so
+    * the marginal cost is one hash agg over the NODE-sized degree
+    * table. */
+  def graphDegree(s: SparkSession, d: String): DataFrame = {
+    val (edgesDeg, _) = edgeIndex(s, d)
+    edgesDeg.select(col("src"), col("outdeg")).distinct()
+      .groupBy(substring(col("src"), 1, 1).as("kind"), col("outdeg"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("kind"), col("outdeg"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "graph_pagerank" -> graphPagerank _)
+    "graph_pagerank" -> graphPagerank _,
+    "graph_degree"   -> graphDegree _)
 
   val oracles: Map[String, String] = Map(
     // unrolled 5 iterations; list_sort → list_reduce replays the
@@ -131,5 +147,16 @@ object GraphOps {
          |${iter("pr3", "pr4")},
          |${iter("pr4", "pr5")}
          |SELECT node, rank FROM pr5 ORDER BY node""".stripMargin
-    })
+    },
+    "graph_degree" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT 'c' || o.o_custkey AS src,
+        |                  's' || l.l_suppkey AS dst
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |edges AS (SELECT src, dst FROM pairs
+        |          UNION ALL SELECT dst, src FROM pairs),
+        |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src)
+        |SELECT substr(src, 1, 1) AS kind, outdeg,
+        |  COUNT(*) AS n_nodes
+        |FROM deg GROUP BY 1, 2 ORDER BY kind, outdeg""".stripMargin)
 }

@@ -39,4 +39,10 @@ class GraphOpsSpec extends SparkFunSuite {
     assert(math.abs(out("s1") - hub) < 1e-12)
     assert(math.abs(out("c1") - leaf) < 1e-12)
   }
+
+  test("degree distribution of the star: two degree-1 customers, one degree-2 hub") {
+    val got = GraphOps.graphDegree(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map(("c", 1L) -> 2L, ("s", 2L) -> 1L))
+  }
 }
