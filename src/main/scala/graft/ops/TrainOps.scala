@@ -86,6 +86,24 @@ object TrainOps {
     * what a data loader actually reads. Derived from [[packChunks]] by
     * exploding each doc's chunk span (bounded fan-out: a doc spans
     * ⌈n/budget⌉+1 chunks). */
+  /** RAG-style sliding windows: per-doc overlapping token spans of
+    * width 128 at stride 96 (32-token overlap keeps a boundary
+    * sentence visible to both neighbors) — the retrieval-chunking
+    * twin of [[packChunks]]' training layout. Entirely NARROW: the
+    * window list derives from each row's own token count (sequence +
+    * explode), no shuffle of any kind before the presentation sort,
+    * so it composes with any upstream at any scale. */
+  def packWindows(s: SparkSession, d: String): DataFrame =
+    tokenized(s, d).filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("n_tokens"),
+        explode(expr("sequence(CAST(0 AS BIGINT), n_tokens - 1," +
+          " CAST(96 AS BIGINT))")).as("start"))
+      .select(col("doc_id"),
+        expr("start div 96").as("win_id"),
+        col("start"),
+        least(lit(128L), col("n_tokens") - col("start")).as("win_len"))
+      .orderBy(col("doc_id"), col("win_id"))
+
   def packManifest(s: SparkSession, d: String): DataFrame =
     packedDocs(s, d)
       .withColumn("chunk_id",
@@ -592,6 +610,7 @@ object TrainOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_diff"        -> corpusDiff _,
     "pack_chunks"        -> packChunks _,
+    "pack_windows"       -> packWindows _,
     "pack_manifest"      -> packManifest _,
     "text_contaminated"  -> textContaminated _,
     "sample_stratified"  -> sampleStratified _,
@@ -776,6 +795,14 @@ object TrainOps {
       s"""WITH $packCte
         |SELECT doc_id, n_tokens, start_off, chunk_first, chunk_last, n_chunks
         |FROM c ORDER BY doc_id""".stripMargin,
+    "pack_windows" ->
+      s"""WITH t AS (SELECT doc_id, $bpeTokens AS n_tokens FROM documents)
+        |SELECT doc_id, start // 96 AS win_id, start,
+        |  least(128, n_tokens - start) AS win_len
+        |FROM (SELECT doc_id, n_tokens,
+        |        UNNEST(range(0, n_tokens, 96)) AS start
+        |      FROM t WHERE n_tokens > 0)
+        |ORDER BY doc_id, win_id""".stripMargin,
     "pack_manifest" ->
       s"""WITH $packCte
         |SELECT chunk_id, doc_id,

@@ -59,6 +59,24 @@ class TrainOpsSpec extends SparkFunSuite {
     }
   }
 
+  test("pack_windows tiles each doc with stride-96 width-128 spans") {
+    val d2 = Files.createTempDirectory("trainops_win").toString
+    // "aaaa " repeated: each "aaaa" is exactly one \w{1,4} token
+    Seq((1L, Seq.fill(200)("aaaa").mkString(" "), "en", "fix", 999L),
+        (2L, "aaaa aaaa", "en", "fix", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d2/documents.parquet")
+    val got = TrainOps.packWindows(spark, d2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 1 (200 toks): starts 0/96/192 → lens 128/104/8; doc 2: one span
+    assert(got.toSeq == Seq(
+      (1L, 0L, 0L, 128L), (1L, 1L, 96L, 104L), (1L, 2L, 192L, 8L),
+      (2L, 0L, 0L, 2L)))
+    // overlap contract: consecutive windows share 128-96=32 tokens
+    val d1 = got.filter(_._1 == 1L)
+    assert(d1.zip(d1.tail).forall { case (a, b) => a._3 + 128 - b._3 == 32 })
+  }
+
   test("pack_manifest conserves per-doc tokens and fills interior chunks") {
     val packed = TrainOps.packChunks(spark, dir)
     val manifest = TrainOps.packManifest(spark, dir)
