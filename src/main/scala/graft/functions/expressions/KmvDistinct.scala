@@ -105,12 +105,18 @@ object KmvDistinct {
 
   val DefaultK = 64
 
+  // per-row hot path: one ThreadLocal digest, not an instance per row
+  // (the SimHash.hash64 pattern)
+  private val md5tl: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
   /** The first 52 bits of md5(value) as an exact double in [0, 1).
     * 52 bits (13 hex nibbles) — not 64 — so the integer is exactly
     * representable and the SQL replay (Σ digit·16^(12−i), all terms
     * and the sum < 2⁵³) is bit-identical. */
   def frac(s: UTF8String): Double = {
-    val dig = MessageDigest.getInstance("MD5").digest(s.getBytes)
+    val md = md5tl.get(); md.reset()
+    val dig = md.digest(s.getBytes)
     var v = 0L
     var i = 0
     while (i < 6) { v = (v << 8) | (dig(i) & 0xffL); i += 1 }

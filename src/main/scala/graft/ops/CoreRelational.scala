@@ -521,12 +521,11 @@ object CoreRelational {
     * oracle's conditional counts. */
   def a13Pivot(s: SparkSession, d: String): DataFrame = {
     val types = Seq("click", "error", "purchase", "signup", "view")
-    val p = Tables.events(s, d)
+    Tables.events(s, d)
       .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
       .pivot("event_type", types)
       .agg(count(lit(1)))
-    types.foldLeft(p)((df, t) =>
-      df.withColumn(t, coalesce(col(t), lit(0L))))
+      .na.fill(0L, types)
       .orderBy(col("day"))
   }
 

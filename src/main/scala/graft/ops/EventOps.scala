@@ -259,14 +259,17 @@ object EventOps {
     * corpus-scale work is the one daily-count hash agg the grid
     * left-joins. */
   def evGapfill(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d)
-    val daily = ev.groupBy(col("event_type"),
-        date_trunc("day", col("ts")).as("day_ts"))
+    // days and types both derive from the SAME daily-agg subtree (day
+    // truncation commutes with min/max), so exchange reuse collapses
+    // all three consumers to ONE corpus scan + shuffle — not three
+    // separate full scans of events
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day_ts"))
       .agg(count(lit(1)).as("n"))
-    val days = ev.agg(date_trunc("day", min(col("ts"))).as("d0"),
-        date_trunc("day", max(col("ts"))).as("d1"))
+    val days = daily.agg(min(col("day_ts")).as("d0"),
+        max(col("day_ts")).as("d1"))
       .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day_ts"))
-    val types = ev.select(col("event_type")).distinct()
+    val types = daily.select(col("event_type")).distinct()
     days.crossJoin(types)
       .join(daily, Seq("event_type", "day_ts"), "left")
       .select(col("event_type"),

@@ -81,11 +81,6 @@ object TrainOps {
         "chunk_first", "chunk_last", "n_chunks")
   }
 
-  /** The chunk→document manifest: one row per (chunk, contributing
-    * doc) with the token count the doc contributes to that chunk —
-    * what a data loader actually reads. Derived from [[packChunks]] by
-    * exploding each doc's chunk span (bounded fan-out: a doc spans
-    * ⌈n/budget⌉+1 chunks). */
   /** RAG-style sliding windows: per-doc overlapping token spans of
     * width 128 at stride 96 (32-token overlap keeps a boundary
     * sentence visible to both neighbors) — the retrieval-chunking
@@ -104,6 +99,11 @@ object TrainOps {
         least(lit(128L), col("n_tokens") - col("start")).as("win_len"))
       .orderBy(col("doc_id"), col("win_id"))
 
+  /** The chunk→document manifest: one row per (chunk, contributing
+    * doc) with the token count the doc contributes to that chunk —
+    * what a data loader actually reads. Derived from [[packChunks]] by
+    * exploding each doc's chunk span (bounded fan-out: a doc spans
+    * ⌈n/budget⌉+1 chunks). */
   def packManifest(s: SparkSession, d: String): DataFrame =
     packedDocs(s, d)
       .withColumn("chunk_id",
