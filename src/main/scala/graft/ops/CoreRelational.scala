@@ -495,6 +495,44 @@ object CoreRelational {
       .orderBy(col("o_orderkey"))
   }
 
+  /** O: keyset pagination — "the page after cursor (date, key)",
+    * written in the OR-of-ranges form (`d > D OR (d = D AND k > K)`)
+    * rather than a tuple comparison so BOTH branches push down to the
+    * parquet scan as range filters; resume is O(page), not
+    * O(offset + page) like OFFSET pagination (the reference's keyset
+    * schedule-A source, O6, as a checkable query). */
+  def o09Keyset(s: SparkSession, d: String): DataFrame = {
+    val cursorDate = lit("1997-06-01").cast("timestamp")
+    Tables.orders(s, d)
+      .filter(col("o_orderdate") > cursorDate ||
+        (col("o_orderdate") === cursorDate && col("o_orderkey") > 3000L))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .limit(100)
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("od"),
+        col("o_custkey"))
+  }
+
+  /** A: deterministic per-group mode — the most frequent order
+    * priority per customer, ties to the lexicographically smallest
+    * (native `mode()` breaks ties by encounter order in both engines
+    * — nondeterministic under parallelism, so it can never
+    * hash-match). Two hash aggs + a row_number window partitioned by
+    * the HIGH-cardinality customer key (safe at any scale, unlike the
+    * low-cardinality windows PlanAuditSpec forbids). */
+  def a16Mode(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.orders(s, d)
+      .groupBy(col("o_custkey"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("n").desc, col("o_orderpriority").asc)
+    counts.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("o_custkey"), col("o_orderpriority").as("mode_priority"),
+        col("n").as("n_mode"))
+      .orderBy(col("o_custkey"))
+  }
+
   /** A: approximate distinct via the KMV sketch aggregate
     * ([[graft.functions.expressions.KmvDistinct]], a custom
     * TypedImperativeAggregate): per-group buffer is O(k)=64 doubles at
@@ -533,6 +571,8 @@ object CoreRelational {
     "u04_intersect"  -> u04Intersect _,
     "u05_except"     -> u05Except _,
     "p14_aboveavg"   -> p14AboveAvg _,
+    "o09_keyset"     -> o09Keyset _,
+    "a16_mode"       -> a16Mode _,
     "a15_kmv"        -> a15Kmv _,
     "a13_pivot"      -> a13Pivot _,
     "q01_pricing"    -> q01Pricing _,
@@ -599,6 +639,24 @@ object CoreRelational {
         |FROM orders o JOIN ap USING (o_orderpriority)
         |WHERE CAST(o.o_totalprice AS DOUBLE) > ap.ap
         |ORDER BY o.o_orderkey""".stripMargin,
+    "o09_keyset" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS od,
+        |  o_custkey
+        |FROM orders
+        |WHERE o_orderdate > TIMESTAMP '1997-06-01'
+        |   OR (o_orderdate = TIMESTAMP '1997-06-01' AND o_orderkey > 3000)
+        |ORDER BY o_orderdate, o_orderkey LIMIT 100""".stripMargin,
+    "a16_mode" ->
+      """WITH counts AS (
+        |  SELECT o_custkey, o_orderpriority, COUNT(*) AS n
+        |  FROM orders GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT o_custkey, o_orderpriority, n, row_number() OVER
+        |    (PARTITION BY o_custkey ORDER BY n DESC, o_orderpriority ASC)
+        |    AS rk
+        |  FROM counts)
+        |SELECT o_custkey, o_orderpriority AS mode_priority, n AS n_mode
+        |FROM ranked WHERE rk = 1 ORDER BY o_custkey""".stripMargin,
     // replays the KMV sketch exactly: frac = first 52 md5 bits / 2^52
     // (every Σ digit·16^(12-i) term and the sum are exact doubles),
     // k smallest DISTINCT fracs, est = 63/h_64 (exact size below 64)

@@ -21,6 +21,12 @@ class PlanAuditSpec extends SparkFunSuite {
     assert(!p.contains("o_totalprice")) // unused columns pruned
   }
 
+  test("keyset pagination: the OR-of-ranges cursor predicate reaches the scan") {
+    val p = plan(CoreRelational.o09Keyset(spark, sfDir))
+    assert(p.contains("PushedFilters: [Or("),
+      p.linesIterator.filter(_.contains("PushedFilters")).mkString)
+  }
+
   test("dim joins broadcast; no shuffle join against small sides") {
     Seq(
       CoreRelational.j01Enrich(spark, sfDir),
