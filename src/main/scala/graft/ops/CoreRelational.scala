@@ -550,6 +550,34 @@ object CoreRelational {
         countDistinct(col("user_id")).as("exact_users"))
       .orderBy(col("event_type"))
 
+  /** A: data profiling — the ANALYZE-TABLE panel (per-column null
+    * count, distinct estimate, min/max) computed in ONE corpus pass:
+    * all 13 aggregates run in a single hash-agg (the KMV sketch keeps
+    * the distinct estimates O(k) per column), then `stack` unpivots
+    * the 1-row result driver-side. Low-cardinality columns sit below
+    * k → exact counts; high-cardinality ones get the estimate — both
+    * regimes in one row set. Values normalize to strings so the
+    * profile has one schema for any column type. */
+  def profileTable(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+    val cols = Seq("o_orderstatus", "o_orderpriority", "o_custkey")
+    val aggs = cols.flatMap { c => Seq(
+      sum(col(c).isNull.cast("long")).as(s"${c}__nn"),
+      round(graft.functions.expressions.KmvDistinct.kmv_native(s,
+        col(c).cast("string")), 6).as(s"${c}__kd"),
+      min(col(c).cast("string")).as(s"${c}__mn"),
+      max(col(c).cast("string")).as(s"${c}__mx"))
+    } :+ count(lit(1)).as("n_rows")
+    val stackExpr = s"stack(${cols.size}, " + cols.map(c =>
+      s"'$c', ${c}__nn, ${c}__kd, ${c}__mn, ${c}__mx").mkString(", ") +
+      ") as (col_name, n_null, n_distinct_est, min_s, max_s)"
+    ord.agg(aggs.head, aggs.tail: _*)
+      .selectExpr("n_rows", stackExpr)
+      .select(col("col_name"), col("n_rows"), col("n_null"),
+        col("n_distinct_est"), col("min_s"), col("max_s"))
+      .orderBy(col("col_name"))
+  }
+
   /** A: pivot — per-day event counts spread across one column per
     * event type (the dashboard "crosstab" shape). The value list is
     * explicit, so this is ONE hash aggregate (no value-discovery job
@@ -573,6 +601,7 @@ object CoreRelational {
     "p14_aboveavg"   -> p14AboveAvg _,
     "o09_keyset"     -> o09Keyset _,
     "a16_mode"       -> a16Mode _,
+    "profile_table"  -> profileTable _,
     "a15_kmv"        -> a15Kmv _,
     "a13_pivot"      -> a13Pivot _,
     "q01_pricing"    -> q01Pricing _,
@@ -639,6 +668,30 @@ object CoreRelational {
         |FROM orders o JOIN ap USING (o_orderpriority)
         |WHERE CAST(o.o_totalprice AS DOUBLE) > ap.ap
         |ORDER BY o.o_orderkey""".stripMargin,
+    // per-column KMV replay (same 52-bit md5 fraction as a15_kmv) +
+    // exact null/min/max, one SELECT per profiled column
+    "profile_table" -> {
+      val kmv = (c: String) =>
+        s"""(SELECT round(CASE WHEN len(arr) < 64
+           |    THEN CAST(len(arr) AS DOUBLE) ELSE 63.0 / arr[64] END, 6)
+           | FROM (SELECT list_sort(list(DISTINCT frac)) AS arr FROM (
+           |   SELECT list_sum(list_transform(range(13), i ->
+           |     CAST(strpos('0123456789abcdef',
+           |       substr(md5(u), CAST(i AS INTEGER) + 1, 1)) - 1 AS DOUBLE)
+           |     * power(16.0, CAST(12 - i AS DOUBLE))))
+           |     / 4503599627370496.0 AS frac
+           |   FROM (SELECT DISTINCT CAST($c AS VARCHAR) AS u
+           |         FROM orders WHERE $c IS NOT NULL))))""".stripMargin
+      val row = (c: String) =>
+        s"""SELECT '$c' AS col_name,
+           |  (SELECT COUNT(*) FROM orders) AS n_rows,
+           |  (SELECT COUNT(*) - COUNT($c) FROM orders) AS n_null,
+           |  ${kmv(c)} AS n_distinct_est,
+           |  (SELECT MIN(CAST($c AS VARCHAR)) FROM orders) AS min_s,
+           |  (SELECT MAX(CAST($c AS VARCHAR)) FROM orders) AS max_s""".stripMargin
+      Seq("o_orderstatus", "o_orderpriority", "o_custkey").map(row)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
     "o09_keyset" ->
       """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS od,
         |  o_custkey

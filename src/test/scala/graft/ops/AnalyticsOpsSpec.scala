@@ -69,6 +69,27 @@ class AnalyticsOpsSpec extends SparkFunSuite {
     assert(h1h2.nonEmpty && h1only.nonEmpty)
   }
 
+  test("profile_table: null counts exact, sub-k distincts exact, strings normalized") {
+    val d2 = Files.createTempDirectory("profile").toString
+    Seq(
+      (1L, 10L, Option("O"), 10.0, Timestamp.valueOf("2024-01-01 00:00:00"), "1-URGENT"),
+      (2L, 11L, Option("F"), 20.0, Timestamp.valueOf("2024-01-02 00:00:00"), "2-HIGH"),
+      (3L, 12L, None, 30.0, Timestamp.valueOf("2024-01-03 00:00:00"), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.parquet(s"$d2/orders.parquet")
+    val rows = CoreRelational.profileTable(spark, d2).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val st = rows("o_orderstatus")
+    assert(st.getAs[Long]("n_rows") == 3L && st.getAs[Long]("n_null") == 1L)
+    assert(st.getAs[Double]("n_distinct_est") == 2.0) // below k → exact
+    assert(st.getAs[String]("min_s") == "F" && st.getAs[String]("max_s") == "O")
+    val ck = rows("o_custkey")
+    assert(ck.getAs[Long]("n_null") == 0L
+      && ck.getAs[Double]("n_distinct_est") == 3.0)
+    assert(ck.getAs[String]("min_s") == "10") // string-normalized min
+  }
+
   test("text_pmi: the injected collocation is the only pair, pmi = ln(n·co/df²)") {
     val rows = TextOps.textPmi(spark, dir).collect()
     assert(rows.length == 1)
