@@ -118,9 +118,53 @@ object GraphOps {
       .orderBy(col("kind"), col("outdeg"))
   }
 
+  /** K-hop BFS shortest-path lengths from a seed node over the trading
+    * graph — the multi-hop reachability query a property graph exists
+    * to serve (the reference loads its graph into Neo4j exactly so
+    * analysts can walk donor→committee→candidate chains; e.g.
+    * federal_fec_compute_load_graph_expenditures/cypher.py builds the
+    * edges, traversal happens in the warehouse). Restated as iterative
+    * relational BFS: frontier ⋈ edges per hop, anti-join against the
+    * visited set, `localCheckpoint` to truncate lineage per round —
+    * the same fixed-round iteration pattern as [[graphPagerank]] and
+    * `dedup_clusters`.
+    *
+    * 100 TB posture: each hop is one shuffle join (edges hash-
+    * partitioned by src, reused from the memoized index) plus one
+    * anti-join against the visited set — the standard distributed BFS;
+    * no per-row recursion, no driver-side frontier. The visited set
+    * grows monotonically and stays (node, dist)-narrow. Hop count is
+    * fixed (3), so the plan is a bounded chain, not an unbounded loop.
+    *
+    * Distances are exact integers (no FP pinning needed); the oracle
+    * replays the walk with a DuckDB `WITH RECURSIVE` CTE and takes
+    * MIN(dist) — identical to first-touch BFS levels. The seed row is
+    * emitted unconditionally (matching the recursive anchor) so both
+    * engines agree even if the seed traded nothing. */
+  def graphPaths(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hops = 3
+    val (edgesDeg, _, _) = edgeIndex(s, d)
+    val edges = edgesDeg.select(col("src"), col("dst"))
+    var reached = Seq(("c1", 0)).toDF("node", "dist")
+    var frontier = reached
+    for (k <- 1 to hops) {
+      frontier = edges
+        .join(frontier.select(col("node")), edges("src") === col("node"))
+        .select(col("dst").as("node")).distinct()
+        .join(reached.select(col("node").as("seen")),
+          col("node") === col("seen"), "left_anti")
+        .select(col("node"), lit(k).as("dist"))
+        .localCheckpoint()
+      reached = reached.union(frontier)
+    }
+    reached.orderBy(col("node"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> graphPagerank _,
-    "graph_degree"   -> graphDegree _)
+    "graph_degree"   -> graphDegree _,
+    "graph_paths"    -> graphPaths _)
 
   val oracles: Map[String, String] = Map(
     // unrolled 5 iterations; list_sort → list_reduce replays the
@@ -153,6 +197,23 @@ object GraphOps {
          |${iter("pr4", "pr5")}
          |SELECT node, rank FROM pr5 ORDER BY node""".stripMargin
     },
+    // DuckDB's recursive CTE IS the reference restated: UNION-dedup'd
+    // frontier expansion bounded at 3 hops, MIN(dist) = BFS level
+    "graph_paths" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT DISTINCT 'c' || o.o_custkey AS src,
+        |                  's' || l.l_suppkey AS dst
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |edges AS (SELECT src, dst FROM pairs
+        |          UNION ALL SELECT dst, src FROM pairs),
+        |walk(node, dist) AS (
+        |  SELECT 'c1', 0
+        |  UNION
+        |  SELECT e.dst, w.dist + 1
+        |  FROM edges e JOIN walk w ON e.src = w.node
+        |  WHERE w.dist < 3)
+        |SELECT node, CAST(MIN(dist) AS INT) AS dist
+        |FROM walk GROUP BY node ORDER BY node""".stripMargin,
     "graph_degree" ->
       """WITH pairs AS (
         |  SELECT DISTINCT 'c' || o.o_custkey AS src,

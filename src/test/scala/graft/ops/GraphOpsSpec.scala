@@ -40,6 +40,25 @@ class GraphOpsSpec extends SparkFunSuite {
     assert(math.abs(out("c1") - leaf) < 1e-12)
   }
 
+  test("graph_paths BFS on the star: c1 at 0, hub s1 at 1, c2 at 2") {
+    val got = GraphOps.graphPaths(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    // c1 -> s1 -> c2; nothing is re-reached at a longer distance
+    assert(got == Map("c1" -> 0, "s1" -> 1, "c2" -> 2))
+  }
+
+  test("graph_paths emits the seed even when it has no edges") {
+    val d = Files.createTempDirectory("graphpaths").toString
+    // graph contains only c7—s7: the seed c1 is absent entirely
+    Seq((1L, 7L)).toDF("o_orderkey", "o_custkey")
+      .write.parquet(s"$d/orders.parquet")
+    Seq((1L, 7L)).toDF("l_orderkey", "l_suppkey")
+      .write.parquet(s"$d/lineitem.parquet")
+    val got = GraphOps.graphPaths(spark, d).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got == Map("c1" -> 0))
+  }
+
   test("degree distribution of the star: two degree-1 customers, one degree-2 hub") {
     val got = GraphOps.graphDegree(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
