@@ -22,6 +22,7 @@ object Graft {
     functions.expressions.CharEntropy.register(spark)
     functions.expressions.GramStats.register(spark)
     functions.expressions.KmvDistinct.register(spark)
+    functions.expressions.BloomSketch.register(spark)
     spark
   }
 

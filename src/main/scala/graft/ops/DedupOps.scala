@@ -523,7 +523,50 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Bloom-prefiltered membership probe — the broadcast-sketch
+    * restatement of cross-run corpus dedup (T32): "is this incoming
+    * fingerprint already in the stored corpus?" without shuffling the
+    * probe side. Build feeds (src0–src9) aggregate into ONE fixed
+    * 4096-bit [[graft.functions.expressions.BloomSketch]] (512-byte
+    * buffer at every stage, word-OR merge); the sketch is broadcast
+    * and each probe doc (src10–src19) checks its 3 md5-nibble
+    * positions narrowly. EVERY doc probes (members and non-members):
+    * `maybe_dup` is the sketch verdict, `is_dup` the exact
+    * broadcast-join truth — side by side, so the oracle pins BOTH the
+    * replayed bit set (members force maybe_dup=1 row by row — no
+    * false negatives; non-members pin engine-identical false
+    * positives) and the ground truth.
+    *
+    * 100 TB posture: the stored-key scan reduces to one 512-byte
+    * sketch (vs `storedKeys`' bucket-pruned parquet probe —
+    * io/DocStore.scala:41); probe-side evaluation is a map-only
+    * filter, and only "maybe" survivors (FP-rate-bounded) pay the
+    * exact join. Production sizes m ∝ stored-key count; 4096 bits is
+    * the oracle-replayable demo size. */
+  def dedupBloom(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("fp"))
+    val isBuild = substring(col("source"), 4, 10).cast("int") < 10
+    val build = docs.where(isBuild)
+    val bloom = build.agg(
+      graft.functions.expressions.BloomSketch
+        .bloom_native(s, col("fp")).as("bits"))
+    docs
+      .withColumn("pos", expr(
+        "transform(sequence(0, 2), j -> " +
+          "cast(conv(substring(md5(fp), j * 3 + 1, 3), 16, 10) as int))"))
+      .crossJoin(broadcast(bloom))
+      .withColumn("maybe_dup",
+        expr("forall(pos, p -> array_contains(bits, p))").cast("int"))
+      .join(broadcast(build.select(col("fp").as("bfp")).distinct()),
+        col("fp") === col("bfp"), "left")
+      .select(col("doc_id"), col("maybe_dup"),
+        when(col("bfp").isNotNull, 1).otherwise(0).as("is_dup"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_bloom"      -> dedupBloom _,
     "dedup_semantic"   -> dedupSemantic _,
     "dedup_substr"     -> dedupSubstr _,
     "dedup_substr_clean" -> dedupSubstrClean _,
@@ -537,6 +580,37 @@ object DedupOps {
     "dedup_embed_lsh"  -> dedupEmbedLsh _)
 
   val oracles: Map[String, String] = Map(
+    // bit-exact Bloom replay: hash j of fingerprint fp = the 12-bit
+    // integer at md5(fp) hex nibbles 3j..3j+2 (nibble-strpos
+    // arithmetic, the a15_kmv idiom); the build side's distinct
+    // positions ARE the sketch, list_has_all = the k-probe
+    "dedup_bloom" ->
+      """WITH docs AS (
+        |  SELECT doc_id, md5(text) AS fp,
+        |    CAST(substr(source, 4, 10) AS INT) < 10 AS is_build
+        |  FROM documents),
+        |bpos AS (
+        |  SELECT DISTINCT CAST(list_sum(list_transform(range(3), i ->
+        |      CAST(strpos('0123456789abcdef', substr(md5(fp),
+        |        CAST(j AS INTEGER) * 3 + CAST(i AS INTEGER) + 1, 1)) - 1
+        |        AS DOUBLE)
+        |      * power(16.0, CAST(2 - i AS DOUBLE)))) AS INT) AS pos
+        |  FROM docs, UNNEST(range(3)) AS t(j)
+        |  WHERE is_build),
+        |bits AS (SELECT list_sort(list(pos)) AS bl FROM bpos),
+        |ppos AS (
+        |  SELECT doc_id, fp, list_transform(range(3), j ->
+        |    CAST(list_sum(list_transform(range(3), i ->
+        |      CAST(strpos('0123456789abcdef', substr(md5(fp),
+        |        CAST(j AS INTEGER) * 3 + CAST(i AS INTEGER) + 1, 1)) - 1
+        |        AS DOUBLE)
+        |      * power(16.0, CAST(2 - i AS DOUBLE)))) AS INT)) AS pos
+        |  FROM docs)
+        |SELECT p.doc_id,
+        |  CAST(list_has_all(bits.bl, p.pos) AS INT) AS maybe_dup,
+        |  CAST(EXISTS(SELECT 1 FROM docs b
+        |              WHERE b.is_build AND b.fp = p.fp) AS INT) AS is_dup
+        |FROM ppos p, bits ORDER BY doc_id""".stripMargin,
     // exact replay of the SemDeDup pipeline: sampled IVF quantizer
     // (lowest md5(vec_id) = centroids, nearest-centroid assignment,
     // ties to the lower centroid id — the ann_ivf CTEs), capped cell
