@@ -578,6 +578,38 @@ object CoreRelational {
       .orderBy(col("col_name"))
   }
 
+  /** Order-independent per-partition table digest — the anti-entropy
+    * primitive for verifying a replica/migration copy of a 100 TB
+    * table WITHOUT sorting it (the relational restatement of the
+    * reference's transactional-load rowcount validation,
+    * import_bigquery/main.py:367-403, upgraded from "same count" to
+    * "same content"): each row canonicalizes to one pipe-joined
+    * string, hashes to the 52-bit md5 integer (the a15_kmv nibble
+    * fraction's integer form — exact in double arithmetic, so the
+    * oracle replays it), and per-month digests combine with
+    * `bit_xor`, which is commutative/associative — identical under
+    * any partitioning, shuffle order, or file layout. Compare
+    * (month, n_rows, digest) panels on both sides; a mismatch
+    * localizes to one partition, which alone gets re-read.
+    *
+    * 100 TB posture: one narrow scan + one map-side-combined hash agg
+    * on the partition key; no sort, no window, no collect. */
+  def profileChecksum(s: SparkSession, d: String): DataFrame = {
+    val canon = concat_ws("|",
+      col("o_orderkey").cast("string"),
+      col("o_custkey").cast("string"),
+      col("o_orderstatus"),
+      col("o_totalprice").cast("decimal(18,2)").cast("string"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd"))
+    Tables.orders(s, d)
+      .withColumn("cs", canon)
+      .withColumn("h",
+        expr("cast(conv(substring(md5(cs), 1, 13), 16, 10) as bigint)"))
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("digest"))
+      .orderBy(col("month"))
+  }
+
   /** A: pivot — per-day event counts spread across one column per
     * event type (the dashboard "crosstab" shape). The value list is
     * explicit, so this is ONE hash aggregate (no value-discovery job
@@ -596,6 +628,7 @@ object CoreRelational {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "profile_checksum" -> profileChecksum _,
     "u04_intersect"  -> u04Intersect _,
     "u05_except"     -> u05Except _,
     "p14_aboveavg"   -> p14AboveAvg _,
@@ -670,6 +703,22 @@ object CoreRelational {
         |ORDER BY o.o_orderkey""".stripMargin,
     // per-column KMV replay (same 52-bit md5 fraction as a15_kmv) +
     // exact null/min/max, one SELECT per profiled column
+    // replayed row hash: the 13-nibble md5 integer (exact below 2^53)
+    // xor-combined per month — order-independent on both engines
+    "profile_checksum" ->
+      """WITH c AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |    concat_ws('|', CAST(o_orderkey AS VARCHAR),
+        |      CAST(o_custkey AS VARCHAR), o_orderstatus,
+        |      CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+        |      strftime(o_orderdate, '%Y-%m-%d')) AS cs
+        |  FROM orders)
+        |SELECT month, COUNT(*) AS n_rows,
+        |  bit_xor(CAST(list_sum(list_transform(range(13), i ->
+        |    CAST(strpos('0123456789abcdef',
+        |      substr(md5(cs), CAST(i AS INTEGER) + 1, 1)) - 1 AS DOUBLE)
+        |    * power(16.0, CAST(12 - i AS DOUBLE)))) AS BIGINT)) AS digest
+        |FROM c GROUP BY month ORDER BY month""".stripMargin,
     "profile_table" -> {
       val kmv = (c: String) =>
         s"""(SELECT round(CASE WHEN len(arr) < 64

@@ -90,6 +90,32 @@ class AnalyticsOpsSpec extends SparkFunSuite {
     assert(ck.getAs[String]("min_s") == "10") // string-normalized min
   }
 
+  test("profile_checksum: digest is layout-invariant and flips on a 1-row change") {
+    def write(d: String, price3: Double, parts: Int): Unit =
+      Seq(
+        (1L, 10L, "O", 10.0, Timestamp.valueOf("2024-01-01 00:00:00")),
+        (2L, 11L, "F", 20.0, Timestamp.valueOf("2024-01-15 00:00:00")),
+        (3L, 12L, "O", price3, Timestamp.valueOf("2024-02-03 00:00:00")))
+        .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate")
+        .repartition(parts)
+        .write.mode("overwrite").parquet(s"$d/orders.parquet")
+    val d1 = Files.createTempDirectory("cksum1").toString
+    val d2 = Files.createTempDirectory("cksum2").toString
+    val d3 = Files.createTempDirectory("cksum3").toString
+    write(d1, 30.0, parts = 1)
+    write(d2, 30.0, parts = 3) // same content, different file layout
+    write(d3, 30.5, parts = 1) // one row's price changed
+    def panel(d: String) = CoreRelational.profileChecksum(spark, d)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(panel(d1).toSeq == panel(d2).toSeq) // layout/order independent
+    val (a, b) = (panel(d1).map { case (m, n, g) => m -> (n, g) }.toMap,
+      panel(d3).map { case (m, n, g) => m -> (n, g) }.toMap)
+    assert(a("2024-01") == b("2024-01")) // untouched partition identical
+    assert(a("2024-02")._1 == b("2024-02")._1
+      && a("2024-02")._2 != b("2024-02")._2) // mismatch localizes
+  }
+
   test("text_pmi: the injected collocation is the only pair, pmi = ln(n·co/df²)") {
     val rows = TextOps.textPmi(spark, dir).collect()
     assert(rows.length == 1)
