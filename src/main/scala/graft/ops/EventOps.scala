@@ -293,7 +293,40 @@ object EventOps {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("event_type"), col("bucket_lo"))
 
+  /** Partial-aggregate state merge: daily (day, type) state rows —
+    * count / decimal sum / min / max, exactly the algebra a map-side
+    * combiner carries — merged into monthly finals WITHOUT touching
+    * the raw events again. This is the incremental-rollup contract
+    * behind every state table in the repo (ev_incremental's upsert,
+    * the reference's per-run summary counters): because each
+    * component is commutative-associative, yesterday's persisted
+    * daily panel plus today's delta IS the new monthly truth — at
+    * 100 TB the raw history is never rescanned, only state-table-
+    * sized partials shuffle. avg is DERIVED at finalization
+    * (sum/count), never merged — the one aggregate that is NOT
+    * mergeable as-is. The oracle computes the same panel straight
+    * from raw rows, proving two-level ≡ direct. */
+  def evMergePartials(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("sm"),
+        min(col("value")).as("mn"),
+        max(col("value")).as("mx"))
+    daily
+      .groupBy(substring(col("day"), 1, 7).as("month"), col("event_type"))
+      .agg(sum(col("n")).as("n_events"),
+        sum(col("sm")).cast("double").as("total_value"),
+        min(col("mn")).as("min_value"),
+        max(col("mx")).as("max_value"))
+      .withColumn("avg_value",
+        round(col("total_value") / col("n_events"), 6))
+      .orderBy(col("month"), col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_merge_partials" -> evMergePartials _,
     "ev_attribution" -> evAttribution _,
     "ev_gapfill"     -> evGapfill _,
     "ev_histogram"   -> evHistogram _,
@@ -309,6 +342,18 @@ object EventOps {
     "ev_retention"   -> evRetention _)
 
   val oracles: Map[String, String] = Map(
+    // direct-from-raw restatement: two-level partial merge must equal
+    // the single-pass answer because every component is algebraic
+    "ev_merge_partials" ->
+      """SELECT strftime(ts, '%Y-%m') AS month, event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_value,
+        |  MIN(value) AS min_value,
+        |  MAX(value) AS max_value,
+        |  round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |    / COUNT(*), 6) AS avg_value
+        |FROM events GROUP BY 1, 2 ORDER BY month, event_type""".stripMargin,
     // µs-epoch comparison (the repo-wide ns-vs-µs truncation bridge)
     "ev_attribution" ->
       """SELECT v.user_id, v.event_id AS view_id,

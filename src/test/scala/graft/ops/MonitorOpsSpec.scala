@@ -52,6 +52,33 @@ class MonitorOpsSpec extends SparkFunSuite {
       .forall(r => math.abs(r.getAs[Double]("z")) <= 2.0))
   }
 
+  test("ev_merge_partials: monthly finals from daily state equal the direct answer") {
+    val d = Files.createTempDirectory("partials").toString
+    val ev = Seq(
+      (1L, Timestamp.valueOf("2024-03-01 10:00:00"), 1L, "view", 10.0),
+      (2L, Timestamp.valueOf("2024-03-02 10:00:00"), 1L, "view", 20.0),
+      (3L, Timestamp.valueOf("2024-03-15 10:00:00"), 2L, "view", -5.0),
+      (4L, Timestamp.valueOf("2024-04-01 10:00:00"), 2L, "view", 7.5),
+      (5L, Timestamp.valueOf("2024-03-01 11:00:00"), 3L, "click", 1.25))
+    ev.map { case (id, ts, u, t, v) => (id, ts, u, t, v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$d/events.parquet")
+    val rows = EventOps.evMergePartials(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(rows.keySet ==
+      Set(("2024-03", "view"), ("2024-03", "click"), ("2024-04", "view")))
+    val mv = rows(("2024-03", "view"))
+    // three daily partials (two in one day-group's sibling days) merge:
+    // counts add, decimal sums add, min/max fold, avg derived at the end
+    assert(mv.getAs[Long]("n_events") == 3L)
+    assert(mv.getAs[Double]("total_value") == 25.0)
+    assert(mv.getAs[Double]("min_value") == -5.0)
+    assert(mv.getAs[Double]("max_value") == 20.0)
+    assert(mv.getAs[Double]("avg_value") == 8.333333)
+    assert(rows(("2024-04", "view")).getAs[Double]("total_value") == 7.5)
+    assert(rows(("2024-03", "click")).getAs[Double]("avg_value") == 1.25)
+  }
+
   test("corpus_diff classifies per the snapshot derivation rules") {
     val m = TrainOps.corpusDiff(spark, dir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
