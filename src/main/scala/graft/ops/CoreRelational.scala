@@ -610,6 +610,47 @@ object CoreRelational {
       .orderBy(col("month"))
   }
 
+  /** Z-order (Morton) clustering key + tile evidence — the
+    * multi-dimensional data-skipping layout (the published idea
+    * behind Delta/Iceberg OPTIMIZE ZORDER): normalize two query
+    * dimensions to 8-bit grids, interleave their bits into one
+    * 16-bit z key, and the table clustered by z gets parquet
+    * min/max file stats that are TIGHT IN BOTH dimensions — a
+    * predicate on either column prunes files, where a single-column
+    * sort only serves its own column. At 100 TB the write is
+    * `repartitionByRange($"z").sortWithinPartitions($"z")` — a range
+    * shuffle, no window anywhere; this query computes the key and
+    * PROVES the pruning bound: grouped by z's top byte (a 16×16
+    * tile), every tile spans ≤ 1/16 of EACH dimension's range
+    * (asserted in the spec, hash-pinned in the oracle — pure integer
+    * bit arithmetic, replayed with `>>`/`&` in SQL).
+    *
+    * Normalization uses the dimensions' min/max from a 1-row
+    * broadcast stats subquery (exact integer-in-double scaling, no
+    * rank/ntile window). */
+  def layoutZorder(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("od"))
+    val stats = o.agg(
+      min(col("o_custkey")).as("ck0"), max(col("o_custkey")).as("ck1"),
+      min(col("od")).as("d0"), max(col("od")).as("d1"))
+    val b = o.crossJoin(broadcast(stats))
+      .withColumn("x", floor((col("o_custkey") - col("ck0")) * lit(256.0)
+        / (col("ck1") - col("ck0") + lit(1))).cast("int"))
+      .withColumn("y", floor(datediff(col("od"), col("d0")) * lit(256.0)
+        / (datediff(col("d1"), col("d0")) + lit(1))).cast("int"))
+    val z = (0 until 8).map { i =>
+      shiftright(col("x"), i).bitwiseAND(lit(1)) * lit(1 << (2 * i + 1)) +
+        shiftright(col("y"), i).bitwiseAND(lit(1)) * lit(1 << (2 * i))
+    }.reduce(_ + _)
+    b.withColumn("z", z)
+      .groupBy(shiftright(col("z"), 8).as("tile"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+        min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+      .orderBy(col("tile"))
+  }
+
   /** A: pivot — per-day event counts spread across one column per
     * event type (the dashboard "crosstab" shape). The value list is
     * explicit, so this is ONE hash aggregate (no value-discovery job
@@ -628,6 +669,7 @@ object CoreRelational {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "layout_zorder"  -> layoutZorder _,
     "profile_checksum" -> profileChecksum _,
     "u04_intersect"  -> u04Intersect _,
     "u05_except"     -> u05Except _,
@@ -703,6 +745,30 @@ object CoreRelational {
         |ORDER BY o.o_orderkey""".stripMargin,
     // per-column KMV replay (same 52-bit md5 fraction as a15_kmv) +
     // exact null/min/max, one SELECT per profiled column
+    // pure integer bit interleave replayed with >>/&; scaling is
+    // exact integer-in-double arithmetic, identical on both engines
+    "layout_zorder" -> {
+      val weave = (0 until 8).map(i =>
+        s"(((x >> $i) & 1) * ${1 << (2 * i + 1)} + " +
+          s"((y >> $i) & 1) * ${1 << (2 * i)})").mkString(" + ")
+      s"""WITH o AS (
+         |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS od FROM orders),
+         |s AS (
+         |  SELECT MIN(o_custkey) AS ck0, MAX(o_custkey) AS ck1,
+         |    MIN(od) AS d0, MAX(od) AS d1 FROM o),
+         |b AS (
+         |  SELECT
+         |    CAST(floor((o_custkey - s.ck0) * 256.0
+         |      / (s.ck1 - s.ck0 + 1)) AS INT) AS x,
+         |    CAST(floor(date_diff('day', s.d0, od) * 256.0
+         |      / (date_diff('day', s.d0, s.d1) + 1)) AS INT) AS y
+         |  FROM o, s),
+         |zt AS (SELECT x, y, ($weave) AS z FROM b)
+         |SELECT (z >> 8) AS tile, COUNT(*) AS n_rows,
+         |  MIN(x) AS min_x, MAX(x) AS max_x,
+         |  MIN(y) AS min_y, MAX(y) AS max_y
+         |FROM zt GROUP BY 1 ORDER BY tile""".stripMargin
+    },
     // replayed row hash: the 13-nibble md5 integer (exact below 2^53)
     // xor-combined per month — order-independent on both engines
     "profile_checksum" ->

@@ -116,6 +116,26 @@ class AnalyticsOpsSpec extends SparkFunSuite {
       && a("2024-02")._2 != b("2024-02")._2) // mismatch localizes
   }
 
+  test("layout_zorder: every tile spans <= 1/16 of EACH dimension (the pruning bound)") {
+    val d = Files.createTempDirectory("zorder").toString
+    // keys and dates spread over the full grid so many tiles populate
+    val rows = for (k <- 1 to 400) yield
+      (k.toLong, (k * 7 % 1000 + 1).toLong, "O", 1.0,
+        Timestamp.valueOf(f"2024-${k % 12 + 1}%02d-${k % 28 + 1}%02d 00:00:00"))
+    rows.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate").write.parquet(s"$d/orders.parquet")
+    val tiles = CoreRelational.layoutZorder(spark, d).collect()
+    assert(tiles.length > 30) // genuinely 2-D spread, not one stripe
+    tiles.foreach { t =>
+      // top-4 bits of each dim are fixed within a tile -> span <= 15
+      assert(t.getAs[Int]("max_x") - t.getAs[Int]("min_x") <= 15)
+      assert(t.getAs[Int]("max_y") - t.getAs[Int]("min_y") <= 15)
+    }
+    // a single-dim sort cannot give this: total y range is wide
+    assert(tiles.map(_.getAs[Int]("max_y")).max
+      - tiles.map(_.getAs[Int]("min_y")).min > 200)
+  }
+
   test("text_pmi: the injected collocation is the only pair, pmi = ln(n·co/df²)") {
     val rows = TextOps.textPmi(spark, dir).collect()
     assert(rows.length == 1)
