@@ -326,6 +326,44 @@ object TrainOps {
       .orderBy("doc_id")
   }
 
+  /** Weighted sampling WITHOUT replacement, exact size k per source —
+    * Efraimidis–Spirakis exponential keys: selecting the k docs with
+    * the smallest −ln(u)/w (u uniform, w the weight, here n_chars) is
+    * distributionally identical to drawing k without replacement with
+    * probability ∝ w. `sample_importance`'s Bernoulli keep gives a
+    * RANDOM-SIZED subset; this gives the exact-k quota draw a
+    * curriculum/mixture builder needs. u derives from the 52-bit md5
+    * fraction (the a15_kmv idiom) so both engines compute the same
+    * key; ln/division pin via round(,6) with doc_id tiebreak.
+    *
+    * 100 TB posture: two-level top-k, the same shape as the two-level
+    * cumsum windows — round 1 takes per-(source, gid) top-k inside
+    * md5-derived subgroups (gid count scales ∝ data, a conf knob at
+    * cluster scale), round 2 re-ranks only the gids×k survivors per
+    * source — no source-wide window ever sees the full corpus, and
+    * the round-2 input is bounded rows-per-source. Global top-5 ⊆
+    * union of per-gid top-5s, so the two-level result is exact. */
+  def sampleWeighted(s: SparkSession, d: String): DataFrame = {
+    val k = 5
+    val mhex = md5(col("doc_id").cast("string"))
+    val frac = conv(substring(mhex, 1, 13), 16, 10)
+      .cast("long").cast("double") / lit(4503599627370496.0)
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("ex",
+        round(-log(frac) / col("n_chars").cast("double"), 6))
+      .withColumn("gid",
+        conv(substring(mhex, 14, 2), 16, 10).cast("int") % 8)
+    val w1 = Window.partitionBy(col("source"), col("gid"))
+      .orderBy(col("ex").asc, col("doc_id").asc)
+    val w2 = Window.partitionBy(col("source"))
+      .orderBy(col("ex").asc, col("doc_id").asc)
+    docs.withColumn("rn", row_number().over(w1)).where(col("rn") <= k)
+      .withColumn("rank", row_number().over(w2)).where(col("rank") <= k)
+      .select(col("source"), col("rank"), col("doc_id"), col("ex"))
+      .orderBy(col("source"), col("rank"))
+  }
+
   /** CCNet-style perplexity bucketing: per-language head/middle/tail
     * terciles of the corpus-unigram-LM score ([[textUnigramLm]] —
     * low = stereotypical text, high = rare-token soup). The cut table
@@ -624,6 +662,7 @@ object TrainOps {
     "corpus_stats"       -> corpusStats _,
     "emb_outliers"       -> embOutliers _,
     "sample_importance"  -> sampleImportance _,
+    "sample_weighted"    -> sampleWeighted _,
     "text_ppl_buckets"   -> textPplBuckets _,
     "pack_shards"        -> packShards _,
     "dedup_cross_source" -> dedupCrossSource _)
@@ -683,6 +722,27 @@ object TrainOps {
         |       ELSE 'unchanged' END AS status
         |FROM old o FULL OUTER JOIN neu n ON o.doc_id = n.doc_id
         |ORDER BY doc_id""".stripMargin,
+    // Efraimidis–Spirakis keys replayed: same 52-bit md5 fraction,
+    // same -ln(u)/w rounded to 6, doc_id tiebreak; the oracle ranks
+    // each source directly (global top-5 == two-level top-5)
+    "sample_weighted" ->
+      """WITH f AS (
+        |  SELECT source, doc_id,
+        |    round(-ln(list_sum(list_transform(range(13), i ->
+        |      CAST(strpos('0123456789abcdef',
+        |        substr(md5(CAST(doc_id AS VARCHAR)),
+        |          CAST(i AS INTEGER) + 1, 1)) - 1 AS DOUBLE)
+        |      * power(16.0, CAST(12 - i AS DOUBLE))))
+        |      / 4503599627370496.0)
+        |      / CAST(n_chars AS DOUBLE), 6) AS ex
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, doc_id, ex,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY ex, doc_id) AS INT) AS rank
+        |  FROM f)
+        |SELECT source, rank, doc_id, ex FROM r
+        |WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
     // the md5-hex uniform fraction is exact integer arithmetic in
     // doubles (digits × powers of 16 < 2^32), so both engines compare
     // the identical value against the 6-decimal quality score

@@ -274,6 +274,31 @@ class TrainOpsSpec extends SparkFunSuite {
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("sample_weighted: exact k per source, two-level == direct single window") {
+    val d = Files.createTempDirectory("wsample").toString
+    (1 to 60).map(i =>
+        (i.toLong, s"doc text $i", "en", s"src${i % 3}", (i * 37 % 500 + 20).toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val out = TrainOps.sampleWeighted(spark, d).collect()
+    // exact-size draw: 5 per source, ranks 1..5
+    assert(out.groupBy(_.getString(0)).forall { case (_, rs) =>
+      rs.length == 5 && rs.map(_.getInt(1)).sorted.toSeq == (1 to 5) })
+    // two-level selection is exact: equals the direct per-source rank
+    val mhex = md5(col("doc_id").cast("string"))
+    val frac = conv(substring(mhex, 1, 13), 16, 10)
+      .cast("long").cast("double") / lit(4503599627370496.0)
+    val direct = spark.read.parquet(s"$d/documents.parquet")
+      .withColumn("ex", round(-log(frac) / col("n_chars").cast("double"), 6))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+          .orderBy(col("ex").asc, col("doc_id").asc)))
+      .where(col("rank") <= 5)
+      .select("source", "rank", "doc_id", "ex")
+      .orderBy("source", "rank").collect()
+    assert(out.toSeq == direct.toSeq)
+  }
+
   test("ppl buckets are ordered head <= middle <= tail within a language") {
     val rows = TrainOps.textPplBuckets(spark, "/root/testdata/sf0.001")
       .collect()
