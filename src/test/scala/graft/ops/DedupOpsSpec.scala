@@ -155,3 +155,45 @@ class SimOpsSpec extends SparkFunSuite {
     }
   }
 }
+
+/** SymSpell deletion-neighborhood blocking recall on hand-built names. */
+class FuzzyDedupSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  test("dedup_fuzzy blocking recalls every edit-type at distance 1, no more") {
+    val d = java.nio.file.Files.createTempDirectory("fuzzy").toString
+    // one canonical name plus a substitution, an insertion, a deletion,
+    // a distance-2 decoy, and an unrelated name
+    Seq(
+      (1L, "ACME CORP"),
+      (2L, "ACME CORQ"),  // substitution       -> dist 1
+      (3L, "ACME CORPS"), // insertion          -> dist 1
+      (4L, "ACME COR"),   // deletion           -> dist 1
+      (5L, "ACME KORQ"),  // two substitutions  -> dist 2 from 1
+      (6L, "ZENITH LLC")
+    ).toDF("c_custkey", "c_name").write.parquet(s"$d/customer.parquet")
+    val got = DedupOps.dedupFuzzy(spark, d)
+      .select($"a_key", $"b_key").as[(Long, Long)].collect().toSet
+    // brute-force ground truth over the 15 pairs
+    val names = Map(1L -> "ACME CORP", 2L -> "ACME CORQ", 3L -> "ACME CORPS",
+      4L -> "ACME COR", 5L -> "ACME KORQ", 6L -> "ZENITH LLC")
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j), dp(i)(j - 1)) + 1,
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    val want = (for {
+      a <- names.keys; b <- names.keys if a < b
+      if lev(names(a), names(b)) <= 1
+    } yield (a, b)).toSet
+    assert(got == want)
+    // the decoy is at distance 2 from #1 (but 1 from #2) — present only
+    // via #2; the unrelated name pairs with nothing
+    assert(!got.contains((1L, 5L)) && got.contains((2L, 5L)))
+    assert(!got.exists(p => p._1 == 6L || p._2 == 6L))
+  }
+}
+
