@@ -161,9 +161,58 @@ object GraphOps {
     reached.orderBy(col("node"))
   }
 
+  /** Bipartite co-occurrence projection: supplier–supplier similarity
+    * through shared customers (the "entities that appear together"
+    * query — the reference's graph exists to answer exactly this shape:
+    * donors co-funding committees, accounts sharing domains; restated
+    * relationally instead of as a Cypher path).
+    *
+    * Pairs are generated NARROWLY, the textPmi idiom: one hash agg
+    * collects each customer's sorted supplier posting, a nested
+    * transform expands the ordered pairs in-row, and the only
+    * pair-side shuffle is the map-side-combined count on the
+    * ≤|suppliers|² key space. A self-join of the (customer, supplier)
+    * table on customer — the naive projection — never appears.
+    * Degrees re-attach to the AGGREGATED pair table (node-sized join,
+    * AQE's choice). Jaccard = co/(deg1+deg2−co) is one division of
+    * exact integers — bit-identical cross-engine, no rounding needed.
+    *
+    * 100 TB posture: pair volume is Σ_c C(d_c, 2) — the classic
+    * projection blowup is quadratic in the HOT LEFT NODE's degree, not
+    * the corpus. At scale, cap each posting to its smallest-k members
+    * (the [[graft.ops.DedupOps.cappedBucketPairs]] guard) or sample
+    * postings and estimate co-counts; kept exact here so the oracle
+    * replays it. Top-k via sort+limit = TakeOrdered, no full sort. */
+  def graphCooccur(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+    val cs = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
+      .distinct()
+    val deg = cs.groupBy("sk").agg(count(lit(1)).as("deg"))
+    val pairs = cs.groupBy("c")
+      .agg(sort_array(collect_list(col("sk"))).as("ss"))
+      .select(explode(expr(
+        """flatten(transform(ss, (a, i) ->
+          |  transform(slice(ss, i + 2, size(ss)), b ->
+          |    struct(a AS s1, b AS s2))))""".stripMargin)).as("p"))
+      .select(col("p.s1"), col("p.s2"))
+      .groupBy("s1", "s2").agg(count(lit(1)).as("co"))
+    pairs
+      .join(deg.select(col("sk").as("s1"), col("deg").as("deg1")), Seq("s1"))
+      .join(deg.select(col("sk").as("s2"), col("deg").as("deg2")), Seq("s2"))
+      .select(col("s1"), col("s2"), col("co"),
+        (col("co").cast("double") /
+          (col("deg1") + col("deg2") - col("co")).cast("double"))
+          .as("jaccard"))
+      .orderBy(col("jaccard").desc, col("s1").asc, col("s2").asc)
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> graphPagerank _,
     "graph_degree"   -> graphDegree _,
+    "graph_cooccur"  -> graphCooccur _,
     "graph_paths"    -> graphPaths _)
 
   val oracles: Map[String, String] = Map(
@@ -197,6 +246,24 @@ object GraphOps {
          |${iter("pr4", "pr5")}
          |SELECT node, rank FROM pr5 ORDER BY node""".stripMargin
     },
+    // the oracle takes the naive projection (self-join on customer)
+    // the engine deliberately avoids; same exact integers, and the
+    // jaccard division is one op over identical operands
+    "graph_cooccur" ->
+      """WITH cs AS (
+        |  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS sk
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |deg AS (SELECT sk, COUNT(*) AS deg FROM cs GROUP BY sk),
+        |co AS (
+        |  SELECT a.sk AS s1, b.sk AS s2, COUNT(*) AS co
+        |  FROM cs a JOIN cs b ON a.c = b.c AND a.sk < b.sk
+        |  GROUP BY 1, 2)
+        |SELECT co.s1, co.s2, co.co,
+        |  CAST(co.co AS DOUBLE) /
+        |    CAST(d1.deg + d2.deg - co.co AS DOUBLE) AS jaccard
+        |FROM co JOIN deg d1 ON co.s1 = d1.sk
+        |         JOIN deg d2 ON co.s2 = d2.sk
+        |ORDER BY jaccard DESC, s1, s2 LIMIT 20""".stripMargin,
     // DuckDB's recursive CTE IS the reference restated: UNION-dedup'd
     // frontier expansion bounded at 3 hops, MIN(dist) = BFS level
     "graph_paths" ->

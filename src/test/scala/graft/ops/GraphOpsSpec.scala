@@ -47,6 +47,22 @@ class GraphOpsSpec extends SparkFunSuite {
     assert(got == Map("c1" -> 0, "s1" -> 1, "c2" -> 2))
   }
 
+  test("graph_cooccur computes exact shared-customer jaccard, absent pairs stay absent") {
+    val d = Files.createTempDirectory("cooccur").toString
+    // c1:{10,20} c2:{10,20} c3:{10,30} → deg 10=3, 20=2, 30=1
+    Seq((1L, 1L), (2L, 2L), (3L, 3L))
+      .toDF("o_orderkey", "o_custkey").write.parquet(s"$d/orders.parquet")
+    Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L), (3L, 10L), (3L, 30L))
+      .toDF("l_orderkey", "l_suppkey").write.parquet(s"$d/lineitem.parquet")
+    val got = GraphOps.graphCooccur(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    // (10,20): co 2, jac 2/(3+2-2); (10,30): co 1, jac 1/(3+1-1);
+    // (20,30) share no customer → no row at all (not a zero row)
+    assert(got == Map((10L, 20L) -> ((2L, 2.0 / 3)),
+      (10L, 30L) -> ((1L, 1.0 / 3))))
+  }
+
   test("graph_paths emits the seed even when it has no edges") {
     val d = Files.createTempDirectory("graphpaths").toString
     // graph contains only c7—s7: the seed c1 is absent entirely
