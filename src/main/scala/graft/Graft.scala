@@ -23,6 +23,7 @@ object Graft {
     functions.expressions.GramStats.register(spark)
     functions.expressions.KmvDistinct.register(spark)
     functions.expressions.BloomSketch.register(spark)
+    functions.expressions.MisraGries.register(spark)
     spark
   }
 

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.expressions.{CharEntropy, CosineSimilarity, GramStats, KmvDistinct, MinHashBandKeys, SimHash64}
+import graft.functions.expressions.{CharEntropy, CosineSimilarity, GramStats, KmvDistinct, MinHashBandKeys, MisraGries, SimHash64}
 
 /** Config-only injection point: `--conf
   * spark.sql.extensions=graft.GraftExtensions` registers the engine's
@@ -61,5 +61,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[KmvDistinct].getName, "kmv_distinct_native"),
       (exprs: Seq[Expression]) => KmvDistinct(
         arity("kmv_distinct_native", 1, exprs).head, KmvDistinct.DefaultK)))
+    ext.injectFunction((
+      FunctionIdentifier("mg_topk_native"),
+      new ExpressionInfo(classOf[MisraGries].getName, "mg_topk_native"),
+      (exprs: Seq[Expression]) => MisraGries(
+        arity("mg_topk_native", 1, exprs).head, MisraGries.DefaultK)))
   }
 }

@@ -333,7 +333,45 @@ object TextOps {
       .limit(50)
   }
 
+  /** Heavy-hitter vocabulary: every token with frequency ≥ 1% of the
+    * corpus (the "what dominates this feed" monitor, and the stopword
+    * discovery pass a tokenizer-training pipeline runs first).
+    *
+    * Two-pass sketch-then-verify, the [[graft.ops.DedupOps]] LSH
+    * contract applied to frequency: pass 1 folds the token stream
+    * into a k=200-entry Misra–Gries summary
+    * ([[graft.functions.expressions.MisraGries]]) whose buffer is
+    * O(k) at every stage — no shuffle ever carries the full
+    * vocabulary, unlike a groupBy-all-tokens + HAVING plan whose
+    * exchange is vocabulary-sized. Pass 2 recounts ONLY the ≤k
+    * broadcast candidates exactly (shuffle keyspace ≤ k) and applies
+    * the exact threshold. MG guarantees every token above n/(k+1) ≈
+    * 0.5% survives the sketch regardless of merge order, so the 1%
+    * threshold makes the final output deterministic and the sketch's
+    * merge-order nondeterminism unobservable — which is what lets a
+    * DuckDB oracle (plain GROUP BY + HAVING ground truth) hash-match
+    * a sketch-driven plan. */
+  def textHeavyHitters(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.expressions.MisraGries
+    val toks = Tables.documents(s, d).select(
+      explode(expr(
+        "filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')"))
+        .as("tok"))
+    val cands = toks
+      .agg(MisraGries.mg_native(s, col("tok")).as("cands"))
+      .select(explode(col("cands")).as("tok"))
+    val n = toks.agg(count(lit(1)).as("n_toks"))
+    toks.join(broadcast(cands), Seq("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(n))
+      .filter(col("cnt").cast("double") >=
+        col("n_toks").cast("double") * lit(0.01))
+      .select(col("tok"), col("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_heavyhitters"     -> textHeavyHitters _,
     "text_pmi"              -> textPmi _,
     "text_topterms"         -> textTopTerms _,
     "text_search_bm25"      -> textSearchBm25 _,
@@ -349,6 +387,20 @@ object TextOps {
     "text_fingerprint_roll" -> textFingerprintRoll _)
 
   val oracles: Map[String, String] = Map(
+    // ground truth is the vocabulary-sized GROUP BY the sketch plan
+    // avoids; MG recall above n/201 makes the sets provably equal at
+    // the 1% threshold, and the recount makes the counts exact
+    "text_heavyhitters" ->
+      """WITH toks AS (
+        |  SELECT UNNEST(list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'), t -> t != ''))
+        |    AS tok
+        |  FROM documents),
+        |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_toks FROM toks)
+        |SELECT tok, COUNT(*) AS cnt FROM toks
+        |GROUP BY tok
+        |HAVING CAST(COUNT(*) AS DOUBLE) >= (SELECT n_toks FROM n) * 0.01
+        |ORDER BY cnt DESC, tok ASC""".stripMargin,
     // same association order as the engine: (co·n) / (df_a·df_b),
     // sorted on the rounded pmi with the pair tiebreak
     "text_pmi" ->
