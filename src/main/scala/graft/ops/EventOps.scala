@@ -325,7 +325,38 @@ object EventOps {
       .orderBy(col("month"), col("event_type"))
   }
 
+  /** First-order event-type transition matrix (the Markov-chain view
+    * of user behavior: P(next event | current event) — the "what do
+    * users do after X" panel, and the input to next-action prediction
+    * baselines).
+    *
+    * One window pass keyed by user_id (high-cardinality, balanced —
+    * never the tens-of-keys partition the mixing ops had to two-level)
+    * pairs each event with its successor; the pair counts collapse
+    * map-side onto the ≤|event_types|² key space, and row totals
+    * re-attach on that same bounded table — so after the single
+    * corpus-scale window, everything is domain-constant-sized.
+    * Ordering inside a user is pinned by (ts, event_id) so ties are
+    * deterministic cross-engine. The probability is one division of
+    * exact integers — bit-identical, no rounding. */
+  def evTransitions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val pairs = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("from_type").agg(sum(col("n")).as("tot"))
+    pairs.join(totals, Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        (col("n").cast("double") / col("tot").cast("double")).as("p"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_transitions" -> evTransitions _,
     "ev_merge_partials" -> evMergePartials _,
     "ev_attribution" -> evAttribution _,
     "ev_gapfill"     -> evGapfill _,
@@ -342,6 +373,25 @@ object EventOps {
     "ev_retention"   -> evRetention _)
 
   val oracles: Map[String, String] = Map(
+    // same (ts, event_id)-pinned lead, counts on the bounded pair
+    // space; SUM(BIGINT) comes back HUGEINT in DuckDB → cast, and the
+    // probability is the same single exact-integer division
+    "ev_transitions" ->
+      """WITH seq AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |co AS (
+        |  SELECT from_type, to_type, COUNT(*) AS n
+        |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT from_type, CAST(SUM(n) AS BIGINT) AS tot
+        |  FROM co GROUP BY 1)
+        |SELECT co.from_type, co.to_type, co.n,
+        |  CAST(co.n AS DOUBLE) / CAST(tot.tot AS DOUBLE) AS p
+        |FROM co JOIN tot USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
     // direct-from-raw restatement: two-level partial merge must equal
     // the single-pass answer because every component is algebraic
     "ev_merge_partials" ->

@@ -79,6 +79,30 @@ class MonitorOpsSpec extends SparkFunSuite {
     assert(rows(("2024-03", "click")).getAs[Double]("avg_value") == 1.25)
   }
 
+  test("ev_transitions: successor pairs within users only, probabilities row-normalize") {
+    val d = Files.createTempDirectory("transitions").toString
+    // u1: view→click→purchase; u2: view→click→view — no cross-user pair
+    val ev = Seq(
+      (1L, Timestamp.valueOf("2024-03-01 10:00:00"), 1L, "view"),
+      (2L, Timestamp.valueOf("2024-03-01 10:01:00"), 1L, "click"),
+      (3L, Timestamp.valueOf("2024-03-01 10:02:00"), 1L, "purchase"),
+      (4L, Timestamp.valueOf("2024-03-01 09:00:00"), 2L, "view"),
+      (5L, Timestamp.valueOf("2024-03-01 09:01:00"), 2L, "click"),
+      (6L, Timestamp.valueOf("2024-03-01 09:02:00"), 2L, "view"))
+    ev.map { case (id, ts, u, t) => (id, ts, u, t, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$d/events.parquet")
+    val got = EventOps.evTransitions(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got == Map(
+      ("view", "click") -> ((2L, 1.0)),
+      ("click", "purchase") -> ((1L, 0.5)),
+      ("click", "view") -> ((1L, 0.5))))
+    // the last event of each user emits no pair: purchase has no row
+    assert(!got.keySet.exists(_._1 == "purchase"))
+  }
+
   test("corpus_diff classifies per the snapshot derivation rules") {
     val m = TrainOps.corpusDiff(spark, dir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
