@@ -209,13 +209,109 @@ object GraphOps {
       .limit(20)
   }
 
+  /** Connected components of the high-quantity trading subgraph (who
+    * is transitively linked to whom through bulk orders) — the entity-
+    * resolution primitive behind every "same cluster?" question the
+    * reference's graph answers by walking Neo4j paths; `dedup_clusters`
+    * uses the same idea over MinHash pairs, this is the general graph
+    * form over a relational edge derivation.
+    *
+    * Algorithm: min-label propagation PLUS pointer jumping — each
+    * round first takes l(v) ← min(l(v), min over neighbors l(u)) (one
+    * edges⋈labels shuffle join + one hash agg), then short-circuits
+    * l(v) ← l(l(v)) (one node-sized self-join), doubling the effective
+    * propagation distance per round: convergence in O(log diameter)
+    * rounds, not O(diameter). The loop runs to an OBSERVED fixpoint —
+    * a bounded driver scalar (changed-row count) per round, the same
+    * convergence check GraphFrames uses — with a hard cap of 20 rounds.
+    *
+    * 100 TB posture: per round two shuffles on node keys + one
+    * node-sized join; `localCheckpoint` truncates lineage per round
+    * (swap for reliable checkpoint on a cluster). Labels are node ids,
+    * so the label table never exceeds the node table. The component id
+    * is the lexicographic min node id — canonical and engine-agnostic.
+    * Exact integers + string min ⇒ no FP pinning needed; the oracle
+    * replays reachability with a recursive CTE and takes MIN(label). */
+  def graphComponents(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+    // full-quantity deep-discount lineitems: sparse enough to
+    // fragment (65 components over 369 nodes at sf0.01) — a giant
+    // component would make the canonical-label compare vacuous
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_quantity") >= 50 && col("l_discount") >= 0.08)
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val pairs = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
+      .distinct()
+    val edges = pairs.union(
+      pairs.select(col("dst").as("src"), col("src").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < 20) {
+      round += 1
+      val prop = edges.join(labels, edges("dst") === labels("node"))
+        .select(edges("src").as("node"), col("label"))
+        .union(labels)
+        .groupBy("node").agg(min(col("label")).as("label"))
+      // pointer jump: adopt your label's own label (always present —
+      // labels only ever hold node ids)
+      val next = prop.as("a")
+        .join(prop.select(col("node").as("ln"), col("label").as("ll")),
+          col("a.label") === col("ln"))
+        .select(col("a.node").as("node"), col("ll").as("label"))
+        .localCheckpoint()
+      changed = next.as("n")
+        .join(labels.select(col("node"), col("label").as("old")), "node")
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+    }
+    edges.unpersist()
+    labels.groupBy(col("label").as("component"))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(when(col("node").startsWith("c"), 1).otherwise(0))
+          .as("n_customers"),
+        sum(when(col("node").startsWith("s"), 1).otherwise(0))
+          .as("n_suppliers"))
+      .orderBy(col("component"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_cc"       -> graphComponents _,
     "graph_pagerank" -> graphPagerank _,
     "graph_degree"   -> graphDegree _,
     "graph_cooccur"  -> graphCooccur _,
     "graph_paths"    -> graphPaths _)
 
   val oracles: Map[String, String] = Map(
+    // reachability closure via recursive CTE; MIN over reachable node
+    // ids = the engine's converged min-label — identical canonical id
+    "graph_cc" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT DISTINCT 'c' || o.o_custkey AS src,
+        |                  's' || l.l_suppkey AS dst
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE l.l_quantity >= 50 AND l.l_discount >= 0.08),
+        |edges AS (SELECT src, dst FROM pairs
+        |          UNION ALL SELECT dst, src FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |walk(node, lab) AS (
+        |  SELECT node, node FROM nodes
+        |  UNION
+        |  SELECT e.src, w.lab
+        |  FROM edges e JOIN walk w ON e.dst = w.node),
+        |comp AS (SELECT node, MIN(lab) AS component
+        |         FROM walk GROUP BY node)
+        |SELECT component, COUNT(*) AS n_nodes,
+        |  CAST(SUM(CASE WHEN node LIKE 'c%' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_customers,
+        |  CAST(SUM(CASE WHEN node LIKE 's%' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_suppliers
+        |FROM comp GROUP BY component ORDER BY component""".stripMargin,
     // unrolled 5 iterations; list_sort → list_reduce replays the
     // engine's sorted fold so the doubles are bit-identical
     "graph_pagerank" -> {

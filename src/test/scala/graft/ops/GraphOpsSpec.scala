@@ -75,6 +75,36 @@ class GraphOpsSpec extends SparkFunSuite {
     assert(got == Map("c1" -> 0))
   }
 
+  test("graph_cc splits components, honors the quantity gate, labels by min id") {
+    val d = Files.createTempDirectory("graphcc").toString
+    // bulk edges: c1—s1, c2—s1 | c3—s2.  A low-quantity c1—s2 edge
+    // (q=10) would merge the components — it must be filtered out.
+    Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 1L))
+      .toDF("o_orderkey", "o_custkey").write.parquet(s"$d/orders.parquet")
+    Seq((1L, 1L, 50.0, 0.10), (2L, 1L, 50.0, 0.10), (3L, 2L, 50.0, 0.10),
+      (4L, 2L, 10.0, 0.10))
+      .toDF("l_orderkey", "l_suppkey", "l_quantity", "l_discount")
+      .write.parquet(s"$d/lineitem.parquet")
+    val got = GraphOps.graphComponents(spark, d).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map("c1" -> ((3L, 2L, 1L)), "c3" -> ((2L, 1L, 1L))))
+  }
+
+  test("graph_cc converges past one propagation hop (diameter-6 path)") {
+    val d = Files.createTempDirectory("graphccpath").toString
+    // path c1—s1—c2—s2—c3—s3—c4: min label must travel 6 hops
+    Seq((1L, 1L), (2L, 2L), (3L, 2L), (4L, 3L), (5L, 3L), (6L, 4L))
+      .toDF("o_orderkey", "o_custkey").write.parquet(s"$d/orders.parquet")
+    Seq((1L, 1L, 50.0, 0.10), (2L, 1L, 50.0, 0.10), (3L, 2L, 50.0, 0.10),
+      (4L, 2L, 50.0, 0.10), (5L, 3L, 50.0, 0.10), (6L, 3L, 50.0, 0.10))
+      .toDF("l_orderkey", "l_suppkey", "l_quantity", "l_discount")
+      .write.parquet(s"$d/lineitem.parquet")
+    val got = GraphOps.graphComponents(spark, d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("c1" -> 7L))
+  }
+
   test("degree distribution of the star: two degree-1 customers, one degree-2 hub") {
     val got = GraphOps.graphDegree(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
