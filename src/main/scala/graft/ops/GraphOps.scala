@@ -280,8 +280,77 @@ object GraphOps {
       .orderBy(col("component"))
   }
 
+  /** Per-node triangle counts over the supplier co-occurrence graph
+    * (suppliers sharing ≥2 customers) — the cohesion census behind
+    * clustering coefficients and community seeds; the reference's
+    * graph warehouse answers "tightly-knit funding circles" with
+    * exactly this closed-triple shape.
+    *
+    * Algorithm: DEGREE-ORDERED ORIENTATION (Suri–Vassilvitskii): each
+    * undirected edge points from its (degree, id)-smaller endpoint to
+    * the larger, bounding every out-neighborhood by O(√m); wedges are
+    * then expanded IN-ROW from each node's sorted out-posting (the
+    * textPmi/cooccur idiom — no self-join of the edge table on src),
+    * and a single semi-join against the oriented edges closes them.
+    * Each triangle is found exactly once (its rank-lowest corner owns
+    * it), then exploded to its 3 corners for the per-node census.
+    *
+    * 100 TB posture: wedge volume is Σ_v outdeg(v)² — minimized by the
+    * orientation (the whole point; an unoriented wedge join is
+    * quadratic in the HUB degree). The closing join keys on the full
+    * (b, c) pair — hash-partitioned, no broadcast of anything
+    * edge-sized. Exact integers throughout, no FP pinning. The
+    * orientation key is a (deg, id) STRUCT comparison, not an encoded
+    * scalar — no id-range assumptions at scale. */
+  def graphTriangles(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+    val cs = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
+      .distinct()
+    // undirected edges s1 < s2: suppliers sharing >= 2 customers,
+    // pair-expanded narrowly from sorted per-customer postings
+    val und = cs.groupBy("c")
+      .agg(sort_array(collect_list(col("sk"))).as("ss"))
+      .select(explode(expr(
+        """flatten(transform(ss, (a, i) ->
+          |  transform(slice(ss, i + 2, size(ss)), b ->
+          |    struct(a AS s1, b AS s2))))""".stripMargin)).as("p"))
+      .select(col("p.s1"), col("p.s2"))
+      .groupBy("s1", "s2").agg(count(lit(1)).as("co"))
+      .filter(col("co") >= 2).select(col("s1"), col("s2"))
+    val deg = und.select(col("s1").as("n"))
+      .union(und.select(col("s2").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val withDeg = und
+      .join(deg.select(col("n").as("s1"), col("deg").as("d1")), Seq("s1"))
+      .join(deg.select(col("n").as("s2"), col("deg").as("d2")), Seq("s2"))
+    val r1 = struct(col("d1").as("dg"), col("s1").as("id"))
+    val r2 = struct(col("d2").as("dg"), col("s2").as("id"))
+    val fwd = r1 < r2
+    val oriented = withDeg.select(
+      when(fwd, col("s1")).otherwise(col("s2")).as("src"),
+      when(fwd, r2).otherwise(r1).as("dst"))
+    val wedges = oriented.groupBy("src")
+      .agg(sort_array(collect_list(col("dst"))).as("ns"))
+      .select(col("src").as("a"), explode(expr(
+        """flatten(transform(ns, (x, i) ->
+          |  transform(slice(ns, i + 2, size(ns)), y ->
+          |    struct(x.id AS b, y.id AS c))))""".stripMargin)).as("w"))
+      .select(col("a"), col("w.b"), col("w.c"))
+    val closing = oriented
+      .select(col("src").as("b"), col("dst.id").as("c"))
+    val tri = wedges.join(closing, Seq("b", "c"), "left_semi")
+    tri.select(col("a").as("node"))
+      .union(tri.select(col("b")))
+      .union(tri.select(col("c")))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("node"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "graph_cc"       -> graphComponents _,
+    "graph_cc"        -> graphComponents _,
+    "graph_triangles" -> graphTriangles _,
     "graph_pagerank" -> graphPagerank _,
     "graph_degree"   -> graphDegree _,
     "graph_cooccur"  -> graphCooccur _,
@@ -312,6 +381,27 @@ object GraphOps {
         |  CAST(SUM(CASE WHEN node LIKE 's%' THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_suppliers
         |FROM comp GROUP BY component ORDER BY component""".stripMargin,
+    // the oracle closes triples naively on the a<b<c edge list — the
+    // engine's oriented wedge census finds the same triangle set
+    "graph_triangles" ->
+      """WITH cs AS (
+        |  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS sk
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |co AS (
+        |  SELECT a.sk AS s1, b.sk AS s2, COUNT(*) AS co
+        |  FROM cs a JOIN cs b ON a.c = b.c AND a.sk < b.sk
+        |  GROUP BY 1, 2),
+        |e AS (SELECT s1, s2 FROM co WHERE co >= 2),
+        |tri AS (
+        |  SELECT e1.s1 AS a, e1.s2 AS b, e2.s2 AS c
+        |  FROM e e1 JOIN e e2 ON e2.s1 = e1.s2
+        |            JOIN e e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2),
+        |corners AS (
+        |  SELECT a AS node FROM tri
+        |  UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri)
+        |SELECT node, COUNT(*) AS n_triangles
+        |FROM corners GROUP BY node ORDER BY node""".stripMargin,
     // unrolled 5 iterations; list_sort → list_reduce replays the
     // engine's sorted fold so the doubles are bit-identical
     "graph_pagerank" -> {
