@@ -448,6 +448,40 @@ object CoreRelational {
       .orderBy(col("event_id"))
   }
 
+  /** Slowly-changing dimension, Type 2: the order-priority history of
+    * each customer as validity intervals [valid_from, valid_to) with a
+    * current flag — the warehouse-dimension shape behind every
+    * "attribute as of date X" join (the reference keeps only latest
+    * state in ES/BigQuery and re-derives history by rescanning; SCD2
+    * materializes it once).
+    *
+    * Two window passes over the SAME partitioning (o_custkey): lag
+    * detects value changes on the (date, orderkey)-ordered event
+    * stream, lead on the SURVIVING change rows assigns each interval's
+    * end. Catalyst plans one Exchange: the second Window reuses the
+    * first's hash partitioning and only re-sorts the (smaller)
+    * filtered set. High-cardinality balanced key ⇒ no skew; dates are
+    * pinned to ISO strings, the flag to int — exact cross-engine. */
+  def dimScd2(s: SparkSession, d: String): DataFrame = {
+    val byTime = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val changes = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+        col("o_orderpriority").as("priority"))
+      .withColumn("prev", lag(col("priority"), 1).over(byTime))
+      .filter(col("prev").isNull || col("priority") =!= col("prev"))
+    changes
+      .withColumn("next_from", lead(col("o_orderdate"), 1).over(byTime))
+      .select(col("o_custkey"),
+        col("priority"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("valid_from"),
+        coalesce(date_format(col("next_from"), "yyyy-MM-dd"),
+          lit("9999-12-31")).as("valid_to"),
+        when(col("next_from").isNull, 1).otherwise(0).as("is_current"),
+        col("o_orderkey").as("change_key"))
+      .orderBy(col("o_custkey"), col("valid_from"), col("change_key"))
+  }
+
   /** U: INTERSECT DISTINCT — customers active in BOTH halves of 1997.
     * Catalyst plans set intersection as a left-semi join under
     * distinct (one key shuffle per side), never a sort-based set op. */
@@ -691,6 +725,7 @@ object CoreRelational {
     "a10_saltedagg"  -> a10SaltedAgg _,
     "u01_uniondist"  -> u01UnionDistinct _,
     "w03_lagdelta"   -> w03LagDelta _,
+    "dim_scd2"       -> dimScd2 _,
     "p01_project"    -> p01Project _,
     "p02_classify"   -> p02Classify _,
     "p03_nullfilter" -> p03NullFilter _,
@@ -931,6 +966,28 @@ object CoreRelational {
         |  UNION ALL
         |  SELECT l_suppkey AS key, 'li' AS src FROM lineitem)
         |ORDER BY key, src""".stripMargin,
+    "dim_scd2" ->
+      """WITH seq AS (
+        |  SELECT o_custkey, o_orderdate, o_orderkey,
+        |    o_orderpriority AS priority,
+        |    LAG(o_orderpriority) OVER (
+        |      PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS prev
+        |  FROM orders),
+        |chg AS (SELECT * FROM seq WHERE prev IS NULL OR priority <> prev),
+        |iv AS (
+        |  SELECT o_custkey, priority, o_orderdate, o_orderkey,
+        |    LEAD(o_orderdate) OVER (
+        |      PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS next_from
+        |  FROM chg)
+        |SELECT o_custkey, priority,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+        |  COALESCE(strftime(next_from, '%Y-%m-%d'), '9999-12-31')
+        |    AS valid_to,
+        |  CASE WHEN next_from IS NULL THEN 1 ELSE 0 END AS is_current,
+        |  o_orderkey AS change_key
+        |FROM iv ORDER BY o_custkey, valid_from, change_key""".stripMargin,
     "w03_lagdelta" ->
       """SELECT event_id, user_id,
         |  round(value - coalesce(prev_value, 0.0), 6) AS delta

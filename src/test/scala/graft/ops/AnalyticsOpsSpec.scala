@@ -145,4 +145,26 @@ class AnalyticsOpsSpec extends SparkFunSuite {
     // df(alpha)=df(beta)=co=25, n=40 → pmi = ln(25·40/625) = ln(1.6)
     assert(math.abs(r.getDouble(3) - math.log(1.6)) < 1e-6)
   }
+
+  test("dim_scd2: consecutive duplicates collapse, intervals chain, last is current") {
+    val d = Files.createTempDirectory("scd2").toString
+    // customer 1: URGENT, URGENT, LOW, URGENT → 3 intervals (the
+    // second URGENT is no change); customer 2: one LOW forever
+    Seq(
+      (10L, 1L, Timestamp.valueOf("2024-01-01 00:00:00"), "URGENT"),
+      (11L, 1L, Timestamp.valueOf("2024-02-01 00:00:00"), "URGENT"),
+      (12L, 1L, Timestamp.valueOf("2024-03-01 00:00:00"), "LOW"),
+      (13L, 1L, Timestamp.valueOf("2024-04-01 00:00:00"), "URGENT"),
+      (20L, 2L, Timestamp.valueOf("2024-01-15 00:00:00"), "LOW"))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      .write.parquet(s"$d/orders.parquet")
+    val got = CoreRelational.dimScd2(spark, d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getInt(4)))
+    assert(got.toSeq == Seq(
+      (1L, "URGENT", "2024-01-01", "2024-03-01", 0),
+      (1L, "LOW", "2024-03-01", "2024-04-01", 0),
+      (1L, "URGENT", "2024-04-01", "9999-12-31", 1),
+      (2L, "LOW", "2024-01-15", "9999-12-31", 1)))
+  }
 }
