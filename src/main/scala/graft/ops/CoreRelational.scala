@@ -612,6 +612,66 @@ object CoreRelational {
       .orderBy(col("col_name"))
   }
 
+  /** Data-quality expectation suite — the Deequ-style constraint
+    * check that gates every load the reference performs with ad-hoc
+    * rowcount asserts (import_bigquery/main.py's validate step): each
+    * rule yields (rule, n_checked, n_violations, pass). ALL row-level
+    * rules (null, range, domain) fold into ONE full-scan aggregate —
+    * adding a rule adds a conditional-sum column, not a pass; the two
+    * rules that genuinely need other shapes (referential integrity =
+    * one anti-join count, key uniqueness = one distinct count) ride
+    * the same scan family. The three 1-row aggregates cross-join
+    * (trivially broadcast) and unpivot via an in-row array explode —
+    * no collect, no per-rule jobs.
+    *
+    * NULL discipline: a NULL checked value COUNTS AS A VIOLATION for
+    * range/domain rules (explicit `isNull ||` guard) — mirrored by
+    * `IS NULL OR` in the oracle's CASE, so the engines can never
+    * diverge on three-valued logic (the corpusKeep lesson). r3 is
+    * deliberately tight (discount ≤ 5%) so real violation counts flow
+    * through the hash compare — an all-green panel would be vacuous. */
+  def dqExpectations(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    def viol(c: Column): Column = sum(when(c, 1).otherwise(0)).cast("bigint")
+    val base = li.agg(
+      count(lit(1)).as("n"),
+      viol(col("l_orderkey").isNull).as("v1"),
+      viol(col("l_quantity").isNull ||
+        col("l_quantity") < 1 || col("l_quantity") > 50).as("v2"),
+      viol(col("l_discount").isNull || col("l_discount") > 0.05).as("v3"),
+      viol(col("l_returnflag").isNull ||
+        !col("l_returnflag").isin("A", "N", "R")).as("v4"),
+      viol(col("l_shipdate").isNull ||
+        col("l_shipdate") < lit("1992-01-01").cast("timestamp") ||
+        col("l_shipdate") >= lit("1999-01-01").cast("timestamp")).as("v5"),
+      countDistinct(col("l_orderkey"), col("l_linenumber")).as("nd"))
+    val ri = li.select(col("l_orderkey"))
+      .join(Tables.orders(s, d).select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("v6"))
+    base.crossJoin(ri)
+      .select(explode(array(
+        struct(lit("r1_orderkey_not_null").as("rule"),
+          col("n").as("n_checked"), col("v1").as("n_violations")),
+        struct(lit("r2_quantity_in_1_50").as("rule"),
+          col("n").as("n_checked"), col("v2").as("n_violations")),
+        struct(lit("r3_discount_le_5pct").as("rule"),
+          col("n").as("n_checked"), col("v3").as("n_violations")),
+        struct(lit("r4_returnflag_domain").as("rule"),
+          col("n").as("n_checked"), col("v4").as("n_violations")),
+        struct(lit("r5_shipdate_in_range").as("rule"),
+          col("n").as("n_checked"), col("v5").as("n_violations")),
+        struct(lit("r6_orderkey_in_orders").as("rule"),
+          col("n").as("n_checked"), col("v6").as("n_violations")),
+        struct(lit("r7_line_pk_unique").as("rule"),
+          col("n").as("n_checked"),
+          (col("n") - col("nd")).as("n_violations")))).as("r"))
+      .select(col("r.rule").as("rule"), col("r.n_checked"),
+        col("r.n_violations"),
+        when(col("r.n_violations") === 0, 1).otherwise(0).as("pass"))
+      .orderBy(col("rule"))
+  }
+
   /** Order-independent per-partition table digest — the anti-entropy
     * primitive for verifying a replica/migration copy of a 100 TB
     * table WITHOUT sorting it (the relational restatement of the
@@ -726,6 +786,7 @@ object CoreRelational {
     "u01_uniondist"  -> u01UnionDistinct _,
     "w03_lagdelta"   -> w03LagDelta _,
     "dim_scd2"       -> dimScd2 _,
+    "dq_expectations" -> dqExpectations _,
     "p01_project"    -> p01Project _,
     "p02_classify"   -> p02Classify _,
     "p03_nullfilter" -> p03NullFilter _,
@@ -966,6 +1027,41 @@ object CoreRelational {
         |  UNION ALL
         |  SELECT l_suppkey AS key, 'li' AS src FROM lineitem)
         |ORDER BY key, src""".stripMargin,
+    "dq_expectations" ->
+      """WITH b AS (
+        |  SELECT COUNT(*) AS n,
+        |    CAST(SUM(CASE WHEN l_orderkey IS NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+        |    CAST(SUM(CASE WHEN l_quantity IS NULL OR l_quantity < 1
+        |      OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+        |    CAST(SUM(CASE WHEN l_discount IS NULL OR l_discount > 0.05
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+        |    CAST(SUM(CASE WHEN l_returnflag IS NULL
+        |      OR l_returnflag NOT IN ('A', 'N', 'R')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v4,
+        |    CAST(SUM(CASE WHEN l_shipdate IS NULL
+        |      OR l_shipdate < TIMESTAMP '1992-01-01'
+        |      OR l_shipdate >= TIMESTAMP '1999-01-01'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v5,
+        |    COUNT(DISTINCT (l_orderkey, l_linenumber)) AS nd
+        |  FROM lineitem),
+        |ri AS (
+        |  SELECT COUNT(*) AS v6
+        |  FROM lineitem l LEFT JOIN orders o
+        |    ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_orderkey IS NULL),
+        |rules AS (
+        |  SELECT 'r1_orderkey_not_null' AS rule, n AS n_checked,
+        |    v1 AS n_violations FROM b
+        |  UNION ALL SELECT 'r2_quantity_in_1_50', n, v2 FROM b
+        |  UNION ALL SELECT 'r3_discount_le_5pct', n, v3 FROM b
+        |  UNION ALL SELECT 'r4_returnflag_domain', n, v4 FROM b
+        |  UNION ALL SELECT 'r5_shipdate_in_range', n, v5 FROM b
+        |  UNION ALL SELECT 'r6_orderkey_in_orders', n, v6 FROM b, ri
+        |  UNION ALL SELECT 'r7_line_pk_unique', n, n - nd FROM b)
+        |SELECT rule, n_checked, n_violations,
+        |  CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS pass
+        |FROM rules ORDER BY rule""".stripMargin,
     "dim_scd2" ->
       """WITH seq AS (
         |  SELECT o_custkey, o_orderdate, o_orderkey,

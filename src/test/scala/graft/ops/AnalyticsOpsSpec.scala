@@ -167,4 +167,34 @@ class AnalyticsOpsSpec extends SparkFunSuite {
       (1L, "URGENT", "2024-04-01", "9999-12-31", 1),
       (2L, "LOW", "2024-01-15", "9999-12-31", 1)))
   }
+
+  test("dq_expectations: nulls violate ranges, orphans and dup keys are counted") {
+    val d = Files.createTempDirectory("dq").toString
+    Seq(1L, 2L).toDF("o_orderkey").write.parquet(s"$d/orders.parquet")
+    // row 1 clean; row 2 NULL quantity (r2) + 8% discount (r3);
+    // row 3 orphan orderkey 9 (r6); row 4 duplicates row 1's PK (r7)
+    Seq(
+      (Some(1L), 1, Some(10.0), 0.02, "A",
+        Timestamp.valueOf("1995-06-01 00:00:00")),
+      (Some(2L), 1, None, 0.08, "N",
+        Timestamp.valueOf("1995-06-01 00:00:00")),
+      (Some(9L), 1, Some(5.0), 0.00, "R",
+        Timestamp.valueOf("1995-06-01 00:00:00")),
+      (Some(1L), 1, Some(7.0), 0.01, "A",
+        Timestamp.valueOf("1995-06-01 00:00:00")))
+      .toDF("l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+        "l_returnflag", "l_shipdate")
+      .write.parquet(s"$d/lineitem.parquet")
+    val got = CoreRelational.dqExpectations(spark, d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getInt(3)))).toMap
+    assert(got == Map(
+      "r1_orderkey_not_null"  -> ((4L, 0L, 1)),
+      "r2_quantity_in_1_50"   -> ((4L, 1L, 0)),
+      "r3_discount_le_5pct"   -> ((4L, 1L, 0)),
+      "r4_returnflag_domain"  -> ((4L, 0L, 1)),
+      "r5_shipdate_in_range"  -> ((4L, 0L, 1)),
+      "r6_orderkey_in_orders" -> ((4L, 1L, 0)),
+      "r7_line_pk_unique"     -> ((4L, 1L, 0))))
+  }
 }
