@@ -107,15 +107,21 @@ class GraphOpsSpec extends SparkFunSuite {
 
   test("graph_triangles: one closed triple, pendant edges and weak pairs excluded") {
     val d = Files.createTempDirectory("graphtri").toString
-    // customers c1,c2 each buy from suppliers {1,2,3} → pairs (1,2),
-    // (1,3),(2,3) all share 2 customers → triangle. c3 buys {1,4} and
-    // c4 buys {1,4} → edge (1,4) with co=2 but no closing edges.
-    // c5 buys {2,5}: pair (2,5) has co=1 → filtered out entirely.
+    // customers c1,c2 each bulk-buy from suppliers {1,2,3} → pairs
+    // (1,2),(1,3),(2,3) all share 2 customers → triangle. c3 buys
+    // {1,4} and c4 buys {1,4} → edge (1,4) with co=2 but no closing
+    // edges. c5 buys {2,5}: pair (2,5) has co=1 → filtered out.
+    // c1 also buys from 4 — but below the bulk gate (q=10), so the
+    // (1,4)/(2,4)/(3,4) edges that would close more triangles never
+    // form.
     Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L), (5L, 5L))
       .toDF("o_orderkey", "o_custkey").write.parquet(s"$d/orders.parquet")
-    Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L), (2L, 3L),
-      (3L, 1L), (3L, 4L), (4L, 1L), (4L, 4L), (5L, 2L), (5L, 5L))
-      .toDF("l_orderkey", "l_suppkey").write.parquet(s"$d/lineitem.parquet")
+    Seq((1L, 1L, 50.0), (1L, 2L, 50.0), (1L, 3L, 50.0), (1L, 4L, 10.0),
+      (2L, 1L, 50.0), (2L, 2L, 50.0), (2L, 3L, 50.0),
+      (3L, 1L, 50.0), (3L, 4L, 50.0), (4L, 1L, 50.0), (4L, 4L, 50.0),
+      (5L, 2L, 50.0), (5L, 5L, 50.0))
+      .toDF("l_orderkey", "l_suppkey", "l_quantity")
+      .write.parquet(s"$d/lineitem.parquet")
     val got = GraphOps.graphTriangles(spark, d).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
@@ -123,13 +129,14 @@ class GraphOpsSpec extends SparkFunSuite {
 
   test("graph_triangles counts every triangle of a 4-clique once per corner") {
     val d = Files.createTempDirectory("graphtri4").toString
-    // two customers each buy from all of {1,2,3,4} → 4-clique with
-    // co=2 on every pair; C(3,2)=3 triangles per corner, 4 total
+    // two customers each bulk-buy from all of {1,2,3,4} → 4-clique
+    // with co=2 on every pair; C(3,2)=3 triangles per corner, 4 total
     Seq((1L, 1L), (2L, 2L))
       .toDF("o_orderkey", "o_custkey").write.parquet(s"$d/orders.parquet")
-    Seq((1L, 1L), (1L, 2L), (1L, 3L), (1L, 4L),
-      (2L, 1L), (2L, 2L), (2L, 3L), (2L, 4L))
-      .toDF("l_orderkey", "l_suppkey").write.parquet(s"$d/lineitem.parquet")
+    Seq((1L, 1L, 50.0), (1L, 2L, 50.0), (1L, 3L, 50.0), (1L, 4L, 50.0),
+      (2L, 1L, 50.0), (2L, 2L, 50.0), (2L, 3L, 50.0), (2L, 4L, 50.0))
+      .toDF("l_orderkey", "l_suppkey", "l_quantity")
+      .write.parquet(s"$d/lineitem.parquet")
     val got = GraphOps.graphTriangles(spark, d).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
