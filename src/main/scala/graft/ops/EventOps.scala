@@ -355,7 +355,103 @@ object EventOps {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** Longest consecutive-day activity streak per user — the
+    * gaps-and-islands idiom: distinct active days, then
+    * `day - row_number()` is constant exactly within a consecutive run,
+    * so one subtraction turns streak detection into a hash aggregate on
+    * the (user, anchor) island key. Every window is PARTITIONED BY the
+    * user key (no global ordering anywhere), and the island groupBy
+    * clusters on a superset of that key, so the whole chain rides two
+    * user-hash Exchanges regardless of SF. Ties between equal-length
+    * streaks break to the earliest start, pinned identically in the
+    * oracle. */
+  def evStreaks(s: SparkSession, d: String): DataFrame = {
+    val days = Tables.events(s, d)
+      .select(col("user_id"), date_trunc("day", col("ts")).cast("date").as("day"))
+      .distinct()
+    val wSeq = Window.partitionBy("user_id").orderBy("day")
+    val streaks = days
+      .withColumn("anchor", date_sub(col("day"), row_number().over(wSeq)))
+      .groupBy(col("user_id"), col("anchor"))
+      .agg(count(lit(1)).as("streak_len"), min(col("day")).as("start"))
+    val wBest = Window.partitionBy("user_id")
+      .orderBy(col("streak_len").desc, col("start").asc)
+    streaks.withColumn("rk", row_number().over(wBest))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("streak_len").as("best_streak"),
+        date_format(col("start"), "yyyy-MM-dd").as("streak_start"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Peak open-order concurrency: each order is an interval
+    * [o_orderdate, last l_shipdate], and the classic boundary sweep
+    * (+1 at open, −1 the day after close, running sum over days) yields
+    * the number of simultaneously-open orders on every boundary day.
+    * The running sum is the TWO-LEVEL prefix idiom (not one global
+    * window partition): days bucket by month, the intra-month cumsum is
+    * keyed by month, and the carry-in offset comes from a
+    * months-count-sized totals table (broadcast) — so no single task
+    * ever sees more than one month of boundary days at any SF. Output
+    * is the top-20 peak days; the global maximum is always attained on
+    * a boundary day, so the sweep's domain loses nothing. */
+  def evConcurrency(s: SparkSession, d: String): DataFrame = {
+    val closes = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(max(col("l_shipdate").cast("date")).as("last_day"))
+    val bounds = Tables.orders(s, d)
+      .select(col("o_orderdate").cast("date").as("day"), lit(1L).as("delta"))
+      .unionAll(closes.select(date_add(col("last_day"), 1).as("day"),
+        lit(-1L).as("delta")))
+    val daily = bounds.groupBy(col("day")).agg(sum(col("delta")).as("d"))
+      .withColumn("gid", date_format(col("day"), "yyyy-MM"))
+    val wIn = Window.partitionBy("gid").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wOff = Window.orderBy("gid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = daily.groupBy("gid").agg(sum(col("d")).as("g_tot"))
+      .withColumn("g_off", coalesce(sum("g_tot").over(wOff), lit(0L)))
+      .select("gid", "g_off")
+    daily.join(broadcast(offs), "gid")
+      .withColumn("run_in", sum(col("d")).over(wIn))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        (col("g_off") + col("run_in")).as("n_open"))
+      .orderBy(col("n_open").desc, col("day").asc)
+      .limit(20)
+  }
+
+  /** Exponentially-weighted moving average of daily event volume per
+    * type (α = 0.3) — the smoothed intake-rate signal a monitoring
+    * dashboard trends. An EWMA is inherently a LEFT FOLD over the
+    * ordered day series, which no windowed SUM expresses; here it is a
+    * per-type `aggregate(sort_array(collect_list(...)))` fold — the
+    * repo's sorted-fold idiom, so the FP accumulation order is
+    * bit-identical to the oracle's `list_reduce(list_sort(...))` (both
+    * left-to-right over day-sorted values, seeded with day one's
+    * count). Per-type state is bounded by the day span (domain-sized,
+    * not SF-proportional), and the only corpus-scale pass is the
+    * map-side-combined daily count. */
+  def evEwma(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val arr = sort_array(collect_list(struct(col("day"), col("n"))))
+    daily.groupBy(col("event_type"))
+      .agg(arr.as("xs"), max(col("day")).as("last_day"))
+      .select(col("event_type"),
+        size(col("xs")).as("n_days"),
+        date_format(col("last_day"), "yyyy-MM-dd").as("last_day"),
+        round(aggregate(slice(col("xs"), lit(2), size(col("xs"))),
+          element_at(col("xs"), 1).getField("n").cast("double"),
+          (acc, x) => acc * lit(0.7) + x.getField("n").cast("double") * lit(0.3)),
+          6).as("ewma"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_streaks"     -> evStreaks _,
+    "ev_concurrency" -> evConcurrency _,
+    "ev_ewma"        -> evEwma _,
     "ev_transitions" -> evTransitions _,
     "ev_merge_partials" -> evMergePartials _,
     "ev_attribution" -> evAttribution _,
@@ -373,6 +469,66 @@ object EventOps {
     "ev_retention"   -> evRetention _)
 
   val oracles: Map[String, String] = Map(
+    // same island key (day - row_number), same (len DESC, start ASC)
+    // tiebreak; DuckDB's row_number is BIGINT so cast before the date
+    // subtraction
+    "ev_streaks" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        |  FROM events),
+        |isl AS (
+        |  SELECT user_id, day,
+        |    day - CAST(row_number() OVER
+        |      (PARTITION BY user_id ORDER BY day) AS INTEGER) AS anchor
+        |  FROM days),
+        |st AS (
+        |  SELECT user_id, anchor, COUNT(*) AS streak_len, MIN(day) AS start
+        |  FROM isl GROUP BY 1, 2),
+        |r AS (
+        |  SELECT user_id, streak_len, start, row_number() OVER
+        |    (PARTITION BY user_id ORDER BY streak_len DESC, start ASC) AS rk
+        |  FROM st)
+        |SELECT user_id, streak_len AS best_streak,
+        |  strftime(start, '%Y-%m-%d') AS streak_start
+        |FROM r WHERE rk = 1 ORDER BY user_id""".stripMargin,
+    // single flat running sum over boundary days — the restatement of
+    // the two-level prefix; windowed SUM is HUGEINT in DuckDB → cast
+    "ev_concurrency" ->
+      """WITH closes AS (
+        |  SELECT l_orderkey,
+        |    MAX(CAST(date_trunc('day', l_shipdate) AS DATE)) AS last_day
+        |  FROM lineitem GROUP BY 1),
+        |b AS (
+        |  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+        |    CAST(1 AS BIGINT) AS delta FROM orders
+        |  UNION ALL
+        |  SELECT last_day + 1, CAST(-1 AS BIGINT) FROM closes),
+        |daily AS (SELECT day, SUM(delta) AS d FROM b GROUP BY 1),
+        |r AS (
+        |  SELECT day, CAST(SUM(d) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS n_open
+        |  FROM daily)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, n_open
+        |FROM r ORDER BY n_open DESC, day LIMIT 20""".stripMargin,
+    // list_reduce is a seed-from-first left fold, matching Spark's
+    // aggregate() seeded with element 1 over the day-sorted list — the
+    // FP recurrence e_t = e_{t-1}*0.7 + n_t*0.3 associates identically
+    "ev_ewma" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |a AS (
+        |  SELECT event_type,
+        |    list_transform(list_sort(list(struct_pack(day := day, n := n))),
+        |      s -> CAST(s.n AS DOUBLE)) AS xs,
+        |    MAX(day) AS last_day
+        |  FROM daily GROUP BY 1)
+        |SELECT event_type, CAST(len(xs) AS INTEGER) AS n_days,
+        |  strftime(last_day, '%Y-%m-%d') AS last_day,
+        |  round(list_reduce(xs, (acc, x) -> acc * 0.7 + x * 0.3), 6) AS ewma
+        |FROM a ORDER BY event_type""".stripMargin,
     // same (ts, event_id)-pinned lead, counts on the bounded pair
     // space; SUM(BIGINT) comes back HUGEINT in DuckDB → cast, and the
     // probability is the same single exact-integer division
