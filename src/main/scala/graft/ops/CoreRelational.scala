@@ -762,7 +762,66 @@ object CoreRelational {
       .orderBy(col("day"))
   }
 
+  /** 2-D skyline (Pareto front) of distinct (price, size) part points:
+    * minimize price, maximize size. Rather than the naive O(n²)
+    * dominance self-join (the oracle), the engine uses the sort-sweep
+    * property — sorted by (price ASC, size DESC), a point survives iff
+    * its size strictly exceeds every earlier size — restated at scale
+    * with the TWO-LEVEL prefix idiom: price-bucketed intra-group
+    * running max plus a buckets-count-sized carry-in table (broadcast),
+    * so there is no single global window partition and no quadratic
+    * pair generation anywhere. Bucket boundaries are sound because
+    * every earlier bucket's price is strictly lower (floor(price/100)),
+    * making carry-in dominance strict in price by construction. */
+  def o10Skyline(s: SparkSession, d: String): DataFrame = {
+    val pts = Tables.part(s, d)
+      .groupBy(col("p_retailprice").as("price"), col("p_size").as("size"))
+      .agg(count(lit(1)).as("n_parts"))
+      .withColumn("gid", floor(col("price") / 100).cast("long"))
+    val wIn = Window.partitionBy("gid")
+      .orderBy(col("price").asc, col("size").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wOff = Window.orderBy("gid").rowsBetween(Window.unboundedPreceding, -1)
+    val offs = pts.groupBy("gid").agg(max(col("size")).as("g_max"))
+      .withColumn("g_prev", max(col("g_max")).over(wOff))
+      .select("gid", "g_prev")
+    pts.join(broadcast(offs), "gid")
+      .withColumn("best_before",
+        greatest(coalesce(max(col("size")).over(wIn), lit(Int.MinValue)),
+          coalesce(col("g_prev"), lit(Int.MinValue))))
+      .filter(col("size") > col("best_before"))
+      .select(col("price"), col("size"), col("n_parts"))
+      .orderBy(col("price"))
+  }
+
+  /** Benford first-digit audit over line-item amounts — the
+    * fraud-screening pass an ingest pipeline runs on reported financial
+    * figures (first-significant-digit frequencies against Benford's
+    * log₁₀(1+1/d) law). The digit is extracted from the DECIMAL(18,2)
+    * string rendering (no FP log in the classifier, so binning is
+    * exact in any engine); observed shares are exact-integer divisions
+    * via a 9-row window; only the irrational expected-share and the
+    * excess are rounded. ONE map-side-combined scan; everything after
+    * is digit-cardinality (≤9 rows). */
+  def dqBenford(s: SparkSession, d: String): DataFrame = {
+    val digits = Tables.lineitem(s, d)
+      .filter(col("l_extendedprice") > 0)
+      .groupBy(substring(col("l_extendedprice").cast("decimal(18,2)")
+        .cast("string"), 1, 1).cast("int").as("digit"))
+      .agg(count(lit(1)).as("n"))
+    val pObs = col("n").cast("double") /
+      sum(col("n")).over(Window.partitionBy()).cast("double")
+    val pExp = log10(lit(1.0) + lit(1.0) / col("digit").cast("double"))
+    digits.select(col("digit"), col("n"),
+        round(pObs, 6).as("p_obs"),
+        round(pExp, 6).as("p_benford"),
+        round(pObs - pExp, 6).as("excess"))
+      .orderBy(col("digit"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "o10_skyline"    -> o10Skyline _,
+    "dq_benford"     -> dqBenford _,
     "layout_zorder"  -> layoutZorder _,
     "profile_checksum" -> profileChecksum _,
     "u04_intersect"  -> u04Intersect _,
@@ -811,6 +870,36 @@ object CoreRelational {
     "w02_running"    -> w02Running _)
 
   val oracles: Map[String, String] = Map(
+    // the definitional NOT EXISTS dominance check over distinct points
+    // (quadratic is fine at oracle scale; the engine's sweep must
+    // reproduce it exactly)
+    "o10_skyline" ->
+      """WITH p AS (
+        |  SELECT p_retailprice AS price, p_size AS size, COUNT(*) AS n_parts
+        |  FROM part GROUP BY 1, 2)
+        |SELECT price, size, n_parts FROM p a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM p b
+        |  WHERE b.price <= a.price AND b.size >= a.size
+        |    AND (b.price < a.price OR b.size > a.size))
+        |ORDER BY price""".stripMargin,
+    // same decimal-string digit extraction; windowed SUM is HUGEINT in
+    // DuckDB → cast; p_obs is an exact integer division, p_benford the
+    // identical (1.0 + 1.0/d) expression tree rounded at 6
+    "dq_benford" ->
+      """WITH d AS (
+        |  SELECT CAST(substr(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+        |    COUNT(*) AS n
+        |  FROM lineitem WHERE l_extendedprice > 0 GROUP BY 1)
+        |SELECT digit, n,
+        |  round(CAST(n AS DOUBLE) / CAST(CAST(SUM(n) OVER () AS BIGINT)
+        |    AS DOUBLE), 6) AS p_obs,
+        |  round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS p_benford,
+        |  round(CAST(n AS DOUBLE) / CAST(CAST(SUM(n) OVER () AS BIGINT)
+        |      AS DOUBLE)
+        |    - log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS excess
+        |FROM d ORDER BY digit""".stripMargin,
     "u04_intersect" ->
       """SELECT o_custkey FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
