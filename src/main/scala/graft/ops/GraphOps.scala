@@ -360,7 +360,44 @@ object GraphOps {
       .orderBy(col("node"))
   }
 
+  /** Adamic–Adar link prediction over the customer–supplier bipartite
+    * projection: candidate supplier pairs score Σ 1/ln(deg(c)) over
+    * their shared customers — rare shared neighbors weigh more than
+    * promiscuous ones (the classic common-neighbor refinement used for
+    * "who will trade next" ranking). Same scale shape as
+    * [[graphCooccur]]: pair generation is the NARROW in-row expansion
+    * of each customer's sorted supplier list (never a bucket
+    * self-join), the weight 1/ln(deg) is computed once per customer
+    * from that row's own list size, and only (s1, s2, w) rides the
+    * pair shuffle. The FP score folds over a SORTED weight list
+    * (seeded 0.0 ≡ seed-from-first, identical association order to the
+    * oracle's list_reduce) and the top-20 cut sorts on the ROUNDED
+    * score with a unique (s1, s2) tiebreak. */
+  def graphLinkpred(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+    val cs = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
+      .distinct()
+    val pairs = cs.groupBy("c")
+      .agg(sort_array(collect_list(col("sk"))).as("ss"))
+      .filter(size(col("ss")) >= 2)
+      .withColumn("w", lit(1.0) / log(size(col("ss")).cast("double")))
+      .select(col("w"), explode(expr(
+        """flatten(transform(ss, (a, i) ->
+          |  transform(slice(ss, i + 2, size(ss)), b ->
+          |    struct(a AS s1, b AS s2))))""".stripMargin)).as("p"))
+      .select(col("p.s1"), col("p.s2"), col("w"))
+    pairs.groupBy("s1", "s2")
+      .agg(count(lit(1)).as("n_common"),
+        round(aggregate(sort_array(collect_list(col("w"))), lit(0.0),
+          (a, b) => a + b), 6).as("aa"))
+      .orderBy(col("aa").desc, col("s1").asc, col("s2").asc)
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_linkpred"  -> graphLinkpred _,
     "graph_cc"        -> graphComponents _,
     "graph_triangles" -> graphTriangles _,
     "graph_pagerank" -> graphPagerank _,
@@ -369,6 +406,26 @@ object GraphOps {
     "graph_paths"    -> graphPaths _)
 
   val oracles: Map[String, String] = Map(
+    // naive all-pairs restatement: equi-self-join on the shared
+    // customer, weight 1/ln(customer degree); list_reduce's
+    // seed-from-first fold over the sorted weights matches the
+    // engine's 0.0-seeded fold bit-for-bit (0.0 + w1 ≡ w1)
+    "graph_linkpred" ->
+      """WITH cs AS (
+        |  SELECT DISTINCT o_custkey AS c, l_suppkey AS sk
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |cd AS (SELECT c, COUNT(*) AS deg FROM cs GROUP BY 1),
+        |w AS (SELECT c, 1.0 / ln(CAST(deg AS DOUBLE)) AS w
+        |      FROM cd WHERE deg >= 2),
+        |pr AS (
+        |  SELECT a.sk AS s1, b.sk AS s2, w.w
+        |  FROM cs a
+        |  JOIN cs b ON a.c = b.c AND a.sk < b.sk
+        |  JOIN w ON w.c = a.c)
+        |SELECT s1, s2, COUNT(*) AS n_common,
+        |  round(list_reduce(list_sort(list(w)), (x, y) -> x + y), 6) AS aa
+        |FROM pr GROUP BY 1, 2
+        |ORDER BY aa DESC, s1, s2 LIMIT 20""".stripMargin,
     // reachability closure via recursive CTE; MIN over reachable node
     // ids = the engine's converged min-label — identical canonical id
     "graph_cc" ->
