@@ -26,6 +26,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // whole-operator extension: the native as-of join's planner rule
+    // (programmatic users get it lazily via graft.plans.Asof.join)
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
     ext.injectFunction((
       FunctionIdentifier("cosine_sim_native"),
       new ExpressionInfo(classOf[CosineSimilarity].getName,

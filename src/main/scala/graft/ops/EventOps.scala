@@ -521,7 +521,32 @@ object EventOps {
       .orderBy(col("user_id"))
   }
 
+  /** The same backward as-of attribution as [[evAsof]], but through the
+    * NATIVE [[graft.plans.Asof]] operator (custom LogicalPlan +
+    * SparkStrategy + merge SparkPlan) instead of the union+window
+    * composition — both catalog entries share one DuckDB `ASOF LEFT
+    * JOIN` oracle shape, pinning compositional ≡ native ≡ oracle. The
+    * native plan is two key-hash exchanges + per-partition (key, time)
+    * sorts + an O(|L|+|R|) merge with O(1) state — no union row
+    * inflation, no window buffer (see AsofJoinSpec's plan test). */
+  def evAsofNative(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).withColumn("tsu", unix_micros(col("ts")))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("tsu").as("purchase_tsu"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id").as("c_user"), col("tsu").as("click_tsu"))
+      .agg(max(col("event_id")).as("click_id"))
+    graft.plans.Asof.join(purchases, clicks,
+        Seq("user_id"), Seq("c_user"), "purchase_tsu", "click_tsu")
+      .select(col("purchase_id"), col("user_id"), col("purchase_tsu"),
+        col("click_id"), col("click_tsu"),
+        (col("purchase_tsu") - col("click_tsu")).as("gap_us"))
+      .orderBy(col("purchase_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_asof_native" -> evAsofNative _,
     "ev_rfm"         -> evRfm _,
     "ev_streaks"     -> evStreaks _,
     "ev_concurrency" -> evConcurrency _,
@@ -543,6 +568,23 @@ object EventOps {
     "ev_retention"   -> evRetention _)
 
   val oracles: Map[String, String] = Map(
+    // DuckDB's native ASOF LEFT JOIN — the same oracle shape as
+    // ev_asof, now checking the custom Catalyst operator
+    "ev_asof_native" ->
+      """WITH p AS (
+        |  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS purchase_tsu
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, epoch_us(ts) AS click_tsu,
+        |    max(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click'
+        |  GROUP BY user_id, epoch_us(ts))
+        |SELECT p.purchase_id, p.user_id, p.purchase_tsu,
+        |  c.click_id, c.click_tsu,
+        |  p.purchase_tsu - c.click_tsu AS gap_us
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.purchase_tsu >= c.click_tsu
+        |ORDER BY purchase_id""".stripMargin,
     // textbook ntile(5) with the same (metric, user_id) total order —
     // the engine's rank+closed-form must reproduce SQL ntile exactly;
     // DuckDB ntile/COUNT are BIGINT and date_diff argument order is

@@ -1,0 +1,188 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.metric.SQLMetrics
+import org.apache.spark.sql.graftbridge.PlanBridge
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** Backward as-of join as a NATIVE Catalyst operator — the (c) rung of
+  * the extension ladder (custom `LogicalPlan` + `SparkStrategy` +
+  * `SparkPlan`), used where composing built-ins genuinely changes the
+  * plan shape: the compositional as-of ([[graft.ops.EventOps.evAsof]],
+  * union + running-`last` window) materializes the unioned event
+  * stream through one window pass, while this operator is the classic
+  * streaming MERGE over two co-partitioned sorted children — no union
+  * row inflation, no window buffer, one forward pass per partition.
+  *
+  * Semantics (pandas `merge_asof` / DuckDB `ASOF LEFT JOIN`): for each
+  * left row, the single right row with equal key and the LARGEST right
+  * time ≤ the left time; left rows with no such partner keep NULL
+  * right columns. NULL keys and NULL times never match. Ties on equal
+  * right (key, time) must be pre-deduplicated by the caller — the
+  * match within an equal-time group is otherwise sort-nondeterministic
+  * (same caveat as DuckDB's ASOF).
+  *
+  * 100 TB posture: `requiredChildDistribution` clusters both children
+  * on the join key (EnsureRequirements aligns the two hash
+  * partitionings, AQE-coalescible like any equi-join shuffle) and
+  * `requiredChildOrdering` asks for (key, time) sort within
+  * partitions, so the merge itself is O(|L| + |R|) per partition with
+  * O(1) state — exactly a sort-merge join whose "match" is a running
+  * last-row cursor instead of a buffered group.
+  */
+case class AsofJoinPlan(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTime: Expression, rightTime: Expression) extends BinaryNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Planner rule: one-to-one lowering of [[AsofJoinPlan]]. */
+object AsofJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsofJoinPlan(l, r, lk, rk, lt, rt) =>
+      AsofJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Physical backward as-of join: co-partitioned on the key, both sides
+  * sorted by (key, time), merged in one pass per partition. Rows held
+  * across iterator steps are `copy()`-ed (sort/shuffle iterators reuse
+  * their `UnsafeRow` buffers); everything else is zero-allocation per
+  * row apart from the output projection. */
+case class AsofJoinExec(
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTime: Expression, rightTime: Expression,
+    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext,
+      "number of output rows"))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKeys :+ leftTime).map(SortOrder(_, org.apache.spark.sql.catalyst.expressions.Ascending)),
+    (rightKeys :+ rightTime).map(SortOrder(_, org.apache.spark.sql.catalyst.expressions.Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsofJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val keyTypes = leftKeys.map(_.dataType)
+    val timeType = leftTime.dataType
+    val leftOutput = left.output
+    val rightOutput = right.output
+    val lKeyExprs = leftKeys
+    val rKeyExprs = rightKeys
+    val lTimeExpr = leftTime
+    val rTimeExpr = rightTime
+    val allOutput = output
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(lKeyExprs, leftOutput)
+      val rKeyProj = UnsafeProjection.create(rKeyExprs, rightOutput)
+      val lTimeB = BindReferences.bindReference(lTimeExpr, leftOutput)
+      val rTimeB = BindReferences.bindReference(rTimeExpr, rightOutput)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      val timeOrd = TypeUtils.getInterpretedOrdering(timeType)
+      val nullRight = new GenericInternalRow(rightOutput.size)
+      val joined = new JoinedRow
+      val resultProj = UnsafeProjection.create(allOutput, allOutput)
+
+      // the peeked right row (always a private copy), its key, its time
+      var rRow: InternalRow = null
+      var rKey: UnsafeRow = null
+      var rTimeV: Any = null
+      def advanceRight(): Unit = {
+        rRow = null; rKey = null; rTimeV = null
+        while (rRow == null && rIter.hasNext) {
+          val r = rIter.next()
+          val k = rKeyProj(r)
+          val tv = rTimeB.eval(r)
+          if (!k.anyNull && tv != null) {
+            rRow = r.copy(); rKey = k.copy(); rTimeV = tv
+          }
+        }
+      }
+      advanceRight()
+
+      // running best match for the CURRENT left key
+      var mRow: InternalRow = null
+      var mKey: UnsafeRow = null
+      lIter.map { l =>
+        val lk = lKeyProj(l)
+        val lt = lTimeB.eval(l)
+        numOutputRows += 1
+        if (lk.anyNull || lt == null) {
+          resultProj(joined(l, nullRight))
+        } else {
+          if (mKey != null && keyOrd.compare(mKey, lk) != 0) {
+            mRow = null; mKey = null
+          }
+          while (rKey != null && keyOrd.compare(rKey, lk) < 0) advanceRight()
+          while (rKey != null && keyOrd.compare(rKey, lk) == 0 &&
+              timeOrd.lteq(rTimeV, lt)) {
+            mRow = rRow; mKey = rKey
+            advanceRight()
+          }
+          resultProj(joined(l, if (mRow != null) mRow else nullRight))
+        }
+      }
+    }
+  }
+}
+
+/** Public entry point: `Asof.join(trades, quotes, Seq("sym"), Seq("sym"),
+  * "t", "qt")` — resolves the named columns against each side, gives
+  * the right side fresh expression ids (so self-joins can never alias),
+  * registers the planner strategy on the session, and returns the
+  * DataFrame of the custom plan. Right-side column names that collide
+  * with left names should be renamed by the caller first. */
+object Asof {
+  def join(left: DataFrame, right: DataFrame,
+      leftOn: Seq[String], rightOn: Seq[String],
+      leftTimeCol: String, rightTimeCol: String): DataFrame = {
+    val spark = left.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    if (!spark.experimental.extraStrategies.contains(AsofJoinStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsofJoinStrategy
+    }
+    // Alias-project every right column: Alias mints fresh ExprIds, so
+    // left/right outputs are disjoint even when both derive from the
+    // same Dataset
+    val r2 = right.select(right.columns.toSeq.map(n => right.col(n).as(n)): _*)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = r2.queryExecution.analyzed
+    def attr(plan: LogicalPlan, n: String): Attribute =
+      plan.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"asof join: column '$n' not found in [${plan.output.map(_.name).mkString(", ")}]"))
+    PlanBridge.ofRows(spark, AsofJoinPlan(lPlan, rPlan,
+      leftOn.map(attr(lPlan, _)), rightOn.map(attr(rPlan, _)),
+      attr(lPlan, leftTimeCol), attr(rPlan, rightTimeCol)))
+  }
+}

@@ -1,0 +1,104 @@
+package graft.plans
+
+import graft.{SparkFunSuite, Tables}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+
+/** The native as-of join operator: semantics (backward match, NULL
+  * padding, null keys/times, duplicate left times), plan shape (the
+  * custom exec node, key-hash exchanges, (key, time) sorts — no union,
+  * no window), and equivalence with the compositional as-of
+  * ([[graft.ops.EventOps.evAsof]]) on the real events table. */
+class AsofJoinSpec extends SparkFunSuite with AdaptiveSparkPlanHelper {
+  import spark.implicits._
+
+  private def trades = Seq(
+    (1L, 10L, "t1"), (1L, 20L, "t2"), (1L, 5L, "t0"),
+    (2L, 7L, "t3"), (3L, 100L, "t4"))
+    .toDF("sym", "t", "trade")
+
+  private def quotes = Seq(
+    (1L, 8L, 1.0), (1L, 10L, 2.0), (1L, 15L, 3.0),
+    (2L, 9L, 4.0), (4L, 1L, 5.0))
+    .toDF("sym", "qt", "quote")
+
+  test("backward semantics: latest right time <= left time, per key") {
+    val out = Asof.join(trades, quotes.withColumnRenamed("sym", "qsym"),
+        Seq("sym"), Seq("qsym"), "t", "qt")
+      .select("sym", "t", "qt", "quote").orderBy("sym", "t")
+    assert(out.collect().toSeq === Seq(
+      Row(1L, 5L, null, null),      // before any quote
+      Row(1L, 10L, 10L, 2.0),       // tie: qt == t matches
+      Row(1L, 20L, 15L, 3.0),       // latest of the three
+      Row(2L, 7L, null, null),      // key exists, all quotes later
+      Row(3L, 100L, null, null)))   // key has no quotes at all
+  }
+
+  test("null keys and null times never match; right nulls are skipped") {
+    val l = Seq((Some(1L), Some(10L)), (None, Some(10L)), (Some(1L), None))
+      .toDF("k", "t")
+    val r = Seq((Some(1L), Some(5L), "a"), (None, Some(1L), "n"),
+        (Some(1L), None, "x"))
+      .toDF("rk", "rt", "v")
+    val out = Asof.join(l, r, Seq("k"), Seq("rk"), "t", "rt")
+      .select("k", "t", "v").collect().toSet
+    assert(out === Set(
+      Row(1L, 10L, "a"),   // real match
+      Row(null, 10L, null), // null left key
+      Row(1L, null, null))) // null left time
+  }
+
+  test("duplicate left times each get the same match; match resets per key") {
+    val l = Seq((1L, 10L), (1L, 10L), (2L, 10L)).toDF("k", "t")
+    val r = Seq((1L, 9L, "a"), (2L, 3L, "b")).toDF("rk", "rt", "v")
+    val out = Asof.join(l, r, Seq("k"), Seq("rk"), "t", "rt")
+      .select("k", "v").collect().toSeq.sortBy(_.getLong(0))
+    assert(out === Seq(Row(1L, "a"), Row(1L, "a"), Row(2L, "b")))
+  }
+
+  test("plan: custom exec node, two key-hash exchanges, no window/union") {
+    val df = Asof.join(trades, quotes.withColumnRenamed("sym", "qsym"),
+      Seq("sym"), Seq("qsym"), "t", "qt")
+    df.collect() // finalize AQE
+    val plan = df.queryExecution.executedPlan
+    assert(collectWithSubqueries(plan) {
+      case e: AsofJoinExec => e }.size === 1)
+    val shuffles = collectWithSubqueries(plan) {
+      case e: ShuffleExchangeExec => e }
+    assert(shuffles.size === 2, s"expected 2 key shuffles, got:\n$plan")
+    val s = plan.toString
+    assert(!s.contains("Window") && !s.contains("Union"),
+      s"compositional shapes leaked into the native plan:\n$s")
+  }
+
+  test("matches the compositional window as-of on the events table") {
+    val ev = Tables.events(spark, sfDir).withColumn("tsu", unix_micros(col("ts")))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("tsu"), col("event_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id").as("c_user"), col("tsu").as("c_tsu"))
+      .agg(max(col("event_id")).as("click_id"))
+    val native = Asof.join(purchases, clicks,
+        Seq("user_id"), Seq("c_user"), "tsu", "c_tsu")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("tsu").as("purchase_tsu"), col("click_id"),
+        col("c_tsu").as("click_tsu"))
+    val comp = graft.ops.EventOps.evAsof(spark, sfDir)
+      .select("purchase_id", "user_id", "purchase_tsu", "click_id",
+        "click_tsu")
+    assert(native.count() === comp.count())
+    assert(native.exceptAll(comp).isEmpty && comp.exceptAll(native).isEmpty)
+  }
+
+  test("self-join: both sides from the same Dataset resolve cleanly") {
+    val ev = Seq((1L, 5L, "a"), (1L, 9L, "b")).toDF("k", "t", "v")
+    val out = Asof.join(
+      ev.select(col("k"), col("t"), col("v")),
+      ev.select(col("k").as("rk"), col("t").as("rt"), col("v").as("rv")),
+      Seq("k"), Seq("rk"), "t", "rt")
+    // each row matches itself (rt == t is a tie-match)
+    assert(out.filter(col("v") === col("rv")).count() === 2)
+  }
+}
