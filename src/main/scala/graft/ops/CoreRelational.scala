@@ -819,7 +819,28 @@ object CoreRelational {
       .orderBy(col("digit"))
   }
 
+  /** Diversified top-k: the 20 highest-value orders with AT MOST TWO
+    * per customer — the result-diversification shape search/feed
+    * ranking uses so one heavy key can't monopolize the page. The
+    * per-customer cap is a KEYED row_number (scale-safe window), which
+    * Catalyst rewrites to a WindowGroupLimit (rank-limit pushdown: each
+    * partition keeps ≤2 rows per key BEFORE the full sort — Spark
+    * 3.5+'s InferWindowGroupLimit); the final cut is a
+    * TakeOrderedAndProject, never a global sort of the survivors. */
+  def o11Diversify(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("rn").as("cust_rank"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "o11_diversify"  -> o11Diversify _,
     "o10_skyline"    -> o10Skyline _,
     "dq_benford"     -> dqBenford _,
     "layout_zorder"  -> layoutZorder _,
@@ -870,6 +891,17 @@ object CoreRelational {
     "w02_running"    -> w02Running _)
 
   val oracles: Map[String, String] = Map(
+    // DuckDB row_number is BIGINT → cast to match Spark's INT
+    "o11_diversify" ->
+      """WITH r AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |SELECT o_orderkey, o_custkey, o_totalprice,
+        |  CAST(rn AS INTEGER) AS cust_rank
+        |FROM r WHERE rn <= 2
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
     // the definitional NOT EXISTS dominance check over distinct points
     // (quadratic is fine at oracle scale; the engine's sweep must
     // reproduce it exactly)
