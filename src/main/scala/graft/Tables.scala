@@ -17,19 +17,28 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** The events table carries a nanosecond-precision parquet timestamp,
-    * which Spark's vectorized reader rejects. Read it as a long
-    * (legacy nanosAsLong), then materialize a microsecond TimestampType
-    * `ts` column (truncation — matches DuckDB's CAST(ts_ns AS TIMESTAMP)).
-    */
+  /** The events table's `ts` column has shipped in several physical
+    * parquet forms across driver testdata generations: nanosecond
+    * precision (which Spark's vectorized reader rejects — read as long
+    * via legacy nanosAsLong, truncate to micros), microsecond with
+    * isAdjustedToUTC=false (Spark reads TIMESTAMP_NTZ), and plain
+    * UTC-adjusted micros. Normalize all three to a microsecond
+    * TimestampType `ts` so every downstream operator sees one type.
+    * The session timezone is pinned to UTC everywhere (Graft/Bench/
+    * Verify/tests), so the NTZ→LTZ cast is value-preserving and
+    * matches DuckDB's naive-TIMESTAMP reading of the same file. */
   private def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.LongType
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   /** Spread a scan across the cluster before a compute-heavy narrow
