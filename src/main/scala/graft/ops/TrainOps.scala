@@ -645,8 +645,72 @@ object TrainOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Distributed Naive-Bayes quality classifier — the fastText-style
+    * model-based curation gate (the reference pipelines gate on hand
+    * rules only; every modern pretraining mix trains a cheap linear
+    * classifier on seed labels and scores the whole corpus with it).
+    *
+    * Train and score in one DataFrame DAG, all aggregations partial:
+    *  - seed labels: the deterministic heuristic quality gate
+    *    (score ≥ 0.25 → positive) stands in for the curated
+    *    wiki-vs-raw seed sets a production run would join in;
+    *  - model: per-token class counts with add-one smoothing — ONE
+    *    hash-agg to the (token, c_hi, c_lo) table, which is
+    *    VOCABULARY-sized (≪ corpus) and is the entire model state;
+    *  - score: fold the token stream to per-doc (tok, n) counts first
+    *    (the unigram-LM trade — the vocab join's probe side shrinks by
+    *    the in-doc repetition factor, defusing the Zipf-key skew that
+    *    a per-occurrence join would hit), join the model on `tok`
+    *    (AQE handles residual skew), and sum n·(log-likelihood ratio)
+    *    per doc. Priors and smoothing totals ride 1-row broadcasts.
+    *
+    * 100 TB posture: two corpus scans (label+tokenize, score join),
+    * both partial-agg'd; no window, no pairwise blowup; the model is a
+    * bounded artifact that a production run would persist and reuse
+    * across corpus versions. FP: llr rounds to the 1e-6 grid (the
+    * unigram-LM precedent); pred compares the unrounded sum against 0
+    * identically in both engines. */
+  def textClassifierNb(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(s, d))
+      .select(col("doc_id"), col("text"),
+        (TextAnalysis.quality_score(col("text")) >= 0.25).cast("int")
+          .as("y"))
+    val dt = docs
+      .select(col("doc_id"), col("y"),
+        explode(expr(
+          "filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')"))
+          .as("tok"))
+      .groupBy("doc_id", "y", "tok").agg(count(lit(1)).as("n"))
+    val ct = dt.groupBy("tok").agg(
+      sum(when(col("y") === 1, col("n")).otherwise(0L)).as("c_hi"),
+      sum(when(col("y") === 0, col("n")).otherwise(0L)).as("c_lo"))
+    val consts = ct.agg(
+      sum("c_hi").cast("double").as("t_hi"),
+      sum("c_lo").cast("double").as("t_lo"),
+      count(lit(1)).cast("double").as("v"))
+    val pri = docs.agg(
+      sum("y").cast("double").as("d_hi"),
+      (count(lit(1)) - sum("y")).cast("double").as("d_lo"))
+    val sc = dt.join(ct, "tok")
+      .crossJoin(broadcast(consts))
+      .groupBy("doc_id")
+      .agg(sum(col("n").cast("double") *
+        (log((col("c_hi") + lit(1)) / (col("t_hi") + col("v"))) -
+          log((col("c_lo") + lit(1)) / (col("t_lo") + col("v"))))).as("s"))
+    docs.select("doc_id", "y")
+      .join(sc, Seq("doc_id"), "left")
+      .crossJoin(broadcast(pri))
+      .withColumn("llr_raw",
+        coalesce(col("s"), lit(0.0)) + log(col("d_hi") / col("d_lo")))
+      .select(col("doc_id"), col("y").as("label"),
+        round(col("llr_raw"), 6).as("llr"),
+        (col("llr_raw") > 0).cast("int").as("pred"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_diff"        -> corpusDiff _,
+    "text_classifier_nb" -> textClassifierNb _,
     "pack_chunks"        -> packChunks _,
     "pack_windows"       -> packWindows _,
     "pack_manifest"      -> packManifest _,
@@ -705,6 +769,58 @@ object TrainOps {
       |  FROM p)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // NB training replayed end-to-end: the heuristic-gate seed labels,
+    // the add-one-smoothed per-class token counts, and the per-doc
+    // folded (tok, n) · log-likelihood-ratio sum; pred compares the
+    // unrounded sum like the Spark side, llr pins to the 1e-6 grid.
+    "text_classifier_nb" ->
+      """WITH q AS (
+        |  SELECT doc_id, text,
+        |    length(text) AS n_chars2,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_words,
+        |    len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+        |    len(regexp_extract_all(lower(text),
+        |      '\b(the|a|an|of|to|in|and|is|it|that|for|on|was|with|as|at|be|this|are|or)\b')) AS n_stop
+        |  FROM documents),
+        |lab AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN round(least(CAST(n_words AS DOUBLE) / 20.0, 1.0)
+        |      * least(round(CAST(n_stop AS DOUBLE) / greatest(n_words, 1), 6) * 4.0, 1.0)
+        |      * greatest(0.0, 1.0 - round(CAST(n_punct AS DOUBLE) / greatest(n_chars2, 1), 6) * 4.0), 6) >= 0.25
+        |    THEN 1 ELSE 0 END AS y
+        |  FROM q),
+        |toks AS (
+        |  SELECT doc_id, y, UNNEST(list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'), t -> t != '')) AS tok
+        |  FROM lab),
+        |dt AS (SELECT doc_id, y, tok, COUNT(*) AS n FROM toks GROUP BY 1, 2, 3),
+        |ct AS (
+        |  SELECT tok,
+        |    CAST(SUM(CASE WHEN y = 1 THEN n ELSE 0 END) AS BIGINT) AS c_hi,
+        |    CAST(SUM(CASE WHEN y = 0 THEN n ELSE 0 END) AS BIGINT) AS c_lo
+        |  FROM dt GROUP BY tok),
+        |consts AS (
+        |  SELECT CAST(SUM(c_hi) AS DOUBLE) AS t_hi,
+        |    CAST(SUM(c_lo) AS DOUBLE) AS t_lo,
+        |    CAST(COUNT(*) AS DOUBLE) AS v
+        |  FROM ct),
+        |pri AS (
+        |  SELECT CAST(SUM(y) AS DOUBLE) AS d_hi,
+        |    CAST(COUNT(*) - SUM(y) AS DOUBLE) AS d_lo
+        |  FROM lab),
+        |sc AS (
+        |  SELECT dt.doc_id,
+        |    SUM(CAST(n AS DOUBLE) * (ln((c_hi + 1) / (t_hi + v))
+        |      - ln((c_lo + 1) / (t_lo + v)))) AS s
+        |  FROM dt JOIN ct USING (tok), consts
+        |  GROUP BY dt.doc_id)
+        |SELECT lab.doc_id, CAST(y AS INTEGER) AS label,
+        |  round(coalesce(s, 0) + ln(d_hi / d_lo), 6) AS llr,
+        |  CAST(CASE WHEN coalesce(s, 0) + ln(d_hi / d_lo) > 0
+        |       THEN 1 ELSE 0 END AS INTEGER) AS pred
+        |FROM lab LEFT JOIN sc ON lab.doc_id = sc.doc_id, pri
+        |ORDER BY lab.doc_id""".stripMargin,
     "corpus_diff" ->
       """WITH old AS (
         |  SELECT doc_id, source, md5(text) AS fp_old
