@@ -51,7 +51,18 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val detail =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+    println(detail)
+    // Durable per-query map: stdout capture windows have truncated the
+    // long line (and even the per-query lines) in past rounds, so the
+    // full map is ALSO written to a committed file that no capture
+    // window can eat. Path overridable for local experiments.
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+      "BENCH_DETAIL.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+      (detail + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
     // Durable per-query times: the long line above can be head-truncated
     // by the driver's tail capture, so ALSO emit each query as its own
     // short line — every one survives a tail capture individually.

@@ -184,3 +184,98 @@ object GramStats {
     call_function("gram_stats_native", grams)
   }
 }
+
+/** Native single-pass replay of
+  * `regexp_count(text, '\w{1,4}|[^\w\s]')` — the BPE-ish subword
+  * token-count proxy. The alternation makes Java's regex engine try
+  * `\w{1,4}` (greedy, with backtracking bookkeeping) at EVERY
+  * position, so the regex form costs several engine transitions per
+  * byte on a corpus scan; the closed form below is one branch per
+  * UTF-8 byte. Counting rule (exactly the regex's leftmost-greedy
+  * match sequence): each maximal run of word chars [A-Za-z0-9_]
+  * contributes ceil(len/4) matches, and every other non-whitespace
+  * CODE POINT contributes 1 (Java regex character classes match per
+  * code point; `\w`/`\s` are ASCII-only without UNICODE_CHARACTER_
+  * CLASS, so any non-ASCII code point is a 1-match "other"). */
+case class BpeTokenCount(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes with Serializable {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+
+  override def dataType: DataType = IntegerType
+
+  // non-nullable: null text counts 0 tokens, the empty-doc gate value
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    BpeTokenCount.compute(if (v == null) null else v.asInstanceOf[UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${c.code}
+      int ${ev.value} = graft.functions.expressions.BpeTokenCount.compute(
+        ${c.isNull} ? null : ${c.value});
+    """, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BpeTokenCount = copy(child = newChild)
+}
+
+object BpeTokenCount {
+
+  /** One pass over the RAW UTF-8 bytes — both regex classes are
+    * ASCII-only, so byte inspection decides everything: ASCII word
+    * byte extends the current word run (flushed as ceil(run/4)), the
+    * five ASCII whitespace chars (Java `\s` = space \t \n \x0B \f \r)
+    * close it, any other ASCII byte is one "other" match, a UTF-8
+    * LEAD byte (>= 0xC0) is one "other" match per code point, and
+    * continuation bytes (0x80–0xBF) are skipped. No string decode, no
+    * regex engine, no per-row allocation. */
+  def compute(text: UTF8String): Int = {
+    if (text == null) return 0
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    val n = text.numBytes()
+    var count = 0
+    var run = 0
+    var i = 0
+    while (i < n) {
+      val b = org.apache.spark.unsafe.Platform.getByte(base, off + i)
+      val isWord = (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') ||
+        (b >= '0' && b <= '9') || b == '_'
+      if (isWord) {
+        run += 1
+      } else {
+        if (run > 0) { count += (run + 3) / 4; run = 0 }
+        val isSpace = b == ' ' || b == '\t' || b == '\n' || b == 0x0B ||
+          b == '\f' || b == '\r'
+        // non-space ASCII punct (b >= 0), or a UTF-8 lead byte
+        // (0xC0–0xFF sign-extends to [-64,-1] — one count per code
+        // point); continuation bytes (0x80–0xBF → [-128,-65]) skip
+        if (!isSpace && b >= -64) count += 1
+      }
+      i += 1
+    }
+    if (run > 0) count += (run + 3) / 4
+    count
+  }
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bpe_token_count_native",
+      exprs => {
+        require(exprs.length == 1,
+          s"bpe_token_count_native expects exactly 1 argument, got ${exprs.length}")
+        BpeTokenCount(exprs.head)
+      }, "built-in")
+
+  def bpe_token_count(spark: SparkSession, text: Column): Column = {
+    register(spark)
+    call_function("bpe_token_count_native", text)
+  }
+}

@@ -612,6 +612,63 @@ object CoreRelational {
       .orderBy(col("col_name"))
   }
 
+  /** One-pass Pearson correlation panel over the fact table — the
+    * numeric-profiling companion to [[profileTable]]: for each
+    * l_returnflag group, r(quantity, extendedprice) and r(discount,
+    * extendedprice) from a SINGLE scan of sufficient statistics
+    * (n, Σx, Σy, Σx², Σy², Σxy).
+    *
+    * Cross-engine FP without sorted folds: every input is cast to
+    * DECIMAL(18,2) first, so all six sums are EXACT decimal arithmetic
+    * — commutative, partition-order-free, bit-identical in any engine
+    * — and the floating-point work is a fixed expression tree over six
+    * exact scalars per group (then a 1e-6 round as belt-and-braces).
+    * This is the same exactness trick as ev_window_agg's decimal sum,
+    * extended to second moments: the ONLY way a distributed corr can
+    * hash-match a single-threaded oracle without pinning partition
+    * order (Spark's built-in `corr` accumulates doubles in shuffle
+    * order — unusable for a bit-exact compare).
+    *
+    * 100 TB posture: one narrow scan + one map-side-combined hash agg
+    * on a low-cardinality key; the panel explode is per-group in-row.
+    */
+  def profileCorr(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_returnflag"),
+      col("l_quantity").cast("decimal(18,2)").as("q"),
+      col("l_extendedprice").cast("decimal(18,2)").as("p"),
+      col("l_discount").cast("decimal(18,2)").as("disc"))
+    val a = li.groupBy("l_returnflag").agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("q")).cast("double").as("sq"),
+      sum(col("p")).cast("double").as("sp"),
+      sum(col("disc")).cast("double").as("sd"),
+      sum(col("q") * col("q")).cast("double").as("sqq"),
+      sum(col("p") * col("p")).cast("double").as("spp"),
+      sum(col("disc") * col("disc")).cast("double").as("sdd"),
+      sum(col("q") * col("p")).cast("double").as("sqp"),
+      sum(col("disc") * col("p")).cast("double").as("sdp"))
+    // try_divide: a zero-variance column yields NULL (SQL corr()'s
+    // convention), not an ANSI divide-by-zero error; oracle CASEs the
+    // same zero-denominator check
+    def r(sxy: Column, sx: Column, sy: Column,
+        sxx: Column, syy: Column): Column =
+      round(try_divide(col("n") * sxy - sx * sy,
+        sqrt(col("n") * sxx - sx * sx) *
+          sqrt(col("n") * syy - sy * sy)), 6)
+    a.select(col("l_returnflag"), explode(array(
+        struct(lit("quantity").as("x_col"),
+          lit("extendedprice").as("y_col"),
+          r(col("sqp"), col("sq"), col("sp"), col("sqq"), col("spp"))
+            .as("r")),
+        struct(lit("discount").as("x_col"),
+          lit("extendedprice").as("y_col"),
+          r(col("sdp"), col("sd"), col("sp"), col("sdd"), col("spp"))
+            .as("r")))).as("c"))
+      .select(col("l_returnflag"), col("c.x_col"), col("c.y_col"),
+        col("c.r"))
+      .orderBy(col("l_returnflag"), col("c.x_col"))
+  }
+
   /** Data-quality expectation suite — the Deequ-style constraint
     * check that gates every load the reference performs with ad-hoc
     * rowcount asserts (import_bigquery/main.py's validate step): each
@@ -845,6 +902,7 @@ object CoreRelational {
     "dq_benford"     -> dqBenford _,
     "layout_zorder"  -> layoutZorder _,
     "profile_checksum" -> profileChecksum _,
+    "profile_corr"   -> profileCorr _,
     "u04_intersect"  -> u04Intersect _,
     "u05_except"     -> u05Except _,
     "p14_aboveavg"   -> p14AboveAvg _,
@@ -988,6 +1046,44 @@ object CoreRelational {
     },
     // replayed row hash: the 13-nibble md5 integer (exact below 2^53)
     // xor-combined per month — order-independent on both engines
+    // exact DECIMAL sufficient statistics → the same fixed double
+    // expression tree per group; the round(…,6) is belt-and-braces
+    "profile_corr" ->
+      """WITH c AS (
+        |  SELECT l_returnflag,
+        |    CAST(l_quantity AS DECIMAL(18,2)) AS q,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS p,
+        |    CAST(l_discount AS DECIMAL(18,2)) AS disc
+        |  FROM lineitem),
+        |a AS (
+        |  SELECT l_returnflag,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(q) AS DOUBLE) AS sq,
+        |    CAST(SUM(p) AS DOUBLE) AS sp,
+        |    CAST(SUM(disc) AS DOUBLE) AS sd,
+        |    CAST(SUM(q * q) AS DOUBLE) AS sqq,
+        |    CAST(SUM(p * p) AS DOUBLE) AS spp,
+        |    CAST(SUM(disc * disc) AS DOUBLE) AS sdd,
+        |    CAST(SUM(q * p) AS DOUBLE) AS sqp,
+        |    CAST(SUM(disc * p) AS DOUBLE) AS sdp
+        |  FROM c GROUP BY 1)
+        |SELECT l_returnflag, 'quantity' AS x_col,
+        |  'extendedprice' AS y_col,
+        |  round(CASE WHEN sqrt(n * sqq - sq * sq)
+        |               * sqrt(n * spp - sp * sp) = 0 THEN NULL
+        |    ELSE (n * sqp - sq * sp) /
+        |      (sqrt(n * sqq - sq * sq) * sqrt(n * spp - sp * sp))
+        |    END, 6) AS r
+        |FROM a
+        |UNION ALL
+        |SELECT l_returnflag, 'discount', 'extendedprice',
+        |  round(CASE WHEN sqrt(n * sdd - sd * sd)
+        |               * sqrt(n * spp - sp * sp) = 0 THEN NULL
+        |    ELSE (n * sdp - sd * sp) /
+        |      (sqrt(n * sdd - sd * sd) * sqrt(n * spp - sp * sp))
+        |    END, 6)
+        |FROM a
+        |ORDER BY l_returnflag, x_col""".stripMargin,
     "profile_checksum" ->
       """WITH c AS (
         |  SELECT strftime(o_orderdate, '%Y-%m') AS month,

@@ -588,7 +588,15 @@ object DedupOps {
     * [[cappedBucketPairs]] cap as the adversarial-skew guard; the
     * per-pair Levenshtein verify runs on the candidate set only —
     * never the O(n²) cross product a naive fuzzy join implies. */
-  def dedupFuzzy(s: SparkSession, d: String): DataFrame = {
+  def dedupFuzzy(s: SparkSession, d: String): DataFrame =
+    fuzzyVerifiedPairs(s, d)
+      .select(col("a_key"), col("b_key"), col("name_a"), col("name_b"),
+        col("dist"))
+      .orderBy(col("a_key"), col("b_key"))
+
+  /** The SymSpell-blocked, Levenshtein-verified candidate pipeline
+    * shared by [[dedupFuzzy]] and [[dedupJaroWinkler]]. */
+  private def fuzzyVerifiedPairs(s: SparkSession, d: String): DataFrame = {
     val names = Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
     val keyed = names.select(col("c_custkey"),
       explode(expr(
@@ -608,13 +616,33 @@ object DedupOps {
         col("c_name").as("name_b")), Seq("b_key"))
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
       .filter(col("dist") <= 1)
-      .select(col("a_key"), col("b_key"), col("name_a"), col("name_b"),
-        col("dist"))
-      .orderBy(col("a_key"), col("b_key"))
   }
+
+  /** Fuzzy linkage re-ranked by Jaro–Winkler similarity — the
+    * record-linkage scoring stage layered on [[dedupFuzzy]]'s
+    * provable-recall candidate set: the SymSpell deletion-neighborhood
+    * block still guarantees every distance-≤1 pair is a candidate (so
+    * the quadratic oracle must agree on the SET), and the native
+    * [[graft.functions.expressions.JaroWinkler]] codegen expression
+    * (DuckDB-pinned semantics) scores each surviving pair for
+    * downstream match/review thresholds — Winkler's prefix boost
+    * separates "edit in the id digits" from "edit up front", which a
+    * raw edit distance cannot.
+    *
+    * 100 TB posture: identical to dedup_fuzzy (ids+short keys on the
+    * shuffle, capped buckets, candidate-only verify); the JW score is
+    * one narrow codegen'd expression over already-joined name pairs. */
+  def dedupJaroWinkler(s: SparkSession, d: String): DataFrame =
+    fuzzyVerifiedPairs(s, d)
+      .select(col("a_key"), col("b_key"), col("name_a"), col("name_b"),
+        col("dist"),
+        round(graft.functions.expressions.JaroWinkler.jaro_winkler(s,
+          col("name_a"), col("name_b")), 6).as("jw"))
+      .orderBy(col("a_key"), col("b_key"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_fuzzy"      -> dedupFuzzy _,
+    "dedup_jarowinkler" -> dedupJaroWinkler _,
     "dedup_bloom"      -> dedupBloom _,
     "dedup_semantic"   -> dedupSemantic _,
     "dedup_substr"     -> dedupSubstr _,
@@ -636,6 +664,17 @@ object DedupOps {
       """SELECT a.c_custkey AS a_key, b.c_custkey AS b_key,
         |  a.c_name AS name_a, b.c_name AS name_b,
         |  CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+        |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY a_key, b_key""".stripMargin,
+    // same provable-recall candidate set; DuckDB's native
+    // jaro_winkler_similarity replays the engine's codegen expression
+    // (semantics pinned: window, transpositions, 0.7 boost gate)
+    "dedup_jarowinkler" ->
+      """SELECT a.c_custkey AS a_key, b.c_custkey AS b_key,
+        |  a.c_name AS name_a, b.c_name AS name_b,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist,
+        |  round(jaro_winkler_similarity(a.c_name, b.c_name), 6) AS jw
         |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY a_key, b_key""".stripMargin,

@@ -355,6 +355,39 @@ object EventOps {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** Behavioral sequence-pattern mining: per user, the time-ordered
+    * event stream folded to an initial-letter string (c/e/p/s/v), then
+    * counted for funnel motifs — the strict `v→c→p` conversion
+    * (adjacent view, click, purchase) and the browse-loop `vv+c`
+    * (views directly rechained into a click). The regex runs ONCE per
+    * user over a bounded string instead of a self-join per motif step
+    * — the ClickHouse `sequenceCount` shape restated on Spark.
+    *
+    * Determinism: the sequence order is (ts, event_id) — a total order
+    * (event_id unique) — built via `array_sort(collect_list(struct))`,
+    * so both engines fold the same string; match counts are
+    * non-overlapping leftmost (Java and RE2 agree on these patterns:
+    * no alternation, greedy `v+` over a disjoint follow set).
+    *
+    * 100 TB posture: one user-keyed hash agg (map-side combinable
+    * collect) + a narrow per-row regex — no window, no join; the
+    * per-user string is bounded by per-user activity (the same
+    * boundedness assumption every sessionization/funnel op here makes;
+    * time-slice the input for pathological always-on keys). */
+  def evSeqmatch(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("user_id"),
+        struct(col("ts"), col("event_id"),
+          substring(col("event_type"), 1, 1).as("ini")).as("e"))
+      .groupBy("user_id")
+      .agg(array_sort(collect_list(col("e"))).as("es"))
+      .select(col("user_id"),
+        expr("array_join(transform(es, x -> x.ini), '')").as("seq"))
+      .select(col("user_id"), length(col("seq")).as("n_events"),
+        regexp_count(col("seq"), lit("vcp")).as("n_convert"),
+        regexp_count(col("seq"), lit("vv+c")).as("n_browse"))
+      .orderBy(col("user_id"))
+
   /** Longest consecutive-day activity streak per user — the
     * gaps-and-islands idiom: distinct active days, then
     * `day - row_number()` is constant exactly within a consecutive run,
@@ -551,6 +584,7 @@ object EventOps {
     "ev_streaks"     -> evStreaks _,
     "ev_concurrency" -> evConcurrency _,
     "ev_ewma"        -> evEwma _,
+    "ev_seqmatch"    -> evSeqmatch _,
     "ev_transitions" -> evTransitions _,
     "ev_merge_partials" -> evMergePartials _,
     "ev_attribution" -> evAttribution _,
@@ -680,6 +714,21 @@ object EventOps {
     // same (ts, event_id)-pinned lead, counts on the bounded pair
     // space; SUM(BIGINT) comes back HUGEINT in DuckDB → cast, and the
     // probability is the same single exact-integer division
+    // string_agg ORDER BY (ts, event_id) replays the engine's
+    // array_sort(collect_list(struct)) total order; RE2 and Java count
+    // the same non-overlapping leftmost matches for these motifs
+    "ev_seqmatch" ->
+      """WITH seq AS (
+        |  SELECT user_id,
+        |    string_agg(substr(event_type, 1, 1), ''
+        |      ORDER BY ts, event_id) AS seq
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, CAST(length(seq) AS INTEGER) AS n_events,
+        |  CAST(len(regexp_extract_all(seq, 'vcp')) AS INTEGER)
+        |    AS n_convert,
+        |  CAST(len(regexp_extract_all(seq, 'vv+c')) AS INTEGER)
+        |    AS n_browse
+        |FROM seq ORDER BY user_id""".stripMargin,
     "ev_transitions" ->
       """WITH seq AS (
         |  SELECT event_type AS from_type,

@@ -73,15 +73,18 @@ object SimOps {
     * so the whole index is bit-deterministic and the oracle replays it
     * exactly in SQL. [[lloydRefine]] upgrades the sample to k-means
     * cells when partition quality matters more than build cost. */
-  def ivfCentroids(emb: DataFrame): DataFrame = {
-    val nlist = ivfNList(emb.sparkSession)
+  def ivfCentroids(emb: DataFrame): DataFrame =
+    sampledSeeds(emb, ivfNList(emb.sparkSession))
+
+  /** The md5-sampled deterministic seed-vector pick shared by the IVF
+    * quantizer and the PQ codebook (each with its own `n`). */
+  private def sampledSeeds(emb: DataFrame, n: Int): DataFrame =
     emb.withColumn("h", md5(col("vec_id").cast("string")))
       .orderBy(col("h").asc, col("vec_id").asc)
-      .limit(nlist)
+      .limit(n)
       .withColumn("rk", row_number().over(
         Window.orderBy(col("h").asc, col("vec_id").asc)))
       .select((col("rk") - 1).as("centroid_id"), col("embedding").as("centroid"))
-  }
 
   /** Lloyd refinement over an initial quantizer: per-dimension means as
     * DataFrame aggregations (posexplode → avg → regroup) — scales
@@ -272,11 +275,129 @@ object SimOps {
       .limit(10)
   }
 
+  // ------------------------------------------------------------------ PQ
+
+  /** L2-normalize a float-array embedding column into a double array
+    * (zero vectors map to the zero vector, not an ANSI 0-division):
+    * PQ here targets COSINE ranking, and on normalized vectors the
+    * subspace dot decomposition approximates cosine directly — without
+    * it ADC ranks by raw dot and norm variance masquerades as
+    * quantization error. The norm is a fixed ascending-order fold, so
+    * the oracle replays every double. */
+  private def withNormalized(df: DataFrame, in: String, out: String): DataFrame =
+    df.withColumn("nrm", expr(
+        s"""sqrt(aggregate(transform($in,
+           |  x -> cast(x as double) * cast(x as double)),
+           |cast(0.0 as double), (a, v) -> a + v))""".stripMargin))
+      .withColumn(out, expr(
+        s"""CASE WHEN nrm = 0.0D
+           |  THEN transform($in, x -> cast(0.0 as double))
+           |  ELSE transform($in, x -> cast(x as double) / nrm) END"""
+          .stripMargin))
+      .drop("nrm")
+
+  // PQ shape: 8 subspaces × 64 codes. FIXED (not conf knobs) so the
+  // oracle replay stays pinned; measured on this corpus: (8, 64) hits
+  // the IVF-equivalent recall@20 (0.60) where the minimal (4, 16)
+  // codebook bottoms out at 0.20 — a SAMPLED (untrained) codebook
+  // needs code count, not training passes. At 100 TB you scale ksub
+  // with the corpus or Lloyd-refine per subspace ([[lloydRefine]]
+  // shows the pattern); 8 code bytes per vector is still ~32× smaller
+  // than the 256-byte float payload.
+  private val pqM = 8
+  private val pqKsub = 64
+
+  /** PQ codebook: [[sampledSeeds]] md5-sampled seed vectors,
+    * L2-NORMALIZED then split into [[pqM]] equal subvectors — subspace
+    * m's [[pqKsub]] codes are the seeds' m-th slices. Zero FP training
+    * (the sampled-quantizer trick applied per subspace), so the whole
+    * codebook is bit-deterministic and SQL-replayable. `sl` rides
+    * along so consumers slice query/data vectors identically. */
+  private def pqCodebook(s: SparkSession, d: String): DataFrame =
+    withNormalized(sampledSeeds(Tables.embeddings(s, d), pqKsub),
+        "centroid", "cent_n")
+      .withColumn("sl", (size(col("cent_n")) / lit(pqM)).cast("int"))
+      .select(col("centroid_id").as("code_id"), col("cent_n"), col("sl"),
+        explode(sequence(lit(0), lit(pqM - 1))).as("m"))
+      .select(col("m"), col("code_id"), col("sl"),
+        expr("slice(cent_n, m * sl + 1, sl)").as("code"))
+
+  private val pqCodesCache = new graft.SessionCache[DataFrame](df => {
+    df.unpersist(); ()
+  })
+
+  /** The PQ code table (vec_id, m, code_id) — each vector encoded per
+    * subspace to its nearest-L2 code (ties to the lower code id). THIS
+    * is the stored index: [[pqM]] single-byte code ids per vector
+    * instead of 64 floats (~32× compression), encoded once per
+    * (session, dataset) and persisted like every other ANN artifact
+    * here. */
+  private def pqCodes(s: SparkSession, d: String): DataFrame =
+    pqCodesCache.getOrCompute(s, d) {
+      val emb = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
+      val codes = withNormalized(Tables.spread(emb), "embedding", "emb_n")
+        .select(col("vec_id"), col("emb_n"),
+          explode(sequence(lit(0), lit(pqM - 1))).as("m"))
+        .join(broadcast(pqCodebook(s, d)), Seq("m"))
+        .withColumn("dist", expr(
+          """aggregate(zip_with(
+            |  slice(emb_n, m * sl + 1, sl),
+            |  code, (a, b) -> (a - b) * (a - b)),
+            |cast(0.0 as double), (acc, v) -> acc + v)""".stripMargin))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min_by(col("code_id"), struct(col("dist"), col("code_id")))
+          .as("code_id"))
+        .persist()
+      codes.count()
+      codes
+    }
+
+  /** Product-quantization ANN (Jégou et al. 2011) — the memory-bound
+    * scale path next to IVF/LSH: vectors live in the index as 8
+    * subspace code ids, and a query scores ALL of them through a
+    * pqM×ksub-entry lookup table (asymmetric distance computation over
+    * L2-NORMALIZED vectors: cos(q, x) = dot(q̂, x̂) ≈ Σ_m dot(q̂_m,
+    * code(x̂, m)), exact in the subspace decomposition, approximate
+    * only through quantization). Query cost = one
+    * broadcast of the 512-row LUT + an 8-term sum per vector — no
+    * payload vector is ever read at query time; at 100 TB that is the
+    * difference between scanning 25 TB of floats and 1.6 TB of codes.
+    * (Production composes this with the IVF cells — IVFADC — to prune
+    * before scoring; kept orthogonal here so each index is separately
+    * hash-checked.)
+    *
+    * Determinism: md5-sampled codebook (no FP training), L2 encode
+    * with (dist, code_id) tie-break, LUT dots folded in ascending
+    * element order, per-vector sum folded in ascending m — every
+    * double replayed bit-for-bit by the oracle's list(... ORDER BY m)
+    * + list_reduce, with the 1e-6 round as the grid guard. */
+  def annPq(s: SparkSession, d: String): DataFrame = {
+    val lut = withNormalized(
+        pqCodebook(s, d).crossJoin(queryVec(s, d)), "q_emb", "q_n")
+      .withColumn("sim", expr(
+        """aggregate(zip_with(
+          |  slice(q_n, m * sl + 1, sl),
+          |  code, (a, b) -> a * b),
+          |cast(0.0 as double), (acc, v) -> acc + v)""".stripMargin))
+      .select(col("m"), col("code_id"), col("sim"))
+    pqCodes(s, d)
+      .join(broadcast(lut), Seq("m", "code_id"))
+      .groupBy(col("vec_id"))
+      .agg(expr(
+        """round(aggregate(
+          |  array_sort(collect_list(struct(m as m, sim as sim))),
+          |  cast(0.0 as double), (acc, x) -> acc + x.sim), 6)"""
+          .stripMargin).as("adc"))
+      .orderBy(col("adc").desc, col("vec_id").asc)
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_brute"     -> annBrute _,
     "ann_per_label" -> annPerLabel _,
     "ann_ivf"       -> annIvf _,
     "ann_ivf_lloyd" -> annIvfLloyd _,
+    "ann_pq"        -> annPq _,
     "ann_lsh"       -> annLsh _)
 
   // cosine over float arrays: DuckDB's summation order inside
@@ -313,6 +434,61 @@ object SimOps {
         |  FROM cands c JOIN embeddings e ON e.vec_id = c.vec_id, q)
         |SELECT vec_id, cos FROM sims
         |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin,
+    // full PQ replay: md5-sampled codebook, per-subspace L2 encode
+    // (ties to lower code id), query LUT dots, ADC = sum over m in
+    // ascending order (list ORDER BY m + seed-from-first list_reduce
+    // ≡ the engine's 0.0-seeded sorted fold)
+    "ann_pq" ->
+      """WITH normed AS (
+        |  SELECT vec_id,
+        |    CASE WHEN sqrt(list_sum(list_transform(embedding,
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) = 0
+        |      THEN list_transform(embedding, x -> 0.0)
+        |      ELSE list_transform(embedding, x -> CAST(x AS DOUBLE) /
+        |        sqrt(list_sum(list_transform(embedding,
+        |          x2 -> CAST(x2 AS DOUBLE) * CAST(x2 AS DOUBLE)))))
+        |    END AS emb
+        |  FROM embeddings),
+        |dims AS (
+        |  SELECT CAST(len(emb) // 8 AS INTEGER) AS sl
+        |  FROM normed LIMIT 1),
+        |seeds AS (
+        |  SELECT row_number() OVER (
+        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code_id,
+        |    emb AS centroid
+        |  FROM normed
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 64),
+        |book AS (
+        |  SELECT CAST(t.m AS INTEGER) AS m, s.code_id, d.sl,
+        |    list_transform(range(1, d.sl + 1), i ->
+        |      s.centroid[CAST(t.m AS INTEGER) * d.sl
+        |        + CAST(i AS INTEGER)]) AS code
+        |  FROM seeds s, dims d, UNNEST(range(8)) AS t(m)),
+        |enc AS (
+        |  SELECT vec_id, m, code_id FROM (
+        |    SELECT e.vec_id, b.m, b.code_id,
+        |      row_number() OVER (PARTITION BY e.vec_id, b.m ORDER BY
+        |        list_sum(list_transform(range(1, b.sl + 1), i ->
+        |          (e.emb[b.m * b.sl + CAST(i AS INTEGER)]
+        |             - b.code[CAST(i AS INTEGER)])
+        |          * (e.emb[b.m * b.sl + CAST(i AS INTEGER)]
+        |             - b.code[CAST(i AS INTEGER)]))) ASC,
+        |        b.code_id ASC) AS rn
+        |    FROM normed e CROSS JOIN book b
+        |    WHERE e.vec_id != 0) WHERE rn = 1),
+        |q AS (SELECT emb AS q_emb FROM normed WHERE vec_id = 0),
+        |lut AS (
+        |  SELECT b.m, b.code_id,
+        |    list_sum(list_transform(range(1, b.sl + 1), i ->
+        |      q.q_emb[b.m * b.sl + CAST(i AS INTEGER)]
+        |      * b.code[CAST(i AS INTEGER)])) AS sim
+        |  FROM book b, q)
+        |SELECT e.vec_id,
+        |  round(list_reduce(list(l.sim ORDER BY e.m), (a, b) -> a + b), 6)
+        |    AS adc
+        |FROM enc e JOIN lut l USING (m, code_id)
+        |GROUP BY e.vec_id
+        |ORDER BY adc DESC, e.vec_id ASC LIMIT 20""".stripMargin,
     "ann_brute" ->
       """WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
         |sims AS (

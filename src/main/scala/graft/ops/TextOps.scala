@@ -20,7 +20,7 @@ object TextOps {
     Tables.documents(s, d)
       .select(col("doc_id"),
         TextAnalysis.token_count_ws(col("text")).as("n_tokens_ws"),
-        TextAnalysis.token_count_bpe(col("text")).as("n_tokens_bpe"))
+        TextAnalysis.token_count_bpe(s, col("text")).as("n_tokens_bpe"))
       .orderBy(col("doc_id"))
 
   /** Quality features + composite score. */

@@ -24,7 +24,7 @@ object TrainOps {
 
   private def tokenized(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(col("doc_id"),
-      TextAnalysis.token_count_bpe(col("text")).cast("bigint").as("n_tokens"))
+      TextAnalysis.token_count_bpe(s, col("text")).cast("bigint").as("n_tokens"))
 
   /** Concat-and-chunk sequence packing (the standard pretraining
     * batcher): documents are laid end-to-end in doc_id order and the
@@ -255,7 +255,7 @@ object TrainOps {
   def mixBudget(s: SparkSession, d: String): DataFrame = {
     val t = Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
-        TextAnalysis.token_count_bpe(col("text")).cast("bigint")
+        TextAnalysis.token_count_bpe(s, col("text")).cast("bigint")
           .as("n_tokens"))
     sourceCumTokens(t)
       .filter(col("cum_tokens") <= 1024)
@@ -277,7 +277,7 @@ object TrainOps {
   def mixTemperature(s: SparkSession, d: String): DataFrame = {
     val t = Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
-        TextAnalysis.token_count_bpe(col("text")).cast("bigint")
+        TextAnalysis.token_count_bpe(s, col("text")).cast("bigint")
           .as("n_tokens"))
     val keyed = mixKeyed(t)
     val groups = mixGroupTotals(keyed)
@@ -572,7 +572,7 @@ object TrainOps {
   def corpusStats(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("source"),
-        TextAnalysis.token_count_bpe(col("text")).cast("bigint")
+        TextAnalysis.token_count_bpe(s, col("text")).cast("bigint")
           .as("n_tokens"),
         TextAnalysis.quality_score(col("text")).as("quality"))
       .groupBy("source")
@@ -668,8 +668,10 @@ object TrainOps {
     * both partial-agg'd; no window, no pairwise blowup; the model is a
     * bounded artifact that a production run would persist and reuse
     * across corpus versions. FP: llr rounds to the 1e-6 grid (the
-    * unigram-LM precedent); pred compares the unrounded sum against 0
-    * identically in both engines. */
+    * unigram-LM precedent) and pred is derived FROM the rounded llr,
+    * so the decision boundary is grid-aligned identically in both
+    * engines; the class prior is add-one smoothed, so a degenerate
+    * all-one-class seed labeling yields finite scores. */
   def textClassifierNb(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.spread(Tables.documents(s, d))
       .select(col("doc_id"), col("text"),
@@ -700,11 +702,18 @@ object TrainOps {
     docs.select("doc_id", "y")
       .join(sc, Seq("doc_id"), "left")
       .crossJoin(broadcast(pri))
+      // add-one-smoothed class prior: defined even when the seed gate
+      // labels every doc the same class (d_hi or d_lo = 0 would make
+      // the unsmoothed log prior ±Inf and poison every row)
       .withColumn("llr_raw",
-        coalesce(col("s"), lit(0.0)) + log(col("d_hi") / col("d_lo")))
-      .select(col("doc_id"), col("y").as("label"),
-        round(col("llr_raw"), 6).as("llr"),
-        (col("llr_raw") > 0).cast("int").as("pred"))
+        coalesce(col("s"), lit(0.0)) +
+          log((col("d_hi") + lit(1.0)) / (col("d_lo") + lit(1.0))))
+      .withColumn("llr", round(col("llr_raw"), 6))
+      // pred from the ROUNDED llr: the decision boundary sits on the
+      // same 1e-6 grid in both engines, so partition-order FP drift in
+      // the per-doc sum can never flip pred across engines
+      .select(col("doc_id"), col("y").as("label"), col("llr"),
+        (col("llr") > 0).cast("int").as("pred"))
       .orderBy("doc_id")
   }
 
@@ -770,9 +779,10 @@ object TrainOps {
 
   val oracles: Map[String, String] = Map(
     // NB training replayed end-to-end: the heuristic-gate seed labels,
-    // the add-one-smoothed per-class token counts, and the per-doc
-    // folded (tok, n) · log-likelihood-ratio sum; pred compares the
-    // unrounded sum like the Spark side, llr pins to the 1e-6 grid.
+    // the add-one-smoothed per-class token counts AND class prior, and
+    // the per-doc folded (tok, n) · log-likelihood-ratio sum; llr pins
+    // to the 1e-6 grid and pred thresholds the ROUNDED llr, matching
+    // the Spark side's grid-aligned decision boundary.
     "text_classifier_nb" ->
       """WITH q AS (
         |  SELECT doc_id, text,
@@ -816,8 +826,9 @@ object TrainOps {
         |  FROM dt JOIN ct USING (tok), consts
         |  GROUP BY dt.doc_id)
         |SELECT lab.doc_id, CAST(y AS INTEGER) AS label,
-        |  round(coalesce(s, 0) + ln(d_hi / d_lo), 6) AS llr,
-        |  CAST(CASE WHEN coalesce(s, 0) + ln(d_hi / d_lo) > 0
+        |  round(coalesce(s, 0) + ln((d_hi + 1) / (d_lo + 1)), 6) AS llr,
+        |  CAST(CASE WHEN
+        |    round(coalesce(s, 0) + ln((d_hi + 1) / (d_lo + 1)), 6) > 0
         |       THEN 1 ELSE 0 END AS INTEGER) AS pred
         |FROM lab LEFT JOIN sc ON lab.doc_id = sc.doc_id, pri
         |ORDER BY lab.doc_id""".stripMargin,

@@ -3,8 +3,9 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
-import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeSet, BindReferences, Expression, GenericInternalRow, JoinedRow, PredicateHelper, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.metric.SQLMetrics
@@ -47,6 +48,53 @@ case class AsofJoinPlan(
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoinPlan =
     copy(left = newLeft, right = newRight)
+}
+
+/** Optimizer rule making [[AsofJoinPlan]] transparent to column
+  * pruning and left-side predicate pushdown — without it the node is
+  * an opaque BinaryNode no built-in rule knows, so a consumer's
+  * `.select`/`.filter` above `Asof.join` would silently full-scan both
+  * children (wrong at 100 TB: a 2-column read of a wide fact table
+  * must reach the parquet scan as a pruned ReadSchema).
+  *
+  *  - **Project pushdown**: `Project(p, asof)` prunes each child to
+  *    the attributes `p` references plus the join keys/times. The
+  *    inserted child Projects land directly above the scans where
+  *    `PhysicalOperation` collapses them into ReadSchema at planning.
+  *  - **Filter pushdown**: deterministic conjuncts referencing only
+  *    LEFT attributes move below the join — safe because each left row
+  *    maps independently (filtering left input ≡ filtering output).
+  *    Right-side predicates are NOT pushed: filtering candidate right
+  *    rows changes which row is the backward match, which is different
+  *    from filtering the joined output.
+  *
+  * Runs in the `User Provided Optimizers` fixed-point batch (registered
+  * by [[Asof.join]]); both cases are no-ops when nothing new can move,
+  * so the fixed point is reached in one extra pass. */
+object AsofJoinPruning extends Rule[LogicalPlan] with PredicateHelper {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, a: AsofJoinPlan) =>
+      val (push, keep) = splitConjunctivePredicates(cond)
+        .partition(c => c.deterministic &&
+          c.references.subsetOf(a.left.outputSet))
+      if (push.isEmpty) f
+      else {
+        val pushed = a.copy(left = Filter(push.reduce(And), a.left))
+        keep.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
+    case p @ Project(plist, a: AsofJoinPlan) =>
+      val required = AttributeSet(plist.flatMap(_.references)) ++
+        AttributeSet(a.leftKeys.flatMap(_.references)) ++
+        AttributeSet(a.rightKeys.flatMap(_.references)) ++
+        a.leftTime.references ++ a.rightTime.references
+      def prune(child: LogicalPlan): LogicalPlan = {
+        val kept = child.output.filter(required.contains)
+        if (kept.size == child.output.size) child else Project(kept, child)
+      }
+      val (nl, nr) = (prune(a.left), prune(a.right))
+      if (nl.eq(a.left) && nr.eq(a.right)) p
+      else Project(plist, a.copy(left = nl, right = nr))
+  }
 }
 
 /** Planner rule: one-to-one lowering of [[AsofJoinPlan]]. */
@@ -170,6 +218,10 @@ object Asof {
     if (!spark.experimental.extraStrategies.contains(AsofJoinStrategy)) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsofJoinStrategy
+    }
+    if (!spark.experimental.extraOptimizations.contains(AsofJoinPruning)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ AsofJoinPruning
     }
     // Alias-project every right column: Alias mints fresh ExprIds, so
     // left/right outputs are disjoint even when both derive from the

@@ -65,6 +65,46 @@ class TextCountingSpec extends SparkFunSuite {
     }
   }
 
+  test("bpe token count: native == regexp_count on adversarial strings and the corpus") {
+    val adversarial = texts ++ Seq(
+      (7L, "abcd"), (8L, "abcde"), (9L, "abcdefgh"),   // run boundaries 4/5/8
+      (10L, "a_b__cd3 4567_"),                          // _ and digits are word chars
+      (11L, "!!!...,,,"),                               // pure punct: 1 each
+      (12L, "a\tbc\fd\re\nf"),                    // all five \s chars
+      (13L, "tab\tsep  double  space"),
+      (14L, null: String))
+    val out = adversarial.toDF("id", "text").select($"id",
+        graft.functions.expressions.BpeTokenCount
+          .bpe_token_count(spark, $"text").as("native"),
+        coalesce(TextAnalysis.token_count_bpe_regex($"text"), lit(0))
+          .as("re"))
+      .collect()
+    out.foreach(r => assert(r.getInt(1) == r.getInt(2), s"id=${r.getLong(0)}"))
+    // whole corpus: identical counts row-for-row
+    val mismatches = graft.Tables.documents(spark, sfDir)
+      .select(graft.functions.expressions.BpeTokenCount
+          .bpe_token_count(spark, col("text")).as("native"),
+        TextAnalysis.token_count_bpe_regex(col("text")).as("re"))
+      .filter(col("native") =!= col("re")).count()
+    assert(mismatches === 0)
+  }
+
+  test("bpe token count runs under CODEGEN_ONLY (no silent fallback)") {
+    val keys = Seq("spark.sql.codegen.factoryMode", "spark.sql.codegen.fallback")
+    val prev = keys.map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val out = graft.Tables.documents(spark, sfDir)
+        .select(graft.functions.expressions.BpeTokenCount
+          .bpe_token_count(spark, col("text")).as("t"))
+      assert(out.select(countDistinct($"t")).head().getLong(0) > 1)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("both expressions run under CODEGEN_ONLY (no silent fallback)") {
     // fallback=false matters: factoryMode alone doesn't stop
     // WholeStageCodegenExec from swallowing a Janino compile failure

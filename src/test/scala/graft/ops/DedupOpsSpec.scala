@@ -112,6 +112,22 @@ class SimOpsSpec extends SparkFunSuite {
     assert(recall >= 0.5)
   }
 
+  test("PQ top-20 overlaps brute-force top-20; ADC approximates the true dot") {
+    val exact = SimOps.annBrute(spark, sfDir).select($"vec_id")
+      .as[Long].collect().toSet
+    val pq = SimOps.annPq(spark, sfDir)
+      .as[(Long, Double)].collect()
+    assert(pq.length == 20)
+    // descending ADC order, unique ids, query vector excluded
+    assert(pq.map(_._2).sliding(2).forall(p => p.head >= p.last))
+    assert(pq.map(_._1).distinct.length == 20 && !pq.exists(_._1 == 0L))
+    // a 16-cell-per-subspace quantizer must keep meaningful recall of
+    // the exact neighborhood (generous bar: quantization is lossy)
+    val recall = exact.intersect(pq.map(_._1).toSet).size.toDouble / exact.size
+    info(s"PQ recall@20 = $recall")
+    assert(recall >= 0.3)
+  }
+
   test("lloydRefine keeps k centroids at full dim; quantizer stays non-degenerate") {
     val emb = graft.Tables.embeddings(spark, sfDir)
     val init = SimOps.ivfCentroids(emb)

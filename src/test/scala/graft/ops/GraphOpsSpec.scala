@@ -63,6 +63,39 @@ class GraphOpsSpec extends SparkFunSuite {
       (10L, 30L) -> ((1L, 1.0 / 3))))
   }
 
+  test("maxDegree hub cap: capped postings keep the smallest supplier ids") {
+    val d = Files.createTempDirectory("hubcap").toString
+    // one hub customer with 10 suppliers; one small customer with 2
+    Seq((1L, 1L), (2L, 2L))
+      .toDF("o_orderkey", "o_custkey").write.parquet(s"$d/orders.parquet")
+    ((1 to 10).map(i => (1L, i.toLong)) ++ Seq((2L, 3L), (2L, 17L)))
+      .toDF("l_orderkey", "l_suppkey").write.parquet(s"$d/lineitem.parquet")
+    try {
+      spark.conf.set("spark.graft.graph.maxDegree", "3")
+      val got = GraphOps.graphCooccur(spark, d).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+      // hub contributes only C(3,2)=3 pairs over its SMALLEST ids
+      // {1,2,3} (deterministic cap), never e.g. (4,5); the small
+      // customer keeps (3,7) untouched
+      assert(got.keySet === Set((1L, 2L), (1L, 3L), (2L, 3L), (3L, 17L)))
+      // degrees stay EXACT under the cap (jaccard denominators use the
+      // uncapped degree table): deg(3)=2 ⇒ jac(3,17)=1/(2+1-1)
+      assert(got((3L, 17L)) === 0.5)
+      // linkpred rides the same capped posting: hub weight 1/ln(3)
+      val aa = GraphOps.graphLinkpred(spark, d).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+      assert(aa((1L, 2L)) ===
+        BigDecimal(1.0 / math.log(3.0))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    } finally spark.conf.unset("spark.graft.graph.maxDegree")
+    // uncapped default: the hub's full 10-supplier posting returns
+    val cs = ((1 to 10).map(i => (1L, i.toLong)) ++ Seq((2L, 3L), (2L, 17L)))
+      .toDF("c", "sk")
+    val sizes = GraphOps.custPostings(spark, cs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).length).toMap
+    assert(sizes === Map(1L -> 10, 2L -> 2))
+  }
+
   test("graph_paths emits the seed even when it has no edges") {
     val d = Files.createTempDirectory("graphpaths").toString
     // graph contains only c7—s7: the seed c1 is absent entirely

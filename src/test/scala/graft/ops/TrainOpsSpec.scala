@@ -250,7 +250,7 @@ class TrainOpsSpec extends SparkFunSuite {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val ref = spark.read.parquet(s"$d2/documents.parquet")
       .select(col("doc_id"), col("source"),
-        TextAnalysis.token_count_bpe(col("text")).cast("bigint")
+        TextAnalysis.token_count_bpe(spark, col("text")).cast("bigint")
           .as("n_tokens"))
       .withColumn("cum_tokens", sum("n_tokens").over(w))
       .filter(col("cum_tokens") <= 1024)

@@ -92,6 +92,91 @@ class AsofJoinSpec extends SparkFunSuite with AdaptiveSparkPlanHelper {
     assert(native.exceptAll(comp).isEmpty && comp.exceptAll(native).isEmpty)
   }
 
+  test("pruning rule: select(few cols) above the join prunes both child scans") {
+    val li = Tables.lineitem(spark, sfDir)      // 16-column fact scan
+    val ordr = Tables.orders(spark, sfDir)      // 9-column scan
+    val out = Asof.join(li, ordr,
+        Seq("l_orderkey"), Seq("o_orderkey"), "l_shipdate", "o_orderdate")
+      .select("l_orderkey", "l_extendedprice", "o_totalprice")
+    out.collect() // finalize AQE
+    val scans = collectWithSubqueries(out.queryExecution.executedPlan) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(scans.size === 2, s"expected 2 parquet scans:\n${out.queryExecution.executedPlan}")
+    val byCols = scans.map(_.output.map(_.name).toSet)
+    val lScan = byCols.find(_.contains("l_orderkey")).get
+    val rScan = byCols.find(_.contains("o_orderkey")).get
+    // each ReadSchema = referenced cols + join key/time, nothing else
+    assert(lScan === Set("l_orderkey", "l_shipdate", "l_extendedprice"),
+      s"left scan not pruned: $lScan")
+    assert(rScan === Set("o_orderkey", "o_orderdate", "o_totalprice"),
+      s"right scan not pruned: $rScan")
+  }
+
+  test("pruning rule: left-only deterministic filter pushes below the join") {
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_shipdate", "l_quantity")
+    val ordr = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_orderdate", "o_totalprice")
+    val out = Asof.join(li, ordr,
+        Seq("l_orderkey"), Seq("o_orderkey"), "l_shipdate", "o_orderdate")
+      .filter(col("l_quantity") > 30)
+    val optimized = out.queryExecution.optimizedPlan
+    // the AsofJoinPlan must not sit under a Filter on left-only attrs;
+    // instead its left child carries the predicate → parquet pushdown
+    val asof = optimized.collect { case a: AsofJoinPlan => a }.head
+    assert(asof.left.toString.contains("l_quantity"),
+      s"left filter not pushed into child:\n$optimized")
+    out.collect()
+    val scans = collectWithSubqueries(out.queryExecution.executedPlan) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    val lScan = scans.find(_.output.exists(_.name == "l_quantity")).get
+    assert(lScan.dataFilters.nonEmpty,
+      s"expected pushed data filter on the left scan:\n$lScan")
+  }
+
+  test("AQE hardening: skewed keys + coalesced partitions keep children aligned") {
+    // one hub key with ~50k rows and a long tail — under AQE with
+    // skew-join and partition coalescing forced, the two shuffles
+    // feeding the merge must still be coalesced IDENTICALLY
+    // (zipPartitions requires aligned partition counts); this pins the
+    // operator's cluster posture under runtime re-planning.
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "1KB",
+      "spark.sql.shuffle.partitions" -> "17")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val left = spark.range(0, 20000).select(
+        when(col("id") < 15000, lit(1L)).otherwise(col("id") % 97).as("k"),
+        (col("id") * 7 % 100000).as("t"), col("id").as("lv"))
+      val right = spark.range(0, 2000).select(
+        when(col("id") < 500, lit(1L)).otherwise(col("id") % 97).as("rk"),
+        (col("id") * 13 % 100000).as("rt"), col("id").as("rv"))
+      val out = Asof.join(left, right, Seq("k"), Seq("rk"), "t", "rt")
+      // correctness oracle: plain SQL restatement of backward as-of
+      left.createOrReplaceTempView("aqel")
+      right.createOrReplaceTempView("aqer")
+      val expect = spark.sql(
+        """SELECT l.k, l.t, l.lv,
+          |  max_by(struct(r.rt, r.rv), r.rt).rv AS rv
+          |FROM aqel l LEFT JOIN aqer r ON l.k = r.rk AND r.rt <= l.t
+          |GROUP BY l.k, l.t, l.lv""".stripMargin)
+      assert(out.count() === 20000)
+      assert(out.select("k", "t", "lv", "rv").exceptAll(expect).isEmpty &&
+        expect.exceptAll(out.select("k", "t", "lv", "rv")).isEmpty)
+      val plan = out.queryExecution.executedPlan
+      assert(collectWithSubqueries(plan) {
+        case e: AsofJoinExec => e }.size === 1, s"native node lost:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("self-join: both sides from the same Dataset resolve cleanly") {
     val ev = Seq((1L, 5L, "a"), (1L, 9L, "b")).toDF("k", "t", "v")
     val out = Asof.join(

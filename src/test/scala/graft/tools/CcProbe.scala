@@ -1,4 +1,5 @@
-package graft
+package graft.tools
+import graft.Tables
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 object CcProbe {
