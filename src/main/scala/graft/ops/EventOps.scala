@@ -355,6 +355,83 @@ object EventOps {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** Population-stability-index (PSI) drift monitor: the standard
+    * model-ops check that a feature's distribution hasn't shifted
+    * between a reference and a current population (PSI < 0.1 stable,
+    * > 0.25 action). Populations here are the deterministic event-id
+    * parity split (the corpus_diff idiom); the feature is `value`
+    * bucketed into 20 fixed-width bins; PSI per event_type =
+    * Σ (p−q)·ln(p/q) with add-half smoothing over the PRESENT buckets
+    * (both engines see the same bucket rows, so the smoothing
+    * denominator tot + 0.5·n_buckets is identical).
+    *
+    * Determinism: exact integer bucket counts → fixed double
+    * expression per bucket → bucket-ordered fold (list ORDER BY bucket
+    * ≡ sorted-struct aggregate), round 6.
+    *
+    * 100 TB posture: ONE scan → (type, bucket) hash agg (both split
+    * counts as conditional sums, no second pass); everything after is
+    * |types|×20 rows. */
+  def evDrift(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_type"),
+      (col("event_id") % 2 === 0).as("is_ref"),
+      least(greatest(floor(col("value") / 25).cast("int"), lit(0)),
+        lit(19)).as("bucket"))
+    val b = ev.groupBy("event_type", "bucket").agg(
+      sum(when(col("is_ref"), 1L).otherwise(0L)).as("cr"),
+      sum(when(!col("is_ref"), 1L).otherwise(0L)).as("cc"))
+    val t = b.groupBy("event_type").agg(
+      sum("cr").as("tr"), sum("cc").as("tc"), count(lit(1)).as("nb"))
+    b.join(t, Seq("event_type"))
+      .withColumn("p", (col("cr") + lit(0.5)) /
+        (col("tr") + lit(0.5) * col("nb")))
+      .withColumn("q", (col("cc") + lit(0.5)) /
+        (col("tc") + lit(0.5) * col("nb")))
+      .withColumn("term", (col("p") - col("q")) * log(col("p") / col("q")))
+      .groupBy("event_type")
+      .agg(max("nb").as("n_buckets"),
+        round(expr(
+          """aggregate(array_sort(collect_list(struct(bucket as b,
+            |  term as t))), cast(0.0 as double), (a, x) -> a + x.t)"""
+            .stripMargin), 6).as("psi"))
+      .orderBy("event_type")
+  }
+
+  /** Robust anomaly thresholds via median absolute deviation — the
+    * outlier gate that, unlike z-scores (ev_anomaly), a few extreme
+    * values cannot poison: per event_type, med = median(value),
+    * MAD = median(|value − med|), and the outlier count applies the
+    * standard 3σ-equivalent 3·1.4826·MAD fence.
+    *
+    * Cross-engine FP: Spark `percentile` ≡ DuckDB `quantile_cont`
+    * (both sort-and-interpolate — the a12_percentile precedent); the
+    * fence multiplication is one fixed expression over identical
+    * doubles, so the boundary comparison can never diverge.
+    *
+    * 100 TB posture: two grouped exact percentiles (per-group sort;
+    * swap to approx_percentile's t-digest at scale — same plan shape)
+    * + one conditional-sum scan; the per-type stats tables are
+    * |types|-row broadcasts. */
+  def evMad(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+    val med = ev.groupBy("event_type")
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val dev = ev.join(broadcast(med), Seq("event_type"))
+      .withColumn("ad", abs(col("value") - col("med")))
+    val stats = dev.groupBy("event_type").agg(
+      max(col("med")).as("med"),
+      expr("percentile(ad, 0.5)").as("mad"))
+    val out = dev.join(broadcast(stats.select(col("event_type"), col("mad"))),
+        Seq("event_type"))
+      .groupBy("event_type")
+      .agg(sum(when(col("ad") > lit(3) * lit(1.4826) * col("mad"), 1L)
+        .otherwise(0L)).as("n_outliers"))
+    stats.join(out, Seq("event_type"))
+      .select(col("event_type"), round(col("med"), 6).as("med"),
+        round(col("mad"), 6).as("mad"), col("n_outliers"))
+      .orderBy("event_type")
+  }
+
   /** Behavioral sequence-pattern mining: per user, the time-ordered
     * event stream folded to an initial-letter string (c/e/p/s/v), then
     * counted for funnel motifs — the strict `v→c→p` conversion
@@ -585,6 +662,8 @@ object EventOps {
     "ev_concurrency" -> evConcurrency _,
     "ev_ewma"        -> evEwma _,
     "ev_seqmatch"    -> evSeqmatch _,
+    "ev_drift"       -> evDrift _,
+    "ev_mad"         -> evMad _,
     "ev_transitions" -> evTransitions _,
     "ev_merge_partials" -> evMergePartials _,
     "ev_attribution" -> evAttribution _,
@@ -714,6 +793,56 @@ object EventOps {
     // same (ts, event_id)-pinned lead, counts on the bounded pair
     // space; SUM(BIGINT) comes back HUGEINT in DuckDB → cast, and the
     // probability is the same single exact-integer division
+    // bucket-ordered list fold replays the sorted-struct aggregate;
+    // CAST(SUM AS BIGINT) defuses DuckDB's HUGEINT sum widening
+    "ev_drift" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id % 2 = 0 AS is_ref,
+        |    least(greatest(CAST(floor(value / 25) AS INTEGER), 0), 19)
+        |      AS bucket
+        |  FROM events),
+        |b AS (
+        |  SELECT event_type, bucket,
+        |    CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS cr,
+        |    CAST(SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS cc
+        |  FROM e GROUP BY 1, 2),
+        |t AS (
+        |  SELECT event_type, CAST(SUM(cr) AS BIGINT) AS tr,
+        |    CAST(SUM(cc) AS BIGINT) AS tc, COUNT(*) AS nb
+        |  FROM b GROUP BY 1),
+        |terms AS (
+        |  SELECT b.event_type, b.bucket, t.nb,
+        |    ((b.cr + 0.5) / (t.tr + 0.5 * t.nb)
+        |      - (b.cc + 0.5) / (t.tc + 0.5 * t.nb))
+        |    * ln(((b.cr + 0.5) / (t.tr + 0.5 * t.nb))
+        |      / ((b.cc + 0.5) / (t.tc + 0.5 * t.nb))) AS term
+        |  FROM b JOIN t USING (event_type))
+        |SELECT event_type, CAST(max(nb) AS BIGINT) AS n_buckets,
+        |  round(list_reduce(list(term ORDER BY bucket),
+        |    (a, x) -> a + x), 6) AS psi
+        |FROM terms GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // quantile_cont ≡ Spark percentile (a12 precedent); the MAD fence
+    // is one fixed double expression so the count cannot diverge
+    "ev_mad" ->
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY 1),
+        |dev AS (
+        |  SELECT e.event_type, m.med, abs(e.value - m.med) AS ad
+        |  FROM events e JOIN med m USING (event_type)),
+        |st AS (
+        |  SELECT event_type, max(med) AS med,
+        |    quantile_cont(ad, 0.5) AS mad
+        |  FROM dev GROUP BY 1),
+        |o AS (
+        |  SELECT d.event_type,
+        |    CAST(SUM(CASE WHEN d.ad > 3 * 1.4826 * s.mad
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |  FROM dev d JOIN st s USING (event_type) GROUP BY 1)
+        |SELECT s.event_type, round(s.med, 6) AS med,
+        |  round(s.mad, 6) AS mad, o.n_outliers
+        |FROM st s JOIN o USING (event_type)
+        |ORDER BY event_type""".stripMargin,
     // string_agg ORDER BY (ts, event_id) replays the engine's
     // array_sort(collect_list(struct)) total order; RE2 and Java count
     // the same non-overlapping leftmost matches for these motifs

@@ -370,7 +370,55 @@ object TextOps {
       .orderBy(col("cnt").desc, col("tok").asc)
   }
 
+  /** Zipf-law fit per source: OLS slope/intercept of ln(count) over
+    * ln(rank) for the top-50 tokens — the corpus-health diagnostic
+    * (natural text slopes ≈ −1; template/boilerplate corpora flatten,
+    * spam steepens), a standard pre-training distribution check.
+    *
+    * Determinism: ranks come from exact integer counts with a (count
+    * DESC, token ASC) total order; the four OLS sums fold over the
+    * rank-sorted 50-row list (both engines: ascending-rank
+    * seed-from-first fold), and slope/intercept are a fixed double
+    * expression tree over those sums — try_divide/CASE NULL on a
+    * degenerate single-point fit. round(…,6) grid-guards.
+    *
+    * 100 TB posture: one tokenize scan + (source, tok) hash agg; the
+    * per-source rank window carries WindowGroupLimit pushdown (top-50
+    * cap inside the sort), and everything after is 50 rows per
+    * source. */
+  def textZipf(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.spread(Tables.documents(s, d))
+      .select(col("source"), explode(expr(
+        "filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')"))
+        .as("tok"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("c").desc, col("tok").asc)
+    val top = toks.groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 50)
+      .select(col("source"), col("rank"),
+        log(col("rank").cast("double")).as("x"),
+        log(col("c").cast("double")).as("y"))
+    def foldSum(v: String): Column = expr(
+      s"""aggregate(array_sort(collect_list(struct(rank as r, $v as v))),
+         |cast(0.0 as double), (a, p) -> a + p.v)""".stripMargin)
+    val sums = top.groupBy("source").agg(
+      count(lit(1)).as("n_terms"),
+      foldSum("x").as("sx"), foldSum("y").as("sy"),
+      foldSum("x * x").as("sxx"), foldSum("x * y").as("sxy"))
+      .withColumn("n", col("n_terms").cast("double"))
+      .withColumn("slope", try_divide(
+        col("n") * col("sxy") - col("sx") * col("sy"),
+        col("n") * col("sxx") - col("sx") * col("sx")))
+    sums.select(col("source"), col("n_terms"),
+        round(col("slope"), 6).as("slope"),
+        round((col("sy") - col("slope") * col("sx")) / col("n"), 6)
+          .as("intercept"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_zipf"             -> textZipf _,
     "text_heavyhitters"     -> textHeavyHitters _,
     "text_pmi"              -> textPmi _,
     "text_topterms"         -> textTopTerms _,
@@ -387,6 +435,39 @@ object TextOps {
     "text_fingerprint_roll" -> textFingerprintRoll _)
 
   val oracles: Map[String, String] = Map(
+    // rank-ordered list folds replay the engine's sorted aggregate
+    // (seed 0.0 + x1 ≡ seed-from-first); slope/intercept share one
+    // fixed expression tree; CASE NULL mirrors try_divide
+    "text_zipf" ->
+      """WITH toks AS (
+        |  SELECT source, UNNEST(list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'), t -> t != ''))
+        |    AS tok
+        |  FROM documents),
+        |cnt AS (SELECT source, tok, COUNT(*) AS c
+        |        FROM toks GROUP BY 1, 2),
+        |top AS (
+        |  SELECT source, rank,
+        |    ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y
+        |  FROM (SELECT source, tok, c, ROW_NUMBER() OVER (
+        |          PARTITION BY source ORDER BY c DESC, tok ASC) AS rank
+        |        FROM cnt) WHERE rank <= 50),
+        |s AS (
+        |  SELECT source, COUNT(*) AS n_terms,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    list_reduce(list(x ORDER BY rank), (a, b) -> a + b) AS sx,
+        |    list_reduce(list(y ORDER BY rank), (a, b) -> a + b) AS sy,
+        |    list_reduce(list(x * x ORDER BY rank), (a, b) -> a + b) AS sxx,
+        |    list_reduce(list(x * y ORDER BY rank), (a, b) -> a + b) AS sxy
+        |  FROM top GROUP BY source),
+        |f AS (
+        |  SELECT source, n_terms, n, sx, sy,
+        |    CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+        |      ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS slope
+        |  FROM s)
+        |SELECT source, n_terms, round(slope, 6) AS slope,
+        |  round((sy - slope * sx) / n, 6) AS intercept
+        |FROM f ORDER BY source""".stripMargin,
     // ground truth is the vocabulary-sized GROUP BY the sketch plan
     // avoids; MG recall above n/201 makes the sets provably equal at
     // the 1% threshold, and the recount makes the counts exact

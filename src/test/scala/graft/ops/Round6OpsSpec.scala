@@ -75,6 +75,65 @@ class Round6OpsSpec extends SparkFunSuite {
     assert(got === Map(1L -> ((7, 2, 1)), 2L -> ((3, 0, 0))))
   }
 
+  test("graph_kcore peels pendants, keeps the 4-cycle at degree 2") {
+    val d = Files.createTempDirectory("kcore").toString
+    // bipartite 4-cycle c1-s1-c2-s2-c1 (every node deg 2) + pendant
+    // c3-s1 (deg 1, must peel; s1 drops 3→2 and survives)
+    Seq((1L, 1L), (2L, 2L), (3L, 2L), (4L, 1L), (5L, 3L))
+      .toDF("o_orderkey", "o_custkey").write.parquet(s"$d/orders.parquet")
+    Seq((1L, 1L, 50.0, 0.10), (2L, 1L, 50.0, 0.10), (3L, 2L, 50.0, 0.10),
+      (4L, 2L, 50.0, 0.10), (5L, 1L, 50.0, 0.10))
+      .toDF("l_orderkey", "l_suppkey", "l_quantity", "l_discount")
+      .write.parquet(s"$d/lineitem.parquet")
+    val got = GraphOps.graphKcore(spark, d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("c1" -> 2L, "c2" -> 2L, "s1" -> 2L, "s2" -> 2L))
+  }
+
+  test("ev_drift: identical parity splits give PSI exactly 0") {
+    val d = Files.createTempDirectory("drift").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // every value appears once at an even id and once at an odd id →
+    // p == q in every bucket → each PSI term is exactly 0.0
+    (0 until 40).map(i =>
+        (i.toLong, t0, 1L, if (i % 4 < 2) "click" else "view",
+          (i / 2 * 30).toDouble))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$d/events.parquet")
+    val got = EventOps.evDrift(spark, d).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got.keySet === Set("click", "view"))
+    assert(got.values.forall(_ == 0.0))
+  }
+
+  test("ev_mad: robust stats on a hand set with one extreme value") {
+    val d = Files.createTempDirectory("mad").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // values 1,2,3,4,100 → med 3, |dev| = 2,1,0,1,97 → mad 1,
+    // fence 3·1.4826 → only the 97 deviation is an outlier
+    Seq(1.0, 2.0, 3.0, 4.0, 100.0).zipWithIndex.map { case (v, i) =>
+        (i.toLong, t0, 1L, "click", v) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$d/events.parquet")
+    val r = EventOps.evMad(spark, d).collect().head
+    assert(r.getString(0) == "click" && r.getDouble(1) == 3.0 &&
+      r.getDouble(2) == 1.0 && r.getLong(3) == 1L)
+  }
+
+  test("text_zipf recovers slope −1 / intercept ln 12 on an exact power law") {
+    val d = Files.createTempDirectory("zipf").toString
+    // counts 12, 6, 4, 3 at ranks 1..4: ln c = ln 12 − ln r exactly
+    val words = Seq.fill(12)("aa") ++ Seq.fill(6)("bb") ++
+      Seq.fill(4)("cc") ++ Seq.fill(3)("dd")
+    Seq((1L, "s1", words.mkString(" ")))
+      .toDF("doc_id", "source", "text")
+      .write.parquet(s"$d/documents.parquet")
+    val r = TextOps.textZipf(spark, d).collect().head
+    assert(r.getString(0) == "s1" && r.getLong(1) == 4L)
+    assert(math.abs(r.getDouble(2) + 1.0) < 1e-6)
+    assert(math.abs(r.getDouble(3) - math.log(12.0)) < 1e-6)
+  }
+
   test("profile_corr: exact ±1 on constructed colinear groups") {
     val d = Files.createTempDirectory("corr").toString
     // group A: price = 100·quantity (r=+1); discount constant → r NaN
