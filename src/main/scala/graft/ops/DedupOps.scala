@@ -594,9 +594,21 @@ object DedupOps {
         col("dist"))
       .orderBy(col("a_key"), col("b_key"))
 
+  private val fuzzyPairsCache = new graft.SessionCache[DataFrame](df => {
+    df.unpersist(); ()
+  })
+
   /** The SymSpell-blocked, Levenshtein-verified candidate pipeline
-    * shared by [[dedupFuzzy]] and [[dedupJaroWinkler]]. */
-  private def fuzzyVerifiedPairs(s: SparkSession, d: String): DataFrame = {
+    * shared by [[dedupFuzzy]] and [[dedupJaroWinkler]] — memoized per
+    * (session, dataset) like [[minhashPairs]]: the deletion-
+    * neighborhood sketch + verify runs once, both consumers read the
+    * persisted pair set. */
+  private def fuzzyVerifiedPairs(s: SparkSession, d: String): DataFrame =
+    fuzzyPairsCache.getOrCompute(s, d) {
+      fuzzyVerifiedPairsPlan(s, d).persist()
+    }
+
+  private def fuzzyVerifiedPairsPlan(s: SparkSession, d: String): DataFrame = {
     val names = Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
     val keyed = names.select(col("c_custkey"),
       explode(expr(

@@ -96,7 +96,15 @@ object GraphOps {
         pairs.select(col("dst").as("src"), col("src").as("dst")))
       val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
         .persist()
-      val edgesDeg = edges.join(deg, "src").persist()
+      // pre-partitioned by src: every iterative consumer (pagerank,
+      // LPA, BFS) joins this table on src each round. At test scale
+      // this is measured-neutral (AQE broadcasts the checkpointed
+      // node-sized side, so the edge table never shuffles either way);
+      // at cluster scale the node table won't broadcast and the
+      // persisted hash partitioning is what keeps the per-round join
+      // from re-shuffling the edge table every iteration
+      val edgesDeg = edges.join(deg, "src")
+        .repartition(col("src")).persist()
       // bounded driver scalar (node count), like the bucket-id collects
       val n = deg.count()
       (edgesDeg, deg, n)
@@ -495,8 +503,11 @@ object GraphOps {
       .withColumn("lab", col("node"))
       .localCheckpoint()
     for (_ <- 1 to 4) {
-      labels = edges.join(labels, edges("dst") === labels("node"))
-        .select(edges("src").as("node"), col("lab"))
+      // join keyed on src (the index's persisted partitioning; the
+      // edge set is symmetric, so collecting neighbor labels via src
+      // and emitting dst is identical to the dst-keyed form)
+      labels = edges.join(labels, edges("src") === labels("node"))
+        .select(edges("dst").as("node"), col("lab"))
         .groupBy("node", "lab").agg(count(lit(1)).as("c"))
         .groupBy("node")
         .agg(min(struct((-col("c")).as("nc"), col("lab").as("l"))).as("m"))
