@@ -141,7 +141,67 @@ object Headline {
           .as("p95"))
       .orderBy(col("o_orderpriority"))
 
+  /** Large-volume-order shape (TPC-H Q18): the HAVING-driven semi
+    * reduction — aggregate the fact once, keep the >300-quantity
+    * orders, and only THOSE join back to the order/customer detail.
+    * The big fact table is scanned once and aggregated with map-side
+    * partials before any join; the survivor set (46 orders at sf0.01)
+    * then drives broadcast-sized joins — the reduction-first ordering
+    * a naive customer⋈orders⋈lineitem-then-filter plan would miss.
+    * sum_qty is an exact DECIMAL sum (order-free cross-engine). */
+  def q18BigOrders(s: SparkSession, d: String): DataFrame = {
+    val big = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(money(col("l_quantity"))).as("sum_qty"))
+      .filter(col("sum_qty") > 300)
+    big.join(Tables.orders(s, d),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        money(col("o_totalprice")).cast("double").as("o_totalprice"),
+        col("sum_qty").cast("double").as("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+  }
+
+  /** Suppliers-who-kept-orders-waiting shape (TPC-H Q21, restated for
+    * this schema: "late" = shipped more than 90 days after the order
+    * date on a finished order). The classic formulation is a join +
+    * EXISTS + NOT-EXISTS pair; the Spark-first plan computes both
+    * existence tests from ONE aggregate over the joined fact — per
+    * order, the distinct supplier count and the distinct LATE supplier
+    * count — and keeps late rows whose order has ≥2 suppliers but
+    * exactly one late one. The oracle replays the EXISTS/NOT-EXISTS
+    * form, pinning the equivalence of the two formulations.
+    *
+    * 100 TB posture: one fact⋈orders join (both corpus-sized, shuffle
+    * on the order key, every later agg/join reuses that key) — the
+    * EXISTS pair would walk the fact table three times. */
+  def q21Waiting(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val l1 = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late",
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+    val per = l1.groupBy(col("l_orderkey")).agg(
+      countDistinct(col("l_suppkey")).as("n_supp"),
+      countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
+    l1.filter(col("late"))
+      .join(per.filter(col("n_supp") >= 2 && col("n_late_supp") === 1),
+        Seq("l_orderkey"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name").asc)
+      .limit(100)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q18_bigorders" -> q18BigOrders _,
+    "q21_waiting"   -> q21Waiting _,
     "a14_groupingsets" -> a14GroupingSets _,
     "a12_percentile" -> a12Percentile _,
     "q03_shipping"  -> q03Shipping _,
@@ -151,6 +211,41 @@ object Headline {
     "a09_rollup"    -> a09Rollup _)
 
   val oracles: Map[String, String] = Map(
+    "q18_bigorders" ->
+      """SELECT c_name, c_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+        |    AS o_totalprice,
+        |  CAST(sum_qty AS DOUBLE) AS sum_qty
+        |FROM (SELECT l_orderkey,
+        |        SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        |      FROM lineitem GROUP BY 1
+        |      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300) b
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    // the classic EXISTS / NOT-EXISTS formulation — the engine's
+    // single-aggregate restatement must coincide with it exactly
+    "q21_waiting" ->
+      """WITH l1 AS (
+        |  SELECT l.l_orderkey, l.l_suppkey,
+        |    l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY AS late
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_orderstatus = 'F'),
+        |w AS (
+        |  SELECT a.l_orderkey, a.l_suppkey
+        |  FROM l1 a
+        |  WHERE a.late
+        |    AND EXISTS (SELECT 1 FROM l1 b
+        |      WHERE b.l_orderkey = a.l_orderkey
+        |        AND b.l_suppkey <> a.l_suppkey)
+        |    AND NOT EXISTS (SELECT 1 FROM l1 c
+        |      WHERE c.l_orderkey = a.l_orderkey
+        |        AND c.l_suppkey <> a.l_suppkey AND c.late))
+        |SELECT s.s_name, COUNT(*) AS numwait
+        |FROM w JOIN supplier s ON w.l_suppkey = s.s_suppkey
+        |GROUP BY s.s_name
+        |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
     "a14_groupingsets" ->
       """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)

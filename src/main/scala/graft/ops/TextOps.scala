@@ -417,7 +417,43 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** Count-Min frequency estimation over the token stream — the
+    * fourth sketch aggregate's catalog row: ONE bounded-memory pass
+    * builds the 3×4096 counter grid
+    * ([[graft.functions.expressions.CountMinSketch]]), and the top-20
+    * tokens probe it for (exact, estimate, overcount). The one-sided
+    * error (est ≥ exact, inflated only by bucket collisions) is
+    * exactly what the output exposes — the overcount column IS the
+    * collision mass, hash-checked against the oracle's full replay.
+    *
+    * 100 TB posture: the sketch aggregate is associative/commutative
+    * fixed memory (map-side combined, 96 KB on the wire); the probe is
+    * a 1-row broadcast cross join + in-row element_at — the exact-count
+    * side here exists only to exhibit the error bound and would be
+    * dropped in production (the sketch's whole point). */
+  def textCms(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.spread(Tables.documents(s, d))
+      .select(explode(expr(
+        "filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')"))
+        .as("tok"))
+    val sketch = toks.agg(graft.functions.expressions.CountMinSketch
+      .cms_native(s, col("tok")).as("sk"))
+    val exact = toks.groupBy("tok").agg(count(lit(1)).as("exact"))
+    val probes = exact.orderBy(col("exact").desc, col("tok").asc).limit(20)
+    def bucket(j: Int): Column =
+      expr(s"cast(conv(substr(md5(tok), ${3 * j + 1}, 3), 16, 10) as int)")
+    probes.crossJoin(broadcast(sketch))
+      .select(col("tok"), col("exact"),
+        least(
+          element_at(col("sk"), bucket(0) + lit(1)),
+          element_at(col("sk"), bucket(1) + lit(4097)),
+          element_at(col("sk"), bucket(2) + lit(8193))).as("est"))
+      .withColumn("overcount", col("est") - col("exact"))
+      .orderBy(col("exact").desc, col("tok").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_cms"              -> textCms _,
     "text_zipf"             -> textZipf _,
     "text_heavyhitters"     -> textHeavyHitters _,
     "text_pmi"              -> textPmi _,
@@ -435,6 +471,41 @@ object TextOps {
     "text_fingerprint_roll" -> textFingerprintRoll _)
 
   val oracles: Map[String, String] = Map(
+    // full CMS replay: every token occurrence increments 3 buckets
+    // (md5 nibble addressing, the Bloom idiom), est = min over the
+    // probe token's 3 bucket counters — exact integers end to end
+    "text_cms" ->
+      """WITH toks AS (
+        |  SELECT UNNEST(list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'), t -> t != ''))
+        |    AS tok
+        |  FROM documents),
+        |exact AS (SELECT tok, COUNT(*) AS exact FROM toks GROUP BY tok),
+        |probes AS (
+        |  SELECT tok, exact FROM exact
+        |  ORDER BY exact DESC, tok LIMIT 20),
+        |occ AS (
+        |  SELECT tok, CAST(j AS INTEGER) AS j,
+        |    CAST(list_sum(list_transform(range(3), i ->
+        |      (strpos('0123456789abcdef', substr(md5(tok),
+        |         CAST(j AS INTEGER) * 3 + CAST(i AS INTEGER) + 1, 1)) - 1)
+        |      * power(16.0, CAST(2 - i AS DOUBLE)))) AS INTEGER) AS bucket
+        |  FROM toks, UNNEST(range(3)) AS u(j)),
+        |bc AS (SELECT j, bucket, COUNT(*) AS c FROM occ GROUP BY 1, 2),
+        |ph AS (
+        |  SELECT tok, CAST(j AS INTEGER) AS j,
+        |    CAST(list_sum(list_transform(range(3), i ->
+        |      (strpos('0123456789abcdef', substr(md5(tok),
+        |         CAST(j AS INTEGER) * 3 + CAST(i AS INTEGER) + 1, 1)) - 1)
+        |      * power(16.0, CAST(2 - i AS DOUBLE)))) AS INTEGER) AS bucket
+        |  FROM probes, UNNEST(range(3)) AS u(j)),
+        |est AS (
+        |  SELECT ph.tok, CAST(MIN(bc.c) AS BIGINT) AS est
+        |  FROM ph JOIN bc ON bc.j = ph.j AND bc.bucket = ph.bucket
+        |  GROUP BY ph.tok)
+        |SELECT p.tok, p.exact, e.est, e.est - p.exact AS overcount
+        |FROM probes p JOIN est e USING (tok)
+        |ORDER BY p.exact DESC, p.tok""".stripMargin,
     // rank-ordered list folds replay the engine's sorted aggregate
     // (seed 0.0 + x1 ≡ seed-from-first); slope/intercept share one
     // fixed expression tree; CASE NULL mirrors try_divide
