@@ -199,7 +199,54 @@ object Headline {
       .limit(100)
   }
 
+  /** Promotion-revenue-share shape (TPC-H Q14): one month of shipped
+    * lines ⋈ part, the PROMO share as a conditional-sum ratio. Both
+    * sums are exact DECIMAL (order-free), the percentage is one fixed
+    * double expression over the two exact sums; the date filter
+    * reaches the parquet scan. Part is corpus-scaled, so its join
+    * stays AQE's choice (broadcast here, shuffle at 100×). */
+  def q14Promo(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-03-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+    val rev = money(col("l_extendedprice")) * (lit(1) - money(col("l_discount")))
+    li.join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", rev)).as("promo"),
+        sum(rev).as("total"),
+        count(lit(1)).as("n_lines"))
+      .select(
+        round(lit(100.0) * col("promo").cast("double") /
+          col("total").cast("double"), 6).as("promo_pct"),
+        col("total").cast("double").as("total_revenue"),
+        col("n_lines"))
+  }
+
+  /** Bracketed-predicate shape (TPC-H Q19): an OR of three
+    * brand/size/quantity conjunct brackets over lineitem ⋈ part — the
+    * classic test that a disjunctive residual predicate still leaves
+    * the per-table conjuncts (quantity range, size range) pushable and
+    * the join itself on the pure equi-key. Exact DECIMAL revenue. */
+  def q19Brackets(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val bracket =
+      (col("p_brand") === "Brand#13" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#19" && col("p_size").between(1, 20) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#5" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(20, 30))
+    li.join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+      .filter(bracket)
+      .agg(
+        sum(money(col("l_extendedprice")) * (lit(1) - money(col("l_discount"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q14_promo"     -> q14Promo _,
+    "q19_brackets"  -> q19Brackets _,
     "q18_bigorders" -> q18BigOrders _,
     "q21_waiting"   -> q21Waiting _,
     "a14_groupingsets" -> a14GroupingSets _,
@@ -211,6 +258,34 @@ object Headline {
     "a09_rollup"    -> a09Rollup _)
 
   val oracles: Map[String, String] = Map(
+    "q14_promo" ->
+      """SELECT
+        |  round(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(l_extendedprice AS DECIMAL(18,2))
+        |        * (1 - CAST(l_discount AS DECIMAL(18,2))) END) AS DOUBLE)
+        |    / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 6)
+        |    AS promo_pct,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |    AS total_revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+        |  AND l_shipdate < TIMESTAMP '1997-04-01'""".stripMargin,
+    "q19_brackets" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |    AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10
+        |        AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 20
+        |        AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#5' AND p_size BETWEEN 1 AND 15
+        |        AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
     "q18_bigorders" ->
       """SELECT c_name, c_custkey, o_orderkey,
         |  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
