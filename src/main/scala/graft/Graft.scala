@@ -24,6 +24,9 @@ object Graft {
     functions.expressions.KmvDistinct.register(spark)
     functions.expressions.BloomSketch.register(spark)
     functions.expressions.MisraGries.register(spark)
+    functions.expressions.CountMinSketch.register(spark)
+    functions.expressions.BpeTokenCount.register(spark)
+    functions.expressions.JaroWinkler.register(spark)
     spark
   }
 

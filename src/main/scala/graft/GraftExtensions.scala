@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.expressions.{CharEntropy, CosineSimilarity, GramStats, KmvDistinct, MinHashBandKeys, MisraGries, SimHash64}
+import graft.functions.expressions.{BloomSketch, BpeTokenCount, CharEntropy, CosineSimilarity, CountMinSketch, GramStats, JaroWinkler, KmvDistinct, MinHashBandKeys, MisraGries, SimHash64}
 
 /** Config-only injection point: `--conf
   * spark.sql.extensions=graft.GraftExtensions` registers the engine's
@@ -27,8 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     // whole-operator extension: the native as-of join's planner rule
-    // (programmatic users get it lazily via graft.plans.Asof.join)
+    // and its column-pruning/filter-pushdown optimizer rule
+    // (programmatic users get both lazily via graft.plans.Asof.join)
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.AsofJoinPruning)
     ext.injectFunction((
       FunctionIdentifier("cosine_sim_native"),
       new ExpressionInfo(classOf[CosineSimilarity].getName,
@@ -69,5 +71,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MisraGries].getName, "mg_topk_native"),
       (exprs: Seq[Expression]) => MisraGries(
         arity("mg_topk_native", 1, exprs).head, MisraGries.DefaultK)))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_sketch_native"),
+      new ExpressionInfo(classOf[BloomSketch].getName, "bloom_sketch_native"),
+      (exprs: Seq[Expression]) => BloomSketch(
+        arity("bloom_sketch_native", 1, exprs).head, BloomSketch.DefaultK)))
+    ext.injectFunction((
+      FunctionIdentifier("cms_sketch_native"),
+      new ExpressionInfo(classOf[CountMinSketch].getName,
+        "cms_sketch_native"),
+      (exprs: Seq[Expression]) =>
+        CountMinSketch(arity("cms_sketch_native", 1, exprs).head)))
+    ext.injectFunction((
+      FunctionIdentifier("bpe_token_count_native"),
+      new ExpressionInfo(classOf[BpeTokenCount].getName,
+        "bpe_token_count_native"),
+      (exprs: Seq[Expression]) =>
+        BpeTokenCount(arity("bpe_token_count_native", 1, exprs).head)))
+    ext.injectFunction((
+      FunctionIdentifier("jaro_winkler_native"),
+      new ExpressionInfo(classOf[JaroWinkler].getName,
+        "jaro_winkler_native"),
+      (exprs: Seq[Expression]) => {
+        val a = arity("jaro_winkler_native", 2, exprs)
+        JaroWinkler(a.head, a(1))
+      }))
   }
 }

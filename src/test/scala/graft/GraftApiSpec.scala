@@ -17,6 +17,16 @@ class GraftApiSpec extends SparkFunSuite {
     assert(r.getAs[String]("d") == "example.com")
     assert(r.getAs[Long]("s") != 0L)
     assert(r.getAs[String]("l") == "en")
+    // round-6 registrations: token counter, Jaro-Winkler, CMS grid
+    val r2 = spark.sql(
+      """SELECT bpe_token_count_native('hello, world') AS t,
+        |  jaro_winkler_native('martha', 'marhta') AS jw,
+        |  size(cms_sketch_native(v)) AS g
+        |FROM (SELECT explode(array('a', 'b', 'a')) AS v)
+        |GROUP BY 1, 2""".stripMargin).head()
+    assert(r2.getAs[Int]("t") == 5)        // "hell","o" + "," + "worl","d"
+    assert(r2.getAs[Double]("jw") == 0.9611111111111111)
+    assert(r2.getAs[Int]("g") == 3 * 4096)
   }
 
   test("GraftExtensions injects the native expressions into a fresh session") {
