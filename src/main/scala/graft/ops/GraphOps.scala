@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -572,7 +572,47 @@ object GraphOps {
     nodes.orderBy(col("node"))
   }
 
+  /** Degree assortativity of the trading graph: the Pearson
+    * correlation of (deg(src), deg(dst)) over the symmetrized edge
+    * list — THE one-number mixing diagnostic (negative =
+    * hub-and-spoke/disassortative, the usual shape of trade and web
+    * graphs; positive = social-style core). Both orientations of each
+    * undirected edge are present, which is exactly the standard
+    * undirected definition.
+    *
+    * Determinism: degrees are exact integers; the six sufficient
+    * statistics are DECIMAL(18,0) sums (order-free and exact; the
+    * (18,0)×(18,0) product stays inside both engines' 38-digit cap
+    * while holding any real degree), and r is one fixed double
+    * expression over the exact sums — the [[graft.ops.CoreRelational
+    * .profileCorr]] pattern on graph data. try_divide NULLs a
+    * degenerate regular graph (zero degree variance).
+    *
+    * 100 TB posture: reads the memoized [[edgeIndex]] (deg(src)
+    * already attached), one node-sized join attaches deg(dst), one
+    * 1-row aggregate — no new shuffle beyond the dst join. */
+  def graphAssortativity(s: SparkSession, d: String): DataFrame = {
+    val (edgesDeg, deg, _) = edgeIndex(s, d)
+    val dd = deg.select(col("src").as("dst"), col("outdeg").as("indeg"))
+    def big(c: Column): Column = c.cast("decimal(18,0)")
+    val a = edgesDeg.join(dd, Seq("dst"))
+      .agg(
+        count(lit(1)).as("n_edges"),
+        sum(big(col("outdeg"))).cast("double").as("sx"),
+        sum(big(col("indeg"))).cast("double").as("sy"),
+        sum(big(col("outdeg")) * big(col("indeg"))).cast("double").as("sxy"),
+        sum(big(col("outdeg")) * big(col("outdeg"))).cast("double").as("sxx"),
+        sum(big(col("indeg")) * big(col("indeg"))).cast("double").as("syy"))
+      .withColumn("n", col("n_edges").cast("double"))
+    a.select(col("n_edges"),
+      round(try_divide(col("n") * col("sxy") - col("sx") * col("sy"),
+        sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+          sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6)
+        .as("assortativity"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_assort"      -> graphAssortativity _,
     "graph_kcore"       -> graphKcore _,
     "graph_communities" -> graphCommunities _,
     "graph_linkpred"  -> graphLinkpred _,
@@ -584,6 +624,36 @@ object GraphOps {
     "graph_paths"    -> graphPaths _)
 
   val oracles: Map[String, String] = Map(
+    // exact DECIMAL sufficient statistics over the symmetrized edge
+    // list; same fixed double tree as the engine, CASE ≡ try_divide
+    "graph_assort" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT 'c' || o.o_custkey AS src,
+        |                  's' || l.l_suppkey AS dst
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |edges AS (SELECT src, dst FROM pairs
+        |          UNION ALL SELECT dst, src FROM pairs),
+        |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+        |ed AS (
+        |  SELECT CAST(d1.outdeg AS DECIMAL(18,0)) AS x,
+        |         CAST(d2.outdeg AS DECIMAL(18,0)) AS y
+        |  FROM edges e
+        |  JOIN deg d1 ON d1.src = e.src
+        |  JOIN deg d2 ON d2.src = e.dst),
+        |a AS (
+        |  SELECT COUNT(*) AS n_edges, CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        |    CAST(SUM(x * y) AS DOUBLE) AS sxy,
+        |    CAST(SUM(x * x) AS DOUBLE) AS sxx,
+        |    CAST(SUM(y * y) AS DOUBLE) AS syy
+        |  FROM ed)
+        |SELECT n_edges,
+        |  round(CASE WHEN sqrt(n * sxx - sx * sx)
+        |               * sqrt(n * syy - sy * sy) = 0 THEN NULL
+        |    ELSE (n * sxy - sx * sy) /
+        |      (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+        |    END, 6) AS assortativity
+        |FROM a""".stripMargin,
     // unrolled 6 peel rounds; each round recounts degree among the
     // previous round's survivors and keeps deg >= 2 — the engine's
     // identical fixed-round peeling
