@@ -196,6 +196,40 @@ class PlanAuditSpec extends SparkFunSuite {
     assert(!p.contains("isnotnull(simhash64"))
   }
 
+  test("round-6 plans: single-scan aggregates, broadcast probes, rank pushdown") {
+    // profile_corr: all six sufficient statistics in ONE lineitem scan
+    val corr = plan(CoreRelational.profileCorr(spark, sfDir))
+    assert(corr.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("lineitem")) == 1,
+      "profile_corr re-scans the fact per moment")
+    // ev_drift: both population splits as conditional sums — the events
+    // scan must not run once per split (subtree reuse keeps it at one
+    // effective scan; two printed scans would mean a per-split pass)
+    val drift = plan(EventOps.evDrift(spark, sfDir))
+    assert(drift.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("events")) <= 2,
+      "ev_drift scans events per split")
+    // q21: the single-aggregate restatement — never the classic THREE
+    // fact walks of the EXISTS/NOT-EXISTS form
+    val q21 = plan(Headline.q21Waiting(spark, sfDir))
+    assert(q21.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("lineitem")) <= 2,
+      "q21 degraded to the triple fact walk")
+    // text_zipf: the top-50 rank filter must plan as WindowGroupLimit
+    // (cap inside the sort), and text_cms' probe ends in a broadcast
+    val zipf = plan(TextOps.textZipf(spark, sfDir))
+    assert(zipf.contains("WindowGroupLimit"),
+      "text_zipf lost the rank-limit pushdown")
+    val cms = plan(TextOps.textCms(spark, sfDir))
+    assert(cms.contains("BroadcastNestedLoopJoin") ||
+      cms.contains("BroadcastExchange"),
+      "text_cms probe no longer broadcasts the 1-row sketch")
+    // ann_pq: global cut is TakeOrdered, never a full sort
+    val pq = plan(SimOps.annPq(spark, sfDir))
+    assert(pq.contains("TakeOrderedAndProject"),
+      "ann_pq sorts the full score table")
+  }
+
   test("partitioned table prunes partitions at scan time") {
     val dir = Files.createTempDirectory("ptab").toString + "/t"
     val df = graft.Tables.orders(spark, sfDir)
