@@ -262,6 +262,35 @@ object DedupOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Asymmetric shingle CONTAINMENT detection — the sub-document
+    * variant of [[dedupNgram]]: containment(A,B) = |S(A)∩S(B)| /
+    * min(|S(A)|,|S(B)|) flags a small document embedded in a larger
+    * one (quote farms, boilerplate wrappers, truncated re-crawls),
+    * which symmetric Jaccard structurally misses — a contained 100-
+    * shingle doc inside a 10k-shingle doc scores J ≈ 0.01 but
+    * containment 1.0. Deliberately NO length prefilter: the size-
+    * asymmetric pairs the Jaccard path prunes are exactly the signal
+    * here. Reuses the memoized shingle index and the capped-posting
+    * pair generation (identical candidate semantics to the oracle's
+    * rn ≤ 64 replay), so the marginal cost over dedup_ngram is one
+    * more aggregation over the same artifact. */
+  def dedupContainment(s: SparkSession, d: String): DataFrame = {
+    val sh = ngramShingleIndex(s, d,
+      Tables.documents(s, d).select(col("doc_id"), col("text")))
+    val posting = sh.select(col("shingle"),
+      struct(col("doc_id"), col("set_size")).as("m"))
+    cappedBucketPairs(posting, Seq("shingle"), "m", "a", "b")
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.set_size").as("size_a"), col("b.set_size").as("size_b"))
+      .agg(count(lit(1)).as("n_inter"))
+      .withColumn("containment", round(col("n_inter").cast("double") /
+        least(col("size_a"), col("size_b")).cast("double"), 6))
+      .filter(col("containment") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), col("size_a"), col("size_b"),
+        col("containment"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Embedding-cosine near-dup candidates: hyperplane-LSH bucket
     * (8-bit sketch × several seeds) → within-bucket exact cosine →
     * pairs above `threshold`. The brute-force O(n²) pair join is
@@ -665,6 +694,7 @@ object DedupOps {
     "dedup_minhash"    -> dedupMinhash _,
     "dedup_simhash"    -> dedupSimhash _,
     "dedup_ngram"      -> dedupNgram _,
+    "dedup_containment" -> dedupContainment _,
     "dedup_embed"      -> dedupEmbed _,
     "dedup_embed_lsh"  -> dedupEmbedLsh _)
 
@@ -870,6 +900,42 @@ object DedupOps {
         |      ORDER BY doc_id) AS rn
         |  FROM documents)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // same shingle/cap replay as dedup_ngram, containment denominator
+    // = the SMALLER set (no length prefilter — asymmetry is the point)
+    "dedup_containment" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |    t -> t != '') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id, UNNEST(
+        |      CASE WHEN len(toks) < 3 THEN
+        |        CASE WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+        |             ELSE [] END
+        |      ELSE list_transform(range(0, len(toks) - 2),
+        |        i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+        |      END) AS shingle
+        |    FROM toks)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+        |capped AS (
+        |  SELECT doc_id, shingle FROM (
+        |    SELECT doc_id, shingle,
+        |      row_number() OVER (PARTITION BY shingle ORDER BY doc_id) AS rn
+        |    FROM sh) WHERE rn <= 64),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        |  FROM capped a JOIN capped b ON a.shingle = b.shingle
+        |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, sa.set_size AS size_a, sb.set_size AS size_b,
+        |  round(CAST(n_inter AS DOUBLE) /
+        |    least(sa.set_size, sb.set_size), 6) AS containment
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE round(CAST(n_inter AS DOUBLE) /
+        |    least(sa.set_size, sb.set_size), 6) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_ngram" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),

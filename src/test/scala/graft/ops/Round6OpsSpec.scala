@@ -134,6 +134,30 @@ class Round6OpsSpec extends SparkFunSuite {
     assert(math.abs(r.getDouble(3) - math.log(12.0)) < 1e-6)
   }
 
+  test("dedup_containment flags a sub-document that Jaccard misses") {
+    val d = Files.createTempDirectory("containment").toString
+    val core = (1 to 12).map(i => s"tok$i").mkString(" ")   // 10 shingles
+    val filler = (1 to 200).map(i => s"w$i").mkString(" ")  // disjoint bulk
+    Seq((1L, "s1", core),                    // small doc
+        (2L, "s1", s"$core $filler"),        // contains doc 1 verbatim
+        (3L, "s1", filler))                  // big doc, no core
+      .toDF("doc_id", "source", "text")
+      .write.parquet(s"$d/documents.parquet")
+    val got = DedupOps.dedupContainment(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(4)).toMap
+    // (1,2): every core shingle of doc 1 appears in doc 2 → 1.0;
+    // (2,3) share only filler — containment ≈ 198/210 < 0.8? no:
+    // doc 3's whole shingle set is inside doc 2 → also flagged 1.0
+    assert(got((1L, 2L)) == 1.0)
+    assert(got.contains((2L, 3L)))
+    assert(!got.contains((1L, 3L)))   // disjoint docs never pair
+    // the Jaccard path at its 0.4 threshold must NOT see (1,2):
+    // 10 shared shingles over a ~210-shingle union is J ≈ 0.05
+    val jac = DedupOps.dedupNgram(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jac.contains((1L, 2L)))
+  }
+
   test("profile_corr: exact ±1 on constructed colinear groups") {
     val d = Files.createTempDirectory("corr").toString
     // group A: price = 100·quantity (r=+1); discount constant → r NaN
