@@ -552,23 +552,28 @@ object GraphOps {
       .select(concat(lit("c"), col("o_custkey")).as("src"),
         concat(lit("s"), col("l_suppkey")).as("dst"))
       .distinct()
-    val edges = pairs.union(
+    // the edge set SHRINKS with the peel: each round restricts the
+    // previous round's surviving edges (not the full graph) to the
+    // current survivors — node sets are monotone decreasing, so
+    // progressive restriction ≡ restricting to the latest set, and
+    // later rounds scan strictly smaller checkpointed tables
+    var cur = pairs.union(
       pairs.select(col("dst").as("src"), col("src").as("dst")))
-      .persist()
-    var nodes = edges.select(col("src").as("node")).distinct()
-      .withColumn("deg", lit(0L))
       .localCheckpoint()
-    for (_ <- 1 to rounds) {
-      nodes = edges
-        .join(nodes.select(col("node").as("ls")), col("src") === col("ls"),
-          "left_semi")
-        .join(nodes.select(col("node").as("rs")), col("dst") === col("rs"),
-          "left_semi")
-        .groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    var nodes: DataFrame = null
+    for (i <- 1 to rounds) {
+      if (i > 1) {
+        cur = cur
+          .join(nodes.select(col("node").as("ls")), col("src") === col("ls"),
+            "left_semi")
+          .join(nodes.select(col("node").as("rs")), col("dst") === col("rs"),
+            "left_semi")
+          .localCheckpoint()
+      }
+      nodes = cur.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)
         .localCheckpoint()
     }
-    edges.unpersist()
     nodes.orderBy(col("node"))
   }
 
