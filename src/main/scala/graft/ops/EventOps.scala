@@ -655,7 +655,112 @@ object EventOps {
       .orderBy(col("purchase_id"))
   }
 
+  /** Holt's linear-trend smoothing (double exponential: level + trend,
+    * α=0.5, β=0.3) over the per-type daily series — the forecasting
+    * step up from [[evEwma]]'s flat smoothing. The recurrence is a
+    * sorted-fold with a 2-element [level, trend] array accumulator;
+    * like ev_ewma, per-type state is the DAY SPAN, not the corpus SF,
+    * so the collect_list is bounded however large the fact gets. The
+    * fold's double ops are written in the identical order the DuckDB
+    * oracle's recursive CTE replays, so the result is bit-stable
+    * cross-engine. */
+  def evHolt(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val xs = transform(
+      sort_array(collect_list(struct(col("day"), col("n")))),
+      e => e.getField("n").cast("double"))
+    daily.groupBy(col("event_type"))
+      .agg(xs.as("xs"))
+      .select(col("event_type"), size(col("xs")).as("n_days"),
+        aggregate(slice(col("xs"), lit(2), size(col("xs"))),
+          array(element_at(col("xs"), 1), lit(0.0)),
+          (acc, x) => {
+            val l = element_at(acc, 1)
+            val b = element_at(acc, 2)
+            val nl = lit(0.5) * x + lit(0.5) * (l + b)
+            array(nl, lit(0.3) * (nl - l) + lit(0.7) * b)
+          }).as("st"))
+      .select(col("event_type"), col("n_days"),
+        round(element_at(col("st"), 1), 6).as("level"),
+        round(element_at(col("st"), 2), 6).as("trend"),
+        round(element_at(col("st"), 1) + lit(3.0) * element_at(col("st"), 2),
+          6).as("forecast3"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Changepoint detection (binary-segmentation step): per event type,
+    * the day that maximizes the gap between the mean daily volume
+    * before and after it. One window pass for (row index, running sum)
+    * — partitioned by type but sized by the DAY SPAN, not the SF (the
+    * documented-safe bounded-window case) — then an argmax collapse via
+    * struct-max (no second window). The gap is a single double
+    * expression over exact integer sums, so the argmax is
+    * deterministic cross-engine; ties break to the later day through
+    * the struct ordering. */
+  def evChangepoint(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val tot = daily.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("tot"), count(lit(1)).as("days"))
+    daily
+      .withColumn("i", row_number().over(w))
+      .withColumn("cum", sum(col("n")).over(w))
+      .join(tot, "event_type")
+      .filter(col("i") < col("days"))
+      .withColumn("gap",
+        abs(col("cum").cast("double") / col("i").cast("double") -
+          (col("tot") - col("cum")).cast("double") /
+            (col("days") - col("i")).cast("double")))
+      .groupBy(col("event_type"))
+      .agg(max(struct(col("gap"), col("day"))).as("b"),
+        max(col("days")).as("n_days"))
+      .select(col("event_type"),
+        date_format(col("b.day"), "yyyy-MM-dd").as("split_day"),
+        round(col("b.gap"), 6).as("mean_gap"), col("n_days"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Audience-overlap estimation via KMV set algebra: the distinct
+    * viewers, distinct purchasers, their union (one more KMV over the
+    * same pass) and the inclusion-exclusion intersection estimate —
+    * the sketch-sized answer to "how many users do both?" that at
+    * 100 TB replaces a full user-set distinct join. All three sketches
+    * run in ONE conditional aggregate over one scan (O(k) state each);
+    * the exact intersection rides along as the accuracy reference
+    * (user-keyed agg, the corpus-sized but standard path). */
+  def evOverlapKmv(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.expressions.KmvDistinct.kmv_native
+    val ev = Tables.events(s, d)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("event_type"), col("user_id").cast("string").as("u"))
+    val est = ev.agg(
+      round(kmv_native(s, when(col("event_type") === "view", col("u"))), 6)
+        .as("est_view"),
+      round(kmv_native(s, when(col("event_type") === "purchase", col("u"))), 6)
+        .as("est_purchase"),
+      round(kmv_native(s, col("u")), 6).as("est_union"))
+    val exact = ev.groupBy(col("u"))
+      .agg(max((col("event_type") === "view").cast("int")).as("v"),
+        max((col("event_type") === "purchase").cast("int")).as("p"))
+      .agg(sum((col("v") === 1 && col("p") === 1).cast("long"))
+        .as("exact_intersect"))
+    est.join(broadcast(exact))
+      .select(col("est_view"), col("est_purchase"), col("est_union"),
+        round(col("est_view") + col("est_purchase") - col("est_union"), 6)
+          .as("est_intersect"),
+        col("exact_intersect"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_holt"        -> evHolt _,
+    "ev_changepoint" -> evChangepoint _,
+    "ev_overlap_kmv" -> evOverlapKmv _,
     "ev_asof_native" -> evAsofNative _,
     "ev_rfm"         -> evRfm _,
     "ev_streaks"     -> evStreaks _,
@@ -681,6 +786,94 @@ object EventOps {
     "ev_retention"   -> evRetention _)
 
   val oracles: Map[String, String] = Map(
+    // recursive-CTE replay of the identical fold: the level/trend
+    // update expressions are written in the same double-op order as
+    // the engine's array-accumulator aggregate
+    "ev_holt" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |a AS (
+        |  SELECT event_type,
+        |    list_transform(list_sort(list(struct_pack(day := day, n := n))),
+        |      s -> CAST(s.n AS DOUBLE)) AS xs
+        |  FROM daily GROUP BY 1),
+        |r AS (
+        |  SELECT event_type, xs, 1 AS i, xs[1] AS l,
+        |    CAST(0.0 AS DOUBLE) AS b FROM a
+        |  UNION ALL
+        |  SELECT event_type, xs, i + 1,
+        |    0.5 * xs[i + 1] + 0.5 * (l + b),
+        |    0.3 * ((0.5 * xs[i + 1] + 0.5 * (l + b)) - l) + 0.7 * b
+        |  FROM r WHERE i < len(xs))
+        |SELECT event_type, CAST(len(xs) AS INTEGER) AS n_days,
+        |  round(l, 6) AS level, round(b, 6) AS trend,
+        |  round(l + 3.0 * b, 6) AS forecast3
+        |FROM r WHERE i = len(xs) ORDER BY event_type""".stripMargin,
+    "ev_changepoint" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, day, n,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS i,
+        |    SUM(n) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM daily),
+        |t AS (SELECT event_type, SUM(n) AS tot, COUNT(*) AS days
+        |      FROM daily GROUP BY 1),
+        |g AS (
+        |  SELECT w.event_type, w.day, t.days,
+        |    abs(CAST(cum AS DOUBLE) / CAST(i AS DOUBLE)
+        |      - CAST(tot - cum AS DOUBLE) / CAST(days - i AS DOUBLE)) AS gap
+        |  FROM w JOIN t USING (event_type) WHERE i < days)
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS split_day,
+        |  round(gap, 6) AS mean_gap, days AS n_days
+        |FROM g
+        |QUALIFY row_number() OVER (PARTITION BY event_type
+        |  ORDER BY gap DESC, day DESC) = 1
+        |ORDER BY event_type""".stripMargin,
+    // three KMV replays (the a15_kmv 52-bit md5 fraction) over the
+    // view / purchase / union member sets + the exact intersection
+    "ev_overlap_kmv" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(user_id AS VARCHAR) AS u FROM events
+        |  WHERE event_type IN ('view', 'purchase')),
+        |uu AS (SELECT DISTINCT u FROM ev),
+        |uv AS (SELECT DISTINCT u FROM ev WHERE event_type = 'view'),
+        |up AS (SELECT DISTINCT u FROM ev WHERE event_type = 'purchase'),
+        |fr AS (
+        |  SELECT u,
+        |    list_sum(list_transform(range(13), i ->
+        |      CAST(strpos('0123456789abcdef',
+        |        substr(md5(u), CAST(i AS INTEGER) + 1, 1)) - 1 AS DOUBLE)
+        |      * power(16.0, CAST(12 - i AS DOUBLE))))
+        |      / 4503599627370496.0 AS frac
+        |  FROM uu),
+        |e1 AS (SELECT list_sort(list(DISTINCT frac)) AS arr
+        |       FROM fr JOIN uv USING (u)),
+        |e2 AS (SELECT list_sort(list(DISTINCT frac)) AS arr
+        |       FROM fr JOIN up USING (u)),
+        |e3 AS (SELECT list_sort(list(DISTINCT frac)) AS arr FROM fr),
+        |ex AS (SELECT COUNT(*) AS exact_intersect
+        |       FROM uv JOIN up USING (u)),
+        |est AS (
+        |  SELECT
+        |    (SELECT round(CASE WHEN len(arr) < 64
+        |       THEN CAST(len(arr) AS DOUBLE) ELSE 63.0 / arr[64] END, 6)
+        |     FROM e1) AS est_view,
+        |    (SELECT round(CASE WHEN len(arr) < 64
+        |       THEN CAST(len(arr) AS DOUBLE) ELSE 63.0 / arr[64] END, 6)
+        |     FROM e2) AS est_purchase,
+        |    (SELECT round(CASE WHEN len(arr) < 64
+        |       THEN CAST(len(arr) AS DOUBLE) ELSE 63.0 / arr[64] END, 6)
+        |     FROM e3) AS est_union)
+        |SELECT est_view, est_purchase, est_union,
+        |  round(est_view + est_purchase - est_union, 6) AS est_intersect,
+        |  ex.exact_intersect
+        |FROM est, ex""".stripMargin,
     // DuckDB's native ASOF LEFT JOIN — the same oracle shape as
     // ev_asof, now checking the custom Catalyst operator
     "ev_asof_native" ->

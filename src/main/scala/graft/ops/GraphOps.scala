@@ -616,7 +616,52 @@ object GraphOps {
         .as("assortativity"))
   }
 
+  /** HITS hubs & authorities over the DIRECTED bipartite graph
+    * (customer → supplier): 3 mutual-reinforcement rounds — authority =
+    * Σ hub of in-neighbors, hub = Σ authority of out-neighbors — each
+    * normalized by the round's MAX (order-free, unlike the classic
+    * L2 norm whose global double sum would be partition-order-
+    * dependent). In-contribution sums are sorted folds so the oracle's
+    * list_sort→list_reduce replay is bit-identical (the
+    * [[graphPagerank]] convention; production swaps plain `sum`).
+    *
+    * 100 TB posture: reads the memoized [[csIndex]] projection; each
+    * round is two key-shuffled aggregates + two joins with
+    * localCheckpoint lineage cuts; the max is a 1-row broadcast. Same
+    * iterative posture as pagerank — rounds are fixed (3), state is
+    * node-sized. */
+  def graphHits(s: SparkSession, d: String): DataFrame = {
+    val cs = csIndex(s, d)
+    def sortedSum(c: String) = expr(
+      s"aggregate(sort_array(collect_list($c)), cast(0.0 as double)," +
+        " (a, x) -> a + x)")
+    var hub = cs.select(col("c")).distinct().withColumn("hub", lit(1.0))
+    var auth: DataFrame = cs.sparkSession.emptyDataFrame
+    for (_ <- 1 to 3) {
+      val av = cs.join(hub, "c").groupBy(col("sk"))
+        .agg(sortedSum("hub").as("v"))
+      val amax = av.agg(max(col("v")).as("m"))
+      auth = av.join(broadcast(amax))
+        .select(col("sk"), (col("v") / col("m")).as("auth"))
+        .localCheckpoint()
+      val hv = cs.join(auth, "sk").groupBy(col("c"))
+        .agg(sortedSum("auth").as("v"))
+      val hmax = hv.agg(max(col("v")).as("m"))
+      hub = hv.join(broadcast(hmax))
+        .select(col("c"), (col("v") / col("m")).as("hub"))
+        .localCheckpoint()
+    }
+    auth.select(lit("auth").as("side"),
+        concat(lit("s"), col("sk")).as("node"),
+        round(col("auth"), 6).as("score"))
+      .unionAll(hub.select(lit("hub").as("side"),
+        concat(lit("c"), col("c")).as("node"),
+        round(col("hub"), 6).as("score")))
+      .orderBy(col("side"), col("node"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_hits"        -> graphHits _,
     "graph_assort"      -> graphAssortativity _,
     "graph_kcore"       -> graphKcore _,
     "graph_communities" -> graphCommunities _,
@@ -629,6 +674,38 @@ object GraphOps {
     "graph_paths"    -> graphPaths _)
 
   val oracles: Map[String, String] = Map(
+    // 3 unrolled mutual-reinforcement rounds with the identical
+    // sorted-fold sums and max normalization
+    "graph_hits" -> {
+      val round = (ha: String, aa: String, hn: String, an: String) =>
+        s"""${aa}r AS (
+           |  SELECT sk, list_reduce(list_sort(list(hub)), (a, x) -> a + x)
+           |    AS v
+           |  FROM cs JOIN $ha USING (c) GROUP BY sk),
+           |$an AS (
+           |  SELECT sk, v / (SELECT MAX(v) FROM ${aa}r) AS auth
+           |  FROM ${aa}r),
+           |${hn}r AS (
+           |  SELECT c, list_reduce(list_sort(list(auth)), (a, x) -> a + x)
+           |    AS v
+           |  FROM cs JOIN $an USING (sk) GROUP BY c),
+           |$hn AS (
+           |  SELECT c, v / (SELECT MAX(v) FROM ${hn}r) AS hub
+           |  FROM ${hn}r)""".stripMargin
+      s"""WITH cs AS (
+         |  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS sk
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         |h0 AS (SELECT DISTINCT c, CAST(1.0 AS DOUBLE) AS hub FROM cs),
+         |${round("h0", "a1", "h1", "a1n")},
+         |${round("h1", "a2", "h2", "a2n")},
+         |${round("h2", "a3", "h3", "a3n")}
+         |SELECT side, node, score FROM (
+         |  SELECT 'auth' AS side, 's' || sk AS node,
+         |    round(auth, 6) AS score FROM a3n
+         |  UNION ALL
+         |  SELECT 'hub', 'c' || c, round(hub, 6) FROM h3)
+         |ORDER BY side, node""".stripMargin
+    },
     // exact DECIMAL sufficient statistics over the symmetrized edge
     // list; same fixed double tree as the engine, CASE ≡ try_divide
     "graph_assort" ->

@@ -452,7 +452,32 @@ object TextOps {
       .orderBy(col("exact").desc, col("tok").asc)
   }
 
+  /** Readability scoring (Flesch reading-ease with the standard
+    * vowel-group syllable heuristic): words, sentences and syllable
+    * proxies are three regexp counts per row — fully narrow, no
+    * shuffle, scan-bound at any scale. The formula is one fixed double
+    * expression over exact integer counts (identical op order in the
+    * oracle), denominators clamped to ≥1 so empty/punctuation-only
+    * docs score instead of NULLing. */
+  def textReadability(s: SparkSession, d: String): DataFrame = {
+    val words = regexp_count(col("text"), lit("[A-Za-z]+"))
+    val sents = regexp_count(col("text"), lit("[.!?]+"))
+    val sylls = regexp_count(lower(col("text")), lit("[aeiouy]+"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), words.as("n_words"), sents.as("n_sents"),
+        sylls.as("n_sylls"))
+      .select(col("doc_id"), col("n_words"), col("n_sents"), col("n_sylls"),
+        round(lit(206.835) -
+          lit(1.015) * (col("n_words").cast("double") /
+            greatest(col("n_sents"), lit(1)).cast("double")) -
+          lit(84.6) * (col("n_sylls").cast("double") /
+            greatest(col("n_words"), lit(1)).cast("double")), 6)
+          .as("flesch"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_readability"      -> textReadability _,
     "text_cms"              -> textCms _,
     "text_zipf"             -> textZipf _,
     "text_heavyhitters"     -> textHeavyHitters _,
@@ -471,6 +496,25 @@ object TextOps {
     "text_fingerprint_roll" -> textFingerprintRoll _)
 
   val oracles: Map[String, String] = Map(
+    // same three RE2-safe counts + the identical double-op order
+    "text_readability" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS INTEGER)
+        |    AS n_words,
+        |  CAST(len(regexp_extract_all(text, '[.!?]+')) AS INTEGER)
+        |    AS n_sents,
+        |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS INTEGER)
+        |    AS n_sylls,
+        |  round(206.835
+        |    - 1.015 * (CAST(len(regexp_extract_all(text, '[A-Za-z]+'))
+        |        AS DOUBLE)
+        |      / CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+        |        AS DOUBLE))
+        |    - 84.6 * (CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |        AS DOUBLE)
+        |      / CAST(greatest(len(regexp_extract_all(text, '[A-Za-z]+')), 1)
+        |        AS DOUBLE)), 6) AS flesch
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // full CMS replay: every token occurrence increments 3 buckets
     // (md5 nibble addressing, the Bloom idiom), est = min over the
     // probe token's 3 bucket counters — exact integers end to end

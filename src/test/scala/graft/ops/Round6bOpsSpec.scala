@@ -1,0 +1,102 @@
+package graft.ops
+
+import graft.SparkFunSuite
+import java.nio.file.Files
+
+/** Semantic pins for the second round-6 batch: Holt trend smoothing,
+  * changepoint argmax, KMV set-algebra overlap, HITS mutual
+  * reinforcement, and Flesch readability — each on a hand-traceable
+  * fixture with exact expected values. */
+class Round6bOpsSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  private val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+  private def day(n: Int, m: Int = 0) =
+    new java.sql.Timestamp(t0.getTime + n * 86400000L + m * 1000L)
+
+  test("ev_holt: constant series → zero trend; 2-day ramp by hand") {
+    val d = Files.createTempDirectory("holt").toString
+    // "flat": 5 events/day over 3 days → level 5, trend 0
+    // "ramp": 4 then 8 → l = .5·8+.5·4 = 6, b = .3·(6−4) = 0.6
+    val rows =
+      (for (dd <- 0 until 3; i <- 0 until 5)
+        yield (dd * 10L + i, day(dd, i), 1L, "flat", 1.0)) ++
+      (for (i <- 0 until 4) yield (100L + i, day(0, i), 1L, "ramp", 1.0)) ++
+      (for (i <- 0 until 8) yield (200L + i, day(1, i), 1L, "ramp", 1.0))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$d/events.parquet")
+    val got = EventOps.evHolt(spark, d).collect()
+      .map(r => r.getString(0) ->
+        ((r.getInt(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(got("flat") === ((3, 5.0, 0.0, 5.0)))
+    assert(got("ramp") === ((2, 6.0, 0.6, 7.8)))
+  }
+
+  test("ev_changepoint finds the step day in a 1,1,5,5 series") {
+    val d = Files.createTempDirectory("chg").toString
+    val counts = Seq(1, 1, 5, 5)
+    val rows = for {
+      (n, dd) <- counts.zipWithIndex
+      i <- 0 until n
+    } yield (dd * 10L + i, day(dd, i), 1L, "click", 1.0)
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$d/events.parquet")
+    val r = EventOps.evChangepoint(spark, d).collect().head
+    // split after day 2: mean 1 vs mean 5 → gap 4 (beats 2.667, 3.667)
+    assert(r.getString(0) == "click" && r.getString(1) == "2024-01-02" &&
+      r.getDouble(2) == 4.0 && r.getLong(3) == 4L)
+  }
+
+  test("ev_overlap_kmv: below-k sets give exact inclusion-exclusion") {
+    val d = Files.createTempDirectory("kmvo").toString
+    // viewers 1..10, purchasers 6..15 → union 15, intersection 5;
+    // all sets < k=64 so every KMV estimate is the exact count
+    val rows =
+      (1 to 10).map(u => (u.toLong, t0, u.toLong, "view", 1.0)) ++
+      (6 to 15).map(u => (100L + u, t0, u.toLong, "purchase", 1.0)) ++
+      Seq((999L, t0, 99L, "click", 1.0)) // other types are filtered out
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$d/events.parquet")
+    val r = EventOps.evOverlapKmv(spark, d).collect().head
+    assert(r.getDouble(0) == 10.0 && r.getDouble(1) == 10.0 &&
+      r.getDouble(2) == 15.0 && r.getDouble(3) == 5.0 &&
+      r.getLong(4) == 5L)
+  }
+
+  test("graph_hits: 3 rounds on the c1-{s1,s2}, c2-s1 star by hand") {
+    val d = Files.createTempDirectory("hits").toString
+    Seq((1L, 1L), (2L, 1L), (3L, 2L))
+      .toDF("o_orderkey", "o_custkey").write.parquet(s"$d/orders.parquet")
+    Seq((1L, 1L), (2L, 2L), (3L, 1L))
+      .toDF("l_orderkey", "l_suppkey").write.parquet(s"$d/lineitem.parquet")
+    // r1: a(s1)=2,a(s2)=1 → 1,.5 | h(c1)=1.5,h(c2)=1 → 1,2/3
+    // r2: a(s1)=5/3,a(s2)=1 → 1,.6 | h(c1)=1.6,h(c2)=1 → 1,.625
+    // r3: a(s1)=1.625,a(s2)=1 → 1,.615385 | h(c1)≈1.615385 → 1,.619048
+    val got = GraphOps.graphHits(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(got(("auth", "s1")) == 1.0 && got(("auth", "s2")) == 0.615385)
+    assert(got(("hub", "c1")) == 1.0 && got(("hub", "c2")) == 0.619048)
+  }
+
+  test("text_readability: hand-counted Flesch; empty text is guarded") {
+    val d = Files.createTempDirectory("flesch").toString
+    Seq((1L, "s1", "Hello world. This is fine!"), (2L, "s1", "!!!"))
+      .toDF("doc_id", "source", "text")
+      .write.parquet(s"$d/documents.parquet")
+    val got = GraphOpsSpecHelpers.rows(TextOps.textReadability(spark, d))
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getDouble(4)))).toMap
+    // 5 words, 2 sentences, 7 vowel groups:
+    // 206.835 − 1.015·(5/2) − 84.6·(7/5) = 85.8575
+    assert(got(1L) === ((5, 2, 7, 85.8575)))
+    // zero words/sentences clamp to 1: flesch = 206.835
+    assert(got(2L) === ((0, 1, 0, 206.835)))
+  }
+}
+
+/** Tiny helper so specs read `rows(df)` without importing DataFrame. */
+private[ops] object GraphOpsSpecHelpers {
+  def rows(df: org.apache.spark.sql.DataFrame)
+      : Array[org.apache.spark.sql.Row] = df.collect()
+}
