@@ -27,6 +27,7 @@ object Graft {
     functions.expressions.CountMinSketch.register(spark)
     functions.expressions.BpeTokenCount.register(spark)
     functions.expressions.JaroWinkler.register(spark)
+    functions.expressions.HilbertIndex.register(spark)
     spark
   }
 

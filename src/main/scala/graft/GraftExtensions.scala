@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.expressions.{BloomSketch, BpeTokenCount, CharEntropy, CosineSimilarity, CountMinSketch, GramStats, JaroWinkler, KmvDistinct, MinHashBandKeys, MisraGries, SimHash64}
+import graft.functions.expressions.{BloomSketch, BpeTokenCount, CharEntropy, CosineSimilarity, CountMinSketch, GramStats, HilbertIndex, JaroWinkler, KmvDistinct, MinHashBandKeys, MisraGries, SimHash64}
 
 /** Config-only injection point: `--conf
   * spark.sql.extensions=graft.GraftExtensions` registers the engine's
@@ -95,6 +95,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => {
         val a = arity("jaro_winkler_native", 2, exprs)
         JaroWinkler(a.head, a(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("hilbert_native"),
+      new ExpressionInfo(classOf[HilbertIndex].getName, "hilbert_native"),
+      (exprs: Seq[Expression]) => {
+        val a = arity("hilbert_native", 2, exprs)
+        HilbertIndex(a.head, a(1))
       }))
   }
 }

@@ -802,6 +802,36 @@ object CoreRelational {
       .orderBy(col("tile"))
   }
 
+  /** Hilbert-curve layout key over the same (custkey, orderdate) grid
+    * as [[layoutZorder]] — the strictly-better-locality alternative
+    * (consecutive indexes are always grid-neighbors; Z-order jumps at
+    * tile seams). The index is the native codegen
+    * [[graft.functions.expressions.HilbertIndex]] expression (a Column
+    * composition of the 8 rotate/flip rounds would blow up the
+    * expression tree multiplicatively); the oracle replays the xy2d
+    * walk as 8 chained CTE rounds in exact integer arithmetic.
+    * HilbertSpec proves bijectivity and the unit-step adjacency
+    * property over the full 65536-cell grid. */
+  def layoutHilbert(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("od"))
+    val stats = o.agg(
+      min(col("o_custkey")).as("ck0"), max(col("o_custkey")).as("ck1"),
+      min(col("od")).as("d0"), max(col("od")).as("d1"))
+    val b = o.crossJoin(broadcast(stats))
+      .withColumn("x", floor((col("o_custkey") - col("ck0")) * lit(256.0)
+        / (col("ck1") - col("ck0") + lit(1))).cast("int"))
+      .withColumn("y", floor(datediff(col("od"), col("d0")) * lit(256.0)
+        / (datediff(col("d1"), col("d0")) + lit(1))).cast("int"))
+    b.withColumn("h", graft.functions.expressions.HilbertIndex.hilbert(
+        s, col("x"), col("y")))
+      .groupBy(shiftright(col("h"), 8).as("tile"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+        min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+      .orderBy(col("tile"))
+  }
+
   /** A: pivot — per-day event counts spread across one column per
     * event type (the dashboard "crosstab" shape). The value list is
     * explicit, so this is ONE hash aggregate (no value-discovery job
@@ -901,6 +931,7 @@ object CoreRelational {
     "o10_skyline"    -> o10Skyline _,
     "dq_benford"     -> dqBenford _,
     "layout_zorder"  -> layoutZorder _,
+    "layout_hilbert" -> layoutHilbert _,
     "profile_checksum" -> profileChecksum _,
     "profile_corr"   -> profileCorr _,
     "u04_intersect"  -> u04Intersect _,
@@ -1022,6 +1053,45 @@ object CoreRelational {
     // exact null/min/max, one SELECT per profiled column
     // pure integer bit interleave replayed with >>/&; scaling is
     // exact integer-in-double arithmetic, identical on both engines
+    // the xy2d walk unrolled as 8 chained integer-CTE rounds — exact
+    // integers end to end, so the tile panel hash-matches the native
+    // codegen expression
+    "layout_hilbert" -> {
+      val rounds = (7 to 0 by -1).map { k =>
+        val s = 1 << k
+        s"""h${7 - k + 1} AS (
+           |  SELECT x, y,
+           |    CASE WHEN ((hy >> $k) & 1) = 0 THEN
+           |      (CASE WHEN ((hx >> $k) & 1) = 1
+           |         THEN ${s - 1} - hy ELSE hy END)
+           |    ELSE hx END AS hx,
+           |    CASE WHEN ((hy >> $k) & 1) = 0 THEN
+           |      (CASE WHEN ((hx >> $k) & 1) = 1
+           |         THEN ${s - 1} - hx ELSE hx END)
+           |    ELSE hy END AS hy,
+           |    hd + ${s * s} * xor(3 * ((hx >> $k) & 1), (hy >> $k) & 1)
+           |      AS hd
+           |  FROM h${7 - k})""".stripMargin
+      }.mkString(",\n")
+      s"""WITH o AS (
+         |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS od FROM orders),
+         |s AS (
+         |  SELECT MIN(o_custkey) AS ck0, MAX(o_custkey) AS ck1,
+         |    MIN(od) AS d0, MAX(od) AS d1 FROM o),
+         |b AS (
+         |  SELECT
+         |    CAST(floor((o_custkey - s.ck0) * 256.0
+         |      / (s.ck1 - s.ck0 + 1)) AS INT) AS x,
+         |    CAST(floor(date_diff('day', s.d0, od) * 256.0
+         |      / (date_diff('day', s.d0, s.d1) + 1)) AS INT) AS y
+         |  FROM o, s),
+         |h0 AS (SELECT x, y, x AS hx, y AS hy, 0 AS hd FROM b),
+         |$rounds
+         |SELECT (hd >> 8) AS tile, COUNT(*) AS n_rows,
+         |  MIN(x) AS min_x, MAX(x) AS max_x,
+         |  MIN(y) AS min_y, MAX(y) AS max_y
+         |FROM h8 GROUP BY 1 ORDER BY tile""".stripMargin
+    },
     "layout_zorder" -> {
       val weave = (0 until 8).map(i =>
         s"(((x >> $i) & 1) * ${1 << (2 * i + 1)} + " +
