@@ -60,12 +60,65 @@ object MultimodalOps {
       .orderBy(col("payload_md5"))
   }
 
+  /** Byte-budget shard packing for media assets — the WebDataset-style
+    * tar-shard layout step: assets are laid out in the deterministic
+    * md5 shuffle order and cut into ~4096-byte training shards by a
+    * global byte offset. The offset is the TWO-LEVEL distributed
+    * prefix sum (the `pack_shards` idiom: md5-prefix-group windows +
+    * a ≤256-row offset table) so no monolithic window ever sorts the
+    * corpus in one task; only (media_id, n_bytes) rides the shuffle —
+    * payloads stay in place until the shard writer fetches them by
+    * key. */
+  def mmPack(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val media = Multimodal.mediaFromDocuments(Tables.documents(s, d))
+      .select(col("media_id"), length(col("payload")).as("n_bytes"))
+    val keyed = media
+      .withColumn("__h", md5(col("media_id").cast("string")))
+      .withColumn("__gid", substring(col("__h"), 1, 2))
+    val wIn = Window.partitionBy("__gid")
+      .orderBy(col("__h"), col("media_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wOff = Window.orderBy("__gid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = keyed.groupBy(col("__gid"))
+      .agg(sum("n_bytes").as("__g_tot"))
+      .withColumn("__g_off", coalesce(sum("__g_tot").over(wOff), lit(0L)))
+      .select("__gid", "__g_off")
+    keyed.withColumn("__run_in", sum("n_bytes").over(wIn))
+      .join(offs, Seq("__gid"))
+      .withColumn("start_off",
+        col("__g_off") + col("__run_in") - col("n_bytes"))
+      .withColumn("shard_id", expr("start_off div 4096"))
+      .select("media_id", "n_bytes", "start_off", "shard_id")
+      .orderBy("media_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_features" -> mmFeatures _,
     "mm_frames"   -> mmFrames _,
+    "mm_pack"     -> mmPack _,
     "mm_dedup"    -> mmDedup _)
 
   val oracles: Map[String, String] = Map(
+    // single-window replay of the two-level prefix sum (payload byte
+    // length == text length on the ASCII corpus, the mm_features
+    // convention)
+    "mm_pack" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(length(text) AS INTEGER) AS n_bytes
+        |  FROM documents),
+        |r AS (
+        |  SELECT media_id, n_bytes,
+        |    CAST(SUM(n_bytes) OVER (
+        |      ORDER BY md5(CAST(media_id AS VARCHAR)), media_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      - n_bytes AS start_off
+        |  FROM m)
+        |SELECT media_id, n_bytes, start_off,
+        |  start_off // 4096 AS shard_id
+        |FROM r ORDER BY media_id""".stripMargin,
     // Recompute the FakeCodec histogram from the utf-8 payload bytes
     // (corpus is ASCII, so bytes == codepoints): class = byte % 32,
     // features = per-class counts / total. l1_mass is exactly 1 after
