@@ -230,6 +230,43 @@ class PlanAuditSpec extends SparkFunSuite {
       "ann_pq sorts the full score table")
   }
 
+  test("round-6b plans: argmin/semi/anti restatements stay window- and rescan-free") {
+    // q02: correlated-MIN as two hash aggregates — no window sort, and
+    // the fact is scanned once
+    val q02 = plan(Headline.q02MinCost(spark, sfDir))
+    assert(!q02.contains("Window"), "q02 argmin degraded to a window")
+    assert(q02.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("lineitem")) == 1,
+      "q02 re-scans the fact")
+    // q04: EXISTS plans as a LEFT SEMI join (never a per-order rescan)
+    val q04 = plan(Headline.q04Priority(spark, sfDir))
+    assert(q04.contains("LeftSemi"), "q04 lost the semi-join form")
+    // q17: the correlated-AVG threshold is one stats aggregate joined
+    // back — exactly two lineitem scans (detail + stats), no more
+    val q17 = plan(Headline.q17SmallQty(spark, sfDir))
+    assert(q17.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("lineitem")) == 2,
+      "q17 walks the fact more than twice")
+    // q22: the no-recent-orders test is a LEFT ANTI join with the date
+    // predicate pushed to the orders scan
+    val q22 = plan(Headline.q22Idle(spark, sfDir))
+    assert(q22.contains("LeftAnti"), "q22 lost the anti-join form")
+    assert(q22.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("o_orderdate")),
+      "q22 date predicate not pushed to the orders scan")
+    // ev_changepoint: ONE window (index+cumsum share it), argmax is a
+    // hash aggregate — no second window
+    val cp = EventOps.evChangepoint(spark, sfDir).queryExecution
+      .optimizedPlan.collect { case w: LogicalWindow => w }
+    assert(cp.size == 1, s"ev_changepoint has ${cp.size} windows, want 1")
+    // ev_overlap_kmv: all three sketches in ONE events aggregate — the
+    // scan count stays at 2 (sketch pass + exact-reference pass)
+    val ov = plan(EventOps.evOverlapKmv(spark, sfDir))
+    assert(ov.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("events")) == 2,
+      "ev_overlap_kmv runs a scan per sketch")
+  }
+
   test("partitioned table prunes partitions at scan time") {
     val dir = Files.createTempDirectory("ptab").toString + "/t"
     val df = graft.Tables.orders(spark, sfDir)
