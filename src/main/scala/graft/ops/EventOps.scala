@@ -757,7 +757,31 @@ object EventOps {
         col("exact_intersect"))
   }
 
+  /** Funnel latency: distribution of first-view → first-purchase
+    * conversion delay. One user-keyed conditional-min aggregate gets
+    * both timestamps in a single pass (no join of two filtered scans),
+    * the delay stays an exact integer (microseconds), and the
+    * percentile ≡ quantile_cont precedent (a12) pins the interpolation
+    * cross-engine. */
+  def evFunnelTime(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "view", col("ts"))).as("fv"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("fp"))
+      .filter(col("fv").isNotNull && col("fp").isNotNull &&
+        col("fp") >= col("fv"))
+      // seconds, not microseconds: at the µs magnitude (~4e11) a
+      // last-ulp interpolation difference survives round(·,6); at
+      // seconds the 1e-6 grid swamps ulp noise (the a12 regime)
+      .select(((unix_micros(col("fp")) - unix_micros(col("fv")))
+        .cast("double") / lit(1e6)).as("delay_s"))
+      .agg(count(lit(1)).as("n_converted"),
+        round(expr("percentile(delay_s, 0.5)"), 6).as("p50_delay_s"),
+        round(expr("percentile(delay_s, 0.9)"), 6).as("p90_delay_s"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_funnel_time" -> evFunnelTime _,
     "ev_holt"        -> evHolt _,
     "ev_changepoint" -> evChangepoint _,
     "ev_overlap_kmv" -> evOverlapKmv _,
@@ -786,6 +810,21 @@ object EventOps {
     "ev_retention"   -> evRetention _)
 
   val oracles: Map[String, String] = Map(
+    "ev_funnel_time" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'view' THEN ts END) AS fv,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS fp
+        |  FROM events GROUP BY 1),
+        |dl AS (
+        |  SELECT CAST(epoch_us(fp) - epoch_us(fv) AS DOUBLE) / 1000000.0
+        |    AS delay_s
+        |  FROM f
+        |  WHERE fv IS NOT NULL AND fp IS NOT NULL AND fp >= fv)
+        |SELECT COUNT(*) AS n_converted,
+        |  round(quantile_cont(delay_s, 0.5), 6) AS p50_delay_s,
+        |  round(quantile_cont(delay_s, 0.9), 6) AS p90_delay_s
+        |FROM dl""".stripMargin,
     // recursive-CTE replay of the identical fold: the level/trend
     // update expressions are written in the same double-op order as
     // the engine's array-accumulator aggregate

@@ -496,7 +496,9 @@ object GraphOps {
     * `min(struct(-count, label))`, a partial-aggregable single pass —
     * no per-node window. Reads the memoized [[edgeIndex]], so the
     * edge table is shared with the rest of the suite. */
-  def graphCommunities(s: SparkSession, d: String): DataFrame = {
+  /** The 4-round sync-LPA label table (node, lab) shared by
+    * [[graphCommunities]] and [[graphModularity]]. */
+  private def lpaLabels(s: SparkSession, d: String): DataFrame = {
     val (edgesDeg, deg, _) = edgeIndex(s, d)
     val edges = edgesDeg.select(col("src"), col("dst"))
     var labels = deg.select(col("src").as("node"))
@@ -514,11 +516,53 @@ object GraphOps {
         .select(col("node"), col("m.l").as("lab"))
         .localCheckpoint()
     }
-    labels.groupBy(col("lab").as("community"))
+    labels
+  }
+
+  def graphCommunities(s: SparkSession, d: String): DataFrame =
+    lpaLabels(s, d).groupBy(col("lab").as("community"))
       .agg(count(lit(1)).as("n_nodes"),
         sum(when(col("node").startsWith("c"), 1).otherwise(0))
           .as("n_customers"))
       .orderBy(col("community"))
+
+  /** Newman modularity of the LPA partition — the one-number "are
+    * these communities real" quality gate. The pairwise definition
+    * collapses to Q = E_in/m − Σ_c d_c² / (2m)², and with the
+    * symmetric DIRECTED edge list (n_dir = 2m, in_dir = 2·E_in) that
+    * is in_dir/n_dir − S/n_dir² — every term an exact integer sum (d_c²
+    * through DECIMAL so a hub community cannot overflow), the final Q
+    * ONE fixed double expression. No double is ever summed across
+    * partitions, so the result is bit-stable cross-engine.
+    *
+    * 100 TB posture: reuses [[lpaLabels]] (memoized edge index + 4
+    * checkpointed rounds), then two label joins and two aggregates —
+    * all keyed shuffles on node/community ids. */
+  def graphModularity(s: SparkSession, d: String): DataFrame = {
+    val (edgesDeg, deg, _) = edgeIndex(s, d)
+    val lbl = lpaLabels(s, d)
+    val e2 = edgesDeg.select(col("src"), col("dst"))
+      .join(lbl.select(col("node").as("src"), col("lab").as("lsrc")), "src")
+      .join(lbl.select(col("node").as("dst"), col("lab").as("ldst")), "dst")
+    val edgeStats = e2.agg(
+      count(lit(1)).as("n_dir"),
+      sum(when(col("lsrc") === col("ldst"), 1L).otherwise(0L)).as("in_dir"))
+    val commStats = deg
+      .join(lbl, deg("src") === lbl("node"))
+      .groupBy(col("lab"))
+      .agg(sum(col("outdeg")).as("d_c"))
+      .agg(count(lit(1)).as("n_communities"),
+        sum(col("d_c").cast("decimal(18,0)") *
+          col("d_c").cast("decimal(18,0)")).as("s2"))
+    edgeStats.join(broadcast(commStats))
+      .select(
+        expr("n_dir div 2").as("m_edges"),
+        expr("in_dir div 2").as("e_in"),
+        col("n_communities"),
+        round(col("in_dir").cast("double") / col("n_dir").cast("double") -
+          col("s2").cast("double") /
+            (col("n_dir").cast("double") * col("n_dir").cast("double")), 6)
+          .as("modularity"))
   }
 
   /** k-core peeling over the bulk trading subgraph (same gated edge
@@ -662,6 +706,7 @@ object GraphOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_hits"        -> graphHits _,
+    "graph_modularity"  -> graphModularity _,
     "graph_assort"      -> graphAssortativity _,
     "graph_kcore"       -> graphKcore _,
     "graph_communities" -> graphCommunities _,
@@ -761,6 +806,50 @@ object GraphOps {
          |${peel("n4", "n5")},
          |${peel("n5", "n6")}
          |SELECT node, deg FROM n6 ORDER BY node""".stripMargin
+    },
+    // the graph_communities LPA replay + the exact-integer modularity
+    // sums (in_dir/n_dir − S/n_dir² over the symmetric directed list)
+    "graph_modularity" -> {
+      val round = (prev: String, cur: String) =>
+        s"""$cur AS (
+           |  SELECT node, lab FROM (
+           |    SELECT e.src AS node, p.lab, COUNT(*) AS c,
+           |      ROW_NUMBER() OVER (PARTITION BY e.src
+           |        ORDER BY COUNT(*) DESC, p.lab ASC) AS rn
+           |    FROM edges e JOIN $prev p ON e.dst = p.node
+           |    GROUP BY e.src, p.lab) WHERE rn = 1)""".stripMargin
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT 'c' || o.o_custkey AS src,
+         |                  's' || l.l_suppkey AS dst
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         |edges AS (SELECT src, dst FROM pairs
+         |          UNION ALL SELECT dst, src FROM pairs),
+         |l0 AS (SELECT DISTINCT src AS node, src AS lab FROM edges),
+         |${round("l0", "l1")},
+         |${round("l1", "l2")},
+         |${round("l2", "l3")},
+         |${round("l3", "l4")},
+         |es AS (
+         |  SELECT COUNT(*) AS n_dir,
+         |    CAST(SUM(CASE WHEN a.lab = b.lab THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS in_dir
+         |  FROM edges e
+         |  JOIN l4 a ON e.src = a.node
+         |  JOIN l4 b ON e.dst = b.node),
+         |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1),
+         |cs2 AS (
+         |  SELECT COUNT(*) AS n_communities,
+         |    SUM(CAST(d_c AS DECIMAL(18,0)) * CAST(d_c AS DECIMAL(18,0)))
+         |      AS s2
+         |  FROM (SELECT l4.lab, SUM(deg.outdeg) AS d_c
+         |        FROM deg JOIN l4 ON deg.src = l4.node GROUP BY 1))
+         |SELECT n_dir // 2 AS m_edges, in_dir // 2 AS e_in,
+         |  n_communities,
+         |  round(CAST(in_dir AS DOUBLE) / CAST(n_dir AS DOUBLE)
+         |    - CAST(s2 AS DOUBLE)
+         |      / (CAST(n_dir AS DOUBLE) * CAST(n_dir AS DOUBLE)), 6)
+         |    AS modularity
+         |FROM es, cs2""".stripMargin
     },
     // unrolled 4 sync LPA rounds; the ROW_NUMBER (count DESC, label
     // ASC) pick replays the engine's min(struct(-count, label)) argmax

@@ -476,7 +476,35 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Lexical-diversity panel (type-token ratio + Simpson concentration
+    * index) per document — the vocabulary-health signal quality
+    * filtering reads next to [[textRepetition]]'s within-doc gates.
+    * One explode → (doc, token) count → per-doc aggregate: both
+    * shuffles keyed by high-cardinality ids, all statistics exact
+    * integers until one fixed double expression per row (Simpson is
+    * Σc(c−1)/n(n−1), NULL for single-token docs — no 0/0). */
+  def textDiversity(s: SparkSession, d: String): DataFrame = {
+    val toks = filter(split(lower(col("text")), "[^a-z0-9]+"),
+      t => length(t) > 0)
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("t"),
+        sum(col("c") * (col("c") - 1)).as("sn"))
+      .select(col("doc_id"), col("n").as("n_tokens"), col("t").as("n_types"),
+        round(col("t").cast("double") / col("n").cast("double"), 6)
+          .as("ttr"),
+        when(col("n") > 1,
+          round(col("sn").cast("double") /
+            (col("n").cast("double") * (col("n") - 1).cast("double")), 6))
+          .as("simpson"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_diversity"        -> textDiversity _,
     "text_readability"      -> textReadability _,
     "text_cms"              -> textCms _,
     "text_zipf"             -> textZipf _,
@@ -496,6 +524,26 @@ object TextOps {
     "text_fingerprint_roll" -> textFingerprintRoll _)
 
   val oracles: Map[String, String] = Map(
+    // same tokenization (the text_cms convention), exact integer
+    // statistics, identical double expressions
+    "text_diversity" ->
+      """WITH toks AS (
+        |  SELECT doc_id, UNNEST(list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'),
+        |    t -> t != '')) AS tok
+        |  FROM documents),
+        |c AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+        |a AS (
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS t,
+        |    CAST(SUM(c * (c - 1)) AS BIGINT) AS sn
+        |  FROM c GROUP BY 1)
+        |SELECT doc_id, n AS n_tokens, t AS n_types,
+        |  round(CAST(t AS DOUBLE) / CAST(n AS DOUBLE), 6) AS ttr,
+        |  CASE WHEN n > 1 THEN
+        |    round(CAST(sn AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)), 6)
+        |  END AS simpson
+        |FROM a ORDER BY doc_id""".stripMargin,
     // same three RE2-safe counts + the identical double-op order
     "text_readability" ->
       """SELECT doc_id,
