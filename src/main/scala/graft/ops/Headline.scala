@@ -411,6 +411,29 @@ object Headline {
       .orderBy(col("value").desc, col("partkey").asc)
   }
 
+  /** Shipping-priority-split shape (TPC-H Q12, restated — this schema
+    * has no ship mode, so the split dimension is the priority class):
+    * one ship-year of lines joined to orders, and per class
+    * (high = 1-URGENT/2-HIGH, low = rest) the late vs on-time line
+    * counts as TWO conditional sums in ONE aggregate — the
+    * two-flag-columns-from-one-pass shape. The date filter reaches the
+    * lineitem scan; "late" = shipped >30 days after the order date. */
+  def q12Priority(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("date") &&
+        col("l_shipdate") < lit("1998-01-01").cast("date"))
+    val late = col("l_shipdate") >
+      col("o_orderdate") + expr("INTERVAL 30 DAYS")
+    li.join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .withColumn("prio_class",
+        when(col("o_orderpriority").startsWith("1-") ||
+          col("o_orderpriority").startsWith("2-"), "high").otherwise("low"))
+      .groupBy(col("prio_class"))
+      .agg(sum(when(late, 1L).otherwise(0L)).as("late_lines"),
+        sum(when(late, 0L).otherwise(1L)).as("ontime_lines"))
+      .orderBy(col("prio_class"))
+  }
+
   /** Customer-order-count distribution shape (TPC-H Q13): LEFT join
     * customers to their non-urgent orders, count per customer (zero
     * included), then the histogram of those counts. Two aggregates: the
@@ -557,6 +580,7 @@ object Headline {
     "q08_share"     -> q08Share _,
     "q09_profit"    -> q09Profit _,
     "q11_important" -> q11Important _,
+    "q12_priority"  -> q12Priority _,
     "q13_custdist"  -> q13CustDist _,
     "q15_topsupp"   -> q15TopSupp _,
     "q16_partsupp"  -> q16PartSupp _,
@@ -618,6 +642,20 @@ object Headline {
         |  (SELECT SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
         |   FROM lineitem)
         |ORDER BY value DESC, partkey ASC""".stripMargin,
+    "q12_priority" ->
+      """SELECT CASE WHEN o.o_orderpriority LIKE '1-%'
+        |         OR o.o_orderpriority LIKE '2-%'
+        |       THEN 'high' ELSE 'low' END AS prio_class,
+        |  CAST(SUM(CASE WHEN l.l_shipdate >
+        |      o.o_orderdate + INTERVAL 30 DAY THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS late_lines,
+        |  CAST(SUM(CASE WHEN l.l_shipdate >
+        |      o.o_orderdate + INTERVAL 30 DAY THEN 0 ELSE 1 END)
+        |    AS BIGINT) AS ontime_lines
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE l.l_shipdate >= DATE '1997-01-01'
+        |  AND l.l_shipdate < DATE '1998-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q13_custdist" ->
       """SELECT c_count, COUNT(*) AS custdist
         |FROM (SELECT c.c_custkey, COUNT(o.o_custkey) AS c_count
