@@ -780,7 +780,35 @@ object EventOps {
         round(expr("percentile(delay_s, 0.5)"), 6).as("p50_delay_s"),
         round(expr("percentile(delay_s, 0.9)"), 6).as("p90_delay_s"))
 
+  /** 7-day rolling volume via a RANGE window frame — the frame kind
+    * the catalog's other windows never exercise, and the semantically
+    * correct one for gappy daily series: `rangeBetween(-6, 0)` over
+    * the day NUMBER spans calendar days, so a missing day shrinks the
+    * window (a ROWS frame would silently reach 7 rows back across the
+    * gap). Partitioned by event type over day-span state — the
+    * documented-safe bounded-window class. */
+  def evRolling(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("day_i",
+        datediff(col("day"), lit("1970-01-01").cast("date")))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day_i"))
+      .rangeBetween(-6, 0)
+    daily
+      .withColumn("roll7_n", sum(col("n")).over(w))
+      .withColumn("days_present", count(lit(1)).over(w))
+      .select(col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n"), col("roll7_n"), col("days_present"),
+        round(col("roll7_n").cast("double") /
+          col("days_present").cast("double"), 6).as("roll7_avg"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_rolling"     -> evRolling _,
     "ev_funnel_time" -> evFunnelTime _,
     "ev_holt"        -> evHolt _,
     "ev_changepoint" -> evChangepoint _,
@@ -810,6 +838,30 @@ object EventOps {
     "ev_retention"   -> evRetention _)
 
   val oracles: Map[String, String] = Map(
+    // the same RANGE frame over the integer day number
+    "ev_rolling" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, day, n,
+        |    date_diff('day', DATE '1970-01-01', day) AS day_i
+        |  FROM daily),
+        |r AS (
+        |  SELECT event_type, day, n,
+        |    CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY day_i
+        |      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS roll7_n,
+        |    COUNT(*) OVER (PARTITION BY event_type ORDER BY day_i
+        |      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |      AS days_present
+        |  FROM w)
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,
+        |  roll7_n, days_present,
+        |  round(CAST(roll7_n AS DOUBLE) / CAST(days_present AS DOUBLE), 6)
+        |    AS roll7_avg
+        |FROM r ORDER BY event_type, day""".stripMargin,
     "ev_funnel_time" ->
       """WITH f AS (
         |  SELECT user_id,

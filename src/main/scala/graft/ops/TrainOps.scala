@@ -717,7 +717,38 @@ object TrainOps {
       .orderBy("doc_id")
   }
 
+  /** Deterministic Poisson(1) bootstrap — the bagging/uncertainty
+    * primitive: each (doc, replica) draws its multiplicity from the
+    * inverse Poisson CDF evaluated at the 52-bit md5 fraction of
+    * `doc_id#replica` (no RNG, stable across runs/engines/
+    * partitionings — the `sample_importance` convention; tail truncated
+    * at k=4, P≈1.9e-2 of mass ≥ the last threshold folds into it).
+    * Narrow 3× row expansion + one replica-keyed aggregate; per-replica
+    * draw totals concentrate around n as Poisson(1) bootstrap
+    * theory says. */
+  def samplePoisson(s: SparkSession, d: String): DataFrame = {
+    // Poisson(1) CDF at k=0..3, full-precision double literals so both
+    // engines compare the identical constants
+    val cdf = Seq(0.36787944117144233, 0.7357588823428847,
+      0.9196986029286058, 0.9810118431238462)
+    val u = conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit("#"), col("replica").cast("string"))), 1, 13), 16, 10)
+      .cast("long").cast("double") / lit(4503599627370496.0)
+    val k = cdf.map(c => (col("u") >= lit(c)).cast("int")).reduce(_ + _)
+    Tables.documents(s, d).select(col("doc_id"))
+      .withColumn("replica", explode(array(lit(0), lit(1), lit(2))))
+      .withColumn("u", u)
+      .withColumn("k", k)
+      .groupBy(col("replica"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("k") > 0, 1L).otherwise(0L)).as("drawn_docs"),
+        sum(col("k")).as("total_draws"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("replica"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_poisson"     -> samplePoisson _,
     "corpus_diff"        -> corpusDiff _,
     "text_classifier_nb" -> textClassifierNb _,
     "pack_chunks"        -> packChunks _,
@@ -778,6 +809,34 @@ object TrainOps {
       |  FROM p)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // same md5-fraction, same CDF constants, exact integer aggregates
+    "sample_poisson" ->
+      """WITH x AS (
+        |  SELECT doc_id, UNNEST([0, 1, 2]) AS replica FROM documents),
+        |f AS (
+        |  SELECT replica,
+        |    list_sum(list_transform(range(13), i ->
+        |      CAST(strpos('0123456789abcdef',
+        |        substr(md5(CAST(doc_id AS VARCHAR) || '#'
+        |            || CAST(replica AS VARCHAR)),
+        |          CAST(i AS INTEGER) + 1, 1)) - 1 AS DOUBLE)
+        |      * power(16.0, CAST(12 - i AS DOUBLE))))
+        |      / 4503599627370496.0 AS u
+        |  FROM x),
+        |k AS (
+        |  SELECT replica,
+        |    (CASE WHEN u >= 0.36787944117144233 THEN 1 ELSE 0 END
+        |     + CASE WHEN u >= 0.7357588823428847 THEN 1 ELSE 0 END
+        |     + CASE WHEN u >= 0.9196986029286058 THEN 1 ELSE 0 END
+        |     + CASE WHEN u >= 0.9810118431238462 THEN 1 ELSE 0 END)
+        |      AS k
+        |  FROM f)
+        |SELECT replica, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN k > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS drawn_docs,
+        |  CAST(SUM(k) AS BIGINT) AS total_draws,
+        |  CAST(MAX(k) AS INTEGER) AS max_k
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
     // NB training replayed end-to-end: the heuristic-gate seed labels,
     // the add-one-smoothed per-class token counts AND class prior, and
     // the per-doc folded (tok, n) · log-likelihood-ratio sum; llr pins

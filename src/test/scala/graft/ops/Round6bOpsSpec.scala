@@ -79,6 +79,43 @@ class Round6bOpsSpec extends SparkFunSuite {
     assert(got(("hub", "c1")) == 1.0 && got(("hub", "c2")) == 0.619048)
   }
 
+  test("ev_rolling: the RANGE frame does not reach across a day gap") {
+    val d = Files.createTempDirectory("roll").toString
+    // days 0,1,2 then a jump to day 9: the calendar RANGE frame sees
+    // only day 9 itself there (ROWS would wrongly reach back 6 rows)
+    val rows = for {
+      (dd, n) <- Seq((0, 2), (1, 3), (2, 1), (9, 4))
+      i <- 0 until n
+    } yield (dd * 100L + i, day(dd, i), 1L, "click", 1.0)
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$d/events.parquet")
+    val got = EventOps.evRolling(spark, d).collect()
+      .map(r => r.getString(1) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(got("2024-01-01") === ((2L, 1L)))   // first day: itself
+    assert(got("2024-01-03") === ((6L, 3L)))   // 2+3+1 over 3 days
+    assert(got("2024-01-10") === ((4L, 1L)))   // gap: alone in frame
+  }
+
+  test("sample_poisson: deterministic replicas, draw mass near n") {
+    val d = Files.createTempDirectory("poisson").toString
+    (1L to 400L).map(i => (i, "s1", s"doc $i"))
+      .toDF("doc_id", "source", "text")
+      .write.parquet(s"$d/documents.parquet")
+    val run1 = TrainOps.samplePoisson(spark, d).collect()
+    val run2 = TrainOps.samplePoisson(spark, d).collect()
+    assert(run1.toSeq == run2.toSeq)           // no RNG anywhere
+    assert(run1.length == 3)
+    run1.foreach { r =>
+      val (n, drawn, draws, maxK) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4))
+      assert(n == 400L && maxK <= 4)
+      // Poisson(1): E[draws] = n, sd = sqrt(n) = 20 → 5-sigma band;
+      // E[drawn] = (1 − e^-1)·n ≈ 253
+      assert(math.abs(draws - 400L) < 100, s"draws $draws")
+      assert(math.abs(drawn - 253L) < 100, s"drawn $drawn")
+    }
+  }
+
   test("text_readability: hand-counted Flesch; empty text is guarded") {
     val d = Files.createTempDirectory("flesch").toString
     Seq((1L, "s1", "Hello world. This is fine!"), (2L, "s1", "!!!"))
