@@ -807,7 +807,32 @@ object EventOps {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** The native as-of join with a 2-day TOLERANCE (pandas
+    * `merge_asof(tolerance=...)`): the backward match is kept only when
+    * the purchase is within 2 days of the click — stale attributions
+    * degrade to NULL instead of linking to a week-old click. Same
+    * single merge pass as [[evAsofNative]] (the gate is one comparison
+    * per row, it never changes WHICH row is the best match); the
+    * oracle applies the identical gate over DuckDB's native ASOF. */
+  def evAsofTol(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).withColumn("tsu", unix_micros(col("ts")))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("tsu").as("purchase_tsu"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id").as("c_user"), col("tsu").as("click_tsu"))
+      .agg(max(col("event_id")).as("click_id"))
+    graft.plans.Asof.joinTolerant(purchases, clicks,
+        Seq("user_id"), Seq("c_user"), "purchase_tsu", "click_tsu",
+        tolerance = 172800000000L) // 2 days in µs
+      .select(col("purchase_id"), col("user_id"), col("purchase_tsu"),
+        col("click_id"), col("click_tsu"),
+        (col("purchase_tsu") - col("click_tsu")).as("gap_us"))
+      .orderBy(col("purchase_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_asof_tol"    -> evAsofTol _,
     "ev_rolling"     -> evRolling _,
     "ev_funnel_time" -> evFunnelTime _,
     "ev_holt"        -> evHolt _,
@@ -967,6 +992,29 @@ object EventOps {
         |FROM est, ex""".stripMargin,
     // DuckDB's native ASOF LEFT JOIN — the same oracle shape as
     // ev_asof, now checking the custom Catalyst operator
+    // DuckDB native ASOF + the identical 2-day emission gate
+    "ev_asof_tol" ->
+      """WITH p AS (
+        |  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS purchase_tsu
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, epoch_us(ts) AS click_tsu,
+        |    max(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click'
+        |  GROUP BY user_id, epoch_us(ts)),
+        |j AS (
+        |  SELECT p.purchase_id, p.user_id, p.purchase_tsu,
+        |    c.click_id, c.click_tsu
+        |  FROM p ASOF LEFT JOIN c
+        |    ON p.user_id = c.user_id AND p.purchase_tsu >= c.click_tsu)
+        |SELECT purchase_id, user_id, purchase_tsu,
+        |  CASE WHEN purchase_tsu - click_tsu <= 172800000000
+        |    THEN click_id END AS click_id,
+        |  CASE WHEN purchase_tsu - click_tsu <= 172800000000
+        |    THEN click_tsu END AS click_tsu,
+        |  CASE WHEN purchase_tsu - click_tsu <= 172800000000
+        |    THEN purchase_tsu - click_tsu END AS gap_us
+        |FROM j ORDER BY purchase_id""".stripMargin,
     "ev_asof_native" ->
       """WITH p AS (
         |  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS purchase_tsu

@@ -392,7 +392,38 @@ object SimOps {
       .limit(20)
   }
 
+  /** Per-dimension int8 affine quantization audit — the 4× memory cut
+    * that makes billion-vector ANN fit executor RAM (float32 → uint8
+    * codes + per-dim (min, range) to dequantize). One posexplode →
+    * per-dim stats (64 rows, broadcast back) → code assignment → the
+    * per-dim panel: code-space occupancy and saturation counts. Codes
+    * are exact integers (identical double rounding both engines), so
+    * the whole quantizer is hash-checked; a zero-range dim degenerates
+    * to code 0 by the guard instead of NaN. */
+  def embQuantize(s: SparkSession, d: String): DataFrame = {
+    val ex = Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+    val stats = ex.groupBy(col("dim"))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    val code = when(col("mx") > col("mn"),
+      round((col("v").cast("double") - col("mn").cast("double")) *
+        lit(255.0) /
+        (col("mx").cast("double") - col("mn").cast("double")), 0)
+        .cast("int")).otherwise(lit(0))
+    ex.join(broadcast(stats), "dim")
+      .withColumn("code", code)
+      .groupBy(col("dim"))
+      .agg(
+        round(min(col("mn")).cast("double"), 6).as("mn"),
+        round(max(col("mx")).cast("double"), 6).as("mx"),
+        countDistinct(col("code")).as("n_codes"),
+        sum((col("code") === 0).cast("long")).as("n_at_min"),
+        sum((col("code") === 255).cast("long")).as("n_at_max"))
+      .orderBy(col("dim"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_quantize"  -> embQuantize _,
     "ann_brute"     -> annBrute _,
     "ann_per_label" -> annPerLabel _,
     "ann_ivf"       -> annIvf _,
@@ -405,6 +436,33 @@ object SimOps {
   // arithmetic in double after the explicit casts — verified
   // empirically; round(.,6) guards the display value.
   val oracles: Map[String, String] = Map(
+    // zipped-UNNEST explode, identical double rounding for the codes
+    "emb_quantize" ->
+      """WITH ex AS (
+        |  SELECT vec_id,
+        |    UNNEST(range(len(embedding))) AS dim,
+        |    UNNEST(list_transform(embedding, x -> CAST(x AS FLOAT))) AS v
+        |  FROM embeddings),
+        |st AS (
+        |  SELECT dim, MIN(v) AS mn, MAX(v) AS mx FROM ex GROUP BY 1),
+        |c AS (
+        |  SELECT ex.dim, st.mn, st.mx,
+        |    CASE WHEN st.mx > st.mn THEN
+        |      CAST(round((CAST(ex.v AS DOUBLE) - CAST(st.mn AS DOUBLE))
+        |        * 255.0
+        |        / (CAST(st.mx AS DOUBLE) - CAST(st.mn AS DOUBLE)), 0)
+        |        AS INTEGER)
+        |    ELSE 0 END AS code
+        |  FROM ex JOIN st USING (dim))
+        |SELECT CAST(dim AS INTEGER) AS dim,
+        |  round(CAST(MIN(mn) AS DOUBLE), 6) AS mn,
+        |  round(CAST(MAX(mx) AS DOUBLE), 6) AS mx,
+        |  COUNT(DISTINCT code) AS n_codes,
+        |  CAST(SUM(CASE WHEN code = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_at_min,
+        |  CAST(SUM(CASE WHEN code = 255 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_at_max
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "ann_lsh" ->
       """WITH sk AS (
         |  SELECT vec_id, seed,

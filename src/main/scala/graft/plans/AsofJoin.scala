@@ -40,7 +40,8 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 case class AsofJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
-    leftTime: Expression, rightTime: Expression) extends BinaryNode {
+    leftTime: Expression, rightTime: Expression,
+    tolerance: Option[Long] = None) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -100,8 +101,8 @@ object AsofJoinPruning extends Rule[LogicalPlan] with PredicateHelper {
 /** Planner rule: one-to-one lowering of [[AsofJoinPlan]]. */
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinPlan(l, r, lk, rk, lt, rt) =>
-      AsofJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case AsofJoinPlan(l, r, lk, rk, lt, rt, tol) =>
+      AsofJoinExec(lk, rk, lt, rt, planLater(l), planLater(r), tol) :: Nil
     case _ => Nil
   }
 }
@@ -114,7 +115,8 @@ object AsofJoinStrategy extends SparkStrategy {
 case class AsofJoinExec(
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
-    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+    left: SparkPlan, right: SparkPlan,
+    tolerance: Option[Long] = None) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -149,6 +151,7 @@ case class AsofJoinExec(
     val lTimeExpr = leftTime
     val rTimeExpr = rightTime
     val allOutput = output
+    val tol = tolerance
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeyExprs, leftOutput)
       val rKeyProj = UnsafeProjection.create(rKeyExprs, rightOutput)
@@ -156,6 +159,25 @@ case class AsofJoinExec(
       val rTimeB = BindReferences.bindReference(rTimeExpr, rightOutput)
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
       val timeOrd = TypeUtils.getInterpretedOrdering(timeType)
+      // tolerance gate: the best match is unchanged (still the largest
+      // right time ≤ left time); the gate only decides whether it is
+      // EMITTED — pandas merge_asof(tolerance=...) semantics. Times
+      // must be integer-backed (timestamp/long = µs, date/int = days).
+      val withinTol: (Any, Any) => Boolean = tol match {
+        case None => (_, _) => true
+        case Some(t) => timeType match {
+          case _: org.apache.spark.sql.types.LongType |
+               _: org.apache.spark.sql.types.TimestampType |
+               _: org.apache.spark.sql.types.TimestampNTZType =>
+            (l, r) => l.asInstanceOf[Long] - r.asInstanceOf[Long] <= t
+          case _: org.apache.spark.sql.types.IntegerType |
+               _: org.apache.spark.sql.types.DateType =>
+            (l, r) =>
+              l.asInstanceOf[Int].toLong - r.asInstanceOf[Int].toLong <= t
+          case other => throw new UnsupportedOperationException(
+            s"asof tolerance needs an integer-backed time type, got $other")
+        }
+      }
       val nullRight = new GenericInternalRow(rightOutput.size)
       val joined = new JoinedRow
       val resultProj = UnsafeProjection.create(allOutput, allOutput)
@@ -180,6 +202,7 @@ case class AsofJoinExec(
       // running best match for the CURRENT left key
       var mRow: InternalRow = null
       var mKey: UnsafeRow = null
+      var mTimeV: Any = null
       lIter.map { l =>
         val lk = lKeyProj(l)
         val lt = lTimeB.eval(l)
@@ -188,15 +211,16 @@ case class AsofJoinExec(
           resultProj(joined(l, nullRight))
         } else {
           if (mKey != null && keyOrd.compare(mKey, lk) != 0) {
-            mRow = null; mKey = null
+            mRow = null; mKey = null; mTimeV = null
           }
           while (rKey != null && keyOrd.compare(rKey, lk) < 0) advanceRight()
           while (rKey != null && keyOrd.compare(rKey, lk) == 0 &&
               timeOrd.lteq(rTimeV, lt)) {
-            mRow = rRow; mKey = rKey
+            mRow = rRow; mKey = rKey; mTimeV = rTimeV
             advanceRight()
           }
-          resultProj(joined(l, if (mRow != null) mRow else nullRight))
+          val emit = mRow != null && withinTol(lt, mTimeV)
+          resultProj(joined(l, if (emit) mRow else nullRight))
         }
       }
     }
@@ -210,9 +234,24 @@ case class AsofJoinExec(
   * DataFrame of the custom plan. Right-side column names that collide
   * with left names should be renamed by the caller first. */
 object Asof {
+  /** As [[join]], with pandas `merge_asof(tolerance=...)` semantics:
+    * the backward match is emitted only when `leftTime − rightTime ≤
+    * tolerance` (units of the time column's integer backing —
+    * microseconds for timestamps/µs longs, days for dates). The gate
+    * never changes WHICH row is the best match, only whether the left
+    * row keeps it or gets NULLs, so it costs one comparison per row in
+    * the same single merge pass. */
+  def joinTolerant(left: DataFrame, right: DataFrame,
+      leftOn: Seq[String], rightOn: Seq[String],
+      leftTimeCol: String, rightTimeCol: String,
+      tolerance: Long): DataFrame =
+    join(left, right, leftOn, rightOn, leftTimeCol, rightTimeCol,
+      Some(tolerance))
+
   def join(left: DataFrame, right: DataFrame,
       leftOn: Seq[String], rightOn: Seq[String],
-      leftTimeCol: String, rightTimeCol: String): DataFrame = {
+      leftTimeCol: String, rightTimeCol: String,
+      tolerance: Option[Long] = None): DataFrame = {
     val spark = left.sparkSession
       .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     if (!spark.experimental.extraStrategies.contains(AsofJoinStrategy)) {
@@ -235,6 +274,6 @@ object Asof {
           s"asof join: column '$n' not found in [${plan.output.map(_.name).mkString(", ")}]"))
     PlanBridge.ofRows(spark, AsofJoinPlan(lPlan, rPlan,
       leftOn.map(attr(lPlan, _)), rightOn.map(attr(rPlan, _)),
-      attr(lPlan, leftTimeCol), attr(rPlan, rightTimeCol)))
+      attr(lPlan, leftTimeCol), attr(rPlan, rightTimeCol), tolerance))
   }
 }

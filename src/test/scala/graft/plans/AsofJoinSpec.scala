@@ -58,6 +58,27 @@ class AsofJoinSpec extends SparkFunSuite with AdaptiveSparkPlanHelper {
     assert(out === Seq(Row(1L, "a"), Row(1L, "a"), Row(2L, "b")))
   }
 
+  test("tolerance gates emission without changing the best match") {
+    val l = Seq((1L, 21L, "in"), (1L, 25L, "edge"), (1L, 26L, "out"),
+        (1L, 12L, "near"))
+      .toDF("k", "t", "tag")
+    val r = Seq((1L, 10L, "early"), (1L, 20L, "late")).toDF("rk", "rt", "v")
+    val out = Asof.joinTolerant(l, r, Seq("k"), Seq("rk"), "t", "rt", 5L)
+      .select("tag", "v").collect().map(x => x.getString(0) ->
+        (if (x.isNullAt(1)) null else x.getString(1))).toMap
+    // gap 1 and the exact-tolerance gap 5 keep the BEST match ("late",
+    // never the in-tolerance-but-older "early"); gap 6 nulls out;
+    // t=12 matches "early" at gap 2
+    assert(out === Map("in" -> "late", "edge" -> "late",
+      "out" -> null, "near" -> "early"))
+    // tolerance=None is the plain backward join (regression)
+    val plain = Asof.join(l, r, Seq("k"), Seq("rk"), "t", "rt")
+      .select("tag", "v").collect()
+      .map(x => x.getString(0) -> x.getString(1)).toMap
+    assert(plain === Map("in" -> "late", "edge" -> "late",
+      "out" -> "late", "near" -> "early"))
+  }
+
   test("plan: custom exec node, two key-hash exchanges, no window/union") {
     val df = Asof.join(trades, quotes.withColumnRenamed("sym", "qsym"),
       Seq("sym"), Seq("qsym"), "t", "qt")
