@@ -831,7 +831,53 @@ object EventOps {
       .orderBy(col("purchase_id"))
   }
 
+  /** The native as-of join in FORWARD direction: for each purchase,
+    * the NEXT click at-or-after it (post-purchase behavior) — DuckDB's
+    * `ASOF ... ON left.t <= right.t` form, same single merge pass
+    * (the forward candidate is simply the first unconsumed right
+    * row). */
+  def evAsofFwd(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).withColumn("tsu", unix_micros(col("ts")))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("tsu").as("purchase_tsu"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id").as("c_user"), col("tsu").as("click_tsu"))
+      .agg(max(col("event_id")).as("click_id"))
+    graft.plans.Asof.joinDirected(purchases, clicks,
+        Seq("user_id"), Seq("c_user"), "purchase_tsu", "click_tsu",
+        "forward")
+      .select(col("purchase_id"), col("user_id"), col("purchase_tsu"),
+        col("click_id"), col("click_tsu"),
+        (col("click_tsu") - col("purchase_tsu")).as("lead_us"))
+      .orderBy(col("purchase_id"))
+  }
+
+  /** The native as-of join in NEAREST direction: the click closest in
+    * time to each purchase, either side (ties prefer backward — the
+    * documented contract); the oracle composes DuckDB's backward and
+    * forward ASOF joins and picks the closer side with the identical
+    * tie rule. */
+  def evAsofNearest(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).withColumn("tsu", unix_micros(col("ts")))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("tsu").as("purchase_tsu"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id").as("c_user"), col("tsu").as("click_tsu"))
+      .agg(max(col("event_id")).as("click_id"))
+    graft.plans.Asof.joinDirected(purchases, clicks,
+        Seq("user_id"), Seq("c_user"), "purchase_tsu", "click_tsu",
+        "nearest")
+      .select(col("purchase_id"), col("user_id"), col("purchase_tsu"),
+        col("click_id"), col("click_tsu"),
+        abs(col("purchase_tsu") - col("click_tsu")).as("dist_us"))
+      .orderBy(col("purchase_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_asof_fwd"     -> evAsofFwd _,
+    "ev_asof_nearest" -> evAsofNearest _,
     "ev_asof_tol"    -> evAsofTol _,
     "ev_rolling"     -> evRolling _,
     "ev_funnel_time" -> evFunnelTime _,
@@ -992,6 +1038,59 @@ object EventOps {
         |FROM est, ex""".stripMargin,
     // DuckDB's native ASOF LEFT JOIN — the same oracle shape as
     // ev_asof, now checking the custom Catalyst operator
+    // DuckDB's native forward ASOF (left.t <= right.t)
+    "ev_asof_fwd" ->
+      """WITH p AS (
+        |  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS purchase_tsu
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, epoch_us(ts) AS click_tsu,
+        |    max(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click'
+        |  GROUP BY user_id, epoch_us(ts))
+        |SELECT p.purchase_id, p.user_id, p.purchase_tsu,
+        |  c.click_id, c.click_tsu,
+        |  c.click_tsu - p.purchase_tsu AS lead_us
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.purchase_tsu <= c.click_tsu
+        |ORDER BY purchase_id""".stripMargin,
+    // backward + forward native ASOF combined; closer side wins, the
+    // tie prefers backward (the operator's documented contract)
+    "ev_asof_nearest" ->
+      """WITH p AS (
+        |  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS purchase_tsu
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, epoch_us(ts) AS click_tsu,
+        |    max(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click'
+        |  GROUP BY user_id, epoch_us(ts)),
+        |b AS (
+        |  SELECT p.purchase_id, c.click_id AS bid, c.click_tsu AS bt
+        |  FROM p ASOF LEFT JOIN c
+        |    ON p.user_id = c.user_id AND p.purchase_tsu >= c.click_tsu),
+        |f AS (
+        |  SELECT p.purchase_id, c.click_id AS fid, c.click_tsu AS ft
+        |  FROM p ASOF LEFT JOIN c
+        |    ON p.user_id = c.user_id AND p.purchase_tsu <= c.click_tsu)
+        |SELECT p.purchase_id, p.user_id, p.purchase_tsu,
+        |  CASE WHEN bt IS NULL AND ft IS NULL THEN NULL
+        |    WHEN ft IS NULL OR (bt IS NOT NULL AND
+        |      p.purchase_tsu - bt <= ft - p.purchase_tsu) THEN bid
+        |    ELSE fid END AS click_id,
+        |  CASE WHEN bt IS NULL AND ft IS NULL THEN NULL
+        |    WHEN ft IS NULL OR (bt IS NOT NULL AND
+        |      p.purchase_tsu - bt <= ft - p.purchase_tsu) THEN bt
+        |    ELSE ft END AS click_tsu,
+        |  CASE WHEN bt IS NULL AND ft IS NULL THEN NULL
+        |    WHEN ft IS NULL OR (bt IS NOT NULL AND
+        |      p.purchase_tsu - bt <= ft - p.purchase_tsu)
+        |      THEN p.purchase_tsu - bt
+        |    ELSE ft - p.purchase_tsu END AS dist_us
+        |FROM p
+        |JOIN b USING (purchase_id)
+        |JOIN f USING (purchase_id)
+        |ORDER BY purchase_id""".stripMargin,
     // DuckDB native ASOF + the identical 2-day emission gate
     "ev_asof_tol" ->
       """WITH p AS (

@@ -41,7 +41,8 @@ case class AsofJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
-    tolerance: Option[Long] = None) extends BinaryNode {
+    tolerance: Option[Long] = None,
+    direction: String = "backward") extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -101,8 +102,8 @@ object AsofJoinPruning extends Rule[LogicalPlan] with PredicateHelper {
 /** Planner rule: one-to-one lowering of [[AsofJoinPlan]]. */
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinPlan(l, r, lk, rk, lt, rt, tol) =>
-      AsofJoinExec(lk, rk, lt, rt, planLater(l), planLater(r), tol) :: Nil
+    case AsofJoinPlan(l, r, lk, rk, lt, rt, tol, dir) =>
+      AsofJoinExec(lk, rk, lt, rt, planLater(l), planLater(r), tol, dir) :: Nil
     case _ => Nil
   }
 }
@@ -116,7 +117,11 @@ case class AsofJoinExec(
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
     left: SparkPlan, right: SparkPlan,
-    tolerance: Option[Long] = None) extends BinaryExecNode {
+    tolerance: Option[Long] = None,
+    direction: String = "backward") extends BinaryExecNode {
+
+  require(Seq("backward", "forward", "nearest").contains(direction),
+    s"asof direction must be backward/forward/nearest, got '$direction'")
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -152,6 +157,7 @@ case class AsofJoinExec(
     val rTimeExpr = rightTime
     val allOutput = output
     val tol = tolerance
+    val dir = direction
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeyExprs, leftOutput)
       val rKeyProj = UnsafeProjection.create(rKeyExprs, rightOutput)
@@ -159,24 +165,28 @@ case class AsofJoinExec(
       val rTimeB = BindReferences.bindReference(rTimeExpr, rightOutput)
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
       val timeOrd = TypeUtils.getInterpretedOrdering(timeType)
-      // tolerance gate: the best match is unchanged (still the largest
-      // right time ≤ left time); the gate only decides whether it is
-      // EMITTED — pandas merge_asof(tolerance=...) semantics. Times
-      // must be integer-backed (timestamp/long = µs, date/int = days).
-      val withinTol: (Any, Any) => Boolean = tol match {
-        case None => (_, _) => true
-        case Some(t) => timeType match {
-          case _: org.apache.spark.sql.types.LongType |
-               _: org.apache.spark.sql.types.TimestampType |
-               _: org.apache.spark.sql.types.TimestampNTZType =>
-            (l, r) => l.asInstanceOf[Long] - r.asInstanceOf[Long] <= t
-          case _: org.apache.spark.sql.types.IntegerType |
-               _: org.apache.spark.sql.types.DateType =>
-            (l, r) =>
-              l.asInstanceOf[Int].toLong - r.asInstanceOf[Int].toLong <= t
-          case other => throw new UnsupportedOperationException(
-            s"asof tolerance needs an integer-backed time type, got $other")
-        }
+      // numeric view of the time value — needed for the tolerance gate
+      // and the forward/nearest distance compare. Times must be
+      // integer-backed (timestamp/long = µs, date/int = days); the
+      // plain backward join without tolerance never calls this.
+      lazy val toNum: Any => Long = timeType match {
+        case _: org.apache.spark.sql.types.LongType |
+             _: org.apache.spark.sql.types.TimestampType |
+             _: org.apache.spark.sql.types.TimestampNTZType =>
+          v => v.asInstanceOf[Long]
+        case _: org.apache.spark.sql.types.IntegerType |
+             _: org.apache.spark.sql.types.DateType =>
+          v => v.asInstanceOf[Int].toLong
+        case other => throw new UnsupportedOperationException(
+          s"asof tolerance/direction needs an integer-backed time type, " +
+            s"got $other")
+      }
+      // tolerance gate over the match DISTANCE (≥ 0 by construction):
+      // the best match is unchanged, the gate only decides whether it
+      // is EMITTED — pandas merge_asof(tolerance=...) semantics
+      val withinTol: Long => Boolean = tol match {
+        case None => _ => true
+        case Some(t) => d => d <= t
       }
       val nullRight = new GenericInternalRow(rightOutput.size)
       val joined = new JoinedRow
@@ -199,7 +209,11 @@ case class AsofJoinExec(
       }
       advanceRight()
 
-      // running best match for the CURRENT left key
+      // running BACKWARD candidate for the CURRENT left key (the last
+      // right row consumed with time ≤ the current left time); after
+      // the consume loop, (rRow, rKey, rTimeV) is exactly the FORWARD
+      // candidate — the first unconsumed right row, i.e. the smallest
+      // right time > left time for this key (or a later key)
       var mRow: InternalRow = null
       var mKey: UnsafeRow = null
       var mTimeV: Any = null
@@ -214,13 +228,34 @@ case class AsofJoinExec(
             mRow = null; mKey = null; mTimeV = null
           }
           while (rKey != null && keyOrd.compare(rKey, lk) < 0) advanceRight()
+          // forward wants strictly-¬(≥) consumed: consume < lt, keep
+          // == lt as the forward candidate; backward/nearest consume ≤
           while (rKey != null && keyOrd.compare(rKey, lk) == 0 &&
-              timeOrd.lteq(rTimeV, lt)) {
+              (if (dir == "forward") timeOrd.lt(rTimeV, lt)
+               else timeOrd.lteq(rTimeV, lt))) {
             mRow = rRow; mKey = rKey; mTimeV = rTimeV
             advanceRight()
           }
-          val emit = mRow != null && withinTol(lt, mTimeV)
-          resultProj(joined(l, if (emit) mRow else nullRight))
+          val fwdOk = rKey != null && keyOrd.compare(rKey, lk) == 0
+          val chosen: InternalRow = dir match {
+            case "backward" => // tol.isEmpty path never touches toNum,
+              // so generic (non-integer) time types keep working there
+              if (mRow == null) null
+              else if (tol.isEmpty) mRow
+              else if (withinTol(toNum(lt) - toNum(mTimeV))) mRow else null
+            case "forward" =>
+              if (fwdOk && withinTol(toNum(rTimeV) - toNum(lt))) rRow
+              else null
+            case _ => // nearest: closer of the two, tie → backward
+              val bD = if (mRow != null) toNum(lt) - toNum(mTimeV)
+                else Long.MaxValue
+              val fD = if (fwdOk) toNum(rTimeV) - toNum(lt)
+                else Long.MaxValue
+              if (bD == Long.MaxValue && fD == Long.MaxValue) null
+              else if (bD <= fD) { if (withinTol(bD)) mRow else null }
+              else { if (withinTol(fD)) rRow else null }
+          }
+          resultProj(joined(l, if (chosen != null) chosen else nullRight))
         }
       }
     }
@@ -248,10 +283,25 @@ object Asof {
     join(left, right, leftOn, rightOn, leftTimeCol, rightTimeCol,
       Some(tolerance))
 
+  /** As [[join]] with a match direction — the full pandas `merge_asof`
+    * surface: `"backward"` (largest right time ≤ left, the default),
+    * `"forward"` (smallest right time ≥ left), `"nearest"` (closer of
+    * the two; a tie prefers backward). Forward/nearest need an
+    * integer-backed time type; all run in the same single merge pass
+    * (the forward candidate is simply the first unconsumed right row —
+    * no second cursor, no lookahead buffer). */
+  def joinDirected(left: DataFrame, right: DataFrame,
+      leftOn: Seq[String], rightOn: Seq[String],
+      leftTimeCol: String, rightTimeCol: String,
+      direction: String, tolerance: Option[Long] = None): DataFrame =
+    join(left, right, leftOn, rightOn, leftTimeCol, rightTimeCol,
+      tolerance, direction)
+
   def join(left: DataFrame, right: DataFrame,
       leftOn: Seq[String], rightOn: Seq[String],
       leftTimeCol: String, rightTimeCol: String,
-      tolerance: Option[Long] = None): DataFrame = {
+      tolerance: Option[Long] = None,
+      direction: String = "backward"): DataFrame = {
     val spark = left.sparkSession
       .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     if (!spark.experimental.extraStrategies.contains(AsofJoinStrategy)) {
@@ -274,6 +324,7 @@ object Asof {
           s"asof join: column '$n' not found in [${plan.output.map(_.name).mkString(", ")}]"))
     PlanBridge.ofRows(spark, AsofJoinPlan(lPlan, rPlan,
       leftOn.map(attr(lPlan, _)), rightOn.map(attr(rPlan, _)),
-      attr(lPlan, leftTimeCol), attr(rPlan, rightTimeCol), tolerance))
+      attr(lPlan, leftTimeCol), attr(rPlan, rightTimeCol), tolerance,
+      direction))
   }
 }

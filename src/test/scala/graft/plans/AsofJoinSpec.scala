@@ -79,6 +79,29 @@ class AsofJoinSpec extends SparkFunSuite with AdaptiveSparkPlanHelper {
       "out" -> "late", "near" -> "early"))
   }
 
+  test("forward and nearest directions complete the merge_asof surface") {
+    val l = Seq((1L, 10L, "a"), (1L, 14L, "b"), (1L, 30L, "c"),
+        (1L, 16L, "mid"))
+      .toDF("k", "t", "tag")
+    val r = Seq((1L, 12L, "r12"), (1L, 20L, "r20")).toDF("rk", "rt", "v")
+    def run(dir: String, tol: Option[Long] = None) =
+      Asof.joinDirected(l, r, Seq("k"), Seq("rk"), "t", "rt", dir, tol)
+        .select("tag", "v").collect().map(x => x.getString(0) ->
+          (if (x.isNullAt(1)) null else x.getString(1))).toMap
+    // forward: first right time >= left time
+    assert(run("forward") === Map("a" -> "r12", "b" -> "r20",
+      "mid" -> "r20", "c" -> null))
+    // nearest: closer side wins; t=16 is equidistant (4 vs 4) -> the
+    // documented backward preference picks r12
+    assert(run("nearest") === Map("a" -> "r12", "b" -> "r12",
+      "mid" -> "r12", "c" -> "r20"))
+    // tolerance composes with both: forward within 3, nearest within 2
+    assert(run("forward", Some(3L)) === Map("a" -> "r12", "b" -> null,
+      "mid" -> null, "c" -> null))
+    assert(run("nearest", Some(2L)) === Map("a" -> "r12", "b" -> "r12",
+      "mid" -> null, "c" -> null))
+  }
+
   test("plan: custom exec node, two key-hash exchanges, no window/union") {
     val df = Asof.join(trades, quotes.withColumnRenamed("sym", "qsym"),
       Seq("sym"), Seq("qsym"), "t", "qt")
