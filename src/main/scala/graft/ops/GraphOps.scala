@@ -497,8 +497,16 @@ object GraphOps {
     * no per-node window. Reads the memoized [[edgeIndex]], so the
     * edge table is shared with the rest of the suite. */
   /** The 4-round sync-LPA label table (node, lab) shared by
-    * [[graphCommunities]] and [[graphModularity]]. */
-  private def lpaLabels(s: SparkSession, d: String): DataFrame = {
+    * [[graphCommunities]] and [[graphModularity]] — memoized per
+    * (session, dataset) like the edge index so the two consumers pay
+    * the 8 label-propagation joins once. localCheckpoint already
+    * materialized the rounds; the cache only pins the final table. */
+  private val lpaCache = new graft.SessionCache[DataFrame](_ => ())
+
+  private def lpaLabels(s: SparkSession, d: String): DataFrame =
+    lpaCache.getOrCompute(s, d) { lpaLabelsBuild(s, d) }
+
+  private def lpaLabelsBuild(s: SparkSession, d: String): DataFrame = {
     val (edgesDeg, deg, _) = edgeIndex(s, d)
     val edges = edgesDeg.select(col("src"), col("dst"))
     var labels = deg.select(col("src").as("node"))
