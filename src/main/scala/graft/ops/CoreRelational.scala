@@ -802,6 +802,42 @@ object CoreRelational {
       .orderBy(col("tile"))
   }
 
+  /** Temporal-dimension lookup — "the attribute as of date X": facts
+    * resolve against the SCD2-style change table through the NATIVE
+    * as-of join ([[graft.plans.Asof.join]]) instead of a BETWEEN
+    * interval join. The change table keeps one row per (customer,
+    * change date) — last change of the day wins via max_by — and the
+    * backward as-of picks the latest change ≤ each fact date: interval
+    * containment without materializing valid_to, no non-equi join, one
+    * merge pass over the co-partitioned sorted sides. The
+    * self-consistency flag (`matches_actual`) diagnoses same-day
+    * collisions. */
+  def dimAsofLookup(s: SparkSession, d: String): DataFrame = {
+    val byTime = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val changes = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+        col("o_orderpriority").as("priority"))
+      .withColumn("prev", lag(col("priority"), 1).over(byTime))
+      .filter(col("prev").isNull || col("priority") =!= col("prev"))
+    val dim = changes
+      .groupBy(col("o_custkey").as("d_custkey"),
+        to_date(col("o_orderdate")).as("valid_from"))
+      .agg(max_by(col("priority"), col("o_orderkey")).as("dim_priority"))
+    val fact = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"),
+        to_date(col("o_orderdate")).as("od"), col("o_orderpriority"))
+    graft.plans.Asof.join(fact, dim,
+        Seq("o_custkey"), Seq("d_custkey"), "od", "valid_from")
+      .select(col("o_orderkey"), col("o_custkey"),
+        date_format(col("od"), "yyyy-MM-dd").as("order_date"),
+        col("dim_priority"),
+        date_format(col("valid_from"), "yyyy-MM-dd").as("valid_from"),
+        (col("dim_priority") === col("o_orderpriority")).cast("int")
+          .as("matches_actual"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Hilbert-curve layout key over the same (custkey, orderdate) grid
     * as [[layoutZorder]] — the strictly-better-locality alternative
     * (consecutive indexes are always grid-neighbors; Z-order jumps at
@@ -955,6 +991,7 @@ object CoreRelational {
     "u01_uniondist"  -> u01UnionDistinct _,
     "w03_lagdelta"   -> w03LagDelta _,
     "dim_scd2"       -> dimScd2 _,
+    "dim_asof_lookup" -> dimAsofLookup _,
     "dq_expectations" -> dqExpectations _,
     "p01_project"    -> p01Project _,
     "p02_classify"   -> p02Classify _,
@@ -1349,6 +1386,34 @@ object CoreRelational {
         |SELECT rule, n_checked, n_violations,
         |  CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS pass
         |FROM rules ORDER BY rule""".stripMargin,
+    // same change-table build + DuckDB's native ASOF as the interval
+    // lookup (arg_max ≡ max_by on the unique change key)
+    "dim_asof_lookup" ->
+      """WITH ch AS (
+        |  SELECT o_custkey, o_orderdate, o_orderkey,
+        |    o_orderpriority AS priority,
+        |    lag(o_orderpriority) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS prev
+        |  FROM orders),
+        |chg AS (SELECT * FROM ch WHERE prev IS NULL OR priority <> prev),
+        |dim AS (
+        |  SELECT o_custkey AS d_custkey,
+        |    CAST(o_orderdate AS DATE) AS valid_from,
+        |    arg_max(priority, o_orderkey) AS dim_priority
+        |  FROM chg GROUP BY 1, 2),
+        |f AS (
+        |  SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS od,
+        |    o_orderpriority
+        |  FROM orders)
+        |SELECT f.o_orderkey, f.o_custkey,
+        |  strftime(f.od, '%Y-%m-%d') AS order_date,
+        |  dim.dim_priority,
+        |  strftime(dim.valid_from, '%Y-%m-%d') AS valid_from,
+        |  CAST(f.o_orderpriority = dim.dim_priority AS INTEGER)
+        |    AS matches_actual
+        |FROM f ASOF LEFT JOIN dim
+        |  ON f.o_custkey = dim.d_custkey AND f.od >= dim.valid_from
+        |ORDER BY o_orderkey""".stripMargin,
     "dim_scd2" ->
       """WITH seq AS (
         |  SELECT o_custkey, o_orderdate, o_orderkey,
