@@ -875,7 +875,35 @@ object EventOps {
       .orderBy(col("purchase_id"))
   }
 
+  /** DAU/MAU engagement panel: per calendar month, distinct monthly
+    * actives, the mean daily-active count over the month's active
+    * days, and the stickiness ratio (avg DAU / MAU — the product
+    * metric). Two user-keyed distinct aggregates, both map-side
+    * combinable; the ratio is one double division over exact integers
+    * per month row. */
+  def evStickiness(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"),
+        date_trunc("day", col("ts")).cast("date").as("day"),
+        date_format(col("ts"), "yyyy-MM").as("month"))
+    val dau = ev.groupBy(col("month"), col("day"))
+      .agg(countDistinct(col("user_id")).as("dau"))
+      .groupBy(col("month"))
+      .agg(sum(col("dau")).as("dau_sum"), count(lit(1)).as("n_days"))
+    val mau = ev.groupBy(col("month"))
+      .agg(countDistinct(col("user_id")).as("mau"))
+    dau.join(mau, "month")
+      .select(col("month"), col("mau"), col("n_days"),
+        round(col("dau_sum").cast("double") / col("n_days").cast("double"),
+          6).as("avg_dau"),
+        round(col("dau_sum").cast("double") /
+          (col("n_days").cast("double") * col("mau").cast("double")), 6)
+          .as("stickiness"))
+      .orderBy(col("month"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_stickiness"   -> evStickiness _,
     "ev_asof_fwd"     -> evAsofFwd _,
     "ev_asof_nearest" -> evAsofNearest _,
     "ev_asof_tol"    -> evAsofTol _,
@@ -1038,6 +1066,28 @@ object EventOps {
         |FROM est, ex""".stripMargin,
     // DuckDB's native ASOF LEFT JOIN — the same oracle shape as
     // ev_asof, now checking the custom Catalyst operator
+    "ev_stickiness" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    strftime(ts, '%Y-%m') AS month
+        |  FROM events),
+        |dau AS (
+        |  SELECT month, COUNT(*) AS n_days,
+        |    CAST(SUM(d) AS BIGINT) AS dau_sum
+        |  FROM (SELECT month, day, COUNT(DISTINCT user_id) AS d
+        |        FROM ev GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |mau AS (
+        |  SELECT month, COUNT(DISTINCT user_id) AS mau
+        |  FROM ev GROUP BY 1)
+        |SELECT dau.month, mau.mau, dau.n_days,
+        |  round(CAST(dau_sum AS DOUBLE) / CAST(n_days AS DOUBLE), 6)
+        |    AS avg_dau,
+        |  round(CAST(dau_sum AS DOUBLE)
+        |    / (CAST(n_days AS DOUBLE) * CAST(mau AS DOUBLE)), 6)
+        |    AS stickiness
+        |FROM dau JOIN mau USING (month)
+        |ORDER BY month""".stripMargin,
     // DuckDB's native forward ASOF (left.t <= right.t)
     "ev_asof_fwd" ->
       """WITH p AS (

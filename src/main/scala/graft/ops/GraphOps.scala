@@ -712,7 +712,33 @@ object GraphOps {
       .orderBy(col("side"), col("node"))
   }
 
+  /** One-row graph profile — the summary panel every graph service
+    * exposes: node/edge counts per side, density, average and maximum
+    * degree. Reads the memoized [[edgeIndex]] degree table only
+    * (node-sized; the edge list is never rescanned), one aggregate. */
+  def graphSummary(s: SparkSession, d: String): DataFrame = {
+    val (_, deg, _) = edgeIndex(s, d)
+    deg.agg(
+        count(lit(1)).as("n_nodes"),
+        sum(when(col("src").startsWith("c"), 1L).otherwise(0L))
+          .as("n_customers"),
+        sum(when(col("src").startsWith("s"), 1L).otherwise(0L))
+          .as("n_suppliers"),
+        sum(col("outdeg")).as("deg_sum"),
+        max(col("outdeg")).as("max_degree"))
+      .select(col("n_nodes"), col("n_customers"), col("n_suppliers"),
+        expr("deg_sum div 2").as("n_edges"),
+        round(col("deg_sum").cast("double") / col("n_nodes").cast("double"),
+          6).as("avg_degree"),
+        col("max_degree"),
+        // bipartite density: edges over the customers×suppliers grid
+        round((col("deg_sum").cast("double") / lit(2.0)) /
+          (col("n_customers").cast("double") *
+            col("n_suppliers").cast("double")), 6).as("density"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_summary"     -> graphSummary _,
     "graph_hits"        -> graphHits _,
     "graph_modularity"  -> graphModularity _,
     "graph_assort"      -> graphAssortativity _,
@@ -727,6 +753,32 @@ object GraphOps {
     "graph_paths"    -> graphPaths _)
 
   val oracles: Map[String, String] = Map(
+    "graph_summary" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT 'c' || o.o_custkey AS src,
+        |                  's' || l.l_suppkey AS dst
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |edges AS (SELECT src, dst FROM pairs
+        |          UNION ALL SELECT dst, src FROM pairs),
+        |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+        |a AS (
+        |  SELECT COUNT(*) AS n_nodes,
+        |    CAST(SUM(CASE WHEN src LIKE 'c%' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_customers,
+        |    CAST(SUM(CASE WHEN src LIKE 's%' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_suppliers,
+        |    CAST(SUM(outdeg) AS BIGINT) AS deg_sum,
+        |    CAST(MAX(outdeg) AS BIGINT) AS max_degree
+        |  FROM deg)
+        |SELECT n_nodes, n_customers, n_suppliers,
+        |  deg_sum // 2 AS n_edges,
+        |  round(CAST(deg_sum AS DOUBLE) / CAST(n_nodes AS DOUBLE), 6)
+        |    AS avg_degree,
+        |  max_degree,
+        |  round((CAST(deg_sum AS DOUBLE) / 2.0)
+        |    / (CAST(n_customers AS DOUBLE) * CAST(n_suppliers AS DOUBLE)),
+        |    6) AS density
+        |FROM a""".stripMargin,
     // 3 unrolled mutual-reinforcement rounds with the identical
     // sorted-fold sums and max normalization
     "graph_hits" -> {
