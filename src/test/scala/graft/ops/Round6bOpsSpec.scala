@@ -116,6 +116,45 @@ class Round6bOpsSpec extends SparkFunSuite {
     }
   }
 
+  test("graph_modularity: K(2,2) LPA partition scores exactly -0.5") {
+    val d = Files.createTempDirectory("modul").toString
+    // complete bipartite 2x2: LPA converges to {c1,c2} and {s1,s2},
+    // every edge crosses -> E_in = 0, d_c = 4 per community, S = 32,
+    // n_dir = 8 -> Q = 0 - 32/64 = -0.5 (anti-community, as expected
+    // for a bipartite clique)
+    Seq((1L, 1L), (2L, 1L), (3L, 2L), (4L, 2L))
+      .toDF("o_orderkey", "o_custkey").write.parquet(s"$d/orders.parquet")
+    Seq((1L, 1L), (2L, 2L), (3L, 1L), (4L, 2L))
+      .toDF("l_orderkey", "l_suppkey").write.parquet(s"$d/lineitem.parquet")
+    val r = GraphOps.graphModularity(spark, d).collect().head
+    assert(r.getLong(0) == 4L)      // m_edges
+    assert(r.getLong(1) == 0L)      // e_in
+    assert(r.getLong(2) == 2L)      // n_communities
+    assert(r.getDouble(3) == -0.5)  // modularity
+  }
+
+  test("dim_asof_lookup resolves history; same-day collision flagged") {
+    val d = Files.createTempDirectory("dal").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    Seq(
+      (1L, 10L, "1-URGENT", ts("2024-01-01")),  // change: URGENT
+      (2L, 10L, "5-LOW", ts("2024-02-01")),     // change: LOW
+      (3L, 10L, "5-LOW", ts("2024-03-01")),     // inherits LOW
+      (4L, 20L, "2-HIGH", ts("2024-01-05")),    // same-day pair:
+      (5L, 20L, "3-MEDIUM", ts("2024-01-05")))  //  last change (5) wins
+      .map { case (k, c, p, t) => (k, c, p, t, 1.0) }
+      .toDF("o_orderkey", "o_custkey", "o_orderpriority", "o_orderdate",
+        "o_totalprice")
+      .write.parquet(s"$d/orders.parquet")
+    val got = CoreRelational.dimAsofLookup(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getString(3), r.getInt(5)))).toMap
+    assert(got(1L) === (("1-URGENT", 1)))
+    assert(got(2L) === (("5-LOW", 1)))
+    assert(got(3L) === (("5-LOW", 1)))   // resolved from the Feb change
+    assert(got(4L) === (("3-MEDIUM", 0))) // collision: dim says MEDIUM
+    assert(got(5L) === (("3-MEDIUM", 1)))
+  }
+
   test("text_readability: hand-counted Flesch; empty text is guarded") {
     val d = Files.createTempDirectory("flesch").toString
     Seq((1L, "s1", "Hello world. This is fine!"), (2L, "s1", "!!!"))
