@@ -463,9 +463,18 @@ object GraphOps {
     * oracle's list_reduce) and the top-20 cut sorts on the ROUNDED
     * score with a unique (s1, s2) tiebreak. */
   def graphLinkpred(s: SparkSession, d: String): DataFrame = {
+    // FP determinism via the exact-DECIMAL idiom, not a sorted fold:
+    // each customer's Adamic–Adar weight 1/log(deg) is quantized to
+    // the 1e-12 grid ONCE (per-row double op, identical both engines),
+    // then summed as DECIMAL — order-free, so the aggregate is a plain
+    // map-side-combinable sum instead of a per-pair
+    // collect_list+sort+fold (which buffered every pair's weight list
+    // through the shuffle; this was the #1 bench line at 8.3 s)
     val pairs = custPostings(s, csIndex(s, d))
       .filter(size(col("ss")) >= 2)
-      .withColumn("w", lit(1.0) / log(size(col("ss")).cast("double")))
+      .withColumn("w",
+        round(lit(1.0) / log(size(col("ss")).cast("double")), 12)
+          .cast("decimal(20,12)"))
       .select(col("w"), explode(expr(
         """flatten(transform(ss, (a, i) ->
           |  transform(slice(ss, i + 2, size(ss)), b ->
@@ -473,8 +482,7 @@ object GraphOps {
       .select(col("p.s1"), col("p.s2"), col("w"))
     pairs.groupBy("s1", "s2")
       .agg(count(lit(1)).as("n_common"),
-        round(aggregate(sort_array(collect_list(col("w"))), lit(0.0),
-          (a, b) => a + b), 6).as("aa"))
+        round(sum(col("w")).cast("double"), 6).as("aa"))
       .orderBy(col("aa").desc, col("s1").asc, col("s2").asc)
       .limit(20)
   }
@@ -673,9 +681,10 @@ object GraphOps {
     * Σ hub of in-neighbors, hub = Σ authority of out-neighbors — each
     * normalized by the round's MAX (order-free, unlike the classic
     * L2 norm whose global double sum would be partition-order-
-    * dependent). In-contribution sums are sorted folds so the oracle's
-    * list_sort→list_reduce replay is bit-identical (the
-    * [[graphPagerank]] convention; production swaps plain `sum`).
+    * dependent). In-contribution sums are order-free exact-DECIMAL
+    * sums of 1e-15-grid-quantized scores (the [[graphLinkpred]]
+    * convention — scores are max-normalized into [0, 1], so the grid
+    * keeps 15 significant digits; no collect_list buffering).
     *
     * 100 TB posture: reads the memoized [[csIndex]] projection; each
     * round is two key-shuffled aggregates + two joins with
@@ -684,24 +693,33 @@ object GraphOps {
     * node-sized. */
   def graphHits(s: SparkSession, d: String): DataFrame = {
     val cs = csIndex(s, d)
-    def sortedSum(c: String) = expr(
-      s"aggregate(sort_array(collect_list($c)), cast(0.0 as double)," +
-        " (a, x) -> a + x)")
+    // FP determinism via the exact-DECIMAL idiom (the graph_linkpred
+    // convention): max-normalized scores live in [0, 1], so the 1e-15
+    // quantization grid keeps 15 significant digits on every score and
+    // the per-node sum is a plain order-free decimal aggregate — no
+    // per-node collect_list+sort+fold buffering the neighbor lists
+    // through the shuffle
+    def qsum(c: String) = sum(round(col(c), 15).cast("decimal(25,15)"))
+      .cast("double")
     var hub = cs.select(col("c")).distinct().withColumn("hub", lit(1.0))
     var auth: DataFrame = cs.sparkSession.emptyDataFrame
     for (_ <- 1 to 3) {
+      // checkpoint the AGGREGATE, not the normalized projection: the
+      // max subquery and the next round's join then both read the
+      // materialized node-sized table instead of re-running the
+      // corpus-sized join+agg twice per round
       val av = cs.join(hub, "c").groupBy(col("sk"))
-        .agg(sortedSum("hub").as("v"))
+        .agg(qsum("hub").as("v"))
+        .localCheckpoint()
       val amax = av.agg(max(col("v")).as("m"))
       auth = av.join(broadcast(amax))
         .select(col("sk"), (col("v") / col("m")).as("auth"))
-        .localCheckpoint()
       val hv = cs.join(auth, "sk").groupBy(col("c"))
-        .agg(sortedSum("auth").as("v"))
+        .agg(qsum("auth").as("v"))
+        .localCheckpoint()
       val hmax = hv.agg(max(col("v")).as("m"))
       hub = hv.join(broadcast(hmax))
         .select(col("c"), (col("v") / col("m")).as("hub"))
-        .localCheckpoint()
     }
     auth.select(lit("auth").as("side"),
         concat(lit("s"), col("sk")).as("node"),
@@ -784,15 +802,15 @@ object GraphOps {
     "graph_hits" -> {
       val round = (ha: String, aa: String, hn: String, an: String) =>
         s"""${aa}r AS (
-           |  SELECT sk, list_reduce(list_sort(list(hub)), (a, x) -> a + x)
-           |    AS v
+           |  SELECT sk, CAST(SUM(CAST(round(hub, 15) AS DECIMAL(25,15)))
+           |    AS DOUBLE) AS v
            |  FROM cs JOIN $ha USING (c) GROUP BY sk),
            |$an AS (
            |  SELECT sk, v / (SELECT MAX(v) FROM ${aa}r) AS auth
            |  FROM ${aa}r),
            |${hn}r AS (
-           |  SELECT c, list_reduce(list_sort(list(auth)), (a, x) -> a + x)
-           |    AS v
+           |  SELECT c, CAST(SUM(CAST(round(auth, 15) AS DECIMAL(25,15)))
+           |    AS DOUBLE) AS v
            |  FROM cs JOIN $an USING (sk) GROUP BY c),
            |$hn AS (
            |  SELECT c, v / (SELECT MAX(v) FROM ${hn}r) AS hub
@@ -947,7 +965,9 @@ object GraphOps {
         |  SELECT DISTINCT o_custkey AS c, l_suppkey AS sk
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
         |cd AS (SELECT c, COUNT(*) AS deg FROM cs GROUP BY 1),
-        |w AS (SELECT c, 1.0 / ln(CAST(deg AS DOUBLE)) AS w
+        |w AS (SELECT c,
+        |        CAST(round(1.0 / ln(CAST(deg AS DOUBLE)), 12)
+        |          AS DECIMAL(20,12)) AS w
         |      FROM cd WHERE deg >= 2),
         |pr AS (
         |  SELECT a.sk AS s1, b.sk AS s2, w.w
@@ -955,7 +975,7 @@ object GraphOps {
         |  JOIN cs b ON a.c = b.c AND a.sk < b.sk
         |  JOIN w ON w.c = a.c)
         |SELECT s1, s2, COUNT(*) AS n_common,
-        |  round(list_reduce(list_sort(list(w)), (x, y) -> x + y), 6) AS aa
+        |  round(CAST(SUM(w) AS DOUBLE), 6) AS aa
         |FROM pr GROUP BY 1, 2
         |ORDER BY aa DESC, s1, s2 LIMIT 20""".stripMargin,
     // reachability closure via recursive CTE; MIN over reachable node
