@@ -503,7 +503,46 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** RAKE keyphrase extraction (Rose et al. 2010): candidate phrases
+    * are maximal stopword-free token runs; word score = deg/freq
+    * (degree counts the lengths of every phrase the word occurs in);
+    * phrase score = Σ member-word scores. Spark-first shape: the
+    * phrase segmentation is pure in-row array work (mark stopwords →
+    * join → split on the marker), the two corpus aggregates are keyed
+    * by word/phrase text (high-cardinality, map-side combinable), and
+    * the per-phrase score sum rides the exact-DECIMAL 1e-9 grid so it
+    * is order-free — no sorted fold, no collect_list. */
+  def textRake(s: SparkSession, d: String): DataFrame = {
+    val stops = Seq("a", "the", "and", "of", "to", "in", "is", "it",
+      "for", "on")
+    val toks = filter(split(lower(col("text")), "[^a-z0-9]+"),
+      t => length(t) > 0)
+    val marked = transform(toks,
+      t => when(t.isInCollection(stops), lit("|")).otherwise(t))
+    val phrases = Tables.documents(s, d)
+      .select(explode(split(array_join(marked, " "), "\\|")).as("raw"))
+      .select(trim(col("raw")).as("phrase"))
+      .filter(col("phrase") =!= "")
+    val pw = phrases
+      .select(col("phrase"), size(split(col("phrase"), " ")).as("plen"),
+        explode(split(col("phrase"), " ")).as("w"))
+    val wstats = pw.groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+      .withColumn("wscore",
+        round(col("deg").cast("double") / col("freq").cast("double"), 9)
+          .cast("decimal(20,9)"))
+    val ph = phrases.groupBy(col("phrase")).agg(count(lit(1)).as("n_occ"))
+    ph.select(col("phrase"), col("n_occ"),
+        explode(split(col("phrase"), " ")).as("w"))
+      .join(wstats.select(col("w"), col("wscore")), "w")
+      .groupBy(col("phrase"), col("n_occ"))
+      .agg(round(sum(col("wscore")).cast("double"), 6).as("score"))
+      .orderBy(col("score").desc, col("phrase").asc)
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_rake"             -> textRake _,
     "text_diversity"        -> textDiversity _,
     "text_readability"      -> textReadability _,
     "text_cms"              -> textCms _,
@@ -524,6 +563,37 @@ object TextOps {
     "text_fingerprint_roll" -> textFingerprintRoll _)
 
   val oracles: Map[String, String] = Map(
+    // identical mark→join→split segmentation and the same 1e-9
+    // decimal-grid phrase-score sum
+    "text_rake" ->
+      """WITH marked AS (
+        |  SELECT array_to_string(list_transform(
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      t -> t != ''),
+        |    t -> CASE WHEN t IN ('a','the','and','of','to','in','is',
+        |      'it','for','on') THEN '|' ELSE t END), ' ') AS m
+        |  FROM documents),
+        |phrases AS (
+        |  SELECT trim(p) AS phrase
+        |  FROM marked, UNNEST(string_split(m, '|')) AS t(p)
+        |  WHERE trim(p) != ''),
+        |pw AS (
+        |  SELECT phrase, len(string_split(phrase, ' ')) AS plen, w
+        |  FROM phrases, UNNEST(string_split(phrase, ' ')) AS u(w)),
+        |ws AS (
+        |  SELECT w,
+        |    CAST(round(CAST(SUM(plen) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE), 9) AS DECIMAL(20,9)) AS wscore
+        |  FROM pw GROUP BY 1),
+        |ph AS (SELECT phrase, COUNT(*) AS n_occ FROM phrases GROUP BY 1),
+        |pw2 AS (
+        |  SELECT ph.phrase, ph.n_occ, u.w
+        |  FROM ph, UNNEST(string_split(ph.phrase, ' ')) AS u(w))
+        |SELECT pw2.phrase, pw2.n_occ,
+        |  round(CAST(SUM(ws.wscore) AS DOUBLE), 6) AS score
+        |FROM pw2 JOIN ws USING (w)
+        |GROUP BY 1, 2
+        |ORDER BY score DESC, phrase ASC LIMIT 20""".stripMargin,
     // same tokenization (the text_cms convention), exact integer
     // statistics, identical double expressions
     "text_diversity" ->

@@ -155,6 +155,23 @@ class Round6bOpsSpec extends SparkFunSuite {
     assert(got(5L) === (("3-MEDIUM", 1)))
   }
 
+  test("text_rake: deg/freq scoring on a hand corpus") {
+    val d = Files.createTempDirectory("rake").toString
+    // "deep learning" appears twice, "deep sea" once -> freq(deep)=3,
+    // deg(deep)=6; freq(learning)=2, deg=4; freq(sea)=1, deg=2.
+    // wscores all 2.0 -> both phrases score 4.0; singleton "fish"
+    // scores 1.0 (deg=freq=1)
+    Seq((1L, "s1", "deep learning of deep sea in deep learning"),
+        (2L, "s1", "fish"))
+      .toDF("doc_id", "source", "text")
+      .write.parquet(s"$d/documents.parquet")
+    val got = TextOps.textRake(spark, d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got("deep learning") === ((2L, 4.0)))
+    assert(got("deep sea") === ((1L, 4.0)))
+    assert(got("fish") === ((1L, 1.0)))
+  }
+
   test("text_readability: hand-counted Flesch; empty text is guarded") {
     val d = Files.createTempDirectory("flesch").toString
     Seq((1L, "s1", "Hello world. This is fine!"), (2L, "s1", "!!!"))
