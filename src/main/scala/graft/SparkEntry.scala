@@ -43,6 +43,7 @@ object SparkEntry {
     QueryModule(ops.FuncOps.queries, ops.FuncOps.oracles),
     QueryModule(ops.DocOps.queries, ops.DocOps.oracles),
     QueryModule(ops.TrainOps.queries, ops.TrainOps.oracles),
+    QueryModule(ops.StatsOps.queries, ops.StatsOps.oracles),
     QueryModule(ops.GraphOps.queries, ops.GraphOps.oracles),
     QueryModule(ops.Headline.queries, ops.Headline.oracles))
 

@@ -1,0 +1,717 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Statistical / time-series / mining panel — the model-evaluation and
+  * monitoring layer a large-scale training-data pipeline runs OVER the
+  * engine's tables: autocorrelation, trend fits, seasonal backtests,
+  * survival analysis, cohort LTV, Pareto concentration, rank fusion and
+  * market-basket association rules.
+  *
+  * Design rules shared by every operator here:
+  *  - integer/decimal sums first, doubles last: every statistic is
+  *    assembled from exact per-group integer or DECIMAL aggregates, and
+  *    the floating-point arithmetic happens once, on the final 1-row-
+  *    per-group panel, with the SAME expression shape the DuckDB oracle
+  *    uses (IEEE doubles are deterministic given identical expression
+  *    trees over identical inputs);
+  *  - where a per-row double MUST be summed (sMAPE terms, chi-square
+  *    terms, Kaplan–Meier log terms), it is quantized to the 1e-9 grid
+  *    and summed as DECIMAL(28,9) — the exact-decimal quantized-sum
+  *    idiom — so partition/engine accumulation order cannot flip a bit;
+  *  - daily series are zero-filled over an explicit per-key date spine
+  *    (min..max day), so gaps cannot silently shift lag alignments; the
+  *    spine is calendar-bounded (rows = day span × |event types|), NOT
+  *    SF-proportional, and every window that walks it is either keyed
+  *    by event type or bounded by the day span.
+  */
+object StatsOps {
+
+  private def money(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** Zero-filled daily count series per event type with a dense integer
+    * day index `t` (0 = first observed day for that type). The series
+    * length is calendar-bounded, so the explode and the later
+    * self-joins on (event_type, t) are keyed and scale-safe. */
+  private def dailyFilled(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val span = daily.groupBy("event_type")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+    span.select(col("event_type"), col("d0"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"),
+        datediff(col("day"), col("d0")).cast("long").as("t"),
+        coalesce(col("n"), lit(0L)).as("x"))
+  }
+
+  /** Autocorrelation function of the daily event-count series per event
+    * type at lags {1, 2, 3, 7} — the seasonality probe run before
+    * choosing a forecast model. acf_k = Σ(x_t−μ)(x_{t+k}−μ) / Σ(x_t−μ)²
+    * with the full-series mean μ, expanded so every Σ is an exact
+    * integer aggregate: num = S_ab − μ(S_a+S_b) + mμ², den = SS − nμ².
+    * The lag pairing is ONE keyed self-join on (event_type, t) with the
+    * lag set exploded on the probe side — no per-lag window, no
+    * monolithic sort. */
+  def evAcf(s: SparkSession, d: String): DataFrame = {
+    val f = dailyFilled(s, d)
+    val stats = f.groupBy("event_type").agg(
+      count(lit(1)).as("n"), sum("x").as("s"),
+      sum(col("x") * col("x")).as("ss"))
+    val probe = f.select(col("event_type"),
+        explode(array(lit(1), lit(2), lit(3), lit(7))).as("lag"),
+        col("t"), col("x").as("xb"))
+      .withColumn("t", col("t") - col("lag"))
+    val lagged = f.select(col("event_type"), col("t"), col("x").as("xa"))
+      .join(probe, Seq("event_type", "t"))
+      .groupBy("event_type", "lag")
+      .agg(count(lit(1)).as("m"), sum("xa").as("sa"),
+        sum("xb").as("sb"), sum(col("xa") * col("xb")).as("sab"))
+    lagged.join(stats, "event_type")
+      .withColumn("mu", expr("cast(s as double) / cast(n as double)"))
+      .withColumn("num", expr(
+        "cast(sab as double) - mu * cast(sa + sb as double)" +
+          " + cast(m as double) * mu * mu"))
+      .withColumn("den", expr(
+        "cast(ss as double) - cast(n as double) * mu * mu"))
+      .select(col("event_type"), col("lag").cast("int").as("lag"),
+        expr("round(case when den = 0 then null else num / den end, 6)")
+          .as("acf"))
+      .orderBy("event_type", "lag")
+  }
+
+  /** Per-type OLS trend of the zero-filled daily count series: slope,
+    * intercept and R² from the five exact integer sums (m, Σt, Σx, Σtx,
+    * Σt², Σx²) — the closed-form regression, one aggregate per type, no
+    * iteration. A zero-variance series (den = 0) yields NULLs, the SQL
+    * `regr_*` convention. */
+  def evRegression(s: SparkSession, d: String): DataFrame = {
+    dailyFilled(s, d)
+      .groupBy("event_type").agg(
+        count(lit(1)).as("m"), sum("t").as("sx"), sum("x").as("sy"),
+        sum(col("t") * col("x")).as("sxy"),
+        sum(col("t") * col("t")).as("sxx"),
+        sum(col("x") * col("x")).as("syy"))
+      .withColumn("num", expr(
+        "cast(m as double) * cast(sxy as double)" +
+          " - cast(sx as double) * cast(sy as double)"))
+      .withColumn("den", expr(
+        "cast(m as double) * cast(sxx as double)" +
+          " - cast(sx as double) * cast(sx as double)"))
+      .withColumn("deny", expr(
+        "cast(m as double) * cast(syy as double)" +
+          " - cast(sy as double) * cast(sy as double)"))
+      .withColumn("slope", expr("case when den = 0 then null else num / den end"))
+      .select(col("event_type"), col("m").cast("int").as("n_days"),
+        expr("round(slope, 6)").as("slope"),
+        expr("round((cast(sy as double) - slope * cast(sx as double))" +
+          " / cast(m as double), 6)").as("intercept"),
+        expr("round(case when den * deny = 0 then null" +
+          " else (num * num) / (den * deny) end, 6)").as("r2"))
+      .orderBy("event_type")
+  }
+
+  /** Seasonal-naïve backtest: forecast each day with the value seven
+    * days earlier, score MAE / RMSE / sMAPE per event type — the
+    * baseline every fancier forecaster must beat, and the shape of any
+    * model-eval scoring job. Error sums are exact integers (|x−f|,
+    * (x−f)²); the per-row sMAPE terms are doubles, so each is quantized
+    * to 1e-9 and summed as DECIMAL — accumulation-order-proof. The
+    * (t, t−7) pairing is the same keyed self-join as [[evAcf]]. */
+  def evForecastEval(s: SparkSession, d: String): DataFrame = {
+    val f = dailyFilled(s, d)
+    val fc = f.select(col("event_type"), (col("t") + 7).as("t"),
+      col("x").as("fv"))
+    f.join(fc, Seq("event_type", "t"))
+      .groupBy("event_type").agg(
+        count(lit(1)).as("m"),
+        sum(abs(col("x") - col("fv"))).as("ae"),
+        sum((col("x") - col("fv")) * (col("x") - col("fv"))).as("se"),
+        sum(expr("cast(round(case when x + fv = 0 then 0.0" +
+          " else 2.0 * cast(abs(x - fv) as double)" +
+          " / cast(x + fv as double) end, 9) as decimal(28,9))")).as("sq"))
+      .select(col("event_type"), col("m").cast("int").as("n_scored"),
+        expr("round(cast(ae as double) / cast(m as double), 6)").as("mae"),
+        expr("round(sqrt(cast(se as double) / cast(m as double)), 6)")
+          .as("rmse"),
+        expr("round(cast(sq as double) / cast(m as double), 6)").as("smape"))
+      .orderBy("event_type")
+  }
+
+  /** Day-of-week seasonality profile + χ² uniformity test per event
+    * type: observed counts against the flat expectation total/7. The χ²
+    * terms are per-(type, dow) doubles → 1e-9-quantized DECIMAL sum
+    * (seven terms per type, but order-proof all the same). The dow grid
+    * is explicitly materialized (7 rows per type) so an empty weekday
+    * still contributes its (0−e)²/e term. */
+  def evSeasonality(s: SparkSession, d: String): DataFrame = {
+    val dow = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        (weekday(date_trunc("day", col("ts")).cast("date")) + 1)
+          .as("isodow"))
+      .agg(count(lit(1)).as("n"))
+    val grid = dow.select("event_type").distinct()
+      .select(col("event_type"),
+        explode(sequence(lit(1), lit(7))).as("isodow"))
+      .join(dow, Seq("event_type", "isodow"), "left")
+      .select(col("event_type"), col("isodow"),
+        coalesce(col("n"), lit(0L)).as("x"))
+    val tot = grid.groupBy("event_type").agg(sum("x").as("tot"))
+    val rows = grid.join(broadcast(tot), "event_type")
+      .withColumn("e", expr("cast(tot as double) / 7.0"))
+      .withColumn("term", expr(
+        "cast(round((cast(x as double) - e) * (cast(x as double) - e) / e," +
+          " 9) as decimal(28,9))"))
+    val chi2 = rows.groupBy("event_type")
+      .agg(sum("term").as("chi2q"))
+    rows.join(broadcast(chi2), "event_type")
+      .select(col("event_type"), col("isodow").cast("int").as("isodow"),
+        col("x").as("n"),
+        expr("round(cast(x as double) / cast(tot as double), 6)")
+          .as("share"),
+        expr("round(cast(chi2q as double), 6)").as("chi2"))
+      .orderBy("event_type", "isodow")
+  }
+
+  /** Kaplan–Meier survival over user lifetimes: duration = days between
+    * a user's first and last event; a user still active on the final
+    * observed day is right-censored (still alive), everyone whose last
+    * event predates the corpus end "died" at their duration. S(t) = Π_{tᵢ≤t}(1−dᵢ/nᵢ)
+    * via the log-space cumulative: each ln(1−d/n) is quantized to 1e-9
+    * and DECIMAL-cumsum'd, then exponentiated once — order-proof, and a
+    * step where everyone at risk dies (d = n) is handled exactly
+    * (S = 0 from there on) instead of through ln(0) = −∞.
+    *
+    * Scale: per-user first/last is one map-side-combinable aggregate;
+    * the life table itself has one row per distinct duration — bounded
+    * by the observation window in DAYS, not by SF — so its two ordered
+    * windows (at-risk counts, cumulative hazard) walk a calendar-sized
+    * series, the [[EventOps.evHolt]] precedent. */
+  def evSurvival(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), date_trunc("day", col("ts")).cast("date").as("day"))
+    val maxd = ev.agg(max("day").as("maxd"))
+    val users = ev.groupBy("user_id")
+      .agg(min("day").as("f"), max("day").as("l"))
+      .crossJoin(broadcast(maxd))
+      .select(datediff(col("l"), col("f")).cast("long").as("dur"),
+        expr("case when datediff(maxd, l) >= 1 then 1 else 0 end").as("died"))
+    val nTotal = users.agg(count(lit(1)).as("n_users"))
+    val lifetab = users.groupBy("dur")
+      .agg(count(lit(1)).as("c"), sum("died").as("dth"))
+      .crossJoin(broadcast(nTotal))
+    val wAll = Window.orderBy("dur")
+    val atRisk = lifetab
+      .withColumn("exits",
+        coalesce(sum("c").over(wAll.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .withColumn("n_risk", col("n_users") - col("exits"))
+      .filter(col("dth") > 0)
+    val wStep = Window.orderBy("dur")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    atRisk
+      .withColumn("term", expr(
+        "case when dth = n_risk then cast(0.0 as decimal(28,9))" +
+          " else cast(round(ln(1.0 - cast(dth as double)" +
+          " / cast(n_risk as double)), 9) as decimal(28,9)) end"))
+      .withColumn("anyzero",
+        max(expr("case when dth = n_risk then 1 else 0 end")).over(wStep))
+      .withColumn("cuml", sum("term").over(wStep))
+      .select(col("dur").cast("int").as("t_days"), col("n_risk"),
+        col("dth").as("d_deaths"),
+        expr("case when anyzero = 1 then 0.0" +
+          " else round(exp(cast(cuml as double)), 6) end").as("survival"))
+      .orderBy("t_days")
+  }
+
+  /** Cohort lifetime-value panel: users cohorted by first-event ISO
+    * week, revenue accumulated by cohort age in weeks — the
+    * retention-revenue curve behind every "payback period" question.
+    * Revenue rides DECIMAL(18,2) end to end; the cumulative sum windows
+    * per cohort over AGE (calendar-bounded), and the cohort-size table
+    * is |weeks|-sized → broadcast. */
+  def evCohortLtv(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val u = ev.groupBy("user_id").agg(min("ts").as("c0"))
+      .select(col("user_id"),
+        date_trunc("week", col("c0")).cast("date").as("cw"))
+    val sizes = u.groupBy("cw").agg(count(lit(1)).as("n_cohort"))
+    val aged = ev.join(u, "user_id")
+      .select(col("cw"),
+        expr("cast(datediff(cast(date_trunc('week', ts) as date), cw)" +
+          " div 7 as int)").as("age_weeks"),
+        col("user_id"), col("value"))
+    val g = aged.groupBy("cw", "age_weeks")
+      .agg(coalesce(sum(money(col("value"))), lit(0).cast("decimal(18,2)"))
+          .as("rev"),
+        countDistinct("user_id").as("n_active"))
+    val wc = Window.partitionBy("cw").orderBy("age_weeks")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g.withColumn("cum", sum("rev").over(wc))
+      .join(broadcast(sizes), "cw")
+      .select(date_format(col("cw"), "yyyy-MM-dd").as("cohort_week"),
+        col("age_weeks"), col("n_cohort"), col("n_active"),
+        col("cum").cast("double").as("cum_value"),
+        expr("round(cast(cum as double) / cast(n_cohort as double), 6)")
+          .as("ltv_per_user"))
+      .orderBy("cohort_week", "age_weeks")
+  }
+
+  /** Exact global rank under (value DESC, key ASC) without a
+    * single-partition window: rows bucket by a value-monotone group id,
+    * the intra-bucket row_number is keyed by bucket, and the carry-in
+    * offset joins from a bucket-count-sized broadcast — the
+    * EventOps.globalRank two-level idiom, descending flavor. Also
+    * carries the bucket-local DECIMAL value cumsum + carry-in so Pareto
+    * consumers get the exact prefix revenue from the same pass. */
+  private def rankedDesc(df: DataFrame, value: String, gid: Column,
+      key: String, withCum: Boolean): DataFrame = {
+    val g = df.withColumn("__gid", gid)
+    val wIn = Window.partitionBy("__gid")
+      .orderBy(col(value).desc, col(key).asc)
+    val wOff = Window.orderBy(col("__gid").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = g.groupBy("__gid")
+      .agg(count(lit(1)).as("__n"), sum(col(value)).as("__v"))
+      .withColumn("__off", coalesce(sum("__n").over(wOff), lit(0L)))
+      .withColumn("__voff", sum("__v").over(wOff))
+      .select("__gid", "__off", "__voff")
+    val ranked = g.join(broadcast(offs), "__gid")
+      .withColumn("rank", col("__off") + row_number().over(wIn))
+    val out =
+      if (withCum)
+        ranked.withColumn("cum",
+          coalesce(col("__voff"), lit(0).cast("decimal(18,2)")) +
+            sum(col(value)).over(
+              wIn.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      else ranked
+    out.drop("__gid", "__off", "__voff")
+  }
+
+  /** Pareto / ABC concentration: suppliers ranked by revenue, classed A
+    * (cumulative share ≤ 80%), B (≤ 95%), C (rest), reported as a
+    * 3-row panel. The rank AND the exact DECIMAL prefix revenue come
+    * from the two-level [[rankedDesc]] — no supplier-count-sized
+    * single-partition window anywhere; the only doubles are the final
+    * share divisions over exact decimals. */
+  def paretoAbc(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.lineitem(s, d)
+      .groupBy(col("l_suppkey").as("s"))
+      .agg(sum(money(col("l_extendedprice")) *
+        (lit(1) - money(col("l_discount")))).as("rev"))
+    val tot = rev.agg(sum("rev").as("tot"))
+    rankedDesc(rev, "rev",
+        floor(col("rev").cast("double") / 10000.0).cast("long"), "s",
+        withCum = true)
+      .crossJoin(broadcast(tot))
+      .withColumn("cls", expr(
+        "case when cast(cum as double) / cast(tot as double) <= 0.80 then 'A'" +
+          " when cast(cum as double) / cast(tot as double) <= 0.95 then 'B'" +
+          " else 'C' end"))
+      .groupBy(col("cls").as("abc_class"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum("rev").cast("double").as("revenue"),
+        max("tot").as("__tot"))
+      .select(col("abc_class"), col("n_suppliers"), col("revenue"),
+        expr("round(revenue / cast(__tot as double), 6)").as("share"))
+      .orderBy("abc_class")
+  }
+
+  /** Reciprocal-rank fusion of two supplier rankings (by revenue, by
+    * distinct orders served): rrf = 1/(60+r₁) + 1/(60+r₂) — the
+    * standard multi-signal ranking merge (search result fusion, feature
+    * ensembling). Both ranks are exact two-level [[rankedDesc]] ranks;
+    * the fusion is two double divisions per supplier. */
+  def rankFusion(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.lineitem(s, d)
+      .groupBy(col("l_suppkey").as("s"))
+      .agg(sum(money(col("l_extendedprice")) *
+          (lit(1) - money(col("l_discount")))).as("rev"),
+        countDistinct("l_orderkey").as("nord"))
+    val r1 = rankedDesc(base, "rev",
+        floor(col("rev").cast("double") / 10000.0).cast("long"), "s",
+        withCum = false)
+      .withColumnRenamed("rank", "r_rev")
+    val r2 = rankedDesc(r1, "nord", col("nord"), "s", withCum = false)
+      .withColumnRenamed("rank", "r_ord")
+    r2.select(col("s").as("suppkey"), col("r_rev"), col("r_ord"),
+        expr("round(1.0 / (60.0 + cast(r_rev as double))" +
+          " + 1.0 / (60.0 + cast(r_ord as double)), 6)").as("rrf"))
+      .orderBy(col("rrf").desc, col("suppkey").asc)
+      .limit(25)
+  }
+
+  /** Market-basket association rules over brands co-purchased in one
+    * order: support / confidence (both directions) / lift for every
+    * brand pair, top 25 by lift. The per-order brand set is bounded by
+    * order SIZE (TPC-H ≤ 7 lines; any real order is O(items)), so the
+    * in-row pair expansion is C(|order|, 2) — per-ORDER bounded, unlike
+    * a hub-degree projection; the pair key space is |brands|² (≤ 625),
+    * so the rule table is a constant-size panel whatever the SF. All
+    * counts are exact integers; the three scores are final-step double
+    * divisions. */
+  def basketRules(s: SparkSession, d: String): DataFrame = {
+    val items = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey"))
+      .join(Tables.part(s, d).select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("o"), col("p_brand").as("b"))
+      .distinct()
+    val posts = items.groupBy("o")
+      .agg(sort_array(collect_list(col("b"))).as("bs"))
+    val nOrders = posts.agg(count(lit(1)).as("n_orders"))
+    val pairs = posts
+      .select(explode(expr(
+        """flatten(transform(bs, (a, i) ->
+          |  transform(slice(bs, i + 2, size(bs)), c ->
+          |    struct(a AS b1, c AS b2))))""".stripMargin)).as("p"))
+      .groupBy(col("p.b1").as("b1"), col("p.b2").as("b2"))
+      .agg(count(lit(1)).as("n_pair"))
+    val bc = items.groupBy("b").agg(count(lit(1)).as("nb"))
+    pairs
+      .join(broadcast(bc.select(col("b").as("b1"), col("nb").as("n1"))), "b1")
+      .join(broadcast(bc.select(col("b").as("b2"), col("nb").as("n2"))), "b2")
+      .crossJoin(broadcast(nOrders))
+      .select(col("b1"), col("b2"), col("n_pair"),
+        expr("round(cast(n_pair as double) / cast(n_orders as double), 6)")
+          .as("support"),
+        expr("round(cast(n_pair as double) / cast(n1 as double), 6)")
+          .as("conf_12"),
+        expr("round(cast(n_pair as double) / cast(n2 as double), 6)")
+          .as("conf_21"),
+        expr("round(cast(n_pair as double) * cast(n_orders as double)" +
+          " / (cast(n1 as double) * cast(n2 as double)), 6)").as("lift"))
+      .orderBy(col("lift").desc, col("b1").asc, col("b2").asc)
+      .limit(25)
+  }
+
+  /** CUBE over (returnflag, linestatus): all four grouping combinations
+    * in one pass (Spark expands to an expand-node + single hash agg —
+    * one shuffle for the whole lattice, the same plan GROUPING SETS
+    * gets). NULL group labels render as 'ALL'. */
+  def cubeQty(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(money(col("l_quantity"))).cast("double").as("qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("return_flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("line_status"),
+        col("n"), col("qty"))
+      .orderBy("return_flag", "line_status")
+
+  /** Class-balanced downsample: every language keeps exactly
+    * min-stratum-count docs, chosen by the deterministic md5 shuffle —
+    * the class-imbalance fix applied before training a classifier on
+    * skewed strata. Rank-within-stratum is the TWO-LEVEL
+    * (lang, md5-prefix-group) row_number of TrainOps.sampleStratified
+    * (no monolithic per-language window; one language at 100 TB is most
+    * of the corpus), and the cutoff is a 1-row broadcast min over the
+    * |langs|-sized stratum table. */
+  def sampleBalanced(s: SparkSession, d: String): DataFrame = {
+    val keyed = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      .withColumn("__h", md5(col("doc_id").cast("string")))
+      .withColumn("__gid", substring(col("__h"), 1, 2))
+    val wIn = Window.partitionBy("lang", "__gid")
+      .orderBy(col("__h"), col("doc_id"))
+    val wOff = Window.partitionBy("lang").orderBy("__gid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = keyed.groupBy(col("lang"), col("__gid"))
+      .agg(count(lit(1)).as("__g_n"))
+      .withColumn("__g_off", coalesce(sum("__g_n").over(wOff), lit(0L)))
+    val mmin = offs.groupBy("lang").agg(sum("__g_n").as("__n"))
+      .agg(min("__n").as("m"))
+    keyed
+      .withColumn("__rn", row_number().over(wIn))
+      .join(offs.select("lang", "__gid", "__g_off"), Seq("lang", "__gid"))
+      .withColumn("rk", (col("__g_off") + col("__rn")).cast("int"))
+      .crossJoin(broadcast(mmin))
+      .filter(col("rk").cast("bigint") <= col("m"))
+      .select("doc_id", "lang", "rk")
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_acf"           -> evAcf _,
+    "ev_regression"    -> evRegression _,
+    "ev_forecast_eval" -> evForecastEval _,
+    "ev_seasonality"   -> evSeasonality _,
+    "ev_survival"      -> evSurvival _,
+    "ev_cohort_ltv"    -> evCohortLtv _,
+    "o12_pareto"       -> paretoAbc _,
+    "o13_rankfusion"   -> rankFusion _,
+    "basket_rules"     -> basketRules _,
+    "a18_cube"         -> cubeQty _,
+    "sample_balanced"  -> sampleBalanced _)
+
+  private val dailyFilledCte =
+    """daily AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |span AS (SELECT event_type, MIN(day) AS d0, MAX(day) AS d1
+      |         FROM daily GROUP BY 1),
+      |spine AS (
+      |  SELECT event_type, d0,
+      |    CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM span),
+      |f AS (
+      |  SELECT s.event_type,
+      |    CAST(date_diff('day', s.d0, s.day) AS BIGINT) AS t,
+      |    COALESCE(d.n, 0) AS x
+      |  FROM spine s LEFT JOIN daily d
+      |    ON s.event_type = d.event_type AND s.day = d.day)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "ev_acf" ->
+      s"""WITH $dailyFilledCte,
+        |stats AS (
+        |  SELECT event_type, COUNT(*) AS n, SUM(x) AS s, SUM(x * x) AS ss
+        |  FROM f GROUP BY 1),
+        |probe AS (
+        |  SELECT event_type, UNNEST([1, 2, 3, 7]) AS lag, t, x FROM f),
+        |lagged AS (
+        |  SELECT a.event_type, p.lag, COUNT(*) AS m, SUM(a.x) AS sa,
+        |    SUM(p.x) AS sb, SUM(a.x * p.x) AS sab
+        |  FROM f a JOIN probe p
+        |    ON a.event_type = p.event_type AND a.t = p.t - p.lag
+        |  GROUP BY 1, 2),
+        |panel AS (
+        |  SELECT l.event_type, l.lag,
+        |    CAST(s.s AS DOUBLE) / CAST(s.n AS DOUBLE) AS mu,
+        |    l.m, l.sa, l.sb, l.sab, s.n, s.ss
+        |  FROM lagged l JOIN stats s ON l.event_type = s.event_type),
+        |fin AS (
+        |  SELECT event_type, lag,
+        |    CAST(sab AS DOUBLE) - mu * CAST(sa + sb AS DOUBLE)
+        |      + CAST(m AS DOUBLE) * mu * mu AS num,
+        |    CAST(ss AS DOUBLE) - CAST(n AS DOUBLE) * mu * mu AS den
+        |  FROM panel)
+        |SELECT event_type, CAST(lag AS INT) AS lag,
+        |  round(CASE WHEN den = 0 THEN NULL ELSE num / den END, 6) AS acf
+        |FROM fin ORDER BY event_type, lag""".stripMargin,
+    "ev_regression" ->
+      s"""WITH $dailyFilledCte,
+        |sums AS (
+        |  SELECT event_type, COUNT(*) AS m, SUM(t) AS sx, SUM(x) AS sy,
+        |    SUM(t * x) AS sxy, SUM(t * t) AS sxx, SUM(x * x) AS syy
+        |  FROM f GROUP BY 1),
+        |fin AS (
+        |  SELECT event_type, m, sx, sy,
+        |    CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+        |    CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den,
+        |    CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS deny
+        |  FROM sums),
+        |sl AS (
+        |  SELECT *, CASE WHEN den = 0 THEN NULL ELSE num / den END AS slope
+        |  FROM fin)
+        |SELECT event_type, CAST(m AS INT) AS n_days,
+        |  round(slope, 6) AS slope,
+        |  round((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+        |    / CAST(m AS DOUBLE), 6) AS intercept,
+        |  round(CASE WHEN den * deny = 0 THEN NULL
+        |    ELSE (num * num) / (den * deny) END, 6) AS r2
+        |FROM sl ORDER BY event_type""".stripMargin,
+    "ev_forecast_eval" ->
+      s"""WITH $dailyFilledCte,
+        |j AS (
+        |  SELECT a.event_type, a.x, p.x AS fv
+        |  FROM f a JOIN f p
+        |    ON a.event_type = p.event_type AND a.t = p.t + 7),
+        |agg AS (
+        |  SELECT event_type, COUNT(*) AS m,
+        |    SUM(abs(x - fv)) AS ae,
+        |    SUM((x - fv) * (x - fv)) AS se,
+        |    SUM(CAST(round(CASE WHEN x + fv = 0 THEN 0.0
+        |      ELSE 2.0 * CAST(abs(x - fv) AS DOUBLE)
+        |        / CAST(x + fv AS DOUBLE) END, 9) AS DECIMAL(28,9))) AS sq
+        |  FROM j GROUP BY 1)
+        |SELECT event_type, CAST(m AS INT) AS n_scored,
+        |  round(CAST(ae AS DOUBLE) / CAST(m AS DOUBLE), 6) AS mae,
+        |  round(sqrt(CAST(se AS DOUBLE) / CAST(m AS DOUBLE)), 6) AS rmse,
+        |  round(CAST(sq AS DOUBLE) / CAST(m AS DOUBLE), 6) AS smape
+        |FROM agg ORDER BY event_type""".stripMargin,
+    "ev_seasonality" ->
+      """WITH dow AS (
+        |  SELECT event_type,
+        |    isodow(CAST(date_trunc('day', ts) AS DATE)) AS isodow,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT t.event_type, g.isodow, COALESCE(d.n, 0) AS x
+        |  FROM (SELECT DISTINCT event_type FROM dow) t
+        |  CROSS JOIN (SELECT UNNEST(generate_series(1, 7)) AS isodow) g
+        |  LEFT JOIN dow d
+        |    ON t.event_type = d.event_type AND g.isodow = d.isodow),
+        |tot AS (SELECT event_type, SUM(x) AS tot FROM grid GROUP BY 1),
+        |rows_ AS (
+        |  SELECT g.event_type, g.isodow, g.x, t.tot,
+        |    CAST(t.tot AS DOUBLE) / 7.0 AS e
+        |  FROM grid g JOIN tot t ON g.event_type = t.event_type),
+        |terms AS (
+        |  SELECT *, CAST(round((CAST(x AS DOUBLE) - e) * (CAST(x AS DOUBLE) - e)
+        |    / e, 9) AS DECIMAL(28,9)) AS term
+        |  FROM rows_),
+        |chi AS (SELECT event_type, SUM(term) AS chi2q FROM terms GROUP BY 1)
+        |SELECT r.event_type, CAST(r.isodow AS INT) AS isodow, r.x AS n,
+        |  round(CAST(r.x AS DOUBLE) / CAST(r.tot AS DOUBLE), 6) AS share,
+        |  round(CAST(c.chi2q AS DOUBLE), 6) AS chi2
+        |FROM rows_ r JOIN chi c ON r.event_type = c.event_type
+        |ORDER BY r.event_type, r.isodow""".stripMargin,
+    "ev_survival" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        |  FROM events),
+        |maxd AS (SELECT MAX(day) AS maxd FROM ev),
+        |users AS (
+        |  SELECT CAST(date_diff('day', MIN(day), MAX(day)) AS BIGINT) AS dur,
+        |    CASE WHEN date_diff('day', MAX(day), (SELECT maxd FROM maxd)) >= 1
+        |      THEN 1 ELSE 0 END AS died
+        |  FROM ev GROUP BY user_id),
+        |n AS (SELECT COUNT(*) AS n_users FROM users),
+        |lifetab AS (
+        |  SELECT dur, COUNT(*) AS c, SUM(died) AS dth FROM users GROUP BY 1),
+        |atrisk AS (
+        |  SELECT dur, dth,
+        |    (SELECT n_users FROM n)
+        |      - COALESCE(SUM(c) OVER (ORDER BY dur
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS n_risk
+        |  FROM lifetab),
+        |steps AS (SELECT * FROM atrisk WHERE dth > 0),
+        |terms AS (
+        |  SELECT dur, n_risk, dth,
+        |    CASE WHEN dth = n_risk THEN CAST(0.0 AS DECIMAL(28,9))
+        |      ELSE CAST(round(ln(1.0 - CAST(dth AS DOUBLE)
+        |        / CAST(n_risk AS DOUBLE)), 9) AS DECIMAL(28,9)) END AS term,
+        |    MAX(CASE WHEN dth = n_risk THEN 1 ELSE 0 END) OVER (ORDER BY dur
+        |      ROWS UNBOUNDED PRECEDING) AS anyzero
+        |  FROM steps),
+        |fin AS (
+        |  SELECT dur, n_risk, dth, anyzero,
+        |    SUM(term) OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) AS cuml
+        |  FROM terms)
+        |SELECT CAST(dur AS INT) AS t_days, n_risk, dth AS d_deaths,
+        |  CASE WHEN anyzero = 1 THEN 0.0
+        |    ELSE round(exp(CAST(cuml AS DOUBLE)), 6) END AS survival
+        |FROM fin ORDER BY t_days""".stripMargin,
+    "ev_cohort_ltv" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CAST(date_trunc('week', MIN(ts)) AS DATE) AS cw
+        |  FROM events GROUP BY 1),
+        |sizes AS (SELECT cw, COUNT(*) AS n_cohort FROM u GROUP BY 1),
+        |aged AS (
+        |  SELECT u.cw,
+        |    date_diff('day', u.cw,
+        |      CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS age_weeks,
+        |    e.user_id, e.value
+        |  FROM events e JOIN u ON e.user_id = u.user_id),
+        |g AS (
+        |  SELECT cw, age_weeks,
+        |    COALESCE(SUM(CAST(value AS DECIMAL(18,2))),
+        |      CAST(0 AS DECIMAL(18,2))) AS rev,
+        |    COUNT(DISTINCT user_id) AS n_active
+        |  FROM aged GROUP BY 1, 2),
+        |c AS (
+        |  SELECT *, SUM(rev) OVER (PARTITION BY cw ORDER BY age_weeks
+        |    ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM g)
+        |SELECT strftime(c.cw, '%Y-%m-%d') AS cohort_week,
+        |  CAST(c.age_weeks AS INT) AS age_weeks, s.n_cohort, c.n_active,
+        |  CAST(c.cum AS DOUBLE) AS cum_value,
+        |  round(CAST(c.cum AS DOUBLE) / CAST(s.n_cohort AS DOUBLE), 6)
+        |    AS ltv_per_user
+        |FROM c JOIN sizes s ON c.cw = s.cw
+        |ORDER BY cohort_week, age_weeks""".stripMargin,
+    "o12_pareto" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey AS s,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT SUM(rev) AS tot FROM rev),
+        |c AS (
+        |  SELECT s, rev, SUM(rev) OVER (ORDER BY rev DESC, s ASC
+        |    ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM rev),
+        |cls AS (
+        |  SELECT s, rev,
+        |    CASE WHEN CAST(cum AS DOUBLE) / CAST(t.tot AS DOUBLE) <= 0.80
+        |      THEN 'A'
+        |    WHEN CAST(cum AS DOUBLE) / CAST(t.tot AS DOUBLE) <= 0.95
+        |      THEN 'B' ELSE 'C' END AS abc_class,
+        |    t.tot
+        |  FROM c, t)
+        |SELECT abc_class, COUNT(*) AS n_suppliers,
+        |  CAST(SUM(rev) AS DOUBLE) AS revenue,
+        |  round(CAST(SUM(rev) AS DOUBLE) / CAST(MAX(tot) AS DOUBLE), 6)
+        |    AS share
+        |FROM cls GROUP BY 1 ORDER BY abc_class""".stripMargin,
+    "o13_rankfusion" ->
+      """WITH base AS (
+        |  SELECT l_suppkey AS s,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev,
+        |    COUNT(DISTINCT l_orderkey) AS nord
+        |  FROM lineitem GROUP BY 1),
+        |r AS (
+        |  SELECT s,
+        |    row_number() OVER (ORDER BY rev DESC, s ASC) AS r_rev,
+        |    row_number() OVER (ORDER BY nord DESC, s ASC) AS r_ord
+        |  FROM base)
+        |SELECT s AS suppkey, r_rev, r_ord,
+        |  round(1.0 / (60.0 + CAST(r_rev AS DOUBLE))
+        |    + 1.0 / (60.0 + CAST(r_ord AS DOUBLE)), 6) AS rrf
+        |FROM r ORDER BY rrf DESC, suppkey ASC LIMIT 25""".stripMargin,
+    "basket_rules" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS b
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |n AS (SELECT COUNT(DISTINCT o) AS n_orders FROM items),
+        |pairs AS (
+        |  SELECT a.b AS b1, x.b AS b2, COUNT(*) AS n_pair
+        |  FROM items a JOIN items x ON a.o = x.o AND a.b < x.b
+        |  GROUP BY 1, 2),
+        |bc AS (SELECT b, COUNT(*) AS nb FROM items GROUP BY 1)
+        |SELECT p.b1, p.b2, p.n_pair,
+        |  round(CAST(p.n_pair AS DOUBLE) / CAST(n.n_orders AS DOUBLE), 6)
+        |    AS support,
+        |  round(CAST(p.n_pair AS DOUBLE) / CAST(c1.nb AS DOUBLE), 6)
+        |    AS conf_12,
+        |  round(CAST(p.n_pair AS DOUBLE) / CAST(c2.nb AS DOUBLE), 6)
+        |    AS conf_21,
+        |  round(CAST(p.n_pair AS DOUBLE) * CAST(n.n_orders AS DOUBLE)
+        |    / (CAST(c1.nb AS DOUBLE) * CAST(c2.nb AS DOUBLE)), 6) AS lift
+        |FROM pairs p
+        |JOIN bc c1 ON p.b1 = c1.b
+        |JOIN bc c2 ON p.b2 = c2.b
+        |CROSS JOIN n
+        |ORDER BY lift DESC, p.b1 ASC, p.b2 ASC LIMIT 25""".stripMargin,
+    "a18_cube" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS return_flag,
+        |  COALESCE(l_linestatus, 'ALL') AS line_status,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY return_flag, line_status""".stripMargin,
+    "sample_balanced" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+        |m AS (SELECT MIN(n) AS m FROM c),
+        |r AS (
+        |  SELECT doc_id, lang,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS rk
+        |  FROM documents)
+        |SELECT doc_id, lang, rk FROM r, m
+        |WHERE rk <= m.m ORDER BY doc_id""".stripMargin)
+}
