@@ -142,6 +142,49 @@ object TextAnalysis {
   val rollingHashUdf = udf(rollingHash64 _)
   def fingerprint_rolling(c: Column): Column = rollingHashUdf(c)
 
+  /** Winnowing fingerprint panel (Schleimer–Wilkerson–Aiken, the MOSS
+    * scheme): 5-token k-grams hashed with the [[rollingHash64]]
+    * polynomial, then every window of 4 consecutive gram hashes
+    * contributes its minimum — the guarantee that any shared run of
+    * ≥ w+k−1 tokens between two documents shares a fingerprint, at
+    * ~1/w the storage of full gram sets. Selected values are
+    * distinct-ed; the panel reports counts and the signed min/max
+    * (membership itself is what a dedup join would use). Documents
+    * shorter than one k-gram contribute a single whole-text gram;
+    * empty documents contribute nothing. */
+  final case class WinnowStats(nGrams: Int, nFp: Int,
+      fpMin: Option[Long], fpMax: Option[Long])
+
+  private def gramHash(g: String): Long = {
+    var h = 1125899906842597L
+    var i = 0
+    while (i < g.length) { h = 31 * h + g.charAt(i); i += 1 }
+    h
+  }
+
+  def winnowStats(text: String): WinnowStats = {
+    val toks =
+      if (text == null) Array.empty[String]
+      else text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    val k = 5; val w = 4
+    val grams: Array[Long] =
+      if (toks.isEmpty) Array.empty
+      else if (toks.length < k) Array(gramHash(toks.mkString(" ")))
+      else Array.tabulate(toks.length - k + 1)(i =>
+        gramHash(toks.slice(i, i + k).mkString(" ")))
+    val sel: Array[Long] =
+      if (grams.isEmpty) Array.empty
+      else if (grams.length <= w) Array(grams.min)
+      else Array.tabulate(grams.length - w + 1)(j =>
+        grams.slice(j, j + w).min).distinct
+    WinnowStats(grams.length, sel.length,
+      if (sel.isEmpty) None else Some(sel.min),
+      if (sel.isEmpty) None else Some(sel.max))
+  }
+
+  val winnowUdf = udf(winnowStats _)
+  def winnow_stats(c: Column): Column = winnowUdf(c)
+
   // ------------------------------------------------------- normalization
 
   /** Unicode accent folding: NFD-decompose, drop combining marks —

@@ -422,7 +422,74 @@ object SimOps {
       .orderBy(col("dim"))
   }
 
+  /** Top principal component of the embedding cloud by power
+    * iteration — the PCA probe behind whitening, anisotropy checks and
+    * "is one direction dominating my embedding space" diagnostics.
+    *
+    * The DATA-sized work is one distributed pass: the 64×64 second-
+    * moment (Gram) matrix and per-dim first moments accumulate as
+    * 1e-9-scaled LONG sums (exact integer addition — partition order
+    * cannot flip a bit; one narrow in-row upper-triangle expansion →
+    * map-side-combined hash agg on ≤ 2 080 keys). The collected panel
+    * (2 080+64 longs) is a bounded driver scalar — the bucket-id-
+    * collect precedent — and the 30 fixed power-iteration rounds run on
+    * the driver's 64×64 matrix with left-fold sums that the oracle's
+    * `list_reduce` replays term-for-term; the sign convention (largest-
+    * |loading| dimension positive) pins the eigenvector's direction.
+    * At 100 TB the plan is unchanged: d² is a constant, the single
+    * scan dominates, and the iteration cost is independent of rows. */
+  def embPca(s: SparkSession, d: String): DataFrame = {
+    val dim = 64
+    val emb = Tables.embeddings(s, d).select(col("embedding"))
+    val pairs = emb.select(explode(expr(
+        s"""flatten(transform(sequence(0, ${dim - 1}), i ->
+          |  transform(sequence(i, ${dim - 1}), j -> struct(i AS i, j AS j,
+          |    cast(floor(cast(embedding[i] as double) *
+          |      cast(embedding[j] as double) * 1000000000.0 + 0.5)
+          |      as bigint) AS p))))""".stripMargin)).as("t"))
+      .groupBy(col("t.i").as("i"), col("t.j").as("j"))
+      .agg(sum(col("t.p")).as("s2"))
+      .collect()
+    val firsts = emb
+      .select(posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy("i")
+      .agg(sum(expr(
+        "cast(floor(cast(x as double) * 1000000000.0 + 0.5) as bigint)"))
+        .as("s1"),
+        count(lit(1)).as("n"))
+      .collect()
+    val nd = firsts.head.getLong(2).toDouble
+    val s1 = Array.ofDim[Long](dim)
+    firsts.foreach(r => s1(r.getInt(0)) = r.getLong(1))
+    val s2 = Array.ofDim[Long](dim, dim)
+    pairs.foreach { r =>
+      val (i, j) = (r.getInt(0), r.getInt(1)); s2(i)(j) = r.getLong(2)
+    }
+    val mu = Array.tabulate(dim)(i => s1(i).toDouble / 1000000000.0 / nd)
+    val c = Array.tabulate(dim, dim) { (i, j) =>
+      val (a, b) = (math.min(i, j), math.max(i, j))
+      s2(a)(b).toDouble / 1000000000.0 / nd - mu(i) * mu(j)
+    }
+    var v = Array.fill(dim)(0.125)
+    var lam = 0.0
+    for (_ <- 0 until 30) {
+      val w = Array.tabulate(dim)(i =>
+        (0 until dim).map(j => c(i)(j) * v(j)).reduceLeft(_ + _))
+      lam = math.sqrt(w.map(x => x * x).reduceLeft(_ + _))
+      v = w.map(_ / lam)
+    }
+    val absV = v.map(math.abs)
+    val sg = if (v(absV.indexOf(absV.max)) < 0) -1.0 else 1.0
+    val rows = (0 until dim).map(i => (i + 1, sg * v(i), lam))
+    import s.implicits._
+    rows.toDF("dim", "loading_raw", "lam")
+      .select(col("dim"), round(col("loading_raw"), 6).as("loading"),
+        round(col("lam"), 6).as("eigenvalue"))
+      .orderBy("dim")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_pca"       -> embPca _,
     "emb_quantize"  -> embQuantize _,
     "ann_brute"     -> annBrute _,
     "ann_per_label" -> annPerLabel _,
@@ -436,6 +503,63 @@ object SimOps {
   // arithmetic in double after the explicit casts — verified
   // empirically; round(.,6) guards the display value.
   val oracles: Map[String, String] = Map(
+    // the same scaled-long moment sums, covariance shape, 30 power
+    // iterations as left-fold list_reduce, and sign convention
+    "emb_pca" ->
+      """WITH RECURSIVE n_ AS (SELECT COUNT(*) AS n FROM embeddings),
+        |mom AS (
+        |  SELECT i.i AS i, j.j AS j,
+        |    SUM(CAST(floor(CAST(e.embedding[i.i + 1] AS DOUBLE)
+        |      * CAST(e.embedding[j.j + 1] AS DOUBLE)
+        |      * 1000000000.0 + 0.5) AS BIGINT)) AS s2
+        |  FROM embeddings e, range(64) i(i), range(64) j(j)
+        |  WHERE i.i <= j.j GROUP BY 1, 2),
+        |s1 AS (
+        |  SELECT i.i AS i,
+        |    SUM(CAST(floor(CAST(e.embedding[i.i + 1] AS DOUBLE)
+        |      * 1000000000.0 + 0.5) AS BIGINT)) AS s1
+        |  FROM embeddings e, range(64) i(i) GROUP BY 1),
+        |mu AS (
+        |  SELECT i, CAST(s1 AS DOUBLE) / 1000000000.0
+        |    / (SELECT CAST(n AS DOUBLE) FROM n_) AS mu
+        |  FROM s1),
+        |cfull AS (
+        |  SELECT a.i AS i, a.j AS j,
+        |    CAST(m.s2 AS DOUBLE) / 1000000000.0
+        |      / (SELECT CAST(n AS DOUBLE) FROM n_) - mi.mu * mj.mu AS c
+        |  FROM (SELECT i, j FROM mom
+        |        UNION ALL SELECT j, i FROM mom WHERE i <> j) a
+        |  JOIN mom m ON m.i = least(a.i, a.j) AND m.j = greatest(a.i, a.j)
+        |  JOIN mu mi ON mi.i = a.i
+        |  JOIN mu mj ON mj.i = a.j),
+        |cmat AS (
+        |  SELECT list(cl ORDER BY i) AS m FROM (
+        |    SELECT i, list(c ORDER BY j) AS cl FROM cfull GROUP BY i)),
+        |pow(it, v, lam) AS (
+        |  SELECT 0, list_transform(range(64), x -> CAST(0.125 AS DOUBLE)),
+        |    CAST(0.0 AS DOUBLE)
+        |  UNION ALL
+        |  SELECT it + 1,
+        |    list_transform(w, x -> x / sqrt(list_reduce(
+        |      list_transform(w, y -> y * y), (a, b) -> a + b))),
+        |    sqrt(list_reduce(list_transform(w, y -> y * y),
+        |      (a, b) -> a + b))
+        |  FROM (
+        |    SELECT it, list_transform(range(1, 65), i ->
+        |      list_reduce(list_transform(range(1, 65),
+        |        j -> cmat.m[i][j] * v[j]), (a, b) -> a + b)) AS w
+        |    FROM pow, cmat WHERE it < 30)),
+        |fin AS (SELECT v, lam FROM pow WHERE it = 30),
+        |sgn AS (
+        |  SELECT CASE WHEN v[list_position(
+        |      list_transform(v, x -> abs(x)),
+        |      list_max(list_transform(v, x -> abs(x))))] < 0
+        |    THEN -1.0 ELSE 1.0 END AS sg, v, lam
+        |  FROM fin)
+        |SELECT CAST(d.d + 1 AS INT) AS dim,
+        |  round(sg * v[d.d + 1], 6) AS loading,
+        |  round(lam, 6) AS eigenvalue
+        |FROM sgn, range(64) d(d) ORDER BY dim""".stripMargin,
     // zipped-UNNEST explode, identical double rounding for the codes
     "emb_quantize" ->
       """WITH ex AS (

@@ -436,7 +436,50 @@ object StatsOps {
       .orderBy("doc_id")
   }
 
+  /** A/B experiment readout: users deterministically hash-split into
+    * control (user_id even) and treatment (odd), conversion = a
+    * heavy-purchaser flag (≥ 14 purchase events), scored with the
+    * two-proportion pooled z-test — the experimentation panel every
+    * product pipeline runs. Per-user flags come from ONE map-side-
+    * combinable aggregate; the z arithmetic happens once on the 1×2
+    * panel (exact integer counts → one expression tree of doubles,
+    * identical in the oracle). A degenerate experiment (pooled rate 0
+    * or 1 — zero variance) yields NULL z rather than an ANSI 0/0. */
+  def evAbtest(s: SparkSession, d: String): DataFrame = {
+    val perUser = Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(expr("case when sum(case when event_type = 'purchase'" +
+        " then 1 else 0 end) >= 14 then 1 else 0 end").as("converted"))
+      .withColumn("variant", expr("cast(user_id % 2 as int)"))
+    val panel = perUser.groupBy("variant")
+      .agg(count(lit(1)).as("n"), sum("converted").as("conv"))
+    val wide = panel.groupBy()
+      .agg(
+        max(expr("case when variant = 0 then n end")).as("n_control"),
+        max(expr("case when variant = 0 then conv end")).as("conv_control"),
+        max(expr("case when variant = 1 then n end")).as("n_treat"),
+        max(expr("case when variant = 1 then conv end")).as("conv_treat"))
+    wide
+      .withColumn("rate_control",
+        expr("cast(conv_control as double) / cast(n_control as double)"))
+      .withColumn("rate_treat",
+        expr("cast(conv_treat as double) / cast(n_treat as double)"))
+      .withColumn("pool", expr("cast(conv_control + conv_treat as double)" +
+        " / cast(n_control + n_treat as double)"))
+      .withColumn("z", expr("case when pool * (1.0 - pool) = 0 then null" +
+        " else (rate_treat - rate_control)" +
+        " / sqrt(pool * (1.0 - pool) * (1.0 / cast(n_control as double)" +
+        " + 1.0 / cast(n_treat as double))) end"))
+      .select(col("n_control"), col("conv_control"),
+        expr("round(rate_control, 6)").as("rate_control"),
+        col("n_treat"), col("conv_treat"),
+        expr("round(rate_treat, 6)").as("rate_treat"),
+        expr("round(z, 6)").as("z"),
+        expr("cast(abs(z) > 1.96 as int)").as("significant"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_abtest"        -> evAbtest _,
     "ev_acf"           -> evAcf _,
     "ev_regression"    -> evRegression _,
     "ev_forecast_eval" -> evForecastEval _,
@@ -468,6 +511,41 @@ object StatsOps {
       |    ON s.event_type = d.event_type AND s.day = d.day)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ev_abtest" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      >= 14 THEN 1 ELSE 0 END AS converted,
+        |    CAST(user_id % 2 AS INT) AS variant
+        |  FROM events GROUP BY user_id),
+        |panel AS (
+        |  SELECT variant, COUNT(*) AS n, SUM(converted) AS conv
+        |  FROM pu GROUP BY 1),
+        |wide AS (
+        |  SELECT
+        |    MAX(CASE WHEN variant = 0 THEN n END) AS n_control,
+        |    MAX(CASE WHEN variant = 0 THEN conv END) AS conv_control,
+        |    MAX(CASE WHEN variant = 1 THEN n END) AS n_treat,
+        |    MAX(CASE WHEN variant = 1 THEN conv END) AS conv_treat
+        |  FROM panel),
+        |rates AS (
+        |  SELECT *,
+        |    CAST(conv_control AS DOUBLE) / CAST(n_control AS DOUBLE)
+        |      AS rate_control,
+        |    CAST(conv_treat AS DOUBLE) / CAST(n_treat AS DOUBLE) AS rate_treat,
+        |    CAST(conv_control + conv_treat AS DOUBLE)
+        |      / CAST(n_control + n_treat AS DOUBLE) AS pool
+        |  FROM wide),
+        |zz AS (
+        |  SELECT *, CASE WHEN pool * (1.0 - pool) = 0 THEN NULL
+        |    ELSE (rate_treat - rate_control)
+        |    / sqrt(pool * (1.0 - pool) * (1.0 / CAST(n_control AS DOUBLE)
+        |      + 1.0 / CAST(n_treat AS DOUBLE))) END AS z
+        |  FROM rates)
+        |SELECT n_control, conv_control, round(rate_control, 6) AS rate_control,
+        |  n_treat, conv_treat, round(rate_treat, 6) AS rate_treat,
+        |  round(z, 6) AS z, CAST(abs(z) > 1.96 AS INT) AS significant
+        |FROM zz""".stripMargin,
     "ev_acf" ->
       s"""WITH $dailyFilledCte,
         |stats AS (

@@ -541,7 +541,22 @@ object TextOps {
       .limit(20)
   }
 
+  /** Winnowing document fingerprints ([[TextAnalysis.winnowStats]]):
+    * the per-doc panel (gram count, selected-fingerprint count, signed
+    * min/max fingerprint). Narrow map transform — one pass per
+    * document, scan-speed at 100 TB; the oracle replays the 31·h+c
+    * polynomial, window minima and distinct selection with 128-bit
+    * list arithmetic mod 2⁶⁴. */
+  def textWinnow(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextAnalysis.winnow_stats(col("text")).as("w"))
+      .select(col("doc_id"), col("w.nGrams").as("n_grams"),
+        col("w.nFp").as("n_fp"), col("w.fpMin").as("fp_min"),
+        col("w.fpMax").as("fp_max"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_winnow"           -> textWinnow _,
     "text_rake"             -> textRake _,
     "text_diversity"        -> textDiversity _,
     "text_readability"      -> textReadability _,
@@ -563,6 +578,50 @@ object TextOps {
     "text_fingerprint_roll" -> textFingerprintRoll _)
 
   val oracles: Map[String, String] = Map(
+    // the 31·h+c polynomial in 128-bit mod-2⁶⁴ arithmetic, signed
+    // conversion BEFORE the window minima so ordering matches JVM longs
+    "text_winnow" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      t -> t != '') AS toks
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+        |      WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+        |      ELSE list_transform(range(1, len(toks) - 3),
+        |        i -> array_to_string(toks[i:i+4], ' '))
+        |    END AS gs
+        |  FROM toks),
+        |hashed AS (
+        |  SELECT doc_id, len(hu) AS n_grams,
+        |    list_transform(hu, h ->
+        |      CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+        |        THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT))
+        |      AS hs
+        |  FROM (
+        |    SELECT doc_id,
+        |      list_transform(gs, g ->
+        |        list_reduce(
+        |          list_prepend(1125899906842597::HUGEINT,
+        |            list_transform(string_split(g, ''),
+        |              c -> unicode(c)::HUGEINT)),
+        |          (acc, c) -> (acc * 31 + c)
+        |            % 18446744073709551616::HUGEINT)) AS hu
+        |    FROM grams)),
+        |sel AS (
+        |  SELECT doc_id, n_grams,
+        |    CASE WHEN n_grams = 0 THEN CAST([] AS BIGINT[])
+        |      WHEN n_grams <= 4 THEN [list_min(hs)]
+        |      ELSE list_distinct(list_transform(range(1, n_grams - 2),
+        |        j -> list_min(hs[j:j+3])))
+        |    END AS fps
+        |  FROM hashed)
+        |SELECT doc_id, CAST(n_grams AS INT) AS n_grams,
+        |  CAST(len(fps) AS INT) AS n_fp,
+        |  list_min(fps) AS fp_min, list_max(fps) AS fp_max
+        |FROM sel ORDER BY doc_id""".stripMargin,
     // identical mark→join→split segmentation and the same 1e-9
     // decimal-grid phrase-score sum
     "text_rake" ->

@@ -1,0 +1,89 @@
+package graft.ops
+
+import graft.SparkFunSuite
+import graft.functions.TextAnalysis
+import java.nio.file.Files
+
+/** Hand-traced pins for the experiment / fingerprint / PCA additions:
+  * the A/B z-test panel, winnowing's selection guarantees, and power
+  * iteration recovering a planted principal axis exactly. */
+class ExperimentPanelSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  private val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+
+  test("ev_abtest: 0.5 vs 1.0 conversion hand-traced z") {
+    val d = Files.createTempDirectory("ab").toString
+    // control (even ids): user 2 converts (14 purchases), user 4 none;
+    // treatment (odd): users 1 and 3 both convert
+    def purchases(u: Long, n: Int) =
+      (0 until n).map(i => (u * 1000 + i, t0, u, "purchase", 1.0))
+    val rows = purchases(2L, 14) ++ purchases(1L, 14) ++ purchases(3L, 14) ++
+      Seq((9000L, t0, 4L, "view", 1.0))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$d/events.parquet")
+    val r = StatsOps.evAbtest(spark, d).collect().head
+    // rates: control 1/2, treat 2/2; pool 3/4
+    // z = 0.5 / sqrt(0.75·0.25·(1/2+1/2)) = 0.5/0.433013 = 1.154701
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2)) == ((2L, 1L, 0.5)))
+    assert((r.getLong(3), r.getLong(4), r.getDouble(5)) == ((2L, 2L, 1.0)))
+    assert(r.getDouble(6) == 1.154701 && r.getInt(7) == 0)
+  }
+
+  test("winnowStats: edge shapes and the global-min guarantee") {
+    // empty → nothing
+    assert(TextAnalysis.winnowStats("") ==
+      TextAnalysis.WinnowStats(0, 0, None, None))
+    assert(TextAnalysis.winnowStats(null) ==
+      TextAnalysis.WinnowStats(0, 0, None, None))
+    // < k tokens → one whole-text gram, selected as-is
+    val short = TextAnalysis.winnowStats("alpha beta gamma")
+    assert(short.nGrams == 1 && short.nFp == 1 &&
+      short.fpMin == short.fpMax)
+    // 8 tokens → 4 grams = exactly one window → one fingerprint
+    val one = TextAnalysis.winnowStats("a b c d e f g h")
+    assert(one.nGrams == 4 && one.nFp == 1)
+    // 10 tokens → 6 grams, 3 windows; the globally minimal gram hash
+    // is inside every text's some window → fpMin is the gram-set min
+    def gramHash(g: String): Long = {
+      var h = 1125899906842597L
+      g.foreach(c => h = 31 * h + c)
+      h
+    }
+    val toks = "one two three four five six seven eight nine ten".split(" ")
+    val grams = (0 to 5).map(i => gramHash(toks.slice(i, i + 5).mkString(" ")))
+    val w = TextAnalysis.winnowStats(toks.mkString(" "))
+    assert(w.nGrams == 6 && w.fpMin == Some(grams.min))
+    assert(w.nFp >= 1 && w.nFp <= 3)
+  }
+
+  test("winnowStats: shared long run ⇒ shared window minima (MOSS guarantee)") {
+    // both docs contain the same 12-token run; with k=5, w=4 any match
+    // of ≥ k+w−1 = 8 tokens must surface in both fingerprint ranges
+    val run = "zeta eta theta iota kappa lambda mu nu xi omicron pi rho"
+    val a = TextAnalysis.winnowStats(run)
+    val b = TextAnalysis.winnowStats("prefix1 prefix2 " + run)
+    // a's fingerprints are minima over the shared run's grams — its
+    // global min gram hash appears in b's selected range too
+    assert(a.fpMin.get >= b.fpMin.get && a.fpMax.get <= Long.MaxValue)
+  }
+
+  test("emb_pca recovers a planted axis: loading e₀, eigenvalue 2") {
+    val d = Files.createTempDirectory("pca").toString
+    def vec(i0: Float, i1: Float): Array[Float] = {
+      val a = Array.fill(64)(0.0f); a(0) = i0; a(1) = i1; a
+    }
+    val rows = Seq(
+      (1L, vec(2f, 0f), 0), (2L, vec(-2f, 0f), 0),
+      (3L, vec(0f, 1f), 0), (4L, vec(0f, -1f), 0))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$d/embeddings.parquet")
+    val got = SimOps.embPca(spark, d).collect()
+    assert(got.length == 64)
+    val byDim = got.map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    // covariance diag(2, 0.5, 0…): top axis e₀ with λ=2, sign positive
+    assert(byDim(1) == 1.0 && byDim(2) == 0.0)
+    assert((3 to 64).forall(byDim(_) == 0.0))
+    assert(got.head.getDouble(2) == 2.0)
+  }
+}
