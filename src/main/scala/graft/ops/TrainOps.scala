@@ -420,6 +420,45 @@ object TrainOps {
       .orderBy("doc_id")
   }
 
+  /** Deterministic source-interleaved training order: every source's
+    * docs are md5-shuffle-ranked WITHIN source, then mapped to the
+    * global stream position (rank−1)·|sources| + source_ordinal — a
+    * perfect round-robin interleave, so a sequential trainer never
+    * sees a long single-source run even when one source is 90% of the
+    * corpus (positions of exhausted sources simply go unused in the
+    * tail — order stays strict and collision-free). The within-source
+    * rank is the TWO-LEVEL (source, md5-prefix-group) row_number of
+    * [[sampleStratified]] — no monolithic per-source window — and the
+    * source-ordinal table is |sources|-sized → broadcast. The catalog
+    * row keeps the head of the stream (first 96 positions). */
+  def packInterleave(s: SparkSession, d: String): DataFrame = {
+    val keyed = mixKeyed(
+      Tables.documents(s, d).select(col("doc_id"), col("source")))
+    val wIn = Window.partitionBy("source", "__gid")
+      .orderBy(col("__h"), col("doc_id"))
+    val wOff = Window.partitionBy("source").orderBy("__gid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = keyed.groupBy(col("source"), col("__gid"))
+      .agg(count(lit(1)).as("__g_n"))
+      .withColumn("__g_off", coalesce(sum("__g_n").over(wOff), lit(0L)))
+    val srcIdx = keyed.select("source").distinct()
+      .withColumn("__s_ord",
+        row_number().over(Window.orderBy("source")).cast("long"))
+      .withColumn("__n_src",
+        count(lit(1)).over(Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+    keyed
+      .withColumn("__rn", row_number().over(wIn))
+      .join(offs.select("source", "__gid", "__g_off"), Seq("source", "__gid"))
+      .withColumn("rk", col("__g_off") + col("__rn"))
+      .join(broadcast(srcIdx), Seq("source"))
+      .withColumn("pos",
+        (col("rk") - 1) * col("__n_src") + (col("__s_ord") - 1))
+      .filter(col("pos") < 96)
+      .select(col("pos"), col("doc_id"), col("source"), col("rk"))
+      .orderBy("pos")
+  }
+
   /** Cross-source leakage: verified near-dup pairs whose docs entered
     * the corpus through DIFFERENT sources — the duplication a mixing
     * decision most cares about (the same passage arriving via two
@@ -769,6 +808,7 @@ object TrainOps {
     "sample_weighted"    -> sampleWeighted _,
     "text_ppl_buckets"   -> textPplBuckets _,
     "pack_shards"        -> packShards _,
+    "pack_interleave"    -> packInterleave _,
     "dedup_cross_source" -> dedupCrossSource _)
 
   private val bpeTokens =
@@ -987,6 +1027,22 @@ object TrainOps {
         |       ELSE 'tail' END AS bucket
         |FROM scored s JOIN cuts USING (lang)
         |ORDER BY doc_id""".stripMargin,
+    "pack_interleave" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+        |  FROM documents),
+        |si AS (
+        |  SELECT source,
+        |    CAST(row_number() OVER (ORDER BY source) AS BIGINT) AS s_ord,
+        |    (SELECT COUNT(DISTINCT source) FROM documents) AS n_src
+        |  FROM (SELECT DISTINCT source FROM documents))
+        |SELECT (r.rk - 1) * si.n_src + (si.s_ord - 1) AS pos,
+        |  r.doc_id, r.source, r.rk
+        |FROM r JOIN si USING (source)
+        |WHERE (r.rk - 1) * si.n_src + (si.s_ord - 1) < 96
+        |ORDER BY pos""".stripMargin,
     "pack_shards" ->
       s"""WITH t AS (
         |  SELECT doc_id, $bpeTokens AS n_tokens FROM documents),

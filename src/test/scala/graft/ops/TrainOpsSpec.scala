@@ -372,6 +372,20 @@ class TrainOpsSpec extends SparkFunSuite {
     }
   }
 
+  test("pack_interleave: round-robin positions, sparse after exhaustion") {
+    import java.nio.file.Files
+    val d = Files.createTempDirectory("ileave").toString
+    (Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b")): Seq[(Long, String)])
+      .toDF("doc_id", "source").write.parquet(s"$d/documents.parquet")
+    val got = TrainOps.packInterleave(spark, d).collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getLong(3)))
+    // s_ord: a=1, b=2; a's ranks 1..3 land on even positions 0,2,4;
+    // b's single doc on position 1; position 3 goes unused (b exhausted)
+    assert(got.map(_._1).toSeq == Seq(0L, 1L, 2L, 4L))
+    assert(got.map(_._2).toSeq == Seq("a", "b", "a", "a"))
+    assert(got.collect { case (_, "a", rk) => rk }.toSeq == Seq(1L, 2L, 3L))
+  }
+
   private implicit class SortedSetOps(a: Array[Long]) {
     def toSortedSet: List[Long] = a.toList.sorted
   }
