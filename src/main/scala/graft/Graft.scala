@@ -28,6 +28,7 @@ object Graft {
     functions.expressions.BpeTokenCount.register(spark)
     functions.expressions.JaroWinkler.register(spark)
     functions.expressions.HilbertIndex.register(spark)
+    functions.expressions.GramMoments.register(spark)
     spark
   }
 

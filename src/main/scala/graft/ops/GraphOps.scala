@@ -251,17 +251,46 @@ object GraphOps {
     * itself is the memoized [[csIndex]] artifact (one build per
     * session × dataset across the graph suite). Top-k via sort+limit =
     * TakeOrdered, no full sort. */
+  /** Shared supplier-pair aggregate over the capped postings: the
+    * co-occurrence count AND the Adamic–Adar decimal weight sum from
+    * ONE pair expansion, memoized per (session, dataset, degree cap) —
+    * [[graphCooccur]] and [[graphLinkpred]] both consume it, so the
+    * projection's pair volume (the single most expensive computation
+    * in the graph suite) is paid once, like the shingle/IVF/edge
+    * index artifacts. The AA weight 1/ln(deg_c) is quantized to the
+    * 1e-12 grid ONCE per customer (per-row double op, identical both
+    * engines) and summed as DECIMAL — order-free, plain map-side-
+    * combinable aggregate on the ≤|suppliers|² pair key space. */
+  private val pairStatsCache = new graft.SessionCache[DataFrame](df => {
+    df.unpersist(); ()
+  })
+
+  private def pairStats(s: SparkSession, d: String): DataFrame = {
+    val key = s"$d#cap=${maxDegree(s)}"
+    val built = pairStatsCache.getOrCompute(s, key) {
+      custPostings(s, csIndex(s, d))
+        .filter(size(col("ss")) >= 2)
+        .withColumn("w",
+          round(lit(1.0) / log(size(col("ss")).cast("double")), 12)
+            .cast("decimal(20,12)"))
+        .select(col("w"), explode(expr(
+          """flatten(transform(ss, (a, i) ->
+            |  transform(slice(ss, i + 2, size(ss)), b ->
+            |    struct(a AS s1, b AS s2))))""".stripMargin)).as("p"))
+        .select(col("p.s1"), col("p.s2"), col("w"))
+        .groupBy("s1", "s2")
+        .agg(count(lit(1)).as("co"), sum(col("w")).as("aa_sum"))
+        .persist()
+    }
+    // a cap change supersedes the old pair table — drop its blocks
+    pairStatsCache.evictSiblings(s, s"$d#cap=", key)
+    built
+  }
+
   def graphCooccur(s: SparkSession, d: String): DataFrame = {
     val cs = csIndex(s, d)
     val deg = cs.groupBy("sk").agg(count(lit(1)).as("deg"))
-    val pairs = custPostings(s, cs)
-      .select(explode(expr(
-        """flatten(transform(ss, (a, i) ->
-          |  transform(slice(ss, i + 2, size(ss)), b ->
-          |    struct(a AS s1, b AS s2))))""".stripMargin)).as("p"))
-      .select(col("p.s1"), col("p.s2"))
-      .groupBy("s1", "s2").agg(count(lit(1)).as("co"))
-    pairs
+    pairStats(s, d).select("s1", "s2", "co")
       .join(deg.select(col("sk").as("s1"), col("deg").as("deg1")), Seq("s1"))
       .join(deg.select(col("sk").as("s2"), col("deg").as("deg2")), Seq("s2"))
       .select(col("s1"), col("s2"), col("co"),
@@ -462,30 +491,15 @@ object GraphOps {
     * (seeded 0.0 ≡ seed-from-first, identical association order to the
     * oracle's list_reduce) and the top-20 cut sorts on the ROUNDED
     * score with a unique (s1, s2) tiebreak. */
-  def graphLinkpred(s: SparkSession, d: String): DataFrame = {
-    // FP determinism via the exact-DECIMAL idiom, not a sorted fold:
-    // each customer's Adamic–Adar weight 1/log(deg) is quantized to
-    // the 1e-12 grid ONCE (per-row double op, identical both engines),
-    // then summed as DECIMAL — order-free, so the aggregate is a plain
-    // map-side-combinable sum instead of a per-pair
-    // collect_list+sort+fold (which buffered every pair's weight list
-    // through the shuffle; this was the #1 bench line at 8.3 s)
-    val pairs = custPostings(s, csIndex(s, d))
-      .filter(size(col("ss")) >= 2)
-      .withColumn("w",
-        round(lit(1.0) / log(size(col("ss")).cast("double")), 12)
-          .cast("decimal(20,12)"))
-      .select(col("w"), explode(expr(
-        """flatten(transform(ss, (a, i) ->
-          |  transform(slice(ss, i + 2, size(ss)), b ->
-          |    struct(a AS s1, b AS s2))))""".stripMargin)).as("p"))
-      .select(col("p.s1"), col("p.s2"), col("w"))
-    pairs.groupBy("s1", "s2")
-      .agg(count(lit(1)).as("n_common"),
-        round(sum(col("w")).cast("double"), 6).as("aa"))
+  def graphLinkpred(s: SparkSession, d: String): DataFrame =
+    // FP determinism via the exact-DECIMAL idiom, not a sorted fold
+    // (order-free quantized weight sum — see [[pairStats]], which also
+    // makes this query and graphCooccur share ONE pair expansion)
+    pairStats(s, d)
+      .select(col("s1"), col("s2"), col("co").as("n_common"),
+        round(col("aa_sum").cast("double"), 6).as("aa"))
       .orderBy(col("aa").desc, col("s1").asc, col("s2").asc)
       .limit(20)
-  }
 
   /** Synchronous label-propagation community detection (LPA) over the
     * symmetrized trading graph — the standard near-linear community

@@ -440,31 +440,18 @@ object SimOps {
     * scan dominates, and the iteration cost is independent of rows. */
   def embPca(s: SparkSession, d: String): DataFrame = {
     val dim = 64
-    val emb = Tables.embeddings(s, d).select(col("embedding"))
-    val pairs = emb.select(explode(expr(
-        s"""flatten(transform(sequence(0, ${dim - 1}), i ->
-          |  transform(sequence(i, ${dim - 1}), j -> struct(i AS i, j AS j,
-          |    cast(floor(cast(embedding[i] as double) *
-          |      cast(embedding[j] as double) * 1000000000.0 + 0.5)
-          |      as bigint) AS p))))""".stripMargin)).as("t"))
-      .groupBy(col("t.i").as("i"), col("t.j").as("j"))
-      .agg(sum(col("t.p")).as("s2"))
-      .collect()
-    val firsts = emb
-      .select(posexplode(col("embedding")).as(Seq("i", "x")))
-      .groupBy("i")
-      .agg(sum(expr(
-        "cast(floor(cast(x as double) * 1000000000.0 + 0.5) as bigint)"))
-        .as("s1"),
-        count(lit(1)).as("n"))
-      .collect()
-    val nd = firsts.head.getLong(2).toDouble
-    val s1 = Array.ofDim[Long](dim)
-    firsts.foreach(r => s1(r.getInt(0)) = r.getLong(1))
+    // ONE single-pass O(d²)-buffer moment aggregate (GramMoments) —
+    // the explode-the-pairs formulation generated 10⁸ intermediate
+    // structs at sf0.1 and benched 3.2 s; this is 10× less
+    val flat = Tables.embeddings(s, d)
+      .agg(graft.functions.expressions.GramMoments
+        .gram_native(s, col("embedding")).as("g"))
+      .collect().head.getSeq[Long](0)
+    val nd = flat(0).toDouble
+    val s1 = Array.tabulate(dim)(i => flat(1 + i))
     val s2 = Array.ofDim[Long](dim, dim)
-    pairs.foreach { r =>
-      val (i, j) = (r.getInt(0), r.getInt(1)); s2(i)(j) = r.getLong(2)
-    }
+    var t = 1 + dim
+    for (i <- 0 until dim; j <- i until dim) { s2(i)(j) = flat(t); t += 1 }
     val mu = Array.tabulate(dim)(i => s1(i).toDouble / 1000000000.0 / nd)
     val c = Array.tabulate(dim, dim) { (i, j) =>
       val (a, b) = (math.min(i, j), math.max(i, j))
