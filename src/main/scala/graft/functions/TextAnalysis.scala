@@ -162,7 +162,9 @@ object TextAnalysis {
     h
   }
 
-  def winnowStats(text: String): WinnowStats = {
+  /** (gram count, distinct selected fingerprints) — the shared core of
+    * [[winnowStats]] and the dedup candidate generator [[winnow_fps]]. */
+  def winnowSelect(text: String): (Int, Array[Long]) = {
     val toks =
       if (text == null) Array.empty[String]
       else text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
@@ -177,13 +179,23 @@ object TextAnalysis {
       else if (grams.length <= w) Array(grams.min)
       else Array.tabulate(grams.length - w + 1)(j =>
         grams.slice(j, j + w).min).distinct
-    WinnowStats(grams.length, sel.length,
+    (grams.length, sel)
+  }
+
+  def winnowStats(text: String): WinnowStats = {
+    val (nGrams, sel) = winnowSelect(text)
+    WinnowStats(nGrams, sel.length,
       if (sel.isEmpty) None else Some(sel.min),
       if (sel.isEmpty) None else Some(sel.max))
   }
 
   val winnowUdf = udf(winnowStats _)
   def winnow_stats(c: Column): Column = winnowUdf(c)
+
+  val winnowFpsUdf = udf((t: String) => winnowSelect(t)._2)
+  /** The distinct selected winnow fingerprints themselves — the
+    * per-document candidate keys for fingerprint-bucket dedup. */
+  def winnow_fps(c: Column): Column = winnowFpsUdf(c)
 
   // ------------------------------------------------------- normalization
 

@@ -448,6 +448,32 @@ object CoreRelational {
       .orderBy(col("event_id"))
   }
 
+  /** The full SQL ranking-function panel — rank / dense_rank /
+    * percent_rank / cume_dist over a TIED ordering (quantity repeats
+    * within an order, so gap-vs-dense and the tie-stable fraction
+    * semantics are actually exercised) plus ntile over a UNIQUE
+    * ordering (ntile is row_number-based, so a tied sort would be
+    * nondeterministic — the linenumber tiebreak pins it). Windows key
+    * on l_orderkey (high-cardinality, bounded groups — never a
+    * monolithic partition); the orderkey sample predicate pushes to
+    * the scan and keeps whole orders, so every window group is
+    * complete. */
+  def w04Ranks(s: SparkSession, d: String): DataFrame = {
+    val wTied = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_quantity").desc)
+    val wUniq = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_quantity").desc, col("l_linenumber").asc)
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey") % 97 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        rank().over(wTied).as("rnk"),
+        dense_rank().over(wTied).as("drnk"),
+        round(percent_rank().over(wTied), 6).as("prnk"),
+        round(cume_dist().over(wTied), 6).as("cdist"),
+        ntile(3).over(wUniq).as("tile"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
   /** Slowly-changing dimension, Type 2: the order-priority history of
     * each customer as validity intervals [valid_from, valid_to) with a
     * current flag — the warehouse-dimension shape behind every
@@ -990,6 +1016,7 @@ object CoreRelational {
     "a10_saltedagg"  -> a10SaltedAgg _,
     "u01_uniondist"  -> u01UnionDistinct _,
     "w03_lagdelta"   -> w03LagDelta _,
+    "w04_ranks"      -> w04Ranks _,
     "dim_scd2"       -> dimScd2 _,
     "dim_asof_lookup" -> dimAsofLookup _,
     "dq_expectations" -> dqExpectations _,
@@ -1414,6 +1441,18 @@ object CoreRelational {
         |FROM f ASOF LEFT JOIN dim
         |  ON f.o_custkey = dim.d_custkey AND f.od >= dim.valid_from
         |ORDER BY o_orderkey""".stripMargin,
+    "w04_ranks" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |  rank() OVER w AS rnk,
+        |  dense_rank() OVER w AS drnk,
+        |  round(percent_rank() OVER w, 6) AS prnk,
+        |  round(cume_dist() OVER w, 6) AS cdist,
+        |  CAST(ntile(3) OVER (PARTITION BY l_orderkey
+        |    ORDER BY l_quantity DESC, l_linenumber ASC) AS INT) AS tile
+        |FROM lineitem
+        |WHERE l_orderkey % 97 = 0
+        |WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_quantity DESC)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "dim_scd2" ->
       """WITH seq AS (
         |  SELECT o_custkey, o_orderdate, o_orderkey,

@@ -681,7 +681,32 @@ object DedupOps {
           col("name_a"), col("name_b")), 6).as("jw"))
       .orderBy(col("a_key"), col("b_key"))
 
+  /** Winnowing-fingerprint dedup candidates — the MOSS pipeline as a
+    * dedup operator, complementing MinHash: any pair sharing a
+    * CONTIGUOUS run of ≥ w+k−1 = 8 tokens is GUARANTEED to share a
+    * selected fingerprint ([[graft.functions.TextAnalysis.winnowSelect]]),
+    * so passage-level overlap surfaces even when global Jaccard is far
+    * below an LSH threshold — exactly the "same paragraph pasted into
+    * two different documents" case pretraining decontamination cares
+    * about. Pairs rank by shared-fingerprint count.
+    *
+    * 100 TB posture: the sketch is one narrow pass; only
+    * (fingerprint, doc_id) rides the shuffle; pair generation is the
+    * shared [[cappedBucketPairs]] hash-agg (ids-only, smallest-64 cap
+    * against degenerate repeated passages); scores are exact integer
+    * counts on a pair space bounded by bucket sizes. */
+  def dedupWinnow(s: SparkSession, d: String): DataFrame = {
+    val fps = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(TextAnalysis.winnow_fps(col("text"))).as("fp"))
+    cappedBucketPairs(fps, Seq("fp"), "doc_id", "doc_a", "doc_b")
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("n_shared").desc, col("doc_a").asc, col("doc_b").asc)
+      .limit(50)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_winnow"     -> dedupWinnow _,
     "dedup_fuzzy"      -> dedupFuzzy _,
     "dedup_jarowinkler" -> dedupJaroWinkler _,
     "dedup_bloom"      -> dedupBloom _,
@@ -699,6 +724,54 @@ object DedupOps {
     "dedup_embed_lsh"  -> dedupEmbedLsh _)
 
   val oracles: Map[String, String] = Map(
+    // the text_winnow fingerprint chain, then the exact fp-bucket pair
+    // expansion (buckets stay below the 64 cap at test scale, so the
+    // uncapped replay is the same set)
+    "dedup_winnow" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      t -> t != '') AS toks
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+        |      WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+        |      ELSE list_transform(range(1, len(toks) - 3),
+        |        i -> array_to_string(toks[i:i+4], ' '))
+        |    END AS gs
+        |  FROM toks),
+        |hashed AS (
+        |  SELECT doc_id, len(hu) AS n_grams,
+        |    list_transform(hu, h ->
+        |      CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+        |        THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT))
+        |      AS hs
+        |  FROM (
+        |    SELECT doc_id,
+        |      list_transform(gs, g ->
+        |        list_reduce(
+        |          list_prepend(1125899906842597::HUGEINT,
+        |            list_transform(string_split(g, ''),
+        |              c -> unicode(c)::HUGEINT)),
+        |          (acc, c) -> (acc * 31 + c)
+        |            % 18446744073709551616::HUGEINT)) AS hu
+        |    FROM grams)),
+        |sel AS (
+        |  SELECT doc_id,
+        |    CASE WHEN n_grams = 0 THEN CAST([] AS BIGINT[])
+        |      WHEN n_grams <= 4 THEN [list_min(hs)]
+        |      ELSE list_distinct(list_transform(range(1, n_grams - 2),
+        |        j -> list_min(hs[j:j+3])))
+        |    END AS fps
+        |  FROM hashed),
+        |fp AS (SELECT doc_id, UNNEST(fps) AS fp FROM sel),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+        |  FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, n_shared FROM pairs
+        |ORDER BY n_shared DESC, doc_a ASC, doc_b ASC LIMIT 50""".stripMargin,
     // ground truth is the full quadratic scan the engine's SymSpell
     // blocking avoids: candidate recall of the deletion neighborhood
     // is provably 1 at distance <= 1, so the sets must be identical

@@ -705,8 +705,27 @@ object GraphOps {
     * localCheckpoint lineage cuts; the max is a 1-row broadcast. Same
     * iterative posture as pagerank — rounds are fixed (3), state is
     * node-sized. */
+  /** Two pre-partitioned persisted copies of the directed projection
+    * for [[graphHits]]: hash-partitioned by `sk` (authority rounds
+    * aggregate on it) and by `c` (hub rounds) — so each half-round is
+    * a broadcast/colocated join + an EXCHANGE-FREE aggregate instead
+    * of re-shuffling the edge table every round (the edgeIndex
+    * `repartition(src)` rationale, applied to the bipartite two-key
+    * case). Built once per (session, dataset). */
+  private val hitsIndexCache =
+    new graft.SessionCache[(DataFrame, DataFrame)](v => {
+      v._1.unpersist(); v._2.unpersist(); ()
+    })
+
+  private def hitsIndex(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    hitsIndexCache.getOrCompute(s, d) {
+      val cs = csIndex(s, d)
+      (cs.repartition(col("sk")).persist(),
+        cs.repartition(col("c")).persist())
+    }
+
   def graphHits(s: SparkSession, d: String): DataFrame = {
-    val cs = csIndex(s, d)
+    val (csBySk, csByC) = hitsIndex(s, d)
     // FP determinism via the exact-DECIMAL idiom (the graph_linkpred
     // convention): max-normalized scores live in [0, 1], so the 1e-15
     // quantization grid keeps 15 significant digits on every score and
@@ -715,20 +734,23 @@ object GraphOps {
     // through the shuffle
     def qsum(c: String) = sum(round(col(c), 15).cast("decimal(25,15)"))
       .cast("double")
-    var hub = cs.select(col("c")).distinct().withColumn("hub", lit(1.0))
-    var auth: DataFrame = cs.sparkSession.emptyDataFrame
+    var hub = csByC.select(col("c")).distinct().withColumn("hub", lit(1.0))
+    var auth: DataFrame = csByC.sparkSession.emptyDataFrame
     for (_ <- 1 to 3) {
       // checkpoint the AGGREGATE, not the normalized projection: the
       // max subquery and the next round's join then both read the
       // materialized node-sized table instead of re-running the
-      // corpus-sized join+agg twice per round
-      val av = cs.join(hub, "c").groupBy(col("sk"))
+      // corpus-sized join+agg twice per round. Each half-round reads
+      // the copy pre-partitioned on ITS aggregation key, so the
+      // node-score join (AQE broadcast at test scale) leaves the edge
+      // partitioning intact and the groupBy inserts no Exchange.
+      val av = csBySk.join(hub, "c").groupBy(col("sk"))
         .agg(qsum("hub").as("v"))
         .localCheckpoint()
       val amax = av.agg(max(col("v")).as("m"))
       auth = av.join(broadcast(amax))
         .select(col("sk"), (col("v") / col("m")).as("auth"))
-      val hv = cs.join(auth, "sk").groupBy(col("c"))
+      val hv = csByC.join(auth, "sk").groupBy(col("c"))
         .agg(qsum("auth").as("v"))
         .localCheckpoint()
       val hmax = hv.agg(max(col("v")).as("m"))

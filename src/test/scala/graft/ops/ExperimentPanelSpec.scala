@@ -68,6 +68,37 @@ class ExperimentPanelSpec extends SparkFunSuite {
     assert(a.fpMin.get >= b.fpMin.get && a.fpMax.get <= Long.MaxValue)
   }
 
+  test("dedup_winnow: an 8-token shared run forces a candidate pair") {
+    val d = Files.createTempDirectory("dwin").toString
+    val run = "zeta eta theta iota kappa lambda mu nu" // k+w−1 = 8 tokens
+    val docs = Seq(
+      (1L, s"alpha beta gamma delta epsilon $run"),
+      (2L, s"$run omicron pi rho sigma tau upsilon"),
+      (3L, "completely different words about sparks and plans and joins"))
+    docs.toDF("doc_id", "text").write.parquet(s"$d/documents.parquet")
+    val got = DedupOps.dedupWinnow(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.exists(p => p._1 == 1L && p._2 == 2L && p._3 >= 1L))
+    assert(!got.exists(p => p._2 == 3L || p._1 == 3L))
+  }
+
+  test("w04_ranks: tie semantics — gaps in rank, none in dense_rank") {
+    val d = Files.createTempDirectory("w04").toString
+    // one sampled order (key 97) with quantities 5,5,3
+    (Seq((97L, 1, 5.0), (97L, 2, 5.0), (97L, 3, 3.0))
+      : Seq[(Long, Int, Double)])
+      .toDF("l_orderkey", "l_linenumber", "l_quantity")
+      .write.parquet(s"$d/lineitem.parquet")
+    val got = CoreRelational.w04Ranks(spark, d).collect()
+      .map(r => r.getInt(1) -> ((r.getInt(3), r.getInt(4),
+        r.getDouble(5), r.getDouble(6), r.getInt(7))))
+      .toMap
+    // ties at rank 1; the 3.0 row ranks 3 (gap) but dense-ranks 2
+    assert(got(1) == ((1, 1, 0.0, 0.666667, 1)))
+    assert(got(2) == ((1, 1, 0.0, 0.666667, 2)))
+    assert(got(3) == ((3, 2, 1.0, 1.0, 3)))
+  }
+
   test("emb_pca recovers a planted axis: loading e₀, eigenvalue 2") {
     val d = Files.createTempDirectory("pca").toString
     def vec(i0: Float, i1: Float): Array[Float] = {
