@@ -478,7 +478,49 @@ object StatsOps {
         expr("cast(abs(z) > 1.96 as int)").as("significant"))
   }
 
+  /** Forecasting feature matrix: per (event_type, day) the zero-filled
+    * count plus its lag-1, lag-7 and trailing-7-day mean — the feature
+    * engineering pass a downstream model trains on. Windows key on
+    * event_type over the calendar-bounded day spine (the [[evEwma]]
+    * series-size argument); the trailing mean divides exact integer
+    * window sums by the actual window row count, so series heads are
+    * well-defined without NULL-padding heuristics. */
+  def evLagFeatures(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("t")
+    val w7 = w.rowsBetween(-6, Window.currentRow)
+    dailyFilled(s, d)
+      .withColumn("lag1", lag(col("x"), 1).over(w))
+      .withColumn("lag7", lag(col("x"), 7).over(w))
+      .withColumn("s7", sum("x").over(w7))
+      .withColumn("c7", count(lit(1)).over(w7))
+      .select(col("event_type"), col("t").cast("int").as("t"), col("x"),
+        col("lag1"), col("lag7"),
+        expr("round(cast(s7 as double) / cast(c7 as double), 6)").as("ma7"))
+      .orderBy("event_type", "t")
+  }
+
+  /** Generated date dimension over the observed event span — the
+    * warehouse calendar table (year/quarter/month/ISO week/ISO dow/
+    * weekend flag) every BI join hangs off. One row per calendar day:
+    * the size is the OBSERVATION WINDOW, never the SF. */
+  def dimDates(s: SparkSession, d: String): DataFrame = {
+    val span = Tables.events(s, d)
+      .agg(min(date_trunc("day", col("ts")).cast("date")).as("d0"),
+        max(date_trunc("day", col("ts")).cast("date")).as("d1"))
+    span.select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        year(col("day")).as("year"),
+        quarter(col("day")).as("quarter"),
+        month(col("day")).as("month"),
+        weekofyear(col("day")).as("iso_week"),
+        (weekday(col("day")) + 1).as("isodow"),
+        expr("cast(weekday(day) >= 5 as int)").as("is_weekend"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_lag_features"  -> evLagFeatures _,
+    "dim_dates"        -> dimDates _,
     "ev_abtest"        -> evAbtest _,
     "ev_acf"           -> evAcf _,
     "ev_regression"    -> evRegression _,
@@ -511,6 +553,35 @@ object StatsOps {
       |    ON s.event_type = d.event_type AND s.day = d.day)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ev_lag_features" ->
+      s"""WITH $dailyFilledCte
+        |SELECT event_type, CAST(t AS INT) AS t, x,
+        |  lag(x, 1) OVER w AS lag1,
+        |  lag(x, 7) OVER w AS lag7,
+        |  round(CAST(SUM(x) OVER w7 AS DOUBLE)
+        |    / CAST(COUNT(*) OVER w7 AS DOUBLE), 6) AS ma7
+        |FROM f
+        |WINDOW w AS (PARTITION BY event_type ORDER BY t),
+        |  w7 AS (PARTITION BY event_type ORDER BY t
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, t""".stripMargin,
+    "dim_dates" ->
+      """WITH span AS (
+        |  SELECT MIN(CAST(date_trunc('day', ts) AS DATE)) AS d0,
+        |    MAX(CAST(date_trunc('day', ts) AS DATE)) AS d1
+        |  FROM events),
+        |days AS (
+        |  SELECT CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY))
+        |    AS DATE) AS day
+        |  FROM span)
+        |SELECT strftime(day, '%Y-%m-%d') AS day,
+        |  CAST(year(day) AS INT) AS year,
+        |  CAST(quarter(day) AS INT) AS quarter,
+        |  CAST(month(day) AS INT) AS month,
+        |  CAST(weekofyear(day) AS INT) AS iso_week,
+        |  CAST(isodow(day) AS INT) AS isodow,
+        |  CAST(isodow(day) >= 6 AS INT) AS is_weekend
+        |FROM days ORDER BY day""".stripMargin,
     "ev_abtest" ->
       """WITH pu AS (
         |  SELECT user_id,

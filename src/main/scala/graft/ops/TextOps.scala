@@ -555,7 +555,29 @@ object TextOps {
         col("w.fpMax").as("fp_max"))
       .orderBy(col("doc_id"))
 
+  /** Lexicon-based sentiment scoring — the AFINN-style broadcast-
+    * lexicon pattern (here a small embedded domain lexicon; a real one
+    * swaps the literal arrays for a broadcast table): polarity =
+    * (pos−neg)/(pos+neg) over lexicon token hits, neutral when no hit.
+    * Narrow in-row array ops — scan-speed, no shuffle, no UDF. */
+  def textSentiment(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), expr(
+        "filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')").as("ts"))
+      .withColumn("npos", expr(
+        "size(filter(ts, t -> t in ('fast', 'big', 'value', 'merge', 'spark')))"))
+      .withColumn("nneg", expr(
+        "size(filter(ts, t -> t in ('slow', 'small', 'dup', 'error')))"))
+      .select(col("doc_id"), col("npos"), col("nneg"),
+        expr("case when npos + nneg = 0 then 0.0" +
+          " else round(cast(npos - nneg as double)" +
+          " / cast(npos + nneg as double), 6) end").as("polarity"),
+        expr("case when npos > nneg then 'pos'" +
+          " when nneg > npos then 'neg' else 'neu' end").as("label"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_sentiment"        -> textSentiment _,
     "text_winnow"           -> textWinnow _,
     "text_rake"             -> textRake _,
     "text_diversity"        -> textDiversity _,
@@ -578,6 +600,26 @@ object TextOps {
     "text_fingerprint_roll" -> textFingerprintRoll _)
 
   val oracles: Map[String, String] = Map(
+    "text_sentiment" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      t -> t != '') AS ts
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    len(list_filter(ts, t -> t IN
+        |      ('fast', 'big', 'value', 'merge', 'spark'))) AS npos,
+        |    len(list_filter(ts, t -> t IN
+        |      ('slow', 'small', 'dup', 'error'))) AS nneg
+        |  FROM t)
+        |SELECT doc_id, CAST(npos AS INT) AS npos, CAST(nneg AS INT) AS nneg,
+        |  CASE WHEN npos + nneg = 0 THEN 0.0
+        |    ELSE round(CAST(npos - nneg AS DOUBLE)
+        |      / CAST(npos + nneg AS DOUBLE), 6) END AS polarity,
+        |  CASE WHEN npos > nneg THEN 'pos'
+        |    WHEN nneg > npos THEN 'neg' ELSE 'neu' END AS label
+        |FROM c ORDER BY doc_id""".stripMargin,
     // the 31·h+c polynomial in 128-bit mod-2⁶⁴ arithmetic, signed
     // conversion BEFORE the window minima so ordering matches JVM longs
     "text_winnow" ->

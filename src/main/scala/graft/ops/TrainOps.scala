@@ -307,6 +307,39 @@ object TrainOps {
       .orderBy("doc_id")
   }
 
+  /** Epoch/repeat-factor panel for the temperature mix: per source,
+    * how many PASSES over the source the α=0.5 budget implies
+    * (epochs > 1 ⇒ the source repeats in training; ≪ 1 ⇒ it is
+    * subsampled) — the "how many epochs of books?" card read next to
+    * [[mixTemperature]]'s document-level cut. Reuses the identical
+    * budget arithmetic (sorted-fold denominator, floor'd integer
+    * budgets) so the two views can never disagree; the panel is
+    * |sources|-sized, one aggregate + two broadcasts. */
+  def mixEpochs(s: SparkSession, d: String): DataFrame = {
+    val stats = Tables.documents(s, d)
+      .select(col("source"),
+        TextAnalysis.token_count_bpe(s, col("text")).cast("bigint")
+          .as("n_tokens"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("src_tokens"))
+      .withColumn("w", sqrt(col("src_tokens").cast("double")))
+    val denom = stats
+      .agg(array_sort(collect_list(struct(col("source"), col("w"))))
+          .as("ws"),
+        sum(col("src_tokens")).as("total_tokens"))
+      .select(
+        aggregate(expr("transform(ws, x -> x.w)"), lit(0.0),
+          (a, b) => a + b).as("denom"),
+        floor(col("total_tokens").cast("double") * 0.5).as("b_total"))
+    stats.crossJoin(broadcast(denom))
+      .select(col("source"), col("n_docs"), col("src_tokens"),
+        floor(col("b_total") * col("w") / col("denom")).cast("bigint")
+          .as("budget_tokens"))
+      .withColumn("epochs", expr(
+        "round(cast(budget_tokens as double) / cast(src_tokens as double), 6)"))
+      .orderBy("source")
+  }
+
   /** Quality-weighted deterministic sampling (the importance-sampling
     * knob of a data-mixing pipeline): each doc is kept with
     * probability equal to its quality score, decided by comparing the
@@ -603,6 +636,50 @@ object TrainOps {
   def textUnigramLm(s: SparkSession, d: String): DataFrame =
     lmScores(s, d).orderBy("doc_id")
 
+  /** Bigram-LM fluency score with add-one smoothing: per-doc mean
+    * −ln P(w₂|w₁), P = (c(w₁w₂)+1)/(c(w₁·)+V) — the conditional
+    * upgrade of [[textUnigramLm]] (a doc of common words in a WEIRD
+    * ORDER now scores badly, which the unigram model cannot see).
+    *
+    * Same fold-then-join scale shape as the unigram artifact: bigrams
+    * collapse to per-doc (w₁, w₂, n) rows BEFORE touching the
+    * corpus-wide tables (the Zipf-key join shrinks by the in-doc
+    * repetition factor); context totals derive from the bigram table
+    * (no second corpus scan); V is a 1-row broadcast. FP: each
+    * per-bigram −ln term is quantized to the 1e-9 grid ONCE and the
+    * per-doc accumulation is an exact DECIMAL·n sum — engine/partition
+    * order cannot flip a bit (unlike a raw double Σ). */
+  def textBigramLm(s: SparkSession, d: String): DataFrame = {
+    val ts = Tables.spread(Tables.documents(s, d))
+      .select(col("doc_id"), expr(
+        "filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')").as("ts"))
+    val bi = ts.filter(size(col("ts")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(ts) - 1),
+          |  i -> struct(ts[i - 1] AS w1, ts[i] AS w2))""".stripMargin))
+        .as("b"))
+      .groupBy(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("n"))
+    val big = bi.groupBy("w1", "w2").agg(sum("n").as("c12"))
+    val ctx = big.groupBy("w1").agg(sum("c12").as("c1dot"))
+    val vsz = ts.select(explode(col("ts")).as("tok")).distinct()
+      .agg(count(lit(1)).as("v"))
+    bi.join(big, Seq("w1", "w2")).join(ctx, Seq("w1"))
+      .crossJoin(broadcast(vsz))
+      // ⌊x·10⁹+0.5⌋ scaled-LONG quantization (the GramMoments recipe),
+      // NOT round(x, 9): engine round() re-rounds through a double and
+      // can land on adjacent grid points at a boundary; floor of the
+      // same IEEE product is bit-identical everywhere
+      .withColumn("q", expr(
+        "cast(floor(-ln(cast(c12 + 1 as double) / cast(c1dot + v as double))" +
+          " * 1000000000.0 + 0.5) as bigint) * n"))
+      .groupBy("doc_id")
+      .agg(sum("n").as("n_bigrams"),
+        expr("round(cast(sum(q) as double) / 1000000000.0" +
+          " / cast(sum(n) as double), 6)").as("avg_neg_logp2"))
+      .orderBy("doc_id")
+  }
+
   /** Per-source dataset card: doc/token counts, mean quality score,
     * median doc length — the report a mixing decision reads. One hash
     * aggregate over narrow derived columns (scan-speed at 100 TB; the
@@ -802,6 +879,8 @@ object TrainOps {
     "bpe_pairs"          -> bpePairs _,
     "corpus_keep"        -> corpusKeep _,
     "text_unigram_lm"    -> textUnigramLm _,
+    "text_bigram_lm"     -> textBigramLm _,
+    "mix_epochs"         -> mixEpochs _,
     "corpus_stats"       -> corpusStats _,
     "emb_outliers"       -> embOutliers _,
     "sample_importance"  -> sampleImportance _,
@@ -1278,6 +1357,57 @@ object TrainOps {
         |SELECT doc_id, source, n_tokens, cum_tokens, budget_tokens
         |FROM r JOIN b USING (source)
         |WHERE cum_tokens <= budget_tokens ORDER BY doc_id""".stripMargin,
+    "mix_epochs" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, source, $bpeTokens AS n_tokens FROM documents),
+        |s AS (SELECT source, COUNT(*) AS n_docs,
+        |        sum(n_tokens) AS src_tokens FROM t GROUP BY source),
+        |ws AS (SELECT source, n_docs, src_tokens,
+        |         sqrt(CAST(src_tokens AS DOUBLE)) AS w FROM s),
+        |d AS (
+        |  SELECT
+        |    list_reduce(list_transform(
+        |      list_sort(list(struct_pack(source := source, w := w))),
+        |      x -> x.w), (a, b) -> a + b) AS denom,
+        |    floor(CAST((SELECT sum(src_tokens) FROM s) AS DOUBLE) * 0.5)
+        |      AS b_total
+        |  FROM ws)
+        |SELECT ws.source, ws.n_docs, ws.src_tokens,
+        |  CAST(floor(d.b_total * ws.w / d.denom) AS BIGINT) AS budget_tokens,
+        |  round(CAST(CAST(floor(d.b_total * ws.w / d.denom) AS BIGINT)
+        |      AS DOUBLE) / CAST(ws.src_tokens AS DOUBLE), 6) AS epochs
+        |FROM ws, d ORDER BY ws.source""".stripMargin,
+    // the folded per-doc bigram counts, add-one-smoothed conditionals,
+    // 1e-9-quantized DECIMAL·n accumulation — identical to the engine
+    "text_bigram_lm" ->
+      """WITH ts AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'), t -> t != '')
+        |    AS ts
+        |  FROM documents),
+        |bi AS (
+        |  SELECT doc_id, b.w1 AS w1, b.w2 AS w2, COUNT(*) AS n
+        |  FROM (
+        |    SELECT doc_id, UNNEST(list_transform(range(1, len(ts)),
+        |      i -> struct_pack(w1 := ts[i], w2 := ts[i + 1]))) AS b
+        |    FROM ts WHERE len(ts) >= 2)
+        |  GROUP BY 1, 2, 3),
+        |big AS (SELECT w1, w2, CAST(SUM(n) AS BIGINT) AS c12
+        |        FROM bi GROUP BY 1, 2),
+        |ctx AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1dot
+        |        FROM big GROUP BY 1),
+        |v AS (SELECT COUNT(DISTINCT tok) AS v FROM
+        |        (SELECT UNNEST(ts) AS tok FROM ts))
+        |SELECT bi.doc_id, CAST(SUM(bi.n) AS BIGINT) AS n_bigrams,
+        |  round(CAST(SUM(CAST(floor(-ln(CAST(big.c12 + 1 AS DOUBLE)
+        |      / CAST(ctx.c1dot + v.v AS DOUBLE)) * 1000000000.0 + 0.5)
+        |      AS BIGINT) * bi.n) AS DOUBLE) / 1000000000.0
+        |    / CAST(SUM(bi.n) AS DOUBLE), 6) AS avg_neg_logp2
+        |FROM bi
+        |JOIN big ON bi.w1 = big.w1 AND bi.w2 = big.w2
+        |JOIN ctx ON bi.w1 = ctx.w1
+        |CROSS JOIN v
+        |GROUP BY bi.doc_id ORDER BY bi.doc_id""".stripMargin,
     // folded form mirrors the Spark plan: per-doc (tok, n) counts,
     // vocab freq = sum(n), weighted mean sum(nlp·n)/sum(n)
     "text_unigram_lm" ->
