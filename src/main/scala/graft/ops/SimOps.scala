@@ -475,7 +475,26 @@ object SimOps {
       .orderBy("dim")
   }
 
+  /** ANN index-quality evaluation: recall@20 of the IVF probe against
+    * the brute-force ground truth — the accuracy report every ANN
+    * deployment publishes next to its latency. Both sides are the
+    * catalog's own operators (IVF reads its memoized index), the
+    * compare is a 20-row broadcast join; the whole panel costs one
+    * extra tiny join beyond the two searches. */
+  def annRecall(s: SparkSession, d: String): DataFrame = {
+    val b = annBrute(s, d).select(col("vec_id"))
+    val i = annIvf(s, d).select(col("vec_id").as("ivf_id"))
+    b.join(broadcast(i), b("vec_id") === i("ivf_id"), "left")
+      .agg(count(lit(1)).as("k_brute"),
+        sum(expr("case when ivf_id is not null then 1 else 0 end"))
+          .as("n_hits"))
+      .select(col("k_brute"), col("n_hits"),
+        expr("round(cast(n_hits as double) / cast(k_brute as double), 6)")
+          .as("recall_at_20"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_recall"    -> annRecall _,
     "emb_pca"       -> embPca _,
     "emb_quantize"  -> embQuantize _,
     "ann_brute"     -> annBrute _,
@@ -489,7 +508,7 @@ object SimOps {
   // list-reduce matches a sequential loop, and both engines do the
   // arithmetic in double after the explicit casts — verified
   // empirically; round(.,6) guards the display value.
-  val oracles: Map[String, String] = Map(
+  private lazy val oraclesHead: Map[String, String] = Map(
     // the same scaled-long moment sums, covariance shape, 30 power
     // iterations as left-fold list_reduce, and sign convention
     "emb_pca" ->
@@ -658,24 +677,37 @@ object SimOps {
         |FROM enc e JOIN lut l USING (m, code_id)
         |GROUP BY e.vec_id
         |ORDER BY adc DESC, e.vec_id ASC LIMIT 20""".stripMargin,
-    "ann_brute" ->
-      """WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
-        |sims AS (
-        |  SELECT e.vec_id,
-        |    round(list_sum(list_transform(range(1, len(e.embedding) + 1),
-        |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE)))
-        |      / (sqrt(list_sum(list_transform(e.embedding,
-        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-        |       * sqrt(list_sum(list_transform(q.q_emb,
-        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos
-        |  FROM embeddings e, q WHERE e.vec_id != 0)
-        |SELECT vec_id, cos FROM sims
-        |ORDER BY cos DESC, vec_id ASC LIMIT 20""".stripMargin,
+    "ann_recall" ->
+      s"""WITH b AS ($annBruteSql),
+        |i AS ($annIvfSql)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS k_brute,
+        |  CAST(SUM(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_hits,
+        |  round(CAST(SUM(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS recall_at_20
+        |FROM b LEFT JOIN i ON b.vec_id = i.vec_id""".stripMargin,
+    "ann_brute" -> annBruteSql,
     // Exact replay of the IVF pipeline: sampled centroids (lowest
     // md5(vec_id)), nearest-centroid assignment (ties to the lower
     // centroid id), probe the 6 closest cells, exact cosine within.
-    "ann_ivf" ->
-      """WITH seeds AS (
+    "ann_ivf" -> annIvfSql)
+
+  private lazy val annBruteSql: String =
+    """WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+      |sims AS (
+      |  SELECT e.vec_id,
+      |    round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+      |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE)))
+      |      / (sqrt(list_sum(list_transform(e.embedding,
+      |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |       * sqrt(list_sum(list_transform(q.q_emb,
+      |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos
+      |  FROM embeddings e, q WHERE e.vec_id != 0)
+      |SELECT vec_id, cos FROM sims
+      |ORDER BY cos DESC, vec_id ASC LIMIT 20""".stripMargin
+
+  private lazy val annIvfSql: String =
+    """WITH seeds AS (
         |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
         |      AS centroid_id,
         |    embedding AS centroid
@@ -715,7 +747,9 @@ object SimOps {
         |  FROM assign a JOIN probed p USING (centroid_id), q
         |  WHERE a.vec_id != 0)
         |SELECT vec_id, cos FROM sims
-        |ORDER BY cos DESC, vec_id ASC LIMIT 20""".stripMargin,
+        |ORDER BY cos DESC, vec_id ASC LIMIT 20""".stripMargin
+
+  private lazy val oraclesTail: Map[String, String] = Map(
     // Full replay of the TRAINED index: seed sample → initial assign →
     // per-dim avg rounded to 1e-6 then floated (the grid both engines
     // agree on) → reassign → probe 6 → exact cosine. Zipped UNNESTs
@@ -801,4 +835,6 @@ object SimOps {
         |    (PARTITION BY label ORDER BY cos DESC, vec_id ASC) AS rk
         |  FROM sims)
         |WHERE rk <= 3 ORDER BY label, rk""".stripMargin)
+
+  val oracles: Map[String, String] = oraclesHead ++ oraclesTail
 }

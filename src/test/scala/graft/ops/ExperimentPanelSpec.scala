@@ -99,6 +99,23 @@ class ExperimentPanelSpec extends SparkFunSuite {
     assert(got(3) == ((3, 2, 1.0, 1.0, 3)))
   }
 
+  test("ann_recall: probing every IVF cell makes recall@20 exactly 1") {
+    // an exhaustive probe degenerates IVF to brute force — the recall
+    // panel must report a perfect score (and its k bookkeeping holds)
+    val prev = spark.conf.getOption("spark.graft.ann.nprobe")
+    spark.conf.set("spark.graft.ann.nprobe", "16") // = default nlist
+    try {
+      val r = SimOps.annRecall(spark, graft.SparkTestBase.sfDir).collect().head
+      assert(r.getLong(0) == 20L && r.getLong(1) == 20L &&
+        r.getDouble(2) == 1.0)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.graft.ann.nprobe", v)
+        case None    => spark.conf.unset("spark.graft.ann.nprobe")
+      }
+    }
+  }
+
   test("emb_pca recovers a planted axis: loading e₀, eigenvalue 2") {
     val d = Files.createTempDirectory("pca").toString
     def vec(i0: Float, i1: Float): Array[Float] = {

@@ -105,7 +105,11 @@ class PlanAuditSpec extends SparkFunSuite {
       "mix_temperature"   -> TrainOps.mixTemperature(spark, sfDir),
       "sample_stratified" -> TrainOps.sampleStratified(spark, sfDir),
       "pack_shards"       -> TrainOps.packShards(spark, sfDir),
-      "pack_chunks"       -> TrainOps.packChunks(spark, sfDir)
+      "pack_chunks"       -> TrainOps.packChunks(spark, sfDir),
+      "pack_interleave"   -> TrainOps.packInterleave(spark, sfDir),
+      "sample_balanced"   -> StatsOps.sampleBalanced(spark, sfDir),
+      "o12_pareto"        -> StatsOps.paretoAbc(spark, sfDir),
+      "o13_rankfusion"    -> StatsOps.rankFusion(spark, sfDir)
     ).foreach { case (name, q) =>
       val windows = q.queryExecution.optimizedPlan.collect {
         case w: LogicalWindow => w
