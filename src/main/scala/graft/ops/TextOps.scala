@@ -576,7 +576,58 @@ object TextOps {
           " when nneg > npos then 'neg' else 'neu' end").as("label"))
       .orderBy(col("doc_id"))
 
+  /** TextRank keyword extraction (Mihalcea & Tarau): PageRank over the
+    * corpus word co-occurrence graph (adjacent-token edges, weights =
+    * corpus co-counts, symmetrized), damping 0.85, 5 fixed rounds, top
+    * 20 words — the graph-centrality upgrade of RAKE/TF-IDF keyword
+    * ranking ([[textRake]], [[textTopTerms]]).
+    *
+    * Scale/FP: the graph is VOCABULARY-sized (edges ≤ distinct
+    * adjacent pairs — Heaps-law bounded, not corpus-bounded), so each
+    * round is one keyed join + one hash agg on vocab keys; per-edge
+    * contributions r(u)·w/wdeg(u) quantize to 1e-12 scaled LONGS
+    * before the sum (order-proof, the exact-decimal idiom), and the
+    * vocab count is a bounded driver scalar like pagerank's node
+    * count. */
+  def textTextrank(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.spread(Tables.documents(s, d))
+      .select(expr(
+        "filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')").as("ts"))
+      .filter(size(col("ts")) >= 2)
+    val pairs = toks.select(explode(expr(
+        """transform(sequence(1, size(ts) - 1),
+          |  i -> struct(least(ts[i - 1], ts[i]) AS a,
+          |    greatest(ts[i - 1], ts[i]) AS b))""".stripMargin)).as("p"))
+      .filter(col("p.a") =!= col("p.b"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("w"))
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"), col("w"))
+      .unionAll(pairs.select(col("b").as("src"), col("a").as("dst"), col("w")))
+    val wdeg = edges.groupBy("src").agg(sum("w").as("wdeg"))
+    val ew = edges.join(wdeg, "src").localCheckpoint()
+    val v = wdeg.count() // bounded driver scalar (vocab size)
+    val base = 0.15 / v
+    var ranks = wdeg.select(col("src").as("word"))
+      .withColumn("r", lit(1.0 / v))
+    for (_ <- 1 to 5) {
+      ranks = ew.join(ranks, ew("src") === ranks("word"))
+        .select(col("dst"), expr(
+          "cast(floor(r * w / wdeg * 1000000000000.0 + 0.5) as bigint)")
+          .as("qc"))
+        .groupBy("dst").agg(sum("qc").as("sq"))
+        .select(col("dst").as("word"),
+          (lit(base) + lit(0.85) *
+            (col("sq").cast("double") / lit(1000000000000.0))).as("r"))
+        .localCheckpoint()
+    }
+    ranks.join(wdeg, ranks("word") === wdeg("src"))
+      .select(col("word"), col("wdeg"), round(col("r"), 6).as("rank"))
+      .orderBy(col("rank").desc, col("word").asc)
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_textrank"         -> textTextrank _,
     "text_sentiment"        -> textSentiment _,
     "text_winnow"           -> textWinnow _,
     "text_rake"             -> textRake _,
@@ -600,6 +651,46 @@ object TextOps {
     "text_fingerprint_roll" -> textFingerprintRoll _)
 
   val oracles: Map[String, String] = Map(
+    // 5 unrolled PageRank layers over the vocab graph; contributions
+    // quantize to 1e-12 scaled longs exactly like the engine
+    "text_textrank" -> {
+      val iter = (prev: String, cur: String) =>
+        s"""$cur AS (
+           |  SELECT e.dst AS word,
+           |    0.15 / (SELECT vv FROM v) + 0.85 *
+           |      (CAST(SUM(CAST(floor(p.r * e.w / e.wdeg
+           |          * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+           |        / 1000000000000.0) AS r
+           |  FROM ew e JOIN $prev p ON e.src = p.word GROUP BY e.dst)"""
+          .stripMargin
+      s"""WITH ts AS (
+         |  SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         |    t -> t != '') AS ts
+         |  FROM documents),
+         |bi AS (
+         |  SELECT p.a AS a, p.b AS b, COUNT(*) AS w FROM (
+         |    SELECT UNNEST(list_transform(range(1, len(ts)),
+         |      i -> struct_pack(a := least(ts[i], ts[i + 1]),
+         |                       b := greatest(ts[i], ts[i + 1])))) AS p
+         |    FROM ts WHERE len(ts) >= 2)
+         |  WHERE p.a <> p.b GROUP BY 1, 2),
+         |edges AS (SELECT a AS src, b AS dst, w FROM bi
+         |          UNION ALL SELECT b AS src, a AS dst, w FROM bi),
+         |wd AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wdeg
+         |       FROM edges GROUP BY 1),
+         |ew AS (SELECT e.src, e.dst, e.w, d.wdeg
+         |       FROM edges e JOIN wd d USING (src)),
+         |v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS vv FROM wd),
+         |tr0 AS (SELECT src AS word, 1.0 / (SELECT vv FROM v) AS r FROM wd),
+         |${iter("tr0", "tr1")},
+         |${iter("tr1", "tr2")},
+         |${iter("tr2", "tr3")},
+         |${iter("tr3", "tr4")},
+         |${iter("tr4", "tr5")}
+         |SELECT t.word, d.wdeg, round(t.r, 6) AS rank
+         |FROM tr5 t JOIN wd d ON t.word = d.src
+         |ORDER BY rank DESC, t.word ASC LIMIT 20""".stripMargin
+    },
     "text_sentiment" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -99,6 +99,24 @@ class ExperimentPanelSpec extends SparkFunSuite {
     assert(got(3) == ((3, 2, 1.0, 1.0, 3)))
   }
 
+  test("text_textrank: symmetric pair sits at the 1/2 fixed point; hub dominates a star") {
+    val d = Files.createTempDirectory("trank").toString
+    Seq((1L, "alpha beta")).toDF("doc_id", "text")
+      .write.parquet(s"$d/documents.parquet")
+    val sym = TextOps.textTextrank(spark, d).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // 2-node symmetric graph: r = 0.15/2 + 0.85·r ⇒ r = 0.5 exactly
+    assert(sym == Map("alpha" -> 0.5, "beta" -> 0.5))
+
+    val d2 = Files.createTempDirectory("trank2").toString
+    Seq((1L, "hub alpha"), (2L, "hub beta"), (3L, "hub gamma"))
+      .toDF("doc_id", "text").write.parquet(s"$d2/documents.parquet")
+    val star = TextOps.textTextrank(spark, d2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(star.head._1 == "hub" && star.head._2 == 3L)
+    assert(star.tail.forall(t => t._3 < star.head._3 && t._2 == 1L))
+  }
+
   test("ann_recall: probing every IVF cell makes recall@20 exactly 1") {
     // an exhaustive probe degenerates IVF to brute force — the recall
     // panel must report a perfect score (and its k bookkeeping holds)
