@@ -225,6 +225,51 @@ object GraphOps {
     reached.orderBy(col("node"))
   }
 
+  /** Bounded closeness centrality for a seed panel: multi-source BFS
+    * (5 customer seeds in ONE keyed frontier — (seed, node) state, not
+    * one walk per seed) to 4 hops, closeness = (reached−1)/Σdist over
+    * the ball. The hop bound is what makes closeness computable at
+    * scale (exact closeness needs all-pairs distances); with a
+    * symmetric bipartite graph diameter is small anyway, so the
+    * 4-ball is near-global — the panel states exactly what it measured.
+    *
+    * 100 TB posture: identical iterative shape to [[graphPaths]] —
+    * frontier ⋈ edges per hop (keyed on src), anti-join visited,
+    * localCheckpoint lineage cuts — with all seeds riding one frontier
+    * (5× fewer rounds than per-seed walks); state is (seed, node)
+    * pairs, bounded by seeds × nodes. Distances and counts are exact
+    * integers; closeness is one final division. */
+  def graphCloseness(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hops = 4
+    val (edgesDeg, _, _) = edgeIndex(s, d)
+    val edges = edgesDeg.select(col("src"), col("dst"))
+    var reached = Seq("c1", "c2", "c3", "c4", "c5").toDF("seed")
+      .select(col("seed"), col("seed").as("node"), lit(0).as("dist"))
+    var frontier = reached
+    for (k <- 1 to hops) {
+      frontier = edges
+        .join(frontier.select(col("seed"), col("node")),
+          edges("src") === col("node"))
+        .select(col("seed"), col("dst").as("node")).distinct()
+        .join(reached.select(col("seed").as("s2"), col("node").as("seen")),
+          col("seed") === col("s2") && col("node") === col("seen"),
+          "left_anti")
+        .select(col("seed"), col("node"), lit(k).as("dist"))
+        .localCheckpoint()
+      reached = reached.union(frontier)
+    }
+    reached.groupBy("seed")
+      .agg((count(lit(1)) - 1).as("n_reached"),
+        sum("dist").as("sum_dist"))
+      .select(col("seed"), col("n_reached"), col("sum_dist"),
+        // an isolated seed reaches nothing: closeness NULL, not 0/0
+        expr("round(case when sum_dist = 0 then null" +
+          " else cast(n_reached as double)" +
+          " / cast(sum_dist as double) end, 6)").as("closeness"))
+      .orderBy("seed")
+  }
+
   /** Bipartite co-occurrence projection: supplier–supplier similarity
     * through shared customers (the "entities that appear together"
     * query — the reference's graph exists to answer exactly this shape:
@@ -804,7 +849,8 @@ object GraphOps {
     "graph_pagerank" -> graphPagerank _,
     "graph_degree"   -> graphDegree _,
     "graph_cooccur"  -> graphCooccur _,
-    "graph_paths"    -> graphPaths _)
+    "graph_paths"    -> graphPaths _,
+    "graph_closeness" -> graphCloseness _)
 
   val oracles: Map[String, String] = Map(
     "graph_summary" ->
@@ -1109,6 +1155,31 @@ object GraphOps {
         |         JOIN deg d2 ON co.s2 = d2.sk
         |ORDER BY jaccard DESC, s1, s2 LIMIT 20""".stripMargin,
     // DuckDB's recursive CTE IS the reference restated: UNION-dedup'd
+    // the multi-seed walk: UNION-dedup'd (seed, node) frontier to 4
+    // hops, MIN(dist) per pair, then the closeness panel
+    "graph_closeness" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT DISTINCT 'c' || o.o_custkey AS src,
+        |                  's' || l.l_suppkey AS dst
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |edges AS (SELECT src, dst FROM pairs
+        |          UNION ALL SELECT dst, src FROM pairs),
+        |walk(seed, node, dist) AS (
+        |  SELECT s.seed, s.seed, 0
+        |  FROM (SELECT UNNEST(['c1', 'c2', 'c3', 'c4', 'c5']) AS seed) s
+        |  UNION
+        |  SELECT w.seed, e.dst, w.dist + 1
+        |  FROM edges e JOIN walk w ON e.src = w.node
+        |  WHERE w.dist < 4),
+        |md AS (
+        |  SELECT seed, node, MIN(dist) AS dist
+        |  FROM walk GROUP BY 1, 2)
+        |SELECT seed, CAST(COUNT(*) - 1 AS BIGINT) AS n_reached,
+        |  CAST(SUM(dist) AS BIGINT) AS sum_dist,
+        |  round(CASE WHEN SUM(dist) = 0 THEN NULL
+        |    ELSE CAST(COUNT(*) - 1 AS DOUBLE) / CAST(SUM(dist) AS DOUBLE)
+        |    END, 6) AS closeness
+        |FROM md GROUP BY seed ORDER BY seed""".stripMargin,
     // frontier expansion bounded at 3 hops, MIN(dist) = BFS level
     "graph_paths" ->
       """WITH RECURSIVE pairs AS (

@@ -518,7 +518,41 @@ object StatsOps {
       .orderBy("day")
   }
 
+  /** Classical seasonal decomposition (the moving-average STL
+    * precursor): per event type, trend = centered 7-day mean of the
+    * zero-filled daily series (true window row count at the edges),
+    * seasonal = the per-phase (t mod 7) mean of the detrended series, residual
+    * = what's left. Trend divides exact integer window sums; the
+    * detrended values are doubles, so their per-dow accumulation
+    * quantizes to 1e-9 scaled longs first (order-proof); every window
+    * is keyed by event type over the calendar-bounded spine. */
+  def evSeasonalDecompose(s: SparkSession, d: String): DataFrame = {
+    val w7 = Window.partitionBy("event_type").orderBy("t")
+      .rowsBetween(-3, 3)
+    val trended = dailyFilled(s, d)
+      .withColumn("ts7", sum("x").over(w7))
+      .withColumn("tc7", count(lit(1)).over(w7))
+      .withColumn("trend", expr("cast(ts7 as double) / cast(tc7 as double)"))
+      .withColumn("phase7", expr("cast(t % 7 as int)"))
+      .withColumn("qd", expr(
+        "cast(floor((cast(x as double) - trend) * 1000000000.0 + 0.5)" +
+          " as bigint)"))
+    val seasonal = trended.groupBy("event_type", "phase7")
+      .agg(sum("qd").as("sq"), count(lit(1)).as("sc"))
+      .withColumn("seasonal", expr(
+        "cast(sq as double) / 1000000000.0 / cast(sc as double)"))
+      .select("event_type", "phase7", "seasonal")
+    trended.join(broadcast(seasonal), Seq("event_type", "phase7"))
+      .select(col("event_type"), col("t").cast("int").as("t"), col("x"),
+        expr("round(trend, 6)").as("trend"),
+        expr("round(seasonal, 6)").as("seasonal"),
+        expr("round(cast(x as double) - trend - seasonal, 6)")
+          .as("residual"))
+      .orderBy("event_type", "t")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_decompose"     -> evSeasonalDecompose _,
     "ev_lag_features"  -> evLagFeatures _,
     "dim_dates"        -> dimDates _,
     "ev_abtest"        -> evAbtest _,
@@ -553,6 +587,32 @@ object StatsOps {
       |    ON s.event_type = d.event_type AND s.day = d.day)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ev_decompose" ->
+      s"""WITH $dailyFilledCte,
+        |tr AS (
+        |  SELECT event_type, t, x,
+        |    CAST(SUM(x) OVER w7 AS DOUBLE)
+        |      / CAST(COUNT(*) OVER w7 AS DOUBLE) AS trend,
+        |    CAST(t % 7 AS INT) AS phase7
+        |  FROM f
+        |  WINDOW w7 AS (PARTITION BY event_type ORDER BY t
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |qd AS (
+        |  SELECT *, CAST(floor((CAST(x AS DOUBLE) - trend)
+        |    * 1000000000.0 + 0.5) AS BIGINT) AS q
+        |  FROM tr),
+        |se AS (
+        |  SELECT event_type, phase7,
+        |    CAST(SUM(q) AS DOUBLE) / 1000000000.0
+        |      / CAST(COUNT(*) AS DOUBLE) AS seasonal
+        |  FROM qd GROUP BY 1, 2)
+        |SELECT q.event_type, CAST(q.t AS INT) AS t, q.x,
+        |  round(q.trend, 6) AS trend,
+        |  round(s.seasonal, 6) AS seasonal,
+        |  round(CAST(q.x AS DOUBLE) - q.trend - s.seasonal, 6) AS residual
+        |FROM qd q JOIN se s
+        |  ON q.event_type = s.event_type AND q.phase7 = s.phase7
+        |ORDER BY q.event_type, t""".stripMargin,
     "ev_lag_features" ->
       s"""WITH $dailyFilledCte
         |SELECT event_type, CAST(t AS INT) AS t, x,

@@ -74,6 +74,36 @@ class FeaturePanelSpec extends SparkFunSuite {
     assert(got("b") == ((1L, 4L, 3L, 0.75))) // small source upweighted
   }
 
+  test("ev_decompose: a constant series decomposes to pure trend") {
+    val d = Files.createTempDirectory("decomp").toString
+    val rows = for (dd <- 0 until 10; i <- 0 until 3)
+      yield (dd * 10L + i, day(dd, i), 1L, "flat", 1.0)
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$d/events.parquet")
+    val got = StatsOps.evSeasonalDecompose(spark, d).collect()
+    assert(got.length == 10)
+    got.foreach { r =>
+      assert(r.getDouble(3) == 3.0 && r.getDouble(4) == 0.0 &&
+        r.getDouble(5) == 0.0)
+    }
+  }
+
+  test("graph_closeness: hand-traced 4-node chain; isolated seeds NULL out") {
+    val d = Files.createTempDirectory("close").toString
+    // bipartite chain c1—s1—c2—s2: from c1 dists are s1:1, c2:2, s2:3
+    (Seq((10L, 1L), (20L, 2L), (21L, 2L)): Seq[(Long, Long)])
+      .toDF("o_orderkey", "o_custkey").write.parquet(s"$d/orders.parquet")
+    (Seq((10L, 1L), (20L, 1L), (21L, 2L)): Seq[(Long, Long)])
+      .toDF("l_orderkey", "l_suppkey").write.parquet(s"$d/lineitem.parquet")
+    val got = GraphOps.graphCloseness(spark, d).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3))))).toMap
+    assert(got("c1") == ((3L, 6L, Some(0.5))))
+    assert(got("c2") == ((3L, 4L, Some(0.75))))
+    // c3..c5 don't trade: they reach only themselves → NULL closeness
+    Seq("c3", "c4", "c5").foreach(sd => assert(got(sd) == ((0L, 0L, None))))
+  }
+
   test("text_sentiment: polarity arithmetic and the neutral default") {
     val d = Files.createTempDirectory("sent").toString
     Seq((1L, "fast big table"), (2L, "slow error slow"),
