@@ -551,7 +551,38 @@ object StatsOps {
       .orderBy("event_type", "t")
   }
 
+  /** Experiment power analysis on the [[evAbtest]] split: the
+    * per-arm sample size needed to detect a 0.1 absolute lift at
+    * α=0.05 / 80% power — n = (z_{α/2}+z_β)²·2p̄(1−p̄)/d² with the
+    * observed pooled rate — against what the arms actually hold. The
+    * guardrail read before trusting (or ending) an experiment; pure
+    * closed-form scalar math on the 1-row exact-count panel. */
+  def evAbtestPower(s: SparkSession, d: String): DataFrame = {
+    val perUser = Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(expr("case when sum(case when event_type = 'purchase'" +
+        " then 1 else 0 end) >= 14 then 1 else 0 end").as("converted"))
+      .withColumn("variant", expr("cast(user_id % 2 as int)"))
+    perUser.groupBy()
+      .agg(
+        sum(expr("case when variant = 0 then 1 else 0 end")).as("n_control"),
+        sum(expr("case when variant = 1 then 1 else 0 end")).as("n_treat"),
+        sum(col("converted")).as("conv_all"),
+        count(lit(1)).as("n_all"))
+      .withColumn("p_pool",
+        expr("cast(conv_all as double) / cast(n_all as double)"))
+      .withColumn("n_needed", expr(
+        "cast(ceil((1.96 + 0.84) * (1.96 + 0.84) * 2.0 * p_pool" +
+          " * (1.0 - p_pool) / (0.1 * 0.1)) as bigint)"))
+      .select(col("n_control"), col("n_treat"),
+        expr("round(p_pool, 6)").as("p_pool"),
+        lit(0.1).as("mde"), col("n_needed"),
+        expr("cast(least(n_control, n_treat) >= n_needed as int)")
+          .as("powered"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_abtest_power"  -> evAbtestPower _,
     "ev_decompose"     -> evSeasonalDecompose _,
     "ev_lag_features"  -> evLagFeatures _,
     "dim_dates"        -> dimDates _,
@@ -587,6 +618,34 @@ object StatsOps {
       |    ON s.event_type = d.event_type AND s.day = d.day)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ev_abtest_power" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      >= 14 THEN 1 ELSE 0 END AS converted,
+        |    CAST(user_id % 2 AS INT) AS variant
+        |  FROM events GROUP BY user_id),
+        |w AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_control,
+        |    CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_treat,
+        |    CAST(SUM(converted) AS BIGINT) AS conv_all,
+        |    COUNT(*) AS n_all
+        |  FROM pu),
+        |p AS (
+        |  SELECT *, CAST(conv_all AS DOUBLE) / CAST(n_all AS DOUBLE)
+        |    AS p_pool
+        |  FROM w),
+        |n AS (
+        |  SELECT *, CAST(ceil((1.96 + 0.84) * (1.96 + 0.84) * 2.0 * p_pool
+        |    * (1.0 - p_pool) / (0.1 * 0.1)) AS BIGINT) AS n_needed
+        |  FROM p)
+        |SELECT n_control, n_treat, round(p_pool, 6) AS p_pool,
+        |  0.1 AS mde, n_needed,
+        |  CAST(least(n_control, n_treat) >= n_needed AS INT) AS powered
+        |FROM n""".stripMargin,
     "ev_decompose" ->
       s"""WITH $dailyFilledCte,
         |tr AS (

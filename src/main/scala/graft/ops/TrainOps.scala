@@ -492,6 +492,44 @@ object TrainOps {
       .orderBy("pos")
   }
 
+  /** Length-bucketed batch packing: docs bucket by token-length range
+    * (64-token bands), batches of 8 form inside each bucket in the
+    * deterministic md5 order, and the panel reports per-bucket padding
+    * waste (Σ over batches of n·max−Σtokens — what dynamic batching
+    * saves vs. [[packPadded]]'s fixed-length worst case). The
+    * within-bucket rank is the two-level (bucket, md5-prefix) idiom —
+    * a dominant length band is never one window partition; waste is
+    * exact integer arithmetic end to end. */
+  def packBatches(s: SparkSession, d: String): DataFrame = {
+    val t = tokenized(s, d).filter(col("n_tokens") > 0)
+      .withColumn("bucket", expr("n_tokens div 64"))
+      .withColumn("__h", md5(col("doc_id").cast("string")))
+      .withColumn("__gid", substring(col("__h"), 1, 2))
+    val wIn = Window.partitionBy("bucket", "__gid")
+      .orderBy(col("__h"), col("doc_id"))
+    val wOff = Window.partitionBy("bucket").orderBy("__gid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = t.groupBy(col("bucket"), col("__gid"))
+      .agg(count(lit(1)).as("__g_n"))
+      .withColumn("__g_off", coalesce(sum("__g_n").over(wOff), lit(0L)))
+    val batched = t
+      .withColumn("__rn", row_number().over(wIn))
+      .join(offs.select("bucket", "__gid", "__g_off"), Seq("bucket", "__gid"))
+      .withColumn("batch_id", expr("(__g_off + __rn - 1) div 8"))
+      .groupBy("bucket", "batch_id")
+      .agg(count(lit(1)).as("bn"), max("n_tokens").as("bmax"),
+        sum("n_tokens").as("bsum"))
+      .withColumn("waste", col("bn") * col("bmax") - col("bsum"))
+    batched.groupBy("bucket")
+      .agg(count(lit(1)).as("n_batches"), sum("bn").as("n_docs"),
+        sum("bsum").as("sum_tokens"), sum("waste").as("sum_waste"))
+      .select(col("bucket").cast("int").as("bucket"), col("n_batches"),
+        col("n_docs"), col("sum_tokens"), col("sum_waste"),
+        expr("round(cast(sum_waste as double)" +
+          " / cast(sum_waste + sum_tokens as double), 6)").as("waste_ratio"))
+      .orderBy("bucket")
+  }
+
   /** Cross-source leakage: verified near-dup pairs whose docs entered
     * the corpus through DIFFERENT sources — the duplication a mixing
     * decision most cares about (the same passage arriving via two
@@ -888,6 +926,7 @@ object TrainOps {
     "text_ppl_buckets"   -> textPplBuckets _,
     "pack_shards"        -> packShards _,
     "pack_interleave"    -> packInterleave _,
+    "pack_batches"       -> packBatches _,
     "dedup_cross_source" -> dedupCrossSource _)
 
   private val bpeTokens =
@@ -1106,6 +1145,27 @@ object TrainOps {
         |       ELSE 'tail' END AS bucket
         |FROM scored s JOIN cuts USING (lang)
         |ORDER BY doc_id""".stripMargin,
+    "pack_batches" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, $bpeTokens AS n_tokens FROM documents),
+        |r AS (
+        |  SELECT doc_id, n_tokens, n_tokens // 64 AS bucket,
+        |    row_number() OVER (PARTITION BY n_tokens // 64
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM t WHERE n_tokens > 0),
+        |b AS (
+        |  SELECT bucket, (rk - 1) // 8 AS batch_id, COUNT(*) AS bn,
+        |    MAX(n_tokens) AS bmax, SUM(n_tokens) AS bsum
+        |  FROM r GROUP BY 1, 2),
+        |w AS (SELECT bucket, bn, bsum, bn * bmax - bsum AS waste FROM b)
+        |SELECT CAST(bucket AS INT) AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_batches,
+        |  CAST(SUM(bn) AS BIGINT) AS n_docs,
+        |  CAST(SUM(bsum) AS BIGINT) AS sum_tokens,
+        |  CAST(SUM(waste) AS BIGINT) AS sum_waste,
+        |  round(CAST(SUM(waste) AS DOUBLE)
+        |    / CAST(SUM(waste) + SUM(bsum) AS DOUBLE), 6) AS waste_ratio
+        |FROM w GROUP BY bucket ORDER BY bucket""".stripMargin,
     "pack_interleave" ->
       """WITH r AS (
         |  SELECT doc_id, source,

