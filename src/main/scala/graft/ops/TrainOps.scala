@@ -626,6 +626,44 @@ object TrainOps {
       .orderBy(desc("n"), col("pair"))
       .limit(20)
 
+  /** One COMPLETE byte-pair-encoding merge round — the actual
+    * tokenizer-training step [[bpePairs]] only stats: pick the
+    * most frequent adjacent pair (deterministic tie-break), apply the
+    * merge to every word (leftmost non-overlapping — exactly what
+    * literal `replace` does when every token is one char, the merged
+    * token becoming a sentinel char), and re-count the post-merge pair
+    * space. Iterating this op IS BPE vocabulary training; one audited
+    * round pins the mechanism (merge application + recount) that
+    * bpe_pairs' statistics alone cannot.
+    *
+    * Scale: two narrow explode→hash-agg passes over the corpus plus a
+    * 1-row broadcast argmax — per round the same plan shape as
+    * bpe_pairs; a V-round training loop is V of these with the merge
+    * table accumulating driver-side (vocab-sized, the ann/graph
+    * bounded-scalar precedent). */
+  def bpeMerge(s: SparkSession, d: String): DataFrame = {
+    val pairExpr = (c: String) =>
+      s"""CASE WHEN length($c) < 2 THEN cast(array() as array<string>)
+         |ELSE transform(sequence(1, length($c) - 1),
+         |  i -> substring($c, i, 2)) END""".stripMargin
+    val words = Tables.documents(s, d)
+      .select(explode(expr(
+        """filter(split(trim(lower(text)), '\\s+'), t -> t != '')"""))
+        .as("w"))
+    val top = words.select(explode(expr(pairExpr("w"))).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("pair")).limit(1)
+      .select(col("pair").as("mp"))
+    val merged = words.crossJoin(broadcast(top))
+      .select(col("mp"), expr("replace(w, mp, chr(1))").as("w2"))
+    merged.select(col("mp"), explode(expr(pairExpr("w2"))).as("p"))
+      .groupBy("mp", "p").agg(count(lit(1)).as("n"))
+      .select(col("mp").as("merged_pair"),
+        expr("replace(p, chr(1), concat('<', mp, '>'))").as("pair"),
+        col("n"))
+      .orderBy(desc("n"), col("pair")).limit(10)
+  }
+
   /** Corpus-unigram-LM quality score (perplexity-style filter): train
     * a unigram model on the corpus itself (token relative frequencies)
     * and score each doc by its mean negative log-likelihood — low =
@@ -919,6 +957,7 @@ object TrainOps {
     "text_unigram_lm"    -> textUnigramLm _,
     "text_bigram_lm"     -> textBigramLm _,
     "mix_epochs"         -> mixEpochs _,
+    "bpe_merge"          -> bpeMerge _,
     "corpus_stats"       -> corpusStats _,
     "emb_outliers"       -> embOutliers _,
     "sample_importance"  -> sampleImportance _,
@@ -1323,6 +1362,33 @@ object TrainOps {
         |       ELSE 'kept' END AS reason
         |FROM i LEFT JOIN losers l USING (doc_id)
         |ORDER BY i.doc_id""".stripMargin,
+    // argmax pair → literal replace (≡ leftmost non-overlapping merge
+    // when every token is one char) → recount, sentinel displayed back
+    "bpe_merge" ->
+      """WITH w AS (
+        |  SELECT unnest(list_filter(
+        |    string_split_regex(trim(lower(text)), '\s+'), x -> x != '')) AS w
+        |  FROM documents),
+        |p0 AS (
+        |  SELECT unnest(CASE WHEN length(w) < 2 THEN []::VARCHAR[]
+        |    ELSE list_transform(range(1, length(w)),
+        |      i -> substr(w, i, 2)) END) AS pair
+        |  FROM w),
+        |top_ AS (
+        |  SELECT pair AS mp FROM (
+        |    SELECT pair, COUNT(*) AS n FROM p0 GROUP BY 1)
+        |  ORDER BY n DESC, pair LIMIT 1),
+        |m AS (SELECT t.mp, replace(w.w, t.mp, chr(1)) AS w2
+        |      FROM w, top_ t),
+        |p1 AS (
+        |  SELECT mp, unnest(CASE WHEN length(w2) < 2 THEN []::VARCHAR[]
+        |    ELSE list_transform(range(1, length(w2)),
+        |      i -> substr(w2, i, 2)) END) AS p
+        |  FROM m)
+        |SELECT mp AS merged_pair,
+        |  replace(p, chr(1), '<' || mp || '>') AS pair, COUNT(*) AS n
+        |FROM p1 GROUP BY 1, 2
+        |ORDER BY n DESC, pair LIMIT 10""".stripMargin,
     "bpe_pairs" ->
       """WITH w AS (
         |  SELECT unnest(list_filter(

@@ -137,6 +137,18 @@ class FeaturePanelSpec extends SparkFunSuite {
     assert(r.getDouble(2) == 0.5 && r.getLong(4) == 392L && r.getInt(5) == 0)
   }
 
+  test("bpe_merge: picks the top pair and merges leftmost non-overlapping") {
+    val d = Files.createTempDirectory("bpem").toString
+    // 'ab' count 5 beats 'ba' count 2; 'abab' merges to two sentinel
+    // tokens whose adjacency is the only surviving pair
+    Seq((1L, "abab abab ab")).toDF("doc_id", "text")
+      .write.parquet(s"$d/documents.parquet")
+    val got = TrainOps.bpeMerge(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.length == 1)
+    assert(got.head == (("ab", "<ab><ab>", 2L)))
+  }
+
   test("text_sentiment: polarity arithmetic and the neutral default") {
     val d = Files.createTempDirectory("sent").toString
     Seq((1L, "fast big table"), (2L, "slow error slow"),
