@@ -270,6 +270,49 @@ object GraphOps {
       .orderBy("seed")
   }
 
+  /** Diameter lower bound by the classic double BFS sweep: walk 6 hops
+    * from a fixed seed, restart from the farthest node found
+    * (deterministic argmax tie-break), and report the second sweep's
+    * eccentricity — on real graphs this is usually the exact diameter,
+    * always a certified lower bound (the panel says which). Two
+    * [[graphPaths]]-shaped walks; the only driver-side values are the
+    * restart node and the final panel (bounded scalars). */
+  def graphDiameter(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hops = 6
+    val (edgesDeg, _, _) = edgeIndex(s, d)
+    val edges = edgesDeg.select(col("src"), col("dst")).localCheckpoint()
+
+    def sweep(seed: String): DataFrame = {
+      var reached = Seq(seed).toDF("node").withColumn("dist", lit(0))
+      var frontier = reached
+      var k = 1
+      var growing = true
+      while (k <= hops && growing) {
+        frontier = edges
+          .join(frontier.select(col("node")), edges("src") === col("node"))
+          .select(col("dst").as("node")).distinct()
+          .join(reached.select(col("node").as("seen")),
+            col("node") === col("seen"), "left_anti")
+          .select(col("node"), lit(k).as("dist"))
+          .localCheckpoint()
+        growing = !frontier.isEmpty
+        if (growing) reached = reached.union(frontier).localCheckpoint()
+        k += 1
+      }
+      reached
+    }
+
+    val first = sweep("c1")
+    val far = first.orderBy(col("dist").desc, col("node").asc)
+      .limit(1).collect().head.getString(0) // bounded driver scalar
+    val second = sweep(far)
+    second.agg(max("dist").as("diameter_lb"),
+        count(lit(1)).as("n_reached"))
+      .select(lit("c1").as("seed1"), lit(far).as("seed2"),
+        col("diameter_lb"), col("n_reached"))
+  }
+
   /** Bipartite co-occurrence projection: supplier–supplier similarity
     * through shared customers (the "entities that appear together"
     * query — the reference's graph exists to answer exactly this shape:
@@ -850,7 +893,8 @@ object GraphOps {
     "graph_degree"   -> graphDegree _,
     "graph_cooccur"  -> graphCooccur _,
     "graph_paths"    -> graphPaths _,
-    "graph_closeness" -> graphCloseness _)
+    "graph_closeness" -> graphCloseness _,
+    "graph_diameter" -> graphDiameter _)
 
   val oracles: Map[String, String] = Map(
     "graph_summary" ->
@@ -1155,6 +1199,32 @@ object GraphOps {
         |         JOIN deg d2 ON co.s2 = d2.sk
         |ORDER BY jaccard DESC, s1, s2 LIMIT 20""".stripMargin,
     // DuckDB's recursive CTE IS the reference restated: UNION-dedup'd
+    // double sweep: BFS from c1, restart from the deterministic
+    // farthest node, report the second eccentricity
+    "graph_diameter" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT DISTINCT 'c' || o.o_custkey AS src,
+        |                  's' || l.l_suppkey AS dst
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |edges AS (SELECT src, dst FROM pairs
+        |          UNION ALL SELECT dst, src FROM pairs),
+        |w1(node, dist) AS (
+        |  SELECT 'c1', 0
+        |  UNION
+        |  SELECT e.dst, w.dist + 1
+        |  FROM edges e JOIN w1 w ON e.src = w.node WHERE w.dist < 6),
+        |m1 AS (SELECT node, MIN(dist) AS dist FROM w1 GROUP BY 1),
+        |far AS (SELECT node FROM m1 ORDER BY dist DESC, node ASC LIMIT 1),
+        |w2(node, dist) AS (
+        |  SELECT node, 0 FROM far
+        |  UNION
+        |  SELECT e.dst, w.dist + 1
+        |  FROM edges e JOIN w2 w ON e.src = w.node WHERE w.dist < 6),
+        |m2 AS (SELECT node, MIN(dist) AS dist FROM w2 GROUP BY 1)
+        |SELECT 'c1' AS seed1, (SELECT node FROM far) AS seed2,
+        |  CAST(MAX(dist) AS INT) AS diameter_lb,
+        |  COUNT(*) AS n_reached
+        |FROM m2""".stripMargin,
     // the multi-seed walk: UNION-dedup'd (seed, node) frontier to 4
     // hops, MIN(dist) per pair, then the closeness panel
     "graph_closeness" ->

@@ -149,6 +149,18 @@ class FeaturePanelSpec extends SparkFunSuite {
     assert(got.head == (("ab", "<ab><ab>", 2L)))
   }
 
+  test("graph_diameter: double sweep finds the chain's true diameter") {
+    val d = Files.createTempDirectory("diam").toString
+    // chain c1—s1—c2—s2: ecc(c1)=3, far=s2, ecc(s2)=3 → diameter 3
+    (Seq((10L, 1L), (20L, 2L), (21L, 2L)): Seq[(Long, Long)])
+      .toDF("o_orderkey", "o_custkey").write.parquet(s"$d/orders.parquet")
+    (Seq((10L, 1L), (20L, 1L), (21L, 2L)): Seq[(Long, Long)])
+      .toDF("l_orderkey", "l_suppkey").write.parquet(s"$d/lineitem.parquet")
+    val r = GraphOps.graphDiameter(spark, d).collect().head
+    assert(r.getString(0) == "c1" && r.getString(1) == "s2")
+    assert(r.getInt(2) == 3 && r.getLong(3) == 4L)
+  }
+
   test("text_sentiment: polarity arithmetic and the neutral default") {
     val d = Files.createTempDirectory("sent").toString
     Seq((1L, "fast big table"), (2L, "slow error slow"),
