@@ -493,7 +493,39 @@ object SimOps {
           .as("recall_at_20"))
   }
 
+  /** Embedding-space health histogram: the distribution of pairwise
+    * cosine similarities, estimated over within-IVF-cell pairs (the
+    * cells group similar vectors, so this is the INTERESTING right
+    * tail of the distribution — exactly the part a collapse/anisotropy
+    * diagnosis needs; all-pairs would be O(n²)). Reuses the memoized
+    * IVF assignment and the capped ids-only pair expansion; per-bin
+    * cosine means accumulate as exact DECIMAL(9,6) sums of the already
+    * 1e-6-rounded scores — order-proof. */
+  def embSimHist(s: SparkSession, d: String): DataFrame = {
+    val (_, assigned) = ivfIndex(s, d)
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    DedupOps.cappedBucketPairs(
+        assigned.select(col("centroid_id"), col("vec_id")),
+        Seq("centroid_id"), "vec_id", "vec_a", "vec_b")
+      .join(emb.select(col("vec_id").as("vec_a"),
+        col("embedding").as("emb_a")), Seq("vec_a"))
+      .join(emb.select(col("vec_id").as("vec_b"),
+        col("embedding").as("emb_b")), Seq("vec_b"))
+      .select(round(CosineSimilarity.cosine_native(s,
+        col("emb_a"), col("emb_b")), 6).as("cos"))
+      .withColumn("bin", expr("cast(least(floor(cos * 10.0), 9) as int)"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(expr("cast(cos as decimal(9,6))")).as("cs"))
+      .select(expr("round(cast(bin as double) / 10.0, 1)").as("bin_lo"),
+        col("n_pairs"),
+        expr("round(cast(cs as double) / cast(n_pairs as double), 6)")
+          .as("avg_cos"))
+      .orderBy("bin_lo")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_sim_hist"  -> embSimHist _,
     "ann_recall"    -> annRecall _,
     "emb_pca"       -> embPca _,
     "emb_quantize"  -> embQuantize _,
@@ -509,6 +541,50 @@ object SimOps {
   // arithmetic in double after the explicit casts — verified
   // empirically; round(.,6) guards the display value.
   private lazy val oraclesHead: Map[String, String] = Map(
+    // the dedup_semantic quantizer+cap replay, re-aimed at a histogram
+    "emb_sim_hist" ->
+      """WITH seeds AS (
+        |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+        |      AS centroid_id,
+        |    embedding AS centroid
+        |  FROM embeddings
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        |assign AS (
+        |  SELECT vec_id, embedding, centroid_id FROM (
+        |    SELECT e.vec_id, e.embedding, s.centroid_id,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |            i -> CAST(e.embedding[i] AS DOUBLE) * CAST(s.centroid[i] AS DOUBLE)))
+        |          / (sqrt(list_sum(list_transform(e.embedding,
+        |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |           * sqrt(list_sum(list_transform(s.centroid,
+        |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) DESC,
+        |        s.centroid_id ASC) AS rn
+        |    FROM embeddings e CROSS JOIN seeds s) WHERE rn = 1),
+        |m AS (
+        |  SELECT vec_id, embedding, centroid_id,
+        |    row_number() OVER (PARTITION BY centroid_id ORDER BY vec_id) AS rk
+        |  FROM assign),
+        |cos AS (
+        |  SELECT round(
+        |    list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(a.embedding,
+        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(b.embedding,
+        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos
+        |  FROM m a JOIN m b
+        |    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+        |  WHERE a.rk <= 64 AND b.rk <= 64),
+        |binned AS (
+        |  SELECT CAST(least(floor(cos * 10.0), 9) AS INT) AS bin,
+        |    CAST(cos AS DECIMAL(9,6)) AS cq
+        |  FROM cos)
+        |SELECT round(CAST(bin AS DOUBLE) / 10.0, 1) AS bin_lo,
+        |  COUNT(*) AS n_pairs,
+        |  round(CAST(SUM(cq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+        |    AS avg_cos
+        |FROM binned GROUP BY bin ORDER BY bin_lo""".stripMargin,
     // the same scaled-long moment sums, covariance shape, 30 power
     // iterations as left-fold list_reduce, and sign convention
     "emb_pca" ->
