@@ -618,6 +618,36 @@ object CoreRelational {
     * k → exact counts; high-cardinality ones get the estimate — both
     * regimes in one row set. Values normalize to strings so the
     * profile has one schema for any column type. */
+  /** Categorical-column entropy profile: per low-cardinality orders
+    * column, the distinct count, Shannon entropy (how spread the value
+    * distribution is — 0 means constant, ln n means uniform) and the
+    * modal share. One value-count aggregate per column unioned into a
+    * long panel; entropy terms −p·ln p quantize to 1e-9 scaled longs
+    * before summing (few terms, order-proof all the same). The
+    * [[profileTable]] companion for distribution SHAPE rather than
+    * null/min/max bounds. */
+  def profileEntropy(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+    val panels = Seq("o_orderstatus", "o_orderpriority").map { c =>
+      val vc = ord.groupBy(col(c).as("v")).agg(count(lit(1)).as("n"))
+      val tot = vc.agg(sum("n").as("tot"), count(lit(1)).as("nd"),
+        max("n").as("mx"))
+      vc.crossJoin(broadcast(tot))
+        .withColumn("q", expr(
+          "cast(floor(-(cast(n as double) / cast(tot as double))" +
+            " * ln(cast(n as double) / cast(tot as double))" +
+            " * 1000000000.0 + 0.5) as bigint)"))
+        .groupBy()
+        .agg(max("nd").as("n_distinct"), max("tot").as("tot"),
+          max("mx").as("mx"), sum("q").as("sq"))
+        .select(lit(c).as("column_name"), col("n_distinct"),
+          expr("round(cast(sq as double) / 1000000000.0, 6)").as("entropy"),
+          expr("round(cast(mx as double) / cast(tot as double), 6)")
+            .as("top_share"))
+    }
+    panels.reduce(_ unionAll _).orderBy("column_name")
+  }
+
   def profileTable(s: SparkSession, d: String): DataFrame = {
     val ord = Tables.orders(s, d)
     val cols = Seq("o_orderstatus", "o_orderpriority", "o_custkey")
@@ -1002,6 +1032,7 @@ object CoreRelational {
     "o09_keyset"     -> o09Keyset _,
     "a16_mode"       -> a16Mode _,
     "profile_table"  -> profileTable _,
+    "profile_entropy" -> profileEntropy _,
     "a15_kmv"        -> a15Kmv _,
     "a13_pivot"      -> a13Pivot _,
     "q01_pricing"    -> q01Pricing _,
@@ -1232,6 +1263,25 @@ object CoreRelational {
         |      substr(md5(cs), CAST(i AS INTEGER) + 1, 1)) - 1 AS DOUBLE)
         |    * power(16.0, CAST(12 - i AS DOUBLE)))) AS BIGINT)) AS digest
         |FROM c GROUP BY month ORDER BY month""".stripMargin,
+    "profile_entropy" -> {
+      val panel = (c: String) =>
+        s"""SELECT '$c' AS column_name,
+           |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           |  round(CAST(SUM(CAST(floor(-(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))
+           |      * ln(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))
+           |      * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+           |    / 1000000000.0, 6) AS entropy,
+           |  round(CAST(MAX(n) AS DOUBLE) / CAST(MAX(tot) AS DOUBLE), 6)
+           |    AS top_share
+           |FROM (
+           |  SELECT n, SUM(n) OVER () AS tot FROM (
+           |    SELECT COUNT(*) AS n FROM orders GROUP BY $c))""".stripMargin
+      s"""SELECT * FROM (
+         |${panel("o_orderstatus")}
+         |UNION ALL
+         |${panel("o_orderpriority")})
+         |ORDER BY column_name""".stripMargin
+    },
     "profile_table" -> {
       val kmv = (c: String) =>
         s"""(SELECT round(CASE WHEN len(arr) < 64

@@ -161,6 +161,21 @@ class FeaturePanelSpec extends SparkFunSuite {
     assert(r.getInt(2) == 3 && r.getLong(3) == 4L)
   }
 
+  test("profile_entropy: uniform split scores ln 2, constant scores 0") {
+    val d = Files.createTempDirectory("pent").toString
+    (Seq(("O", "1-URGENT"), ("F", "1-URGENT"), ("O", "1-URGENT"),
+      ("F", "1-URGENT")): Seq[(String, String)])
+      .toDF("o_orderstatus", "o_orderpriority")
+      .write.parquet(s"$d/orders.parquet")
+    val got = CoreRelational.profileEntropy(spark, d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))).toMap
+    val ln2 = BigDecimal(math.floor(0.5 * math.log(2.0) * 1e9 + 0.5) * 2 / 1e9)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got("o_orderstatus") == ((2L, ln2, 0.5)))
+    assert(got("o_orderpriority") == ((1L, 0.0, 1.0)))
+  }
+
   test("text_sentiment: polarity arithmetic and the neutral default") {
     val d = Files.createTempDirectory("sent").toString
     Seq((1L, "fast big table"), (2L, "slow error slow"),
