@@ -610,6 +610,56 @@ object CoreRelational {
         countDistinct(col("user_id")).as("exact_users"))
       .orderBy(col("event_type"))
 
+  /** A: approximate distinct via DETERMINISTIC HyperLogLog (Flajolet
+    * et al. 2007) — the industry-standard cardinality sketch, restated
+    * so a SQL oracle can replay the estimate exactly: the hash is the
+    * md5 hex string (stable everywhere), the register index is the
+    * first byte (m = 256), the rank is the leading-zero count of the
+    * next 52 bits computed by STRING ops (hex-digit CLZ — no
+    * cross-engine log2/floor edge cases), and the harmonic sum
+    * Σ 2^−M_j is EXACT INTEGER arithmetic: each term scales to
+    * 2^(53−M_j), a whole long, so the register sum is order-free with
+    * no FP at all until the final one-expression estimate (round 4
+    * absorbs the engines' last-ulp `ln`). Small-range correction
+    * (linear counting on zero registers) included, per the paper.
+    *
+    * 100 TB posture: two map-side-combinable hash aggs — corpus →
+    * (group, 256 registers) → group; state per group is 256 longs.
+    * This is the declarative restatement of the
+    * [[graft.functions.expressions.KmvDistinct]]-style native
+    * aggregates (same O(m) sketch bound, zero custom code); exact
+    * count rides along as the accuracy reference. */
+  def a20Hll(s: SparkSession, d: String): DataFrame = {
+    val hex = md5(col("user_id").cast("string"))
+    val reg = conv(substring(hex, 1, 2), 16, 10).cast("int")
+    val h13 = substring(hex, 3, 13)
+    val lz = length(regexp_extract(h13, "^0*", 0))
+    val d1 = h13.substr(lz + lit(1), lit(1))
+    val clz4 = when(d1 === "1", 3).when(d1.isin("2", "3"), 2)
+      .when(d1.isin("4", "5", "6", "7"), 1).otherwise(0)
+    val rank = when(lz === 13, lit(53)).otherwise(lz * 4 + clz4 + 1)
+    val regs = Tables.events(s, d)
+      .select(col("event_type"), reg.as("reg"), rank.as("rk"))
+      .groupBy("event_type", "reg").agg(max(col("rk")).as("mr"))
+    val sketch = regs.groupBy("event_type").agg(
+        count(lit(1)).as("n_used"),
+        sum(expr("shiftleft(cast(1 as bigint), 53 - mr)")).as("zp"))
+      .select(col("event_type"),
+        (lit(256L) - col("n_used")).as("n_zero_regs"),
+        (col("zp") + (lit(256L) - col("n_used"))
+          * lit(9007199254740992L)).as("zs"))
+      .withColumn("raw",
+        expr("(0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0" +
+          " / (cast(zs as double) / 9007199254740992.0)"))
+      .select(col("event_type"), col("n_zero_regs"),
+        round(expr("case when n_zero_regs > 0 and raw <= 640.0" +
+          " then 256.0 * ln(256.0 / cast(n_zero_regs as double))" +
+          " else raw end"), 4).as("est_users"))
+    val exact = Tables.events(s, d).groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    sketch.join(exact, Seq("event_type")).orderBy(col("event_type"))
+  }
+
   /** A: data profiling — the ANALYZE-TABLE panel (per-column null
     * count, distinct estimate, min/max) computed in ONE corpus pass:
     * all 13 aggregates run in a single hash-agg (the KMV sketch keeps
@@ -1034,6 +1084,7 @@ object CoreRelational {
     "profile_table"  -> profileTable _,
     "profile_entropy" -> profileEntropy _,
     "a15_kmv"        -> a15Kmv _,
+    "a20_hll"        -> a20Hll _,
     "a13_pivot"      -> a13Pivot _,
     "q01_pricing"    -> q01Pricing _,
     "p08_boolshould" -> p08BoolShould _,
@@ -1325,6 +1376,55 @@ object CoreRelational {
     // replays the KMV sketch exactly: frac = first 52 md5 bits / 2^52
     // (every Σ digit·16^(12-i) term and the sum are exact doubles),
     // k smallest DISTINCT fracs, est = 63/h_64 (exact size below 64)
+    // full HLL replay: same md5 register/rank derivation by string
+    // ops, exact scaled-integer harmonic sum, same one-expression
+    // estimate + linear-counting branch
+    "a20_hll" ->
+      """WITH h AS (
+        |  SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hx
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type,
+        |    (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+        |      + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) AS reg,
+        |    substr(hx, 3, 13) AS h13
+        |  FROM h),
+        |rk AS (
+        |  SELECT event_type, reg,
+        |    length(regexp_extract(h13, '^0*')) AS lz,
+        |    substr(h13, length(regexp_extract(h13, '^0*')) + 1, 1) AS d1
+        |  FROM r),
+        |rr AS (
+        |  SELECT event_type, reg,
+        |    CASE WHEN lz = 13 THEN 53
+        |         ELSE lz * 4 + (CASE WHEN d1 = '1' THEN 3
+        |                             WHEN d1 IN ('2', '3') THEN 2
+        |                             WHEN d1 IN ('4', '5', '6', '7') THEN 1
+        |                             ELSE 0 END) + 1 END AS rk
+        |  FROM rk),
+        |mm AS (
+        |  SELECT event_type, reg, MAX(rk) AS mr FROM rr GROUP BY 1, 2),
+        |sk AS (
+        |  SELECT event_type,
+        |    CAST(256 - COUNT(*) AS BIGINT) AS n_zero_regs,
+        |    CAST(SUM(CAST(1 AS BIGINT) << (53 - mr)) AS BIGINT)
+        |      + CAST(256 - COUNT(*) AS BIGINT) * 9007199254740992 AS zs
+        |  FROM mm GROUP BY 1),
+        |e AS (
+        |  SELECT event_type, n_zero_regs,
+        |    (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+        |      / (CAST(zs AS DOUBLE) / 9007199254740992.0) AS raw
+        |  FROM sk),
+        |ex AS (
+        |  SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_type, n_zero_regs,
+        |  round(CASE WHEN n_zero_regs > 0 AND raw <= 640.0
+        |        THEN 256.0 * ln(256.0 / CAST(n_zero_regs AS DOUBLE))
+        |        ELSE raw END, 4) AS est_users,
+        |  ex.exact_users
+        |FROM e JOIN ex USING (event_type)
+        |ORDER BY event_type""".stripMargin,
     "a15_kmv" ->
       """WITH vals AS (
         |  SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS u

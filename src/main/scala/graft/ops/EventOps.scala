@@ -355,6 +355,70 @@ object EventOps {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** Stationary distribution of the [[evTransitions]] Markov chain by
+    * power iteration — "where does user behavior settle": the
+    * long-run share of time spent in each event type if the observed
+    * first-order dynamics ran forever, read AGAINST the empirical
+    * share (a gap flags non-stationary behavior: users drift toward
+    * states faster than the current mix shows).
+    *
+    * Construction: the transition matrix is the exact-integer pair
+    * count table (ONE user-keyed corpus window, same as
+    * [[evTransitions]]); states with no outgoing transitions get a
+    * self-loop so the chain is stochastic by construction. π starts
+    * uniform and runs 8 fixed rounds of π' = πP. After the single
+    * corpus pass everything is ≤|types|²-sized — the iteration is
+    * domain-constant work regardless of SF.
+    *
+    * Determinism: P entries are exact integer ratios; each round's
+    * contributions quantize to 1e-12 scaled longs before the order-
+    * free integer sum (the text_textrank idiom), so no cross-engine
+    * FP ordering exists; the oracle unrolls the same 8 rounds. */
+  def evMarkovStationary(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val ev = Tables.events(s, d)
+    val pairs = ev
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("from_type").agg(sum(col("n")).as("tot"))
+    val states = ev.select(col("event_type").as("st")).distinct()
+    val pMat = pairs.join(totals, Seq("from_type"))
+      .select(col("from_type"), col("to_type"),
+        (col("n").cast("double") / col("tot").cast("double")).as("p"))
+      .unionAll(states
+        .join(totals.select(col("from_type").as("st")), Seq("st"), "left_anti")
+        .select(col("st").as("from_type"), col("st").as("to_type"),
+          lit(1.0).as("p")))
+      .localCheckpoint() // |types|²-sized; pins the corpus window once
+    val n = states.count() // bounded driver scalar (|event types|)
+    var pi = states.select(col("st").as("state"))
+      .withColumn("pi", lit(1.0 / n))
+    for (_ <- 1 to 8) {
+      pi = pMat.join(pi, pMat("from_type") === pi("state"))
+        .select(col("to_type"), expr(
+          "cast(floor(pi * p * 1000000000000.0 + 0.5) as bigint)").as("qc"))
+        .groupBy("to_type").agg(sum(col("qc")).as("sq"))
+        .select(col("to_type").as("state"),
+          (col("sq").cast("double") / lit(1000000000000.0)).as("pi"))
+    }
+    val emp = ev.groupBy(col("event_type").as("st"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = ev.agg(count(lit(1)).as("tot"))
+    states
+      .join(pi, states("st") === pi("state"), "left")
+      .join(emp, Seq("st"))
+      .crossJoin(broadcast(tot))
+      .select(col("st").as("state"),
+        round(coalesce(col("pi"), lit(0.0)), 6).as("stationary_p"),
+        round(col("cnt").cast("double") / col("tot").cast("double"), 6)
+          .as("empirical_p"))
+      .orderBy(col("state"))
+  }
+
   /** Population-stability-index (PSI) drift monitor: the standard
     * model-ops check that a feature's distribution hasn't shifted
     * between a reference and a current population (PSI < 0.1 stable,
@@ -921,6 +985,7 @@ object EventOps {
     "ev_drift"       -> evDrift _,
     "ev_mad"         -> evMad _,
     "ev_transitions" -> evTransitions _,
+    "ev_markov_stationary" -> evMarkovStationary _,
     "ev_merge_partials" -> evMergePartials _,
     "ev_attribution" -> evAttribution _,
     "ev_gapfill"     -> evGapfill _,
@@ -1339,6 +1404,50 @@ object EventOps {
         |  CAST(len(regexp_extract_all(seq, 'vv+c')) AS INTEGER)
         |    AS n_browse
         |FROM seq ORDER BY user_id""".stripMargin,
+    // 8 unrolled power-iteration rounds over the same exact-ratio
+    // transition matrix; contributions quantize to 1e-12 scaled longs
+    "ev_markov_stationary" -> {
+      val round = (prev: String, cur: String) =>
+        s"""$cur AS (
+           |  SELECT to_type AS state,
+           |    CAST(SUM(CAST(floor(pi * p * 1000000000000.0 + 0.5)
+           |      AS BIGINT)) AS DOUBLE) / 1000000000000.0 AS pi
+           |  FROM pm JOIN $prev ON pm.from_type = $prev.state
+           |  GROUP BY 1)""".stripMargin
+      s"""WITH seq AS (
+         |  SELECT event_type AS from_type,
+         |    lead(event_type) OVER
+         |      (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+         |  FROM events),
+         |co AS (
+         |  SELECT from_type, to_type, COUNT(*) AS n
+         |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         |tot AS (
+         |  SELECT from_type, CAST(SUM(n) AS BIGINT) AS tot
+         |  FROM co GROUP BY 1),
+         |st AS (SELECT DISTINCT event_type AS st FROM events),
+         |pm AS (
+         |  SELECT co.from_type, co.to_type,
+         |    CAST(co.n AS DOUBLE) / CAST(tot.tot AS DOUBLE) AS p
+         |  FROM co JOIN tot USING (from_type)
+         |  UNION ALL
+         |  SELECT st, st, 1.0 FROM st
+         |  WHERE st NOT IN (SELECT from_type FROM tot)),
+         |p0 AS (
+         |  SELECT st AS state, 1.0 / (SELECT COUNT(*) FROM st) AS pi
+         |  FROM st),
+         |${(0 until 8).map(i => round(s"p$i", s"p${i + 1}")).mkString(",\n")},
+         |emp AS (
+         |  SELECT event_type AS st, COUNT(*) AS cnt FROM events GROUP BY 1)
+         |SELECT st.st AS state,
+         |  round(coalesce(p8.pi, 0.0), 6) AS stationary_p,
+         |  round(CAST(emp.cnt AS DOUBLE)
+         |    / (SELECT CAST(COUNT(*) AS DOUBLE) FROM events), 6)
+         |    AS empirical_p
+         |FROM st LEFT JOIN p8 ON st.st = p8.state
+         |JOIN emp ON st.st = emp.st
+         |ORDER BY state""".stripMargin
+    },
     "ev_transitions" ->
       """WITH seq AS (
         |  SELECT event_type AS from_type,

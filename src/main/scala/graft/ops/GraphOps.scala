@@ -513,51 +513,100 @@ object GraphOps {
     * edge-sized. Exact integers throughout, no FP pinning. The
     * orientation key is a (deg, id) STRUCT comparison, not an encoded
     * scalar — no id-range assumptions at scale. */
+  /** The bulk co-occurrence graph's undirected edge list (s1 < s2)
+    * and its triangle table (one row per triangle, corners a/b/c) —
+    * memoized per (session, dataset) like [[pairStats]], shared by
+    * [[graphTriangles]] and [[graphClustCoeff]] so the corpus join +
+    * pair expansion + oriented wedge census is paid once. */
+  private val triCache = new graft.SessionCache[(DataFrame, DataFrame)](v => {
+    v._1.unpersist(); ()
+  })
+
+  private def bulkTriangles(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) =
+    triCache.getOrCompute(s, d) {
+      val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_quantity") >= 46)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val cs = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
+        .distinct()
+      // undirected edges s1 < s2: suppliers sharing >= 2 customers,
+      // pair-expanded narrowly from sorted per-customer postings
+      val und = cs.groupBy("c")
+        .agg(sort_array(collect_list(col("sk"))).as("ss"))
+        .select(explode(expr(
+          """flatten(transform(ss, (a, i) ->
+            |  transform(slice(ss, i + 2, size(ss)), b ->
+            |    struct(a AS s1, b AS s2))))""".stripMargin)).as("p"))
+        .select(col("p.s1"), col("p.s2"))
+        .groupBy("s1", "s2").agg(count(lit(1)).as("co"))
+        .filter(col("co") >= 2).select(col("s1"), col("s2"))
+        .persist()
+      val deg = und.select(col("s1").as("n"))
+        .union(und.select(col("s2").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("deg"))
+      val withDeg = und
+        .join(deg.select(col("n").as("s1"), col("deg").as("d1")), Seq("s1"))
+        .join(deg.select(col("n").as("s2"), col("deg").as("d2")), Seq("s2"))
+      val r1 = struct(col("d1").as("dg"), col("s1").as("id"))
+      val r2 = struct(col("d2").as("dg"), col("s2").as("id"))
+      val fwd = r1 < r2
+      val oriented = withDeg.select(
+        when(fwd, col("s1")).otherwise(col("s2")).as("src"),
+        when(fwd, r2).otherwise(r1).as("dst"))
+      val wedges = oriented.groupBy("src")
+        .agg(sort_array(collect_list(col("dst"))).as("ns"))
+        .select(col("src").as("a"), explode(expr(
+          """flatten(transform(ns, (x, i) ->
+            |  transform(slice(ns, i + 2, size(ns)), y ->
+            |    struct(x.id AS b, y.id AS c))))""".stripMargin)).as("w"))
+        .select(col("a"), col("w.b"), col("w.c"))
+      val closing = oriented
+        .select(col("src").as("b"), col("dst.id").as("c"))
+      // triangle-sized (bounded by the oriented wedge census);
+      // localCheckpoint materializes it once for both consumers
+      val tri = wedges.join(closing, Seq("b", "c"), "left_semi")
+        .localCheckpoint()
+      (und, tri)
+    }
+
   def graphTriangles(s: SparkSession, d: String): DataFrame = {
-    val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
-    val li = Tables.lineitem(s, d)
-      .filter(col("l_quantity") >= 46)
-      .select(col("l_orderkey"), col("l_suppkey"))
-    val cs = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
-      .distinct()
-    // undirected edges s1 < s2: suppliers sharing >= 2 customers,
-    // pair-expanded narrowly from sorted per-customer postings
-    val und = cs.groupBy("c")
-      .agg(sort_array(collect_list(col("sk"))).as("ss"))
-      .select(explode(expr(
-        """flatten(transform(ss, (a, i) ->
-          |  transform(slice(ss, i + 2, size(ss)), b ->
-          |    struct(a AS s1, b AS s2))))""".stripMargin)).as("p"))
-      .select(col("p.s1"), col("p.s2"))
-      .groupBy("s1", "s2").agg(count(lit(1)).as("co"))
-      .filter(col("co") >= 2).select(col("s1"), col("s2"))
-    val deg = und.select(col("s1").as("n"))
-      .union(und.select(col("s2").as("n")))
-      .groupBy("n").agg(count(lit(1)).as("deg"))
-    val withDeg = und
-      .join(deg.select(col("n").as("s1"), col("deg").as("d1")), Seq("s1"))
-      .join(deg.select(col("n").as("s2"), col("deg").as("d2")), Seq("s2"))
-    val r1 = struct(col("d1").as("dg"), col("s1").as("id"))
-    val r2 = struct(col("d2").as("dg"), col("s2").as("id"))
-    val fwd = r1 < r2
-    val oriented = withDeg.select(
-      when(fwd, col("s1")).otherwise(col("s2")).as("src"),
-      when(fwd, r2).otherwise(r1).as("dst"))
-    val wedges = oriented.groupBy("src")
-      .agg(sort_array(collect_list(col("dst"))).as("ns"))
-      .select(col("src").as("a"), explode(expr(
-        """flatten(transform(ns, (x, i) ->
-          |  transform(slice(ns, i + 2, size(ns)), y ->
-          |    struct(x.id AS b, y.id AS c))))""".stripMargin)).as("w"))
-      .select(col("a"), col("w.b"), col("w.c"))
-    val closing = oriented
-      .select(col("src").as("b"), col("dst.id").as("c"))
-    val tri = wedges.join(closing, Seq("b", "c"), "left_semi")
+    val (_, tri) = bulkTriangles(s, d)
     tri.select(col("a").as("node"))
       .union(tri.select(col("b")))
       .union(tri.select(col("c")))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("node"))
+  }
+
+  /** Local clustering coefficient per node of the bulk co-occurrence
+    * graph: lcc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) — the standard
+    * "how close is my neighborhood to a clique" cohesion measure
+    * (Watts–Strogatz); nodes of degree < 2 have no defined coefficient
+    * (NULL via try_divide, mirrored by the oracle's CASE).
+    *
+    * Reads the memoized [[bulkTriangles]] artifact, so the marginal
+    * cost over [[graphTriangles]] is two node-sized aggregates and one
+    * node-sized join. Counts are exact integers; lcc is one division
+    * of exact operands, round 6 — bit-identical cross-engine. */
+  def graphClustCoeff(s: SparkSession, d: String): DataFrame = {
+    val (und, tri) = bulkTriangles(s, d)
+    val deg = und.select(col("s1").as("node"))
+      .union(und.select(col("s2")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    val tpn = tri.select(col("a").as("node"))
+      .union(tri.select(col("b")))
+      .union(tri.select(col("c")))
+      .groupBy("node").agg(count(lit(1)).as("nt"))
+    deg.join(tpn, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("nt"), lit(0L)).as("n_triangles"),
+        round(try_divide(
+          lit(2.0) * coalesce(col("nt"), lit(0L)).cast("double"),
+          (col("degree") * (col("degree") - 1)).cast("double")), 6)
+          .as("lcc"))
       .orderBy(col("node"))
   }
 
@@ -889,6 +938,7 @@ object GraphOps {
     "graph_linkpred"  -> graphLinkpred _,
     "graph_cc"        -> graphComponents _,
     "graph_triangles" -> graphTriangles _,
+    "graph_clustcoeff" -> graphClustCoeff _,
     "graph_pagerank" -> graphPagerank _,
     "graph_degree"   -> graphDegree _,
     "graph_cooccur"  -> graphCooccur _,
@@ -1128,6 +1178,39 @@ object GraphOps {
         |  CAST(SUM(CASE WHEN node LIKE 's%' THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_suppliers
         |FROM comp GROUP BY component ORDER BY component""".stripMargin,
+    // same naive triple closure plus the degree table; lcc is one
+    // division of exact integers, CASE degree<2 ≡ try_divide NULL
+    "graph_clustcoeff" ->
+      """WITH cs AS (
+        |  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS sk
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE l.l_quantity >= 46),
+        |co AS (
+        |  SELECT a.sk AS s1, b.sk AS s2, COUNT(*) AS co
+        |  FROM cs a JOIN cs b ON a.c = b.c AND a.sk < b.sk
+        |  GROUP BY 1, 2),
+        |e AS (SELECT s1, s2 FROM co WHERE co >= 2),
+        |deg AS (
+        |  SELECT node, COUNT(*) AS degree FROM (
+        |    SELECT s1 AS node FROM e UNION ALL SELECT s2 FROM e)
+        |  GROUP BY node),
+        |tri AS (
+        |  SELECT e1.s1 AS a, e1.s2 AS b, e2.s2 AS c
+        |  FROM e e1 JOIN e e2 ON e2.s1 = e1.s2
+        |            JOIN e e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2),
+        |tpn AS (
+        |  SELECT node, COUNT(*) AS nt FROM (
+        |    SELECT a AS node FROM tri
+        |    UNION ALL SELECT b FROM tri
+        |    UNION ALL SELECT c FROM tri)
+        |  GROUP BY node)
+        |SELECT d.node, d.degree,
+        |  CAST(coalesce(t.nt, 0) AS BIGINT) AS n_triangles,
+        |  round(CASE WHEN d.degree < 2 THEN NULL
+        |    ELSE 2.0 * CAST(coalesce(t.nt, 0) AS DOUBLE)
+        |      / CAST(d.degree * (d.degree - 1) AS DOUBLE) END, 6) AS lcc
+        |FROM deg d LEFT JOIN tpn t USING (node)
+        |ORDER BY d.node""".stripMargin,
     // the oracle closes triples naively on the a<b<c edge list — the
     // engine's oriented wedge census finds the same triangle set
     "graph_triangles" ->

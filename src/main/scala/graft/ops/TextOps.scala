@@ -626,7 +626,86 @@ object TextOps {
       .limit(20)
   }
 
+  /** Gopher-style quality-rule panel (Rae et al. 2021 §A1.1 — the
+    * published rule set behind most production pre-training corpus
+    * gates; the reference's quality filters are the same shape:
+    * reject-on-threshold predicates over cheap per-doc statistics).
+    * One row PER RULE with corpus-wide pass/fail counts and rate, plus
+    * an `all` row for the conjunction — the panel a pipeline owner
+    * reads to see WHICH gate is eating the corpus before flipping it
+    * on.
+    *
+    * Rules (each a per-row boolean over built-in functions):
+    *  - word_count:     50 ≤ words ≤ 100000
+    *  - mean_word_len:  3 ≤ mean word length ≤ 10
+    *  - hash_ellipsis:  (#'#' + #'...') / words ≤ 0.1
+    *  - bullet_lines:   < 90% of lines start with a bullet (-, *, •)
+    *  - ellipsis_lines: ≤ 30% of lines end with '...'
+    *  - alpha_words:    ≥ 80% of words contain a letter
+    *  - stop_words:     ≥ 2 hits from the 8-word Gopher stop list
+    *
+    * 100 TB posture: ONE corpus scan computes all seven flags as
+    * conditional sums in a single 1-row aggregate (map-side combined);
+    * the per-rule unpivot (`stack`) runs on that 1-row result — the
+    * panel never shuffles doc-sized data. Counts are exact integers;
+    * the rate is one division, rounded 6. */
+  def textGopherRules(s: SparkSession, d: String): DataFrame = {
+    val text = col("text")
+    val words = expr("filter(split(trim(text), '\\\\s+'), w -> w != '')")
+    val nWords = size(words)
+    val nAlphaWords = expr(
+      "size(filter(filter(split(trim(text), '\\\\s+'), w -> w != '')," +
+        " w -> w rlike '[A-Za-z]'))")
+    val lines = expr("split(text, '\\n')")
+    val nLines = size(lines)
+    val nBulletLines = expr(
+      "size(filter(split(text, '\\n'), l ->" +
+        " trim(l) rlike '^[-*\\u2022]'))")
+    val nEllipsisLines = expr(
+      "size(filter(split(text, '\\n'), l ->" +
+        " trim(l) rlike '\\\\.\\\\.\\\\.$'))")
+    val nHash = length(text) - length(regexp_replace(text, "#", ""))
+    val nEllipsis = regexp_count(text, lit("\\.\\.\\."))
+    val meanWordLen =
+      expr("aggregate(filter(split(trim(text), '\\\\s+'), w -> w != '')," +
+        " cast(0 as bigint), (a, w) -> a + length(w))").cast("double") /
+        greatest(nWords, lit(1)).cast("double")
+    val stopHits = regexp_count(lower(text),
+      lit("\\b(the|be|to|of|and|that|have|with)\\b"))
+    val safeWords = greatest(nWords, lit(1)).cast("double")
+    val safeLines = greatest(nLines, lit(1)).cast("double")
+    val flags = Tables.documents(s, d).select(
+      (nWords >= 50 && nWords <= 100000).cast("long").as("r_word_count"),
+      (meanWordLen >= 3.0 && meanWordLen <= 10.0).cast("long")
+        .as("r_mean_word_len"),
+      ((nHash + nEllipsis).cast("double") / safeWords <= 0.1).cast("long")
+        .as("r_hash_ellipsis"),
+      (nBulletLines.cast("double") / safeLines < 0.9).cast("long")
+        .as("r_bullet_lines"),
+      (nEllipsisLines.cast("double") / safeLines <= 0.3).cast("long")
+        .as("r_ellipsis_lines"),
+      (nAlphaWords.cast("double") / safeWords >= 0.8).cast("long")
+        .as("r_alpha_words"),
+      (stopHits >= 2).cast("long").as("r_stop_words"))
+    val ruleCols = Seq("r_word_count", "r_mean_word_len", "r_hash_ellipsis",
+      "r_bullet_lines", "r_ellipsis_lines", "r_alpha_words", "r_stop_words")
+    val agg1 = flags.agg(count(lit(1)).as("n_docs"),
+      ruleCols.map(c => sum(col(c)).as(c)) :+
+        sum(when(ruleCols.map(col(_) === 1L).reduce(_ && _), 1L)
+          .otherwise(0L)).as("r_all"): _*)
+    val stackExpr = (ruleCols.map(c =>
+      s"'${c.stripPrefix("r_")}', $c") :+ "'all', r_all").mkString(", ")
+    agg1.select(col("n_docs"),
+        expr(s"stack(${ruleCols.size + 1}, $stackExpr) as (rule, n_pass)"))
+      .select(col("rule"), col("n_pass"),
+        (col("n_docs") - col("n_pass")).as("n_fail"),
+        round(col("n_pass").cast("double") / col("n_docs").cast("double"), 6)
+          .as("pass_rate"))
+      .orderBy(col("rule"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_gopher_rules"     -> textGopherRules _,
     "text_textrank"         -> textTextrank _,
     "text_sentiment"        -> textSentiment _,
     "text_winnow"           -> textWinnow _,
@@ -651,6 +730,70 @@ object TextOps {
     "text_fingerprint_roll" -> textFingerprintRoll _)
 
   val oracles: Map[String, String] = Map(
+    // same seven per-doc rule flags from identical word/line splits,
+    // one aggregate, 8-row unpivot
+    "text_gopher_rules" ->
+      """WITH f AS (
+        |  SELECT
+        |    list_filter(string_split_regex(trim(text), '\s+'),
+        |      w -> w != '') AS ws,
+        |    string_split(text, chr(10)) AS ls,
+        |    text
+        |  FROM documents),
+        |g AS (
+        |  SELECT
+        |    len(ws) AS nw,
+        |    CAST(greatest(len(ws), 1) AS DOUBLE) AS sw,
+        |    CAST(greatest(len(ls), 1) AS DOUBLE) AS sl,
+        |    CAST(coalesce(list_sum(list_transform(ws, w -> length(w))), 0)
+        |      AS DOUBLE) AS wlen,
+        |    len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
+        |      AS nalpha,
+        |    len(list_filter(ls, l -> regexp_matches(trim(l), '^[-*•]')))
+        |      AS nbull,
+        |    len(list_filter(ls, l -> regexp_matches(trim(l), '\.\.\.$')))
+        |      AS nell_l,
+        |    length(text) - length(replace(text, '#', '')) AS nhash,
+        |    len(regexp_extract_all(text, '\.\.\.')) AS nell,
+        |    len(regexp_extract_all(lower(text),
+        |      '\b(the|be|to|of|and|that|have|with)\b')) AS nstop
+        |  FROM f),
+        |fl AS (
+        |  SELECT
+        |    CASE WHEN nw >= 50 AND nw <= 100000 THEN 1 ELSE 0 END AS c1,
+        |    CASE WHEN wlen / sw >= 3.0 AND wlen / sw <= 10.0
+        |      THEN 1 ELSE 0 END AS c2,
+        |    CASE WHEN CAST(nhash + nell AS DOUBLE) / sw <= 0.1
+        |      THEN 1 ELSE 0 END AS c3,
+        |    CASE WHEN CAST(nbull AS DOUBLE) / sl < 0.9
+        |      THEN 1 ELSE 0 END AS c4,
+        |    CASE WHEN CAST(nell_l AS DOUBLE) / sl <= 0.3
+        |      THEN 1 ELSE 0 END AS c5,
+        |    CASE WHEN CAST(nalpha AS DOUBLE) / sw >= 0.8
+        |      THEN 1 ELSE 0 END AS c6,
+        |    CASE WHEN nstop >= 2 THEN 1 ELSE 0 END AS c7
+        |  FROM g),
+        |a AS (
+        |  SELECT COUNT(*) AS n_docs,
+        |    CAST(SUM(c1) AS BIGINT) AS s1, CAST(SUM(c2) AS BIGINT) AS s2,
+        |    CAST(SUM(c3) AS BIGINT) AS s3, CAST(SUM(c4) AS BIGINT) AS s4,
+        |    CAST(SUM(c5) AS BIGINT) AS s5, CAST(SUM(c6) AS BIGINT) AS s6,
+        |    CAST(SUM(c7) AS BIGINT) AS s7,
+        |    CAST(SUM(c1 * c2 * c3 * c4 * c5 * c6 * c7) AS BIGINT) AS sa
+        |  FROM fl),
+        |u AS (
+        |  SELECT 'word_count' AS rule, s1 AS n_pass, n_docs FROM a
+        |  UNION ALL SELECT 'mean_word_len', s2, n_docs FROM a
+        |  UNION ALL SELECT 'hash_ellipsis', s3, n_docs FROM a
+        |  UNION ALL SELECT 'bullet_lines', s4, n_docs FROM a
+        |  UNION ALL SELECT 'ellipsis_lines', s5, n_docs FROM a
+        |  UNION ALL SELECT 'alpha_words', s6, n_docs FROM a
+        |  UNION ALL SELECT 'stop_words', s7, n_docs FROM a
+        |  UNION ALL SELECT 'all', sa, n_docs FROM a)
+        |SELECT rule, n_pass, n_docs - n_pass AS n_fail,
+        |  round(CAST(n_pass AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+        |    AS pass_rate
+        |FROM u ORDER BY rule""".stripMargin,
     // 5 unrolled PageRank layers over the vocab graph; contributions
     // quantize to 1e-12 scaled longs exactly like the engine
     "text_textrank" -> {

@@ -1,0 +1,162 @@
+package graft.ops
+
+import graft.SparkFunSuite
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** Hand-checkable semantics for the round-6c additions: the Gopher
+  * rule panel, deterministic HLL, Markov stationary distribution, and
+  * local clustering coefficient (the catalog rows prove
+  * engine-vs-oracle agreement; these prove the operators mean what
+  * they claim on fixtures small enough to verify by hand). */
+class Round6cOpsSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  // ------------------------------------------------------- gopher rules
+
+  private lazy val gopherDir: String = {
+    val d = Files.createTempDirectory("gopher").toString
+    val good = Array.fill(5)(
+      "the quick brown foxes jumped over those lazy dogs with").mkString(" ")
+    val short = "short text"
+    val bullets = "- item one\n- item two\n- item three"
+    Seq((1L, good), (2L, short), (3L, bullets))
+      .toDF("doc_id", "text").write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("gopher rules: per-rule pass counts on a hand-built corpus") {
+    val rows = TextOps.textGopherRules(spark, gopherDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows.size == 8)
+    // only the 50-word doc passes word_count
+    assert(rows("word_count") == ((1L, 2L)))
+    // the bullet doc: 3/3 lines start with '-' => >= 90% => fail
+    assert(rows("bullet_lines") == ((2L, 1L)))
+    // stop words: good doc has the/with x5; others have none
+    assert(rows("stop_words") == ((1L, 2L)))
+    // the bullet doc's '-' tokens carry no letter: 6/9 < 0.8 => fail
+    assert(rows("alpha_words") == ((2L, 1L)))
+    // conjunction: exactly the good doc
+    assert(rows("all") == ((1L, 2L)))
+    // pass + fail always partitions the corpus
+    rows.values.foreach { case (p, f) => assert(p + f == 3L) }
+  }
+
+  // ---------------------------------------------------------------- hll
+
+  private lazy val hllDir: String = {
+    val d = Files.createTempDirectory("hll").toString
+    // type "a": 30 distinct users (each seen twice — duplicates must
+    // not move the sketch); type "b": 500 distinct users
+    val a = (1L to 30L).flatMap(u => Seq(("a", u), ("a", u)))
+    val b = (1000L to 1499L).map(u => ("b", u))
+    (a ++ b).map { case (t, u) =>
+      (t, u, new Timestamp(1700000000000L))
+    }.toDF("event_type", "user_id", "ts")
+      .write.parquet(s"$d/events.parquet")
+    d
+  }
+
+  test("hll: linear-counting branch is exact-formula, estimate tracks exact") {
+    val rows = CoreRelational.a20Hll(spark, hllDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    val (zerosA, estA, exactA) = rows("a")
+    assert(exactA == 30L)
+    // 30 hashed users cannot fill 256 registers; small-range branch
+    // must fire and equal the linear-counting formula exactly
+    assert(zerosA >= 226L)
+    val lin = 256.0 * math.log(256.0 / zerosA)
+    assert(math.abs(estA - lin) < 1e-4)
+    // linear counting at n<<m is tight
+    assert(math.abs(estA - 30.0) / 30.0 < 0.15)
+    val (_, estB, exactB) = rows("b")
+    assert(exactB == 500L)
+    // standard HLL error at m=256 is ~6.5%; allow 3 sigma
+    assert(math.abs(estB - 500.0) / 500.0 < 0.20)
+  }
+
+  test("hll: duplicate-insensitive (union of duplicates = set)") {
+    val d2 = Files.createTempDirectory("hll2").toString
+    (1L to 30L).map(u => ("a", u, new Timestamp(1700000000000L)))
+      .toDF("event_type", "user_id", "ts")
+      .write.parquet(s"$d2/events.parquet")
+    val once = CoreRelational.a20Hll(spark, d2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val twice = CoreRelational.a20Hll(spark, hllDir).collect()
+      .filter(_.getString(0) == "a")
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(once == twice)
+  }
+
+  // --------------------------------------------------------- stationary
+
+  private def eventsDf(rows: Seq[(Long, Long, String)]) =
+    rows.zipWithIndex.map { case ((eid, uid, tp), i) =>
+      (eid, uid, tp, new Timestamp(1700000000000L + i * 1000L))
+    }.toDF("event_id", "user_id", "event_type", "ts")
+
+  test("markov stationary: alternating two-state chain settles at 1/2, 1/2") {
+    val d = Files.createTempDirectory("mkv").toString
+    eventsDf(Seq(
+      (1L, 1L, "a"), (2L, 1L, "b"), (3L, 1L, "a"), (4L, 1L, "b"),
+      (5L, 2L, "b"), (6L, 2L, "a"), (7L, 2L, "b"), (8L, 2L, "a")))
+      .write.parquet(s"$d/events.parquet")
+    val got = EventOps.evMarkovStationary(spark, d).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(got("a") == ((0.5, 0.5)))
+    assert(got("b") == ((0.5, 0.5)))
+  }
+
+  test("markov stationary: absorbing state takes the mass; self-loop added") {
+    val d = Files.createTempDirectory("mkv2").toString
+    // one user: a, a, c — P(a,a)=1/2, P(a,c)=1/2, c gets a self-loop.
+    // From uniform (1/2, 1/2): pi_a halves each round => 0.5^9 after 8.
+    eventsDf(Seq((1L, 1L, "a"), (2L, 1L, "a"), (3L, 1L, "c")))
+      .write.parquet(s"$d/events.parquet")
+    val got = EventOps.evMarkovStationary(spark, d).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got("a") == 0.001953) // round(0.5^9, 6)
+    assert(got("c") == 0.998047)
+  }
+
+  // ---------------------------------------------------------------- lcc
+
+  private lazy val triDir: String = {
+    val d = Files.createTempDirectory("lcc").toString
+    // co-occurrence edges (each needs 2 shared bulk customers):
+    // s1-s2, s1-s3, s2-s3 (a triangle), s3-s4 (a pendant edge)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+    val rows = edges.zipWithIndex.flatMap { case ((sa, sb), e) =>
+      Seq(0, 1).flatMap { k =>
+        val cust = (e * 2 + k + 1).toLong // dedicated customer per copy
+        val ord = cust * 10
+        Seq((ord, cust, sa), (ord, cust, sb))
+      }
+    }
+    rows.map { case (o, c, _) => (o, c) }.distinct
+      .toDF("o_orderkey", "o_custkey").write.parquet(s"$d/orders.parquet")
+    rows.map { case (o, _, sk) => (o, sk, java.math.BigDecimal.valueOf(50)) }
+      .toDF("l_orderkey", "l_suppkey", "l_quantity")
+      .write.parquet(s"$d/lineitem.parquet")
+    d
+  }
+
+  test("clustcoeff: triangle corners 1.0, hub 1/3, pendant NULL") {
+    val got = GraphOps.graphClustCoeff(spark, triDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getDouble(3))).toList
+    assert(got == List(
+      (1L, 2L, 1L, 1.0),
+      (2L, 2L, 1L, 1.0),
+      (3L, 3L, 1L, 0.333333),
+      (4L, 1L, 0L, null)))
+  }
+
+  test("triangles and clustcoeff agree on the shared memoized artifact") {
+    val tri = GraphOps.graphTriangles(spark, triDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tri == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+}
