@@ -1068,7 +1068,63 @@ object CoreRelational {
       .limit(20)
   }
 
+  /** O: EXACT distributed weighted median — per supplier nation, the
+    * price at which half the shipped quantity lies below (the
+    * robust "typical price point" a mean can't give on skewed money
+    * data; `percentile_approx` trades exactness away, this doesn't).
+    *
+    * Lower weighted median: the smallest price p with
+    * 2·cumweight(≤p) ≥ totalweight. The cumulative weight is the
+    * TWO-LEVEL bucketed prefix sum (the ev_concurrency /
+    * sourceCumTokens idiom, keyed here by fixed-width PRICE buckets —
+    * the bucket id is a prefix of the value sort order, so intra-
+    * bucket windows + a per-nation bucket-offset table compose to the
+    * exact global order): no nation — however dominant — is ever one
+    * monolithic window partition; at 100 TB each (nation, bucket)
+    * window partition is a bounded value slice, and the offset window
+    * runs over ≤ ~100 bucket rows per nation. Crossing-row selection
+    * is a min_by-style aggregate, not a second sort. All weights are
+    * exact integers (quantity), so the threshold compare 2·cum ≥ tot
+    * has no FP at all; the median price itself is one decimal cast. */
+  def o15Wmedian(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_suppkey"),
+      col("l_extendedprice").as("price"),
+      col("l_quantity").cast("bigint").as("w"),
+      col("l_orderkey"), col("l_linenumber"))
+    val sup = Tables.supplier(s, d)
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val nat = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
+    val fact = li.join(sup, li("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("price"), col("w"),
+        col("l_orderkey"), col("l_linenumber"))
+      .withColumn("__b", floor(col("price") / 1000).cast("int"))
+    val wIn = Window.partitionBy("n_name", "__b")
+      .orderBy(col("price"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wOff = Window.partitionBy("n_name").orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val groups = fact.groupBy(col("n_name"), col("__b"))
+      .agg(sum(col("w")).as("__g_tot"))
+    val offs = groups
+      .withColumn("__g_off", coalesce(sum(col("__g_tot")).over(wOff), lit(0L)))
+      .select("n_name", "__b", "__g_off")
+    val tots = groups.groupBy("n_name").agg(sum(col("__g_tot")).as("tot_w"))
+    fact
+      .withColumn("__run", sum(col("w")).over(wIn))
+      .join(offs, Seq("n_name", "__b"))
+      .withColumn("cum", col("__g_off") + col("__run"))
+      .join(broadcast(tots), Seq("n_name")) // |nations| rows
+      .filter(col("cum") * 2 >= col("tot_w"))
+      .groupBy(col("n_name"))
+      .agg(min(col("price")).as("mp"), max(col("tot_w")).as("total_weight"))
+      .select(col("n_name"), col("total_weight"),
+        col("mp").cast("double").as("w_median_price"))
+      .orderBy(col("n_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "o15_wmedian"    -> o15Wmedian _,
     "o11_diversify"  -> o11Diversify _,
     "o10_skyline"    -> o10Skyline _,
     "dq_benford"     -> dqBenford _,
@@ -1376,6 +1432,28 @@ object CoreRelational {
     // replays the KMV sketch exactly: frac = first 52 md5 bits / 2^52
     // (every Σ digit·16^(12-i) term and the sum are exact doubles),
     // k smallest DISTINCT fracs, est = 63/h_64 (exact size below 64)
+    // the oracle's monolithic per-nation window computes the same
+    // cumulative weight the engine's two-level bucketed prefix sum
+    // does; identical crossing rule, exact integers throughout
+    "o15_wmedian" ->
+      """WITH f AS (
+        |  SELECT n.n_name, l.l_extendedprice AS price,
+        |    CAST(l.l_quantity AS BIGINT) AS w,
+        |    l.l_orderkey, l.l_linenumber
+        |  FROM lineitem l
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey),
+        |c AS (
+        |  SELECT n_name, price,
+        |    SUM(w) OVER (PARTITION BY n_name
+        |      ORDER BY price, l_orderkey, l_linenumber
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(w) OVER (PARTITION BY n_name) AS tot_w
+        |  FROM f)
+        |SELECT n_name, CAST(MAX(tot_w) AS BIGINT) AS total_weight,
+        |  CAST(MIN(price) AS DOUBLE) AS w_median_price
+        |FROM c WHERE cum * 2 >= tot_w
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     // full HLL replay: same md5 register/rank derivation by string
     // ops, exact scaled-integer harmonic sum, same one-expression
     // estimate + linear-counting branch

@@ -704,7 +704,71 @@ object TextOps {
       .orderBy(col("rule"))
   }
 
+  /** Pairwise Jensen–Shannon divergence between the unigram
+    * distributions of document SOURCES — the standard "how different
+    * are my corpus slices" panel a mixing pipeline reads before
+    * setting source weights (JSD is symmetric, bounded by ln 2, and
+    * defined even on disjoint vocabularies — exactly why it beats
+    * raw KL here).
+    *
+    * Shared-token identity: tokens present in only one side
+    * contribute 0.5·ln2·mass in closed form (P sums to 1), so JSD =
+    * Σ_shared [½p·ln(2p/(p+q)) + ½q·ln(2q/(p+q))]
+    *   + ½·ln2·(2 − Σ_shared p − Σ_shared q)
+    * — the expensive union-vocab full-outer join NEVER happens; only
+    * the inner join on shared tokens does.
+    *
+    * 100 TB posture: one tokenize + (source, tok) count agg (map-side
+    * combined, vocab-sized output); the pair expansion is the vocab
+    * self-join with |sources| bounded (a domain constant), so the
+    * joined table is ≤ |vocab|·|sources|² — corpus-independent.
+    * Determinism: p = n/tot is an exact-integer division; each
+    * per-token term quantizes to a 1e-12 scaled long before the
+    * order-free integer sum (the text_textrank idiom); ln only ever
+    * sees identical doubles in both engines. */
+  def textJsdSources(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.spread(Tables.documents(s, d))
+      .select(col("source"), explode(expr(
+        "filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')"))
+        .as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("n"))
+    val tot = tok.groupBy("source").agg(sum(col("n")).as("tot"))
+    val p = tok.join(tot, "source")
+      .select(col("source"), col("tok"),
+        (col("n").cast("double") / col("tot").cast("double")).as("p"))
+    val a = p.select(col("source").as("s1"), col("tok"), col("p").as("pa"))
+    val b = p.select(col("source").as("s2"), col("tok"), col("p").as("pb"))
+    // all source pairs, even vocabulary-disjoint ones (their JSD is
+    // exactly ln 2 from the closed form with zero shared sums)
+    val grid = tot.select(col("source").as("s1"))
+      .crossJoin(tot.select(col("source").as("s2")))
+      .filter(col("s1") < col("s2"))
+    val shared = a.join(b, Seq("tok")).filter(col("s1") < col("s2"))
+      .withColumn("term", expr(
+        "cast(floor((0.5 * pa * ln(2.0 * pa / (pa + pb))" +
+          " + 0.5 * pb * ln(2.0 * pb / (pa + pb)))" +
+          " * 1000000000000.0 + 0.5) as bigint)"))
+      .withColumn("qpa",
+        expr("cast(floor(pa * 1000000000000.0 + 0.5) as bigint)"))
+      .withColumn("qpb",
+        expr("cast(floor(pb * 1000000000000.0 + 0.5) as bigint)"))
+      .groupBy(col("s1"), col("s2"))
+      .agg(count(lit(1)).as("n_shared"), sum(col("term")).as("sq"),
+        sum(col("qpa")).as("spa"), sum(col("qpb")).as("spb"))
+    grid.join(shared, Seq("s1", "s2"), "left")
+      .select(col("s1"), col("s2"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        round(expr(
+          "cast(coalesce(sq, 0) as double) / 1000000000000.0" +
+            " + 0.5 * ln(2.0)" +
+            " * (2.0 - cast(coalesce(spa, 0) as double) / 1000000000000.0" +
+            " - cast(coalesce(spb, 0) as double) / 1000000000000.0)"), 6)
+          .as("jsd"))
+      .orderBy(col("s1"), col("s2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_jsd_sources"      -> textJsdSources _,
     "text_gopher_rules"     -> textGopherRules _,
     "text_textrank"         -> textTextrank _,
     "text_sentiment"        -> textSentiment _,
@@ -730,6 +794,44 @@ object TextOps {
     "text_fingerprint_roll" -> textFingerprintRoll _)
 
   val oracles: Map[String, String] = Map(
+    // shared-token JSD identity with the same 1e-12 quantized terms
+    "text_jsd_sources" ->
+      """WITH tk AS (
+        |  SELECT source, UNNEST(list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'),
+        |    t -> t != '')) AS tok
+        |  FROM documents),
+        |cnt AS (SELECT source, tok, COUNT(*) AS n FROM tk GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(SUM(n) AS BIGINT) AS tot
+        |        FROM cnt GROUP BY 1),
+        |p AS (
+        |  SELECT c.source, c.tok,
+        |    CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS p
+        |  FROM cnt c JOIN tot t USING (source)),
+        |sh AS (
+        |  SELECT a.source AS s1, b.source AS s2, a.p AS pa, b.p AS pb
+        |  FROM p a JOIN p b ON a.tok = b.tok AND a.source < b.source),
+        |agg AS (
+        |  SELECT s1, s2, COUNT(*) AS n_shared,
+        |    CAST(SUM(CAST(floor((0.5 * pa * ln(2.0 * pa / (pa + pb))
+        |        + 0.5 * pb * ln(2.0 * pb / (pa + pb)))
+        |        * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sq,
+        |    CAST(SUM(CAST(floor(pa * 1000000000000.0 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS spa,
+        |    CAST(SUM(CAST(floor(pb * 1000000000000.0 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS spb
+        |  FROM sh GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT a.source AS s1, b.source AS s2
+        |  FROM tot a, tot b WHERE a.source < b.source)
+        |SELECT g.s1, g.s2,
+        |  CAST(coalesce(n_shared, 0) AS BIGINT) AS n_shared,
+        |  round(CAST(coalesce(sq, 0) AS DOUBLE) / 1000000000000.0
+        |    + 0.5 * ln(2.0)
+        |    * (2.0 - CAST(coalesce(spa, 0) AS DOUBLE) / 1000000000000.0
+        |    - CAST(coalesce(spb, 0) AS DOUBLE) / 1000000000000.0), 6) AS jsd
+        |FROM grid g LEFT JOIN agg USING (s1, s2)
+        |ORDER BY s1, s2""".stripMargin,
     // same seven per-doc rule flags from identical word/line splits,
     // one aggregate, 8-row unpivot
     "text_gopher_rules" ->

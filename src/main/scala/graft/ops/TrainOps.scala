@@ -939,7 +939,51 @@ object TrainOps {
       .orderBy(col("replica"))
   }
 
+  /** Curriculum schedule manifest: order the corpus easy → hard
+    * (difficulty proxy: document length, the classic curriculum-
+    * learning axis — short docs first) and cut it into 4 equal-count
+    * phases; emit the per-phase manifest a trainer consumes (doc
+    * count, difficulty boundaries, token budget). The "start easy,
+    * grow hard" counterpart of [[mixBudget]]'s source knob.
+    *
+    * The global difficulty rank is the TWO-LEVEL distributed
+    * row_number keyed by fixed-width LENGTH buckets (the o15_wmedian
+    * value-bucket idiom): rank = per-bucket row_number (ordered by
+    * (n_chars, doc_id)) + the exclusive prefix count of earlier
+    * buckets — a global ORDER BY rank with no monolithic window; the
+    * offset window runs over the ≤ ~thousands of bucket rows. Phase =
+    * ⌊(rank−1)·4/N⌋+1, the exact-integer ntile closed form (the
+    * ev_rfm convention). All arithmetic is exact integers. */
+  def packCurriculum(s: SparkSession, d: String): DataFrame = {
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        TextAnalysis.token_count_bpe(s, col("text")).cast("bigint")
+          .as("n_tokens"))
+      .withColumn("__b", floor(col("n_chars") / 100).cast("int"))
+    val wIn = Window.partitionBy("__b").orderBy(col("n_chars"), col("doc_id"))
+    val wOff = Window.orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val groups = t.groupBy("__b").agg(count(lit(1)).as("__g_n"))
+    val offs = groups
+      .withColumn("__g_off", coalesce(sum(col("__g_n")).over(wOff), lit(0L)))
+      .select("__b", "__g_off")
+    val total = t.agg(count(lit(1)).as("n_total"))
+    t.withColumn("__rn", row_number().over(wIn))
+      .join(offs, Seq("__b"))
+      .withColumn("rank", col("__g_off") + col("__rn"))
+      .crossJoin(broadcast(total))
+      .withColumn("phase",
+        expr("cast((rank - 1) * 4 div n_total as int) + 1"))
+      .groupBy(col("phase"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("difficulty_min"),
+        max(col("n_chars")).as("difficulty_max"),
+        sum(col("n_tokens")).as("total_tokens"))
+      .orderBy(col("phase"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pack_curriculum"    -> packCurriculum _,
     "sample_poisson"     -> samplePoisson _,
     "corpus_diff"        -> corpusDiff _,
     "text_classifier_nb" -> textClassifierNb _,
@@ -1006,6 +1050,23 @@ object TrainOps {
       |  FROM p)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // monolithic row_number replays the engine's two-level bucketed
+    // global rank; identical integer ntile closed form
+    "pack_curriculum" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, n_chars, $bpeTokens AS n_tokens
+         |  FROM documents),
+         |r AS (
+         |  SELECT n_chars, n_tokens,
+         |    row_number() OVER (ORDER BY n_chars, doc_id) AS rank,
+         |    (SELECT COUNT(*) FROM t) AS n_total
+         |  FROM t)
+         |SELECT CAST((rank - 1) * 4 // n_total AS INTEGER) + 1 AS phase,
+         |  COUNT(*) AS n_docs,
+         |  MIN(n_chars) AS difficulty_min,
+         |  MAX(n_chars) AS difficulty_max,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+         |FROM r GROUP BY 1 ORDER BY phase""".stripMargin,
     // same md5-fraction, same CDF constants, exact integer aggregates
     "sample_poisson" ->
       """WITH x AS (

@@ -159,4 +159,70 @@ class Round6cOpsSpec extends SparkFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(tri == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
+
+  // ----------------------------------------------------- weighted median
+
+  private def wmedianDir(rows: Seq[(Long, java.math.BigDecimal, Long)])
+      : String = {
+    val d = Files.createTempDirectory("wmed").toString
+    Seq((0L, "ALPHA")).toDF("n_nationkey", "n_name")
+      .write.parquet(s"$d/nation.parquet")
+    Seq((1L, 0L)).toDF("s_suppkey", "s_nationkey")
+      .write.parquet(s"$d/supplier.parquet")
+    rows.zipWithIndex.map { case ((ok, price, qty), i) =>
+      (ok, i + 1, 1L, price, java.math.BigDecimal.valueOf(qty))
+    }.toDF("l_orderkey", "l_linenumber", "l_suppkey",
+      "l_extendedprice", "l_quantity")
+      .write.parquet(s"$d/lineitem.parquet")
+    d
+  }
+
+  test("wmedian: crossing rule on a hand-built weight ladder") {
+    def bd(v: Long) = java.math.BigDecimal.valueOf(v)
+    // weights 1,1,2 over prices 10,20,30: cum 1,2,4; 2*2 >= 4 at 20
+    val d1 = wmedianDir(Seq((1L, bd(10)), (2L, bd(20)), (3L, bd(30)))
+      .zip(Seq(1L, 1L, 2L)).map { case ((o, p), w) => (o, p, w) })
+    val r1 = CoreRelational.o15Wmedian(spark, d1).collect()
+    assert(r1.length == 1)
+    assert(r1.head.getLong(1) == 4L)       // total_weight
+    assert(r1.head.getDouble(2) == 20.0)   // w_median_price
+    // a heavy tail row drags the median to it: weights 1,1,6 -> 30
+    val d2 = wmedianDir(Seq((1L, bd(10)), (2L, bd(20)), (3L, bd(30)))
+      .zip(Seq(1L, 1L, 6L)).map { case ((o, p), w) => (o, p, w) })
+    val r2 = CoreRelational.o15Wmedian(spark, d2).collect()
+    assert(r2.head.getLong(1) == 8L)
+    assert(r2.head.getDouble(2) == 30.0)
+  }
+
+  // -------------------------------------------------------- jsd sources
+
+  test("jsd: identical sources diverge 0, disjoint sources hit ln 2") {
+    val d = Files.createTempDirectory("jsd").toString
+    Seq(
+      (1L, "alpha beta gamma", "s1"),
+      (2L, "alpha beta gamma", "s2"),
+      (3L, "delta epsilon", "s3"))
+      .toDF("doc_id", "text", "source")
+      .write.parquet(s"$d/documents.parquet")
+    val got = TextOps.textJsdSources(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(("s1", "s2")) == ((3L, 0.0)))
+    // no shared tokens: JSD = ln 2 exactly (round 6)
+    assert(got(("s1", "s3")) == ((0L, 0.693147)))
+    assert(got(("s2", "s3")) == ((0L, 0.693147)))
+  }
+
+  // --------------------------------------------------------- curriculum
+
+  test("curriculum: 8 docs cut into 4 equal phases by length") {
+    val d = Files.createTempDirectory("curr").toString
+    (1 to 8).map(i => (i.toLong, "x" * i, i.toLong))
+      .toDF("doc_id", "text", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val got = TrainOps.packCurriculum(spark, d).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toList == List(
+      (1, 2L, 1L, 2L), (2, 2L, 3L, 4L), (3, 2L, 5L, 6L), (4, 2L, 7L, 8L)))
+  }
 }
