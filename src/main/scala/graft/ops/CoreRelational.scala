@@ -1123,7 +1123,59 @@ object CoreRelational {
       .orderBy(col("n_name"))
   }
 
+  /** A: EXACT money allocation by the largest-remainder method — split
+    * each order's total price (in integer cents) across its line items
+    * proportional to quantity, with the allocation GUARANTEED to sum
+    * back to the total: base share = ⌊total·qty/sumqty⌋, and the
+    * leftover cents go one each to the lines with the largest
+    * remainder (deterministic tie-break on line number). The standard
+    * finance-ETL primitive (prorating revenue, tax, discounts) that a
+    * naive `total · qty / sumqty` double multiply gets wrong — FP
+    * shares neither sum to the total nor reproduce across engines.
+    *
+    * 100 TB posture: one fact join + one order-keyed agg + one
+    * order-keyed window (o_orderkey is the high-cardinality balanced
+    * key — never a monolithic partition); everything is exact 64-bit
+    * integer arithmetic (cents·qty ≤ ~10¹⁰), no FP anywhere. The
+    * deterministic `% 50` order sample keeps the audit output bounded
+    * and pushes down to the scan. */
+  def a21Allocate(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderkey") % 50 === 0)
+      .select(col("o_orderkey"),
+        // money → exact cents through decimal(18,2) (the repo's money
+        // convention): a double×100 truncation would drop a cent
+        (col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("bigint").as("total_cents"))
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("bigint").as("qty"))
+    val j = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .select(col("o_orderkey"), col("l_linenumber"), col("qty"),
+        col("total_cents"))
+    val sq = j.groupBy("o_orderkey").agg(sum(col("qty")).as("sumqty"))
+    val wOrd = Window.partitionBy("o_orderkey")
+    // tie-break includes qty: the testdata's l_linenumber is not
+    // unique per order; rows identical in (line, qty) have equal fr
+    // and base, so whichever gets the leftover cent, the output
+    // multiset is the same
+    val wr = Window.partitionBy("o_orderkey")
+      .orderBy(col("fr").desc, col("l_linenumber").asc, col("qty").asc)
+    j.join(sq, Seq("o_orderkey"))
+      .withColumn("base", expr("total_cents * qty div sumqty"))
+      .withColumn("fr", expr("(total_cents * qty) % sumqty"))
+      .withColumn("rsum", sum(col("fr")).over(wOrd))
+      .withColumn("r", expr("rsum div sumqty")) // exact: sumqty | Σfr
+      .withColumn("rn", row_number().over(wr))
+      .select(col("o_orderkey"), col("l_linenumber"), col("qty"),
+        col("total_cents"),
+        (col("base") + when(col("rn") <= col("r"), 1L).otherwise(0L))
+          .as("alloc_cents"))
+      .orderBy(col("o_orderkey"), col("l_linenumber"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a21_allocate"   -> a21Allocate _,
     "o15_wmedian"    -> o15Wmedian _,
     "o11_diversify"  -> o11Diversify _,
     "o10_skyline"    -> o10Skyline _,
@@ -1432,6 +1484,40 @@ object CoreRelational {
     // replays the KMV sketch exactly: frac = first 52 md5 bits / 2^52
     // (every Σ digit·16^(12-i) term and the sum are exact doubles),
     // k smallest DISTINCT fracs, est = 63/h_64 (exact size below 64)
+    // identical integer largest-remainder replay: base = floor-div,
+    // leftover cents by (remainder DESC, linenumber) row_number
+    "a21_allocate" ->
+      """WITH o AS (
+        |  SELECT o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS total_cents
+        |  FROM orders WHERE o_orderkey % 50 = 0),
+        |l AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CAST(l_quantity AS BIGINT) AS qty
+        |  FROM lineitem),
+        |j AS (
+        |  SELECT o.o_orderkey, l.l_linenumber, l.qty, o.total_cents
+        |  FROM l JOIN o ON l.l_orderkey = o.o_orderkey),
+        |sq AS (
+        |  SELECT o_orderkey, CAST(SUM(qty) AS BIGINT) AS sumqty
+        |  FROM j GROUP BY 1),
+        |b AS (
+        |  SELECT j.o_orderkey, j.l_linenumber, j.qty, j.total_cents,
+        |    j.total_cents * j.qty // s.sumqty AS base,
+        |    (j.total_cents * j.qty) % s.sumqty AS fr,
+        |    s.sumqty
+        |  FROM j JOIN sq s USING (o_orderkey)),
+        |w AS (
+        |  SELECT *,
+        |    CAST(SUM(fr) OVER (PARTITION BY o_orderkey) AS BIGINT)
+        |      // sumqty AS r,
+        |    row_number() OVER (PARTITION BY o_orderkey
+        |      ORDER BY fr DESC, l_linenumber ASC, qty ASC) AS rn
+        |  FROM b)
+        |SELECT o_orderkey, l_linenumber, qty, total_cents,
+        |  base + CASE WHEN rn <= r THEN 1 ELSE 0 END AS alloc_cents
+        |FROM w ORDER BY o_orderkey, l_linenumber""".stripMargin,
     // the oracle's monolithic per-nation window computes the same
     // cumulative weight the engine's two-level bucketed prefix sum
     // does; identical crossing rule, exact integers throughout

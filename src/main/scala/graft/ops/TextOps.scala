@@ -704,6 +704,33 @@ object TextOps {
       .orderBy(col("rule"))
   }
 
+  /** Per-document n-gram NOVELTY in corpus-id order: the share of a
+    * doc's distinct word-3-gram shingles whose FIRST corpus occurrence
+    * (minimum doc_id) is the doc itself — the curation signal behind
+    * "is the tail of this crawl adding anything": low-novelty late
+    * documents are re-treads even when no single document duplicates
+    * them (which is why dedup alone can't see this).
+    *
+    * 100 TB posture: reads the memoized (doc_id, shingle) inverted
+    * index ([[DedupOps.shingleRows]] — the same artifact the n-gram
+    * dedup and contamination checks amortize); first-occurrence is a
+    * map-side-combinable min agg on the shingle key; the attribution
+    * join is 1:1 (first-occurrence is unique per shingle), so even a
+    * degenerate hot shingle fans out no rows. No windows, no pair
+    * expansion. Counts exact; the ratio is one division, round 6. */
+  def textNovelty(s: SparkSession, d: String): DataFrame = {
+    val sh = DedupOps.shingleRows(s, d).select(col("doc_id"), col("shingle"))
+    val first = sh.groupBy(col("shingle")).agg(min(col("doc_id")).as("fd"))
+    sh.join(first, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum((col("fd") === col("doc_id")).cast("long")).as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        round(col("n_novel").cast("double")
+          / col("n_shingles").cast("double"), 6).as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Pairwise Jensen–Shannon divergence between the unigram
     * distributions of document SOURCES — the standard "how different
     * are my corpus slices" panel a mixing pipeline reads before
@@ -768,6 +795,7 @@ object TextOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_novelty"          -> textNovelty _,
     "text_jsd_sources"      -> textJsdSources _,
     "text_gopher_rules"     -> textGopherRules _,
     "text_textrank"         -> textTextrank _,
@@ -794,6 +822,20 @@ object TextOps {
     "text_fingerprint_roll" -> textFingerprintRoll _)
 
   val oracles: Map[String, String] = Map(
+    // same shingle construction (TrainOps.shingleCte, shared with the
+    // ngram-dedup/contamination oracles), min-doc_id first occurrence
+    "text_novelty" ->
+      s"""WITH ${TrainOps.shingleCte},
+         |f AS (SELECT shingle, MIN(doc_id) AS fd FROM sh GROUP BY 1),
+         |n AS (
+         |  SELECT s.doc_id, COUNT(*) AS n_shingles,
+         |    CAST(SUM(CASE WHEN f.fd = s.doc_id THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_novel
+         |  FROM sh s JOIN f USING (shingle) GROUP BY 1)
+         |SELECT doc_id, n_shingles, n_novel,
+         |  round(CAST(n_novel AS DOUBLE) / CAST(n_shingles AS DOUBLE), 6)
+         |    AS novelty
+         |FROM n ORDER BY doc_id""".stripMargin,
     // shared-token JSD identity with the same 1e-12 quantized terms
     "text_jsd_sources" ->
       """WITH tk AS (

@@ -1016,8 +1016,8 @@ object TrainOps {
     """CAST(len(regexp_extract_all(text, '\w{1,4}|[^\w\s]')) AS BIGINT)"""
 
   // the dedup_ngram shingle construction, reused verbatim by the
-  // contamination oracle
-  private val shingleCte =
+  // contamination oracle and TextOps' novelty oracle
+  private[ops] val shingleCte =
     """toks AS (
       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
       |    t -> t != '') AS toks

@@ -215,6 +215,41 @@ class Round6cOpsSpec extends SparkFunSuite {
 
   // --------------------------------------------------------- curriculum
 
+  test("allocate: largest-remainder cents sum back to the total exactly") {
+    val d = Files.createTempDirectory("alloc").toString
+    def bd(v: Double) = java.math.BigDecimal.valueOf(v)
+    Seq((50L, bd(1.00)), (100L, bd(0.10)), (51L, bd(9.99)))
+      .toDF("o_orderkey", "o_totalprice").write.parquet(s"$d/orders.parquet")
+    Seq( // order 50: three equal lines fight over 100 cents
+      (50L, 1, bd(1)), (50L, 2, bd(1)), (50L, 3, bd(1)),
+      // order 100: 3:7 split of 10 cents lands exactly
+      (100L, 1, bd(3)), (100L, 2, bd(7)),
+      // order 51 is filtered out by the % 50 sample
+      (51L, 1, bd(2)))
+      .toDF("l_orderkey", "l_linenumber", "l_quantity")
+      .write.parquet(s"$d/lineitem.parquet")
+    val got = CoreRelational.a21Allocate(spark, d).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(4)).toMap
+    assert(got == Map(
+      (50L, 1) -> 34L, (50L, 2) -> 33L, (50L, 3) -> 33L,
+      (100L, 1) -> 3L, (100L, 2) -> 7L))
+  }
+
+  test("novelty: first occurrence owns the shingle, re-treads score low") {
+    val d = Files.createTempDirectory("novel").toString
+    Seq(
+      (1L, "a b c d"), // shingles {abc, bcd}: both novel
+      (2L, "a b c d"), // exact re-tread: 0 novel
+      (3L, "b c d e")) // {bcd (seen), cde (new)}: half novel
+      .toDF("doc_id", "text").write.parquet(s"$d/documents.parquet")
+    val got = TextOps.textNovelty(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(got(1L) == ((2L, 2L, 1.0)))
+    assert(got(2L) == ((2L, 0L, 0.0)))
+    assert(got(3L) == ((2L, 1L, 0.5)))
+  }
+
   test("curriculum: 8 docs cut into 4 equal phases by length") {
     val d = Files.createTempDirectory("curr").toString
     (1 to 8).map(i => (i.toLong, "x" * i, i.toLong))
