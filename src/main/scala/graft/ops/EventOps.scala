@@ -419,6 +419,99 @@ object EventOps {
       .orderBy(col("state"))
   }
 
+  /** Markov removal-effect attribution (Anderl et al. 2014 — the
+    * data-driven alternative to last-touch): model user journeys as a
+    * first-order chain over event types with START and two absorbing
+    * states (CONV = reached the first `purchase`, NULL = journey ended
+    * without one); each channel's credit is its REMOVAL EFFECT — how
+    * much the chain's conversion probability drops when the channel is
+    * deleted (transitions into it become failures, per the paper; no
+    * renormalization).
+    *
+    * Corpus-scale work is ONE user-keyed window pass (journey = the
+    * event prefix strictly before the first purchase) plus one
+    * (from, to) count aggregate. The transition matrix is DOMAIN-
+    * CONSTANT — ≤ (|event types|+1)² rows regardless of SF — so it is
+    * collected (the bounded-driver-scalar precedent: bucket ids, node
+    * counts) and the absorption probabilities are solved driver-side:
+    * 16 fixed value-iteration rounds per scenario, one scenario per
+    * channel plus the base chain. Spending 80 Spark jobs on a ≤36-row
+    * table would be the anti-pattern here, not the collect.
+    *
+    * Determinism: P entries are exact integer ratios; each round's
+    * contributions quantize to 1e-12 scaled longs (integer sums are
+    * order-free), the ev_markov_stationary convention, and the oracle
+    * unrolls the identical 16 rounds per scenario in SQL. */
+  def evAttribMarkov(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val e = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("et"))
+      .withColumn("rn", row_number().over(w))
+    val fp = e.filter(col("et") === "purchase")
+      .groupBy("user_id").agg(min(col("rn")).as("frn"))
+    val j = e.join(fp, Seq("user_id"), "left")
+      .filter(col("frn").isNull || col("rn") < col("frn"))
+      .withColumn("conv", col("frn").isNotNull)
+    val wj = Window.partitionBy("user_id").orderBy("rn")
+    val trMain = j
+      .withColumn("t", coalesce(lead(col("et"), 1).over(wj),
+        when(col("conv"), "CONV").otherwise("NULL")))
+      .select(col("et").as("f"), col("t"))
+    val trStart = j.filter(col("rn") === 1)
+      .select(lit("START").as("f"), col("et").as("t"))
+    val trDirect = fp.filter(col("frn") === 1)
+      .select(lit("START").as("f"), lit("CONV").as("t"))
+    val cnt = trMain.unionAll(trStart).unionAll(trDirect)
+      .groupBy("f", "t").agg(count(lit(1)).as("n"))
+    val tot = cnt.groupBy("f").agg(sum(col("n")).as("tot"))
+    // bounded driver panel: the (from, to, p) matrix over event TYPES
+    val pm = cnt.join(tot, "f")
+      .select(col("f"), col("t"),
+        (col("n").cast("double") / col("tot").cast("double")).as("p"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+
+    // 16 rounds of v'(s) = Σ_t P(s,t)·val(t), val(CONV)=1, val(NULL)=0;
+    // contributions floor-quantized to 1e-12 longs exactly like the SQL
+    def solve(edges: Array[(String, String, Double)]): Double = {
+      val states = edges.map(_._1).distinct
+      var v = Map.empty[String, Double]
+      for (_ <- 1 to 16) {
+        val prev = v
+        v = states.map { st =>
+          val sq = edges.iterator.filter(_._1 == st).map { case (_, t, p) =>
+            val tv =
+              if (t == "CONV") 1.0
+              else if (t == "NULL") 0.0
+              else prev.getOrElse(t, 0.0)
+            math.floor(p * tv * 1e12 + 0.5).toLong
+          }.sum
+          st -> sq.toDouble / 1e12
+        }.toMap
+      }
+      v.getOrElse("START", 0.0)
+    }
+
+    def r6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+
+    val base = solve(pm)
+    val channels = pm.map(_._1).filter(_ != "START").distinct.sorted
+    val rows = channels.map { c =>
+      val removed = pm.filter(_._1 != c)
+        .map { case (f, t, p) => (f, if (t == c) "NULL" else t, p) }
+      val pc = solve(removed)
+      val eff = if (base == 0.0) null else java.lang.Double.valueOf(
+        r6((base - pc) / base))
+      (c, r6(base), r6(pc), eff)
+    }
+    rows.toSeq
+      .toDF("channel", "conv_base", "conv_removed", "removal_effect")
+      .orderBy(col("channel"))
+  }
+
   /** Population-stability-index (PSI) drift monitor: the standard
     * model-ops check that a feature's distribution hasn't shifted
     * between a reference and a current population (PSI < 0.1 stable,
@@ -986,6 +1079,7 @@ object EventOps {
     "ev_mad"         -> evMad _,
     "ev_transitions" -> evTransitions _,
     "ev_markov_stationary" -> evMarkovStationary _,
+    "ev_attrib_markov" -> evAttribMarkov _,
     "ev_merge_partials" -> evMergePartials _,
     "ev_attribution" -> evAttribution _,
     "ev_gapfill"     -> evGapfill _,
@@ -1404,6 +1498,75 @@ object EventOps {
         |  CAST(len(regexp_extract_all(seq, 'vv+c')) AS INTEGER)
         |    AS n_browse
         |FROM seq ORDER BY user_id""".stripMargin,
+    // full removal-effect replay: same journey/transition derivation,
+    // then per scenario (base + one per channel, the testdata's fixed
+    // type set) 16 unrolled value-iteration rounds with identical
+    // 1e-12 quantized contributions
+    "ev_attrib_markov" -> {
+      val chans = Seq("click", "error", "signup", "view")
+      def iter(pfx: String, r: Int) =
+        s"""${pfx}v$r AS (
+           |  SELECT f AS state,
+           |    CAST(SUM(CAST(floor(p * (CASE WHEN t = 'CONV' THEN 1.0
+           |      WHEN t = 'NULL' THEN 0.0
+           |      ELSE coalesce(pv.v, 0.0) END)
+           |      * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+           |      / 1000000000000.0 AS v
+           |  FROM ${pfx}p ed LEFT JOIN ${pfx}v${r - 1} pv
+           |    ON ed.t = pv.state
+           |  GROUP BY f)""".stripMargin
+      def scenario(pfx: String, body: String) =
+        (s"""${pfx}p AS ($body),
+            |${pfx}v0 AS (
+            |  SELECT DISTINCT f AS state, CAST(0.0 AS DOUBLE) AS v
+            |  FROM ${pfx}p)""".stripMargin +:
+          (1 to 16).map(iter(pfx, _))).mkString(",\n")
+      val scenarios = scenario("base", "SELECT f, t, p FROM pm") +: chans
+        .map(c => scenario(c.substring(0, 2),
+          s"SELECT f, CASE WHEN t = '$c' THEN 'NULL' ELSE t END AS t, p" +
+            s" FROM pm WHERE f <> '$c'"))
+      val rows = chans.map { c =>
+        val p = c.substring(0, 2)
+        s"""SELECT '$c' AS channel,
+           |  round(bv.v, 6) AS conv_base,
+           |  round(cv.v, 6) AS conv_removed,
+           |  round(CASE WHEN bv.v = 0 THEN NULL
+           |    ELSE (bv.v - cv.v) / bv.v END, 6) AS removal_effect
+           |FROM (SELECT v FROM basev16 WHERE state = 'START') bv,
+           |     (SELECT v FROM ${p}v16 WHERE state = 'START') cv"""
+          .stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH e AS (
+         |  SELECT user_id, event_type AS et,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS rn
+         |  FROM events),
+         |fp AS (
+         |  SELECT user_id, MIN(rn) AS frn
+         |  FROM e WHERE et = 'purchase' GROUP BY 1),
+         |j AS (
+         |  SELECT e.user_id, e.et, e.rn, fp.frn IS NOT NULL AS conv
+         |  FROM e LEFT JOIN fp USING (user_id)
+         |  WHERE fp.frn IS NULL OR e.rn < fp.frn),
+         |tr AS (
+         |  SELECT et AS f,
+         |    coalesce(lead(et) OVER (PARTITION BY user_id ORDER BY rn),
+         |      CASE WHEN conv THEN 'CONV' ELSE 'NULL' END) AS t
+         |  FROM j
+         |  UNION ALL
+         |  SELECT 'START', et FROM j WHERE rn = 1
+         |  UNION ALL
+         |  SELECT 'START', 'CONV' FROM fp WHERE frn = 1),
+         |cnt AS (SELECT f, t, COUNT(*) AS n FROM tr GROUP BY 1, 2),
+         |tot AS (SELECT f, CAST(SUM(n) AS BIGINT) AS tot
+         |        FROM cnt GROUP BY 1),
+         |pm AS (
+         |  SELECT cnt.f, cnt.t,
+         |    CAST(cnt.n AS DOUBLE) / CAST(tot.tot AS DOUBLE) AS p
+         |  FROM cnt JOIN tot USING (f)),
+         |${scenarios.mkString(",\n")}
+         |SELECT * FROM ($rows) ORDER BY channel""".stripMargin
+    },
     // 8 unrolled power-iteration rounds over the same exact-ratio
     // transition matrix; contributions quantize to 1e-12 scaled longs
     "ev_markov_stationary" -> {

@@ -121,6 +121,29 @@ class Round6cOpsSpec extends SparkFunSuite {
     assert(got("c") == 0.998047)
   }
 
+  test("markov attribution: removal effects on a hand-solvable funnel") {
+    val d = Files.createTempDirectory("attr").toString
+    // u1/u3: click->purchase; u2: view only; u4: view->purchase;
+    // u5: immediate purchase (START->CONV direct edge)
+    eventsDf(Seq(
+      (1L, 1L, "click"), (2L, 1L, "purchase"),
+      (3L, 2L, "view"),
+      (4L, 3L, "click"), (5L, 3L, "purchase"),
+      (6L, 4L, "view"), (7L, 4L, "purchase"),
+      (8L, 5L, "purchase")))
+      .write.parquet(s"$d/events.parquet")
+    // P(START): click .4, view .4, CONV .2; click->CONV 1;
+    // view -> CONV .5 / NULL .5  =>  base = .4 + .2 + .2 = 0.8
+    // remove click: .4*0 + .4*.5 + .2 = 0.4  => effect 0.5
+    // remove view:  .4*1 + .4*0  + .2 = 0.6  => effect 0.25
+    val got = EventOps.evAttribMarkov(spark, d).collect()
+      .map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got == Map(
+      "click" -> ((0.8, 0.4, 0.5)),
+      "view" -> ((0.8, 0.6, 0.25))))
+  }
+
   // ---------------------------------------------------------------- lcc
 
   private lazy val triDir: String = {
