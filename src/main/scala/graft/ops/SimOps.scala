@@ -524,7 +524,51 @@ object SimOps {
       .orderBy("bin_lo")
   }
 
+  /** Cluster-quality panel over the IVF cells — the Davies–Bouldin-
+    * style health check run before trusting an ANN index or a
+    * clustering: per cell, COHESION (mean member-to-centroid cosine)
+    * against SEPARATION (the nearest other centroid's cosine), and
+    * their margin. A cell whose nearest neighbor centroid is more
+    * similar than its own members is a split/merge candidate; a low-
+    * cohesion cell is a garbage bucket catching outliers.
+    *
+    * 100 TB posture: reuses the memoized [[ivfIndex]] (assignment
+    * already paid), adds one broadcast join + one cell-keyed agg over
+    * the corpus and an nlist² centroid grid (domain-constant). Member
+    * sims accumulate as exact DECIMAL sums of 1e-6-rounded scores (the
+    * [[embSimHist]] idiom — order-proof); separation takes max over
+    * rounded sims; the margin subtracts two 6-decimal values
+    * (exact). */
+  def embClusterQuality(s: SparkSession, d: String): DataFrame = {
+    val (cents, assigned) = ivfIndex(s, d)
+    val centsF = cents.withColumn("centroid_f",
+      expr("transform(centroid, x -> cast(x as float))"))
+    val coh = assigned
+      .join(broadcast(centsF), Seq("centroid_id"))
+      .withColumn("q", round(CosineSimilarity.cosine_native(s,
+        col("embedding"), col("centroid_f")), 6).cast("decimal(9,6)"))
+      .groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n_vectors"), sum(col("q")).as("cs"))
+    val a = centsF.select(col("centroid_id").as("ci"),
+      col("centroid_f").as("ca"))
+    val b = centsF.select(col("centroid_id").as("cj"),
+      col("centroid_f").as("cb"))
+    val sep = a.crossJoin(broadcast(b)).filter(col("ci") =!= col("cj"))
+      .withColumn("sim", round(CosineSimilarity.cosine_native(s,
+        col("ca"), col("cb")), 6))
+      .groupBy(col("ci").as("centroid_id"))
+      .agg(max(col("sim")).as("nearest_sim"))
+    coh.join(sep, Seq("centroid_id"))
+      .select(col("centroid_id"), col("n_vectors"),
+        round(col("cs").cast("double") / col("n_vectors").cast("double"), 6)
+          .as("cohesion"),
+        col("nearest_sim"))
+      .withColumn("margin", round(col("cohesion") - col("nearest_sim"), 6))
+      .orderBy(col("centroid_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_cluster_quality" -> embClusterQuality _,
     "emb_sim_hist"  -> embSimHist _,
     "ann_recall"    -> annRecall _,
     "emb_pca"       -> embPca _,
@@ -912,5 +956,57 @@ object SimOps {
         |  FROM sims)
         |WHERE rk <= 3 ORDER BY label, rk""".stripMargin)
 
-  val oracles: Map[String, String] = oraclesHead ++ oraclesTail
+  /** The list-comprehension cosine used by every ANN oracle, as a
+    * reusable fragment. */
+  private def cosSql(a: String, b: String): String =
+    s"""list_sum(list_transform(range(1, len($a) + 1),
+       |        i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
+       |      / (sqrt(list_sum(list_transform($a,
+       |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |       * sqrt(list_sum(list_transform($b,
+       |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+
+  // same seed/assign replay as ann_ivf; member sims as exact
+  // DECIMAL(9,6) sums, separation over the nlist² centroid grid
+  private lazy val clusterQualitySql: String =
+    s"""WITH seeds AS (
+       |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+       |      vec_id) - 1 AS centroid_id,
+       |    embedding AS centroid
+       |  FROM embeddings
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+       |assign AS (
+       |  SELECT vec_id, embedding, centroid_id FROM (
+       |    SELECT e.vec_id, e.embedding, s.centroid_id,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${cosSql("e.embedding", "s.centroid")} DESC,
+       |        s.centroid_id ASC) AS rn
+       |    FROM embeddings e CROSS JOIN seeds s) WHERE rn = 1),
+       |m AS (
+       |  SELECT a.centroid_id,
+       |    CAST(round(${cosSql("a.embedding", "s.centroid")}, 6)
+       |      AS DECIMAL(9,6)) AS q
+       |  FROM assign a JOIN seeds s USING (centroid_id)),
+       |coh AS (
+       |  SELECT centroid_id, COUNT(*) AS n_vectors, SUM(q) AS cs
+       |  FROM m GROUP BY 1),
+       |sep AS (
+       |  SELECT s1.centroid_id,
+       |    MAX(round(${cosSql("s1.centroid", "s2.centroid")}, 6))
+       |      AS nearest_sim
+       |  FROM seeds s1 JOIN seeds s2 ON s1.centroid_id <> s2.centroid_id
+       |  GROUP BY 1),
+       |fin AS (
+       |  SELECT c.centroid_id, c.n_vectors,
+       |    round(CAST(cs AS DOUBLE) / CAST(n_vectors AS DOUBLE), 6)
+       |      AS cohesion,
+       |    s.nearest_sim
+       |  FROM coh c JOIN sep s USING (centroid_id))
+       |SELECT CAST(centroid_id AS INTEGER) AS centroid_id, n_vectors,
+       |  cohesion, nearest_sim,
+       |  round(cohesion - nearest_sim, 6) AS margin
+       |FROM fin ORDER BY centroid_id""".stripMargin
+
+  val oracles: Map[String, String] = oraclesHead ++ oraclesTail +
+    ("emb_cluster_quality" -> clusterQualitySql)
 }

@@ -273,6 +273,38 @@ class Round6cOpsSpec extends SparkFunSuite {
     assert(got(3L) == ((2L, 1L, 0.5)))
   }
 
+  test("cluster quality: orthogonal clusters give the exact margin panel") {
+    val d = Files.createTempDirectory("cq").toString
+    // odd ids on the x-axis, even ids on the y-axis (cos = 1 within a
+    // cluster, 0 across), magnitudes vary so only direction matters
+    (1L to 6L).map { i =>
+      val v = if (i % 2 == 1) Array(i.toFloat, 0f) else Array(0f, i.toFloat)
+      (i, v)
+    }.toDF("vec_id", "embedding").write.parquet(s"$d/embeddings.parquet")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(s: String) = md.digest(s.getBytes)
+      .map("%02x".format(_)).mkString
+    // replicate the sampled-seed pick: the 2 smallest md5(vec_id)
+    val seeds = (1L to 6L).sortBy(i => (h(i.toString), i)).take(2)
+    val sameCluster = (seeds(0) % 2) == (seeds(1) % 2)
+    spark.conf.set("spark.graft.ann.nlist", "2")
+    try {
+      val rows = SimOps.embClusterQuality(spark, d).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4)))
+      if (sameCluster) {
+        // both centroids point the same way: every vector ties at
+        // cos 1 (own cluster) or 0 and lands on centroid 0; the empty
+        // cell vanishes and the nearest centroid is an exact twin
+        assert(rows.toList == List((0, 6L, 0.5, 1.0, -0.5)))
+      } else {
+        // one centroid per cluster: perfect cohesion, zero overlap
+        assert(rows.toList ==
+          List((0, 3L, 1.0, 0.0, 1.0), (1, 3L, 1.0, 0.0, 1.0)))
+      }
+    } finally spark.conf.set("spark.graft.ann.nlist", "16")
+  }
+
   test("curriculum: 8 docs cut into 4 equal phases by length") {
     val d = Files.createTempDirectory("curr").toString
     (1 to 8).map(i => (i.toLong, "x" * i, i.toLong))
