@@ -1123,6 +1123,41 @@ object CoreRelational {
       .orderBy(col("n_name"))
   }
 
+  /** DQ: functional-dependency audit — test candidate "X determines Y"
+    * rules and report how badly each is violated (the schema-
+    * inference / normalization prerequisite: a HOLDING fd is a
+    * candidate for dimension extraction, a nearly-holding one is
+    * usually a data bug). Four candidates spanning both outcomes:
+    * nation→region holds by construction, partkey→brand is the
+    * key-uniqueness flavor;
+    * customer nation→mktsegment and order→returnflag should fail
+    * loudly.
+    *
+    * 100 TB posture: each rule is one (lhs, rhs) dedup + lhs-keyed
+    * count-distinct aggregate (map-side combinable) collapsed to a
+    * 1-row panel — no joins, no windows; the union stacks four 1-row
+    * panels. Exact integers; the rate is one division, round 6. */
+  def dqFd(s: SparkSession, d: String): DataFrame = {
+    def panel(name: String, df: DataFrame, lhs: String, rhs: String) =
+      df.groupBy(col(lhs)).agg(countDistinct(col(rhs)).as("ndv"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum((col("ndv") > 1).cast("long")).as("n_violating"),
+          max(col("ndv")).as("max_rhs_distinct"))
+        .select(lit(name).as("fd"), col("n_groups"), col("n_violating"),
+          round(col("n_violating").cast("double")
+            / col("n_groups").cast("double"), 6).as("violation_rate"),
+          col("max_rhs_distinct"))
+    panel("nation_to_region", Tables.nation(s, d),
+        "n_nationkey", "n_regionkey")
+      .unionAll(panel("partkey_to_brand", Tables.part(s, d),
+        "p_partkey", "p_brand"))
+      .unionAll(panel("custnation_to_segment", Tables.customer(s, d),
+        "c_nationkey", "c_mktsegment"))
+      .unionAll(panel("order_to_returnflag", Tables.lineitem(s, d),
+        "l_orderkey", "l_returnflag"))
+      .orderBy(col("fd"))
+  }
+
   /** A: EXACT money allocation by the largest-remainder method — split
     * each order's total price (in integer cents) across its line items
     * proportional to quantity, with the allocation GUARANTEED to sum
@@ -1175,6 +1210,7 @@ object CoreRelational {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_fd"          -> dqFd _,
     "a21_allocate"   -> a21Allocate _,
     "o15_wmedian"    -> o15Wmedian _,
     "o11_diversify"  -> o11Diversify _,
@@ -1484,6 +1520,28 @@ object CoreRelational {
     // replays the KMV sketch exactly: frac = first 52 md5 bits / 2^52
     // (every Σ digit·16^(12-i) term and the sum are exact doubles),
     // k smallest DISTINCT fracs, est = 63/h_64 (exact size below 64)
+    "dq_fd" -> {
+      def p(name: String, tbl: String, lhs: String, rhs: String) =
+        s"""SELECT '$name' AS fd,
+           |  COUNT(*) AS n_groups,
+           |  CAST(SUM(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_violating,
+           |  round(CAST(SUM(CASE WHEN ndv > 1 THEN 1 ELSE 0 END)
+           |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+           |    AS violation_rate,
+           |  CAST(MAX(ndv) AS BIGINT) AS max_rhs_distinct
+           |FROM (SELECT $lhs, COUNT(DISTINCT $rhs) AS ndv
+           |      FROM $tbl GROUP BY $lhs)""".stripMargin
+      Seq(
+        p("nation_to_region", "nation", "n_nationkey", "n_regionkey"),
+        p("partkey_to_brand", "part", "p_partkey", "p_brand"),
+        p("custnation_to_segment", "customer",
+          "c_nationkey", "c_mktsegment"),
+        p("order_to_returnflag", "lineitem",
+          "l_orderkey", "l_returnflag"))
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+          "\n) ORDER BY fd")
+    },
     // identical integer largest-remainder replay: base = floor-div,
     // leftover cents by (remainder DESC, linenumber) row_number
     "a21_allocate" ->

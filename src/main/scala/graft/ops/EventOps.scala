@@ -419,6 +419,89 @@ object EventOps {
       .orderBy(col("state"))
   }
 
+  /** EXACT equi-depth histogram boundaries — the optimizer-statistics
+    * histogram (ANALYZE's bucket kind): per event type, the 8 value
+    * boundaries that cut the rows into equal-count buckets. The
+    * fixed-width [[evHistogram]] shows SHAPE; this one gives the
+    * quantile grid selectivity estimation actually uses.
+    *
+    * Boundary k = the value at global rank ⌈k·n/8⌉ in (value,
+    * event_id) order. The rank is the two-level VALUE-bucketed
+    * row_number (the o15_wmedian idiom — no monolithic per-type
+    * window); each row then decides IN CLOSED FORM which boundaries
+    * it owns (k ∈ (8(r−1)/n, 8r/n], all integer arithmetic), so the
+    * boundary pick is a narrow filter + explode — no spine join
+    * against corpus-sized data, no second sort. */
+  def evHistogramEq(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("__b", floor(col("value") / 25).cast("int"))
+    val wIn = Window.partitionBy("event_type", "__b")
+      .orderBy(col("value"), col("event_id"))
+    val wOff = Window.partitionBy("event_type").orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = ev.groupBy("event_type", "__b")
+      .agg(count(lit(1)).as("__g_n"))
+      .withColumn("__g_off", coalesce(sum(col("__g_n")).over(wOff), lit(0L)))
+    val tots = offs.groupBy("event_type").agg(sum(col("__g_n")).as("n"))
+    ev.withColumn("__rn", row_number().over(wIn))
+      .join(offs.select("event_type", "__b", "__g_off"),
+        Seq("event_type", "__b"))
+      .withColumn("rank", col("__g_off") + col("__rn"))
+      .join(broadcast(tots), Seq("event_type")) // |types| rows
+      .withColumn("klo", expr("cast((8 * (rank - 1)) div n + 1 as int)"))
+      .withColumn("khi", expr("cast((8 * rank) div n as int)"))
+      .filter(col("khi") >= col("klo") && col("khi") >= 1 && col("klo") <= 8)
+      .select(col("event_type"),
+        explode(expr("sequence(greatest(klo, 1), least(khi, 8))"))
+          .as("bucket"),
+        col("value").as("upper_value"))
+      .orderBy(col("event_type"), col("bucket"))
+  }
+
+  /** EXACT distributed ROC AUC (Mann–Whitney form) of the event
+    * `value` as a score for predicting purchases — the model-eval
+    * primitive every offline scoring pipeline needs, computed WITHOUT
+    * sorting the corpus into one task and WITHOUT sampling:
+    * AUC = [Σ_v negBelow(v)·pos(v) + ½·pos(v)·neg(v)] / (P·N),
+    * summed over DISTINCT score values (the ½ term is the standard
+    * tie correction). Doubling the numerator keeps every term an
+    * exact 64-bit integer — the division at the end is the only FP op
+    * in the whole query.
+    *
+    * 100 TB posture: one (value) hash agg collapses the corpus to
+    * distinct scores with pos/neg counts; the exclusive negative
+    * prefix is the two-level VALUE-bucketed cumsum (the o15_wmedian
+    * idiom — no monolithic ORDER BY window over all distinct scores);
+    * the final reduce is a 1-row aggregate. */
+  def evAuc(s: SparkSession, d: String): DataFrame = {
+    val vc = Tables.events(s, d)
+      .select(col("value"),
+        (col("event_type") === "purchase").cast("long").as("y"))
+      .groupBy(col("value"))
+      .agg(sum(col("y")).as("np"), (count(lit(1)) - sum(col("y"))).as("nn"))
+      .withColumn("__b", floor(col("value") / 25).cast("int"))
+    val wIn = Window.partitionBy("__b").orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wOff = Window.orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = vc.groupBy("__b").agg(sum(col("nn")).as("__g_tot"))
+      .withColumn("__g_off", coalesce(sum(col("__g_tot")).over(wOff), lit(0L)))
+      .select("__b", "__g_off")
+    vc.withColumn("__run", sum(col("nn")).over(wIn))
+      .join(offs, Seq("__b"))
+      // exclusive prefix: negatives strictly below this score
+      .withColumn("negBelow", col("__g_off") + col("__run") - col("nn"))
+      .agg(
+        sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+        sum(col("negBelow") * col("np") * 2 + col("np") * col("nn"))
+          .as("num2"))
+      .select(col("n_pos"), col("n_neg"),
+        round(col("num2").cast("double")
+          / (lit(2.0) * col("n_pos").cast("double")
+            * col("n_neg").cast("double")), 6).as("auc"))
+  }
+
   /** Markov removal-effect attribution (Anderl et al. 2014 — the
     * data-driven alternative to last-touch): model user journeys as a
     * first-order chain over event types with START and two absorbing
@@ -1080,6 +1163,8 @@ object EventOps {
     "ev_transitions" -> evTransitions _,
     "ev_markov_stationary" -> evMarkovStationary _,
     "ev_attrib_markov" -> evAttribMarkov _,
+    "ev_auc" -> evAuc _,
+    "ev_histogram_eq" -> evHistogramEq _,
     "ev_merge_partials" -> evMergePartials _,
     "ev_attribution" -> evAttribution _,
     "ev_gapfill"     -> evGapfill _,
@@ -1498,6 +1583,43 @@ object EventOps {
         |  CAST(len(regexp_extract_all(seq, 'vv+c')) AS INTEGER)
         |    AS n_browse
         |FROM seq ORDER BY user_id""".stripMargin,
+    // monolithic row_number replay; boundary rank via the same
+    // integer ceil-division, no FP
+    "ev_histogram_eq" ->
+      """WITH e AS (
+        |  SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id) AS r,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events),
+        |k AS (SELECT UNNEST(range(1, 9)) AS bucket)
+        |SELECT e.event_type, CAST(k.bucket AS INTEGER) AS bucket,
+        |  e.value AS upper_value
+        |FROM e, k
+        |WHERE e.r = (k.bucket * e.n + 7) // 8
+        |ORDER BY event_type, bucket""".stripMargin,
+    // the monolithic-window restatement of the same rank-sum identity;
+    // doubled numerator keeps everything integer until one division
+    "ev_auc" ->
+      """WITH vc AS (
+        |  SELECT value,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS np,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS nn
+        |  FROM events GROUP BY value),
+        |c AS (
+        |  SELECT np, nn,
+        |    CAST(coalesce(SUM(nn) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS negBelow
+        |  FROM vc)
+        |SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+        |  CAST(SUM(nn) AS BIGINT) AS n_neg,
+        |  round(CAST(SUM(negBelow * np * 2 + np * nn) AS DOUBLE)
+        |    / (2.0 * CAST(SUM(np) AS DOUBLE) * CAST(SUM(nn) AS DOUBLE)),
+        |    6) AS auc
+        |FROM c""".stripMargin,
     // full removal-effect replay: same journey/transition derivation,
     // then per scenario (base + one per channel, the testdata's fixed
     // type set) 16 unrolled value-iteration rounds with identical

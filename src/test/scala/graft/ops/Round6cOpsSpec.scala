@@ -144,6 +144,69 @@ class Round6cOpsSpec extends SparkFunSuite {
       "view" -> ((0.8, 0.6, 0.25))))
   }
 
+  test("auc: separable, random, and tied score sets hit exact values") {
+    def dirFor(rows: Seq[(String, Double)]): String = {
+      val d = Files.createTempDirectory("auc").toString
+      rows.zipWithIndex.map { case ((tp, v), i) =>
+        (i.toLong + 1, tp, v, new Timestamp(1700000000000L))
+      }.toDF("event_id", "event_type", "value", "ts")
+        .write.parquet(s"$d/events.parquet")
+      d
+    }
+    def auc(rows: Seq[(String, Double)]): Double =
+      EventOps.evAuc(spark, dirFor(rows)).head().getDouble(2)
+    // perfectly separated
+    assert(auc(Seq(("view", 1.0), ("view", 2.0),
+      ("purchase", 3.0), ("purchase", 4.0))) == 1.0)
+    // fully tied: the 1/2 correction lands exactly on chance
+    assert(auc(Seq(("view", 1.0), ("view", 2.0),
+      ("purchase", 1.0), ("purchase", 2.0))) == 0.5)
+    // interleaved: 3 of 4 pairs won
+    assert(auc(Seq(("view", 1.0), ("purchase", 2.0),
+      ("view", 3.0), ("purchase", 4.0))) == 0.75)
+  }
+
+  test("fd audit: holding and violating dependencies both reported") {
+    val d = Files.createTempDirectory("fd").toString
+    Seq((1L, 1L), (2L, 1L)).toDF("n_nationkey", "n_regionkey")
+      .write.parquet(s"$d/nation.parquet")
+    Seq((1L, "B1"), (2L, "B2")).toDF("p_partkey", "p_brand")
+      .write.parquet(s"$d/part.parquet")
+    Seq((1L, 1L, "AUTO"), (2L, 1L, "BIKE"), (3L, 2L, "AUTO"))
+      .toDF("c_custkey", "c_nationkey", "c_mktsegment")
+      .write.parquet(s"$d/customer.parquet")
+    Seq((1L, "R"), (1L, "N"), (2L, "N"))
+      .toDF("l_orderkey", "l_returnflag")
+      .write.parquet(s"$d/lineitem.parquet")
+    val got = CoreRelational.dqFd(spark, d).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(4)))).toMap
+    assert(got("nation_to_region") == ((2L, 0L, 1L)))
+    assert(got("partkey_to_brand") == ((2L, 0L, 1L)))
+    // nation 1 has two segments -> 1 of 2 groups violates
+    assert(got("custnation_to_segment") == ((2L, 1L, 2L)))
+    assert(got("order_to_returnflag") == ((2L, 1L, 2L)))
+  }
+
+  test("equi-depth histogram: boundary values at exact ceil-rank cuts") {
+    val d = Files.createTempDirectory("eqh").toString
+    ((1 to 8).map(i => ("a", i.toDouble)) ++
+      Seq(10, 20, 30, 40).map(v => ("b", v.toDouble)))
+      .zipWithIndex.map { case ((tp, v), i) =>
+        (i.toLong + 1, tp, v, new Timestamp(1700000000000L))
+      }.toDF("event_id", "event_type", "value", "ts")
+      .write.parquet(s"$d/events.parquet")
+    val got = EventOps.evHistogramEq(spark, d).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+    // type a: n=8, boundary k sits at rank k; type b: n=4, each value
+    // serves two buckets (rank ceil(k/2))
+    assert(got.filter(_._1 == "a").map(x => (x._2, x._3)).toList ==
+      (1 to 8).map(k => (k, k.toDouble)).toList)
+    assert(got.filter(_._1 == "b").map(x => (x._2, x._3)).toList ==
+      List((1, 10.0), (2, 10.0), (3, 20.0), (4, 20.0),
+        (5, 30.0), (6, 30.0), (7, 40.0), (8, 40.0)))
+  }
+
   // ---------------------------------------------------------------- lcc
 
   private lazy val triDir: String = {
