@@ -459,6 +459,34 @@ object EventOps {
       .orderBy(col("event_type"), col("bucket"))
   }
 
+  /** Calibration (reliability) panel — [[evAuc]]'s companion: AUC says
+    * the score RANKS well, this says whether its magnitude means
+    * anything: per decile of predicted probability (value/100 clamped
+    * to [0,1]), the mean prediction vs the observed purchase rate and
+    * their gap. One corpus scan → 10-row hash agg; predictions
+    * accumulate as exact DECIMAL sums of 1e-6-rounded values (the
+    * emb_sim_hist idiom), rates are exact-integer divisions, the gap
+    * subtracts two 6-decimal values (exact). */
+  def evCalibration(s: SparkSession, d: String): DataFrame = {
+    val pred = least(greatest(col("value") / 100.0, lit(0.0)), lit(1.0))
+    Tables.events(s, d)
+      .select(pred.as("pred"),
+        (col("event_type") === "purchase").cast("long").as("y"))
+      .withColumn("bucket",
+        least(floor(col("pred") * 10).cast("int"), lit(9)))
+      .withColumn("q", round(col("pred"), 6).cast("decimal(9,6)"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_events"), sum(col("y")).as("n_pos"),
+        sum(col("q")).as("ps"))
+      .select(col("bucket"), col("n_events"), col("n_pos"),
+        round(col("ps").cast("double") / col("n_events").cast("double"), 6)
+          .as("mean_pred"),
+        round(col("n_pos").cast("double") / col("n_events").cast("double"),
+          6).as("obs_rate"))
+      .withColumn("gap", round(col("mean_pred") - col("obs_rate"), 6))
+      .orderBy(col("bucket"))
+  }
+
   /** EXACT distributed ROC AUC (Mann–Whitney form) of the event
     * `value` as a score for predicting purchases — the model-eval
     * primitive every offline scoring pipeline needs, computed WITHOUT
@@ -1165,6 +1193,7 @@ object EventOps {
     "ev_attrib_markov" -> evAttribMarkov _,
     "ev_auc" -> evAuc _,
     "ev_histogram_eq" -> evHistogramEq _,
+    "ev_calibration" -> evCalibration _,
     "ev_merge_partials" -> evMergePartials _,
     "ev_attribution" -> evAttribution _,
     "ev_gapfill"     -> evGapfill _,
@@ -1583,6 +1612,29 @@ object EventOps {
         |  CAST(len(regexp_extract_all(seq, 'vv+c')) AS INTEGER)
         |    AS n_browse
         |FROM seq ORDER BY user_id""".stripMargin,
+    // same clamp/bucket/rounded-decimal-sum replay
+    "ev_calibration" ->
+      """WITH p AS (
+        |  SELECT least(greatest(value / 100.0, 0.0), 1.0) AS pred,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |b AS (
+        |  SELECT CAST(least(floor(pred * 10), 9) AS INTEGER) AS bucket,
+        |    y, CAST(round(pred, 6) AS DECIMAL(9,6)) AS q
+        |  FROM p),
+        |a AS (
+        |  SELECT bucket, COUNT(*) AS n_events,
+        |    CAST(SUM(y) AS BIGINT) AS n_pos, SUM(q) AS ps
+        |  FROM b GROUP BY 1)
+        |SELECT bucket, n_events, n_pos,
+        |  round(CAST(ps AS DOUBLE) / CAST(n_events AS DOUBLE), 6)
+        |    AS mean_pred,
+        |  round(CAST(n_pos AS DOUBLE) / CAST(n_events AS DOUBLE), 6)
+        |    AS obs_rate,
+        |  round(round(CAST(ps AS DOUBLE) / CAST(n_events AS DOUBLE), 6)
+        |    - round(CAST(n_pos AS DOUBLE) / CAST(n_events AS DOUBLE), 6),
+        |    6) AS gap
+        |FROM a ORDER BY bucket""".stripMargin,
     // monolithic row_number replay; boundary rank via the same
     // integer ceil-division, no FP
     "ev_histogram_eq" ->

@@ -1,0 +1,233 @@
+package graft.sources
+
+import java.io.{BufferedReader, FileReader}
+import java.nio.file.{Files, Path, Paths}
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 connector for the FEC bulk pipe-delimited text feeds
+  * (`indiv22.txt` and friends — reference: the `load_fec/main.py`
+  * bulk-file scans, the S3/S5 rows of SURVEY §2) — the full Spark
+  * connector contract rather than a `spark.read.csv` wrapper:
+  *
+  *  - **Schema dispatch**: `option("table", "cn22")` infers the schema
+  *    from [[graft.fec.FecSchemas.registry]] (the reference's
+  *    route-on-filename behavior, moved into `inferSchema`).
+  *  - **Column pruning** ([[SupportsPushDownRequiredColumns]]): the
+  *    reader converts ONLY the projected fields — on a 20 GB bulk file
+  *    a 2-column projection parses 2 fields per line, not 21. The
+  *    split itself is unavoidable for delimited text; conversion (and
+  *    boxing) is where line-format scan time goes.
+  *  - **Filter pushdown** ([[SupportsPushDownFilters]]): Equal/IsNot
+  *    Null/range filters evaluate inside the reader BEFORE the row
+  *    crosses the source boundary, so a selective filter never
+  *    materializes non-matching InternalRows. Pushed filters are
+  *    FULLY handled (not re-evaluated by Spark) — the spec proves
+  *    both behaviors.
+  *  - **Partition planning**: one [[InputPartition]] per file (pipe
+  *    text has no record-boundary sync marks, so files are the split
+  *    unit — the same per-file parallelism the driver's zip expansion
+  *    produces; at 100 TB the feed arrives as thousands of files, so
+  *    file granularity saturates any executor count).
+  *
+  * Registered as `spark.read.format("fecpipe")` via the
+  * DataSourceRegister service file. */
+class FecPipeSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "fecpipe"
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val table = options.get("table")
+    require(table != null,
+      "fecpipe: pass option(\"table\", <registry name>) or an explicit schema")
+    graft.fec.FecSchemas.registry.getOrElse(table,
+      throw new IllegalArgumentException(s"fecpipe: unknown table $table"))
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new FecPipeTable(schema, properties.asScala.toMap)
+}
+
+final class FecPipeTable(schema: StructType, props: Map[String, String])
+    extends Table with SupportsRead {
+  override def name(): String =
+    s"fecpipe(${props.getOrElse("path", "?")})"
+  override def schema(): StructType = schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = {
+    val path = Option(options.get("path"))
+      .orElse(props.get("path"))
+      .getOrElse(throw new IllegalArgumentException("fecpipe: no path"))
+    new FecPipeScanBuilder(schema, path)
+  }
+}
+
+final class FecPipeScanBuilder(fullSchema: StructType, path: String)
+    extends ScanBuilder
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+
+  private var required: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // preserve the source field order; Spark may request any order
+    required = StructType(fullSchema.fields
+      .filter(f => requiredSchema.fieldNames.contains(f.name)))
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (supported, rest) = filters.partition(FecPipeScan.evaluable)
+    pushed = supported
+    rest // Spark keeps evaluating only these
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new FecPipeScan(fullSchema, required,
+    pushed, path)
+}
+
+final class FecPipeScan(fullSchema: StructType, required: StructType,
+    filters: Array[Filter], path: String) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+
+  override def description(): String =
+    s"FecPipeScan path=$path ReadSchema=${required.fieldNames.mkString(",")}" +
+      s" PushedFilters=[${filters.mkString(", ")}]"
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val p = Paths.get(path)
+    val files: Seq[Path] =
+      if (Files.isDirectory(p))
+        Files.list(p).iterator().asScala.filter(Files.isRegularFile(_))
+          .toSeq.sortBy(_.toString)
+      else Seq(p)
+    files.map(f => FecPipePartition(f.toString): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FecPipeReaderFactory(fullSchema, required, filters)
+}
+
+final case class FecPipePartition(file: String) extends InputPartition
+
+object FecPipeScan {
+  /** Filters the reader can fully evaluate post-parse. */
+  def evaluable(f: Filter): Boolean = f match {
+    case _: EqualTo | _: IsNotNull | _: GreaterThan |
+         _: GreaterThanOrEqual | _: LessThan | _: LessThanOrEqual => true
+    case _ => false
+  }
+}
+
+final class FecPipeReaderFactory(fullSchema: StructType,
+    required: StructType, filters: Array[Filter])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] =
+    new FecPipeReader(partition.asInstanceOf[FecPipePartition].file,
+      fullSchema, required, filters)
+}
+
+/** Line reader: split on '|', convert ONLY the projected fields,
+  * evaluate pushed filters before emitting. Empty fields are NULL
+  * (the bulk feeds' convention). */
+final class FecPipeReader(file: String, fullSchema: StructType,
+    required: StructType, filters: Array[Filter])
+    extends PartitionReader[InternalRow] {
+
+  private val in = new BufferedReader(new FileReader(file))
+  // projected field -> (source column position, type)
+  private val slots: Array[(Int, DataType)] =
+    required.fields.map(f => (fullSchema.fieldIndex(f.name), f.dataType))
+  private val filterSlots: Array[(Filter, Int, DataType)] =
+    filters.map { f =>
+      val name = f.references.head
+      val i = fullSchema.fieldIndex(name)
+      (f, i, fullSchema.fields(i).dataType)
+    }
+  private var row: InternalRow = _
+
+  private def convert(raw: String, dt: DataType): Any =
+    if (raw == null || raw.isEmpty) null
+    else dt match {
+      case StringType  => UTF8String.fromString(raw)
+      case IntegerType => raw.trim.toInt
+      case LongType    => raw.trim.toLong
+      case FloatType   => raw.trim.toFloat
+      case DoubleType  => raw.trim.toDouble
+      case other => throw new IllegalArgumentException(
+        s"fecpipe: unsupported type $other")
+    }
+
+  private def cmp(raw: String, dt: DataType, v: Any): Option[Int] =
+    if (raw == null || raw.isEmpty) None
+    else Some(dt match {
+      case StringType => raw.compareTo(v.toString)
+      case IntegerType => java.lang.Integer.compare(raw.trim.toInt,
+        v.asInstanceOf[Number].intValue)
+      case LongType => java.lang.Long.compare(raw.trim.toLong,
+        v.asInstanceOf[Number].longValue)
+      case FloatType => java.lang.Float.compare(raw.trim.toFloat,
+        v.asInstanceOf[Number].floatValue)
+      case DoubleType => java.lang.Double.compare(raw.trim.toDouble,
+        v.asInstanceOf[Number].doubleValue)
+      case other => throw new IllegalArgumentException(
+        s"fecpipe: unsupported type $other")
+    })
+
+  private def keep(parts: Array[String]): Boolean =
+    filterSlots.forall { case (f, i, dt) =>
+      val raw = if (i < parts.length) parts(i) else null
+      f match {
+        case _: IsNotNull            => raw != null && raw.nonEmpty
+        case EqualTo(_, v)           => cmp(raw, dt, v).contains(0)
+        case GreaterThan(_, v)       => cmp(raw, dt, v).exists(_ > 0)
+        case GreaterThanOrEqual(_, v) => cmp(raw, dt, v).exists(_ >= 0)
+        case LessThan(_, v)          => cmp(raw, dt, v).exists(_ < 0)
+        case LessThanOrEqual(_, v)   => cmp(raw, dt, v).exists(_ <= 0)
+        case _                       => true
+      }
+    }
+
+  override def next(): Boolean = {
+    var line = in.readLine()
+    while (line != null) {
+      val parts = line.split('|')
+      if (keep(parts)) {
+        val values = new Array[Any](slots.length)
+        var k = 0
+        while (k < slots.length) {
+          val (i, dt) = slots(k)
+          values(k) = convert(if (i < parts.length) parts(i) else null, dt)
+          k += 1
+        }
+        row = new GenericInternalRow(values)
+        return true
+      }
+      line = in.readLine()
+    }
+    false
+  }
+
+  override def get(): InternalRow = row
+
+  override def close(): Unit = in.close()
+}

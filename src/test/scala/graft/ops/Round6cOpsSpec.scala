@@ -166,6 +166,23 @@ class Round6cOpsSpec extends SparkFunSuite {
       ("view", 3.0), ("purchase", 4.0))) == 0.75)
   }
 
+  test("calibration: per-decile mean prediction vs observed rate") {
+    val d = Files.createTempDirectory("cal").toString
+    // bucket 1 (pred .10/.15): 1 purchase of 2 -> obs .5, mean .125
+    // bucket 9 (pred clamped 1.0): pure purchases -> gap 0
+    Seq(("view", 10.0), ("purchase", 15.0),
+      ("purchase", 150.0), ("purchase", 100.0))
+      .zipWithIndex.map { case ((tp, v), i) =>
+        (i.toLong + 1, tp, v, new Timestamp(1700000000000L))
+      }.toDF("event_id", "event_type", "value", "ts")
+      .write.parquet(s"$d/events.parquet")
+    val got = EventOps.evCalibration(spark, d).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got(1) == ((2L, 1L, 0.125, 0.5, -0.375)))
+    assert(got(9) == ((2L, 2L, 1.0, 1.0, 0.0)))
+  }
+
   test("fd audit: holding and violating dependencies both reported") {
     val d = Files.createTempDirectory("fd").toString
     Seq((1L, 1L), (2L, 1L)).toDF("n_nationkey", "n_regionkey")

@@ -1,0 +1,89 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkFunSuite
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+/** The DataSource V2 connector contract, proven end to end: schema
+  * dispatch, per-file partition planning, column pruning reaching the
+  * reader, and filter pushdown that Spark does NOT re-evaluate. */
+class FecPipeSourceSpec extends SparkFunSuite {
+
+  // three cn22-shaped candidates; BBB has an empty election year
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("fecpipe")
+    Files.writeString(d.resolve("cn_a.txt"),
+      "C001|ALPHA, A|DEM|2022|CA|H|12|I|C|PCC1|1 MAIN||LA|CA|90001\n" +
+        "C002|BRAVO, B|REP||TX|S|00|C|C|PCC2|2 OAK||AUS|TX|73301\n")
+    Files.writeString(d.resolve("cn_b.txt"),
+      "C003|CHARLIE, C|DEM|2024|NY|P|00|O|N|PCC3|3 ELM||NYC|NY|10001\n")
+    d.toString
+  }
+
+  private def read() = spark.read.format("fecpipe")
+    .option("table", "cn22").load(dir)
+
+  private def scanOf(df: org.apache.spark.sql.DataFrame): FecPipeScan = {
+    df.collect() // force planning
+    df.queryExecution.executedPlan
+      .collectFirst { case b: BatchScanExec => b }.get
+      .scan.asInstanceOf[FecPipeScan]
+  }
+
+  test("schema dispatch + empty-field nulls + per-file partitions") {
+    val df = read()
+    assert(df.schema.fieldNames.take(3).toSeq ==
+      Seq("cand_id", "cand_name", "cand_pty_affiliation"))
+    val rows = df.orderBy("cand_id").collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getString(0)).toSeq == Seq("C001", "C002", "C003"))
+    // empty pipe field -> NULL, typed column -> long
+    assert(rows(1).isNullAt(3) && rows(0).getLong(3) == 2022L)
+    // one input partition per file
+    val scan = scanOf(df)
+    assert(scan.toBatch.planInputPartitions().length == 2)
+  }
+
+  test("column pruning reaches the reader's schema") {
+    val df = read().select("cand_name", "cand_st")
+    val scan = scanOf(df)
+    assert(scan.readSchema().fieldNames.toSeq ==
+      Seq("cand_name", "cand_st"))
+    assert(df.collect().map(_.getString(1)).sorted.toSeq ==
+      Seq("CA", "NY", "TX"))
+  }
+
+  test("supported filters push into the reader; Spark drops its copy") {
+    val df = read().filter(col("cand_pty_affiliation") === "DEM")
+      .select("cand_id")
+    val scan = scanOf(df)
+    assert(scan.description().contains("EqualTo(cand_pty_affiliation,DEM)"))
+    // fully handled: no FilterExec remains above the scan
+    assert(!df.queryExecution.executedPlan.toString.contains("Filter ("))
+    assert(df.collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("C001", "C003"))
+    // range pushdown on a numeric column skips the null year
+    val r = read().filter(col("cand_election_yr") >= 2023).select("cand_id")
+    assert(scanOf(r).description().contains("GreaterThanOrEqual"))
+    assert(r.collect().map(_.getString(0)).toSeq == Seq("C003"))
+  }
+
+  test("unsupported filters stay on Spark's side and still apply") {
+    val df = read().filter(col("cand_name").contains("ALPHA"))
+      .select("cand_id")
+    val scan = scanOf(df)
+    assert(!scan.description().contains("StringContains"))
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("C001"))
+  }
+
+  test("single-file path load and unknown table rejection") {
+    val one = spark.read.format("fecpipe").option("table", "cn22")
+      .load(Paths.get(dir, "cn_b.txt").toString)
+    assert(one.count() == 1)
+    intercept[IllegalArgumentException] {
+      spark.read.format("fecpipe").option("table", "nope").load(dir)
+    }
+  }
+}
