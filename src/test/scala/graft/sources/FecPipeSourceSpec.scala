@@ -78,6 +78,37 @@ class FecPipeSourceSpec extends SparkFunSuite {
     assert(df.collect().map(_.getString(0)).toSeq == Seq("C001"))
   }
 
+  test("micro-batch streaming: file-offset checkpoint replays only new files") {
+    val sd = Files.createTempDirectory("fecstream")
+    val ckpt = Files.createTempDirectory("fecckpt").toString
+    Files.writeString(sd.resolve("f001.txt"),
+      "C001|ALPHA, A|DEM|2022|CA|H|12|I|C|P|1 A||LA|CA|90001\n")
+    Files.writeString(sd.resolve("f002.txt"),
+      "C002|BRAVO, B|REP|2022|TX|S|00|C|C|P|2 B||AU|TX|73301\n" +
+        "C003|CHARLIE, C|DEM|2024|NY|P|00|O|N|P|3 C||NY|NY|10001\n")
+    val out = Files.createTempDirectory("fecout").toString
+    def runBatch(): Unit = {
+      val q = spark.readStream.format("fecpipe").option("table", "cn22")
+        .load(sd.toString)
+        .select("cand_id", "cand_pty_affiliation")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+    }
+    runBatch()
+    assert(spark.read.parquet(out).collect().map(_.getString(0)).sorted
+      .toSeq == Seq("C001", "C002", "C003"))
+    // a third file lands; the checkpointed offset (2 files) skips the
+    // consumed ones — the restarted stream appends ONLY the new file
+    Files.writeString(sd.resolve("f003.txt"),
+      "C004|DELTA, D|REP|2024|FL|H|09|I|C|P|4 D||MI|FL|33101\n")
+    runBatch()
+    assert(spark.read.parquet(out).collect().map(_.getString(0)).sorted
+      .toSeq == Seq("C001", "C002", "C003", "C004"))
+  }
+
   test("single-file path load and unknown table rejection") {
     val one = spark.read.format("fecpipe").option("table", "cn22")
       .load(Paths.get(dir, "cn_b.txt").toString)
