@@ -581,7 +581,42 @@ object StatsOps {
           .as("powered"))
   }
 
+  /** Theil–Sen robust trend — the median of all pairwise day-to-day
+    * slopes, per event type: the outlier-proof alternative to
+    * [[evRegression]]'s OLS line (one corrupted day drags an OLS slope
+    * arbitrarily; the pairwise median shrugs off up to ~29% corrupted
+    * points). The pair expansion is per-type over the CALENDAR-BOUNDED
+    * daily series (a domain constant — ~2k days even at decade scale,
+    * so the per-type pair table is ≤ ~2M rows regardless of SF); each
+    * slope is one exact-integer-count division, the median picks rank
+    * ⌈m/2⌉ / ⌊m/2⌋+1 (even m averages the two — a single determinate
+    * add), full tie-broken ordering keeps both engines aligned. */
+  def evTheilSen(s: SparkSession, d: String): DataFrame = {
+    val f = dailyFilled(s, d)
+    val a = f.select(col("event_type"), col("t").as("t1"), col("x").as("x1"))
+    val b = f.select(col("event_type"), col("t").as("t2"), col("x").as("x2"))
+    val slopes = a.join(b, Seq("event_type")).filter(col("t2") > col("t1"))
+      .select(col("event_type"), col("t1"), col("t2"),
+        ((col("x2") - col("x1")).cast("double")
+          / (col("t2") - col("t1")).cast("double")).as("sl"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("sl"), col("t1"), col("t2"))
+    val m = slopes.groupBy("event_type").agg(count(lit(1)).as("m"))
+    val days = f.groupBy("event_type").agg(count(lit(1)).as("n_days"))
+    slopes.withColumn("rn", row_number().over(w))
+      .join(broadcast(m), Seq("event_type"))
+      .filter(expr("rn = (m + 1) div 2 or rn = m div 2 + 1"))
+      .groupBy(col("event_type"))
+      .agg(max(col("m")).as("n_pairs"),
+        round(sum(col("sl")) / count(lit(1)), 6).as("ts_slope"))
+      .join(broadcast(days), Seq("event_type"))
+      .select(col("event_type"), col("n_days").cast("int").as("n_days"),
+        col("n_pairs"), col("ts_slope"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_theilsen"      -> evTheilSen _,
     "ev_abtest_power"  -> evAbtestPower _,
     "ev_decompose"     -> evSeasonalDecompose _,
     "ev_lag_features"  -> evLagFeatures _,
@@ -618,6 +653,29 @@ object StatsOps {
       |    ON s.event_type = d.event_type AND s.day = d.day)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // same pair expansion over the filled daily series, identical
+    // rank-pick median with the full (sl, t1, t2) tie-break
+    "ev_theilsen" ->
+      s"""WITH $dailyFilledCte,
+         |sl AS (
+         |  SELECT a.event_type, a.t AS t1, b.t AS t2,
+         |    CAST(b.x - a.x AS DOUBLE) / CAST(b.t - a.t AS DOUBLE) AS sl
+         |  FROM f a JOIN f b
+         |    ON a.event_type = b.event_type AND b.t > a.t),
+         |r AS (
+         |  SELECT event_type, sl,
+         |    row_number() OVER (PARTITION BY event_type
+         |      ORDER BY sl, t1, t2) AS rn,
+         |    COUNT(*) OVER (PARTITION BY event_type) AS m
+         |  FROM sl),
+         |d AS (SELECT event_type, CAST(COUNT(*) AS INTEGER) AS n_days
+         |      FROM f GROUP BY 1)
+         |SELECT r.event_type AS event_type, d.n_days,
+         |  CAST(MAX(m) AS BIGINT) AS n_pairs,
+         |  round(SUM(sl) / COUNT(*), 6) AS ts_slope
+         |FROM r JOIN d ON r.event_type = d.event_type
+         |WHERE rn = (m + 1) // 2 OR rn = m // 2 + 1
+         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     "ev_abtest_power" ->
       """WITH pu AS (
         |  SELECT user_id,

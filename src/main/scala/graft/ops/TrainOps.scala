@@ -982,7 +982,69 @@ object TrainOps {
       .orderBy(col("phase"))
   }
 
+  /** Deterministic NEGATIVE SAMPLING — the word2vec/recommender
+    * training primitive: for each (sampled) customer, k = 3 suppliers
+    * they did NOT trade with, drawn reproducibly with no RNG. Each
+    * attempt i hashes (customer, i) to a supplier RANK (md5 52-bit
+    * integer mod |suppliers|), ranks resolve to supplier ids through a
+    * two-level bucketed row_number over the supplier table (the
+    * o15_wmedian idiom — no monolithic global window even on the dim
+    * table), collisions with the positive set fall out via an
+    * anti-join, repeated draws keep their earliest attempt, and the
+    * first k survivors (by attempt, then id) are the negatives. 2k
+    * attempts per customer bound the retry budget in ONE batch — no
+    * iterative rejection loop; underfilled customers (< k survivors
+    * after 2k draws) are possible and documented, not silently
+    * refilled.
+    *
+    * 100 TB posture: the positive set is ids-only; attempts explode a
+    * bounded 2k-element sequence (narrow); all joins key on customer
+    * or rank; the per-customer window ranks ≤ 2k rows. */
+  def sampleNegatives(s: SparkSession, d: String): DataFrame = {
+    val k = 3
+    val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+    val pos = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
+      .distinct()
+    // two-level global rank of suppliers (1..n) in s_suppkey order
+    val sup = Tables.supplier(s, d).select(col("s_suppkey"))
+      .withColumn("__b", floor(col("s_suppkey") / 1000).cast("int"))
+    val wIn = Window.partitionBy("__b").orderBy("s_suppkey")
+    val wOff = Window.orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = sup.groupBy("__b").agg(count(lit(1)).as("__g_n"))
+      .withColumn("__g_off", coalesce(sum(col("__g_n")).over(wOff), lit(0L)))
+    val ranked = sup.withColumn("__rn", row_number().over(wIn))
+      .join(offs.select("__b", "__g_off"), Seq("__b"))
+      .select((col("__g_off") + col("__rn")).as("rk"), col("s_suppkey"))
+    val nSup = Tables.supplier(s, d).agg(count(lit(1)).as("n"))
+    val cands = pos.select(col("c")).distinct()
+      .filter(col("c") % 20 === 0)
+      .select(col("c"), explode(expr(s"sequence(1, ${2 * k})")).as("i"))
+      .crossJoin(broadcast(nSup))
+      .withColumn("rk",
+        conv(substring(md5(concat(col("c").cast("string"), lit("#"),
+          col("i").cast("string"))), 1, 13), 16, 10).cast("bigint")
+          % col("n") + 1)
+      .join(ranked, Seq("rk"))
+    val wPick = Window.partitionBy("c")
+      .orderBy(col("i"), col("s_suppkey"))
+    cands
+      .join(pos.select(col("c").as("pc"), col("sk").as("psk")),
+        col("c") === col("pc") && col("s_suppkey") === col("psk"),
+        "left_anti")
+      .groupBy(col("c"), col("s_suppkey"))
+      .agg(min(col("i")).as("i"))
+      .withColumn("neg_rank", row_number().over(wPick))
+      .filter(col("neg_rank") <= k)
+      .select(col("c").as("o_custkey"), col("s_suppkey"),
+        col("i").as("attempt"), col("neg_rank"))
+      .orderBy(col("o_custkey"), col("neg_rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_negatives"   -> sampleNegatives _,
     "pack_curriculum"    -> packCurriculum _,
     "sample_poisson"     -> samplePoisson _,
     "corpus_diff"        -> corpusDiff _,
@@ -1050,6 +1112,42 @@ object TrainOps {
       |  FROM p)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // identical md5-mod draws (strpos hex fold), monolithic supplier
+    // rank, NOT EXISTS anti-join, same earliest-attempt/rank pick
+    "sample_negatives" ->
+      """WITH pos AS (
+        |  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS sk
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |ranked AS (
+        |  SELECT row_number() OVER (ORDER BY s_suppkey) AS rk, s_suppkey
+        |  FROM supplier),
+        |nn AS (SELECT COUNT(*) AS n FROM supplier),
+        |cand AS (
+        |  SELECT cs.c, CAST(t.i AS INTEGER) AS i,
+        |    CAST(list_sum(list_transform(range(13), j ->
+        |      CAST(strpos('0123456789abcdef', substr(
+        |        md5(CAST(cs.c AS VARCHAR) || '#' || CAST(t.i AS VARCHAR)),
+        |        CAST(j AS INTEGER) + 1, 1)) - 1 AS DOUBLE)
+        |      * power(16.0, CAST(12 - j AS DOUBLE)))) AS BIGINT)
+        |      % (SELECT n FROM nn) + 1 AS rk
+        |  FROM (SELECT DISTINCT c FROM pos WHERE c % 20 = 0) cs
+        |  CROSS JOIN (SELECT UNNEST(range(1, 7)) AS i) t),
+        |jn AS (
+        |  SELECT cand.c, r.s_suppkey, cand.i
+        |  FROM cand JOIN ranked r USING (rk)
+        |  WHERE NOT EXISTS (SELECT 1 FROM pos p
+        |                    WHERE p.c = cand.c AND p.sk = r.s_suppkey)),
+        |g AS (
+        |  SELECT c, s_suppkey, CAST(MIN(i) AS INTEGER) AS i
+        |  FROM jn GROUP BY 1, 2),
+        |w AS (
+        |  SELECT c, s_suppkey, i,
+        |    CAST(row_number() OVER (PARTITION BY c
+        |      ORDER BY i, s_suppkey) AS INTEGER) AS neg_rank
+        |  FROM g)
+        |SELECT c AS o_custkey, s_suppkey, i AS attempt, neg_rank
+        |FROM w WHERE neg_rank <= 3
+        |ORDER BY o_custkey, neg_rank""".stripMargin,
     // monolithic row_number replays the engine's two-level bucketed
     // global rank; identical integer ntile closed form
     "pack_curriculum" ->

@@ -316,6 +316,50 @@ class Round6cOpsSpec extends SparkFunSuite {
     assert(got(("s2", "s3")) == ((0L, 0.693147)))
   }
 
+  test("theil-sen: median pairwise slope on a hand-built series") {
+    val d = Files.createTempDirectory("ts").toString
+    // daily counts 1, 2, 4 -> slopes {1, 1.5, 2} -> median 1.5
+    val day = 86400000L
+    val rows = Seq.fill(1)(0L) ++ Seq.fill(2)(1L) ++ Seq.fill(4)(2L)
+    rows.zipWithIndex.map { case (dd, i) =>
+      (i.toLong + 1, "a", 1.0, new Timestamp(1700000000000L + dd * day))
+    }.toDF("event_id", "event_type", "value", "ts")
+      .write.parquet(s"$d/events.parquet")
+    val r = StatsOps.evTheilSen(spark, d).collect()
+    assert(r.length == 1)
+    assert(r.head.getInt(1) == 3 && r.head.getLong(2) == 3L)
+    assert(r.head.getDouble(3) == 1.5)
+  }
+
+  test("negative sampling: reproducible, positive-free, capped at k") {
+    val d = Files.createTempDirectory("negs").toString
+    // customer 20 (passes % 20) trades with suppliers 1 and 2 of 1..5
+    Seq((100L, 20L)).toDF("o_orderkey", "o_custkey")
+      .write.parquet(s"$d/orders.parquet")
+    Seq((100L, 1L), (100L, 2L)).toDF("l_orderkey", "l_suppkey")
+      .write.parquet(s"$d/lineitem.parquet")
+    (1L to 5L).map(Tuple1(_)).toDF("s_suppkey")
+      .write.parquet(s"$d/supplier.parquet")
+    // replicate the draw: rank = md5-52-bit("20#i") % 5 + 1, ranks are
+    // suppkeys here; keep non-positives, earliest attempt, first 3
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def draw(i: Int): Long = {
+      val hex = md.digest(s"20#$i".getBytes)
+        .map("%02x".format(_)).mkString.take(13)
+      java.lang.Long.parseLong(hex, 16) % 5 + 1
+    }
+    val expected = (1 to 6).map(i => (draw(i), i))
+      .filterNot { case (sk, _) => sk == 1L || sk == 2L }
+      .groupBy(_._1).map { case (sk, xs) => (sk, xs.map(_._2).min) }
+      .toSeq.sortBy { case (sk, i) => (i, sk) }.take(3)
+      .zipWithIndex.map { case ((sk, i), r) => (20L, sk, i, r + 1) }
+    val got = TrainOps.sampleNegatives(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    assert(got.toList == expected.toList)
+    assert(got.forall(r => r._2 != 1L && r._2 != 2L))
+    assert(got.length <= 3)
+  }
+
   // --------------------------------------------------------- curriculum
 
   test("allocate: largest-remainder cents sum back to the total exactly") {
