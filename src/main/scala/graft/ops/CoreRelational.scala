@@ -1123,6 +1123,70 @@ object CoreRelational {
       .orderBy(col("n_name"))
   }
 
+  /** Layout EVALUATION: how much row-group skipping does each physical
+    * layout actually buy for a 2-D predicate (one month of order dates
+    * × the lowest 10% of customer keys)? Models parquet row-group
+    * pruning exactly as engines do it — per group, keep [min, max] of
+    * each filter column; a group is SCANNED iff both ranges intersect
+    * the predicate. Three layouts of the same table:
+    * `natural` (orderkey prefix — the as-loaded order), `bydate`
+    * (orderdate-clustered) and `zorder` (the [[layoutZorder]] bit
+    * interleave). The expected story IS the result: natural skips
+    * nothing, bydate skips the date dimension only, zorder skips on
+    * both — the panel that justifies paying for a re-layout before a
+    * 100 TB rewrite.
+    *
+    * One scan derives the sort keys; each layout is one hash agg on
+    * its group key + a group-count-sized reduce. Exact ints/dates;
+    * rates are single divisions, round 6. */
+  def layoutSkipping(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"),
+        to_date(col("o_orderdate")).as("od"))
+    val stats = o.agg(
+      min(col("o_custkey")).as("ck0"), max(col("o_custkey")).as("ck1"),
+      min(col("od")).as("d0"), max(col("od")).as("d1"))
+    val base = o.crossJoin(broadcast(stats))
+      .withColumn("x", floor((col("o_custkey") - col("ck0")) * lit(256.0)
+        / (col("ck1") - col("ck0") + lit(1))).cast("int"))
+      .withColumn("y", floor(datediff(col("od"), col("d0")) * lit(256.0)
+        / (datediff(col("d1"), col("d0")) + lit(1))).cast("int"))
+      .withColumn("z", (0 until 8).map { i =>
+        shiftright(col("x"), i).bitwiseAND(lit(1)) * lit(1 << (2 * i + 1)) +
+          shiftright(col("y"), i).bitwiseAND(lit(1)) * lit(1 << (2 * i))
+      }.reduce(_ + _))
+      // predicate: one month x bottom-decile customers
+      .withColumn("ckHi", expr("ck0 + (ck1 - ck0) div 10"))
+      .withColumn("m", col("od") >= lit("1997-03-01").cast("date") &&
+        col("od") <= lit("1997-03-31").cast("date") &&
+        col("o_custkey") <= col("ckHi"))
+    def layout(name: String, grp: Column): DataFrame =
+      base.groupBy(grp.as("g"))
+        .agg(count(lit(1)).as("rows"),
+          sum(col("m").cast("long")).as("hits"),
+          min(col("od")).as("odMin"), max(col("od")).as("odMax"),
+          min(col("o_custkey")).as("ckMin"),
+          max(col("o_custkey")).as("ckMax"),
+          max(col("ckHi")).as("ckHi"))
+        .withColumn("scanned",
+          (col("odMax") >= lit("1997-03-01").cast("date") &&
+            col("odMin") <= lit("1997-03-31").cast("date") &&
+            col("ckMin") <= col("ckHi")).cast("long"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(col("scanned")).as("n_scanned"),
+          sum(col("rows")).as("rows_total"),
+          sum(col("scanned") * col("rows")).as("rows_scanned"),
+          sum(col("hits")).as("n_matching"))
+        .select(lit(name).as("layout"), col("n_groups"), col("n_scanned"),
+          round(lit(1.0) - col("n_scanned").cast("double")
+            / col("n_groups").cast("double"), 6).as("skip_rate"),
+          col("rows_total"), col("rows_scanned"), col("n_matching"))
+    layout("natural", expr("o_orderkey div 512"))
+      .unionAll(layout("bydate", expr("datediff(od, '1994-01-01') div 30")))
+      .unionAll(layout("zorder", expr("z div 256")))
+      .orderBy(col("layout"))
+  }
+
   /** DQ: functional-dependency audit — test candidate "X determines Y"
     * rules and report how badly each is violated (the schema-
     * inference / normalization prerequisite: a HOLDING fd is a
@@ -1211,6 +1275,7 @@ object CoreRelational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_fd"          -> dqFd _,
+    "layout_skipping" -> layoutSkipping _,
     "a21_allocate"   -> a21Allocate _,
     "o15_wmedian"    -> o15Wmedian _,
     "o11_diversify"  -> o11Diversify _,
@@ -1520,6 +1585,61 @@ object CoreRelational {
     // replays the KMV sketch exactly: frac = first 52 md5 bits / 2^52
     // (every Σ digit·16^(12-i) term and the sum are exact doubles),
     // k smallest DISTINCT fracs, est = 63/h_64 (exact size below 64)
+    // identical min/max-range pruning model per layout; same z bits
+    "layout_skipping" -> {
+      def lay(name: String, grp: String) =
+        s"""SELECT '$name' AS layout,
+           |  COUNT(*) AS n_groups,
+           |  CAST(SUM(scanned) AS BIGINT) AS n_scanned,
+           |  round(1.0 - CAST(SUM(scanned) AS DOUBLE)
+           |    / CAST(COUNT(*) AS DOUBLE), 6) AS skip_rate,
+           |  CAST(SUM(rows) AS BIGINT) AS rows_total,
+           |  CAST(SUM(scanned * rows) AS BIGINT) AS rows_scanned,
+           |  CAST(SUM(hits) AS BIGINT) AS n_matching
+           |FROM (
+           |  SELECT $grp AS g, COUNT(*) AS rows,
+           |    CAST(SUM(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+           |    CASE WHEN MAX(od) >= DATE '1997-03-01'
+           |          AND MIN(od) <= DATE '1997-03-31'
+           |          AND MIN(o_custkey) <= MAX(ckHi)
+           |         THEN 1 ELSE 0 END AS scanned
+           |  FROM base GROUP BY 1)""".stripMargin
+      s"""WITH o AS (
+         |  SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS od
+         |  FROM orders),
+         |st AS (
+         |  SELECT MIN(o_custkey) AS ck0, MAX(o_custkey) AS ck1,
+         |    MIN(od) AS d0, MAX(od) AS d1
+         |  FROM o),
+         |bx AS (
+         |  SELECT o.*, st.ck0, st.ck1, st.d0, st.d1,
+         |    CAST(floor((o_custkey - ck0) * 256.0 / (ck1 - ck0 + 1))
+         |      AS INTEGER) AS x,
+         |    CAST(floor(date_diff('day', d0, od) * 256.0
+         |      / (date_diff('day', d0, d1) + 1)) AS INTEGER) AS y
+         |  FROM o, st),
+         |base AS (
+         |  SELECT *,
+         |    (((x >> 0) & 1) * 2 + ((y >> 0) & 1) * 1
+         |     + ((x >> 1) & 1) * 8 + ((y >> 1) & 1) * 4
+         |     + ((x >> 2) & 1) * 32 + ((y >> 2) & 1) * 16
+         |     + ((x >> 3) & 1) * 128 + ((y >> 3) & 1) * 64
+         |     + ((x >> 4) & 1) * 512 + ((y >> 4) & 1) * 256
+         |     + ((x >> 5) & 1) * 2048 + ((y >> 5) & 1) * 1024
+         |     + ((x >> 6) & 1) * 8192 + ((y >> 6) & 1) * 4096
+         |     + ((x >> 7) & 1) * 32768 + ((y >> 7) & 1) * 16384) AS z,
+         |    ck0 + (ck1 - ck0) // 10 AS ckHi,
+         |    (od >= DATE '1997-03-01' AND od <= DATE '1997-03-31'
+         |     AND o_custkey <= ck0 + (ck1 - ck0) // 10) AS m
+         |  FROM bx)
+         |SELECT * FROM (
+         |${lay("natural", "o_orderkey // 512")}
+         |UNION ALL
+         |${lay("bydate", "date_diff('day', DATE '1994-01-01', od) // 30")}
+         |UNION ALL
+         |${lay("zorder", "z // 256")}
+         |) ORDER BY layout""".stripMargin
+    },
     "dq_fd" -> {
       def p(name: String, tbl: String, lhs: String, rhs: String) =
         s"""SELECT '$name' AS fd,

@@ -459,6 +459,54 @@ object EventOps {
       .orderBy(col("event_type"), col("bucket"))
   }
 
+  /** Out-of-orderness profile — the panel that DESIGNS a watermark:
+    * per event type, how late do events arrive relative to the
+    * max event-time seen so far in ARRIVAL order (event_id)?
+    * `lateness = max(ts of earlier arrivals) − ts`, clamped at 0.
+    * The late rate, mean and worst lateness are exactly the numbers
+    * `withWatermark` needs — a delay below max_late_s drops events,
+    * far above it holds state for nothing.
+    *
+    * The running max is the two-level ARRIVAL-bucketed prefix
+    * (max is associative, so the o15_wmedian cumsum idiom applies
+    * verbatim with max in place of sum — no monolithic per-type
+    * window). Lateness values are exact integer micros; sums ride
+    * DECIMAL so a 100 TB × months-late corpus cannot overflow; the
+    * seconds conversions are single divisions, round 6. */
+  def evLateness(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("tsu"))
+      .withColumn("__b", expr("cast(event_id div 100000 as int)"))
+    val wIn = Window.partitionBy("event_type", "__b").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wOff = Window.partitionBy("event_type").orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = ev.groupBy("event_type", "__b")
+      .agg(max(col("tsu")).as("__g_max"))
+      .withColumn("__g_pre", max(col("__g_max")).over(wOff))
+      .select("event_type", "__b", "__g_pre")
+    ev.withColumn("__run", max(col("tsu")).over(wIn))
+      .join(offs, Seq("event_type", "__b"))
+      .withColumn("late_us",
+        greatest(coalesce(col("__g_pre"), col("__run")), col("__run"))
+          - col("tsu"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum((col("late_us") > 0).cast("long")).as("n_late"),
+        max(col("late_us")).as("mx"),
+        sum(col("late_us").cast("decimal(28,0)")).as("sm"))
+      .select(col("event_type"), col("n_events"), col("n_late"),
+        round(col("n_late").cast("double") / col("n_events").cast("double"),
+          6).as("late_rate"),
+        round(col("sm").cast("double")
+          / (lit(1000000.0) * col("n_events").cast("double")), 6)
+          .as("avg_late_s"),
+        round(col("mx").cast("double") / lit(1000000.0), 6)
+          .as("max_late_s"))
+      .orderBy(col("event_type"))
+  }
+
   /** Calibration (reliability) panel — [[evAuc]]'s companion: AUC says
     * the score RANKS well, this says whether its magnitude means
     * anything: per decile of predicted probability (value/100 clamped
@@ -1194,6 +1242,7 @@ object EventOps {
     "ev_auc" -> evAuc _,
     "ev_histogram_eq" -> evHistogramEq _,
     "ev_calibration" -> evCalibration _,
+    "ev_lateness" -> evLateness _,
     "ev_merge_partials" -> evMergePartials _,
     "ev_attribution" -> evAttribution _,
     "ev_gapfill"     -> evGapfill _,
@@ -1612,6 +1661,28 @@ object EventOps {
         |  CAST(len(regexp_extract_all(seq, 'vv+c')) AS INTEGER)
         |    AS n_browse
         |FROM seq ORDER BY user_id""".stripMargin,
+    // monolithic running max over arrival order; same clamp and
+    // micros->seconds conversions
+    "ev_lateness" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id, epoch_us(ts) AS tsu
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type,
+        |    MAX(tsu) OVER (PARTITION BY event_type ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - tsu AS late_us
+        |  FROM e)
+        |SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_late,
+        |  round(CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS late_rate,
+        |  round(CAST(SUM(late_us) AS DOUBLE)
+        |    / (1000000.0 * CAST(COUNT(*) AS DOUBLE)), 6) AS avg_late_s,
+        |  round(CAST(MAX(late_us) AS DOUBLE) / 1000000.0, 6)
+        |    AS max_late_s
+        |FROM r GROUP BY 1 ORDER BY event_type""".stripMargin,
     // same clamp/bucket/rounded-decimal-sum replay
     "ev_calibration" ->
       """WITH p AS (

@@ -360,6 +360,30 @@ class Round6cOpsSpec extends SparkFunSuite {
     assert(got.length <= 3)
   }
 
+  test("lateness: running-arrival max clamps on-time events to zero") {
+    val d = Files.createTempDirectory("late").toString
+    // arrival order ts seconds: 10, 5, 20, 15 -> lateness 0, 5, 0, 5
+    Seq(10L, 5L, 20L, 15L).zipWithIndex.map { case (sec, i) =>
+      (i.toLong + 1, "a", 1.0, new Timestamp(1700000000000L + sec * 1000))
+    }.toDF("event_id", "event_type", "value", "ts")
+      .write.parquet(s"$d/events.parquet")
+    val r = EventOps.evLateness(spark, d).collect().head
+    assert((r.getLong(1), r.getLong(2), r.getDouble(3),
+      r.getDouble(4), r.getDouble(5)) == ((4L, 2L, 0.5, 2.5, 5.0)))
+  }
+
+  test("layout skipping: clustered layouts prune, natural does not") {
+    val rows = CoreRelational.layoutSkipping(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val matching = rows.values.map(_.getLong(6)).toSet
+    assert(matching.size == 1) // the answer is layout-independent
+    assert(rows("natural").getLong(5) ==
+      rows("natural").getLong(4)) // scans everything
+    assert(rows("bydate").getLong(5) < rows("bydate").getLong(4))
+    assert(rows("zorder").getLong(5) < rows("zorder").getLong(4))
+    rows.values.foreach(r => assert(r.getLong(5) >= r.getLong(6)))
+  }
+
   // --------------------------------------------------------- curriculum
 
   test("allocate: largest-remainder cents sum back to the total exactly") {
