@@ -459,6 +459,27 @@ object EventOps {
       .orderBy(col("event_type"), col("bucket"))
   }
 
+  /** Sankey flow data — [[evTransitions]] with the STEP dimension: for
+    * each user's first 4 events, the (step, from, to) edge counts that
+    * draw the classic onboarding flow diagram (where do users go on
+    * their second action vs their third — a step-blind transition
+    * matrix can't say). ONE user-keyed window pass computes both the
+    * step index and the successor; the aggregate collapses onto the
+    * ≤ 3·|types|² key space. */
+  def evFlow(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("rn") <= 3 && col("to_type").isNotNull)
+      .groupBy(col("rn").as("step"), col("event_type").as("from_type"),
+        col("to_type"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("step"), col("from_type"), col("to_type"))
+  }
+
   /** Out-of-orderness profile — the panel that DESIGNS a watermark:
     * per event type, how late do events arrive relative to the
     * max event-time seen so far in ARRIVAL order (event_id)?
@@ -1243,6 +1264,7 @@ object EventOps {
     "ev_histogram_eq" -> evHistogramEq _,
     "ev_calibration" -> evCalibration _,
     "ev_lateness" -> evLateness _,
+    "ev_flow" -> evFlow _,
     "ev_merge_partials" -> evMergePartials _,
     "ev_attribution" -> evAttribution _,
     "ev_gapfill"     -> evGapfill _,
@@ -1661,6 +1683,18 @@ object EventOps {
         |  CAST(len(regexp_extract_all(seq, 'vv+c')) AS INTEGER)
         |    AS n_browse
         |FROM seq ORDER BY user_id""".stripMargin,
+    "ev_flow" ->
+      """WITH seq AS (
+        |  SELECT event_type AS from_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM events)
+        |SELECT CAST(rn AS INTEGER) AS step, from_type, to_type,
+        |  COUNT(*) AS n_users
+        |FROM seq WHERE rn <= 3 AND to_type IS NOT NULL
+        |GROUP BY 1, 2, 3 ORDER BY step, from_type, to_type""".stripMargin,
     // monolithic running max over arrival order; same clamp and
     // micros->seconds conversions
     "ev_lateness" ->

@@ -704,6 +704,24 @@ object TextOps {
       .orderBy(col("rule"))
   }
 
+  /** Language-ID confusion matrix — [[textLangId]] collapsed to the
+    * eval deliverable: per (labeled, detected) cell, the count and its
+    * share of the labeled row (per-class recall on the diagonal). The
+    * matrix is |langs|²-bounded regardless of SF; built from one
+    * detector pass + two bounded aggs. */
+  def textLangConfusion(s: SparkSession, d: String): DataFrame = {
+    val lid = textLangId(s, d)
+      .select(col("labeled_lang"), col("detected_lang"))
+    val tot = lid.groupBy("labeled_lang").agg(count(lit(1)).as("tot"))
+    lid.groupBy(col("labeled_lang"), col("detected_lang"))
+      .agg(count(lit(1)).as("n"))
+      .join(tot, Seq("labeled_lang"))
+      .select(col("labeled_lang"), col("detected_lang"), col("n"),
+        round(col("n").cast("double") / col("tot").cast("double"), 6)
+          .as("share"))
+      .orderBy(col("labeled_lang"), col("detected_lang"))
+  }
+
   /** Per-document n-gram NOVELTY in corpus-id order: the share of a
     * doc's distinct word-3-gram shingles whose FIRST corpus occurrence
     * (minimum doc_id) is the doc itself — the curation signal behind
@@ -796,6 +814,7 @@ object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_novelty"          -> textNovelty _,
+    "text_lang_confusion"   -> textLangConfusion _,
     "text_jsd_sources"      -> textJsdSources _,
     "text_gopher_rules"     -> textGopherRules _,
     "text_textrank"         -> textTextrank _,
@@ -820,6 +839,28 @@ object TextOps {
     "text_langid"           -> textLangId _,
     "text_fingerprint"      -> textFingerprint _,
     "text_fingerprint_roll" -> textFingerprintRoll _)
+
+  // the stopword-vote language detector as a reusable CTE chain
+  // (shared by the per-doc langid row and the confusion matrix)
+  private val langidCte =
+    """t AS (
+      |  SELECT doc_id, lang AS labeled_lang,
+      |    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x != '') AS toks
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, labeled_lang, toks, list_max([
+      |    {'s': len(list_filter(toks, x -> x IN ('the','and','of','to','in','is','that','for','with','was'))), 'l': 'en'},
+      |    {'s': len(list_filter(toks, x -> x IN ('el','la','los','las','de','que','y','en','un','una','por','con'))), 'l': 'es'},
+      |    {'s': len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','mit','ein','eine','zu','den'))), 'l': 'de'},
+      |    {'s': len(list_filter(toks, x -> x IN ('le','la','les','des','et','est','une','dans','que','pour','qui'))), 'l': 'fr'},
+      |    {'s': len(list_filter(toks, x -> x IN ('o','os','um','uma','do','da','em','para','com','não','por'))), 'l': 'pt'},
+      |    {'s': len(list_filter(toks, x -> x IN ('il','lo','gli','che','di','e','un','una','per','con','del'))), 'l': 'it'}
+      |  ]) AS best FROM t),
+      |d AS (
+      |  SELECT doc_id, labeled_lang,
+      |    CASE WHEN len(toks) = 0 OR best.s = 0 THEN 'und' ELSE best.l END
+      |      AS detected_lang
+      |  FROM s)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // same shingle construction (TrainOps.shingleCte, shared with the
@@ -1454,28 +1495,24 @@ object TextOps {
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_langid" ->
-      """WITH t AS (
-        |  SELECT doc_id, lang AS labeled_lang,
-        |    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x != '') AS toks
-        |  FROM documents),
-        |s AS (
-        |  SELECT doc_id, labeled_lang, toks, list_max([
-        |    {'s': len(list_filter(toks, x -> x IN ('the','and','of','to','in','is','that','for','with','was'))), 'l': 'en'},
-        |    {'s': len(list_filter(toks, x -> x IN ('el','la','los','las','de','que','y','en','un','una','por','con'))), 'l': 'es'},
-        |    {'s': len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','mit','ein','eine','zu','den'))), 'l': 'de'},
-        |    {'s': len(list_filter(toks, x -> x IN ('le','la','les','des','et','est','une','dans','que','pour','qui'))), 'l': 'fr'},
-        |    {'s': len(list_filter(toks, x -> x IN ('o','os','um','uma','do','da','em','para','com','não','por'))), 'l': 'pt'},
-        |    {'s': len(list_filter(toks, x -> x IN ('il','lo','gli','che','di','e','un','una','per','con','del'))), 'l': 'it'}
-        |  ]) AS best FROM t),
-        |d AS (
-        |  SELECT doc_id, labeled_lang,
-        |    CASE WHEN len(toks) = 0 OR best.s = 0 THEN 'und' ELSE best.l END
-        |      AS detected_lang
-        |  FROM s)
+      s"""WITH $langidCte
         |SELECT doc_id, labeled_lang, detected_lang,
         |  CAST(CASE WHEN labeled_lang = detected_lang THEN 1 ELSE 0 END AS INTEGER)
         |    AS agrees
         |FROM d ORDER BY doc_id""".stripMargin,
+    // same detector CTE, collapsed to the confusion matrix
+    "text_lang_confusion" ->
+      s"""WITH $langidCte,
+        |tot AS (
+        |  SELECT labeled_lang, COUNT(*) AS tot FROM d GROUP BY 1),
+        |cm AS (
+        |  SELECT labeled_lang, detected_lang, COUNT(*) AS n
+        |  FROM d GROUP BY 1, 2)
+        |SELECT cm.labeled_lang, cm.detected_lang, cm.n,
+        |  round(CAST(cm.n AS DOUBLE) / CAST(tot.tot AS DOUBLE), 6)
+        |    AS share
+        |FROM cm JOIN tot USING (labeled_lang)
+        |ORDER BY labeled_lang, detected_lang""".stripMargin,
     "text_fingerprint_roll" ->
       """SELECT doc_id,
         |  CAST(CASE WHEN h >= 9223372036854775808::HUGEINT

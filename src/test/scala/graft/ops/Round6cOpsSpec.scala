@@ -384,6 +384,31 @@ class Round6cOpsSpec extends SparkFunSuite {
     rows.values.foreach(r => assert(r.getLong(5) >= r.getLong(6)))
   }
 
+  test("flow: step-indexed transition counts for the first actions") {
+    val d = Files.createTempDirectory("flow").toString
+    eventsDf(Seq(
+      (1L, 1L, "a"), (2L, 1L, "b"), (3L, 1L, "c"),
+      (4L, 2L, "a"), (5L, 2L, "b")))
+      .write.parquet(s"$d/events.parquet")
+    val got = EventOps.evFlow(spark, d).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toList == List((1, "a", "b", 2L), (2, "b", "c", 1L)))
+  }
+
+  test("lang confusion: detected vs labeled with row shares") {
+    val d = Files.createTempDirectory("conf").toString
+    Seq(
+      (1L, "the cat and the dog is in the house", "en"),
+      (2L, "zzz qqq xxx", "en"))
+      .toDF("doc_id", "text", "lang")
+      .write.parquet(s"$d/documents.parquet")
+    val got = TextOps.textLangConfusion(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(got.toList == List(
+      ("en", "en", 1L, 0.5), ("en", "und", 1L, 0.5)))
+  }
+
   // --------------------------------------------------------- curriculum
 
   test("allocate: largest-remainder cents sum back to the total exactly") {
