@@ -474,6 +474,37 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Canonical-document selection by MEDOID — the upgrade over
+    * [[dedupClusters]]' min-id pick: within each near-dup cluster,
+    * keep the member with the highest summed similarity to its
+    * cluster-mates (the most REPRESENTATIVE copy, not the one with
+    * the luckiest id — min-id canonicalization happily keeps the one
+    * truncated/mangled variant). Ties break to the smaller id.
+    *
+    * Reuses both memoized artifacts (verified pair set + converged
+    * labels), so the marginal cost is one pair-table union + two
+    * keyed aggregates. Scores are sums of already-6-rounded jaccards
+    * as exact DECIMAL (order-free); the argmax is a struct-max, not
+    * a window. */
+  def dedupMedoid(s: SparkSession, d: String): DataFrame = {
+    val clusters = dedupClusters(s, d)
+    val pairs = minhashPairs(s, d)
+    val contrib = pairs
+      .select(col("doc_a").as("doc_id"), col("jaccard"))
+      .unionAll(pairs.select(col("doc_b").as("doc_id"), col("jaccard")))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("jaccard").cast("decimal(9,6)")).as("score"))
+    clusters.filter(col("cluster_size") >= 2)
+      .join(contrib, Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(max(col("cluster_size")).as("cluster_size"),
+        max(struct(col("score"), (-col("doc_id")).as("nid"))).as("m"))
+      .select(col("cluster_id"), col("cluster_size"),
+        (-col("m.nid")).as("medoid_doc_id"),
+        round(col("m.score").cast("double"), 6).as("medoid_score"))
+      .orderBy(col("cluster_id"))
+  }
+
   /** Corpus-wide duplicated-passage coverage — the scalable
     * approximation of ExactSubstr dedup (Lee et al., "Deduplicating
     * Training Data Makes Language Models Better") at a fixed gram
@@ -717,6 +748,7 @@ object DedupOps {
     "dedup_exact"      -> dedupExact _,
     "dedup_exact_keep" -> dedupExactKeep _,
     "dedup_minhash"    -> dedupMinhash _,
+    "dedup_medoid"     -> dedupMedoid _,
     "dedup_simhash"    -> dedupSimhash _,
     "dedup_ngram"      -> dedupNgram _,
     "dedup_containment" -> dedupContainment _,
@@ -924,6 +956,62 @@ object DedupOps {
         |FROM n LEFT JOIN cl USING (doc_id) ORDER BY n.doc_id""".stripMargin,
     // ground-truth pairs (the dedup_minhash oracle's CTEs) + recursive
     // min-label reachability = connected components
+    // the clusters oracle extended with per-member summed jaccard and
+    // the (score DESC, doc_id ASC) argmax
+    "dedup_medoid" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+        |    t -> t != '') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id, UNNEST(
+        |      CASE WHEN len(toks) < 3 THEN
+        |        CASE WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+        |             ELSE [] END
+        |      ELSE list_transform(range(0, len(toks) - 2),
+        |        i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) END) AS shingle
+        |    FROM toks)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+        |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b,
+        |    round(CAST(n_inter AS DOUBLE)
+        |      / (sa.set_size + sb.set_size - n_inter), 6) AS j
+        |  FROM inter
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE round(CAST(n_inter AS DOUBLE)
+        |    / (sa.set_size + sb.set_size - n_inter), 6) >= 0.5),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(id, label) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+        |cc AS (SELECT id AS doc_id, min(label) AS cluster_id
+        |       FROM reach GROUP BY id),
+        |cs AS (SELECT cluster_id, COUNT(*) AS cluster_size
+        |       FROM cc GROUP BY cluster_id),
+        |contrib AS (
+        |  SELECT doc_id, SUM(CAST(j AS DECIMAL(9,6))) AS score FROM (
+        |    SELECT doc_a AS doc_id, j FROM pairs
+        |    UNION ALL SELECT doc_b, j FROM pairs)
+        |  GROUP BY doc_id),
+        |rk AS (
+        |  SELECT cc.cluster_id, cs.cluster_size, cc.doc_id, contrib.score,
+        |    row_number() OVER (PARTITION BY cc.cluster_id
+        |      ORDER BY contrib.score DESC, cc.doc_id ASC) AS rn
+        |  FROM cc JOIN cs USING (cluster_id)
+        |  JOIN contrib USING (doc_id)
+        |  WHERE cs.cluster_size >= 2)
+        |SELECT cluster_id, cluster_size, doc_id AS medoid_doc_id,
+        |  round(CAST(score AS DOUBLE), 6) AS medoid_score
+        |FROM rk WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
     "dedup_clusters" ->
       """WITH RECURSIVE toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),

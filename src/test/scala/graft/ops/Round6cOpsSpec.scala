@@ -409,6 +409,20 @@ class Round6cOpsSpec extends SparkFunSuite {
       ("en", "en", 1L, 0.5), ("en", "und", 1L, 0.5)))
   }
 
+  test("medoid: summed-similarity argmax with min-id tie break") {
+    val d = Files.createTempDirectory("medoid").toString
+    Seq(
+      (1L, "a b c d e"), // grams {abc,bcd,cde}
+      (2L, "a b c d e"), // identical twin: j(1,2)=1.0
+      (3L, "a b c d e f"), // {abc,bcd,cde,def}: j=0.75 to both
+      (4L, "p q r s t"), (5L, "p q r s t")) // a clean pair cluster
+      .toDF("doc_id", "text").write.parquet(s"$d/documents.parquet")
+    val got = DedupOps.dedupMedoid(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    // cluster 1: docs 1 and 2 tie at 1.0+0.75 -> min id 1 wins
+    assert(got.toList == List((1L, 1L, 1.75), (4L, 4L, 1.0)))
+  }
+
   // --------------------------------------------------------- curriculum
 
   test("allocate: largest-remainder cents sum back to the total exactly") {
