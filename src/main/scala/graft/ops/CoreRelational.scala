@@ -629,7 +629,9 @@ object CoreRelational {
     * [[graft.functions.expressions.KmvDistinct]]-style native
     * aggregates (same O(m) sketch bound, zero custom code); exact
     * count rides along as the accuracy reference. */
-  def a20Hll(s: SparkSession, d: String): DataFrame = {
+  /** Per-row HLL (register, rank) derivation from md5(user_id) — see
+    * [[a20Hll]] for the contract. */
+  private def hllRanks(ev: DataFrame): DataFrame = {
     val hex = md5(col("user_id").cast("string"))
     val reg = conv(substring(hex, 1, 2), 16, 10).cast("int")
     val h13 = substring(hex, 3, 13)
@@ -638,10 +640,12 @@ object CoreRelational {
     val clz4 = when(d1 === "1", 3).when(d1.isin("2", "3"), 2)
       .when(d1.isin("4", "5", "6", "7"), 1).otherwise(0)
     val rank = when(lz === 13, lit(53)).otherwise(lz * 4 + clz4 + 1)
-    val regs = Tables.events(s, d)
-      .select(col("event_type"), reg.as("reg"), rank.as("rk"))
-      .groupBy("event_type", "reg").agg(max(col("rk")).as("mr"))
-    val sketch = regs.groupBy("event_type").agg(
+    ev.select(col("event_type"), reg.as("reg"), rank.as("rk"))
+  }
+
+  /** (event_type, reg, mr) register table → per-type HLL estimate. */
+  private def hllEstimate(regs: DataFrame, estCol: String): DataFrame =
+    regs.groupBy("event_type").agg(
         count(lit(1)).as("n_used"),
         sum(expr("shiftleft(cast(1 as bigint), 53 - mr)")).as("zp"))
       .select(col("event_type"),
@@ -654,10 +658,43 @@ object CoreRelational {
       .select(col("event_type"), col("n_zero_regs"),
         round(expr("case when n_zero_regs > 0 and raw <= 640.0" +
           " then 256.0 * ln(256.0 / cast(n_zero_regs as double))" +
-          " else raw end"), 4).as("est_users"))
+          " else raw end"), 4).as(estCol))
+
+  def a20Hll(s: SparkSession, d: String): DataFrame = {
+    val regs = hllRanks(Tables.events(s, d))
+      .groupBy("event_type", "reg").agg(max(col("rk")).as("mr"))
+    val sketch = hllEstimate(regs, "est_users")
     val exact = Tables.events(s, d).groupBy("event_type")
       .agg(countDistinct(col("user_id")).as("exact_users"))
     sketch.join(exact, Seq("event_type")).orderBy(col("event_type"))
+  }
+
+  /** A: HLL MERGEABILITY as a hash-checked row — the property that
+    * makes a sketch a DISTRIBUTED sketch: registers built on two
+    * disjoint halves of the corpus (user-id parity), merged by
+    * element-wise max, must reproduce the whole-corpus estimate
+    * exactly, while the half estimates visibly DON'T add (distinct
+    * count is not a sum). The algebraic re-aggregation contract (the
+    * ev_merge_partials idiom applied to a sketch): at 100 TB this is
+    * why per-partition/per-day register blocks roll up later without
+    * touching raw data. */
+  def a22HllMerge(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    def regsOf(df: DataFrame) = hllRanks(df)
+      .groupBy("event_type", "reg").agg(max(col("rk")).as("mr"))
+    val ra = regsOf(ev.filter(col("user_id") % 2 === 0))
+    val rb = regsOf(ev.filter(col("user_id") % 2 =!= 0))
+    val merged = ra.unionAll(rb)
+      .groupBy("event_type", "reg").agg(max(col("mr")).as("mr"))
+    val ea = hllEstimate(ra, "est_even").drop("n_zero_regs")
+    val eb = hllEstimate(rb, "est_odd").drop("n_zero_regs")
+    val em = hllEstimate(merged, "est_merged").drop("n_zero_regs")
+    val ef = hllEstimate(regsOf(ev), "est_full").drop("n_zero_regs")
+    ea.join(eb, Seq("event_type")).join(em, Seq("event_type"))
+      .join(ef, Seq("event_type"))
+      .withColumn("merged_equals_full",
+        (col("est_merged") === col("est_full")).cast("int"))
+      .orderBy(col("event_type"))
   }
 
   /** A: data profiling — the ANALYZE-TABLE panel (per-column null
@@ -1294,6 +1331,7 @@ object CoreRelational {
     "profile_entropy" -> profileEntropy _,
     "a15_kmv"        -> a15Kmv _,
     "a20_hll"        -> a20Hll _,
+    "a22_hll_merge"  -> a22HllMerge _,
     "a13_pivot"      -> a13Pivot _,
     "q01_pricing"    -> q01Pricing _,
     "p08_boolshould" -> p08BoolShould _,
@@ -1718,6 +1756,70 @@ object CoreRelational {
         |  CAST(MIN(price) AS DOUBLE) AS w_median_price
         |FROM c WHERE cum * 2 >= tot_w
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    // parity-split register tables, element-wise-max merge, and the
+    // four estimates from the identical a20 pipeline
+    "a22_hll_merge" -> {
+      def est(src: String, alias: String) =
+        s"""${alias}sk AS (
+           |  SELECT event_type,
+           |    CAST(256 - COUNT(*) AS BIGINT) AS nz,
+           |    CAST(SUM(CAST(1 AS BIGINT) << (53 - mr)) AS BIGINT)
+           |      + CAST(256 - COUNT(*) AS BIGINT) * 9007199254740992 AS zs
+           |  FROM $src GROUP BY 1),
+           |$alias AS (
+           |  SELECT event_type,
+           |    round(CASE WHEN nz > 0
+           |        AND (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+           |          / (CAST(zs AS DOUBLE) / 9007199254740992.0) <= 640.0
+           |      THEN 256.0 * ln(256.0 / CAST(nz AS DOUBLE))
+           |      ELSE (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+           |        / (CAST(zs AS DOUBLE) / 9007199254740992.0) END, 4)
+           |      AS est
+           |  FROM ${alias}sk)""".stripMargin
+      s"""WITH h AS (
+         |  SELECT event_type, user_id % 2 = 0 AS even,
+         |    md5(CAST(user_id AS VARCHAR)) AS hx
+         |  FROM events),
+         |r AS (
+         |  SELECT event_type, even,
+         |    (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+         |      + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) AS reg,
+         |    substr(hx, 3, 13) AS h13
+         |  FROM h),
+         |rr AS (
+         |  SELECT event_type, even, reg,
+         |    CASE WHEN lz = 13 THEN 53
+         |         ELSE lz * 4 + (CASE WHEN d1 = '1' THEN 3
+         |                             WHEN d1 IN ('2', '3') THEN 2
+         |                             WHEN d1 IN ('4', '5', '6', '7') THEN 1
+         |                             ELSE 0 END) + 1 END AS rk
+         |  FROM (
+         |    SELECT event_type, even, reg,
+         |      length(regexp_extract(h13, '^0*')) AS lz,
+         |      substr(h13, length(regexp_extract(h13, '^0*')) + 1, 1) AS d1
+         |    FROM r)),
+         |regsE AS (SELECT event_type, reg, MAX(rk) AS mr
+         |          FROM rr WHERE even GROUP BY 1, 2),
+         |regsO AS (SELECT event_type, reg, MAX(rk) AS mr
+         |          FROM rr WHERE NOT even GROUP BY 1, 2),
+         |regsM AS (
+         |  SELECT event_type, reg, MAX(mr) AS mr FROM (
+         |    SELECT * FROM regsE UNION ALL SELECT * FROM regsO)
+         |  GROUP BY 1, 2),
+         |regsF AS (SELECT event_type, reg, MAX(rk) AS mr
+         |          FROM rr GROUP BY 1, 2),
+         |${est("regsE", "ee")},
+         |${est("regsO", "eo")},
+         |${est("regsM", "em")},
+         |${est("regsF", "ef")}
+         |SELECT ee.event_type, ee.est AS est_even, eo.est AS est_odd,
+         |  em.est AS est_merged, ef.est AS est_full,
+         |  CAST(CASE WHEN em.est = ef.est THEN 1 ELSE 0 END AS INTEGER)
+         |    AS merged_equals_full
+         |FROM ee JOIN eo USING (event_type) JOIN em USING (event_type)
+         |JOIN ef USING (event_type)
+         |ORDER BY event_type""".stripMargin
+    },
     // full HLL replay: same md5 register/rank derivation by string
     // ops, exact scaled-integer harmonic sum, same one-expression
     // estimate + linear-counting branch

@@ -90,6 +90,17 @@ class Round6cOpsSpec extends SparkFunSuite {
     assert(once == twice)
   }
 
+  test("hll merge: parity-half registers max-merge to the full estimate") {
+    val rows = CoreRelational.a22HllMerge(spark, hllDir).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getInt(5)))).toMap
+    val (ev, od, mg, fl, eq) = rows("a")
+    assert(eq == 1 && mg == fl)
+    // halves see ~15 users each; the merge sees all 30
+    assert(math.abs(mg - 30.0) / 30.0 < 0.15)
+    assert(ev < mg && od < mg)
+  }
+
   // --------------------------------------------------------- stationary
 
   private def eventsDf(rows: Seq[(Long, Long, String)]) =
