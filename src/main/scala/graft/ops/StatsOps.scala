@@ -615,7 +615,56 @@ object StatsOps {
       .orderBy(col("event_type"))
   }
 
+  /** Additive Holt–Winters (triple exponential: level + trend + weekly
+    * seasonality, α=.3 β=.1 γ=.2) over the gap-filled per-type daily
+    * series — the classic seasonal forecaster that completes the
+    * smoothing ladder (ev_ewma → ev_holt → this). Initialization:
+    * level = mean of week 1, trend = 0, seasonal s_i = x_i − level;
+    * then one sorted fold from day 8 with a 10-slot array accumulator
+    * [l, b, s0..s6, i] (the ev_holt array-fold idiom extended with the
+    * in-accumulator day index that picks the seasonal slot). Per-type
+    * state is the DAY SPAN, not the corpus SF; the oracle's recursive
+    * CTE replays the identical double-op order, so the result is
+    * bit-stable cross-engine. Forecast = l + b + s_{n mod 7}. */
+  def evHoltWinters(s: SparkSession, d: String): DataFrame = {
+    val si = "cast(element_at(acc, 10) as int) % 7 + 3"
+    val sv = s"element_at(acc, $si)"
+    val lp = s"0.3 * (x - $sv)" +
+      " + 0.7 * (element_at(acc, 1) + element_at(acc, 2))"
+    val l0 = "aggregate(slice(xs, 1, 7), cast(0.0 as double)," +
+      " (a, v) -> a + v) / 7.0"
+    val fold =
+      s"""aggregate(
+         |  slice(xs, 8, greatest(size(xs) - 7, 0)),
+         |  concat(
+         |    array($l0, cast(0.0 as double)),
+         |    transform(slice(xs, 1, 7), v -> v - $l0),
+         |    array(cast(7.0 as double))),
+         |  (acc, x) -> transform(sequence(1, 10), j ->
+         |    CASE
+         |      WHEN j = 1 THEN $lp
+         |      WHEN j = 2 THEN 0.1 * (($lp) - element_at(acc, 1))
+         |                      + 0.9 * element_at(acc, 2)
+         |      WHEN j = $si THEN 0.2 * (x - ($lp)) + 0.8 * $sv
+         |      WHEN j = 10 THEN element_at(acc, 10) + 1.0
+         |      ELSE element_at(acc, j)
+         |    END))""".stripMargin
+    val xs = transform(
+      sort_array(collect_list(struct(col("t"), col("x")))),
+      e => e.getField("x").cast("double"))
+    dailyFilled(s, d).groupBy(col("event_type")).agg(xs.as("xs"))
+      .select(col("event_type"), size(col("xs")).as("n_days"),
+        expr(fold).as("st"))
+      .select(col("event_type"), col("n_days"),
+        round(element_at(col("st"), 1), 6).as("level"),
+        round(element_at(col("st"), 2), 6).as("trend"),
+        round(expr("element_at(st, 1) + element_at(st, 2)" +
+          " + element_at(st, n_days % 7 + 3)"), 6).as("forecast_next"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_holtwinters"   -> evHoltWinters _,
     "ev_theilsen"      -> evTheilSen _,
     "ev_abtest_power"  -> evAbtestPower _,
     "ev_decompose"     -> evSeasonalDecompose _,
@@ -653,6 +702,39 @@ object StatsOps {
       |    ON s.event_type = d.event_type AND s.day = d.day)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // recursive-CTE replay of the identical fold: same init (week-1
+    // mean level, zero trend, x - l0 seasonals), same per-step double
+    // expression order, list state updated by slice-concat
+    "ev_holtwinters" ->
+      s"""WITH RECURSIVE $dailyFilledCte,
+         |a AS (
+         |  SELECT event_type,
+         |    list_transform(list_sort(list(struct_pack(t := t, x := x))),
+         |      e -> CAST(e.x AS DOUBLE)) AS xs
+         |  FROM f GROUP BY 1),
+         |i0 AS (
+         |  SELECT event_type, xs, list_sum(xs[1:7]) / 7.0 AS l0 FROM a),
+         |r AS (
+         |  SELECT event_type, xs, 7 AS i, l0 AS l,
+         |    CAST(0.0 AS DOUBLE) AS b,
+         |    list_transform(xs[1:7], v -> v - l0) AS s
+         |  FROM i0
+         |  UNION ALL
+         |  SELECT event_type, xs, i + 1,
+         |    0.3 * (xs[i + 1] - s[(i % 7) + 1]) + 0.7 * (l + b),
+         |    0.1 * ((0.3 * (xs[i + 1] - s[(i % 7) + 1]) + 0.7 * (l + b))
+         |        - l) + 0.9 * b,
+         |    list_concat(list_concat(
+         |      s[1:(i % 7)],
+         |      [0.2 * (xs[i + 1]
+         |          - (0.3 * (xs[i + 1] - s[(i % 7) + 1]) + 0.7 * (l + b)))
+         |        + 0.8 * s[(i % 7) + 1]]),
+         |      s[(i % 7) + 2:7])
+         |  FROM r WHERE i < len(xs))
+         |SELECT event_type, CAST(len(xs) AS INTEGER) AS n_days,
+         |  round(l, 6) AS level, round(b, 6) AS trend,
+         |  round(l + b + s[(len(xs) % 7) + 1], 6) AS forecast_next
+         |FROM r WHERE i = len(xs) ORDER BY event_type""".stripMargin,
     // same pair expansion over the filled daily series, identical
     // rank-pick median with the full (sl, t1, t2) tie-break
     "ev_theilsen" ->

@@ -342,6 +342,26 @@ class Round6cOpsSpec extends SparkFunSuite {
     assert(r.head.getDouble(3) == 1.5)
   }
 
+  test("holt-winters: a perfectly periodic series is a fixpoint") {
+    val d = Files.createTempDirectory("hw").toString
+    val day = 86400000L
+    val pattern = Seq(3, 1, 4, 1, 5, 9, 2)
+    val rows = for {
+      t <- 0 until 14
+      k <- 0 until pattern(t % 7)
+    } yield (t.toLong * 100 + k, "a", 1.0,
+      new Timestamp(1700000000000L + t * day))
+    rows.toDF("event_id", "event_type", "value", "ts")
+      .write.parquet(s"$d/events.parquet")
+    val r = StatsOps.evHoltWinters(spark, d).collect().head
+    // level settles at the weekly mean, trend at 0; next-day forecast
+    // reproduces the pattern value for day 14 (= day 0's count)
+    assert(r.getInt(1) == 14)
+    assert(r.getDouble(2) == math.rint(25.0 / 7.0 * 1e6) / 1e6)
+    assert(r.getDouble(3) == 0.0)
+    assert(r.getDouble(4) == 3.0)
+  }
+
   test("negative sampling: reproducible, positive-free, capped at k") {
     val d = Files.createTempDirectory("negs").toString
     // customer 20 (passes % 20) trades with suppliers 1 and 2 of 1..5
