@@ -271,6 +271,40 @@ class PlanAuditSpec extends SparkFunSuite {
       "ev_overlap_kmv runs a scan per sketch")
   }
 
+  test("round-6c plans: two-level windows carry their bucket key") {
+    // every window partition spec in these ops must include the
+    // value/arrival bucket column — a window keyed on the group alone
+    // would be the monolithic-partition anti-pattern at 100 TB
+    // (bucketKeyed, runsOnAggregatedInput) per window: the corpus-side
+    // window must carry the bucket; a window without it may only run
+    // over an already-aggregated (bucket-summary-sized) input
+    def audit(df: DataFrame, name: String): Unit = {
+      val ws = df.queryExecution.optimizedPlan.collect {
+        case w: LogicalWindow =>
+          (w.partitionSpec.map(_.sql),
+            w.child.collect { case a: Aggregate => a }.nonEmpty)
+      }
+      assert(ws.nonEmpty, s"$name lost its windows")
+      ws.foreach { case (keys, aggBelow) =>
+        assert(keys.exists(_.contains("__b")) || aggBelow,
+          s"$name has a corpus-side window without the bucket key: $keys")
+      }
+      assert(ws.exists(_._1.exists(_.contains("__b"))),
+        s"$name has no bucket-keyed window at all: $ws")
+    }
+    audit(CoreRelational.o15Wmedian(spark, sfDir), "o15_wmedian")
+    audit(EventOps.evAuc(spark, sfDir), "ev_auc")
+    audit(EventOps.evHistogramEq(spark, sfDir), "ev_histogram_eq")
+    audit(EventOps.evLateness(spark, sfDir), "ev_lateness")
+    // a21_allocate windows key on the high-cardinality order key
+    val al = CoreRelational.a21Allocate(spark, sfDir).queryExecution
+      .optimizedPlan.collect {
+        case w: LogicalWindow => w.partitionSpec.map(_.sql)
+      }
+    assert(al.nonEmpty && al.forall(_.exists(_.contains("o_orderkey"))),
+      s"a21_allocate window keys: $al")
+  }
+
   test("partitioned table prunes partitions at scan time") {
     val dir = Files.createTempDirectory("ptab").toString + "/t"
     val df = graft.Tables.orders(spark, sfDir)
