@@ -6,9 +6,10 @@ import java.util.{Map => JMap}
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
@@ -62,13 +63,14 @@ class FecPipeSource extends TableProvider with DataSourceRegister {
 }
 
 final class FecPipeTable(schema: StructType, props: Map[String, String])
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String =
     s"fecpipe(${props.getOrElse("path", "?")})"
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = {
     val path = Option(options.get("path"))
@@ -76,6 +78,102 @@ final class FecPipeTable(schema: StructType, props: Map[String, String])
       .getOrElse(throw new IllegalArgumentException("fecpipe: no path"))
     new FecPipeScanBuilder(schema, path)
   }
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val path = Option(info.options.get("path"))
+      .orElse(props.get("path"))
+      .getOrElse(throw new IllegalArgumentException("fecpipe: no path"))
+    new FecPipeWriteBuilder(info.schema(), path)
+  }
+}
+
+/** Write side of the connector — the two-phase commit the
+  * StagedSwapWriter sink family uses, expressed through the V2
+  * contract: each task writes `part-*.txt.tmp` and reports it in its
+  * commit message; the DRIVER's commit renames every temp in one pass
+  * (and under `truncate` first deletes the previous generation), so a
+  * failed job leaves only `.tmp` litter, never a half-visible dataset.
+  * Fields render pipe-joined in schema order, NULL → empty (the bulk
+  * feeds' convention the reader inverts). */
+final class FecPipeWriteBuilder(schema: StructType, path: String)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new FecPipeBatchWrite(schema, path, doTruncate)
+  }
+}
+
+final case class FecPipeCommit(tmp: String) extends WriterCommitMessage
+
+final class FecPipeBatchWrite(schema: StructType, path: String,
+    truncate: Boolean) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : DataWriterFactory = new FecPipeWriterFactory(schema, path)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = Paths.get(path)
+    Files.createDirectories(dir)
+    if (truncate)
+      Files.list(dir).iterator().asScala
+        .filter(_.toString.endsWith(".txt")).foreach(Files.delete(_))
+    messages.foreach { case FecPipeCommit(tmp) =>
+      val t = Paths.get(tmp)
+      Files.move(t, t.resolveSibling(
+        t.getFileName.toString.stripSuffix(".tmp")))
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case FecPipeCommit(tmp) => Files.deleteIfExists(Paths.get(tmp))
+      case _ => ()
+    }
+}
+
+final class FecPipeWriterFactory(schema: StructType, path: String)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : DataWriter[InternalRow] =
+    new FecPipeDataWriter(schema, path, partitionId, taskId)
+}
+
+final class FecPipeDataWriter(schema: StructType, path: String,
+    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+  private val tmp = {
+    Files.createDirectories(Paths.get(path))
+    Paths.get(path, f"part-$partitionId%05d-$taskId.txt.tmp")
+  }
+  private val out = Files.newBufferedWriter(tmp)
+
+  override def write(row: InternalRow): Unit = {
+    val line = schema.fields.indices.map { i =>
+      if (row.isNullAt(i)) ""
+      else schema.fields(i).dataType match {
+        case StringType  => row.getUTF8String(i).toString
+        case IntegerType => row.getInt(i).toString
+        case LongType    => row.getLong(i).toString
+        case FloatType   => row.getFloat(i).toString
+        case DoubleType  => row.getDouble(i).toString
+        case other => throw new IllegalArgumentException(
+          s"fecpipe: unsupported type $other")
+      }
+    }.mkString("|")
+    out.write(line)
+    out.write("\n")
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    FecPipeCommit(tmp.toString)
+  }
+
+  override def abort(): Unit = {
+    out.close()
+    Files.deleteIfExists(tmp)
+  }
+
+  override def close(): Unit = ()
 }
 
 final class FecPipeScanBuilder(fullSchema: StructType, path: String)

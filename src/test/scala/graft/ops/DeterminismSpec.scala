@@ -23,7 +23,15 @@ class DeterminismSpec extends SparkFunSuite {
     "o12_pareto"       -> (() => StatsOps.paretoAbc(spark, sfDir)),
     "basket_rules"     -> (() => StatsOps.basketRules(spark, sfDir)),
     "emb_pca"          -> (() => SimOps.embPca(spark, sfDir)),
-    "text_bigram_lm"   -> (() => TrainOps.textBigramLm(spark, sfDir)))
+    "text_bigram_lm"   -> (() => TrainOps.textBigramLm(spark, sfDir)),
+    "ev_holtwinters"   -> (() => StatsOps.evHoltWinters(spark, sfDir)),
+    "ev_theilsen"      -> (() => StatsOps.evTheilSen(spark, sfDir)),
+    "ev_attrib_markov" -> (() => EventOps.evAttribMarkov(spark, sfDir)),
+    "ev_markov_stationary" ->
+      (() => EventOps.evMarkovStationary(spark, sfDir)),
+    "text_jsd_sources" -> (() => TextOps.textJsdSources(spark, sfDir)),
+    "emb_cluster_quality" ->
+      (() => SimOps.embClusterQuality(spark, sfDir)))
 
   test("quantized statistics are bit-identical across shuffle fan-outs") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -109,6 +109,32 @@ class FecPipeSourceSpec extends SparkFunSuite {
       .toSeq == Seq("C001", "C002", "C003", "C004"))
   }
 
+  test("write path: two-phase commit round-trips; overwrite truncates") {
+    val outDir = Files.createTempDirectory("fecwrite").toString
+    val src = read().filter(col("cand_pty_affiliation") === "DEM")
+    src.write.format("fecpipe").option("table", "cn22")
+      .mode("append").save(outDir)
+    // no .tmp litter after commit; data files are final .txt
+    val names = Files.list(Paths.get(outDir)).iterator()
+    val files = Iterator.continually(names)
+      .takeWhile(_.hasNext).map(_.next().getFileName.toString).toList
+    assert(files.nonEmpty && files.forall(_.endsWith(".txt")))
+    // round-trip through the reader: same rows, nulls preserved
+    val back = spark.read.format("fecpipe").option("table", "cn22")
+      .load(outDir)
+    assert(back.orderBy("cand_id").collect().map(_.getString(0)).toSeq ==
+      Seq("C001", "C003"))
+    // append adds, overwrite truncates the previous generation
+    src.write.format("fecpipe").option("table", "cn22")
+      .mode("append").save(outDir)
+    assert(spark.read.format("fecpipe").option("table", "cn22")
+      .load(outDir).count() == 4)
+    read().limit(1).write.format("fecpipe").option("table", "cn22")
+      .mode("overwrite").save(outDir)
+    assert(spark.read.format("fecpipe").option("table", "cn22")
+      .load(outDir).count() == 1)
+  }
+
   test("single-file path load and unknown table rejection") {
     val one = spark.read.format("fecpipe").option("table", "cn22")
       .load(Paths.get(dir, "cn_b.txt").toString)
