@@ -567,7 +567,46 @@ object SimOps {
       .orderBy(col("centroid_id"))
   }
 
+  /** IVF nprobe TUNING SWEEP — the recall/cost curve an ANN deployment
+    * is configured from: for nprobe ∈ {1, 2, 4, 8, 16}, how many
+    * candidates does the probe admit and what recall@20 does it buy
+    * against the brute-force ground truth? ([[annRecall]] is one point
+    * on this curve; the sweep is the whole knob.) Reuses the memoized
+    * [[ivfIndex]]; the centroid ranking is a 16-row window; the brute
+    * top-20 ids are a bounded driver panel (the bucket-id-collect
+    * precedent) so the 5 sweep branches don't re-run the brute scan. */
+  def annNprobeSweep(s: SparkSession, d: String): DataFrame = {
+    val (cents, assigned) = ivfIndex(s, d)
+    val centsF = cents.withColumn("centroid_f",
+      expr("transform(centroid, x -> cast(x as float))"))
+    val ranked = centsF.crossJoin(queryVec(s, d))
+      .select(col("centroid_id"),
+        CosineSimilarity.cosine_native(s, col("centroid_f"),
+          col("q_emb")).as("csim"))
+      .withColumn("crk", row_number().over(
+        Window.orderBy(col("csim").desc, col("centroid_id").asc)))
+    val bruteIds = annBrute(s, d).collect().map(_.getLong(0)) // 20 ids
+    val sweeps = Seq(1, 2, 4, 8, 16).map { np =>
+      val probed = ranked.filter(col("crk") <= np).select("centroid_id")
+      val cand = assigned.join(broadcast(probed), Seq("centroid_id"))
+        .crossJoin(queryVec(s, d))
+        .select(col("vec_id"),
+          round(CosineSimilarity.cosine_native(s, col("embedding"),
+            col("q_emb")), 6).as("cos"))
+        .filter(col("vec_id") =!= 0)
+      val top20 = cand.orderBy(col("cos").desc, col("vec_id").asc).limit(20)
+      val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+      val hits = top20.filter(col("vec_id").isin(bruteIds: _*))
+        .agg(count(lit(1)).as("hits"))
+      nCand.crossJoin(hits)
+        .select(lit(np).as("nprobe"), col("n_candidates"),
+          round(col("hits").cast("double") / 20.0, 6).as("recall_at_20"))
+    }
+    sweeps.reduce(_ unionAll _).orderBy(col("nprobe"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_nprobe_sweep" -> annNprobeSweep _,
     "emb_cluster_quality" -> embClusterQuality _,
     "emb_sim_hist"  -> embSimHist _,
     "ann_recall"    -> annRecall _,
@@ -1007,6 +1046,56 @@ object SimOps {
        |  round(cohesion - nearest_sim, 6) AS margin
        |FROM fin ORDER BY centroid_id""".stripMargin
 
+  // per-nprobe replay of the identical probe/candidate/top-20 pipeline
+  // against the brute top-20
+  private lazy val nprobeSweepSql: String = {
+    def row(np: Int) =
+      s"""SELECT $np AS nprobe,
+         |  (SELECT COUNT(*) FROM cand$np) AS n_candidates,
+         |  round(CAST((SELECT COUNT(*) FROM (
+         |      SELECT vec_id FROM cand$np
+         |      ORDER BY cos DESC, vec_id ASC LIMIT 20) t
+         |    JOIN bq USING (vec_id)) AS DOUBLE) / 20.0, 6)
+         |    AS recall_at_20""".stripMargin
+    def cand(np: Int) =
+      s"""cand$np AS (
+         |  SELECT a.vec_id, sa.cos
+         |  FROM assign a
+         |  JOIN prb p ON a.centroid_id = p.centroid_id AND p.crk <= $np
+         |  JOIN simsAll sa ON sa.vec_id = a.vec_id)""".stripMargin
+    s"""WITH seeds AS (
+       |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+       |      vec_id) - 1 AS centroid_id,
+       |    embedding AS centroid
+       |  FROM embeddings
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+       |assign AS (
+       |  SELECT vec_id, centroid_id FROM (
+       |    SELECT e.vec_id, s.centroid_id,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${cosSql("e.embedding", "s.centroid")} DESC,
+       |        s.centroid_id ASC) AS rn
+       |    FROM embeddings e CROSS JOIN seeds s) WHERE rn = 1),
+       |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+       |prb AS (
+       |  SELECT centroid_id,
+       |    row_number() OVER (ORDER BY
+       |      ${cosSql("centroid", "q_emb")} DESC, centroid_id ASC) AS crk
+       |  FROM seeds, q),
+       |simsAll AS (
+       |  SELECT e.vec_id,
+       |    round(${cosSql("e.embedding", "q.q_emb")}, 6) AS cos
+       |  FROM embeddings e, q WHERE e.vec_id != 0),
+       |bq AS (
+       |  SELECT vec_id FROM simsAll
+       |  ORDER BY cos DESC, vec_id ASC LIMIT 20),
+       |${Seq(1, 2, 4, 8, 16).map(cand).mkString(",\n")}
+       |SELECT * FROM (
+       |${Seq(1, 2, 4, 8, 16).map(row).mkString("\nUNION ALL\n")}
+       |) ORDER BY nprobe""".stripMargin
+  }
+
   val oracles: Map[String, String] = oraclesHead ++ oraclesTail +
-    ("emb_cluster_quality" -> clusterQualitySql)
+    ("emb_cluster_quality" -> clusterQualitySql) +
+    ("ann_nprobe_sweep" -> nprobeSweepSql)
 }

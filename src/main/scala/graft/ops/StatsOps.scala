@@ -663,7 +663,31 @@ object StatsOps {
       .orderBy(col("event_type"))
   }
 
+  /** Sample-ratio-mismatch guardrail — the A/B-testing sanity check
+    * that catches broken assignment BEFORE anyone reads the outcome
+    * metric ([[evAbtest]] trusts the split; this one audits it):
+    * chi-square of the observed user split against the designed
+    * 50/50, flagged at the df=1 95% critical value. The single most
+    * common invalidator of real experiments (bot filtering, logging
+    * loss and redirect bugs all skew assignment, not outcomes).
+    * One distinct-user aggregate; exact integers into one fixed
+    * double expression. */
+  def evAbSrm(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(col("user_id")).distinct()
+      .agg(
+        sum((col("user_id") % 2 === 0).cast("long")).as("n_a"),
+        sum((col("user_id") % 2 =!= 0).cast("long")).as("n_b"))
+      .withColumn("e", (col("n_a") + col("n_b")).cast("double") / lit(2.0))
+      .select(col("n_a"), col("n_b"),
+        round((col("n_a").cast("double") - col("e"))
+          * (col("n_a").cast("double") - col("e")) / col("e")
+          + (col("n_b").cast("double") - col("e"))
+          * (col("n_b").cast("double") - col("e")) / col("e"), 6)
+          .as("chi2"))
+      .withColumn("srm_flag", (col("chi2") > 3.841459).cast("int"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_ab_srm"        -> evAbSrm _,
     "ev_holtwinters"   -> evHoltWinters _,
     "ev_theilsen"      -> evTheilSen _,
     "ev_abtest_power"  -> evAbtestPower _,
@@ -702,6 +726,27 @@ object StatsOps {
       |    ON s.event_type = d.event_type AND s.day = d.day)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // same parity split, identical fixed chi-square expression
+    "ev_ab_srm" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |c AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_b
+        |  FROM u),
+        |e AS (SELECT n_a, n_b,
+        |        CAST(n_a + n_b AS DOUBLE) / 2.0 AS e FROM c)
+        |SELECT n_a, n_b,
+        |  round((CAST(n_a AS DOUBLE) - e) * (CAST(n_a AS DOUBLE) - e) / e
+        |    + (CAST(n_b AS DOUBLE) - e) * (CAST(n_b AS DOUBLE) - e) / e,
+        |    6) AS chi2,
+        |  CAST(CASE WHEN
+        |    round((CAST(n_a AS DOUBLE) - e) * (CAST(n_a AS DOUBLE) - e) / e
+        |      + (CAST(n_b AS DOUBLE) - e) * (CAST(n_b AS DOUBLE) - e) / e,
+        |      6) > 3.841459 THEN 1 ELSE 0 END AS INTEGER) AS srm_flag
+        |FROM e""".stripMargin,
     // recursive-CTE replay of the identical fold: same init (week-1
     // mean level, zero trend, x - l0 seasonals), same per-step double
     // expression order, list state updated by slice-concat

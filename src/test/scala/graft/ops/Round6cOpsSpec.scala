@@ -454,6 +454,35 @@ class Round6cOpsSpec extends SparkFunSuite {
     assert(got.toList == List((1L, 1L, 1.75), (4L, 4L, 1.0)))
   }
 
+  test("srm: balanced split passes, broken assignment flags") {
+    def dirFor(users: Seq[Long]): String = {
+      val d = Files.createTempDirectory("srm").toString
+      users.zipWithIndex.map { case (u, i) =>
+        (i.toLong + 1, u, "view", new Timestamp(1700000000000L))
+      }.toDF("event_id", "user_id", "event_type", "ts")
+        .write.parquet(s"$d/events.parquet")
+      d
+    }
+    // 3 even vs 1 odd: chi2 = 1/2 + 1/2 = 1.0 -> below critical
+    val ok = StatsOps.evAbSrm(spark, dirFor(Seq(2L, 4L, 6L, 1L))).head()
+    assert((ok.getLong(0), ok.getLong(1), ok.getDouble(2),
+      ok.getInt(3)) == ((3L, 1L, 1.0, 0)))
+    // all 10 users even: chi2 = 5 + 5 = 10 -> mismatch flagged
+    val bad = StatsOps.evAbSrm(spark,
+      dirFor((1L to 10L).map(_ * 2))).head()
+    assert(bad.getDouble(2) == 10.0 && bad.getInt(3) == 1)
+  }
+
+  test("nprobe sweep: recall climbs monotonically to 1.0 at full probe") {
+    val rows = SimOps.annNprobeSweep(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).toList == List(1, 2, 4, 8, 16))
+    assert(rows.sliding(2).forall { case Array(a, b) =>
+      a._2 <= b._2 && a._3 <= b._3 })
+    val full = rows.last
+    assert(full._3 == 1.0) // all cells probed == brute force
+  }
+
   // --------------------------------------------------------- curriculum
 
   test("allocate: largest-remainder cents sum back to the total exactly") {
