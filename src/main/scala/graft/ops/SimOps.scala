@@ -605,7 +605,44 @@ object SimOps {
     sweeps.reduce(_ unionAll _).orderBy(col("nprobe"))
   }
 
+  /** The RBO weight table w(m) = Σ_{d=m..20} p^{d−1}/d (p = 0.9),
+    * rendered ONCE to decimal literals that both the Spark expression
+    * and the SQL oracle parse — identical doubles by construction. */
+  private lazy val rboWeights: Seq[String] =
+    (1 to 20).map(m =>
+      (m to 20).map(dd => math.pow(0.9, dd - 1) / dd).sum.toString)
+  private lazy val rboOneMinusP: String = (1.0 - 0.9).toString
+
+  /** Rank-biased overlap (Webber et al. 2010, p = 0.9) between the
+    * brute-force and IVF top-20 rankings — the top-weighted list
+    * similarity recall@k can't express: recall treats a hit at rank 1
+    * and rank 20 identically, RBO discounts depth geometrically, so
+    * an index that finds the right items in the WRONG order scores
+    * below one that nails the head. Identity: RBO = (1−p)·Σ_d
+    * p^{d−1}·|A_d∩B_d|/d = (1−p)·Σ_{joined} w(max(ra, rb)) — each
+    * shared item contributes a precomputed constant, so the whole
+    * metric is one 20-row join + a quantized sum (no per-depth
+    * loop). */
+  def annRbo(s: SparkSession, d: String): DataFrame = {
+    def ranked(df: DataFrame, rk: String) = df
+      .withColumn(rk, row_number().over(
+        Window.orderBy(col("cos").desc, col("vec_id").asc)))
+      .select(col("vec_id"), col(rk))
+    val a = ranked(annBrute(s, d), "ra")
+    val b = ranked(annIvf(s, d), "rb")
+    a.join(b, Seq("vec_id"))
+      .withColumn("m", greatest(col("ra"), col("rb")))
+      .withColumn("wq", expr(
+        s"cast(floor(element_at(array(${rboWeights.mkString(", ")})," +
+          " cast(m as int)) * 1000000000000.0 + 0.5) as bigint)"))
+      .agg(count(lit(1)).as("n_shared"), sum(col("wq")).as("sq"))
+      .select(lit(20).as("k"), col("n_shared"),
+        round(expr(s"$rboOneMinusP" +
+          " * (cast(sq as double) / 1000000000000.0)"), 6).as("rbo"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_rbo"          -> annRbo _,
     "ann_nprobe_sweep" -> annNprobeSweep _,
     "emb_cluster_quality" -> embClusterQuality _,
     "emb_sim_hist"  -> embSimHist _,
@@ -1095,7 +1132,59 @@ object SimOps {
        |) ORDER BY nprobe""".stripMargin
   }
 
+  // brute and IVF top-20 ranked identically, shared items weighted by
+  // the SAME rendered w(m) literals, quantized order-free sum
+  private lazy val rboSql: String =
+    s"""WITH seeds AS (
+       |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+       |      vec_id) - 1 AS centroid_id,
+       |    embedding AS centroid
+       |  FROM embeddings
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+       |assign AS (
+       |  SELECT vec_id, centroid_id FROM (
+       |    SELECT e.vec_id, s.centroid_id,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${cosSql("e.embedding", "s.centroid")} DESC,
+       |        s.centroid_id ASC) AS rn
+       |    FROM embeddings e CROSS JOIN seeds s) WHERE rn = 1),
+       |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+       |probed AS (
+       |  SELECT centroid_id FROM seeds, q
+       |  ORDER BY ${cosSql("centroid", "q_emb")} DESC,
+       |    centroid_id ASC LIMIT 6),
+       |simsAll AS (
+       |  SELECT e.vec_id,
+       |    round(${cosSql("e.embedding", "q.q_emb")}, 6) AS cos
+       |  FROM embeddings e, q WHERE e.vec_id != 0),
+       |ia AS (
+       |  SELECT vec_id,
+       |    row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS ra
+       |  FROM (SELECT vec_id, cos FROM simsAll
+       |        ORDER BY cos DESC, vec_id ASC LIMIT 20)),
+       |ivftop AS (
+       |  SELECT a.vec_id, sa.cos
+       |  FROM assign a JOIN probed p USING (centroid_id)
+       |  JOIN simsAll sa ON sa.vec_id = a.vec_id
+       |  ORDER BY sa.cos DESC, a.vec_id ASC LIMIT 20),
+       |ib AS (
+       |  SELECT vec_id,
+       |    row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rb
+       |  FROM ivftop),
+       |j AS (
+       |  SELECT greatest(ra, rb) AS m FROM ia JOIN ib USING (vec_id)),
+       |agg AS (
+       |  SELECT COUNT(*) AS n_shared,
+       |    CAST(SUM(CAST(floor([${rboWeights.mkString(", ")}][m]
+       |      * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sq
+       |  FROM j)
+       |SELECT 20 AS k, n_shared,
+       |  round($rboOneMinusP * (CAST(sq AS DOUBLE) / 1000000000000.0), 6)
+       |    AS rbo
+       |FROM agg""".stripMargin
+
   val oracles: Map[String, String] = oraclesHead ++ oraclesTail +
     ("emb_cluster_quality" -> clusterQualitySql) +
-    ("ann_nprobe_sweep" -> nprobeSweepSql)
+    ("ann_nprobe_sweep" -> nprobeSweepSql) +
+    ("ann_rbo" -> rboSql)
 }

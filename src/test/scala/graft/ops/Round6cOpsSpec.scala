@@ -483,6 +483,25 @@ class Round6cOpsSpec extends SparkFunSuite {
     assert(full._3 == 1.0) // all cells probed == brute force
   }
 
+  test("rbo: matches the direct definition on the engine's own lists") {
+    val brute = SimOps.annBrute(spark, sfDir).collect()
+      .map(_.getLong(0)).toList
+    val ivf = SimOps.annIvf(spark, sfDir).collect()
+      .map(_.getLong(0)).toList
+    val wm = (1 to 20).map(m =>
+      (m to 20).map(dd => math.pow(0.9, dd - 1) / dd).sum)
+    val ms = for {
+      (a, i) <- brute.zipWithIndex
+      j = ivf.indexOf(a) if j >= 0
+    } yield math.max(i + 1, j + 1)
+    val sq = ms.map(m => math.floor(wm(m - 1) * 1e12 + 0.5).toLong).sum
+    val exp = java.math.BigDecimal.valueOf(0.1 * (sq.toDouble / 1e12))
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val r = SimOps.annRbo(spark, sfDir).head()
+    assert(r.getLong(1) == ms.size.toLong)
+    assert(r.getDouble(2) == exp)
+  }
+
   // --------------------------------------------------------- curriculum
 
   test("allocate: largest-remainder cents sum back to the total exactly") {
