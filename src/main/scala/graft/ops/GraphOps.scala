@@ -903,6 +903,47 @@ object GraphOps {
       .orderBy(col("side"), col("node"))
   }
 
+  /** Rich-club profile (Zhou–Mondragón): for degree thresholds k ∈
+    * {2,4,8,16,32}, the density φ(k) = E_k / (N_k·(N_k−1)) of the
+    * subgraph induced by nodes with degree > k — "do the hubs trade
+    * preferentially with each other?" (a rising φ(k) is the rich-club
+    * effect; on this symmetrized bipartite projection the connectivity
+    * is cross-side by construction, which the panel makes visible).
+    *
+    * ONE pass computes all five thresholds: the edge list joins the
+    * node-sized degree table on both endpoints once (reusing the
+    * memoized [[edgeIndex]] partitioning), then per-threshold counts
+    * are CONDITIONAL SUMS in a single 1-row aggregate — no per-k
+    * subgraph materialization, no loop. The directed edge count IS
+    * E_k·2 on a symmetric list, matching the ordered-pair denominator
+    * exactly. Exact integers; φ is one division, round 6. */
+  def graphRichClub(s: SparkSession, d: String): DataFrame = {
+    val ks = Seq(2, 4, 8, 16, 32)
+    val (edgesDeg, deg, _) = edgeIndex(s, d)
+    val dd = deg.select(col("src").as("dst"), col("outdeg").as("indeg"))
+    val ej = edgesDeg.join(dd, Seq("dst"))
+    val edgeSums = ej.agg(ks.map(k =>
+      sum((col("outdeg") > k && col("indeg") > k).cast("long"))
+        .as(s"e$k")).head, ks.tail.map(k =>
+      sum((col("outdeg") > k && col("indeg") > k).cast("long"))
+        .as(s"e$k")): _*)
+    val nodeSums = deg.agg(ks.map(k =>
+      sum((col("outdeg") > k).cast("long")).as(s"n$k")).head,
+      ks.tail.map(k =>
+        sum((col("outdeg") > k).cast("long")).as(s"n$k")): _*)
+    val stacked = ks.map(k => s"$k, e$k, n$k").mkString(", ")
+    edgeSums.crossJoin(broadcast(nodeSums))
+      .select(expr(
+        s"stack(${ks.size}, $stacked) as (k, e_dir, n_nodes)"))
+      .select(col("k"), col("n_nodes"),
+        expr("e_dir div 2").as("n_edges"),
+        round(expr("case when n_nodes < 2 then null" +
+          " else cast(e_dir as double)" +
+          " / (cast(n_nodes as double) * cast(n_nodes - 1 as double))" +
+          " end"), 6).as("phi"))
+      .orderBy(col("k"))
+  }
+
   /** One-row graph profile — the summary panel every graph service
     * exposes: node/edge counts per side, density, average and maximum
     * degree. Reads the memoized [[edgeIndex]] degree table only
@@ -930,6 +971,7 @@ object GraphOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_summary"     -> graphSummary _,
+    "graph_richclub"    -> graphRichClub _,
     "graph_hits"        -> graphHits _,
     "graph_modularity"  -> graphModularity _,
     "graph_assort"      -> graphAssortativity _,
@@ -947,6 +989,33 @@ object GraphOps {
     "graph_diameter" -> graphDiameter _)
 
   val oracles: Map[String, String] = Map(
+    // same symmetrized edges + degree join, per-k conditional sums
+    "graph_richclub" -> {
+      val ks = Seq(2, 4, 8, 16, 32)
+      val rows = ks.map(k =>
+        s"""SELECT $k AS k,
+           |  (SELECT CAST(SUM(CASE WHEN outdeg > $k THEN 1 ELSE 0 END)
+           |     AS BIGINT) FROM deg) AS n_nodes,
+           |  CAST(SUM(CASE WHEN ds.outdeg > $k AND dd.outdeg > $k
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS e_dir
+           |FROM edges e
+           |JOIN deg ds ON ds.src = e.src
+           |JOIN deg dd ON dd.src = e.dst""".stripMargin)
+        .mkString("\nUNION ALL\n")
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT 'c' || o.o_custkey AS src,
+         |                  's' || l.l_suppkey AS dst
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         |edges AS (SELECT src, dst FROM pairs
+         |          UNION ALL SELECT dst, src FROM pairs),
+         |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src)
+         |SELECT k, n_nodes, e_dir // 2 AS n_edges,
+         |  round(CASE WHEN n_nodes < 2 THEN NULL
+         |    ELSE CAST(e_dir AS DOUBLE)
+         |      / (CAST(n_nodes AS DOUBLE) * CAST(n_nodes - 1 AS DOUBLE))
+         |    END, 6) AS phi
+         |FROM ($rows) ORDER BY k""".stripMargin
+    },
     "graph_summary" ->
       """WITH pairs AS (
         |  SELECT DISTINCT 'c' || o.o_custkey AS src,

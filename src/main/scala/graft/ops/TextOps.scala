@@ -704,6 +704,41 @@ object TextOps {
       .orderBy(col("rule"))
   }
 
+  /** Token BURSTINESS (Church–Gale): variance-to-mean ratio of a
+    * token's per-document counts, zeros included — the dispersion
+    * statistic that separates function words (VMR ≈ 1, Poisson-like:
+    * sprinkled evenly) from content words (VMR ≫ 1: absent almost
+    * everywhere, bursty where they appear). The signal behind
+    * burstiness-aware term weighting and stopword induction.
+    *
+    * Zeros never materialize: with N docs, mean = T/N and
+    * E[c²] = Σc²/N over the DOCS CONTAINING the token only (absent
+    * docs add 0 to both sums), so one (doc, tok) count + one token
+    * aggregate + a 1-row N broadcast computes the exact moments.
+    * All sufficient statistics are exact integers; VMR is one fixed
+    * double expression, round 6. Top-20 by frequency = TakeOrdered. */
+  def textBurstiness(s: SparkSession, d: String): DataFrame = {
+    val dt = Tables.spread(Tables.documents(s, d))
+      .select(col("doc_id"), explode(expr(
+        "filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')"))
+        .as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    val n = Tables.documents(s, d).agg(count(lit(1)).as("n"))
+    dt.groupBy(col("tok"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("c")).as("tot"),
+        sum(col("c") * col("c")).as("ss"))
+      .crossJoin(broadcast(n))
+      .filter(col("tot") >= 50)
+      .select(col("tok"), col("tot"), col("n_docs"),
+        round(expr(
+          "(cast(ss as double) / cast(n as double)" +
+            " - (cast(tot as double) / cast(n as double))" +
+            " * (cast(tot as double) / cast(n as double)))" +
+            " / (cast(tot as double) / cast(n as double))"), 6).as("vmr"))
+      .orderBy(col("tot").desc, col("tok").asc)
+      .limit(20)
+  }
+
   /** Language-ID confusion matrix — [[textLangId]] collapsed to the
     * eval deliverable: per (labeled, detected) cell, the count and its
     * share of the labeled row (per-class recall on the diagonal). The
@@ -814,6 +849,7 @@ object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_novelty"          -> textNovelty _,
+    "text_burstiness"       -> textBurstiness _,
     "text_lang_confusion"   -> textLangConfusion _,
     "text_jsd_sources"      -> textJsdSources _,
     "text_gopher_rules"     -> textGopherRules _,
@@ -863,6 +899,27 @@ object TextOps {
       |  FROM s)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // same zero-free moment computation; identical fixed VMR tree
+    "text_burstiness" ->
+      """WITH dt AS (
+        |  SELECT doc_id, tok, COUNT(*) AS c FROM (
+        |    SELECT doc_id, UNNEST(list_filter(
+        |      string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      t -> t != '')) AS tok
+        |    FROM documents)
+        |  GROUP BY 1, 2),
+        |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+        |a AS (
+        |  SELECT tok, COUNT(*) AS n_docs,
+        |    CAST(SUM(c) AS BIGINT) AS tot,
+        |    CAST(SUM(c * c) AS BIGINT) AS ss
+        |  FROM dt GROUP BY 1)
+        |SELECT tok, tot, n_docs,
+        |  round((CAST(ss AS DOUBLE) / n
+        |    - (CAST(tot AS DOUBLE) / n) * (CAST(tot AS DOUBLE) / n))
+        |    / (CAST(tot AS DOUBLE) / n), 6) AS vmr
+        |FROM a, n WHERE tot >= 50
+        |ORDER BY tot DESC, tok ASC LIMIT 20""".stripMargin,
     // same shingle construction (TrainOps.shingleCte, shared with the
     // ngram-dedup/contamination oracles), min-doc_id first occurrence
     "text_novelty" ->

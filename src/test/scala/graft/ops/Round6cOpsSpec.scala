@@ -502,6 +502,40 @@ class Round6cOpsSpec extends SparkFunSuite {
     assert(r.getDouble(2) == exp)
   }
 
+  test("burstiness: concentrated tokens score high, even spread scores 0") {
+    val d = Files.createTempDirectory("burst").toString
+    // "zz" all in one doc of 10; "qq" spread 6 per doc
+    val docs = (1L to 10L).map { i =>
+      val zz = if (i == 1) Array.fill(60)("zz") else Array.empty[String]
+      (i, (zz ++ Array.fill(6)("qq")).mkString(" "))
+    }
+    docs.toDF("doc_id", "text").write.parquet(s"$d/documents.parquet")
+    val got = TextOps.textBurstiness(spark, d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    // zz: mean 6, E[c^2] 360 -> var 324 -> vmr 54; qq: zero variance
+    assert(got("zz") == ((60L, 1L, 54.0)))
+    assert(got("qq") == ((60L, 10L, 0.0)))
+  }
+
+  test("rich club: hubs-only subgraph density at rising thresholds") {
+    val d = Files.createTempDirectory("rich").toString
+    // c1 trades with s1,s2,s3; c2,c3 trade with s1 only
+    val rows = Seq((1L, 1L, 1L), (2L, 1L, 2L), (3L, 1L, 3L),
+      (4L, 2L, 1L), (5L, 3L, 1L))
+    rows.map { case (o, c, _) => (o, c) }.distinct
+      .toDF("o_orderkey", "o_custkey").write.parquet(s"$d/orders.parquet")
+    rows.map { case (o, _, sk) => (o, sk) }
+      .toDF("l_orderkey", "l_suppkey").write.parquet(s"$d/lineitem.parquet")
+    val got = GraphOps.graphRichClub(spark, d).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getDouble(3)))).toMap
+    // deg > 2 keeps exactly the two hubs c1 and s1, who are linked
+    assert(got(2) == ((2L, 1L, 1.0)))
+    // nobody clears 32: empty club, phi undefined
+    assert(got(32) == ((0L, 0L, null)))
+  }
+
   // --------------------------------------------------------- curriculum
 
   test("allocate: largest-remainder cents sum back to the total exactly") {
