@@ -459,6 +459,53 @@ object EventOps {
       .orderBy(col("event_type"), col("bucket"))
   }
 
+  /** Monthly GROWTH ACCOUNTING — the canonical MAU decomposition every
+    * growth team reports: each month's actives split into NEW (first
+    * month ever), RETAINED (also active the month before) and
+    * RESURRECTED (seen before, skipped last month), plus CHURNED
+    * (active last month, gone now) and the quick ratio
+    * (new + resurrected) / churned. [[evRetention]] follows one
+    * cohort forward; this is the all-cohorts month-over-month ledger.
+    *
+    * 100 TB posture: one (user, month) dedup, one per-user min-month
+    * agg, and two user-month-keyed self-joins (previous month,
+    * next-month churn anti) — every shuffle keys on the user id; the
+    * final panel is month-count-sized. Exact integers; the ratio is
+    * one try_divide, round 6. */
+  def evGrowthAccounting(s: SparkSession, d: String): DataFrame = {
+    val um = Tables.events(s, d)
+      .select(col("user_id"),
+        date_trunc("month", col("ts")).cast("date").as("m"))
+      .distinct()
+    val first = um.groupBy("user_id").agg(min(col("m")).as("fm"))
+    val prev = um.select(col("user_id"), add_months(col("m"), 1).as("m"),
+      lit(1).as("was_prev"))
+    val cls = um.join(first, Seq("user_id"))
+      .join(prev, Seq("user_id", "m"), "left")
+      .groupBy(col("m"))
+      .agg(count(lit(1)).as("mau"),
+        sum((col("m") === col("fm")).cast("long")).as("n_new"),
+        sum(col("was_prev").isNotNull.cast("long")).as("n_retained"),
+        sum((col("was_prev").isNull && col("m") > col("fm")).cast("long"))
+          .as("n_resurrected"))
+    val churn = um.select(col("user_id"), col("m"))
+      .join(um.select(col("user_id"),
+        add_months(col("m"), -1).as("m"), lit(1).as("next")),
+        Seq("user_id", "m"), "left")
+      .filter(col("next").isNull)
+      .groupBy(add_months(col("m"), 1).as("m"))
+      .agg(count(lit(1)).as("n_churned"))
+    cls.join(churn, Seq("m"), "left")
+      .select(date_format(col("m"), "yyyy-MM").as("month"),
+        col("mau"), col("n_new"), col("n_retained"), col("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"),
+        round(try_divide(
+          (col("n_new") + col("n_resurrected")).cast("double"),
+          coalesce(col("n_churned"), lit(0L)).cast("double")), 6)
+          .as("quick_ratio"))
+      .orderBy(col("month"))
+  }
+
   /** Sankey flow data — [[evTransitions]] with the STEP dimension: for
     * each user's first 4 events, the (step, from, to) edge counts that
     * draw the classic onboarding flow diagram (where do users go on
@@ -1265,6 +1312,7 @@ object EventOps {
     "ev_calibration" -> evCalibration _,
     "ev_lateness" -> evLateness _,
     "ev_flow" -> evFlow _,
+    "ev_growth_accounting" -> evGrowthAccounting _,
     "ev_merge_partials" -> evMergePartials _,
     "ev_attribution" -> evAttribution _,
     "ev_gapfill"     -> evGapfill _,
@@ -1683,6 +1731,42 @@ object EventOps {
         |  CAST(len(regexp_extract_all(seq, 'vv+c')) AS INTEGER)
         |    AS n_browse
         |FROM seq ORDER BY user_id""".stripMargin,
+    // identical (user, month) dedup + first-month + prev/next joins
+    "ev_growth_accounting" ->
+      """WITH um AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_trunc('month', ts) AS DATE) AS m
+        |  FROM events),
+        |fst AS (SELECT user_id, MIN(m) AS fm FROM um GROUP BY 1),
+        |cls AS (
+        |  SELECT um.m, COUNT(*) AS mau,
+        |    CAST(SUM(CASE WHEN um.m = fst.fm THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_new,
+        |    CAST(SUM(CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_retained,
+        |    CAST(SUM(CASE WHEN p.user_id IS NULL AND um.m > fst.fm
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+        |  FROM um
+        |  JOIN fst USING (user_id)
+        |  LEFT JOIN um p ON p.user_id = um.user_id
+        |    AND p.m + INTERVAL 1 MONTH = um.m
+        |  GROUP BY um.m),
+        |churn AS (
+        |  SELECT CAST(um.m + INTERVAL 1 MONTH AS DATE) AS m,
+        |    COUNT(*) AS n_churned
+        |  FROM um
+        |  LEFT JOIN um n ON n.user_id = um.user_id
+        |    AND n.m = CAST(um.m + INTERVAL 1 MONTH AS DATE)
+        |  WHERE n.user_id IS NULL
+        |  GROUP BY 1)
+        |SELECT strftime(cls.m, '%Y-%m') AS month, cls.mau, cls.n_new,
+        |  cls.n_retained, cls.n_resurrected,
+        |  CAST(coalesce(churn.n_churned, 0) AS BIGINT) AS n_churned,
+        |  round(CASE WHEN coalesce(churn.n_churned, 0) = 0 THEN NULL
+        |    ELSE CAST(cls.n_new + cls.n_resurrected AS DOUBLE)
+        |      / CAST(churn.n_churned AS DOUBLE) END, 6) AS quick_ratio
+        |FROM cls LEFT JOIN churn ON churn.m = cls.m
+        |ORDER BY month""".stripMargin,
     "ev_flow" ->
       """WITH seq AS (
         |  SELECT event_type AS from_type,

@@ -536,6 +536,28 @@ class Round6cOpsSpec extends SparkFunSuite {
     assert(got(32) == ((0L, 0L, null)))
   }
 
+  test("growth accounting: new/retained/resurrected/churned ledger") {
+    val d = Files.createTempDirectory("growth").toString
+    def ts(month: Int) = Timestamp.valueOf(f"2023-$month%02d-15 00:00:00")
+    // u1 every month; u2 month 1 only; u3 skips month 2; u4 starts m2
+    val rows = Seq(
+      (1L, ts(1)), (1L, ts(2)), (1L, ts(3)),
+      (2L, ts(1)),
+      (3L, ts(1)), (3L, ts(3)),
+      (4L, ts(2)))
+    rows.zipWithIndex.map { case ((u, t), i) =>
+      (i.toLong + 1, u, "view", t)
+    }.toDF("event_id", "user_id", "event_type", "ts")
+      .write.parquet(s"$d/events.parquet")
+    val got = EventOps.evGrowthAccounting(spark, d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5),
+        if (r.isNullAt(6)) null else r.getDouble(6)))).toMap
+    assert(got("2023-01") == ((3L, 3L, 0L, 0L, 0L, null)))
+    assert(got("2023-02") == ((2L, 1L, 1L, 0L, 2L, 0.5)))
+    assert(got("2023-03") == ((2L, 0L, 1L, 1L, 1L, 1.0)))
+  }
+
   // --------------------------------------------------------- curriculum
 
   test("allocate: largest-remainder cents sum back to the total exactly") {
