@@ -474,6 +474,32 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Jaccard THRESHOLD SWEEP — the dedup knob's operating curve (the
+    * ann_nprobe_sweep idea aimed at near-dup): for thresholds 0.5–0.9,
+    * how many verified pairs survive and how many documents they
+    * touch — the panel that picks a threshold by looking at what it
+    * would delete instead of folklore. One pass over the memoized
+    * verified pair set: each pair/doc row explodes only the
+    * thresholds it clears (filter on a 5-literal array), two bounded
+    * aggs. Thresholds and jaccards are identical double literals in
+    * both engines, so the ≤ compares are bit-exact. */
+  def dedupThresholdSweep(s: SparkSession, d: String): DataFrame = {
+    val pairs = minhashPairs(s, d)
+    val tArr = "array(0.5D, 0.6D, 0.7D, 0.8D, 0.9D)"
+    val pc = pairs
+      .select(explode(expr(s"filter($tArr, t -> t <= jaccard)")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("n_pairs"))
+    val dc = pairs
+      .select(col("jaccard"),
+        explode(array(col("doc_a"), col("doc_b"))).as("doc"))
+      .select(col("doc"),
+        explode(expr(s"filter($tArr, t -> t <= jaccard)")).as("t"))
+      .groupBy("t").agg(countDistinct(col("doc")).as("n_docs"))
+    pc.join(dc, Seq("t"))
+      .select(col("t").as("threshold"), col("n_pairs"), col("n_docs"))
+      .orderBy(col("threshold"))
+  }
+
   /** Canonical-document selection by MEDOID — the upgrade over
     * [[dedupClusters]]' min-id pick: within each near-dup cluster,
     * keep the member with the highest summed similarity to its
@@ -749,6 +775,7 @@ object DedupOps {
     "dedup_exact_keep" -> dedupExactKeep _,
     "dedup_minhash"    -> dedupMinhash _,
     "dedup_medoid"     -> dedupMedoid _,
+    "dedup_threshold_sweep" -> dedupThresholdSweep _,
     "dedup_simhash"    -> dedupSimhash _,
     "dedup_ngram"      -> dedupNgram _,
     "dedup_containment" -> dedupContainment _,
@@ -956,6 +983,48 @@ object DedupOps {
         |FROM n LEFT JOIN cl USING (doc_id) ORDER BY n.doc_id""".stripMargin,
     // ground-truth pairs (the dedup_minhash oracle's CTEs) + recursive
     // min-label reachability = connected components
+    // ground-truth pairs (the medoid oracle's jaccard CTE) exploded
+    // over the identical threshold literals
+    "dedup_threshold_sweep" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+        |    t -> t != '') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id, UNNEST(
+        |      CASE WHEN len(toks) < 3 THEN
+        |        CASE WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+        |             ELSE [] END
+        |      ELSE list_transform(range(0, len(toks) - 2),
+        |        i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) END) AS shingle
+        |    FROM toks)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+        |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b,
+        |    round(CAST(n_inter AS DOUBLE)
+        |      / (sa.set_size + sb.set_size - n_inter), 6) AS j
+        |  FROM inter
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE round(CAST(n_inter AS DOUBLE)
+        |    / (sa.set_size + sb.set_size - n_inter), 6) >= 0.5),
+        |pt AS (
+        |  SELECT UNNEST(list_filter([0.5, 0.6, 0.7, 0.8, 0.9],
+        |    t -> t <= j)) AS t, doc_a, doc_b
+        |  FROM pairs),
+        |pc AS (SELECT t, COUNT(*) AS n_pairs FROM pt GROUP BY 1),
+        |dc AS (
+        |  SELECT t, COUNT(DISTINCT doc) AS n_docs FROM (
+        |    SELECT t, doc_a AS doc FROM pt
+        |    UNION ALL SELECT t, doc_b FROM pt)
+        |  GROUP BY 1)
+        |SELECT pc.t AS threshold, pc.n_pairs, dc.n_docs
+        |FROM pc JOIN dc USING (t) ORDER BY threshold""".stripMargin,
     // the clusters oracle extended with per-member summed jaccard and
     // the (score DESC, doc_id ASC) argmax
     "dedup_medoid" ->

@@ -558,6 +558,18 @@ class Round6cOpsSpec extends SparkFunSuite {
     assert(got("2023-03") == ((2L, 0L, 1L, 1L, 1L, 1.0)))
   }
 
+  test("threshold sweep: pair and doc counts drop as the bar rises") {
+    val d = Files.createTempDirectory("tsweep").toString
+    Seq( // (1,2) and (4,5) at j=1.0; (1,3)/(2,3) at j=0.75
+      (1L, "a b c d e"), (2L, "a b c d e"), (3L, "a b c d e f"),
+      (4L, "p q r s t"), (5L, "p q r s t"))
+      .toDF("doc_id", "text").write.parquet(s"$d/documents.parquet")
+    val got = DedupOps.dedupThresholdSweep(spark, d).collect()
+      .map(r => r.getDouble(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    Seq(0.5, 0.6, 0.7).foreach(t => assert(got(t) == ((4L, 5L))))
+    Seq(0.8, 0.9).foreach(t => assert(got(t) == ((2L, 4L))))
+  }
+
   // --------------------------------------------------------- curriculum
 
   test("allocate: largest-remainder cents sum back to the total exactly") {
