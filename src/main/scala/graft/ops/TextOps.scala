@@ -704,6 +704,61 @@ object TextOps {
       .orderBy(col("rule"))
   }
 
+  /** Vocabulary growth curve (Heaps' law): cumulative distinct word
+    * types vs cumulative tokens across corpus-order deciles — the
+    * scaling diagnostic behind "will my vocab/OOV rate keep growing
+    * if I crawl 10× more" (sub-linear growth flattening is what Heaps
+    * predicts; a linear curve means the corpus keeps changing domain).
+    *
+    * Decile assignment is the exact two-level global rank + integer
+    * ntile closed form (the pack_curriculum idiom, keyed by doc_id
+    * buckets). Each word type is attributed to the decile of its
+    * FIRST-occurrence document by joining the first-occurrence id
+    * back to the doc-decile table (no threshold scan); cumulative
+    * sums run over the 10-row panel. Type/token counts are exact
+    * integers; the type-token ratio is one division, round 6. */
+  def textVocabGrowth(s: SparkSession, d: String): DataFrame = {
+    val dt = Tables.spread(Tables.documents(s, d))
+      .select(col("doc_id"), explode(expr(
+        "filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')"))
+        .as("tok"))
+    val perDoc = dt.groupBy("doc_id").agg(count(lit(1)).as("n_toks"))
+    val docs = Tables.documents(s, d).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_toks"), lit(0L)).as("n_toks"))
+      .withColumn("__b", expr("cast(doc_id div 1000 as int)"))
+    val wIn = Window.partitionBy("__b").orderBy("doc_id")
+    val wOff = Window.orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = docs.groupBy("__b").agg(count(lit(1)).as("__g_n"))
+      .withColumn("__g_off", coalesce(sum(col("__g_n")).over(wOff), lit(0L)))
+    val total = docs.agg(count(lit(1)).as("n_total"))
+    val deciled = docs.withColumn("__rn", row_number().over(wIn))
+      .join(offs.select("__b", "__g_off"), Seq("__b"))
+      .crossJoin(broadcast(total))
+      .withColumn("decile",
+        expr("cast((__g_off + __rn - 1) * 10 div n_total as int) + 1"))
+      .select(col("doc_id"), col("n_toks"), col("decile"))
+    val first = dt.groupBy("tok").agg(min(col("doc_id")).as("fd"))
+    val newTypes = first
+      .join(deciled.select(col("doc_id").as("fd"), col("decile")), Seq("fd"))
+      .groupBy("decile").agg(count(lit(1)).as("new_types"))
+    val w10 = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deciled.groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("toks"))
+      .join(newTypes, Seq("decile"), "left")
+      .withColumn("cum_tokens", sum(col("toks")).over(w10))
+      .withColumn("cum_vocab",
+        sum(coalesce(col("new_types"), lit(0L))).over(w10))
+      .select(col("decile"), col("n_docs"), col("cum_tokens"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"),
+        col("cum_vocab"),
+        round(col("cum_vocab").cast("double")
+          / col("cum_tokens").cast("double"), 6).as("ttr"))
+      .orderBy(col("decile"))
+  }
+
   /** Token BURSTINESS (Church–Gale): variance-to-mean ratio of a
     * token's per-document counts, zeros included — the dispersion
     * statistic that separates function words (VMR ≈ 1, Poisson-like:
@@ -850,6 +905,7 @@ object TextOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_novelty"          -> textNovelty _,
     "text_burstiness"       -> textBurstiness _,
+    "text_vocab_growth"     -> textVocabGrowth _,
     "text_lang_confusion"   -> textLangConfusion _,
     "text_jsd_sources"      -> textJsdSources _,
     "text_gopher_rules"     -> textGopherRules _,
@@ -899,6 +955,47 @@ object TextOps {
       |  FROM s)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // monolithic ntile replay of the two-level decile rank; identical
+    // first-occurrence attribution and 10-row cumulative sums
+    "text_vocab_growth" ->
+      """WITH dt AS (
+        |  SELECT doc_id, UNNEST(list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'),
+        |    t -> t != '')) AS tok
+        |  FROM documents),
+        |pd AS (SELECT doc_id, COUNT(*) AS n_toks FROM dt GROUP BY 1),
+        |docs AS (
+        |  SELECT d.doc_id, coalesce(pd.n_toks, 0) AS n_toks,
+        |    CAST((row_number() OVER (ORDER BY d.doc_id) - 1) * 10
+        |      // (SELECT COUNT(*) FROM documents) AS INTEGER) + 1
+        |      AS decile
+        |  FROM documents d LEFT JOIN pd USING (doc_id)),
+        |fst AS (SELECT tok, MIN(doc_id) AS fd FROM dt GROUP BY 1),
+        |nt AS (
+        |  SELECT docs.decile, COUNT(*) AS new_types
+        |  FROM fst JOIN docs ON docs.doc_id = fst.fd
+        |  GROUP BY 1),
+        |panel AS (
+        |  SELECT decile, COUNT(*) AS n_docs,
+        |    CAST(SUM(n_toks) AS BIGINT) AS toks
+        |  FROM docs GROUP BY 1)
+        |SELECT p.decile, p.n_docs,
+        |  CAST(SUM(p.toks) OVER (ORDER BY p.decile
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS cum_tokens,
+        |  CAST(coalesce(nt.new_types, 0) AS BIGINT) AS new_types,
+        |  CAST(SUM(coalesce(nt.new_types, 0)) OVER (ORDER BY p.decile
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS cum_vocab,
+        |  round(CAST(SUM(coalesce(nt.new_types, 0)) OVER (
+        |      ORDER BY p.decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS DOUBLE)
+        |    / CAST(SUM(p.toks) OVER (ORDER BY p.decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS DOUBLE), 6) AS ttr
+        |FROM panel p LEFT JOIN nt USING (decile)
+        |ORDER BY p.decile""".stripMargin,
     // same zero-free moment computation; identical fixed VMR tree
     "text_burstiness" ->
       """WITH dt AS (

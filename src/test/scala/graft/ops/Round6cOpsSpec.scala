@@ -570,6 +570,18 @@ class Round6cOpsSpec extends SparkFunSuite {
     Seq(0.8, 0.9).foreach(t => assert(got(t) == ((2L, 4L))))
   }
 
+  test("vocab growth: one new type per decile accumulates exactly") {
+    val d = Files.createTempDirectory("heaps").toString
+    // doc i holds words w1..wi: each decile introduces exactly one type
+    (1 to 10).map(i => (i.toLong, (1 to i).map(j => s"w$j").mkString(" ")))
+      .toDF("doc_id", "text").write.parquet(s"$d/documents.parquet")
+    val got = TextOps.textVocabGrowth(spark, d).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toList == (1 to 10).map(i =>
+      (i, 1L, i.toLong * (i + 1) / 2, 1L, i.toLong)).toList)
+  }
+
   // --------------------------------------------------------- curriculum
 
   test("allocate: largest-remainder cents sum back to the total exactly") {
