@@ -824,32 +824,61 @@ object DedupOps {
         |        j -> list_min(hs[j:j+3])))
         |    END AS fps
         |  FROM hashed),
-        |fp AS (SELECT doc_id, UNNEST(fps) AS fp FROM sel),
+        |fp AS MATERIALIZED (SELECT doc_id, UNNEST(fps) AS fp FROM sel),
         |pairs AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
         |  FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2)
         |SELECT doc_a, doc_b, n_shared FROM pairs
         |ORDER BY n_shared DESC, doc_a ASC, doc_b ASC LIMIT 50""".stripMargin,
-    // ground truth is the full quadratic scan the engine's SymSpell
-    // blocking avoids: candidate recall of the deletion neighborhood
-    // is provably 1 at distance <= 1, so the sets must be identical
+    // ground truth replicates the engine's SymSpell deletion-
+    // neighborhood blocking IN the oracle (two strings at edit
+    // distance <= 1 provably share a 0-or-1-char-deletion variant:
+    // substitution at i -> both i-deletions match; insert/delete ->
+    // the shorter string IS a deletion of the longer), then verifies
+    // with exact levenshtein — so the result set is identical to the
+    // all-pairs scan, at ~1/30 the DuckDB cost (round-6 gate fix)
     "dedup_fuzzy" ->
-      """SELECT a.c_custkey AS a_key, b.c_custkey AS b_key,
-        |  a.c_name AS name_a, b.c_name AS name_b,
+      """WITH v AS MATERIALIZED (
+        |  SELECT c_custkey, UNNEST(list_distinct(list_prepend(c_name,
+        |    list_transform(range(1, len(c_name) + 1),
+        |      i -> substr(c_name, 1, CAST(i AS INTEGER) - 1)
+        |           || substr(c_name, CAST(i AS INTEGER) + 1)))))
+        |    AS del
+        |  FROM customer),
+        |cand AS MATERIALIZED (
+        |  SELECT DISTINCT a.c_custkey AS a_key, b.c_custkey AS b_key
+        |  FROM v a JOIN v b ON a.del = b.del
+        |    AND a.c_custkey < b.c_custkey)
+        |SELECT c.a_key, c.b_key, a.c_name AS name_a, b.c_name AS name_b,
         |  CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
-        |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |FROM cand c
+        |JOIN customer a ON a.c_custkey = c.a_key
+        |JOIN customer b ON b.c_custkey = c.b_key
         |WHERE levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY a_key, b_key""".stripMargin,
-    // same provable-recall candidate set; DuckDB's native
-    // jaro_winkler_similarity replays the engine's codegen expression
-    // (semantics pinned: window, transpositions, 0.7 boost gate)
+    // same provable-recall deletion-neighborhood candidate set;
+    // DuckDB's native jaro_winkler_similarity replays the engine's
+    // codegen expression (semantics pinned: window, transpositions,
+    // 0.7 boost gate)
     "dedup_jarowinkler" ->
-      """SELECT a.c_custkey AS a_key, b.c_custkey AS b_key,
-        |  a.c_name AS name_a, b.c_name AS name_b,
+      """WITH v AS MATERIALIZED (
+        |  SELECT c_custkey, UNNEST(list_distinct(list_prepend(c_name,
+        |    list_transform(range(1, len(c_name) + 1),
+        |      i -> substr(c_name, 1, CAST(i AS INTEGER) - 1)
+        |           || substr(c_name, CAST(i AS INTEGER) + 1)))))
+        |    AS del
+        |  FROM customer),
+        |cand AS MATERIALIZED (
+        |  SELECT DISTINCT a.c_custkey AS a_key, b.c_custkey AS b_key
+        |  FROM v a JOIN v b ON a.del = b.del
+        |    AND a.c_custkey < b.c_custkey)
+        |SELECT c.a_key, c.b_key, a.c_name AS name_a, b.c_name AS name_b,
         |  CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist,
         |  round(jaro_winkler_similarity(a.c_name, b.c_name), 6) AS jw
-        |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |FROM cand c
+        |JOIN customer a ON a.c_custkey = c.a_key
+        |JOIN customer b ON b.c_custkey = c.b_key
         |WHERE levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY a_key, b_key""".stripMargin,
     // bit-exact Bloom replay: hash j of fingerprint fp = the 12-bit
@@ -990,7 +1019,7 @@ object DedupOps {
         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
         |    t -> t != '') AS toks
         |  FROM documents),
-        |sh AS (
+        |sh AS MATERIALIZED (
         |  SELECT DISTINCT doc_id, shingle FROM (
         |    SELECT doc_id, UNNEST(
         |      CASE WHEN len(toks) < 3 THEN
@@ -1032,7 +1061,7 @@ object DedupOps {
         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
         |    t -> t != '') AS toks
         |  FROM documents),
-        |sh AS (
+        |sh AS MATERIALIZED (
         |  SELECT DISTINCT doc_id, shingle FROM (
         |    SELECT doc_id, UNNEST(
         |      CASE WHEN len(toks) < 3 THEN
@@ -1086,7 +1115,7 @@ object DedupOps {
         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
         |    t -> t != '') AS toks
         |  FROM documents),
-        |sh AS (
+        |sh AS MATERIALIZED (
         |  SELECT DISTINCT doc_id, shingle FROM (
         |    SELECT doc_id, UNNEST(
         |      CASE WHEN len(toks) < 3 THEN
@@ -1137,7 +1166,7 @@ object DedupOps {
         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
         |    t -> t != '') AS toks
         |  FROM documents),
-        |sh AS (
+        |sh AS MATERIALIZED (
         |  SELECT DISTINCT doc_id, shingle FROM (
         |    SELECT doc_id, UNNEST(
         |      CASE WHEN len(toks) < 3 THEN
@@ -1148,7 +1177,7 @@ object DedupOps {
         |      END) AS shingle
         |    FROM toks)),
         |sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
-        |capped AS (
+        |capped AS MATERIALIZED (
         |  SELECT doc_id, shingle FROM (
         |    SELECT doc_id, shingle,
         |      row_number() OVER (PARTITION BY shingle ORDER BY doc_id) AS rn
@@ -1171,7 +1200,7 @@ object DedupOps {
         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
         |    t -> t != '') AS toks
         |  FROM documents),
-        |sh AS (
+        |sh AS MATERIALIZED (
         |  SELECT DISTINCT doc_id, shingle FROM (
         |    SELECT doc_id, UNNEST(
         |      CASE WHEN len(toks) < 3 THEN
@@ -1182,7 +1211,7 @@ object DedupOps {
         |      END) AS shingle
         |    FROM toks)),
         |sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
-        |capped AS (
+        |capped AS MATERIALIZED (
         |  SELECT doc_id, shingle FROM (
         |    SELECT doc_id, shingle,
         |      row_number() OVER (PARTITION BY shingle ORDER BY doc_id) AS rn
@@ -1208,7 +1237,7 @@ object DedupOps {
         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
         |    t -> t != '') AS toks
         |  FROM documents),
-        |sh AS (
+        |sh AS MATERIALIZED (
         |  SELECT DISTINCT doc_id, shingle FROM (
         |    SELECT doc_id, UNNEST(
         |      CASE WHEN len(toks) < 3 THEN
@@ -1230,74 +1259,97 @@ object DedupOps {
         |JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE round(CAST(n_inter AS DOUBLE) / (sa.set_size + sb.set_size - n_inter), 6) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
-    // Exact replay of the engine's sketch in SQL: md5-derived 64-bit
-    // feature hashes (as bit strings), majority vote per bit, candidate
-    // iff some 16-bit chunk matches, verified at hamming <= 6.
-    "dedup_simhash" ->
-      """WITH feats AS (
+    // Exact replay of the engine's sketch in SQL, restated over
+    // integers (round-7 oracle-cost fix): per-feature 64-bit hash =
+    // the SAME md5 nibble fold (MSB first), majority vote per bit as
+    // 64 columnar SUMs (bit b == string position 64-b of the old
+    // bit-string replay), candidate iff some 16-bit chunk matches
+    // ((u >> s) & 0xFFFF == the substr chunk), verified at
+    // bit_count(xor) <= 6 ≡ the old per-position hamming count.
+    "dedup_simhash" -> {
+      val votes = (0 until 64).map(b =>
+        s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
+        .mkString(",\n        |    ")
+      val recon = (0 until 64).map { b =>
+        val w = BigInt(2).pow(b)
+        s"CASE WHEN v$b > 0 THEN $w::HUGEINT ELSE 0::HUGEINT END"
+      }.mkString("\n        |    + ")
+      s"""WITH feats AS (
         |  SELECT doc_id,
         |    CASE WHEN len(j) <= 4 THEN [j]
         |         ELSE list_transform(range(0, len(j) - 3), i -> substr(j, i+1, 4)) END AS fs
         |  FROM (SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9_]', '', 'g') AS j
         |        FROM documents)),
-        |hb AS (
-        |  SELECT doc_id,
-        |    list_transform(fs, f -> list_aggregate(
+        |fx AS (SELECT doc_id, UNNEST(fs) AS f FROM feats),
+        |hx AS MATERIALIZED (
+        |  SELECT doc_id, CAST(CASE WHEN hu >= 9223372036854775808::HUGEINT
+        |      THEN hu - 18446744073709551616::HUGEINT ELSE hu END AS BIGINT)
+        |    AS h
+        |  FROM (SELECT doc_id, list_reduce(list_prepend(0::HUGEINT,
         |      list_transform(string_split(substr(md5(f), 1, 16), ''),
-        |        c -> substr('0000000100100011010001010110011110001001101010111100110111101111',
-        |                    (strpos('0123456789abcdef', c) - 1) * 4 + 1, 4)),
-        |      'string_agg', '')) AS hstrs
-        |  FROM feats),
-        |sk AS (
+        |        c -> CAST(strpos('0123456789abcdef', c) - 1 AS HUGEINT))),
+        |      (a, b) -> a * 16 + b) AS hu FROM fx)),
+        |vt AS MATERIALIZED (
         |  SELECT doc_id,
-        |    list_aggregate(list_transform(range(1, 65), p ->
-        |      CASE WHEN list_sum(list_transform(hstrs, s ->
-        |          CASE WHEN substr(s, p, 1) = '1' THEN 1 ELSE -1 END)) > 0
-        |        THEN '1' ELSE '0' END), 'string_agg', '') AS sh
-        |  FROM hb),
+        |    $votes
+        |  FROM hx GROUP BY doc_id),
+        |sk AS MATERIALIZED (
+        |  SELECT doc_id, CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+        |      THEN u - 18446744073709551616::HUGEINT ELSE u END AS BIGINT)
+        |    AS h64
+        |  FROM (SELECT doc_id,
+        |    $recon AS u
+        |  FROM vt)),
         |pairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS sa, b.sh AS sb
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    bit_count(xor(a.h64, b.h64)) AS hd
         |  FROM sk a JOIN sk b ON a.doc_id < b.doc_id
-        |  WHERE substr(a.sh, 1, 16) = substr(b.sh, 1, 16)
-        |     OR substr(a.sh, 17, 16) = substr(b.sh, 17, 16)
-        |     OR substr(a.sh, 33, 16) = substr(b.sh, 33, 16)
-        |     OR substr(a.sh, 49, 16) = substr(b.sh, 49, 16))
-        |SELECT doc_a, doc_b,
-        |  CAST(len(list_filter(range(1, 65),
-        |    i -> substr(sa, i, 1) != substr(sb, i, 1))) AS INTEGER) AS hamming
-        |FROM pairs
-        |WHERE len(list_filter(range(1, 65),
-        |    i -> substr(sa, i, 1) != substr(sb, i, 1))) <= 6
-        |ORDER BY doc_a, doc_b""".stripMargin,
+        |  WHERE ((a.h64 >> 48) & 65535) = ((b.h64 >> 48) & 65535)
+        |     OR ((a.h64 >> 32) & 65535) = ((b.h64 >> 32) & 65535)
+        |     OR ((a.h64 >> 16) & 65535) = ((b.h64 >> 16) & 65535)
+        |     OR (a.h64 & 65535) = (b.h64 & 65535))
+        |SELECT doc_a, doc_b, CAST(hd AS INTEGER) AS hamming
+        |FROM pairs WHERE hd <= 6
+        |ORDER BY doc_a, doc_b""".stripMargin
+    },
     "dedup_embed" ->
-      """WITH sims AS (
+      """WITH nv AS MATERIALIZED (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |sims AS (
         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |    round(list_sum(list_transform(range(1, len(a.embedding) + 1),
         |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-        |      / (sqrt(list_sum(list_transform(a.embedding,
-        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-        |       * sqrt(list_sum(list_transform(b.embedding,
-        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos
-        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |      / (a.nrm * b.nrm), 6) AS cos
+        |  FROM nv a JOIN nv b ON a.vec_id < b.vec_id)
         |SELECT vec_a, vec_b, cos FROM sims
         |ORDER BY cos DESC, vec_a ASC, vec_b ASC LIMIT 20""".stripMargin,
     // exact replay of the md5 hyperplane sketch: uint32 from the first
     // 8 md5 hex digits (nibble positional fold) → [-1,1) component →
     // sign bits → bucket join → cosine verify, all in SQL
     "dedup_embed_lsh" ->
-      """WITH sk AS (
-        |  SELECT vec_id, seed,
-        |    CAST(list_sum(list_transform(range(0, 8), p ->
-        |      CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1), i ->
-        |          CAST(embedding[i] AS DOUBLE) *
-        |          (list_sum(list_transform(range(1, 9), k ->
-        |             (strpos('0123456789abcdef',
-        |                substr(md5('hp:' || seed || ':' || p || ':' || (i - 1)),
-        |                  k, 1)) - 1) * (16 ** (8 - k))))
-        |           / 2147483648.0 - 1.0))) >= 0
-        |        THEN (2 ** p) ELSE 0 END)) AS BIGINT) AS bucket
-        |  FROM embeddings, (SELECT UNNEST([7, 21]) AS seed)),
-        |capped AS (
+      """WITH hp AS MATERIALIZED (
+        |  SELECT seed, p, list_transform(range(0, 64), i ->
+        |      (list_sum(list_transform(range(1, 9), k ->
+        |         (strpos('0123456789abcdef',
+        |            substr(md5('hp:' || seed || ':' || p || ':' || i),
+        |              k, 1)) - 1) * (16 ** (8 - k))))
+        |       / 2147483648.0 - 1.0)) AS comps
+        |  FROM (SELECT UNNEST([7, 21]) AS seed),
+        |       (SELECT UNNEST(range(0, 8)) AS p)),
+        |bits AS MATERIALIZED (
+        |  SELECT e.vec_id, h.seed,
+        |    CASE WHEN list_sum(list_transform(
+        |        range(1, len(e.embedding) + 1), i ->
+        |          CAST(e.embedding[i] AS DOUBLE) * h.comps[i])) >= 0
+        |      THEN (2 ** h.p) ELSE 0 END AS bit
+        |  FROM embeddings e, hp h),
+        |sk AS MATERIALIZED (
+        |  SELECT vec_id, seed, CAST(SUM(bit) AS BIGINT) AS bucket
+        |  FROM bits GROUP BY vec_id, seed),
+        |capped AS MATERIALIZED (
         |  SELECT seed, bucket, vec_id FROM (
         |    SELECT seed, bucket, vec_id,
         |      row_number() OVER (PARTITION BY seed, bucket ORDER BY vec_id) AS rk

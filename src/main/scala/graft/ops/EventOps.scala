@@ -1879,7 +1879,7 @@ object EventOps {
            |    ON ed.t = pv.state
            |  GROUP BY f)""".stripMargin
       def scenario(pfx: String, body: String) =
-        (s"""${pfx}p AS ($body),
+        (s"""${pfx}p AS MATERIALIZED ($body),
             |${pfx}v0 AS (
             |  SELECT DISTINCT f AS state, CAST(0.0 AS DOUBLE) AS v
             |  FROM ${pfx}p)""".stripMargin +:
@@ -1899,15 +1899,15 @@ object EventOps {
            |     (SELECT v FROM ${p}v16 WHERE state = 'START') cv"""
           .stripMargin
       }.mkString("\nUNION ALL\n")
-      s"""WITH e AS (
+      s"""WITH e AS MATERIALIZED (
          |  SELECT user_id, event_type AS et,
          |    row_number() OVER (PARTITION BY user_id
          |      ORDER BY ts, event_id) AS rn
          |  FROM events),
-         |fp AS (
+         |fp AS MATERIALIZED (
          |  SELECT user_id, MIN(rn) AS frn
          |  FROM e WHERE et = 'purchase' GROUP BY 1),
-         |j AS (
+         |j AS MATERIALIZED (
          |  SELECT e.user_id, e.et, e.rn, fp.frn IS NOT NULL AS conv
          |  FROM e LEFT JOIN fp USING (user_id)
          |  WHERE fp.frn IS NULL OR e.rn < fp.frn),
@@ -1923,7 +1923,7 @@ object EventOps {
          |cnt AS (SELECT f, t, COUNT(*) AS n FROM tr GROUP BY 1, 2),
          |tot AS (SELECT f, CAST(SUM(n) AS BIGINT) AS tot
          |        FROM cnt GROUP BY 1),
-         |pm AS (
+         |pm AS MATERIALIZED (
          |  SELECT cnt.f, cnt.t,
          |    CAST(cnt.n AS DOUBLE) / CAST(tot.tot AS DOUBLE) AS p
          |  FROM cnt JOIN tot USING (f)),
@@ -1951,8 +1951,8 @@ object EventOps {
          |tot AS (
          |  SELECT from_type, CAST(SUM(n) AS BIGINT) AS tot
          |  FROM co GROUP BY 1),
-         |st AS (SELECT DISTINCT event_type AS st FROM events),
-         |pm AS (
+         |st AS MATERIALIZED (SELECT DISTINCT event_type AS st FROM events),
+         |pm AS MATERIALIZED (
          |  SELECT co.from_type, co.to_type,
          |    CAST(co.n AS DOUBLE) / CAST(tot.tot AS DOUBLE) AS p
          |  FROM co JOIN tot USING (from_type)

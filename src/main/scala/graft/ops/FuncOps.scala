@@ -280,36 +280,51 @@ object FuncOps {
         |FROM documents ORDER BY doc_id""".stripMargin,
     // sha256 is native in both engines; the simhash sketch is replayed
     // as in the dedup_simhash oracle, folded back to a signed 64-bit.
-    "f12_hash_pair" ->
-      """WITH feats AS (
-        |  SELECT doc_id, text,
+    // integer restatement of the bit-string sketch replay (round-7
+    // oracle-cost fix): the per-feature 64-bit hash is the SAME md5
+    // nibble fold (MSB nibble first), bit votes become 64 columnar
+    // SUM aggregates over the exploded feature rows (bit b of the
+    // integer == string position 64-b, so v$b replays the substr
+    // vote exactly), and the sketch is rebuilt from exact 2^b terms
+    "f12_hash_pair" -> {
+      val votes = (0 until 64).map(b =>
+        s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
+        .mkString(",\n        |    ")
+      val recon = (0 until 64).map { b =>
+        val w = BigInt(2).pow(b)
+        s"CASE WHEN v$b > 0 THEN $w::HUGEINT ELSE 0::HUGEINT END"
+      }.mkString("\n        |    + ")
+      s"""WITH feats AS (
+        |  SELECT doc_id,
         |    CASE WHEN len(j) <= 4 THEN [j]
         |         ELSE list_transform(range(0, len(j) - 3), i -> substr(j, i+1, 4)) END AS fs
-        |  FROM (SELECT doc_id, text,
+        |  FROM (SELECT doc_id,
         |          regexp_replace(lower(text), '[^a-z0-9_]', '', 'g') AS j
         |        FROM documents)),
-        |hb AS (
-        |  SELECT doc_id, text,
-        |    list_transform(fs, f -> list_aggregate(
+        |fx AS (SELECT doc_id, UNNEST(fs) AS f FROM feats),
+        |hx AS MATERIALIZED (
+        |  SELECT doc_id, CAST(CASE WHEN hu >= 9223372036854775808::HUGEINT
+        |      THEN hu - 18446744073709551616::HUGEINT ELSE hu END AS BIGINT)
+        |    AS h
+        |  FROM (SELECT doc_id, list_reduce(list_prepend(0::HUGEINT,
         |      list_transform(string_split(substr(md5(f), 1, 16), ''),
-        |        c -> substr('0000000100100011010001010110011110001001101010111100110111101111',
-        |                    (strpos('0123456789abcdef', c) - 1) * 4 + 1, 4)),
-        |      'string_agg', '')) AS hstrs
-        |  FROM feats),
+        |        c -> CAST(strpos('0123456789abcdef', c) - 1 AS HUGEINT))),
+        |      (a, b) -> a * 16 + b) AS hu FROM fx)),
+        |vt AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    $votes
+        |  FROM hx GROUP BY doc_id),
         |sk AS (
-        |  SELECT doc_id, text,
-        |    list_reduce(list_prepend(0::HUGEINT,
-        |      list_transform(range(1, 65), p ->
-        |        CASE WHEN list_sum(list_transform(hstrs, s ->
-        |            CASE WHEN substr(s, p, 1) = '1' THEN 1 ELSE -1 END)) > 0
-        |          THEN 1::HUGEINT ELSE 0::HUGEINT END)),
-        |      (a, b) -> a * 2 + b) AS u
-        |  FROM hb)
-        |SELECT doc_id, sha256(text) AS sha,
+        |  SELECT doc_id,
+        |    $recon AS u
+        |  FROM vt)
+        |SELECT s.doc_id, sha256(d.text) AS sha,
         |  CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
         |       THEN u - 18446744073709551616::HUGEINT ELSE u END AS BIGINT)
         |    AS simhash
-        |FROM sk ORDER BY doc_id""".stripMargin,
+        |FROM sk s JOIN documents d ON d.doc_id = s.doc_id
+        |ORDER BY s.doc_id""".stripMargin
+    },
     "f17_flatten" ->
       """SELECT doc_id,
         |  length(regexp_replace(text, '\n+', ' ', 'g')) AS flat_len,

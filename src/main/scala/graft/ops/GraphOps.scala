@@ -1002,13 +1002,13 @@ object GraphOps {
            |JOIN deg ds ON ds.src = e.src
            |JOIN deg dd ON dd.src = e.dst""".stripMargin)
         .mkString("\nUNION ALL\n")
-      s"""WITH pairs AS (
+      s"""WITH pairs AS MATERIALIZED (
          |  SELECT DISTINCT 'c' || o.o_custkey AS src,
          |                  's' || l.l_suppkey AS dst
          |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
-         |edges AS (SELECT src, dst FROM pairs
+         |edges AS MATERIALIZED (SELECT src, dst FROM pairs
          |          UNION ALL SELECT dst, src FROM pairs),
-         |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src)
+         |deg AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src)
          |SELECT k, n_nodes, e_dir // 2 AS n_edges,
          |  round(CASE WHEN n_nodes < 2 THEN NULL
          |    ELSE CAST(e_dir AS DOUBLE)
@@ -1017,13 +1017,13 @@ object GraphOps {
          |FROM ($rows) ORDER BY k""".stripMargin
     },
     "graph_summary" ->
-      """WITH pairs AS (
+      """WITH pairs AS MATERIALIZED (
         |  SELECT DISTINCT 'c' || o.o_custkey AS src,
         |                  's' || l.l_suppkey AS dst
         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
-        |edges AS (SELECT src, dst FROM pairs
+        |edges AS MATERIALIZED (SELECT src, dst FROM pairs
         |          UNION ALL SELECT dst, src FROM pairs),
-        |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+        |deg AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
         |a AS (
         |  SELECT COUNT(*) AS n_nodes,
         |    CAST(SUM(CASE WHEN src LIKE 'c%' THEN 1 ELSE 0 END)
@@ -1046,21 +1046,21 @@ object GraphOps {
     // sorted-fold sums and max normalization
     "graph_hits" -> {
       val round = (ha: String, aa: String, hn: String, an: String) =>
-        s"""${aa}r AS (
+        s"""${aa}r AS MATERIALIZED (
            |  SELECT sk, CAST(SUM(CAST(round(hub, 15) AS DECIMAL(25,15)))
            |    AS DOUBLE) AS v
            |  FROM cs JOIN $ha USING (c) GROUP BY sk),
-           |$an AS (
+           |$an AS MATERIALIZED (
            |  SELECT sk, v / (SELECT MAX(v) FROM ${aa}r) AS auth
            |  FROM ${aa}r),
-           |${hn}r AS (
+           |${hn}r AS MATERIALIZED (
            |  SELECT c, CAST(SUM(CAST(round(auth, 15) AS DECIMAL(25,15)))
            |    AS DOUBLE) AS v
            |  FROM cs JOIN $an USING (sk) GROUP BY c),
-           |$hn AS (
+           |$hn AS MATERIALIZED (
            |  SELECT c, v / (SELECT MAX(v) FROM ${hn}r) AS hub
            |  FROM ${hn}r)""".stripMargin
-      s"""WITH cs AS (
+      s"""WITH cs AS MATERIALIZED (
          |  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS sk
          |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
          |h0 AS (SELECT DISTINCT c, CAST(1.0 AS DOUBLE) AS hub FROM cs),
@@ -1077,13 +1077,13 @@ object GraphOps {
     // exact DECIMAL sufficient statistics over the symmetrized edge
     // list; same fixed double tree as the engine, CASE ≡ try_divide
     "graph_assort" ->
-      """WITH pairs AS (
+      """WITH pairs AS MATERIALIZED (
         |  SELECT DISTINCT 'c' || o.o_custkey AS src,
         |                  's' || l.l_suppkey AS dst
         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
-        |edges AS (SELECT src, dst FROM pairs
+        |edges AS MATERIALIZED (SELECT src, dst FROM pairs
         |          UNION ALL SELECT dst, src FROM pairs),
-        |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+        |deg AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
         |ed AS (
         |  SELECT CAST(d1.outdeg AS DECIMAL(18,0)) AS x,
         |         CAST(d2.outdeg AS DECIMAL(18,0)) AS y
@@ -1109,19 +1109,19 @@ object GraphOps {
     // identical fixed-round peeling
     "graph_kcore" -> {
       val peel = (prev: String, cur: String) =>
-        s"""$cur AS (
+        s"""$cur AS MATERIALIZED (
            |  SELECT src AS node, COUNT(*) AS deg FROM edges
            |  WHERE src IN (SELECT node FROM $prev)
            |    AND dst IN (SELECT node FROM $prev)
            |  GROUP BY src HAVING COUNT(*) >= 2)""".stripMargin
-      s"""WITH pairs AS (
+      s"""WITH pairs AS MATERIALIZED (
          |  SELECT DISTINCT 'c' || o.o_custkey AS src,
          |                  's' || l.l_suppkey AS dst
          |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
          |  WHERE l.l_quantity >= 48 AND l.l_discount >= 0.06),
-         |edges AS (SELECT src, dst FROM pairs
+         |edges AS MATERIALIZED (SELECT src, dst FROM pairs
          |          UNION ALL SELECT dst, src FROM pairs),
-         |n0 AS (SELECT DISTINCT src AS node FROM edges),
+         |n0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
          |${peel("n0", "n1")},
          |${peel("n1", "n2")},
          |${peel("n2", "n3")},
@@ -1134,18 +1134,18 @@ object GraphOps {
     // sums (in_dir/n_dir − S/n_dir² over the symmetric directed list)
     "graph_modularity" -> {
       val round = (prev: String, cur: String) =>
-        s"""$cur AS (
+        s"""$cur AS MATERIALIZED (
            |  SELECT node, lab FROM (
            |    SELECT e.src AS node, p.lab, COUNT(*) AS c,
            |      ROW_NUMBER() OVER (PARTITION BY e.src
            |        ORDER BY COUNT(*) DESC, p.lab ASC) AS rn
            |    FROM edges e JOIN $prev p ON e.dst = p.node
            |    GROUP BY e.src, p.lab) WHERE rn = 1)""".stripMargin
-      s"""WITH pairs AS (
+      s"""WITH pairs AS MATERIALIZED (
          |  SELECT DISTINCT 'c' || o.o_custkey AS src,
          |                  's' || l.l_suppkey AS dst
          |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
-         |edges AS (SELECT src, dst FROM pairs
+         |edges AS MATERIALIZED (SELECT src, dst FROM pairs
          |          UNION ALL SELECT dst, src FROM pairs),
          |l0 AS (SELECT DISTINCT src AS node, src AS lab FROM edges),
          |${round("l0", "l1")},
@@ -1159,7 +1159,7 @@ object GraphOps {
          |  FROM edges e
          |  JOIN l4 a ON e.src = a.node
          |  JOIN l4 b ON e.dst = b.node),
-         |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1),
+         |deg AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1),
          |cs2 AS (
          |  SELECT COUNT(*) AS n_communities,
          |    SUM(CAST(d_c AS DECIMAL(18,0)) * CAST(d_c AS DECIMAL(18,0)))
@@ -1178,18 +1178,18 @@ object GraphOps {
     // ASC) pick replays the engine's min(struct(-count, label)) argmax
     "graph_communities" -> {
       val round = (prev: String, cur: String) =>
-        s"""$cur AS (
+        s"""$cur AS MATERIALIZED (
            |  SELECT node, lab FROM (
            |    SELECT e.src AS node, p.lab, COUNT(*) AS c,
            |      ROW_NUMBER() OVER (PARTITION BY e.src
            |        ORDER BY COUNT(*) DESC, p.lab ASC) AS rn
            |    FROM edges e JOIN $prev p ON e.dst = p.node
            |    GROUP BY e.src, p.lab) WHERE rn = 1)""".stripMargin
-      s"""WITH pairs AS (
+      s"""WITH pairs AS MATERIALIZED (
          |  SELECT DISTINCT 'c' || o.o_custkey AS src,
          |                  's' || l.l_suppkey AS dst
          |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
-         |edges AS (SELECT src, dst FROM pairs
+         |edges AS MATERIALIZED (SELECT src, dst FROM pairs
          |          UNION ALL SELECT dst, src FROM pairs),
          |l0 AS (SELECT DISTINCT src AS node, src AS lab FROM edges),
          |${round("l0", "l1")},
@@ -1206,7 +1206,7 @@ object GraphOps {
     // seed-from-first fold over the sorted weights matches the
     // engine's 0.0-seeded fold bit-for-bit (0.0 + w1 ≡ w1)
     "graph_linkpred" ->
-      """WITH cs AS (
+      """WITH cs AS MATERIALIZED (
         |  SELECT DISTINCT o_custkey AS c, l_suppkey AS sk
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
         |cd AS (SELECT c, COUNT(*) AS deg FROM cs GROUP BY 1),
@@ -1226,12 +1226,12 @@ object GraphOps {
     // reachability closure via recursive CTE; MIN over reachable node
     // ids = the engine's converged min-label — identical canonical id
     "graph_cc" ->
-      """WITH RECURSIVE pairs AS (
+      """WITH RECURSIVE pairs AS MATERIALIZED (
         |  SELECT DISTINCT 'c' || o.o_custkey AS src,
         |                  's' || l.l_suppkey AS dst
         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |  WHERE l.l_quantity >= 50 AND l.l_discount >= 0.08),
-        |edges AS (SELECT src, dst FROM pairs
+        |edges AS MATERIALIZED (SELECT src, dst FROM pairs
         |          UNION ALL SELECT dst, src FROM pairs),
         |nodes AS (SELECT DISTINCT src AS node FROM edges),
         |walk(node, lab) AS (
@@ -1250,15 +1250,15 @@ object GraphOps {
     // same naive triple closure plus the degree table; lcc is one
     // division of exact integers, CASE degree<2 ≡ try_divide NULL
     "graph_clustcoeff" ->
-      """WITH cs AS (
+      """WITH cs AS MATERIALIZED (
         |  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS sk
         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |  WHERE l.l_quantity >= 46),
-        |co AS (
+        |co AS MATERIALIZED (
         |  SELECT a.sk AS s1, b.sk AS s2, COUNT(*) AS co
         |  FROM cs a JOIN cs b ON a.c = b.c AND a.sk < b.sk
         |  GROUP BY 1, 2),
-        |e AS (SELECT s1, s2 FROM co WHERE co >= 2),
+        |e AS MATERIALIZED (SELECT s1, s2 FROM co WHERE co >= 2),
         |deg AS (
         |  SELECT node, COUNT(*) AS degree FROM (
         |    SELECT s1 AS node FROM e UNION ALL SELECT s2 FROM e)
@@ -1283,15 +1283,15 @@ object GraphOps {
     // the oracle closes triples naively on the a<b<c edge list — the
     // engine's oriented wedge census finds the same triangle set
     "graph_triangles" ->
-      """WITH cs AS (
+      """WITH cs AS MATERIALIZED (
         |  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS sk
         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |  WHERE l.l_quantity >= 46),
-        |co AS (
+        |co AS MATERIALIZED (
         |  SELECT a.sk AS s1, b.sk AS s2, COUNT(*) AS co
         |  FROM cs a JOIN cs b ON a.c = b.c AND a.sk < b.sk
         |  GROUP BY 1, 2),
-        |e AS (SELECT s1, s2 FROM co WHERE co >= 2),
+        |e AS MATERIALIZED (SELECT s1, s2 FROM co WHERE co >= 2),
         |tri AS (
         |  SELECT e1.s1 AS a, e1.s2 AS b, e2.s2 AS c
         |  FROM e e1 JOIN e e2 ON e2.s1 = e1.s2
@@ -1306,21 +1306,21 @@ object GraphOps {
     // engine's sorted fold so the doubles are bit-identical
     "graph_pagerank" -> {
       val iter = (prev: String, cur: String) =>
-        s"""$cur AS (
+        s"""$cur AS MATERIALIZED (
            |  SELECT e.dst AS node,
            |    0.15/(SELECT nn FROM n) + 0.85 * list_reduce(
            |      list_sort(list(p.rank / e.outdeg)), (a, x) -> a + x)
            |      AS rank
            |  FROM ed e JOIN $prev p ON e.src = p.node GROUP BY e.dst)"""
           .stripMargin
-      s"""WITH pairs AS (
+      s"""WITH pairs AS MATERIALIZED (
          |  SELECT DISTINCT 'c' || o.o_custkey AS src,
          |                  's' || l.l_suppkey AS dst
          |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
-         |edges AS (SELECT src, dst FROM pairs
+         |edges AS MATERIALIZED (SELECT src, dst FROM pairs
          |          UNION ALL SELECT dst, src FROM pairs),
-         |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
-         |ed AS (SELECT e.src, e.dst, d.outdeg
+         |deg AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+         |ed AS MATERIALIZED (SELECT e.src, e.dst, d.outdeg
          |       FROM edges e JOIN deg d USING (src)),
          |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM deg),
          |pr0 AS (SELECT src AS node, 1.0/(SELECT nn FROM n) AS rank
@@ -1336,11 +1336,11 @@ object GraphOps {
     // the engine deliberately avoids; same exact integers, and the
     // jaccard division is one op over identical operands
     "graph_cooccur" ->
-      """WITH cs AS (
+      """WITH cs AS MATERIALIZED (
         |  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS sk
         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
         |deg AS (SELECT sk, COUNT(*) AS deg FROM cs GROUP BY sk),
-        |co AS (
+        |co AS MATERIALIZED (
         |  SELECT a.sk AS s1, b.sk AS s2, COUNT(*) AS co
         |  FROM cs a JOIN cs b ON a.c = b.c AND a.sk < b.sk
         |  GROUP BY 1, 2)
@@ -1354,11 +1354,11 @@ object GraphOps {
     // double sweep: BFS from c1, restart from the deterministic
     // farthest node, report the second eccentricity
     "graph_diameter" ->
-      """WITH RECURSIVE pairs AS (
+      """WITH RECURSIVE pairs AS MATERIALIZED (
         |  SELECT DISTINCT 'c' || o.o_custkey AS src,
         |                  's' || l.l_suppkey AS dst
         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
-        |edges AS (SELECT src, dst FROM pairs
+        |edges AS MATERIALIZED (SELECT src, dst FROM pairs
         |          UNION ALL SELECT dst, src FROM pairs),
         |w1(node, dist) AS (
         |  SELECT 'c1', 0
@@ -1380,11 +1380,11 @@ object GraphOps {
     // the multi-seed walk: UNION-dedup'd (seed, node) frontier to 4
     // hops, MIN(dist) per pair, then the closeness panel
     "graph_closeness" ->
-      """WITH RECURSIVE pairs AS (
+      """WITH RECURSIVE pairs AS MATERIALIZED (
         |  SELECT DISTINCT 'c' || o.o_custkey AS src,
         |                  's' || l.l_suppkey AS dst
         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
-        |edges AS (SELECT src, dst FROM pairs
+        |edges AS MATERIALIZED (SELECT src, dst FROM pairs
         |          UNION ALL SELECT dst, src FROM pairs),
         |walk(seed, node, dist) AS (
         |  SELECT s.seed, s.seed, 0
@@ -1404,11 +1404,11 @@ object GraphOps {
         |FROM md GROUP BY seed ORDER BY seed""".stripMargin,
     // frontier expansion bounded at 3 hops, MIN(dist) = BFS level
     "graph_paths" ->
-      """WITH RECURSIVE pairs AS (
+      """WITH RECURSIVE pairs AS MATERIALIZED (
         |  SELECT DISTINCT 'c' || o.o_custkey AS src,
         |                  's' || l.l_suppkey AS dst
         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
-        |edges AS (SELECT src, dst FROM pairs
+        |edges AS MATERIALIZED (SELECT src, dst FROM pairs
         |          UNION ALL SELECT dst, src FROM pairs),
         |walk(node, dist) AS (
         |  SELECT 'c1', 0
@@ -1419,13 +1419,13 @@ object GraphOps {
         |SELECT node, CAST(MIN(dist) AS INT) AS dist
         |FROM walk GROUP BY node ORDER BY node""".stripMargin,
     "graph_degree" ->
-      """WITH pairs AS (
+      """WITH pairs AS MATERIALIZED (
         |  SELECT DISTINCT 'c' || o.o_custkey AS src,
         |                  's' || l.l_suppkey AS dst
         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
-        |edges AS (SELECT src, dst FROM pairs
+        |edges AS MATERIALIZED (SELECT src, dst FROM pairs
         |          UNION ALL SELECT dst, src FROM pairs),
-        |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src)
+        |deg AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src)
         |SELECT substr(src, 1, 1) AS kind, outdeg,
         |  COUNT(*) AS n_nodes
         |FROM deg GROUP BY 1, 2 ORDER BY kind, outdeg""".stripMargin)

@@ -709,23 +709,23 @@ object SimOps {
     // iterations as left-fold list_reduce, and sign convention
     "emb_pca" ->
       """WITH RECURSIVE n_ AS (SELECT COUNT(*) AS n FROM embeddings),
-        |mom AS (
+        |mom AS MATERIALIZED (
         |  SELECT i.i AS i, j.j AS j,
         |    SUM(CAST(floor(CAST(e.embedding[i.i + 1] AS DOUBLE)
         |      * CAST(e.embedding[j.j + 1] AS DOUBLE)
         |      * 1000000000.0 + 0.5) AS BIGINT)) AS s2
         |  FROM embeddings e, range(64) i(i), range(64) j(j)
         |  WHERE i.i <= j.j GROUP BY 1, 2),
-        |s1 AS (
+        |s1 AS MATERIALIZED (
         |  SELECT i.i AS i,
         |    SUM(CAST(floor(CAST(e.embedding[i.i + 1] AS DOUBLE)
         |      * 1000000000.0 + 0.5) AS BIGINT)) AS s1
         |  FROM embeddings e, range(64) i(i) GROUP BY 1),
-        |mu AS (
+        |mu AS MATERIALIZED (
         |  SELECT i, CAST(s1 AS DOUBLE) / 1000000000.0
         |    / (SELECT CAST(n AS DOUBLE) FROM n_) AS mu
         |  FROM s1),
-        |cfull AS (
+        |cfull AS MATERIALIZED (
         |  SELECT a.i AS i, a.j AS j,
         |    CAST(m.s2 AS DOUBLE) / 1000000000.0
         |      / (SELECT CAST(n AS DOUBLE) FROM n_) - mi.mu * mj.mu AS c
@@ -734,7 +734,7 @@ object SimOps {
         |  JOIN mom m ON m.i = least(a.i, a.j) AND m.j = greatest(a.i, a.j)
         |  JOIN mu mi ON mi.i = a.i
         |  JOIN mu mj ON mj.i = a.j),
-        |cmat AS (
+        |cmat AS MATERIALIZED (
         |  SELECT list(cl ORDER BY i) AS m FROM (
         |    SELECT i, list(c ORDER BY j) AS cl FROM cfull GROUP BY i)),
         |pow(it, v, lam) AS (
@@ -790,18 +790,25 @@ object SimOps {
         |    AS n_at_max
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "ann_lsh" ->
-      """WITH sk AS (
-        |  SELECT vec_id, seed,
-        |    CAST(list_sum(list_transform(range(0, 4), p ->
-        |      CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1), i ->
-        |          CAST(embedding[i] AS DOUBLE) *
-        |          (list_sum(list_transform(range(1, 9), k ->
-        |             (strpos('0123456789abcdef',
-        |                substr(md5('hp:' || seed || ':' || p || ':' || (i - 1)),
-        |                  k, 1)) - 1) * (16 ** (8 - k))))
-        |           / 2147483648.0 - 1.0))) >= 0
-        |        THEN (2 ** p) ELSE 0 END)) AS BIGINT) AS bucket
-        |  FROM embeddings, (SELECT UNNEST([7, 21]) AS seed)),
+      """WITH hp AS MATERIALIZED (
+        |  SELECT seed, p, list_transform(range(0, 64), i ->
+        |      (list_sum(list_transform(range(1, 9), k ->
+        |         (strpos('0123456789abcdef',
+        |            substr(md5('hp:' || seed || ':' || p || ':' || i),
+        |              k, 1)) - 1) * (16 ** (8 - k))))
+        |       / 2147483648.0 - 1.0)) AS comps
+        |  FROM (SELECT UNNEST([7, 21]) AS seed),
+        |       (SELECT UNNEST(range(0, 4)) AS p)),
+        |bits AS MATERIALIZED (
+        |  SELECT e.vec_id, h.seed,
+        |    CASE WHEN list_sum(list_transform(
+        |        range(1, len(e.embedding) + 1), i ->
+        |          CAST(e.embedding[i] AS DOUBLE) * h.comps[i])) >= 0
+        |      THEN (2 ** h.p) ELSE 0 END AS bit
+        |  FROM embeddings e, hp h),
+        |sk AS MATERIALIZED (
+        |  SELECT vec_id, seed, CAST(SUM(bit) AS BIGINT) AS bucket
+        |  FROM bits GROUP BY vec_id, seed),
         |qb AS (SELECT seed, bucket FROM sk WHERE vec_id = 0),
         |cands AS (
         |  SELECT DISTINCT vec_id FROM sk JOIN qb USING (seed, bucket)
