@@ -631,7 +631,12 @@ object CoreRelational {
     * count rides along as the accuracy reference. */
   /** Per-row HLL (register, rank) derivation from md5(user_id) — see
     * [[a20Hll]] for the contract. */
-  private def hllRanks(ev: DataFrame): DataFrame = {
+  private def hllRanks(ev: DataFrame): DataFrame =
+    hllRanksWith(ev)
+
+  /** [[hllRanks]] plus caller-supplied pass-through columns (e.g. a
+    * parity flag), so a single scan can feed several register sets. */
+  private def hllRanksWith(ev: DataFrame, extra: Column*): DataFrame = {
     val hex = md5(col("user_id").cast("string"))
     val reg = conv(substring(hex, 1, 2), 16, 10).cast("int")
     val h13 = substring(hex, 3, 13)
@@ -640,25 +645,32 @@ object CoreRelational {
     val clz4 = when(d1 === "1", 3).when(d1.isin("2", "3"), 2)
       .when(d1.isin("4", "5", "6", "7"), 1).otherwise(0)
     val rank = when(lz === 13, lit(53)).otherwise(lz * 4 + clz4 + 1)
-    ev.select(col("event_type"), reg.as("reg"), rank.as("rk"))
+    ev.select(col("event_type") +: reg.as("reg") +: rank.as("rk")
+      +: extra: _*)
+  }
+
+  /** (keys..., reg, mr) register table → per-keys HLL estimate. */
+  private def hllEstimateKeys(regs: DataFrame, estCol: String,
+      keys: Seq[String]): DataFrame = {
+    val kc = keys.map(col)
+    regs.groupBy(kc: _*).agg(
+        count(lit(1)).as("n_used"),
+        sum(expr("shiftleft(cast(1 as bigint), 53 - mr)")).as("zp"))
+      .select(kc :+ (lit(256L) - col("n_used")).as("n_zero_regs") :+
+        (col("zp") + (lit(256L) - col("n_used"))
+          * lit(9007199254740992L)).as("zs"): _*)
+      .withColumn("raw",
+        expr("(0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0" +
+          " / (cast(zs as double) / 9007199254740992.0)"))
+      .select(kc :+ col("n_zero_regs") :+
+        round(expr("case when n_zero_regs > 0 and raw <= 640.0" +
+          " then 256.0 * ln(256.0 / cast(n_zero_regs as double))" +
+          " else raw end"), 4).as(estCol): _*)
   }
 
   /** (event_type, reg, mr) register table → per-type HLL estimate. */
   private def hllEstimate(regs: DataFrame, estCol: String): DataFrame =
-    regs.groupBy("event_type").agg(
-        count(lit(1)).as("n_used"),
-        sum(expr("shiftleft(cast(1 as bigint), 53 - mr)")).as("zp"))
-      .select(col("event_type"),
-        (lit(256L) - col("n_used")).as("n_zero_regs"),
-        (col("zp") + (lit(256L) - col("n_used"))
-          * lit(9007199254740992L)).as("zs"))
-      .withColumn("raw",
-        expr("(0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0" +
-          " / (cast(zs as double) / 9007199254740992.0)"))
-      .select(col("event_type"), col("n_zero_regs"),
-        round(expr("case when n_zero_regs > 0 and raw <= 640.0" +
-          " then 256.0 * ln(256.0 / cast(n_zero_regs as double))" +
-          " else raw end"), 4).as(estCol))
+    hllEstimateKeys(regs, estCol, Seq("event_type"))
 
   def a20Hll(s: SparkSession, d: String): DataFrame = {
     val regs = hllRanks(Tables.events(s, d))
@@ -677,21 +689,43 @@ object CoreRelational {
     * count is not a sum). The algebraic re-aggregation contract (the
     * ev_merge_partials idiom applied to a sketch): at 100 TB this is
     * why per-partition/per-day register blocks roll up later without
-    * touching raw data. */
+    * touching raw data.
+    *
+    * ONE corpus scan (round-6 fix; the ev_overlap_kmv idiom): the
+    * per-(type, reg) aggregate computes both parity-half maxima as
+    * conditional aggregates plus the unconditional full max, then the
+    * four register SETS (even, odd, merged = greatest of the halves —
+    * derived, never re-scanned — and full) explode from that one
+    * 256-registers-per-type table into a `which`-keyed long panel for
+    * a single shared estimate aggregate. */
   def a22HllMerge(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d)
-    def regsOf(df: DataFrame) = hllRanks(df)
-      .groupBy("event_type", "reg").agg(max(col("rk")).as("mr"))
-    val ra = regsOf(ev.filter(col("user_id") % 2 === 0))
-    val rb = regsOf(ev.filter(col("user_id") % 2 =!= 0))
-    val merged = ra.unionAll(rb)
-      .groupBy("event_type", "reg").agg(max(col("mr")).as("mr"))
-    val ea = hllEstimate(ra, "est_even").drop("n_zero_regs")
-    val eb = hllEstimate(rb, "est_odd").drop("n_zero_regs")
-    val em = hllEstimate(merged, "est_merged").drop("n_zero_regs")
-    val ef = hllEstimate(regsOf(ev), "est_full").drop("n_zero_regs")
-    ea.join(eb, Seq("event_type")).join(em, Seq("event_type"))
-      .join(ef, Seq("event_type"))
+    val regs = hllRanksWith(Tables.events(s, d),
+        (col("user_id") % 2 === 0).as("even"))
+      .groupBy("event_type", "reg")
+      .agg(max(when(col("even"), col("rk"))).as("mra"),
+        max(when(!col("even"), col("rk"))).as("mrb"),
+        max(col("rk")).as("mrf"))
+    val longRegs = regs.select(col("event_type"), col("reg"),
+        explode(array(
+          struct(lit("est_even").as("which"), col("mra").as("mr")),
+          struct(lit("est_odd").as("which"), col("mrb").as("mr")),
+          struct(lit("est_merged").as("which"),
+            greatest(col("mra"), col("mrb")).as("mr")),
+          struct(lit("est_full").as("which"), col("mrf").as("mr"))))
+          .as("e"))
+      .filter(col("e.mr").isNotNull)
+      .select(col("event_type"), col("e.which").as("which"),
+        col("reg"), col("e.mr").as("mr"))
+    hllEstimateKeys(longRegs, "est", Seq("event_type", "which"))
+      .groupBy("event_type")
+      .agg(
+        max(when(col("which") === "est_even", col("est")))
+          .as("est_even"),
+        max(when(col("which") === "est_odd", col("est"))).as("est_odd"),
+        max(when(col("which") === "est_merged", col("est")))
+          .as("est_merged"),
+        max(when(col("which") === "est_full", col("est")))
+          .as("est_full"))
       .withColumn("merged_equals_full",
         (col("est_merged") === col("est_full")).cast("int"))
       .orderBy(col("event_type"))

@@ -817,37 +817,47 @@ object EventOps {
   }
 
   /** Behavioral sequence-pattern mining: per user, the time-ordered
-    * event stream folded to an initial-letter string (c/e/p/s/v), then
-    * counted for funnel motifs — the strict `v→c→p` conversion
-    * (adjacent view, click, purchase) and the browse-loop `vv+c`
-    * (views directly rechained into a click). The regex runs ONCE per
-    * user over a bounded string instead of a self-join per motif step
-    * — the ClickHouse `sequenceCount` shape restated on Spark.
+    * event stream folded to initial letters (c/e/p/s/v), then counted
+    * for funnel motifs — the strict `v→c→p` conversion (adjacent
+    * view, click, purchase) and the browse-loop `vv+c` (views
+    * directly rechained into a click) — the ClickHouse
+    * `sequenceCount` shape restated on Spark.
     *
-    * Determinism: the sequence order is (ts, event_id) — a total order
-    * (event_id unique) — built via `array_sort(collect_list(struct))`,
-    * so both engines fold the same string; match counts are
-    * non-overlapping leftmost (Java and RE2 agree on these patterns:
-    * no alternation, greedy `v+` over a disjoint follow set).
+    * The motifs are counted with lag/lead over the user-keyed
+    * (ts, event_id) window — NO per-user history array is ever
+    * materialized (round-6 fix: the earlier collect_list fold made a
+    * power user one multi-hundred-MB row at scale). The counts are
+    * provably the regex counts: `vcp` has no proper prefix that is
+    * also a suffix, so non-overlapping leftmost matches == all
+    * occurrences == positions where (ini, next, next²) = (v, c, p);
+    * a greedy non-overlapping `vv+c` match consumes exactly one
+    * maximal v-run of length ≥ 2 plus its following c, so matches
+    * biject with positions where (prev, ini, next) = (v, v, c) and
+    * the position is the run's LAST v — each qualifying run has
+    * exactly one such position.
     *
-    * 100 TB posture: one user-keyed hash agg (map-side combinable
-    * collect) + a narrow per-row regex — no window, no join; the
-    * per-user string is bounded by per-user activity (the same
-    * boundedness assumption every sessionization/funnel op here makes;
-    * time-slice the input for pathological always-on keys). */
-  def evSeqmatch(s: SparkSession, d: String): DataFrame =
+    * 100 TB posture: one user-hash Exchange for the window, then a
+    * map-side-combinable count/sum agg on the same key — no join, no
+    * unbounded per-key state, skew-safe for always-on keys. */
+  def evSeqmatch(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     Tables.events(s, d)
-      .select(col("user_id"),
-        struct(col("ts"), col("event_id"),
-          substring(col("event_type"), 1, 1).as("ini")).as("e"))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        substring(col("event_type"), 1, 1).as("ini"))
+      .select(col("user_id"), col("ini"),
+        lag(col("ini"), 1).over(w).as("p1"),
+        lead(col("ini"), 1).over(w).as("n1"),
+        lead(col("ini"), 2).over(w).as("n2"))
       .groupBy("user_id")
-      .agg(array_sort(collect_list(col("e"))).as("es"))
-      .select(col("user_id"),
-        expr("array_join(transform(es, x -> x.ini), '')").as("seq"))
-      .select(col("user_id"), length(col("seq")).as("n_events"),
-        regexp_count(col("seq"), lit("vcp")).as("n_convert"),
-        regexp_count(col("seq"), lit("vv+c")).as("n_browse"))
+      .agg(count(lit(1)).cast("int").as("n_events"),
+        sum(when(col("ini") === "v" && col("n1") === "c"
+          && col("n2") === "p", 1).otherwise(0)).cast("int")
+          .as("n_convert"),
+        sum(when(col("p1") === "v" && col("ini") === "v"
+          && col("n1") === "c", 1).otherwise(0)).cast("int")
+          .as("n_browse"))
       .orderBy(col("user_id"))
+  }
 
   /** Longest consecutive-day activity streak per user — the
     * gaps-and-islands idiom: distinct active days, then
@@ -1716,21 +1726,23 @@ object EventOps {
         |  round(s.mad, 6) AS mad, o.n_outliers
         |FROM st s JOIN o USING (event_type)
         |ORDER BY event_type""".stripMargin,
-    // string_agg ORDER BY (ts, event_id) replays the engine's
-    // array_sort(collect_list(struct)) total order; RE2 and Java count
-    // the same non-overlapping leftmost matches for these motifs
+    // same lag/lead window restatement as the engine (the motif-count
+    // ≡ regex-count bijection is argued in evSeqmatch's scaladoc)
     "ev_seqmatch" ->
-      """WITH seq AS (
+      """WITH s AS (
         |  SELECT user_id,
-        |    string_agg(substr(event_type, 1, 1), ''
-        |      ORDER BY ts, event_id) AS seq
-        |  FROM events GROUP BY user_id)
-        |SELECT user_id, CAST(length(seq) AS INTEGER) AS n_events,
-        |  CAST(len(regexp_extract_all(seq, 'vcp')) AS INTEGER)
-        |    AS n_convert,
-        |  CAST(len(regexp_extract_all(seq, 'vv+c')) AS INTEGER)
-        |    AS n_browse
-        |FROM seq ORDER BY user_id""".stripMargin,
+        |    substr(event_type, 1, 1) AS ini,
+        |    lag(substr(event_type, 1, 1)) OVER w AS p1,
+        |    lead(substr(event_type, 1, 1)) OVER w AS n1,
+        |    lead(substr(event_type, 1, 1), 2) OVER w AS n2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, CAST(COUNT(*) AS INTEGER) AS n_events,
+        |  CAST(SUM(CASE WHEN ini = 'v' AND n1 = 'c' AND n2 = 'p'
+        |    THEN 1 ELSE 0 END) AS INTEGER) AS n_convert,
+        |  CAST(SUM(CASE WHEN p1 = 'v' AND ini = 'v' AND n1 = 'c'
+        |    THEN 1 ELSE 0 END) AS INTEGER) AS n_browse
+        |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
     // identical (user, month) dedup + first-month + prev/next joins
     "ev_growth_accounting" ->
       """WITH um AS (

@@ -205,61 +205,75 @@ object GraphOps {
     * MIN(dist) — identical to first-touch BFS levels. The seed row is
     * emitted unconditionally (matching the recursive anchor) so both
     * engines agree even if the seed traded nothing. */
+  /** Shared bounded-BFS engine behind [[graphPaths]],
+    * [[graphCloseness]] and [[graphDiameter]] (round-6 ask: ONE
+    * engine, fewer fatter jobs). State is the multi-seed (seed, node,
+    * dist) visited set; each hop is one frontier⋈edges shuffle join
+    * (edges pre-partitioned by src in the memoized index) + one
+    * anti-join against the visited set. The per-hop lineage cut AND
+    * the emptiness probe are ONE action: the frontier is lazily
+    * `localCheckpoint(false)`-marked and `count()` both materializes
+    * the checkpoint and returns the early-exit signal — the old
+    * eager-checkpoint-then-isEmpty pair cost two jobs per hop. The
+    * visited set is a union of ≤ hops checkpointed frontiers (shallow
+    * lineage), so it needs no checkpoint of its own. */
+  private def bfs(edges: DataFrame, seeds: DataFrame, hops: Int)
+      : DataFrame = {
+    var reached = seeds
+    var frontier = seeds
+    var k = 1
+    var growing = true
+    while (k <= hops && growing) {
+      val next = edges
+        .join(frontier.select(col("seed"), col("node")),
+          edges("src") === col("node"))
+        .select(col("seed"), col("dst").as("node")).distinct()
+        .join(reached.select(col("seed").as("s2"),
+            col("node").as("seen")),
+          col("seed") === col("s2") && col("node") === col("seen"),
+          "left_anti")
+        .select(col("seed"), col("node"), lit(k).as("dist"))
+        .localCheckpoint(false)
+      growing = next.count() > 0 // materializes + probes in one job
+      if (growing) { frontier = next; reached = reached.union(next) }
+      k += 1
+    }
+    reached
+  }
+
   def graphPaths(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val hops = 3
     val (edgesDeg, _, _) = edgeIndex(s, d)
     val edges = edgesDeg.select(col("src"), col("dst"))
-    var reached = Seq(("c1", 0)).toDF("node", "dist")
-    var frontier = reached
-    for (k <- 1 to hops) {
-      frontier = edges
-        .join(frontier.select(col("node")), edges("src") === col("node"))
-        .select(col("dst").as("node")).distinct()
-        .join(reached.select(col("node").as("seen")),
-          col("node") === col("seen"), "left_anti")
-        .select(col("node"), lit(k).as("dist"))
-        .localCheckpoint()
-      reached = reached.union(frontier)
-    }
-    reached.orderBy(col("node"))
+    val seeds = Seq(("c1", "c1", 0)).toDF("seed", "node", "dist")
+    bfs(edges, seeds, hops = 3)
+      .select(col("node"), col("dist"))
+      .orderBy(col("node"))
   }
 
   /** Bounded closeness centrality for a seed panel: multi-source BFS
     * (5 customer seeds in ONE keyed frontier — (seed, node) state, not
-    * one walk per seed) to 4 hops, closeness = (reached−1)/Σdist over
+    * one walk per seed) to 3 hops, closeness = (reached−1)/Σdist over
     * the ball. The hop bound is what makes closeness computable at
     * scale (exact closeness needs all-pairs distances); with a
-    * symmetric bipartite graph diameter is small anyway, so the
-    * 4-ball is near-global — the panel states exactly what it measured.
+    * symmetric bipartite graph diameter is small anyway, so even the
+    * 3-ball is near-global (round-6 trim: the 4th round bought almost
+    * no new nodes, only bench-noise cross-section) — the panel states
+    * exactly what it measured.
     *
-    * 100 TB posture: identical iterative shape to [[graphPaths]] —
-    * frontier ⋈ edges per hop (keyed on src), anti-join visited,
-    * localCheckpoint lineage cuts — with all seeds riding one frontier
-    * (5× fewer rounds than per-seed walks); state is (seed, node)
-    * pairs, bounded by seeds × nodes. Distances and counts are exact
-    * integers; closeness is one final division. */
+    * 100 TB posture: the shared [[bfs]] engine — frontier ⋈ edges per
+    * hop (keyed on src), anti-join visited, one
+    * lazy-checkpoint+count action per hop — with all seeds riding one
+    * frontier (5× fewer rounds than per-seed walks); state is
+    * (seed, node) pairs, bounded by seeds × nodes. Distances and
+    * counts are exact integers; closeness is one final division. */
   def graphCloseness(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val hops = 4
     val (edgesDeg, _, _) = edgeIndex(s, d)
     val edges = edgesDeg.select(col("src"), col("dst"))
-    var reached = Seq("c1", "c2", "c3", "c4", "c5").toDF("seed")
+    val seeds = Seq("c1", "c2", "c3", "c4", "c5").toDF("seed")
       .select(col("seed"), col("seed").as("node"), lit(0).as("dist"))
-    var frontier = reached
-    for (k <- 1 to hops) {
-      frontier = edges
-        .join(frontier.select(col("seed"), col("node")),
-          edges("src") === col("node"))
-        .select(col("seed"), col("dst").as("node")).distinct()
-        .join(reached.select(col("seed").as("s2"), col("node").as("seen")),
-          col("seed") === col("s2") && col("node") === col("seen"),
-          "left_anti")
-        .select(col("seed"), col("node"), lit(k).as("dist"))
-        .localCheckpoint()
-      reached = reached.union(frontier)
-    }
-    reached.groupBy("seed")
+    bfs(edges, seeds, hops = 3).groupBy("seed")
       .agg((count(lit(1)) - 1).as("n_reached"),
         sum("dist").as("sum_dist"))
       .select(col("seed"), col("n_reached"), col("sum_dist"),
@@ -275,33 +289,18 @@ object GraphOps {
     * (deterministic argmax tie-break), and report the second sweep's
     * eccentricity — on real graphs this is usually the exact diameter,
     * always a certified lower bound (the panel says which). Two
-    * [[graphPaths]]-shaped walks; the only driver-side values are the
-    * restart node and the final panel (bounded scalars). */
+    * [[bfs]] walks with early exit — one lazy-checkpoint+count action
+    * per hop (round-6 fix: the old eager-checkpoint-then-isEmpty pair
+    * was two jobs/hop); the only driver-side values are the restart
+    * node and the final panel (bounded scalars). */
   def graphDiameter(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val hops = 6
     val (edgesDeg, _, _) = edgeIndex(s, d)
     val edges = edgesDeg.select(col("src"), col("dst")).localCheckpoint()
 
-    def sweep(seed: String): DataFrame = {
-      var reached = Seq(seed).toDF("node").withColumn("dist", lit(0))
-      var frontier = reached
-      var k = 1
-      var growing = true
-      while (k <= hops && growing) {
-        frontier = edges
-          .join(frontier.select(col("node")), edges("src") === col("node"))
-          .select(col("dst").as("node")).distinct()
-          .join(reached.select(col("node").as("seen")),
-            col("node") === col("seen"), "left_anti")
-          .select(col("node"), lit(k).as("dist"))
-          .localCheckpoint()
-        growing = !frontier.isEmpty
-        if (growing) reached = reached.union(frontier).localCheckpoint()
-        k += 1
-      }
-      reached
-    }
+    def sweep(seed: String): DataFrame =
+      bfs(edges, Seq((seed, seed, 0)).toDF("seed", "node", "dist"),
+        hops = 6).select(col("node"), col("dist"))
 
     val first = sweep("c1")
     val far = first.orderBy(col("dist").desc, col("node").asc)
@@ -1377,7 +1376,7 @@ object GraphOps {
         |  CAST(MAX(dist) AS INT) AS diameter_lb,
         |  COUNT(*) AS n_reached
         |FROM m2""".stripMargin,
-    // the multi-seed walk: UNION-dedup'd (seed, node) frontier to 4
+    // the multi-seed walk: UNION-dedup'd (seed, node) frontier to 3
     // hops, MIN(dist) per pair, then the closeness panel
     "graph_closeness" ->
       """WITH RECURSIVE pairs AS MATERIALIZED (
@@ -1392,7 +1391,7 @@ object GraphOps {
         |  UNION
         |  SELECT w.seed, e.dst, w.dist + 1
         |  FROM edges e JOIN walk w ON e.src = w.node
-        |  WHERE w.dist < 4),
+        |  WHERE w.dist < 3),
         |md AS (
         |  SELECT seed, node, MIN(dist) AS dist
         |  FROM walk GROUP BY 1, 2)

@@ -60,19 +60,26 @@ class Round6OpsSpec extends SparkFunSuite {
     def ts(m: Int) = new java.sql.Timestamp(t0.getTime + m * 60000L)
     // user 1: v v c p v c p  → 'vcp' at offsets 1 and 4, 'vv+c' once
     // user 2: p c v          → nothing matches
+    // user 3: v v v c v c    → ONE browse match: the greedy 'vv+c'
+    //   consumes the whole 3-v run (counted at its last v), and the
+    //   trailing single 'vc' has no second v
     Seq(
       (1L, ts(0), 1L, "view"), (2L, ts(1), 1L, "view"),
       (3L, ts(2), 1L, "click"), (4L, ts(3), 1L, "purchase"),
       (5L, ts(4), 1L, "view"), (6L, ts(5), 1L, "click"),
       (7L, ts(6), 1L, "purchase"),
       (8L, ts(0), 2L, "purchase"), (9L, ts(1), 2L, "click"),
-      (10L, ts(2), 2L, "view"))
+      (10L, ts(2), 2L, "view"),
+      (11L, ts(0), 3L, "view"), (12L, ts(1), 3L, "view"),
+      (13L, ts(2), 3L, "view"), (14L, ts(3), 3L, "click"),
+      (15L, ts(4), 3L, "view"), (16L, ts(5), 3L, "click"))
       .toDF("event_id", "ts", "user_id", "event_type")
       .write.parquet(s"$d/events.parquet")
     val got = EventOps.evSeqmatch(spark, d).collect()
       .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3))))
       .toMap
-    assert(got === Map(1L -> ((7, 2, 1)), 2L -> ((3, 0, 0))))
+    assert(got === Map(1L -> ((7, 2, 1)), 2L -> ((3, 0, 0)),
+      3L -> ((6, 0, 1))))
   }
 
   test("graph_kcore peels pendants, keeps the 4-cycle at degree 2") {
