@@ -1,13 +1,15 @@
 package graft.sources
 
-import java.io.{BufferedReader, FileReader}
-import java.nio.file.{Files, Path, Paths}
+import java.io.{BufferedReader, InputStreamReader}
+import java.nio.charset.{CodingErrorAction, StandardCharsets}
+import java.nio.file.{Files, Paths, StandardOpenOption}
 import java.util.{Map => JMap}
 
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.catalyst.InternalRow
@@ -43,7 +45,26 @@ import org.apache.spark.unsafe.types.UTF8String
   *    file granularity saturates any executor count).
   *
   * Registered as `spark.read.format("fecpipe")` via the
-  * DataSourceRegister service file. */
+  * DataSourceRegister service file.
+  *
+  * **Hostile-input contract** (round-6 hardening):
+  *  - Text decodes as **UTF-8 on both sides** (writer already wrote
+  *    UTF-8; the reader used to follow the JVM locale). Malformed
+  *    byte sequences decode to U+FFFD instead of killing the task —
+  *    the Spark CSV reader's behavior.
+  *  - **Only final `.txt` files are data**: batch and micro-batch
+  *    listings skip `.tmp` temps, so crash litter from an aborted
+  *    write (or an in-flight writer) is never scanned as data.
+  *  - **Wrong field counts fail loudly by default**: a line whose
+  *    split width ≠ the schema width throws with file + line number
+  *    (`option("mode", "fail")`, the default). `mode=drop` skips and
+  *    COUNTS such lines (the `malformedLines` custom metric, visible
+  *    in the Spark UI), optionally quarantining the raw lines to
+  *    `option("quarantineDir", …)/<file>.bad` — the CSV path's
+  *    `_corrupt_record` policy at connector level. `mode=permissive`
+  *    restores the legacy null-pad/ignore-extras behavior.
+  *  - The **writer rejects field values containing `|`, `\n` or
+  *    `\r`** (they would silently corrupt the record on read-back). */
 class FecPipeSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "fecpipe"
 
@@ -73,10 +94,15 @@ final class FecPipeTable(schema: StructType, props: Map[String, String])
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = {
-    val path = Option(options.get("path"))
-      .orElse(props.get("path"))
+    def opt(k: String) = Option(options.get(k)).orElse(props.get(k))
+    val path = opt("path")
       .getOrElse(throw new IllegalArgumentException("fecpipe: no path"))
-    new FecPipeScanBuilder(schema, path)
+    val mode = opt("mode").getOrElse("fail").toLowerCase match {
+      case m @ ("fail" | "drop" | "permissive") => m
+      case other => throw new IllegalArgumentException(
+        s"fecpipe: mode must be fail|drop|permissive, got $other")
+    }
+    new FecPipeScanBuilder(schema, path, mode, opt("quarantinedir"))
   }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val path = Option(info.options.get("path"))
@@ -84,6 +110,37 @@ final class FecPipeTable(schema: StructType, props: Map[String, String])
       .getOrElse(throw new IllegalArgumentException("fecpipe: no path"))
     new FecPipeWriteBuilder(info.schema(), path)
   }
+}
+
+/** Shared directory listing: FINAL data files only (`*.txt` — never
+  * in-flight/crash-litter `*.tmp` temps), name-sorted, and the
+  * `Files.list` stream is closed (it holds a directory fd; streaming
+  * re-lists every trigger). A non-directory path is taken verbatim —
+  * the caller explicitly named that file. */
+private[sources] object FecPipeFiles {
+  def dataFiles(path: String): Seq[String] = {
+    val p = Paths.get(path)
+    if (Files.isDirectory(p)) {
+      val st = Files.list(p)
+      try st.iterator().asScala
+        .filter(f => Files.isRegularFile(f)
+          && f.getFileName.toString.endsWith(".txt"))
+        .map(_.toString).toSeq.sorted
+      finally st.close()
+    } else Seq(p.toString)
+  }
+}
+
+/** The `malformedLines` metric pair: wrong-field-count lines skipped
+  * under `mode=drop`, summed across reader tasks. */
+final class MalformedLinesMetric extends CustomSumMetric {
+  override def name(): String = "malformedLines"
+  override def description(): String =
+    "lines dropped for wrong field count"
+}
+final case class MalformedLinesTaskMetric(value: Long)
+    extends CustomTaskMetric {
+  override def name(): String = "malformedLines"
 }
 
 /** Write side of the connector — the two-phase commit the
@@ -115,8 +172,8 @@ final class FecPipeBatchWrite(schema: StructType, path: String,
     val dir = Paths.get(path)
     Files.createDirectories(dir)
     if (truncate)
-      Files.list(dir).iterator().asScala
-        .filter(_.toString.endsWith(".txt")).foreach(Files.delete(_))
+      FecPipeFiles.dataFiles(path).foreach(f =>
+        Files.delete(Paths.get(f)))
     messages.foreach { case FecPipeCommit(tmp) =>
       val t = Paths.get(tmp)
       Files.move(t, t.resolveSibling(
@@ -150,7 +207,18 @@ final class FecPipeDataWriter(schema: StructType, path: String,
     val line = schema.fields.indices.map { i =>
       if (row.isNullAt(i)) ""
       else schema.fields(i).dataType match {
-        case StringType  => row.getUTF8String(i).toString
+        case StringType =>
+          val v = row.getUTF8String(i).toString
+          // a delimiter or line break inside a field would silently
+          // corrupt the record on read-back (extra fields / split
+          // rows) — fail the write loudly instead
+          if (v.indexOf('|') >= 0 || v.indexOf('\n') >= 0
+              || v.indexOf('\r') >= 0)
+            throw new IllegalArgumentException(
+              s"fecpipe: field ${schema.fields(i).name} contains the " +
+                "pipe delimiter or a line break; the format cannot " +
+                s"represent it: ${v.take(80)}")
+          v
         case IntegerType => row.getInt(i).toString
         case LongType    => row.getLong(i).toString
         case FloatType   => row.getFloat(i).toString
@@ -176,7 +244,8 @@ final class FecPipeDataWriter(schema: StructType, path: String,
   override def close(): Unit = ()
 }
 
-final class FecPipeScanBuilder(fullSchema: StructType, path: String)
+final class FecPipeScanBuilder(fullSchema: StructType, path: String,
+    mode: String, quarantineDir: Option[String])
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
@@ -197,36 +266,36 @@ final class FecPipeScanBuilder(fullSchema: StructType, path: String)
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan = new FecPipeScan(fullSchema, required,
-    pushed, path)
+    pushed, path, mode, quarantineDir)
 }
 
 final class FecPipeScan(fullSchema: StructType, required: StructType,
-    filters: Array[Filter], path: String) extends Scan with Batch {
+    filters: Array[Filter], path: String, mode: String,
+    quarantineDir: Option[String]) extends Scan with Batch {
 
   override def readSchema(): StructType = required
 
   override def description(): String =
     s"FecPipeScan path=$path ReadSchema=${required.fieldNames.mkString(",")}" +
-      s" PushedFilters=[${filters.mkString(", ")}]"
+      s" PushedFilters=[${filters.mkString(", ")}] mode=$mode"
 
   override def toBatch: Batch = this
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val p = Paths.get(path)
-    val files: Seq[Path] =
-      if (Files.isDirectory(p))
-        Files.list(p).iterator().asScala.filter(Files.isRegularFile(_))
-          .toSeq.sortBy(_.toString)
-      else Seq(p)
-    files.map(f => FecPipePartition(f.toString): InputPartition).toArray
-  }
+  override def supportedCustomMetrics(): Array[CustomMetric] =
+    Array(new MalformedLinesMetric)
+
+  override def planInputPartitions(): Array[InputPartition] =
+    FecPipeFiles.dataFiles(path)
+      .map(f => FecPipePartition(f): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new FecPipeReaderFactory(fullSchema, required, filters)
+    new FecPipeReaderFactory(fullSchema, required, filters, mode,
+      quarantineDir)
 
   override def toMicroBatchStream(checkpointLocation: String)
       : streaming.MicroBatchStream =
-    new FecPipeMicroBatchStream(fullSchema, required, filters, path)
+    new FecPipeMicroBatchStream(fullSchema, required, filters, path,
+      mode, quarantineDir)
 }
 
 /** Micro-batch streaming over the same feed directory: each batch is a
@@ -236,23 +305,27 @@ final class FecPipeScan(fullSchema: StructType, required: StructType,
   * restart from a checkpoint skips exactly the files earlier batches
   * committed, giving exactly-once file-grain replay with zero
   * source-side state. Column pruning and filter pushdown flow through
-  * unchanged (the stream shares the batch ScanBuilder). */
+  * unchanged (the stream shares the batch ScanBuilder).
+  *
+  * The listing is captured ONCE per batch: `latestOffset` snapshots
+  * the sorted file list and `planInputPartitions` slices THAT
+  * snapshot — a file landing (or a `.tmp`→`.txt` rename reordering
+  * names) between the two calls can no longer shift the slice and
+  * skip or double-read a file. On restart (no snapshot yet, or a
+  * snapshot shorter than the checkpointed end) it re-lists once. */
 final class FecPipeMicroBatchStream(fullSchema: StructType,
-    required: StructType, filters: Array[Filter], path: String)
+    required: StructType, filters: Array[Filter], path: String,
+    mode: String, quarantineDir: Option[String])
     extends streaming.MicroBatchStream {
 
-  private def sortedFiles(): Seq[String] = {
-    val p = Paths.get(path)
-    if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala.filter(Files.isRegularFile(_))
-        .map(_.toString).toSeq.sorted
-    else Seq(p.toString)
-  }
+  @volatile private var snapshot: Seq[String] = Nil
 
   override def initialOffset(): streaming.Offset = FecPipeOffset(0)
 
-  override def latestOffset(): streaming.Offset =
-    FecPipeOffset(sortedFiles().size)
+  override def latestOffset(): streaming.Offset = {
+    snapshot = FecPipeFiles.dataFiles(path)
+    FecPipeOffset(snapshot.size)
+  }
 
   override def deserializeOffset(json: String): streaming.Offset =
     FecPipeOffset(json.trim.toInt)
@@ -261,12 +334,15 @@ final class FecPipeMicroBatchStream(fullSchema: StructType,
       end: streaming.Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[FecPipeOffset].n
     val e = end.asInstanceOf[FecPipeOffset].n
-    sortedFiles().slice(s, e)
+    val files =
+      if (snapshot.size >= e) snapshot else FecPipeFiles.dataFiles(path)
+    files.slice(s, e)
       .map(f => FecPipePartition(f): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new FecPipeReaderFactory(fullSchema, required, filters)
+    new FecPipeReaderFactory(fullSchema, required, filters, mode,
+      quarantineDir)
 
   override def commit(end: streaming.Offset): Unit = ()
   override def stop(): Unit = ()
@@ -288,22 +364,52 @@ object FecPipeScan {
 }
 
 final class FecPipeReaderFactory(fullSchema: StructType,
-    required: StructType, filters: Array[Filter])
+    required: StructType, filters: Array[Filter], mode: String,
+    quarantineDir: Option[String])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] =
     new FecPipeReader(partition.asInstanceOf[FecPipePartition].file,
-      fullSchema, required, filters)
+      fullSchema, required, filters, mode, quarantineDir)
 }
 
-/** Line reader: split on '|', convert ONLY the projected fields,
-  * evaluate pushed filters before emitting. Empty fields are NULL
-  * (the bulk feeds' convention). */
+/** Line reader: split on '|' (trailing empties KEPT, so the field
+  * count is meaningful), convert ONLY the projected fields, evaluate
+  * pushed filters before emitting. Empty fields are NULL (the bulk
+  * feeds' convention). Decodes as UTF-8 with U+FFFD replacement for
+  * malformed bytes (the writer side is UTF-8; the old FileReader
+  * followed the JVM locale). Lines whose field count ≠ the schema
+  * width follow `mode`: fail (throw with file+line), drop (skip,
+  * count in the `malformedLines` metric, optionally append the raw
+  * line to `<quarantineDir>/<file>.bad` — safe because each file is
+  * read by exactly one partition), permissive (legacy null-pad /
+  * ignore-extras). */
 final class FecPipeReader(file: String, fullSchema: StructType,
-    required: StructType, filters: Array[Filter])
+    required: StructType, filters: Array[Filter], mode: String,
+    quarantineDir: Option[String])
     extends PartitionReader[InternalRow] {
 
-  private val in = new BufferedReader(new FileReader(file))
+  private val in = {
+    val dec = StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(CodingErrorAction.REPLACE)
+      .onUnmappableCharacter(CodingErrorAction.REPLACE)
+    new BufferedReader(new InputStreamReader(
+      Files.newInputStream(Paths.get(file)), dec))
+  }
+  private var lineNo = 0L
+  private var malformed = 0L
+  // opened on FIRST malformed line only — a clean file must not leave
+  // an empty .bad marker behind
+  private var quarantineOpened = false
+  private lazy val quarantine = quarantineDir.map { dir =>
+    val d = Paths.get(dir)
+    Files.createDirectories(d)
+    quarantineOpened = true
+    Files.newBufferedWriter(
+      d.resolve(Paths.get(file).getFileName.toString + ".bad"),
+      StandardCharsets.UTF_8,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+  }
   // projected field -> (source column position, type)
   private val slots: Array[(Int, DataType)] =
     required.fields.map(f => (fullSchema.fieldIndex(f.name), f.dataType))
@@ -357,11 +463,38 @@ final class FecPipeReader(file: String, fullSchema: StructType,
       }
     }
 
+  /** Split keeping trailing empty fields (String.split('|') drops
+    * them, which would make legitimate trailing-NULL rows look
+    * short). */
+  private def splitLine(line: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    out.sizeHint(fullSchema.length)
+    var start = 0
+    var i = line.indexOf('|')
+    while (i >= 0) {
+      out += line.substring(start, i)
+      start = i + 1
+      i = line.indexOf('|', start)
+    }
+    out += line.substring(start)
+    out.result()
+  }
+
   override def next(): Boolean = {
     var line = in.readLine()
     while (line != null) {
-      val parts = line.split('|')
-      if (keep(parts)) {
+      lineNo += 1
+      val parts = splitLine(line)
+      val ok = parts.length == fullSchema.length
+      if (!ok && mode == "fail")
+        throw new IllegalStateException(
+          s"fecpipe: $file line $lineNo has ${parts.length} fields, " +
+            s"schema has ${fullSchema.length} " +
+            "(option(\"mode\", \"drop\"|\"permissive\") to tolerate)")
+      if (!ok && mode == "drop") {
+        malformed += 1
+        quarantine.foreach { w => w.write(line); w.write("\n") }
+      } else if (keep(parts)) {
         val values = new Array[Any](slots.length)
         var k = 0
         while (k < slots.length) {
@@ -379,5 +512,11 @@ final class FecPipeReader(file: String, fullSchema: StructType,
 
   override def get(): InternalRow = row
 
-  override def close(): Unit = in.close()
+  override def currentMetricsValues(): Array[CustomTaskMetric] =
+    Array(MalformedLinesTaskMetric(malformed))
+
+  override def close(): Unit = {
+    in.close()
+    if (quarantineOpened) quarantine.foreach(_.close())
+  }
 }

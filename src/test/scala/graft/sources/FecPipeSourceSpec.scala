@@ -143,4 +143,88 @@ class FecPipeSourceSpec extends SparkFunSuite {
       spark.read.format("fecpipe").option("table", "nope").load(dir)
     }
   }
+
+  // a directory with one clean file, one hostile file (short line,
+  // overlong line, invalid UTF-8 byte, trailing-empty line) and one
+  // in-flight .tmp temp
+  private lazy val hostileDir: String = {
+    val d = Files.createTempDirectory("fecpipe_hostile")
+    Files.writeString(d.resolve("cn_clean.txt"),
+      "C001|ALPHA, A|DEM|2022|CA|H|12|I|C|PCC1|1 MAIN||LA|CA|90001\n")
+    val good15 = "C003|GOOD, G|REP|2024|TX|S|00|C|C|PCC3|3 OAK||AUS|TX"
+    Files.write(d.resolve("cn_dirty.txt"),
+      ("C009|SHORT\n" +                       // 2 fields
+        good15 + "|90002|EXTRA\n" +           // 16 fields
+        good15 + "|90002\n" +                 // clean 15-field row
+        // trailing empty zip: still EXACTLY 15 fields, NOT malformed
+        "C004|TRAIL, T|DEM|2022|WA|H|01|I|C|PCC4|4 FIR||SEA|WA|\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // invalid UTF-8 byte (0xFF) inside a 15-field line
+    val pre = "C005|BAD".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val post = "NAME|DEM|2022|OR|H|02|I|C|PCC5|5 ASH||PDX|OR|97201\n"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val bad = pre ++ Array(0xFF.toByte) ++ post
+    Files.write(d.resolve("cn_utf8.txt"), bad)
+    Files.writeString(d.resolve("part-00000-9.txt.tmp"),
+      "C999|LITTER, L|DEM|2022|CA|H|12|I|C|PCC9|9 TMP||LA|CA|90009\n")
+    d.toString
+  }
+
+  test("hostile input: .tmp litter is never data; invalid UTF-8 " +
+      "replaces, trailing empties keep their field count") {
+    val df = spark.read.format("fecpipe").option("table", "cn22")
+      .option("mode", "drop").load(hostileDir)
+    val ids = df.select("cand_id").collect().map(_.getString(0)).sorted
+    // C999 (tmp litter) absent; C009/EXTRA rows dropped; the rest read
+    assert(ids.toSeq == Seq("C001", "C003", "C004", "C005"))
+    // the 0xFF byte decoded to U+FFFD instead of killing the task
+    val name5 = df.filter(col("cand_id") === "C005")
+      .select("cand_name").head().getString(0)
+    assert(name5 == "BAD�NAME")
+    // trailing-empty zip row kept, zip NULL
+    assert(df.filter(col("cand_id") === "C004")
+      .select("cand_zip").head().isNullAt(0))
+  }
+
+  test("hostile input: wrong field counts fail loudly by default, " +
+      "mode=drop quarantines the raw lines") {
+    val e = intercept[Exception] {
+      spark.read.format("fecpipe").option("table", "cn22")
+        .load(hostileDir).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("fields")))
+
+    val q = Files.createTempDirectory("fecpipe_quar").toString
+    val n = spark.read.format("fecpipe").option("table", "cn22")
+      .option("mode", "drop").option("quarantineDir", q)
+      .load(hostileDir).count()
+    assert(n == 4)
+    val bad = Files.readString(Paths.get(q, "cn_dirty.txt.bad"))
+    assert(bad.linesIterator.size == 2) // the 2- and 16-field lines
+    assert(bad.startsWith("C009|SHORT"))
+    // clean files leave no empty .bad markers behind
+    assert(!Files.exists(Paths.get(q, "cn_clean.txt.bad")))
+  }
+
+  test("writer rejects field values the format cannot represent") {
+    import spark.implicits._
+    val outDir = Files.createTempDirectory("fecpipe_wbad").toString
+    val df = Seq(("C001", "PIPE|IN NAME")).toDF("cand_id", "cand_name")
+    val e = intercept[Exception] {
+      df.write.format("fecpipe").option("table", "cn22")
+        .mode("append").save(outDir)
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("cannot represent")))
+    // the failed job left only .tmp litter (if anything), no data file
+    val litter = Files.list(Paths.get(outDir)).iterator()
+    val names = Iterator.continually(litter).takeWhile(_.hasNext)
+      .map(_.next().getFileName.toString).toList
+    assert(names.forall(!_.endsWith(".txt")))
+  }
 }
