@@ -51,18 +51,39 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // Environment attribution (round-6 ask): BENCH_DETAIL records WHO
+    // ran and HOW LOADED the host was, so a 2x swing between the
+    // builder's self-run and the driver's run adjudicates from the
+    // committed file instead of needing an independent re-run.
+    // host_load is the 1-min system load average at end of run — on a
+    // 32-thread host, a load far above the bench's own CPU use means
+    // contention inflated the numbers.
+    val os = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean
+    val load = os.getSystemLoadAverage
+    val label = sys.env.getOrElse("SPARK_GRAFT_BENCH_LABEL", "run")
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"label":"$label","host_load":$load,"cpus_avail":${os.getAvailableProcessors},"ts_s":${System.currentTimeMillis / 1000},"queries":$qs,"sf":"$sfDir"}"""
     println(detail)
     // Durable per-query map: stdout capture windows have truncated the
     // long line (and even the per-query lines) in past rounds, so the
     // full map is ALSO written to a committed file that no capture
-    // window can eat. Path overridable for local experiments.
+    // window can eat. Records APPEND (bounded to the last 12) so the
+    // file holds the builder's self-run AND the driver's run side by
+    // side rather than whichever wrote last. Path overridable.
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
       "BENCH_DETAIL.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
-      (detail + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+    try {
+      val p = java.nio.file.Paths.get(detailPath)
+      val prior =
+        if (java.nio.file.Files.exists(p))
+          new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+            .linesIterator.filter(_.nonEmpty).toSeq
+        else Seq.empty
+      val kept = (prior :+ detail).takeRight(12)
+      java.nio.file.Files.write(p,
+        (kept.mkString("\n") + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
     // Durable per-query times: the long line above can be head-truncated
     // by the driver's tail capture, so ALSO emit each query as its own
     // short line — every one survives a tail capture individually.
