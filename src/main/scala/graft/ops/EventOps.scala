@@ -198,6 +198,63 @@ object EventOps {
       .orderBy(col("user_id"))
   }
 
+  /** T166: WINDOWED funnel (the ClickHouse `windowFunnel` shape) —
+    * how many users complete view → click → purchase with each step
+    * inside a 30-minute window of the PREVIOUS step. [[evUserFunnel]]
+    * chains first-touches with no time bound; real funnel analysis
+    * bounds every step ("clicked within 30 min of a view"), which is
+    * an EXISTS over event pairs, not a min-timestamp comparison:
+    * level 2 = ∃ (view v, click c): t_v < t_c ≤ t_v + 30 min; level 3
+    * chains a purchase off any QUALIFIED click the same way.
+    *
+    * Each exists-step is one user-keyed LEFT SEMI join with the range
+    * predicate riding the equi-join (the ev_attribution interval
+    * shape) — no per-user arrays, no per-step window sort; the final
+    * 3-row panel aggregates distinct users per level. µs-epoch
+    * comparisons (the repo-wide ns-vs-µs truncation bridge).
+    *
+    * 100 TB posture: two semi-joins hash-keyed on user_id plus three
+    * distinct-user aggregates, all map-side combinable; the interval
+    * predicate bounds the per-user pair fan-out by window density.
+    * The 3-row rate window is a bounded second-level panel. */
+  def evWindowFunnel(s: SparkSession, d: String): DataFrame = {
+    val W = 1800000000L // 30 min in µs
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("t"))
+    def typed(t: String) =
+      ev.filter(col("event_type") === t).select(col("user_id"), col("t"))
+    val v = typed("view")
+    val c = typed("click")
+    val p = typed("purchase")
+    val qc = c.alias("c").join(v.alias("v"),
+      col("c.user_id") === col("v.user_id")
+        && col("v.t") < col("c.t")
+        && col("c.t") <= col("v.t") + W, "left_semi")
+    val qp = p.alias("p").join(qc.alias("q"),
+      col("p.user_id") === col("q.user_id")
+        && col("q.t") < col("p.t")
+        && col("p.t") <= col("q.t") + W, "left_semi")
+    // each level aggregates to a GUARANTEED 1-row count (an empty
+    // level must report 0, not vanish from the panel)
+    def levelRow(df: DataFrame, level: Int, step: String) =
+      df.agg(countDistinct(col("user_id")).as("n_users"))
+        .select(lit(level).as("level"), lit(step).as("step"),
+          col("n_users"))
+    val panel = levelRow(v, 1, "view")
+      .unionAll(levelRow(qc, 2, "view>click"))
+      .unionAll(levelRow(qp, 3, "click>purchase"))
+    val wl = Window.orderBy("level") // 3-row bounded panel
+    panel
+      .withColumn("prev", lag(col("n_users"), 1).over(wl))
+      .withColumn("conv_from_prev",
+        when(col("prev") > 0,
+          round(col("n_users").cast("double")
+            / col("prev").cast("double"), 6)))
+      .drop("prev")
+      .orderBy("level")
+  }
+
   /** Daily-volume anomaly detection: per (event_type, day) counts
     * z-scored against that type's own mean/std over the observed span,
     * |z| > 2 flagged — the monitoring query every ingestion pipeline
@@ -1329,6 +1386,7 @@ object EventOps {
     "ev_histogram"   -> evHistogram _,
     "ev_anomaly"     -> evAnomaly _,
     "ev_user_funnel" -> evUserFunnel _,
+    "ev_window_funnel" -> evWindowFunnel _,
     "ev_asof"        -> evAsof _,
     "ev_range"       -> evRange _,
     "ev_window_agg"  -> evWindowAgg _,
@@ -2024,6 +2082,39 @@ object EventOps {
         |  AND epoch_us(p.ts) >= epoch_us(v.ts)
         |  AND epoch_us(p.ts) <= epoch_us(v.ts) + 1800000000
         |ORDER BY v.user_id, view_id, purchase_id""".stripMargin,
+    // identical EXISTS chains (semi-join ≡ DISTINCT inner join on the
+    // probe side), µs-epoch window bounds, 3-row lag panel
+    "ev_window_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, epoch_us(ts) AS t FROM events
+        |  WHERE event_type = 'view'),
+        |c AS (
+        |  SELECT user_id, epoch_us(ts) AS t FROM events
+        |  WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id, epoch_us(ts) AS t FROM events
+        |  WHERE event_type = 'purchase'),
+        |qc AS MATERIALIZED (
+        |  SELECT DISTINCT c.user_id, c.t
+        |  FROM c JOIN v ON v.user_id = c.user_id
+        |    AND v.t < c.t AND c.t <= v.t + 1800000000),
+        |qp AS (
+        |  SELECT DISTINCT p.user_id
+        |  FROM p JOIN qc ON qc.user_id = p.user_id
+        |    AND qc.t < p.t AND p.t <= qc.t + 1800000000),
+        |n AS (
+        |  SELECT CAST(1 AS INTEGER) AS level, 'view' AS step,
+        |    COUNT(DISTINCT user_id) AS n_users FROM v
+        |  UNION ALL
+        |  SELECT 2, 'view>click', COUNT(DISTINCT user_id) FROM qc
+        |  UNION ALL
+        |  SELECT 3, 'click>purchase', COUNT(*) FROM qp)
+        |SELECT level, step, n_users,
+        |  CASE WHEN lag(n_users) OVER (ORDER BY level) > 0
+        |    THEN round(CAST(n_users AS DOUBLE)
+        |      / CAST(lag(n_users) OVER (ORDER BY level) AS DOUBLE), 6)
+        |  END AS conv_from_prev
+        |FROM n ORDER BY level""".stripMargin,
     "ev_gapfill" ->
       """WITH span AS (
         |  SELECT date_trunc('day', MIN(ts)) AS d0,

@@ -312,6 +312,86 @@ object GraphOps {
         col("diameter_lb"), col("n_reached"))
   }
 
+  /** T165: bounded-source BETWEENNESS centrality (Brandes 2001, "A
+    * faster algorithm for betweenness centrality") — who sits on the
+    * shortest paths between others, the broker-detection metric the
+    * closeness/degree panel can't express. Exact all-pairs betweenness
+    * is O(V·E); the scalable restatement is Brandes from a bounded
+    * SOURCE PANEL (3 fixed customer seeds) over the bounded 3-hop ball
+    * — the standard sampled-sources approximation, with the sample
+    * and radius stated in the contract.
+    *
+    * Forward phase: level-synchronous multi-seed BFS where each level
+    * carries σ(v) = number of shortest paths from the seed — an exact
+    * INTEGER sum over the previous level's parents (one shuffle join +
+    * one hash agg per level, the [[bfs]] shape plus an aggregate).
+    * Backward phase: dependency accumulation δ(v) = Σ_w σ(v)/σ(w) ·
+    * (1+δ(w)) over the successor level, with each term quantized to
+    * 1e-12-scaled longs (the pagerank idiom) so the per-node sums are
+    * order-free and bit-identical cross-engine; δ stays a scaled
+    * BIGINT end to end and only the final report divides.
+    *
+    * 100 TB posture: 3 forward + 3 backward rounds, each one
+    * edges-keyed shuffle join + one hash agg, lineage cut per round;
+    * state is (seed, node) pairs bounded by |panel|·|ball|. No driver
+    * action anywhere (fixed round count, no convergence probe). */
+  def graphBetweenness(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (edgesDeg, _, _) = edgeIndex(s, d)
+    val edges = edgesDeg.select(col("src"), col("dst"))
+    val termExpr =
+      "cast(floor(cast(sv as double) / cast(sw as double)" +
+        " * (1.0 + cast(dw as double) / 1000000000000.0)" +
+        " * 1000000000000.0 + 0.5) as bigint)"
+
+    val l0 = Seq("c1", "c2", "c3").toDF("seed")
+      .select(col("seed"), col("seed").as("node"), lit(1L).as("sigma"))
+      .localCheckpoint()
+    var levels = Vector(l0)
+    for (_ <- 1 to 3) {
+      val fr = levels.last
+      val visited = levels.reduce(_ unionAll _)
+        .select(col("seed").as("s2"), col("node").as("seen"))
+      val next = edges.join(fr, edges("src") === fr("node"))
+        .groupBy(fr("seed").as("seed"), edges("dst").as("node"))
+        .agg(sum("sigma").as("sigma"))
+        .join(visited,
+          col("seed") === col("s2") && col("node") === col("seen"),
+          "left_anti")
+        .localCheckpoint()
+      levels :+= next
+    }
+
+    var child = levels(3).withColumn("dq", lit(0L)).localCheckpoint()
+    var deltas = Vector(child)
+    for (k <- 2 to 0 by -1) {
+      val lk = levels(k)
+      val contrib = edges
+        .join(lk.select(col("seed").as("sd"), col("node").as("v"),
+          col("sigma").as("sv")), edges("src") === col("v"))
+        .join(child.select(col("seed").as("sd2"), col("node").as("w"),
+          col("sigma").as("sw"), col("dq").as("dw")),
+          col("dst") === col("w") && col("sd") === col("sd2"))
+        .select(col("sd").as("seed"), col("v").as("node"),
+          expr(termExpr).as("term"))
+        .groupBy("seed", "node").agg(sum("term").as("dq"))
+      child = lk.join(contrib, Seq("seed", "node"), "left")
+        .select(col("seed"), col("node"), col("sigma"),
+          coalesce(col("dq"), lit(0L)).as("dq"))
+        .localCheckpoint()
+      deltas :+= child
+    }
+
+    deltas.reduce(_ unionAll _)
+      .filter(col("node") =!= col("seed"))
+      .groupBy("node").agg(sum("dq").as("dqs"))
+      .select(col("node"),
+        round(col("dqs").cast("double") / lit(1000000000000.0), 6)
+          .as("betweenness"))
+      .orderBy(col("betweenness").desc, col("node").asc)
+      .limit(20)
+  }
+
   /** Bipartite co-occurrence projection: supplier–supplier similarity
     * through shared customers (the "entities that appear together"
     * query — the reference's graph exists to answer exactly this shape:
@@ -985,9 +1065,68 @@ object GraphOps {
     "graph_cooccur"  -> graphCooccur _,
     "graph_paths"    -> graphPaths _,
     "graph_closeness" -> graphCloseness _,
-    "graph_diameter" -> graphDiameter _)
+    "graph_diameter" -> graphDiameter _,
+    "graph_betweenness" -> graphBetweenness _)
 
   val oracles: Map[String, String] = Map(
+    // unrolled Brandes from the same 5-seed panel over the 3-hop
+    // ball: integer sigma sums forward, 1e-12-quantized scaled-long
+    // delta terms backward (identical expression tree to the engine),
+    // one final exact BIGINT sum per node
+    "graph_betweenness" -> {
+      val fwd = (prev: String, vis: Seq[String], cur: String) =>
+        s"""${cur}f AS MATERIALIZED (
+           |  SELECT p.seed, e.dst AS node,
+           |    CAST(SUM(p.sigma) AS BIGINT) AS sigma
+           |  FROM edges e JOIN $prev p ON e.src = p.node
+           |  GROUP BY 1, 2),
+           |$cur AS MATERIALIZED (
+           |  SELECT f.* FROM ${cur}f f
+           |  WHERE NOT EXISTS (SELECT 1 FROM (${vis
+            .map(v => s"SELECT seed, node FROM $v").mkString(
+              " UNION ALL ")}) u
+           |    WHERE u.seed = f.seed AND u.node = f.node))""".stripMargin
+      val term =
+        "CAST(floor(CAST(a.sigma AS DOUBLE) / CAST(b.sigma AS DOUBLE)" +
+          " * (1.0 + CAST(b.dq AS DOUBLE) / 1000000000000.0)" +
+          " * 1000000000000.0 + 0.5) AS BIGINT)"
+      val back = (lk: String, chld: String, cur: String) =>
+        s"""${cur}c AS MATERIALIZED (
+           |  SELECT a.seed, a.node, CAST(SUM($term) AS BIGINT) AS dq
+           |  FROM edges e
+           |  JOIN $lk a ON e.src = a.node
+           |  JOIN $chld b ON e.dst = b.node AND b.seed = a.seed
+           |  GROUP BY 1, 2),
+           |$cur AS MATERIALIZED (
+           |  SELECT l.seed, l.node, l.sigma, coalesce(c.dq, 0) AS dq
+           |  FROM $lk l LEFT JOIN ${cur}c c USING (seed, node))"""
+          .stripMargin
+      s"""WITH pairs AS MATERIALIZED (
+         |  SELECT DISTINCT 'c' || o.o_custkey AS src,
+         |                  's' || l.l_suppkey AS dst
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         |edges AS MATERIALIZED (SELECT src, dst FROM pairs
+         |          UNION ALL SELECT dst, src FROM pairs),
+         |l0 AS MATERIALIZED (
+         |  SELECT seed, seed AS node, CAST(1 AS BIGINT) AS sigma
+         |  FROM (SELECT UNNEST(['c1','c2','c3']) AS seed)),
+         |${fwd("l0", Seq("l0"), "l1")},
+         |${fwd("l1", Seq("l0", "l1"), "l2")},
+         |${fwd("l2", Seq("l0", "l1", "l2"), "l3")},
+         |d3 AS MATERIALIZED (
+         |  SELECT seed, node, sigma, CAST(0 AS BIGINT) AS dq FROM l3),
+         |${back("l2", "d3", "d2")},
+         |${back("l1", "d2", "d1")},
+         |${back("l0", "d1", "d0")}
+         |SELECT node,
+         |  round(CAST(SUM(dq) AS DOUBLE) / 1000000000000.0, 6)
+         |    AS betweenness
+         |FROM (SELECT * FROM d3 UNION ALL SELECT * FROM d2
+         |      UNION ALL SELECT * FROM d1 UNION ALL SELECT * FROM d0)
+         |WHERE node <> seed
+         |GROUP BY node
+         |ORDER BY betweenness DESC, node LIMIT 20""".stripMargin
+    },
     // same symmetrized edges + degree join, per-k conditional sums
     "graph_richclub" -> {
       val ks = Seq(2, 4, 8, 16, 32)

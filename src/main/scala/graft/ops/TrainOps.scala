@@ -664,6 +664,61 @@ object TrainOps {
       .orderBy(desc("n"), col("pair")).limit(10)
   }
 
+  /** T164: the full BPE TRAINING LOOP — five [[bpeMerge]] rounds run
+    * to completion, producing the ordered merge table an actual
+    * tokenizer build emits (pair chosen, its pre-merge frequency,
+    * round number). Each round: count adjacent symbol pairs, pick the
+    * argmax (count DESC, pair ASC — byte-deterministic), rewrite every
+    * word with the merged pair as a fresh sentinel char (chr(round) —
+    * leftmost non-overlapping, the literal-`replace` semantics both
+    * engines share), repeat on the rewritten corpus. The output pair
+    * column expands sentinels recursively (`<`…`>` wrapping, the
+    * bpe_merge display convention), so round 3 reads `b<an>` not
+    * `b`.
+    *
+    * 100 TB posture: per round ONE job — the argmax action doubles as
+    * the materializer of the previous round's lazily-persisted rewrite
+    * (an eager per-round checkpoint would pay a second corpus pass per
+    * round); the only driver values are V 1-row argmaxes (bounded
+    * scalars, the ann/graph panel precedent). V is a constant (vocab
+    * budget), so the whole train is a bounded chain of identical
+    * rounds; every cached word table unpersists before return. */
+  def bpeTrain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rounds = 5
+    val pairExpr =
+      """CASE WHEN length(w) < 2 THEN cast(array() as array<string>)
+        |ELSE transform(sequence(1, length(w) - 1),
+        |  i -> substring(w, i, 2)) END""".stripMargin
+    var words = Tables.documents(s, d)
+      .select(explode(expr(
+        """filter(split(trim(lower(text)), '\\s+'), t -> t != '')"""))
+        .as("w"))
+      .persist()
+    val frames = scala.collection.mutable.Buffer(words)
+    val disp = scala.collection.mutable.Map[Char, String]()
+    def expand(p: String): String = p.flatMap { c =>
+      if (c < ' ') "<" + disp(c) + ">" else c.toString
+    }
+    val merges = (1 to rounds).map { k =>
+      // the 1-row bounded argmax; also materializes `words`' cache
+      val top = words.select(explode(expr(pairExpr)).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("pair")).limit(1)
+        .collect().head
+      val (mp, n) = (top.getString(0), top.getLong(1))
+      disp(k.toChar) = expand(mp)
+      words = words
+        .select(replace(col("w"), lit(mp), lit(k.toChar.toString))
+          .as("w"))
+        .persist()
+      frames += words
+      (k, disp(k.toChar), n)
+    }
+    frames.foreach(_.unpersist(false))
+    merges.toDF("round", "pair", "n").orderBy("round")
+  }
+
   /** Corpus-unigram-LM quality score (perplexity-style filter): train
     * a unigram model on the corpus itself (token relative frequencies)
     * and score each doc by its mean negative log-likelihood — low =
@@ -1064,6 +1119,7 @@ object TrainOps {
     "text_bigram_lm"     -> textBigramLm _,
     "mix_epochs"         -> mixEpochs _,
     "bpe_merge"          -> bpeMerge _,
+    "bpe_train"          -> bpeTrain _,
     "corpus_stats"       -> corpusStats _,
     "emb_outliers"       -> embOutliers _,
     "sample_importance"  -> sampleImportance _,
@@ -1548,6 +1604,46 @@ object TrainOps {
         |  replace(p, chr(1), '<' || mp || '>') AS pair, COUNT(*) AS n
         |FROM p1 GROUP BY 1, 2
         |ORDER BY n DESC, pair LIMIT 10""".stripMargin,
+    // 5 unrolled training rounds, each MATERIALIZED (the round-6 CTE
+    // cost lesson): count → deterministic argmax → sentinel rewrite;
+    // the display CTEs d1..d5 expand sentinels exactly like the
+    // engine's driver-side recursive expansion (distinct control
+    // chars, so replace order is immaterial)
+    "bpe_train" -> {
+      val pairSel = (src: String) =>
+        s"""SELECT unnest(CASE WHEN length(w) < 2 THEN []::VARCHAR[]
+           |    ELSE list_transform(range(1, length(w)),
+           |      i -> substr(w, i, 2)) END) AS pair
+           |  FROM $src""".stripMargin
+      val rounds = (1 to 5).map { k =>
+        s"""pc$k AS MATERIALIZED (
+           |  SELECT pair, COUNT(*) AS n
+           |  FROM (${pairSel(s"w${k - 1}")}) GROUP BY 1),
+           |t$k AS MATERIALIZED (
+           |  SELECT pair AS mp, n FROM pc$k
+           |  ORDER BY n DESC, pair LIMIT 1),
+           |w$k AS MATERIALIZED (
+           |  SELECT replace(w${k - 1}.w, t$k.mp, chr($k)) AS w
+           |  FROM w${k - 1}, t$k)""".stripMargin
+      }.mkString(",\n")
+      val disp = (1 to 5).map { k =>
+        val chain = (1 until k).foldLeft(s"t$k.mp")((acc, j) =>
+          s"replace($acc, chr($j), '<' || d$j.d || '>')")
+        val from = (s"t$k" +: (1 until k).map(j => s"d$j")).mkString(", ")
+        s"d$k AS (SELECT $chain AS d, t$k.n AS n FROM $from)"
+      }.mkString(",\n")
+      val out = (1 to 5).map(k =>
+        s"SELECT CAST($k AS INTEGER) AS round, d AS pair, n FROM d$k")
+        .mkString("\nUNION ALL\n")
+      s"""WITH w0 AS MATERIALIZED (
+         |  SELECT unnest(list_filter(
+         |    string_split_regex(trim(lower(text)), '\\s+'),
+         |    x -> x != '')) AS w
+         |  FROM documents),
+         |$rounds,
+         |$disp
+         |SELECT * FROM ($out) ORDER BY round""".stripMargin
+    },
     "bpe_pairs" ->
       """WITH w AS (
         |  SELECT unnest(list_filter(

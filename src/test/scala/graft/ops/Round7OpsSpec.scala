@@ -1,0 +1,74 @@
+package graft.ops
+
+import graft.SparkFunSuite
+import java.nio.file.Files
+
+/** Semantic pins for the round-7 catalog additions. */
+class Round7OpsSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  test("bpe_train: five hand-traced merge rounds on banana/bandana") {
+    val d = Files.createTempDirectory("bpetrain").toString
+    Seq((1L, "banana banana"), (2L, "bandana"))
+      .toDF("doc_id", "text").write.parquet(s"$d/documents.parquet")
+    // round 1: pairs an:6 na:5 ba:3 nd:1 da:1            → an (6)
+    // round 2 (an=␁): b␁:3 ␁a:3 ␁␁:2 ␁d:1 d␁:1; tie b␁/␁a
+    //   breaks to the byte-smaller ␁a                     → <an>a (3)
+    // round 3 (␁a=␂): b␁:3 ␁␂:2 ␁d:1 d␂:1               → b<an> (3)
+    // round 4 (b␁=␃): ␃␂:2 ␃d:1 d␂:1                     → ␃␂ (2)
+    // round 5 (␃␂=␄): words ␄ ␄ ␃d␂ → ␃d:1 d␂:1; tie
+    //   breaks to ␃d (chr 3 < 'd')                        → ␃d (1)
+    val got = TrainOps.bpeTrain(spark, d).collect().toSeq
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(got == Seq(
+      (1, "an", 6L),
+      (2, "<an>a", 3L),
+      (3, "b<an>", 3L),
+      (4, "<b<an>><<an>a>", 2L),
+      (5, "<b<an>>d", 1L)))
+  }
+
+  test("graph_betweenness: Brandes hand trace on the 4-node chain") {
+    val d = Files.createTempDirectory("btwn").toString
+    // bipartite chain c1—s1—c2—s2 (the closeness spec's graph).
+    // From seed c1: levels c1/s1/c2/s2, all sigma 1; deltas backward:
+    //   d(c2)=1*(1+0)=1, d(s1)=1*(1+1)=2  (d(c1) excluded: own seed)
+    // From seed c2: levels c2/{s1,s2}/{c1}; d(s1)=1*(1+0)=1, d(s2)=0
+    // Seeds c3..c5 are isolated -> contribute nothing.
+    // Totals: s1=3, c2=1, c1=0 (reached from c2), s2=0.
+    Seq((10L, 1L), (20L, 2L), (21L, 2L))
+      .toDF("o_orderkey", "o_custkey").write.parquet(s"$d/orders.parquet")
+    Seq((10L, 1L), (20L, 1L), (21L, 2L))
+      .toDF("l_orderkey", "l_suppkey").write.parquet(s"$d/lineitem.parquet")
+    val got = GraphOps.graphBetweenness(spark, d).collect().toSeq
+      .map(r => (r.getString(0), r.getDouble(1)))
+    assert(got == Seq(("s1", 3.0), ("c2", 1.0), ("c1", 0.0),
+      ("s2", 0.0)))
+  }
+
+  test("ev_window_funnel: per-step 30-min windows gate each level") {
+    val d = Files.createTempDirectory("wfunnel").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(m: Int) = new java.sql.Timestamp(t0.getTime + m * 60000L)
+    // u1: view, click +10m (in), purchase +35m (25m after click, in)
+    // u2: view, click +40m (outside the view's 30-min window)
+    // u3: view, click +5m (in), purchase +50m (45m after click, out)
+    // u4: click only — never enters the funnel
+    Seq(
+      (1L, ts(0), 1L, "view"), (2L, ts(10), 1L, "click"),
+      (3L, ts(35), 1L, "purchase"),
+      (4L, ts(0), 2L, "view"), (5L, ts(40), 2L, "click"),
+      (6L, ts(0), 3L, "view"), (7L, ts(5), 3L, "click"),
+      (8L, ts(50), 3L, "purchase"),
+      (9L, ts(0), 4L, "click"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .write.parquet(s"$d/events.parquet")
+    val got = EventOps.evWindowFunnel(spark, d).collect().toSeq
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))
+    assert(got == Seq(
+      (1, "view", 3L, None),
+      (2, "view>click", 2L, Some(0.666667)),
+      (3, "click>purchase", 1L, Some(0.5))))
+  }
+}
