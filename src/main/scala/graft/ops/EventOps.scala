@@ -703,6 +703,64 @@ object EventOps {
             * col("n_neg").cast("double")), 6).as("auc"))
   }
 
+  /** T167: cumulative GAINS / LIFT table (the model-eval staple next
+    * to [[evAuc]] and calibration: "the top 20% of scores captures X%
+    * of conversions") — score = `value` descending, label = purchase.
+    * The corpus collapses to DISTINCT-score rows in one hash agg (the
+    * ev_auc shape), the inclusive descending cumulative (events,
+    * positives) runs on the value-bucketed TWO-LEVEL prefix sum (no
+    * global window), and each decile reports its first CROSSING row —
+    * the least cumulative count ≥ ⌈k·N/10⌉, an exact-integer
+    * argmin-by-struct (ties impossible: cumN is strictly increasing
+    * over distinct scores). Gain and lift are final-step double
+    * divisions of exact integers, same expression tree as the oracle.
+    *
+    * 100 TB posture: one map-side-combinable corpus agg; everything
+    * after rides the distinct-score table (windows keyed by score
+    * bucket, never one partition); the decile probe is a 10-row
+    * broadcast range join against that aggregated table. */
+  def evGains(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val vc = Tables.events(s, d)
+      .select(col("value"),
+        (col("event_type") === "purchase").cast("long").as("y"))
+      .groupBy(col("value"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("np"))
+      .withColumn("__b", floor(col("value") / 25).cast("int"))
+    val wIn = Window.partitionBy("__b").orderBy(col("value").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wOff = Window.orderBy(col("__b").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = vc.groupBy("__b")
+      .agg(sum(col("n")).as("__tn"), sum(col("np")).as("__tp"))
+      .withColumn("__on", coalesce(sum(col("__tn")).over(wOff), lit(0L)))
+      .withColumn("__op", coalesce(sum(col("__tp")).over(wOff), lit(0L)))
+      .select("__b", "__on", "__op")
+    val cum = vc
+      .withColumn("__rn", sum(col("n")).over(wIn))
+      .withColumn("__rp", sum(col("np")).over(wIn))
+      .join(offs, Seq("__b"))
+      .select(col("value"), (col("__on") + col("__rn")).as("cumN"),
+        (col("__op") + col("__rp")).as("cumPos"))
+    val tot = vc.agg(sum("n").as("N"), sum("np").as("P"))
+    val deciles = (1 to 10).toDF("decile")
+    cum.crossJoin(broadcast(tot))
+      .join(broadcast(deciles),
+        col("cumN") >= expr("(decile * N + 9) div 10"))
+      .groupBy("decile")
+      .agg(min(struct(col("cumN"), col("cumPos"), col("N"), col("P")))
+        .as("x"))
+      .select(col("decile"), col("x.cumN").as("cum_events"),
+        col("x.cumPos").as("cum_pos"),
+        round(col("x.cumPos").cast("double")
+          / col("x.P").cast("double"), 6).as("gain"),
+        round((col("x.cumPos").cast("double")
+            / col("x.cumN").cast("double"))
+          / (col("x.P").cast("double") / col("x.N").cast("double")), 6)
+          .as("lift"))
+      .orderBy("decile")
+  }
+
   /** Markov removal-effect attribution (Anderl et al. 2014 — the
     * data-driven alternative to last-touch): model user journeys as a
     * first-order chain over event types with START and two absorbing
@@ -1387,6 +1445,7 @@ object EventOps {
     "ev_anomaly"     -> evAnomaly _,
     "ev_user_funnel" -> evUserFunnel _,
     "ev_window_funnel" -> evWindowFunnel _,
+    "ev_gains"       -> evGains _,
     "ev_asof"        -> evAsof _,
     "ev_range"       -> evRange _,
     "ev_window_agg"  -> evWindowAgg _,
@@ -1909,6 +1968,39 @@ object EventOps {
         |FROM e, k
         |WHERE e.r = (k.bucket * e.n + 7) // 8
         |ORDER BY event_type, bucket""".stripMargin,
+    // monolithic descending-window replay of the two-level cumulative;
+    // the decile crossing is the same exact-integer argmin (cumN is
+    // unique per distinct score), divisions share the engine's tree
+    "ev_gains" ->
+      """WITH vc AS (
+        |  SELECT value, COUNT(*) AS n,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+        |      END) AS BIGINT) AS np
+        |  FROM events GROUP BY value),
+        |c AS (
+        |  SELECT value,
+        |    CAST(SUM(n) OVER (ORDER BY value DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cumN,
+        |    CAST(SUM(np) OVER (ORDER BY value DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cumPos
+        |  FROM vc),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS N,
+        |             CAST(SUM(np) AS BIGINT) AS P FROM vc),
+        |k AS (SELECT CAST(UNNEST(range(1, 11)) AS INTEGER) AS decile),
+        |x AS (
+        |  SELECT k.decile, MIN(c.cumN) AS cum_events
+        |  FROM c, k, t
+        |  WHERE c.cumN >= (k.decile * t.N + 9) // 10
+        |  GROUP BY 1)
+        |SELECT x.decile, x.cum_events, c.cumPos AS cum_pos,
+        |  round(CAST(c.cumPos AS DOUBLE) / CAST(t.P AS DOUBLE), 6)
+        |    AS gain,
+        |  round((CAST(c.cumPos AS DOUBLE) / CAST(c.cumN AS DOUBLE))
+        |    / (CAST(t.P AS DOUBLE) / CAST(t.N AS DOUBLE)), 6) AS lift
+        |FROM x JOIN c ON c.cumN = x.cum_events, t
+        |ORDER BY decile""".stripMargin,
     // the monolithic-window restatement of the same rank-sum identity;
     // doubled numerator keeps everything integer until one division
     "ev_auc" ->

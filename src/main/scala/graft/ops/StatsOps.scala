@@ -686,7 +686,61 @@ object StatsOps {
           .as("chi2"))
       .withColumn("srm_flag", (col("chi2") > 3.841459).cast("int"))
 
+  /** T168: NEYMAN-OPTIMAL stratified sample allocation (Neyman 1934)
+    * — given a 1,000-row sampling budget over the event-type strata,
+    * allocate n_h ∝ N_h·S_h (stratum size × stratum standard
+    * deviation): the design that minimizes the estimator's variance,
+    * vs proportional allocation's N_h-only split. The op every
+    * eval-set or labeling-budget designer runs before sampling.
+    *
+    * Determinism: per-stratum sufficient statistics are exact DECIMAL
+    * sums in ONE corpus scan (the profile_corr idiom); the std and
+    * the N_h·S_h weight are fixed double expression trees shared with
+    * the oracle; the weight then QUANTIZES to a 1e-6-scaled BIGINT so
+    * the integer allocation is a largest-remainder split (the
+    * a21_allocate machinery: base = div, leftovers ranked by exact
+    * remainder, ties to stratum name) — allocations sum to exactly
+    * 1,000 with no FP anywhere in the split.
+    *
+    * 100 TB posture: one map-side-combinable aggregate; everything
+    * after runs on the |strata|-row panel (bounded windows). */
+  def sampleNeyman(s: SparkSession, d: String): DataFrame = {
+    val budget = 1000L
+    val st = Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("nh"),
+        sum(col("value").cast("decimal(18,6)")).as("sx"),
+        sum((col("value") * col("value")).cast("decimal(28,12)"))
+          .as("sxx"))
+      .withColumn("mean_v", expr(
+        "round(cast(sx as double) / cast(nh as double), 6)"))
+      .withColumn("std_v", expr(
+        "case when nh < 2 then 0.0 else" +
+          " sqrt((cast(nh as double) * cast(sxx as double)" +
+          " - cast(sx as double) * cast(sx as double))" +
+          " / (cast(nh as double) * cast(nh - 1 as double))) end"))
+      .withColumn("wq", expr(
+        "cast(floor(cast(nh as double) * std_v * 1000000.0 + 0.5)" +
+          " as bigint)"))
+    val tot = st.agg(sum("wq").as("sumwq"))
+    val wp = Window.partitionBy(lit(1)) // |strata|-row bounded panel
+    val wr = Window.orderBy(col("fr").desc, col("event_type").asc)
+    st.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"$budget * wq div sumwq"))
+      .withColumn("fr", expr(s"($budget * wq) % sumwq"))
+      .withColumn("rsum", sum(col("fr")).over(wp))
+      .withColumn("r", expr("rsum div sumwq"))
+      .withColumn("rn", row_number().over(wr))
+      .select(col("event_type"), col("nh").as("n_rows"),
+        col("mean_v"), round(col("std_v"), 6).as("std_v"),
+        col("wq"),
+        (col("base") + when(col("rn") <= col("r"), 1L).otherwise(0L))
+          .as("alloc"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_neyman"    -> sampleNeyman _,
     "ev_ab_srm"        -> evAbSrm _,
     "ev_holtwinters"   -> evHoltWinters _,
     "ev_theilsen"      -> evTheilSen _,
@@ -726,6 +780,43 @@ object StatsOps {
       |    ON s.event_type = d.event_type AND s.day = d.day)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // same exact-DECIMAL sufficient stats, same fixed double std/
+    // weight tree, same 1e-6 quantization and largest-remainder split
+    "sample_neyman" ->
+      """WITH st AS MATERIALIZED (
+        |  SELECT event_type, COUNT(*) AS nh,
+        |    SUM(CAST(value AS DECIMAL(18,6))) AS sx,
+        |    SUM(CAST(value * value AS DECIMAL(28,12))) AS sxx
+        |  FROM events GROUP BY 1),
+        |w AS (
+        |  SELECT event_type, nh,
+        |    round(CAST(sx AS DOUBLE) / CAST(nh AS DOUBLE), 6) AS mean_v,
+        |    CASE WHEN nh < 2 THEN 0.0 ELSE
+        |      sqrt((CAST(nh AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      / (CAST(nh AS DOUBLE) * CAST(nh - 1 AS DOUBLE))) END
+        |      AS std_v
+        |  FROM st),
+        |q AS (
+        |  SELECT event_type, nh, mean_v, std_v,
+        |    CAST(floor(CAST(nh AS DOUBLE) * std_v * 1000000.0 + 0.5)
+        |      AS BIGINT) AS wq
+        |  FROM w),
+        |t AS (SELECT CAST(SUM(wq) AS BIGINT) AS sumwq,
+        |             CAST(SUM((1000 * wq) % sumwq_) AS BIGINT) AS rsum
+        |      FROM q, (SELECT CAST(SUM(wq) AS BIGINT) AS sumwq_ FROM q)),
+        |rk AS (
+        |  SELECT q.*, t.sumwq, t.rsum,
+        |    (1000 * wq) // t.sumwq AS base,
+        |    (1000 * wq) % t.sumwq AS fr,
+        |    row_number() OVER (ORDER BY (1000 * wq) % t.sumwq DESC,
+        |      event_type ASC) AS rn
+        |  FROM q, t)
+        |SELECT event_type, CAST(nh AS BIGINT) AS n_rows, mean_v,
+        |  round(std_v, 6) AS std_v, wq,
+        |  CAST(base + CASE WHEN rn <= rsum // sumwq THEN 1 ELSE 0 END
+        |    AS BIGINT) AS alloc
+        |FROM rk ORDER BY event_type""".stripMargin,
     // same parity split, identical fixed chi-square expression
     "ev_ab_srm" ->
       """WITH u AS (SELECT DISTINCT user_id FROM events),

@@ -902,7 +902,51 @@ object TextOps {
       .orderBy(col("s1"), col("s2"))
   }
 
+  /** T169: content-defined chunking + duplicate-chunk panel (the
+    * FastCDC/rsync idea re-expressed for corpus boilerplate
+    * detection): cut points are where the md5 of the 8-char gram
+    * ending there has a leading zero nibble (expected chunk ≈ 16
+    * chars — CONTENT decides the boundaries, so an insertion shifts
+    * only its own chunk, unlike fixed-width windows), then chunks
+    * hash cross-doc to surface shared boilerplate runs that doc-level
+    * exact dedup and shingle Jaccard both miss. Top-20 chunks by
+    * document spread.
+    *
+    * Everything up to the chunk hash is IN-ROW (one narrow scan; the
+    * breakpoint filter + substring expansion are HOFs, no explode of
+    * per-position rows); the only shuffle carries (md5, doc_id) per
+    * chunk — corpus/16 rows — into a map-side-combinable aggregate.
+    * Spark's `sequence(1, n)` REVERSES when n < 1, so short docs
+    * guard behind a CASE (DuckDB's `range` just empties — the guard
+    * is mirrored for parity). */
+  def textCdcChunks(s: SparkSession, d: String): DataFrame = {
+    val cuts =
+      """concat(array(0L),
+        | CASE WHEN length(t) < 8 THEN cast(array() as array<bigint>)
+        |   ELSE transform(filter(sequence(1L, length(t) - 7),
+        |     p -> substring(md5(substring(t, cast(p as int), 8)), 1, 1)
+        |            = '0'),
+        |   p -> p + 7) END,
+        | array(cast(length(t) as bigint)))""".stripMargin
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text").as("t"))
+      .withColumn("cuts", expr(cuts))
+      .select(col("doc_id"), explode(expr(
+        """filter(transform(sequence(1, size(cuts) - 1),
+          |  i -> substring(t, cast(element_at(cuts, i) + 1 as int),
+          |    cast(element_at(cuts, i + 1) - element_at(cuts, i)
+          |      as int))), c -> c != '')""".stripMargin)).as("chunk"))
+      .groupBy(md5(col("chunk")).as("chunk_md5"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occur"),
+        max(length(col("chunk"))).as("chunk_len"))
+      .orderBy(col("n_docs").desc, col("n_occur").desc,
+        col("chunk_md5").asc)
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_cdc_chunks"       -> textCdcChunks _,
     "text_novelty"          -> textNovelty _,
     "text_burstiness"       -> textBurstiness _,
     "text_vocab_growth"     -> textVocabGrowth _,
@@ -955,6 +999,35 @@ object TextOps {
       |  FROM s)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // identical md5-gram cut rule, list-op chunk expansion, and
+    // spread-ordered top-20 (DuckDB's range already empties on short
+    // docs; the guard mirrors the engine's sequence() reversal guard)
+    "text_cdc_chunks" ->
+      """WITH cx AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    list_concat(list_concat([CAST(0 AS BIGINT)],
+        |      list_transform(list_filter(
+        |        range(1, greatest(length(t) - 6, 1)),
+        |        p -> substr(md5(substr(t, CAST(p AS INTEGER), 8)),
+        |               1, 1) = '0'),
+        |        p -> p + 7)),
+        |      [CAST(length(t) AS BIGINT)]) AS cuts,
+        |    t
+        |  FROM (SELECT doc_id, text AS t FROM documents)),
+        |ch AS MATERIALIZED (
+        |  SELECT doc_id, UNNEST(list_filter(
+        |    list_transform(range(1, len(cuts)),
+        |      i -> substr(t, CAST(cuts[i] + 1 AS INTEGER),
+        |        CAST(cuts[i + 1] - cuts[i] AS INTEGER))),
+        |    c -> c != '')) AS chunk
+        |  FROM cx)
+        |SELECT md5(chunk) AS chunk_md5,
+        |  COUNT(DISTINCT doc_id) AS n_docs,
+        |  COUNT(*) AS n_occur,
+        |  CAST(MAX(length(chunk)) AS INTEGER) AS chunk_len
+        |FROM ch GROUP BY 1
+        |ORDER BY n_docs DESC, n_occur DESC, chunk_md5 ASC
+        |LIMIT 20""".stripMargin,
     // monolithic ntile replay of the two-level decile rank; identical
     // first-occurrence attribution and 10-row cumulative sums
     "text_vocab_growth" ->

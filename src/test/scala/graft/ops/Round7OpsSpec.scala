@@ -71,4 +71,64 @@ class Round7OpsSpec extends SparkFunSuite {
       (2, "view>click", 2L, Some(0.666667)),
       (3, "click>purchase", 1L, Some(0.5))))
   }
+
+  test("ev_gains: deciles over 20 distinct scores, positives on top") {
+    val d = Files.createTempDirectory("gains").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // scores 1..20, purchases at 19 and 20 → decile k crosses at
+    // cumN = 2k; cum_pos saturates at 2 immediately
+    (1 to 20).map(i => (i.toLong, t0, 1L,
+        if (i >= 19) "purchase" else "view", i.toDouble))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$d/events.parquet")
+    val got = EventOps.evGains(spark, d).collect().toSeq
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got == (1 to 10).map(k =>
+      (k, 2L * k, 2L, 1.0,
+        math.rint(10.0 / k * 1e6) / 1e6)))
+  }
+
+  test("sample_neyman: zero-variance stratum gets zero budget") {
+    val d = Files.createTempDirectory("neyman").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // A: constant (std 0); B: {0,50,100} (std 50, weight 150e6);
+    // C: {0,100} (std 70.710678, weight ~141.42e6)
+    val rows =
+      Seq((1L, "A", 7.0), (2L, "A", 7.0), (3L, "A", 7.0),
+        (4L, "B", 0.0), (5L, "B", 50.0), (6L, "B", 100.0),
+        (7L, "C", 0.0), (8L, "C", 100.0))
+    rows.map { case (id, et, v) => (id, t0, 1L, et, v) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$d/events.parquet")
+    val got = StatsOps.sampleNeyman(spark, d).collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(3),
+        r.getLong(5)))
+    val byType = got.map(t => t._1 -> t).toMap
+    assert(byType("A")._3 == 0.0 && byType("A")._4 == 0L)
+    assert(byType("B")._3 == 50.0)
+    assert(byType("C")._3 == 70.710678)
+    assert(got.map(_._4).sum == 1000L)
+    assert(byType("B")._4 >= byType("C")._4)
+  }
+
+  test("text_cdc_chunks: identical docs share every chunk") {
+    val d = Files.createTempDirectory("cdc").toString
+    val para = "the quick brown fox jumps over the lazy dog while " +
+      "seventeen zebras quietly audit the parquet files nearby"
+    Seq((1L, para), (2L, para), (3L, "short"))
+      .toDF("doc_id", "text").write.parquet(s"$d/documents.parquet")
+    val got = TextOps.textCdcChunks(spark, d).collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getInt(3)))
+    // the doc-3 singleton: one whole-doc chunk (len < 8 → no cuts)
+    val shortMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest("short".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(got.exists(_ == ((shortMd5, 1L, 1L, 5))))
+    // every other surfaced chunk is the shared-paragraph boilerplate
+    got.filter(_._1 != shortMd5).foreach { case (_, nd, no, _) =>
+      assert(nd == 2L && no == 2L)
+    }
+  }
 }
