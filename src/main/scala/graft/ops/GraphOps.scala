@@ -392,6 +392,46 @@ object GraphOps {
       .limit(20)
   }
 
+  /** T172: deterministic RANDOM WALKS over the trading graph — the
+    * corpus-generation stage of DeepWalk/node2vec (Perozzi 2014 /
+    * Grover 2016): embeddings train on walk sequences, and at 100 TB
+    * the walk generation IS the Spark job (training happens
+    * elsewhere). Walks are md5-DRIVEN, not RNG-driven (the repo's
+    * no-randomness convention): at step k from node v the walk takes
+    * neighbor rank (H(start,k,v) mod deg(v)) + 1, where H is the
+    * first-8-hex-digit value of md5 and neighbors rank by dst ASC —
+    * bit-reproducible across runs, engines, and partitionings, which
+    * is what makes a 100 TB walk corpus auditable at all.
+    *
+    * One per-src neighbor-rank window over the memoized edge index
+    * (keyed partition — scale-safe), then 4 bounded join rounds
+    * (frontier is |starts| rows, the rank-match join is one hash
+    * probe per walker); a start panel of 20 customers, walks die out
+    * at isolated nodes (step-0 row still reported). */
+  def graphWalks(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (edgesDeg, _, _) = edgeIndex(s, d)
+    val nb = edgesDeg.withColumn("rn",
+      row_number().over(Window.partitionBy("src").orderBy("dst")))
+    val starts = (1 to 20).map(i => s"c$i").toDF("start")
+    var frontier = starts
+      .select(col("start"), col("start").as("node"), lit(0).as("step"))
+    var acc = frontier
+    for (k <- 1 to 4) {
+      // fresh alias per round: the frontier already carries nb lineage
+      val n = s"nb$k"
+      frontier = frontier.as("w")
+        .join(nb.as(n), col("w.node") === col(s"$n.src")
+          && (conv(substring(md5(concat(col("w.start"), lit(s":$k:"),
+              col("w.node"))), 1, 8), 16, 10).cast("long")
+            % col(s"$n.outdeg")) + 1 === col(s"$n.rn"))
+        .select(col("w.start").as("start"),
+          col(s"$n.dst").as("node"), lit(k).as("step"))
+      acc = acc.unionAll(frontier)
+    }
+    acc.orderBy(col("start"), col("step"))
+  }
+
   /** Bipartite co-occurrence projection: supplier–supplier similarity
     * through shared customers (the "entities that appear together"
     * query — the reference's graph exists to answer exactly this shape:
@@ -1066,10 +1106,52 @@ object GraphOps {
     "graph_paths"    -> graphPaths _,
     "graph_closeness" -> graphCloseness _,
     "graph_diameter" -> graphDiameter _,
-    "graph_betweenness" -> graphBetweenness _)
+    "graph_betweenness" -> graphBetweenness _,
+    "graph_walks" -> graphWalks _)
 
   val oracles: Map[String, String] = Map(
-    // unrolled Brandes from the same 5-seed panel over the 3-hop
+    // same md5-driven next-hop rule: the first-8-hex value replays as
+    // the nibble-positional fold (the dedup_embed_lsh idiom), neighbor
+    // ranks by dst ASC, 4 unrolled rounds
+    "graph_walks" -> {
+      val hash = (k: Int) =>
+        s"""(CAST(list_sum(list_transform(range(1, 9), j ->
+           |    (strpos('0123456789abcdef',
+           |       substr(md5(w.start || ':$k:' || w.node),
+           |         CAST(j AS INTEGER), 1)) - 1)
+           |    * (16 ** (8 - j)))) AS BIGINT) % nb.outdeg) + 1"""
+          .stripMargin
+      val round = (k: Int) =>
+        s"""w$k AS MATERIALIZED (
+           |  SELECT w.start, nb.dst AS node, CAST($k AS INTEGER) AS step
+           |  FROM w${k - 1} w JOIN nb ON nb.src = w.node
+           |    AND ${hash(k)} = nb.rn)""".stripMargin
+      val starts = (1 to 20).map(i => s"'c$i'").mkString(", ")
+      s"""WITH pairs AS MATERIALIZED (
+         |  SELECT DISTINCT 'c' || o.o_custkey AS src,
+         |                  's' || l.l_suppkey AS dst
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         |edges AS MATERIALIZED (SELECT src, dst FROM pairs
+         |          UNION ALL SELECT dst, src FROM pairs),
+         |dg AS MATERIALIZED (
+         |  SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+         |nb AS MATERIALIZED (
+         |  SELECT e.src, e.dst, d.outdeg,
+         |    row_number() OVER (PARTITION BY e.src ORDER BY e.dst)
+         |      AS rn
+         |  FROM edges e JOIN dg d USING (src)),
+         |w0 AS (
+         |  SELECT seed AS start, seed AS node, CAST(0 AS INTEGER)
+         |      AS step
+         |  FROM (SELECT UNNEST([$starts]) AS seed)),
+         |${(1 to 4).map(round).mkString(",\n")}
+         |SELECT start, node, step FROM (
+         |  SELECT * FROM w0 UNION ALL SELECT * FROM w1
+         |  UNION ALL SELECT * FROM w2 UNION ALL SELECT * FROM w3
+         |  UNION ALL SELECT * FROM w4)
+         |ORDER BY start, step""".stripMargin
+    },
+    // unrolled Brandes from the same 3-seed panel over the 3-hop
     // ball: integer sigma sums forward, 1e-12-quantized scaled-long
     // delta terms backward (identical expression tree to the engine),
     // one final exact BIGINT sum per node

@@ -524,6 +524,62 @@ object SimOps {
       .orderBy("bin_lo")
   }
 
+  /** T171: k-NN GRAPH construction over the embedding corpus — the
+    * artifact graph-based ANN (HNSW/NSG) and graph-based label
+    * propagation both start from. Candidate edges come from the
+    * memoized [[ivfIndex]] cells (capped ids-only pair generation, the
+    * embSimHist shape), each vector keeps its top-5 neighbors by
+    * rounded cosine (row_number keyed BY VECTOR — never a global
+    * sort), and the panel reports the graph's health: node/edge
+    * counts, MUTUAL-edge fraction (the symmetry diagnostic — a low
+    * value means the cell cap or k is starving hubs), and mean edge
+    * similarity from exact DECIMAL sums.
+    *
+    * 100 TB posture: pair volume is cell-bounded (cap² per cell); the
+    * top-k window partitions on vec_id (maximal parallelism); the
+    * mutuality check is a self-semi-join of the k·n-row kNN table on
+    * (src, dst) — all shuffles ride ids + one rounded score. */
+  def annKnnGraph(s: SparkSession, d: String): DataFrame = {
+    val (_, assigned) = ivfIndex(s, d)
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+    val pairs = DedupOps.cappedBucketPairs(
+        assigned.select(col("centroid_id"), col("vec_id")),
+        Seq("centroid_id"), "vec_id", "vec_a", "vec_b")
+      .join(emb.select(col("vec_id").as("vec_a"),
+        col("embedding").as("emb_a")), Seq("vec_a"))
+      .join(emb.select(col("vec_id").as("vec_b"),
+        col("embedding").as("emb_b")), Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(CosineSimilarity.cosine_native(s,
+          col("emb_a"), col("emb_b")), 6).as("cos"))
+    val directed = pairs
+      .select(col("vec_a").as("src"), col("vec_b").as("dst"), col("cos"))
+      .unionAll(pairs.select(col("vec_b").as("src"),
+        col("vec_a").as("dst"), col("cos")))
+    val w = Window.partitionBy("src")
+      .orderBy(col("cos").desc, col("dst").asc)
+    // knn is consumed twice (stats + mutuality) — the recompute is a
+    // cell-cap-bounded pair table, cheaper than pinning a cache
+    val knn = directed.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("src"), col("dst"), col("cos"))
+    val stats = knn.agg(
+      countDistinct(col("src")).as("n_nodes"),
+      count(lit(1)).as("n_edges"),
+      sum(col("cos").cast("decimal(9,6)")).as("cs"))
+    val mutual = knn
+      .join(knn.select(col("dst").as("src"), col("src").as("dst")),
+        Seq("src", "dst"), "left_semi")
+      .agg(count(lit(1)).as("n_mutual"))
+    stats.crossJoin(mutual)
+      .select(col("n_nodes"), col("n_edges"), col("n_mutual"),
+        round(col("n_mutual").cast("double")
+          / col("n_edges").cast("double"), 6).as("mutual_frac"),
+        round(col("cs").cast("double")
+          / col("n_edges").cast("double"), 6).as("avg_cos"))
+  }
+
   /** Cluster-quality panel over the IVF cells — the Davies–Bouldin-
     * style health check run before trusting an ANN index or a
     * clustering: per cell, COHESION (mean member-to-centroid cosine)
@@ -642,6 +698,7 @@ object SimOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_knn_graph"    -> annKnnGraph _,
     "ann_rbo"          -> annRbo _,
     "ann_nprobe_sweep" -> annNprobeSweep _,
     "emb_cluster_quality" -> embClusterQuality _,
@@ -661,6 +718,65 @@ object SimOps {
   // arithmetic in double after the explicit casts — verified
   // empirically; round(.,6) guards the display value.
   private lazy val oraclesHead: Map[String, String] = Map(
+    // the emb_sim_hist cell-pair replay keeping ids, then the same
+    // per-vector top-5 rank, EXISTS-mutuality, and exact DECIMAL mean
+    "ann_knn_graph" ->
+      """WITH seeds AS MATERIALIZED (
+        |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+        |      AS centroid_id,
+        |    embedding AS centroid
+        |  FROM embeddings
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        |assign AS MATERIALIZED (
+        |  SELECT vec_id, embedding, centroid_id FROM (
+        |    SELECT e.vec_id, e.embedding, s.centroid_id,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |            i -> CAST(e.embedding[i] AS DOUBLE) * CAST(s.centroid[i] AS DOUBLE)))
+        |          / (sqrt(list_sum(list_transform(e.embedding,
+        |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |           * sqrt(list_sum(list_transform(s.centroid,
+        |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) DESC,
+        |        s.centroid_id ASC) AS rn
+        |    FROM embeddings e CROSS JOIN seeds s) WHERE rn = 1),
+        |m AS MATERIALIZED (
+        |  SELECT vec_id, embedding, centroid_id,
+        |    row_number() OVER (PARTITION BY centroid_id ORDER BY vec_id) AS rk
+        |  FROM assign),
+        |cosp AS MATERIALIZED (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round(
+        |    list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(a.embedding,
+        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(b.embedding,
+        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos
+        |  FROM m a JOIN m b
+        |    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+        |  WHERE a.rk <= 64 AND b.rk <= 64),
+        |dir AS MATERIALIZED (
+        |  SELECT vec_a AS src, vec_b AS dst, cos FROM cosp
+        |  UNION ALL SELECT vec_b, vec_a, cos FROM cosp),
+        |knn AS MATERIALIZED (
+        |  SELECT src, dst, cos FROM (
+        |    SELECT src, dst, cos, row_number() OVER (PARTITION BY src
+        |      ORDER BY cos DESC, dst ASC) AS rk
+        |    FROM dir) WHERE rk <= 5),
+        |mu AS (
+        |  SELECT COUNT(*) AS n_mutual FROM knn k
+        |  WHERE EXISTS (SELECT 1 FROM knn r
+        |                WHERE r.src = k.dst AND r.dst = k.src)),
+        |a AS (
+        |  SELECT CAST(COUNT(DISTINCT src) AS BIGINT) AS n_nodes,
+        |    CAST(COUNT(*) AS BIGINT) AS n_edges,
+        |    SUM(CAST(cos AS DECIMAL(9,6))) AS cs
+        |  FROM knn)
+        |SELECT n_nodes, n_edges, CAST(n_mutual AS BIGINT) AS n_mutual,
+        |  round(CAST(n_mutual AS DOUBLE) / CAST(n_edges AS DOUBLE), 6)
+        |    AS mutual_frac,
+        |  round(CAST(cs AS DOUBLE) / CAST(n_edges AS DOUBLE), 6)
+        |    AS avg_cos
+        |FROM a, mu""".stripMargin,
     // the dedup_semantic quantizer+cap replay, re-aimed at a histogram
     "emb_sim_hist" ->
       """WITH seeds AS (

@@ -945,7 +945,54 @@ object TextOps {
       .limit(20)
   }
 
+  /** T170: per-document BOILERPLATE fraction — how much of each doc's
+    * text lives in chunks shared with at least one OTHER document
+    * (the doc-level consumption of [[textCdcChunks]]' signal: a
+    * training-data curation pipeline drops or down-weights docs that
+    * are mostly template). Same md5-gram cut rule; a chunk is shared
+    * when its hash spans ≥ 2 distinct docs; the per-doc panel reports
+    * chunk counts and the shared-character fraction.
+    *
+    * One in-row chunk expansion, one chunk-hash spread aggregate
+    * (map-side combinable), one hash join back, one per-doc
+    * conditional-sum aggregate — no self-join, no window. */
+  def textBoilerplateFrac(s: SparkSession, d: String): DataFrame = {
+    val cuts =
+      """concat(array(0L),
+        | CASE WHEN length(t) < 8 THEN cast(array() as array<bigint>)
+        |   ELSE transform(filter(sequence(1L, length(t) - 7),
+        |     p -> substring(md5(substring(t, cast(p as int), 8)), 1, 1)
+        |            = '0'),
+        |   p -> p + 7) END,
+        | array(cast(length(t) as bigint)))""".stripMargin
+    val chunks = Tables.documents(s, d)
+      .select(col("doc_id"), col("text").as("t"))
+      .withColumn("cuts", expr(cuts))
+      .select(col("doc_id"), explode(expr(
+        """filter(transform(sequence(1, size(cuts) - 1),
+          |  i -> substring(t, cast(element_at(cuts, i) + 1 as int),
+          |    cast(element_at(cuts, i + 1) - element_at(cuts, i)
+          |      as int))), c -> c != '')""".stripMargin)).as("chunk"))
+      .select(col("doc_id"), md5(col("chunk")).as("h"),
+        length(col("chunk")).as("clen"))
+    val spread = chunks.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    chunks.join(spread, Seq("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("n_docs") >= 2, 1L).otherwise(0L))
+          .as("shared_chunks"),
+        sum(col("clen").cast("long")).as("total_chars"),
+        sum(when(col("n_docs") >= 2, col("clen").cast("long"))
+          .otherwise(0L)).as("shared_chars"))
+      .select(col("doc_id"), col("n_chunks"), col("shared_chunks"),
+        round(col("shared_chars").cast("double")
+          / col("total_chars").cast("double"), 6).as("shared_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_boilerplate"      -> textBoilerplateFrac _,
     "text_cdc_chunks"       -> textCdcChunks _,
     "text_novelty"          -> textNovelty _,
     "text_burstiness"       -> textBurstiness _,
@@ -999,6 +1046,39 @@ object TextOps {
       |  FROM s)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // same chunk derivation; shared = hash spans >= 2 distinct docs
+    "text_boilerplate" ->
+      """WITH cx AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    list_concat(list_concat([CAST(0 AS BIGINT)],
+        |      list_transform(list_filter(
+        |        range(1, greatest(length(t) - 6, 1)),
+        |        p -> substr(md5(substr(t, CAST(p AS INTEGER), 8)),
+        |               1, 1) = '0'),
+        |        p -> p + 7)),
+        |      [CAST(length(t) AS BIGINT)]) AS cuts,
+        |    t
+        |  FROM (SELECT doc_id, text AS t FROM documents)),
+        |ch AS MATERIALIZED (
+        |  SELECT doc_id, md5(chunk) AS h, length(chunk) AS clen
+        |  FROM (
+        |    SELECT doc_id, UNNEST(list_filter(
+        |      list_transform(range(1, len(cuts)),
+        |        i -> substr(t, CAST(cuts[i] + 1 AS INTEGER),
+        |          CAST(cuts[i + 1] - cuts[i] AS INTEGER))),
+        |      c -> c != '')) AS chunk
+        |    FROM cx)),
+        |sp AS MATERIALIZED (
+        |  SELECT h, COUNT(DISTINCT doc_id) AS n_docs
+        |  FROM ch GROUP BY h)
+        |SELECT ch.doc_id, COUNT(*) AS n_chunks,
+        |  CAST(SUM(CASE WHEN sp.n_docs >= 2 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS shared_chunks,
+        |  round(CAST(SUM(CASE WHEN sp.n_docs >= 2 THEN clen ELSE 0
+        |      END) AS DOUBLE)
+        |    / CAST(SUM(clen) AS DOUBLE), 6) AS shared_frac
+        |FROM ch JOIN sp USING (h)
+        |GROUP BY ch.doc_id ORDER BY ch.doc_id""".stripMargin,
     // identical md5-gram cut rule, list-op chunk expansion, and
     // spread-ordered top-20 (DuckDB's range already empties on short
     // docs; the guard mirrors the engine's sequence() reversal guard)

@@ -131,4 +131,66 @@ class Round7OpsSpec extends SparkFunSuite {
       assert(nd == 2L && no == 2L)
     }
   }
+
+  test("text_boilerplate: duplicated docs score 1.0, singleton 0.0") {
+    val d = Files.createTempDirectory("boiler").toString
+    val para = "the quick brown fox jumps over the lazy dog while " +
+      "seventeen zebras quietly audit the parquet files nearby"
+    Seq((1L, para), (2L, para), (3L, "completely unique text here"))
+      .toDF("doc_id", "text").write.parquet(s"$d/documents.parquet")
+    val got = TextOps.textBoilerplateFrac(spark, d).collect().toSeq
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got(1L) == 1.0 && got(2L) == 1.0 && got(3L) == 0.0)
+  }
+
+  test("ann_knn_graph: panel invariants on the corpus cells") {
+    val d = Files.createTempDirectory("knng").toString
+    // 40 vectors in two well-separated directions → each vector's
+    // top-5 live in its own half, mutuality high by construction
+    val vecs = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) Array(1.0f, 0.0f, 0.1f * (i % 5))
+        else Array(0.0f, 1.0f, 0.1f * (i % 5))
+      (i.toLong, base)
+    }
+    vecs.toDF("vec_id", "embedding")
+      .write.parquet(s"$d/embeddings.parquet")
+    val r = SimOps.annKnnGraph(spark, d).collect().head
+    val (nodes, edges, mutual) =
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    // invariants: every scored node keeps <=5 edges; mutual edges are
+    // a subset; the fraction column is exactly mutual/edges
+    assert(nodes > 0L && nodes <= 40L)
+    assert(edges > 0L && edges <= nodes * 5)
+    assert(mutual >= 0L && mutual <= edges)
+    assert(r.getDouble(3) ==
+      math.rint(mutual.toDouble / edges.toDouble * 1e6) / 1e6)
+    assert(r.getDouble(4) >= -1.0 && r.getDouble(4) <= 1.0)
+    val r2 = SimOps.annKnnGraph(spark, d).collect().head
+    assert(r.toSeq == r2.toSeq) // md5-deterministic end to end
+  }
+
+  test("graph_walks: md5-driven walks are edge-valid and repeatable") {
+    val d = Files.createTempDirectory("walks").toString
+    // chain c1—s1—c2—s2; c3..c20 isolated (step-0 rows only)
+    Seq((10L, 1L), (20L, 2L), (21L, 2L))
+      .toDF("o_orderkey", "o_custkey").write.parquet(s"$d/orders.parquet")
+    Seq((10L, 1L), (20L, 1L), (21L, 2L))
+      .toDF("l_orderkey", "l_suppkey").write.parquet(s"$d/lineitem.parquet")
+    val run1 = GraphOps.graphWalks(spark, d).collect().toSeq
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    // 20 step-0 rows + full 4-step walks from the 2 connected starts
+    assert(run1.count(_._3 == 0) == 20)
+    assert(run1.size == 20 + 2 * 4)
+    // every consecutive hop is a real edge of the symmetrized graph
+    val edges = Set("c1" -> "s1", "s1" -> "c1", "s1" -> "c2",
+      "c2" -> "s1", "c2" -> "s2", "s2" -> "c2")
+    for (start <- Seq("c1", "c2"); k <- 1 to 4) {
+      val prev = run1.find(r => r._1 == start && r._3 == k - 1).get._2
+      val cur = run1.find(r => r._1 == start && r._3 == k).get._2
+      assert(edges.contains(prev -> cur), s"$start step $k")
+    }
+    val run2 = GraphOps.graphWalks(spark, d).collect().toSeq
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    assert(run1 == run2)
+  }
 }
