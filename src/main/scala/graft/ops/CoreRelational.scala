@@ -1344,7 +1344,59 @@ object CoreRelational {
       .orderBy(col("o_orderkey"), col("l_linenumber"))
   }
 
+  /** T174: two-table financial RECONCILIATION report — does the order
+    * header's `o_totalprice` equal the recomputed sum of its line
+    * amounts (extprice·(1−disc)·(1+tax))? The close-the-books query
+    * every warehouse runs between a fact table and its rollup, with
+    * mismatches CLASSED, not just counted: exact (0¢), minor (<$1),
+    * major (≥$1), and headers with no lines at all. All comparisons
+    * happen in exact integer CENTS (money through decimal(18,2), the
+    * repo convention — a double recompute would misclassify
+    * penny-level drift, the very thing the report exists to catch).
+    *
+    * One fact aggregate keyed on order + one broadcast-ineligible but
+    * key-colocated header join + one 4-row class aggregate; nothing
+    * wider than (orderkey, cents) ever shuffles. */
+  def dqReconcile(s: SparkSession, d: String): DataFrame = {
+    // per-line amount in EXACT INTEGER units (cents × 1e4): the
+    // decimal-product route rounds differently per engine at decimal-
+    // precision limits; extc·(100−disc%)·(100+tax%) is overflow-free
+    // and bit-identical everywhere, and the final half-up to cents is
+    // one integer expression
+    val lines = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(expr(
+        "(sum(cast(cast(l_extendedprice as decimal(18,2)) * 100" +
+          " as bigint)" +
+          " * (100 - cast(cast(l_discount as decimal(18,2)) * 100" +
+          " as bigint))" +
+          " * (100 + cast(cast(l_tax as decimal(18,2)) * 100" +
+          " as bigint))) + 5000) div 10000")
+        .as("ltot_cents"))
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        expr("cast(cast(o_totalprice as decimal(18,2)) * 100" +
+          " as bigint)").as("otot_cents"))
+      .join(lines, col("o_orderkey") === col("l_orderkey"), "left")
+      .withColumn("diff_cents", expr(
+        "case when ltot_cents is null then null" +
+          " else abs(otot_cents - ltot_cents) end"))
+      .withColumn("class", expr(
+        "case when diff_cents is null then 'missing_lines'" +
+          " when diff_cents = 0 then 'exact'" +
+          " when diff_cents < 100 then 'minor'" +
+          " else 'major' end"))
+      .groupBy("class")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(coalesce(col("diff_cents"), lit(0L))).as("cents"))
+      .select(col("class"), col("n_orders"),
+        expr("round(cast(cents as double) / 100.0, 2)")
+          .as("sum_abs_diff"))
+      .orderBy("class")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_reconcile"   -> dqReconcile _,
     "dq_fd"          -> dqFd _,
     "layout_skipping" -> layoutSkipping _,
     "a21_allocate"   -> a21Allocate _,
@@ -1407,6 +1459,34 @@ object CoreRelational {
     "w02_running"    -> w02Running _)
 
   val oracles: Map[String, String] = Map(
+    // same exact-cents recompute and mismatch classing
+    "dq_reconcile" ->
+      """WITH lt AS MATERIALIZED (
+        |  SELECT l_orderkey,
+        |    (SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |        AS BIGINT)
+        |      * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100
+        |        AS BIGINT))
+        |      * (100 + CAST(CAST(l_tax AS DECIMAL(18,2)) * 100
+        |        AS BIGINT))) + 5000) // 10000 AS ltot_cents
+        |  FROM lineitem GROUP BY 1),
+        |j AS (
+        |  SELECT o.o_orderkey,
+        |    CASE WHEN lt.ltot_cents IS NULL THEN NULL
+        |      ELSE abs(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+        |          AS BIGINT)
+        |        - lt.ltot_cents) END AS diff_cents
+        |  FROM orders o LEFT JOIN lt ON lt.l_orderkey = o.o_orderkey),
+        |c AS (
+        |  SELECT CASE WHEN diff_cents IS NULL THEN 'missing_lines'
+        |      WHEN diff_cents = 0 THEN 'exact'
+        |      WHEN diff_cents < 100 THEN 'minor'
+        |      ELSE 'major' END AS class,
+        |    coalesce(diff_cents, 0) AS dc
+        |  FROM j)
+        |SELECT class, COUNT(*) AS n_orders,
+        |  round(CAST(SUM(dc) AS DOUBLE) / 100.0, 2) AS sum_abs_diff
+        |FROM c GROUP BY class ORDER BY class""".stripMargin,
     // DuckDB row_number is BIGINT → cast to match Spark's INT
     "o11_diversify" ->
       """WITH r AS (

@@ -739,7 +739,82 @@ object StatsOps {
       .orderBy(col("event_type"))
   }
 
+  /** T173: CUPED variance reduction for the A/B readout (Deng et al.
+    * 2013, "Improving the sensitivity of online controlled
+    * experiments") — adjust each user's experiment-period metric by
+    * their PRE-period behavior: y' = y − θ(x − x̄), θ = cov(x,y)/
+    * var(x). The industry-standard way to shrink experiment
+    * confidence intervals without more traffic; the panel reports the
+    * per-arm raw vs adjusted means and the achieved variance
+    * reduction.
+    *
+    * Determinism contract: the pre/post split is the integer-µs
+    * midpoint of the observed span; per-user x/y are exact DECIMAL
+    * sums; θ and x̄ come from exact DECIMAL sufficient statistics
+    * through a fixed double tree; each user's adjusted metric
+    * QUANTIZES to decimal(18,6) before any cross-user sum, so the
+    * per-arm aggregates are order-free (the scaled-long idiom in its
+    * decimal form). Arms are user-parity, the ev_abtest convention.
+    *
+    * 100 TB posture: one corpus scan → user agg (map-side
+    * combinable), one 1-row stats agg broadcast back, one arm agg —
+    * no window, no join wider than a broadcast. */
+  def evCuped(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("tu"),
+        col("value"))
+    val span = ev.agg(expr("(min(tu) + max(tu)) div 2").as("mid"))
+    val perUser = ev.crossJoin(broadcast(span))
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("tu") <= col("mid"),
+          col("value").cast("decimal(18,2)")).otherwise(lit(0)
+            .cast("decimal(18,2)"))).cast("decimal(18,2)").as("x"),
+        sum(when(col("tu") > col("mid"),
+          col("value").cast("decimal(18,2)")).otherwise(lit(0)
+            .cast("decimal(18,2)"))).cast("decimal(18,2)").as("y"))
+      .withColumn("variant", expr("cast(user_id % 2 as int)"))
+    val stats = perUser.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum((col("x") * col("y")).cast("decimal(38,6)")).as("sxy"),
+      sum((col("x") * col("x")).cast("decimal(38,6)")).as("sxx"))
+    val withTheta = perUser.crossJoin(broadcast(stats))
+      .withColumn("theta", expr(
+        "(cast(n as double) * cast(sxy as double)" +
+          " - cast(sx as double) * cast(sy as double))" +
+          " / (cast(n as double) * cast(sxx as double)" +
+          " - cast(sx as double) * cast(sx as double))"))
+      .withColumn("xbar", expr("cast(sx as double) / cast(n as double)"))
+      .withColumn("adjq", expr(
+        "cast(round(cast(y as double)" +
+          " - theta * (cast(x as double) - xbar), 6)" +
+          " as decimal(18,6))"))
+    withTheta.groupBy("variant")
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("y")).as("sy_a"),
+        sum((col("y") * col("y")).cast("decimal(38,6)")).as("syy_a"),
+        sum(col("adjq")).as("sa_a"),
+        sum((col("adjq") * col("adjq")).cast("decimal(38,12)"))
+          .as("saa_a"),
+        max(col("theta")).as("theta"))
+      .select(col("variant"), col("n_users"),
+        expr("round(cast(sy_a as double) / cast(n_users as double), 6)")
+          .as("mean_y"),
+        expr("round(cast(sa_a as double) / cast(n_users as double), 6)")
+          .as("mean_adj"),
+        expr("round(theta, 6)").as("theta"),
+        expr("round(1.0 - (cast(saa_a as double)" +
+          " / cast(n_users as double)" +
+          " - pow(cast(sa_a as double) / cast(n_users as double), 2))" +
+          " / (cast(syy_a as double) / cast(n_users as double)" +
+          " - pow(cast(sy_a as double) / cast(n_users as double), 2))" +
+          ", 6)").as("var_reduction"))
+      .orderBy("variant")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_cuped"         -> evCuped _,
     "sample_neyman"    -> sampleNeyman _,
     "ev_ab_srm"        -> evAbSrm _,
     "ev_holtwinters"   -> evHoltWinters _,
@@ -780,6 +855,62 @@ object StatsOps {
       |    ON s.event_type = d.event_type AND s.day = d.day)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // identical µs-midpoint split, exact-DECIMAL user sums, fixed
+    // double theta tree, per-user decimal(18,6) quantization
+    "ev_cuped" ->
+      """WITH ev AS MATERIALIZED (
+        |  SELECT user_id, epoch_us(ts) AS tu, value FROM events),
+        |sp AS (SELECT (MIN(tu) + MAX(tu)) // 2 AS mid FROM ev),
+        |pu AS MATERIALIZED (
+        |  SELECT user_id,
+        |    CAST(SUM(CASE WHEN tu <= sp.mid
+        |      THEN CAST(value AS DECIMAL(18,2))
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS x,
+        |    CAST(SUM(CASE WHEN tu > sp.mid
+        |      THEN CAST(value AS DECIMAL(18,2))
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS y,
+        |    CAST(user_id % 2 AS INTEGER) AS variant
+        |  FROM ev, sp GROUP BY user_id, variant),
+        |st AS (
+        |  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(CAST(CAST(x AS DECIMAL(19,2)) * CAST(y AS DECIMAL(19,2))
+        |      AS DECIMAL(38,6))) AS sxy,
+        |    SUM(CAST(CAST(x AS DECIMAL(19,2)) * CAST(x AS DECIMAL(19,2))
+        |      AS DECIMAL(38,6))) AS sxx
+        |  FROM pu),
+        |adj AS MATERIALIZED (
+        |  SELECT pu.variant, pu.y,
+        |    (CAST(st.n AS DOUBLE) * CAST(st.sxy AS DOUBLE)
+        |      - CAST(st.sx AS DOUBLE) * CAST(st.sy AS DOUBLE))
+        |      / (CAST(st.n AS DOUBLE) * CAST(st.sxx AS DOUBLE)
+        |      - CAST(st.sx AS DOUBLE) * CAST(st.sx AS DOUBLE))
+        |      AS theta,
+        |    CAST(round(CAST(pu.y AS DOUBLE)
+        |      - ((CAST(st.n AS DOUBLE) * CAST(st.sxy AS DOUBLE)
+        |          - CAST(st.sx AS DOUBLE) * CAST(st.sy AS DOUBLE))
+        |         / (CAST(st.n AS DOUBLE) * CAST(st.sxx AS DOUBLE)
+        |          - CAST(st.sx AS DOUBLE) * CAST(st.sx AS DOUBLE)))
+        |        * (CAST(pu.x AS DOUBLE)
+        |           - CAST(st.sx AS DOUBLE) / CAST(st.n AS DOUBLE)), 6)
+        |      AS DECIMAL(18,6)) AS adjq
+        |  FROM pu, st)
+        |SELECT variant, COUNT(*) AS n_users,
+        |  round(CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+        |    AS mean_y,
+        |  round(CAST(SUM(adjq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE),
+        |    6) AS mean_adj,
+        |  round(MAX(theta), 6) AS theta,
+        |  round(1.0 - (CAST(SUM(CAST(CAST(adjq AS DECIMAL(19,6))
+        |      * CAST(adjq AS DECIMAL(19,6)) AS DECIMAL(38,12)))
+        |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    - pow(CAST(SUM(adjq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE),
+        |        2))
+        |    / (CAST(SUM(CAST(CAST(y AS DECIMAL(19,2))
+        |      * CAST(y AS DECIMAL(19,2)) AS DECIMAL(38,6))) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE)
+        |    - pow(CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE),
+        |        2)), 6) AS var_reduction
+        |FROM adj GROUP BY variant ORDER BY variant""".stripMargin,
     // same exact-DECIMAL sufficient stats, same fixed double std/
     // weight tree, same 1e-6 quantization and largest-remainder split
     "sample_neyman" ->

@@ -193,4 +193,41 @@ class Round7OpsSpec extends SparkFunSuite {
       .map(r => (r.getString(0), r.getString(1), r.getInt(2)))
     assert(run1 == run2)
   }
+
+  test("ev_cuped: hand-computed theta, adjusted means, var reduction") {
+    val d = Files.createTempDirectory("cuped").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(m: Int) = new java.sql.Timestamp(t0.getTime + m * 60000L)
+    // span midpoint = +15m; pre event at +0, post at +30 per user.
+    // x = (10,20,30,40), y = (20,30,40,60) for users 1..4 →
+    // theta = 1.3, xbar = 25; adj = (39.5, 36.5, 33.5, 40.5)
+    val rows = Seq((1L, 10.0, 20.0), (2L, 20.0, 30.0),
+      (3L, 30.0, 40.0), (4L, 40.0, 60.0))
+    rows.zipWithIndex.flatMap { case ((u, x, y), i) =>
+      Seq((i * 2 + 1L, ts(0), u, "view", x),
+        (i * 2 + 2L, ts(30), u, "view", y))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$d/events.parquet")
+    val got = StatsOps.evCuped(spark, d).collect().toSeq
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(got == Seq(
+      (0, 2L, 45.0, 38.5, 1.3, 0.982222),
+      (1, 2L, 30.0, 36.5, 1.3, 0.91)))
+  }
+
+  test("dq_reconcile: cents-exact mismatch classes") {
+    val d = Files.createTempDirectory("reconcile").toString
+    Seq((1L, 100.00), (2L, 100.50), (3L, 105.00), (4L, 50.00))
+      .toDF("o_orderkey", "o_totalprice")
+      .write.parquet(s"$d/orders.parquet")
+    Seq((1L, 100.00, 0.0, 0.0), (2L, 100.00, 0.0, 0.0),
+      (3L, 100.00, 0.0, 0.0))
+      .toDF("l_orderkey", "l_extendedprice", "l_discount", "l_tax")
+      .write.parquet(s"$d/lineitem.parquet")
+    val got = CoreRelational.dqReconcile(spark, d).collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got == Seq(("exact", 1L, 0.0), ("major", 1L, 5.0),
+      ("minor", 1L, 0.5), ("missing_lines", 1L, 0.0)))
+  }
 }
