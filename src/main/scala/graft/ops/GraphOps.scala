@@ -408,7 +408,12 @@ object GraphOps {
     * (frontier is |starts| rows, the rank-match join is one hash
     * probe per walker); a start panel of 20 customers, walks die out
     * at isolated nodes (step-0 row still reported). */
-  def graphWalks(s: SparkSession, d: String): DataFrame = {
+  def graphWalks(s: SparkSession, d: String): DataFrame =
+    walksTable(s, d).orderBy(col("start"), col("step"))
+
+  /** The unordered walk rows behind [[graphWalks]] and
+    * [[graphWalkPairs]]. */
+  private def walksTable(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val (edgesDeg, _, _) = edgeIndex(s, d)
     val nb = edgesDeg.withColumn("rn",
@@ -429,7 +434,26 @@ object GraphOps {
           col(s"$n.dst").as("node"), lit(k).as("step"))
       acc = acc.unionAll(frontier)
     }
-    acc.orderBy(col("start"), col("step"))
+    acc
+  }
+
+  /** T176: skip-gram (center, context) pair extraction from the
+    * deterministic walks — the actual training corpus DeepWalk/
+    * node2vec feeds to word2vec: every DIRECTED pair of walk nodes at
+    * distance 1..2 within the same walk, counted. Composed on
+    * [[walksTable]] by one walk-keyed self-join (walk ids are the
+    * join key, so the pair expansion is per-walk bounded — window·L
+    * pairs per walk, never corpus-quadratic). */
+  def graphWalkPairs(s: SparkSession, d: String): DataFrame = {
+    // materialize the walk panel once — a lazy self-join would replay
+    // the whole 4-round walk derivation on BOTH join sides
+    val wa = walksTable(s, d).localCheckpoint()
+    wa.as("a")
+      .join(wa.as("b"), col("a.start") === col("b.start")
+        && abs(col("a.step") - col("b.step")).between(1, 2))
+      .groupBy(col("a.node").as("center"), col("b.node").as("context"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("center"), col("context"))
   }
 
   /** Bipartite co-occurrence projection: supplier–supplier similarity
@@ -1107,50 +1131,67 @@ object GraphOps {
     "graph_closeness" -> graphCloseness _,
     "graph_diameter" -> graphDiameter _,
     "graph_betweenness" -> graphBetweenness _,
-    "graph_walks" -> graphWalks _)
+    "graph_walks" -> graphWalks _,
+    "graph_walk_pairs" -> graphWalkPairs _)
+
+  /** The graph_walks oracle CTE chain (`wa` = all walk rows), shared
+    * verbatim by the walks and skip-gram-pair oracles. */
+  private lazy val walksOracleCtes: String = {
+    val hash = (k: Int) =>
+      s"""(CAST(list_sum(list_transform(range(1, 9), j ->
+         |    (strpos('0123456789abcdef',
+         |       substr(md5(w.start || ':$k:' || w.node),
+         |         CAST(j AS INTEGER), 1)) - 1)
+         |    * (16 ** (8 - j)))) AS BIGINT) % nb.outdeg) + 1"""
+        .stripMargin
+    val round = (k: Int) =>
+      s"""w$k AS MATERIALIZED (
+         |  SELECT w.start, nb.dst AS node, CAST($k AS INTEGER) AS step
+         |  FROM w${k - 1} w JOIN nb ON nb.src = w.node
+         |    AND ${hash(k)} = nb.rn)""".stripMargin
+    val starts = (1 to 20).map(i => s"'c$i'").mkString(", ")
+    s"""pairs AS MATERIALIZED (
+       |  SELECT DISTINCT 'c' || o.o_custkey AS src,
+       |                  's' || l.l_suppkey AS dst
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+       |edges AS MATERIALIZED (SELECT src, dst FROM pairs
+       |          UNION ALL SELECT dst, src FROM pairs),
+       |dg AS MATERIALIZED (
+       |  SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+       |nb AS MATERIALIZED (
+       |  SELECT e.src, e.dst, d.outdeg,
+       |    row_number() OVER (PARTITION BY e.src ORDER BY e.dst)
+       |      AS rn
+       |  FROM edges e JOIN dg d USING (src)),
+       |w0 AS (
+       |  SELECT seed AS start, seed AS node, CAST(0 AS INTEGER)
+       |      AS step
+       |  FROM (SELECT UNNEST([$starts]) AS seed)),
+       |${(1 to 4).map(round).mkString(",\n")},
+       |wa AS MATERIALIZED (
+       |  SELECT * FROM w0 UNION ALL SELECT * FROM w1
+       |  UNION ALL SELECT * FROM w2 UNION ALL SELECT * FROM w3
+       |  UNION ALL SELECT * FROM w4)""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     // same md5-driven next-hop rule: the first-8-hex value replays as
     // the nibble-positional fold (the dedup_embed_lsh idiom), neighbor
     // ranks by dst ASC, 4 unrolled rounds
-    "graph_walks" -> {
-      val hash = (k: Int) =>
-        s"""(CAST(list_sum(list_transform(range(1, 9), j ->
-           |    (strpos('0123456789abcdef',
-           |       substr(md5(w.start || ':$k:' || w.node),
-           |         CAST(j AS INTEGER), 1)) - 1)
-           |    * (16 ** (8 - j)))) AS BIGINT) % nb.outdeg) + 1"""
-          .stripMargin
-      val round = (k: Int) =>
-        s"""w$k AS MATERIALIZED (
-           |  SELECT w.start, nb.dst AS node, CAST($k AS INTEGER) AS step
-           |  FROM w${k - 1} w JOIN nb ON nb.src = w.node
-           |    AND ${hash(k)} = nb.rn)""".stripMargin
-      val starts = (1 to 20).map(i => s"'c$i'").mkString(", ")
-      s"""WITH pairs AS MATERIALIZED (
-         |  SELECT DISTINCT 'c' || o.o_custkey AS src,
-         |                  's' || l.l_suppkey AS dst
-         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
-         |edges AS MATERIALIZED (SELECT src, dst FROM pairs
-         |          UNION ALL SELECT dst, src FROM pairs),
-         |dg AS MATERIALIZED (
-         |  SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
-         |nb AS MATERIALIZED (
-         |  SELECT e.src, e.dst, d.outdeg,
-         |    row_number() OVER (PARTITION BY e.src ORDER BY e.dst)
-         |      AS rn
-         |  FROM edges e JOIN dg d USING (src)),
-         |w0 AS (
-         |  SELECT seed AS start, seed AS node, CAST(0 AS INTEGER)
-         |      AS step
-         |  FROM (SELECT UNNEST([$starts]) AS seed)),
-         |${(1 to 4).map(round).mkString(",\n")}
-         |SELECT start, node, step FROM (
-         |  SELECT * FROM w0 UNION ALL SELECT * FROM w1
-         |  UNION ALL SELECT * FROM w2 UNION ALL SELECT * FROM w3
-         |  UNION ALL SELECT * FROM w4)
-         |ORDER BY start, step""".stripMargin
-    },
+    "graph_walks" ->
+      s"""WITH $walksOracleCtes
+         |SELECT start, node, step FROM wa
+         |ORDER BY start, step""".stripMargin,
+    // the walks CTE chain verbatim, then the directed skip-gram
+    // window-2 self-join the engine runs
+    "graph_walk_pairs" ->
+      s"""WITH $walksOracleCtes
+         |SELECT a.node AS center, b.node AS context,
+         |  COUNT(*) AS n
+         |FROM wa a JOIN wa b ON a.start = b.start
+         |  AND abs(a.step - b.step) BETWEEN 1 AND 2
+         |GROUP BY 1, 2
+         |ORDER BY center, context""".stripMargin,
     // unrolled Brandes from the same 3-seed panel over the 3-hop
     // ball: integer sigma sums forward, 1e-12-quantized scaled-long
     // delta terms backward (identical expression tree to the engine),

@@ -813,7 +813,45 @@ object StatsOps {
       .orderBy("variant")
   }
 
+  /** T177: QUANTILE treatment effects — the distributional A/B
+    * readout a mean difference hides: treated-vs-control value
+    * quantiles (p10/p25/p50/p75/p90) and their per-quantile deltas
+    * (does the treatment lift the median or just the tail?). Exact
+    * linear-interpolation percentiles (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`, the a12 precedent) per parity arm, pivoted wide
+    * then unpivoted to one row per quantile via `stack`. One corpus
+    * agg per arm group — the quantile family needs the per-group sort
+    * (swap to approx_percentile sketches at tolerance, same shape). */
+  def evQte(s: SparkSession, d: String): DataFrame = {
+    // (display label, dot-free column suffix, fraction)
+    val ps = Seq(("0.10", "p10", 0.10), ("0.25", "p25", 0.25),
+      ("0.50", "p50", 0.50), ("0.75", "p75", 0.75),
+      ("0.90", "p90", 0.90))
+    val qCols = ps.map { case (_, sfx, p) =>
+      round(expr(s"percentile(CAST(value AS DOUBLE), $p)"), 6)
+        .as(s"q$sfx")
+    }
+    val arms = Tables.events(s, d)
+      .select(col("value"), expr("cast(user_id % 2 as int)").as("v"))
+      .groupBy("v")
+      .agg(qCols.head, qCols.tail: _*)
+    val wideCols = ps.flatMap { case (_, sfx, _) =>
+      Seq(max(when(col("v") === 0, col(s"q$sfx"))).as(s"c$sfx"),
+        max(when(col("v") === 1, col(s"q$sfx"))).as(s"t$sfx"))
+    }
+    val wide = arms.groupBy().agg(wideCols.head, wideCols.tail: _*)
+    val stackArgs = ps.map { case (lbl, sfx, _) =>
+      s"'$lbl', c$sfx, t$sfx"
+    }.mkString(", ")
+    wide.select(expr(
+        s"stack(${ps.size}, $stackArgs) as (quantile, control, treat)"))
+      .withColumn("qte",
+        round(col("treat") - col("control"), 6))
+      .orderBy("quantile")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_qte"           -> evQte _,
     "ev_cuped"         -> evCuped _,
     "sample_neyman"    -> sampleNeyman _,
     "ev_ab_srm"        -> evAbSrm _,
@@ -855,6 +893,29 @@ object StatsOps {
       |    ON s.event_type = d.event_type AND s.day = d.day)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // exact quantile_cont ≡ percentile per arm; deltas on the rounded
+    // values (exact operands both sides)
+    "ev_qte" -> {
+      val ps = Seq("0.10", "0.25", "0.50", "0.75", "0.90")
+      val armCols = (v: Int, pfx: String) => ps.map(p =>
+        s"round(quantile_cont(CAST(value AS DOUBLE), $p), 6)" +
+          s" AS ${pfx}${p.replace(".", "")}").mkString(",\n        |    ")
+      val rows = ps.map(p =>
+        s"SELECT '$p' AS quantile, c.c${p.replace(".", "")} AS control," +
+          s" t.t${p.replace(".", "")} AS treat FROM c, t")
+        .mkString("\nUNION ALL\n")
+      s"""WITH a AS MATERIALIZED (
+        |  SELECT value, CAST(user_id % 2 AS INTEGER) AS v FROM events),
+        |c AS (SELECT
+        |    ${armCols(0, "c")}
+        |  FROM a WHERE v = 0),
+        |t AS (SELECT
+        |    ${armCols(1, "t")}
+        |  FROM a WHERE v = 1)
+        |SELECT quantile, control, treat,
+        |  round(treat - control, 6) AS qte
+        |FROM ($rows) ORDER BY quantile""".stripMargin
+    },
     // identical µs-midpoint split, exact-DECIMAL user sums, fixed
     // double theta tree, per-user decimal(18,6) quantization
     "ev_cuped" ->

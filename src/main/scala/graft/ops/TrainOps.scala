@@ -685,6 +685,20 @@ object TrainOps {
     * rounds; every cached word table unpersists before return. */
   def bpeTrain(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    val (merges, lastWords) = bpeTrainRounds(s, d)
+    lastWords.unpersist(false)
+    merges.map { case (k, dispPair, _, n) => (k, dispPair, n) }
+      .toDF("round", "pair", "n").orderBy("round")
+  }
+
+  /** The shared 5-round BPE training loop behind [[bpeTrain]] and
+    * [[bpeEncode]]: returns (merge rows (round, display pair, RAW
+    * sentinel pair, pre-merge count), final rewritten word table).
+    * The caller that consumes the word table must do so before the
+    * session drops the (unpersisted-on-return) cache lineage — both
+    * callers aggregate it immediately. */
+  private def bpeTrainRounds(s: SparkSession, d: String)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
     val rounds = 5
     val pairExpr =
       """CASE WHEN length(w) < 2 THEN cast(array() as array<string>)
@@ -713,10 +727,45 @@ object TrainOps {
           .as("w"))
         .persist()
       frames += words
-      (k, disp(k.toChar), n)
+      (k, disp(k.toChar), mp, n)
     }
-    frames.foreach(_.unpersist(false))
-    merges.toDF("round", "pair", "n").orderBy("round")
+    frames.dropRight(1).foreach(_.unpersist(false))
+    (merges, words)
+  }
+
+  /** T175: apply the trained merges — the ENCODE side of the
+    * tokenizer loop [[bpeTrain]] only learns: every corpus word
+    * rewritten through the 5 learned merges (each remaining char or
+    * sentinel = one token), reported as the compression panel a
+    * tokenizer build signs off on: words, chars, tokens after
+    * merging, and the achieved chars-per-token. One extra corpus
+    * aggregate over the training loop's final word table — the merge
+    * table itself arrives as V bounded driver scalars. */
+  def bpeEncode(s: SparkSession, d: String): DataFrame = {
+    val (_, encoded) = bpeTrainRounds(s, d)
+    val out = encoded.agg(
+      count(lit(1)).as("n_words"),
+      sum(expr("length(replace(replace(replace(replace(replace(w," +
+        " chr(1), '11'), chr(2), '22'), chr(3), '33'), chr(4), '44')," +
+        " chr(5), '55'))") - length(col("w"))).as("n_merged_syms"),
+      sum(length(col("w"))).as("n_tokens"))
+    val chars = Tables.documents(s, d)
+      .select(explode(expr(
+        """filter(split(trim(lower(text)), '\\s+'), t -> t != '')"""))
+        .as("w"))
+      .agg(sum(length(col("w"))).as("n_chars"))
+    val res = out.crossJoin(chars)
+      .select(col("n_words"), col("n_chars"), col("n_tokens"),
+        col("n_merged_syms"),
+        round(col("n_chars").cast("double")
+          / col("n_tokens").cast("double"), 6).as("chars_per_token"))
+    val forced = res.collect() // consume before cache teardown
+    encoded.unpersist(false)
+    import s.implicits._
+    forced.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+      .toSeq.toDF("n_words", "n_chars", "n_tokens", "n_merged_syms",
+        "chars_per_token")
   }
 
   /** Corpus-unigram-LM quality score (perplexity-style filter): train
@@ -1120,6 +1169,7 @@ object TrainOps {
     "mix_epochs"         -> mixEpochs _,
     "bpe_merge"          -> bpeMerge _,
     "bpe_train"          -> bpeTrain _,
+    "bpe_encode"         -> bpeEncode _,
     "corpus_stats"       -> corpusStats _,
     "emb_outliers"       -> embOutliers _,
     "sample_importance"  -> sampleImportance _,
@@ -1166,6 +1216,34 @@ object TrainOps {
       |    CAST((start_off + n_tokens - 1) // 512 - start_off // 512 + 1
       |      AS INTEGER) AS n_chunks
       |  FROM p)""".stripMargin
+
+  /** The 5 unrolled BPE training rounds (w0 tokenize → per-round
+    * count/argmax/rewrite), shared verbatim by the bpe_train and
+    * bpe_encode oracles. */
+  private lazy val bpeOracleCtes: String = {
+    val pairSel = (src: String) =>
+      s"""SELECT unnest(CASE WHEN length(w) < 2 THEN []::VARCHAR[]
+         |    ELSE list_transform(range(1, length(w)),
+         |      i -> substr(w, i, 2)) END) AS pair
+         |  FROM $src""".stripMargin
+    val rounds = (1 to 5).map { k =>
+      s"""pc$k AS MATERIALIZED (
+         |  SELECT pair, COUNT(*) AS n
+         |  FROM (${pairSel(s"w${k - 1}")}) GROUP BY 1),
+         |t$k AS MATERIALIZED (
+         |  SELECT pair AS mp, n FROM pc$k
+         |  ORDER BY n DESC, pair LIMIT 1),
+         |w$k AS MATERIALIZED (
+         |  SELECT replace(w${k - 1}.w, t$k.mp, chr($k)) AS w
+         |  FROM w${k - 1}, t$k)""".stripMargin
+    }.mkString(",\n")
+    s"""w0 AS MATERIALIZED (
+       |  SELECT unnest(list_filter(
+       |    string_split_regex(trim(lower(text)), '\\s+'),
+       |    x -> x != '')) AS w
+       |  FROM documents),
+       |$rounds""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     // identical md5-mod draws (strpos hex fold), monolithic supplier
@@ -1610,22 +1688,6 @@ object TrainOps {
     // engine's driver-side recursive expansion (distinct control
     // chars, so replace order is immaterial)
     "bpe_train" -> {
-      val pairSel = (src: String) =>
-        s"""SELECT unnest(CASE WHEN length(w) < 2 THEN []::VARCHAR[]
-           |    ELSE list_transform(range(1, length(w)),
-           |      i -> substr(w, i, 2)) END) AS pair
-           |  FROM $src""".stripMargin
-      val rounds = (1 to 5).map { k =>
-        s"""pc$k AS MATERIALIZED (
-           |  SELECT pair, COUNT(*) AS n
-           |  FROM (${pairSel(s"w${k - 1}")}) GROUP BY 1),
-           |t$k AS MATERIALIZED (
-           |  SELECT pair AS mp, n FROM pc$k
-           |  ORDER BY n DESC, pair LIMIT 1),
-           |w$k AS MATERIALIZED (
-           |  SELECT replace(w${k - 1}.w, t$k.mp, chr($k)) AS w
-           |  FROM w${k - 1}, t$k)""".stripMargin
-      }.mkString(",\n")
       val disp = (1 to 5).map { k =>
         val chain = (1 until k).foldLeft(s"t$k.mp")((acc, j) =>
           s"replace($acc, chr($j), '<' || d$j.d || '>')")
@@ -1635,15 +1697,29 @@ object TrainOps {
       val out = (1 to 5).map(k =>
         s"SELECT CAST($k AS INTEGER) AS round, d AS pair, n FROM d$k")
         .mkString("\nUNION ALL\n")
-      s"""WITH w0 AS MATERIALIZED (
-         |  SELECT unnest(list_filter(
-         |    string_split_regex(trim(lower(text)), '\\s+'),
-         |    x -> x != '')) AS w
-         |  FROM documents),
-         |$rounds,
+      s"""WITH $bpeOracleCtes,
          |$disp
          |SELECT * FROM ($out) ORDER BY round""".stripMargin
     },
+    // the training-round CTEs verbatim, then one aggregate over the
+    // final word table; sentinel count via the same 2-char expansion
+    "bpe_encode" ->
+      s"""WITH $bpeOracleCtes,
+         |enc AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
+         |    CAST(SUM(length(w)) AS BIGINT) AS n_tokens,
+         |    CAST(SUM(length(replace(replace(replace(replace(replace(w,
+         |      chr(1), '11'), chr(2), '22'), chr(3), '33'),
+         |      chr(4), '44'), chr(5), '55')) - length(w)) AS BIGINT)
+         |      AS n_merged_syms
+         |  FROM w5),
+         |ch AS (SELECT CAST(SUM(length(w)) AS BIGINT) AS n_chars
+         |       FROM w0)
+         |SELECT enc.n_words, ch.n_chars, enc.n_tokens,
+         |  enc.n_merged_syms,
+         |  round(CAST(ch.n_chars AS DOUBLE)
+         |    / CAST(enc.n_tokens AS DOUBLE), 6) AS chars_per_token
+         |FROM enc, ch""".stripMargin,
     "bpe_pairs" ->
       """WITH w AS (
         |  SELECT unnest(list_filter(

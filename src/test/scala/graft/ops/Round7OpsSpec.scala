@@ -230,4 +230,51 @@ class Round7OpsSpec extends SparkFunSuite {
     assert(got == Seq(("exact", 1L, 0.0), ("major", 1L, 5.0),
       ("minor", 1L, 0.5), ("missing_lines", 1L, 0.0)))
   }
+
+  test("ev_qte: shifted arm distributions give a constant -1 QTE") {
+    val d = Files.createTempDirectory("qte").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // user i has value i → control arm (even ids) holds 2,4..20 and
+    // treat (odd) holds 1,3..19: treat = control shifted by -1 at
+    // every quantile; interpolated values hand-checked
+    (1 to 20).map(i => (i.toLong, t0, i.toLong, "view", i.toDouble))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$d/events.parquet")
+    val got = StatsOps.evQte(spark, d).collect().toSeq
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(got == Seq(
+      ("0.10", 3.8, 2.8, -1.0), ("0.25", 6.5, 5.5, -1.0),
+      ("0.50", 11.0, 10.0, -1.0), ("0.75", 15.5, 14.5, -1.0),
+      ("0.90", 18.2, 17.2, -1.0)))
+  }
+
+  test("bpe_encode: banana corpus compresses 19 chars to 5 tokens") {
+    val d = Files.createTempDirectory("bpeenc").toString
+    Seq((1L, "banana banana"), (2L, "bandana"))
+      .toDF("doc_id", "text").write.parquet(s"$d/documents.parquet")
+    // after the 5 traced merges: banana → 1 sentinel token (x2),
+    // bandana → "(b<an>)d"-sentinel + "<an>a"-sentinel = 2 tokens;
+    // sentinels on the wire: 1+1+2 = 4; 19 chars / 4 tokens = 4.75
+    val r = TrainOps.bpeEncode(spark, d).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getDouble(4)) == ((3L, 19L, 4L, 4L, 4.75)))
+  }
+
+  test("graph_walk_pairs: window-2 skip-grams from the chain walks") {
+    val d = Files.createTempDirectory("walkpairs").toString
+    Seq((10L, 1L), (20L, 2L), (21L, 2L))
+      .toDF("o_orderkey", "o_custkey").write.parquet(s"$d/orders.parquet")
+    Seq((10L, 1L), (20L, 1L), (21L, 2L))
+      .toDF("l_orderkey", "l_suppkey").write.parquet(s"$d/lineitem.parquet")
+    val got = GraphOps.graphWalkPairs(spark, d).collect().toSeq
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // two full 5-node walks (c1, c2), each contributing
+    // 2*4 distance-1 + 2*3 distance-2 = 14 directed pairs
+    assert(got.map(_._3).sum == 28L)
+    val nodes = Set("c1", "c2", "s1", "s2")
+    got.foreach { case (c, x, _) =>
+      assert(nodes.contains(c) && nodes.contains(x))
+    }
+  }
 }
