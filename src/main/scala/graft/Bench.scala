@@ -61,7 +61,10 @@ object Bench {
     val os = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean
     val load = os.getSystemLoadAverage
+    // sanitized: a quote/backslash in the env var must not corrupt
+    // the (append-preserved) JSON lines file
     val label = sys.env.getOrElse("SPARK_GRAFT_BENCH_LABEL", "run")
+      .replaceAll("[\"\\\\\n\r\t]", "_")
     val detail =
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"label":"$label","host_load":$load,"cpus_avail":${os.getAvailableProcessors},"ts_s":${System.currentTimeMillis / 1000},"queries":$qs,"sf":"$sfDir"}"""
     println(detail)

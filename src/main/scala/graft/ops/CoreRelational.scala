@@ -726,6 +726,9 @@ object CoreRelational {
           .as("est_merged"),
         max(when(col("which") === "est_full", col("est")))
           .as("est_full"))
+      // a type whose users are all one parity has no half estimate;
+      // the panel drops it (the oracle's inner joins do the same)
+      .filter(col("est_even").isNotNull && col("est_odd").isNotNull)
       .withColumn("merged_equals_full",
         (col("est_merged") === col("est_full")).cast("int"))
       .orderBy(col("event_type"))

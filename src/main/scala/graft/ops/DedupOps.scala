@@ -782,6 +782,23 @@ object DedupOps {
     "dedup_embed"      -> dedupEmbed _,
     "dedup_embed_lsh"  -> dedupEmbedLsh _)
 
+  /** The SymSpell deletion-neighborhood candidate CTEs (`cand` =
+    * provable-recall-at-distance-1 pairs), shared verbatim by the
+    * dedup_fuzzy and dedup_jarowinkler oracles — one copy, so the
+    * recall argument can never desynchronize between them. */
+  private lazy val symspellCandCtes: String =
+    """WITH v AS MATERIALIZED (
+        |  SELECT c_custkey, UNNEST(list_distinct(list_prepend(c_name,
+        |    list_transform(range(1, len(c_name) + 1),
+        |      i -> substr(c_name, 1, CAST(i AS INTEGER) - 1) ||
+        |           substr(c_name, CAST(i AS INTEGER) + 1)))))
+        |    AS del
+        |  FROM customer),
+        |cand AS MATERIALIZED (
+        |  SELECT DISTINCT a.c_custkey AS a_key, b.c_custkey AS b_key
+        |  FROM v a JOIN v b ON a.del = b.del
+        |    AND a.c_custkey < b.c_custkey)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // the text_winnow fingerprint chain, then the exact fp-bucket pair
     // expansion (buckets stay below the 64 cap at test scale, so the
@@ -839,17 +856,7 @@ object DedupOps {
     // with exact levenshtein — so the result set is identical to the
     // all-pairs scan, at ~1/30 the DuckDB cost (round-6 gate fix)
     "dedup_fuzzy" ->
-      """WITH v AS MATERIALIZED (
-        |  SELECT c_custkey, UNNEST(list_distinct(list_prepend(c_name,
-        |    list_transform(range(1, len(c_name) + 1),
-        |      i -> substr(c_name, 1, CAST(i AS INTEGER) - 1)
-        |           || substr(c_name, CAST(i AS INTEGER) + 1)))))
-        |    AS del
-        |  FROM customer),
-        |cand AS MATERIALIZED (
-        |  SELECT DISTINCT a.c_custkey AS a_key, b.c_custkey AS b_key
-        |  FROM v a JOIN v b ON a.del = b.del
-        |    AND a.c_custkey < b.c_custkey)
+      s"""$symspellCandCtes
         |SELECT c.a_key, c.b_key, a.c_name AS name_a, b.c_name AS name_b,
         |  CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
         |FROM cand c
@@ -862,17 +869,7 @@ object DedupOps {
     // codegen expression (semantics pinned: window, transpositions,
     // 0.7 boost gate)
     "dedup_jarowinkler" ->
-      """WITH v AS MATERIALIZED (
-        |  SELECT c_custkey, UNNEST(list_distinct(list_prepend(c_name,
-        |    list_transform(range(1, len(c_name) + 1),
-        |      i -> substr(c_name, 1, CAST(i AS INTEGER) - 1)
-        |           || substr(c_name, CAST(i AS INTEGER) + 1)))))
-        |    AS del
-        |  FROM customer),
-        |cand AS MATERIALIZED (
-        |  SELECT DISTINCT a.c_custkey AS a_key, b.c_custkey AS b_key
-        |  FROM v a JOIN v b ON a.del = b.del
-        |    AND a.c_custkey < b.c_custkey)
+      s"""$symspellCandCtes
         |SELECT c.a_key, c.b_key, a.c_name AS name_a, b.c_name AS name_b,
         |  CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist,
         |  round(jaro_winkler_similarity(a.c_name, b.c_name), 6) AS jw

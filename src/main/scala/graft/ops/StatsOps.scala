@@ -722,12 +722,17 @@ object StatsOps {
       .withColumn("wq", expr(
         "cast(floor(cast(nh as double) * std_v * 1000000.0 + 0.5)" +
           " as bigint)"))
-    val tot = st.agg(sum("wq").as("sumwq"))
+    // all-zero weights (every stratum constant or single-row) fall
+    // back to PROPORTIONAL allocation by stratum size — without this
+    // the div/mod by zero would null every allocation
+    val tot = st.agg(sum("wq").as("wsum"), sum("nh").as("nsum"))
     val wp = Window.partitionBy(lit(1)) // |strata|-row bounded panel
     val wr = Window.orderBy(col("fr").desc, col("event_type").asc)
     st.crossJoin(broadcast(tot))
-      .withColumn("base", expr(s"$budget * wq div sumwq"))
-      .withColumn("fr", expr(s"($budget * wq) % sumwq"))
+      .withColumn("ew", expr("case when wsum = 0 then nh else wq end"))
+      .withColumn("sumwq", expr("case when wsum = 0 then nsum else wsum end"))
+      .withColumn("base", expr(s"$budget * ew div sumwq"))
+      .withColumn("fr", expr(s"($budget * ew) % sumwq"))
       .withColumn("rsum", sum(col("fr")).over(wp))
       .withColumn("r", expr("rsum div sumwq"))
       .withColumn("rn", row_number().over(wr))
@@ -994,20 +999,26 @@ object StatsOps {
         |    CAST(floor(CAST(nh AS DOUBLE) * std_v * 1000000.0 + 0.5)
         |      AS BIGINT) AS wq
         |  FROM w),
-        |t AS (SELECT CAST(SUM(wq) AS BIGINT) AS sumwq,
-        |             CAST(SUM((1000 * wq) % sumwq_) AS BIGINT) AS rsum
-        |      FROM q, (SELECT CAST(SUM(wq) AS BIGINT) AS sumwq_ FROM q)),
+        |q2 AS (
+        |  SELECT q.*, CASE WHEN t0.wsum = 0 THEN nh ELSE wq END AS ew,
+        |    CASE WHEN t0.wsum = 0 THEN t0.nsum ELSE t0.wsum END
+        |      AS sumwq
+        |  FROM q, (SELECT CAST(SUM(wq) AS BIGINT) AS wsum,
+        |             CAST(SUM(nh) AS BIGINT) AS nsum FROM q) t0),
+        |t AS (SELECT CAST(SUM((1000 * ew) % sumwq) AS BIGINT) AS rsum,
+        |             MAX(sumwq) AS sumwq
+        |      FROM q2),
         |rk AS (
-        |  SELECT q.*, t.sumwq, t.rsum,
-        |    (1000 * wq) // t.sumwq AS base,
-        |    (1000 * wq) % t.sumwq AS fr,
-        |    row_number() OVER (ORDER BY (1000 * wq) % t.sumwq DESC,
+        |  SELECT q2.*, t.rsum,
+        |    (1000 * ew) // q2.sumwq AS base,
+        |    (1000 * ew) % q2.sumwq AS fr,
+        |    row_number() OVER (ORDER BY (1000 * ew) % q2.sumwq DESC,
         |      event_type ASC) AS rn
-        |  FROM q, t)
+        |  FROM q2, t)
         |SELECT event_type, CAST(nh AS BIGINT) AS n_rows, mean_v,
         |  round(std_v, 6) AS std_v, wq,
-        |  CAST(base + CASE WHEN rn <= rsum // sumwq THEN 1 ELSE 0 END
-        |    AS BIGINT) AS alloc
+        |  CAST(base + CASE WHEN rn <= rsum // rk.sumwq THEN 1 ELSE 0
+        |    END AS BIGINT) AS alloc
         |FROM rk ORDER BY event_type""".stripMargin,
     // same parity split, identical fixed chi-square expression
     "ev_ab_srm" ->

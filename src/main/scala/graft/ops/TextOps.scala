@@ -902,6 +902,24 @@ object TextOps {
       .orderBy(col("s1"), col("s2"))
   }
 
+  /** The content-defined-chunking expressions shared VERBATIM by
+    * [[textCdcChunks]] and [[textBoilerplateFrac]] — one copy, so the
+    * cut rule can never drift between the panel and its consumer. */
+  private val cdcCutsExpr =
+    """concat(array(0L),
+      | CASE WHEN length(t) < 8 THEN cast(array() as array<bigint>)
+      |   ELSE transform(filter(sequence(1L, length(t) - 7),
+      |     p -> substring(md5(substring(t, cast(p as int), 8)), 1, 1)
+      |            = '0'),
+      |   p -> p + 7) END,
+      | array(cast(length(t) as bigint)))""".stripMargin
+
+  private val cdcChunksExpr =
+    """filter(transform(sequence(1, size(cuts) - 1),
+      |  i -> substring(t, cast(element_at(cuts, i) + 1 as int),
+      |    cast(element_at(cuts, i + 1) - element_at(cuts, i)
+      |      as int))), c -> c != '')""".stripMargin
+
   /** T169: content-defined chunking + duplicate-chunk panel (the
     * FastCDC/rsync idea re-expressed for corpus boilerplate
     * detection): cut points are where the md5 of the 8-char gram
@@ -920,22 +938,10 @@ object TextOps {
     * guard behind a CASE (DuckDB's `range` just empties — the guard
     * is mirrored for parity). */
   def textCdcChunks(s: SparkSession, d: String): DataFrame = {
-    val cuts =
-      """concat(array(0L),
-        | CASE WHEN length(t) < 8 THEN cast(array() as array<bigint>)
-        |   ELSE transform(filter(sequence(1L, length(t) - 7),
-        |     p -> substring(md5(substring(t, cast(p as int), 8)), 1, 1)
-        |            = '0'),
-        |   p -> p + 7) END,
-        | array(cast(length(t) as bigint)))""".stripMargin
     Tables.documents(s, d)
       .select(col("doc_id"), col("text").as("t"))
-      .withColumn("cuts", expr(cuts))
-      .select(col("doc_id"), explode(expr(
-        """filter(transform(sequence(1, size(cuts) - 1),
-          |  i -> substring(t, cast(element_at(cuts, i) + 1 as int),
-          |    cast(element_at(cuts, i + 1) - element_at(cuts, i)
-          |      as int))), c -> c != '')""".stripMargin)).as("chunk"))
+      .withColumn("cuts", expr(cdcCutsExpr))
+      .select(col("doc_id"), explode(expr(cdcChunksExpr)).as("chunk"))
       .groupBy(md5(col("chunk")).as("chunk_md5"))
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_occur"),
@@ -957,22 +963,10 @@ object TextOps {
     * (map-side combinable), one hash join back, one per-doc
     * conditional-sum aggregate — no self-join, no window. */
   def textBoilerplateFrac(s: SparkSession, d: String): DataFrame = {
-    val cuts =
-      """concat(array(0L),
-        | CASE WHEN length(t) < 8 THEN cast(array() as array<bigint>)
-        |   ELSE transform(filter(sequence(1L, length(t) - 7),
-        |     p -> substring(md5(substring(t, cast(p as int), 8)), 1, 1)
-        |            = '0'),
-        |   p -> p + 7) END,
-        | array(cast(length(t) as bigint)))""".stripMargin
     val chunks = Tables.documents(s, d)
       .select(col("doc_id"), col("text").as("t"))
-      .withColumn("cuts", expr(cuts))
-      .select(col("doc_id"), explode(expr(
-        """filter(transform(sequence(1, size(cuts) - 1),
-          |  i -> substring(t, cast(element_at(cuts, i) + 1 as int),
-          |    cast(element_at(cuts, i + 1) - element_at(cuts, i)
-          |      as int))), c -> c != '')""".stripMargin)).as("chunk"))
+      .withColumn("cuts", expr(cdcCutsExpr))
+      .select(col("doc_id"), explode(expr(cdcChunksExpr)).as("chunk"))
       .select(col("doc_id"), md5(col("chunk")).as("h"),
         length(col("chunk")).as("clen"))
     val spread = chunks.groupBy("h")
@@ -1045,10 +1039,10 @@ object TextOps {
       |      AS detected_lang
       |  FROM s)""".stripMargin
 
-  val oracles: Map[String, String] = Map(
-    // same chunk derivation; shared = hash spans >= 2 distinct docs
-    "text_boilerplate" ->
-      """WITH cx AS MATERIALIZED (
+  /** The CDC cut/chunk CTE chain (`chx` = exploded chunks), shared
+    * verbatim by the text_cdc_chunks and text_boilerplate oracles. */
+  private lazy val cdcOracleCtes: String =
+    """cx AS MATERIALIZED (
         |  SELECT doc_id,
         |    list_concat(list_concat([CAST(0 AS BIGINT)],
         |      list_transform(list_filter(
@@ -1059,15 +1053,21 @@ object TextOps {
         |      [CAST(length(t) AS BIGINT)]) AS cuts,
         |    t
         |  FROM (SELECT doc_id, text AS t FROM documents)),
+        |chx AS MATERIALIZED (
+        |  SELECT doc_id, UNNEST(list_filter(
+        |    list_transform(range(1, len(cuts)),
+        |      i -> substr(t, CAST(cuts[i] + 1 AS INTEGER),
+        |        CAST(cuts[i + 1] - cuts[i] AS INTEGER))),
+        |    c -> c != '')) AS chunk
+        |  FROM cx)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    // same chunk derivation; shared = hash spans >= 2 distinct docs
+    "text_boilerplate" ->
+      s"""WITH $cdcOracleCtes,
         |ch AS MATERIALIZED (
         |  SELECT doc_id, md5(chunk) AS h, length(chunk) AS clen
-        |  FROM (
-        |    SELECT doc_id, UNNEST(list_filter(
-        |      list_transform(range(1, len(cuts)),
-        |        i -> substr(t, CAST(cuts[i] + 1 AS INTEGER),
-        |          CAST(cuts[i + 1] - cuts[i] AS INTEGER))),
-        |      c -> c != '')) AS chunk
-        |    FROM cx)),
+        |  FROM chx),
         |sp AS MATERIALIZED (
         |  SELECT h, COUNT(DISTINCT doc_id) AS n_docs
         |  FROM ch GROUP BY h)
@@ -1083,29 +1083,12 @@ object TextOps {
     // spread-ordered top-20 (DuckDB's range already empties on short
     // docs; the guard mirrors the engine's sequence() reversal guard)
     "text_cdc_chunks" ->
-      """WITH cx AS MATERIALIZED (
-        |  SELECT doc_id,
-        |    list_concat(list_concat([CAST(0 AS BIGINT)],
-        |      list_transform(list_filter(
-        |        range(1, greatest(length(t) - 6, 1)),
-        |        p -> substr(md5(substr(t, CAST(p AS INTEGER), 8)),
-        |               1, 1) = '0'),
-        |        p -> p + 7)),
-        |      [CAST(length(t) AS BIGINT)]) AS cuts,
-        |    t
-        |  FROM (SELECT doc_id, text AS t FROM documents)),
-        |ch AS MATERIALIZED (
-        |  SELECT doc_id, UNNEST(list_filter(
-        |    list_transform(range(1, len(cuts)),
-        |      i -> substr(t, CAST(cuts[i] + 1 AS INTEGER),
-        |        CAST(cuts[i + 1] - cuts[i] AS INTEGER))),
-        |    c -> c != '')) AS chunk
-        |  FROM cx)
+      s"""WITH $cdcOracleCtes
         |SELECT md5(chunk) AS chunk_md5,
         |  COUNT(DISTINCT doc_id) AS n_docs,
         |  COUNT(*) AS n_occur,
         |  CAST(MAX(length(chunk)) AS INTEGER) AS chunk_len
-        |FROM ch GROUP BY 1
+        |FROM chx GROUP BY 1
         |ORDER BY n_docs DESC, n_occur DESC, chunk_md5 ASC
         |LIMIT 20""".stripMargin,
     // monolithic ntile replay of the two-level decile rank; identical

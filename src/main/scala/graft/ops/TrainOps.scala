@@ -685,8 +685,8 @@ object TrainOps {
     * rounds; every cached word table unpersists before return. */
   def bpeTrain(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val (merges, lastWords) = bpeTrainRounds(s, d)
-    lastWords.unpersist(false)
+    val (merges, _, frames) = bpeTrainRounds(s, d)
+    frames.foreach(_.unpersist(false))
     merges.map { case (k, dispPair, _, n) => (k, dispPair, n) }
       .toDF("round", "pair", "n").orderBy("round")
   }
@@ -694,11 +694,12 @@ object TrainOps {
   /** The shared 5-round BPE training loop behind [[bpeTrain]] and
     * [[bpeEncode]]: returns (merge rows (round, display pair, RAW
     * sentinel pair, pre-merge count), final rewritten word table).
-    * The caller that consumes the word table must do so before the
-    * session drops the (unpersisted-on-return) cache lineage — both
-    * callers aggregate it immediately. */
+    * Returns the persisted frames too: the CALLER unpersists them
+    * after consuming the word table (teardown here would force a
+    * full chain recompute in bpeEncode). */
   private def bpeTrainRounds(s: SparkSession, d: String)
-      : (Seq[(Int, String, String, Long)], DataFrame) = {
+      : (Seq[(Int, String, String, Long)], DataFrame,
+         Seq[DataFrame]) = {
     val rounds = 5
     val pairExpr =
       """CASE WHEN length(w) < 2 THEN cast(array() as array<string>)
@@ -711,26 +712,37 @@ object TrainOps {
       .persist()
     val frames = scala.collection.mutable.Buffer(words)
     val disp = scala.collection.mutable.Map[Char, String]()
+    // unknown control chars (hostile corpus bytes that are not our
+    // sentinels) pass through verbatim instead of throwing; corpus
+    // text containing literal chr(1)..chr(5) is a documented limit
+    // (binary-ish text needs an escape scheme before BPE)
     def expand(p: String): String = p.flatMap { c =>
-      if (c < ' ') "<" + disp(c) + ">" else c.toString
+      if (c < ' ' && disp.contains(c)) "<" + disp(c) + ">"
+      else c.toString
     }
-    val merges = (1 to rounds).map { k =>
-      // the 1-row bounded argmax; also materializes `words`' cache
+    val merges = (1 to rounds).iterator.map { k =>
+      // the 1-row bounded argmax; also materializes `words`' cache.
+      // headOption: a degenerate corpus can exhaust all adjacent
+      // pairs before round V — stop early (the oracle's empty-t_k
+      // CTEs emit exactly the same truncated merge table)
       val top = words.select(explode(expr(pairExpr)).as("pair"))
         .groupBy("pair").agg(count(lit(1)).as("n"))
         .orderBy(desc("n"), col("pair")).limit(1)
-        .collect().head
-      val (mp, n) = (top.getString(0), top.getLong(1))
-      disp(k.toChar) = expand(mp)
-      words = words
-        .select(replace(col("w"), lit(mp), lit(k.toChar.toString))
-          .as("w"))
-        .persist()
-      frames += words
-      (k, disp(k.toChar), mp, n)
-    }
-    frames.dropRight(1).foreach(_.unpersist(false))
-    (merges, words)
+        .collect().headOption
+      top.map { t =>
+        val (mp, n) = (t.getString(0), t.getLong(1))
+        disp(k.toChar) = expand(mp)
+        words = words
+          .select(replace(col("w"), lit(mp), lit(k.toChar.toString))
+            .as("w"))
+          .persist()
+        frames += words
+        (k, disp(k.toChar), mp, n)
+      }
+    }.takeWhile(_.isDefined).flatten.toSeq
+    // caches stay live until the CALLER has consumed the word table —
+    // unpersisting here would force a full chain recompute
+    (merges, words, frames.toSeq)
   }
 
   /** T175: apply the trained merges — the ENCODE side of the
@@ -742,7 +754,7 @@ object TrainOps {
     * aggregate over the training loop's final word table — the merge
     * table itself arrives as V bounded driver scalars. */
   def bpeEncode(s: SparkSession, d: String): DataFrame = {
-    val (_, encoded) = bpeTrainRounds(s, d)
+    val (_, encoded, frames) = bpeTrainRounds(s, d)
     val out = encoded.agg(
       count(lit(1)).as("n_words"),
       sum(expr("length(replace(replace(replace(replace(replace(w," +
@@ -760,7 +772,7 @@ object TrainOps {
         round(col("n_chars").cast("double")
           / col("n_tokens").cast("double"), 6).as("chars_per_token"))
     val forced = res.collect() // consume before cache teardown
-    encoded.unpersist(false)
+    frames.foreach(_.unpersist(false))
     import s.implicits._
     forced.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getDouble(4)))

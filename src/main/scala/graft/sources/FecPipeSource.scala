@@ -52,9 +52,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *    UTF-8; the reader used to follow the JVM locale). Malformed
   *    byte sequences decode to U+FFFD instead of killing the task —
   *    the Spark CSV reader's behavior.
-  *  - **Only final `.txt` files are data**: batch and micro-batch
-  *    listings skip `.tmp` temps, so crash litter from an aborted
-  *    write (or an in-flight writer) is never scanned as data.
+  *  - **In-flight `.tmp` temps are never data**: batch and micro-
+  *    batch listings exclude them, so crash litter from an aborted
+  *    write (or an in-flight writer) is never scanned as data — any
+  *    other extension (pre-existing feed layouts) still reads.
   *  - **Wrong field counts fail loudly by default**: a line whose
   *    split width ≠ the schema width throws with file + line number
   *    (`option("mode", "fail")`, the default). `mode=drop` skips and
@@ -112,19 +113,24 @@ final class FecPipeTable(schema: StructType, props: Map[String, String])
   }
 }
 
-/** Shared directory listing: FINAL data files only (`*.txt` — never
-  * in-flight/crash-litter `*.tmp` temps), name-sorted, and the
-  * `Files.list` stream is closed (it holds a directory fd; streaming
-  * re-lists every trigger). A non-directory path is taken verbatim —
-  * the caller explicitly named that file. */
+/** Shared directory listing: data files only — every regular file
+  * EXCEPT in-flight/crash-litter `*.tmp` temps (pre-existing feed
+  * layouts may use any extension, so the filter excludes temps
+  * rather than requiring `.txt`), name-sorted, and the `Files.list`
+  * stream is closed (it holds a directory fd; streaming re-lists
+  * every trigger). A non-directory path is taken verbatim — the
+  * caller explicitly named that file. */
 private[sources] object FecPipeFiles {
   def dataFiles(path: String): Seq[String] = {
     val p = Paths.get(path)
     if (Files.isDirectory(p)) {
       val st = Files.list(p)
       try st.iterator().asScala
-        .filter(f => Files.isRegularFile(f)
-          && f.getFileName.toString.endsWith(".txt"))
+        .filter { f =>
+          val n = f.getFileName.toString
+          Files.isRegularFile(f) && !n.endsWith(".tmp") &&
+            !n.endsWith(".bad") // quarantine output is never data
+        }
         .map(_.toString).toSeq.sorted
       finally st.close()
     } else Seq(p.toString)
@@ -172,8 +178,11 @@ final class FecPipeBatchWrite(schema: StructType, path: String,
     val dir = Paths.get(path)
     Files.createDirectories(dir)
     if (truncate)
-      FecPipeFiles.dataFiles(path).foreach(f =>
-        Files.delete(Paths.get(f)))
+      // delete exactly the previous generation this writer produced
+      // (.txt renames) — never unrelated files sharing the directory
+      FecPipeFiles.dataFiles(path)
+        .filter(_.endsWith(".txt"))
+        .foreach(f => Files.delete(Paths.get(f)))
     messages.foreach { case FecPipeCommit(tmp) =>
       val t = Paths.get(tmp)
       Files.move(t, t.resolveSibling(
