@@ -11,11 +11,50 @@ import org.apache.spark.sql.SparkSession
   * smallest scale factor: whole-stage-codegen classes are cached by
   * generated source, so the sf-measured runs reuse compiled+JIT-hot
   * code and the numbers reflect engine throughput, not JVM compilation.
+  *
+  * Load guard: round 7's driver run reported 731 s where the same code
+  * measured 192-203 s on quiet hosts — external contention in
+  * alphabetical bands. The run now self-flags (`"contaminated":true`)
+  * when the host is loaded at start (1-min load > 3) or when any
+  * trivially-cheap p- or f-class query exceeds 10x its BENCH_DETAIL
+  * median, so a polluted number never again costs a clean
+  * round-over-round signal.
   */
 object Bench {
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.isEmpty) 0.0
+    else if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
+
+  /** Per-query values from prior BENCH_DETAIL lines (best-effort: a
+    * malformed line is skipped, never fatal). */
+  private def priorQueryTimes(lines: Seq[String])
+      : Map[String, Seq[Double]] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    lines.flatMap { line =>
+      try JsonMethods.parse(line) \ "queries" match {
+        case JObject(fields) => fields.collect {
+          case (k, JDouble(v)) => k -> v
+          case (k, JInt(v))    => k -> v.toDouble
+          case (k, JDecimal(v)) => k -> v.toDouble
+        }
+        case _ => Nil
+      } catch { case _: Throwable => Nil }
+    }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val os = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean
+    // captured BEFORE the bench adds its own load: this is the
+    // competing-work signal, not self-load
+    val loadStart = os.getSystemLoadAverage
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -58,15 +97,34 @@ object Bench {
     // host_load is the 1-min system load average at end of run — on a
     // 32-thread host, a load far above the bench's own CPU use means
     // contention inflated the numbers.
-    val os = java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean
     val load = os.getSystemLoadAverage
-    // sanitized: a quote/backslash in the env var must not corrupt
-    // the (append-preserved) JSON lines file
+    // sanitized: a quote/backslash/control char in the env var must
+    // not corrupt the (append-preserved) JSON lines file — \p{Cntrl}
+    // covers U+0000-U+001F and U+007F, not just \n\r\t
     val label = sys.env.getOrElse("SPARK_GRAFT_BENCH_LABEL", "run")
-      .replaceAll("[\"\\\\\n\r\t]", "_")
+      .replaceAll("[\"\\\\\\p{Cntrl}]", "_")
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+      "BENCH_DETAIL.json")
+    val prior =
+      try {
+        val p = java.nio.file.Paths.get(detailPath)
+        if (java.nio.file.Files.exists(p))
+          new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+            .linesIterator.filter(_.nonEmpty).toSeq
+        else Seq.empty
+      } catch { case _: Throwable => Seq.empty[String] }
+    // contamination guard (round-7 ask #5): loaded host at start, OR a
+    // trivial pushed-down-filter query (p*/f* class) at 10x its own
+    // history with at least 1 s absolute — both are competing-load
+    // signatures, never code signatures.
+    val medians = priorQueryTimes(prior).map { case (k, vs) => k -> median(vs) }
+    val inflated = results.filter { case (k, v) =>
+      (k.startsWith("p") || k.startsWith("f")) &&
+        medians.get(k).exists(m => m > 0 && v > 10 * m && v > 1.0)
+    }.map(_._1)
+    val contaminated = loadStart > 3.0 || inflated.nonEmpty
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"label":"$label","host_load":$load,"cpus_avail":${os.getAvailableProcessors},"ts_s":${System.currentTimeMillis / 1000},"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"label":"$label","host_load":$load,"host_load_start":$loadStart,"contaminated":$contaminated,"inflated_trivial":${inflated.map("\"" + _ + "\"").mkString("[", ",", "]")},"cpus_avail":${os.getAvailableProcessors},"ts_s":${System.currentTimeMillis / 1000},"queries":$qs,"sf":"$sfDir"}"""
     println(detail)
     // Durable per-query map: stdout capture windows have truncated the
     // long line (and even the per-query lines) in past rounds, so the
@@ -74,15 +132,8 @@ object Bench {
     // window can eat. Records APPEND (bounded to the last 12) so the
     // file holds the builder's self-run AND the driver's run side by
     // side rather than whichever wrote last. Path overridable.
-    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
-      "BENCH_DETAIL.json")
     try {
       val p = java.nio.file.Paths.get(detailPath)
-      val prior =
-        if (java.nio.file.Files.exists(p))
-          new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-            .linesIterator.filter(_.nonEmpty).toSeq
-        else Seq.empty
       val kept = (prior :+ detail).takeRight(12)
       java.nio.file.Files.write(p,
         (kept.mkString("\n") + "\n").getBytes("UTF-8"))
@@ -94,7 +145,7 @@ object Bench {
       println(s"""{"metric":"query","name":"$k","value":$v,"unit":"sec"}""")
     }
     // compact total LAST: the last line always survives the tail.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","contaminated":$contaminated,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

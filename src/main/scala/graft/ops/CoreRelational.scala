@@ -2154,8 +2154,8 @@ object CoreRelational {
         |ORDER BY o_orderkey""".stripMargin,
     "w04_ranks" ->
       """SELECT l_orderkey, l_linenumber, l_quantity,
-        |  rank() OVER w AS rnk,
-        |  dense_rank() OVER w AS drnk,
+        |  CAST(rank() OVER w AS INT) AS rnk,
+        |  CAST(dense_rank() OVER w AS INT) AS drnk,
         |  round(percent_rank() OVER w, 6) AS prnk,
         |  round(cume_dist() OVER w, 6) AS cdist,
         |  CAST(ntile(3) OVER (PARTITION BY l_orderkey

@@ -327,7 +327,8 @@ object FuncOps {
     },
     "f17_flatten" ->
       """SELECT doc_id,
-        |  length(regexp_replace(text, '\n+', ' ', 'g')) AS flat_len,
+        |  CAST(length(regexp_replace(text, '\n+', ' ', 'g')) AS INT)
+        |    AS flat_len,
         |  md5(regexp_replace(text, '\n+', ' ', 'g')) AS flat_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
     "f21_dateparts" ->

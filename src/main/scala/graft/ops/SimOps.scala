@@ -1149,7 +1149,7 @@ object SimOps {
         |       * sqrt(list_sum(list_transform(q.q_emb,
         |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos
         |  FROM embeddings e, q WHERE e.vec_id != 0)
-        |SELECT label, rk, vec_id, cos FROM (
+        |SELECT label, CAST(rk AS INT) AS rk, vec_id, cos FROM (
         |  SELECT *, row_number() OVER
         |    (PARTITION BY label ORDER BY cos DESC, vec_id ASC) AS rk
         |  FROM sims)

@@ -546,7 +546,7 @@ object StatsOps {
       .select(col("event_type"), col("t").cast("int").as("t"), col("x"),
         expr("round(trend, 6)").as("trend"),
         expr("round(seasonal, 6)").as("seasonal"),
-        expr("round(cast(x as double) - trend - seasonal, 6)")
+        expr("round(cast(x as double) - trend - seasonal, 6) + 0.0")
           .as("residual"))
       .orderBy("event_type", "t")
   }
@@ -855,7 +855,175 @@ object StatsOps {
       .orderBy("quantile")
   }
 
+  /** T178: DIFFERENCE-IN-DIFFERENCES — the quasi-experimental readout
+    * when assignment isn't randomized per-exposure: mean event value
+    * per (parity arm × pre/post period around the event-time
+    * midpoint), effect = (treat_post − treat_pre) − (ctrl_post −
+    * ctrl_pre), netting out both the arm baseline and the common time
+    * trend. The four cell sums are exact DECIMAL; all double math
+    * happens once on the 1-row panel with the oracle's expression
+    * tree. One events scan → 4-group agg with a broadcast 1-row
+    * midpoint — scale-shape identical to [[evCuped]]. */
+  def evDiffInDiff(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("tu"),
+        col("value"))
+    val span = ev.agg(expr("(min(tu) + max(tu)) div 2").as("mid"))
+    val cells = ev.crossJoin(broadcast(span))
+      .select(expr("cast(user_id % 2 as int)").as("variant"),
+        expr("cast(tu > mid as int)").as("post"),
+        money(col("value")).as("v"))
+      .groupBy("variant", "post")
+      .agg(count(lit(1)).as("n"), sum("v").as("sv"))
+    def cell(v: Int, p: Int, c: String) =
+      max(when(col("variant") === v && col("post") === p, col(c)))
+    cells.groupBy()
+      .agg(cell(0, 0, "n").as("n_c_pre"), cell(0, 1, "n").as("n_c_post"),
+        cell(1, 0, "n").as("n_t_pre"), cell(1, 1, "n").as("n_t_post"),
+        cell(0, 0, "sv").as("s_c_pre"), cell(0, 1, "sv").as("s_c_post"),
+        cell(1, 0, "sv").as("s_t_pre"), cell(1, 1, "sv").as("s_t_post"))
+      .withColumn("m_c_pre",
+        expr("cast(s_c_pre as double) / cast(n_c_pre as double)"))
+      .withColumn("m_c_post",
+        expr("cast(s_c_post as double) / cast(n_c_post as double)"))
+      .withColumn("m_t_pre",
+        expr("cast(s_t_pre as double) / cast(n_t_pre as double)"))
+      .withColumn("m_t_post",
+        expr("cast(s_t_post as double) / cast(n_t_post as double)"))
+      .select(col("n_c_pre"), col("n_c_post"), col("n_t_pre"),
+        col("n_t_post"),
+        expr("round(m_c_pre, 6)").as("mean_ctrl_pre"),
+        expr("round(m_c_post, 6)").as("mean_ctrl_post"),
+        expr("round(m_t_pre, 6)").as("mean_treat_pre"),
+        expr("round(m_t_post, 6)").as("mean_treat_post"),
+        expr("round((m_t_post - m_t_pre) - (m_c_post - m_c_pre), 6)")
+          .as("did"))
+  }
+
+  /** T179: DELETE-ONE-GROUP JACKKNIFE standard error for the
+    * conversion rate — the variance machinery behind every ratio-
+    * metric CI at scale (users are not i.i.d. rows; bucket-level
+    * resampling is, and the jackknife is its deterministic form, no
+    * RNG): users hash into 20 buckets (md5 of the id — independent of
+    * the parity arms), θ_i = leave-bucket-i-out conversion rate,
+    * SE² = (G−1)/G · Σ(θ_i − θ̄)². Per-bucket (n, conv) fold first
+    * (corpus → 20 exact-integer rows), totals broadcast back; the
+    * 20 double θ-terms quantize to the 1e-9 grid before the variance
+    * sum (the sMAPE idiom) so accumulation order can't flip a bit. */
+  def evJackknife(s: SparkSession, d: String): DataFrame = {
+    val perUser = Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(expr("case when sum(case when event_type = 'purchase'" +
+        " then 1 else 0 end) >= 14 then 1 else 0 end").as("converted"))
+      .withColumn("g", expr(
+        "cast(conv(substring(md5(cast(user_id as string)), 1, 8)," +
+          " 16, 10) as bigint) % 20"))
+    val buckets = perUser.groupBy("g")
+      .agg(count(lit(1)).as("n"), sum("converted").as("c"))
+    val tot = buckets.agg(sum("n").as("tn"), sum("c").as("tc"),
+      count(lit(1)).as("gg"))
+    val theta = buckets.crossJoin(broadcast(tot))
+      .withColumn("th", expr(
+        "case when tn - n = 0 then null" +
+          " else cast(tc - c as double) / cast(tn - n as double) end"))
+      // decimal(18,9), NOT the usual (28,9) grid type: θ ∈ [0,1], and
+      // the variance sum below squares thq — (28,9)² needs precision
+      // 57, which Spark silently rescales to scale 6 (precision-loss
+      // rule), while (18,9)² = (37,18) stays exact under the 38 cap
+      .withColumn("thq", expr(
+        "cast(round(th, 9) as decimal(18,9))"))
+    theta.groupBy()
+      .agg(max("tn").as("n_users"), max("tc").as("n_conv"),
+        max("gg").as("g"), sum(col("thq")).as("sth"),
+        sum((col("thq") * col("thq")).cast("decimal(38,18)")).as("sthh"))
+      .withColumn("rate", expr(
+        "cast(n_conv as double) / cast(n_users as double)"))
+      .withColumn("se", expr(
+        "sqrt((cast(g as double) - 1.0) / cast(g as double)" +
+          " * (cast(sthh as double) - cast(sth as double)" +
+          " * cast(sth as double) / cast(g as double)))"))
+      .select(col("n_users"), col("n_conv"),
+        expr("round(rate, 6)").as("rate"),
+        expr("round(se, 6)").as("se_jack"),
+        expr("round(rate - 1.96 * se, 6)").as("ci_lo"),
+        expr("round(rate + 1.96 * se, 6)").as("ci_hi"))
+  }
+
+  /** T180: one-sided CUSUM drift detector per event type over the
+    * zero-filled daily series — the change monitor that fires on a
+    * sustained small shift a per-day z-score (ev_anomaly) misses.
+    * Restated non-recursively so it's pure windows: with P_t =
+    * Σ_{j≤t}(x_j − μ), the classic S_t = max(0, S_{t−1} + x_t − μ)
+    * equals P_t − min_{j≤t} P_j. Both P and its running min stay
+    * EXACT by clearing the rational mean: num_t = n·prefix_t − t·s
+    * (longs), S_t = (num_t − min num)/n. Two type-keyed window passes
+    * over the calendar-bounded spine; the report is the max statistic
+    * and its first alarm day. */
+  def evCusum(s: SparkSession, d: String): DataFrame = {
+    val f = dailyFilled(s, d)
+    val stats = f.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"))
+    val w = Window.partitionBy("event_type").orderBy("t")
+    val scored = f.join(broadcast(stats), "event_type")
+      .withColumn("px", sum("x").over(w))
+      .withColumn("num",
+        col("n") * col("px") - (col("t") + 1) * col("sx"))
+      .withColumn("mn", min("num").over(w))
+      .withColumn("cu", expr(
+        "cast(num - mn as double) / cast(n as double)"))
+    scored.groupBy("event_type")
+      .agg(max(struct(round(col("cu"), 6).as("s"),
+        (-col("t")).as("negt"))).as("top"))
+      .select(col("event_type"),
+        col("top.s").as("cusum_max"),
+        (-col("top.negt")).cast("int").as("t_alarm"))
+      .orderBy("event_type")
+  }
+
+  /** T181: WINSORIZED / TRIMMED arm means — the robust A/B metric
+    * that keeps one whale from deciding the experiment: per parity
+    * arm, exact p05/p95 value fences (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`, the a12 precedent), then the mean of the
+    * clamped values and the mean of the strictly-inside values.
+    * Clamped doubles quantize to the 1e-6 grid before the cross-user
+    * sum (the evCuped adjq idiom). Two scans: a 2-row fence panel,
+    * broadcast back over one re-aggregate. */
+  def evWinsorized(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(expr("cast(user_id % 2 as int)").as("variant"),
+        col("value").cast("double").as("v"))
+    val fences = ev.groupBy("variant")
+      .agg(round(expr("percentile(v, 0.05)"), 6).as("lo"),
+        round(expr("percentile(v, 0.95)"), 6).as("hi"))
+    ev.join(broadcast(fences), "variant")
+      .withColumn("wq", expr(
+        "cast(round(least(greatest(v, lo), hi), 6) as decimal(18,6))"))
+      .withColumn("vq", expr("cast(round(v, 6) as decimal(18,6))"))
+      .groupBy("variant")
+      .agg(count(lit(1)).as("n"),
+        sum("vq").as("sv"),
+        sum("wq").as("sw"),
+        sum(when(col("v") >= col("lo") && col("v") <= col("hi"),
+          col("vq"))).as("st"),
+        sum(when(col("v") >= col("lo") && col("v") <= col("hi"), 1L)
+          .otherwise(0L)).as("nt"),
+        max("lo").as("lo"), max("hi").as("hi"))
+      .select(col("variant"), col("n"), col("lo"), col("hi"),
+        expr("round(cast(sv as double) / cast(n as double), 6)")
+          .as("mean_raw"),
+        expr("round(cast(sw as double) / cast(n as double), 6)")
+          .as("mean_winsor"),
+        col("nt").as("n_kept"),
+        expr("round(cast(st as double) / cast(nt as double), 6)")
+          .as("mean_trimmed"))
+      .orderBy("variant")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_did"           -> evDiffInDiff _,
+    "ev_jackknife"     -> evJackknife _,
+    "ev_cusum"         -> evCusum _,
+    "ev_winsorized"    -> evWinsorized _,
     "ev_qte"           -> evQte _,
     "ev_cuped"         -> evCuped _,
     "sample_neyman"    -> sampleNeyman _,
@@ -898,6 +1066,141 @@ object StatsOps {
       |    ON s.event_type = d.event_type AND s.day = d.day)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // same exact-DECIMAL cell sums, same midpoint split, same 1-row
+    // double tree for the four means and the DiD contrast
+    "ev_did" ->
+      """WITH ev AS MATERIALIZED (
+        |  SELECT user_id, epoch_us(ts) AS tu, value FROM events),
+        |sp AS (SELECT (MIN(tu) + MAX(tu)) // 2 AS mid FROM ev),
+        |cells AS (
+        |  SELECT CAST(user_id % 2 AS INTEGER) AS variant,
+        |    CAST(tu > sp.mid AS INTEGER) AS post,
+        |    COUNT(*) AS n,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS sv
+        |  FROM ev, sp GROUP BY 1, 2),
+        |wide AS (
+        |  SELECT
+        |    MAX(CASE WHEN variant = 0 AND post = 0 THEN n END) AS n_c_pre,
+        |    MAX(CASE WHEN variant = 0 AND post = 1 THEN n END) AS n_c_post,
+        |    MAX(CASE WHEN variant = 1 AND post = 0 THEN n END) AS n_t_pre,
+        |    MAX(CASE WHEN variant = 1 AND post = 1 THEN n END) AS n_t_post,
+        |    MAX(CASE WHEN variant = 0 AND post = 0 THEN sv END) AS s_c_pre,
+        |    MAX(CASE WHEN variant = 0 AND post = 1 THEN sv END) AS s_c_post,
+        |    MAX(CASE WHEN variant = 1 AND post = 0 THEN sv END) AS s_t_pre,
+        |    MAX(CASE WHEN variant = 1 AND post = 1 THEN sv END) AS s_t_post
+        |  FROM cells),
+        |m AS (
+        |  SELECT *,
+        |    CAST(s_c_pre AS DOUBLE) / CAST(n_c_pre AS DOUBLE) AS m_c_pre,
+        |    CAST(s_c_post AS DOUBLE) / CAST(n_c_post AS DOUBLE) AS m_c_post,
+        |    CAST(s_t_pre AS DOUBLE) / CAST(n_t_pre AS DOUBLE) AS m_t_pre,
+        |    CAST(s_t_post AS DOUBLE) / CAST(n_t_post AS DOUBLE) AS m_t_post
+        |  FROM wide)
+        |SELECT n_c_pre, n_c_post, n_t_pre, n_t_post,
+        |  round(m_c_pre, 6) AS mean_ctrl_pre,
+        |  round(m_c_post, 6) AS mean_ctrl_post,
+        |  round(m_t_pre, 6) AS mean_treat_pre,
+        |  round(m_t_post, 6) AS mean_treat_post,
+        |  round((m_t_post - m_t_pre) - (m_c_post - m_c_pre), 6) AS did
+        |FROM m""".stripMargin,
+    // identical md5-hex bucket assignment, identical leave-one-out
+    // ratios quantized to the 1e-9 grid before the variance sum
+    "ev_jackknife" ->
+      """WITH pu AS MATERIALIZED (
+        |  SELECT user_id,
+        |    CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      >= 14 THEN 1 ELSE 0 END AS converted,
+        |    CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+        |      AS BIGINT) % 20 AS BIGINT) AS g
+        |  FROM events GROUP BY user_id),
+        |b AS (SELECT g, COUNT(*) AS n,
+        |        CAST(SUM(converted) AS BIGINT) AS c
+        |      FROM pu GROUP BY g),
+        |tt AS (SELECT CAST(SUM(n) AS BIGINT) AS tn,
+        |         CAST(SUM(c) AS BIGINT) AS tc, COUNT(*) AS gg FROM b),
+        |th AS (
+        |  SELECT b.*, tt.tn, tt.tc, tt.gg,
+        |    CAST(round(CASE WHEN tt.tn - b.n = 0 THEN NULL
+        |      ELSE CAST(tt.tc - b.c AS DOUBLE)
+        |        / CAST(tt.tn - b.n AS DOUBLE) END, 9)
+        |      AS DECIMAL(18,9)) AS thq
+        |  FROM b, tt),
+        |agg AS (
+        |  SELECT MAX(tn) AS n_users, MAX(tc) AS n_conv, MAX(gg) AS g,
+        |    SUM(thq) AS sth,
+        |    SUM(CAST(CAST(thq AS DECIMAL(19,9)) * CAST(thq AS DECIMAL(19,9))
+        |      AS DECIMAL(38,18))) AS sthh
+        |  FROM th),
+        |fin AS (
+        |  SELECT *,
+        |    CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE) AS rate,
+        |    sqrt((CAST(g AS DOUBLE) - 1.0) / CAST(g AS DOUBLE)
+        |      * (CAST(sthh AS DOUBLE) - CAST(sth AS DOUBLE)
+        |        * CAST(sth AS DOUBLE) / CAST(g AS DOUBLE))) AS se
+        |  FROM agg)
+        |SELECT n_users, n_conv, round(rate, 6) AS rate,
+        |  round(se, 6) AS se_jack,
+        |  round(rate - 1.96 * se, 6) AS ci_lo,
+        |  round(rate + 1.96 * se, 6) AS ci_hi
+        |FROM fin""".stripMargin,
+    // same cleared-rational-mean integer restatement: num_t = n*prefix
+    // - (t+1)*s, S = (num - running min)/n; argmax ties to first day
+    "ev_cusum" ->
+      s"""WITH $dailyFilledCte,
+        |st AS (SELECT event_type, COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx
+        |       FROM f GROUP BY 1),
+        |pw AS (
+        |  SELECT f.event_type, f.t, st.n, st.sx,
+        |    SUM(f.x) OVER (PARTITION BY f.event_type ORDER BY f.t
+        |      ROWS UNBOUNDED PRECEDING) AS px
+        |  FROM f JOIN st USING (event_type)),
+        |nm AS (
+        |  SELECT event_type, t, n,
+        |    n * px - (t + 1) * sx AS num
+        |  FROM pw),
+        |cu AS (
+        |  SELECT event_type, t,
+        |    round(CAST(num - MIN(num) OVER (PARTITION BY event_type
+        |      ORDER BY t ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+        |      / CAST(n AS DOUBLE), 6) AS s
+        |  FROM nm),
+        |top_ AS (
+        |  SELECT event_type, s, t,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY s DESC, t ASC) AS rk
+        |  FROM cu)
+        |SELECT event_type, s AS cusum_max, CAST(t AS INTEGER) AS t_alarm
+        |FROM top_ WHERE rk = 1 ORDER BY event_type""".stripMargin,
+    // quantile_cont ≡ percentile fences (rounded 6 both sides), same
+    // 1e-6 clamp quantization before the cross-user sums
+    "ev_winsorized" ->
+      """WITH ev AS MATERIALIZED (
+        |  SELECT CAST(user_id % 2 AS INTEGER) AS variant,
+        |    CAST(value AS DOUBLE) AS v
+        |  FROM events),
+        |fen AS (
+        |  SELECT variant,
+        |    round(quantile_cont(v, 0.05), 6) AS lo,
+        |    round(quantile_cont(v, 0.95), 6) AS hi
+        |  FROM ev GROUP BY variant),
+        |q AS (
+        |  SELECT ev.variant, ev.v, fen.lo, fen.hi,
+        |    CAST(round(least(greatest(ev.v, fen.lo), fen.hi), 6)
+        |      AS DECIMAL(18,6)) AS wq,
+        |    CAST(round(ev.v, 6) AS DECIMAL(18,6)) AS vq
+        |  FROM ev JOIN fen USING (variant))
+        |SELECT variant, COUNT(*) AS n, MAX(lo) AS lo, MAX(hi) AS hi,
+        |  round(CAST(SUM(vq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+        |    AS mean_raw,
+        |  round(CAST(SUM(wq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+        |    AS mean_winsor,
+        |  CAST(SUM(CASE WHEN v >= lo AND v <= hi THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_kept,
+        |  round(CAST(SUM(CASE WHEN v >= lo AND v <= hi THEN vq END)
+        |      AS DOUBLE)
+        |    / CAST(SUM(CASE WHEN v >= lo AND v <= hi THEN 1 ELSE 0 END)
+        |      AS DOUBLE), 6) AS mean_trimmed
+        |FROM q GROUP BY variant ORDER BY variant""".stripMargin,
     // exact quantile_cont ≡ percentile per arm; deltas on the rounded
     // values (exact operands both sides)
     "ev_qte" -> {
@@ -1147,7 +1450,8 @@ object StatsOps {
         |SELECT q.event_type, CAST(q.t AS INT) AS t, q.x,
         |  round(q.trend, 6) AS trend,
         |  round(s.seasonal, 6) AS seasonal,
-        |  round(CAST(q.x AS DOUBLE) - q.trend - s.seasonal, 6) AS residual
+        |  round(CAST(q.x AS DOUBLE) - q.trend - s.seasonal, 6) + 0.0
+        |    AS residual
         |FROM qd q JOIN se s
         |  ON q.event_type = s.event_type AND q.phase7 = s.phase7
         |ORDER BY q.event_type, t""".stripMargin,
@@ -1188,7 +1492,8 @@ object StatsOps {
         |    CAST(user_id % 2 AS INT) AS variant
         |  FROM events GROUP BY user_id),
         |panel AS (
-        |  SELECT variant, COUNT(*) AS n, SUM(converted) AS conv
+        |  SELECT variant, COUNT(*) AS n,
+        |    CAST(SUM(converted) AS BIGINT) AS conv
         |  FROM pu GROUP BY 1),
         |wide AS (
         |  SELECT
@@ -1346,7 +1651,8 @@ object StatsOps {
         |  SELECT dur, n_risk, dth, anyzero,
         |    SUM(term) OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) AS cuml
         |  FROM terms)
-        |SELECT CAST(dur AS INT) AS t_days, n_risk, dth AS d_deaths,
+        |SELECT CAST(dur AS INT) AS t_days,
+        |  CAST(n_risk AS BIGINT) AS n_risk, CAST(dth AS BIGINT) AS d_deaths,
         |  CASE WHEN anyzero = 1 THEN 0.0
         |    ELSE round(exp(CAST(cuml AS DOUBLE)), 6) END AS survival
         |FROM fin ORDER BY t_days""".stripMargin,

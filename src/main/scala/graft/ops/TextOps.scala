@@ -904,13 +904,25 @@ object TextOps {
 
   /** The content-defined-chunking expressions shared VERBATIM by
     * [[textCdcChunks]] and [[textBoilerplateFrac]] — one copy, so the
-    * cut rule can never drift between the panel and its consumer. */
+    * cut rule can never drift between the panel and its consumer.
+    *
+    * The gram hash is a base-31 Horner polynomial over the 8
+    * codepoints ending at each position (exact long arithmetic:
+    * max codepoint 0x10FFFF × Σ31^k(k≤7) ≈ 3.2e16 < 2^63, so both
+    * engines compute the identical integer with no modular step); a
+    * position cuts when h % 16 == 0 — the same 1/16 cut probability
+    * (expected chunk ≈ 16 chars) as the md5-leading-nibble rule this
+    * replaces, at ~8 multiply-adds per position instead of a full MD5
+    * block + hex + substring (the round-7 perf audit's #4). */
+  private val cdcCodesExpr =
+    "transform(split(t, ''), c -> cast(ascii(c) as bigint))"
+
   private val cdcCutsExpr =
     """concat(array(0L),
       | CASE WHEN length(t) < 8 THEN cast(array() as array<bigint>)
       |   ELSE transform(filter(sequence(1L, length(t) - 7),
-      |     p -> substring(md5(substring(t, cast(p as int), 8)), 1, 1)
-      |            = '0'),
+      |     p -> aggregate(slice(cs, cast(p as int), 8), 0L,
+      |            (a, c) -> a * 31L + c) % 16 = 0),
       |   p -> p + 7) END,
       | array(cast(length(t) as bigint)))""".stripMargin
 
@@ -922,8 +934,8 @@ object TextOps {
 
   /** T169: content-defined chunking + duplicate-chunk panel (the
     * FastCDC/rsync idea re-expressed for corpus boilerplate
-    * detection): cut points are where the md5 of the 8-char gram
-    * ending there has a leading zero nibble (expected chunk ≈ 16
+    * detection): cut points are where the base-31 Horner hash of the
+    * 8-char gram ending there is ≡ 0 mod 16 (expected chunk ≈ 16
     * chars — CONTENT decides the boundaries, so an insertion shifts
     * only its own chunk, unlike fixed-width windows), then chunks
     * hash cross-doc to surface shared boilerplate runs that doc-level
@@ -940,6 +952,7 @@ object TextOps {
   def textCdcChunks(s: SparkSession, d: String): DataFrame = {
     Tables.documents(s, d)
       .select(col("doc_id"), col("text").as("t"))
+      .withColumn("cs", expr(cdcCodesExpr))
       .withColumn("cuts", expr(cdcCutsExpr))
       .select(col("doc_id"), explode(expr(cdcChunksExpr)).as("chunk"))
       .groupBy(md5(col("chunk")).as("chunk_md5"))
@@ -955,7 +968,7 @@ object TextOps {
     * text lives in chunks shared with at least one OTHER document
     * (the doc-level consumption of [[textCdcChunks]]' signal: a
     * training-data curation pipeline drops or down-weights docs that
-    * are mostly template). Same md5-gram cut rule; a chunk is shared
+    * are mostly template). Same Horner-gram cut rule; a chunk is shared
     * when its hash spans ≥ 2 distinct docs; the per-doc panel reports
     * chunk counts and the shared-character fraction.
     *
@@ -965,6 +978,7 @@ object TextOps {
   def textBoilerplateFrac(s: SparkSession, d: String): DataFrame = {
     val chunks = Tables.documents(s, d)
       .select(col("doc_id"), col("text").as("t"))
+      .withColumn("cs", expr(cdcCodesExpr))
       .withColumn("cuts", expr(cdcCutsExpr))
       .select(col("doc_id"), explode(expr(cdcChunksExpr)).as("chunk"))
       .select(col("doc_id"), md5(col("chunk")).as("h"),
@@ -1047,12 +1061,15 @@ object TextOps {
         |    list_concat(list_concat([CAST(0 AS BIGINT)],
         |      list_transform(list_filter(
         |        range(1, greatest(length(t) - 6, 1)),
-        |        p -> substr(md5(substr(t, CAST(p AS INTEGER), 8)),
-        |               1, 1) = '0'),
+        |        p -> list_reduce(cs[p:p+7], (a, c) -> a * 31 + c)
+        |               % 16 = 0),
         |        p -> p + 7)),
         |      [CAST(length(t) AS BIGINT)]) AS cuts,
         |    t
-        |  FROM (SELECT doc_id, text AS t FROM documents)),
+        |  FROM (SELECT doc_id, text AS t,
+        |          list_transform(string_split(text, ''),
+        |            c -> CAST(unicode(c) AS BIGINT)) AS cs
+        |        FROM documents)),
         |chx AS MATERIALIZED (
         |  SELECT doc_id, UNNEST(list_filter(
         |    list_transform(range(1, len(cuts)),
@@ -1079,7 +1096,7 @@ object TextOps {
         |    / CAST(SUM(clen) AS DOUBLE), 6) AS shared_frac
         |FROM ch JOIN sp USING (h)
         |GROUP BY ch.doc_id ORDER BY ch.doc_id""".stripMargin,
-    // identical md5-gram cut rule, list-op chunk expansion, and
+    // identical Horner-gram cut rule, list-op chunk expansion, and
     // spread-ordered top-20 (DuckDB's range already empties on short
     // docs; the guard mirrors the engine's sequence() reversal guard)
     "text_cdc_chunks" ->
@@ -1570,7 +1587,7 @@ object TextOps {
         |  SELECT source, tok, score, row_number() OVER
         |      (PARTITION BY source ORDER BY score DESC, tok ASC) AS rk
         |  FROM scored WHERE score > 0)
-        |SELECT source, rk, tok, score FROM ranked
+        |SELECT source, CAST(rk AS INT) AS rk, tok, score FROM ranked
         |WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
     // exact replay of the BM25 expression tree: same association
     // order, fixed term-sum order, sort on the rounded score

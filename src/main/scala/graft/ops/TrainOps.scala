@@ -755,27 +755,35 @@ object TrainOps {
     * table itself arrives as V bounded driver scalars. */
   def bpeEncode(s: SparkSession, d: String): DataFrame = {
     val (_, encoded, frames) = bpeTrainRounds(s, d)
+    // coalesce: an EMPTY corpus makes every SUM null (count=0), which
+    // would NPE the primitive getLong/getDouble below; zero-token
+    // corpora also guard the chars-per-token division (null, not ÷0)
     val out = encoded.agg(
       count(lit(1)).as("n_words"),
-      sum(expr("length(replace(replace(replace(replace(replace(w," +
+      coalesce(sum(expr(
+        "length(replace(replace(replace(replace(replace(w," +
         " chr(1), '11'), chr(2), '22'), chr(3), '33'), chr(4), '44')," +
-        " chr(5), '55'))") - length(col("w"))).as("n_merged_syms"),
-      sum(length(col("w"))).as("n_tokens"))
+        " chr(5), '55'))") - length(col("w"))), lit(0L))
+        .as("n_merged_syms"),
+      coalesce(sum(length(col("w"))), lit(0L)).as("n_tokens"))
     val chars = Tables.documents(s, d)
       .select(explode(expr(
         """filter(split(trim(lower(text)), '\\s+'), t -> t != '')"""))
         .as("w"))
-      .agg(sum(length(col("w"))).as("n_chars"))
+      .agg(coalesce(sum(length(col("w"))), lit(0L)).as("n_chars"))
     val res = out.crossJoin(chars)
       .select(col("n_words"), col("n_chars"), col("n_tokens"),
         col("n_merged_syms"),
-        round(col("n_chars").cast("double")
-          / col("n_tokens").cast("double"), 6).as("chars_per_token"))
+        when(col("n_tokens") > 0,
+          round(col("n_chars").cast("double")
+            / col("n_tokens").cast("double"), 6))
+          .as("chars_per_token"))
     val forced = res.collect() // consume before cache teardown
     frames.foreach(_.unpersist(false))
     import s.implicits._
     forced.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-        r.getLong(3), r.getDouble(4)))
+        r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
       .toSeq.toDF("n_words", "n_chars", "n_tokens", "n_merged_syms",
         "chars_per_token")
   }
@@ -1246,8 +1254,9 @@ object TrainOps {
          |  SELECT pair AS mp, n FROM pc$k
          |  ORDER BY n DESC, pair LIMIT 1),
          |w$k AS MATERIALIZED (
-         |  SELECT replace(w${k - 1}.w, t$k.mp, chr($k)) AS w
-         |  FROM w${k - 1}, t$k)""".stripMargin
+         |  SELECT COALESCE(replace(w${k - 1}.w, t$k.mp, chr($k)),
+         |    w${k - 1}.w) AS w
+         |  FROM w${k - 1} LEFT JOIN t$k ON TRUE)""".stripMargin
     }.mkString(",\n")
     s"""w0 AS MATERIALIZED (
        |  SELECT unnest(list_filter(
@@ -1714,7 +1723,11 @@ object TrainOps {
          |SELECT * FROM ($out) ORDER BY round""".stripMargin
     },
     // the training-round CTEs verbatim, then one aggregate over the
-    // final word table; sentinel count via the same 2-char expansion
+    // final word table; sentinel count via the same 2-char expansion.
+    // Each w_k round is a LEFT JOIN ON TRUE + COALESCE, so when a
+    // degenerate corpus exhausts its pairs before round 5 (empty t_k)
+    // the word table carries forward unchanged — mirroring the
+    // engine's aggregate over the LAST non-empty word table
     "bpe_encode" ->
       s"""WITH $bpeOracleCtes,
          |enc AS (
@@ -1830,7 +1843,8 @@ object TrainOps {
       s"""WITH t AS (
         |  SELECT doc_id, source, $bpeTokens AS n_tokens FROM documents),
         |s AS (SELECT source, COUNT(*) AS n_docs,
-        |        sum(n_tokens) AS src_tokens FROM t GROUP BY source),
+        |        CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+        |      FROM t GROUP BY source),
         |ws AS (SELECT source, n_docs, src_tokens,
         |         sqrt(CAST(src_tokens AS DOUBLE)) AS w FROM s),
         |d AS (

@@ -390,9 +390,10 @@ final class FecPipeReaderFactory(fullSchema: StructType,
   * followed the JVM locale). Lines whose field count ≠ the schema
   * width follow `mode`: fail (throw with file+line), drop (skip,
   * count in the `malformedLines` metric, optionally append the raw
-  * line to `<quarantineDir>/<file>.bad` — safe because each file is
-  * read by exactly one partition), permissive (legacy null-pad /
-  * ignore-extras). */
+  * line to `<quarantineDir>/<file>.bad` — written via an
+  * attempt-unique temp file + atomic rename, so concurrent readers
+  * from speculation/retries can't clobber each other), permissive
+  * (legacy null-pad / ignore-extras). */
 final class FecPipeReader(file: String, fullSchema: StructType,
     required: StructType, filters: Array[Filter], mode: String,
     quarantineDir: Option[String])
@@ -408,15 +409,27 @@ final class FecPipeReader(file: String, fullSchema: StructType,
   private var lineNo = 0L
   private var malformed = 0L
   // opened on FIRST malformed line only — a clean file must not leave
-  // an empty .bad marker behind
+  // an empty .bad marker behind. Written to an attempt-unique temp
+  // name and renamed on close: speculative execution / task retries
+  // run CONCURRENT readers over the same file, and two writers on the
+  // literal .bad path would interleave or clobber each other; the
+  // atomic last-rename-wins move means the surviving .bad is always
+  // one complete attempt's output.
   private var quarantineOpened = false
+  private var quarantineTmp: Option[java.nio.file.Path] = None
+  private var quarantineDst: Option[java.nio.file.Path] = None
   private lazy val quarantine = quarantineDir.map { dir =>
     val d = Paths.get(dir)
     Files.createDirectories(d)
     quarantineOpened = true
-    Files.newBufferedWriter(
-      d.resolve(Paths.get(file).getFileName.toString + ".bad"),
-      StandardCharsets.UTF_8,
+    val attempt = Option(org.apache.spark.TaskContext.get())
+      .map(_.taskAttemptId.toString)
+      .getOrElse(java.util.UUID.randomUUID().toString)
+    val base = Paths.get(file).getFileName.toString + ".bad"
+    val tmp = d.resolve(base + "." + attempt + ".tmp")
+    quarantineTmp = Some(tmp)
+    quarantineDst = Some(d.resolve(base))
+    Files.newBufferedWriter(tmp, StandardCharsets.UTF_8,
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
   }
   // projected field -> (source column position, type)
@@ -526,6 +539,12 @@ final class FecPipeReader(file: String, fullSchema: StructType,
 
   override def close(): Unit = {
     in.close()
-    if (quarantineOpened) quarantine.foreach(_.close())
+    if (quarantineOpened) {
+      quarantine.foreach(_.close())
+      for (tmp <- quarantineTmp; dst <- quarantineDst)
+        Files.move(tmp, dst,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
   }
 }

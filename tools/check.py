@@ -1,16 +1,27 @@
 #!/usr/bin/env python3
-"""Dev-side oracle checker mimicking the driver's DuckDB compare.
+"""Dev-side oracle checker, driver-strict.
 
 Usage: python3 tools/check.py <sfDir> <verifyOutDir>
 
 For each query dir under verifyOutDir: run the oracle SQL in DuckDB
 (views over the sfDir parquet tables), read the Spark parquet result,
 sort columns by name, sort rows, and compare values + dtypes.
+
+Strictness contract (mirrors the driver's hash gate, which this file
+previously under-approximated — `26 == 26.0` and `-0.0 == 0.0` both
+passed here while the driver hashed them differently):
+  * per-column pandas dtype must match exactly (int64 vs float64,
+    int32 vs int64 are FAILS even when every value compares equal);
+  * floats compare by IEEE-754 bit pattern (struct.pack('<d', x)),
+    so -0.0 != +0.0; the single carve-out is NaN vs NaN = equal
+    (payload-insensitive, matching the driver's NaN canonicalization);
+  * everything else compares by == with no str() fallback.
 """
-import sys, json, glob, math
+import sys, json, glob, math, struct
 
 import duckdb
 import pandas as pd
+import numpy as np
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
@@ -28,15 +39,40 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
+def norm_dtype(dt) -> str:
+    """Collapse representation-only differences that the driver's
+    parquet round-trip also collapses: string storage flavors and
+    timestamp resolution. Numeric widths are NOT collapsed."""
+    s = str(dt)
+    if s in ("object", "string", "large_string", "string[python]",
+             "string[pyarrow]"):
+        return "str"
+    if s.startswith("datetime64"):
+        return "datetime64"
+    return s
+
+
+def float_eq(a: float, b: float) -> bool:
+    if math.isnan(a) and math.isnan(b):
+        return True
+    return struct.pack("<d", a) == struct.pack("<d", b)
+
+
 def cell_eq(a, b):
     if a is None and b is None:
         return True
-    if isinstance(a, float) and isinstance(b, float):
-        if math.isnan(a) and math.isnan(b):
-            return True
-        return a == b
-    if hasattr(a, "__len__") and not isinstance(a, str) or \
-       hasattr(b, "__len__") and not isinstance(b, str):
+    if isinstance(a, (float, np.floating)) or \
+       isinstance(b, (float, np.floating)):
+        fa = isinstance(a, (float, np.floating))
+        fb = isinstance(b, (float, np.floating))
+        if fa and fb:
+            return float_eq(float(a), float(b))
+        # one float, one non-float (int/str/None): mixed NaN-null cases
+        # fall through to the pd.isna check; otherwise strict fail
+        if not ((fa and math.isnan(a)) or (fb and math.isnan(b))):
+            return False
+    if (hasattr(a, "__len__") and not isinstance(a, str)) or \
+       (hasattr(b, "__len__") and not isinstance(b, str)):
         try:
             la, lb = list(a), list(b)
         except TypeError:
@@ -45,9 +81,11 @@ def cell_eq(a, b):
     try:
         if pd.isna(a) and pd.isna(b):
             return True
+        if pd.isna(a) != pd.isna(b):
+            return False
     except (TypeError, ValueError):
         pass
-    return a == b or str(a) == str(b)
+    return a == b
 
 
 def main():
@@ -83,6 +121,13 @@ def main():
             n_fail += 1
             print(f"  [FAIL-rows] {name}: spark={len(g)} duck={len(e)}")
             continue
+        dbad = [(c, g[c].dtype, e[c].dtype) for c in g.columns
+                if norm_dtype(g[c].dtype) != norm_dtype(e[c].dtype)]
+        if dbad:
+            n_fail += 1
+            c, gd, ed = dbad[0]
+            print(f"  [FAIL-dtyp] {name}: col={c} spark={gd} duck={ed}")
+            continue
         bad = None
         for c in g.columns:
             gv, ev = g[c].tolist(), e[c].tolist()
@@ -96,7 +141,6 @@ def main():
             n_fail += 1
             c, i, x, y = bad
             print(f"  [FAIL-val ] {name}: col={c} row={i} spark={x!r} duck={y!r}")
-            # dtype hint
             print(f"              dtypes spark={g[c].dtype} duck={e[c].dtype}")
         else:
             n_pass += 1
