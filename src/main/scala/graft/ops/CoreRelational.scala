@@ -1398,7 +1398,45 @@ object CoreRelational {
       .orderBy("class")
   }
 
+  /** T191: IQR OUTLIER FENCES (the Tukey boxplot rule, the DQ
+    * monitor's robust complement to z-scores): per profiled money
+    * column, exact q1/q3 (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`), fences at ±1.5·IQR, and the row counts outside
+    * each fence. Per column: ONE quartile aggregate (1-row broadcast)
+    * + one conditional-count rescan; fences are rounded to the 1e-6
+    * grid before the comparison so both engines cut at the identical
+    * boundary. Panel = one row per profiled column. */
+  def dqIqrOutliers(s: SparkSession, d: String): DataFrame = {
+    def panel(df: DataFrame, colName: String, label: String): DataFrame = {
+      val v = df.select(col(colName).cast("double").as("v"))
+      val qs = v.agg(
+        round(expr("percentile(v, 0.25)"), 6).as("q1"),
+        round(expr("percentile(v, 0.75)"), 6).as("q3"))
+        .withColumn("lo", round(col("q1")
+          - lit(1.5) * (col("q3") - col("q1")), 6))
+        .withColumn("hi", round(col("q3")
+          + lit(1.5) * (col("q3") - col("q1")), 6))
+      v.crossJoin(broadcast(qs))
+        .groupBy()
+        .agg(count(lit(1)).as("n"),
+          max("q1").as("q1"), max("q3").as("q3"),
+          max("lo").as("fence_lo"), max("hi").as("fence_hi"),
+          sum(when(col("v") < col("lo"), 1L).otherwise(0L))
+            .as("n_below"),
+          sum(when(col("v") > col("hi"), 1L).otherwise(0L))
+            .as("n_above"))
+        .select(lit(label).as("column"), col("n"), col("q1"),
+          col("q3"), col("fence_lo"), col("fence_hi"),
+          col("n_below"), col("n_above"))
+    }
+    panel(Tables.orders(s, d), "o_totalprice", "o_totalprice")
+      .unionAll(panel(Tables.lineitem(s, d), "l_extendedprice",
+        "l_extendedprice"))
+      .orderBy("column")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_iqr"         -> dqIqrOutliers _,
     "dq_reconcile"   -> dqReconcile _,
     "dq_fd"          -> dqFd _,
     "layout_skipping" -> layoutSkipping _,
@@ -2152,6 +2190,41 @@ object CoreRelational {
         |FROM f ASOF LEFT JOIN dim
         |  ON f.o_custkey = dim.d_custkey AND f.od >= dim.valid_from
         |ORDER BY o_orderkey""".stripMargin,
+    "dq_iqr" ->
+      """WITH po AS (
+        |  SELECT round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.25), 6) AS q1,
+        |    round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.75), 6) AS q3
+        |  FROM orders),
+        |pof AS (SELECT q1, q3,
+        |    round(q1 - 1.5 * (q3 - q1), 6) AS lo,
+        |    round(q3 + 1.5 * (q3 - q1), 6) AS hi FROM po),
+        |oo AS (
+        |  SELECT 'o_totalprice' AS "column", COUNT(*) AS n,
+        |    MAX(f.q1) AS q1, MAX(f.q3) AS q3,
+        |    MAX(f.lo) AS fence_lo, MAX(f.hi) AS fence_hi,
+        |    CAST(SUM(CASE WHEN CAST(o_totalprice AS DOUBLE) < f.lo
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+        |    CAST(SUM(CASE WHEN CAST(o_totalprice AS DOUBLE) > f.hi
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+        |  FROM orders, pof f),
+        |pl AS (
+        |  SELECT round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25), 6) AS q1,
+        |    round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75), 6) AS q3
+        |  FROM lineitem),
+        |plf AS (SELECT q1, q3,
+        |    round(q1 - 1.5 * (q3 - q1), 6) AS lo,
+        |    round(q3 + 1.5 * (q3 - q1), 6) AS hi FROM pl),
+        |ll AS (
+        |  SELECT 'l_extendedprice' AS "column", COUNT(*) AS n,
+        |    MAX(f.q1) AS q1, MAX(f.q3) AS q3,
+        |    MAX(f.lo) AS fence_lo, MAX(f.hi) AS fence_hi,
+        |    CAST(SUM(CASE WHEN CAST(l_extendedprice AS DOUBLE) < f.lo
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+        |    CAST(SUM(CASE WHEN CAST(l_extendedprice AS DOUBLE) > f.hi
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+        |  FROM lineitem, plf f)
+        |SELECT * FROM oo UNION ALL SELECT * FROM ll
+        |ORDER BY "column"""".stripMargin,
     "w04_ranks" ->
       """SELECT l_orderkey, l_linenumber, l_quantity,
         |  CAST(rank() OVER w AS INT) AS rnk,

@@ -1411,7 +1411,152 @@ object EventOps {
       .orderBy(col("month"))
   }
 
+  /** T194: GINI COEFFICIENT of per-user revenue — the one-number
+    * inequality summary behind "do whales carry this product"
+    * (ev_gains answers it per-decile; Gini is the comparable-across-
+    * snapshots scalar). Rank-based formula G = 2·Σᵢ i·xᵢ/(n·Σx) −
+    * (n+1)/n on ascending ranks, restated WITHOUT a global rank
+    * window: revenues quantize to exact cents, fold to (value, count)
+    * rows, and for a value group with count c and p users strictly
+    * below, Σ ranks·value = v·(c·p + c(c+1)/2) — so the only windows
+    * are the two-level ascending cumulative (the ev_gains bucket
+    * idiom: in-bucket pass + bucket-offset pass, never one monolithic
+    * sort) and every term is an exact integer summed as DECIMAL(38,0).
+    * Ties contribute identically under any rank order, which is what
+    * makes the group formula exact. */
+  def evGini(s: SparkSession, d: String): DataFrame = {
+    val ur = Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(sum(col("value").cast("decimal(18,2)")).as("rev"))
+      .select((col("rev") * 100).cast("long").as("cents"))
+    val vc = ur.groupBy("cents").agg(count(lit(1)).as("c"))
+      .withColumn("__b", floor(col("cents") / 100000).cast("long"))
+    val wIn = Window.partitionBy("__b").orderBy(col("cents").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wOff = Window.orderBy(col("__b").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = vc.groupBy("__b").agg(sum("c").as("tb"))
+      .withColumn("off", coalesce(sum("tb").over(wOff), lit(0L)))
+      .select("__b", "off")
+    vc.withColumn("pin", coalesce(sum("c").over(wIn), lit(0L)))
+      .join(offs, Seq("__b"))
+      .withColumn("p", col("off") + col("pin"))
+      .agg(sum("c").as("n"),
+        sum(expr("cast(cents as decimal(38,0)) * c")).as("t"),
+        sum(expr("cast(cents as decimal(38,0))" +
+          " * (c * p + (c * (c + 1)) div 2)")).as("srank"))
+      .select(col("n").as("n_users"),
+        round(expr("cast(t as double) / 100.0"), 2).as("total_value"),
+        round(expr("2.0 * cast(srank as double)" +
+          " / (cast(n as double) * cast(t as double))" +
+          " - (cast(n as double) + 1.0) / cast(n as double)"), 6)
+          .as("gini"))
+  }
+
+  /** T195: POST-STRATIFIED treatment effect — the ratio-metric
+    * experiment readout with activity-imbalance correction (CUPED's
+    * blunt cousin: stratify on a pre-covariate instead of regressing
+    * on it): users stratify into activity terciles (exact 0.33/0.67
+    * percentile cuts of per-user event counts), per-stratum
+    * conversion delta treat−control, pooled effect = Σ (nₕ/N)·Δₕ.
+    * One per-user fold, a 2-value broadcast cut panel, a 6-cell exact
+    * aggregate; the 3 pooled terms quantize to the 1e-9 grid so the
+    * final 3-row sum is order-free. Output: one row per stratum plus
+    * the 'pooled' row. */
+  def evStratifiedEffect(s: SparkSession, d: String): DataFrame = {
+    val perUser = Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("ne"),
+        expr("case when sum(case when event_type = 'purchase'" +
+          " then 1 else 0 end) >= 14 then 1 else 0 end").as("conv"))
+      .withColumn("variant", expr("cast(user_id % 2 as int)"))
+    val cuts = perUser.agg(
+      round(expr("percentile(cast(ne as double), 0.33)"), 6).as("q1"),
+      round(expr("percentile(cast(ne as double), 0.67)"), 6).as("q2"))
+    val cells = perUser.crossJoin(broadcast(cuts))
+      .withColumn("stratum", expr(
+        "case when cast(ne as double) <= q1 then 'low'" +
+          " when cast(ne as double) <= q2 then 'mid'" +
+          " else 'high' end"))
+      .groupBy("stratum", "variant")
+      .agg(count(lit(1)).as("n"), sum("conv").as("cv"))
+    val wide = cells.groupBy("stratum")
+      .agg(max(when(col("variant") === 0, col("n"))).as("n0"),
+        max(when(col("variant") === 0, col("cv"))).as("c0"),
+        max(when(col("variant") === 1, col("n"))).as("n1"),
+        max(when(col("variant") === 1, col("cv"))).as("c1"))
+      .withColumn("delta", expr(
+        "cast(c1 as double) / cast(n1 as double)" +
+          " - cast(c0 as double) / cast(n0 as double)"))
+    val tot = wide.agg(sum(col("n0") + col("n1")).as("nn"))
+    val strata = wide.crossJoin(broadcast(tot))
+      .select(col("stratum"), (col("n0") + col("n1")).as("n_users"),
+        round(expr("cast(c0 as double) / cast(n0 as double)"), 6)
+          .as("rate_control"),
+        round(expr("cast(c1 as double) / cast(n1 as double)"), 6)
+          .as("rate_treat"),
+        round(col("delta"), 6).as("delta"),
+        expr("cast(floor(cast(n0 + n1 as double) / cast(nn as double)" +
+          " * delta * 1000000000.0 + 0.5) as bigint)").as("wq"))
+    val pooled = strata
+      .agg(sum("n_users").as("n_users"), sum("wq").as("swq"))
+      .select(lit("pooled").as("stratum"), col("n_users"),
+        lit(null).cast("double").as("rate_control"),
+        lit(null).cast("double").as("rate_treat"),
+        round(expr("cast(swq as double) / 1000000000.0"), 6).as("delta"))
+    strata.drop("wq").unionAll(pooled).orderBy("stratum")
+  }
+
+  /** T196: RETENTION HALF-LIFE — the exponential-decay fit over each
+    * weekly cohort's retention curve (r_k = share of the cohort active
+    * in week k), the one-number "how fast do users evaporate" that a
+    * full retention matrix (ev_retention) buries: ln r_k regressed on
+    * k ≥ 1 by closed-form OLS, half-life = −ln 2/slope. r_k are exact
+    * integer ratios; each ln r_k quantizes to the 1e-9 scaled-long
+    * grid so the per-cohort OLS sums (Σk, Σq, Σkq, Σk²) are exact
+    * integers, and the slope/half-life doubles happen once on the
+    * cohort panel. Cohorts need ≥ 3 fit points and a negative slope
+    * (otherwise NULL half-life, the regr_* convention). */
+  def evRetentionHalflife(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("wk"))
+    val cohorts = ev.groupBy("user_id").agg(min("wk").as("cw"))
+    val sizes = cohorts.groupBy("cw").agg(count(lit(1)).as("n_cohort"))
+    val active = ev.join(cohorts, "user_id")
+      .select(col("cw"),
+        expr("datediff(wk, cw) div 7").cast("int").as("k"),
+        col("user_id"))
+      .filter(col("k") >= 1)
+      .groupBy("cw", "k")
+      .agg(countDistinct("user_id").as("n_active"))
+    val pts = active.join(broadcast(sizes), "cw")
+      .withColumn("q", expr(
+        "cast(floor(ln(cast(n_active as double)" +
+          " / cast(n_cohort as double)) * 1000000000.0 + 0.5) as bigint)"))
+    pts.groupBy("cw")
+      .agg(count(lit(1)).as("m"), max("n_cohort").as("n_cohort"),
+        sum("k").as("sk"), sum("q").as("sq"),
+        sum(col("k") * col("q")).as("skq"),
+        sum(col("k") * col("k")).as("skk"))
+      .filter(col("m") >= 3)
+      .withColumn("slope", expr(
+        "case when m * skk - sk * sk = 0 then null else" +
+          " (cast(m as double) * (cast(skq as double) / 1000000000.0)" +
+          " - cast(sk as double) * (cast(sq as double) / 1000000000.0))" +
+          " / cast(m * skk - sk * sk as double) end"))
+      .select(date_format(col("cw"), "yyyy-MM-dd").as("cohort_week"),
+        col("n_cohort"), col("m").cast("int").as("n_points"),
+        round(col("slope"), 6).as("slope"),
+        round(expr("case when slope < 0 then -ln(2.0) / slope end"), 6)
+          .as("halflife_weeks"))
+      .orderBy("cohort_week")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_gini"            -> evGini _,
+    "ev_stratified_effect" -> evStratifiedEffect _,
+    "ev_retention_halflife" -> evRetentionHalflife _,
     "ev_stickiness"   -> evStickiness _,
     "ev_asof_fwd"     -> evAsofFwd _,
     "ev_asof_nearest" -> evAsofNearest _,
@@ -1456,6 +1601,116 @@ object EventOps {
     "ev_retention"   -> evRetention _)
 
   val oracles: Map[String, String] = Map(
+    // monolithic rank replay of the group-formula engine: Σ i·x over
+    // a plain row_number ≡ v·(c·p + c(c+1)/2) per tied group
+    "ev_gini" ->
+      """WITH ur AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT cents,
+        |        row_number() OVER (ORDER BY cents) AS i FROM ur),
+        |a AS (
+        |  SELECT COUNT(*) AS n,
+        |    SUM(CAST(cents AS DECIMAL(38,0)) * i) AS srank,
+        |    SUM(CAST(cents AS DECIMAL(38,0))) AS t
+        |  FROM r)
+        |SELECT n AS n_users,
+        |  round(CAST(t AS DOUBLE) / 100.0, 2) AS total_value,
+        |  round(2.0 * CAST(srank AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * CAST(t AS DOUBLE))
+        |    - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6) AS gini
+        |FROM a""".stripMargin,
+    // same tercile cuts (quantile_cont ≡ percentile, rounded 6), same
+    // 6-cell exact counts, same 1e-9-quantized pooled weighting
+    "ev_stratified_effect" ->
+      """WITH pu AS MATERIALIZED (
+        |  SELECT user_id, COUNT(*) AS ne,
+        |    CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      >= 14 THEN 1 ELSE 0 END AS conv,
+        |    CAST(user_id % 2 AS INTEGER) AS variant
+        |  FROM events GROUP BY user_id),
+        |cuts AS (
+        |  SELECT round(quantile_cont(CAST(ne AS DOUBLE), 0.33), 6) AS q1,
+        |    round(quantile_cont(CAST(ne AS DOUBLE), 0.67), 6) AS q2
+        |  FROM pu),
+        |cells AS (
+        |  SELECT CASE WHEN CAST(ne AS DOUBLE) <= c.q1 THEN 'low'
+        |    WHEN CAST(ne AS DOUBLE) <= c.q2 THEN 'mid'
+        |    ELSE 'high' END AS stratum,
+        |    variant, COUNT(*) AS n, CAST(SUM(conv) AS BIGINT) AS cv
+        |  FROM pu, cuts c GROUP BY 1, 2),
+        |wide AS (
+        |  SELECT stratum,
+        |    MAX(CASE WHEN variant = 0 THEN n END) AS n0,
+        |    MAX(CASE WHEN variant = 0 THEN cv END) AS c0,
+        |    MAX(CASE WHEN variant = 1 THEN n END) AS n1,
+        |    MAX(CASE WHEN variant = 1 THEN cv END) AS c1
+        |  FROM cells GROUP BY 1),
+        |wd AS (
+        |  SELECT *, CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |      - CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS delta
+        |  FROM wide),
+        |tt AS (SELECT CAST(SUM(n0 + n1) AS BIGINT) AS nn FROM wd),
+        |strata AS (
+        |  SELECT wd.stratum, CAST(wd.n0 + wd.n1 AS BIGINT) AS n_users,
+        |    round(CAST(wd.c0 AS DOUBLE) / CAST(wd.n0 AS DOUBLE), 6)
+        |      AS rate_control,
+        |    round(CAST(wd.c1 AS DOUBLE) / CAST(wd.n1 AS DOUBLE), 6)
+        |      AS rate_treat,
+        |    round(wd.delta, 6) AS delta,
+        |    CAST(floor(CAST(wd.n0 + wd.n1 AS DOUBLE)
+        |      / CAST(tt.nn AS DOUBLE) * wd.delta * 1000000000.0 + 0.5)
+        |      AS BIGINT) AS wq
+        |  FROM wd, tt)
+        |SELECT stratum, n_users, rate_control, rate_treat, delta
+        |FROM strata
+        |UNION ALL
+        |SELECT 'pooled', CAST(SUM(n_users) AS BIGINT),
+        |  NULL, NULL,
+        |  round(CAST(SUM(wq) AS DOUBLE) / 1000000000.0, 6)
+        |FROM strata
+        |ORDER BY stratum""".stripMargin,
+    // same Monday-start weeks, same 1e-9-quantized ln terms and exact
+    // integer OLS sums, same negative-slope guard
+    "ev_retention_halflife" ->
+      """WITH ev AS MATERIALIZED (
+        |  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+        |  FROM events),
+        |co AS MATERIALIZED (
+        |  SELECT user_id, MIN(wk) AS cw FROM ev GROUP BY 1),
+        |sz AS (SELECT cw, COUNT(*) AS n_cohort FROM co GROUP BY 1),
+        |act AS (
+        |  SELECT co.cw,
+        |    CAST(date_diff('day', co.cw, ev.wk) // 7 AS INTEGER) AS k,
+        |    COUNT(DISTINCT ev.user_id) AS n_active
+        |  FROM ev JOIN co USING (user_id)
+        |  WHERE date_diff('day', co.cw, ev.wk) // 7 >= 1
+        |  GROUP BY 1, 2),
+        |pts AS (
+        |  SELECT a.cw, a.k, s.n_cohort,
+        |    CAST(floor(ln(CAST(a.n_active AS DOUBLE)
+        |      / CAST(s.n_cohort AS DOUBLE)) * 1000000000.0 + 0.5)
+        |      AS BIGINT) AS q
+        |  FROM act a JOIN sz s USING (cw)),
+        |fit AS (
+        |  SELECT cw, COUNT(*) AS m, MAX(n_cohort) AS n_cohort,
+        |    CAST(SUM(k) AS BIGINT) AS sk, CAST(SUM(q) AS BIGINT) AS sq,
+        |    CAST(SUM(k * q) AS BIGINT) AS skq,
+        |    CAST(SUM(k * k) AS BIGINT) AS skk
+        |  FROM pts GROUP BY 1 HAVING COUNT(*) >= 3),
+        |sl AS (
+        |  SELECT *, CASE WHEN m * skk - sk * sk = 0 THEN NULL ELSE
+        |    (CAST(m AS DOUBLE) * (CAST(skq AS DOUBLE) / 1000000000.0)
+        |     - CAST(sk AS DOUBLE) * (CAST(sq AS DOUBLE) / 1000000000.0))
+        |    / CAST(m * skk - sk * sk AS DOUBLE) END AS slope
+        |  FROM fit)
+        |SELECT strftime(cw, '%Y-%m-%d') AS cohort_week, n_cohort,
+        |  CAST(m AS INTEGER) AS n_points, round(slope, 6) AS slope,
+        |  round(CASE WHEN slope < 0 THEN -ln(2.0) / slope END, 6)
+        |    AS halflife_weeks
+        |FROM sl ORDER BY cohort_week""".stripMargin,
     // the same RANGE frame over the integer day number
     "ev_rolling" ->
       """WITH daily AS (

@@ -1131,7 +1131,39 @@ object GraphOps {
             col("n_suppliers").cast("double")), 6).as("density"))
   }
 
+  /** T190: KATZ centrality — the damped all-walks influence measure
+    * (pagerank without the degree normalization: a node is central if
+    * many walks of ANY length reach it, geometrically discounted), 3
+    * fixed rounds of x ← β + α·Σ_in x with β=1, α=1/8. α is a power
+    * of two ON PURPOSE: scaling by 512 = 8³ makes every intermediate
+    * an EXACT LONG (X₀=512; each round's Σ_in is divisible by 8 by
+    * induction, so `div` has zero remainder) — no quantization grid,
+    * no sorted fold, a plain map-side-combinable integer sum per
+    * round, which is a strictly better 100 TB posture than pagerank's
+    * oracle-pinning collect_list fold. One edges⋈scores join + one
+    * agg per round over the memoized index; top-20 by score. */
+  def graphKatz(s: SparkSession, d: String): DataFrame = {
+    val (edgesDeg, deg, _) = edgeIndex(s, d)
+    val edges = edgesDeg.select(col("src"), col("dst"))
+    val nodes = deg.select(col("src").as("node"))
+    var k = nodes.withColumn("kx", lit(512L))
+    for (_ <- 1 to 3) {
+      val contrib = edges.join(k, edges("src") === k("node"))
+        .groupBy(col("dst")).agg(sum("kx").as("insum"))
+      k = nodes
+        .join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"),
+          expr("512 + coalesce(insum, 0) div 8").as("kx"))
+        .localCheckpoint()
+    }
+    k.select(col("node"),
+        round(col("kx").cast("double") / 512.0, 6).as("katz"))
+      .orderBy(col("katz").desc, col("node").asc)
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_katz"      -> graphKatz _,
     "graph_summary"     -> graphSummary _,
     "graph_richclub"    -> graphRichClub _,
     "graph_hits"        -> graphHits _,
@@ -1194,6 +1226,40 @@ object GraphOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // same 512-scaled exact-integer rounds; // is exact (zero
+    // remainder by the same divisibility induction)
+    "graph_katz" ->
+      """WITH pairs AS MATERIALIZED (
+        |  SELECT DISTINCT 'c' || o.o_custkey AS src,
+        |                  's' || l.l_suppkey AS dst
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |edges AS MATERIALIZED (SELECT src, dst FROM pairs
+        |          UNION ALL SELECT dst, src FROM pairs),
+        |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+        |k0 AS (SELECT node, CAST(512 AS BIGINT) AS kx FROM nodes),
+        |k1 AS MATERIALIZED (
+        |  SELECT n.node,
+        |    512 + COALESCE(CAST(s.insum AS BIGINT), 0) // 8 AS kx
+        |  FROM nodes n LEFT JOIN (
+        |    SELECT e.dst AS node, SUM(k.kx) AS insum
+        |    FROM edges e JOIN k0 k ON e.src = k.node GROUP BY e.dst) s
+        |    USING (node)),
+        |k2 AS MATERIALIZED (
+        |  SELECT n.node,
+        |    512 + COALESCE(CAST(s.insum AS BIGINT), 0) // 8 AS kx
+        |  FROM nodes n LEFT JOIN (
+        |    SELECT e.dst AS node, SUM(k.kx) AS insum
+        |    FROM edges e JOIN k1 k ON e.src = k.node GROUP BY e.dst) s
+        |    USING (node)),
+        |k3 AS MATERIALIZED (
+        |  SELECT n.node,
+        |    512 + COALESCE(CAST(s.insum AS BIGINT), 0) // 8 AS kx
+        |  FROM nodes n LEFT JOIN (
+        |    SELECT e.dst AS node, SUM(k.kx) AS insum
+        |    FROM edges e JOIN k2 k ON e.src = k.node GROUP BY e.dst) s
+        |    USING (node))
+        |SELECT node, round(CAST(kx AS DOUBLE) / 512.0, 6) AS katz
+        |FROM k3 ORDER BY katz DESC, node ASC LIMIT 20""".stripMargin,
     // same md5-driven next-hop rule: the first-8-hex value replays as
     // the nibble-positional fold (the dedup_embed_lsh idiom), neighbor
     // ranks by dst ASC, 4 unrolled rounds

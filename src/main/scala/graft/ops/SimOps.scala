@@ -697,7 +697,59 @@ object SimOps {
           " * (cast(sq as double) / 1000000000000.0)"), 6).as("rbo"))
   }
 
+  /** T189: RANGE (radius) similarity search — every vector within
+    * cosine ≥ 0.25 of the vec_id=0 query, the "give me ALL close
+    * matches" API top-k can't express (retrieval recall sweeps,
+    * near-dup radius probes). One scan with the broadcast query and
+    * the native codegen cosine, filter, order — the result set is
+    * τ-bounded by construction (τ sits ~2σ into the corpus cosine
+    * tail, emb_sim_hist's diagnostic), and at scale the same filter
+    * runs over IVF-probed cells instead of the full scan. */
+  def annRange(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).crossJoin(queryVec(s, d))
+      .select(col("vec_id"),
+        round(CosineSimilarity.cosine_native(s,
+          col("embedding"), col("q_emb")), 6).as("cos"))
+      .filter(col("vec_id") =!= 0 && col("cos") >= 0.25)
+      .orderBy(col("cos").desc, col("vec_id").asc)
+
+  /** T188: TRIPLET MINING for contrastive training — per anchor the
+    * HARDEST POSITIVE (same label, lowest cosine) and HARDEST
+    * NEGATIVE (different label, highest cosine), the pair-selection
+    * pass a metric-learning fine-tune runs over the corpus each
+    * epoch. Anchor panel = vec_ids 1..20 broadcast against one corpus
+    * scan; the per-anchor argmin/argmax are struct-ordered MIN/MAX
+    * aggregates (map-side combinable — never a window over the
+    * anchor-keyed panel), ties broken by vec_id through the struct's
+    * second field (low id for positives, high for negatives — both
+    * engines compare structs lexicographically). margin = neg − pos
+    * (< 0 means the embedding already separates that anchor). */
+  def embTripletMining(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val anchors = broadcast(emb.filter(col("vec_id").between(1, 20))
+      .select(col("vec_id").as("anchor"), col("label").as("a_label"),
+        col("embedding").as("a_emb")))
+    emb.crossJoin(anchors)
+      .filter(col("vec_id") =!= col("anchor"))
+      .select(col("anchor"), col("a_label"), col("label"), col("vec_id"),
+        round(CosineSimilarity.cosine_native(s,
+          col("embedding"), col("a_emb")), 6).as("cos"))
+      .groupBy("anchor")
+      .agg(
+        min(when(col("label") === col("a_label"),
+          struct(col("cos"), col("vec_id")))).as("pos"),
+        max(when(col("label") =!= col("a_label"),
+          struct(col("cos"), col("vec_id")))).as("neg"))
+      .select(col("anchor"),
+        col("pos.vec_id").as("pos_id"), col("pos.cos").as("pos_cos"),
+        col("neg.vec_id").as("neg_id"), col("neg.cos").as("neg_cos"),
+        round(col("neg.cos") - col("pos.cos"), 6).as("margin"))
+      .orderBy("anchor")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_range"        -> annRange _,
+    "emb_triplets"     -> embTripletMining _,
     "ann_knn_graph"    -> annKnnGraph _,
     "ann_rbo"          -> annRbo _,
     "ann_nprobe_sweep" -> annNprobeSweep _,
@@ -1306,8 +1358,44 @@ object SimOps {
        |    AS rbo
        |FROM agg""".stripMargin
 
+  // same list-comprehension cosine, same τ filter, same total order
+  private lazy val annRangeSql: String =
+    s"""WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+       |sims AS (
+       |  SELECT e.vec_id,
+       |    round(${cosSql("e.embedding", "q.q_emb")}, 6) AS cos
+       |  FROM embeddings e, q WHERE e.vec_id != 0)
+       |SELECT vec_id, cos FROM sims WHERE cos >= 0.25
+       |ORDER BY cos DESC, vec_id ASC""".stripMargin
+
+  // identical anchor panel, identical struct-ordered MIN/MAX argmin/
+  // argmax (DuckDB compares structs lexicographically like Spark)
+  private lazy val embTripletsSql: String =
+    s"""WITH anch AS MATERIALIZED (
+       |  SELECT vec_id AS anchor, label AS a_label, embedding AS a_emb
+       |  FROM embeddings WHERE vec_id BETWEEN 1 AND 20),
+       |sc AS MATERIALIZED (
+       |  SELECT a.anchor, a.a_label, e.label, e.vec_id,
+       |    round(${cosSql("e.embedding", "a.a_emb")}, 6) AS cos
+       |  FROM embeddings e CROSS JOIN anch a
+       |  WHERE e.vec_id != a.anchor),
+       |agg AS (
+       |  SELECT anchor,
+       |    MIN(CASE WHEN label = a_label
+       |      THEN struct_pack(cos := cos, vec_id := vec_id) END) AS pos,
+       |    MAX(CASE WHEN label != a_label
+       |      THEN struct_pack(cos := cos, vec_id := vec_id) END) AS neg
+       |  FROM sc GROUP BY anchor)
+       |SELECT anchor,
+       |  pos.vec_id AS pos_id, pos.cos AS pos_cos,
+       |  neg.vec_id AS neg_id, neg.cos AS neg_cos,
+       |  round(neg.cos - pos.cos, 6) AS margin
+       |FROM agg ORDER BY anchor""".stripMargin
+
   val oracles: Map[String, String] = oraclesHead ++ oraclesTail +
     ("emb_cluster_quality" -> clusterQualitySql) +
     ("ann_nprobe_sweep" -> nprobeSweepSql) +
-    ("ann_rbo" -> rboSql)
+    ("ann_rbo" -> rboSql) +
+    ("ann_range" -> annRangeSql) +
+    ("emb_triplets" -> embTripletsSql)
 }

@@ -999,7 +999,38 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** T197: HASHING-TRICK feature vectors (Weinberger 2009) — the
+    * fixed-width bag-of-words a downstream classifier trains on
+    * without a vocabulary pass: each token hashes to one of 16
+    * buckets (first-8-hex md5 mod 16, the repo's deterministic-hash
+    * convention) and the doc's features are the bucket counts. ONE
+    * explode → per-(doc, bucket) fold → 16 conditional sums per doc;
+    * the left join back to `documents` keeps token-less docs as
+    * all-zero rows. Fixed width means NO shuffle ever carries the
+    * vocabulary — the entire point of the trick at 100 TB. */
+  def textHashingFeatures(s: SparkSession, d: String): DataFrame = {
+    val tb = Tables.documents(s, d)
+      .select(col("doc_id"), explode(expr(
+        "filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')"))
+        .as("tok"))
+      .withColumn("b", expr(
+        "cast(conv(substring(md5(tok), 1, 8), 16, 10) as bigint) % 16"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("n"))
+    val fAggs = (0 until 16).map(i =>
+      sum(when(col("b") === i, col("n")).otherwise(0L)).as(s"f$i"))
+    val feats = tb.groupBy("doc_id")
+      .agg(sum("n").as("n_toks"), fAggs: _*)
+    val outCols = col("doc_id") +:
+      coalesce(col("n_toks"), lit(0L)).as("n_toks") +:
+      (0 until 16).map(i => coalesce(col(s"f$i"), lit(0L)).as(s"f$i"))
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(feats, Seq("doc_id"), "left")
+      .select(outCols: _*)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_hash_features"    -> textHashingFeatures _,
     "text_boilerplate"      -> textBoilerplateFrac _,
     "text_cdc_chunks"       -> textCdcChunks _,
     "text_novelty"          -> textNovelty _,
@@ -1079,6 +1110,33 @@ object TextOps {
         |  FROM cx)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // same md5-mod bucket, same conditional sums, all-zero rows kept
+    "text_hash_features" -> {
+      val fcols = (0 until 16).map(i =>
+        s"COALESCE(f.f$i, 0) AS f$i").mkString(",\n        |  ")
+      val fsum = (0 until 16).map(i =>
+        s"CAST(SUM(CASE WHEN b = $i THEN n ELSE 0 END) AS BIGINT) AS f$i")
+        .mkString(",\n        |    ")
+      s"""WITH tb AS (
+        |  SELECT doc_id,
+        |    CAST(CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 16
+        |      AS BIGINT) AS b,
+        |    COUNT(*) AS n
+        |  FROM (
+        |    SELECT doc_id, UNNEST(list_filter(
+        |      string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      t -> t != '')) AS tok
+        |    FROM documents)
+        |  GROUP BY 1, 2),
+        |f AS (
+        |  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_toks,
+        |    $fsum
+        |  FROM tb GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(f.n_toks, 0) AS n_toks,
+        |  $fcols
+        |FROM documents d LEFT JOIN f USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin
+    },
     // same chunk derivation; shared = hash spans >= 2 distinct docs
     "text_boilerplate" ->
       s"""WITH $cdcOracleCtes,

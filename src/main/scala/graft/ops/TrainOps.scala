@@ -880,6 +880,90 @@ object TrainOps {
       .orderBy("doc_id")
   }
 
+  /** T192: KNESER–NEY smoothed bigram fluency — the KenLM-filter
+    * upgrade of [[textBigramLm]]'s add-one smoothing (absolute
+    * discount D=0.75 with a CONTINUATION back-off: "Francisco" is
+    * frequent but follows almost nothing except "San", and KN is the
+    * smoothing that knows it): per-doc mean −ln P_KN(w₂|w₁) with
+    * P_KN = (max(c₁₂−D, 0) + D·N1+(w₁·)·P_cont(w₂)) / c(w₁·),
+    * P_cont(w₂) = N1+(·w₂)/N1+(··). Scored on the corpus's own model,
+    * so every bigram is observed and P_KN > 0 without an unknown
+    * class.
+    *
+    * Scale shape: per-doc bigram fold FIRST (the bigram_lm idiom),
+    * then the corpus bigram-TYPE table is localCheckpoint'd once —
+    * its four consumers (probe join, context totals, continuation
+    * counts, the 1-row type total) would each re-derive the corpus
+    * tokenize+fold otherwise (the oracle's MATERIALIZED mirror). Every
+    * count is an exact integer; the single −ln term quantizes to the
+    * 1e-9 scaled-long grid before the DECIMAL·n per-doc sum. */
+  def textKnBigram(s: SparkSession, d: String): DataFrame = {
+    val ts = Tables.spread(Tables.documents(s, d))
+      .select(col("doc_id"), expr(
+        "filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')").as("ts"))
+    val bi = ts.filter(size(col("ts")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(ts) - 1),
+          |  i -> struct(ts[i - 1] AS w1, ts[i] AS w2))""".stripMargin))
+        .as("b"))
+      .groupBy(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val big = bi.groupBy("w1", "w2").agg(sum("n").as("c12"))
+      .localCheckpoint()
+    val ctx = big.groupBy("w1")
+      .agg(sum("c12").as("c1dot"), count(lit(1)).as("n1f"))
+    val cont = big.groupBy("w2").agg(count(lit(1)).as("n1b"))
+    val nbb = big.agg(count(lit(1)).as("nbb"))
+    bi.join(big, Seq("w1", "w2")).join(ctx, Seq("w1"))
+      .join(cont, Seq("w2"))
+      .crossJoin(broadcast(nbb))
+      .withColumn("q", expr(
+        "cast(floor(-ln((greatest(cast(c12 as double) - 0.75, 0.0)" +
+          " + 0.75 * cast(n1f as double)" +
+          " * (cast(n1b as double) / cast(nbb as double)))" +
+          " / cast(c1dot as double))" +
+          " * 1000000000.0 + 0.5) as bigint) * n"))
+      .groupBy("doc_id")
+      .agg(sum("n").as("n_bigrams"),
+        expr("round(cast(sum(q) as double) / 1000000000.0" +
+          " / cast(sum(n) as double), 6)").as("avg_neg_logp_kn"))
+      .orderBy("doc_id")
+  }
+
+  /** T193: DEDUP-AWARE mixing weights — the raw-token budget
+    * ([[mixTemperature]]) double-counts whatever a source duplicates,
+    * so the repeated source buys itself training share; re-weighting
+    * on UNIQUE-text tokens is the standard correction. Per source:
+    * raw vs unique (distinct md5 fingerprint) docs and tokens, the
+    * duplication factor, and each source's share of the unique-token
+    * pool. ONE scan: doc-level (fp, source, n_tokens) rows fold by
+    * fingerprint per source (keeping one token count per distinct
+    * text), then per-source conditional sums; the 1-row pool total is
+    * a broadcast. */
+  def mixDedupWeights(s: SparkSession, d: String): DataFrame = {
+    val t = Tables.documents(s, d)
+      .select(col("source"), md5(col("text")).as("fp"),
+        TextAnalysis.token_count_bpe(s, col("text")).cast("bigint")
+          .as("n_tokens"))
+    val perFp = t.groupBy("source", "fp")
+      .agg(count(lit(1)).as("n_copies"), max("n_tokens").as("n_tokens"))
+    val perSrc = perFp.groupBy("source")
+      .agg(sum("n_copies").as("n_docs"),
+        count(lit(1)).as("n_unique_docs"),
+        sum(col("n_tokens") * col("n_copies")).as("raw_tokens"),
+        sum("n_tokens").as("unique_tokens"))
+    val pool = perSrc.agg(sum("unique_tokens").as("pool"))
+    perSrc.crossJoin(broadcast(pool))
+      .select(col("source"), col("n_docs"), col("n_unique_docs"),
+        col("raw_tokens"), col("unique_tokens"),
+        round(expr("cast(raw_tokens as double)" +
+          " / cast(unique_tokens as double)"), 6).as("dup_factor"),
+        round(expr("cast(unique_tokens as double)" +
+          " / cast(pool as double)"), 6).as("weight"))
+      .orderBy("source")
+  }
+
   /** Per-source dataset card: doc/token counts, mean quality score,
     * median doc length — the report a mixing decision reads. One hash
     * aggregate over narrow derived columns (scan-speed at 100 TB; the
@@ -1186,6 +1270,8 @@ object TrainOps {
     "corpus_keep"        -> corpusKeep _,
     "text_unigram_lm"    -> textUnigramLm _,
     "text_bigram_lm"     -> textBigramLm _,
+    "text_kn_bigram"     -> textKnBigram _,
+    "mix_dedup_weights"  -> mixDedupWeights _,
     "mix_epochs"         -> mixEpochs _,
     "bpe_merge"          -> bpeMerge _,
     "bpe_train"          -> bpeTrain _,
@@ -1860,6 +1946,72 @@ object TrainOps {
         |  round(CAST(CAST(floor(d.b_total * ws.w / d.denom) AS BIGINT)
         |      AS DOUBLE) / CAST(ws.src_tokens AS DOUBLE), 6) AS epochs
         |FROM ws, d ORDER BY ws.source""".stripMargin,
+    // same folded bigram table (MATERIALIZED — four consumers), same
+    // D=0.75 discount + continuation back-off expression tree, same
+    // 1e-9 scaled-long quantization
+    "text_kn_bigram" ->
+      """WITH ts AS MATERIALIZED (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'), t -> t != '')
+        |    AS ts
+        |  FROM documents),
+        |bi AS MATERIALIZED (
+        |  SELECT doc_id, b.w1 AS w1, b.w2 AS w2, COUNT(*) AS n
+        |  FROM (
+        |    SELECT doc_id, UNNEST(list_transform(range(1, len(ts)),
+        |      i -> struct_pack(w1 := ts[i], w2 := ts[i + 1]))) AS b
+        |    FROM ts WHERE len(ts) >= 2)
+        |  GROUP BY 1, 2, 3),
+        |big AS MATERIALIZED (
+        |  SELECT w1, w2, CAST(SUM(n) AS BIGINT) AS c12
+        |  FROM bi GROUP BY 1, 2),
+        |ctx AS MATERIALIZED (
+        |  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1dot,
+        |    COUNT(*) AS n1f
+        |  FROM big GROUP BY 1),
+        |cont AS MATERIALIZED (
+        |  SELECT w2, COUNT(*) AS n1b FROM big GROUP BY 1),
+        |nbb AS (SELECT COUNT(*) AS nbb FROM big)
+        |SELECT bi.doc_id, CAST(SUM(bi.n) AS BIGINT) AS n_bigrams,
+        |  round(CAST(SUM(CAST(floor(
+        |      -ln((greatest(CAST(big.c12 AS DOUBLE) - 0.75, 0.0)
+        |          + 0.75 * CAST(ctx.n1f AS DOUBLE)
+        |          * (CAST(cont.n1b AS DOUBLE) / CAST(nbb.nbb AS DOUBLE)))
+        |        / CAST(ctx.c1dot AS DOUBLE))
+        |      * 1000000000.0 + 0.5) AS BIGINT) * bi.n) AS DOUBLE)
+        |    / 1000000000.0 / CAST(SUM(bi.n) AS DOUBLE), 6)
+        |    AS avg_neg_logp_kn
+        |FROM bi
+        |JOIN big ON bi.w1 = big.w1 AND bi.w2 = big.w2
+        |JOIN ctx ON bi.w1 = ctx.w1
+        |JOIN cont ON bi.w2 = cont.w2
+        |CROSS JOIN nbb
+        |GROUP BY bi.doc_id ORDER BY bi.doc_id""".stripMargin,
+    // per-(source, fingerprint) fold keeping one token count per
+    // distinct text, then the same conditional sums and pool share
+    "mix_dedup_weights" ->
+      s"""WITH t AS (
+        |  SELECT source, md5(text) AS fp, $bpeTokens AS n_tokens
+        |  FROM documents),
+        |pf AS (
+        |  SELECT source, fp, COUNT(*) AS n_copies,
+        |    MAX(n_tokens) AS n_tokens
+        |  FROM t GROUP BY 1, 2),
+        |ps AS (
+        |  SELECT source, CAST(SUM(n_copies) AS BIGINT) AS n_docs,
+        |    COUNT(*) AS n_unique_docs,
+        |    CAST(SUM(n_tokens * n_copies) AS BIGINT) AS raw_tokens,
+        |    CAST(SUM(n_tokens) AS BIGINT) AS unique_tokens
+        |  FROM pf GROUP BY 1),
+        |pool AS (SELECT CAST(SUM(unique_tokens) AS BIGINT) AS pool
+        |         FROM ps)
+        |SELECT ps.source, ps.n_docs, ps.n_unique_docs, ps.raw_tokens,
+        |  ps.unique_tokens,
+        |  round(CAST(ps.raw_tokens AS DOUBLE)
+        |    / CAST(ps.unique_tokens AS DOUBLE), 6) AS dup_factor,
+        |  round(CAST(ps.unique_tokens AS DOUBLE)
+        |    / CAST(pool.pool AS DOUBLE), 6) AS weight
+        |FROM ps, pool ORDER BY ps.source""".stripMargin,
     // the folded per-doc bigram counts, add-one-smoothed conditionals,
     // 1e-9-quantized DECIMAL·n accumulation — identical to the engine
     "text_bigram_lm" ->
