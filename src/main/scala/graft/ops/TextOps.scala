@@ -909,11 +909,21 @@ object TextOps {
     * The gram hash is a base-31 Horner polynomial over the 8
     * codepoints ending at each position (exact long arithmetic:
     * max codepoint 0x10FFFF × Σ31^k(k≤7) ≈ 3.2e16 < 2^63, so both
-    * engines compute the identical integer with no modular step); a
-    * position cuts when h % 16 == 0 — the same 1/16 cut probability
-    * (expected chunk ≈ 16 chars) as the md5-leading-nibble rule this
-    * replaces, at ~8 multiply-adds per position instead of a full MD5
-    * block + hex + substring (the round-7 perf audit's #4). */
+    * engines compute the identical integer with no modular step),
+    * written as a FLAT 8-term expression — an inner
+    * `aggregate(slice(...))` fold measured 7 µs/position at sf0.1
+    * (array alloc + nested interpreted fold inside the already-
+    * interpreted filter lambda; 54 s/query), the flat form is ~20×
+    * cheaper and still ~an order under the md5-per-gram rule it
+    * replaced (round-7 perf audit #4).
+    *
+    * A position cuts when h % 256 < 16 — the same 1/16 cut
+    * probability (expected chunk ≈ 16 chars) as the md5
+    * leading-nibble rule, judged on the full LOW BYTE deliberately:
+    * 31 ≡ −1 (mod 16), so `h % 16` would collapse to an alternating
+    * codepoint sum — a degenerate rule that chunks periodic text
+    * pathologically; mod 256 the weights 31^k stay distinct and odd,
+    * so every gram character moves the decision. */
   private val cdcCodesExpr =
     "transform(split(t, ''), c -> cast(ascii(c) as bigint))"
 
@@ -921,8 +931,14 @@ object TextOps {
     """concat(array(0L),
       | CASE WHEN length(t) < 8 THEN cast(array() as array<bigint>)
       |   ELSE transform(filter(sequence(1L, length(t) - 7),
-      |     p -> aggregate(slice(cs, cast(p as int), 8), 0L,
-      |            (a, c) -> a * 31L + c) % 16 = 0),
+      |     p -> (element_at(cs, cast(p as int)) * 27512614111L
+      |         + element_at(cs, cast(p + 1 as int)) * 887503681L
+      |         + element_at(cs, cast(p + 2 as int)) * 28629151L
+      |         + element_at(cs, cast(p + 3 as int)) * 923521L
+      |         + element_at(cs, cast(p + 4 as int)) * 29791L
+      |         + element_at(cs, cast(p + 5 as int)) * 961L
+      |         + element_at(cs, cast(p + 6 as int)) * 31L
+      |         + element_at(cs, cast(p + 7 as int))) % 256 < 16),
       |   p -> p + 7) END,
       | array(cast(length(t) as bigint)))""".stripMargin
 
@@ -972,9 +988,14 @@ object TextOps {
     * when its hash spans ≥ 2 distinct docs; the per-doc panel reports
     * chunk counts and the shared-character fraction.
     *
-    * One in-row chunk expansion, one chunk-hash spread aggregate
-    * (map-side combinable), one hash join back, one per-doc
-    * conditional-sum aggregate — no self-join, no window. */
+    * One in-row chunk expansion — localCheckpoint'd: its two consumers
+    * (spread agg + join back) would otherwise each re-pay the
+    * per-position Horner scan, and the materialized (doc_id, h, clen)
+    * table is corpus/16 NARROW rows (the reverse of the lmScores
+    * trade, where re-scanning was the cheap side) — then one
+    * chunk-hash spread aggregate (map-side combinable), one hash join
+    * back, one per-doc conditional-sum aggregate — no self-join, no
+    * window. */
   def textBoilerplateFrac(s: SparkSession, d: String): DataFrame = {
     val chunks = Tables.documents(s, d)
       .select(col("doc_id"), col("text").as("t"))
@@ -983,6 +1004,7 @@ object TextOps {
       .select(col("doc_id"), explode(expr(cdcChunksExpr)).as("chunk"))
       .select(col("doc_id"), md5(col("chunk")).as("h"),
         length(col("chunk")).as("clen"))
+      .localCheckpoint()
     val spread = chunks.groupBy("h")
       .agg(countDistinct(col("doc_id")).as("n_docs"))
     chunks.join(spread, Seq("h"))
@@ -1092,8 +1114,14 @@ object TextOps {
         |    list_concat(list_concat([CAST(0 AS BIGINT)],
         |      list_transform(list_filter(
         |        range(1, greatest(length(t) - 6, 1)),
-        |        p -> list_reduce(cs[p:p+7], (a, c) -> a * 31 + c)
-        |               % 16 = 0),
+        |        p -> (cs[p] * 27512614111
+        |            + cs[p + 1] * 887503681
+        |            + cs[p + 2] * 28629151
+        |            + cs[p + 3] * 923521
+        |            + cs[p + 4] * 29791
+        |            + cs[p + 5] * 961
+        |            + cs[p + 6] * 31
+        |            + cs[p + 7]) % 256 < 16),
         |        p -> p + 7)),
         |      [CAST(length(t) AS BIGINT)]) AS cuts,
         |    t
