@@ -1,0 +1,47 @@
+package graft.ops
+
+import graft.SparkFunSuite
+import java.nio.file.Files
+
+/** Degenerate-input insurance for the round-8 operators: every new
+  * catalog entry must SURVIVE empty source tables (empty output or a
+  * single all-null/zero panel row — never an exception). The round-7
+  * review found exactly this class of crash (bpeEncode's NULL-sum
+  * NPE), so the whole batch gets the guard up front. */
+class Round8DegenerateSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  private lazy val emptyDir: String = {
+    val d = Files.createTempDirectory("r8empty").toString
+    Seq.empty[(Long, java.sql.Timestamp, Long, String, Double)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$d/events.parquet")
+    Seq.empty[(Long, String, String, String)]
+      .toDF("doc_id", "text", "lang", "source")
+      .write.parquet(s"$d/documents.parquet")
+    Seq.empty[(Long, Array[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$d/embeddings.parquet")
+    Seq.empty[(Long, Long, Double, String)]
+      .toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+      .write.parquet(s"$d/orders.parquet")
+    Seq.empty[(Long, Long, Double, Double)]
+      .toDF("l_orderkey", "l_suppkey", "l_extendedprice", "l_quantity")
+      .write.parquet(s"$d/lineitem.parquet")
+    d
+  }
+
+  private val round8 = Seq(
+    "ev_did", "ev_jackknife", "ev_cusum", "ev_winsorized", "ev_gini",
+    "ev_stratified_effect", "ev_retention_halflife", "graph_katz",
+    "ann_range", "emb_triplets", "dq_iqr", "text_kn_bigram",
+    "mix_dedup_weights", "text_hash_features")
+
+  for (name <- round8)
+    test(s"$name survives empty source tables") {
+      val rows = graft.SparkEntry.queries(name)(spark, emptyDir).collect()
+      // empty result or a bounded all-null/zero panel — both fine;
+      // the assertion is that collect() returned at all
+      assert(rows.length <= 4, s"$name: unexpected ${rows.length} rows")
+    }
+}
