@@ -1435,7 +1435,30 @@ object CoreRelational {
       .orderBy("column")
   }
 
+  /** T200: TOP-K VALUE PROFILE per categorical column — the "what's
+    * actually in this column" half of a data profile
+    * ([[profileTable]] gives the stats, this gives the values; every
+    * warehouse profiler ships both). Per column: the 3 most frequent
+    * values with exact counts (count desc, value asc tiebreak). One
+    * hash agg per column folds the corpus to the distinct-value
+    * table; the rank window runs OVER THAT (domain-constant rows —
+    * the second-level-pass rule), never over the corpus. */
+  def profileTopk(s: SparkSession, d: String): DataFrame = {
+    val doc = Tables.documents(s, d)
+    def top(colName: String): DataFrame = {
+      val w = Window.orderBy(col("n").desc, col("value").asc)
+      doc.groupBy(col(colName).as("value"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(lit(colName).as("column"), col("rk"), col("value"),
+          col("n"))
+    }
+    top("lang").unionAll(top("source")).orderBy("column", "rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "profile_topk"   -> profileTopk _,
     "dq_iqr"         -> dqIqrOutliers _,
     "dq_reconcile"   -> dqReconcile _,
     "dq_fd"          -> dqFd _,
@@ -2190,6 +2213,25 @@ object CoreRelational {
         |FROM f ASOF LEFT JOIN dim
         |  ON f.o_custkey = dim.d_custkey AND f.od >= dim.valid_from
         |ORDER BY o_orderkey""".stripMargin,
+    "profile_topk" ->
+      """WITH lt AS (
+        |  SELECT 'lang' AS "column",
+        |    CAST(row_number() OVER (ORDER BY n DESC, value ASC)
+        |      AS INTEGER) AS rk,
+        |    value, n
+        |  FROM (SELECT lang AS value, COUNT(*) AS n
+        |        FROM documents GROUP BY 1)),
+        |st AS (
+        |  SELECT 'source' AS "column",
+        |    CAST(row_number() OVER (ORDER BY n DESC, value ASC)
+        |      AS INTEGER) AS rk,
+        |    value, n
+        |  FROM (SELECT source AS value, COUNT(*) AS n
+        |        FROM documents GROUP BY 1))
+        |SELECT * FROM (
+        |  SELECT * FROM lt WHERE rk <= 3
+        |  UNION ALL SELECT * FROM st WHERE rk <= 3)
+        |ORDER BY "column", rk""".stripMargin,
     "dq_iqr" ->
       """WITH po AS (
         |  SELECT round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.25), 6) AS q1,

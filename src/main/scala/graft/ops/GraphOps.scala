@@ -615,13 +615,17 @@ object GraphOps {
       // the label-keyed probe concentrates on a few hot labels and the
       // extra skewed self-join per round cost far more than the rounds
       // it saved.
+      // lazy checkpoint MARK + the changed-probe as ONE action (the
+      // bfs engine's fused materialize+probe — round-8 trim: the old
+      // eager-checkpoint-then-head pair was 3 jobs/round, this is 2);
+      // prop stays EAGER because the self-join references it in two
+      // branches of a single plan
       val next = prop.as("a")
         .join(prop.select(col("node").as("ln"), col("label").as("ll")),
           col("a.label") === col("ln"))
         .select(col("a.node").as("node"), col("ll").as("label"),
           col("a.old").as("old"))
-        .localCheckpoint()
-      // narrow scan over the local checkpoint blocks — no re-join
+        .localCheckpoint(false)
       changed = next.agg(
         max((col("label") =!= col("old")).cast("int")).as("c"))
         .head().getInt(0) > 0

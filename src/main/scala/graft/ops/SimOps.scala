@@ -747,7 +747,95 @@ object SimOps {
       .orderBy("anchor")
   }
 
+  /** T198: CENTROID DRIFT between embedding snapshots — the monitor
+    * that catches a model/version change shifting the embedding space
+    * (every stored ANN index silently degrades when it happens): per
+    * label, the mean centroid of the even-id half vs the odd-id half
+    * (the deterministic two-snapshot split), their cosine, and
+    * drift = 1 − cos. Centroids are built exactly like
+    * [[graft.ops.TrainOps.embOutliers]]' (per-dim avg rounded to the
+    * 1e-6 grid then float — the trained-index recipe, bit-stable
+    * cross-engine); the label×2 centroid table is tiny, the cosine is
+    * a sequential double fold mirrored by DuckDB's list_sum. */
+  def embCentroidDrift(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .withColumn("half", expr("cast(vec_id % 2 as int)"))
+    val cents = emb
+      .select(col("label"), col("half"),
+        posexplode(expr("transform(embedding, x -> cast(x as double))"))
+          .as(Seq("dim", "v")))
+      .groupBy("label", "half", "dim")
+      .agg(expr("cast(round(avg(v), 6) as float)").as("m"))
+      .groupBy("label", "half")
+      .agg(array_sort(collect_list(struct(col("dim"), col("m"))))
+        .as("pairs"))
+      .select(col("label"), col("half"),
+        expr("transform(pairs, p -> cast(p.m as double))").as("c"))
+    val counts = emb.groupBy("label", "half").agg(count(lit(1)).as("n"))
+    val a = cents.filter(col("half") === 0)
+      .select(col("label"), col("c").as("ca"))
+    val b = cents.filter(col("half") === 1)
+      .select(col("label"), col("c").as("cb"))
+    val na = counts.filter(col("half") === 0)
+      .select(col("label"), col("n").as("n_even"))
+    val nb = counts.filter(col("half") === 1)
+      .select(col("label"), col("n").as("n_odd"))
+    a.join(b, "label").join(na, "label").join(nb, "label")
+      .withColumn("cos", expr(
+        "round(aggregate(zip_with(ca, cb, (x, y) -> x * y)," +
+          " cast(0.0 as double), (acc, x) -> acc + x)" +
+          " / (sqrt(aggregate(transform(ca, x -> x * x)," +
+          " cast(0.0 as double), (acc, x) -> acc + x))" +
+          " * sqrt(aggregate(transform(cb, x -> x * x)," +
+          " cast(0.0 as double), (acc, x) -> acc + x))), 6)"))
+      .select(col("label"), col("n_even"), col("n_odd"),
+        col("cos").as("centroid_cos"),
+        round(lit(1.0) - col("cos"), 6).as("drift"))
+      .orderBy("label")
+  }
+
+  /** T199: FILTERED-ANN recall — pre-filter vs post-filter, the
+    * trade every metadata-filtered vector search makes (post-filter
+    * reuses the global index but starves when the predicate is
+    * selective; pre-filter is exact but can't use the index): ground
+    * truth = exact top-5 within the target label (the label of
+    * vec_id 1 — a deterministic, data-derived predicate), candidate =
+    * the global top-20 filtered down, recall = |∩| / min(5, n_label).
+    * One scored scan feeds both rankings; the intersection is a
+    * LEFT SEMI join of two ≤20-row panels. */
+  def annPrefilter(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val lbl = broadcast(emb.filter(col("vec_id") === 1)
+      .select(col("label").as("tl")))
+    val scored = emb.crossJoin(queryVec(s, d)).crossJoin(lbl)
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("label"), col("tl"),
+        round(CosineSimilarity.cosine_native(s,
+          col("embedding"), col("q_emb")), 6).as("cos"))
+    val inLabel = scored.filter(col("label") === col("tl"))
+    val pre = inLabel
+      .orderBy(col("cos").desc, col("vec_id").asc).limit(5)
+    val post = scored
+      .orderBy(col("cos").desc, col("vec_id").asc).limit(20)
+      .filter(col("label") === col("tl"))
+    val hits = pre.join(post.select(col("vec_id").as("pv")),
+        col("vec_id") === col("pv"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+    val stats = inLabel.agg(max("tl").as("target_label"),
+      count(lit(1)).as("n_in_label"))
+    stats.crossJoin(broadcast(hits))
+      .select(col("target_label"), col("n_in_label"),
+        lit(5).as("k"), col("hits").as("postfilter_hits"),
+        // empty label set → NULL recall, not ÷0 (ANSI mode throws)
+        when(col("n_in_label") > 0,
+          round(col("hits").cast("double")
+            / least(lit(5L), col("n_in_label")).cast("double"), 6))
+          .as("recall"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_centroid_drift" -> embCentroidDrift _,
+    "ann_prefilter"    -> annPrefilter _,
     "ann_range"        -> annRange _,
     "emb_triplets"     -> embTripletMining _,
     "ann_knn_graph"    -> annKnnGraph _,
@@ -1392,10 +1480,77 @@ object SimOps {
        |  round(neg.cos - pos.cos, 6) AS margin
        |FROM agg ORDER BY anchor""".stripMargin
 
+  // same parity halves, same round-6→float→double centroid grid, same
+  // sequential list_sum cosine fold
+  private lazy val centroidDriftSql: String =
+    """WITH dims AS (
+      |  SELECT label, CAST(vec_id % 2 AS INTEGER) AS half,
+      |    UNNEST(range(1, len(embedding) + 1)) AS dim,
+      |    UNNEST(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+      |  FROM embeddings),
+      |cents AS (
+      |  SELECT label, half, list(m ORDER BY dim) AS c FROM (
+      |    SELECT label, half, dim,
+      |      CAST(CAST(round(avg(v), 6) AS REAL) AS DOUBLE) AS m
+      |    FROM dims GROUP BY label, half, dim)
+      |  GROUP BY label, half),
+      |cnt AS (
+      |  SELECT label, CAST(vec_id % 2 AS INTEGER) AS half,
+      |    COUNT(*) AS n
+      |  FROM embeddings GROUP BY 1, 2),
+      |j AS (
+      |  SELECT a.label, a.c AS ca, b.c AS cb, na.n AS n_even,
+      |    nb.n AS n_odd
+      |  FROM cents a JOIN cents b
+      |    ON a.label = b.label AND a.half = 0 AND b.half = 1
+      |  JOIN cnt na ON na.label = a.label AND na.half = 0
+      |  JOIN cnt nb ON nb.label = a.label AND nb.half = 1),
+      |k AS (
+      |  SELECT label, n_even, n_odd,
+      |    round(list_sum(list_transform(range(1, len(ca) + 1),
+      |        i -> ca[i] * cb[i]))
+      |      / (sqrt(list_sum(list_transform(ca, x -> x * x)))
+      |       * sqrt(list_sum(list_transform(cb, x -> x * x)))), 6)
+      |      AS centroid_cos
+      |  FROM j)
+      |SELECT label, n_even, n_odd, centroid_cos,
+      |  round(1.0 - centroid_cos, 6) AS drift
+      |FROM k ORDER BY label""".stripMargin
+
+  // same scored scan, same two rankings and semi-intersection
+  private lazy val annPrefilterSql: String =
+    s"""WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+       |tl AS (SELECT label AS tl FROM embeddings WHERE vec_id = 1),
+       |sc AS MATERIALIZED (
+       |  SELECT e.vec_id, e.label, t.tl,
+       |    round(${cosSql("e.embedding", "q.q_emb")}, 6) AS cos
+       |  FROM embeddings e, q, tl t WHERE e.vec_id != 0),
+       |pre AS (
+       |  SELECT vec_id FROM sc WHERE label = tl
+       |  ORDER BY cos DESC, vec_id ASC LIMIT 5),
+       |post AS (
+       |  SELECT vec_id, label, tl FROM (
+       |    SELECT * FROM sc ORDER BY cos DESC, vec_id ASC LIMIT 20)
+       |  WHERE label = tl),
+       |h AS (
+       |  SELECT COUNT(*) AS hits FROM pre
+       |  WHERE EXISTS (SELECT 1 FROM post WHERE post.vec_id = pre.vec_id)),
+       |st AS (
+       |  SELECT MAX(tl) AS target_label,
+       |    COUNT(*) AS n_in_label
+       |  FROM sc WHERE label = tl)
+       |SELECT st.target_label, st.n_in_label, CAST(5 AS INTEGER) AS k,
+       |  CAST(h.hits AS BIGINT) AS postfilter_hits,
+       |  CASE WHEN st.n_in_label > 0 THEN round(CAST(h.hits AS DOUBLE)
+       |    / CAST(least(5, st.n_in_label) AS DOUBLE), 6) END AS recall
+       |FROM st, h""".stripMargin
+
   val oracles: Map[String, String] = oraclesHead ++ oraclesTail +
     ("emb_cluster_quality" -> clusterQualitySql) +
     ("ann_nprobe_sweep" -> nprobeSweepSql) +
     ("ann_rbo" -> rboSql) +
     ("ann_range" -> annRangeSql) +
-    ("emb_triplets" -> embTripletsSql)
+    ("emb_triplets" -> embTripletsSql) +
+    ("emb_centroid_drift" -> centroidDriftSql) +
+    ("ann_prefilter" -> annPrefilterSql)
 }

@@ -35,7 +35,8 @@ class Round8DegenerateSpec extends SparkFunSuite {
     "ev_did", "ev_jackknife", "ev_cusum", "ev_winsorized", "ev_gini",
     "ev_stratified_effect", "ev_retention_halflife", "graph_katz",
     "ann_range", "emb_triplets", "dq_iqr", "text_kn_bigram",
-    "mix_dedup_weights", "text_hash_features")
+    "mix_dedup_weights", "text_hash_features", "emb_centroid_drift",
+    "ann_prefilter", "profile_topk")
 
   for (name <- round8)
     test(s"$name survives empty source tables") {

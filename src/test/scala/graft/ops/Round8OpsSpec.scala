@@ -200,6 +200,54 @@ class Round8OpsSpec extends SparkFunSuite {
     assert(tri.take(3) == Seq((1L, 2L, 0L), (2L, 1L, 3L), (3L, 4L, 1L)))
   }
 
+  test("emb_centroid_drift: orthogonal halves drift 1, equal halves 0") {
+    val d = Files.createTempDirectory("cdrift").toString
+    Seq(
+      (0L, Array(1.0f, 0.0f), 1), (2L, Array(1.0f, 0.0f), 1), // even, A
+      (3L, Array(0.0f, 1.0f), 1),                             // odd, A
+      (6L, Array(1.0f, 0.0f), 2),                             // even, B
+      (5L, Array(1.0f, 0.0f), 2))                             // odd, B
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$d/embeddings.parquet")
+    val got = SimOps.embCentroidDrift(spark, d).collect().toSeq
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(4)))
+    assert(got == Seq((1, 2L, 1L, 1.0), (2, 1L, 1L, 0.0)))
+  }
+
+  test("ann_prefilter: full recall when post-filter covers the label") {
+    val d = Files.createTempDirectory("annpre").toString
+    Seq(
+      (0L, Array(1.0f, 0.0f), 9),  // query
+      (1L, Array(1.0f, 0.0f), 1),  // target label A, cos 1
+      (2L, Array(0.0f, 1.0f), 1),  // A, cos 0
+      (3L, Array(1.0f, 0.1f), 2),  // B
+      (4L, Array(-1.0f, 0.0f), 2)) // B
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$d/embeddings.parquet")
+    val r = SimOps.annPrefilter(spark, d).collect().head
+    assert(r.getInt(0) == 1)                    // target label
+    assert(r.getLong(1) == 2L)                  // n_in_label
+    assert(r.getLong(3) == 2L)                  // postfilter hits
+    assert(r.getDouble(4) == 1.0)               // recall vs min(5, 2)
+  }
+
+  test("profile_topk: top-3 values per column with the asc tiebreak") {
+    val d = Files.createTempDirectory("ptopk").toString
+    val langs = Seq("en", "en", "en", "fr", "fr", "es", "de")
+    langs.zipWithIndex.map { case (l, i) =>
+      (i.toLong, s"text $i", l, "src0")
+    }.toDF("doc_id", "text", "lang", "source")
+      .write.parquet(s"$d/documents.parquet")
+    val got = CoreRelational.profileTopk(spark, d).collect().toSeq
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getLong(3)))
+    assert(got == Seq(
+      ("lang", 1, "en", 3L), ("lang", 2, "fr", 2L),
+      ("lang", 3, "de", 1L), // ties n=1: 'de' < 'es' asc
+      ("source", 1, "src0", 7L)))
+  }
+
   test("dq_iqr: constructed quartiles and one planted outlier") {
     val d = Files.createTempDirectory("iqr").toString
     // o_totalprice 1..100 plus 10000: q1/q3 of 101 values = 26/76,
