@@ -1457,7 +1457,46 @@ object CoreRelational {
     top("lang").unionAll(top("source")).orderBy("column", "rk")
   }
 
+  /** T206: χ² INDEPENDENCE test of the source × lang contingency — the
+    * DQ monitor's "did the corpus mix shift" alarm (a skewed
+    * source-language association is how a scraper regression shows up
+    * before any single count looks wrong). The full r×c grid comes
+    * from the cross join of the two broadcast-sized marginal panels
+    * LEFT-joined to observed cells (zero cells MUST contribute their
+    * expected mass); each (o−e)²/e term quantizes to the 1e-9 grid so
+    * the grid-sized sum is order-free, and Cramér's V normalizes by
+    * N·min(r−1, c−1). One corpus scan builds all three count tables
+    * map-side; everything after is dim-cardinality. */
+  def dqChisq(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val obs = docs.groupBy("source", "lang").agg(count(lit(1)).as("o"))
+    val rowt = docs.groupBy("source").agg(count(lit(1)).as("rt"))
+    val colt = docs.groupBy("lang").agg(count(lit(1)).as("ctt"))
+    val tot = docs.agg(count(lit(1)).as("nn"),
+      countDistinct("source").as("r"), countDistinct("lang").as("cdim"))
+    rowt.crossJoin(colt)
+      .join(obs, Seq("source", "lang"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .withColumn("e", expr(
+        "cast(rt as double) * cast(ctt as double) / cast(nn as double)"))
+      .withColumn("term", expr(
+        "cast(round((cast(o as double) - e) * (cast(o as double) - e)" +
+          " / e, 9) as decimal(28,9))"))
+      .agg(max("nn").as("n_docs"), max("r").as("r"),
+        max("cdim").as("cdim"), sum("term").as("chi2q"))
+      .select(col("n_docs"),
+        col("r").cast("int").as("n_sources"),
+        col("cdim").cast("int").as("n_langs"),
+        expr("cast((r - 1) * (cdim - 1) as int)").as("dof"),
+        expr("round(cast(chi2q as double), 6)").as("chi2"),
+        expr("round(sqrt(cast(chi2q as double) / (cast(n_docs as double)" +
+          " * cast(least(r - 1, cdim - 1) as double))), 6)")
+          .as("cramers_v"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_chisq"       -> dqChisq _,
     "profile_topk"   -> profileTopk _,
     "dq_iqr"         -> dqIqrOutliers _,
     "dq_reconcile"   -> dqReconcile _,
@@ -1523,6 +1562,47 @@ object CoreRelational {
     "w02_running"    -> w02Running _)
 
   val oracles: Map[String, String] = Map(
+    // same full-grid expectation algebra: marginals cross-joined, zero
+    // cells kept, 1e-9-quantized terms, one final double tree
+    "dq_chisq" ->
+      """WITH obs AS MATERIALIZED (
+        |  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS o
+        |  FROM documents GROUP BY source, lang),
+        |rowt AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS rt
+        |  FROM documents GROUP BY source),
+        |colt AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS ctt
+        |  FROM documents GROUP BY lang),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn,
+        |  CAST(COUNT(DISTINCT source) AS BIGINT) AS r,
+        |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS cdim
+        |  FROM documents),
+        |grid AS (
+        |  SELECT rowt.rt, colt.ctt, COALESCE(obs.o, 0) AS o, tot.nn,
+        |    tot.r, tot.cdim
+        |  FROM rowt CROSS JOIN colt
+        |  LEFT JOIN obs ON rowt.source = obs.source
+        |    AND colt.lang = obs.lang
+        |  CROSS JOIN tot),
+        |terms AS (
+        |  SELECT nn, r, cdim,
+        |    CAST(round((CAST(o AS DOUBLE) - CAST(rt AS DOUBLE)
+        |      * CAST(ctt AS DOUBLE) / CAST(nn AS DOUBLE))
+        |      * (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE)
+        |      * CAST(ctt AS DOUBLE) / CAST(nn AS DOUBLE))
+        |      / (CAST(rt AS DOUBLE) * CAST(ctt AS DOUBLE)
+        |      / CAST(nn AS DOUBLE)), 9) AS DECIMAL(28,9)) AS term
+        |  FROM grid),
+        |agg AS (
+        |  SELECT MAX(nn) AS n_docs, MAX(r) AS r, MAX(cdim) AS cdim,
+        |    SUM(term) AS chi2q
+        |  FROM terms)
+        |SELECT n_docs, CAST(r AS INTEGER) AS n_sources,
+        |  CAST(cdim AS INTEGER) AS n_langs,
+        |  CAST((r - 1) * (cdim - 1) AS INTEGER) AS dof,
+        |  round(CAST(chi2q AS DOUBLE), 6) AS chi2,
+        |  round(sqrt(CAST(chi2q AS DOUBLE) / (CAST(n_docs AS DOUBLE)
+        |    * CAST(least(r - 1, cdim - 1) AS DOUBLE))), 6) AS cramers_v
+        |FROM agg""".stripMargin,
     // same exact-cents recompute and mismatch classing
     "dq_reconcile" ->
       """WITH lt AS MATERIALIZED (

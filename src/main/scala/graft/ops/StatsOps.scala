@@ -1019,7 +1019,288 @@ object StatsOps {
       .orderBy("variant")
   }
 
+  /** Per-user purchase revenue in exact integer cents with the parity
+    * arm tag — the shared fixture for the nonparametric two-sample
+    * tests ([[evRankSum]], [[evKsTest]]). Users with no purchase rows
+    * are absent (no imputed zeros), matching the classic "revenue per
+    * paying user" framing. */
+  private def purchaseCents(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(sum(money(col("value"))).as("rev"))
+      .select(col("user_id"), (col("rev") * 100).cast("long").as("cents"),
+        expr("cast(user_id % 2 as int)").as("trt"))
+
+  /** T201: MANN–WHITNEY U rank-sum test of per-user purchase revenue
+    * by parity arm — the nonparametric A/B readout that needs no
+    * normality assumption. Average ranks over ties come from the
+    * value-grouped table: a tied group at cents v with c members and
+    * p predecessors contributes avg rank p + (c+1)/2, so 2·R_treat =
+    * Σ ct·(2p + c + 1) is an EXACT integer; 2·U = 2R − n₁(n₁+1), the
+    * tie-corrected variance uses the exact Σ(c³−c), and the single
+    * z = (2U − n₁n₀) / (2·√var) double tree runs once on the 1-row
+    * panel (oracle-identical). Predecessor counts use the ev_gini
+    * two-level cumulative (banded in-group window + broadcast band
+    * offsets) — no global rank window ever sorts the user table. */
+  def evRankSum(s: SparkSession, d: String): DataFrame = {
+    val vc = purchaseCents(s, d).groupBy("cents")
+      .agg(count(lit(1)).as("c"), sum("trt").as("ct"))
+      .withColumn("__b", floor(col("cents") / 100000).cast("long"))
+    val wIn = Window.partitionBy("__b").orderBy(col("cents").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wOff = Window.orderBy(col("__b").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = vc.groupBy("__b").agg(sum("c").as("tb"))
+      .withColumn("off", coalesce(sum("tb").over(wOff), lit(0L)))
+      .select("__b", "off")
+    vc.withColumn("pin", coalesce(sum("c").over(wIn), lit(0L)))
+      .join(offs, Seq("__b"))
+      .withColumn("p", col("off") + col("pin"))
+      .agg(sum("c").as("nn"), sum("ct").as("n1"),
+        sum(expr("ct * (2 * p + c + 1)")).as("r2"),
+        sum(expr("c * c * c - c")).as("ties"))
+      .withColumn("n0", col("nn") - col("n1"))
+      .withColumn("u2", expr("r2 - n1 * (n1 + 1)"))
+      .withColumn("varu", expr(
+        "case when nn < 2 then null else" +
+          " cast(n1 as double) * cast(n0 as double) / 12.0" +
+          " * (cast(nn + 1 as double) - cast(ties as double)" +
+          " / (cast(nn as double) * cast(nn - 1 as double))) end"))
+      .withColumn("z", expr(
+        "case when varu is null or varu <= 0 then null else" +
+          " (cast(u2 as double)" +
+          " - cast(n1 as double) * cast(n0 as double))" +
+          " / (2.0 * sqrt(varu)) end"))
+      .select(col("n0").as("n_control"), col("n1").as("n_treat"),
+        expr("cast(u2 as double) / 2.0").as("u_treat"),
+        expr("round(z, 6)").as("z"),
+        expr("cast(abs(z) > 1.96 as int)").as("significant"))
+  }
+
+  /** T202: two-sample KOLMOGOROV–SMIRNOV test on per-user purchase
+    * revenue by parity arm — the distribution-shift A/B readout (did
+    * the whole revenue CURVE move, not just the mean). The D statistic
+    * is assembled from exact integers: at every distinct cents value,
+    * |cumt·n₀ − cumc·n₁| (inclusive per-arm cumulative counts cross-
+    * multiplied by the opposite arm size) maxes to D·n₁·n₀ without a
+    * single double riding the scan; the normalized K = √(n₁n₀/N)·D
+    * and the 1.358 (α=0.05) cut happen once on the 1-row panel.
+    * Cumulatives use the banded two-level window — no global sort. */
+  def evKsTest(s: SparkSession, d: String): DataFrame = {
+    val ur = purchaseCents(s, d)
+    val vc = ur.groupBy("cents")
+      .agg(sum("trt").as("ct"),
+        sum(expr("1 - trt")).as("cc"))
+      .withColumn("__b", floor(col("cents") / 100000).cast("long"))
+    val wIn = Window.partitionBy("__b").orderBy(col("cents").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wOff = Window.orderBy(col("__b").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = vc.groupBy("__b")
+      .agg(sum("ct").as("tbt"), sum("cc").as("tbc"))
+      .withColumn("offt", coalesce(sum("tbt").over(wOff), lit(0L)))
+      .withColumn("offc", coalesce(sum("tbc").over(wOff), lit(0L)))
+      .select("__b", "offt", "offc")
+    val tot = ur.agg(sum("trt").as("n1"),
+      sum(expr("1 - trt")).as("n0"))
+    vc.withColumn("pint", sum("ct").over(wIn))
+      .withColumn("pinc", sum("cc").over(wIn))
+      .join(offs, Seq("__b"))
+      .crossJoin(broadcast(tot))
+      .withColumn("dnum", abs(
+        (col("offt") + col("pint")) * col("n0") -
+          (col("offc") + col("pinc")) * col("n1")))
+      .agg(max("dnum").as("dmax"), max("n1").as("n1"),
+        max("n0").as("n0"))
+      .withColumn("d", expr(
+        "case when n1 * n0 = 0 then null else" +
+          " cast(dmax as double) / (cast(n1 as double) * cast(n0 as double)) end"))
+      .select(col("n0").as("n_control"), col("n1").as("n_treat"),
+        expr("round(d, 6)").as("d_stat"),
+        expr("round(sqrt(cast(n1 as double) * cast(n0 as double)" +
+          " / cast(n1 + n0 as double)) * d, 6)").as("k_stat"),
+        expr("cast(sqrt(cast(n1 as double) * cast(n0 as double)" +
+          " / cast(n1 + n0 as double)) * d > 1.358 as int)")
+          .as("significant"))
+  }
+
+  /** T203: SPRT — Wald's sequential probability ratio test on the
+    * per-arm conversion stream (H₀: p=0.10 vs H₁: p=0.15, α=β=0.05),
+    * the always-valid peek that replaces a fixed-horizon z-test when
+    * the experiment is monitored live. Users arrive in user_id order;
+    * the log-likelihood ratio after t trials with k conversions is
+    * k·ln(1.5) + (t−k)·ln(17/18), held EXACTLY as the integer
+    * k·405465108108 − (t−k)·57158413839 on the 1e-12 grid (the two
+    * increments and the ±ln 19 = ±2944438979166 boundaries are
+    * constants, so no float ever enters the decision), and the first
+    * boundary crossing is a min-over-crossings aggregate. Trial
+    * indices and running conversions come from the banded two-level
+    * cumulative (user_id div 1024) — no global sort at any width. */
+  def evSprt(s: SparkSession, d: String): DataFrame = {
+    val perUser = Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(expr("case when sum(case when event_type = 'purchase'" +
+        " then 1 else 0 end) >= 14 then 1 else 0 end").as("conv"))
+      .withColumn("variant", expr("cast(user_id % 2 as int)"))
+      .withColumn("__b", floor(col("user_id") / 1024).cast("long"))
+    val wIn = Window.partitionBy("variant", "__b")
+      .orderBy(col("user_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wOff = Window.partitionBy("variant").orderBy(col("__b").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = perUser.groupBy("variant", "__b")
+      .agg(count(lit(1)).as("nb"), sum("conv").as("cb"))
+      .withColumn("offn", coalesce(sum("nb").over(wOff), lit(0L)))
+      .withColumn("offc", coalesce(sum("cb").over(wOff), lit(0L)))
+      .select("variant", "__b", "offn", "offc")
+    perUser
+      .withColumn("tin", count(lit(1)).over(wIn))
+      .withColumn("cin", sum("conv").over(wIn))
+      .join(offs, Seq("variant", "__b"))
+      .withColumn("t", col("offn") + col("tin"))
+      .withColumn("k", col("offc") + col("cin"))
+      .withColumn("llr",
+        expr("k * 405465108108 - (t - k) * 57158413839"))
+      .groupBy("variant")
+      .agg(max("t").as("n_trials"), max("k").as("n_conv"),
+        min(when(col("llr") >= 2944438979166L, col("t"))).as("th1"),
+        min(when(col("llr") <= -2944438979166L, col("t"))).as("th0"),
+        expr("max_by(llr, t)").as("llrEnd"))
+      .withColumn("decision_t", expr(
+        "case when th1 is not null and (th0 is null or th1 <= th0)" +
+          " then th1 when th0 is not null then th0 else -1 end"))
+      .select(col("variant"), col("n_trials"), col("n_conv"),
+        expr("round(cast(llrEnd as double) / 1e12, 6)").as("llr_final"),
+        col("decision_t"),
+        expr("case when th1 is not null and (th0 is null or th1 <= th0)" +
+          " then 'accept_h1' when th0 is not null then 'accept_h0'" +
+          " else 'continue' end").as("decision"))
+      .orderBy("variant")
+  }
+
+  /** T204: deterministic POISSON BOOTSTRAP confidence interval for
+    * mean per-user revenue — the only bootstrap that works at cluster
+    * scale (each row draws its own replicate weights; nothing is ever
+    * resampled "with replacement" across the fleet). Replicate b
+    * weights each user by the inverse-CDF Poisson(1) draw of the
+    * uniform u = md5(user:b)[0,8)/2³², so both engines replay the
+    * identical resample from the hash alone. Replicate means quantize
+    * to the 1e-6 grid (DECIMAL(18,6)) before the 32-row panel, making
+    * the bootstrap SE's Σq/Σq² exact; the interval is the 2nd-smallest
+    * / 2nd-largest replicate mean — exact order statistics (a ~94% CI
+    * at B=32), immune to quantile-interpolation drift. */
+  def evBootstrap(s: SparkSession, d: String): DataFrame = {
+    val ur = Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(sum(money(col("value"))).as("rev"))
+      .select(col("user_id"), (col("rev") * 100).cast("long").as("cents"))
+    val rep = ur
+      .select(col("user_id"), col("cents"),
+        explode(sequence(lit(0), lit(31))).as("b"))
+      .withColumn("hv", expr(
+        "cast(conv(substring(md5(concat(cast(user_id as string), ':'," +
+          " cast(b as string))), 1, 8), 16, 10) as bigint)"))
+      .withColumn("u", expr("cast(hv as double) / 4294967296.0"))
+      .withColumn("w", expr(
+        "case when u < 0.3678794412 then 0 when u < 0.7357588823 then 1" +
+          " when u < 0.9196986029 then 2 when u < 0.9810118431 then 3" +
+          " when u < 0.9963401532 then 4 when u < 0.9994058152 then 5" +
+          " when u < 0.9999167589 then 6 else 7 end"))
+    val means = rep.groupBy("b")
+      .agg(sum(expr("w * cents")).as("swx"), sum("w").as("sw"))
+      .filter(col("sw") > 0)
+      .withColumn("qm", expr(
+        "cast(round(cast(swx as double) / cast(sw as double) / 100.0," +
+          " 6) as decimal(18,6))"))
+    val wRank = Window.orderBy(col("qm").asc, col("b").asc)
+    val ranked = means.withColumn("rn", row_number().over(wRank))
+    val base = ur.agg(count(lit(1)).as("n_users"), sum("cents").as("sc"))
+    ranked
+      .agg(count(lit(1)).as("n_rep"), sum("qm").as("sq"),
+        sum(expr("qm * qm")).as("sqq"),
+        max(when(col("rn") === 2, col("qm"))).as("qlo"),
+        max(when(col("rn") === 31, col("qm"))).as("qhi"))
+      .crossJoin(broadcast(base))
+      .select(col("n_users"), col("n_rep"),
+        expr("round(cast(sc as double) / cast(n_users as double)" +
+          " / 100.0, 6)").as("est_mean"),
+        expr("round(case when n_rep < 2 then null else" +
+          " sqrt((cast(sqq as double) - cast(sq as double)" +
+          " * cast(sq as double) / cast(n_rep as double))" +
+          " / cast(n_rep - 1 as double)) end, 6)").as("boot_se"),
+        expr("cast(qlo as double)").as("ci_lo"),
+        expr("cast(qhi as double)").as("ci_hi"))
+  }
+
+  /** T205: QINI / UPLIFT decile table — the incrementality readout
+    * that ranks users by a targeting score (pre-activity = per-user
+    * event count) and asks, decile by decile, how much conversion the
+    * treatment actually CAUSED. Deciles come from nine exact
+    * percentile cuts of the score (broadcast 1-row panel, ties to the
+    * lower-activity decile — no ntile, whose row-order tie-breaks are
+    * engine-dependent), cells are exact integer (decile × arm) counts,
+    * and the Qini curve's cumulative increment c_t − c_c·n_t/n_c
+    * quantizes to the 1e-9 grid before the 10-row ordered cumsum, so
+    * the curve is bit-stable. */
+  def evQini(s: SparkSession, d: String): DataFrame = {
+    val perUser = Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("ne"),
+        expr("case when sum(case when event_type = 'purchase'" +
+          " then 1 else 0 end) >= 14 then 1 else 0 end").as("conv"))
+      .withColumn("variant", expr("cast(user_id % 2 as int)"))
+    val cutCols = (1 to 9).map(i => round(expr(
+      s"percentile(cast(ne as double), 0.${10 - i})"), 6).as(s"q$i"))
+    val cuts = perUser.agg(cutCols.head, cutCols.tail: _*)
+    val cells = perUser.crossJoin(broadcast(cuts))
+      .withColumn("decile", expr(
+        "case when cast(ne as double) > q1 then 1" +
+          " when cast(ne as double) > q2 then 2" +
+          " when cast(ne as double) > q3 then 3" +
+          " when cast(ne as double) > q4 then 4" +
+          " when cast(ne as double) > q5 then 5" +
+          " when cast(ne as double) > q6 then 6" +
+          " when cast(ne as double) > q7 then 7" +
+          " when cast(ne as double) > q8 then 8" +
+          " when cast(ne as double) > q9 then 9 else 10 end"))
+      .groupBy("decile", "variant")
+      .agg(count(lit(1)).as("n"), sum("conv").as("cv"))
+    val wide = cells.groupBy("decile")
+      .agg(
+        coalesce(max(when(col("variant") === 1, col("n"))), lit(0L))
+          .as("n_treat"),
+        coalesce(max(when(col("variant") === 1, col("cv"))), lit(0L))
+          .as("conv_treat"),
+        coalesce(max(when(col("variant") === 0, col("n"))), lit(0L))
+          .as("n_control"),
+        coalesce(max(when(col("variant") === 0, col("cv"))), lit(0L))
+          .as("conv_control"))
+      .withColumn("inc", expr(
+        "cast(round(case when n_control = 0 then cast(conv_treat as double)" +
+          " else cast(conv_treat as double) - cast(conv_control as double)" +
+          " * cast(n_treat as double) / cast(n_control as double) end," +
+          " 9) as decimal(18,9))"))
+    val wCum = Window.orderBy(col("decile").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wide.withColumn("qini_cum", sum("inc").over(wCum))
+      .select(col("decile").cast("int").as("decile"),
+        col("n_treat"), col("conv_treat"),
+        col("n_control"), col("conv_control"),
+        expr("round(case when n_treat = 0 or n_control = 0 then null" +
+          " else cast(conv_treat as double) / cast(n_treat as double)" +
+          " - cast(conv_control as double) / cast(n_control as double)" +
+          " end, 6)").as("uplift"),
+        expr("round(cast(qini_cum as double), 6)").as("qini"))
+      .orderBy("decile")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_ranksum"       -> evRankSum _,
+    "ev_kstest"        -> evKsTest _,
+    "ev_sprt"          -> evSprt _,
+    "ev_bootstrap"     -> evBootstrap _,
+    "ev_qini"          -> evQini _,
     "ev_did"           -> evDiffInDiff _,
     "ev_jackknife"     -> evJackknife _,
     "ev_cusum"         -> evCusum _,
@@ -1065,7 +1346,236 @@ object StatsOps {
       |  FROM spine s LEFT JOIN daily d
       |    ON s.event_type = d.event_type AND s.day = d.day)""".stripMargin
 
+  // shared per-user purchase-cents fixture for the nonparametric tests
+  private val purchaseCentsCte =
+    """ur AS MATERIALIZED (
+      |  SELECT user_id,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents,
+      |    CAST(user_id % 2 AS INTEGER) AS trt
+      |  FROM events WHERE event_type = 'purchase' GROUP BY user_id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // same exact-integer rank algebra: 2·R = Σ ct(2p+c+1), tie term
+    // Σ(c³−c), one shared double tree for varu and z
+    "ev_ranksum" ->
+      (s"""WITH $purchaseCentsCte,
+        |vc AS (
+        |  SELECT cents, CAST(COUNT(*) AS BIGINT) AS c,
+        |    CAST(SUM(trt) AS BIGINT) AS ct
+        |  FROM ur GROUP BY cents),
+        |rk AS (
+        |  SELECT c, ct, CAST(COALESCE(SUM(c) OVER (ORDER BY cents
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)""" +
+        """ AS BIGINT) AS p
+        |  FROM vc),
+        |agg AS (
+        |  SELECT CAST(SUM(c) AS BIGINT) AS nn, CAST(SUM(ct) AS BIGINT) AS n1,
+        |    CAST(SUM(ct * (2 * p + c + 1)) AS BIGINT) AS r2,
+        |    CAST(SUM(c * c * c - c) AS BIGINT) AS ties
+        |  FROM rk),
+        |m AS (
+        |  SELECT nn, n1, nn - n1 AS n0, r2 - n1 * (n1 + 1) AS u2, ties
+        |  FROM agg),
+        |v AS (
+        |  SELECT *, CASE WHEN nn < 2 THEN NULL ELSE
+        |    CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE) / 12.0
+        |    * (CAST(nn + 1 AS DOUBLE) - CAST(ties AS DOUBLE)
+        |    / (CAST(nn AS DOUBLE) * CAST(nn - 1 AS DOUBLE))) END AS varu
+        |  FROM m),
+        |zz AS (
+        |  SELECT *, CASE WHEN varu IS NULL OR varu <= 0 THEN NULL ELSE
+        |    (CAST(u2 AS DOUBLE) - CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE))
+        |    / (2.0 * sqrt(varu)) END AS z
+        |  FROM v)
+        |SELECT n0 AS n_control, n1 AS n_treat,
+        |  CAST(u2 AS DOUBLE) / 2.0 AS u_treat,
+        |  round(z, 6) AS z,
+        |  CAST(abs(z) > 1.96 AS INTEGER) AS significant
+        |FROM zz""").stripMargin,
+    // D·n1·n0 maxed as |cumt·n0 − cumc·n1| over exact inclusive
+    // cumulatives; K and the 1.358 cut in the same final double tree
+    "ev_kstest" ->
+      (s"""WITH $purchaseCentsCte,
+        |vc AS (
+        |  SELECT cents, CAST(SUM(trt) AS BIGINT) AS ct,
+        |    CAST(SUM(1 - trt) AS BIGINT) AS cc
+        |  FROM ur GROUP BY cents),
+        |tot AS (SELECT CAST(SUM(trt) AS BIGINT) AS n1,
+        |    CAST(SUM(1 - trt) AS BIGINT) AS n0 FROM ur),
+        |cum AS (
+        |  SELECT CAST(SUM(ct) OVER w AS BIGINT) AS cumt,
+        |    CAST(SUM(cc) OVER w AS BIGINT) AS cumc
+        |  FROM vc WINDOW w AS (ORDER BY cents
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |mx AS (
+        |  SELECT CAST(MAX(abs(cumt * tot.n0 - cumc * tot.n1))""" +
+        """ AS BIGINT) AS dmax,
+        |    MAX(tot.n1) AS n1, MAX(tot.n0) AS n0
+        |  FROM cum, tot),
+        |dd AS (
+        |  SELECT *, CASE WHEN n1 * n0 = 0 THEN NULL ELSE
+        |    CAST(dmax AS DOUBLE)
+        |    / (CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)) END AS d
+        |  FROM mx)
+        |SELECT n0 AS n_control, n1 AS n_treat, round(d, 6) AS d_stat,
+        |  round(sqrt(CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)
+        |    / CAST(n1 + n0 AS DOUBLE)) * d, 6) AS k_stat,
+        |  CAST(sqrt(CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)
+        |    / CAST(n1 + n0 AS DOUBLE)) * d > 1.358 AS INTEGER)
+        |    AS significant
+        |FROM dd""").stripMargin,
+    // identical 1e-12-grid integer LLR walk: increments 405465108108 /
+    // −57158413839, boundaries ±2944438979166 = ±ln 19
+    "ev_sprt" ->
+      """WITH pu AS MATERIALIZED (
+        |  SELECT user_id,
+        |    CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1
+        |      ELSE 0 END) >= 14 THEN 1 ELSE 0 END AS conv,
+        |    CAST(user_id % 2 AS INTEGER) AS variant
+        |  FROM events GROUP BY user_id),
+        |c AS (
+        |  SELECT variant,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY variant
+        |      ORDER BY user_id) AS BIGINT) AS t,
+        |    CAST(SUM(conv) OVER (PARTITION BY variant ORDER BY user_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS k
+        |  FROM pu),
+        |l AS (
+        |  SELECT variant, t, k,
+        |    k * 405465108108 - (t - k) * 57158413839 AS llr
+        |  FROM c),
+        |agg AS (
+        |  SELECT variant, CAST(MAX(t) AS BIGINT) AS n_trials,
+        |    CAST(MAX(k) AS BIGINT) AS n_conv,
+        |    CAST(MIN(CASE WHEN llr >= 2944438979166 THEN t END)
+        |      AS BIGINT) AS th1,
+        |    CAST(MIN(CASE WHEN llr <= -2944438979166 THEN t END)
+        |      AS BIGINT) AS th0,
+        |    CAST(max_by(llr, t) AS BIGINT) AS llr_end
+        |  FROM l GROUP BY variant)
+        |SELECT variant, n_trials, n_conv,
+        |  round(CAST(llr_end AS DOUBLE) / 1e12, 6) AS llr_final,
+        |  CASE WHEN th1 IS NOT NULL AND (th0 IS NULL OR th1 <= th0)
+        |    THEN th1 WHEN th0 IS NOT NULL THEN th0
+        |    ELSE -1 END AS decision_t,
+        |  CASE WHEN th1 IS NOT NULL AND (th0 IS NULL OR th1 <= th0)
+        |    THEN 'accept_h1' WHEN th0 IS NOT NULL THEN 'accept_h0'
+        |    ELSE 'continue' END AS decision
+        |FROM agg ORDER BY variant""".stripMargin,
+    // identical md5-replayed Poisson(1) weights, 1e-6-quantized
+    // replicate means, order-statistic CI (rn 2 / rn 31 of 32)
+    "ev_bootstrap" ->
+      """WITH ur AS MATERIALIZED (
+        |  SELECT user_id,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM events GROUP BY user_id),
+        |rep AS (
+        |  SELECT ur.user_id, ur.cents, b.b,
+        |    CAST('0x' || substr(md5(CAST(ur.user_id AS VARCHAR) || ':'
+        |      || CAST(b.b AS VARCHAR)), 1, 8) AS BIGINT) AS hv
+        |  FROM ur, (SELECT UNNEST(generate_series(0, 31)) AS b) b),
+        |ww AS (
+        |  SELECT user_id, cents, b,
+        |    CASE WHEN u < 0.3678794412 THEN 0
+        |      WHEN u < 0.7357588823 THEN 1 WHEN u < 0.9196986029 THEN 2
+        |      WHEN u < 0.9810118431 THEN 3 WHEN u < 0.9963401532 THEN 4
+        |      WHEN u < 0.9994058152 THEN 5 WHEN u < 0.9999167589 THEN 6
+        |      ELSE 7 END AS w
+        |  FROM (SELECT *, CAST(hv AS DOUBLE) / 4294967296.0 AS u
+        |        FROM rep) h),
+        |means AS (
+        |  SELECT b, CAST(SUM(w * cents) AS BIGINT) AS swx,
+        |    CAST(SUM(w) AS BIGINT) AS sw
+        |  FROM ww GROUP BY b HAVING SUM(w) > 0),
+        |q AS (
+        |  SELECT b, CAST(round(CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE)
+        |    / 100.0, 6) AS DECIMAL(18,6)) AS qm
+        |  FROM means),
+        |r AS (
+        |  SELECT qm, ROW_NUMBER() OVER (ORDER BY qm ASC, b ASC) AS rn
+        |  FROM q),
+        |base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(SUM(cents) AS BIGINT) AS sc FROM ur),
+        |panel AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rep,
+        |    SUM(CAST(qm AS DECIMAL(19,6))) AS sq,
+        |    SUM(CAST(qm AS DECIMAL(19,6)) * CAST(qm AS DECIMAL(19,6)))
+        |      AS sqq,
+        |    MAX(CASE WHEN rn = 2 THEN qm END) AS qlo,
+        |    MAX(CASE WHEN rn = 31 THEN qm END) AS qhi
+        |  FROM r)
+        |SELECT base.n_users, panel.n_rep,
+        |  round(CAST(base.sc AS DOUBLE) / CAST(base.n_users AS DOUBLE)
+        |    / 100.0, 6) AS est_mean,
+        |  round(CASE WHEN n_rep < 2 THEN NULL ELSE
+        |    sqrt((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE)
+        |    * CAST(sq AS DOUBLE) / CAST(n_rep AS DOUBLE))
+        |    / CAST(n_rep - 1 AS DOUBLE)) END, 6) AS boot_se,
+        |  CAST(qlo AS DOUBLE) AS ci_lo, CAST(qhi AS DOUBLE) AS ci_hi
+        |FROM panel, base""".stripMargin,
+    // identical nine rounded quantile_cont cuts, exact cell counts,
+    // 1e-9-quantized Qini increments cumulated over the 10-row curve
+    "ev_qini" ->
+      """WITH pu AS MATERIALIZED (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS ne,
+        |    CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1
+        |      ELSE 0 END) >= 14 THEN 1 ELSE 0 END AS conv,
+        |    CAST(user_id % 2 AS INTEGER) AS variant
+        |  FROM events GROUP BY user_id),
+        |cuts AS (
+        |  SELECT round(quantile_cont(CAST(ne AS DOUBLE), 0.9), 6) AS q1,
+        |    round(quantile_cont(CAST(ne AS DOUBLE), 0.8), 6) AS q2,
+        |    round(quantile_cont(CAST(ne AS DOUBLE), 0.7), 6) AS q3,
+        |    round(quantile_cont(CAST(ne AS DOUBLE), 0.6), 6) AS q4,
+        |    round(quantile_cont(CAST(ne AS DOUBLE), 0.5), 6) AS q5,
+        |    round(quantile_cont(CAST(ne AS DOUBLE), 0.4), 6) AS q6,
+        |    round(quantile_cont(CAST(ne AS DOUBLE), 0.3), 6) AS q7,
+        |    round(quantile_cont(CAST(ne AS DOUBLE), 0.2), 6) AS q8,
+        |    round(quantile_cont(CAST(ne AS DOUBLE), 0.1), 6) AS q9
+        |  FROM pu),
+        |cells AS (
+        |  SELECT CASE WHEN CAST(ne AS DOUBLE) > q1 THEN 1
+        |      WHEN CAST(ne AS DOUBLE) > q2 THEN 2
+        |      WHEN CAST(ne AS DOUBLE) > q3 THEN 3
+        |      WHEN CAST(ne AS DOUBLE) > q4 THEN 4
+        |      WHEN CAST(ne AS DOUBLE) > q5 THEN 5
+        |      WHEN CAST(ne AS DOUBLE) > q6 THEN 6
+        |      WHEN CAST(ne AS DOUBLE) > q7 THEN 7
+        |      WHEN CAST(ne AS DOUBLE) > q8 THEN 8
+        |      WHEN CAST(ne AS DOUBLE) > q9 THEN 9 ELSE 10 END AS decile,
+        |    variant, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(conv) AS BIGINT) AS cv
+        |  FROM pu, cuts GROUP BY 1, 2),
+        |wide AS (
+        |  SELECT decile,
+        |    COALESCE(MAX(CASE WHEN variant = 1 THEN n END), 0)
+        |      AS n_treat,
+        |    COALESCE(MAX(CASE WHEN variant = 1 THEN cv END), 0)
+        |      AS conv_treat,
+        |    COALESCE(MAX(CASE WHEN variant = 0 THEN n END), 0)
+        |      AS n_control,
+        |    COALESCE(MAX(CASE WHEN variant = 0 THEN cv END), 0)
+        |      AS conv_control
+        |  FROM cells GROUP BY decile),
+        |inc AS (
+        |  SELECT *, CAST(round(CASE WHEN n_control = 0
+        |    THEN CAST(conv_treat AS DOUBLE)
+        |    ELSE CAST(conv_treat AS DOUBLE) - CAST(conv_control AS DOUBLE)
+        |    * CAST(n_treat AS DOUBLE) / CAST(n_control AS DOUBLE) END, 9)
+        |    AS DECIMAL(18,9)) AS inc
+        |  FROM wide)
+        |SELECT CAST(decile AS INTEGER) AS decile, n_treat, conv_treat,
+        |  n_control, conv_control,
+        |  round(CASE WHEN n_treat = 0 OR n_control = 0 THEN NULL
+        |    ELSE CAST(conv_treat AS DOUBLE) / CAST(n_treat AS DOUBLE)
+        |    - CAST(conv_control AS DOUBLE) / CAST(n_control AS DOUBLE)
+        |    END, 6) AS uplift,
+        |  round(CAST(SUM(inc) OVER (ORDER BY decile ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE), 6) AS qini
+        |FROM inc ORDER BY decile""".stripMargin,
     // same exact-DECIMAL cell sums, same midpoint split, same 1-row
     // double tree for the four means and the DiD contrast
     "ev_did" ->
