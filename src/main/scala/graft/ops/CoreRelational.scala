@@ -1495,7 +1495,57 @@ object CoreRelational {
           .as("cramers_v"))
   }
 
+  /** T211: SNAPSHOT DRIFT report between the two key-parity halves of
+    * the orders table — the ingest monitor's "did today's load change
+    * shape" check, restated on a deterministic split (o_orderkey
+    * parity stands in for yesterday/today). Three signals in one row:
+    * PSI over the order-status distribution (the standard population-
+    * stability index, Σ(pa−pb)·ln(pa/pb), each term 1e-9-quantized on
+    * the ≤3-row status panel, zero-share terms dropped by the usual
+    * clamp-free convention), exact DECIMAL(18,2) mean order values
+    * per half, and the relative mean shift. Two map-side-combinable
+    * scans (status cells, money sums); everything after is
+    * status-cardinality. */
+  def dqSnapshotDrift(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+      .withColumn("half", expr("cast(o_orderkey % 2 as int)"))
+    val halves = ord.groupBy("half")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("sv"))
+    val wide = halves.groupBy()
+      .agg(max(when(col("half") === 0, col("n"))).as("n_a"),
+        max(when(col("half") === 1, col("n"))).as("n_b"),
+        max(when(col("half") === 0, col("sv"))).as("sv_a"),
+        max(when(col("half") === 1, col("sv"))).as("sv_b"))
+    val cells = ord.groupBy("o_orderstatus", "half")
+      .agg(count(lit(1)).as("c"))
+    val psi = cells.groupBy("o_orderstatus")
+      .agg(coalesce(max(when(col("half") === 0, col("c"))), lit(0L))
+        .as("ca"),
+        coalesce(max(when(col("half") === 1, col("c"))), lit(0L))
+          .as("cb"))
+      .crossJoin(broadcast(wide.select("n_a", "n_b")))
+      .withColumn("pa", expr("cast(ca as double) / cast(n_a as double)"))
+      .withColumn("pb", expr("cast(cb as double) / cast(n_b as double)"))
+      .withColumn("term", expr(
+        "cast(round(case when pa * pb = 0 then 0.0" +
+          " else (pa - pb) * ln(pa / pb) end, 9) as decimal(18,9))"))
+      .agg(sum("term").as("psiq"))
+    wide.crossJoin(broadcast(psi))
+      .select(col("n_a"), col("n_b"),
+        expr("round(cast(psiq as double), 6)").as("psi_status"),
+        expr("round(cast(sv_a as double) / cast(n_a as double), 6)")
+          .as("mean_price_a"),
+        expr("round(cast(sv_b as double) / cast(n_b as double), 6)")
+          .as("mean_price_b"),
+        expr("round((cast(sv_b as double) / cast(n_b as double)" +
+          " - cast(sv_a as double) / cast(n_a as double))" +
+          " / (cast(sv_a as double) / cast(n_a as double)) * 100.0, 6)")
+          .as("mean_shift_pct"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_snapshot_drift" -> dqSnapshotDrift _,
     "dq_chisq"       -> dqChisq _,
     "profile_topk"   -> profileTopk _,
     "dq_iqr"         -> dqIqrOutliers _,
@@ -1562,6 +1612,49 @@ object CoreRelational {
     "w02_running"    -> w02Running _)
 
   val oracles: Map[String, String] = Map(
+    // same parity split, exact DECIMAL money sums, 1e-9-quantized PSI
+    // terms over the status panel, one shared double tree
+    "dq_snapshot_drift" ->
+      """WITH ord AS MATERIALIZED (
+        |  SELECT CAST(o_orderkey % 2 AS INTEGER) AS half, o_orderstatus,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS v
+        |  FROM orders),
+        |halves AS (
+        |  SELECT half, CAST(COUNT(*) AS BIGINT) AS n, SUM(v) AS sv
+        |  FROM ord GROUP BY half),
+        |wide AS (
+        |  SELECT MAX(CASE WHEN half = 0 THEN n END) AS n_a,
+        |    MAX(CASE WHEN half = 1 THEN n END) AS n_b,
+        |    MAX(CASE WHEN half = 0 THEN sv END) AS sv_a,
+        |    MAX(CASE WHEN half = 1 THEN sv END) AS sv_b
+        |  FROM halves),
+        |cells AS (
+        |  SELECT o_orderstatus,
+        |    CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ca,
+        |    CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS cb
+        |  FROM ord GROUP BY o_orderstatus),
+        |terms AS (
+        |  SELECT CAST(round(CASE WHEN pa * pb = 0 THEN 0.0
+        |    ELSE (pa - pb) * ln(pa / pb) END, 9) AS DECIMAL(18,9))
+        |    AS term
+        |  FROM (
+        |    SELECT CAST(ca AS DOUBLE) / CAST(wide.n_a AS DOUBLE) AS pa,
+        |      CAST(cb AS DOUBLE) / CAST(wide.n_b AS DOUBLE) AS pb
+        |    FROM cells, wide) p),
+        |psi AS (SELECT SUM(term) AS psiq FROM terms)
+        |SELECT n_a, n_b,
+        |  round(CAST(psiq AS DOUBLE), 6) AS psi_status,
+        |  round(CAST(sv_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6)
+        |    AS mean_price_a,
+        |  round(CAST(sv_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6)
+        |    AS mean_price_b,
+        |  round((CAST(sv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+        |    - CAST(sv_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+        |    / (CAST(sv_a AS DOUBLE) / CAST(n_a AS DOUBLE)) * 100.0, 6)
+        |    AS mean_shift_pct
+        |FROM wide, psi""".stripMargin,
     // same full-grid expectation algebra: marginals cross-joined, zero
     // cells kept, 1e-9-quantized terms, one final double tree
     "dq_chisq" ->

@@ -757,6 +757,39 @@ object SimOps {
     * 1e-6 grid then float — the trained-index recipe, bit-stable
     * cross-engine); the label×2 centroid table is tiny, the cosine is
     * a sequential double fold mirrored by DuckDB's list_sum. */
+  /** T210: per-DIMENSION embedding health profile — mean, spread and
+    * dead-fraction (|v| < 0.01) for each of the 64 coordinates, the
+    * index-maintenance check that catches a collapsed or dead
+    * dimension (a whole axis pinned near zero wastes index capacity
+    * and silently shrinks every cosine). One posexplode → 64-group
+    * map-side-combinable aggregate; each float widens exactly to
+    * double and quantizes to the 1e-9 grid once, so Σq/Σq² are exact
+    * DECIMAL sums and the sd's single double tree is order-free.
+    * Fleet posture: rows×64 explode but constant-width groups — the
+    * shuffle carries 64 partial-sum rows per map task, nothing
+    * corpus-sized. */
+  def embDimStats(s: SparkSession, d: String): DataFrame = {
+    Tables.embeddings(s, d)
+      .select(posexplode(expr(
+        "transform(embedding, x -> cast(x as double))"))
+        .as(Seq("dim", "v")))
+      .withColumn("q", expr("cast(round(v, 9) as decimal(18,9))"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"), sum("q").as("sq"),
+        sum(expr("q * q")).as("sqq"),
+        sum(expr("case when abs(v) < 0.01 then 1 else 0 end")).as("nz"))
+      .select(col("dim").cast("int").as("dim"), col("n"),
+        expr("round(cast(sq as double) / cast(n as double), 6)")
+          .as("mean"),
+        expr("round(case when n < 2 then null else" +
+          " sqrt((cast(sqq as double) - cast(sq as double)" +
+          " * cast(sq as double) / cast(n as double))" +
+          " / cast(n - 1 as double)) end, 6)").as("sd"),
+        expr("round(cast(nz as double) / cast(n as double), 6)")
+          .as("frac_dead"))
+      .orderBy("dim")
+  }
+
   def embCentroidDrift(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
       .withColumn("half", expr("cast(vec_id % 2 as int)"))
@@ -834,6 +867,7 @@ object SimOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_dim_stats"    -> embDimStats _,
     "emb_centroid_drift" -> embCentroidDrift _,
     "ann_prefilter"    -> annPrefilter _,
     "ann_range"        -> annRange _,
@@ -1552,5 +1586,32 @@ object SimOps {
     ("ann_range" -> annRangeSql) +
     ("emb_triplets" -> embTripletsSql) +
     ("emb_centroid_drift" -> centroidDriftSql) +
-    ("ann_prefilter" -> annPrefilterSql)
+    ("ann_prefilter" -> annPrefilterSql) +
+    ("emb_dim_stats" -> embDimStatsSql)
+
+  // same 0-based dim zip, exact widen + 1e-9 quantize, identical
+  // single-tree sd and dead-fraction doubles
+  private lazy val embDimStatsSql: String =
+    """WITH dims AS MATERIALIZED (
+      |  SELECT UNNEST(range(len(embedding))) AS dim,
+      |    UNNEST(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+      |  FROM embeddings),
+      |q AS (
+      |  SELECT dim, v, CAST(round(v, 9) AS DECIMAL(18,9)) AS q
+      |  FROM dims),
+      |agg AS (
+      |  SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(CAST(q AS DECIMAL(19,9))) AS sq,
+      |    SUM(CAST(q AS DECIMAL(19,9)) * CAST(q AS DECIMAL(19,9))) AS sqq,
+      |    CAST(SUM(CASE WHEN abs(v) < 0.01 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS nz
+      |  FROM q GROUP BY dim)
+      |SELECT CAST(dim AS INTEGER) AS dim, n,
+      |  round(CAST(sq AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean,
+      |  round(CASE WHEN n < 2 THEN NULL ELSE
+      |    sqrt((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE)
+      |    * CAST(sq AS DOUBLE) / CAST(n AS DOUBLE))
+      |    / CAST(n - 1 AS DOUBLE)) END, 6) AS sd,
+      |  round(CAST(nz AS DOUBLE) / CAST(n AS DOUBLE), 6) AS frac_dead
+      |FROM agg ORDER BY dim""".stripMargin
 }

@@ -1295,7 +1295,101 @@ object StatsOps {
       .orderBy("decile")
   }
 
+  /** T208: TOST equivalence test (two one-sided tests, margin
+    * δ = 0.02 absolute on conversion rate) — the readout that can
+    * PROVE "the cheaper variant is no worse", which a plain z-test
+    * can never do (failing to reject ≠ equivalent). Arm cells are the
+    * exact [[evAbtest]] integers; the unpooled SE and both one-sided
+    * z's — z_lower = (Δ+δ)/se against −δ, z_upper = (δ−Δ)/se against
+    * +δ — run once on the 1-row panel; equivalence = both > 1.645
+    * (α = 0.05). */
+  def evTost(s: SparkSession, d: String): DataFrame = {
+    val perUser = Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(expr("case when sum(case when event_type = 'purchase'" +
+        " then 1 else 0 end) >= 14 then 1 else 0 end").as("conv"))
+      .withColumn("variant", expr("cast(user_id % 2 as int)"))
+    perUser.groupBy()
+      .agg(
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("variant") === 0, col("conv"))
+          .otherwise(lit(0))).as("c0"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("variant") === 1, col("conv"))
+          .otherwise(lit(0))).as("c1"))
+      .withColumn("p0", expr("cast(c0 as double) / cast(n0 as double)"))
+      .withColumn("p1", expr("cast(c1 as double) / cast(n1 as double)"))
+      .withColumn("se", expr(
+        "sqrt(p0 * (1.0 - p0) / cast(n0 as double)" +
+          " + p1 * (1.0 - p1) / cast(n1 as double))"))
+      .withColumn("zl", expr(
+        "case when se = 0 then null else (p1 - p0 + 0.02) / se end"))
+      .withColumn("zu", expr(
+        "case when se = 0 then null else (0.02 - (p1 - p0)) / se end"))
+      .select(col("n0").as("n_control"), col("c0").as("conv_control"),
+        col("n1").as("n_treat"), col("c1").as("conv_treat"),
+        expr("round(p1 - p0, 6)").as("diff"),
+        expr("round(se, 6)").as("se"),
+        expr("round(zl, 6)").as("z_lower"),
+        expr("round(zu, 6)").as("z_upper"),
+        expr("cast(zl > 1.645 and zu > 1.645 as int)").as("equivalent"))
+  }
+
+  /** T209: DELTA-METHOD ratio-metric test — revenue per event, the
+    * ratio whose numerator and denominator are correlated per user
+    * (naive per-user-mean z-tests are simply wrong here; the delta
+    * method is the industry-standard fix). Per arm, six exact moments
+    * (n, Σx, Σk, Σx², Σk², Σxk with x = cents, k = events) feed
+    * var(R) = (s²_x − 2R·s_xk + R²·s²_k) / (n·k̄²) on the 1-row
+    * panel; z compares arms through the combined SE. Sums of cents²
+    * ride DECIMAL(38,0) so 100 TB of whales cannot overflow them. */
+  def evRatioDelta(s: SparkSession, d: String): DataFrame = {
+    val pu = Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(sum(money(col("value"))).as("rev"), count(lit(1)).as("k"))
+      .select(expr("cast(user_id % 2 as int)").as("variant"),
+        (col("rev") * 100).cast("long").as("x"), col("k"))
+    val arms = pu.groupBy("variant")
+      .agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("k").as("sk"),
+        sum(expr("cast(x as decimal(38,0)) * x")).as("sxx"),
+        sum(expr("cast(k as decimal(38,0)) * k")).as("skk"),
+        sum(expr("cast(x as decimal(38,0)) * k")).as("sxk"))
+      .withColumn("r", expr("cast(sx as double) / cast(sk as double)"))
+      .withColumn("kbar", expr("cast(sk as double) / cast(n as double)"))
+      .withColumn("vx", expr(
+        "(cast(sxx as double) - cast(sx as double) * cast(sx as double)" +
+          " / cast(n as double)) / cast(n - 1 as double)"))
+      .withColumn("vk", expr(
+        "(cast(skk as double) - cast(sk as double) * cast(sk as double)" +
+          " / cast(n as double)) / cast(n - 1 as double)"))
+      .withColumn("cxk", expr(
+        "(cast(sxk as double) - cast(sx as double) * cast(sk as double)" +
+          " / cast(n as double)) / cast(n - 1 as double)"))
+      .withColumn("vr", expr(
+        "(vx - 2.0 * r * cxk + r * r * vk)" +
+          " / (cast(n as double) * kbar * kbar)"))
+    arms.groupBy()
+      .agg(max(when(col("variant") === 0, col("n"))).as("n_control"),
+        max(when(col("variant") === 1, col("n"))).as("n_treat"),
+        max(when(col("variant") === 0, col("r"))).as("r0"),
+        max(when(col("variant") === 1, col("r"))).as("r1"),
+        max(when(col("variant") === 0, col("vr"))).as("v0"),
+        max(when(col("variant") === 1, col("vr"))).as("v1"))
+      .withColumn("z", expr(
+        "case when v0 + v1 <= 0 then null else" +
+          " (r1 - r0) / sqrt(v0 + v1) end"))
+      .select(col("n_control"), col("n_treat"),
+        expr("round(r0 / 100.0, 6)").as("rpe_control"),
+        expr("round(r1 / 100.0, 6)").as("rpe_treat"),
+        expr("round(sqrt(v0 + v1) / 100.0, 6)").as("se"),
+        expr("round(z, 6)").as("z"),
+        expr("cast(abs(z) > 1.96 as int)").as("significant"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_tost"          -> evTost _,
+    "ev_ratio_delta"   -> evRatioDelta _,
     "ev_ranksum"       -> evRankSum _,
     "ev_kstest"        -> evKsTest _,
     "ev_sprt"          -> evSprt _,
@@ -1355,6 +1449,97 @@ object StatsOps {
       |  FROM events WHERE event_type = 'purchase' GROUP BY user_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // same exact conversion cells, unpooled SE, both one-sided z's in
+    // one double tree; equivalent = both > 1.645
+    "ev_tost" ->
+      """WITH pu AS MATERIALIZED (
+        |  SELECT user_id,
+        |    CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1
+        |      ELSE 0 END) >= 14 THEN 1 ELSE 0 END AS conv,
+        |    CAST(user_id % 2 AS INTEGER) AS variant
+        |  FROM events GROUP BY user_id),
+        |cells AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n0,
+        |    CAST(SUM(CASE WHEN variant = 0 THEN conv ELSE 0 END)
+        |      AS BIGINT) AS c0,
+        |    CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n1,
+        |    CAST(SUM(CASE WHEN variant = 1 THEN conv ELSE 0 END)
+        |      AS BIGINT) AS c1
+        |  FROM pu),
+        |p AS (
+        |  SELECT *, CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS p0,
+        |    CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1
+        |  FROM cells),
+        |se AS (
+        |  SELECT *, sqrt(p0 * (1.0 - p0) / CAST(n0 AS DOUBLE)
+        |    + p1 * (1.0 - p1) / CAST(n1 AS DOUBLE)) AS se
+        |  FROM p),
+        |z AS (
+        |  SELECT *,
+        |    CASE WHEN se = 0 THEN NULL
+        |      ELSE (p1 - p0 + 0.02) / se END AS zl,
+        |    CASE WHEN se = 0 THEN NULL
+        |      ELSE (0.02 - (p1 - p0)) / se END AS zu
+        |  FROM se)
+        |SELECT n0 AS n_control, c0 AS conv_control, n1 AS n_treat,
+        |  c1 AS conv_treat, round(p1 - p0, 6) AS diff,
+        |  round(se, 6) AS se, round(zl, 6) AS z_lower,
+        |  round(zu, 6) AS z_upper,
+        |  CAST(zl > 1.645 AND zu > 1.645 AS INTEGER) AS equivalent
+        |FROM z""".stripMargin,
+    // same six exact per-arm moments (cents via DECIMAL(18,2)·100),
+    // delta-method variance and z in one shared double tree
+    "ev_ratio_delta" ->
+      """WITH pu AS MATERIALIZED (
+        |  SELECT CAST(user_id % 2 AS INTEGER) AS variant,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS x,
+        |    CAST(COUNT(*) AS BIGINT) AS k
+        |  FROM events GROUP BY user_id),
+        |arms AS (
+        |  SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(k) AS BIGINT) AS sk,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+        |    SUM(CAST(k AS HUGEINT) * k) AS skk,
+        |    SUM(CAST(x AS HUGEINT) * k) AS sxk
+        |  FROM pu GROUP BY variant),
+        |m AS (
+        |  SELECT variant, n,
+        |    CAST(sx AS DOUBLE) / CAST(sk AS DOUBLE) AS r,
+        |    CAST(sk AS DOUBLE) / CAST(n AS DOUBLE) AS kbar,
+        |    (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+        |      / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE) AS vx,
+        |    (CAST(skk AS DOUBLE) - CAST(sk AS DOUBLE) * CAST(sk AS DOUBLE)
+        |      / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE) AS vk,
+        |    (CAST(sxk AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sk AS DOUBLE)
+        |      / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE) AS cxk
+        |  FROM arms),
+        |v AS (
+        |  SELECT variant, n, r,
+        |    (vx - 2.0 * r * cxk + r * r * vk)
+        |      / (CAST(n AS DOUBLE) * kbar * kbar) AS vr
+        |  FROM m),
+        |wide AS (
+        |  SELECT MAX(CASE WHEN variant = 0 THEN n END) AS n_control,
+        |    MAX(CASE WHEN variant = 1 THEN n END) AS n_treat,
+        |    MAX(CASE WHEN variant = 0 THEN r END) AS r0,
+        |    MAX(CASE WHEN variant = 1 THEN r END) AS r1,
+        |    MAX(CASE WHEN variant = 0 THEN vr END) AS v0,
+        |    MAX(CASE WHEN variant = 1 THEN vr END) AS v1
+        |  FROM v),
+        |zz AS (
+        |  SELECT *, CASE WHEN v0 + v1 <= 0 THEN NULL
+        |    ELSE (r1 - r0) / sqrt(v0 + v1) END AS z
+        |  FROM wide)
+        |SELECT n_control, n_treat,
+        |  round(r0 / 100.0, 6) AS rpe_control,
+        |  round(r1 / 100.0, 6) AS rpe_treat,
+        |  round(sqrt(v0 + v1) / 100.0, 6) AS se,
+        |  round(z, 6) AS z,
+        |  CAST(abs(z) > 1.96 AS INTEGER) AS significant
+        |FROM zz""".stripMargin,
     // same exact-integer rank algebra: 2·R = Σ ct(2p+c+1), tie term
     // Σ(c³−c), one shared double tree for varu and z
     "ev_ranksum" ->

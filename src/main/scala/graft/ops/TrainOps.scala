@@ -1251,7 +1251,58 @@ object TrainOps {
       .orderBy(col("o_custkey"), col("neg_rank"))
   }
 
+  /** T207: DoReMi-STYLE domain reweighting (Xie et al. 2023 restated
+    * as one exponentiated-gradient step): per-source mean token
+    * surprisal under the corpus unigram LM stands in for the excess
+    * loss, and each source's mixing weight is its baseline token share
+    * scaled by exp(surprisal − corpus mean), renormalized — hard
+    * sources gain share, easy (low-perplexity, often boilerplate)
+    * sources lose it. Scale shape is fold-then-join: tokens collapse
+    * to per-(source, token) counts BEFORE touching the corpus vocab
+    * table (the [[textBigramLm]] discipline), each −ln p term is
+    * quantized to the 1e-9 grid once per TYPE and occurrence-weighted
+    * by an exact DECIMAL·n product, and the 20-row source panel does
+    * all remaining doubles, with exp() outputs re-quantized before the
+    * normalizing sum so the final shares are order-free. */
+  def mixDoremi(s: SparkSession, d: String): DataFrame = {
+    val st = Tables.spread(Tables.documents(s, d))
+      .select(col("source"), explode(expr(
+        "filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')"))
+        .as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("n"))
+    val vocab = st.groupBy("tok").agg(sum("n").as("freq"))
+    val total = vocab.agg(sum("freq").as("tot"))
+    val perSrc = st.join(vocab, "tok")
+      .crossJoin(broadcast(total))
+      .withColumn("q", expr(
+        "cast(round(-ln(cast(freq as double) / cast(tot as double)), 9)" +
+          " as decimal(18,9))"))
+      .groupBy("source")
+      .agg(sum("n").as("nt"), sum(expr("q * n")).as("sq"),
+        max("tot").as("tot"))
+    val corpus = perSrc.agg(sum("nt").as("cn"), sum("sq").as("cs"))
+    val panel = perSrc.crossJoin(broadcast(corpus))
+      .withColumn("surp", expr(
+        "cast(sq as double) / cast(nt as double)"))
+      .withColumn("csurp", expr(
+        "cast(cs as double) / cast(cn as double)"))
+      .withColumn("share", expr(
+        "cast(nt as double) / cast(tot as double)"))
+      .withColumn("wraw", expr(
+        "cast(round(share * exp(surp - csurp), 9) as decimal(18,9))"))
+    val norm = panel.agg(sum("wraw").as("wsum"))
+    panel.crossJoin(broadcast(norm))
+      .select(col("source"), col("nt").as("n_tokens"),
+        expr("round(share, 6)").as("base_share"),
+        expr("round(surp, 6)").as("surprisal"),
+        expr("round(surp - csurp, 6)").as("excess"),
+        expr("round(cast(wraw as double) / cast(wsum as double), 6)")
+          .as("doremi_weight"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mix_doremi"         -> mixDoremi _,
     "sample_negatives"   -> sampleNegatives _,
     "pack_curriculum"    -> packCurriculum _,
     "sample_poisson"     -> samplePoisson _,
@@ -1353,6 +1404,44 @@ object TrainOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // identical fold-then-join unigram surprisal, 1e-9-quantized per
+    // type, exp() re-quantized before the normalizing 20-row sum
+    "mix_doremi" ->
+      """WITH st AS MATERIALIZED (
+        |  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM (SELECT source, UNNEST(list_filter(
+        |      string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      t -> t != '')) AS tok
+        |    FROM documents) t
+        |  GROUP BY source, tok),
+        |vocab AS MATERIALIZED (
+        |  SELECT tok, CAST(SUM(n) AS BIGINT) AS freq FROM st GROUP BY tok),
+        |total AS (SELECT CAST(SUM(freq) AS BIGINT) AS tot FROM vocab),
+        |per_src AS MATERIALIZED (
+        |  SELECT source, CAST(SUM(st.n) AS BIGINT) AS nt,
+        |    SUM(CAST(round(-ln(CAST(freq AS DOUBLE)
+        |      / CAST(tot AS DOUBLE)), 9) AS DECIMAL(18,9)) * st.n) AS sq,
+        |    MAX(tot) AS tot
+        |  FROM st JOIN vocab ON st.tok = vocab.tok CROSS JOIN total
+        |  GROUP BY source),
+        |corpus AS (SELECT CAST(SUM(nt) AS BIGINT) AS cn, SUM(sq) AS cs
+        |  FROM per_src),
+        |panel AS MATERIALIZED (
+        |  SELECT source, nt,
+        |    CAST(sq AS DOUBLE) / CAST(nt AS DOUBLE) AS surp,
+        |    CAST(cs AS DOUBLE) / CAST(cn AS DOUBLE) AS csurp,
+        |    CAST(nt AS DOUBLE) / CAST(tot AS DOUBLE) AS share
+        |  FROM per_src CROSS JOIN corpus),
+        |pw AS MATERIALIZED (
+        |  SELECT *, CAST(round(share * exp(surp - csurp), 9)
+        |    AS DECIMAL(18,9)) AS wraw
+        |  FROM panel),
+        |norm AS (SELECT SUM(wraw) AS wsum FROM pw)
+        |SELECT source, nt AS n_tokens, round(share, 6) AS base_share,
+        |  round(surp, 6) AS surprisal, round(surp - csurp, 6) AS excess,
+        |  round(CAST(wraw AS DOUBLE) / CAST(wsum AS DOUBLE), 6)
+        |    AS doremi_weight
+        |FROM pw CROSS JOIN norm ORDER BY source""".stripMargin,
     // identical md5-mod draws (strpos hex fold), monolithic supplier
     // rank, NOT EXISTS anti-join, same earliest-attempt/rank pick
     "sample_negatives" ->
