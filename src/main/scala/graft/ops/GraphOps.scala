@@ -168,6 +168,54 @@ object GraphOps {
     ranks.orderBy(col("node"))
   }
 
+  /** T213: PERSONALIZED PageRank from a 3-customer seed panel —
+    * "what's relevant to THESE nodes" (the recommendation / related-
+    * entity expansion), not global importance. The teleport mass
+    * (0.15/|S| per round) returns only to the seeds, so the rank
+    * vector stays SPARSE: round k touches only the k-hop ball, and
+    * the per-round state a cluster carries is frontier-sized, never
+    * node-table-sized (the decisive scale difference from global
+    * PageRank). Three rounds = contribution join on the memoized
+    * edge index + full-outer with the broadcast 3-row seed base;
+    * in-sums use the [[graphPagerank]] sorted-fold so both engines
+    * add identical doubles in identical order, and the top-20 cut
+    * happens on bit-identical ranks. */
+  def graphPpr(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (edgesDeg, _, _) = edgeIndex(s, d)
+    // Scala-double literals, NOT expr("1.0 / 3.0"): Spark parses that
+    // as DECIMAL(2,1) division (= 0.333333, a 1e-6 truncation that
+    // leaks 8.5e-7 of rank mass per round); the oracle's 1.0/3.0 is
+    // IEEE double division, matched here by the JVM's
+    val seedBase = Seq("c1", "c2", "c3").toDF("node")
+      .withColumn("base", lit(0.15 / 3.0))
+    var ranks = seedBase.select(col("node"),
+      lit(1.0 / 3.0).as("rank"))
+    for (_ <- 1 to 3) {
+      val contrib = edgesDeg.join(ranks, edgesDeg("src") === ranks("node"))
+        .select(col("dst"), (col("rank") / col("outdeg")).as("c"))
+        .groupBy(col("dst"))
+        .agg(expr(
+          "aggregate(sort_array(collect_list(c)), cast(0.0 as double)," +
+            " (a, x) -> a + x)").as("insum"))
+        .select(col("dst").as("node"),
+          (lit(0.85) * col("insum")).as("cc"))
+      ranks = contrib
+        .join(broadcast(seedBase), Seq("node"), "full_outer")
+        .select(col("node"),
+          (coalesce(col("cc"), lit(0.0)) +
+            coalesce(col("base"), lit(0.0))).as("rank"))
+        .localCheckpoint()
+    }
+    // TakeOrderedAndProject (no global sort shuffle), THEN the rank
+    // window over the 20 surviving rows
+    val top = ranks.orderBy(col("rank").desc, col("node").asc).limit(20)
+    val w = Window.orderBy(col("rank").desc, col("node").asc)
+    top.withColumn("rk", row_number().over(w))
+      .select(col("rk").cast("int").as("rk"), col("node"), col("rank"))
+      .orderBy("rk")
+  }
+
   /** Degree distribution of the trading graph: how many nodes have
     * each degree, split by node kind (customer/supplier) — the
     * first-look structural profile of any graph (and the skew
@@ -1180,6 +1228,7 @@ object GraphOps {
     "graph_triangles" -> graphTriangles _,
     "graph_clustcoeff" -> graphClustCoeff _,
     "graph_pagerank" -> graphPagerank _,
+    "graph_ppr" -> graphPpr _,
     "graph_degree"   -> graphDegree _,
     "graph_cooccur"  -> graphCooccur _,
     "graph_paths"    -> graphPaths _,
@@ -1680,6 +1729,39 @@ object GraphOps {
          |${iter("pr3", "pr4")},
          |${iter("pr4", "pr5")}
          |SELECT node, rank FROM pr5 ORDER BY node""".stripMargin
+    },
+    // same sparse teleport-to-seeds walk: sorted-fold in-sums,
+    // full-outer with the 3-row seed base, identical top-20 cut
+    "graph_ppr" -> {
+      val iter = (prev: String, cur: String) =>
+        s"""$cur AS MATERIALIZED (
+           |  SELECT COALESCE(c.node, sd.node) AS node,
+           |    COALESCE(c.cc, 0.0) + COALESCE(sd.base, 0.0) AS rank
+           |  FROM (
+           |    SELECT e.dst AS node, 0.85 * list_reduce(
+           |      list_sort(list(p.rank / e.outdeg)), (a, x) -> a + x)
+           |      AS cc
+           |    FROM ed e JOIN $prev p ON e.src = p.node
+           |    GROUP BY e.dst) c
+           |  FULL OUTER JOIN sd ON c.node = sd.node)""".stripMargin
+      s"""WITH pairs AS MATERIALIZED (
+         |  SELECT DISTINCT 'c' || o.o_custkey AS src,
+         |                  's' || l.l_suppkey AS dst
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         |edges AS MATERIALIZED (SELECT src, dst FROM pairs
+         |          UNION ALL SELECT dst, src FROM pairs),
+         |deg AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+         |ed AS MATERIALIZED (SELECT e.src, e.dst, d.outdeg
+         |       FROM edges e JOIN deg d USING (src)),
+         |sd AS (SELECT node, 0.15 / 3.0 AS base
+         |       FROM (VALUES ('c1'), ('c2'), ('c3')) s(node)),
+         |pr0 AS (SELECT node, 1.0 / 3.0 AS rank FROM sd),
+         |${iter("pr0", "pr1")},
+         |${iter("pr1", "pr2")},
+         |${iter("pr2", "pr3")}
+         |SELECT CAST(row_number() OVER (ORDER BY rank DESC, node ASC)
+         |    AS INTEGER) AS rk, node, rank
+         |FROM pr3 ORDER BY rank DESC, node ASC LIMIT 20""".stripMargin
     },
     // the oracle takes the naive projection (self-join on customer)
     // the engine deliberately avoids; same exact integers, and the

@@ -790,6 +790,61 @@ object SimOps {
       .orderBy("dim")
   }
 
+  /** T212: leave-one-out k-NN LABEL ACCURACY — the label-quality /
+    * embedding-quality cross-check (if 3-NN majority vote can't
+    * recover a vector's own label, either the label is wrong or the
+    * embedding space doesn't separate that class). Candidates ride
+    * the memoized [[ivfIndex]] cells with the capped ids-only pair
+    * generation (the [[annKnnGraph]] shape — never an all-pairs
+    * product), each vector keeps its top-3 in-cell neighbors by
+    * rounded cosine, and the vote is majority with (votes desc, label
+    * asc) tie-break — fully order-free. Vectors alone in their cell
+    * have no candidates and drop out of n_eval (reported per label,
+    * so the denominator is visible). */
+  def embKnnAcc(s: SparkSession, d: String): DataFrame = {
+    val (_, assigned) = ivfIndex(s, d)
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+    val labels = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+    val pairs = DedupOps.cappedBucketPairs(
+        assigned.select(col("centroid_id"), col("vec_id")),
+        Seq("centroid_id"), "vec_id", "vec_a", "vec_b")
+      .join(emb.select(col("vec_id").as("vec_a"),
+        col("embedding").as("emb_a")), Seq("vec_a"))
+      .join(emb.select(col("vec_id").as("vec_b"),
+        col("embedding").as("emb_b")), Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(CosineSimilarity.cosine_native(s,
+          col("emb_a"), col("emb_b")), 6).as("cos"))
+    val directed = pairs
+      .select(col("vec_a").as("src"), col("vec_b").as("dst"), col("cos"))
+      .unionAll(pairs.select(col("vec_b").as("src"),
+        col("vec_a").as("dst"), col("cos")))
+    val w = Window.partitionBy("src")
+      .orderBy(col("cos").desc, col("dst").asc)
+    val knn = directed.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+    val votes = knn
+      .join(labels.select(col("vec_id").as("dst"),
+        col("label").as("nb_label")), Seq("dst"))
+      .groupBy("src", "nb_label").agg(count(lit(1)).as("votes"))
+    val wv = Window.partitionBy("src")
+      .orderBy(col("votes").desc, col("nb_label").asc)
+    val pred = votes.withColumn("rv", row_number().over(wv))
+      .filter(col("rv") === 1)
+      .select(col("src"), col("nb_label").as("pred"))
+    pred.join(labels.select(col("vec_id").as("src"), col("label")),
+        Seq("src"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(col("pred") === col("label"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("label"), col("n_eval"), col("n_correct"),
+        expr("round(cast(n_correct as double) / cast(n_eval as double)," +
+          " 6)").as("acc"))
+      .orderBy("label")
+  }
+
   def embCentroidDrift(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
       .withColumn("half", expr("cast(vec_id % 2 as int)"))
@@ -867,6 +922,7 @@ object SimOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_knn_acc"      -> embKnnAcc _,
     "emb_dim_stats"    -> embDimStats _,
     "emb_centroid_drift" -> embCentroidDrift _,
     "ann_prefilter"    -> annPrefilter _,
@@ -1587,7 +1643,69 @@ object SimOps {
     ("emb_triplets" -> embTripletsSql) +
     ("emb_centroid_drift" -> centroidDriftSql) +
     ("ann_prefilter" -> annPrefilterSql) +
-    ("emb_dim_stats" -> embDimStatsSql)
+    ("emb_dim_stats" -> embDimStatsSql) +
+    ("emb_knn_acc" -> embKnnAccSql)
+
+  // the ann_knn_graph cell-pair replay at k=3, then the same
+  // majority vote with (votes desc, label asc) tie-break
+  private lazy val embKnnAccSql: String =
+    """WITH seeds AS MATERIALIZED (
+      |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+      |      AS centroid_id,
+      |    embedding AS centroid
+      |  FROM embeddings
+      |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+      |assign AS MATERIALIZED (
+      |  SELECT vec_id, embedding, centroid_id FROM (
+      |    SELECT e.vec_id, e.embedding, s.centroid_id,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        list_sum(list_transform(range(1, len(e.embedding) + 1),
+      |            i -> CAST(e.embedding[i] AS DOUBLE) * CAST(s.centroid[i] AS DOUBLE)))
+      |          / (sqrt(list_sum(list_transform(e.embedding,
+      |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |           * sqrt(list_sum(list_transform(s.centroid,
+      |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) DESC,
+      |        s.centroid_id ASC) AS rn
+      |    FROM embeddings e CROSS JOIN seeds s) WHERE rn = 1),
+      |m AS MATERIALIZED (
+      |  SELECT vec_id, embedding, centroid_id,
+      |    row_number() OVER (PARTITION BY centroid_id ORDER BY vec_id) AS rk
+      |  FROM assign),
+      |cosp AS MATERIALIZED (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round(
+      |    list_sum(list_transform(range(1, len(a.embedding) + 1),
+      |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      |      / (sqrt(list_sum(list_transform(a.embedding,
+      |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |       * sqrt(list_sum(list_transform(b.embedding,
+      |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos
+      |  FROM m a JOIN m b
+      |    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+      |  WHERE a.rk <= 64 AND b.rk <= 64),
+      |dir AS MATERIALIZED (
+      |  SELECT vec_a AS src, vec_b AS dst, cos FROM cosp
+      |  UNION ALL SELECT vec_b, vec_a, cos FROM cosp),
+      |knn AS MATERIALIZED (
+      |  SELECT src, dst FROM (
+      |    SELECT src, dst, row_number() OVER (PARTITION BY src
+      |      ORDER BY cos DESC, dst ASC) AS rk
+      |    FROM dir) WHERE rk <= 3),
+      |votes AS (
+      |  SELECT k.src, e.label AS nb_label, COUNT(*) AS votes
+      |  FROM knn k JOIN embeddings e ON k.dst = e.vec_id
+      |  GROUP BY 1, 2),
+      |pred AS (
+      |  SELECT src, nb_label AS pred FROM (
+      |    SELECT src, nb_label, row_number() OVER (PARTITION BY src
+      |      ORDER BY votes DESC, nb_label ASC) AS rv
+      |    FROM votes) WHERE rv = 1)
+      |SELECT e.label, CAST(COUNT(*) AS BIGINT) AS n_eval,
+      |  CAST(SUM(CASE WHEN p.pred = e.label THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_correct,
+      |  round(CAST(SUM(CASE WHEN p.pred = e.label THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS acc
+      |FROM pred p JOIN embeddings e ON p.src = e.vec_id
+      |GROUP BY e.label ORDER BY e.label""".stripMargin
 
   // same 0-based dim zip, exact widen + 1e-9 quantize, identical
   // single-tree sd and dead-fraction doubles

@@ -1051,7 +1051,53 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** T215: VOCABULARY COVERAGE curve — what fraction of all token
+    * occurrences the top-V most frequent types capture, at V ∈ {100,
+    * 1000, 10000} (the "how big must the tokenizer vocab be" sizing
+    * curve; the complement of the OOV rate at each budget). Vocab
+    * ranks by (freq desc, token asc) through the banded two-level
+    * cumulative — band = freq div 1024, so every higher band strictly
+    * outranks every lower one and no vocab-sized global window ever
+    * sorts (the ev_gini discipline, descending); only the ≤10k-row
+    * ranked head meets the 3-row cut panel. Exact integer freqs all
+    * the way; the coverage division is the only double. */
+  def textNgramCoverage(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val vocab = Tables.spread(Tables.documents(s, d))
+      .select(explode(expr(
+        "filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')"))
+        .as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+    val banded = vocab
+      .withColumn("__b", floor(col("freq") / 1024).cast("long"))
+    val wIn = Window.partitionBy("__b")
+      .orderBy(col("freq").desc, col("tok").asc)
+    val wOff = Window.orderBy(col("__b").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = banded.groupBy("__b").agg(count(lit(1)).as("nb"))
+      .withColumn("off", coalesce(sum("nb").over(wOff), lit(0L)))
+      .select("__b", "off")
+    val head = banded.withColumn("rin", row_number().over(wIn))
+      .join(offs, Seq("__b"))
+      .withColumn("rank", col("off") + col("rin"))
+      .filter(col("rank") <= 10000)
+      .select(col("rank"), col("freq"))
+    val tot = vocab.agg(sum("freq").as("t"), count(lit(1)).as("vsz"))
+    val cuts = Seq(100, 1000, 10000).toDF("v")
+    head.join(broadcast(cuts), col("rank") <= col("v"))
+      .groupBy("v")
+      .agg(count(lit(1)).as("n_types"), sum("freq").as("covered"))
+      .crossJoin(broadcast(tot))
+      .select(col("v").cast("int").as("v"), col("n_types"),
+        col("covered"), col("vsz").as("vocab_size"),
+        col("t").as("total_tokens"),
+        expr("round(cast(covered as double) / cast(t as double), 6)")
+          .as("coverage"))
+      .orderBy("v")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_ngram_coverage" -> textNgramCoverage _,
     "text_hash_features"    -> textHashingFeatures _,
     "text_boilerplate"      -> textBoilerplateFrac _,
     "text_cdc_chunks"       -> textCdcChunks _,
@@ -1138,6 +1184,32 @@ object TextOps {
         |  FROM cx)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // same (freq desc, tok asc) rank restated as one global
+    // row_number (oracle-side only), same exact-integer coverage
+    "text_ngram_coverage" ->
+      """WITH vocab AS MATERIALIZED (
+        |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq
+        |  FROM (SELECT UNNEST(list_filter(
+        |      string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      t -> t != '')) AS tok
+        |    FROM documents) t
+        |  GROUP BY tok),
+        |ranked AS MATERIALIZED (
+        |  SELECT freq, CAST(row_number() OVER (ORDER BY freq DESC,
+        |    tok ASC) AS BIGINT) AS rank
+        |  FROM vocab),
+        |head AS (SELECT rank, freq FROM ranked WHERE rank <= 10000),
+        |tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS t,
+        |  CAST(COUNT(*) AS BIGINT) AS vsz FROM vocab),
+        |cuts AS (SELECT UNNEST([100, 1000, 10000]) AS v)
+        |SELECT CAST(c.v AS INTEGER) AS v,
+        |  CAST(COUNT(*) AS BIGINT) AS n_types,
+        |  CAST(SUM(h.freq) AS BIGINT) AS covered,
+        |  MAX(tot.vsz) AS vocab_size, MAX(tot.t) AS total_tokens,
+        |  round(CAST(SUM(h.freq) AS DOUBLE) / CAST(MAX(tot.t) AS DOUBLE),
+        |    6) AS coverage
+        |FROM head h JOIN cuts c ON h.rank <= c.v CROSS JOIN tot
+        |GROUP BY c.v ORDER BY c.v""".stripMargin,
     // same md5-mod bucket, same conditional sums, all-zero rows kept
     "text_hash_features" -> {
       val fcols = (0 until 16).map(i =>

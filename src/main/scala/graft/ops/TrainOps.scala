@@ -1301,7 +1301,55 @@ object TrainOps {
       .orderBy("source")
   }
 
+  /** T214: greedy k-CENTER CORESET over the embedding corpus
+    * (farthest-point traversal, the classic 2-approximation) — the
+    * data-selection pass that picks a maximally-diverse seed set for
+    * active learning / labeling budgets, and its radius trace IS the
+    * coverage curve (how well 8 exemplars cover the corpus in cosine
+    * distance). Start from the smallest vec_id; each of the 7
+    * following rounds broadcasts ONLY the newest center, folds the
+    * running min-distance column (least(mind, 1−cos), cosines on the
+    * rounded 1e-6 grid, ties to the smaller vec_id) and takes the
+    * argmax via TakeOrdered — never a global sort, never more than
+    * one corpus scan per round, state = corpus × one double column,
+    * checkpointed per round so lineage stays flat. The only driver
+    * traffic is one (id, embedding, radius) row per round — the
+    * bounded-scalar convention of the BFS/bucket collects. */
+  def sampleCoreset(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val c0 = emb.orderBy(col("vec_id").asc).limit(1).collect()(0)
+    val results = scala.collection.mutable.ArrayBuffer[(Int, Long, Option[Double])](
+      (0, c0.getLong(0), None))
+    def centerDf(r: org.apache.spark.sql.Row) =
+      Seq(r.getSeq[Float](1).toArray).toDF("cemb")
+    var state = emb.crossJoin(broadcast(centerDf(c0)))
+      .withColumn("mind",
+        lit(1.0) - round(CosineSimilarity.cosine_native(s,
+          col("embedding"), col("cemb")), 6))
+      .select(col("vec_id"), col("embedding"), col("mind"))
+      .localCheckpoint()
+    for (r <- 1 to 7) {
+      val pick = state.orderBy(col("mind").desc, col("vec_id").asc)
+        .limit(1).collect()(0)
+      results += ((r, pick.getLong(0), Some(pick.getDouble(2))))
+      if (r < 7) {
+        state = state.crossJoin(broadcast(centerDf(pick)))
+          .withColumn("mind", least(col("mind"),
+            lit(1.0) - round(CosineSimilarity.cosine_native(s,
+              col("embedding"), col("cemb")), 6)))
+          .select(col("vec_id"), col("embedding"), col("mind"))
+          .localCheckpoint()
+      }
+    }
+    results.toSeq.toDF("round", "vec_id", "radius")
+      .select(col("round").cast("int").as("round"), col("vec_id"),
+        expr("round(radius, 6)").as("radius"))
+      .orderBy("round")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_coreset"     -> sampleCoreset _,
     "mix_doremi"         -> mixDoremi _,
     "sample_negatives"   -> sampleNegatives _,
     "pack_curriculum"    -> packCurriculum _,
@@ -1403,7 +1451,57 @@ object TrainOps {
        |$rounds""".stripMargin
   }
 
+  // DuckDB replay of one farthest-point round: fold the min-distance
+  // against the previous pick, then argmax (d desc, vec_id asc)
+  private def coresetStep(prevState: String, prevPick: String,
+      state: String, pick: String): String =
+    s"""$state AS MATERIALIZED (
+       |  SELECT s.vec_id, s.embedding,
+       |    least(s.mind, 1.0 - round(
+       |      list_sum(list_transform(range(1, len(s.embedding) + 1),
+       |          i -> CAST(s.embedding[i] AS DOUBLE) * CAST(p.embedding[i] AS DOUBLE)))
+       |        / (sqrt(list_sum(list_transform(s.embedding,
+       |            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |         * sqrt(list_sum(list_transform(p.embedding,
+       |            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6))
+       |      AS mind
+       |  FROM $prevState s CROSS JOIN $prevPick p),
+       |$pick AS MATERIALIZED (
+       |  SELECT vec_id, embedding, mind FROM $state
+       |  ORDER BY mind DESC, vec_id ASC LIMIT 1)""".stripMargin
+
+  private lazy val sampleCoresetSql: String = {
+    val steps = (2 to 7)
+      .map(r => coresetStep(s"st${r - 1}", s"p${r - 1}", s"st$r", s"p$r"))
+      .mkString(",\n")
+    s"""WITH c0 AS MATERIALIZED (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  ORDER BY vec_id ASC LIMIT 1),
+       |st1 AS MATERIALIZED (
+       |  SELECT e.vec_id, e.embedding,
+       |    1.0 - round(
+       |      list_sum(list_transform(range(1, len(e.embedding) + 1),
+       |          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+       |        / (sqrt(list_sum(list_transform(e.embedding,
+       |            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |         * sqrt(list_sum(list_transform(c.embedding,
+       |            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+       |      AS mind
+       |  FROM embeddings e CROSS JOIN c0 c),
+       |p1 AS MATERIALIZED (
+       |  SELECT vec_id, embedding, mind FROM st1
+       |  ORDER BY mind DESC, vec_id ASC LIMIT 1),
+       |$steps
+       |SELECT CAST(0 AS INTEGER) AS round, vec_id,
+       |  CAST(NULL AS DOUBLE) AS radius FROM c0
+       |${(1 to 7).map(r =>
+            s"UNION ALL SELECT CAST($r AS INTEGER), vec_id, round(mind, 6) FROM p$r")
+            .mkString("\n")}
+       |ORDER BY round""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "sample_coreset" -> sampleCoresetSql,
     // identical fold-then-join unigram surprisal, 1e-9-quantized per
     // type, exp() re-quantized before the normalizing 20-row sum
     "mix_doremi" ->
