@@ -1387,7 +1387,51 @@ object StatsOps {
         expr("cast(abs(z) > 1.96 as int)").as("significant"))
   }
 
+  /** T217: NPV-DISCOUNTED cohort LTV — revenue a weekly signup
+    * cohort is WORTH today at a 0.9/week discount, the finance-grade
+    * complement of [[evCohortLtv]]'s raw curves (which overweight
+    * far-future revenue a CFO would discount away). The discount
+    * ladder 0.9^k is a 37-row LITERAL table of 1e-12-scale decimals
+    * (BigDecimal-derived, identical text in the oracle), so no pow()
+    * ever runs in either engine and cents·factor stays an exact
+    * (24,0)×(14,12)→(38,12) product under the precision-38 cap; the
+    * horizon is 36 weeks (a stated contract — beyond-horizon rows
+    * are excluded, not silently misdiscounted). Week offsets are
+    * exact day-diff div 7 over week-truncated stamps. One events
+    * scan folds to (cohort, week-offset) cells before any join. */
+  def evLtvNpv(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("em"),
+        money(col("value")).as("v"))
+    val pu = ev.groupBy("user_id").agg(min("em").as("cm"))
+    val cohorts = pu.groupBy("cm").agg(count(lit(1)).as("n_users"))
+    val factors = (0 to 36).map(k => (k.toLong,
+        BigDecimal(0.9).pow(k).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+          .toString))
+      .toDF("k", "fs")
+      .select(col("k"), col("fs").cast("decimal(14,12)").as("f"))
+    val cells = ev.join(pu, "user_id")
+      .withColumn("k", expr("cast(datediff(em, cm) div 7 as long)"))
+      .filter(col("k") <= 36)
+      .groupBy("cm", "k")
+      .agg((sum("v") * 100).cast("decimal(24,0)").as("cents"))
+    cells.join(broadcast(factors), Seq("k"))
+      .groupBy("cm")
+      .agg(sum("cents").as("tot"), sum(expr("cents * f")).as("npvq"))
+      .join(cohorts, Seq("cm"))
+      .select(date_format(col("cm"), "yyyy-MM-dd").as("cohort"),
+        col("n_users"),
+        expr("round(cast(tot as double) / 100.0, 2)").as("total_rev"),
+        expr("round(cast(npvq as double) / 100.0, 2)").as("npv"),
+        expr("round(cast(npvq as double) / cast(tot as double), 6)")
+          .as("npv_share"))
+      .orderBy("cohort")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_ltv_npv"       -> evLtvNpv _,
     "ev_tost"          -> evTost _,
     "ev_ratio_delta"   -> evRatioDelta _,
     "ev_ranksum"       -> evRankSum _,
@@ -1449,6 +1493,40 @@ object StatsOps {
       |  FROM events WHERE event_type = 'purchase' GROUP BY user_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // identical literal 0.9^k decimal ladder (no pow in either
+    // engine), same exact (24,0)×(14,12) products and 36-month horizon
+    "ev_ltv_npv" -> {
+      val vals = (0 to 36).map(k =>
+        s"($k, ${BigDecimal(0.9).pow(k)
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP)})")
+        .mkString(", ")
+      s"""WITH ev AS MATERIALIZED (
+        |  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS em,
+        |    CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events),
+        |pu AS MATERIALIZED (
+        |  SELECT user_id, MIN(em) AS cm FROM ev GROUP BY user_id),
+        |coh AS (SELECT cm, CAST(COUNT(*) AS BIGINT) AS n_users
+        |  FROM pu GROUP BY cm),
+        |fac AS (SELECT k, CAST(f AS DECIMAL(14,12)) AS f
+        |  FROM (VALUES $vals) t(k, f)),
+        |cells AS (
+        |  SELECT pu.cm,
+        |    CAST(date_diff('day', pu.cm, ev.em) // 7 AS BIGINT) AS k,
+        |    CAST(SUM(v) * 100 AS DECIMAL(24,0)) AS cents
+        |  FROM ev JOIN pu USING (user_id)
+        |  WHERE date_diff('day', pu.cm, ev.em) // 7 <= 36
+        |  GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT cm, SUM(cents) AS tot, SUM(cents * f) AS npvq
+        |  FROM cells JOIN fac USING (k) GROUP BY cm)
+        |SELECT strftime(agg.cm, '%Y-%m-%d') AS cohort, coh.n_users,
+        |  round(CAST(tot AS DOUBLE) / 100.0, 2) AS total_rev,
+        |  round(CAST(npvq AS DOUBLE) / 100.0, 2) AS npv,
+        |  round(CAST(npvq AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+        |    AS npv_share
+        |FROM agg JOIN coh USING (cm) ORDER BY cohort""".stripMargin
+    },
     // same exact conversion cells, unpooled SE, both one-sided z's in
     // one double tree; equivalent = both > 1.645
     "ev_tost" ->

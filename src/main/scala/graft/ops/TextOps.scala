@@ -1096,7 +1096,45 @@ object TextOps {
       .orderBy("v")
   }
 
+  /** T216: CODE-vs-PROSE detection per source — the corpus-mix filter
+    * every LLM pretraining pipeline runs (code in the prose stream
+    * skews tokenizers; prose in the code stream skews fill-in-middle).
+    * Three deterministic char-class densities per doc — code symbols
+    * `;{}()=<>[]`, camelCase bigrams, digits — fold into
+    * score = (4·sym + 2·camel + dig)/chars, code iff score > 0.05.
+    * All counts are exact integers off one codegen'd
+    * regexp_replace/extract pass; the per-doc score quantizes to the
+    * 1e-9 grid so the per-source mean is an exact DECIMAL sum. One
+    * corpus scan, source-cardinality output. */
+  def textCodeFrac(s: SparkSession, d: String): DataFrame = {
+    Tables.spread(Tables.documents(s, d))
+      .select(col("source"),
+        length(col("text")).cast("long").as("chars"),
+        length(regexp_replace(col("text"), "[^;{}()=<>\\[\\]]", ""))
+          .cast("long").as("sym"),
+        size(expr("regexp_extract_all(text, '[a-z][A-Z]', 0)"))
+          .cast("long").as("camel"),
+        length(regexp_replace(col("text"), "[^0-9]", ""))
+          .cast("long").as("dig"))
+      .filter(col("chars") > 0)
+      .withColumn("score", expr(
+        "cast(round((4.0 * cast(sym as double)" +
+          " + 2.0 * cast(camel as double) + cast(dig as double))" +
+          " / cast(chars as double), 9) as decimal(18,9))"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("score") > 0.05, 1L).otherwise(0L)).as("n_code"),
+        sum("score").as("sscore"))
+      .select(col("source"), col("n_docs"), col("n_code"),
+        expr("round(cast(n_code as double) / cast(n_docs as double), 6)")
+          .as("frac_code"),
+        expr("round(cast(sscore as double) / cast(n_docs as double), 6)")
+          .as("mean_score"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_code_frac"      -> textCodeFrac _,
     "text_ngram_coverage" -> textNgramCoverage _,
     "text_hash_features"    -> textHashingFeatures _,
     "text_boilerplate"      -> textBoilerplateFrac _,
@@ -1184,6 +1222,36 @@ object TextOps {
         |  FROM cx)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // same exact char-class counts (regexp_replace with the 'g' flag),
+    // same quantized score and 0.05 decimal cut
+    "text_code_frac" ->
+      """WITH f AS MATERIALIZED (
+        |  SELECT source, CAST(length(text) AS BIGINT) AS chars,
+        |    CAST(length(regexp_replace(text, '[^;{}()=<>\[\]]', '', 'g'))
+        |      AS BIGINT) AS sym,
+        |    CAST(len(regexp_extract_all(text, '[a-z][A-Z]'))
+        |      AS BIGINT) AS camel,
+        |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+        |      AS BIGINT) AS dig
+        |  FROM documents),
+        |sc AS (
+        |  SELECT source,
+        |    CAST(round((4.0 * CAST(sym AS DOUBLE)
+        |      + 2.0 * CAST(camel AS DOUBLE) + CAST(dig AS DOUBLE))
+        |      / CAST(chars AS DOUBLE), 9) AS DECIMAL(18,9)) AS score
+        |  FROM f WHERE chars > 0),
+        |agg AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(CASE WHEN score > 0.05 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_code,
+        |    SUM(CAST(score AS DECIMAL(19,9))) AS sscore
+        |  FROM sc GROUP BY source)
+        |SELECT source, n_docs, n_code,
+        |  round(CAST(n_code AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+        |    AS frac_code,
+        |  round(CAST(sscore AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+        |    AS mean_score
+        |FROM agg ORDER BY source""".stripMargin,
     // same (freq desc, tok asc) rank restated as one global
     // row_number (oracle-side only), same exact-integer coverage
     "text_ngram_coverage" ->
