@@ -1430,7 +1430,61 @@ object StatsOps {
       .orderBy("cohort")
   }
 
+  /** T218: INTERVENTION IMPACT (CausalImpact-lite) — fit the
+    * pre-period linear trend of each event type's daily series,
+    * extrapolate it over the post-period as the counterfactual, and
+    * report the cumulative actual-minus-predicted effect. The split
+    * is the day-span midpoint (T div 2, a stated deterministic
+    * stand-in for the intervention date); slope/intercept come from
+    * the [[evRegression]] exact integer sums over the pre rows only;
+    * each post-day prediction a + b·t quantizes to the 1e-9 grid so
+    * the cumulative effect is an exact DECIMAL sum. One spine pass,
+    * one broadcast 2-row-per-type panel, per-type output. */
+  def evIntervention(s: SparkSession, d: String): DataFrame = {
+    val f = dailyFilled(s, d)
+    val mids = f.groupBy("event_type")
+      .agg((count(lit(1)) / 2).cast("long").as("mid"))
+    val fm = f.join(broadcast(mids), "event_type")
+    val pre = fm.filter(col("t") < col("mid"))
+      .groupBy("event_type").agg(
+        count(lit(1)).as("m"), sum("t").as("sx"), sum("x").as("sy"),
+        sum(col("t") * col("x")).as("sxy"),
+        sum(col("t") * col("t")).as("sxx"))
+      .withColumn("den", expr(
+        "cast(m as double) * cast(sxx as double)" +
+          " - cast(sx as double) * cast(sx as double)"))
+      .withColumn("b", expr(
+        "case when den = 0 then null else" +
+          " (cast(m as double) * cast(sxy as double)" +
+          " - cast(sx as double) * cast(sy as double)) / den end"))
+      .withColumn("a", expr(
+        "(cast(sy as double) - b * cast(sx as double))" +
+          " / cast(m as double)"))
+      .select(col("event_type"), col("m").as("n_pre"),
+        col("b"), col("a"))
+    fm.filter(col("t") >= col("mid"))
+      .join(broadcast(pre), "event_type")
+      .withColumn("predq", expr(
+        "cast(round(a + b * cast(t as double), 9) as decimal(28,9))"))
+      .groupBy("event_type")
+      .agg(max("n_pre").as("n_pre"), count(lit(1)).as("n_post"),
+        max("b").as("b"), sum("x").as("actual"),
+        sum("predq").as("predsum"))
+      .select(col("event_type"), col("n_pre").cast("int").as("n_pre"),
+        col("n_post").cast("int").as("n_post"),
+        expr("round(b, 6)").as("slope_pre"),
+        col("actual").as("actual_post"),
+        expr("round(cast(predsum as double), 6)").as("pred_post"),
+        expr("round(cast(actual as double)" +
+          " - cast(predsum as double), 6)").as("abs_effect"),
+        expr("round(case when cast(predsum as double) = 0 then null" +
+          " else (cast(actual as double) - cast(predsum as double))" +
+          " / cast(predsum as double) end, 6)").as("rel_effect"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_intervention"  -> evIntervention _,
     "ev_ltv_npv"       -> evLtvNpv _,
     "ev_tost"          -> evTost _,
     "ev_ratio_delta"   -> evRatioDelta _,
@@ -1493,6 +1547,55 @@ object StatsOps {
       |  FROM events WHERE event_type = 'purchase' GROUP BY user_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // same midpoint split, exact pre-period OLS sums, 1e-9-quantized
+    // per-day counterfactuals, one shared double tree for the effects
+    "ev_intervention" ->
+      (s"""WITH $dailyFilledCte,
+        |mids AS (SELECT event_type, CAST(COUNT(*) // 2 AS BIGINT)""" +
+        """ AS mid
+        |  FROM f GROUP BY event_type),
+        |fm AS (SELECT f.*, m.mid FROM f JOIN mids m USING (event_type)),
+        |pre AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS m,
+        |    CAST(SUM(t) AS BIGINT) AS sx, CAST(SUM(x) AS BIGINT) AS sy,
+        |    CAST(SUM(t * x) AS BIGINT) AS sxy,
+        |    CAST(SUM(t * t) AS BIGINT) AS sxx
+        |  FROM fm WHERE t < mid GROUP BY event_type),
+        |ab AS (
+        |  SELECT event_type, m AS n_pre,
+        |    CASE WHEN CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0 THEN NULL
+        |      ELSE (CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |        / (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END AS b,
+        |    (CAST(sy AS DOUBLE) - (CASE WHEN CAST(m AS DOUBLE)
+        |        * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+        |        * CAST(sx AS DOUBLE) = 0 THEN NULL
+        |      ELSE (CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |        / (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END)
+        |      * CAST(sx AS DOUBLE)) / CAST(m AS DOUBLE) AS a
+        |  FROM pre),
+        |post AS (
+        |  SELECT fm.event_type, ab.n_pre,
+        |    CAST(COUNT(*) AS BIGINT) AS n_post, MAX(ab.b) AS b,
+        |    CAST(SUM(fm.x) AS BIGINT) AS actual,
+        |    SUM(CAST(round(ab.a + ab.b * CAST(fm.t AS DOUBLE), 9)
+        |      AS DECIMAL(28,9))) AS predsum
+        |  FROM fm JOIN ab USING (event_type)
+        |  WHERE fm.t >= fm.mid GROUP BY 1, 2)
+        |SELECT event_type, CAST(n_pre AS INTEGER) AS n_pre,
+        |  CAST(n_post AS INTEGER) AS n_post,
+        |  round(b, 6) AS slope_pre, actual AS actual_post,
+        |  round(CAST(predsum AS DOUBLE), 6) AS pred_post,
+        |  round(CAST(actual AS DOUBLE) - CAST(predsum AS DOUBLE), 6)
+        |    AS abs_effect,
+        |  round(CASE WHEN CAST(predsum AS DOUBLE) = 0 THEN NULL
+        |    ELSE (CAST(actual AS DOUBLE) - CAST(predsum AS DOUBLE))
+        |    / CAST(predsum AS DOUBLE) END, 6) AS rel_effect
+        |FROM post ORDER BY event_type""").stripMargin,
     // identical literal 0.9^k decimal ladder (no pow in either
     // engine), same exact (24,0)×(14,12) products and 36-month horizon
     "ev_ltv_npv" -> {

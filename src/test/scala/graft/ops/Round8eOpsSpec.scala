@@ -45,4 +45,26 @@ class Round8eOpsSpec extends SparkFunSuite {
     assert(w2.getDouble(2) == 50.0 && w2.getDouble(3) == 50.0)
     assert(w2.getDouble(4) == 1.0)
   }
+
+  test("ev_intervention: level shift over a perfect pre-trend, traced") {
+    val d = Files.createTempDirectory("interv").toString
+    // daily counts 1,2,3 | 10,11,12; mid = 3. Pre OLS: x = t + 1 →
+    // counterfactual 4,5,6 (Σ 15); actual 33 → effect 18, rel 1.2
+    val counts = Seq(1, 2, 3, 10, 11, 12)
+    val rows = for {
+      (c, dd) <- counts.zipWithIndex
+      i <- 0 until c
+    } yield (dd * 100L + i,
+      new java.sql.Timestamp(t0.getTime + dd * 86400000L + i * 1000L),
+      1L, "click", 1.0)
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$d/events.parquet")
+    val r = StatsOps.evIntervention(spark, d).collect().head
+    assert(r.getString(0) == "click")
+    assert(r.getInt(1) == 3 && r.getInt(2) == 3)
+    assert(r.getDouble(3) == 1.0)
+    assert(r.getLong(4) == 33L)
+    assert(r.getDouble(5) == 15.0)
+    assert(r.getDouble(6) == 18.0 && r.getDouble(7) == 1.2)
+  }
 }
