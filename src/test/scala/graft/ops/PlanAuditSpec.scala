@@ -305,6 +305,33 @@ class PlanAuditSpec extends SparkFunSuite {
       s"a21_allocate window keys: $al")
   }
 
+  test("round-8 plans: banded stats windows, sparse PPR top-k, vocab rank") {
+    // the nonparametric panel + coverage curve must keep every
+    // corpus-side window keyed on the __b band (the two-level
+    // discipline); windows over already-aggregated inputs are exempt
+    def banded(df: DataFrame, name: String): Unit = {
+      val ws = df.queryExecution.optimizedPlan.collect {
+        case w: LogicalWindow =>
+          (w.partitionSpec.map(_.sql),
+            w.child.collect { case a: Aggregate => a }.nonEmpty)
+      }
+      assert(ws.nonEmpty, s"$name lost its windows")
+      ws.foreach { case (keys, aggBelow) =>
+        assert(keys.exists(_.contains("__b")) || aggBelow,
+          s"$name has a corpus-side window without the bucket key: $keys")
+      }
+    }
+    banded(StatsOps.evRankSum(spark, sfDir), "ev_ranksum")
+    banded(StatsOps.evKsTest(spark, sfDir), "ev_kstest")
+    banded(StatsOps.evSprt(spark, sfDir), "ev_sprt")
+    banded(TextOps.textNgramCoverage(spark, sfDir), "text_ngram_coverage")
+    // personalized PageRank: the top-20 cut must compile to
+    // TakeOrderedAndProject, never a global Sort exchange
+    val ppr = plan(GraphOps.graphPpr(spark, sfDir))
+    assert(ppr.contains("TakeOrderedAndProject"),
+      "graph_ppr top-20 lost the TakeOrdered plan")
+  }
+
   test("partitioned table prunes partitions at scan time") {
     val dir = Files.createTempDirectory("ptab").toString + "/t"
     val df = graft.Tables.orders(spark, sfDir)
