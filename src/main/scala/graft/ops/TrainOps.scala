@@ -1318,7 +1318,15 @@ object TrainOps {
   def sampleCoreset(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val c0 = emb.orderBy(col("vec_id").asc).limit(1).collect()(0)
+    val first = emb.orderBy(col("vec_id").asc).limit(1).collect()
+    if (first.isEmpty) {
+      // empty corpus → empty coreset, same schema (no driver crash)
+      return Seq.empty[(Int, Long, Option[Double])]
+        .toDF("round", "vec_id", "radius")
+        .select(col("round").cast("int").as("round"), col("vec_id"),
+          col("radius").cast("double").as("radius"))
+    }
+    val c0 = first(0)
     val results = scala.collection.mutable.ArrayBuffer[(Int, Long, Option[Double])](
       (0, c0.getLong(0), None))
     def centerDf(r: org.apache.spark.sql.Row) =

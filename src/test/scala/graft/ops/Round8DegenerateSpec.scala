@@ -22,8 +22,9 @@ class Round8DegenerateSpec extends SparkFunSuite {
     Seq.empty[(Long, Array[Float], Int)]
       .toDF("vec_id", "embedding", "label")
       .write.parquet(s"$d/embeddings.parquet")
-    Seq.empty[(Long, Long, Double, String)]
-      .toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    Seq.empty[(Long, Long, Double, String, String)]
+      .toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority",
+        "o_orderstatus")
       .write.parquet(s"$d/orders.parquet")
     Seq.empty[(Long, Long, Double, Double)]
       .toDF("l_orderkey", "l_suppkey", "l_extendedprice", "l_quantity")
@@ -36,7 +37,13 @@ class Round8DegenerateSpec extends SparkFunSuite {
     "ev_stratified_effect", "ev_retention_halflife", "graph_katz",
     "ann_range", "emb_triplets", "dq_iqr", "text_kn_bigram",
     "mix_dedup_weights", "text_hash_features", "emb_centroid_drift",
-    "ann_prefilter", "profile_topk")
+    "ann_prefilter", "profile_topk",
+    // T201–T218 (round-8 second half)
+    "ev_ranksum", "ev_kstest", "ev_sprt", "ev_bootstrap", "ev_qini",
+    "dq_chisq", "mix_doremi", "ev_tost", "ev_ratio_delta",
+    "emb_dim_stats", "dq_snapshot_drift", "emb_knn_acc", "graph_ppr",
+    "sample_coreset", "text_ngram_coverage", "text_code_frac",
+    "ev_ltv_npv", "ev_intervention")
 
   for (name <- round8)
     test(s"$name survives empty source tables") {
