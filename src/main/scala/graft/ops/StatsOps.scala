@@ -581,6 +581,46 @@ object StatsOps {
           .as("powered"))
   }
 
+  /** T220: minimum-detectable-effect CURVE on the [[evAbtest]] split —
+    * the inverse read of [[evAbtestPower]]: instead of solving n for a
+    * fixed lift, report the absolute lift detectable (α=0.05, 80%
+    * power, two-proportion z) at five per-arm sizes spanning ¼× to 4×
+    * the smaller observed arm: MDE(n) = (z_α/2 + z_β)·√(2p̄(1−p̄)/n).
+    * The planning chart an experimentation platform renders before a
+    * test launches ("how long until we could see a 2% lift?").
+    *
+    * One map-side-combinable per-user aggregate → 1-row exact-count
+    * panel → a 5-row literal-array explode; all the z arithmetic is a
+    * closed-form expression tree on exact integers cast to double,
+    * identical in the oracle. n_base floors at 1 so a near-empty
+    * events table still yields a well-defined (if useless) curve;
+    * an EMPTY table nulls p̄ and the MDE rather than dividing 0/0. */
+  def evMdeCurve(s: SparkSession, d: String): DataFrame = {
+    val perUser = Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(expr("case when sum(case when event_type = 'purchase'" +
+        " then 1 else 0 end) >= 14 then 1 else 0 end").as("converted"))
+      .withColumn("variant", expr("cast(user_id % 2 as int)"))
+    perUser.groupBy()
+      .agg(
+        sum(expr("case when variant = 0 then 1 else 0 end")).as("n_control"),
+        sum(expr("case when variant = 1 then 1 else 0 end")).as("n_treat"),
+        sum(col("converted")).as("conv_all"),
+        count(lit(1)).as("n_all"))
+      .withColumn("p_pool", expr("case when n_all = 0 then null" +
+        " else cast(conv_all as double) / cast(n_all as double) end"))
+      .withColumn("n_base",
+        expr("greatest(least(n_control, n_treat) div 4, 1L)"))
+      .select(col("p_pool"), col("n_base"),
+        explode(expr("array(1, 2, 4, 8, 16)")).as("mult"))
+      .select(col("mult").cast("int").as("mult"),
+        (col("n_base") * col("mult")).cast("long").as("n_per_arm"),
+        round(col("p_pool"), 6).as("p_pool"),
+        round(expr("(1.96 + 0.84) * sqrt(2.0 * p_pool * (1.0 - p_pool)" +
+          " / cast(n_base * mult as double))"), 6).as("mde"))
+      .orderBy("mult")
+  }
+
   /** Theil–Sen robust trend — the median of all pairwise day-to-day
     * slopes, per event type: the outlier-proof alternative to
     * [[evRegression]]'s OLS line (one corrupted day drags an OLS slope
@@ -1504,6 +1544,7 @@ object StatsOps {
     "ev_holtwinters"   -> evHoltWinters _,
     "ev_theilsen"      -> evTheilSen _,
     "ev_abtest_power"  -> evAbtestPower _,
+    "ev_mde_curve"     -> evMdeCurve _,
     "ev_decompose"     -> evSeasonalDecompose _,
     "ev_lag_features"  -> evLagFeatures _,
     "dim_dates"        -> dimDates _,
@@ -2304,6 +2345,39 @@ object StatsOps {
         |  0.1 AS mde, n_needed,
         |  CAST(least(n_control, n_treat) >= n_needed AS INT) AS powered
         |FROM n""".stripMargin,
+    // same per-user split and pooled rate; the 5-point size panel is a
+    // literal UNNEST; both engines fold the identical closed form on
+    // exact integers cast to double (the ev_abtest_power precedent)
+    "ev_mde_curve" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      >= 14 THEN 1 ELSE 0 END AS converted,
+        |    CAST(user_id % 2 AS INT) AS variant
+        |  FROM events GROUP BY user_id),
+        |w AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_control,
+        |    CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_treat,
+        |    CAST(SUM(converted) AS BIGINT) AS conv_all,
+        |    COUNT(*) AS n_all
+        |  FROM pu),
+        |p AS (
+        |  SELECT *,
+        |    CASE WHEN n_all = 0 THEN NULL
+        |      ELSE CAST(conv_all AS DOUBLE) / CAST(n_all AS DOUBLE) END
+        |      AS p_pool,
+        |    greatest(least(n_control, n_treat) // 4, 1) AS n_base
+        |  FROM w),
+        |m AS (SELECT UNNEST([1, 2, 4, 8, 16]) AS mult)
+        |SELECT CAST(mult AS INT) AS mult,
+        |  CAST(n_base * mult AS BIGINT) AS n_per_arm,
+        |  round(p_pool, 6) AS p_pool,
+        |  round((1.96 + 0.84) * sqrt(2.0 * p_pool * (1.0 - p_pool)
+        |    / CAST(n_base * mult AS DOUBLE)), 6) AS mde
+        |FROM p CROSS JOIN m ORDER BY mult""".stripMargin,
     "ev_decompose" ->
       s"""WITH $dailyFilledCte,
         |tr AS (

@@ -1133,7 +1133,59 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** T219: CDC-chunk near-duplicate pairs — the document-pair readout
+    * of the [[textCdcChunks]] signal (ref analysis/hash.py simhash
+    * pairing intent, restated on content-defined chunks): Jaccard over
+    * each doc's chunk-HASH SET, so a shared paragraph scores even when
+    * shingle-window dedup misses it (CDC boundaries realign after an
+    * edit; fixed shingles don't). Top-20 pairs by chunk Jaccard.
+    *
+    * 100 TB posture: the pair generator is SPREAD-CAPPED — only chunks
+    * spanning 2..8 distinct docs key the self-join (singletons can't
+    * pair; wider chunks are boilerplate, the [[textBoilerplateFrac]]
+    * signal, and would fan out quadratically) — so each surviving hash
+    * contributes at most C(8,2)=28 id-only pairs, the banded-MinHash
+    * discipline. The chunk table is localCheckpoint'd once (three
+    * consumers: per-doc sizes, spread filter, pair join would each
+    * re-pay the per-position Horner scan); everything after it shuffles
+    * only (hash, doc_id) and (d1, d2) pairs. Jaccard is an exact
+    * integer ratio rounded to 6dp — tie-broken (shared desc, d1, d2),
+    * a total order both engines agree on bit-for-bit. */
+  def dedupCdcShare(s: SparkSession, d: String): DataFrame = {
+    val ch = Tables.documents(s, d)
+      .select(col("doc_id"), col("text").as("t"))
+      .withColumn("cs", expr(cdcCodesExpr))
+      .withColumn("cuts", expr(cdcCutsExpr))
+      .select(col("doc_id"), explode(expr(cdcChunksExpr)).as("chunk"))
+      .select(col("doc_id"), md5(col("chunk")).as("h"))
+      .distinct()
+      .localCheckpoint()
+    val perDoc = ch.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val paired = ch.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd").between(2, 8))
+      .select("h")
+    val keyed = ch.join(paired, Seq("h"))
+    val pairs = keyed.select(col("h"), col("doc_id").as("d1"))
+      .join(keyed.select(col("h"), col("doc_id").as("d2")), Seq("h"))
+      .filter(col("d1") < col("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("shared"))
+    pairs
+      .join(perDoc.select(col("doc_id").as("d1"), col("n").as("n1")),
+        Seq("d1"))
+      .join(perDoc.select(col("doc_id").as("d2"), col("n").as("n2")),
+        Seq("d2"))
+      .select(col("d1"), col("d2"), col("shared"), col("n1"), col("n2"),
+        round(col("shared").cast("double")
+          / (col("n1") + col("n2") - col("shared")).cast("double"), 6)
+          .as("jaccard"))
+      .orderBy(col("jaccard").desc, col("shared").desc,
+        col("d1").asc, col("d2").asc)
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_cdc_share"     -> dedupCdcShare _,
     "text_code_frac"      -> textCodeFrac _,
     "text_ngram_coverage" -> textNgramCoverage _,
     "text_hash_features"    -> textHashingFeatures _,
@@ -1325,6 +1377,33 @@ object TextOps {
     // identical Horner-gram cut rule, list-op chunk expansion, and
     // spread-ordered top-20 (DuckDB's range already empties on short
     // docs; the guard mirrors the engine's sequence() reversal guard)
+    // same Horner cut rule via the shared CTE chain; the spread cap
+    // (2..8 docs) and the (jaccard, shared, d1, d2) total order are
+    // mirrored exactly — jaccard is an exact-integer ratio in both
+    "dedup_cdc_share" ->
+      s"""WITH $cdcOracleCtes,
+        |ch AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id, md5(chunk) AS h FROM chx),
+        |pd AS MATERIALIZED (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM ch GROUP BY doc_id),
+        |sp AS MATERIALIZED (
+        |  SELECT h FROM ch GROUP BY h
+        |  HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 8),
+        |k AS MATERIALIZED (
+        |  SELECT ch.doc_id, ch.h FROM ch JOIN sp USING (h)),
+        |pr AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |    CAST(COUNT(*) AS BIGINT) AS shared
+        |  FROM k a JOIN k b ON a.h = b.h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT d1, d2, shared, pa.n AS n1, pb.n AS n2,
+        |  round(CAST(shared AS DOUBLE)
+        |    / CAST(pa.n + pb.n - shared AS DOUBLE), 6) AS jaccard
+        |FROM pr
+        |JOIN pd pa ON pr.d1 = pa.doc_id
+        |JOIN pd pb ON pr.d2 = pb.doc_id
+        |ORDER BY jaccard DESC, shared DESC, d1, d2 LIMIT 20""".stripMargin,
     "text_cdc_chunks" ->
       s"""WITH $cdcOracleCtes
         |SELECT md5(chunk) AS chunk_md5,
