@@ -948,6 +948,31 @@ object TextOps {
       |    cast(element_at(cuts, i + 1) - element_at(cuts, i)
       |      as int))), c -> c != '')""".stripMargin
 
+  /** The materialized (doc_id, chunk-hash, chunk-length) table all
+    * three CDC consumers ([[textCdcChunks]], [[textBoilerplateFrac]],
+    * [[dedupCdcShare]]) read — memoized per (session, dataset) and
+    * localCheckpoint'd once, the walksTable discipline: the
+    * per-position Horner scan is the whole cost of the CDC family, so
+    * each consumer re-paying it (and boilerplate's two consumers
+    * re-paying it twice) triples the suite. Narrow rows (corpus/16 of
+    * them); chunk TEXT never leaves the expansion — md5 + length are
+    * taken in the same projection. */
+  private val cdcChunkCache = new graft.SessionCache[DataFrame](df => {
+    df.unpersist(); ()
+  })
+
+  private def cdcChunkTable(s: SparkSession, d: String): DataFrame =
+    cdcChunkCache.getOrCompute(s, d) {
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text").as("t"))
+        .withColumn("cs", expr(cdcCodesExpr))
+        .withColumn("cuts", expr(cdcCutsExpr))
+        .select(col("doc_id"), explode(expr(cdcChunksExpr)).as("chunk"))
+        .select(col("doc_id"), md5(col("chunk")).as("h"),
+          length(col("chunk")).as("clen"))
+        .localCheckpoint()
+    }
+
   /** T169: content-defined chunking + duplicate-chunk panel (the
     * FastCDC/rsync idea re-expressed for corpus boilerplate
     * detection): cut points are where the base-31 Horner hash of the
@@ -966,15 +991,11 @@ object TextOps {
     * guard behind a CASE (DuckDB's `range` just empties — the guard
     * is mirrored for parity). */
   def textCdcChunks(s: SparkSession, d: String): DataFrame = {
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("text").as("t"))
-      .withColumn("cs", expr(cdcCodesExpr))
-      .withColumn("cuts", expr(cdcCutsExpr))
-      .select(col("doc_id"), explode(expr(cdcChunksExpr)).as("chunk"))
-      .groupBy(md5(col("chunk")).as("chunk_md5"))
+    cdcChunkTable(s, d)
+      .groupBy(col("h").as("chunk_md5"))
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_occur"),
-        max(length(col("chunk"))).as("chunk_len"))
+        max(col("clen")).as("chunk_len"))
       .orderBy(col("n_docs").desc, col("n_occur").desc,
         col("chunk_md5").asc)
       .limit(20)
@@ -997,14 +1018,7 @@ object TextOps {
     * back, one per-doc conditional-sum aggregate — no self-join, no
     * window. */
   def textBoilerplateFrac(s: SparkSession, d: String): DataFrame = {
-    val chunks = Tables.documents(s, d)
-      .select(col("doc_id"), col("text").as("t"))
-      .withColumn("cs", expr(cdcCodesExpr))
-      .withColumn("cuts", expr(cdcCutsExpr))
-      .select(col("doc_id"), explode(expr(cdcChunksExpr)).as("chunk"))
-      .select(col("doc_id"), md5(col("chunk")).as("h"),
-        length(col("chunk")).as("clen"))
-      .localCheckpoint()
+    val chunks = cdcChunkTable(s, d)
     val spread = chunks.groupBy("h")
       .agg(countDistinct(col("doc_id")).as("n_docs"))
     chunks.join(spread, Seq("h"))
@@ -1152,14 +1166,9 @@ object TextOps {
     * integer ratio rounded to 6dp — tie-broken (shared desc, d1, d2),
     * a total order both engines agree on bit-for-bit. */
   def dedupCdcShare(s: SparkSession, d: String): DataFrame = {
-    val ch = Tables.documents(s, d)
-      .select(col("doc_id"), col("text").as("t"))
-      .withColumn("cs", expr(cdcCodesExpr))
-      .withColumn("cuts", expr(cdcCutsExpr))
-      .select(col("doc_id"), explode(expr(cdcChunksExpr)).as("chunk"))
-      .select(col("doc_id"), md5(col("chunk")).as("h"))
+    val ch = cdcChunkTable(s, d)
+      .select(col("doc_id"), col("h"))
       .distinct()
-      .localCheckpoint()
     val perDoc = ch.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val paired = ch.groupBy("h")
       .agg(countDistinct(col("doc_id")).as("nd"))
