@@ -1544,7 +1544,36 @@ object CoreRelational {
           .as("mean_shift_pct"))
   }
 
+  /** T222: K-ANONYMITY audit over a quasi-identifier set — the privacy
+    * gate a training corpus passes before release (Sweeney 2002): group
+    * the table by the QI tuple (nation, market segment, account-balance
+    * band), then report the equivalence-class-size HISTOGRAM. The
+    * k-anonymity level is the smallest class_size row; the re-identifi-
+    * cation risk mass is the pct_rows sitting in small classes. Two
+    * map-side-combinable hash aggs (corpus → classes → histogram) plus
+    * a broadcast 1-row total — nothing wider than the QI tuple
+    * shuffles, and the histogram is bounded by max class size. The
+    * balance band is floor(bal/1000): identical IEEE division + floor
+    * in both engines, then exact integers everywhere. */
+  def dqKanon(s: SparkSession, d: String): DataFrame = {
+    val classes = Tables.customer(s, d)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / lit(1000.0)).cast("long").as("bal_band"))
+      .agg(count(lit(1)).as("class_size"))
+    val tot = classes.agg(sum("class_size").as("n_total"))
+    classes.groupBy("class_size")
+      .agg(count(lit(1)).as("n_classes"))
+      .crossJoin(broadcast(tot))
+      .select(col("class_size"),
+        col("n_classes"),
+        (col("class_size") * col("n_classes")).as("n_rows"),
+        round((col("class_size") * col("n_classes")).cast("double")
+          / col("n_total").cast("double"), 6).as("pct_rows"))
+      .orderBy(col("class_size"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_kanon"       -> dqKanon _,
     "dq_snapshot_drift" -> dqSnapshotDrift _,
     "dq_chisq"       -> dqChisq _,
     "profile_topk"   -> profileTopk _,
@@ -1613,6 +1642,23 @@ object CoreRelational {
 
   val oracles: Map[String, String] = Map(
     // same parity split, exact DECIMAL money sums, 1e-9-quantized PSI
+    // QI classes → class-size histogram; SUM/COUNT cast to BIGINT
+    "dq_kanon" ->
+      """WITH classes AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+        |    CAST(COUNT(*) AS BIGINT) AS class_size
+        |  FROM customer GROUP BY 1, 2, 3),
+        |tot AS (SELECT CAST(SUM(class_size) AS BIGINT) AS n_total
+        |        FROM classes)
+        |SELECT class_size,
+        |  CAST(COUNT(*) AS BIGINT) AS n_classes,
+        |  CAST(class_size * COUNT(*) AS BIGINT) AS n_rows,
+        |  round(CAST(class_size * COUNT(*) AS DOUBLE)
+        |    / CAST(t.n_total AS DOUBLE), 6) AS pct_rows
+        |FROM classes, tot t
+        |GROUP BY class_size, t.n_total
+        |ORDER BY class_size""".stripMargin,
     // terms over the status panel, one shared double tree
     "dq_snapshot_drift" ->
       """WITH ord AS MATERIALIZED (

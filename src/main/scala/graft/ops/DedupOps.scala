@@ -762,7 +762,127 @@ object DedupOps {
       .limit(50)
   }
 
+  /** The (scheme, doc_id, key) blocking-key table shared by
+    * [[dedupBlockingEval]] and [[dedupFellegi]]: three candidate
+    * blocking/comparison fields over document metadata — language,
+    * source, and the 100-char length band. One metadata-only corpus
+    * scan (text never read); keys are short strings. */
+  private def blockingKeys(s: SparkSession, d: String): DataFrame = {
+    val meta = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+        expr("cast(n_chars div 100 as bigint)").as("band"))
+    meta.select(lit("lang").as("scheme"), col("doc_id"),
+        col("lang").as("key"))
+      .unionAll(meta.select(lit("len_band").as("scheme"), col("doc_id"),
+        col("band").cast("string").as("key")))
+      .unionAll(meta.select(lit("source").as("scheme"), col("doc_id"),
+        col("source").as("key")))
+  }
+
+  /** Truth-pair field agreements: each verified MinHash near-dup pair
+    * ([[minhashPairs]] — the corpus's ground-truth match set) joined to
+    * both sides' blocking keys, folded to per-scheme (n_truth,
+    * n_agree). The truth set is pair-count-sized (tiny next to the
+    * corpus), so the two key joins are cheap. */
+  private def truthAgreement(s: SparkSession, d: String): DataFrame = {
+    val keyed = blockingKeys(s, d)
+    minhashPairs(s, d).select(col("doc_a"), col("doc_b"))
+      .join(keyed.select(col("scheme"), col("doc_id").as("doc_a"),
+        col("key").as("key_a")), Seq("doc_a"))
+      .join(keyed.select(col("scheme"), col("doc_id").as("doc_b"),
+        col("key").as("key_b")), Seq("scheme", "doc_b"))
+      .groupBy("scheme")
+      .agg(count(lit(1)).as("n_truth"),
+        sum(when(col("key_a") === col("key_b"), 1L).otherwise(0L))
+          .as("n_agree"))
+  }
+
+  /** T223: BLOCKING-QUALITY evaluation — pair completeness vs
+    * reduction ratio per candidate blocking scheme (the two numbers
+    * every record-linkage/dedup deployment trades before committing to
+    * a blocking key; Christen 2012's standard metrics). Ground truth =
+    * the verified MinHash near-dup pair set; for each scheme the panel
+    * reports how many truth pairs land in the same block (pair
+    * completeness — the recall the blocking scheme would give a
+    * downstream matcher) and what fraction of the all-pairs space the
+    * scheme prunes (reduction ratio).
+    *
+    * 100 TB posture: candidate-pair counts come from block-size
+    * aggregates (Σ c·(c−1)/2 — NO pair materialization anywhere); the
+    * truth join touches only the pair-count-sized truth set; everything
+    * else is exact integer arithmetic on panel-sized tables. */
+  def dedupBlockingEval(s: SparkSession, d: String): DataFrame = {
+    val cand = blockingKeys(s, d)
+      .groupBy("scheme", "key").agg(count(lit(1)).as("c"))
+      .groupBy("scheme")
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(expr("c * (c - 1) div 2")).as("n_candidates"))
+    val tot = broadcast(Tables.documents(s, d)
+      .agg(count(lit(1)).as("n")))
+    cand.join(truthAgreement(s, d), Seq("scheme"), "left")
+      .crossJoin(tot)
+      .select(col("scheme"), col("n_blocks"), col("n_candidates"),
+        coalesce(col("n_truth"), lit(0L)).as("n_truth"),
+        coalesce(col("n_agree"), lit(0L)).as("n_captured"),
+        when(col("n_truth") > 0,
+          round(col("n_agree").cast("double")
+            / col("n_truth").cast("double"), 6)).as("pair_completeness"),
+        round(lit(1.0) - col("n_candidates").cast("double")
+          / (col("n").cast("double") * (col("n") - lit(1)) / lit(2.0)), 6)
+          .as("reduction_ratio"))
+      .orderBy("scheme")
+  }
+
+  /** T224: FELLEGI–SUNTER match/unmatch weights per comparison field
+    * (Fellegi & Sunter 1969 — the probabilistic record-linkage scoring
+    * the reference's donor entity-resolution implements by hand): for
+    * each field, m = P(field agrees | pair is a true match) estimated
+    * on the verified MinHash truth pairs, u = P(agrees | non-match)
+    * from EXACT marginal birthday counts (Σ c_v·(c_v−1)/2 agreeing
+    * pairs over the field's value histogram, minus the matched
+    * agreements, over the non-match pair count), and the log-odds
+    * agreement weight ln(m/u) a linkage engine adds per agreeing
+    * field.
+    *
+    * 100 TB posture: u comes from value-marginal aggregates — the
+    * all-pairs agreement count is a CLOSED FORM over group sizes, so
+    * no pair space is ever materialized; m touches only the truth set;
+    * the panel is field-cardinality. Counts are exact integers; the
+    * two ratios and one ln round at 6dp off identical double ops. */
+  def dedupFellegi(s: SparkSession, d: String): DataFrame = {
+    val agreeAll = blockingKeys(s, d)
+      .groupBy("scheme", "key").agg(count(lit(1)).as("c"))
+      .groupBy("scheme")
+      .agg(sum(expr("c * (c - 1) div 2")).as("a_all"))
+    val tot = broadcast(Tables.documents(s, d)
+      .agg(count(lit(1)).as("n"))
+      .select(expr("n * (n - 1) div 2").as("p_all")))
+    agreeAll.join(truthAgreement(s, d), Seq("scheme"), "left")
+      .crossJoin(tot)
+      .select(col("scheme").as("field"),
+        coalesce(col("n_truth"), lit(0L)).as("n_truth"),
+        coalesce(col("n_agree"), lit(0L)).as("n_truth_agree"),
+        col("a_all").as("n_all_agree"),
+        when(col("n_truth") > 0,
+          round(col("n_agree").cast("double")
+            / col("n_truth").cast("double"), 6)).as("m_prob"),
+        round((col("a_all") - coalesce(col("n_agree"), lit(0L)))
+          .cast("double")
+          / (col("p_all") - coalesce(col("n_truth"), lit(0L)))
+            .cast("double"), 6).as("u_prob"),
+        when(col("n_truth") > 0 && col("n_agree") > 0 &&
+            col("a_all") > coalesce(col("n_agree"), lit(0L)),
+          round(log(
+            (col("n_agree").cast("double") / col("n_truth").cast("double"))
+            / ((col("a_all") - col("n_agree")).cast("double")
+              / (col("p_all") - col("n_truth")).cast("double"))), 6))
+          .as("log_weight"))
+      .orderBy("field")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_blocking_eval" -> dedupBlockingEval _,
+    "dedup_fellegi"    -> dedupFellegi _,
     "dedup_winnow"     -> dedupWinnow _,
     "dedup_fuzzy"      -> dedupFuzzy _,
     "dedup_jarowinkler" -> dedupJaroWinkler _,
@@ -799,7 +919,100 @@ object DedupOps {
         |  FROM v a JOIN v b ON a.del = b.del
         |    AND a.c_custkey < b.c_custkey)""".stripMargin
 
+  /** The verified near-dup TRUTH pair set (the dedup_minhash oracle's
+    * pipeline, pairs only) + the (scheme, doc_id, key) blocking-key
+    * table — shared verbatim by the dedup_blocking_eval and
+    * dedup_fellegi oracles so the truth definition can never
+    * desynchronize between them. */
+  private lazy val truthKeyCtes: String =
+    """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+        |    t -> t != '') AS toks
+        |  FROM documents),
+        |sh AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id, UNNEST(
+        |      CASE WHEN len(toks) < 3 THEN
+        |        CASE WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+        |             ELSE [] END
+        |      ELSE list_transform(range(0, len(toks) - 2),
+        |        i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) END) AS shingle
+        |    FROM toks)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+        |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |tp AS MATERIALIZED (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE round(CAST(n_inter AS DOUBLE)
+        |    / (sa.set_size + sb.set_size - n_inter), 6) >= 0.5),
+        |meta AS (
+        |  SELECT doc_id, lang, source,
+        |    CAST(n_chars // 100 AS BIGINT) AS band
+        |  FROM documents),
+        |keyed AS MATERIALIZED (
+        |  SELECT 'lang' AS scheme, doc_id, lang AS key FROM meta
+        |  UNION ALL
+        |  SELECT 'len_band', doc_id, CAST(band AS VARCHAR) FROM meta
+        |  UNION ALL
+        |  SELECT 'source', doc_id, source FROM meta),
+        |agree AS (
+        |  SELECT ka.scheme,
+        |    CAST(COUNT(*) AS BIGINT) AS n_truth,
+        |    CAST(SUM(CASE WHEN ka.key = kb.key THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_agree
+        |  FROM tp
+        |  JOIN keyed ka ON ka.doc_id = tp.doc_a
+        |  JOIN keyed kb ON kb.doc_id = tp.doc_b AND kb.scheme = ka.scheme
+        |  GROUP BY 1),
+        |marg AS (
+        |  SELECT scheme, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+        |    CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS a_all
+        |  FROM (SELECT scheme, key, COUNT(*) AS c
+        |        FROM keyed GROUP BY 1, 2)
+        |  GROUP BY scheme),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(COUNT(*) * (COUNT(*) - 1) // 2 AS BIGINT) AS p_all
+        |  FROM documents)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "dedup_blocking_eval" -> (truthKeyCtes +
+      """
+        |SELECT m.scheme, m.n_blocks, m.a_all AS n_candidates,
+        |  COALESCE(a.n_truth, 0) AS n_truth,
+        |  COALESCE(a.n_agree, 0) AS n_captured,
+        |  CASE WHEN a.n_truth > 0 THEN
+        |    round(CAST(a.n_agree AS DOUBLE) / CAST(a.n_truth AS DOUBLE), 6)
+        |  END AS pair_completeness,
+        |  round(1.0 - CAST(m.a_all AS DOUBLE)
+        |    / (CAST(t.n AS DOUBLE) * (t.n - 1) / 2.0), 6)
+        |    AS reduction_ratio
+        |FROM marg m LEFT JOIN agree a USING (scheme), tot t
+        |ORDER BY m.scheme""".stripMargin),
+    "dedup_fellegi" -> (truthKeyCtes +
+      """
+        |SELECT m.scheme AS field,
+        |  COALESCE(a.n_truth, 0) AS n_truth,
+        |  COALESCE(a.n_agree, 0) AS n_truth_agree,
+        |  m.a_all AS n_all_agree,
+        |  CASE WHEN a.n_truth > 0 THEN
+        |    round(CAST(a.n_agree AS DOUBLE) / CAST(a.n_truth AS DOUBLE), 6)
+        |  END AS m_prob,
+        |  round(CAST(m.a_all - COALESCE(a.n_agree, 0) AS DOUBLE)
+        |    / CAST(t.p_all - COALESCE(a.n_truth, 0) AS DOUBLE), 6)
+        |    AS u_prob,
+        |  CASE WHEN a.n_truth > 0 AND a.n_agree > 0
+        |      AND m.a_all > COALESCE(a.n_agree, 0) THEN
+        |    round(ln(
+        |      (CAST(a.n_agree AS DOUBLE) / CAST(a.n_truth AS DOUBLE))
+        |      / (CAST(m.a_all - a.n_agree AS DOUBLE)
+        |        / CAST(t.p_all - a.n_truth AS DOUBLE))), 6)
+        |  END AS log_weight
+        |FROM marg m LEFT JOIN agree a USING (scheme), tot t
+        |ORDER BY field""".stripMargin),
     // the text_winnow fingerprint chain, then the exact fp-bucket pair
     // expansion (buckets stay below the 64 cap at test scale, so the
     // uncapped replay is the same set)

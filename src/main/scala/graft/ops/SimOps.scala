@@ -921,7 +921,52 @@ object SimOps {
           .as("recall"))
   }
 
+  /** T221: MATRYOSHKA truncation-recall curve — how much top-k quality
+    * each embedding-dimension prefix retains (Kusupati et al. 2022's
+    * MRL evaluation): for k_dim ∈ {8, 16, 32, 64}, rank the corpus by
+    * cosine over the FIRST k_dim dimensions against the vec_id-0 query
+    * and report recall@20 vs the full-width ranking. This is the sizing
+    * curve behind "can I store 16 of the 64 dims and keep my retrieval"
+    * — the 4× index-memory decision every vector deployment makes.
+    *
+    * One corpus scan computes all four truncated cosines in a single
+    * projection (the query side is a broadcast 1-row panel); the scored
+    * table is localCheckpoint'd ONCE (narrow: id + 4 doubles) so the
+    * four top-20 cuts — each a TakeOrderedAndProject, never a global
+    * sort — do not re-scan the corpus. Ground truth is the k_dim=64 cut
+    * itself; the compare is a broadcast join of two 20-row panels.
+    * Cosines round to 6dp off the same double arithmetic both engines
+    * run (ann_brute precedent); ties cut on (cos desc, vec_id asc). */
+  def embMrlRecall(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val dims = Seq(8, 16, 32, 64)
+    val scored = emb.crossJoin(queryVec(s, d))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id") +: dims.map(k =>
+        round(CosineSimilarity.cosine_native(s,
+          slice(col("embedding"), 1, k), slice(col("q_emb"), 1, k)), 6)
+          .as(s"cos$k")): _*)
+      .localCheckpoint()
+    val tops = dims.map(k =>
+        scored.select(lit(k).as("k_dim"), col("vec_id"),
+            col(s"cos$k").as("cos"))
+          .orderBy(col("cos").desc, col("vec_id").asc).limit(20))
+      .reduce(_ unionAll _)
+      .localCheckpoint() // 80 rows; gt below re-reads it
+    val gt = broadcast(tops.filter(col("k_dim") === 64)
+      .select(col("vec_id").as("gt_id")))
+    tops.join(gt, tops("vec_id") === gt("gt_id"), "left")
+      .groupBy(col("k_dim"))
+      .agg(sum(when(col("gt_id").isNotNull, 1L).otherwise(0L))
+        .as("n_hits"))
+      .select(col("k_dim"), col("n_hits"),
+        round(col("n_hits").cast("double") / lit(20.0), 6)
+          .as("recall_at_20"))
+      .orderBy(col("k_dim"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_mrl_recall"   -> embMrlRecall _,
     "emb_knn_acc"      -> embKnnAcc _,
     "emb_dim_stats"    -> embDimStats _,
     "emb_centroid_drift" -> embCentroidDrift _,
@@ -948,6 +993,46 @@ object SimOps {
   // arithmetic in double after the explicit casts — verified
   // empirically; round(.,6) guards the display value.
   private lazy val oraclesHead: Map[String, String] = Map(
+    // truncated-prefix cosine per k_dim, per-k top-20, recall vs the
+    // k=64 cut — the zero-norm CASE mirrors cosine_native's 0.0
+    "emb_mrl_recall" ->
+      """WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+        |sims AS MATERIALIZED (
+        |  SELECT e.vec_id, k.k_dim,
+        |    round(CASE
+        |      WHEN list_sum(list_transform(range(1, k.k_dim + 1),
+        |          i -> CAST(e.embedding[i] AS DOUBLE)
+        |             * CAST(e.embedding[i] AS DOUBLE))) = 0
+        |        OR list_sum(list_transform(range(1, k.k_dim + 1),
+        |          i -> CAST(q.q_emb[i] AS DOUBLE)
+        |             * CAST(q.q_emb[i] AS DOUBLE))) = 0
+        |      THEN 0.0
+        |      ELSE list_sum(list_transform(range(1, k.k_dim + 1),
+        |          i -> CAST(e.embedding[i] AS DOUBLE)
+        |             * CAST(q.q_emb[i] AS DOUBLE)))
+        |        / (sqrt(list_sum(list_transform(range(1, k.k_dim + 1),
+        |            i -> CAST(e.embedding[i] AS DOUBLE)
+        |               * CAST(e.embedding[i] AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(range(1, k.k_dim + 1),
+        |            i -> CAST(q.q_emb[i] AS DOUBLE)
+        |               * CAST(q.q_emb[i] AS DOUBLE)))))
+        |      END, 6) AS cos
+        |  FROM embeddings e, q,
+        |    (SELECT UNNEST([8, 16, 32, 64]) AS k_dim) k
+        |  WHERE e.vec_id != 0),
+        |tops AS MATERIALIZED (
+        |  SELECT k_dim, vec_id FROM (
+        |    SELECT k_dim, vec_id, row_number() OVER (
+        |      PARTITION BY k_dim ORDER BY cos DESC, vec_id ASC) AS rn
+        |    FROM sims) WHERE rn <= 20),
+        |gt AS (SELECT vec_id FROM tops WHERE k_dim = 64)
+        |SELECT CAST(t.k_dim AS INTEGER) AS k_dim,
+        |  CAST(SUM(CASE WHEN g.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_hits,
+        |  round(CAST(SUM(CASE WHEN g.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / 20.0, 6) AS recall_at_20
+        |FROM tops t LEFT JOIN gt g ON t.vec_id = g.vec_id
+        |GROUP BY t.k_dim ORDER BY k_dim""".stripMargin,
     // the emb_sim_hist cell-pair replay keeping ids, then the same
     // per-vector top-5 rank, EXISTS-mutuality, and exact DECIMAL mean
     "ann_knn_graph" ->

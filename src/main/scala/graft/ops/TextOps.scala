@@ -1193,7 +1193,47 @@ object TextOps {
       .limit(20)
   }
 
+  /** T225: GREEN-LIST watermark detection (Kirchenbauer et al. 2023,
+    * "A Watermark for Large Language Models") — the provenance screen
+    * a pretraining pipeline runs to keep watermarked synthetic text out
+    * of (or quota'd inside) the corpus. The detector replays the
+    * watermark's partition: token t following context token p is
+    * "green" iff the seeded hash of the (p, t) pair lands in the green
+    * half (here: first md5 hex digit of `p|t` in 0-7, γ = 1/2), and the
+    * per-doc one-proportion z-score (2·greens − T)/√T says how far the
+    * doc sits above the unwatermarked null. Natural text ≈ 0; sampled-
+    * with-watermark text scores z ≳ 4.
+    *
+    * One tokenize scan → in-row bigram expansion (the bigram-LM idiom)
+    * → per-doc conditional count: one map-side-combinable hash agg on
+    * doc_id, one top-20 TakeOrdered. Counts are exact integers; z is
+    * one double expression off them, rounded at 6dp (identical IEEE
+    * ops both engines). */
+  def textWatermark(s: SparkSession, d: String): DataFrame = {
+    val ts = Tables.spread(Tables.documents(s, d))
+      .select(col("doc_id"), expr(
+        "filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')").as("ts"))
+    ts.filter(size(col("ts")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(ts) - 1),
+          |  i -> struct(ts[i - 1] AS w1, ts[i] AS w2))""".stripMargin))
+        .as("b"))
+      .select(col("doc_id"),
+        substring(md5(concat(col("b.w1"), lit("|"), col("b.w2"))), 1, 1)
+          .isin("0", "1", "2", "3", "4", "5", "6", "7").as("green"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("green").cast("long")).as("n_green"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_green"),
+        round((lit(2.0) * col("n_green").cast("double")
+            - col("n_bigrams").cast("double"))
+          / sqrt(col("n_bigrams").cast("double")), 6).as("z_green"))
+      .orderBy(col("z_green").desc, col("doc_id").asc)
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_watermark"      -> textWatermark _,
     "dedup_cdc_share"     -> dedupCdcShare _,
     "text_code_frac"      -> textCodeFrac _,
     "text_ngram_coverage" -> textNgramCoverage _,
@@ -1283,6 +1323,29 @@ object TextOps {
         |  FROM cx)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // identical green rule (first md5 hex digit of 'w1|w2' in 0-7) and
+    // z off exact integer counts; SUM/COUNT cast to BIGINT
+    "text_watermark" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      t -> t != '') AS ts
+        |  FROM documents),
+        |bi AS (
+        |  SELECT doc_id, UNNEST(list_transform(range(1, len(ts)),
+        |    i -> ts[i] || '|' || ts[i + 1])) AS b
+        |  FROM toks WHERE len(ts) >= 2),
+        |cnt AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |    CAST(SUM(CASE WHEN substr(md5(b), 1, 1) IN
+        |      ('0','1','2','3','4','5','6','7') THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_green
+        |  FROM bi GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, n_green,
+        |  round((2.0 * CAST(n_green AS DOUBLE) - CAST(n_bigrams AS DOUBLE))
+        |    / sqrt(CAST(n_bigrams AS DOUBLE)), 6) AS z_green
+        |FROM cnt
+        |ORDER BY z_green DESC, doc_id ASC LIMIT 20""".stripMargin,
     // same exact char-class counts (regexp_replace with the 'g' flag),
     // same quantized score and 0.05 decimal cut
     "text_code_frac" ->

@@ -16,9 +16,13 @@ class Round8DegenerateSpec extends SparkFunSuite {
     Seq.empty[(Long, java.sql.Timestamp, Long, String, Double)]
       .toDF("event_id", "ts", "user_id", "event_type", "value")
       .write.parquet(s"$d/events.parquet")
-    Seq.empty[(Long, String, String, String)]
-      .toDF("doc_id", "text", "lang", "source")
+    Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.parquet(s"$d/documents.parquet")
+    Seq.empty[(Long, String, Int, Double, String)]
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment")
+      .write.parquet(s"$d/customer.parquet")
     Seq.empty[(Long, Array[Float], Int)]
       .toDF("vec_id", "embedding", "label")
       .write.parquet(s"$d/embeddings.parquet")
@@ -45,7 +49,10 @@ class Round8DegenerateSpec extends SparkFunSuite {
     "sample_coreset", "text_ngram_coverage", "text_code_frac",
     "ev_ltv_npv", "ev_intervention",
     // T219–T220
-    "dedup_cdc_share", "ev_mde_curve")
+    "dedup_cdc_share", "ev_mde_curve",
+    // T221–T225
+    "emb_mrl_recall", "dq_kanon", "dedup_blocking_eval",
+    "dedup_fellegi", "text_watermark")
 
   for (name <- round8)
     test(s"$name survives empty source tables") {
