@@ -1572,7 +1572,33 @@ object CoreRelational {
       .orderBy(col("class_size"))
   }
 
+  /** T227: FILE-SIZING plan per output partition (source) — the
+    * small-files/compaction planner every lake-house writer runs
+    * before a `partitionBy` write: given a target file size, how many
+    * files does each partition key get, and which keys are HOT
+    * (bytes > 1.1× the mean — the skew alarm that says "salt this key
+    * or give it its own write job"). Byte volume is the exact n_chars
+    * sum; the target here is 4096 bytes, the scaled-down stand-in for
+    * a 128-256 MiB production target. One map-side-combinable corpus
+    * agg to the key panel + one broadcast 1-row total; the hot flag is
+    * an INTEGER cross-multiplication (10·bytes·n_keys > 11·total), so
+    * no FP enters the plan at all. */
+  def layoutFilesizing(s: SparkSession, d: String): DataFrame = {
+    val target = 4096L
+    val per = Tables.documents(s, d).groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_bytes"))
+    val tot = broadcast(per.agg(sum(col("n_bytes")).as("tb"),
+      count(lit(1)).as("ns")))
+    per.crossJoin(tot)
+      .select(col("source"), col("n_docs"), col("n_bytes"),
+        expr(s"cast((n_bytes + $target - 1) div $target as bigint)")
+          .as("n_files"),
+        expr("cast(10 * n_bytes * ns > 11 * tb as int)").as("hot"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "layout_filesizing" -> layoutFilesizing _,
     "dq_kanon"       -> dqKanon _,
     "dq_snapshot_drift" -> dqSnapshotDrift _,
     "dq_chisq"       -> dqChisq _,
@@ -1642,6 +1668,20 @@ object CoreRelational {
 
   val oracles: Map[String, String] = Map(
     // same parity split, exact DECIMAL money sums, 1e-9-quantized PSI
+    // same integer file-count ceiling + cross-multiplied hot flag
+    "layout_filesizing" ->
+      """WITH per AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(n_chars) AS BIGINT) AS n_bytes
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(SUM(n_bytes) AS BIGINT) AS tb,
+        |    CAST(COUNT(*) AS BIGINT) AS ns
+        |  FROM per)
+        |SELECT p.source, p.n_docs, p.n_bytes,
+        |  CAST((p.n_bytes + 4095) // 4096 AS BIGINT) AS n_files,
+        |  CAST(10 * p.n_bytes * t.ns > 11 * t.tb AS INTEGER) AS hot
+        |FROM per p, tot t
+        |ORDER BY p.source""".stripMargin,
     // QI classes → class-size histogram; SUM/COUNT cast to BIGINT
     "dq_kanon" ->
       """WITH classes AS (

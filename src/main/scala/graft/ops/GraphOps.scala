@@ -752,33 +752,41 @@ object GraphOps {
         .groupBy("s1", "s2").agg(count(lit(1)).as("co"))
         .filter(col("co") >= 2).select(col("s1"), col("s2"))
         .persist()
-      val deg = und.select(col("s1").as("n"))
-        .union(und.select(col("s2").as("n")))
-        .groupBy("n").agg(count(lit(1)).as("deg"))
-      val withDeg = und
-        .join(deg.select(col("n").as("s1"), col("deg").as("d1")), Seq("s1"))
-        .join(deg.select(col("n").as("s2"), col("deg").as("d2")), Seq("s2"))
-      val r1 = struct(col("d1").as("dg"), col("s1").as("id"))
-      val r2 = struct(col("d2").as("dg"), col("s2").as("id"))
-      val fwd = r1 < r2
-      val oriented = withDeg.select(
-        when(fwd, col("s1")).otherwise(col("s2")).as("src"),
-        when(fwd, r2).otherwise(r1).as("dst"))
-      val wedges = oriented.groupBy("src")
-        .agg(sort_array(collect_list(col("dst"))).as("ns"))
-        .select(col("src").as("a"), explode(expr(
-          """flatten(transform(ns, (x, i) ->
-            |  transform(slice(ns, i + 2, size(ns)), y ->
-            |    struct(x.id AS b, y.id AS c))))""".stripMargin)).as("w"))
-        .select(col("a"), col("w.b"), col("w.c"))
-      val closing = oriented
-        .select(col("src").as("b"), col("dst.id").as("c"))
-      // triangle-sized (bounded by the oriented wedge census);
-      // localCheckpoint materializes it once for both consumers
-      val tri = wedges.join(closing, Seq("b", "c"), "left_semi")
-        .localCheckpoint()
-      (und, tri)
+      (und, triangleTable(und))
     }
+
+  /** The degree-oriented triangle census over an undirected (s1 < s2)
+    * edge list — the Suri–Vassilvitskii core of [[bulkTriangles]],
+    * factored so [[graphBridges]] can run it over its own (sparser)
+    * edge gate. Returns one row per triangle (corners a/b/c),
+    * localCheckpoint'd (triangle-sized). */
+  private def triangleTable(und: DataFrame): DataFrame = {
+    val deg = und.select(col("s1").as("n"))
+      .union(und.select(col("s2").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val withDeg = und
+      .join(deg.select(col("n").as("s1"), col("deg").as("d1")), Seq("s1"))
+      .join(deg.select(col("n").as("s2"), col("deg").as("d2")), Seq("s2"))
+    val r1 = struct(col("d1").as("dg"), col("s1").as("id"))
+    val r2 = struct(col("d2").as("dg"), col("s2").as("id"))
+    val fwd = r1 < r2
+    val oriented = withDeg.select(
+      when(fwd, col("s1")).otherwise(col("s2")).as("src"),
+      when(fwd, r2).otherwise(r1).as("dst"))
+    val wedges = oriented.groupBy("src")
+      .agg(sort_array(collect_list(col("dst"))).as("ns"))
+      .select(col("src").as("a"), explode(expr(
+        """flatten(transform(ns, (x, i) ->
+          |  transform(slice(ns, i + 2, size(ns)), y ->
+          |    struct(x.id AS b, y.id AS c))))""".stripMargin)).as("w"))
+      .select(col("a"), col("w.b"), col("w.c"))
+    val closing = oriented
+      .select(col("src").as("b"), col("dst.id").as("c"))
+    // triangle-sized (bounded by the oriented wedge census);
+    // localCheckpoint materializes it once for all consumers
+    wedges.join(closing, Seq("b", "c"), "left_semi")
+      .localCheckpoint()
+  }
 
   def graphTriangles(s: SparkSession, d: String): DataFrame = {
     val (_, tri) = bulkTriangles(s, d)
@@ -816,6 +824,67 @@ object GraphOps {
           (col("degree") * (col("degree") - 1)).cast("double")), 6)
           .as("lcc"))
       .orderBy(col("node"))
+  }
+
+  /** T226: LOCAL BRIDGES of the bulk co-occurrence graph — edges whose
+    * endpoints share NO common neighbor (span > 2), Granovetter's
+    * "weak ties": the links whose removal disconnects neighborhoods,
+    * and exactly the edges every triangle-based metric (clustering,
+    * community seeds) is blind to. The edge set uses a TIGHTER
+    * quantity gate (≥ 48) than the triangles suite: at ≥ 46 the
+    * co-occurrence graph is dense enough that every edge closes a
+    * triangle and the bridge set is vacuously empty (measured) — weak
+    * ties only exist where the graph is sparse, so the gate choice IS
+    * the operator's semantic knob. An edge is in a triangle iff its
+    * endpoints share a neighbor, so local bridges = the edge list
+    * ANTI-JOINED against the [[triangleTable]] corner pairs (the same
+    * degree-oriented census graph_triangles runs — wedge volume
+    * bounded by the orientation). Corner pairs normalize with
+    * least/greatest (corner `a` is the degree-rank-lowest, not the
+    * id-lowest). Totals ride as constant columns off two bounded
+    * aggregates; exact integers throughout. */
+  def graphBridges(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_quantity") >= 48)
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val cs = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
+      .distinct()
+    val und = cs.groupBy("c")
+      .agg(sort_array(collect_list(col("sk"))).as("ss"))
+      .select(explode(expr(
+        """flatten(transform(ss, (a, i) ->
+          |  transform(slice(ss, i + 2, size(ss)), b ->
+          |    struct(a AS s1, b AS s2))))""".stripMargin)).as("p"))
+      .select(col("p.s1"), col("p.s2"))
+      .groupBy("s1", "s2").agg(count(lit(1)).as("co"))
+      .filter(col("co") >= 2).select(col("s1"), col("s2"))
+      .localCheckpoint() // 4 consumers (census, anti, degree, totals)
+    val tri = triangleTable(und)
+    val te = tri.select(least(col("a"), col("b")).as("s1"),
+        greatest(col("a"), col("b")).as("s2"))
+      .union(tri.select(least(col("a"), col("c")),
+        greatest(col("a"), col("c"))))
+      .union(tri.select(least(col("b"), col("c")),
+        greatest(col("b"), col("c"))))
+      .distinct()
+    val bridges = und.join(te, Seq("s1", "s2"), "left_anti")
+    val deg = und.select(col("s1").as("n"))
+      .union(und.select(col("s2").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val totals = broadcast(und.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(bridges.agg(count(lit(1)).as("n_bridges"))))
+    bridges
+      .join(deg.select(col("n").as("s1"), col("deg").as("deg_s1")),
+        Seq("s1"))
+      .join(deg.select(col("n").as("s2"), col("deg").as("deg_s2")),
+        Seq("s2"))
+      .crossJoin(totals)
+      .select(col("s1"), col("s2"), col("deg_s1"), col("deg_s2"),
+        col("n_edges"), col("n_bridges"))
+      .orderBy(col("s1"), col("s2"))
+      .limit(20)
   }
 
   /** Adamic–Adar link prediction over the customer–supplier bipartite
@@ -1226,6 +1295,7 @@ object GraphOps {
     "graph_linkpred"  -> graphLinkpred _,
     "graph_cc"        -> graphComponents _,
     "graph_triangles" -> graphTriangles _,
+    "graph_bridges"  -> graphBridges _,
     "graph_clustcoeff" -> graphClustCoeff _,
     "graph_pagerank" -> graphPagerank _,
     "graph_ppr" -> graphPpr _,
@@ -1680,6 +1750,38 @@ object GraphOps {
         |ORDER BY d.node""".stripMargin,
     // the oracle closes triples naively on the a<b<c edge list — the
     // engine's oriented wedge census finds the same triangle set
+    // same gated co-occurrence edges; "no common neighbor" stated
+    // directly (an edge is in a triangle iff a common neighbor
+    // exists, so NOT EXISTS over the symmetrized adjacency is
+    // provably the engine's anti-join against triangle corner pairs)
+    "graph_bridges" ->
+      """WITH cs AS MATERIALIZED (
+        |  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS sk
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE l.l_quantity >= 48),
+        |co AS MATERIALIZED (
+        |  SELECT a.sk AS s1, b.sk AS s2, COUNT(*) AS co
+        |  FROM cs a JOIN cs b ON a.c = b.c AND a.sk < b.sk
+        |  GROUP BY 1, 2),
+        |e AS MATERIALIZED (SELECT s1, s2 FROM co WHERE co >= 2),
+        |adj AS MATERIALIZED (
+        |  SELECT s1 AS u, s2 AS v FROM e
+        |  UNION ALL SELECT s2, s1 FROM e),
+        |deg AS (SELECT u AS n, CAST(COUNT(*) AS BIGINT) AS deg
+        |        FROM adj GROUP BY u),
+        |br AS MATERIALIZED (
+        |  SELECT s1, s2 FROM e
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM adj a1 JOIN adj a2 ON a1.v = a2.v
+        |    WHERE a1.u = e.s1 AND a2.u = e.s2)),
+        |tot AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e)
+        |    AS n_edges,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM br) AS n_bridges)
+        |SELECT b.s1, b.s2, d1.deg AS deg_s1, d2.deg AS deg_s2,
+        |  t.n_edges, t.n_bridges
+        |FROM br b JOIN deg d1 ON d1.n = b.s1
+        |  JOIN deg d2 ON d2.n = b.s2, tot t
+        |ORDER BY b.s1, b.s2 LIMIT 20""".stripMargin,
     "graph_triangles" ->
       """WITH cs AS MATERIALIZED (
         |  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS sk

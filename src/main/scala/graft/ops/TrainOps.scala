@@ -135,6 +135,42 @@ object TrainOps {
       .select("doc_id", "n_tokens", "n_chunks", "pad_tokens", "pad_frac")
       .orderBy("doc_id")
 
+  /** T228: SORTED vs ARRIVAL batching padding comparison — the
+    * length-grouped batching decision (bucket-by-length is the
+    * standard 2-5× padding cut for variable-length training): form
+    * batches of 8 docs per source in (a) arrival order (doc_id) and
+    * (b) token-length order, pad each batch to its own max, and
+    * report the corpus-wide padding bill per strategy. Batching is
+    * keyed WITHIN source (the shard a loader actually packs), so both
+    * row_number windows partition on source — never a global sort;
+    * the per-batch fold and the 2-row panel are exact integers, the
+    * one fraction rounds at 6dp. Two tokenize scans (one per
+    * strategy) — each is one narrow projection + window + two aggs. */
+  def packSortedBatching(s: SparkSession, d: String): DataFrame = {
+    val t = Tables.documents(s, d).select(col("doc_id"), col("source"),
+      TextAnalysis.token_count_bpe(s, col("text")).cast("bigint")
+        .as("n_tokens"))
+    def strat(name: String, order: Seq[Column]): DataFrame =
+      t.withColumn("rn", row_number().over(
+          Window.partitionBy(col("source")).orderBy(order: _*)))
+        .withColumn("batch", expr("cast((rn - 1) div 8 as bigint)"))
+        .groupBy("source", "batch")
+        .agg(count(lit(1)).as("bn"), max("n_tokens").as("mx"),
+          sum("n_tokens").as("tok"))
+        .agg(count(lit(1)).as("n_batches"),
+          sum("tok").as("n_tokens"),
+          sum(col("bn") * col("mx") - col("tok")).as("pad_tokens"))
+        .select(lit(name).as("strategy"), col("n_batches"),
+          col("n_tokens"), col("pad_tokens"),
+          round(col("pad_tokens").cast("double")
+            / (col("pad_tokens") + col("n_tokens")).cast("double"), 6)
+            .as("pad_frac"))
+    strat("arrival", Seq(col("doc_id").asc))
+      .unionAll(strat("sorted",
+        Seq(col("n_tokens").asc, col("doc_id").asc)))
+      .orderBy("strategy")
+  }
+
   /** Benchmark-contamination check: flag training documents sharing
     * any word-3-gram shingle with the held-out eval slice (docs with
     * doc_id ≡ 0 mod 97 stand in for the benchmark set). Reuses the
@@ -1389,6 +1425,7 @@ object TrainOps {
     "sample_weighted"    -> sampleWeighted _,
     "text_ppl_buckets"   -> textPplBuckets _,
     "pack_shards"        -> packShards _,
+    "pack_sorted_batching" -> packSortedBatching _,
     "pack_interleave"    -> packInterleave _,
     "pack_batches"       -> packBatches _,
     "dedup_cross_source" -> dedupCrossSource _)
@@ -2038,6 +2075,50 @@ object TrainOps {
         |  FROM w)
         |SELECT pair, count(*) AS n FROM p GROUP BY pair
         |ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+    // per-source row_number replay of both batch formations; the
+    // partial-batch pad is bn*max - sum, mirrored exactly
+    "pack_sorted_batching" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, $bpeTokens AS n_tokens FROM documents),
+         |ba AS (
+         |  SELECT source, (row_number() OVER (PARTITION BY source
+         |      ORDER BY doc_id) - 1) // 8 AS batch,
+         |    n_tokens
+         |  FROM t),
+         |ga AS (
+         |  SELECT source, batch, COUNT(*) AS bn, MAX(n_tokens) AS mx,
+         |    SUM(n_tokens) AS tok
+         |  FROM ba GROUP BY 1, 2),
+         |sa AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_batches,
+         |    CAST(SUM(tok) AS BIGINT) AS n_tokens,
+         |    CAST(SUM(bn * mx - tok) AS BIGINT) AS pad_tokens
+         |  FROM ga),
+         |bs AS (
+         |  SELECT source, (row_number() OVER (PARTITION BY source
+         |      ORDER BY n_tokens, doc_id) - 1) // 8 AS batch,
+         |    n_tokens
+         |  FROM t),
+         |gs AS (
+         |  SELECT source, batch, COUNT(*) AS bn, MAX(n_tokens) AS mx,
+         |    SUM(n_tokens) AS tok
+         |  FROM bs GROUP BY 1, 2),
+         |ss AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_batches,
+         |    CAST(SUM(tok) AS BIGINT) AS n_tokens,
+         |    CAST(SUM(bn * mx - tok) AS BIGINT) AS pad_tokens
+         |  FROM gs)
+         |SELECT * FROM (
+         |  SELECT 'arrival' AS strategy, n_batches, n_tokens, pad_tokens,
+         |    round(CAST(pad_tokens AS DOUBLE)
+         |      / CAST(pad_tokens + n_tokens AS DOUBLE), 6) AS pad_frac
+         |  FROM sa
+         |  UNION ALL
+         |  SELECT 'sorted', n_batches, n_tokens, pad_tokens,
+         |    round(CAST(pad_tokens AS DOUBLE)
+         |      / CAST(pad_tokens + n_tokens AS DOUBLE), 6)
+         |  FROM ss)
+         |ORDER BY strategy""".stripMargin,
     "pack_padded" ->
       s"""WITH t AS (SELECT doc_id, $bpeTokens AS n_tokens FROM documents)
         |SELECT doc_id, n_tokens,

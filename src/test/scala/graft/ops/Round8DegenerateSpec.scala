@@ -52,7 +52,9 @@ class Round8DegenerateSpec extends SparkFunSuite {
     "dedup_cdc_share", "ev_mde_curve",
     // T221–T225
     "emb_mrl_recall", "dq_kanon", "dedup_blocking_eval",
-    "dedup_fellegi", "text_watermark")
+    "dedup_fellegi", "text_watermark",
+    // T226–T228
+    "graph_bridges", "layout_filesizing", "pack_sorted_batching")
 
   for (name <- round8)
     test(s"$name survives empty source tables") {
