@@ -1597,7 +1597,38 @@ object CoreRelational {
       .orderBy("source")
   }
 
+  /** T230: REFERENTIAL-INTEGRITY audit — orphan rates for the three
+    * fact→dim foreign keys (lineitem→orders, lineitem→supplier,
+    * orders→customer): the load-gate every warehouse runs after
+    * ingest, and the check [[j06Anti]]'s incremental anti-join
+    * pattern generalizes into a standing panel. Each FK is ONE scan:
+    * LEFT join against the DISTINCT dim keys (distinct first, so a
+    * duplicated dim key can never multiply fact rows) + a conditional
+    * null count in the same aggregate — never a count scan plus a
+    * separate anti-join scan. Exact integers; the rate rounds at 6dp.
+    * A clean corpus reports zeros — that IS the expected production
+    * readout; the operator's value is the alarm when it isn't. */
+  def dqReferential(s: SparkSession, d: String): DataFrame = {
+    def audit(name: String, fact: DataFrame, key: String,
+        dim: DataFrame, dimKey: String): DataFrame =
+      fact.join(dim.select(col(dimKey).as("dk")).distinct(),
+          col(key) === col("dk"), "left")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("dk").isNull, 1L).otherwise(0L)).as("n_orphans"))
+        .select(lit(name).as("fk"), col("n_rows"), col("n_orphans"),
+          round(col("n_orphans").cast("double")
+            / col("n_rows").cast("double"), 6).as("orphan_rate"))
+    audit("lineitem.l_orderkey", Tables.lineitem(s, d), "l_orderkey",
+        Tables.orders(s, d), "o_orderkey")
+      .unionAll(audit("lineitem.l_suppkey", Tables.lineitem(s, d),
+        "l_suppkey", Tables.supplier(s, d), "s_suppkey"))
+      .unionAll(audit("orders.o_custkey", Tables.orders(s, d),
+        "o_custkey", Tables.customer(s, d), "c_custkey"))
+      .orderBy("fk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_referential" -> dqReferential _,
     "layout_filesizing" -> layoutFilesizing _,
     "dq_kanon"       -> dqKanon _,
     "dq_snapshot_drift" -> dqSnapshotDrift _,
@@ -1668,6 +1699,34 @@ object CoreRelational {
 
   val oracles: Map[String, String] = Map(
     // same parity split, exact DECIMAL money sums, 1e-9-quantized PSI
+    // same one-scan-per-FK left-join null counts
+    "dq_referential" ->
+      """SELECT fk, n_rows, n_orphans,
+        |  round(CAST(n_orphans AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+        |    AS orphan_rate
+        |FROM (
+        |  SELECT 'lineitem.l_orderkey' AS fk,
+        |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_orphans
+        |  FROM lineitem l LEFT JOIN
+        |    (SELECT DISTINCT o_orderkey FROM orders) o
+        |    ON l.l_orderkey = o.o_orderkey
+        |  UNION ALL
+        |  SELECT 'lineitem.l_suppkey', CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(CASE WHEN sp.s_suppkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT)
+        |  FROM lineitem l LEFT JOIN
+        |    (SELECT DISTINCT s_suppkey FROM supplier) sp
+        |    ON l.l_suppkey = sp.s_suppkey
+        |  UNION ALL
+        |  SELECT 'orders.o_custkey', CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT)
+        |  FROM orders od LEFT JOIN
+        |    (SELECT DISTINCT c_custkey FROM customer) c
+        |    ON od.o_custkey = c.c_custkey)
+        |ORDER BY fk""".stripMargin,
     // same integer file-count ceiling + cross-multiplied hot flag
     "layout_filesizing" ->
       """WITH per AS (

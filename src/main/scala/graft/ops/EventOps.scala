@@ -60,6 +60,42 @@ object EventOps {
       .orderBy(col("user_id"), col("session_seq"))
   }
 
+  /** T229: SESSION-TIMEOUT sensitivity sweep — the panel that picks
+    * [[evSessions]]' 30-minute constant instead of inheriting it: how
+    * many sessions (and events per session) the corpus yields at
+    * inactivity gaps of 5/15/30/60 minutes. The elbow of this curve is
+    * the standard way a deployment chooses its sessionization timeout.
+    *
+    * ONE user-keyed lag window computes each event's inactivity gap
+    * once; all four thresholds fold in the same map-side aggregate as
+    * conditional sums (a session count is just the number of
+    * session-STARTS, so no per-threshold session table exists at all).
+    * The 4-row panel unpivots with `stack`. Exact integers; one
+    * division rounds at 6dp. */
+  def evSessionSweep(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val withGap = Tables.events(s, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - unix_micros(col("prev_ts")))
+    val gaps = Seq(5, 15, 30, 60)
+    val sums = gaps.map(g =>
+      sum(when(col("prev_ts").isNull
+          || col("gap_us") > g.toLong * 60 * 1000 * 1000, 1L)
+        .otherwise(0L)).as(s"s$g"))
+    withGap
+      .agg(sums.head, sums.tail ++ Seq(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users")): _*)
+      .select(expr("stack(4, 5, s5, 15, s15, 30, s30, 60, s60)" +
+          " as (gap_min, n_sessions)"),
+        col("n_users"), col("n_events"))
+      .select(col("gap_min"), col("n_users"), col("n_sessions"),
+        round(col("n_events").cast("double")
+          / col("n_sessions").cast("double"), 6).as("events_per_session"))
+      .orderBy(col("gap_min"))
+  }
+
   /** JSON payload extraction (the reference keeps raw API objects as
     * nested `obj`; props here is a JSON string → typed column). */
   def evJson(s: SparkSession, d: String): DataFrame =
@@ -1596,6 +1632,7 @@ object EventOps {
     "ev_window_agg"  -> evWindowAgg _,
     "ev_cursors"     -> evCursors _,
     "ev_sessions"    -> evSessions _,
+    "ev_session_sweep" -> evSessionSweep _,
     "ev_json"        -> evJson _,
     "ev_incremental" -> evIncremental _,
     "ev_retention"   -> evRetention _)
@@ -2612,6 +2649,40 @@ object EventOps {
         |           ELSE 0 END AS is_new
         |    FROM (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events)))
         |GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
+    // the ev_sessions gap replay at micros precision; session count =
+    // count of session starts, all four thresholds off one lag pass
+    "ev_session_sweep" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    tsu - lag(tsu) OVER (PARTITION BY user_id
+        |      ORDER BY tsu, event_id) AS gap_us
+        |  FROM (SELECT user_id, event_id, epoch_us(ts) AS tsu
+        |        FROM events)),
+        |a AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        |    CAST(SUM(CASE WHEN gap_us IS NULL
+        |      OR gap_us > 300000000 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS s5,
+        |    CAST(SUM(CASE WHEN gap_us IS NULL
+        |      OR gap_us > 900000000 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS s15,
+        |    CAST(SUM(CASE WHEN gap_us IS NULL
+        |      OR gap_us > 1800000000 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS s30,
+        |    CAST(SUM(CASE WHEN gap_us IS NULL
+        |      OR gap_us > 3600000000 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS s60
+        |  FROM g)
+        |SELECT gap_min, n_users, n_sessions,
+        |  round(CAST(n_events AS DOUBLE) / CAST(n_sessions AS DOUBLE), 6)
+        |    AS events_per_session
+        |FROM (
+        |  SELECT 5 AS gap_min, n_users, s5 AS n_sessions, n_events FROM a
+        |  UNION ALL SELECT 15, n_users, s15, n_events FROM a
+        |  UNION ALL SELECT 30, n_users, s30, n_events FROM a
+        |  UNION ALL SELECT 60, n_users, s60, n_events FROM a)
+        |ORDER BY gap_min""".stripMargin,
     "ev_json" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,

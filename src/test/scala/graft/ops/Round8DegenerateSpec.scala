@@ -33,6 +33,9 @@ class Round8DegenerateSpec extends SparkFunSuite {
     Seq.empty[(Long, Long, Double, Double)]
       .toDF("l_orderkey", "l_suppkey", "l_extendedprice", "l_quantity")
       .write.parquet(s"$d/lineitem.parquet")
+    Seq.empty[(Long, String, Int)]
+      .toDF("s_suppkey", "s_name", "s_nationkey")
+      .write.parquet(s"$d/supplier.parquet")
     d
   }
 
@@ -54,7 +57,9 @@ class Round8DegenerateSpec extends SparkFunSuite {
     "emb_mrl_recall", "dq_kanon", "dedup_blocking_eval",
     "dedup_fellegi", "text_watermark",
     // T226–T228
-    "graph_bridges", "layout_filesizing", "pack_sorted_batching")
+    "graph_bridges", "layout_filesizing", "pack_sorted_batching",
+    // T229–T230
+    "ev_session_sweep", "dq_referential")
 
   for (name <- round8)
     test(s"$name survives empty source tables") {
