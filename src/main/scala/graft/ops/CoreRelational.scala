@@ -1627,7 +1627,30 @@ object CoreRelational {
       .orderBy("fk")
   }
 
+  /** T231: FRESHNESS audit per event stream — how far each
+    * event_type's newest event lags the newest event anywhere (the
+    * "is this feed stale" monitor a streaming warehouse pages on;
+    * lateness inside the stream is [[graft.streaming]]'s ev_lateness —
+    * this is the cross-feed panel). One map-side-combinable agg to the
+    * type panel + a broadcast 1-row global max; the lag is exact
+    * integer MICROSECOND arithmetic floored to whole minutes, and the
+    * timestamp pins to an ISO string (the hash-match date rule). */
+  def dqFreshness(s: SparkSession, d: String): DataFrame = {
+    val perType = Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), max(col("ts")).as("mx"))
+    val glob = broadcast(perType.agg(max(col("mx")).as("gx")))
+    perType.crossJoin(glob)
+      .select(col("event_type"), col("n_events"),
+        date_format(col("mx"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("last_seen"),
+        expr("(unix_micros(gx) - unix_micros(mx)) div 60000000")
+          .as("lag_min"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_freshness"   -> dqFreshness _,
     "dq_referential" -> dqReferential _,
     "layout_filesizing" -> layoutFilesizing _,
     "dq_kanon"       -> dqKanon _,
@@ -1699,6 +1722,18 @@ object CoreRelational {
 
   val oracles: Map[String, String] = Map(
     // same parity split, exact DECIMAL money sums, 1e-9-quantized PSI
+    // micros-exact lag floored to minutes; strftime pins the ISO string
+    "dq_freshness" ->
+      """WITH p AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    MAX(ts) AS mx
+        |  FROM events GROUP BY event_type),
+        |g AS (SELECT MAX(mx) AS gx FROM p)
+        |SELECT p.event_type, p.n_events,
+        |  strftime(p.mx, '%Y-%m-%d %H:%M:%S.%f') AS last_seen,
+        |  CAST((epoch_us(g.gx) - epoch_us(p.mx)) // 60000000 AS BIGINT)
+        |    AS lag_min
+        |FROM p, g ORDER BY p.event_type""".stripMargin,
     // same one-scan-per-FK left-join null counts
     "dq_referential" ->
       """SELECT fk, n_rows, n_orphans,

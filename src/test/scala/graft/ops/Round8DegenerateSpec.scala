@@ -58,8 +58,8 @@ class Round8DegenerateSpec extends SparkFunSuite {
     "dedup_fellegi", "text_watermark",
     // T226–T228
     "graph_bridges", "layout_filesizing", "pack_sorted_batching",
-    // T229–T230
-    "ev_session_sweep", "dq_referential")
+    // T229–T231
+    "ev_session_sweep", "dq_referential", "dq_freshness")
 
   for (name <- round8)
     test(s"$name survives empty source tables") {

@@ -29,6 +29,22 @@ class Round8iOpsSpec extends SparkFunSuite {
       (30, 1L, 1L, 3.0), (60, 1L, 1L, 3.0)))
   }
 
+  test("dq_freshness: per-type lag in whole minutes behind the newest") {
+    val d = Files.createTempDirectory("fresh").toString
+    // 'click' newest at 00:40:30, 'view' newest at 00:10:00 -> the
+    // 30.5-min lag floors to 30 whole minutes
+    Seq((1L, ts("2024-01-01 00:05:00"), 1L, "click", 1.0),
+      (2L, ts("2024-01-01 00:40:30"), 1L, "click", 1.0),
+      (3L, ts("2024-01-01 00:10:00"), 2L, "view", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$d/events.parquet")
+    val got = CoreRelational.dqFreshness(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      ("click", 2L, "2024-01-01 00:40:30.000000", 0L),
+      ("view", 1L, "2024-01-01 00:10:00.000000", 30L)))
+  }
+
   test("dq_referential: one orphan per foreign key") {
     val d = Files.createTempDirectory("refint").toString
     Seq((1L, 100L), (3L, 999L)).toDF("o_orderkey", "o_custkey")
