@@ -58,6 +58,25 @@ object Multimodal {
     }
   }
 
+  /** [[FakeCodec]] without the unit-L1 normalization: raw byte-class
+    * COUNTS (exact small integers, exactly representable in float32).
+    * The near-dup operator pairs on these so its cosine is scale-
+    * invariant-identical to the normalized features' cosine while
+    * staying exact-integer replayable cross-engine — no float32
+    * division ever enters the compare. */
+  final class CountCodec(val featureDim: Int = 32) extends MediaCodec {
+    def decode(payload: Array[Byte], meta: Row): Option[Array[Float]] = {
+      if (payload == null || payload.isEmpty) return None
+      val hist = new Array[Float](featureDim)
+      var i = 0
+      while (i < payload.length) {
+        hist((payload(i) & 0xff) % featureDim) += 1f
+        i += 1
+      }
+      Some(hist)
+    }
+  }
+
   /** Build a media table from the documents table: payload = utf-8
     * bytes of the text (the deterministic fake "image"), metadata
     * synthesized from the row. Real deployments read binary files via

@@ -94,13 +94,87 @@ object MultimodalOps {
       .orderBy("media_id")
   }
 
+  /** T232: PERCEPTUAL near-dup over decoded media features — the
+    * embedding-space dedup every multimodal corpus runs after
+    * [[mmDedup]]'s exact-bytes pass (re-encoded/resized assets hash
+    * differently but decode alike). Feature vectors come through the
+    * real batched-codec path ([[Multimodal.extractFeatures]],
+    * mapPartitions with one codec per partition) using the COUNT
+    * variant of the stub codec, so the pairwise cosine is exact
+    * integer arithmetic (scale-invariant ⇒ identical to the
+    * normalized features' cosine) and the whole pipeline hash-checks
+    * cross-engine. Blocking = argmax feature class (the coarse
+    * quantizer the IVF family uses), pairs via the shared capped
+    * ids-only bucket expansion; the decoded table localCheckpoints
+    * once (two pair-side consumers of a non-codegen decode stage). */
+  def mmNearDup(s: SparkSession, d: String): DataFrame = {
+    val media =
+      Multimodal.mediaFromDocuments(Tables.spread(Tables.documents(s, d)))
+    val counts = Multimodal
+      .extractFeatures(media, new Multimodal.CountCodec(32))
+      .filter(col("ok"))
+      .select(col("media_id"), col("features").as("cv"),
+        (array_position(col("features"), array_max(col("features"))) - 1)
+          .cast("int").as("tc"))
+      .localCheckpoint()
+    DedupOps.cappedBucketPairs(
+        counts.select(col("tc"), col("media_id")),
+        Seq("tc"), "media_id", "m1", "m2")
+      .join(counts.select(col("media_id").as("m1"), col("cv").as("ca")),
+        Seq("m1"))
+      .join(counts.select(col("media_id").as("m2"), col("cv").as("cb")),
+        Seq("m2"))
+      .select(col("m1"), col("m2"),
+        round(graft.functions.expressions.CosineSimilarity
+          .cosine_native(s, col("ca"), col("cb")), 6).as("cos"))
+      .filter(col("cos") >= 0.99)
+      .orderBy(col("cos").desc, col("m1").asc, col("m2").asc)
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_near_dup" -> mmNearDup _,
     "mm_features" -> mmFeatures _,
     "mm_frames"   -> mmFrames _,
     "mm_pack"     -> mmPack _,
     "mm_dedup"    -> mmDedup _)
 
   val oracles: Map[String, String] = Map(
+    // byte-class COUNT histogram rebuilt from the utf-8 payload (ASCII
+    // corpus: bytes == codepoints), argmax block, the 64-cap replay,
+    // exact-integer cosine — every value identical by construction
+    "mm_near_dup" ->
+      """WITH b AS (
+        |  SELECT doc_id AS media_id,
+        |    list_transform(string_split(text, ''), c -> unicode(c) % 32)
+        |      AS cls
+        |  FROM documents),
+        |h AS (
+        |  SELECT media_id,
+        |    list_transform(range(0, 32),
+        |      j -> len(list_filter(cls, c -> c = j))) AS counts
+        |  FROM b),
+        |t AS (SELECT media_id, counts,
+        |    list_position(counts, list_max(counts)) - 1 AS tc
+        |  FROM h),
+        |capped AS MATERIALIZED (
+        |  SELECT media_id, counts, tc FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY tc
+        |      ORDER BY media_id) AS rn FROM t) WHERE rn <= 64),
+        |p AS (
+        |  SELECT a.media_id AS m1, b.media_id AS m2,
+        |    round(list_sum(list_transform(range(1, 33),
+        |        i -> CAST(a.counts[i] AS DOUBLE)
+        |           * CAST(b.counts[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(a.counts,
+        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(b.counts,
+        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+        |      AS cos
+        |  FROM capped a JOIN capped b
+        |    ON a.tc = b.tc AND a.media_id < b.media_id)
+        |SELECT m1, m2, cos FROM p WHERE cos >= 0.99
+        |ORDER BY cos DESC, m1, m2 LIMIT 20""".stripMargin,
     // single-window replay of the two-level prefix sum (payload byte
     // length == text length on the ASCII corpus, the mm_features
     // convention)

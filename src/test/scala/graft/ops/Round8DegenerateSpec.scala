@@ -58,8 +58,9 @@ class Round8DegenerateSpec extends SparkFunSuite {
     "dedup_fellegi", "text_watermark",
     // T226–T228
     "graph_bridges", "layout_filesizing", "pack_sorted_batching",
-    // T229–T231
-    "ev_session_sweep", "dq_referential", "dq_freshness")
+    // T229–T232
+    "ev_session_sweep", "dq_referential", "dq_freshness",
+    "mm_near_dup")
 
   for (name <- round8)
     test(s"$name survives empty source tables") {

@@ -45,6 +45,19 @@ class Round8iOpsSpec extends SparkFunSuite {
       ("view", 1L, "2024-01-01 00:10:00.000000", 30L)))
   }
 
+  test("mm_near_dup: identical payloads pair at cosine 1.0") {
+    val d = Files.createTempDirectory("mmnd").toString
+    // docs 1,2 are byte-identical ('aa' -> count vector 2*e1, argmax
+    // class 1); doc 3 ('zz' -> 2*e26) blocks alone -> single pair
+    Seq((1L, "aa", "en", "s", 2L), (2L, "aa", "en", "s", 2L),
+      (3L, "zz", "en", "s", 2L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val got = MultimodalOps.mmNearDup(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
   test("dq_referential: one orphan per foreign key") {
     val d = Files.createTempDirectory("refint").toString
     Seq((1L, 100L), (3L, 999L)).toDF("o_orderkey", "o_custkey")
