@@ -1649,7 +1649,28 @@ object CoreRelational {
       .orderBy("event_type")
   }
 
+  /** T234: PRIMARY-KEY uniqueness audit — duplicate-key row counts for
+    * the four tables whose keys every join in the catalog assumes
+    * unique ([[dqReferential]]'s dual: that one checks the FK side,
+    * this one the PK side). Each table is one map-side-combinable
+    * aggregate (count + countDistinct — at scale the exact distinct
+    * shuffles the key once; the audit runs per load, not per query);
+    * dup rows = rows − distinct keys, exact integers. */
+  def dqPkUnique(s: SparkSession, d: String): DataFrame = {
+    def audit(table: String, df: DataFrame, key: String): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+          countDistinct(col(key)).as("n_keys"))
+        .select(lit(s"$table.$key").as("pk"), col("n_rows"),
+          col("n_keys"), (col("n_rows") - col("n_keys")).as("n_dup_rows"))
+    audit("customer", Tables.customer(s, d), "c_custkey")
+      .unionAll(audit("documents", Tables.documents(s, d), "doc_id"))
+      .unionAll(audit("events", Tables.events(s, d), "event_id"))
+      .unionAll(audit("orders", Tables.orders(s, d), "o_orderkey"))
+      .orderBy("pk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_pk_unique"   -> dqPkUnique _,
     "dq_freshness"   -> dqFreshness _,
     "dq_referential" -> dqReferential _,
     "layout_filesizing" -> layoutFilesizing _,
@@ -1722,6 +1743,24 @@ object CoreRelational {
 
   val oracles: Map[String, String] = Map(
     // same parity split, exact DECIMAL money sums, 1e-9-quantized PSI
+    // one COUNT + COUNT(DISTINCT) aggregate per table
+    "dq_pk_unique" ->
+      """SELECT pk, n_rows, n_keys, n_rows - n_keys AS n_dup_rows
+        |FROM (
+        |  SELECT 'customer.c_custkey' AS pk,
+        |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_keys
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'documents.doc_id', CAST(COUNT(*) AS BIGINT),
+        |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) FROM documents
+        |  UNION ALL
+        |  SELECT 'events.event_id', CAST(COUNT(*) AS BIGINT),
+        |    CAST(COUNT(DISTINCT event_id) AS BIGINT) FROM events
+        |  UNION ALL
+        |  SELECT 'orders.o_orderkey', CAST(COUNT(*) AS BIGINT),
+        |    CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders)
+        |ORDER BY pk""".stripMargin,
     // micros-exact lag floored to minutes; strftime pins the ISO string
     "dq_freshness" ->
       """WITH p AS (

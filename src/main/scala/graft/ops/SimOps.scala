@@ -965,7 +965,26 @@ object SimOps {
       .orderBy(col("k_dim"))
   }
 
+  /** T235: PQ recall@20 — the accuracy sign-off for the product-
+    * quantized index ([[annRecall]]'s shape applied to the ADC
+    * ranking): how much of the exact top-20 the 8×8-bit code
+    * approximation retains. Both sides are the catalog's own
+    * operators; the compare is one broadcast join of two 20-row
+    * panels. Published next to the 32× memory cut PQ buys. */
+  def annPqRecall(s: SparkSession, d: String): DataFrame = {
+    val b = annBrute(s, d).select(col("vec_id"))
+    val p = annPq(s, d).select(col("vec_id").as("pq_id"))
+    b.join(broadcast(p), b("vec_id") === p("pq_id"), "left")
+      .agg(count(lit(1)).as("k_brute"),
+        sum(expr("case when pq_id is not null then 1 else 0 end"))
+          .as("n_hits"))
+      .select(col("k_brute"), col("n_hits"),
+        expr("round(cast(n_hits as double) / cast(k_brute as double), 6)")
+          .as("recall_at_20"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_pq_recall"    -> annPqRecall _,
     "emb_mrl_recall"   -> embMrlRecall _,
     "emb_knn_acc"      -> embKnnAcc _,
     "emb_dim_stats"    -> embDimStats _,
@@ -1260,7 +1279,37 @@ object SimOps {
     // (ties to lower code id), query LUT dots, ADC = sum over m in
     // ascending order (list ORDER BY m + seed-from-first list_reduce
     // ≡ the engine's 0.0-seeded sorted fold)
-    "ann_pq" ->
+    "ann_pq" -> annPqSql,
+    // ann_recall's shape for the PQ path: ADC top-20 vs exact top-20
+    "ann_pq_recall" ->
+      s"""WITH b AS ($annBruteSql),
+        |p AS ($annPqSql)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS k_brute,
+        |  CAST(SUM(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_hits,
+        |  round(CAST(SUM(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS recall_at_20
+        |FROM b LEFT JOIN p ON b.vec_id = p.vec_id""".stripMargin,
+    "ann_recall" ->
+      s"""WITH b AS ($annBruteSql),
+        |i AS ($annIvfSql)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS k_brute,
+        |  CAST(SUM(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_hits,
+        |  round(CAST(SUM(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS recall_at_20
+        |FROM b LEFT JOIN i ON b.vec_id = i.vec_id""".stripMargin,
+    "ann_brute" -> annBruteSql,
+    // Exact replay of the IVF pipeline: sampled centroids (lowest
+    // md5(vec_id)), nearest-centroid assignment (ties to the lower
+    // centroid id), probe the 6 closest cells, exact cosine within.
+    "ann_ivf" -> annIvfSql)
+
+  // full PQ replay: md5-sampled codebook, per-subspace L2 encode
+  // (ties to lower code id), query LUT dots, ADC = sum over m in
+  // ascending order (list ORDER BY m + seed-from-first list_reduce
+  // ≡ the engine's 0.0-seeded sorted fold)
+  private lazy val annPqSql: String =
       """WITH normed AS (
         |  SELECT vec_id,
         |    CASE WHEN sqrt(list_sum(list_transform(embedding,
@@ -1310,21 +1359,7 @@ object SimOps {
         |    AS adc
         |FROM enc e JOIN lut l USING (m, code_id)
         |GROUP BY e.vec_id
-        |ORDER BY adc DESC, e.vec_id ASC LIMIT 20""".stripMargin,
-    "ann_recall" ->
-      s"""WITH b AS ($annBruteSql),
-        |i AS ($annIvfSql)
-        |SELECT CAST(COUNT(*) AS BIGINT) AS k_brute,
-        |  CAST(SUM(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n_hits,
-        |  round(CAST(SUM(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
-        |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS recall_at_20
-        |FROM b LEFT JOIN i ON b.vec_id = i.vec_id""".stripMargin,
-    "ann_brute" -> annBruteSql,
-    // Exact replay of the IVF pipeline: sampled centroids (lowest
-    // md5(vec_id)), nearest-centroid assignment (ties to the lower
-    // centroid id), probe the 6 closest cells, exact cosine within.
-    "ann_ivf" -> annIvfSql)
+        |ORDER BY adc DESC, e.vec_id ASC LIMIT 20""".stripMargin
 
   private lazy val annBruteSql: String =
     """WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),

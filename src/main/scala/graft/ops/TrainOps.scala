@@ -600,6 +600,33 @@ object TrainOps {
       .orderBy(col("doc_id"))
   }
 
+  /** T233: GROUP-aware k-fold assignment over the event stream — the
+    * GroupKFold split that keeps every event of a user inside ONE fold
+    * (row-level splits leak user behavior across train/eval; the
+    * grouped split is the leak-proof default for behavioral models).
+    * Folds are md5(user_id) mod 5, so the assignment is deterministic,
+    * sf-stable, and needs no shuffle beyond the per-fold aggregate;
+    * the panel reports the balance a modeler checks before trusting
+    * the split (user/event counts and the purchase-rate stratification
+    * across folds). Leakage is impossible BY CONSTRUCTION (the fold is
+    * a function of user_id alone), which the spec pins. */
+  def sampleGroupKfold(s: SparkSession, d: String): DataFrame = {
+    val fold = expr("cast((cast(conv(substring(md5(cast(user_id as string)),"
+      + " 1, 8), 16, 10) as bigint)) % 5 as int)")
+    Tables.events(s, d)
+      .withColumn("fold", fold)
+      .groupBy("fold")
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchases"))
+      .select(col("fold"), col("n_users"), col("n_events"),
+        col("n_purchases"),
+        round(col("n_purchases").cast("double")
+          / col("n_events").cast("double"), 6).as("purchase_share"))
+      .orderBy("fold")
+  }
+
   /** The integrated curation decision — what a pipeline actually ships
     * to training: per doc, the final keep/reject plus the FIRST gate
     * that rejected it (empty → lang → quality → length → exact-dup →
@@ -1425,6 +1452,7 @@ object TrainOps {
     "sample_weighted"    -> sampleWeighted _,
     "text_ppl_buckets"   -> textPplBuckets _,
     "pack_shards"        -> packShards _,
+    "sample_group_kfold" -> sampleGroupKfold _,
     "pack_sorted_batching" -> packSortedBatching _,
     "pack_interleave"    -> packInterleave _,
     "pack_batches"       -> packBatches _,
@@ -2075,6 +2103,22 @@ object TrainOps {
         |  FROM w)
         |SELECT pair, count(*) AS n FROM p GROUP BY pair
         |ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+    // the jackknife oracle's hex-prefix bucket idiom at mod 5
+    "sample_group_kfold" ->
+      """WITH e AS (
+        |  SELECT CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+        |      1, 8) AS BIGINT) % 5 AS INTEGER) AS fold,
+        |    user_id, event_type
+        |  FROM events)
+        |SELECT fold,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_purchases,
+        |  round(CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+        |      END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+        |    AS purchase_share
+        |FROM e GROUP BY fold ORDER BY fold""".stripMargin,
     // per-source row_number replay of both batch formations; the
     // partial-batch pad is bn*max - sum, mirrored exactly
     "pack_sorted_batching" ->

@@ -58,9 +58,10 @@ class Round8DegenerateSpec extends SparkFunSuite {
     "dedup_fellegi", "text_watermark",
     // T226–T228
     "graph_bridges", "layout_filesizing", "pack_sorted_batching",
-    // T229–T232
+    // T229–T235
     "ev_session_sweep", "dq_referential", "dq_freshness",
-    "mm_near_dup")
+    "mm_near_dup", "sample_group_kfold", "dq_pk_unique",
+    "ann_pq_recall")
 
   for (name <- round8)
     test(s"$name survives empty source tables") {

@@ -1,0 +1,67 @@
+package graft.ops
+
+import graft.SparkFunSuite
+import java.nio.file.Files
+
+/** Hand-traced pins for T233-T235 (sample_group_kfold, dq_pk_unique,
+  * ann_pq_recall). The k-fold pins use independently-computed md5
+  * fold assignments (users 1,2 -> fold 0, 7 -> 1, 4 -> 2); the PQ
+  * recall pin uses a corpus smaller than k so both rankings must
+  * contain every candidate and recall is exactly 1. */
+class Round8jOpsSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  private val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+
+  test("sample_group_kfold: md5 folds keep each user's events together") {
+    val d = Files.createTempDirectory("kfold").toString
+    // md5-prefix mod 5: users 1,2 -> fold 0; user 7 -> fold 1;
+    // user 4 -> fold 2 (computed independently of the engine)
+    Seq((1L, t0, 1L, "purchase", 1.0), (2L, t0, 1L, "view", 1.0),
+      (3L, t0, 2L, "purchase", 1.0), (4L, t0, 4L, "view", 1.0),
+      (5L, t0, 7L, "purchase", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$d/events.parquet")
+    val got = TrainOps.sampleGroupKfold(spark, d).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(got.toSeq == Seq((0, 2L, 3L, 2L, 0.666667),
+      (1, 1L, 1L, 1L, 1.0), (2, 1L, 1L, 0L, 0.0)))
+  }
+
+  test("dq_pk_unique: duplicate keys surface as dup-row counts") {
+    val d = Files.createTempDirectory("pku").toString
+    Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("c_custkey", "c_name")
+      .write.parquet(s"$d/customer.parquet")
+    Seq((1L, "t", "en", "s", 1L), (2L, "t", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    Seq((1L, t0, 1L, "view", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$d/events.parquet")
+    Seq((1L, 10L), (1L, 11L)).toDF("o_orderkey", "o_custkey")
+      .write.parquet(s"$d/orders.parquet")
+    val got = CoreRelational.dqPkUnique(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(("customer.c_custkey", 3L, 2L, 1L),
+      ("documents.doc_id", 2L, 2L, 0L),
+      ("events.event_id", 1L, 1L, 0L),
+      ("orders.o_orderkey", 2L, 1L, 1L)))
+  }
+
+  test("ann_pq_recall: corpus smaller than k gives exact recall 1") {
+    val d = Files.createTempDirectory("pqrec").toString
+    // 9 candidates + query: both the exact and the ADC top-20 must
+    // contain all 9 ids, so the panel pins (9, 9, 1.0)
+    val rows = (0L to 9L).map { id =>
+      val v = Array.tabulate(64)(i =>
+        math.sin(id * 64.0 + i).toFloat)
+      (id, v, 0)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$d/embeddings.parquet")
+    val got = SimOps.annPqRecall(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((9L, 9L, 1.0)))
+  }
+}
