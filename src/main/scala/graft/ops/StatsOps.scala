@@ -1523,7 +1523,79 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  /** T236: PRICE ELASTICITY — the log-log OLS every pricing team runs:
+    * ln(quantity) regressed on ln(unit price) across order lines,
+    * slope = elasticity. Each ln term quantizes ONCE to the 1e-6 grid
+    * (scaled long); the five regression sums are exact — the squared
+    * and cross terms as DECIMAL(38,0) (a 1e7-scaled long squared
+    * overflows int64 at corpus row counts) — so partition order cannot
+    * flip a bit, and the closed-form slope/intercept/R² divide the
+    * identical exact operands in both engines (the grid scale cancels
+    * in slope and R²). ONE map-side-combinable aggregate over the
+    * fact scan; output is a 1-row panel. */
+  def evElasticity(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d)
+      .filter(col("l_quantity") > 0 && col("l_extendedprice") > 0)
+      .select(
+        expr("cast(floor(ln(cast(l_extendedprice as double)" +
+          " / cast(l_quantity as double)) * 1000000.0 + 0.5)" +
+          " as bigint)").as("qx"),
+        expr("cast(floor(ln(cast(l_quantity as double)) * 1000000.0" +
+          " + 0.5) as bigint)").as("qy"))
+      .agg(count(lit(1)).as("m"),
+        sum("qx").as("sx"), sum("qy").as("sy"),
+        sum(expr("cast(qx as decimal(19,0)) * cast(qy as decimal(19,0))"))
+          .as("sxy"),
+        sum(expr("cast(qx as decimal(19,0)) * cast(qx as decimal(19,0))"))
+          .as("sxx"),
+        sum(expr("cast(qy as decimal(19,0)) * cast(qy as decimal(19,0))"))
+          .as("syy"))
+      .withColumn("num", expr(
+        "cast(m as double) * cast(sxy as double)" +
+          " - cast(sx as double) * cast(sy as double)"))
+      .withColumn("den", expr(
+        "cast(m as double) * cast(sxx as double)" +
+          " - cast(sx as double) * cast(sx as double)"))
+      .withColumn("deny", expr(
+        "cast(m as double) * cast(syy as double)" +
+          " - cast(sy as double) * cast(sy as double)"))
+      .withColumn("slope",
+        expr("case when den = 0 then null else num / den end"))
+      .select(col("m").as("n_items"),
+        expr("round(slope, 6)").as("elasticity"),
+        expr("round((cast(sy as double) / 1000000.0 - slope *" +
+          " (cast(sx as double) / 1000000.0)) / cast(m as double), 6)")
+          .as("ln_intercept"),
+        expr("round(case when den * deny = 0 then null" +
+          " else (num * num) / (den * deny) end, 6)").as("r2"))
+  }
+
+  /** T237: GEOMETRIC ADSTOCK of the daily event series — marketing's
+    * carry-over transform (today's response = today's impressions plus
+    * a decaying memory of the last week's): adstock_t = Σ_{k=0..7}
+    * 0.5^k · x_{t−k}. The recursion is restated as a bounded 8-term
+    * lag window (the exact unrolling at half-life decay, residual
+    * < 0.4% of peak), each weight a LITERAL exact BigDecimal 0.5^k
+    * (the T217 ladder idiom — no pow in either engine), so every
+    * adstock value is an exact integer×decimal sum off the zero-filled
+    * spine. Window keyed by event_type over the calendar-bounded
+    * series. */
+  def evAdstock(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("t").asc)
+    val half = java.math.BigDecimal.valueOf(5, 1)
+    val terms = (0 to 7).map { k =>
+      coalesce(lag(col("x"), k).over(w), lit(0L)) * lit(half.pow(k))
+    }
+    dailyFilled(s, d)
+      .withColumn("ad", terms.reduce(_ + _))
+      .select(col("event_type"), col("t"), col("x").as("n_events"),
+        round(col("ad").cast("double"), 6).as("adstock"))
+      .orderBy("event_type", "t")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_elasticity"    -> evElasticity _,
+    "ev_adstock"       -> evAdstock _,
     "ev_intervention"  -> evIntervention _,
     "ev_ltv_npv"       -> evLtvNpv _,
     "ev_tost"          -> evTost _,
@@ -2497,6 +2569,63 @@ object StatsOps {
         |SELECT event_type, CAST(lag AS INT) AS lag,
         |  round(CASE WHEN den = 0 THEN NULL ELSE num / den END, 6) AS acf
         |FROM fin ORDER BY event_type, lag""".stripMargin,
+    // identical 1e-6 ln grid + DECIMAL(38,0) exact cross/square sums
+    "ev_elasticity" ->
+      """WITH q AS (
+        |  SELECT CAST(floor(ln(CAST(l_extendedprice AS DOUBLE)
+        |      / CAST(l_quantity AS DOUBLE)) * 1000000.0 + 0.5)
+        |      AS BIGINT) AS qx,
+        |    CAST(floor(ln(CAST(l_quantity AS DOUBLE)) * 1000000.0
+        |      + 0.5) AS BIGINT) AS qy
+        |  FROM lineitem WHERE l_quantity > 0 AND l_extendedprice > 0),
+        |sums AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+        |    CAST(SUM(qx) AS BIGINT) AS sx, CAST(SUM(qy) AS BIGINT) AS sy,
+        |    SUM(CAST(qx AS DECIMAL(19,0)) * CAST(qy AS DECIMAL(19,0)))
+        |      AS sxy,
+        |    SUM(CAST(qx AS DECIMAL(19,0)) * CAST(qx AS DECIMAL(19,0)))
+        |      AS sxx,
+        |    SUM(CAST(qy AS DECIMAL(19,0)) * CAST(qy AS DECIMAL(19,0)))
+        |      AS syy
+        |  FROM q),
+        |fin AS (
+        |  SELECT m, sx, sy,
+        |    CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+        |    CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den,
+        |    CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS deny
+        |  FROM sums),
+        |sl AS (SELECT *, CASE WHEN den = 0 THEN NULL ELSE num / den END
+        |  AS slope FROM fin)
+        |SELECT m AS n_items, round(slope, 6) AS elasticity,
+        |  round((CAST(sy AS DOUBLE) / 1000000.0 - slope *
+        |    (CAST(sx AS DOUBLE) / 1000000.0)) / CAST(m AS DOUBLE), 6)
+        |    AS ln_intercept,
+        |  round(CASE WHEN den * deny = 0 THEN NULL
+        |    ELSE (num * num) / (den * deny) END, 6) AS r2
+        |FROM sl""".stripMargin,
+    // the literal 0.5^k ladder over the same zero-filled spine
+    "ev_adstock" ->
+      s"""WITH $dailyFilledCte,
+        |a AS (
+        |  SELECT event_type, t, x,
+        |    COALESCE(lag(x, 1) OVER w, 0) AS l1,
+        |    COALESCE(lag(x, 2) OVER w, 0) AS l2,
+        |    COALESCE(lag(x, 3) OVER w, 0) AS l3,
+        |    COALESCE(lag(x, 4) OVER w, 0) AS l4,
+        |    COALESCE(lag(x, 5) OVER w, 0) AS l5,
+        |    COALESCE(lag(x, 6) OVER w, 0) AS l6,
+        |    COALESCE(lag(x, 7) OVER w, 0) AS l7
+        |  FROM f
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY t))
+        |SELECT event_type, CAST(t AS BIGINT) AS t,
+        |  CAST(x AS BIGINT) AS n_events,
+        |  round(CAST(x * 1.0 + l1 * 0.5 + l2 * 0.25 + l3 * 0.125
+        |    + l4 * 0.0625 + l5 * 0.03125 + l6 * 0.015625
+        |    + l7 * 0.0078125 AS DOUBLE), 6) AS adstock
+        |FROM a ORDER BY event_type, t""".stripMargin,
     "ev_regression" ->
       s"""WITH $dailyFilledCte,
         |sums AS (

@@ -61,7 +61,7 @@ class Round8DegenerateSpec extends SparkFunSuite {
     // T229–T235
     "ev_session_sweep", "dq_referential", "dq_freshness",
     "mm_near_dup", "sample_group_kfold", "dq_pk_unique",
-    "ann_pq_recall")
+    "ann_pq_recall", "ev_elasticity", "ev_adstock")
 
   for (name <- round8)
     test(s"$name survives empty source tables") {

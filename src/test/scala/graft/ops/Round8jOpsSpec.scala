@@ -49,6 +49,33 @@ class Round8jOpsSpec extends SparkFunSuite {
       ("orders.o_orderkey", 2L, 1L, 1L)))
   }
 
+  test("ev_elasticity: two traced points give slope 1, r2 1") {
+    val d = Files.createTempDirectory("elast").toString
+    // (qty 1, unit 1) -> (0, 0); (qty 2, unit 2 -> ext 4) ->
+    // (ln 2, ln 2) on the 1e-6 grid: slope 1, intercept 0, r2 1
+    Seq((1L, 10L, 1.0, 1.0), (2L, 11L, 4.0, 2.0))
+      .toDF("l_orderkey", "l_suppkey", "l_extendedprice", "l_quantity")
+      .write.parquet(s"$d/lineitem.parquet")
+    val got = StatsOps.evElasticity(spark, d).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(got.toSeq == Seq((2L, 1.0, 0.0, 1.0)))
+  }
+
+  test("ev_adstock: half-decay carry-over on a 2-day spine") {
+    val d = Files.createTempDirectory("adstock").toString
+    // day 0: 2 views, day 1: 1 view -> adstock = [2, 1 + 0.5*2 = 2]
+    Seq((1L, t0, 1L, "view", 1.0), (2L, t0, 2L, "view", 1.0),
+      (3L, java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), 1L,
+        "view", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$d/events.parquet")
+    val got = StatsOps.evAdstock(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(got.toSeq == Seq(("view", 0L, 2L, 2.0), ("view", 1L, 1L, 2.0)))
+  }
+
   test("ann_pq_recall: corpus smaller than k gives exact recall 1") {
     val d = Files.createTempDirectory("pqrec").toString
     // 9 candidates + query: both the exact and the ADC top-20 must
