@@ -726,6 +726,32 @@ object StatsOps {
           .as("chi2"))
       .withColumn("srm_flag", (col("chi2") > 3.841459).cast("int"))
 
+  /** T238: SEGMENT-LEVEL sample-ratio mismatch — [[evAbSrm]] sliced by
+    * event type: a GLOBAL 50/50 can pass while one segment is badly
+    * skewed (the redirect bug that only fires on one surface — the
+    * second most common experiment invalidator after global SRM, and
+    * invisible to the pooled test). Per segment: distinct users per
+    * parity arm (a user active in two segments counts in both — the
+    * panel audits each segment's own assignment), the same fixed
+    * chi-square expression, the same df=1 95% flag. One
+    * (event_type, user) distinct + one conditional aggregate. */
+  def evSrmSegments(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(col("event_type"), col("user_id"))
+      .distinct()
+      .groupBy("event_type")
+      .agg(
+        sum((col("user_id") % 2 === 0).cast("long")).as("n_a"),
+        sum((col("user_id") % 2 =!= 0).cast("long")).as("n_b"))
+      .withColumn("e", (col("n_a") + col("n_b")).cast("double") / lit(2.0))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        round((col("n_a").cast("double") - col("e"))
+          * (col("n_a").cast("double") - col("e")) / col("e")
+          + (col("n_b").cast("double") - col("e"))
+          * (col("n_b").cast("double") - col("e")) / col("e"), 6)
+          .as("chi2"))
+      .withColumn("srm_flag", (col("chi2") > 3.841459).cast("int"))
+      .orderBy("event_type")
+
   /** T168: NEYMAN-OPTIMAL stratified sample allocation (Neyman 1934)
     * — given a 1,000-row sampling budget over the event-type strata,
     * allocate n_h ∝ N_h·S_h (stratum size × stratum standard
@@ -1613,6 +1639,7 @@ object StatsOps {
     "ev_cuped"         -> evCuped _,
     "sample_neyman"    -> sampleNeyman _,
     "ev_ab_srm"        -> evAbSrm _,
+    "ev_srm_segments"  -> evSrmSegments _,
     "ev_holtwinters"   -> evHoltWinters _,
     "ev_theilsen"      -> evTheilSen _,
     "ev_abtest_power"  -> evAbtestPower _,
@@ -2313,6 +2340,27 @@ object StatsOps {
         |    END AS BIGINT) AS alloc
         |FROM rk ORDER BY event_type""".stripMargin,
     // same parity split, identical fixed chi-square expression
+    // ev_ab_srm's fixed chi-square tree per event_type slice
+    "ev_srm_segments" ->
+      """WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+        |c AS (
+        |  SELECT event_type,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_b
+        |  FROM u GROUP BY event_type),
+        |e AS (SELECT event_type, n_a, n_b,
+        |        CAST(n_a + n_b AS DOUBLE) / 2.0 AS e FROM c)
+        |SELECT event_type, n_a, n_b,
+        |  round((CAST(n_a AS DOUBLE) - e) * (CAST(n_a AS DOUBLE) - e) / e
+        |    + (CAST(n_b AS DOUBLE) - e) * (CAST(n_b AS DOUBLE) - e) / e,
+        |    6) AS chi2,
+        |  CAST(CASE WHEN
+        |    round((CAST(n_a AS DOUBLE) - e) * (CAST(n_a AS DOUBLE) - e) / e
+        |      + (CAST(n_b AS DOUBLE) - e) * (CAST(n_b AS DOUBLE) - e) / e,
+        |      6) > 3.841459 THEN 1 ELSE 0 END AS INTEGER) AS srm_flag
+        |FROM e ORDER BY event_type""".stripMargin,
     "ev_ab_srm" ->
       """WITH u AS (SELECT DISTINCT user_id FROM events),
         |c AS (

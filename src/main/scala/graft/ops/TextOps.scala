@@ -1232,7 +1232,32 @@ object TextOps {
       .limit(20)
   }
 
+  /** T239: HAPAX LEGOMENA rate per source — the fraction of each
+    * source's vocabulary seen exactly once, the classic lexical-health
+    * probe (a scrape gone wrong shows up as a hapax spike — OCR
+    * garbage, mangled encodings and boilerplate IDs are all
+    * once-words; a natural corpus sits near the Zipf-predicted ~50%,
+    * which is the reading [[textZipf]]'s slope fit can't give you
+    * directly). One tokenize + (source, token) hash agg (map-side
+    * combinable), then a source-cardinality fold — exact integers and
+    * one 6dp ratio. */
+  def textHapax(s: SparkSession, d: String): DataFrame =
+    Tables.spread(Tables.documents(s, d))
+      .select(col("source"), explode(expr(
+        "filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')"))
+        .as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("n"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("vocab"),
+        sum("n").as("n_tokens"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("hapax"))
+      .select(col("source"), col("n_tokens"), col("vocab"), col("hapax"),
+        round(col("hapax").cast("double") / col("vocab").cast("double"), 6)
+          .as("hapax_rate"))
+      .orderBy("source")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_hapax"          -> textHapax _,
     "text_watermark"      -> textWatermark _,
     "dedup_cdc_share"     -> dedupCdcShare _,
     "text_code_frac"      -> textCodeFrac _,
@@ -1323,6 +1348,24 @@ object TextOps {
         |  FROM cx)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // same tokenize + (source, token) fold; SUM/COUNT cast to BIGINT
+    "text_hapax" ->
+      """WITH tf AS (
+        |  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM (
+        |    SELECT source, UNNEST(list_filter(
+        |      string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      t -> t != '')) AS tok
+        |    FROM documents)
+        |  GROUP BY source, tok)
+        |SELECT source,
+        |  CAST(SUM(n) AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(*) AS BIGINT) AS vocab,
+        |  CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS hapax,
+        |  round(CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS hapax_rate
+        |FROM tf GROUP BY source ORDER BY source""".stripMargin,
     // identical green rule (first md5 hex digit of 'w1|w2' in 0-7) and
     // z off exact integer counts; SUM/COUNT cast to BIGINT
     "text_watermark" ->

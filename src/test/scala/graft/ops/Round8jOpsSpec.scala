@@ -76,6 +76,36 @@ class Round8jOpsSpec extends SparkFunSuite {
     assert(got.toSeq == Seq(("view", 0L, 2L, 2.0), ("view", 1L, 1L, 2.0)))
   }
 
+  test("ev_srm_segments: a one-sided segment trips the df=1 flag") {
+    val d = Files.createTempDirectory("srmseg").toString
+    // 'click': users 2,4,6,8 all even -> chi2 = 4 > 3.84 -> flagged;
+    // 'view': users 1,2 balanced -> chi2 0
+    val rows = Seq(2L, 4L, 6L, 8L).zipWithIndex.map { case (u, i) =>
+      ((i + 1).toLong, t0, u, "click", 1.0)
+    } ++ Seq((10L, t0, 1L, "view", 1.0), (11L, t0, 2L, "view", 1.0))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$d/events.parquet")
+    val got = StatsOps.evSrmSegments(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getInt(4)))
+    assert(got.toSeq == Seq(("click", 4L, 0L, 4.0, 1),
+      ("view", 1L, 1L, 0.0, 0)))
+  }
+
+  test("text_hapax: once-seen vocabulary fraction per source") {
+    val d = Files.createTempDirectory("hapax").toString
+    // src a: tokens x,x,y -> vocab 2, hapax {y} -> rate 0.5;
+    // src b: token z -> vocab 1, hapax 1 -> rate 1.0
+    Seq((1L, "x x y", "en", "a", 5L), (2L, "z", "en", "b", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val got = TextOps.textHapax(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(got.toSeq == Seq(("a", 3L, 2L, 1L, 0.5),
+      ("b", 1L, 1L, 1L, 1.0)))
+  }
+
   test("ann_pq_recall: corpus smaller than k gives exact recall 1") {
     val d = Files.createTempDirectory("pqrec").toString
     // 9 candidates + query: both the exact and the ADC top-20 must
