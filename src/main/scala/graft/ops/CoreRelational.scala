@@ -1669,7 +1669,46 @@ object CoreRelational {
       .orderBy("pk")
   }
 
+  /** T241: SEQUENCE-GAP detection over the purchase event-id stream —
+    * the ingest-completeness audit ("did we drop a range") that a
+    * plain count can't see. A global lag over the id order would be
+    * one monolithic sort; instead consecutive pairs decompose exactly
+    * into WITHIN-bucket pairs (id div 1000 buckets, keyed lag windows)
+    * plus ADJACENT-bucket boundary pairs (a lag over the bucket
+    * summary table — bucket-count-sized, the second-level-pass rule),
+    * which together enumerate every consecutive pair of the global
+    * order. Top-10 gaps by length; the total missing count rides as a
+    * constant column off one min/max/count aggregate. All exact
+    * integers. */
+  def dqSequenceGaps(s: SparkSession, d: String): DataFrame = {
+    val ids = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("id"))
+      .withColumn("b", expr("id div 1000"))
+    val wIn = Window.partitionBy("b").orderBy(col("id").asc)
+    val intra = ids.withColumn("prev", lag(col("id"), 1).over(wIn))
+      .filter(col("prev").isNotNull && col("id") - col("prev") > 1)
+      .select((col("prev") + 1).as("gap_start"),
+        (col("id") - 1).as("gap_end"))
+    val bs = ids.groupBy("b").agg(min("id").as("mn"), max("id").as("mx"))
+    val wB = Window.orderBy(col("b").asc)
+    val cross = bs.withColumn("pmx", lag(col("mx"), 1).over(wB))
+      .filter(col("pmx").isNotNull && col("mn") - col("pmx") > 1)
+      .select((col("pmx") + 1).as("gap_start"),
+        (col("mn") - 1).as("gap_end"))
+    val tot = broadcast(ids
+      .agg(min("id").as("mn"), max("id").as("mx"), count(lit(1)).as("n"))
+      .select((col("mx") - col("mn") + 1 - col("n")).as("n_missing")))
+    intra.unionAll(cross).crossJoin(tot)
+      .select(col("gap_start"), col("gap_end"),
+        (col("gap_end") - col("gap_start") + 1).as("gap_len"),
+        col("n_missing"))
+      .orderBy(col("gap_len").desc, col("gap_start").asc)
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_sequence_gaps" -> dqSequenceGaps _,
     "dq_pk_unique"   -> dqPkUnique _,
     "dq_freshness"   -> dqFreshness _,
     "dq_referential" -> dqReferential _,
@@ -1743,6 +1782,24 @@ object CoreRelational {
 
   val oracles: Map[String, String] = Map(
     // same parity split, exact DECIMAL money sums, 1e-9-quantized PSI
+    // the plain global-lag statement of the same consecutive pairs
+    // (provably equal to the engine's bucket decomposition)
+    "dq_sequence_gaps" ->
+      """WITH ids AS (
+        |  SELECT event_id AS id FROM events
+        |  WHERE event_type = 'purchase'),
+        |g AS (SELECT lag(id) OVER (ORDER BY id) AS prev, id FROM ids),
+        |gaps AS (
+        |  SELECT CAST(prev + 1 AS BIGINT) AS gap_start,
+        |    CAST(id - 1 AS BIGINT) AS gap_end
+        |  FROM g WHERE prev IS NOT NULL AND id - prev > 1),
+        |tot AS (SELECT CAST(MAX(id) - MIN(id) + 1 - COUNT(*) AS BIGINT)
+        |    AS n_missing FROM ids)
+        |SELECT gap_start, gap_end,
+        |  CAST(gap_end - gap_start + 1 AS BIGINT) AS gap_len,
+        |  t.n_missing
+        |FROM gaps, tot t
+        |ORDER BY gap_len DESC, gap_start ASC LIMIT 10""".stripMargin,
     // one COUNT + COUNT(DISTINCT) aggregate per table
     "dq_pk_unique" ->
       """SELECT pk, n_rows, n_keys, n_rows - n_keys AS n_dup_rows

@@ -726,6 +726,54 @@ object StatsOps {
           .as("chi2"))
       .withColumn("srm_flag", (col("chi2") > 3.841459).cast("int"))
 
+  /** T240: ROLLING 14-day correlation between the click and purchase
+    * daily series — the co-movement monitor behind "did purchases
+    * decouple from traffic this week" alerts (a level drop shows in
+    * either series alone; a BROKEN FUNNEL shows first as decorrelation
+    * while both levels still look normal). The two series zero-fill
+    * over a COMMON global day spine (dailyFilled anchors t per type,
+    * which would misalign the join — alignment is the whole point
+    * here), then one windowed pass computes the six exact integer sums
+    * and the Pearson closed form per day. The window is unkeyed BUT
+    * calendar-bounded (day-span rows — the module's second-level-pass
+    * rule); zero-variance windows yield NULL. */
+  def evRollingCorr(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(
+        sum((col("event_type") === "click").cast("long")).as("xr"),
+        sum((col("event_type") === "purchase").cast("long")).as("yr"))
+    val span = ev.agg(min("day").as("d0"), max("day").as("d1"))
+    val spine = span
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(ev, Seq("day"), "left")
+      .select(col("day"),
+        coalesce(col("xr"), lit(0L)).as("x"),
+        coalesce(col("yr"), lit(0L)).as("y"))
+    val w = Window.orderBy(col("day").asc).rowsBetween(-13, 0)
+    spine
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", sum("x").over(w))
+      .withColumn("sy", sum("y").over(w))
+      .withColumn("sxx", sum(col("x") * col("x")).over(w))
+      .withColumn("syy", sum(col("y") * col("y")).over(w))
+      .withColumn("sxy", sum(col("x") * col("y")).over(w))
+      .withColumn("den", expr(
+        "(cast(n as double) * cast(sxx as double)" +
+          " - cast(sx as double) * cast(sx as double))" +
+          " * (cast(n as double) * cast(syy as double)" +
+          " - cast(sy as double) * cast(sy as double))"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("x").as("n_clicks"), col("y").as("n_purchases"),
+        col("n").cast("int").as("win_days"),
+        expr("round(case when den <= 0 then null else" +
+          " (cast(n as double) * cast(sxy as double)" +
+          " - cast(sx as double) * cast(sy as double))" +
+          " / sqrt(den) end, 6)").as("corr14"))
+      .orderBy("day")
+  }
+
   /** T238: SEGMENT-LEVEL sample-ratio mismatch — [[evAbSrm]] sliced by
     * event type: a GLOBAL 50/50 can pass while one segment is badly
     * skewed (the redirect bug that only fires on one surface — the
@@ -1640,6 +1688,7 @@ object StatsOps {
     "sample_neyman"    -> sampleNeyman _,
     "ev_ab_srm"        -> evAbSrm _,
     "ev_srm_segments"  -> evSrmSegments _,
+    "ev_rolling_corr"  -> evRollingCorr _,
     "ev_holtwinters"   -> evHoltWinters _,
     "ev_theilsen"      -> evTheilSen _,
     "ev_abtest_power"  -> evAbtestPower _,
@@ -2340,6 +2389,51 @@ object StatsOps {
         |    END AS BIGINT) AS alloc
         |FROM rk ORDER BY event_type""".stripMargin,
     // same parity split, identical fixed chi-square expression
+    // common-spine zero-fill + the same six windowed integer sums;
+    // every windowed SUM cast to BIGINT (HUGEINT->float64 trap)
+    "ev_rolling_corr" ->
+      """WITH ev AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS xr,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+        |      END) AS BIGINT) AS yr
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY 1),
+        |span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ev),
+        |spine AS (
+        |  SELECT CAST(UNNEST(generate_series(s.d0, s.d1,
+        |      INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM span s),
+        |f AS (
+        |  SELECT sp.day, COALESCE(e.xr, 0) AS x, COALESCE(e.yr, 0) AS y
+        |  FROM spine sp LEFT JOIN ev e ON e.day = sp.day),
+        |r AS (
+        |  SELECT day, x, y,
+        |    CAST(COUNT(*) OVER w AS BIGINT) AS n,
+        |    CAST(SUM(x) OVER w AS BIGINT) AS sx,
+        |    CAST(SUM(y) OVER w AS BIGINT) AS sy,
+        |    CAST(SUM(x * x) OVER w AS BIGINT) AS sxx,
+        |    CAST(SUM(y * y) OVER w AS BIGINT) AS syy,
+        |    CAST(SUM(x * y) OVER w AS BIGINT) AS sxy
+        |  FROM f
+        |  WINDOW w AS (ORDER BY day
+        |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+        |dd AS (
+        |  SELECT *,
+        |    (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) AS den
+        |  FROM r)
+        |SELECT strftime(day, '%Y-%m-%d') AS day,
+        |  x AS n_clicks, y AS n_purchases,
+        |  CAST(n AS INTEGER) AS win_days,
+        |  round(CASE WHEN den <= 0 THEN NULL ELSE
+        |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / sqrt(den) END, 6) AS corr14
+        |FROM dd ORDER BY day""".stripMargin,
     // ev_ab_srm's fixed chi-square tree per event_type slice
     "ev_srm_segments" ->
       """WITH u AS (SELECT DISTINCT event_type, user_id FROM events),

@@ -62,7 +62,8 @@ class Round8DegenerateSpec extends SparkFunSuite {
     "ev_session_sweep", "dq_referential", "dq_freshness",
     "mm_near_dup", "sample_group_kfold", "dq_pk_unique",
     "ann_pq_recall", "ev_elasticity", "ev_adstock",
-    "ev_srm_segments", "text_hapax")
+    "ev_srm_segments", "text_hapax", "ev_rolling_corr",
+    "dq_sequence_gaps")
 
   for (name <- round8)
     test(s"$name survives empty source tables") {

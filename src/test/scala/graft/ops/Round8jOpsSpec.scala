@@ -106,6 +106,42 @@ class Round8jOpsSpec extends SparkFunSuite {
       ("b", 1L, 1L, 1L, 1.0)))
   }
 
+  test("ev_rolling_corr: proportional series correlate at exactly 1") {
+    val d = Files.createTempDirectory("rollcorr").toString
+    // days 1..3: clicks 2/4/6, purchases 1/2/3 -> perfectly linear;
+    // day 1's window has one point (den 0 -> NULL)
+    def day(dd: Int) = java.sql.Timestamp.valueOf(f"2024-01-0$dd%d 10:00:00")
+    var id = 0L
+    val rows = (1 to 3).flatMap { t =>
+      (1 to 2 * t).map { _ => id += 1; (id, day(t), 1L, "click", 1.0) } ++
+        (1 to t).map { _ => id += 1; (id, day(t), 1L, "purchase", 1.0) }
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$d/events.parquet")
+    val got = StatsOps.evRollingCorr(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3),
+        Option(r.get(4)).map(_.asInstanceOf[Double])))
+    assert(got.toSeq == Seq(
+      ("2024-01-01", 2L, 1L, 1, None),
+      ("2024-01-02", 4L, 2L, 2, Some(1.0)),
+      ("2024-01-03", 6L, 3L, 3, Some(1.0))))
+  }
+
+  test("dq_sequence_gaps: intra-bucket and boundary gaps both surface") {
+    val d = Files.createTempDirectory("seqgap").toString
+    // purchase ids {1,5,6,999,2001}: intra-bucket gaps 2-4 and 7-998;
+    // the 1000-2000 gap crosses buckets 0 -> 2 (bucket 1 empty);
+    // n_missing = 2001-1+1-5 = 1996 = 3+992+1001
+    val rows = Seq(1L, 5L, 6L, 999L, 2001L).map(i =>
+      (i, t0, 1L, "purchase", 1.0)) :+ (3L, t0, 1L, "view", 1.0)
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$d/events.parquet")
+    val got = CoreRelational.dqSequenceGaps(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1000L, 2000L, 1001L, 1996L),
+      (7L, 998L, 992L, 1996L), (2L, 4L, 3L, 1996L)))
+  }
+
   test("ann_pq_recall: corpus smaller than k gives exact recall 1") {
     val d = Files.createTempDirectory("pqrec").toString
     // 9 candidates + query: both the exact and the ADC top-20 must
