@@ -84,6 +84,51 @@ class Round8PropertySpec extends SparkFunSuite {
     }
   }
 
+  test("dq_sequence_gaps: bucket decomposition equals the naive lag") {
+    val rnd = new Random(23)
+    for (round <- 1 to 3) {
+      val d = Files.createTempDirectory(s"gapprop$round").toString
+      // sparse random ids spanning several 1000-buckets, some empty
+      val ids = (1 to 60).map(_ => rnd.nextInt(7000).toLong)
+        .distinct.sorted
+      ids.map(i => (i, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+          1L, "purchase", 1.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .write.parquet(s"$d/events.parquet")
+      val missing = ids.max - ids.min + 1 - ids.length
+      val naive = ids.zip(ids.tail)
+        .filter { case (a, b) => b - a > 1 }
+        .map { case (a, b) => (a + 1, b - 1, b - a - 1, missing) }
+        .sortBy { case (s0, _, l, _) => (-l, s0) }
+        .take(10)
+      val got = CoreRelational.dqSequenceGaps(spark, d).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(got.toSeq == naive, s"round $round")
+    }
+  }
+
+  test("dedup_blocking_eval: closed-form candidates equal naive pairs") {
+    val rnd = new Random(31)
+    val d = Files.createTempDirectory("blockprop").toString
+    val langs = Seq("en", "fr", "de")
+    val docs = (1 to 40).map { i =>
+      (i.toLong, s"text $i ${rnd.nextInt(3)}", langs(rnd.nextInt(3)),
+        s"src${rnd.nextInt(4)}", (rnd.nextInt(5) * 100 + 50).toLong)
+    }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    def naivePairs(key: ((Long, String, String, String, Long)) => String) =
+      docs.groupBy(key).values.map(g =>
+        g.size.toLong * (g.size - 1) / 2).sum
+    val expect = Map(
+      "lang" -> naivePairs(_._3),
+      "len_band" -> naivePairs(t => (t._5 / 100).toString),
+      "source" -> naivePairs(_._4))
+    val got = DedupOps.dedupBlockingEval(spark, d).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got == expect)
+  }
+
   test("sample_group_kfold: fold panel conserves users and events") {
     val rnd = new Random(11)
     val d = Files.createTempDirectory("kfprop").toString
