@@ -18,7 +18,11 @@ import org.apache.spark.sql.SparkSession
   * when the host is loaded at start (1-min load > 3) or when any
   * trivially-cheap p- or f-class query exceeds 10x its BENCH_DETAIL
   * median, so a polluted number never again costs a clean
-  * round-over-round signal.
+  * round-over-round signal. Medians come only from clean
+  * (`contaminated:false`) same-sf BENCH_DETAIL lines, and every query
+  * sitting 10x above its median is re-measured once at the end —
+  * `healed_total` (per-query min of raw and re-run) turns a polluted
+  * run into a usable signal without hiding the raw number.
   */
 object Bench {
 
@@ -30,19 +34,36 @@ object Bench {
   }
 
   /** Per-query values from prior BENCH_DETAIL lines (best-effort: a
-    * malformed line is skipped, never fatal). */
-  private def priorQueryTimes(lines: Seq[String])
+    * malformed line is skipped, never fatal). Round-9 hygiene: only
+    * lines from the SAME sf dir feed the medians (the file accumulates
+    * builder self-runs and driver runs across scale factors — a
+    * different-sf history would skew the 10x inflation baseline), and
+    * lines that self-flagged `contaminated` are excluded so a polluted
+    * run can't poison the very medians the flag depends on. */
+  private def priorQueryTimes(lines: Seq[String], sfDir: String)
       : Map[String, Seq[Double]] = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     lines.flatMap { line =>
-      try JsonMethods.parse(line) \ "queries" match {
-        case JObject(fields) => fields.collect {
-          case (k, JDouble(v)) => k -> v
-          case (k, JInt(v))    => k -> v.toDouble
-          case (k, JDecimal(v)) => k -> v.toDouble
+      try {
+        val j = JsonMethods.parse(line)
+        val sfOk = (j \ "sf") match {
+          case JString(v) => v == sfDir
+          case _          => false
         }
-        case _ => Nil
+        val clean = (j \ "contaminated") match {
+          case JBool(b) => !b
+          case _        => true // pre-flag lines: keep (legacy format)
+        }
+        if (!sfOk || !clean) Nil
+        else (j \ "queries") match {
+          case JObject(fields) => fields.collect {
+            case (k, JDouble(v)) => k -> v
+            case (k, JInt(v))    => k -> v.toDouble
+            case (k, JDecimal(v)) => k -> v.toDouble
+          }
+          case _ => Nil
+        }
       } catch { case _: Throwable => Nil }
     }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
   }
@@ -117,14 +138,40 @@ object Bench {
     // trivial pushed-down-filter query (p*/f* class) at 10x its own
     // history with at least 1 s absolute — both are competing-load
     // signatures, never code signatures.
-    val medians = priorQueryTimes(prior).map { case (k, vs) => k -> median(vs) }
+    val medians = priorQueryTimes(prior, sfDir)
+      .map { case (k, vs) => k -> median(vs) }
     val inflated = results.filter { case (k, v) =>
       (k.startsWith("p") || k.startsWith("f")) &&
         medians.get(k).exists(m => m > 0 && v > 10 * m && v > 1.0)
     }.map(_._1)
     val contaminated = loadStart > 3.0 || inflated.nonEmpty
+    // Self-healing (round-8 ask #3): the driver's host was loaded in
+    // two consecutive rounds, so a contaminated run re-measures every
+    // query that sits 10x above its clean same-sf median (not just the
+    // trivial p/f sentinels) once at the end, after the burst that
+    // inflated the alphabetical band has usually passed. healed_total
+    // reports per-query min(raw, re-run) — a usable round-over-round
+    // signal from the polluted run itself; the raw value stays the
+    // headline so contamination is never silently hidden.
+    val inflatedAll = results.filter { case (k, v) =>
+      medians.get(k).exists(m => m > 0 && v > 10 * m && v > 1.0)
+    }.map(_._1)
+    val healed: Map[String, Double] =
+      if (inflatedAll.isEmpty) Map.empty
+      else inflatedAll.map { k =>
+        val t0 = System.nanoTime()
+        try { SparkEntry.queries(k)(spark, sfDir).count() }
+        catch { case _: Throwable => () }
+        k -> (System.nanoTime() - t0) / 1e9
+      }.toMap
+    val healedTotal = results.map { case (k, v) =>
+      math.min(v, healed.getOrElse(k, v))
+    }.sum
+    val healedQs = healed.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"label":"$label","host_load":$load,"host_load_start":$loadStart,"contaminated":$contaminated,"inflated_trivial":${inflated.map("\"" + _ + "\"").mkString("[", ",", "]")},"cpus_avail":${os.getAvailableProcessors},"ts_s":${System.currentTimeMillis / 1000},"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"label":"$label","host_load":$load,"host_load_start":$loadStart,"contaminated":$contaminated,"inflated_trivial":${inflated.map("\"" + _ + "\"").mkString("[", ",", "]")},"healed_total":$healedTotal,"healed_queries":$healedQs,"cpus_avail":${os.getAvailableProcessors},"ts_s":${System.currentTimeMillis / 1000},"queries":$qs,"sf":"$sfDir"}"""
     println(detail)
     // Durable per-query map: stdout capture windows have truncated the
     // long line (and even the per-query lines) in past rounds, so the
@@ -145,7 +192,7 @@ object Bench {
       println(s"""{"metric":"query","name":"$k","value":$v,"unit":"sec"}""")
     }
     // compact total LAST: the last line always survives the tail.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","contaminated":$contaminated,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","contaminated":$contaminated,"healed_total":$healedTotal,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

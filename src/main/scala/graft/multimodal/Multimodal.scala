@@ -58,21 +58,24 @@ object Multimodal {
     }
   }
 
-  /** [[FakeCodec]] without the unit-L1 normalization: raw byte-class
-    * COUNTS (exact small integers, exactly representable in float32).
-    * The near-dup operator pairs on these so its cosine is scale-
-    * invariant-identical to the normalized features' cosine while
-    * staying exact-integer replayable cross-engine — no float32
-    * division ever enters the compare. */
+  /** [[FakeCodec]] without the unit-L1 normalization: raw CODEPOINT-
+    * class COUNTS (exact small integers, exactly representable in
+    * float32). The near-dup operator pairs on these so its cosine is
+    * scale-invariant-identical to the normalized features' cosine
+    * while staying exact-integer replayable cross-engine — no float32
+    * division ever enters the compare. Classes are UNICODE CODEPOINTS
+    * mod dim, not raw UTF-8 bytes (round-8 ADVICE: the oracle
+    * histograms `unicode(c) % 32` per character, so a byte-based
+    * histogram silently desynchronized on any non-ASCII payload —
+    * multi-byte sequences bucket differently); decoding the payload as
+    * UTF-8 keeps engine and oracle aligned for every codepoint. */
   final class CountCodec(val featureDim: Int = 32) extends MediaCodec {
     def decode(payload: Array[Byte], meta: Row): Option[Array[Float]] = {
       if (payload == null || payload.isEmpty) return None
       val hist = new Array[Float](featureDim)
-      var i = 0
-      while (i < payload.length) {
-        hist((payload(i) & 0xff) % featureDim) += 1f
-        i += 1
-      }
+      val it = new String(payload, java.nio.charset.StandardCharsets.UTF_8)
+        .codePoints().iterator()
+      while (it.hasNext) hist(it.nextInt() % featureDim) += 1f
       Some(hist)
     }
   }

@@ -1674,12 +1674,17 @@ object CoreRelational {
     * plain count can't see. A global lag over the id order would be
     * one monolithic sort; instead consecutive pairs decompose exactly
     * into WITHIN-bucket pairs (id div 1000 buckets, keyed lag windows)
-    * plus ADJACENT-bucket boundary pairs (a lag over the bucket
-    * summary table — bucket-count-sized, the second-level-pass rule),
-    * which together enumerate every consecutive pair of the global
-    * order. Top-10 gaps by length; the total missing count rides as a
-    * constant column off one min/max/count aggregate. All exact
-    * integers. */
+    * plus ADJACENT-bucket boundary pairs — and the boundary pass
+    * RECURSES the same banding (round-9: the bucket summary lags
+    * within `b div 1000` SUPER-buckets, then one final lag over the
+    * super-bucket summary), so no window partition scales linearly
+    * with the id span: level sizes are n, n/10³, n/10⁶. Bucket id
+    * ranges are monotone in b, so min(mn)/max(mx) per super-bucket ARE
+    * its first bucket's mn / last bucket's mx, and the three levels
+    * together enumerate every consecutive pair of the global order
+    * exactly once. Top-10 gaps by length; the total missing count
+    * rides as a constant column derived from the bucket summary (no
+    * extra corpus scan). All exact integers. */
   def dqSequenceGaps(s: SparkSession, d: String): DataFrame = {
     val ids = Tables.events(s, d)
       .filter(col("event_type") === "purchase")
@@ -1690,16 +1695,25 @@ object CoreRelational {
       .filter(col("prev").isNotNull && col("id") - col("prev") > 1)
       .select((col("prev") + 1).as("gap_start"),
         (col("id") - 1).as("gap_end"))
-    val bs = ids.groupBy("b").agg(min("id").as("mn"), max("id").as("mx"))
-    val wB = Window.orderBy(col("b").asc)
-    val cross = bs.withColumn("pmx", lag(col("mx"), 1).over(wB))
+    val bs = ids.groupBy("b")
+      .agg(min("id").as("mn"), max("id").as("mx"), count(lit(1)).as("n"))
+      .withColumn("sb", expr("b div 1000"))
+    val wInB = Window.partitionBy("sb").orderBy(col("b").asc)
+    val crossB = bs.withColumn("pmx", lag(col("mx"), 1).over(wInB))
       .filter(col("pmx").isNotNull && col("mn") - col("pmx") > 1)
       .select((col("pmx") + 1).as("gap_start"),
         (col("mn") - 1).as("gap_end"))
-    val tot = broadcast(ids
-      .agg(min("id").as("mn"), max("id").as("mx"), count(lit(1)).as("n"))
+    val sbs = bs.groupBy("sb")
+      .agg(min("mn").as("mn"), max("mx").as("mx"), sum("n").as("n"))
+    val wSb = Window.orderBy(col("sb").asc)
+    val crossSb = sbs.withColumn("pmx", lag(col("mx"), 1).over(wSb))
+      .filter(col("pmx").isNotNull && col("mn") - col("pmx") > 1)
+      .select((col("pmx") + 1).as("gap_start"),
+        (col("mn") - 1).as("gap_end"))
+    val tot = broadcast(sbs
+      .agg(min("mn").as("mn"), max("mx").as("mx"), sum("n").as("n"))
       .select((col("mx") - col("mn") + 1 - col("n")).as("n_missing")))
-    intra.unionAll(cross).crossJoin(tot)
+    intra.unionAll(crossB).unionAll(crossSb).crossJoin(tot)
       .select(col("gap_start"), col("gap_end"),
         (col("gap_end") - col("gap_start") + 1).as("gap_len"),
         col("n_missing"))
@@ -1707,7 +1721,47 @@ object CoreRelational {
       .limit(10)
   }
 
+  /** T242: AQE join-strategy census over the reference join-plan panel
+    * (q02 / q09 / q18 — the three PLANS.md dump anchors). Executes each
+    * panel query to its FINAL adaptive plan and pins the join census —
+    * how many broadcast-hash vs sort-merge joins survived AQE's
+    * runtime re-plan, and which side it chose to build — as a
+    * hash-checked catalog row. This turns PLANS.md's prose claims
+    * ("the dim side broadcasts") into a driver-checkable contract: a
+    * lost broadcast (a stats regression, a disabled rule, a stray
+    * hint) flips a count and goes red in the catalog instead of
+    * surfacing as unexplained bench drift. The oracle is a LITERAL
+    * panel — the expected census at the verify scale: AQE decisions
+    * are Spark runtime facts no other engine can replay, and pinning
+    * them IS the check (the a22_hll_merge hash-pinning precedent).
+    * Scale posture: the probe reads plan TREES (bounded strings); the
+    * three panel executions are the queries' own bounded-output runs,
+    * and the census itself never touches data. The "Initial Plan"
+    * section AQE appends to the final-plan dump is cut before counting
+    * so pre-re-plan strategies are never double-counted. */
+  def planBuildSides(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def census(name: String, df: DataFrame)
+        : (String, Long, Long, Long, Long) = {
+      df.collect() // run so every AQE query stage finalizes
+      val full = df.queryExecution.executedPlan.toString
+      val cut = full.indexOf("== Initial Plan ==")
+      val p = if (cut >= 0) full.substring(0, cut) else full
+      def n(pat: String): Long = pat.r.findAllIn(p).length.toLong
+      (name, n("BroadcastHashJoin"), n("SortMergeJoin"),
+        n("BuildLeft"), n("BuildRight"))
+    }
+    Seq(
+      census("q02", Headline.q02MinCost(s, d)),
+      census("q09", Headline.q09Profit(s, d)),
+      census("q18", Headline.q18BigOrders(s, d)))
+      .toDF("query", "n_broadcast_hash", "n_sort_merge",
+        "n_build_left", "n_build_right")
+      .orderBy("query")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "plan_buildsides" -> planBuildSides _,
     "dq_sequence_gaps" -> dqSequenceGaps _,
     "dq_pk_unique"   -> dqPkUnique _,
     "dq_freshness"   -> dqFreshness _,
@@ -1781,6 +1835,21 @@ object CoreRelational {
     "w02_running"    -> w02Running _)
 
   val oracles: Map[String, String] = Map(
+    // LITERAL expected panel: AQE build-side choices are Spark runtime
+    // facts no other engine can replay — the pin is the check (at the
+    // sf0.01 verify scale every panel join broadcasts its dim side,
+    // BuildRight; a stats/hint regression flips a count and goes red)
+    "plan_buildsides" ->
+      """SELECT * FROM (VALUES
+        |  ('q02', CAST(3 AS BIGINT), CAST(0 AS BIGINT),
+        |          CAST(0 AS BIGINT), CAST(3 AS BIGINT)),
+        |  ('q09', CAST(4 AS BIGINT), CAST(0 AS BIGINT),
+        |          CAST(0 AS BIGINT), CAST(4 AS BIGINT)),
+        |  ('q18', CAST(2 AS BIGINT), CAST(0 AS BIGINT),
+        |          CAST(0 AS BIGINT), CAST(2 AS BIGINT))
+        |) AS t(query, n_broadcast_hash, n_sort_merge,
+        |       n_build_left, n_build_right)
+        |ORDER BY query""".stripMargin,
     // same parity split, exact DECIMAL money sums, 1e-9-quantized PSI
     // the plain global-lag statement of the same consecutive pairs
     // (provably equal to the engine's bucket decomposition)

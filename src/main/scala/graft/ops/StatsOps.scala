@@ -1327,14 +1327,21 @@ object StatsOps {
       .withColumn("qm", expr(
         "cast(round(cast(swx as double) / cast(sw as double) / 100.0," +
           " 6) as decimal(18,6))"))
+    // the upper bound ranks DESCENDING (2nd-largest = desc-rank 2)
+    // instead of pinning an absolute asc-rank 31, so the documented
+    // order-statistic contract holds even when replicates drop out of
+    // the sw>0 filter (round-8 ADVICE: rn=31 silently became the max —
+    // or NULL — whenever n_rep < 32). Both windows are ≤32-row panels.
     val wRank = Window.orderBy(col("qm").asc, col("b").asc)
+    val wRankD = Window.orderBy(col("qm").desc, col("b").desc)
     val ranked = means.withColumn("rn", row_number().over(wRank))
+      .withColumn("rd", row_number().over(wRankD))
     val base = ur.agg(count(lit(1)).as("n_users"), sum("cents").as("sc"))
     ranked
       .agg(count(lit(1)).as("n_rep"), sum("qm").as("sq"),
         sum(expr("qm * qm")).as("sqq"),
         max(when(col("rn") === 2, col("qm"))).as("qlo"),
-        max(when(col("rn") === 31, col("qm"))).as("qhi"))
+        max(when(col("rd") === 2, col("qm"))).as("qhi"))
       .crossJoin(broadcast(base))
       .select(col("n_users"), col("n_rep"),
         expr("round(cast(sc as double) / cast(n_users as double)" +
@@ -1508,7 +1515,11 @@ object StatsOps {
     * ladder 0.9^k is a 37-row LITERAL table of 1e-12-scale decimals
     * (BigDecimal-derived, identical text in the oracle), so no pow()
     * ever runs in either engine and cents·factor stays an exact
-    * (24,0)×(14,12)→(38,12) product under the precision-38 cap; the
+    * (23,0)×(14,12)→(38,12) product — Spark's product precision is
+    * p1+p2+1 = 38, EXACTLY the cap, so no precision-loss rescale fires
+    * (a (24,0) cents column would make it 39 → clamped to (38,11) with
+    * a HALF_UP round the DuckDB oracle, whose width rule is p1+p2,
+    * never performs — the round-8 ADVICE latent flake); the
     * horizon is 36 weeks (a stated contract — beyond-horizon rows
     * are excluded, not silently misdiscounted). Week offsets are
     * exact day-diff div 7 over week-truncated stamps. One events
@@ -1530,7 +1541,7 @@ object StatsOps {
       .withColumn("k", expr("cast(datediff(em, cm) div 7 as long)"))
       .filter(col("k") <= 36)
       .groupBy("cm", "k")
-      .agg((sum("v") * 100).cast("decimal(24,0)").as("cents"))
+      .agg((sum("v") * 100).cast("decimal(23,0)").as("cents"))
     cells.join(broadcast(factors), Seq("k"))
       .groupBy("cm")
       .agg(sum("cents").as("tot"), sum(expr("cents * f")).as("npvq"))
@@ -1805,7 +1816,7 @@ object StatsOps {
         |cells AS (
         |  SELECT pu.cm,
         |    CAST(date_diff('day', pu.cm, ev.em) // 7 AS BIGINT) AS k,
-        |    CAST(SUM(v) * 100 AS DECIMAL(24,0)) AS cents
+        |    CAST(SUM(v) * 100 AS DECIMAL(23,0)) AS cents
         |  FROM ev JOIN pu USING (user_id)
         |  WHERE date_diff('day', pu.cm, ev.em) // 7 <= 36
         |  GROUP BY 1, 2),
@@ -2049,7 +2060,8 @@ object StatsOps {
         |    / 100.0, 6) AS DECIMAL(18,6)) AS qm
         |  FROM means),
         |r AS (
-        |  SELECT qm, ROW_NUMBER() OVER (ORDER BY qm ASC, b ASC) AS rn
+        |  SELECT qm, ROW_NUMBER() OVER (ORDER BY qm ASC, b ASC) AS rn,
+        |    ROW_NUMBER() OVER (ORDER BY qm DESC, b DESC) AS rd
         |  FROM q),
         |base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
         |  CAST(SUM(cents) AS BIGINT) AS sc FROM ur),
@@ -2059,7 +2071,7 @@ object StatsOps {
         |    SUM(CAST(qm AS DECIMAL(19,6)) * CAST(qm AS DECIMAL(19,6)))
         |      AS sqq,
         |    MAX(CASE WHEN rn = 2 THEN qm END) AS qlo,
-        |    MAX(CASE WHEN rn = 31 THEN qm END) AS qhi
+        |    MAX(CASE WHEN rd = 2 THEN qm END) AS qhi
         |  FROM r)
         |SELECT base.n_users, panel.n_rep,
         |  round(CAST(base.sc AS DOUBLE) / CAST(base.n_users AS DOUBLE)

@@ -748,18 +748,39 @@ object TrainOps {
     * rounds; every cached word table unpersists before return. */
   def bpeTrain(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val (merges, _, frames) = bpeTrainRounds(s, d)
-    frames.foreach(_.unpersist(false))
+    val (merges, _) = bpeArtifacts(s, d)
     merges.map { case (k, dispPair, _, n) => (k, dispPair, n) }
       .toDF("round", "pair", "n").orderBy("round")
   }
 
-  /** The shared 5-round BPE training loop behind [[bpeTrain]] and
-    * [[bpeEncode]]: returns (merge rows (round, display pair, RAW
-    * sentinel pair, pre-merge count), final rewritten word table).
-    * Returns the persisted frames too: the CALLER unpersists them
-    * after consuming the word table (teardown here would force a
-    * full chain recompute in bpeEncode). */
+  /** The memoized (merge table, final rewritten word table) pair the
+    * two tokenizer entries share: [[bpeTrain]] reads the merges,
+    * [[bpeEncode]] aggregates the word table — training the 5 rounds
+    * once per (session, dataset) instead of once per entry. The word
+    * table is localCheckpointed (the documented 2+-consumer rule —
+    * cdcChunkTable/walksTable precedents): the checkpoint cuts the
+    * 5-round rewrite lineage, so every per-round cache frame can be
+    * torn down eagerly here instead of riding until the last consumer
+    * finishes. */
+  private val bpeCache =
+    new graft.SessionCache[(Seq[(Int, String, String, Long)], DataFrame)](
+      onEvict = _._2.unpersist(false))
+
+  private def bpeArtifacts(s: SparkSession, d: String)
+      : (Seq[(Int, String, String, Long)], DataFrame) =
+    bpeCache.getOrCompute(s, d) {
+      val (merges, words, frames) = bpeTrainRounds(s, d)
+      val pinned = words.localCheckpoint()
+      frames.foreach(_.unpersist(false))
+      (merges, pinned)
+    }
+
+  /** The shared 5-round BPE training loop behind [[bpeArtifacts]]:
+    * returns (merge rows (round, display pair, RAW sentinel pair,
+    * pre-merge count), final rewritten word table). Returns the
+    * persisted frames too: the caller unpersists them once the word
+    * table's lineage is cut (localCheckpoint) — tearing down here
+    * would force a full chain recompute downstream. */
   private def bpeTrainRounds(s: SparkSession, d: String)
       : (Seq[(Int, String, String, Long)], DataFrame,
          Seq[DataFrame]) = {
@@ -817,7 +838,7 @@ object TrainOps {
     * aggregate over the training loop's final word table — the merge
     * table itself arrives as V bounded driver scalars. */
   def bpeEncode(s: SparkSession, d: String): DataFrame = {
-    val (_, encoded, frames) = bpeTrainRounds(s, d)
+    val (_, encoded) = bpeArtifacts(s, d)
     // coalesce: an EMPTY corpus makes every SUM null (count=0), which
     // would NPE the primitive getLong/getDouble below; zero-token
     // corpora also guard the chars-per-token division (null, not ÷0)
@@ -834,21 +855,13 @@ object TrainOps {
         """filter(split(trim(lower(text)), '\\s+'), t -> t != '')"""))
         .as("w"))
       .agg(coalesce(sum(length(col("w"))), lit(0L)).as("n_chars"))
-    val res = out.crossJoin(chars)
+    out.crossJoin(chars)
       .select(col("n_words"), col("n_chars"), col("n_tokens"),
         col("n_merged_syms"),
         when(col("n_tokens") > 0,
           round(col("n_chars").cast("double")
             / col("n_tokens").cast("double"), 6))
           .as("chars_per_token"))
-    val forced = res.collect() // consume before cache teardown
-    frames.foreach(_.unpersist(false))
-    import s.implicits._
-    forced.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-        r.getLong(3),
-        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
-      .toSeq.toDF("n_words", "n_chars", "n_tokens", "n_merged_syms",
-        "chars_per_token")
   }
 
   /** Corpus-unigram-LM quality score (perplexity-style filter): train

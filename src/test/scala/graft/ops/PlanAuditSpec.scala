@@ -332,6 +332,65 @@ class PlanAuditSpec extends SparkFunSuite {
       "graph_ppr top-20 lost the TakeOrdered plan")
   }
 
+  test("round-9 plans: diversify rank pushdown, banded gini/gaps, dq pushdown, panel broadcasts") {
+    // o11_diversify: the per-customer cap must compile to
+    // WindowGroupLimit (rank-limit pushdown inside the sort) and the
+    // global cut to TakeOrderedAndProject — never a full global sort
+    val div = plan(CoreRelational.o11Diversify(spark, sfDir))
+    assert(div.contains("WindowGroupLimit"),
+      "o11_diversify lost the rank-limit pushdown")
+    assert(div.contains("TakeOrderedAndProject"),
+      "o11_diversify sorts the survivors globally")
+    // the two-level discipline, generalized: every window over raw
+    // corpus rows must carry a partition key; an UNPARTITIONED window
+    // may only run over an already-aggregated (bucket-summary-sized)
+    // input. dq_sequence_gaps additionally recursed its boundary pass
+    // this round (super-buckets), so no window partition scales with
+    // the id span — a regression back to the monolithic boundary sort
+    // fails here, not just in bench drift.
+    def secondLevel(df: DataFrame, name: String): Unit = {
+      val ws = df.queryExecution.optimizedPlan.collect {
+        case w: LogicalWindow =>
+          (w.partitionSpec.map(_.sql),
+            w.child.collect { case a: Aggregate => a }.nonEmpty)
+      }
+      assert(ws.nonEmpty, s"$name lost its windows")
+      ws.foreach { case (keys, aggBelow) =>
+        assert(keys.nonEmpty || aggBelow,
+          s"$name has an unpartitioned window over raw corpus rows")
+      }
+    }
+    secondLevel(EventOps.evGini(spark, sfDir), "ev_gini")
+    secondLevel(CoreRelational.dqSequenceGaps(spark, sfDir),
+      "dq_sequence_gaps")
+    secondLevel(EventOps.evGains(spark, sfDir), "ev_gains")
+    // dq scans keep their predicates at the parquet reader
+    val gaps = plan(CoreRelational.dqSequenceGaps(spark, sfDir))
+    assert(gaps.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("event_type")),
+      "dq_sequence_gaps' purchase filter left the events scan")
+    // mm_near_dup: both feature-hydration joins against the
+    // checkpointed count-vector table must broadcast (the pair table
+    // is capped-bucket-sized; a sort-merge here would shuffle the
+    // decoded features)
+    val mm = plan(MultimodalOps.mmNearDup(spark, sfDir))
+    assert(mm.contains("BroadcastHashJoin"),
+      "mm_near_dup feature hydration lost its broadcast")
+    assert(!mm.contains("SortMergeJoin"),
+      "mm_near_dup shuffles the decoded feature table")
+    // ann panel probes: the 1-row query vector and the 20-row anchor
+    // panel ride broadcasts, never a shuffled join side
+    val rng = plan(SimOps.annRange(spark, sfDir))
+    assert(rng.contains("BroadcastNestedLoopJoin") ||
+      rng.contains("BroadcastExchange"),
+      "ann_range no longer broadcasts the query vector")
+    val trip = plan(SimOps.embTripletMining(spark, sfDir))
+    assert(trip.contains("BroadcastExchange"),
+      "emb_triplets no longer broadcasts the anchor panel")
+    assert(!trip.contains("SortMergeJoin"),
+      "emb_triplets shuffles the corpus against the panel")
+  }
+
   test("partitioned table prunes partitions at scan time") {
     val dir = Files.createTempDirectory("ptab").toString + "/t"
     val df = graft.Tables.orders(spark, sfDir)
