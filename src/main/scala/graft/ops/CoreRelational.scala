@@ -1760,8 +1760,46 @@ object CoreRelational {
       .orderBy("query")
   }
 
+  /** T243: static shuffle census over a signature-query panel — the
+    * compile-time companion to [[planBuildSides]]' runtime census.
+    * For five queries whose shuffle structure IS their scale contract
+    * (one-shuffle aggregate, broadcast-enriched fact, anti-join
+    * increment, keyed keep-oldest window, TakeOrdered head) it counts
+    * shuffle exchanges, broadcast exchanges and parquet scans in the
+    * physical plan and pins them as a hash-checked row.
+    * An accidental extra Exchange (a lost co-partitioning, a
+    * repartition slipped into a shared helper, a broadcast fallen back
+    * to shuffle) is exactly the regression class that costs hours at
+    * 100 TB and is invisible to row-level correctness — here it flips
+    * a count and goes red in the catalog. Pure plan inspection: no
+    * data moves; the oracle is the LITERAL expected census (Spark plan
+    * facts are not replayable elsewhere — the pin is the check). */
+  def planShuffles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def census(name: String, df: DataFrame)
+        : (String, Long, Long, Long) = {
+      val p = df.queryExecution.executedPlan.toString
+      val shuffle =
+        "Exchange (hashpartitioning|rangepartitioning|SinglePartition)"
+          .r.findAllIn(p).length.toLong
+      val bcast = "BroadcastExchange".r.findAllIn(p).length.toLong
+      val scans = "Scan parquet".r.findAllIn(p).length.toLong
+      (name, shuffle, bcast, scans)
+    }
+    Seq(
+      census("a02_keepoldest", a02KeepOldest(s, d)),
+      census("j01_enrich", j01Enrich(s, d)),
+      census("j06_anti", j06Anti(s, d)),
+      census("o01_topk", o01TopK(s, d)),
+      census("q01_pricing", q01Pricing(s, d)))
+      .toDF("query", "n_shuffle_exchange", "n_broadcast_exchange",
+        "n_scans")
+      .orderBy("query")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "plan_buildsides" -> planBuildSides _,
+    "plan_shuffles" -> planShuffles _,
     "dq_sequence_gaps" -> dqSequenceGaps _,
     "dq_pk_unique"   -> dqPkUnique _,
     "dq_freshness"   -> dqFreshness _,
@@ -1849,6 +1887,26 @@ object CoreRelational {
         |          CAST(0 AS BIGINT), CAST(2 AS BIGINT))
         |) AS t(query, n_broadcast_hash, n_sort_merge,
         |       n_build_left, n_build_right)
+        |ORDER BY query""".stripMargin,
+    // LITERAL expected panel (same contract as plan_buildsides): the
+    // static shuffle/broadcast/scan structure of the signature plans —
+    // o01's TakeOrdered head is shuffle-FREE, j01 broadcasts both dims
+    // around one fact shuffle, j06's anti-join adds none, q01/a02 are
+    // the two-exchange agg/window shapes, and no panel query re-scans
+    // its fact
+    "plan_shuffles" ->
+      """SELECT * FROM (VALUES
+        |  ('a02_keepoldest', CAST(2 AS BIGINT), CAST(0 AS BIGINT),
+        |     CAST(1 AS BIGINT)),
+        |  ('j01_enrich',     CAST(1 AS BIGINT), CAST(2 AS BIGINT),
+        |     CAST(3 AS BIGINT)),
+        |  ('j06_anti',       CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+        |     CAST(2 AS BIGINT)),
+        |  ('o01_topk',       CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |     CAST(1 AS BIGINT)),
+        |  ('q01_pricing',    CAST(2 AS BIGINT), CAST(0 AS BIGINT),
+        |     CAST(1 AS BIGINT))
+        |) AS t(query, n_shuffle_exchange, n_broadcast_exchange, n_scans)
         |ORDER BY query""".stripMargin,
     // same parity split, exact DECIMAL money sums, 1e-9-quantized PSI
     // the plain global-lag statement of the same consecutive pairs

@@ -27,4 +27,20 @@ class Round9OpsSpec extends SparkFunSuite {
     val b = CoreRelational.planBuildSides(spark, sfDir).collect().toSeq
     assert(a == b)
   }
+
+  test("plan_shuffles: static census invariants hold at fixture scale") {
+    val rows = CoreRelational.planShuffles(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("a02_keepoldest", "j01_enrich", "j06_anti", "o01_topk",
+        "q01_pricing"))
+    val byName = rows.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // the TakeOrdered head is shuffle-free; nothing re-scans its fact
+    assert(byName("o01_topk")._1 == 0, "o01 grew a shuffle")
+    rows.foreach { r =>
+      assert(r.getLong(3) <= 3, s"${r.getString(0)} re-scans a table")
+    }
+    // the enrichment fact shuffles once and broadcasts both dims
+    assert(byName("j01_enrich") == ((1L, 2L, 3L)), byName("j01_enrich"))
+  }
 }
