@@ -1435,6 +1435,46 @@ object CoreRelational {
       .orderBy("column")
   }
 
+  /** T244: JOIN-KEY SKEW CENSUS — the "needs salting?" pre-flight a
+    * 100 TB join plan runs before choosing its shuffle strategy. For
+    * the five join/grouping keys the catalog actually shuffles on
+    * (fact FKs, the event user key, and the low-cardinality event
+    * type as the known-pathological contrast) it reports exact
+    * per-key-distribution facts: row/key counts, the heaviest key and
+    * its share, and the max/avg skew ratio with a >10× salting flag —
+    * the number that decides between a plain hash join, AQE's skew
+    * split, and an explicit salt.
+    *
+    * Scale posture: per key ONE map-side-combinable hash agg folds the
+    * corpus to its key-count table, and the census is a second
+    * aggregate OVER THAT (key-table-sized) — no windows, no sorts; the
+    * heaviest key rides a struct-argmin (min of (-count, key), the q02
+    * idiom) so the tie-break (smallest key among equal counts) is
+    * engine-agnostic. The salting flag compares the ROUNDED ratio on
+    * both sides, so the boolean is as cross-engine-stable as the
+    * double it derives from. */
+  def profileSkew(s: SparkSession, d: String): DataFrame = {
+    def census(table: String, key: String, df: DataFrame): DataFrame =
+      df.select(col(key).cast("string").as("k"))
+        .groupBy("k").agg(count(lit(1)).as("c"))
+        .agg(sum("c").as("n_rows"), count(lit(1)).as("n_keys"),
+          min(struct((-col("c")).as("nc"), col("k").as("k"))).as("m"))
+        .select(lit(table).as("table_name"), lit(key).as("key_col"),
+          col("n_rows"), col("n_keys"),
+          (-col("m.nc")).as("max_count"), col("m.k").as("top_key"),
+          round(expr("cast(-m.nc as double) / cast(n_rows as double)"),
+            6).as("max_share"),
+          round(expr("(cast(-m.nc as double) * cast(n_keys as double))" +
+            " / cast(n_rows as double)"), 6).as("skew_ratio"))
+        .withColumn("needs_salting", col("skew_ratio") > 10.0)
+    census("events", "event_type", Tables.events(s, d))
+      .unionAll(census("events", "user_id", Tables.events(s, d)))
+      .unionAll(census("lineitem", "l_orderkey", Tables.lineitem(s, d)))
+      .unionAll(census("lineitem", "l_suppkey", Tables.lineitem(s, d)))
+      .unionAll(census("orders", "o_custkey", Tables.orders(s, d)))
+      .orderBy("table_name", "key_col")
+  }
+
   /** T200: TOP-K VALUE PROFILE per categorical column — the "what's
     * actually in this column" half of a data profile
     * ([[profileTable]] gives the stats, this gives the values; every
@@ -1800,6 +1840,7 @@ object CoreRelational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "plan_buildsides" -> planBuildSides _,
     "plan_shuffles" -> planShuffles _,
+    "profile_skew" -> profileSkew _,
     "dq_sequence_gaps" -> dqSequenceGaps _,
     "dq_pk_unique"   -> dqPkUnique _,
     "dq_freshness"   -> dqFreshness _,
@@ -1908,6 +1949,46 @@ object CoreRelational {
         |     CAST(1 AS BIGINT))
         |) AS t(query, n_shuffle_exchange, n_broadcast_exchange, n_scans)
         |ORDER BY query""".stripMargin,
+    // exact per-key counts, window-max top key with MIN(k) tie-break
+    // (≡ the engine's struct-argmin), identical double expression and
+    // 1e-6 rounding on both shares so the salting boolean agrees
+    "profile_skew" ->
+      """WITH census AS MATERIALIZED (
+        |  SELECT 'events' AS table_name, 'event_type' AS key_col,
+        |    CAST(event_type AS VARCHAR) AS k, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 3
+        |  UNION ALL
+        |  SELECT 'events', 'user_id', CAST(user_id AS VARCHAR),
+        |    CAST(COUNT(*) AS BIGINT) FROM events GROUP BY 3
+        |  UNION ALL
+        |  SELECT 'lineitem', 'l_orderkey', CAST(l_orderkey AS VARCHAR),
+        |    CAST(COUNT(*) AS BIGINT) FROM lineitem GROUP BY 3
+        |  UNION ALL
+        |  SELECT 'lineitem', 'l_suppkey', CAST(l_suppkey AS VARCHAR),
+        |    CAST(COUNT(*) AS BIGINT) FROM lineitem GROUP BY 3
+        |  UNION ALL
+        |  SELECT 'orders', 'o_custkey', CAST(o_custkey AS VARCHAR),
+        |    CAST(COUNT(*) AS BIGINT) FROM orders GROUP BY 3),
+        |stats AS (
+        |  SELECT table_name, key_col, CAST(SUM(c) AS BIGINT) AS n_rows,
+        |    CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |    CAST(MAX(c) AS BIGINT) AS max_count
+        |  FROM census GROUP BY 1, 2),
+        |top AS (
+        |  SELECT table_name, key_col, MIN(k) AS top_key FROM (
+        |    SELECT table_name, key_col, k, c,
+        |      MAX(c) OVER (PARTITION BY table_name, key_col) AS mc
+        |    FROM census) WHERE c = mc GROUP BY 1, 2)
+        |SELECT s.table_name, s.key_col, s.n_rows, s.n_keys,
+        |  s.max_count, t.top_key,
+        |  round(CAST(s.max_count AS DOUBLE)
+        |    / CAST(s.n_rows AS DOUBLE), 6) AS max_share,
+        |  round((CAST(s.max_count AS DOUBLE) * CAST(s.n_keys AS DOUBLE))
+        |    / CAST(s.n_rows AS DOUBLE), 6) AS skew_ratio,
+        |  round((CAST(s.max_count AS DOUBLE) * CAST(s.n_keys AS DOUBLE))
+        |    / CAST(s.n_rows AS DOUBLE), 6) > 10.0 AS needs_salting
+        |FROM stats s JOIN top t USING (table_name, key_col)
+        |ORDER BY s.table_name, s.key_col""".stripMargin,
     // same parity split, exact DECIMAL money sums, 1e-9-quantized PSI
     // the plain global-lag statement of the same consecutive pairs
     // (provably equal to the engine's bucket decomposition)

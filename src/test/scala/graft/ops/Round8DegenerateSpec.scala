@@ -63,7 +63,9 @@ class Round8DegenerateSpec extends SparkFunSuite {
     "mm_near_dup", "sample_group_kfold", "dq_pk_unique",
     "ann_pq_recall", "ev_elasticity", "ev_adstock",
     "ev_srm_segments", "text_hapax", "ev_rolling_corr",
-    "dq_sequence_gaps")
+    "dq_sequence_gaps",
+    // round-9
+    "profile_skew")
 
   for (name <- round8)
     test(s"$name survives empty source tables") {

@@ -43,4 +43,26 @@ class Round9OpsSpec extends SparkFunSuite {
     // the enrichment fact shuffles once and broadcasts both dims
     assert(byName("j01_enrich") == ((1L, 2L, 3L)), byName("j01_enrich"))
   }
+
+  test("profile_skew: census identities hold on the fixture") {
+    val rows = CoreRelational.profileSkew(spark, sfDir).collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSeq == Seq(
+      ("events", "event_type"), ("events", "user_id"),
+      ("lineitem", "l_orderkey"), ("lineitem", "l_suppkey"),
+      ("orders", "o_custkey")))
+    rows.foreach { r =>
+      val (nRows, nKeys, maxC) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      val (share, ratio) = (r.getDouble(6), r.getDouble(7))
+      assert(maxC >= 1 && maxC <= nRows && nKeys <= nRows)
+      assert(math.abs(share - maxC.toDouble / nRows) < 1e-6)
+      // ratio = share * n_keys (max over avg), and max >= avg always
+      assert(ratio >= 1.0 - 1e-6 &&
+        math.abs(ratio - share * nKeys) < 1e-3 * ratio)
+      assert(r.getBoolean(8) == (ratio > 10.0))
+    }
+    // the low-cardinality event type concentrates load: a visible
+    // max-share contrast vs the fine-grained FK keys
+    val byKey = rows.map(r => r.getString(1) -> r.getDouble(6)).toMap
+    assert(byKey("event_type") > 10 * byKey("l_orderkey"))
+  }
 }
