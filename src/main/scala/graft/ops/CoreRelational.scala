@@ -1623,6 +1623,58 @@ object CoreRelational {
     * agg to the key panel + one broadcast 1-row total; the hot flag is
     * an INTEGER cross-multiplication (10·bytes·n_keys > 11·total), so
     * no FP enters the plan at all. */
+  /** T245: BUCKETED-LAYOUT join census — the co-located-join mechanism
+    * itself, pinned as a hash-checked row. Writes orders⋈lineitem's
+    * two sides as 8-bucket tables (bucketed + sorted by the join key),
+    * then compares the SAME merge-join plan over plain parquet vs the
+    * bucketed layout: plain pays one shuffle exchange per side, the
+    * bucketed scan pays ZERO (bucketing hands the join co-partitioned
+    * input; the per-side sort remains because multi-file buckets are
+    * only sorted within each file) — at 100 TB that is the difference
+    * between re-shuffling the fact table on every join and never
+    * shuffling it at all. The row carries the exchange census
+    * (literal-pinned, a Spark plan fact) AND the joined row count
+    * (data fact, replayed by the oracle), so a layout regression and a
+    * data regression are both visible. The merge hint forces the
+    * sort-merge strategy on both variants — without it the sf0.01 dim
+    * side broadcasts and the contrast would be vacuous; at scale SMJ
+    * is the strategy bucketing exists to serve. Bucketed tables write
+    * once per (session, dataset) into a temp dir (external tables in
+    * the session catalog; re-entry drops and rewrites). */
+  def layoutBucketing(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ord = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_quantity"))
+    def census(o: DataFrame, l: DataFrame): (Long, Long, Long) = {
+      val j = o.hint("merge")
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+      val n = j.count()
+      val p = j.queryExecution.executedPlan.toString
+      val sh = "Exchange (hashpartitioning|rangepartitioning)"
+        .r.findAllIn(p).length.toLong
+      val srt = "Sort \\[".r.findAllIn(p).length.toLong
+      (sh, srt, n)
+    }
+    val (shP, srtP, nP) = census(ord, li)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_bucketed").toString
+    s.sql("DROP TABLE IF EXISTS graft_bkt_orders")
+    s.sql("DROP TABLE IF EXISTS graft_bkt_lineitem")
+    ord.write.format("parquet").option("path", s"$tmp/o")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("graft_bkt_orders")
+    li.write.format("parquet").option("path", s"$tmp/l")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("graft_bkt_lineitem")
+    val (shB, srtB, nB) =
+      census(s.table("graft_bkt_orders"), s.table("graft_bkt_lineitem"))
+    Seq(("bucketed", shB, srtB, nB), ("plain", shP, srtP, nP))
+      .toDF("variant", "n_shuffle_exchange", "n_sort", "n_rows")
+      .orderBy("variant")
+  }
+
   def layoutFilesizing(s: SparkSession, d: String): DataFrame = {
     val target = 4096L
     val per = Tables.documents(s, d).groupBy("source")
@@ -1841,6 +1893,7 @@ object CoreRelational {
     "plan_buildsides" -> planBuildSides _,
     "plan_shuffles" -> planShuffles _,
     "profile_skew" -> profileSkew _,
+    "layout_bucketing" -> layoutBucketing _,
     "dq_sequence_gaps" -> dqSequenceGaps _,
     "dq_pk_unique"   -> dqPkUnique _,
     "dq_freshness"   -> dqFreshness _,
@@ -1949,6 +2002,17 @@ object CoreRelational {
         |     CAST(1 AS BIGINT))
         |) AS t(query, n_shuffle_exchange, n_broadcast_exchange, n_scans)
         |ORDER BY query""".stripMargin,
+    // exchange census literal-pinned (Spark plan facts); the joined
+    // row count is the replayed data fact shared by both variants
+    "layout_bucketing" ->
+      """WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+        |SELECT v.variant, v.n_shuffle_exchange, v.n_sort, n.n_rows
+        |FROM (VALUES
+        |  ('bucketed', CAST(0 AS BIGINT), CAST(2 AS BIGINT)),
+        |  ('plain',    CAST(2 AS BIGINT), CAST(2 AS BIGINT))
+        |) AS v(variant, n_shuffle_exchange, n_sort), n
+        |ORDER BY v.variant""".stripMargin,
     // exact per-key counts, window-max top key with MIN(k) tie-break
     // (≡ the engine's struct-argmin), identical double expression and
     // 1e-6 rounding on both shares so the salting boolean agrees

@@ -65,4 +65,19 @@ class Round9OpsSpec extends SparkFunSuite {
     val byKey = rows.map(r => r.getString(1) -> r.getDouble(6)).toMap
     assert(byKey("event_type") > 10 * byKey("l_orderkey"))
   }
+
+  test("layout_bucketing: bucketed layout eliminates the join shuffle") {
+    val rows = CoreRelational.layoutBucketing(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows.keySet == Set("bucketed", "plain"))
+    // same data through both layouts
+    assert(rows("bucketed")._3 == rows("plain")._3)
+    assert(rows("bucketed")._3 > 0)
+    // the mechanism: plain merge-join shuffles both sides, the
+    // bucketed scan shuffles neither
+    assert(rows("plain")._1 == 2, s"plain census: ${rows("plain")}")
+    assert(rows("bucketed")._1 == 0,
+      s"bucketed join still shuffles: ${rows("bucketed")}")
+  }
 }
