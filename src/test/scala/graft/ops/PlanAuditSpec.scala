@@ -389,6 +389,17 @@ class PlanAuditSpec extends SparkFunSuite {
       "emb_triplets no longer broadcasts the anchor panel")
     assert(!trip.contains("SortMergeJoin"),
       "emb_triplets shuffles the corpus against the panel")
+    // the native as-of join's pruning rule (AsofJoinPruning) must keep
+    // narrowing BOTH child scans to the referenced columns — the
+    // whole-operator plan otherwise reads every events column twice
+    val asofScans = plan(EventOps.evAsofNative(spark, sfDir))
+      .linesIterator.filter(_.contains("ReadSchema: struct<")).toSeq
+    assert(asofScans.nonEmpty, "asof native plan lost its parquet scans")
+    asofScans.foreach { l =>
+      val ncols = l.substring(l.indexOf("struct<")).count(_ == ',') + 1
+      assert(ncols <= 4,
+        s"asof child scan reads $ncols columns — pruning rule inactive: $l")
+    }
   }
 
   test("partitioned table prunes partitions at scan time") {
