@@ -371,8 +371,11 @@ object SimOps {
     * element order, per-vector sum folded in ascending m — every
     * double replayed bit-for-bit by the oracle's list(... ORDER BY m)
     * + list_reduce, with the 1e-6 round as the grid guard. */
-  def annPq(s: SparkSession, d: String): DataFrame = {
-    val lut = withNormalized(
+  /** The query-side ADC lookup table (m, code_id, sim): the normalized
+    * query's per-subspace dot with every code — pqM×ksub rows,
+    * broadcast by every ADC consumer ([[annPq]], [[annIvfadc]]). */
+  private def pqLut(s: SparkSession, d: String): DataFrame =
+    withNormalized(
         pqCodebook(s, d).crossJoin(queryVec(s, d)), "q_emb", "q_n")
       .withColumn("sim", expr(
         """aggregate(zip_with(
@@ -380,6 +383,9 @@ object SimOps {
           |  code, (a, b) -> a * b),
           |cast(0.0 as double), (acc, v) -> acc + v)""".stripMargin))
       .select(col("m"), col("code_id"), col("sim"))
+
+  def annPq(s: SparkSession, d: String): DataFrame = {
+    val lut = pqLut(s, d)
     pqCodes(s, d)
       .join(broadcast(lut), Seq("m", "code_id"))
       .groupBy(col("vec_id"))
@@ -390,6 +396,52 @@ object SimOps {
           .stripMargin).as("adc"))
       .orderBy(col("adc").desc, col("vec_id").asc)
       .limit(20)
+  }
+
+  /** T246: IVFADC — the composed two-stage production ANN (Jégou et
+    * al. 2011 §IV; the faiss `IVFx,PQy` default): the IVF coarse
+    * quantizer prunes the corpus to nprobe cells, ADC scores ONLY the
+    * surviving candidates through the broadcast LUT (no payload floats
+    * read), and the ADC top-20 is REFINED by exact cosine on just
+    * those 20 vectors — the three-stage cost profile (cell prune →
+    * code scan → tiny exact rerank) that makes billion-vector search
+    * fit a cluster. Reuses every memoized artifact ([[ivfIndex]],
+    * [[pqCodes]], [[pqLut]]); the candidate set localCheckpoints (two
+    * consumers: the ADC semi-join and the exact rerank). All three
+    * stages are bit-deterministic (sampled quantizers, 1e-6-grid adc
+    * and cosine, vec_id tie-breaks), so the oracle replays the FULL
+    * composition — prune, ADC, refine — in SQL. */
+  def annIvfadc(s: SparkSession, d: String): DataFrame = {
+    val (cents, assigned) = ivfIndex(s, d)
+    val q = queryVec(s, d)
+    val probed = cents.crossJoin(q)
+      .withColumn("sim", CosineSimilarity.cosine_native(s, expr(
+        "transform(centroid, x -> cast(x as float))"), col("q_emb")))
+      .orderBy(col("sim").desc, col("centroid_id").asc)
+      .limit(ivfNProbe(s))
+      .select(col("centroid_id"))
+    val cand = assigned
+      .join(broadcast(probed), Seq("centroid_id"))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding"))
+      .localCheckpoint()
+    val adcTop = pqCodes(s, d)
+      .join(broadcast(cand.select(col("vec_id"))), Seq("vec_id"))
+      .join(broadcast(pqLut(s, d)), Seq("m", "code_id"))
+      .groupBy(col("vec_id"))
+      .agg(expr(
+        """round(aggregate(
+          |  array_sort(collect_list(struct(m as m, sim as sim))),
+          |  cast(0.0 as double), (acc, x) -> acc + x.sim), 6)"""
+          .stripMargin).as("adc"))
+      .orderBy(col("adc").desc, col("vec_id").asc)
+      .limit(20)
+    adcTop.join(cand, Seq("vec_id")).crossJoin(q)
+      .select(col("vec_id"), col("adc"),
+        round(CosineSimilarity.cosine_native(s,
+          col("embedding"), col("q_emb")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(10)
   }
 
   /** Per-dimension int8 affine quantization audit — the 4× memory cut
@@ -1005,6 +1057,7 @@ object SimOps {
     "ann_ivf"       -> annIvf _,
     "ann_ivf_lloyd" -> annIvfLloyd _,
     "ann_pq"        -> annPq _,
+    "ann_ivfadc"    -> annIvfadc _,
     "ann_lsh"       -> annLsh _)
 
   // cosine over float arrays: DuckDB's summation order inside
@@ -1303,7 +1356,12 @@ object SimOps {
     // Exact replay of the IVF pipeline: sampled centroids (lowest
     // md5(vec_id)), nearest-centroid assignment (ties to the lower
     // centroid id), probe the 6 closest cells, exact cosine within.
-    "ann_ivf" -> annIvfSql)
+    "ann_ivf" -> annIvfSql,
+    // full IVFADC replay: the IVF prune (iseeds/iassign/iprobed),
+    // candidate-only PQ encode, LUT + ordered ADC fold, then the
+    // exact-cosine refine of the ADC top-20 — the composed pipeline,
+    // stage for stage
+    "ann_ivfadc" -> annIvfadcSql)
 
   // full PQ replay: md5-sampled codebook, per-subspace L2 encode
   // (ties to lower code id), query LUT dots, ADC = sum over m in
@@ -1360,6 +1418,101 @@ object SimOps {
         |FROM enc e JOIN lut l USING (m, code_id)
         |GROUP BY e.vec_id
         |ORDER BY adc DESC, e.vec_id ASC LIMIT 20""".stripMargin
+
+  private lazy val annIvfadcSql: String =
+      """WITH normed AS (
+        |  SELECT vec_id,
+        |    CASE WHEN sqrt(list_sum(list_transform(embedding,
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) = 0
+        |      THEN list_transform(embedding, x -> 0.0)
+        |      ELSE list_transform(embedding, x -> CAST(x AS DOUBLE) /
+        |        sqrt(list_sum(list_transform(embedding,
+        |          x2 -> CAST(x2 AS DOUBLE) * CAST(x2 AS DOUBLE)))))
+        |    END AS emb
+        |  FROM embeddings),
+        |dims AS (
+        |  SELECT CAST(len(emb) // 8 AS INTEGER) AS sl
+        |  FROM normed LIMIT 1),
+        |pseeds AS (
+        |  SELECT row_number() OVER (
+        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code_id,
+        |    emb AS centroid
+        |  FROM normed
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 64),
+        |book AS (
+        |  SELECT CAST(t.m AS INTEGER) AS m, s.code_id, d.sl,
+        |    list_transform(range(1, d.sl + 1), i ->
+        |      s.centroid[CAST(t.m AS INTEGER) * d.sl
+        |        + CAST(i AS INTEGER)]) AS code
+        |  FROM pseeds s, dims d, UNNEST(range(8)) AS t(m)),
+        |iseeds AS (
+        |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+        |      AS centroid_id,
+        |    embedding AS centroid
+        |  FROM embeddings
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        |iassign AS (
+        |  SELECT vec_id, embedding, centroid_id FROM (
+        |    SELECT e.vec_id, e.embedding, s.centroid_id,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |            i -> CAST(e.embedding[i] AS DOUBLE) * CAST(s.centroid[i] AS DOUBLE)))
+        |          / (sqrt(list_sum(list_transform(e.embedding,
+        |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |           * sqrt(list_sum(list_transform(s.centroid,
+        |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) DESC,
+        |        s.centroid_id ASC) AS rn
+        |    FROM embeddings e CROSS JOIN iseeds s) WHERE rn = 1),
+        |qr AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+        |iprobed AS (
+        |  SELECT centroid_id FROM iseeds, qr
+        |  ORDER BY
+        |    list_sum(list_transform(range(1, len(centroid) + 1),
+        |        i -> CAST(centroid[i] AS DOUBLE) * CAST(q_emb[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(centroid,
+        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(q_emb,
+        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) DESC,
+        |    centroid_id ASC LIMIT 6),
+        |cand AS MATERIALIZED (
+        |  SELECT a.vec_id, a.embedding
+        |  FROM iassign a JOIN iprobed p USING (centroid_id)
+        |  WHERE a.vec_id != 0),
+        |enc AS (
+        |  SELECT vec_id, m, code_id FROM (
+        |    SELECT e.vec_id, b.m, b.code_id,
+        |      row_number() OVER (PARTITION BY e.vec_id, b.m ORDER BY
+        |        list_sum(list_transform(range(1, b.sl + 1), i ->
+        |          (e.emb[b.m * b.sl + CAST(i AS INTEGER)]
+        |             - b.code[CAST(i AS INTEGER)])
+        |          * (e.emb[b.m * b.sl + CAST(i AS INTEGER)]
+        |             - b.code[CAST(i AS INTEGER)]))) ASC,
+        |        b.code_id ASC) AS rn
+        |    FROM (SELECT n.* FROM normed n JOIN cand c USING (vec_id)) e
+        |    CROSS JOIN book b) WHERE rn = 1),
+        |qn AS (SELECT emb AS q_emb FROM normed WHERE vec_id = 0),
+        |lut AS (
+        |  SELECT b.m, b.code_id,
+        |    list_sum(list_transform(range(1, b.sl + 1), i ->
+        |      q.q_emb[b.m * b.sl + CAST(i AS INTEGER)]
+        |      * b.code[CAST(i AS INTEGER)])) AS sim
+        |  FROM book b, qn q),
+        |adc AS (
+        |  SELECT e.vec_id,
+        |    round(list_reduce(list(l.sim ORDER BY e.m), (a, b) -> a + b), 6)
+        |      AS adc
+        |  FROM enc e JOIN lut l USING (m, code_id)
+        |  GROUP BY e.vec_id
+        |  ORDER BY adc DESC, e.vec_id ASC LIMIT 20)
+        |SELECT a.vec_id, a.adc,
+        |  round(list_sum(list_transform(range(1, len(c.embedding) + 1),
+        |      i -> CAST(c.embedding[i] AS DOUBLE) * CAST(qr.q_emb[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(c.embedding,
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(qr.q_emb,
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos
+        |FROM adc a JOIN cand c USING (vec_id), qr
+        |ORDER BY cos DESC, a.vec_id ASC LIMIT 10""".stripMargin
 
   private lazy val annBruteSql: String =
     """WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),

@@ -80,4 +80,20 @@ class Round9OpsSpec extends SparkFunSuite {
     assert(rows("bucketed")._1 == 0,
       s"bucketed join still shuffles: ${rows("bucketed")}")
   }
+
+  test("ann_ivfadc: prune → ADC → refine composition holds recall") {
+    val adc = SimOps.annIvfadc(spark, sfDir).collect()
+    assert(adc.length == 10)
+    assert(adc.map(_.getLong(0)).distinct.length == 10)
+    // refined output is ordered by exact cosine
+    val coss = adc.map(_.getDouble(2))
+    assert(coss.sameElements(coss.sorted.reverse))
+    // the composed index keeps real recall: ≥ 5 of the 10 refined
+    // hits sit in brute force's exact top-20 (measured 9/10 at this
+    // fixture; the bound leaves room for quantizer drift, not failure)
+    val brute = SimOps.annBrute(spark, sfDir).collect()
+      .map(_.getLong(0)).toSet
+    val hits = adc.count(r => brute.contains(r.getLong(0)))
+    assert(hits >= 5, s"IVFADC recall collapsed: $hits/10 in brute top-20")
+  }
 }
