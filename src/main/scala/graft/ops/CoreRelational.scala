@@ -273,6 +273,29 @@ object CoreRelational {
   /** J8: hydration join — explode per-row reference list (a tagged
     * union of id kinds), resolve each against its broadcast dimension
     * (tweet author/referenced-tweet hydration vs `includes`). */
+  /** T247: SALTED hot-key join — [[SkewJoin.saltedJoin]] as a catalog
+    * entry (the companion to [[profileSkew]]'s salting flag: this is
+    * what you switch ON when the flag fires). The big side's salt
+    * spreads every hot user over 8 tasks; the dim side replicates 8×;
+    * the (key, salt) equi-join then re-aggregates — and the RESULT is
+    * provably identical to the plain join, which is exactly what the
+    * oracle replays (the salt is invisible to semantics, the catalog
+    * row proves it stays that way). Deterministic salt (xxhash64 of
+    * the unique event id), so the plan itself is reproducible. */
+  def j14SaltedJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("value"))
+    val dim = Tables.customer(s, d)
+      .select(col("c_custkey").as("user_id"),
+        col("c_mktsegment").as("segment"))
+    SkewJoin.saltedJoin(ev, dim, "user_id", "event_id", 8)
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("revenue"))
+      .orderBy("segment")
+  }
+
   def j08Hydrate(s: SparkSession, d: String): DataFrame = {
     val refs = Tables.lineitem(s, d)
       .filter(col("l_orderkey") <= 200)
@@ -1956,6 +1979,7 @@ object CoreRelational {
     "j09_fullouter"  -> j09FullOuter _,
     "j10_semi"       -> j10Semi _,
     "j11_theta"      -> j11Theta _,
+    "j14_saltedjoin" -> j14SaltedJoin _,
     "a01_distinct"   -> a01Distinct _,
     "a02_keepoldest" -> a02KeepOldest _,
     "a03_collect"    -> a03CollectList _,
@@ -2002,6 +2026,13 @@ object CoreRelational {
         |     CAST(1 AS BIGINT))
         |) AS t(query, n_shuffle_exchange, n_broadcast_exchange, n_scans)
         |ORDER BY query""".stripMargin,
+    // the salt is invisible to semantics: the oracle IS the plain join
+    "j14_saltedjoin" ->
+      """SELECT c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+        |    AS DOUBLE) AS revenue
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // exchange census literal-pinned (Spark plan facts); the joined
     // row count is the replayed data fact shared by both variants
     "layout_bucketing" ->

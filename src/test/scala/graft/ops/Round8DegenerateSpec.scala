@@ -65,7 +65,8 @@ class Round8DegenerateSpec extends SparkFunSuite {
     "ev_srm_segments", "text_hapax", "ev_rolling_corr",
     "dq_sequence_gaps",
     // round-9
-    "profile_skew", "layout_bucketing", "ann_ivfadc")
+    "profile_skew", "layout_bucketing", "ann_ivfadc",
+    "j14_saltedjoin")
 
   for (name <- round8)
     test(s"$name survives empty source tables") {
