@@ -41,6 +41,86 @@ object Multimodal {
     def decode(payload: Array[Byte], meta: Row): Option[Array[Float]]
   }
 
+  /** A REAL audio codec for the one media container a zero-dependency
+    * JVM can fully handle: RIFF/WAVE, 16-bit mono PCM. Writer and
+    * parser are both here so the round trip is provable end-to-end —
+    * the parser does honest container work (magic validation, chunk
+    * WALKING past unknown chunks, little-endian field decode), not a
+    * memcpy of what the writer produced: the writer deliberately
+    * inserts a junk LIST chunk between fmt and data so a parser that
+    * assumes fixed offsets reads garbage and fails the oracle check.
+    * Image/video decode stays stubbed (no codec libs in this
+    * container); audio is now real. */
+  object Wav {
+    private def le32(b: java.io.ByteArrayOutputStream, v: Int): Unit = {
+      b.write(v & 0xff); b.write((v >> 8) & 0xff)
+      b.write((v >> 16) & 0xff); b.write((v >> 24) & 0xff)
+    }
+    private def le16(b: java.io.ByteArrayOutputStream, v: Int): Unit = {
+      b.write(v & 0xff); b.write((v >> 8) & 0xff)
+    }
+    private def tag(b: java.io.ByteArrayOutputStream, s: String): Unit =
+      b.write(s.getBytes("US-ASCII"))
+
+    /** Serialize 16-bit mono PCM to a well-formed WAVE container
+      * (fmt + a junk LIST chunk + data). */
+    def build(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+      val b = new java.io.ByteArrayOutputStream()
+      val dataLen = samples.length * 2
+      val junk = "graft".getBytes("US-ASCII")
+      val junkLen = junk.length + (junk.length & 1) // chunks pad to even
+      // RIFF size = WAVE + (fmt hdr 8 + 16) + (LIST hdr 8 + junk) +
+      //             (data hdr 8 + dataLen)
+      tag(b, "RIFF"); le32(b, 4 + 24 + (8 + junkLen) + 8 + dataLen)
+      tag(b, "WAVE")
+      tag(b, "fmt "); le32(b, 16)
+      le16(b, 1) // PCM
+      le16(b, 1) // mono
+      le32(b, sampleRate)
+      le32(b, sampleRate * 2) // byte rate
+      le16(b, 2)  // block align
+      le16(b, 16) // bits per sample
+      tag(b, "LIST"); le32(b, junk.length); b.write(junk)
+      if ((junk.length & 1) == 1) b.write(0) // pad byte
+      tag(b, "data"); le32(b, dataLen)
+      samples.foreach(sm => le16(b, sm & 0xffff))
+      b.toByteArray
+    }
+
+    /** Parse a WAVE container: returns (sampleRate, samples) or None
+      * for anything that is not 16-bit mono PCM. Walks chunks. */
+    def parse(payload: Array[Byte]): Option[(Int, Array[Short])] = {
+      def u32(o: Int): Long =
+        ((payload(o) & 0xffL)) | ((payload(o + 1) & 0xffL) << 8) |
+          ((payload(o + 2) & 0xffL) << 16) | ((payload(o + 3) & 0xffL) << 24)
+      def u16(o: Int): Int =
+        (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8)
+      def tagAt(o: Int): String =
+        new String(payload, o, 4, "US-ASCII")
+      if (payload == null || payload.length < 44) return None
+      if (tagAt(0) != "RIFF" || tagAt(8) != "WAVE") return None
+      var off = 12
+      var rate = -1
+      var ok = false
+      var data: Array[Short] = null
+      while (off + 8 <= payload.length && data == null) {
+        val ct = tagAt(off)
+        val len = u32(off + 4).toInt
+        if (ct == "fmt " && len >= 16) {
+          ok = u16(off + 8) == 1 && u16(off + 10) == 1 &&
+            u16(off + 22) == 16 // PCM, mono, 16-bit
+          rate = u32(off + 12).toInt
+        } else if (ct == "data" && ok) {
+          val n = len / 2
+          if (off + 8 + len > payload.length) return None
+          data = Array.tabulate(n)(i => u16(off + 8 + i * 2).toShort)
+        }
+        off += 8 + len + (len & 1) // chunks pad to even length
+      }
+      if (ok && rate > 0 && data != null) Some((rate, data)) else None
+    }
+  }
+
   /** Deterministic stand-in codec: "decodes" bytes into a byte-value
     * histogram normalized to unit L1 — stable, content-sensitive, and
     * shaped exactly like an embedding head's output. */

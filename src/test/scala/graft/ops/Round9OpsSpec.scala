@@ -81,6 +81,31 @@ class Round9OpsSpec extends SparkFunSuite {
       s"bucketed join still shuffles: ${rows("bucketed")}")
   }
 
+  test("Wav codec: round trip, chunk walking, pad bytes, rejection") {
+    import graft.multimodal.Multimodal.Wav
+    // round trip across lengths incl. 0 and odd counts
+    for (n <- Seq(0, 1, 3, 256, 999)) {
+      val in = Array.tabulate(n)(i => ((i * 37 - 5000) % 32768).toShort)
+      val out = Wav.parse(Wav.build(8000, in))
+      assert(out.isDefined, s"n=$n failed to parse")
+      assert(out.get._1 == 8000 && out.get._2.sameElements(in), s"n=$n")
+    }
+    // the builder's junk LIST chunk is 5 bytes (odd) — a parser that
+    // forgets the even-length pad byte walks into garbage; reaching
+    // data at all proves both chunk walking and pad handling
+    val wav = Wav.build(16000, Array[Short](1, -1, 32767, -32768))
+    assert(new String(wav, 36, 4, "US-ASCII") == "LIST")
+    assert(Wav.parse(wav).get._2.sameElements(
+      Array[Short](1, -1, 32767, -32768)))
+    // rejection: not RIFF, truncated data, stereo fmt
+    assert(Wav.parse("not a wave file at all........................"
+      .getBytes("US-ASCII")).isEmpty)
+    assert(Wav.parse(wav.dropRight(3)).isEmpty)
+    val stereo = wav.clone()
+    stereo(22) = 2 // channel count field inside fmt
+    assert(Wav.parse(stereo).isEmpty)
+  }
+
   test("ann_ivfadc: prune → ADC → refine composition holds recall") {
     val adc = SimOps.annIvfadc(spark, sfDir).collect()
     assert(adc.length == 10)
