@@ -121,6 +121,96 @@ object Multimodal {
     }
   }
 
+  /** A REAL image codec for the uncompressed container a
+    * zero-dependency JVM can handle: 24-bit BMP (BITMAPFILEHEADER +
+    * BITMAPINFOHEADER, BGR pixel rows). Like [[Wav]], writer and
+    * parser live together so the round trip is provable — and the
+    * format's two classic traps are both exercised: rows are stored
+    * BOTTOM-UP (positive height), so a parser that ignores
+    * orientation returns a vertically-flipped image, and each pixel
+    * row pads to a 4-byte boundary, so odd widths break any parser
+    * that assumes stride = 3·width. The parser honors the data-offset
+    * field and negative (top-down) heights rather than assuming the
+    * writer's layout. */
+  object Bmp {
+    private def le32(b: java.io.ByteArrayOutputStream, v: Int): Unit = {
+      b.write(v & 0xff); b.write((v >> 8) & 0xff)
+      b.write((v >> 16) & 0xff); b.write((v >> 24) & 0xff)
+    }
+    private def le16(b: java.io.ByteArrayOutputStream, v: Int): Unit = {
+      b.write(v & 0xff); b.write((v >> 8) & 0xff)
+    }
+
+    /** Serialize row-major TOP-DOWN 0xRRGGBB pixels as a standard
+      * bottom-up 24-bit BMP. */
+    def build(w: Int, h: Int, pixels: Array[Int]): Array[Byte] = {
+      require(pixels.length == w * h)
+      val stride = (w * 3 + 3) & ~3
+      val b = new java.io.ByteArrayOutputStream()
+      b.write('B'); b.write('M')
+      le32(b, 54 + stride * h) // file size
+      le32(b, 0)               // reserved
+      le32(b, 54)              // pixel data offset
+      le32(b, 40)              // BITMAPINFOHEADER size
+      le32(b, w); le32(b, h)   // positive height = bottom-up
+      le16(b, 1); le16(b, 24)  // planes, bpp
+      le32(b, 0)               // BI_RGB (uncompressed)
+      le32(b, stride * h); le32(b, 2835); le32(b, 2835)
+      le32(b, 0); le32(b, 0)
+      var y = h - 1
+      while (y >= 0) { // bottom-up row order
+        var x = 0
+        while (x < w) {
+          val p = pixels(y * w + x)
+          b.write(p & 0xff)          // B
+          b.write((p >> 8) & 0xff)   // G
+          b.write((p >> 16) & 0xff)  // R
+          x += 1
+        }
+        var pad = stride - w * 3
+        while (pad > 0) { b.write(0); pad -= 1 }
+        y -= 1
+      }
+      b.toByteArray
+    }
+
+    /** Parse a 24-bit uncompressed BMP: returns (w, h, row-major
+      * TOP-DOWN 0xRRGGBB pixels) or None. */
+    def parse(payload: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+      def u32(o: Int): Int =
+        (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8) |
+          ((payload(o + 2) & 0xff) << 16) | ((payload(o + 3) & 0xff) << 24)
+      def u16(o: Int): Int =
+        (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8)
+      if (payload == null || payload.length < 54) return None
+      if (payload(0) != 'B' || payload(1) != 'M') return None
+      val dataOff = u32(10)
+      val w = u32(18)
+      val rawH = u32(22)
+      val bottomUp = rawH > 0
+      val h = math.abs(rawH)
+      if (u16(26) != 1 || u16(28) != 24 || u32(30) != 0) return None
+      if (w <= 0 || h <= 0) return None
+      val stride = (w * 3 + 3) & ~3
+      if (dataOff + stride * h > payload.length) return None
+      val out = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        val srcRow = if (bottomUp) h - 1 - y else y
+        val ro = dataOff + srcRow * stride
+        var x = 0
+        while (x < w) {
+          val o = ro + x * 3
+          out(y * w + x) = ((payload(o + 2) & 0xff) << 16) |
+            ((payload(o + 1) & 0xff) << 8) | (payload(o) & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      Some((w, h, out))
+    }
+  }
+
   /** Deterministic stand-in codec: "decodes" bytes into a byte-value
     * histogram normalized to unit L1 — stable, content-sensitive, and
     * shaped exactly like an embedding head's output. */

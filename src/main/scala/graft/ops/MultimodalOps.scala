@@ -188,7 +188,56 @@ object MultimodalOps {
       .limit(20)
   }
 
+  /** T249: REAL image decode through the batched path — the BMP
+    * sibling of [[mmWavFeatures]]: per doc a deterministic integer
+    * pixel field (odd widths, so the 4-byte row stride pads) is
+    * serialized to a standard bottom-up 24-bit BMP, parsed back by
+    * [[Multimodal.Bmp.parse]], and the features derive from the
+    * DECODED pixels: dimensions, exact per-channel sums, the TOP
+    * row's red sum (orientation-sensitive on purpose — a parser that
+    * ignores bottom-up storage reads the wrong row and goes red) and
+    * the horizontal red gradient mass (stride-sensitive — a stride=3w
+    * parser shears every row). The oracle regenerates the pixel field
+    * arithmetically; every feature except nothing is exact integers. */
+  def mmBmpFeatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ids = Tables.spread(Tables.documents(s, d))
+      .select(col("doc_id")).as[Long]
+    val feats = ids.mapPartitions { it =>
+      it.map { id =>
+        val w = 15 + (id % 5).toInt * 8 // odd → stride padding exercised
+        val h = 12 + (id % 3).toInt * 4
+        val px = Array.tabulate(w * h) { p =>
+          val x = p % w; val y = p / w
+          val r = ((id * 7 + x * 3 + y * 5) % 256).toInt
+          val g = ((id * 11 + x * 2 + y * 3) % 256).toInt
+          val b = ((id * 13 + x + y * 7) % 256).toInt
+          (r << 16) | (g << 8) | b
+        }
+        val bmp = Multimodal.Bmp.build(w, h, px)
+        val (pw, ph, dec) = Multimodal.Bmp.parse(bmp)
+          .getOrElse(throw new IllegalStateException(
+            s"bmp round-trip failed for doc $id"))
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var topR = 0L; var grad = 0L
+        var p = 0
+        while (p < dec.length) {
+          val x = p % pw; val y = p / pw
+          val r = (dec(p) >> 16) & 0xff
+          sr += r; sg += (dec(p) >> 8) & 0xff; sb += dec(p) & 0xff
+          if (y == 0) topR += r
+          if (x > 0) grad += math.abs(r - ((dec(p - 1) >> 16) & 0xff))
+          p += 1
+        }
+        (id, pw, ph, sr, sg, sb, topR, grad)
+      }
+    }.toDF("doc_id", "width", "height", "sum_r", "sum_g", "sum_b",
+      "top_row_r", "grad_r")
+    feats.orderBy(col("doc_id")).limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_bmp_features" -> mmBmpFeatures _,
     "mm_wav_features" -> mmWavFeatures _,
     "mm_near_dup" -> mmNearDup _,
     "mm_features" -> mmFeatures _,
@@ -197,6 +246,38 @@ object MultimodalOps {
     "mm_dedup"    -> mmDedup _)
 
   val oracles: Map[String, String] = Map(
+    // pixel field regenerated arithmetically; the engine's numbers
+    // came through a real BMP serialize→parse round trip (bottom-up
+    // rows + stride padding), so orientation/stride bugs go red
+    "mm_bmp_features" ->
+      """WITH ids AS (SELECT doc_id FROM documents),
+        |px AS (
+        |  SELECT doc_id,
+        |    CAST(15 + (doc_id % 5) * 8 AS INTEGER) AS w,
+        |    CAST(12 + (doc_id % 3) * 4 AS INTEGER) AS h,
+        |    CAST(t.p AS BIGINT) % (15 + (doc_id % 5) * 8) AS x,
+        |    CAST(t.p AS BIGINT) // (15 + (doc_id % 5) * 8) AS y
+        |  FROM ids, UNNEST(range(0,
+        |    (15 + (doc_id % 5) * 8) * (12 + (doc_id % 3) * 4))) AS t(p)),
+        |vals AS (
+        |  SELECT doc_id, w, h, x, y,
+        |    (doc_id * 7 + x * 3 + y * 5) % 256 AS r,
+        |    (doc_id * 11 + x * 2 + y * 3) % 256 AS g,
+        |    (doc_id * 13 + x + y * 7) % 256 AS b,
+        |    CASE WHEN x > 0 THEN
+        |      ABS((doc_id * 7 + x * 3 + y * 5) % 256
+        |        - (doc_id * 7 + (x - 1) * 3 + y * 5) % 256)
+        |      ELSE 0 END AS dg
+        |  FROM px)
+        |SELECT doc_id, MIN(w) AS width, MIN(h) AS height,
+        |  CAST(SUM(r) AS BIGINT) AS sum_r,
+        |  CAST(SUM(g) AS BIGINT) AS sum_g,
+        |  CAST(SUM(b) AS BIGINT) AS sum_b,
+        |  CAST(SUM(CASE WHEN y = 0 THEN r ELSE 0 END) AS BIGINT)
+        |    AS top_row_r,
+        |  CAST(SUM(dg) AS BIGINT) AS grad_r
+        |FROM vals GROUP BY doc_id
+        |ORDER BY doc_id LIMIT 20""".stripMargin,
     // the oracle regenerates the integer sample train arithmetically
     // and computes the same features — the ENGINE's numbers came
     // through a real RIFF/WAVE serialize→parse round trip, so any

@@ -106,6 +106,30 @@ class Round9OpsSpec extends SparkFunSuite {
     assert(Wav.parse(stereo).isEmpty)
   }
 
+  test("Bmp codec: round trip, orientation, stride padding, rejection") {
+    import graft.multimodal.Multimodal.Bmp
+    // odd width exercises the 4-byte row stride; asymmetric pixel
+    // field exercises the bottom-up flip (pixels come back TOP-DOWN
+    // exactly as written)
+    val (w, h) = (5, 3)
+    val px = Array.tabulate(w * h)(p => p * 0x010203)
+    val bmp = Bmp.build(w, h, px)
+    val (pw, ph, dec) = Bmp.parse(bmp).get
+    assert(pw == w && ph == h && dec.sameElements(px))
+    // file stores rows bottom-up: the LAST stored row is the FIRST
+    // logical row — check the raw bytes to prove the writer flipped
+    val stride = (w * 3 + 3) & ~3
+    assert(stride == 16) // 15 data bytes + 1 pad
+    val lastRowFirstBlue = bmp(54 + (h - 1) * stride) & 0xff
+    assert(lastRowFirstBlue == (px(0) & 0xff), "writer is not bottom-up")
+    // rejection: wrong magic, truncated, unsupported bpp
+    assert(Bmp.parse("XXnot a bitmap".getBytes("US-ASCII") ++
+      new Array[Byte](60)).isEmpty)
+    assert(Bmp.parse(bmp.dropRight(5)).isEmpty)
+    val bad = bmp.clone(); bad(28) = 8 // bpp field
+    assert(Bmp.parse(bad).isEmpty)
+  }
+
   test("ann_ivfadc: prune → ADC → refine composition holds recall") {
     val adc = SimOps.annIvfadc(spark, sfDir).collect()
     assert(adc.length == 10)
