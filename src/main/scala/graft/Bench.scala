@@ -15,7 +15,10 @@ import org.apache.spark.sql.SparkSession
   * Load guard: round 7's driver run reported 731 s where the same code
   * measured 192-203 s on quiet hosts — external contention in
   * alphabetical bands. The run now self-flags (`"contaminated":true`)
-  * when the host is loaded at start (1-min load > 3) or when any
+  * when the host is loaded at start (1-min load > 3), when hypervisor
+  * CPU steal exceeds 8% in a /proc/stat sample at start OR end (the
+  * co-tenant signal the load average cannot see — a quiet guest at
+  * load 0.6 measured a broad 1.6x steal inflation), or when any
   * trivially-cheap p- or f-class query exceeds 10x its BENCH_DETAIL
   * median, so a polluted number never again costs a clean
   * round-over-round signal. Medians come only from clean
@@ -68,6 +71,27 @@ object Bench {
     }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
   }
 
+  /** Hypervisor CPU-steal percentage over a short sample window —
+    * the contention signal the load average CANNOT see (a quiet guest
+    * at load 0.6 measured a broad 1.6× inflation from co-tenant
+    * steal; /proc/stat field 8 is the only witness). Returns 0 where
+    * /proc/stat is unavailable. */
+  private def stealPct(): Double = {
+    try {
+      def read(): (Long, Long) = {
+        val src = scala.io.Source.fromFile("/proc/stat")
+        try {
+          val f = src.getLines().next().trim.split("\\s+")
+            .drop(1).map(_.toLong)
+          (f.sum, if (f.length > 7) f(7) else 0L)
+        } finally src.close()
+      }
+      val (t0, s0) = read(); Thread.sleep(500); val (t1, s1) = read()
+      if (t1 > t0) 100.0 * (s1 - s0).toDouble / (t1 - t0).toDouble
+      else 0.0
+    } catch { case _: Throwable => 0.0 }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -76,6 +100,7 @@ object Bench {
     // captured BEFORE the bench adds its own load: this is the
     // competing-work signal, not self-load
     val loadStart = os.getSystemLoadAverage
+    val stealStart = stealPct()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -144,7 +169,12 @@ object Bench {
       (k.startsWith("p") || k.startsWith("f")) &&
         medians.get(k).exists(m => m > 0 && v > 10 * m && v > 1.0)
     }.map(_._1)
-    val contaminated = loadStart > 3.0 || inflated.nonEmpty
+    // steal is sampled again AFTER the run: contention during the
+    // measured window matters more than at launch (self4 precedent:
+    // load_start 0.6 but a broad 1.6x steal inflation mid-run)
+    val stealEnd = stealPct()
+    val contaminated = loadStart > 3.0 || inflated.nonEmpty ||
+      stealStart > 8.0 || stealEnd > 8.0
     // Self-healing (round-8 ask #3): the driver's host was loaded in
     // two consecutive rounds, so a contaminated run re-measures every
     // query that sits 10x above its clean same-sf median (not just the
@@ -171,7 +201,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"label":"$label","host_load":$load,"host_load_start":$loadStart,"contaminated":$contaminated,"inflated_trivial":${inflated.map("\"" + _ + "\"").mkString("[", ",", "]")},"healed_total":$healedTotal,"healed_queries":$healedQs,"cpus_avail":${os.getAvailableProcessors},"ts_s":${System.currentTimeMillis / 1000},"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"label":"$label","host_load":$load,"host_load_start":$loadStart,"steal_pct_start":$stealStart,"steal_pct_end":$stealEnd,"contaminated":$contaminated,"inflated_trivial":${inflated.map("\"" + _ + "\"").mkString("[", ",", "]")},"healed_total":$healedTotal,"healed_queries":$healedQs,"cpus_avail":${os.getAvailableProcessors},"ts_s":${System.currentTimeMillis / 1000},"queries":$qs,"sf":"$sfDir"}"""
     println(detail)
     // Durable per-query map: stdout capture windows have truncated the
     // long line (and even the per-query lines) in past rounds, so the
