@@ -211,6 +211,86 @@ object Multimodal {
     }
   }
 
+  /** A REAL video codec for the uncompressed container a
+    * zero-dependency JVM can handle: Y4M (YUV4MPEG2 — ffmpeg's raw
+    * interchange format; an ASCII parameter header, then per frame a
+    * `FRAME` line + planar 4:2:0 YCbCr bytes). The parser does honest
+    * work: it scans header TOKENS (order varies in the wild — no
+    * fixed offsets), validates the 4:2:0 colorspace tag, and reads
+    * each FRAME line to its newline because frame headers may carry
+    * parameters — the writer emits one on the second frame precisely
+    * so a parser that assumes bare `FRAME\n` desynchronizes by the
+    * parameter's length and fails the oracle check. With [[Wav]] and
+    * [[Bmp]] this makes all three modalities real-container-backed;
+    * only COMPRESSED codecs (JPEG/H.264/...) remain out of reach
+    * without external libraries. */
+  object Y4m {
+    /** Serialize 4:2:0 frames: each frame is (Y: w·h, Cb: w/2·h/2,
+      * Cr: w/2·h/2) bytes. Width and height must be even. */
+    def build(w: Int, h: Int,
+        frames: Seq[(Array[Byte], Array[Byte], Array[Byte])])
+        : Array[Byte] = {
+      require(w % 2 == 0 && h % 2 == 0)
+      val b = new java.io.ByteArrayOutputStream()
+      b.write(s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C420jpeg\n"
+        .getBytes("US-ASCII"))
+      frames.zipWithIndex.foreach { case ((y, cb, cr), i) =>
+        require(y.length == w * h && cb.length == (w / 2) * (h / 2) &&
+          cr.length == (w / 2) * (h / 2))
+        // frame 1 carries a parameter: parsers must scan to newline
+        val hdr = if (i == 1) "FRAME Xgraft\n" else "FRAME\n"
+        b.write(hdr.getBytes("US-ASCII"))
+        b.write(y); b.write(cb); b.write(cr)
+      }
+      b.toByteArray
+    }
+
+    /** Parse a Y4M stream: (w, h, frames) or None for anything that
+      * is not 4:2:0 (or is structurally truncated). */
+    def parse(payload: Array[Byte])
+        : Option[(Int, Int, Seq[(Array[Byte], Array[Byte], Array[Byte])])] = {
+      if (payload == null || payload.length < 10) return None
+      def lineEnd(from: Int): Int = {
+        var i = from
+        while (i < payload.length && payload(i) != '\n') i += 1
+        i
+      }
+      val hEnd = lineEnd(0)
+      if (hEnd >= payload.length) return None
+      val header = new String(payload, 0, hEnd, "US-ASCII")
+      val toks = header.split(" ")
+      if (toks.isEmpty || toks(0) != "YUV4MPEG2") return None
+      var w = -1; var h = -1; var c420 = true
+      toks.drop(1).foreach { t =>
+        if (t.startsWith("W")) w = t.drop(1).toInt
+        else if (t.startsWith("H")) h = t.drop(1).toInt
+        else if (t.startsWith("C")) c420 = t.drop(1).startsWith("420")
+      }
+      if (w <= 0 || h <= 0 || w % 2 != 0 || h % 2 != 0 || !c420)
+        return None
+      val (ySz, cSz) = (w * h, (w / 2) * (h / 2))
+      val frames = scala.collection.mutable.ArrayBuffer
+        .empty[(Array[Byte], Array[Byte], Array[Byte])]
+      var off = hEnd + 1
+      while (off < payload.length) {
+        val fEnd = lineEnd(off)
+        if (fEnd >= payload.length) return None
+        val fl = new String(payload, off, fEnd - off, "US-ASCII")
+        if (fl != "FRAME" && !fl.startsWith("FRAME ")) return None
+        var p = fEnd + 1
+        if (p + ySz + 2 * cSz > payload.length) return None
+        val y = java.util.Arrays.copyOfRange(payload, p, p + ySz)
+        p += ySz
+        val cb = java.util.Arrays.copyOfRange(payload, p, p + cSz)
+        p += cSz
+        val cr = java.util.Arrays.copyOfRange(payload, p, p + cSz)
+        off = p + cSz
+        frames += ((y, cb, cr))
+      }
+      if (frames.isEmpty) None else Some((w, h, frames.toSeq))
+    }
+  }
+
   /** Deterministic stand-in codec: "decodes" bytes into a byte-value
     * histogram normalized to unit L1 — stable, content-sensitive, and
     * shaped exactly like an embedding head's output. */

@@ -236,7 +236,65 @@ object MultimodalOps {
     feats.orderBy(col("doc_id")).limit(20)
   }
 
+  /** T250: REAL video decode through the batched path — the Y4M
+    * third of the codec trio ([[mmWavFeatures]] audio,
+    * [[mmBmpFeatures]] image): per doc, 3 deterministic planar-4:2:0
+    * frames serialize into a YUV4MPEG2 stream (frame 1 carries a
+    * FRAME-line parameter on purpose) and parse back through
+    * [[Multimodal.Y4m.parse]]'s token-scanning, line-honoring
+    * decoder; features derive from the DECODED planes: luma/chroma
+    * sums (exact integers) and the frame-delta motion mass
+    * Σ|Y_f − Y_{f−1}| — the shot-boundary/static-content signal a
+    * video curation pipeline keys on. The oracle regenerates the
+    * plane values arithmetically, so a desynchronized frame header,
+    * a plane-order bug, or a chroma-size error goes red. */
+  def mmVideoMotion(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ids = Tables.spread(Tables.documents(s, d))
+      .select(col("doc_id")).as[Long]
+    val feats = ids.mapPartitions { it =>
+      it.map { id =>
+        val w = 12 + (id % 3).toInt * 4
+        val h = 8 + (id % 2).toInt * 4
+        def yv(f: Int, p: Int): Int = ((id * 3 + f * 89 + p * 7) % 256).toInt
+        def cbv(f: Int, q: Int): Int = ((id * 5 + f * 13 + q * 11) % 256).toInt
+        def crv(f: Int, q: Int): Int = ((id * 17 + f * 7 + q * 19) % 256).toInt
+        val cSz = (w / 2) * (h / 2)
+        val frames = (0 until 3).map { f =>
+          (Array.tabulate(w * h)(p => yv(f, p).toByte),
+            Array.tabulate(cSz)(q => cbv(f, q).toByte),
+            Array.tabulate(cSz)(q => crv(f, q).toByte))
+        }
+        val stream = Multimodal.Y4m.build(w, h, frames)
+        val (pw, ph, dec) = Multimodal.Y4m.parse(stream)
+          .getOrElse(throw new IllegalStateException(
+            s"y4m round-trip failed for doc $id"))
+        var ySum = 0L; var cbSum = 0L; var crSum = 0L; var motion = 0L
+        var f = 0
+        while (f < dec.length) {
+          val (y, cb, cr) = dec(f)
+          var p = 0
+          while (p < y.length) {
+            ySum += y(p) & 0xff
+            if (f > 0) motion +=
+              math.abs((y(p) & 0xff) - (dec(f - 1)._1(p) & 0xff))
+            p += 1
+          }
+          var q = 0
+          while (q < cb.length) {
+            cbSum += cb(q) & 0xff; crSum += cr(q) & 0xff; q += 1
+          }
+          f += 1
+        }
+        (id, pw, ph, dec.length, ySum, cbSum, crSum, motion)
+      }
+    }.toDF("doc_id", "width", "height", "n_frames", "y_sum",
+      "cb_sum", "cr_sum", "motion")
+    feats.orderBy(col("doc_id")).limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_video_motion" -> mmVideoMotion _,
     "mm_bmp_features" -> mmBmpFeatures _,
     "mm_wav_features" -> mmWavFeatures _,
     "mm_near_dup" -> mmNearDup _,
@@ -246,6 +304,46 @@ object MultimodalOps {
     "mm_dedup"    -> mmDedup _)
 
   val oracles: Map[String, String] = Map(
+    // plane values regenerated arithmetically; the engine's numbers
+    // came through a real YUV4MPEG2 serialize→parse round trip
+    // (token-scanned header, per-frame FRAME lines, planar 4:2:0), so
+    // a header/plane-order/chroma-size bug desynchronizes the row
+    "mm_video_motion" ->
+      """WITH ids AS (SELECT doc_id,
+        |    CAST(12 + (doc_id % 3) * 4 AS INTEGER) AS w,
+        |    CAST(8 + (doc_id % 2) * 4 AS INTEGER) AS h
+        |  FROM documents),
+        |yp AS (
+        |  SELECT doc_id, CAST(tf.f AS BIGINT) AS f,
+        |    CAST(tp.p AS BIGINT) AS p
+        |  FROM ids, UNNEST(range(0, 3)) AS tf(f),
+        |    UNNEST(range(0, w * h)) AS tp(p)),
+        |ys AS (
+        |  SELECT doc_id,
+        |    CAST(SUM((doc_id * 3 + f * 89 + p * 7) % 256) AS BIGINT)
+        |      AS y_sum,
+        |    CAST(SUM(CASE WHEN f > 0 THEN
+        |        ABS((doc_id * 3 + f * 89 + p * 7) % 256
+        |          - (doc_id * 3 + (f - 1) * 89 + p * 7) % 256)
+        |      ELSE 0 END) AS BIGINT) AS motion
+        |  FROM yp GROUP BY doc_id),
+        |cp AS (
+        |  SELECT doc_id, CAST(tf.f AS BIGINT) AS f,
+        |    CAST(tq.q AS BIGINT) AS q
+        |  FROM ids, UNNEST(range(0, 3)) AS tf(f),
+        |    UNNEST(range(0, (w // 2) * (h // 2))) AS tq(q)),
+        |cs AS (
+        |  SELECT doc_id,
+        |    CAST(SUM((doc_id * 5 + f * 13 + q * 11) % 256) AS BIGINT)
+        |      AS cb_sum,
+        |    CAST(SUM((doc_id * 17 + f * 7 + q * 19) % 256) AS BIGINT)
+        |      AS cr_sum
+        |  FROM cp GROUP BY doc_id)
+        |SELECT i.doc_id, i.w AS width, i.h AS height,
+        |  CAST(3 AS INTEGER) AS n_frames,
+        |  ys.y_sum, cs.cb_sum, cs.cr_sum, ys.motion
+        |FROM ids i JOIN ys USING (doc_id) JOIN cs USING (doc_id)
+        |ORDER BY i.doc_id LIMIT 20""".stripMargin,
     // pixel field regenerated arithmetically; the engine's numbers
     // came through a real BMP serialize→parse round trip (bottom-up
     // rows + stride padding), so orientation/stride bugs go red

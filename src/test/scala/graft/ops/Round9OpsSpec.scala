@@ -130,6 +130,33 @@ class Round9OpsSpec extends SparkFunSuite {
     assert(Bmp.parse(bad).isEmpty)
   }
 
+  test("Y4m codec: round trip, frame parameters, rejection") {
+    import graft.multimodal.Multimodal.Y4m
+    val (w, h) = (4, 2)
+    val mk = (seed: Int) => (
+      Array.tabulate(w * h)(i => (seed + i).toByte),
+      Array.tabulate(2)(i => (seed * 2 + i).toByte),
+      Array.tabulate(2)(i => (seed * 3 + i).toByte))
+    val frames = Seq(mk(1), mk(50), mk(99))
+    val stream = Y4m.build(w, h, frames)
+    // frame 1 carries a FRAME-line parameter by construction — a
+    // parser that assumes bare "FRAME\n" desynchronizes
+    assert(new String(stream, "US-ASCII").contains("FRAME Xgraft"))
+    val (pw, ph, dec) = Y4m.parse(stream).get
+    assert(pw == w && ph == h && dec.length == 3)
+    frames.zip(dec).foreach { case ((y, cb, cr), (dy, dcb, dcr)) =>
+      assert(y.sameElements(dy) && cb.sameElements(dcb) &&
+        cr.sameElements(dcr))
+    }
+    // rejection: wrong magic, truncated plane, non-420 colorspace
+    assert(Y4m.parse("MPEG4YUV2 W4 H2\nFRAME\n12345678"
+      .getBytes("US-ASCII")).isEmpty)
+    assert(Y4m.parse(stream.dropRight(1)).isEmpty)
+    val s444 = new String(stream, "US-ASCII")
+      .replace("C420jpeg", "C444jpeg").getBytes("US-ASCII")
+    assert(Y4m.parse(s444).isEmpty)
+  }
+
   test("ann_ivfadc: prune → ADC → refine composition holds recall") {
     val adc = SimOps.annIvfadc(spark, sfDir).collect()
     assert(adc.length == 10)
