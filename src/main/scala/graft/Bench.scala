@@ -25,15 +25,40 @@ import org.apache.spark.sql.SparkSession
   * (`contaminated:false`) same-sf BENCH_DETAIL lines, and every query
   * sitting 10x above its median is re-measured once at the end —
   * `healed_total` (per-query min of raw and re-run) turns a polluted
-  * run into a usable signal without hiding the raw number.
+  * run into a usable signal without hiding the raw number. Round-10
+  * closes the sub-10x blind spot: a run whose common-query total
+  * exceeds 1.25x the clean-median total flags `contaminated` even when
+  * no single query hits 10x (the broad +40% band of judge-r9's text_*
+  * stripe), and the heal pass then re-measures the WHOLE band
+  * (>1.25x median, 0.1 s floor), not just 10x offenders.
   */
 object Bench {
 
-  private def median(xs: Seq[Double]): Double = {
+  private[graft] def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     if (s.isEmpty) 0.0
     else if (s.size % 2 == 1) s(s.size / 2)
     else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
+
+  /** Run-level contamination check (round-10 ask): per-query 10×
+    * triggers catch spikes but a BROAD band — every query +40% under
+    * residual host load, none at 10× — passed every round-9 guard
+    * (the judge-r9 text_* stripe; the builder-r8-self4 precedent).
+    * Over the queries common to this run and the clean same-sf
+    * history, if the run's total exceeds 1.25× the sum of the
+    * per-query clean medians, the whole RUN is drifted. Requires ≥20
+    * common queries so a thin history can't flag on noise. Returns
+    * (drifted, common_total, common_median_total). */
+  private[graft] def runLevelDrift(results: Seq[(String, Double)],
+      medians: Map[String, Double]): (Boolean, Double, Double) = {
+    val common = results.filter { case (k, _) =>
+      medians.get(k).exists(_ > 0)
+    }
+    val total = common.map(_._2).sum
+    val medTotal = common.map { case (k, _) => medians(k) }.sum
+    (common.size >= 20 && medTotal > 0 && total > 1.25 * medTotal,
+      total, medTotal)
   }
 
   /** Per-query values from prior BENCH_DETAIL lines (best-effort: a
@@ -173,8 +198,13 @@ object Bench {
     // measured window matters more than at launch (self4 precedent:
     // load_start 0.6 but a broad 1.6x steal inflation mid-run)
     val stealEnd = stealPct()
+    // run-level drift (round-10 ask #4): a broad sub-10x band — the
+    // blind spot of every per-query trigger — flags on the TOTAL
+    // against the clean same-sf median history
+    val (totalDrift, commonTotal, commonMedianTotal) =
+      runLevelDrift(results, medians)
     val contaminated = loadStart > 3.0 || inflated.nonEmpty ||
-      stealStart > 8.0 || stealEnd > 8.0
+      stealStart > 8.0 || stealEnd > 8.0 || totalDrift
     // Self-healing (round-8 ask #3): the driver's host was loaded in
     // two consecutive rounds, so a contaminated run re-measures every
     // query that sits 10x above its clean same-sf median (not just the
@@ -183,16 +213,26 @@ object Bench {
     // reports per-query min(raw, re-run) — a usable round-over-round
     // signal from the polluted run itself; the raw value stays the
     // headline so contamination is never silently hidden.
+    // when the RUN drifted, heal the whole band (every query sitting
+    // 1.25x over its median with a 0.1 s absolute floor — the 10x
+    // trigger alone would re-measure none of a +40% stripe), not just
+    // the 10x offenders
     val inflatedAll = results.filter { case (k, v) =>
-      medians.get(k).exists(m => m > 0 && v > 10 * m && v > 1.0)
+      medians.get(k).exists(m => m > 0 &&
+        ((v > 10 * m && v > 1.0) ||
+          (totalDrift && v > 1.25 * m && v - m > 0.1)))
     }.map(_._1)
     val healed: Map[String, Double] =
       if (inflatedAll.isEmpty) Map.empty
-      else inflatedAll.map { k =>
+      else inflatedAll.flatMap { k =>
         val t0 = System.nanoTime()
-        try { SparkEntry.queries(k)(spark, sfDir).count() }
-        catch { case _: Throwable => () }
-        k -> (System.nanoTime() - t0) / 1e9
+        // a FAILED re-run (OOM recovery, transient error) must keep
+        // the raw time — recording the time-to-throw would silently
+        // deflate healed_total with a bogus fast "measurement"
+        val ok =
+          try { SparkEntry.queries(k)(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
+        if (ok) Some(k -> (System.nanoTime() - t0) / 1e9) else None
       }.toMap
     val healedTotal = results.map { case (k, v) =>
       math.min(v, healed.getOrElse(k, v))
@@ -201,7 +241,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"label":"$label","host_load":$load,"host_load_start":$loadStart,"steal_pct_start":$stealStart,"steal_pct_end":$stealEnd,"contaminated":$contaminated,"inflated_trivial":${inflated.map("\"" + _ + "\"").mkString("[", ",", "]")},"healed_total":$healedTotal,"healed_queries":$healedQs,"cpus_avail":${os.getAvailableProcessors},"ts_s":${System.currentTimeMillis / 1000},"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"label":"$label","host_load":$load,"host_load_start":$loadStart,"steal_pct_start":$stealStart,"steal_pct_end":$stealEnd,"contaminated":$contaminated,"total_drift":$totalDrift,"common_total":$commonTotal,"common_median_total":$commonMedianTotal,"inflated_trivial":${inflated.map("\"" + _ + "\"").mkString("[", ",", "]")},"healed_total":$healedTotal,"healed_queries":$healedQs,"cpus_avail":${os.getAvailableProcessors},"ts_s":${System.currentTimeMillis / 1000},"queries":$qs,"sf":"$sfDir"}"""
     println(detail)
     // Durable per-query map: stdout capture windows have truncated the
     // long line (and even the per-query lines) in past rounds, so the

@@ -105,14 +105,23 @@ object Multimodal {
       var data: Array[Short] = null
       while (off + 8 <= payload.length && data == null) {
         val ct = tagAt(off)
+        // a declared chunk size with the top bit set (e.g. 0xFFFFFFF8)
+        // goes negative in Int — accepting it would walk `off`
+        // BACKWARD (an infinite loop on hostile bytes), so reject;
+        // all subsequent bound arithmetic runs in Long because
+        // off + 8 + len can overflow Int for len near 2^31
         val len = u32(off + 4).toInt
+        if (len < 0) return None
         if (ct == "fmt " && len >= 16) {
+          // a truncated fmt chunk (declared 16+, payload ends early)
+          // must quarantine, not throw: the fmt reads reach off + 24
+          if (off.toLong + 24 > payload.length) return None
           ok = u16(off + 8) == 1 && u16(off + 10) == 1 &&
             u16(off + 22) == 16 // PCM, mono, 16-bit
           rate = u32(off + 12).toInt
         } else if (ct == "data" && ok) {
           val n = len / 2
-          if (off + 8 + len > payload.length) return None
+          if (off.toLong + 8 + len > payload.length) return None
           data = Array.tabulate(n)(i => u16(off + 8 + i * 2).toShort)
         }
         off += 8 + len + (len & 1) // chunks pad to even length
@@ -190,9 +199,15 @@ object Multimodal {
       val bottomUp = rawH > 0
       val h = math.abs(rawH)
       if (u16(26) != 1 || u16(28) != 24 || u32(30) != 0) return None
-      if (w <= 0 || h <= 0) return None
+      // sane-dimension cap BEFORE any allocation: a hostile header can
+      // declare w/h whose Int products (stride·h, w·h) overflow and
+      // slip past an Int-arithmetic bound check — the cap keeps every
+      // product below 2^30 and the bound check itself runs in Long
+      if (w <= 0 || h <= 0 || w > 16384 || h > 16384) return None
+      // u32 returns Int: a top-bit data offset reads back negative
+      if (dataOff < 54) return None
       val stride = (w * 3 + 3) & ~3
-      if (dataOff + stride * h > payload.length) return None
+      if (dataOff.toLong + stride.toLong * h > payload.length) return None
       val out = new Array[Int](w * h)
       var y = 0
       while (y < h) {

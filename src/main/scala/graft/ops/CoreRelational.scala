@@ -1662,8 +1662,16 @@ object CoreRelational {
     * sort-merge strategy on both variants — without it the sf0.01 dim
     * side broadcasts and the contrast would be vacuous; at scale SMJ
     * is the strategy bucketing exists to serve. Bucketed tables write
-    * once per (session, dataset) into a temp dir (external tables in
-    * the session catalog; re-entry drops and rewrites). */
+    * ONCE per (session, dataset) — a [[graft.SessionCache]] memo (the
+    * bpeArtifacts precedent) holds the catalog table names, so
+    * re-entry does ZERO filesystem writes — into a STABLE dataset-
+    * keyed dir under java.io.tmpdir (round-10: the old
+    * fresh-temp-dir-per-call leaked orphaned parquet copies, because
+    * DROP TABLE on a path-based external table keeps its files;
+    * a stable path + overwrite mode makes repeated JVM runs reuse the
+    * same bytes instead of accumulating). */
+  private val bucketedTablesCache = new graft.SessionCache[(String, String)]
+
   def layoutBucketing(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val ord = Tables.orders(s, d)
@@ -1681,18 +1689,29 @@ object CoreRelational {
       (sh, srt, n)
     }
     val (shP, srtP, nP) = census(ord, li)
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft_bucketed").toString
-    s.sql("DROP TABLE IF EXISTS graft_bkt_orders")
-    s.sql("DROP TABLE IF EXISTS graft_bkt_lineitem")
-    ord.write.format("parquet").option("path", s"$tmp/o")
-      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .mode("overwrite").saveAsTable("graft_bkt_orders")
-    li.write.format("parquet").option("path", s"$tmp/l")
-      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .mode("overwrite").saveAsTable("graft_bkt_lineitem")
-    val (shB, srtB, nB) =
-      census(s.table("graft_bkt_orders"), s.table("graft_bkt_lineitem"))
+    val (tOrd, tLi) = bucketedTablesCache.getOrCompute(s, "bkt|" + d) {
+      // dataset-keyed table names: two datasets in one session (the
+      // warm-up pass runs sf0.001 before the bench sf) must not fight
+      // over one catalog name; the hash also keys the stable on-disk
+      // path so cross-JVM reruns overwrite rather than accumulate
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).map("%02x".format(_))
+        .mkString.take(12)
+      val dir = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft_bucketed_$h")
+        .getAbsolutePath
+      val (to, tl) = (s"graft_bkt_orders_$h", s"graft_bkt_lineitem_$h")
+      s.sql(s"DROP TABLE IF EXISTS $to")
+      s.sql(s"DROP TABLE IF EXISTS $tl")
+      ord.write.format("parquet").option("path", s"$dir/o")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable(to)
+      li.write.format("parquet").option("path", s"$dir/l")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable(tl)
+      (to, tl)
+    }
+    val (shB, srtB, nB) = census(s.table(tOrd), s.table(tLi))
     Seq(("bucketed", shB, srtB, nB), ("plain", shP, srtP, nP))
       .toDF("variant", "n_shuffle_exchange", "n_sort", "n_rows")
       .orderBy("variant")
@@ -1912,7 +1931,68 @@ object CoreRelational {
       .orderBy("query")
   }
 
+  /** T251: NATIVE-AS-OF strategy census — [[EventOps.evAsofNative]]
+    * executed to its FINAL adaptive plan, pinning that the custom
+    * [[graft.plans.AsofJoinExec]] merge node is the operator that
+    * actually runs (n_asof_exec = 1) and that NO fallback join
+    * strategy silently replaced it (n_fallback_join = 0): the exact
+    * regression a strategy/extension wiring change causes — the
+    * row-level result would stay identical through the compositional
+    * fallback while the plan quietly pays a union+window's cost. The
+    * shuffle/sort/scan counts pin the native plan's whole cost
+    * contract: two key-hash exchanges (probe + build), the build
+    * side's pre-aggregate exchange, the presentation range exchange,
+    * three (key, time) sorts, two parquet scans. LITERAL oracle, the
+    * plan_buildsides contract: Spark plan facts are not replayable
+    * elsewhere — the pin is the check. */
+  def planAsof(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val df = EventOps.evAsofNative(s, d)
+    df.collect() // run so every AQE query stage finalizes
+    val full = df.queryExecution.executedPlan.toString
+    val cut = full.indexOf("== Initial Plan ==")
+    val p = if (cut >= 0) full.substring(0, cut) else full
+    def n(pat: String): Long = pat.r.findAllIn(p).length.toLong
+    Seq(("ev_asof_native", n("AsofJoin \\["),
+      n("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin" +
+        "|BroadcastNestedLoopJoin|CartesianProduct)"),
+      n("Exchange (hashpartitioning|rangepartitioning)"),
+      n("Sort \\["), n("Scan parquet")))
+      .toDF("query", "n_asof_exec", "n_fallback_join",
+        "n_shuffle_exchange", "n_sort", "n_scans")
+  }
+
+  /** T252: SALTED-JOIN shape census — [[j14SaltedJoin]] executed to
+    * its final adaptive plan, pinning the mechanism the salted row's
+    * VALUES cannot see: the join that runs is keyed on (key, __salt)
+    * (n_salted_joins = 1 — a lost salt column degrades to a plain
+    * hot-key join with identical output), the dim side replicates
+    * through exactly one explode Generate (the 8x spread), and the
+    * fact side still pays ZERO extra shuffle for it (2 exchanges =
+    * the aggregate pair only; the salted dim BROADCASTS). Together
+    * with [[planAsof]] this closes the round-9 gap: both custom-
+    * strategy plans are now driver-checkable catalog rows, not just
+    * spec assertions. LITERAL oracle, same contract as the other
+    * census rows. */
+  def planSalted(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val df = j14SaltedJoin(s, d)
+    df.collect()
+    val full = df.queryExecution.executedPlan.toString
+    val cut = full.indexOf("== Initial Plan ==")
+    val p = if (cut >= 0) full.substring(0, cut) else full
+    def n(pat: String): Long = pat.r.findAllIn(p).length.toLong
+    Seq(("j14_saltedjoin", n("Join \\[[^\\]]*__salt"),
+      n("Generate explode"),
+      n("Exchange (hashpartitioning|rangepartitioning)"),
+      n("BroadcastExchange")))
+      .toDF("query", "n_salted_joins", "n_generate",
+        "n_shuffle_exchange", "n_broadcast_exchange")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "plan_asof" -> planAsof _,
+    "plan_salted" -> planSalted _,
     "plan_buildsides" -> planBuildSides _,
     "plan_shuffles" -> planShuffles _,
     "profile_skew" -> profileSkew _,
@@ -1991,6 +2071,24 @@ object CoreRelational {
     "w02_running"    -> w02Running _)
 
   val oracles: Map[String, String] = Map(
+    // LITERAL expected panel (plan_buildsides contract): the native
+    // as-of exec node runs, no fallback join, and the cost shape is
+    // 4 exchanges / 3 sorts / 2 scans at the verify config
+    "plan_asof" ->
+      """SELECT * FROM (VALUES
+        |  ('ev_asof_native', CAST(1 AS BIGINT), CAST(0 AS BIGINT),
+        |   CAST(4 AS BIGINT), CAST(3 AS BIGINT), CAST(2 AS BIGINT))
+        |) AS t(query, n_asof_exec, n_fallback_join,
+        |       n_shuffle_exchange, n_sort, n_scans)""".stripMargin,
+    // LITERAL expected panel: one (key, salt)-keyed join, one explode
+    // replication, two agg exchanges (the salted dim broadcasts — the
+    // fact never re-shuffles for the salt)
+    "plan_salted" ->
+      """SELECT * FROM (VALUES
+        |  ('j14_saltedjoin', CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+        |   CAST(2 AS BIGINT), CAST(1 AS BIGINT))
+        |) AS t(query, n_salted_joins, n_generate,
+        |       n_shuffle_exchange, n_broadcast_exchange)""".stripMargin,
     // LITERAL expected panel: AQE build-side choices are Spark runtime
     // facts no other engine can replay — the pin is the check (at the
     // sf0.01 verify scale every panel join broadcasts its dim side,

@@ -641,6 +641,29 @@ object GraphOps {
     * is the lexicographic min node id — canonical and engine-agnostic.
     * Exact integers + string min ⇒ no FP pinning needed; the oracle
     * replays reachability with a recursive CTE and takes MIN(label). */
+  /** Degree-capped 2-hop edge expansion — the scale guard in front of
+    * [[graphComponents]]' edges² composition. `edges` must be the
+    * SYMMETRIC edge list (both directions present), so per-src row
+    * counts ARE node degrees. Only pivots (the shared middle node)
+    * with degree ≤ cap participate in the squaring: each such pivot
+    * contributes ≤ cap·deg(pivot) pairs, so the whole expansion is
+    * ≤ cap·|E| — linear in the edge count REGARDLESS of skew, where
+    * the uncapped square is Σdeg² (quadratic in one hub's degree on a
+    * power-law graph). Dropping a pivot never changes the label-
+    * propagation fixpoint: 2-hop edges only accelerate convergence;
+    * rows through hubs still move 1-hop per round on `edges` itself. */
+  private[graft] def twoHopCapped(edges: DataFrame, cap: Int): DataFrame = {
+    val okPivot = edges.groupBy(col("src").as("mid"))
+      .agg(count(lit(1)).as("deg"))
+      .filter(col("deg") <= cap)
+      .select(col("mid"))
+    edges.as("e1")
+      .join(okPivot, col("e1.dst") === col("mid"))
+      .join(edges.as("e2"), col("mid") === col("e2.src"))
+      .select(col("e1.src").as("src"), col("e2.dst").as("dst"))
+      .filter(col("src") =!= col("dst"))
+  }
+
   def graphComponents(s: SparkSession, d: String): DataFrame = {
     val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
     // full-quantity deep-discount lineitems: sparse enough to
@@ -660,18 +683,19 @@ object GraphOps {
     // ~15 single-hop rounds at sf0.1 with per-round cost dominated by
     // fixed job latency, not data — propagating the min over
     // edges ∪ edges² moves it two hops per round and halves the round
-    // count for one extra up-front join. The expansion is bounded by
-    // Σ deg² of the BULK subgraph (the ≥50-qty ≥8%-discount gate keeps
-    // it sparse: 13.4k 2-hop pairs over 3k edges at sf0.1); at cluster
-    // scale the same trade carries a hub-degree cap before squaring.
-    // Fixpoint and probe semantics are unchanged: a zero-delta round
-    // under the WIDER edge set is a fortiori stable on the 1-hop
-    // edges, which is the convergence certificate.
-    val edges2 = edges.as("e1")
-      .join(edges.as("e2"), col("e1.dst") === col("e2.src"))
-      .select(col("e1.src").as("src"), col("e2.dst").as("dst"))
-      .filter(col("src") =!= col("dst"))
-    val hopEdges = edges.union(edges2).distinct().localCheckpoint()
+    // count for one extra up-front join. Round-10 writes the
+    // HUB-DEGREE CAP the squaring needs at cluster scale: a node of
+    // degree d contributes d² two-hop pairs, so one power-law hub
+    // makes edges² quadratic in its degree — [[twoHopCapped]] keeps
+    // only pivots with degree ≤ 32, bounding the expansion to
+    // O(cap·|E|) REGARDLESS of skew; hub rows still propagate 1-hop
+    // through `edges` itself, so the fixpoint is identical (2-hop
+    // edges are pure accelerators — any subset preserves the closure).
+    // Probe semantics are unchanged: a zero-delta round under the
+    // WIDER edge set is a fortiori stable on the 1-hop edges, which
+    // is the convergence certificate.
+    val hopEdges = edges.union(twoHopCapped(edges, 32))
+      .distinct().localCheckpoint()
     var labels = hopEdges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint()
@@ -707,11 +731,16 @@ object GraphOps {
         // labels only ever hold node ids). The probe above already
         // materialized prop's checkpoint, so the self-join's two
         // branches read cached blocks, not a recomputed edge join.
+        // The jump's checkpoint is LAZY (round-10 job trim): the NEXT
+        // round's fused probe is its materializing action, so each
+        // round pays ONE job (probe) instead of two (probe + eager
+        // jump count) — the join still reads only checkpointed
+        // leaves, so the self-join-composition trap does not apply.
         labels = prop.as("a")
           .join(prop.select(col("node").as("ln"), col("label").as("ll")),
             col("a.label") === col("ln"))
           .select(col("a.node").as("node"), col("ll").as("label"))
-          .localCheckpoint()
+          .localCheckpoint(false)
       } else {
         labels = prop.select(col("node"), col("label"))
       }

@@ -186,6 +186,32 @@ object TextOps {
       .orderBy(col("stage_idx"))
   }
 
+  /** The shared tokenized-corpus artifact (round-10 ask #3): one
+    * (source, doc_id, token-array) table, localCheckpoint'd once per
+    * (session, dataset) and read by FIVE consumers —
+    * [[textSearchBm25]], [[textTopTerms]], [[textPmi]], [[textRake]],
+    * [[textTextrank]] — that each previously re-ran the identical
+    * `filter(split(lower(text)))` scan+tokenize over the full corpus
+    * (the lmScores/cdcChunkTable discipline). The tokenize is the
+    * dominant per-query cost of the keyword/collocation suite, so
+    * paying it once is a ~4x cut on a quiet host; the checkpoint
+    * also truncates lineage for textrank's iterative consumer. At
+    * 100 TB this is the "tokenize once, derive many" layout every
+    * training pipeline writes to disk — here it lives as checkpointed
+    * blocks keyed by the live session. */
+  private val tokCorpusCache = new graft.SessionCache[DataFrame](df => {
+    df.unpersist(); ()
+  })
+
+  private[graft] def tokCorpus(s: SparkSession, d: String): DataFrame =
+    tokCorpusCache.getOrCompute(s, "tok|" + d) {
+      Tables.spread(Tables.documents(s, d))
+        .select(col("source"), col("doc_id"), expr(
+          "filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')")
+          .as("ts"))
+        .localCheckpoint()
+    }
+
   /** Character-level Shannon entropy (the gibberish/low-information
     * gate: natural text sits ~4.0-4.5 bits, single-char spam near 0,
     * uniform noise near log2(alphabet)). Same narrow higher-order
@@ -220,10 +246,8 @@ object TextOps {
     val qterms = Seq("stream", "window", "fast", "query")
     val k1 = 1.2
     val b = 0.75
-    val toks = Tables.documents(s, d).select(col("doc_id"),
-      explode(expr(
-        "filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')"))
-        .as("tok"))
+    val toks = tokCorpus(s, d).select(col("doc_id"),
+      explode(col("ts")).as("tok"))
     val perDoc = toks.groupBy("doc_id").agg(
       count(lit(1)).as("dl"),
       qterms.map(t =>
@@ -265,10 +289,8 @@ object TextOps {
     * Rank is taken over the ROUNDED score with a term tiebreak so both
     * engines order identically. */
   def textTopTerms(s: SparkSession, d: String): DataFrame = {
-    val toks = Tables.documents(s, d).select(col("source"),
-      explode(expr(
-        "filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')"))
-        .as("tok"))
+    val toks = tokCorpus(s, d).select(col("source"),
+      explode(col("ts")).as("tok"))
     val tf = toks.groupBy("source", "tok").agg(count(lit(1)).as("tf"))
     val dfTab = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val nSrc = tf.select(countDistinct(col("source")).as("n_src"))
@@ -298,16 +320,15 @@ object TextOps {
     * by broadcast joins; the 1-row doc count broadcasts. Ordering is
     * on the ROUNDED pmi with a pair tiebreak, as in text_topterms. */
   def textPmi(s: SparkSession, d: String): DataFrame = {
-    val tokArr = "filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')"
-    val dfTab = Tables.documents(s, d).select(
-        explode(array_distinct(expr(tokArr))).as("tok"))
+    val dfTab = tokCorpus(s, d).select(
+        explode(array_distinct(col("ts"))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 25)
     val vocab = dfTab.agg(sort_array(collect_list(col("tok"))).as("vocab"))
-    val nDocs = Tables.documents(s, d)
+    val nDocs = tokCorpus(s, d)
       .select(countDistinct(col("doc_id")).as("n_docs"))
-    val pairs = Tables.documents(s, d)
-      .select(sort_array(array_distinct(expr(tokArr))).as("ts"))
+    val pairs = tokCorpus(s, d)
+      .select(sort_array(array_distinct(col("ts"))).as("ts"))
       .crossJoin(broadcast(vocab))
       // sorted ∩ vocab keeps first-arg (ascending) order, so the
       // nested expansion below emits each unordered pair once, a < b
@@ -515,11 +536,9 @@ object TextOps {
   def textRake(s: SparkSession, d: String): DataFrame = {
     val stops = Seq("a", "the", "and", "of", "to", "in", "is", "it",
       "for", "on")
-    val toks = filter(split(lower(col("text")), "[^a-z0-9]+"),
-      t => length(t) > 0)
-    val marked = transform(toks,
+    val marked = transform(col("ts"),
       t => when(t.isInCollection(stops), lit("|")).otherwise(t))
-    val phrases = Tables.documents(s, d)
+    val phrases = tokCorpus(s, d)
       .select(explode(split(array_join(marked, " "), "\\|")).as("raw"))
       .select(trim(col("raw")).as("phrase"))
       .filter(col("phrase") =!= "")
@@ -590,9 +609,7 @@ object TextOps {
     * vocab count is a bounded driver scalar like pagerank's node
     * count. */
   def textTextrank(s: SparkSession, d: String): DataFrame = {
-    val toks = Tables.spread(Tables.documents(s, d))
-      .select(expr(
-        "filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')").as("ts"))
+    val toks = tokCorpus(s, d).select(col("ts"))
       .filter(size(col("ts")) >= 2)
     val pairs = toks.select(explode(expr(
         """transform(sequence(1, size(ts) - 1),

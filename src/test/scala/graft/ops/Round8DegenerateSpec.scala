@@ -66,7 +66,9 @@ class Round8DegenerateSpec extends SparkFunSuite {
     "dq_sequence_gaps",
     // round-9
     "profile_skew", "layout_bucketing", "ann_ivfadc",
-    "j14_saltedjoin", "mm_wav_features", "mm_bmp_features", "mm_video_motion")
+    "j14_saltedjoin", "mm_wav_features", "mm_bmp_features", "mm_video_motion",
+    // round-10
+    "plan_asof", "plan_salted")
 
   for (name <- round8)
     test(s"$name survives empty source tables") {
