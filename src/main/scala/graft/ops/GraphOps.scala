@@ -694,10 +694,22 @@ object GraphOps {
     // Probe semantics are unchanged: a zero-delta round under the
     // WIDER edge set is a fortiori stable on the 1-hop edges, which
     // is the convergence certificate.
+    // The loop artifacts are BULK-SUBGRAPH-sized, not corpus-sized —
+    // checkpointing them at the session's full shuffle width (32)
+    // makes every probe job pay 32 map tasks for a few thousand rows
+    // of actual work (round-10 probe: 23% of the loop was task
+    // scheduling). Size the width to the data instead: ~250k edges
+    // per partition, floor 4, cap 2048 — at sf0.1 that is 4 tasks per
+    // stage, at 100 TB it grows with the subgraph exactly like AQE
+    // sizes its post-shuffle stages. Keyed on the join columns so
+    // round 1 co-partitions both probe inputs for free.
+    val parts = math.max(4, math.min(2048,
+      (edges.count() * 33L / 250000L).toInt))
     val hopEdges = edges.union(twoHopCapped(edges, 32))
-      .distinct().localCheckpoint()
+      .distinct().repartition(parts, col("dst")).localCheckpoint()
     var labels = hopEdges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
+      .repartition(parts, col("node"))
       .localCheckpoint()
     var changed = true
     var round = 0

@@ -162,6 +162,85 @@ class Round10OpsSpec extends SparkFunSuite {
     assert(Wav.parse(trunc).isEmpty)
   }
 
+  // ---- baseline JPEG codec -------------------------------------------
+
+  private def mosaic(w: Int, h: Int)
+      : (Array[Byte], Array[Byte], Array[Byte]) = {
+    val y = Array.tabulate(w * h) { p =>
+      val bx = (p % w) / 8; val by = (p / w) / 8
+      ((7 + bx * 13 + by * 31) % 256).toByte
+    }
+    val cw = w / 2; val ch = h / 2
+    val cb = Array.tabulate(cw * ch) { p =>
+      ((11 + ((p % cw) / 8) * 5 + ((p / cw) / 8) * 3) % 256).toByte
+    }
+    val cr = Array.tabulate(cw * ch) { p =>
+      ((3 + ((p % cw) / 8) * 17 + ((p / cw) / 8) * 29) % 256).toByte
+    }
+    (y, cb, cr)
+  }
+
+  test("Jpeg: flat 8x8 tiles round-trip bit-exactly through the " +
+      "entropy-coded pipeline") {
+    import graft.multimodal.Jpeg
+    val (w, h) = (48, 32)
+    val (y, cb, cr) = mosaic(w, h)
+    val jpg = Jpeg.build(w, h, y, cb, cr)
+    // the stream really is entropy-coded: smaller than one raw plane
+    assert(jpg.length < w * h, s"no compression: ${jpg.length}")
+    // restart markers present (DRI honored by the writer)
+    assert(jpg.sliding(2).exists(a => (a(0) & 0xff) == 0xff &&
+      (a(1) & 0xff) >= 0xd0 && (a(1) & 0xff) <= 0xd7))
+    val (pw, ph, planes) = Jpeg.parse(jpg).get
+    assert(pw == w && ph == h)
+    assert(planes(0).sameElements(y), "luma plane diverged")
+    assert(planes(1).sameElements(cb), "Cb plane diverged")
+    assert(planes(2).sameElements(cr), "Cr plane diverged")
+  }
+
+  test("Jpeg: arbitrary content survives within rounding (full " +
+      "Huffman/AC/IDCT machinery)") {
+    import graft.multimodal.Jpeg
+    val (w, h) = (48, 32)
+    val y = Array.tabulate(w * h)(p => ((p * 2654435761L >> 7) % 256).toByte)
+    val cb = Array.tabulate(w * h / 4)(p => ((p * 40503L >> 3) % 256).toByte)
+    val cr = Array.tabulate(w * h / 4)(p => ((p * 9176L >> 2) % 256).toByte)
+    val jpg = Jpeg.build(w, h, y, cb, cr, restartInterval = 3)
+    // genuinely non-trivial entropy data must byte-stuff somewhere
+    assert(jpg.sliding(2).exists(a =>
+      (a(0) & 0xff) == 0xff && (a(1) & 0xff) == 0x00),
+      "no 0xFF00 stuffing in the entropy stream")
+    val (_, _, planes) = Jpeg.parse(jpg).get
+    def maxErr(a: Array[Byte], b: Array[Byte]): Int =
+      a.zip(b).map { case (x, z) => math.abs((x & 0xff) - (z & 0xff)) }.max
+    // all-ones quant tables: the only loss is double rounding
+    assert(maxErr(planes(0), y) <= 2 && maxErr(planes(1), cb) <= 2 &&
+      maxErr(planes(2), cr) <= 2)
+  }
+
+  test("Jpeg.parse: malformed streams reject, never crash or mis-decode") {
+    import graft.multimodal.Jpeg
+    val (w, h) = (32, 32)
+    val (y, cb, cr) = mosaic(w, h)
+    val jpg = Jpeg.build(w, h, y, cb, cr)
+    assert(Jpeg.parse(jpg.take(jpg.length / 2)).isEmpty, "truncated")
+    assert(Jpeg.parse(Array.fill[Byte](64)(0x41)).isEmpty, "garbage")
+    assert(Jpeg.parse(Array[Byte]()).isEmpty, "empty")
+    def flipMarker(from: Int, to: Int): Option[_] = {
+      val c = jpg.clone()
+      val i = c.sliding(2).indexWhere(a =>
+        (a(0) & 0xff) == 0xff && (a(1) & 0xff) == from)
+      assert(i >= 0, f"marker $from%02x not found")
+      c(i + 1) = to.toByte
+      Jpeg.parse(c)
+    }
+    // progressive SOF2 is not baseline
+    assert(flipMarker(0xc0, 0xc2).isEmpty, "progressive accepted")
+    // a desynchronized restart marker (wrong index) must reject, not
+    // silently mis-predict every later DC
+    assert(flipMarker(0xd0, 0xd5).isEmpty, "RST desync accepted")
+  }
+
   test("Bmp.parse: overflow-sized headers reject instead of crashing") {
     import graft.multimodal.Multimodal.Bmp
     val good = Bmp.build(3, 2, Array(1, 2, 3, 4, 5, 6))

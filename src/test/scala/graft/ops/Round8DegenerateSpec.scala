@@ -68,7 +68,7 @@ class Round8DegenerateSpec extends SparkFunSuite {
     "profile_skew", "layout_bucketing", "ann_ivfadc",
     "j14_saltedjoin", "mm_wav_features", "mm_bmp_features", "mm_video_motion",
     // round-10
-    "plan_asof", "plan_salted")
+    "plan_asof", "plan_salted", "mm_jpeg_features")
 
   for (name <- round8)
     test(s"$name survives empty source tables") {
