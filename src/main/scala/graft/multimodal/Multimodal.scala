@@ -11,12 +11,17 @@ import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
   * functions (the Scala analog of arrow-batched pandas UDFs — one
   * decoder instantiation per partition, rows streamed through it).
   *
-  * The actual media decode is STUBBED behind [[MediaCodec]] (decode
-  * libraries are not in this container): `FakeCodec` derives
-  * deterministic pseudo-features from the bytes so the Spark-side
-  * plumbing — schema, partitioning, batch shape, feature extraction —
-  * is real and tested end-to-end. Swapping in a real codec is a
-  * one-object change.
+  * Decoders plug in behind [[MediaCodec]]. The REAL ones: [[Wav]]
+  * (RIFF/WAVE PCM), [[Bmp]] (24-bit bottom-up), [[Y4m]] (YUV4MPEG2
+  * 4:2:0), and — closing the compressed-format gap in round 10 —
+  * [[JpegCodec]] over the from-spec baseline-JPEG pipeline
+  * ([[Jpeg]]). `FakeCodec`/`CountCodec` remain as the deterministic
+  * stand-ins for formats no zero-dependency JVM can decode
+  * (H.264/MP3-class), so the Spark-side plumbing — schema,
+  * partitioning, batch shape, feature extraction — stays testable
+  * end-to-end on every payload. Swapping codecs is a one-object
+  * change, and [[JpegCodec]] proves it with genuinely entropy-coded
+  * bytes.
   */
 object Multimodal {
 
@@ -343,6 +348,37 @@ object Multimodal {
       while (it.hasNext) hist(it.nextInt() % featureDim) += 1f
       Some(hist)
     }
+  }
+
+  /** The REAL compressed-image codec behind the SAME batched trait
+    * the stand-ins ride — the "swapping in a real codec is a
+    * one-object change" claim of this file, made literal (round 10):
+    * payload bytes go through the from-spec baseline-JPEG decoder
+    * ([[Jpeg.parse]] — Huffman entropy decode, dequant, IDCT) and the
+    * features are a 16+8+8 luma/Cb/Cr intensity histogram over the
+    * DECODED planes. Bytes that are not a well-formed baseline JPEG
+    * quarantine as None, exactly like undecodable assets in a
+    * production intake. */
+  final class JpegCodec extends MediaCodec {
+    val featureDim: Int = 32
+    def decode(payload: Array[Byte], meta: Row): Option[Array[Float]] =
+      Jpeg.parse(payload).map { case (_, _, planes) =>
+        val f = new Array[Float](featureDim)
+        val y = planes(0)
+        var i = 0
+        while (i < y.length) { f((y(i) & 0xff) / 16) += 1f; i += 1 }
+        if (planes.length > 1) {
+          val cb = planes(1)
+          var j = 0
+          while (j < cb.length) { f(16 + ((cb(j) & 0xff) / 32)) += 1f; j += 1 }
+        }
+        if (planes.length > 2) {
+          val cr = planes(2)
+          var k = 0
+          while (k < cr.length) { f(24 + ((cr(k) & 0xff) / 32)) += 1f; k += 1 }
+        }
+        f
+      }
   }
 
   /** Build a media table from the documents table: payload = utf-8

@@ -241,6 +241,38 @@ class Round10OpsSpec extends SparkFunSuite {
     assert(flipMarker(0xd0, 0xd5).isEmpty, "RST desync accepted")
   }
 
+  test("JpegCodec: the real codec rides the batched MediaCodec path") {
+    import graft.multimodal.{Jpeg, Multimodal}
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val (w, h) = (32, 32)
+    val (y, cb, cr) = mosaic(w, h)
+    val jpg = Jpeg.build(w, h, y, cb, cr)
+    val mediaSchema = Multimodal.mediaSchema
+    val rows = Seq(
+      Row(1L, jpg, Row("image", "jpeg", w, h, 0L, "mem://1")),
+      Row(2L, Array.fill[Byte](64)(0x41), // not a JPEG: quarantined
+        Row("image", "jpeg", 0, 0, 0L, "mem://2")))
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), mediaSchema)
+    val out = Multimodal
+      .extractFeatures(media, new Multimodal.JpegCodec)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), Option(r.getSeq[Float](2)))).toMap
+    assert(out(1L)._1 && !out(2L)._1, "ok flags wrong")
+    assert(out(2L)._2.isEmpty, "quarantined payload grew features")
+    val f = out(1L)._2.get
+    assert(f.length == 32)
+    // histogram masses = decoded plane sizes (luma w*h, chroma w*h/4)
+    assert(f.take(16).sum == w * h.toFloat)
+    assert(f.slice(16, 24).sum == w * h / 4f)
+    assert(f.drop(24).sum == w * h / 4f)
+    // and the luma histogram is the DECODED pixel histogram
+    val expected = new Array[Float](16)
+    y.foreach(b => expected((b & 0xff) / 16) += 1f)
+    assert(f.take(16).sameElements(expected), "luma histogram diverged")
+  }
+
   test("Bmp.parse: overflow-sized headers reject instead of crashing") {
     import graft.multimodal.Multimodal.Bmp
     val good = Bmp.build(3, 2, Array(1, 2, 3, 4, 5, 6))
