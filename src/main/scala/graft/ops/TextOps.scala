@@ -205,8 +205,14 @@ object TextOps {
 
   private[graft] def tokCorpus(s: SparkSession, d: String): DataFrame =
     tokCorpusCache.getOrCompute(s, "tok|" + d) {
-      Tables.spread(Tables.documents(s, d))
-        .select(col("source"), col("doc_id"), expr(
+      val docs = Tables.spread(Tables.documents(s, d))
+      // minimal fixtures (unit specs) carry only (doc_id, text); the
+      // artifact keeps a fixed 3-column schema either way so every
+      // consumer sees one shape
+      val src =
+        if (docs.columns.contains("source")) col("source")
+        else lit(null).cast("string").as("source")
+      docs.select(src, col("doc_id"), expr(
           "filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')")
           .as("ts"))
         .localCheckpoint()
