@@ -402,6 +402,28 @@ class PlanAuditSpec extends SparkFunSuite {
     }
   }
 
+  test("round-10 plans: text suite reads the shared token artifact, " +
+      "never the parquet") {
+    // build the memo once, then EVERY keyword/collocation consumer
+    // must plan against the checkpointed token table — a parquet scan
+    // in any of these plans means the shared-tokenize discipline
+    // regressed to five corpus re-tokenizations
+    TextOps.tokCorpus(spark, sfDir).count()
+    Seq(
+      "text_textrank" -> TextOps.textTextrank(spark, sfDir),
+      "text_search_bm25" -> TextOps.textSearchBm25(spark, sfDir),
+      "text_rake" -> TextOps.textRake(spark, sfDir),
+      "text_pmi" -> TextOps.textPmi(spark, sfDir),
+      "text_topterms" -> TextOps.textTopTerms(spark, sfDir)
+    ).foreach { case (n, df) =>
+      val p = plan(df)
+      assert(!p.contains("Scan parquet"),
+        s"$n re-tokenizes the corpus instead of reading the artifact")
+      assert(p.contains("ExistingRDD"),
+        s"$n does not read the checkpointed token table")
+    }
+  }
+
   test("partitioned table prunes partitions at scan time") {
     val dir = Files.createTempDirectory("ptab").toString + "/t"
     val df = graft.Tables.orders(spark, sfDir)
