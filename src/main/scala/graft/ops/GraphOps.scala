@@ -743,16 +743,16 @@ object GraphOps {
         // labels only ever hold node ids). The probe above already
         // materialized prop's checkpoint, so the self-join's two
         // branches read cached blocks, not a recomputed edge join.
-        // The jump's checkpoint is LAZY (round-10 job trim): the NEXT
-        // round's fused probe is its materializing action, so each
-        // round pays ONE job (probe) instead of two (probe + eager
-        // jump count) — the join still reads only checkpointed
-        // leaves, so the self-join-composition trap does not apply.
+        // The jump checkpoints EAGERLY on purpose: the next round's
+        // prop references `labels` TWICE (join side + union side), so
+        // a lazy mark would recompute the jump join once per branch
+        // inside the fused probe job — measured slower than paying
+        // the one cheap materializing count here (round-10 A/B).
         labels = prop.as("a")
           .join(prop.select(col("node").as("ln"), col("label").as("ll")),
             col("a.label") === col("ln"))
           .select(col("a.node").as("node"), col("ll").as("label"))
-          .localCheckpoint(false)
+          .localCheckpoint()
       } else {
         labels = prop.select(col("node"), col("label"))
       }

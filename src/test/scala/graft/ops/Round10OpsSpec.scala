@@ -241,6 +241,30 @@ class Round10OpsSpec extends SparkFunSuite {
     assert(flipMarker(0xd0, 0xd5).isEmpty, "RST desync accepted")
   }
 
+  test("Jpeg: property sweep — every MCU-aligned dimension and content " +
+      "mix round-trips") {
+    import graft.multimodal.Jpeg
+    for (seed <- 1L to 6L) {
+      val w = 16 * (1 + (seed % 4)).toInt
+      val h = 16 * (1 + ((seed * 7) % 3)).toInt
+      val rnd = new scala.util.Random(seed)
+      val y = Array.fill(w * h)(rnd.nextInt(256).toByte)
+      val cb = Array.fill(w * h / 4)(rnd.nextInt(256).toByte)
+      val cr = Array.fill(w * h / 4)(rnd.nextInt(256).toByte)
+      val ri = 1 + (seed % 5).toInt
+      val jpg = Jpeg.build(w, h, y, cb, cr, restartInterval = ri)
+      val parsed = Jpeg.parse(jpg)
+      assert(parsed.isDefined, s"seed=$seed ${w}x$h ri=$ri failed to parse")
+      val (pw, ph, planes) = parsed.get
+      assert(pw == w && ph == h)
+      def maxErr(a: Array[Byte], b: Array[Byte]): Int =
+        a.zip(b).map { case (x, z) => math.abs((x & 0xff) - (z & 0xff)) }.max
+      assert(maxErr(planes(0), y) <= 2, s"seed=$seed luma error")
+      assert(maxErr(planes(1), cb) <= 2 && maxErr(planes(2), cr) <= 2,
+        s"seed=$seed chroma error")
+    }
+  }
+
   test("JpegCodec: the real codec rides the batched MediaCodec path") {
     import graft.multimodal.{Jpeg, Multimodal}
     import org.apache.spark.sql.Row
