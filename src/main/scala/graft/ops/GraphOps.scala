@@ -97,14 +97,19 @@ object GraphOps {
       val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
         .persist()
       // pre-partitioned by src: every iterative consumer (pagerank,
-      // LPA, BFS) joins this table on src each round. At test scale
-      // this is measured-neutral (AQE broadcasts the checkpointed
-      // node-sized side, so the edge table never shuffles either way);
-      // at cluster scale the node table won't broadcast and the
-      // persisted hash partitioning is what keeps the per-round join
-      // from re-shuffling the edge table every iteration
+      // LPA, BFS) joins this table on src each round. At cluster
+      // scale the node table won't broadcast and the persisted hash
+      // partitioning is what keeps the per-round join from
+      // re-shuffling the edge table every iteration. Width is sized
+      // to the DATA (the graph_cc round-10 lesson: a session-wide 32
+      // makes every round's map side pay 32 task launches for a few
+      // thousand rows — measured 23% of an iterative loop), ~250k
+      // edges per partition with floor 4, growing at cluster scale
+      // exactly like AQE sizes post-shuffle stages.
+      val parts = math.max(4, math.min(2048,
+        (csIndex(s, d).count() * 2L / 250000L).toInt))
       val edgesDeg = edges.join(deg, "src")
-        .repartition(col("src")).persist()
+        .repartition(parts, col("src")).persist()
       // bounded driver scalar (node count), like the bucket-id collects
       val n = deg.count()
       (edgesDeg, deg, n)
