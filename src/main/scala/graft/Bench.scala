@@ -30,7 +30,13 @@ import org.apache.spark.sql.SparkSession
   * exceeds 1.25x the clean-median total flags `contaminated` even when
   * no single query hits 10x (the broad +40% band of judge-r9's text_*
   * stripe), and the heal pass then re-measures the WHOLE band
-  * (>1.25x median, 0.1 s floor), not just 10x offenders.
+  * (>1.25x median, 0.1 s floor), not just 10x offenders. The drift
+  * flag requires environmental corroboration (load_start > 1 or
+  * steal > 2%): on a genuinely quiet host a drifted total is a REAL
+  * regression — flagging it contaminated would exclude the slower
+  * truth from the median history forever (a one-way ratchet) and
+  * misattribute a code problem to the host. Quiet-host drift is
+  * recorded as `total_drift: true` with `contaminated: false`.
   */
 object Bench {
 
@@ -200,11 +206,20 @@ object Bench {
     val stealEnd = stealPct()
     // run-level drift (round-10 ask #4): a broad sub-10x band — the
     // blind spot of every per-query trigger — flags on the TOTAL
-    // against the clean same-sf median history
+    // against the clean same-sf median history. The flag requires
+    // environmental corroboration (non-trivial load or steal): a
+    // drifted total on a GENUINELY quiet host is a real regression,
+    // and calling it contamination would be a one-way ratchet — the
+    // slower truth would be excluded from the median history forever
+    // and every later clean run would flag against a stale fast
+    // baseline. Quiet-host drift is still recorded (total_drift in
+    // the JSON) so a regression is visible, just not misattributed.
     val (totalDrift, commonTotal, commonMedianTotal) =
       runLevelDrift(results, medians)
+    val envSuspect = loadStart > 1.0 || stealStart > 2.0 || stealEnd > 2.0
+    val driftContaminated = totalDrift && envSuspect
     val contaminated = loadStart > 3.0 || inflated.nonEmpty ||
-      stealStart > 8.0 || stealEnd > 8.0 || totalDrift
+      stealStart > 8.0 || stealEnd > 8.0 || driftContaminated
     // Self-healing (round-8 ask #3): the driver's host was loaded in
     // two consecutive rounds, so a contaminated run re-measures every
     // query that sits 10x above its clean same-sf median (not just the
@@ -213,14 +228,15 @@ object Bench {
     // reports per-query min(raw, re-run) — a usable round-over-round
     // signal from the polluted run itself; the raw value stays the
     // headline so contamination is never silently hidden.
-    // when the RUN drifted, heal the whole band (every query sitting
-    // 1.25x over its median with a 0.1 s absolute floor — the 10x
-    // trigger alone would re-measure none of a +40% stripe), not just
-    // the 10x offenders
+    // when the RUN drifted under environmental suspicion, heal the
+    // whole band (every query sitting 1.25x over its median with a
+    // 0.1 s absolute floor — the 10x trigger alone would re-measure
+    // none of a +40% stripe), not just the 10x offenders; quiet-host
+    // drift is a regression, not a band to heal
     val inflatedAll = results.filter { case (k, v) =>
       medians.get(k).exists(m => m > 0 &&
         ((v > 10 * m && v > 1.0) ||
-          (totalDrift && v > 1.25 * m && v - m > 0.1)))
+          (driftContaminated && v > 1.25 * m && v - m > 0.1)))
     }.map(_._1)
     val healed: Map[String, Double] =
       if (inflatedAll.isEmpty) Map.empty

@@ -445,6 +445,10 @@ object Jpeg {
       case _: ParseFail => None
       case _: ArrayIndexOutOfBoundsException => None
       case _: NegativeArraySizeException => None
+      // hostile DHT bytes reach HuffSpec's structural require()s
+      // (duplicate symbols, over-subscribed code space) — those are
+      // malformed-stream rejections, not crashes
+      case _: IllegalArgumentException => None
     }
 
   private def parseOrThrow(b: Array[Byte])
@@ -541,9 +545,25 @@ object Jpeg {
     val vmax = comps.map(_.vS).max
     val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
     val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
-    // padded per-component planes (MCU-aligned); cropped on return
+    // Plausibility gate BEFORE any plane allocation (the Bmp lesson —
+    // a ~150-byte payload declaring 16384x16384x4 components must not
+    // OOM the executor): every 8x8 block costs at least 2 entropy
+    // bits (a DC category code + an EOB, each >= 1 bit under ANY
+    // legal Huffman table), i.e. at most 4 blocks per entropy byte —
+    // a header whose declared block count exceeds what the remaining
+    // bytes could possibly encode is hostile or truncated.
+    val totalBlocks = mcusX.toLong * mcusY.toLong *
+      comps.map(c => c.hS * c.vS).sum
+    val entropyBytes = (b.length - sosAt).toLong
+    if (totalBlocks > entropyBytes * 4 + 64) fail()
+    // padded per-component planes (MCU-aligned); cropped on return.
+    // Long-checked sizes: the 16384 dim cap bounds each plane at 2^28
+    // elements, but the multiply is checked in Long regardless
     val padW = comps.map(c => mcusX * 8 * c.hS)
     val padH = comps.map(c => mcusY * 8 * c.vS)
+    comps.indices.foreach { i =>
+      if (padW(i).toLong * padH(i) > (1L << 30)) fail()
+    }
     val planes = Array.tabulate(comps.length)(i =>
       new Array[Byte](padW(i) * padH(i)))
     comps.foreach { c => if (quant(c.tq) == null) fail() }

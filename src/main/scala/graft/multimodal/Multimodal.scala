@@ -104,32 +104,35 @@ object Multimodal {
         new String(payload, o, 4, "US-ASCII")
       if (payload == null || payload.length < 44) return None
       if (tagAt(0) != "RIFF" || tagAt(8) != "WAVE") return None
-      var off = 12
+      // the walk cursor is a LONG: a declared chunk size near 2^31
+      // (positive Int, so a len<0 check alone misses it) would wrap an
+      // Int cursor negative and crash tagAt instead of quarantining —
+      // with a Long cursor the oversized advance simply exits the loop
+      var off = 12L
       var rate = -1
       var ok = false
       var data: Array[Short] = null
       while (off + 8 <= payload.length && data == null) {
-        val ct = tagAt(off)
-        // a declared chunk size with the top bit set (e.g. 0xFFFFFFF8)
-        // goes negative in Int — accepting it would walk `off`
-        // BACKWARD (an infinite loop on hostile bytes), so reject;
-        // all subsequent bound arithmetic runs in Long because
-        // off + 8 + len can overflow Int for len near 2^31
-        val len = u32(off + 4).toInt
+        val o = off.toInt // safe: off + 8 <= length <= Int.MaxValue
+        val ct = tagAt(o)
+        // a declared size with the top bit set (e.g. 0xFFFFFFF8) goes
+        // negative in Int — accepting it would walk the cursor
+        // BACKWARD (an infinite loop on hostile bytes), so reject
+        val len = u32(o + 4).toInt
         if (len < 0) return None
         if (ct == "fmt " && len >= 16) {
           // a truncated fmt chunk (declared 16+, payload ends early)
           // must quarantine, not throw: the fmt reads reach off + 24
-          if (off.toLong + 24 > payload.length) return None
-          ok = u16(off + 8) == 1 && u16(off + 10) == 1 &&
-            u16(off + 22) == 16 // PCM, mono, 16-bit
-          rate = u32(off + 12).toInt
+          if (off + 24 > payload.length) return None
+          ok = u16(o + 8) == 1 && u16(o + 10) == 1 &&
+            u16(o + 22) == 16 // PCM, mono, 16-bit
+          rate = u32(o + 12).toInt
         } else if (ct == "data" && ok) {
           val n = len / 2
-          if (off.toLong + 8 + len > payload.length) return None
-          data = Array.tabulate(n)(i => u16(off + 8 + i * 2).toShort)
+          if (off + 8 + len > payload.length) return None
+          data = Array.tabulate(n)(i => u16(o + 8 + i * 2).toShort)
         }
-        off += 8 + len + (len & 1) // chunks pad to even length
+        off += 8L + len + (len & 1) // chunks pad to even length
       }
       if (ok && rate > 0 && data != null) Some((rate, data)) else None
     }

@@ -1664,12 +1664,12 @@ object CoreRelational {
     * is the strategy bucketing exists to serve. Bucketed tables write
     * ONCE per (session, dataset) — a [[graft.SessionCache]] memo (the
     * bpeArtifacts precedent) holds the catalog table names, so
-    * re-entry does ZERO filesystem writes — into a STABLE dataset-
-    * keyed dir under java.io.tmpdir (round-10: the old
-    * fresh-temp-dir-per-call leaked orphaned parquet copies, because
-    * DROP TABLE on a path-based external table keeps its files;
-    * a stable path + overwrite mode makes repeated JVM runs reuse the
-    * same bytes instead of accumulating). */
+    * re-entry does ZERO filesystem writes — into a (dataset, JVM)-
+    * keyed dir under java.io.tmpdir that a shutdown hook removes
+    * (round-10: the old fresh-temp-dir-per-call leaked orphaned
+    * parquet copies, because DROP TABLE on a path-based external
+    * table keeps its files; the pid key keeps two concurrent JVMs
+    * from overwriting each other's files mid-scan). */
   private val bucketedTablesCache = new graft.SessionCache[(String, String)]
 
   def layoutBucketing(s: SparkSession, d: String): DataFrame = {
@@ -1692,14 +1692,27 @@ object CoreRelational {
     val (tOrd, tLi) = bucketedTablesCache.getOrCompute(s, "bkt|" + d) {
       // dataset-keyed table names: two datasets in one session (the
       // warm-up pass runs sf0.001 before the bench sf) must not fight
-      // over one catalog name; the hash also keys the stable on-disk
-      // path so cross-JVM reruns overwrite rather than accumulate
+      // over one catalog name. The on-disk path is (dataset, JVM)-
+      // keyed: dataset hash for stability within a process, pid so
+      // two CONCURRENT JVMs (a bench next to a test suite) never
+      // overwrite each other's files mid-scan; a shutdown hook
+      // deletes this JVM's dir so repeated runs don't accumulate
+      // (the round-10 ADVICE leak, closed without the shared-path
+      // race the first fix traded it for)
       val h = java.security.MessageDigest.getInstance("MD5")
         .digest(d.getBytes("UTF-8")).map("%02x".format(_))
         .mkString.take(12)
-      val dir = new java.io.File(
-        System.getProperty("java.io.tmpdir"), s"graft_bucketed_$h")
-        .getAbsolutePath
+      val pid = ProcessHandle.current().pid()
+      val dirF = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft_bucketed_${h}_$pid")
+      val dir = dirF.getAbsolutePath
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(); ()
+        }
+        try rm(dirF) catch { case _: Throwable => () }
+      }))
       val (to, tl) = (s"graft_bkt_orders_$h", s"graft_bkt_lineitem_$h")
       s.sql(s"DROP TABLE IF EXISTS $to")
       s.sql(s"DROP TABLE IF EXISTS $tl")

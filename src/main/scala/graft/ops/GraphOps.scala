@@ -55,6 +55,17 @@ object GraphOps {
     * per (session, dataset) and persisted, like the shingle/IVF index
     * artifacts: without the memo each graph query would re-pay the
     * fact-table join + distinct. */
+  /** Shuffle width for a persisted/checkpointed iterative-loop
+    * artifact, sized to the DATA instead of the session width: ~250k
+    * rows per partition, floor 4, cap 2048. A session-wide 32 makes
+    * every loop round's map side pay 32 task launches over a few
+    * thousand rows (measured 23% of graph_cc's loop); at cluster
+    * scale the width grows with the subgraph exactly like AQE sizes
+    * its post-shuffle stages. Division runs in Long BEFORE narrowing
+    * so an astronomically large count cannot wrap negative. */
+  private[graft] def dataParts(rows: Long): Int =
+    math.max(4L, math.min(2048L, rows / 250000L)).toInt
+
   private val csCache = new graft.SessionCache[DataFrame](df => {
     df.unpersist(); ()
   })
@@ -103,13 +114,10 @@ object GraphOps {
       // re-shuffling the edge table every iteration. Width is sized
       // to the DATA (the graph_cc round-10 lesson: a session-wide 32
       // makes every round's map side pay 32 task launches for a few
-      // thousand rows — measured 23% of an iterative loop), ~250k
-      // edges per partition with floor 4, growing at cluster scale
-      // exactly like AQE sizes post-shuffle stages.
-      val parts = math.max(4, math.min(2048,
-        (csIndex(s, d).count() * 2L / 250000L).toInt))
+      // thousand rows — measured 23% of an iterative loop).
       val edgesDeg = edges.join(deg, "src")
-        .repartition(parts, col("src")).persist()
+        .repartition(dataParts(csIndex(s, d).count() * 2L), col("src"))
+        .persist()
       // bounded driver scalar (node count), like the bucket-id collects
       val n = deg.count()
       (edgesDeg, deg, n)
@@ -700,16 +708,11 @@ object GraphOps {
     // WIDER edge set is a fortiori stable on the 1-hop edges, which
     // is the convergence certificate.
     // The loop artifacts are BULK-SUBGRAPH-sized, not corpus-sized —
-    // checkpointing them at the session's full shuffle width (32)
-    // makes every probe job pay 32 map tasks for a few thousand rows
-    // of actual work (round-10 probe: 23% of the loop was task
-    // scheduling). Size the width to the data instead: ~250k edges
-    // per partition, floor 4, cap 2048 — at sf0.1 that is 4 tasks per
-    // stage, at 100 TB it grows with the subgraph exactly like AQE
-    // sizes its post-shuffle stages. Keyed on the join columns so
-    // round 1 co-partitions both probe inputs for free.
-    val parts = math.max(4, math.min(2048,
-      (edges.count() * 33L / 250000L).toInt))
+    // checkpoint them at [[dataParts]]' data-sized width (at sf0.1
+    // that is 4 tasks per stage instead of 32). The 33x factor bounds
+    // the capped 2-hop expansion (≤ cap·|E| + |E|); keyed on the join
+    // columns so round 1 co-partitions both probe inputs for free.
+    val parts = dataParts(edges.count() * 33L)
     val hopEdges = edges.union(twoHopCapped(edges, 32))
       .distinct().repartition(parts, col("dst")).localCheckpoint()
     var labels = hopEdges.select(col("src").as("node")).distinct()

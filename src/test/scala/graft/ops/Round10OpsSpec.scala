@@ -93,7 +93,8 @@ class Round10OpsSpec extends SparkFunSuite {
       .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_))
       .mkString.take(12)
     val dir = new java.io.File(
-      System.getProperty("java.io.tmpdir"), s"graft_bucketed_$h")
+      System.getProperty("java.io.tmpdir"),
+      s"graft_bucketed_${h}_${ProcessHandle.current().pid()}")
     assert(dir.isDirectory, "stable bucketed dir missing")
     def snapshot(): Map[String, Long] = {
       def walk(f: java.io.File): Seq[java.io.File] =
@@ -157,6 +158,13 @@ class Round10OpsSpec extends SparkFunSuite {
     neg(16) = 0xf8.toByte; neg(17) = 0xff.toByte
     neg(18) = 0xff.toByte; neg(19) = 0xff.toByte
     assert(Wav.parse(neg).isEmpty)
+    // POSITIVE near-2^31 chunk size: passes a len<0 check but wraps
+    // an Int cursor negative — the Long cursor must just run off the
+    // end and reject (the round-10 review catch)
+    val big = good.clone()
+    big(16) = 0xf4.toByte; big(17) = 0xff.toByte
+    big(18) = 0xff.toByte; big(19) = 0x7f.toByte
+    assert(Wav.parse(big).isEmpty)
     // truncated fmt chunk: declared 16 bytes, payload ends early
     val trunc = good.take(20)
     assert(Wav.parse(trunc).isEmpty)
@@ -239,6 +247,22 @@ class Round10OpsSpec extends SparkFunSuite {
     // a desynchronized restart marker (wrong index) must reject, not
     // silently mis-predict every later DC
     assert(flipMarker(0xd0, 0xd5).isEmpty, "RST desync accepted")
+    // hostile DHT: duplicate a symbol value inside the table — the
+    // structural require must surface as None, never as an exception
+    // escaping parse (round-10 review catch)
+    val dht = jpg.clone()
+    val dhtAt = dht.sliding(2).indexWhere(a =>
+      (a(0) & 0xff) == 0xff && (a(1) & 0xff) == 0xc4)
+    dht(dhtAt + 4 + 17) = dht(dhtAt + 4 + 18) // vals[0] := vals[1]
+    assert(Jpeg.parse(dht).isEmpty, "hostile DHT accepted or crashed")
+    // hostile SOF dims: a ~1 KB stream declaring 16368x16368 must
+    // reject at the plausibility gate BEFORE allocating ~270 MB planes
+    val huge = jpg.clone()
+    val sofAt = huge.sliding(2).indexWhere(a =>
+      (a(0) & 0xff) == 0xff && (a(1) & 0xff) == 0xc0)
+    huge(sofAt + 5) = 0x3f.toByte; huge(sofAt + 6) = 0xf0.toByte // h
+    huge(sofAt + 7) = 0x3f.toByte; huge(sofAt + 8) = 0xf0.toByte // w
+    assert(Jpeg.parse(huge).isEmpty, "implausible dims accepted")
   }
 
   test("Jpeg: property sweep — every MCU-aligned dimension and content " +
