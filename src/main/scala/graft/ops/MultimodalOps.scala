@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.multimodal.Multimodal
+import graft.multimodal.{Avi, Multimodal}
 
 /** Multimodal catalog entries: binary payload → per-partition batched
   * feature extraction (decode stubbed behind FakeCodec — see
@@ -365,7 +365,483 @@ object MultimodalOps {
     feats.orderBy(col("doc_id")).limit(20)
   }
 
+  /** T254: LOSSLESS compressed-image decode — the PNG sibling of
+    * [[mmJpegFeatures]]: per doc a deterministic pixel field (odd
+    * widths, h ≥ 5 so the writer's y-mod-5 filter cycle exercises ALL
+    * FIVE scanline filters) serializes through
+    * [[graft.multimodal.Png.build]] (DEFLATE via the JDK's zlib,
+    * CRC-32-framed chunks, IDAT split in two with an ancillary tEXt
+    * chunk between) and parses back through the CRC-verifying,
+    * filter-reversing decoder. DEFLATE is lossless, so unlike JPEG
+    * the pixel field is arbitrary — no flat-tile constraint — and
+    * every decoded feature replays arithmetically: channel sums plus
+    * a POSITION-weighted red sum (Σ (p+1)·r) that goes red if any
+    * filter reversal, Paeth tie-break, or row order is wrong even
+    * when plain sums survive.
+    *
+    * Scale posture: identical to the other mm_ rows — one
+    * mapPartitions over doc ids (decode is embarrassingly parallel;
+    * at 100 TB payloads arrive from storage but the decode stage is
+    * the same), per-row feature folds, TakeOrdered top-20. */
+  def mmPngFeatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ids = Tables.spread(Tables.documents(s, d))
+      .select(col("doc_id")).as[Long]
+    val feats = ids.mapPartitions { it =>
+      it.map { id =>
+        val w = 9 + (id % 4).toInt * 2
+        val h = 7 + (id % 3).toInt * 2
+        val px = Array.tabulate(w * h) { p =>
+          val x = p % w; val y = p / w
+          val r = ((id * 7 + x * 3 + y * 5) % 256).toInt
+          val g = ((id * 11 + x * 2 + y * 3) % 256).toInt
+          val b = ((id * 13 + x + y * 7) % 256).toInt
+          (r << 16) | (g << 8) | b
+        }
+        val png = graft.multimodal.Png.build(w, h, px)
+        val (pw, ph, dec) = graft.multimodal.Png.parse(png)
+          .getOrElse(throw new IllegalStateException(
+            s"png round-trip failed for doc $id"))
+        var sr = 0L; var sg = 0L; var sb = 0L; var posR = 0L
+        var p = 0
+        while (p < dec.length) {
+          val r = (dec(p) >> 16) & 0xff
+          sr += r; sg += (dec(p) >> 8) & 0xff; sb += dec(p) & 0xff
+          posR += (p + 1).toLong * r
+          p += 1
+        }
+        (id, pw, ph, sr, sg, sb, posR)
+      }
+    }.toDF("doc_id", "width", "height", "sum_r", "sum_g", "sum_b",
+      "pos_r")
+    feats.orderBy(col("doc_id")).limit(20)
+  }
+
+  /** T255: palette-image decode through a HAND-ROLLED entropy coder —
+    * the GIF89a row: per doc a deterministic index field with
+    * 3-pixel runs (runs force the encoder to reference just-created
+    * dictionary entries — the KwKwK case — on every repeat) encodes
+    * through the from-spec variable-width LZW
+    * ([[graft.multimodal.Gif]] — the one codec with NO JDK
+    * delegation: LSB-first bit packing, 9→12-bit width bumps, CLEAR
+    * resets, ≤255-byte sub-blocks, a Graphic Control Extension to
+    * skip) and decodes back. GIF is lossless over indices, so the
+    * features replay arithmetically: index sum, the three
+    * palette-MAPPED channel sums (the deterministic (7i,5i,3i)
+    * palette the oracle rebuilds — a palette-read bug goes red where
+    * index sums survive), and the row-major RUN count (boundary
+    * count under lag — exactly the structure the KwKwK special case
+    * corrupts when mishandled). */
+  def mmGifFeatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ids = Tables.spread(Tables.documents(s, d))
+      .select(col("doc_id")).as[Long]
+    val feats = ids.mapPartitions { it =>
+      it.map { id =>
+        val w = 21 + (id % 5).toInt * 4
+        val h = 14 + (id % 4).toInt * 3
+        val idx = Array.tabulate(w * h) { p =>
+          val x = p % w; val y = p / w
+          ((id * 13 + (x / 3) * 7 + y * 11) % 256).toByte
+        }
+        val gif = graft.multimodal.Gif.build(w, h, idx)
+        val (pw, ph, dec, pal) = graft.multimodal.Gif.parse(gif)
+          .getOrElse(throw new IllegalStateException(
+            s"gif round-trip failed for doc $id"))
+        var idxSum = 0L; var pr = 0L; var pg = 0L; var pb = 0L
+        var runs = 0
+        var p = 0
+        while (p < dec.length) {
+          val v = dec(p) & 0xff
+          idxSum += v
+          val c = pal(v)
+          pr += (c >> 16) & 0xff; pg += (c >> 8) & 0xff; pb += c & 0xff
+          if (p == 0 || dec(p - 1) != dec(p)) runs += 1
+          p += 1
+        }
+        (id, pw, ph, idxSum, pr, pg, pb, runs)
+      }
+    }.toDF("doc_id", "width", "height", "idx_sum", "pal_r_sum",
+      "pal_g_sum", "pal_b_sum", "n_runs")
+    feats.orderBy(col("doc_id")).limit(20)
+  }
+
+  /** T256: REAL COMPRESSED-audio decode — G.711 μ-law
+    * ([[graft.multimodal.Mulaw]]), the telephony log-companding
+    * codec: 16-bit samples compress 2:1 into sign+segment+mantissa
+    * codewords inside a WAVE_FORMAT_MULAW container whose fmt chunk
+    * is 18 bytes (the non-PCM cbSize trap) with a junk LIST chunk
+    * before data. Unlike adaptive codecs the transform is stateless
+    * and closed-form, so the LOSSY decode replays EXACTLY in SQL —
+    * the oracle re-derives the segment exponent with a CASE ladder
+    * and bit shifts and reproduces the decoded samples to the
+    * integer: quantization error mass (Σ|s−dec|), decoded peak,
+    * decoded sum, and the distinct-codeword count all hash-check
+    * cross-engine. The first mm_ row where the COMPRESSION ITSELF
+    * (not just the container) is oracle-verified end to end. */
+  def mmMulawFeatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ids = Tables.spread(Tables.documents(s, d))
+      .select(col("doc_id")).as[Long]
+    val feats = ids.mapPartitions { it =>
+      it.map { id =>
+        val n = 200 + (id % 5).toInt * 40
+        val raw = Array.tabulate(n) { i =>
+          ((((id * 37 + i.toLong * 23) % 4000) - 2000) * 8).toShort
+        }
+        val wav = graft.multimodal.Mulaw.build(8000, raw)
+        val (rate, dec) = graft.multimodal.Mulaw.parse(wav)
+          .getOrElse(throw new IllegalStateException(
+            s"mulaw round-trip failed for doc $id"))
+        var decSum = 0L; var errSum = 0L; var peak = 0
+        val codes = new java.util.HashSet[Int]()
+        var i = 0
+        while (i < dec.length) {
+          val v = dec(i).toInt
+          decSum += v
+          errSum += math.abs(raw(i).toInt - v)
+          if (math.abs(v) > peak) peak = math.abs(v)
+          codes.add(graft.multimodal.Mulaw.encodeSample(raw(i).toInt))
+          i += 1
+        }
+        (id, rate, dec.length, decSum, errSum, peak, codes.size)
+      }
+    }.toDF("doc_id", "sample_rate", "n_samples", "dec_sum", "err_sum",
+      "peak", "n_codes")
+    feats.orderBy(col("doc_id")).limit(20)
+  }
+
+  /** T257: REAL COMPRESSED-video decode — MJPEG in an AVI (RIFF)
+    * container: per doc THREE flat-tile YCbCr frames each encode
+    * through the full baseline-JPEG pipeline
+    * ([[graft.multimodal.Jpeg]]) and mux into the nested-LIST AVI
+    * layout ([[graft.multimodal.Avi]] — hdrl/avih/strh/strf then
+    * movi with 00dc chunks, a JUNK chunk interleaved between frames,
+    * RIFF even-padding on odd JPEG lengths). The parser list-walks,
+    * demuxes, JPEG-decodes every frame and cross-checks dims against
+    * avih. Features derive from the DECODED planes: per-corpus luma/
+    * chroma sums, the FRAME-DELTA motion mass Σ|Y_f−Y_{f−1}| (the
+    * shot-boundary signal — wrong frame order or a dropped frame
+    * goes red), the DC-chain-sensitive first pixel, and a pinned
+    * `compressed` bit (container smaller than the raw 4:2:0 stream —
+    * the compression is real, not passthrough). */
+  def mmAviMotion(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ids = Tables.spread(Tables.documents(s, d))
+      .select(col("doc_id")).as[Long]
+    val feats = ids.mapPartitions { it =>
+      it.map { id =>
+        val w = 32 + (id % 2).toInt * 16
+        val h = 32
+        val cw = w / 2; val ch = h / 2
+        def mkFrame(f: Int) = {
+          val y = Array.tabulate(w * h) { p =>
+            val bx = (p % w) / 8; val by = (p / w) / 8
+            ((id * 7 + f * 19 + bx * 13 + by * 31) % 256).toByte
+          }
+          val cb = Array.tabulate(cw * ch) { p =>
+            val mx = (p % cw) / 8; val my = (p / cw) / 8
+            ((id * 11 + f * 5 + mx * 7 + my * 13) % 256).toByte
+          }
+          val cr = Array.tabulate(cw * ch) { p =>
+            val mx = (p % cw) / 8; val my = (p / cw) / 8
+            ((id * 3 + f * 23 + mx * 19 + my * 5) % 256).toByte
+          }
+          graft.multimodal.Jpeg.build(w, h, y, cb, cr)
+        }
+        val avi = Avi.build(w, h, (0 until 3).map(mkFrame))
+        val (pw, ph, frames) = Avi.parse(avi)
+          .getOrElse(throw new IllegalStateException(
+            s"avi round-trip failed for doc $id"))
+        var ySum = 0L; var cbSum = 0L; var crSum = 0L; var motion = 0L
+        var f = 0
+        while (f < frames.length) {
+          val y = frames(f)(0)
+          var p = 0
+          while (p < y.length) {
+            ySum += y(p) & 0xff
+            if (f > 0) motion +=
+              math.abs((y(p) & 0xff) - (frames(f - 1)(0)(p) & 0xff))
+            p += 1
+          }
+          val cb = frames(f)(1); val cr = frames(f)(2)
+          var q = 0
+          while (q < cb.length) {
+            cbSum += cb(q) & 0xff; crSum += cr(q) & 0xff; q += 1
+          }
+          f += 1
+        }
+        val rawYuv = 3L * (w.toLong * h + 2L * cw * ch)
+        (id, pw, ph, frames.length, avi.length < rawYuv, ySum, cbSum,
+          crSum, motion, frames(0)(0)(0) & 0xff)
+      }
+    }.toDF("doc_id", "width", "height", "n_frames", "compressed",
+      "y_sum", "cb_sum", "cr_sum", "motion", "y00")
+    feats.orderBy(col("doc_id")).limit(20)
+  }
+
+  /** T258: the mixed-format INTAKE itself — the step every real
+    * multimodal corpus runs before any per-format work: assets arrive
+    * format-tagged only by their bytes, [[graft.multimodal.Codecs.AutoCodec]]
+    * sniffs magic bytes (PNG signature, GIF8, JPEG SOI, RIFF/WAVE,
+    * RIFF/AVI) and dispatches to the right REAL codec, and anything
+    * malformed QUARANTINES as None instead of poisoning the batch.
+    * Per doc the format is doc_id mod 5 (PNG / GIF / μ-law / JPEG /
+    * MJPEG-AVI) and every 7th asset is deliberately TRUNCATED to half
+    * length — all five parsers must fail closed on it. Every codec's
+    * features are COUNT histograms, so the per-format L1 mass equals
+    * the decoded unit count (3wh / wh / samples / 1.5wh / frames·wh)
+    * and the whole dispatch + quarantine ledger replays
+    * arithmetically: a mis-sniff, a codec that accepts truncated
+    * bytes, or a dropped asset all go red.
+    *
+    * Scale posture: sniffing is a few byte compares per asset; the
+    * batched mapPartitions path constructs the dispatcher (and its
+    * delegates) once per partition; the 5-row ledger aggregates
+    * map-side. */
+  /** Deterministic mixed-format asset builder shared by
+    * [[mmCodecDispatch]] (in-memory payloads) and [[mmBinaryIntake]]
+    * (real files through the binaryFile source). Sizes key off the
+    * asset id so both entries' oracles replay the same L1 ledger. */
+  private[ops] def buildAsset(id: Long, fmt: Int): Array[Byte] =
+    fmt match {
+      case 0 =>
+        val w = 8 + (id % 3).toInt * 4; val h = 6 + (id % 2).toInt * 2
+        graft.multimodal.Png.build(w, h, Array.tabulate(w * h) { p =>
+          val x = p % w; val y = p / w
+          ((((id * 7 + x * 3 + y * 5) % 256).toInt << 16) |
+            (((id * 11 + x * 2) % 256).toInt << 8) |
+            ((id * 13 + y) % 256).toInt)
+        })
+      case 1 =>
+        val w = 20 + (id % 4).toInt * 4; val h = 12
+        graft.multimodal.Gif.build(w, h, Array.tabulate(w * h)(p =>
+          ((id * 13 + (p % w) * 7 + (p / w) * 11) % 256).toByte))
+      case 2 =>
+        val n = 150 + (id % 4).toInt * 50
+        graft.multimodal.Mulaw.build(8000, Array.tabulate(n)(i =>
+          ((((id * 37 + i.toLong * 23) % 4000) - 2000) * 8).toShort))
+      case 3 =>
+        val w = 32; val h = 32
+        val y = Array.tabulate(w * h) { p =>
+          ((id * 7 + ((p % w) / 8) * 13 + ((p / w) / 8) * 31) % 256).toByte
+        }
+        val c = Array.tabulate(w * h / 4) { p =>
+          ((id * 11 + ((p % 16) / 8) * 5 + ((p / 16) / 8) * 3) % 256).toByte
+        }
+        graft.multimodal.Jpeg.build(w, h, y, c, c)
+      case _ =>
+        val w = 32; val h = 32
+        val frames = (0 until 2).map { f =>
+          val y = Array.tabulate(w * h) { p =>
+            ((id * 7 + f * 19 + ((p % w) / 8) * 13 +
+              ((p / w) / 8) * 31) % 256).toByte
+          }
+          val c = Array.tabulate(w * h / 4)(p =>
+            ((id * 5 + f * 3) % 256).toByte)
+          graft.multimodal.Jpeg.build(w, h, y, c, c)
+        }
+        Avi.build(w, h, frames)
+    }
+
+  def mmCodecDispatch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ids = Tables.spread(Tables.documents(s, d))
+      .select(col("doc_id")).as[Long]
+    val media = ids.mapPartitions { it =>
+      it.map { id =>
+        val full = buildAsset(id, (id % 5).toInt)
+        val payload =
+          if (id % 7 == 0) java.util.Arrays.copyOfRange(full, 0, full.length / 2)
+          else full
+        (id, payload)
+      }
+    }.toDF("media_id", "payload")
+      .withColumn("meta", struct(
+        lit("mixed").as("media_type"), lit("auto").as("format"),
+        lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height"),
+        lit(null).cast("long").as("duration_ms"),
+        concat(lit("synthetic://mixed/"), col("media_id")).as("source_uri")))
+    Multimodal.extractFeatures(media, new graft.multimodal.Codecs.AutoCodec)
+      .withColumn("fmt", (col("media_id") % 5).cast("int"))
+      .groupBy(col("fmt"))
+      .agg(count(lit(1)).as("n_assets"),
+        sum(when(col("ok"), 1L).otherwise(0L)).as("n_ok"),
+        sum(when(col("ok"), 0L).otherwise(1L)).as("n_quarantined"),
+        sum(when(col("ok"),
+          expr("aggregate(features, cast(0.0 as double), (acc, x) -> acc + x)"))
+          .otherwise(lit(0.0))).cast("long").as("sum_l1"))
+      .orderBy(col("fmt"))
+  }
+
+  /** T259: decoded-pixel TRANSFORMS — the resize/grayscale step the
+    * training-data brief names between decode and feature-extract:
+    * per doc a real PNG round trip ([[mmPngFeatures]]'s pixel field at
+    * bigger, non-divisible dims) feeds a NEAREST-NEIGHBOR resize to a
+    * fixed 8x8 thumbnail (src index = ⌊dst·src_dim/8⌋ — the index
+    * arithmetic is exact, so unlike bilinear the transform replays in
+    * SQL) and an integer Rec.601 grayscale
+    * ((299r + 587g + 114b) / 1000). Features: thumbnail gray mass,
+    * the corner cells (placement-sensitive: a transposed or
+    * off-by-one index map goes red where the mass survives), and the
+    * exact mid cell. The decode is REAL (a PNG parse per asset); the
+    * transform chain is the standard thumbnail pipeline every vision
+    * corpus runs. */
+  def mmThumbnail(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ids = Tables.spread(Tables.documents(s, d))
+      .select(col("doc_id")).as[Long]
+    val feats = ids.mapPartitions { it =>
+      it.map { id =>
+        val w = 19 + (id % 6).toInt * 5 // 19..44: never divisible by 8
+        val h = 13 + (id % 5).toInt * 7 // 13..41
+        val px = Array.tabulate(w * h) { p =>
+          val x = p % w; val y = p / w
+          val r = ((id * 7 + x * 3 + y * 5) % 256).toInt
+          val g = ((id * 11 + x * 2 + y * 3) % 256).toInt
+          val b = ((id * 13 + x + y * 7) % 256).toInt
+          (r << 16) | (g << 8) | b
+        }
+        val (pw, ph, dec) = graft.multimodal.Png
+          .parse(graft.multimodal.Png.build(w, h, px))
+          .getOrElse(throw new IllegalStateException(
+            s"png round-trip failed for doc $id"))
+        // nearest-neighbor 8x8 + integer grayscale
+        val gray = Array.tabulate(64) { q =>
+          val dx = q % 8; val dy = q / 8
+          val sx = dx * pw / 8; val sy = dy * ph / 8
+          val c = dec(sy * pw + sx)
+          (((c >> 16) & 0xff) * 299 + ((c >> 8) & 0xff) * 587 +
+            (c & 0xff) * 114) / 1000
+        }
+        (id, pw, ph, gray.map(_.toLong).sum, gray(0), gray(7),
+          gray(56), gray(63), gray(27))
+      }
+    }.toDF("doc_id", "width", "height", "gray_sum", "g_tl", "g_tr",
+      "g_bl", "g_br", "g_mid")
+    feats.orderBy(col("doc_id")).limit(20)
+  }
+
+  /** T260: audio RESAMPLE on decoded compressed audio — the
+    * rate-normalization step an audio corpus runs after decode: the
+    * μ-law stream ([[mmMulawFeatures]]'s train) decodes through the
+    * real G.711 expansion, then decimates 2:1 by PAIR AVERAGING with
+    * truncate-toward-zero integer division (JVM `/`, which is also
+    * DuckDB's `//` — verified: -3 // 2 = -1 — so the replay is exact
+    * on negative pair sums too).
+    * Features: output length (odd inputs drop the tail sample),
+    * resampled sum/peak, and the exact first/last output samples
+    * (boundary-sensitive: an off-by-one pairing shifts both). */
+  def mmAudioResample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ids = Tables.spread(Tables.documents(s, d))
+      .select(col("doc_id")).as[Long]
+    val feats = ids.mapPartitions { it =>
+      it.map { id =>
+        val n = 201 + (id % 6).toInt * 37 // odd lengths appear
+        val raw = Array.tabulate(n) { i =>
+          ((((id * 37 + i.toLong * 23) % 4000) - 2000) * 8).toShort
+        }
+        val (_, dec) = graft.multimodal.Mulaw
+          .parse(graft.multimodal.Mulaw.build(8000, raw))
+          .getOrElse(throw new IllegalStateException(
+            s"mulaw round-trip failed for doc $id"))
+        val m = dec.length / 2
+        val out = Array.tabulate(m) { j =>
+          (dec(2 * j).toInt + dec(2 * j + 1).toInt) / 2
+        }
+        var sum = 0L; var peak = 0
+        out.foreach { v =>
+          sum += v; if (math.abs(v) > peak) peak = math.abs(v)
+        }
+        (id, m, sum, peak, out(0), out(m - 1))
+      }
+    }.toDF("doc_id", "n_out", "out_sum", "peak", "first_out", "last_out")
+    feats.orderBy(col("doc_id")).limit(20)
+  }
+
+  private val assetDirCache = new graft.SessionCache[String]
+
+  /** T261: the intake path a REAL deployment runs — assets as FILES on
+    * storage read through Spark's `binaryFile` source (the exact
+    * pattern [[Multimodal.mediaFromDocuments]]'s doc-comment names),
+    * then the same [[graft.multimodal.Codecs.AutoCodec]] sniff +
+    * dispatch + quarantine ledger as [[mmCodecDispatch]]. Every 10th
+    * doc becomes a file (id-named), format = (id/10) mod 5, every 7th
+    * asset truncated on disk; media_id recovers from the file PATH
+    * (regexp_extract — the id-in-filename convention object stores
+    * use). The asset directory writes ONCE per (session, dataset)
+    * through a [[graft.SessionCache]] memo into a (dataset, JVM)-keyed
+    * tmpdir with a shutdown-hook cleanup (the layoutBucketing
+    * precedent) — re-entry does zero filesystem writes.
+    *
+    * Scale posture: binaryFile is a V2 FileTable source — file listing
+    * partitions across the cluster, payload bytes never shuffle (the
+    * decode ledger aggregates map-side); at 100 TB the same plan reads
+    * an object-store prefix instead of a tmpdir. */
+  def mmBinaryIntake(s: SparkSession, d: String): DataFrame = {
+    val dir = assetDirCache.getOrCompute(s, "mmfiles|" + d) {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).map("%02x".format(_))
+        .mkString.take(12)
+      val pid = ProcessHandle.current().pid()
+      val dirF = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft_mmassets_${h}_$pid")
+      dirF.mkdirs()
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        Option(dirF.listFiles()).foreach(_.foreach(_.delete()))
+        dirF.delete()
+      }))
+      // bounded driver-side write (|docs|/10 small files, once per
+      // session): the write is test scaffolding — a deployment's
+      // assets already sit on storage; the READ path is the component
+      val ids = Tables.documents(s, d).select(col("doc_id"))
+        .filter(col("doc_id") % 10 === 0)
+        .collect().map(_.getLong(0))
+      ids.foreach { id =>
+        val full = buildAsset(id, ((id / 10) % 5).toInt)
+        val bytes =
+          if ((id / 10) % 7 == 0)
+            java.util.Arrays.copyOfRange(full, 0, full.length / 2)
+          else full
+        java.nio.file.Files.write(
+          new java.io.File(dirF, s"asset_$id.bin").toPath, bytes)
+      }
+      dirF.getAbsolutePath
+    }
+    val media = s.read.format("binaryFile").load(dir)
+      .select(
+        regexp_extract(col("path"), "asset_(\\d+)\\.bin$", 1)
+          .cast("long").as("media_id"),
+        col("content").as("payload"))
+      .withColumn("meta", struct(
+        lit("mixed").as("media_type"), lit("auto").as("format"),
+        lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height"),
+        lit(null).cast("long").as("duration_ms"),
+        concat(lit("file://asset/"), col("media_id")).as("source_uri")))
+    Multimodal.extractFeatures(media, new graft.multimodal.Codecs.AutoCodec)
+      .withColumn("fmt", expr("(media_id div 10) % 5").cast("int"))
+      .groupBy(col("fmt"))
+      .agg(count(lit(1)).as("n_assets"),
+        sum(when(col("ok"), 1L).otherwise(0L)).as("n_ok"),
+        sum(when(col("ok"), 0L).otherwise(1L)).as("n_quarantined"),
+        sum(when(col("ok"),
+          expr("aggregate(features, cast(0.0 as double), (acc, x) -> acc + x)"))
+          .otherwise(lit(0.0))).cast("long").as("sum_l1"))
+      .orderBy(col("fmt"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_binary_intake" -> mmBinaryIntake _,
+    "mm_thumbnail" -> mmThumbnail _,
+    "mm_audio_resample" -> mmAudioResample _,
+    "mm_codec_dispatch" -> mmCodecDispatch _,
+    "mm_png_features" -> mmPngFeatures _,
+    "mm_gif_features" -> mmGifFeatures _,
+    "mm_mulaw_features" -> mmMulawFeatures _,
+    "mm_avi_motion" -> mmAviMotion _,
     "mm_jpeg_features" -> mmJpegFeatures _,
     "mm_video_motion" -> mmVideoMotion _,
     "mm_bmp_features" -> mmBmpFeatures _,
@@ -377,6 +853,260 @@ object MultimodalOps {
     "mm_dedup"    -> mmDedup _)
 
   val oracles: Map[String, String] = Map(
+    // the binaryFile-source twin of mm_codec_dispatch's ledger: every
+    // 10th doc is a file, format/corruption key off k = id/10, sizes
+    // off the id itself (same buildAsset), so the replay is the same
+    // CASE with the shifted keys
+    "mm_binary_intake" ->
+      """WITH ids AS (SELECT doc_id, doc_id // 10 AS k
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |l AS (SELECT doc_id,
+        |    CAST(k % 5 AS INTEGER) AS fmt, (k % 7 = 0) AS corrupt,
+        |    CASE CAST(k % 5 AS INTEGER)
+        |      WHEN 0 THEN 3 * (8 + (doc_id % 3) * 4)
+        |        * (6 + (doc_id % 2) * 2)
+        |      WHEN 1 THEN (20 + (doc_id % 4) * 4) * 12
+        |      WHEN 2 THEN 150 + (doc_id % 4) * 50
+        |      WHEN 3 THEN 1536
+        |      ELSE 2048 END AS l1
+        |  FROM ids)
+        |SELECT fmt, CAST(COUNT(*) AS BIGINT) AS n_assets,
+        |  CAST(SUM(CASE WHEN corrupt THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_ok,
+        |  CAST(SUM(CASE WHEN corrupt THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_quarantined,
+        |  CAST(SUM(CASE WHEN corrupt THEN 0 ELSE l1 END) AS BIGINT)
+        |    AS sum_l1
+        |FROM l GROUP BY fmt ORDER BY fmt""".stripMargin,
+    // nearest-neighbor index arithmetic + integer Rec.601 grayscale
+    // replay exactly; the engine's pixels came through a real PNG
+    // decode first, so a decode bug upstream of the transform chain
+    // still goes red
+    "mm_thumbnail" ->
+      """WITH ids AS (SELECT doc_id,
+        |    CAST(19 + (doc_id % 6) * 5 AS INTEGER) AS w,
+        |    CAST(13 + (doc_id % 5) * 7 AS INTEGER) AS h
+        |  FROM documents),
+        |cells AS (
+        |  SELECT doc_id, w, h, CAST(t.q AS BIGINT) AS q,
+        |    ((CAST(t.q AS BIGINT) % 8) * w) // 8 AS sx,
+        |    ((CAST(t.q AS BIGINT) // 8) * h) // 8 AS sy
+        |  FROM ids, UNNEST(range(0, 64)) AS t(q)),
+        |g AS (
+        |  SELECT doc_id, w, h, q,
+        |    (((doc_id * 7 + sx * 3 + sy * 5) % 256) * 299
+        |     + ((doc_id * 11 + sx * 2 + sy * 3) % 256) * 587
+        |     + ((doc_id * 13 + sx + sy * 7) % 256) * 114) // 1000
+        |      AS gray
+        |  FROM cells)
+        |SELECT doc_id, MIN(w) AS width, MIN(h) AS height,
+        |  CAST(SUM(gray) AS BIGINT) AS gray_sum,
+        |  CAST(MAX(CASE WHEN q = 0 THEN gray END) AS INTEGER) AS g_tl,
+        |  CAST(MAX(CASE WHEN q = 7 THEN gray END) AS INTEGER) AS g_tr,
+        |  CAST(MAX(CASE WHEN q = 56 THEN gray END) AS INTEGER) AS g_bl,
+        |  CAST(MAX(CASE WHEN q = 63 THEN gray END) AS INTEGER) AS g_br,
+        |  CAST(MAX(CASE WHEN q = 27 THEN gray END) AS INTEGER) AS g_mid
+        |FROM g GROUP BY doc_id ORDER BY doc_id LIMIT 20""".stripMargin,
+    // the G.711 expansion replays via the segment CASE ladder, then
+    // the 2:1 pair-average uses DuckDB's truncating // to match the
+    // JVM's /; odd inputs drop the incomplete tail pair (cnt = 2)
+    "mm_audio_resample" ->
+      """WITH ids AS (SELECT doc_id FROM documents),
+        |raw AS (
+        |  SELECT doc_id, CAST(t.i AS BIGINT) AS i,
+        |    (((doc_id * 37 + CAST(t.i AS BIGINT) * 23) % 4000) - 2000)
+        |      * 8 AS s
+        |  FROM ids,
+        |    UNNEST(range(0, 201 + CAST(doc_id % 6 AS INTEGER) * 37))
+        |      AS t(i)),
+        |enc AS (
+        |  SELECT doc_id, i, s, m,
+        |    CASE WHEN m >= 16384 THEN 7 WHEN m >= 8192 THEN 6
+        |      WHEN m >= 4096 THEN 5 WHEN m >= 2048 THEN 4
+        |      WHEN m >= 1024 THEN 3 WHEN m >= 512 THEN 2
+        |      WHEN m >= 256 THEN 1 ELSE 0 END AS e
+        |  FROM (SELECT *, LEAST(ABS(s), 32635) + 132 AS m FROM raw)),
+        |dec AS (
+        |  SELECT doc_id, i,
+        |    CASE WHEN s < 0 THEN
+        |      -((((m >> (e + 3)) & 15) * 8 + 132) << e) + 132
+        |    ELSE ((((m >> (e + 3)) & 15) * 8 + 132) << e) - 132
+        |    END AS d
+        |  FROM enc),
+        |pairs AS (
+        |  SELECT doc_id, i // 2 AS j, SUM(d) AS ps, COUNT(*) AS cnt
+        |  FROM dec GROUP BY doc_id, i // 2),
+        |res AS (
+        |  SELECT doc_id, j, ps // 2 AS v FROM pairs WHERE cnt = 2)
+        |SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_out,
+        |  CAST(SUM(v) AS BIGINT) AS out_sum,
+        |  CAST(MAX(ABS(v)) AS INTEGER) AS peak,
+        |  CAST(arg_min(v, j) AS INTEGER) AS first_out,
+        |  CAST(arg_max(v, j) AS INTEGER) AS last_out
+        |FROM res GROUP BY doc_id ORDER BY doc_id LIMIT 20""".stripMargin,
+    // dispatch + quarantine ledger replayed arithmetically: format by
+    // doc_id mod 5, every 7th asset truncated (all parsers fail
+    // closed), L1 = decoded unit count per format because every codec
+    // emits COUNT histograms (3wh png / wh gif / n samples mulaw /
+    // 1.5wh jpeg / 2wh avi luma)
+    "mm_codec_dispatch" ->
+      """WITH ids AS (SELECT doc_id,
+        |    CAST(doc_id % 5 AS INTEGER) AS fmt,
+        |    (doc_id % 7 = 0) AS corrupt
+        |  FROM documents),
+        |l AS (SELECT doc_id, fmt, corrupt,
+        |    CASE fmt
+        |      WHEN 0 THEN 3 * (8 + (doc_id % 3) * 4)
+        |        * (6 + (doc_id % 2) * 2)
+        |      WHEN 1 THEN (20 + (doc_id % 4) * 4) * 12
+        |      WHEN 2 THEN 150 + (doc_id % 4) * 50
+        |      WHEN 3 THEN 1536
+        |      ELSE 2048 END AS l1
+        |  FROM ids)
+        |SELECT fmt, CAST(COUNT(*) AS BIGINT) AS n_assets,
+        |  CAST(SUM(CASE WHEN corrupt THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_ok,
+        |  CAST(SUM(CASE WHEN corrupt THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_quarantined,
+        |  CAST(SUM(CASE WHEN corrupt THEN 0 ELSE l1 END) AS BIGINT)
+        |    AS sum_l1
+        |FROM l GROUP BY fmt ORDER BY fmt""".stripMargin,
+    // pixel field regenerated arithmetically; the ENGINE's numbers
+    // came through a real PNG round trip (DEFLATE, all five scanline
+    // filters, CRC-verified chunks, split IDAT) — lossless, so the
+    // position-weighted sum pins row/filter order exactly
+    "mm_png_features" ->
+      """WITH ids AS (SELECT doc_id,
+        |    CAST(9 + (doc_id % 4) * 2 AS INTEGER) AS w,
+        |    CAST(7 + (doc_id % 3) * 2 AS INTEGER) AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, w, h, CAST(t.p AS BIGINT) AS p,
+        |    CAST(t.p AS BIGINT) % w AS x,
+        |    CAST(t.p AS BIGINT) // w AS y
+        |  FROM ids, UNNEST(range(0, w * h)) AS t(p)),
+        |vals AS (
+        |  SELECT doc_id, w, h, p,
+        |    (doc_id * 7 + x * 3 + y * 5) % 256 AS r,
+        |    (doc_id * 11 + x * 2 + y * 3) % 256 AS g,
+        |    (doc_id * 13 + x + y * 7) % 256 AS b
+        |  FROM px)
+        |SELECT doc_id, MIN(w) AS width, MIN(h) AS height,
+        |  CAST(SUM(r) AS BIGINT) AS sum_r,
+        |  CAST(SUM(g) AS BIGINT) AS sum_g,
+        |  CAST(SUM(b) AS BIGINT) AS sum_b,
+        |  CAST(SUM((p + 1) * r) AS BIGINT) AS pos_r
+        |FROM vals GROUP BY doc_id
+        |ORDER BY doc_id LIMIT 20""".stripMargin,
+    // index field + the deterministic (7i,5i,3i) palette regenerated
+    // arithmetically; the engine's numbers came through the
+    // hand-rolled variable-width LZW (KwKwK runs every 3 pixels)
+    "mm_gif_features" ->
+      """WITH ids AS (SELECT doc_id,
+        |    CAST(21 + (doc_id % 5) * 4 AS INTEGER) AS w,
+        |    CAST(14 + (doc_id % 4) * 3 AS INTEGER) AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, w, h, CAST(t.p AS BIGINT) AS p,
+        |    (doc_id * 13 + ((CAST(t.p AS BIGINT) % w) // 3) * 7
+        |      + (CAST(t.p AS BIGINT) // w) * 11) % 256 AS idx
+        |  FROM ids, UNNEST(range(0, w * h)) AS t(p)),
+        |runs AS (
+        |  SELECT doc_id, w, h, idx,
+        |    CASE WHEN lag(idx) OVER (PARTITION BY doc_id ORDER BY p)
+        |      IS DISTINCT FROM idx THEN 1 ELSE 0 END AS run_start
+        |  FROM px)
+        |SELECT doc_id, MIN(w) AS width, MIN(h) AS height,
+        |  CAST(SUM(idx) AS BIGINT) AS idx_sum,
+        |  CAST(SUM((idx * 7) % 256) AS BIGINT) AS pal_r_sum,
+        |  CAST(SUM((idx * 5) % 256) AS BIGINT) AS pal_g_sum,
+        |  CAST(SUM((idx * 3) % 256) AS BIGINT) AS pal_b_sum,
+        |  CAST(SUM(run_start) AS INTEGER) AS n_runs
+        |FROM runs GROUP BY doc_id
+        |ORDER BY doc_id LIMIT 20""".stripMargin,
+    // the oracle REPLAYS the G.711 companding itself: segment via the
+    // CASE ladder, mantissa and expansion via integer bit shifts —
+    // the decoded (lossy) samples match the engine's to the integer,
+    // so the compression math, not just the container, is verified
+    "mm_mulaw_features" ->
+      """WITH ids AS (SELECT doc_id FROM documents),
+        |raw AS (
+        |  SELECT doc_id, CAST(t.i AS BIGINT) AS i,
+        |    (((doc_id * 37 + CAST(t.i AS BIGINT) * 23) % 4000) - 2000)
+        |      * 8 AS s
+        |  FROM ids,
+        |    UNNEST(range(0, 200 + CAST(doc_id % 5 AS INTEGER) * 40))
+        |      AS t(i)),
+        |enc AS (
+        |  SELECT doc_id, i, s, m,
+        |    CASE WHEN m >= 16384 THEN 7 WHEN m >= 8192 THEN 6
+        |      WHEN m >= 4096 THEN 5 WHEN m >= 2048 THEN 4
+        |      WHEN m >= 1024 THEN 3 WHEN m >= 512 THEN 2
+        |      WHEN m >= 256 THEN 1 ELSE 0 END AS e
+        |  FROM (SELECT *, LEAST(ABS(s), 32635) + 132 AS m FROM raw)),
+        |dec AS (
+        |  SELECT doc_id, i, s, e,
+        |    (m >> (e + 3)) & 15 AS mant,
+        |    CASE WHEN s < 0 THEN
+        |      -((((m >> (e + 3)) & 15) * 8 + 132) << e) + 132
+        |    ELSE ((((m >> (e + 3)) & 15) * 8 + 132) << e) - 132
+        |    END AS d,
+        |    255 - (CASE WHEN s < 0 THEN 128 ELSE 0 END + e * 16
+        |      + ((m >> (e + 3)) & 15)) AS code
+        |  FROM enc)
+        |SELECT doc_id, CAST(8000 AS INTEGER) AS sample_rate,
+        |  CAST(COUNT(*) AS INTEGER) AS n_samples,
+        |  CAST(SUM(d) AS BIGINT) AS dec_sum,
+        |  CAST(SUM(ABS(s - d)) AS BIGINT) AS err_sum,
+        |  CAST(MAX(ABS(d)) AS INTEGER) AS peak,
+        |  CAST(COUNT(DISTINCT code) AS INTEGER) AS n_codes
+        |FROM dec GROUP BY doc_id
+        |ORDER BY doc_id LIMIT 20""".stripMargin,
+    // flat-tile frame values regenerated arithmetically; the engine's
+    // numbers came through 3 real JPEG encodes muxed into a real AVI
+    // and back (list walk, JUNK skip, even padding, per-frame T.81
+    // decode); `compressed` pinned TRUE — the container is smaller
+    // than the raw 4:2:0 stream by construction of entropy coding
+    "mm_avi_motion" ->
+      """WITH ids AS (SELECT doc_id,
+        |    CAST(32 + (doc_id % 2) * 16 AS INTEGER) AS w,
+        |    CAST(32 AS INTEGER) AS h
+        |  FROM documents),
+        |yb AS (
+        |  SELECT doc_id, CAST(tf.f AS BIGINT) AS f,
+        |    CAST(t.p AS BIGINT) % (w // 8) AS bx,
+        |    CAST(t.p AS BIGINT) // (w // 8) AS by
+        |  FROM ids, UNNEST(range(0, 3)) AS tf(f),
+        |    UNNEST(range(0, (w // 8) * (h // 8))) AS t(p)),
+        |ys AS (
+        |  SELECT doc_id,
+        |    CAST(64 * SUM((doc_id * 7 + f * 19 + bx * 13 + by * 31)
+        |      % 256) AS BIGINT) AS y_sum,
+        |    CAST(64 * SUM(CASE WHEN f > 0 THEN
+        |        ABS((doc_id * 7 + f * 19 + bx * 13 + by * 31) % 256
+        |          - (doc_id * 7 + (f - 1) * 19 + bx * 13 + by * 31)
+        |            % 256)
+        |      ELSE 0 END) AS BIGINT) AS motion
+        |  FROM yb GROUP BY doc_id),
+        |ck AS (
+        |  SELECT doc_id, CAST(tf.f AS BIGINT) AS f,
+        |    CAST(t.p AS BIGINT) % (w // 16) AS mx,
+        |    CAST(t.p AS BIGINT) // (w // 16) AS my
+        |  FROM ids, UNNEST(range(0, 3)) AS tf(f),
+        |    UNNEST(range(0, (w // 16) * (h // 16))) AS t(p)),
+        |cs AS (
+        |  SELECT doc_id,
+        |    CAST(64 * SUM((doc_id * 11 + f * 5 + mx * 7 + my * 13)
+        |      % 256) AS BIGINT) AS cb_sum,
+        |    CAST(64 * SUM((doc_id * 3 + f * 23 + mx * 19 + my * 5)
+        |      % 256) AS BIGINT) AS cr_sum
+        |  FROM ck GROUP BY doc_id)
+        |SELECT i.doc_id, i.w AS width, i.h AS height,
+        |  CAST(3 AS INTEGER) AS n_frames, TRUE AS compressed,
+        |  ys.y_sum, cs.cb_sum, cs.cr_sum, ys.motion,
+        |  CAST((i.doc_id * 7) % 256 AS INTEGER) AS y00
+        |FROM ids i JOIN ys USING (doc_id) JOIN cs USING (doc_id)
+        |ORDER BY i.doc_id LIMIT 20""".stripMargin,
     // tile values regenerated arithmetically; the ENGINE's numbers
     // came through a real baseline-JPEG encode→decode round trip
     // (Huffman entropy coding, byte stuffing, restart markers, IDCT),

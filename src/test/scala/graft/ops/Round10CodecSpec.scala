@@ -1,0 +1,248 @@
+package graft.ops
+
+import graft.SparkFunSuite
+import graft.multimodal.{Avi, Gif, Jpeg, Mulaw, Png}
+
+/** Round-10 codec pins: the four new from-spec codecs — PNG
+  * (DEFLATE + all five scanline filters + verified CRC-32), GIF
+  * (hand-rolled variable-width LZW with the KwKwK case and the
+  * 4096-entry CLEAR), G.711 μ-law (real compressed audio whose
+  * decode replays closed-form), and MJPEG-in-AVI (compressed video:
+  * RIFF list walking + per-frame baseline-JPEG decode). Each codec
+  * gets a round-trip pin, a deliberate-trap pin, and a
+  * malformation-quarantine pin (None, never a crash or garbage). */
+class Round10CodecSpec extends SparkFunSuite {
+
+  // ---- PNG -----------------------------------------------------------
+
+  private def pngPixels(w: Int, h: Int, seed: Int): Array[Int] =
+    Array.tabulate(w * h) { p =>
+      val x = p % w; val y = p / w
+      val r = (seed * 7 + x * 3 + y * 5) % 256
+      val g = (seed * 11 + x * 2 + y * 3) % 256
+      val b = (seed * 13 + x + y * 7) % 256
+      (r << 16) | (g << 8) | b
+    }
+
+  test("Png: arbitrary pixels round-trip exactly through DEFLATE and " +
+    "all five scanline filters") {
+    val w = 23; val h = 17 // h >= 5: every filter type appears
+    val px = pngPixels(w, h, 3)
+    val bytes = Png.build(w, h, px)
+    val (pw, ph, dec) = Png.parse(bytes).get
+    assert(pw == w && ph == h)
+    assert(dec.sameElements(px))
+  }
+
+  test("Png: 1x1 and single-row edge shapes round-trip") {
+    for ((w, h) <- Seq((1, 1), (7, 1), (1, 9))) {
+      val px = pngPixels(w, h, 11)
+      val (pw, ph, dec) = Png.parse(Png.build(w, h, px)).get
+      assert(pw == w && ph == h && dec.sameElements(px), s"${w}x$h")
+    }
+  }
+
+  test("Png.parse: a flipped bit quarantines via CRC, truncation and " +
+    "garbage reject") {
+    val good = Png.build(9, 7, pngPixels(9, 7, 5))
+    assert(Png.parse(good).isDefined)
+    // flip one bit inside the first IDAT payload: CRC must catch it
+    val idx = good.length / 2
+    val bad = good.clone(); bad(idx) = (bad(idx) ^ 0x40).toByte
+    assert(Png.parse(bad).isEmpty, "bit flip survived the CRC check")
+    assert(Png.parse(good.take(good.length - 20)).isEmpty, "truncated")
+    assert(Png.parse(Array.fill[Byte](64)(0x41)).isEmpty, "garbage")
+    assert(Png.parse(Array[Byte]()).isEmpty, "empty")
+  }
+
+  test("Png.parse: hostile chunk lengths reject before allocation") {
+    val good = Png.build(9, 7, pngPixels(9, 7, 5))
+    // declare a 2^31-ish length on the first chunk after the signature
+    val bad = good.clone()
+    bad(8) = 0x7f.toByte; bad(9) = 0xff.toByte
+    bad(10) = 0xff.toByte; bad(11) = 0xff.toByte
+    assert(Png.parse(bad).isEmpty)
+  }
+
+  // ---- GIF -----------------------------------------------------------
+
+  test("Gif: arbitrary indices round-trip through the hand-rolled LZW " +
+    "(KwKwK runs included)") {
+    val w = 31; val h = 19
+    // repeated runs force the encoder to reference just-created
+    // entries: the decoder's code == next special case
+    val idx = Array.tabulate(w * h)(p => ((p / 3) % 256).toByte)
+    val bytes = Gif.build(w, h, idx)
+    val (pw, ph, dec, pal) = Gif.parse(bytes).get
+    assert(pw == w && ph == h)
+    assert(dec.sameElements(idx))
+    assert(pal.length == 256)
+    assert(pal(1) == ((7 << 16) | (5 << 8) | 3), "deterministic palette")
+  }
+
+  test("Gif: a payload large enough to overflow the 4096-entry table " +
+    "crosses the CLEAR reset and every width bump intact") {
+    val w = 128; val h = 72 // 9216 varied symbols: dict fills past 4096
+    val idx = Array.tabulate(w * h)(p => ((p * 31 + p / 7) % 256).toByte)
+    val bytes = Gif.build(w, h, idx)
+    val (_, _, dec, _) = Gif.parse(bytes).get
+    assert(dec.sameElements(idx))
+  }
+
+  test("Gif.parse: truncation and garbage reject, never crash") {
+    val good = Gif.build(12, 9, Array.tabulate(108)(i => (i % 256).toByte))
+    assert(Gif.parse(good).isDefined)
+    assert(Gif.parse(good.take(good.length / 2)).isEmpty, "truncated")
+    assert(Gif.parse(good.take(20)).isEmpty, "header only")
+    assert(Gif.parse("GIF89a".getBytes("US-ASCII")).isEmpty, "magic only")
+    assert(Gif.parse(Array.fill[Byte](40)(0x2c)).isEmpty, "garbage")
+    // corrupt a byte mid-LZW-stream: decode must fail CLOSED (None) or
+    // produce a full-size index field — never crash, never a short read
+    val bad = good.clone()
+    bad(good.length - 12) = (bad(good.length - 12) ^ 0x55).toByte
+    Gif.parse(bad).foreach { case (pw, ph, dec, _) =>
+      assert(dec.length == pw * ph, "partial decode leaked out")
+    }
+  }
+
+  // ---- μ-law ---------------------------------------------------------
+
+  test("Mulaw: G.711 spot values match the standard tables") {
+    // silence: +0 encodes to 0xFF and decodes back to 0
+    assert(Mulaw.encodeSample(0) == 0xff)
+    assert(Mulaw.decodeSample(0xff) == 0)
+    // clip ceiling: max positive decodes to 32124 (G.711 table max)
+    assert(Mulaw.decodeSample(Mulaw.encodeSample(32767)) == 32124)
+    assert(Mulaw.decodeSample(Mulaw.encodeSample(-32768)) == -32124)
+    // sign symmetry everywhere
+    for (s <- Seq(1, 100, 5000, 20000))
+      assert(Mulaw.decodeSample(Mulaw.encodeSample(-s)) ==
+        -Mulaw.decodeSample(Mulaw.encodeSample(s)))
+  }
+
+  test("Mulaw: companding is a projection — decode∘encode is " +
+    "idempotent on its own image") {
+    var s = -32768
+    while (s <= 32767) {
+      val once = Mulaw.decodeSample(Mulaw.encodeSample(s))
+      val twice = Mulaw.decodeSample(Mulaw.encodeSample(once))
+      assert(once == twice, s"not a fixpoint at $s")
+      s += 257 // dense sweep without 64k iterations
+    }
+  }
+
+  test("Mulaw: container round-trip through the 18-byte fmt and the " +
+    "LIST trap returns the expanded samples") {
+    val raw = Array.tabulate(301)(i => ((i * 113 % 3000) - 1500).toShort)
+    val bytes = Mulaw.build(8000, raw)
+    val (rate, dec) = Mulaw.parse(bytes).get
+    assert(rate == 8000)
+    assert(dec.length == raw.length) // odd data chunk: pad byte honored
+    dec.indices.foreach { i =>
+      assert(dec(i) ==
+        Mulaw.decodeSample(Mulaw.encodeSample(raw(i).toInt)).toShort)
+    }
+  }
+
+  test("Mulaw.parse: PCM-format and malformed containers reject") {
+    val good = Mulaw.build(8000, Array[Short](1, -2, 3))
+    assert(Mulaw.parse(good).isDefined)
+    // a plain PCM WAV is NOT μ-law: format tag 1 must reject
+    val pcm = graft.multimodal.Multimodal.Wav.build(8000,
+      Array[Short](1, 2, 3))
+    assert(Mulaw.parse(pcm).isEmpty, "accepted PCM as mu-law")
+    assert(Mulaw.parse(good.take(30)).isEmpty, "truncated")
+    assert(Mulaw.parse(Array.fill[Byte](50)(0x52)).isEmpty, "garbage")
+  }
+
+  // ---- MJPEG-in-AVI --------------------------------------------------
+
+  private def flatJpeg(w: Int, h: Int, seed: Int): Array[Byte] = {
+    val y = Array.tabulate(w * h) { p =>
+      val bx = (p % w) / 8; val by = (p / w) / 8
+      ((seed * 7 + bx * 13 + by * 31) % 256).toByte
+    }
+    val cw = w / 2; val ch = h / 2
+    val cb = Array.tabulate(cw * ch) { p =>
+      (((p % cw) / 8 * 5 + (p / cw) / 8 * 3 + seed) % 256).toByte
+    }
+    val cr = Array.tabulate(cw * ch) { p =>
+      (((p % cw) / 8 * 17 + (p / cw) / 8 * 29 + seed * 3) % 256).toByte
+    }
+    Jpeg.build(w, h, y, cb, cr)
+  }
+
+  test("Avi: MJPG frames demux and decode exactly (flat tiles are " +
+    "bit-exact through the lossy pipeline)") {
+    val w = 16; val h = 16
+    val frames = (0 until 3).map(f => flatJpeg(w, h, f * 19 + 2))
+    val bytes = Avi.build(w, h, frames)
+    val (pw, ph, decoded) = Avi.parse(bytes).get
+    assert(pw == w && ph == h && decoded.length == 3)
+    decoded.zipWithIndex.foreach { case (planes, f) =>
+      val (jw, jh, ref) = Jpeg.parse(frames(f)).get
+      assert(jw == w && jh == h)
+      assert(planes(0).sameElements(ref(0)), s"frame $f luma")
+      assert(planes(1).sameElements(ref(1)), s"frame $f cb")
+      assert(planes(2).sameElements(ref(2)), s"frame $f cr")
+    }
+  }
+
+  test("Avi: odd-length frames exercise RIFF even padding") {
+    val w = 16; val h = 16
+    // find a seed whose JPEG stream is odd-sized, then follow it with
+    // another frame: a parser that forgets the pad byte desyncs
+    val odd = (0 until 64).map(s => flatJpeg(w, h, s))
+      .find(_.length % 2 == 1)
+    assume(odd.isDefined, "no odd-length JPEG in the sweep")
+    val frames = Seq(odd.get, flatJpeg(w, h, 7), odd.get)
+    val (_, _, decoded) = Avi.parse(Avi.build(w, h, frames)).get
+    assert(decoded.length == 3)
+  }
+
+  // ---- AutoCodec dispatch ---------------------------------------------
+
+  test("AutoCodec: sniffs magic bytes and dispatches to the right " +
+    "codec with count-histogram L1 = decoded units") {
+    import graft.multimodal.Codecs
+    val auto = new Codecs.AutoCodec
+    def l1(f: Array[Float]): Long = f.map(_.toLong).sum
+    val png = Png.build(8, 6, pngPixels(8, 6, 2))
+    assert(l1(auto.decode(png, null).get) == 3L * 8 * 6, "png: 3/px")
+    val gif = Gif.build(10, 5, Array.tabulate(50)(i => (i % 256).toByte))
+    assert(l1(auto.decode(gif, null).get) == 50L, "gif: 1/px")
+    val wav = Mulaw.build(8000, Array.tabulate(77)(i => (i * 55).toShort))
+    assert(l1(auto.decode(wav, null).get) == 77L, "mulaw: 1/sample")
+    val jpg = flatJpeg(16, 16, 3)
+    assert(l1(auto.decode(jpg, null).get) == 16L * 16 * 3 / 2,
+      "jpeg: 1.5/px")
+    val avi = Avi.build(16, 16, Seq(flatJpeg(16, 16, 1), flatJpeg(16, 16, 2)))
+    assert(l1(auto.decode(avi, null).get) == 2L * 16 * 16, "avi: luma only")
+    // PCM WAV sniffs as RIFF/WAVE but is not mu-law: quarantine
+    val pcm = graft.multimodal.Multimodal.Wav.build(8000, Array[Short](1, 2))
+    assert(auto.decode(pcm, null).isEmpty, "pcm accepted as mu-law")
+    assert(auto.decode(Array.fill[Byte](40)(0x00), null).isEmpty, "garbage")
+    assert(auto.decode(null, null).isEmpty, "null")
+    // truncation quarantines for EVERY format (the mm_codec_dispatch
+    // corruption rule)
+    for ((b, n) <- Seq((png, "png"), (gif, "gif"), (wav, "wav"),
+        (jpg, "jpg"), (avi, "avi")))
+      assert(auto.decode(b.take(b.length / 2), null).isEmpty,
+        s"truncated $n decoded")
+  }
+
+  test("Avi.parse: header/frame dimension mismatch and malformations " +
+    "reject") {
+    val frames = Seq(flatJpeg(16, 16, 4))
+    val good = Avi.build(16, 16, frames)
+    assert(Avi.parse(good).isDefined)
+    // corrupt avih's declared width (offset: RIFF(12) + LIST hdr(12) +
+    // 'avih'+len(8) + 32 bytes into avih payload)
+    val bad = good.clone()
+    bad(12 + 12 + 8 + 32) = 99.toByte
+    assert(Avi.parse(bad).isEmpty, "dim mismatch accepted")
+    assert(Avi.parse(good.take(good.length / 2)).isEmpty, "truncated")
+    assert(Avi.parse(Array.fill[Byte](30)(0x52)).isEmpty, "garbage")
+    assert(Avi.parse(null).isEmpty, "null")
+  }
+}
