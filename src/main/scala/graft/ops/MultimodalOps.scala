@@ -833,7 +833,56 @@ object MultimodalOps {
       .orderBy(col("fmt"))
   }
 
+  /** T262: WebDataset-style TAR SHARDS made real — [[mmPack]] computes
+    * the shard layout; this row actually PACKS the assets into
+    * from-spec USTAR archives ([[graft.multimodal.Tar]] — verified
+    * header checksums, octal sizes, 512-byte block padding, the
+    * two-zero-block end marker) and UNPACKS them again: per shard
+    * (asset id mod 8) the group's assets tar up in id order, the
+    * archive parses back, every entry re-decodes through
+    * [[graft.multimodal.Codecs.AutoCodec]], and the ledger pins
+    * (entries, Σ recovered ids — the name round trip — and Σ decoded
+    * units). A header-layout bug, a padding off-by-one, a lost or
+    * reordered entry, or a name mangle all go red.
+    *
+    * Scale posture: the one shuffle moves payload bytes TO their shard
+    * assembler — inherent to shard packing (it IS the write pattern);
+    * groups are bounded at |corpus|/shards, and at 100 TB the shard
+    * count scales with the data so per-group memory stays fixed.
+    * Decode work after unpacking stays in the same task — no second
+    * shuffle. */
+  def mmTarShards(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ids = Tables.spread(Tables.documents(s, d))
+      .select(col("doc_id")).as[Long]
+    val assets = ids.map { id =>
+      ((id % 8).toInt, id, buildAsset(id, (id % 5).toInt))
+    }
+    val ledger = assets.groupByKey(_._1).mapGroups { (shard, it) =>
+      val entries = it.map { case (_, id, bytes) => (id, bytes) }
+        .toArray.sortBy(_._1)
+      val tar = graft.multimodal.Tar.build(
+        entries.map { case (id, b) => (s"asset_$id.bin", b) }.toSeq)
+      val unpacked = graft.multimodal.Tar.parse(tar)
+        .getOrElse(throw new IllegalStateException(
+          s"tar round-trip failed for shard $shard"))
+      val codec = new graft.multimodal.Codecs.AutoCodec
+      var idSum = 0L; var l1 = 0L
+      unpacked.foreach { case (name, bytes) =>
+        idSum += name.stripPrefix("asset_").stripSuffix(".bin").toLong
+        codec.decode(bytes, null).foreach(f => l1 += f.map(_.toLong).sum)
+      }
+      (shard, unpacked.length, tar.length.toLong, idSum, l1)
+    }.toDF("shard_id", "n_entries", "tar_bytes", "id_sum", "sum_l1")
+    // tar_bytes is container-size truth the oracle cannot replay
+    // (compressed asset lengths); keep the REPLAYABLE ledger only
+    ledger.select(col("shard_id"), col("n_entries"), col("id_sum"),
+        col("sum_l1"))
+      .orderBy(col("shard_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_tar_shards" -> mmTarShards _,
     "mm_binary_intake" -> mmBinaryIntake _,
     "mm_thumbnail" -> mmThumbnail _,
     "mm_audio_resample" -> mmAudioResample _,
@@ -853,6 +902,28 @@ object MultimodalOps {
     "mm_dedup"    -> mmDedup _)
 
   val oracles: Map[String, String] = Map(
+    // pack → unpack → re-decode ledger replayed arithmetically: shard
+    // by id mod 8, format by id mod 5 (clean assets, no corruption),
+    // L1 per format as in mm_codec_dispatch; id_sum pins the entry
+    // NAME round trip through the archive
+    "mm_tar_shards" ->
+      """WITH ids AS (SELECT doc_id,
+        |    CAST(doc_id % 8 AS INTEGER) AS shard_id,
+        |    CAST(doc_id % 5 AS INTEGER) AS fmt
+        |  FROM documents),
+        |l AS (SELECT doc_id, shard_id,
+        |    CASE fmt
+        |      WHEN 0 THEN 3 * (8 + (doc_id % 3) * 4)
+        |        * (6 + (doc_id % 2) * 2)
+        |      WHEN 1 THEN (20 + (doc_id % 4) * 4) * 12
+        |      WHEN 2 THEN 150 + (doc_id % 4) * 50
+        |      WHEN 3 THEN 1536
+        |      ELSE 2048 END AS l1
+        |  FROM ids)
+        |SELECT shard_id, CAST(COUNT(*) AS INTEGER) AS n_entries,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+        |  CAST(SUM(l1) AS BIGINT) AS sum_l1
+        |FROM l GROUP BY shard_id ORDER BY shard_id""".stripMargin,
     // the binaryFile-source twin of mm_codec_dispatch's ledger: every
     // 10th doc is a file, format/corruption key off k = id/10, sizes
     // off the id itself (same buildAsset), so the replay is the same

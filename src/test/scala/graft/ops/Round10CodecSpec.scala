@@ -200,6 +200,56 @@ class Round10CodecSpec extends SparkFunSuite {
     assert(decoded.length == 3)
   }
 
+  // ---- USTAR -----------------------------------------------------------
+
+  test("Tar: entries of odd sizes round-trip through 512-block " +
+    "padding, names and bytes intact in order") {
+    import graft.multimodal.Tar
+    val entries = Seq(
+      "a.bin" -> Array.tabulate(1)(i => (i + 1).toByte),
+      "b/c.bin" -> Array.tabulate(511)(i => (i * 7).toByte),
+      "d.bin" -> Array.tabulate(512)(i => (i * 3).toByte),
+      "e.bin" -> Array.tabulate(1037)(i => (i * 11).toByte),
+      "empty.bin" -> Array.emptyByteArray)
+    val tar = Tar.build(entries)
+    assert(tar.length % 512 == 0, "archive not block-aligned")
+    val out = Tar.parse(tar).get
+    assert(out.map(_._1) == entries.map(_._1))
+    out.zip(entries).foreach { case ((_, got), (n, want)) =>
+      assert(got.sameElements(want), s"bytes differ for $n")
+    }
+  }
+
+  test("Tar.parse: checksum flip, truncation, and garbage reject; " +
+    "non-file typeflags skip") {
+    import graft.multimodal.Tar
+    val tar = Tar.build(Seq("x.bin" -> Array.tabulate(100)(_.toByte)))
+    // flip a bit in the header's name field: checksum must catch it
+    val bad = tar.clone(); bad(3) = (bad(3) ^ 0x20).toByte
+    assert(Tar.parse(bad).isEmpty, "checksum miss")
+    // drop the end-of-archive marker: must fail closed
+    assert(Tar.parse(tar.take(tar.length - 1024)).isEmpty, "no end marker")
+    assert(Tar.parse(tar.take(700)).isEmpty, "truncated data")
+    assert(Tar.parse(Array.fill[Byte](2048)(0x41)).isEmpty, "garbage")
+    assert(Tar.parse(null).isEmpty, "null")
+    // empty archive = just the two zero blocks
+    assert(Tar.parse(Tar.build(Seq.empty)).get.isEmpty)
+    // a directory entry (typeflag '5') is skipped, files around it kept
+    val three = Tar.build(Seq("a.bin" -> Array[Byte](1, 2),
+      "dir/" -> Array.emptyByteArray, "b.bin" -> Array[Byte](3)))
+    // patch the middle entry's typeflag to '5' and re-checksum
+    val hOff = 512 + 512 // after a.bin's header+padded data
+    three(hOff + 156) = '5'
+    var sum = 0L
+    for (i <- 0 until 512)
+      sum += (if (i >= 148 && i < 156) ' '.toInt else three(hOff + i) & 0xff)
+    val cs = (java.lang.Long.toOctalString(sum).reverse + "000000")
+      .take(6).reverse + "  "
+    System.arraycopy(cs.getBytes("US-ASCII"), 0, three, hOff + 148, 8)
+    val kept = Tar.parse(three).get
+    assert(kept.map(_._1) == Seq("a.bin", "b.bin"), "dir entry not skipped")
+  }
+
   // ---- AutoCodec dispatch ---------------------------------------------
 
   test("AutoCodec: sniffs magic bytes and dispatches to the right " +
