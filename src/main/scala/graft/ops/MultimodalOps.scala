@@ -603,7 +603,7 @@ object MultimodalOps {
     * [[mmCodecDispatch]] (in-memory payloads) and [[mmBinaryIntake]]
     * (real files through the binaryFile source). Sizes key off the
     * asset id so both entries' oracles replay the same L1 ledger. */
-  private[ops] def buildAsset(id: Long, fmt: Int): Array[Byte] =
+  private[graft] def buildAsset(id: Long, fmt: Int): Array[Byte] =
     fmt match {
       case 0 =>
         val w = 8 + (id % 3).toInt * 4; val h = 6 + (id % 2).toInt * 2

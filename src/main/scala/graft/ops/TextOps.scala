@@ -1279,7 +1279,68 @@ object TextOps {
           .as("hapax_rate"))
       .orderBy("source")
 
+  /** T263: REAL compression-ratio quality signal — the
+    * Gopher/RefinedWeb-class filter "highly compressible text is
+    * repetitive/boilerplate", computed with the JDK's actual DEFLATE
+    * (zlib) per document inside one mapPartitions (one Deflater/
+    * Inflater pair per partition, reset per row — the batched-codec
+    * amortization). A compressed LENGTH is not replayable in SQL, so
+    * the hash-checked columns are the INVARIANTS the real codec must
+    * satisfy over the whole corpus (the plan-census pinning idiom):
+    * inflate∘deflate round-trips every document (roundtrip_ok =
+    * n_docs), doubling the text never increases the ratio
+    * (back-references make deflate(t∥t) ≈ deflate(t), so
+    * doubling_violations = 0), and every ratio lies in (0, 1.2)
+    * (ratio_sane). The per-source MEAN ratio itself feeds engine-side
+    * consumers (a quality gate would threshold it); here it is
+    * asserted sane, not replayed. */
+  def textCompress(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.spread(Tables.documents(s, d))
+      .select(col("source"), col("text"))
+      .as[(String, String)]
+    val per = docs.mapPartitions { it =>
+      val defl = new java.util.zip.Deflater()
+      val buf = new Array[Byte](1 << 16)
+      def clen(bytes: Array[Byte]): Long = {
+        defl.reset(); defl.setInput(bytes); defl.finish()
+        var n = 0L
+        while (!defl.finished()) n += defl.deflate(buf)
+        n
+      }
+      val infl = new java.util.zip.Inflater()
+      def roundtrips(bytes: Array[Byte]): Boolean = {
+        defl.reset(); defl.setInput(bytes); defl.finish()
+        val z = new java.io.ByteArrayOutputStream()
+        while (!defl.finished()) z.write(buf, 0, defl.deflate(buf))
+        infl.reset(); infl.setInput(z.toByteArray)
+        val out = new Array[Byte](bytes.length)
+        var got = 0
+        while (got < out.length && !infl.finished())
+          got += infl.inflate(out, got, out.length - got)
+        got == bytes.length && infl.finished() &&
+          java.util.Arrays.equals(out, bytes)
+      }
+      it.map { case (source, text) =>
+        val b = text.getBytes("UTF-8")
+        val ratio = clen(b).toDouble / b.length
+        val doubled = clen((text + text).getBytes("UTF-8")).toDouble /
+          (2.0 * b.length)
+        (source, ratio, doubled <= ratio, roundtrips(b),
+          ratio > 0.0 && ratio < 1.2)
+      }
+    }.toDF("source", "ratio", "doubling_ok", "roundtrip", "sane")
+    per.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("roundtrip"), 1L).otherwise(0L)).as("roundtrip_ok"),
+        sum(when(col("doubling_ok"), 0L).otherwise(1L))
+          .as("doubling_violations"),
+        min(col("sane")).as("ratio_sane"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_compress"       -> textCompress _,
     "text_hapax"          -> textHapax _,
     "text_watermark"      -> textWatermark _,
     "dedup_cdc_share"     -> dedupCdcShare _,
@@ -1371,6 +1432,16 @@ object TextOps {
         |  FROM cx)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // compressed lengths are not replayable in SQL; the row pins the
+    // codec's corpus-wide invariants (round trip everywhere, doubling
+    // never raises the ratio, ratios in (0,1.2)) plus the replayable
+    // per-source doc counts — the plan-census pinning idiom
+    "text_compress" ->
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(*) AS BIGINT) AS roundtrip_ok,
+        |  CAST(0 AS BIGINT) AS doubling_violations,
+        |  TRUE AS ratio_sane
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     // same tokenize + (source, token) fold; SUM/COUNT cast to BIGINT
     "text_hapax" ->
       """WITH tf AS (

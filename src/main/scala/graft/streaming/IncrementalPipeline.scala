@@ -42,6 +42,39 @@ object IncrementalPipeline {
     q.awaitTermination()
   }
 
+  /** The STREAMING media intake: the same file-arrival incremental
+    * loop over Spark's `binaryFile` source — new assets landing in a
+    * storage prefix decode exactly once (the checkpoint is the
+    * progress table), the decode itself runs inside `transform` on
+    * the content column (the mm_binary_intake path, incremental).
+    * binaryFile's schema is FIXED by the source; streaming file
+    * sources still demand it explicitly, so it is pinned here. */
+  def runBinaryAvailableNow(
+      spark: SparkSession,
+      srcDir: String,
+      checkpointDir: String,
+      transform: DataFrame => DataFrame,
+      sink: (DataFrame, Long) => Unit,
+      maxFilesPerTrigger: Option[Int] = None): Unit = {
+    import org.apache.spark.sql.types._
+    val binarySchema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+    val reader = spark.readStream.format("binaryFile").schema(binarySchema)
+    val withOpt = maxFilesPerTrigger
+      .map(n => reader.option("maxFilesPerTrigger", n)).getOrElse(reader)
+    val stream = withOpt.load(srcDir)
+    val q = transform(stream).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("update")
+      .foreachBatch { (df: DataFrame, id: Long) => sink(df, id) }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Watermarked tumbling-window aggregation as a stream (the
     * reference's closest analog is the 365-day queue-eviction horizon,
     * `twitter_ingest_queue_get/main.py:55-56`). */

@@ -200,6 +200,66 @@ class Round10CodecSpec extends SparkFunSuite {
     assert(decoded.length == 3)
   }
 
+  // ---- property sweeps -------------------------------------------------
+
+  test("Png: property sweep — every small dimension and content class " +
+    "round-trips (filters, odd strides, extreme values)") {
+    for (w <- 1 to 12; h <- Seq(1, 2, 5, 6, 11)) {
+      for ((seed, kind) <- Seq((0, "flat-black"), (255, "flat-ish"),
+          (w * h + 3, "varied"))) {
+        val px =
+          if (kind.startsWith("flat")) Array.fill(w * h)(seed * 0x010101)
+          else pngPixels(w, h, seed)
+        val parsed = Png.parse(Png.build(w, h, px))
+        assert(parsed.isDefined, s"${w}x$h $kind failed to parse")
+        val (pw, ph, dec) = parsed.get
+        assert(pw == w && ph == h && dec.sameElements(px),
+          s"${w}x$h $kind mismatched")
+      }
+    }
+  }
+
+  test("Gif: property sweep — run lengths 1..9 and every width bump " +
+    "region round-trip") {
+    for (run <- 1 to 9; n <- Seq(40, 300, 700, 1300, 2100)) {
+      val w = 20; val h = (n + w - 1) / w
+      val idx = Array.tabulate(w * h)(p => ((p / run) % 256).toByte)
+      val parsed = Gif.parse(Gif.build(w, h, idx))
+      assert(parsed.isDefined, s"run=$run n=$n failed")
+      assert(parsed.get._3.sameElements(idx), s"run=$run n=$n mismatched")
+    }
+  }
+
+  test("Mulaw: the full 16-bit domain is a decode∘encode fixpoint " +
+    "after one companding pass") {
+    var bad = 0
+    var s = -32768
+    while (s <= 32767) {
+      val once = Mulaw.decodeSample(Mulaw.encodeSample(s))
+      if (Mulaw.decodeSample(Mulaw.encodeSample(once)) != once) bad += 1
+      if (math.abs(once) > 32124) bad += 1 // expansion table ceiling
+      s += 1
+    }
+    assert(bad == 0)
+  }
+
+  test("Tar: property sweep — entry sizes straddling every block " +
+    "boundary round-trip in any count") {
+    import graft.multimodal.Tar
+    for (count <- Seq(1, 3, 7)) {
+      val entries = (0 until count).flatMap { k =>
+        Seq(510, 511, 512, 513, 1023, 1024, 1025).map { sz =>
+          (s"e_${k}_$sz" -> Array.tabulate(sz)(i => ((i * 31 + k) % 251).toByte))
+        }
+      }
+      val out = Tar.parse(Tar.build(entries)).get
+      assert(out.map(_._1) == entries.map(_._1), s"count=$count names")
+      out.zip(entries).foreach { case ((n, got), (_, want)) =>
+        assert(got.sameElements(want), s"count=$count $n bytes")
+      }
+    }
+  }
+
   // ---- USTAR -----------------------------------------------------------
 
   test("Tar: entries of odd sizes round-trip through 512-block " +
