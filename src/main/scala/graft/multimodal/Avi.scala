@@ -118,8 +118,12 @@ object Avi {
     var w = -1; var h = -1
     val frames = scala.collection.mutable.ArrayBuffer
       .empty[Array[Array[Byte]]]
-    // walk chunks in [from, to); recurse into LISTs we care about
-    def walk(from: Long, to: Long, inMovi: Boolean): Boolean = {
+    // walk chunks in [from, to); recurse into LISTs we care about —
+    // depth-capped: a legal AVI nests hdrl/strl/movi at most ~3 deep,
+    // and a hostile LIST-in-LIST chain must quarantine, not overflow
+    // the stack
+    def walk(from: Long, to: Long, inMovi: Boolean, depth: Int): Boolean = {
+      if (depth > 4) return false
       var off = from
       while (off + 8 <= to) {
         val o = off.toInt
@@ -130,7 +134,8 @@ object Avi {
           if (len < 4) return false
           val lt = tagAt(o + 8)
           if (lt == "hdrl" || lt == "movi")
-            if (!walk(off + 12, off + 8 + len, lt == "movi")) return false
+            if (!walk(off + 12, off + 8 + len, lt == "movi", depth + 1))
+              return false
           // other lists (strl handled inside hdrl walk) skipped whole
         } else if (id == "avih") {
           if (len < 40) return false
@@ -152,7 +157,7 @@ object Avi {
     }
     val total = u32(4)
     if (8 + total > payload.length) return None
-    if (!walk(12L, 8L + total, inMovi = false)) return None
+    if (!walk(12L, 8L + total, inMovi = false, depth = 0)) return None
     if (w > 0 && frames.nonEmpty) Some((w, h, frames.toSeq)) else None
   }
 }

@@ -786,8 +786,13 @@ object MultimodalOps {
         .digest(d.getBytes("UTF-8")).map("%02x".format(_))
         .mkString.take(12)
       val pid = ProcessHandle.current().pid()
+      // session-keyed too: two sessions in ONE JVM would otherwise
+      // both run this memo block (SessionCache keys per session) and
+      // rewrite the same files while the other's scan reads them
+      val sid = graft.SessionCache.sessionId(s).take(8)
       val dirF = new java.io.File(
-        System.getProperty("java.io.tmpdir"), s"graft_mmassets_${h}_$pid")
+        System.getProperty("java.io.tmpdir"),
+        s"graft_mmassets_${h}_${pid}_$sid")
       dirF.mkdirs()
       Runtime.getRuntime.addShutdownHook(new Thread(() => {
         Option(dirF.listFiles()).foreach(_.foreach(_.delete()))

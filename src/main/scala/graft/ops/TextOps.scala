@@ -1286,53 +1286,74 @@ object TextOps {
     * Inflater pair per partition, reset per row — the batched-codec
     * amortization). A compressed LENGTH is not replayable in SQL, so
     * the hash-checked columns are the INVARIANTS the real codec must
-    * satisfy over the whole corpus (the plan-census pinning idiom):
-    * inflate∘deflate round-trips every document (roundtrip_ok =
-    * n_docs), doubling the text never increases the ratio
-    * (back-references make deflate(t∥t) ≈ deflate(t), so
-    * doubling_violations = 0), and every ratio lies in (0, 1.2)
-    * (ratio_sane). The per-source MEAN ratio itself feeds engine-side
-    * consumers (a quality gate would threshold it); here it is
-    * asserted sane, not replayed. */
+    * satisfy over the CHECKED band of the corpus — docs of 32 B to
+    * 32 KiB, mirrored replayably in the oracle (tiny docs are all
+    * zlib header so the ratio bound is vacuous; past the 32 KiB LZ77
+    * window the second copy of t∥t cannot back-reference the first,
+    * so the doubling claim only holds in-window): inflate∘deflate
+    * round-trips every checked doc (roundtrip_ok = n_checked),
+    * doubling the text never increases the ratio (doubling_violations
+    * = 0), and every checked ratio lies in (0, 1.2). The per-source
+    * MEAN ratio itself feeds engine-side consumers (a quality gate
+    * would threshold it); here it is asserted sane, not replayed. */
   def textCompress(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = Tables.spread(Tables.documents(s, d))
       .select(col("source"), col("text"))
       .as[(String, String)]
     val per = docs.mapPartitions { it =>
+      // one codec pair per partition (the batched-codec amortization),
+      // released when the iterator drains instead of at GC time
       val defl = new java.util.zip.Deflater()
-      val buf = new Array[Byte](1 << 16)
-      def clen(bytes: Array[Byte]): Long = {
-        defl.reset(); defl.setInput(bytes); defl.finish()
-        var n = 0L
-        while (!defl.finished()) n += defl.deflate(buf)
-        n
-      }
       val infl = new java.util.zip.Inflater()
-      def roundtrips(bytes: Array[Byte]): Boolean = {
+      val buf = new Array[Byte](1 << 16)
+      def deflate(bytes: Array[Byte]): Array[Byte] = {
         defl.reset(); defl.setInput(bytes); defl.finish()
         val z = new java.io.ByteArrayOutputStream()
         while (!defl.finished()) z.write(buf, 0, defl.deflate(buf))
-        infl.reset(); infl.setInput(z.toByteArray)
+        z.toByteArray
+      }
+      def roundtrips(z: Array[Byte], bytes: Array[Byte]): Boolean = {
+        infl.reset(); infl.setInput(z)
         val out = new Array[Byte](bytes.length)
         var got = 0
-        while (got < out.length && !infl.finished())
-          got += infl.inflate(out, got, out.length - got)
-        got == bytes.length && infl.finished() &&
-          java.util.Arrays.equals(out, bytes)
+        while (got < out.length && !infl.finished()) {
+          val n = infl.inflate(out, got, out.length - got)
+          if (n == 0 && (infl.needsInput() || infl.needsDictionary()))
+            return false
+          got += n
+        }
+        got == bytes.length && java.util.Arrays.equals(out, bytes)
       }
-      it.map { case (source, text) =>
+      val mapped = it.map { case (source, text) =>
         val b = text.getBytes("UTF-8")
-        val ratio = clen(b).toDouble / b.length
-        val doubled = clen((text + text).getBytes("UTF-8")).toDouble /
-          (2.0 * b.length)
-        (source, ratio, doubled <= ratio, roundtrips(b),
-          ratio > 0.0 && ratio < 1.2)
+        val checked = b.length >= 32 && b.length <= 32768
+        if (!checked) (source, 0.0, false, true, true, true)
+        else {
+          // ONE deflate serves both the ratio and the round trip
+          val z = deflate(b)
+          val ratio = z.length.toDouble / b.length
+          val doubled = deflate((text + text).getBytes("UTF-8"))
+            .length.toDouble / (2.0 * b.length)
+          (source, ratio, true, doubled <= ratio, roundtrips(z, b),
+            ratio > 0.0 && ratio < 1.2)
+        }
       }
-    }.toDF("source", "ratio", "doubling_ok", "roundtrip", "sane")
+      new Iterator[(String, Double, Boolean, Boolean, Boolean, Boolean)] {
+        def hasNext: Boolean = {
+          val h = mapped.hasNext
+          if (!h) { defl.end(); infl.end() }
+          h
+        }
+        def next() = mapped.next()
+      }
+    }.toDF("source", "ratio", "checked", "doubling_ok", "roundtrip",
+      "sane")
     per.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("roundtrip"), 1L).otherwise(0L)).as("roundtrip_ok"),
+        sum(when(col("checked"), 1L).otherwise(0L)).as("n_checked"),
+        sum(when(col("checked") && col("roundtrip"), 1L).otherwise(0L))
+          .as("roundtrip_ok"),
         sum(when(col("doubling_ok"), 0L).otherwise(1L))
           .as("doubling_violations"),
         min(col("sane")).as("ratio_sane"))
@@ -1438,7 +1459,12 @@ object TextOps {
     // per-source doc counts — the plan-census pinning idiom
     "text_compress" ->
       """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-        |  CAST(COUNT(*) AS BIGINT) AS roundtrip_ok,
+        |  CAST(SUM(CASE WHEN octet_length(encode(text))
+        |      BETWEEN 32 AND 32768 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_checked,
+        |  CAST(SUM(CASE WHEN octet_length(encode(text))
+        |      BETWEEN 32 AND 32768 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS roundtrip_ok,
         |  CAST(0 AS BIGINT) AS doubling_violations,
         |  TRUE AS ratio_sane
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,

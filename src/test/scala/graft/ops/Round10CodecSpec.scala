@@ -200,6 +200,62 @@ class Round10CodecSpec extends SparkFunSuite {
     assert(decoded.length == 3)
   }
 
+  test("Png.parse: a preset-dictionary (FDICT) zlib stream quarantines " +
+    "instead of spinning the inflate loop forever") {
+    // craft a PNG whose IDAT carries an FDICT zlib header; chunk CRCs
+    // are valid (CRC covers plaintext chunk bytes), so only the
+    // inflater can object — needsDictionary must break the loop
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n')
+      .map(_.toByte))
+    def chunk(ctype: String, data: Array[Byte]): Unit = {
+      def be32(v: Int): Unit = { out.write((v >>> 24) & 0xff)
+        out.write((v >>> 16) & 0xff); out.write((v >>> 8) & 0xff)
+        out.write(v & 0xff) }
+      be32(data.length)
+      val tb = ctype.getBytes("US-ASCII")
+      out.write(tb); out.write(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      be32(crc.getValue.toInt)
+    }
+    val ihdr = new java.io.ByteArrayOutputStream()
+    for (v <- Seq(0, 0, 0, 2, 0, 0, 0, 2)) ihdr.write(v) // 2x2
+    for (v <- Seq(8, 2, 0, 0, 0)) ihdr.write(v)
+    chunk("IHDR", ihdr.toByteArray)
+    // zlib header 0x78 0xBB: CM=8, FDICT bit set, FCHECK valid
+    // (0x78BB % 31 == 0), followed by a fake 4-byte DICTID
+    chunk("IDAT", Array(0x78, 0xbb, 0x01, 0x02, 0x03, 0x04, 0x00)
+      .map(_.toByte))
+    chunk("IEND", Array.emptyByteArray)
+    assert(Png.parse(out.toByteArray).isEmpty, "FDICT stream accepted")
+  }
+
+  test("Avi.parse: a deeply nested LIST chain quarantines instead of " +
+    "overflowing the stack") {
+    // hdrl LIST nested 64 deep (well past the depth cap)
+    val depth = 64
+    val innermost = Array.emptyByteArray
+    val nested = (1 to depth).foldLeft(innermost) { (body, _) =>
+      val b = new java.io.ByteArrayOutputStream()
+      b.write("LIST".getBytes("US-ASCII"))
+      val len = 4 + body.length
+      b.write(len & 0xff); b.write((len >> 8) & 0xff)
+      b.write((len >> 16) & 0xff); b.write((len >> 24) & 0xff)
+      b.write("hdrl".getBytes("US-ASCII"))
+      b.write(body)
+      b.toByteArray
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("RIFF".getBytes("US-ASCII"))
+    val total = 4 + nested.length
+    out.write(total & 0xff); out.write((total >> 8) & 0xff)
+    out.write((total >> 16) & 0xff); out.write((total >> 24) & 0xff)
+    out.write("AVI ".getBytes("US-ASCII"))
+    out.write(nested)
+    assert(Avi.parse(out.toByteArray).isEmpty, "deep nesting accepted")
+  }
+
   // ---- property sweeps -------------------------------------------------
 
   test("Png: property sweep — every small dimension and content class " +
