@@ -1618,6 +1618,78 @@ object CoreRelational {
     * shuffles, and the histogram is bounded by max class size. The
     * balance band is floor(bal/1000): identical IEEE division + floor
     * in both engines, then exact integers everywhere. */
+  /** T265: bucketized INTERVAL-OVERLAP self-join — the missing join
+    * class between the equi family and j11's broadcast theta: "which
+    * same-supplier shipments were in flight simultaneously". Naive
+    * overlap is O(n²) per supplier; the scale pattern is the classic
+    * bucket decomposition: each interval EXPLODES into the month
+    * buckets it spans (bounded: the synthetic in-flight window is
+    * ≤ 28 days ⇒ ≤ 2 buckets), the join runs on (supplier, bucket) —
+    * an EQUI join Spark shuffles normally, never a cross product —
+    * and exact overlap filters after. A pair meeting in two buckets
+    * would double-count, so each pair is claimed only by the bucket
+    * containing the OVERLAP START (the standard dedup trick; no
+    * distinct needed). Interval end derives deterministically from
+    * the keys (the data ships no receipt date), so the oracle joins
+    * the same intervals directly with a range predicate. */
+  def j15Interval(s: SparkSession, d: String): DataFrame = {
+    val iv = Tables.lineitem(s, d)
+      .filter(col("l_quantity") >= 48)
+      .select(col("l_suppkey").as("suppkey"),
+        col("l_orderkey").as("okey"), col("l_linenumber").as("lnum"),
+        col("l_shipdate").cast("date").as("ship"))
+      .withColumn("receipt", date_add(col("ship"),
+        ((col("okey") * 7 + col("lnum") * 3) % 25 + 3).cast("int")))
+    val b = iv.withColumn("bucket", explode(expr(
+      "sequence(trunc(ship, 'MM'), trunc(receipt, 'MM'), interval 1 month)")))
+    val left = b.select(col("suppkey"), col("bucket"),
+      col("okey").as("okey1"), col("lnum").as("lnum1"),
+      col("ship").as("ship1"), col("receipt").as("receipt1"))
+    val right = b.select(col("suppkey"), col("bucket"),
+      col("okey").as("okey2"), col("lnum").as("lnum2"),
+      col("ship").as("ship2"), col("receipt").as("receipt2"))
+    left.join(right, Seq("suppkey", "bucket"))
+      .filter(col("okey1") < col("okey2") ||
+        (col("okey1") === col("okey2") && col("lnum1") < col("lnum2")))
+      .filter(col("ship1") <= col("receipt2") &&
+        col("ship2") <= col("receipt1"))
+      .filter(col("bucket") ===
+        trunc(greatest(col("ship1"), col("ship2")), "MM"))
+      .select(col("suppkey"), col("okey1"), col("lnum1"),
+        col("okey2"), col("lnum2"),
+        (datediff(least(col("receipt1"), col("receipt2")),
+          greatest(col("ship1"), col("ship2"))) + 1).as("overlap_days"))
+      .orderBy(col("overlap_days").desc, col("suppkey").asc,
+        col("okey1").asc, col("lnum1").asc, col("okey2").asc,
+        col("lnum2").asc)
+      .limit(20)
+  }
+
+  /** T266: l-DIVERSITY audit — dq_kanon's standard companion: class
+    * SIZE (k) says a row hides in a crowd, but if the whole crowd
+    * shares one sensitive value the attribute still leaks. Classes =
+    * (nation, account-balance band), sensitive = market segment;
+    * l = distinct segments per class. The histogram of l (classes,
+    * rows, row share) is the release-gate panel. Same shape as
+    * dq_kanon: one hash-agg to classes (countDistinct folds
+    * map-side), one tiny re-agg, one broadcast total. */
+  def dqLdiversity(s: SparkSession, d: String): DataFrame = {
+    val classes = Tables.customer(s, d)
+      .groupBy(col("c_nationkey"),
+        floor(col("c_acctbal") / lit(1000.0)).cast("long").as("bal_band"))
+      .agg(countDistinct(col("c_mktsegment")).as("l"),
+        count(lit(1)).as("class_size"))
+    val tot = classes.agg(sum("class_size").as("n_total"))
+    classes.groupBy(col("l"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(col("class_size")).as("n_rows"))
+      .crossJoin(broadcast(tot))
+      .select(col("l"), col("n_classes"), col("n_rows"),
+        round(col("n_rows").cast("double")
+          / col("n_total").cast("double"), 6).as("pct_rows"))
+      .orderBy(col("l"))
+  }
+
   def dqKanon(s: SparkSession, d: String): DataFrame = {
     val classes = Tables.customer(s, d)
       .groupBy(col("c_nationkey"), col("c_mktsegment"),
@@ -2073,6 +2145,8 @@ object CoreRelational {
     "j10_semi"       -> j10Semi _,
     "j11_theta"      -> j11Theta _,
     "j14_saltedjoin" -> j14SaltedJoin _,
+    "j15_interval" -> j15Interval _,
+    "dq_ldiversity" -> dqLdiversity _,
     "a01_distinct"   -> a01Distinct _,
     "a02_keepoldest" -> a02KeepOldest _,
     "a03_collect"    -> a03CollectList _,
@@ -2138,6 +2212,40 @@ object CoreRelational {
         |) AS t(query, n_shuffle_exchange, n_broadcast_exchange, n_scans)
         |ORDER BY query""".stripMargin,
     // the salt is invisible to semantics: the oracle IS the plain join
+    // the oracle joins the SAME derived intervals directly with the
+    // range predicate — DuckDB's planner handles the theta join at
+    // oracle scale; the engine's bucket decomposition must agree
+    "j15_interval" ->
+      """WITH iv AS (
+        |  SELECT l_suppkey AS suppkey, l_orderkey AS okey,
+        |    l_linenumber AS lnum,
+        |    CAST(l_shipdate AS DATE) AS ship,
+        |    CAST(l_shipdate AS DATE)
+        |      + CAST(((l_orderkey * 7 + l_linenumber * 3) % 25 + 3)
+        |        AS INTEGER) AS receipt
+        |  FROM lineitem WHERE l_quantity >= 48)
+        |SELECT a.suppkey, a.okey AS okey1, a.lnum AS lnum1,
+        |  b.okey AS okey2, b.lnum AS lnum2,
+        |  CAST(datediff('day', greatest(a.ship, b.ship),
+        |    least(a.receipt, b.receipt)) + 1 AS INTEGER) AS overlap_days
+        |FROM iv a JOIN iv b ON a.suppkey = b.suppkey
+        |  AND (a.okey < b.okey OR (a.okey = b.okey AND a.lnum < b.lnum))
+        |  AND a.ship <= b.receipt AND b.ship <= a.receipt
+        |ORDER BY overlap_days DESC, a.suppkey, okey1, lnum1, okey2, lnum2
+        |LIMIT 20""".stripMargin,
+    "dq_ldiversity" ->
+      """WITH classes AS (
+        |  SELECT c_nationkey,
+        |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+        |    COUNT(DISTINCT c_mktsegment) AS l,
+        |    COUNT(*) AS class_size
+        |  FROM customer GROUP BY 1, 2),
+        |tot AS (SELECT SUM(class_size) AS n_total FROM classes)
+        |SELECT l, CAST(COUNT(*) AS BIGINT) AS n_classes,
+        |  CAST(SUM(class_size) AS BIGINT) AS n_rows,
+        |  round(CAST(SUM(class_size) AS DOUBLE)
+        |    / (SELECT n_total FROM tot), 6) AS pct_rows
+        |FROM classes GROUP BY l ORDER BY l""".stripMargin,
     "j14_saltedjoin" ->
       """SELECT c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n_events,
         |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
