@@ -1665,6 +1665,52 @@ object CoreRelational {
       .limit(20)
   }
 
+  /** T267: approximate-quantile cross-check — the mergeable quantile
+    * sketch every 100 TB profiler actually runs (Spark's
+    * approx_percentile, a Greenwald–Khanna variant with rank error
+    * ≤ 1/accuracy), verified against EXACT quantiles cross-engine:
+    * the row emits the exact interpolated p50/p90 (DuckDB replays
+    * them with quantile_cont — both engines use the p·(n−1) linear
+    * interpolation) and pins the sketch's RANK guarantee as a
+    * boolean: at accuracy 10000 the approx p must land between the
+    * exact p∓0.05 quantiles (1e-4 rank error, checked against a 500×
+    * looser band — a broken sketch fails it, FP noise cannot). One
+    * aggregate computes all six exact percentiles AND both sketches
+    * in a single pass. */
+  def a23ApproxQuantile(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val agg = li.agg(
+      expr("percentile(l_quantity, array(0.45, 0.5, 0.55, 0.85, 0.9, 0.95))")
+        .as("eq"),
+      expr("approx_percentile(l_quantity, array(0.5, 0.9), 10000)")
+        .as("aq"),
+      expr("percentile(l_extendedprice, array(0.45, 0.5, 0.55, 0.85, 0.9, 0.95))")
+        .as("ep"),
+      expr("approx_percentile(l_extendedprice, array(0.5, 0.9), 10000)")
+        .as("ap"))
+    agg.select(explode(array(
+      struct(lit("l_extendedprice").as("col_name"), lit(0.5).as("p"),
+        round(col("ep").getItem(1), 4).as("exact"),
+        (col("ap").getItem(0) >= col("ep").getItem(0) &&
+          col("ap").getItem(0) <= col("ep").getItem(2)).as("rank_bounded")),
+      struct(lit("l_extendedprice").as("col_name"), lit(0.9).as("p"),
+        round(col("ep").getItem(4), 4).as("exact"),
+        (col("ap").getItem(1) >= col("ep").getItem(3) &&
+          col("ap").getItem(1) <= col("ep").getItem(5)).as("rank_bounded")),
+      struct(lit("l_quantity").as("col_name"), lit(0.5).as("p"),
+        round(col("eq").getItem(1), 4).as("exact"),
+        (col("aq").getItem(0) >= col("eq").getItem(0) &&
+          col("aq").getItem(0) <= col("eq").getItem(2)).as("rank_bounded")),
+      struct(lit("l_quantity").as("col_name"), lit(0.9).as("p"),
+        round(col("eq").getItem(4), 4).as("exact"),
+        (col("aq").getItem(1) >= col("eq").getItem(3) &&
+          col("aq").getItem(1) <= col("eq").getItem(5)).as("rank_bounded"))))
+      .as("r"))
+      .select(col("r.col_name"), col("r.p"), col("r.exact"),
+        col("r.rank_bounded"))
+      .orderBy(col("col_name"), col("p"))
+  }
+
   /** T266: l-DIVERSITY audit — dq_kanon's standard companion: class
     * SIZE (k) says a row hides in a crowd, but if the whole crowd
     * shares one sensitive value the attribute still leaks. Classes =
@@ -2147,6 +2193,7 @@ object CoreRelational {
     "j14_saltedjoin" -> j14SaltedJoin _,
     "j15_interval" -> j15Interval _,
     "dq_ldiversity" -> dqLdiversity _,
+    "a23_approx_quantile" -> a23ApproxQuantile _,
     "a01_distinct"   -> a01Distinct _,
     "a02_keepoldest" -> a02KeepOldest _,
     "a03_collect"    -> a03CollectList _,
@@ -2212,6 +2259,25 @@ object CoreRelational {
         |) AS t(query, n_shuffle_exchange, n_broadcast_exchange, n_scans)
         |ORDER BY query""".stripMargin,
     // the salt is invisible to semantics: the oracle IS the plain join
+    // exact interpolated quantiles replay with quantile_cont (both
+    // engines interpolate at p*(n-1)); rank_bounded pins the GK
+    // sketch's guarantee against a 500x looser band than its 1e-4
+    // rank error, so a broken sketch fails but FP noise cannot
+    "a23_approx_quantile" ->
+      """SELECT col_name, p, exact, TRUE AS rank_bounded FROM (
+        |  SELECT 'l_extendedprice' AS col_name, 0.5 AS p,
+        |    round(quantile_cont(l_extendedprice, 0.5), 4) AS exact
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', 0.9,
+        |    round(quantile_cont(l_extendedprice, 0.9), 4) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_quantity', 0.5,
+        |    round(quantile_cont(l_quantity, 0.5), 4) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_quantity', 0.9,
+        |    round(quantile_cont(l_quantity, 0.9), 4) FROM lineitem)
+        |ORDER BY col_name, p""".stripMargin,
     // the oracle joins the SAME derived intervals directly with the
     // range predicate — DuckDB's planner handles the theta join at
     // oracle scale; the engine's bucket decomposition must agree

@@ -424,6 +424,20 @@ class PlanAuditSpec extends SparkFunSuite {
     }
   }
 
+  test("j15_interval: the bucket decomposition keeps the overlap join " +
+    "EQUI — no cartesian or nested-loop node anywhere in the plan") {
+    val p = plan(CoreRelational.j15Interval(spark, sfDir))
+    assert(!p.contains("CartesianProduct"),
+      "interval join degenerated to a cartesian product")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "interval join degenerated to a nested loop")
+    // the join keys must include BOTH the supplier and the bucket —
+    // joining on supplier alone is the O(n^2)-per-key trap the
+    // decomposition exists to avoid
+    assert(p.contains("suppkey") && p.contains("bucket"),
+      "bucket key missing from the executed plan")
+  }
+
   test("partitioned table prunes partitions at scan time") {
     val dir = Files.createTempDirectory("ptab").toString + "/t"
     val df = graft.Tables.orders(spark, sfDir)
