@@ -1676,7 +1676,13 @@ object CoreRelational {
     * exact p∓0.05 quantiles (1e-4 rank error, checked against a 500×
     * looser band — a broken sketch fails it, FP noise cannot). One
     * aggregate computes all six exact percentiles AND both sketches
-    * in a single pass. */
+    * in a single pass.
+    *
+    * Scale posture: the SKETCH is the production path (mergeable,
+    * bounded memory — the reason it exists at 100 TB); the exact
+    * `percentile` side buffers values and is the VERIFIER, run at
+    * gate SF only — the same exact-vs-approx asymmetry as
+    * ann_recall's brute-force side. */
   def a23ApproxQuantile(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
     val agg = li.agg(
