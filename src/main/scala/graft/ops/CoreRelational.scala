@@ -1607,17 +1607,13 @@ object CoreRelational {
           .as("mean_shift_pct"))
   }
 
-  /** T222: K-ANONYMITY audit over a quasi-identifier set — the privacy
-    * gate a training corpus passes before release (Sweeney 2002): group
-    * the table by the QI tuple (nation, market segment, account-balance
-    * band), then report the equivalence-class-size HISTOGRAM. The
-    * k-anonymity level is the smallest class_size row; the re-identifi-
-    * cation risk mass is the pct_rows sitting in small classes. Two
-    * map-side-combinable hash aggs (corpus → classes → histogram) plus
-    * a broadcast 1-row total — nothing wider than the QI tuple
-    * shuffles, and the histogram is bounded by max class size. The
-    * balance band is floor(bal/1000): identical IEEE division + floor
+  /** The shared QI balance band for the privacy audits: k-anonymity
+    * and l-diversity must agree on what an equivalence class is by
+    * construction. floor(bal/1000): identical IEEE division + floor
     * in both engines, then exact integers everywhere. */
+  private def balBand: Column =
+    floor(col("c_acctbal") / lit(1000.0)).cast("long").as("bal_band")
+
   /** T265: bucketized INTERVAL-OVERLAP self-join — the missing join
     * class between the equi family and j11's broadcast theta: "which
     * same-supplier shipments were in flight simultaneously". Naive
@@ -1727,8 +1723,7 @@ object CoreRelational {
     * map-side), one tiny re-agg, one broadcast total. */
   def dqLdiversity(s: SparkSession, d: String): DataFrame = {
     val classes = Tables.customer(s, d)
-      .groupBy(col("c_nationkey"),
-        floor(col("c_acctbal") / lit(1000.0)).cast("long").as("bal_band"))
+      .groupBy(col("c_nationkey"), balBand)
       .agg(countDistinct(col("c_mktsegment")).as("l"),
         count(lit(1)).as("class_size"))
     val tot = classes.agg(sum("class_size").as("n_total"))
@@ -1742,10 +1737,19 @@ object CoreRelational {
       .orderBy(col("l"))
   }
 
+  /** T222: K-ANONYMITY audit over a quasi-identifier set — the privacy
+    * gate a training corpus passes before release (Sweeney 2002): group
+    * the table by the QI tuple (nation, market segment, account-balance
+    * band), then report the equivalence-class-size HISTOGRAM. The
+    * k-anonymity level is the smallest class_size row; the re-identifi-
+    * cation risk mass is the pct_rows sitting in small classes. Two
+    * map-side-combinable hash aggs (corpus → classes → histogram) plus
+    * a broadcast 1-row total — nothing wider than the QI tuple
+    * shuffles, and the histogram is bounded by max class size. The
+    * balance band is the shared [[balBand]]. */
   def dqKanon(s: SparkSession, d: String): DataFrame = {
     val classes = Tables.customer(s, d)
-      .groupBy(col("c_nationkey"), col("c_mktsegment"),
-        floor(col("c_acctbal") / lit(1000.0)).cast("long").as("bal_band"))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"), balBand)
       .agg(count(lit(1)).as("class_size"))
     val tot = classes.agg(sum("class_size").as("n_total"))
     classes.groupBy("class_size")
@@ -2264,7 +2268,6 @@ object CoreRelational {
         |     CAST(1 AS BIGINT))
         |) AS t(query, n_shuffle_exchange, n_broadcast_exchange, n_scans)
         |ORDER BY query""".stripMargin,
-    // the salt is invisible to semantics: the oracle IS the plain join
     // exact interpolated quantiles replay with quantile_cont (both
     // engines interpolate at p*(n-1)); rank_bounded pins the GK
     // sketch's guarantee against a 500x looser band than its 1e-4
@@ -2318,6 +2321,7 @@ object CoreRelational {
         |  round(CAST(SUM(class_size) AS DOUBLE)
         |    / (SELECT n_total FROM tot), 6) AS pct_rows
         |FROM classes GROUP BY l ORDER BY l""".stripMargin,
+    // the salt is invisible to semantics: the oracle IS the plain join
     "j14_saltedjoin" ->
       """SELECT c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n_events,
         |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))

@@ -431,11 +431,12 @@ class PlanAuditSpec extends SparkFunSuite {
       "interval join degenerated to a cartesian product")
     assert(!p.contains("BroadcastNestedLoopJoin"),
       "interval join degenerated to a nested loop")
-    // the join keys must include BOTH the supplier and the bucket —
-    // joining on supplier alone is the O(n^2)-per-key trap the
-    // decomposition exists to avoid
-    assert(p.contains("suppkey") && p.contains("bucket"),
-      "bucket key missing from the executed plan")
+    // the JOIN KEY LIST itself must carry both the supplier and the
+    // bucket — joining on supplier alone is the O(n^2)-per-key trap
+    // the decomposition exists to avoid; every hash/merge join node
+    // prints as "...Join [key1#id, key2#id], [...]"
+    assert("Join \\[suppkey#\\d+L?, bucket#\\d+".r.findFirstIn(p).isDefined,
+      "the executed join is not keyed on (suppkey, bucket)")
   }
 
   test("partitioned table prunes partitions at scan time") {
