@@ -1713,6 +1713,39 @@ object CoreRelational {
       .orderBy(col("col_name"), col("p"))
   }
 
+  /** T269: CONTRIBUTION-CAPPED aggregation — the bounded-sensitivity
+    * preprocessing under every user-level differential-privacy or
+    * robust-statistics release: before aggregating, each user
+    * contributes at most k = 5 events (their FIRST five by time — the
+    * deterministic cap that makes the statistic's user-sensitivity
+    * bounded, so calibrated noise or trimmed estimators work
+    * downstream). The panel reports raw vs capped count and revenue
+    * per event type with the retained share — exactly the "how much
+    * did the cap bite" audit a release pipeline prints. One
+    * row_number window partitioned by user (user count bounds state),
+    * then a map-side-combinable agg; money through DECIMAL(18,2) per
+    * the hash rules. */
+  def dqContributionCap(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), col("user_id"), col("event_id"),
+        col("ts"), col("value"))
+    val ranked = ev.withColumn("rn", row_number().over(
+      Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)))
+    ranked.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("raw_n"),
+        sum(when(col("rn") <= 5, 1L).otherwise(0L)).as("capped_n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("raw_sum"),
+        sum(when(col("rn") <= 5, col("value").cast("decimal(18,2)"))
+          .otherwise(lit(java.math.BigDecimal.ZERO).cast("decimal(18,2)")))
+          .cast("double").as("capped_sum"),
+        round(sum(when(col("rn") <= 5, 1.0).otherwise(0.0))
+          / count(lit(1)), 6).as("retained_frac"))
+      .orderBy(col("event_type"))
+  }
+
   /** T266: l-DIVERSITY audit — dq_kanon's standard companion: class
     * SIZE (k) says a row hides in a crowd, but if the whole crowd
     * shares one sensitive value the attribute still leaks. Classes =
@@ -2204,6 +2237,7 @@ object CoreRelational {
     "j15_interval" -> j15Interval _,
     "dq_ldiversity" -> dqLdiversity _,
     "a23_approx_quantile" -> a23ApproxQuantile _,
+    "dq_contribution_cap" -> dqContributionCap _,
     "a01_distinct"   -> a01Distinct _,
     "a02_keepoldest" -> a02KeepOldest _,
     "a03_collect"    -> a03CollectList _,
@@ -2268,6 +2302,25 @@ object CoreRelational {
         |     CAST(1 AS BIGINT))
         |) AS t(query, n_shuffle_exchange, n_broadcast_exchange, n_scans)
         |ORDER BY query""".stripMargin,
+    // same row_number cap replayed; money through DECIMAL(18,2)
+    "dq_contribution_cap" ->
+      """WITH ranked AS (
+        |  SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC, event_id ASC) AS rn
+        |  FROM events)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS raw_n,
+        |  CAST(SUM(CASE WHEN rn <= 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS capped_n,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+        |    AS DOUBLE) AS raw_sum,
+        |  CAST(CAST(SUM(CASE WHEN rn <= 5
+        |      THEN CAST(value AS DECIMAL(18,2))
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2))
+        |    AS DOUBLE) AS capped_sum,
+        |  round(CAST(SUM(CASE WHEN rn <= 5 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*), 6) AS retained_frac
+        |FROM ranked GROUP BY event_type ORDER BY event_type""".stripMargin,
     // exact interpolated quantiles replay with quantile_cont (both
     // engines interpolate at p*(n-1)); rank_bounded pins the GK
     // sketch's guarantee against a 500x looser band than its 1e-4

@@ -886,7 +886,48 @@ object MultimodalOps {
       .orderBy(col("shard_id"))
   }
 
+  /** T268: audio AUTOCORRELATION on decoded compressed audio — the
+    * lag-correlation family behind pitch/periodicity detection (the
+    * feature a speech-vs-music-vs-noise gate keys on): the μ-law
+    * train decodes through the real G.711 expansion, then the raw
+    * energy r0 = Σd² and the lag products r_k = Σ d_i·d_{i+k} for
+    * k ∈ {1,4,8} fold in the same pass — all exact integer sums
+    * (|d| ≤ 16103 ⇒ Σd² ≤ 1e11 per doc, well inside Long), so the
+    * oracle replays them with the decode CASE ladder + lead()
+    * windows. Normalized autocorrelation (r_k/r0) is derivable
+    * downstream; the row pins the exact numerators. */
+  def mmAudioAutocorr(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ids = Tables.spread(Tables.documents(s, d))
+      .select(col("doc_id")).as[Long]
+    val feats = ids.mapPartitions { it =>
+      it.map { id =>
+        val n = 200 + (id % 5).toInt * 40
+        val raw = Array.tabulate(n) { i =>
+          ((((id * 37 + i.toLong * 23) % 4000) - 2000) * 8).toShort
+        }
+        val (_, dec) = graft.multimodal.Mulaw
+          .parse(graft.multimodal.Mulaw.build(8000, raw))
+          .getOrElse(throw new IllegalStateException(
+            s"mulaw round-trip failed for doc $id"))
+        var r0 = 0L; var r1 = 0L; var r4 = 0L; var r8 = 0L
+        var i = 0
+        while (i < dec.length) {
+          val v = dec(i).toLong
+          r0 += v * v
+          if (i + 1 < dec.length) r1 += v * dec(i + 1)
+          if (i + 4 < dec.length) r4 += v * dec(i + 4)
+          if (i + 8 < dec.length) r8 += v * dec(i + 8)
+          i += 1
+        }
+        (id, dec.length, r0, r1, r4, r8)
+      }
+    }.toDF("doc_id", "n_samples", "r0", "r1", "r4", "r8")
+    feats.orderBy(col("doc_id")).limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_audio_autocorr" -> mmAudioAutocorr _,
     "mm_tar_shards" -> mmTarShards _,
     "mm_binary_intake" -> mmBinaryIntake _,
     "mm_thumbnail" -> mmThumbnail _,
@@ -907,6 +948,46 @@ object MultimodalOps {
     "mm_dedup"    -> mmDedup _)
 
   val oracles: Map[String, String] = Map(
+    // the decode ladder replays G.711, then lead() windows give the
+    // lag products — every sum is exact integers
+    "mm_audio_autocorr" ->
+      """WITH ids AS (SELECT doc_id FROM documents),
+        |raw AS (
+        |  SELECT doc_id, CAST(t.i AS BIGINT) AS i,
+        |    (((doc_id * 37 + CAST(t.i AS BIGINT) * 23) % 4000) - 2000)
+        |      * 8 AS s
+        |  FROM ids,
+        |    UNNEST(range(0, 200 + CAST(doc_id % 5 AS INTEGER) * 40))
+        |      AS t(i)),
+        |enc AS (
+        |  SELECT doc_id, i, s, m,
+        |    CASE WHEN m >= 16384 THEN 7 WHEN m >= 8192 THEN 6
+        |      WHEN m >= 4096 THEN 5 WHEN m >= 2048 THEN 4
+        |      WHEN m >= 1024 THEN 3 WHEN m >= 512 THEN 2
+        |      WHEN m >= 256 THEN 1 ELSE 0 END AS e
+        |  FROM (SELECT *, LEAST(ABS(s), 32635) + 132 AS m FROM raw)),
+        |dec AS (
+        |  SELECT doc_id, i,
+        |    CASE WHEN s < 0 THEN
+        |      -((((m >> (e + 3)) & 15) * 8 + 132) << e) + 132
+        |    ELSE ((((m >> (e + 3)) & 15) * 8 + 132) << e) - 132
+        |    END AS d
+        |  FROM enc),
+        |lagged AS (
+        |  SELECT doc_id, d,
+        |    lead(d, 1) OVER w AS d1,
+        |    lead(d, 4) OVER w AS d4,
+        |    lead(d, 8) OVER w AS d8
+        |  FROM dec WINDOW w AS (PARTITION BY doc_id ORDER BY i))
+        |SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_samples,
+        |  CAST(SUM(d * d) AS BIGINT) AS r0,
+        |  CAST(SUM(CASE WHEN d1 IS NOT NULL THEN d * d1 ELSE 0 END)
+        |    AS BIGINT) AS r1,
+        |  CAST(SUM(CASE WHEN d4 IS NOT NULL THEN d * d4 ELSE 0 END)
+        |    AS BIGINT) AS r4,
+        |  CAST(SUM(CASE WHEN d8 IS NOT NULL THEN d * d8 ELSE 0 END)
+        |    AS BIGINT) AS r8
+        |FROM lagged GROUP BY doc_id ORDER BY doc_id LIMIT 20""".stripMargin,
     // pack → unpack → re-decode ledger replayed arithmetically: shard
     // by id mod 8, format by id mod 5 (clean assets, no corruption),
     // L1 per format as in mm_codec_dispatch; id_sum pins the entry
