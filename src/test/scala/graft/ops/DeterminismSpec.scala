@@ -31,7 +31,14 @@ class DeterminismSpec extends SparkFunSuite {
       (() => EventOps.evMarkovStationary(spark, sfDir)),
     "text_jsd_sources" -> (() => TextOps.textJsdSources(spark, sfDir)),
     "emb_cluster_quality" ->
-      (() => SimOps.embClusterQuality(spark, sfDir)))
+      (() => SimOps.embClusterQuality(spark, sfDir)),
+    // round-10: the GK sketch's merge order varies with fan-out — the
+    // rank_bounded booleans (and the sort-based exact side) must not
+    "a23_approx_quantile" ->
+      (() => CoreRelational.a23ApproxQuantile(spark, sfDir)),
+    "dq_contribution_cap" ->
+      (() => CoreRelational.dqContributionCap(spark, sfDir)),
+    "text_compress" -> (() => TextOps.textCompress(spark, sfDir)))
 
   test("quantized statistics are bit-identical across shuffle fan-outs") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
