@@ -316,6 +316,56 @@ class Round10CodecSpec extends SparkFunSuite {
     }
   }
 
+  // ---- MS-RLE8 temporal video ------------------------------------------
+
+  test("Rle8: keyframe round-trips arbitrary 8-bit frames") {
+    import graft.multimodal.Rle8
+    val w = 37; val h = 23
+    val f = Array.tabulate(w * h)(p => ((p * 31 + p / 5) % 256).toByte)
+    val dec = Rle8.decode(w, h, Rle8.encodeKey(w, h, f), None).get
+    assert(dec.sameElements(f))
+  }
+
+  test("Rle8: delta frames skip unchanged pixels and reconstruct " +
+    "exactly — including a change LEFT of the cursor on a later row") {
+    import graft.multimodal.Rle8
+    val w = 64; val h = 16
+    val f0 = Array.tabulate(w * h)(p => ((p / 8) % 128).toByte)
+    val f1 = f0.clone()
+    // change late in row 2, then EARLY in row 3 (forces the EOL reset)
+    for (x <- 50 until 60) f1(2 * w + x) = (200 + x % 8).toByte
+    for (x <- 5 until 10) f1(3 * w + x) = 190.toByte
+    val f2 = f1.clone()
+    for (x <- 0 until 8) f2(15 * w + x) = 250.toByte // last row edge
+    val chunks = Rle8.encodeVideo(w, h, Seq(f0, f1, f2))
+    val dec = Rle8.decodeVideo(w, h, chunks).get
+    assert(dec(0).sameElements(f0) && dec(1).sameElements(f1) &&
+      dec(2).sameElements(f2))
+    // the temporal win is real: each delta is far below its keyframe
+    assert(chunks(1).length < chunks(0).length &&
+      chunks(2).length < chunks(0).length,
+      s"deltas ${chunks(1).length}/${chunks(2).length} vs key ${chunks(0).length}")
+  }
+
+  test("Rle8.decode: malformed streams reject, never crash or " +
+    "write out of bounds") {
+    import graft.multimodal.Rle8
+    val w = 16; val h = 8
+    val f = Array.tabulate(w * h)(p => (p % 250).toByte)
+    val key = Rle8.encodeKey(w, h, f)
+    assert(Rle8.decode(w, h, key.dropRight(2), None).isEmpty, "no EOB")
+    assert(Rle8.decode(w, h, Array[Byte](), None).isEmpty, "empty")
+    // run overruns the row width
+    assert(Rle8.decode(w, h, Array[Byte](255.toByte, 1, 0, 1), None).isEmpty)
+    // delta skip beyond the frame
+    assert(Rle8.decode(w, h,
+      Array[Byte](0, 2, 255.toByte, 255.toByte, 0, 1), None).isEmpty)
+    // absolute run longer than the remaining data
+    assert(Rle8.decode(w, h, Array[Byte](0, 5, 1, 2), None).isEmpty)
+    // delta against a wrong-sized previous frame
+    assert(Rle8.decode(w, h, key, Some(new Array[Byte](7))).isEmpty)
+  }
+
   // ---- USTAR -----------------------------------------------------------
 
   test("Tar: entries of odd sizes round-trip through 512-block " +
