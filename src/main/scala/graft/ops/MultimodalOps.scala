@@ -987,7 +987,62 @@ object MultimodalOps {
     feats.orderBy(col("doc_id")).limit(20)
   }
 
+  /** T271: REAL ADAPTIVE audio compression — IMA/DVI ADPCM
+    * ([[graft.multimodal.Adpcm]], WAVE tag 0x11): 4:1 into 4-bit
+    * nibbles through a STATEFUL predictive loop (predictor +
+    * step-index adapt per sample) — one tier above μ-law's stateless
+    * companding; perceptual codecs (MP3 class) remain out of reach.
+    * The adaptation recursion is pure integer arithmetic, so the
+    * oracle replays the WHOLE loop with a recursive CTE (step-table
+    * lookup, three threshold bits, shift-sum reconstruction, clamped
+    * state updates) — decoded sample mass, quantization-error mass
+    * and peak, and the FINAL step index (the adaptation trajectory's
+    * endpoint — one wrong table entry or clamp anywhere shifts it)
+    * all hash-check cross-engine. The engine's numbers pass through
+    * the real single-block WAVE container (block-header predictor,
+    * low-nibble-first packing). */
+  def mmAdpcmFeatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ids = Tables.spread(Tables.documents(s, d))
+      .select(col("doc_id")).as[Long]
+    val feats = ids.mapPartitions { it =>
+      it.map { id =>
+        val n = 200 + (id % 5).toInt * 40
+        val raw = Array.tabulate(n) { i =>
+          ((((id * 37 + i.toLong * 23) % 4000) - 2000) * 8).toShort
+        }
+        val wav = graft.multimodal.Adpcm.build(8000, raw)
+        val (_, dec) = graft.multimodal.Adpcm.parse(wav)
+          .getOrElse(throw new IllegalStateException(
+            s"adpcm round-trip failed for doc $id"))
+        var dsum = 0L; var esum = 0L; var emax = 0
+        var i = 0
+        while (i < n) {
+          dsum += dec(i)
+          val e = math.abs(raw(i) - dec(i))
+          esum += e
+          if (e > emax) emax = e
+          i += 1
+        }
+        // the encoder's state trajectory == the decoder's (identical
+        // reconstruction); its endpoint pins the whole adaptation
+        var st = graft.multimodal.Adpcm.State(raw(0).toInt, 0)
+        var j = 1
+        while (j < n) {
+          st = graft.multimodal.Adpcm.encodeNibble(raw(j).toInt, st)._2
+          j += 1
+        }
+        val dataBytes = 4 + n / 2
+        (id, n, dataBytes, dsum, esum, emax, st.idx,
+          dataBytes.toLong < 2L * n)
+      }
+    }.toDF("doc_id", "n_samples", "data_bytes", "dec_sum", "err_sum",
+      "err_max", "final_idx", "compressed")
+    feats.orderBy(col("doc_id")).limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_adpcm_features" -> mmAdpcmFeatures _,
     "mm_rle_video" -> mmRleVideo _,
     "mm_audio_autocorr" -> mmAudioAutocorr _,
     "mm_tar_shards" -> mmTarShards _,
@@ -1010,6 +1065,61 @@ object MultimodalOps {
     "mm_dedup"    -> mmDedup _)
 
   val oracles: Map[String, String] = Map(
+    // the recursive CTE replays the ADPCM adaptation loop itself:
+    // per iteration the encoder's three threshold bits, the shift-sum
+    // reconstruction, the clamped predictor, and the step-index walk —
+    // decoded mass, error mass/peak, and the final index must match
+    // the engine's decode of the real container to the integer
+    "mm_adpcm_features" ->
+      """WITH RECURSIVE ids AS (
+        |  SELECT doc_id,
+        |    CAST(200 + (doc_id % 5) * 40 AS INTEGER) AS n
+        |  FROM documents),
+        |st(doc_id, n, i, pred, idx, dsum, esum, emax) AS (
+        |  SELECT doc_id, n, 0,
+        |    CAST((((doc_id * 37) % 4000) - 2000) * 8 AS INTEGER),
+        |    0,
+        |    CAST((((doc_id * 37) % 4000) - 2000) * 8 AS BIGINT),
+        |    CAST(0 AS BIGINT), 0
+        |  FROM ids
+        |  UNION ALL
+        |  SELECT doc_id, n, i2, predN, idxN, dsum + predN,
+        |    esum + ABS(s - predN),
+        |    GREATEST(emax, CAST(ABS(s - predN) AS INTEGER))
+        |  FROM (
+        |    SELECT doc_id, n, i + 1 AS i2, dsum, esum, emax,
+        |      CAST((((doc_id * 37 + CAST(i + 1 AS BIGINT) * 23) % 4000)
+        |        - 2000) * 8 AS INTEGER) AS s,
+        |      list_extract([7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,
+        |        31,34,37,41,45,50,55,60,66,73,80,88,97,107,118,130,143,
+        |        157,173,190,209,230,253,279,307,337,371,408,449,494,544,
+        |        598,658,724,796,876,963,1060,1166,1282,1411,1552,1707,
+        |        1878,2066,2272,2499,2749,3024,3327,3660,4026,4428,4871,
+        |        5358,5894,6484,7132,7845,8630,9493,10442,11487,12635,
+        |        13899,15289,16818,18500,20350,22385,24623,27086,29794,
+        |        32767], idx + 1) AS step,
+        |      CASE WHEN s < pred THEN 1 ELSE 0 END AS sgn,
+        |      ABS(s - pred) AS d0,
+        |      CASE WHEN d0 >= step THEN 1 ELSE 0 END AS b4,
+        |      d0 - b4 * step AS d1,
+        |      CASE WHEN d1 >= step // 2 THEN 1 ELSE 0 END AS b2,
+        |      d1 - b2 * (step // 2) AS d2,
+        |      CASE WHEN d2 >= step // 4 THEN 1 ELSE 0 END AS b1,
+        |      step // 8 + b4 * step + b2 * (step // 2)
+        |        + b1 * (step // 4) AS vp,
+        |      CAST(GREATEST(-32768, LEAST(32767,
+        |        CASE WHEN sgn = 1 THEN pred - vp ELSE pred + vp END))
+        |        AS INTEGER) AS predN,
+        |      CAST(LEAST(88, GREATEST(0, idx + list_extract(
+        |        [-1,-1,-1,-1,2,4,6,8], b4 * 4 + b2 * 2 + b1 + 1)))
+        |        AS INTEGER) AS idxN
+        |    FROM st WHERE i + 1 < n))
+        |SELECT doc_id, n AS n_samples,
+        |  CAST(4 + n // 2 AS INTEGER) AS data_bytes,
+        |  dsum AS dec_sum, esum AS err_sum, emax AS err_max,
+        |  idx AS final_idx, TRUE AS compressed
+        |FROM st WHERE i = n - 1
+        |ORDER BY doc_id LIMIT 20""".stripMargin,
     // lossless RLE8 ⇒ frames regenerate arithmetically; motion is the
     // |rect_k ∪ rect_{k-1}| rectangle-overlap formula (rect values sit
     // ≥128 over a <128 background and differ frame-to-frame, so every

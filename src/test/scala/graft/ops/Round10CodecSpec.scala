@@ -316,6 +316,56 @@ class Round10CodecSpec extends SparkFunSuite {
     }
   }
 
+  // ---- IMA ADPCM -------------------------------------------------------
+
+  test("Adpcm: container round-trip decodes through the real adaptive " +
+    "loop; slow ramps track tightly") {
+    import graft.multimodal.Adpcm
+    // a slow ramp: the adaptive step shrinks to the floor and the
+    // error stays within a few quantization steps
+    val raw = Array.tabulate(400)(i => (i * 4).toShort)
+    val (rate, dec) = Adpcm.parse(Adpcm.build(8000, raw)).get
+    assert(rate == 8000 && dec.length == 400)
+    assert(dec(0) == raw(0), "block-header predictor is sample 0")
+    val maxErr = raw.zip(dec).map { case (a, b) => math.abs(a - b) }.max
+    assert(maxErr <= 16, s"slow ramp tracked with error $maxErr")
+  }
+
+  test("Adpcm: encoder and decoder share one state trajectory (the " +
+    "reconstruction is identical on both sides)") {
+    import graft.multimodal.Adpcm
+    val raw = Array.tabulate(257)(i => ((i * 997 % 8000) - 4000).toShort)
+    var st = Adpcm.State(raw(0).toInt, 0)
+    val viaEncode = raw.tail.map { s =>
+      val (nib, stN) = Adpcm.encodeNibble(s.toInt, st)
+      st = stN
+      (nib, stN.pred, stN.idx)
+    }
+    var st2 = Adpcm.State(raw(0).toInt, 0)
+    viaEncode.foreach { case (nib, pred, idx) =>
+      val (v, stN) = Adpcm.decodeNibble(nib, st2)
+      assert(v == pred && stN.idx == idx, "decode diverged from encode")
+      st2 = stN
+    }
+  }
+
+  test("Adpcm.parse: malformed containers reject") {
+    import graft.multimodal.Adpcm
+    val good = Adpcm.build(8000, Array.tabulate(100)(i => (i * 7).toShort))
+    assert(Adpcm.parse(good).isDefined)
+    assert(Adpcm.parse(good.take(40)).isEmpty, "truncated header")
+    assert(Adpcm.parse(good.take(good.length - 10)).isEmpty, "truncated data")
+    // a PCM WAV is not ADPCM: format tag 1 must reject
+    val pcm = graft.multimodal.Multimodal.Wav.build(8000, Array[Short](1, 2))
+    assert(Adpcm.parse(pcm).isEmpty, "accepted PCM as ADPCM")
+    // hostile step index in the block header: layout is RIFF(12) +
+    // fmt hdr(8)+fmt(20) + data hdr(8) + predictor(2) + INDEX byte
+    val bad = good.clone()
+    bad(12 + 28 + 8 + 2) = 120.toByte
+    assert(Adpcm.parse(bad).isEmpty, "step index > 88 accepted")
+    assert(Adpcm.parse(Array.fill[Byte](60)(0x52)).isEmpty, "garbage")
+  }
+
   // ---- MS-RLE8 temporal video ------------------------------------------
 
   test("Rle8: keyframe round-trips arbitrary 8-bit frames") {
