@@ -284,9 +284,15 @@ object Multimodal {
       val toks = header.split(" ")
       if (toks.isEmpty || toks(0) != "YUV4MPEG2") return None
       var w = -1; var h = -1; var c420 = true
+      // non-numeric dimension tokens (a corrupted header byte) must
+      // quarantine, not throw NumberFormatException out of the parser
+      def num(s: String): Int =
+        if (s.nonEmpty && s.forall(c => c >= '0' && c <= '9') &&
+          s.length <= 9) s.toInt
+        else -1
       toks.drop(1).foreach { t =>
-        if (t.startsWith("W")) w = t.drop(1).toInt
-        else if (t.startsWith("H")) h = t.drop(1).toInt
+        if (t.startsWith("W")) w = num(t.drop(1))
+        else if (t.startsWith("H")) h = num(t.drop(1))
         else if (t.startsWith("C")) c420 = t.drop(1).startsWith("420")
       }
       if (w <= 0 || h <= 0 || w % 2 != 0 || h % 2 != 0 || !c420)

@@ -1,0 +1,119 @@
+package graft.ops
+
+import graft.SparkFunSuite
+import graft.multimodal._
+
+/** Seeded corruption sweep over EVERY codec parser — the fail-closed
+  * contract the intake rows (mm_codec_dispatch / mm_binary_intake /
+  * mm_tar_shards) depend on: ANY corrupted payload must yield None or
+  * a well-formed result, never a throw, hang, or out-of-bounds write.
+  * Corruptions are deterministic (seeded xxhash-style mixing, no
+  * RNG): single-byte XORs at spread positions, truncations at every
+  * eighth, and a zero-fill window. */
+class CodecFuzzSpec extends SparkFunSuite {
+
+  private def mix(seed: Long): Long = {
+    var x = seed * 0x9e3779b97f4a7c15L
+    x ^= x >>> 32; x *= 0xbf58476d1ce4e5b9L; x ^= x >>> 29
+    x
+  }
+
+  /** Deterministic corruption variants of a golden payload. */
+  private def variants(golden: Array[Byte]): Iterator[Array[Byte]] = {
+    val xors = (0 until 200).iterator.map { k =>
+      val b = golden.clone()
+      val pos = (math.abs(mix(k.toLong)) % golden.length).toInt
+      val bit = (math.abs(mix(k.toLong + 7777)) % 8).toInt
+      b(pos) = (b(pos) ^ (1 << bit)).toByte
+      b
+    }
+    val truncs = (1 until 8).iterator.map(k => golden.take(golden.length * k / 8))
+    val zeroed = Iterator.single {
+      val b = golden.clone()
+      val at = golden.length / 3
+      java.util.Arrays.fill(b, at, math.min(golden.length, at + 16), 0.toByte)
+      b
+    }
+    xors ++ truncs ++ zeroed
+  }
+
+  private def sweep(name: String, golden: Array[Byte],
+      parse: Array[Byte] => Option[Any]): Unit = {
+    assert(parse(golden).isDefined, s"$name: golden payload must parse")
+    var crashed = 0
+    variants(golden).foreach { v =>
+      try parse(v)
+      catch { case e: Throwable => crashed += 1 }
+    }
+    assert(crashed == 0, s"$name: $crashed corruptions crashed the parser")
+  }
+
+  test("every codec parser survives 208 seeded corruptions without a " +
+    "throw (None or well-formed only)") {
+    val pngPx = Array.tabulate(11 * 9) { p =>
+      ((p * 37 % 256) << 16) | ((p * 11 % 256) << 8) | (p % 256)
+    }
+    sweep("png", Png.build(11, 9, pngPx), b => Png.parse(b))
+    sweep("gif", Gif.build(14, 10,
+      Array.tabulate(140)(i => (i % 256).toByte)), b => Gif.parse(b))
+    sweep("mulaw", Mulaw.build(8000,
+      Array.tabulate(120)(i => ((i * 431 % 3000) - 1500).toShort)),
+      b => Mulaw.parse(b))
+    sweep("adpcm", Adpcm.build(8000,
+      Array.tabulate(120)(i => ((i * 431 % 3000) - 1500).toShort)),
+      b => Adpcm.parse(b))
+    sweep("wav", Multimodal.Wav.build(8000,
+      Array.tabulate(120)(i => (i * 99).toShort)),
+      b => Multimodal.Wav.parse(b))
+    sweep("bmp", Multimodal.Bmp.build(9, 7, pngPx.take(63)),
+      b => Multimodal.Bmp.parse(b))
+    val y = Array.tabulate(12 * 8)(p => (p % 251).toByte)
+    val c = Array.tabulate(24)(p => (p * 3 % 251).toByte)
+    sweep("y4m", Multimodal.Y4m.build(12, 8, Seq((y, c, c))),
+      b => Multimodal.Y4m.parse(b))
+    val jy = Array.tabulate(16 * 16)(p =>
+      (((p % 16) / 8 * 13 + (p / 16) / 8 * 31) % 256).toByte)
+    val jc = Array.tabulate(64)(p => 99.toByte)
+    val jpg = Jpeg.build(16, 16, jy, jc, jc)
+    sweep("jpeg", jpg, b => Jpeg.parse(b))
+    sweep("avi", Avi.build(16, 16, Seq(jpg, jpg)), b => Avi.parse(b))
+    sweep("tar", Tar.build(Seq(
+      "a.bin" -> Array.tabulate(700)(_.toByte),
+      "b.bin" -> Array.tabulate(123)(_.toByte))), b => Tar.parse(b))
+  }
+
+  test("Rle8.decode survives seeded corruption of key and delta chunks") {
+    val w = 24; val h = 12
+    val f0 = Array.tabulate(w * h)(p => ((p / 8) % 100).toByte)
+    val f1 = f0.clone()
+    for (x <- 3 until 11) f1(5 * w + x) = 120.toByte
+    val key = Rle8.encodeKey(w, h, f0)
+    val delta = Rle8.encodeDelta(w, h, f0, f1)
+    for (chunk <- Seq(key, delta); prev <- Seq(None, Some(f0))) {
+      var crashed = 0
+      variants(chunk).foreach { v =>
+        try Rle8.decode(w, h, v, prev)
+        catch { case _: Throwable => crashed += 1 }
+      }
+      assert(crashed == 0, s"rle8: $crashed corruptions crashed")
+    }
+  }
+
+  test("AutoCodec quarantines every corruption of every dispatchable " +
+    "format (the intake contract)") {
+    val auto = new Codecs.AutoCodec
+    val goldens = Seq(
+      Png.build(8, 6, Array.tabulate(48)(p => p * 0x010101)),
+      Gif.build(10, 5, Array.tabulate(50)(i => (i % 256).toByte)),
+      Mulaw.build(8000, Array.tabulate(77)(i => (i * 55).toShort)))
+    goldens.foreach { g =>
+      assert(auto.decode(g, null).isDefined)
+      var crashed = 0
+      variants(g).foreach { v =>
+        try auto.decode(v, null)
+        catch { case _: Throwable => crashed += 1 }
+      }
+      assert(crashed == 0, s"autocodec: $crashed corruptions crashed")
+    }
+  }
+}
