@@ -439,6 +439,24 @@ class PlanAuditSpec extends SparkFunSuite {
       "the executed join is not keyed on (suppkey, bucket)")
   }
 
+  test("mm_codec_dispatch / mm_tar_shards: the scaladoc's shuffle " +
+    "claims hold in the executed plan") {
+    // dispatch: payloads decode in place; the ONLY hash shuffle is the
+    // 5-row ledger agg (partial aggregation runs map-side first)
+    val pd = plan(MultimodalOps.mmCodecDispatch(spark, sfDir))
+    val hashEx = "Exchange hashpartitioning".r
+    assert(hashEx.findAllIn(pd).length == 1,
+      "dispatch ledger should shuffle exactly once (the tiny agg)")
+    assert(pd.contains("partial_count") || pd.contains("partial_sum"),
+      "ledger agg lost its map-side partial phase")
+    // tar shards: ONE payload shuffle to the shard assembler (the
+    // write pattern itself), nothing else hash-partitions
+    val pt = plan(MultimodalOps.mmTarShards(spark, sfDir))
+    assert(hashEx.findAllIn(pt).length == 1,
+      "tar packing should shuffle payloads exactly once")
+    assert(!pd.contains("CartesianProduct") && !pt.contains("CartesianProduct"))
+  }
+
   test("partitioned table prunes partitions at scan time") {
     val dir = Files.createTempDirectory("ptab").toString + "/t"
     val df = graft.Tables.orders(spark, sfDir)
