@@ -1041,7 +1041,46 @@ object MultimodalOps {
     feats.orderBy(col("doc_id")).limit(20)
   }
 
+  /** T272: LOSSLESS predictive audio — order-1 prediction + Rice(6)
+    * residual coding ([[graft.multimodal.Rice]], the FLAC-style tier
+    * and the integer entropy-coder family columnar formats use for
+    * deltas). The decisive property: Rice's size is CLOSED-FORM
+    * (bits = (zigzag(d) >> k) + 1 + k per residual), so the oracle
+    * replays the EXACT ENCODED BYTE COUNT of the real bitstream —
+    * stronger than any bound-pinning — plus the decoded mass
+    * (lossless ⇒ equals the raw mass) and a computed (not pinned)
+    * compression comparison. The engine's numbers come from a real
+    * MSB-first bit-packed encode → bounded-unary decode round trip. */
+  def mmRiceFeatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ids = Tables.spread(Tables.documents(s, d))
+      .select(col("doc_id")).as[Long]
+    val feats = ids.mapPartitions { it =>
+      it.map { id =>
+        val n = 200 + (id % 5).toInt * 40
+        val raw = Array.tabulate(n) { i =>
+          ((((id * 37 + i.toLong * 23) % 4000) - 2000) * 8).toShort
+        }
+        val enc = graft.multimodal.Rice.encode(raw, 6)
+        val dec = graft.multimodal.Rice.decode(enc, n, 6)
+          .getOrElse(throw new IllegalStateException(
+            s"rice round-trip failed for doc $id"))
+        var equal = 0; var dsum = 0L
+        var i = 0
+        while (i < n) {
+          if (dec(i) == raw(i)) equal += 1
+          dsum += dec(i)
+          i += 1
+        }
+        (id, n, enc.length, equal, dsum, enc.length.toLong * 8 < 16L * n)
+      }
+    }.toDF("doc_id", "n_samples", "enc_bytes", "lossless_ok",
+      "dec_sum", "compressed")
+    feats.orderBy(col("doc_id")).limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_rice_features" -> mmRiceFeatures _,
     "mm_adpcm_features" -> mmAdpcmFeatures _,
     "mm_rle_video" -> mmRleVideo _,
     "mm_audio_autocorr" -> mmAudioAutocorr _,
@@ -1065,6 +1104,35 @@ object MultimodalOps {
     "mm_dedup"    -> mmDedup _)
 
   val oracles: Map[String, String] = Map(
+    // Rice's closed-form size lets the oracle replay the EXACT byte
+    // count of the real bitstream: 16 first-sample bits + per residual
+    // (zigzag >> 6) + 7, rounded up to bytes; lossless ⇒ decoded mass
+    // equals the raw mass; `compressed` is COMPUTED on both sides
+    "mm_rice_features" ->
+      """WITH ids AS (SELECT doc_id,
+        |    CAST(200 + (doc_id % 5) * 40 AS INTEGER) AS n
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, n, CAST(t.i AS BIGINT) AS i,
+        |    (((doc_id * 37 + CAST(t.i AS BIGINT) * 23) % 4000) - 2000)
+        |      * 8 AS v
+        |  FROM ids, UNNEST(range(0, n)) AS t(i)),
+        |r AS (
+        |  SELECT doc_id, n, v,
+        |    v - lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS d
+        |  FROM s),
+        |b AS (
+        |  SELECT doc_id, n,
+        |    CAST(SUM(v) AS BIGINT) AS dec_sum,
+        |    16 + CAST(SUM(CASE WHEN d IS NULL THEN 0
+        |      ELSE ((CASE WHEN d < 0 THEN -2 * d - 1 ELSE 2 * d END)
+        |        >> 6) + 7 END) AS BIGINT) AS bits
+        |  FROM r GROUP BY doc_id, n)
+        |SELECT doc_id, n AS n_samples,
+        |  CAST((bits + 7) // 8 AS INTEGER) AS enc_bytes,
+        |  n AS lossless_ok, dec_sum,
+        |  ((bits + 7) // 8) * 8 < 16 * n AS compressed
+        |FROM b ORDER BY doc_id LIMIT 20""".stripMargin,
     // the recursive CTE replays the ADPCM adaptation loop itself:
     // per iteration the encoder's three threshold bits, the shift-sum
     // reconstruction, the clamped predictor, and the step-index walk —

@@ -316,6 +316,43 @@ class Round10CodecSpec extends SparkFunSuite {
     }
   }
 
+  // ---- Rice/Golomb -----------------------------------------------------
+
+  test("Rice: lossless round trip at several k, including negative " +
+    "samples and big residual jumps") {
+    import graft.multimodal.Rice
+    val raw = Array.tabulate(500)(i =>
+      (((i * 997 % 7000) - 3500) + (if (i % 90 == 0) 20000 else 0)).toShort)
+    for (k <- Seq(0, 3, 6, 10)) {
+      val enc = Rice.encode(raw, k)
+      val dec = Rice.decode(enc, raw.length, k).get
+      assert(dec.sameElements(raw), s"k=$k mismatched")
+    }
+  }
+
+  test("Rice: the measured stream length equals the closed-form size") {
+    import graft.multimodal.Rice
+    val raw = Array.tabulate(333)(i => ((i * 431 % 3000) - 1500).toShort)
+    val k = 6
+    val bits = 16L + raw.sliding(2).map { p =>
+      Rice.residualBits(p(1) - p(0), k)
+    }.sum
+    assert(Rice.encode(raw, k).length == ((bits + 7) / 8).toInt)
+  }
+
+  test("Rice.decode: truncation and hostile unary runs fail closed") {
+    import graft.multimodal.Rice
+    val raw = Array.tabulate(100)(i => (i * 50).toShort)
+    val enc = Rice.encode(raw, 6)
+    assert(Rice.decode(enc, 100, 6).isDefined)
+    assert(Rice.decode(enc.take(enc.length / 2), 100, 6).isEmpty, "truncated")
+    assert(Rice.decode(Array[Byte](), 1, 6).isEmpty, "empty")
+    // all-ones stream = one endless unary run: must bound, not spin
+    assert(Rice.decode(Array.fill[Byte](4096)(0xff.toByte), 10, 6).isEmpty)
+    assert(Rice.decode(enc, 100, 31).isEmpty, "k out of range")
+    assert(Rice.decode(null, 100, 6).isEmpty, "null")
+  }
+
   // ---- IMA ADPCM -------------------------------------------------------
 
   test("Adpcm: container round-trip decodes through the real adaptive " +
