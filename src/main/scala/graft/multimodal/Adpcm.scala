@@ -78,7 +78,10 @@ object Adpcm {
 
   /** Compress and serialize as a single-block DVI-ADPCM WAVE. */
   def build(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
-    require(samples.nonEmpty)
+    // samplesPerBlock and block-align are u16 wire fields: a longer
+    // input would silently truncate into a corrupt container
+    require(samples.nonEmpty && samples.length <= 0xffff,
+      s"single-block ADPCM holds at most 65535 samples, got ${samples.length}")
     val n = samples.length
     val nibbles = new Array[Int](n - 1)
     var st = State(samples(0).toInt, 0)

@@ -295,7 +295,11 @@ object Multimodal {
         else if (t.startsWith("H")) h = num(t.drop(1))
         else if (t.startsWith("C")) c420 = t.drop(1).startsWith("420")
       }
-      if (w <= 0 || h <= 0 || w % 2 != 0 || h % 2 != 0 || !c420)
+      // dim cap: 16384^2 * 1.5 stays inside Int, and the Long bound
+      // check below keeps p + sizes from wrapping — a crafted
+      // W65536 H65536 header must quarantine, not allocate gigabytes
+      if (w <= 0 || h <= 0 || w > 16384 || h > 16384 ||
+        w % 2 != 0 || h % 2 != 0 || !c420)
         return None
       val (ySz, cSz) = (w * h, (w / 2) * (h / 2))
       val frames = scala.collection.mutable.ArrayBuffer
@@ -307,7 +311,7 @@ object Multimodal {
         val fl = new String(payload, off, fEnd - off, "US-ASCII")
         if (fl != "FRAME" && !fl.startsWith("FRAME ")) return None
         var p = fEnd + 1
-        if (p + ySz + 2 * cSz > payload.length) return None
+        if (p.toLong + ySz + 2L * cSz > payload.length) return None
         val y = java.util.Arrays.copyOfRange(payload, p, p + ySz)
         p += ySz
         val cb = java.util.Arrays.copyOfRange(payload, p, p + cSz)

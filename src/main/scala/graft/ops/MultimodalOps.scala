@@ -486,9 +486,7 @@ object MultimodalOps {
     val feats = ids.mapPartitions { it =>
       it.map { id =>
         val n = 200 + (id % 5).toInt * 40
-        val raw = Array.tabulate(n) { i =>
-          ((((id * 37 + i.toLong * 23) % 4000) - 2000) * 8).toShort
-        }
+        val raw = syntheticPcm(id, n)
         val wav = graft.multimodal.Mulaw.build(8000, raw)
         val (rate, dec) = graft.multimodal.Mulaw.parse(wav)
           .getOrElse(throw new IllegalStateException(
@@ -599,6 +597,15 @@ object MultimodalOps {
     * batched mapPartitions path constructs the dispatcher (and its
     * delegates) once per partition; the 5-row ledger aggregates
     * map-side. */
+  /** The shared deterministic PCM test signal behind every audio
+    * codec row (mulaw/resample/autocorr/adpcm/rice and the dispatch
+    * builder): one generator, mirrored once per oracle — a shape
+    * tweak here must be applied to the matching SQL formulas too. */
+  private[ops] def syntheticPcm(id: Long, n: Int): Array[Short] =
+    Array.tabulate(n) { i =>
+      ((((id * 37 + i.toLong * 23) % 4000) - 2000) * 8).toShort
+    }
+
   /** Deterministic mixed-format asset builder shared by
     * [[mmCodecDispatch]] (in-memory payloads) and [[mmBinaryIntake]]
     * (real files through the binaryFile source). Sizes key off the
@@ -619,8 +626,7 @@ object MultimodalOps {
           ((id * 13 + (p % w) * 7 + (p / w) * 11) % 256).toByte))
       case 2 =>
         val n = 150 + (id % 4).toInt * 50
-        graft.multimodal.Mulaw.build(8000, Array.tabulate(n)(i =>
-          ((((id * 37 + i.toLong * 23) % 4000) - 2000) * 8).toShort))
+        graft.multimodal.Mulaw.build(8000, syntheticPcm(id, n))
       case 3 =>
         val w = 32; val h = 32
         val y = Array.tabulate(w * h) { p =>
@@ -740,9 +746,7 @@ object MultimodalOps {
     val feats = ids.mapPartitions { it =>
       it.map { id =>
         val n = 201 + (id % 6).toInt * 37 // odd lengths appear
-        val raw = Array.tabulate(n) { i =>
-          ((((id * 37 + i.toLong * 23) % 4000) - 2000) * 8).toShort
-        }
+        val raw = syntheticPcm(id, n)
         val (_, dec) = graft.multimodal.Mulaw
           .parse(graft.multimodal.Mulaw.build(8000, raw))
           .getOrElse(throw new IllegalStateException(
@@ -903,9 +907,7 @@ object MultimodalOps {
     val feats = ids.mapPartitions { it =>
       it.map { id =>
         val n = 200 + (id % 5).toInt * 40
-        val raw = Array.tabulate(n) { i =>
-          ((((id * 37 + i.toLong * 23) % 4000) - 2000) * 8).toShort
-        }
+        val raw = syntheticPcm(id, n)
         val (_, dec) = graft.multimodal.Mulaw
           .parse(graft.multimodal.Mulaw.build(8000, raw))
           .getOrElse(throw new IllegalStateException(
@@ -1008,9 +1010,7 @@ object MultimodalOps {
     val feats = ids.mapPartitions { it =>
       it.map { id =>
         val n = 200 + (id % 5).toInt * 40
-        val raw = Array.tabulate(n) { i =>
-          ((((id * 37 + i.toLong * 23) % 4000) - 2000) * 8).toShort
-        }
+        val raw = syntheticPcm(id, n)
         val wav = graft.multimodal.Adpcm.build(8000, raw)
         val (_, dec) = graft.multimodal.Adpcm.parse(wav)
           .getOrElse(throw new IllegalStateException(
@@ -1058,9 +1058,7 @@ object MultimodalOps {
     val feats = ids.mapPartitions { it =>
       it.map { id =>
         val n = 200 + (id % 5).toInt * 40
-        val raw = Array.tabulate(n) { i =>
-          ((((id * 37 + i.toLong * 23) % 4000) - 2000) * 8).toShort
-        }
+        val raw = syntheticPcm(id, n)
         val enc = graft.multimodal.Rice.encode(raw, 6)
         val dec = graft.multimodal.Rice.decode(enc, n, 6)
           .getOrElse(throw new IllegalStateException(
