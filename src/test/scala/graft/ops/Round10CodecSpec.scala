@@ -316,6 +316,16 @@ class Round10CodecSpec extends SparkFunSuite {
     }
   }
 
+  test("Y4m.parse: crafted giant-dimension headers quarantine instead " +
+    "of overflowing Int and allocating gigabytes") {
+    import graft.multimodal.Multimodal.Y4m
+    for (dims <- Seq("W65536 H65536", "W999999998 H2", "W2 H999999998")) {
+      val payload = s"YUV4MPEG2 $dims C420\nFRAME\n".getBytes("US-ASCII") ++
+        Array.fill[Byte](64)(1)
+      assert(Y4m.parse(payload).isEmpty, s"accepted $dims")
+    }
+  }
+
   // ---- Rice/Golomb -----------------------------------------------------
 
   test("Rice: lossless round trip at several k, including negative " +
