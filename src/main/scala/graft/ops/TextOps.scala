@@ -1290,7 +1290,11 @@ object TextOps {
     * 32 KiB, mirrored replayably in the oracle (tiny docs are all
     * zlib header so the ratio bound is vacuous; past the 32 KiB LZ77
     * window the second copy of t∥t cannot back-reference the first,
-    * so the doubling claim only holds in-window): inflate∘deflate
+    * so the doubling claim only holds in-window; the lower bound is
+    * 128 B, not 32, because zlib's fixed ~11-byte overhead (2-byte
+    * header + deflate block header + 4-byte Adler) puts even a
+    * low-redundancy 32-48 B doc at ratio ≈1.2-1.35 — the sanity bound
+    * needs real headroom over the constant cost): inflate∘deflate
     * round-trips every checked doc (roundtrip_ok = n_checked),
     * doubling the text never increases the ratio (doubling_violations
     * = 0), and every checked ratio lies in (0, 1.2). The per-source
@@ -1302,10 +1306,16 @@ object TextOps {
       .select(col("source"), col("text"))
       .as[(String, String)]
     val per = docs.mapPartitions { it =>
-      // one codec pair per partition (the batched-codec amortization),
-      // released when the iterator drains instead of at GC time
+      // one codec pair per partition (the batched-codec amortization);
+      // native zlib memory is released on TASK COMPLETION, not GC —
+      // a consumer that short-circuits the iterator (limit, take,
+      // task failure) would leak it under a drain-detecting wrapper
       val defl = new java.util.zip.Deflater()
       val infl = new java.util.zip.Inflater()
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit] { _ =>
+          defl.end(); infl.end()
+        })
       val buf = new Array[Byte](1 << 16)
       def deflate(bytes: Array[Byte]): Array[Byte] = {
         defl.reset(); defl.setInput(bytes); defl.finish()
@@ -1325,9 +1335,9 @@ object TextOps {
         }
         got == bytes.length && java.util.Arrays.equals(out, bytes)
       }
-      val mapped = it.map { case (source, text) =>
+      it.map { case (source, text) =>
         val b = text.getBytes("UTF-8")
-        val checked = b.length >= 32 && b.length <= 32768
+        val checked = b.length >= 128 && b.length <= 32768
         if (!checked) (source, 0.0, false, true, true, true)
         else {
           // ONE deflate serves both the ratio and the round trip
@@ -1338,14 +1348,6 @@ object TextOps {
           (source, ratio, true, doubled <= ratio, roundtrips(z, b),
             ratio > 0.0 && ratio < 1.2)
         }
-      }
-      new Iterator[(String, Double, Boolean, Boolean, Boolean, Boolean)] {
-        def hasNext: Boolean = {
-          val h = mapped.hasNext
-          if (!h) { defl.end(); infl.end() }
-          h
-        }
-        def next() = mapped.next()
       }
     }.toDF("source", "ratio", "checked", "doubling_ok", "roundtrip",
       "sane")
@@ -1460,10 +1462,10 @@ object TextOps {
     "text_compress" ->
       """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(CASE WHEN octet_length(encode(text))
-        |      BETWEEN 32 AND 32768 THEN 1 ELSE 0 END) AS BIGINT)
+        |      BETWEEN 128 AND 32768 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_checked,
         |  CAST(SUM(CASE WHEN octet_length(encode(text))
-        |      BETWEEN 32 AND 32768 THEN 1 ELSE 0 END) AS BIGINT)
+        |      BETWEEN 128 AND 32768 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS roundtrip_ok,
         |  CAST(0 AS BIGINT) AS doubling_violations,
         |  TRUE AS ratio_sane
