@@ -78,20 +78,79 @@ object Codecs {
       }
   }
 
+  /** PCM WAVE → 32-dim count histogram over the 16-bit samples, same
+    * binning as [[MulawCodec]] (L1 = sample count). The uncompressed
+    * sibling format a mixed audio intake sees most often. */
+  final class PcmCodec extends MediaCodec {
+    val featureDim: Int = 32
+    def decode(payload: Array[Byte], meta: Row): Option[Array[Float]] =
+      Multimodal.Wav.parse(payload).map { case (_, samples) =>
+        val f = new Array[Float](featureDim)
+        var i = 0
+        while (i < samples.length) {
+          f((samples(i).toInt + 32768) / 2048) += 1f
+          i += 1
+        }
+        f
+      }
+  }
+
+  /** IMA/DVI ADPCM WAVE → 32-dim count histogram over the EXPANDED
+    * samples (the full adaptive decode loop runs; L1 = sample
+    * count). */
+  final class AdpcmCodec extends MediaCodec {
+    val featureDim: Int = 32
+    def decode(payload: Array[Byte], meta: Row): Option[Array[Float]] =
+      Adpcm.parse(payload).map { case (_, samples) =>
+        val f = new Array[Float](featureDim)
+        var i = 0
+        while (i < samples.length) {
+          f((samples(i).toInt + 32768) / 2048) += 1f
+          i += 1
+        }
+        f
+      }
+  }
+
   /** The production intake shape: sniff the container by magic bytes
     * and dispatch to the right real codec — unknown or malformed
     * payloads quarantine as None instead of poisoning the batch. The
-    * dispatcher itself stays cheap (a few byte compares per asset);
-    * the delegates are constructed once with the dispatcher, so the
-    * per-partition amortization of [[Multimodal.extractFeatures]]
-    * carries through. */
+    * dispatcher itself stays cheap (a few byte compares per asset,
+    * plus one bounded chunk walk for RIFF/WAVE — the container tag
+    * alone does not identify the audio codec, so the fmt chunk's
+    * format tag sub-dispatches PCM (1) vs G.711 μ-law (7) vs IMA/DVI
+    * ADPCM (0x11); any other tag quarantines). The delegates are
+    * constructed once with the dispatcher, so the per-partition
+    * amortization of [[Multimodal.extractFeatures]] carries
+    * through. */
   final class AutoCodec extends MediaCodec {
     val featureDim: Int = 32
     private val png = new PngCodec
     private val gif = new GifCodec
     private val mulaw = new MulawCodec
+    private val pcm = new PcmCodec
+    private val adpcm = new AdpcmCodec
     private val avi = new AviCodec
     private val jpeg = new Multimodal.JpegCodec
+
+    /** Walk the RIFF chunks to the fmt chunk and return its format
+      * tag, or -1 for anything malformed (Long cursor + negative-size
+      * reject, the [[Multimodal.Wav]] hostile-bytes posture). */
+    private def waveFmtTag(p: Array[Byte]): Int = {
+      def u16(o: Int): Int = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
+      var off = 12L
+      while (off + 8 <= p.length) {
+        val o = off.toInt
+        val len = ((p(o + 4) & 0xffL)) | ((p(o + 5) & 0xffL) << 8) |
+          ((p(o + 6) & 0xffL) << 16) | ((p(o + 7) & 0xffL) << 24)
+        if (len.toInt < 0) return -1
+        if (p(o) == 'f' && p(o + 1) == 'm' && p(o + 2) == 't' &&
+            p(o + 3) == ' ')
+          return if (len >= 16 && off + 10 <= p.length) u16(o + 8) else -1
+        off += 8L + len.toInt + (len.toInt & 1)
+      }
+      -1
+    }
 
     def decode(payload: Array[Byte], meta: Row): Option[Array[Float]] = {
       if (payload == null || payload.length < 12) return None
@@ -108,7 +167,12 @@ object Codecs {
       else if (at(0, "GIF8")) gif.decode(payload, meta)
       else if ((payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8)
         jpeg.decode(payload, meta)
-      else if (at(0, "RIFF") && at(8, "WAVE")) mulaw.decode(payload, meta)
+      else if (at(0, "RIFF") && at(8, "WAVE")) waveFmtTag(payload) match {
+        case 1    => pcm.decode(payload, meta)
+        case 7    => mulaw.decode(payload, meta)
+        case 0x11 => adpcm.decode(payload, meta)
+        case _    => None
+      }
       else if (at(0, "RIFF") && at(8, "AVI ")) avi.decode(payload, meta)
       else None
     }

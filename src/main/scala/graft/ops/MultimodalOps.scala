@@ -581,22 +581,28 @@ object MultimodalOps {
   /** T258: the mixed-format INTAKE itself — the step every real
     * multimodal corpus runs before any per-format work: assets arrive
     * format-tagged only by their bytes, [[graft.multimodal.Codecs.AutoCodec]]
-    * sniffs magic bytes (PNG signature, GIF8, JPEG SOI, RIFF/WAVE,
-    * RIFF/AVI) and dispatches to the right REAL codec, and anything
-    * malformed QUARANTINES as None instead of poisoning the batch.
-    * Per doc the format is doc_id mod 5 (PNG / GIF / μ-law / JPEG /
-    * MJPEG-AVI) and every 7th asset is deliberately TRUNCATED to half
-    * length — all five parsers must fail closed on it. Every codec's
-    * features are COUNT histograms, so the per-format L1 mass equals
-    * the decoded unit count (3wh / wh / samples / 1.5wh / frames·wh)
-    * and the whole dispatch + quarantine ledger replays
+    * sniffs magic bytes (PNG signature, GIF8, JPEG SOI, RIFF/AVI) and
+    * — because RIFF/WAVE alone does not identify the audio codec —
+    * sub-dispatches WAVE by the fmt chunk's format tag (1 = PCM,
+    * 7 = G.711 μ-law, 0x11 = IMA/DVI ADPCM), so a plain PCM WAV or an
+    * ADPCM WAV DECODES instead of quarantining next to its compressed
+    * siblings; anything malformed QUARANTINES as None instead of
+    * poisoning the batch. Per doc the format is doc_id mod 7 (PNG /
+    * GIF / μ-law / JPEG / MJPEG-AVI / PCM-WAV / ADPCM) and every 11th
+    * asset is deliberately TRUNCATED to half length — all seven
+    * parsers must fail closed on it. Every codec's features are COUNT
+    * histograms, so the per-format L1 mass equals the decoded unit
+    * count (3wh / wh / samples / 1.5wh / frames·wh / samples /
+    * samples) and the whole dispatch + quarantine ledger replays
     * arithmetically: a mis-sniff, a codec that accepts truncated
-    * bytes, or a dropped asset all go red.
+    * bytes, or a dropped asset all go red — and n_quarantined counts
+    * ONLY the deliberate truncations (a valid PCM/ADPCM WAVE counted
+    * there would be indistinguishable from corruption).
     *
-    * Scale posture: sniffing is a few byte compares per asset; the
-    * batched mapPartitions path constructs the dispatcher (and its
-    * delegates) once per partition; the 5-row ledger aggregates
-    * map-side. */
+    * Scale posture: sniffing is a few byte compares per asset (one
+    * bounded chunk walk for WAVE); the batched mapPartitions path
+    * constructs the dispatcher (and its delegates) once per
+    * partition; the 7-row ledger aggregates map-side. */
   /** The shared deterministic PCM test signal behind every audio
     * codec row (mulaw/resample/autocorr/adpcm/rice and the dispatch
     * builder): one generator, mirrored once per oracle — a shape
@@ -636,7 +642,7 @@ object MultimodalOps {
           ((id * 11 + ((p % 16) / 8) * 5 + ((p / 16) / 8) * 3) % 256).toByte
         }
         graft.multimodal.Jpeg.build(w, h, y, c, c)
-      case _ =>
+      case 4 =>
         val w = 32; val h = 32
         val frames = (0 until 2).map { f =>
           val y = Array.tabulate(w * h) { p =>
@@ -648,6 +654,12 @@ object MultimodalOps {
           graft.multimodal.Jpeg.build(w, h, y, c, c)
         }
         Avi.build(w, h, frames)
+      case 5 =>
+        val n = 120 + (id % 5).toInt * 30
+        Multimodal.Wav.build(8000, syntheticPcm(id, n))
+      case _ =>
+        val n = 100 + (id % 3).toInt * 40
+        graft.multimodal.Adpcm.build(8000, syntheticPcm(id, n))
     }
 
   def mmCodecDispatch(s: SparkSession, d: String): DataFrame = {
@@ -656,9 +668,9 @@ object MultimodalOps {
       .select(col("doc_id")).as[Long]
     val media = ids.mapPartitions { it =>
       it.map { id =>
-        val full = buildAsset(id, (id % 5).toInt)
+        val full = buildAsset(id, (id % 7).toInt)
         val payload =
-          if (id % 7 == 0) java.util.Arrays.copyOfRange(full, 0, full.length / 2)
+          if (id % 11 == 0) java.util.Arrays.copyOfRange(full, 0, full.length / 2)
           else full
         (id, payload)
       }
@@ -670,7 +682,7 @@ object MultimodalOps {
         lit(null).cast("long").as("duration_ms"),
         concat(lit("synthetic://mixed/"), col("media_id")).as("source_uri")))
     Multimodal.extractFeatures(media, new graft.multimodal.Codecs.AutoCodec)
-      .withColumn("fmt", (col("media_id") % 5).cast("int"))
+      .withColumn("fmt", (col("media_id") % 7).cast("int"))
       .groupBy(col("fmt"))
       .agg(count(lit(1)).as("n_assets"),
         sum(when(col("ok"), 1L).otherwise(0L)).as("n_ok"),
@@ -772,7 +784,7 @@ object MultimodalOps {
     * pattern [[Multimodal.mediaFromDocuments]]'s doc-comment names),
     * then the same [[graft.multimodal.Codecs.AutoCodec]] sniff +
     * dispatch + quarantine ledger as [[mmCodecDispatch]]. Every 10th
-    * doc becomes a file (id-named), format = (id/10) mod 5, every 7th
+    * doc becomes a file (id-named), format = (id/10) mod 7, every 11th
     * asset truncated on disk; media_id recovers from the file PATH
     * (regexp_extract — the id-in-filename convention object stores
     * use). The asset directory writes ONCE per (session, dataset)
@@ -809,9 +821,9 @@ object MultimodalOps {
         .filter(col("doc_id") % 10 === 0)
         .collect().map(_.getLong(0))
       ids.foreach { id =>
-        val full = buildAsset(id, ((id / 10) % 5).toInt)
+        val full = buildAsset(id, ((id / 10) % 7).toInt)
         val bytes =
-          if ((id / 10) % 7 == 0)
+          if ((id / 10) % 11 == 0)
             java.util.Arrays.copyOfRange(full, 0, full.length / 2)
           else full
         java.nio.file.Files.write(
@@ -831,7 +843,7 @@ object MultimodalOps {
         lit(null).cast("long").as("duration_ms"),
         concat(lit("file://asset/"), col("media_id")).as("source_uri")))
     Multimodal.extractFeatures(media, new graft.multimodal.Codecs.AutoCodec)
-      .withColumn("fmt", expr("(media_id div 10) % 5").cast("int"))
+      .withColumn("fmt", expr("(media_id div 10) % 7").cast("int"))
       .groupBy(col("fmt"))
       .agg(count(lit(1)).as("n_assets"),
         sum(when(col("ok"), 1L).otherwise(0L)).as("n_ok"),
@@ -1296,14 +1308,16 @@ object MultimodalOps {
       """WITH ids AS (SELECT doc_id, doc_id // 10 AS k
         |  FROM documents WHERE doc_id % 10 = 0),
         |l AS (SELECT doc_id,
-        |    CAST(k % 5 AS INTEGER) AS fmt, (k % 7 = 0) AS corrupt,
-        |    CASE CAST(k % 5 AS INTEGER)
+        |    CAST(k % 7 AS INTEGER) AS fmt, (k % 11 = 0) AS corrupt,
+        |    CASE CAST(k % 7 AS INTEGER)
         |      WHEN 0 THEN 3 * (8 + (doc_id % 3) * 4)
         |        * (6 + (doc_id % 2) * 2)
         |      WHEN 1 THEN (20 + (doc_id % 4) * 4) * 12
         |      WHEN 2 THEN 150 + (doc_id % 4) * 50
         |      WHEN 3 THEN 1536
-        |      ELSE 2048 END AS l1
+        |      WHEN 4 THEN 2048
+        |      WHEN 5 THEN 120 + (doc_id % 5) * 30
+        |      ELSE 100 + (doc_id % 3) * 40 END AS l1
         |  FROM ids)
         |SELECT fmt, CAST(COUNT(*) AS BIGINT) AS n_assets,
         |  CAST(SUM(CASE WHEN corrupt THEN 0 ELSE 1 END) AS BIGINT)
@@ -1386,8 +1400,8 @@ object MultimodalOps {
     // 1.5wh jpeg / 2wh avi luma)
     "mm_codec_dispatch" ->
       """WITH ids AS (SELECT doc_id,
-        |    CAST(doc_id % 5 AS INTEGER) AS fmt,
-        |    (doc_id % 7 = 0) AS corrupt
+        |    CAST(doc_id % 7 AS INTEGER) AS fmt,
+        |    (doc_id % 11 = 0) AS corrupt
         |  FROM documents),
         |l AS (SELECT doc_id, fmt, corrupt,
         |    CASE fmt
@@ -1396,7 +1410,9 @@ object MultimodalOps {
         |      WHEN 1 THEN (20 + (doc_id % 4) * 4) * 12
         |      WHEN 2 THEN 150 + (doc_id % 4) * 50
         |      WHEN 3 THEN 1536
-        |      ELSE 2048 END AS l1
+        |      WHEN 4 THEN 2048
+        |      WHEN 5 THEN 120 + (doc_id % 5) * 30
+        |      ELSE 100 + (doc_id % 3) * 40 END AS l1
         |  FROM ids)
         |SELECT fmt, CAST(COUNT(*) AS BIGINT) AS n_assets,
         |  CAST(SUM(CASE WHEN corrupt THEN 0 ELSE 1 END) AS BIGINT)

@@ -105,7 +105,12 @@ class CodecFuzzSpec extends SparkFunSuite {
     val goldens = Seq(
       Png.build(8, 6, Array.tabulate(48)(p => p * 0x010101)),
       Gif.build(10, 5, Array.tabulate(50)(i => (i % 256).toByte)),
-      Mulaw.build(8000, Array.tabulate(77)(i => (i * 55).toShort)))
+      Mulaw.build(8000, Array.tabulate(77)(i => (i * 55).toShort)),
+      // the WAVE fmt-tag sub-dispatch branches: PCM and IMA ADPCM
+      graft.multimodal.Multimodal.Wav.build(8000,
+        Array.tabulate[Short](64)(i => (i * 91).toShort)),
+      graft.multimodal.Adpcm.build(8000,
+        Array.tabulate[Short](50)(i => (i * 83).toShort)))
     goldens.foreach { g =>
       assert(auto.decode(g, null).isDefined)
       var crashed = 0

@@ -531,15 +531,27 @@ class Round10CodecSpec extends SparkFunSuite {
       "jpeg: 1.5/px")
     val avi = Avi.build(16, 16, Seq(flatJpeg(16, 16, 1), flatJpeg(16, 16, 2)))
     assert(l1(auto.decode(avi, null).get) == 2L * 16 * 16, "avi: luma only")
-    // PCM WAV sniffs as RIFF/WAVE but is not mu-law: quarantine
-    val pcm = graft.multimodal.Multimodal.Wav.build(8000, Array[Short](1, 2))
-    assert(auto.decode(pcm, null).isEmpty, "pcm accepted as mu-law")
+    // the WAVE fmt-tag sub-dispatch: PCM (tag 1) and ADPCM (tag 0x11)
+    // DECODE through their own codecs instead of quarantining as
+    // failed mu-law — a mixed intake must not count its own sibling
+    // formats as corruption
+    val pcm = graft.multimodal.Multimodal.Wav.build(8000,
+      Array.tabulate[Short](33)(i => (i * 100).toShort))
+    assert(l1(auto.decode(pcm, null).get) == 33L, "pcm: 1/sample")
+    val adp = graft.multimodal.Adpcm.build(8000,
+      Array.tabulate[Short](41)(i => (i * 70).toShort))
+    assert(l1(auto.decode(adp, null).get) == 41L, "adpcm: 1/sample")
+    // an unknown WAVE format tag still quarantines (fail-closed on
+    // e.g. IEEE-float tag 3)
+    val alien = pcm.clone()
+    alien(20) = 3 // fmt tag little-endian low byte (fmt chunk at 12+8)
+    assert(auto.decode(alien, null).isEmpty, "unknown wave tag decoded")
     assert(auto.decode(Array.fill[Byte](40)(0x00), null).isEmpty, "garbage")
     assert(auto.decode(null, null).isEmpty, "null")
     // truncation quarantines for EVERY format (the mm_codec_dispatch
     // corruption rule)
     for ((b, n) <- Seq((png, "png"), (gif, "gif"), (wav, "wav"),
-        (jpg, "jpg"), (avi, "avi")))
+        (jpg, "jpg"), (avi, "avi"), (pcm, "pcm"), (adp, "adpcm")))
       assert(auto.decode(b.take(b.length / 2), null).isEmpty,
         s"truncated $n decoded")
   }
