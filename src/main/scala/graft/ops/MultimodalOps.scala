@@ -70,10 +70,25 @@ object MultimodalOps {
     * payloads stay in place until the shard writer fetches them by
     * key. */
   def mmPack(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val media = Multimodal.mediaFromDocuments(Tables.documents(s, d))
       .select(col("media_id"), length(col("payload")).as("n_bytes"))
-    val keyed = media
+    byteBudgetLayout(media, 4096L)
+      .orderBy("media_id")
+  }
+
+  /** The shared byte-budget shard PLANNER behind [[mmPack]] (T102)
+    * and [[mmTarShards]] (T262): assets in the deterministic md5
+    * shuffle order get a global byte offset via the TWO-LEVEL
+    * distributed prefix sum (md5-prefix-group windows + a ≤256-row
+    * offset table — no monolithic window ever sorts the corpus in one
+    * task), and `shard_id = start_off div budget`, so the shard COUNT
+    * scales with Σ weights while per-shard weight stays bounded at
+    * budget + one straddling asset. Input needs (media_id, n_bytes);
+    * only those two columns ride the layout shuffles. */
+  private[ops] def byteBudgetLayout(weighted: DataFrame,
+      budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = weighted
       .withColumn("__h", md5(col("media_id").cast("string")))
       .withColumn("__gid", substring(col("__h"), 1, 2))
     val wIn = Window.partitionBy("__gid")
@@ -89,9 +104,8 @@ object MultimodalOps {
       .join(offs, Seq("__gid"))
       .withColumn("start_off",
         col("__g_off") + col("__run_in") - col("n_bytes"))
-      .withColumn("shard_id", expr("start_off div 4096"))
+      .withColumn("shard_id", expr(s"start_off div ${budget}L"))
       .select("media_id", "n_bytes", "start_off", "shard_id")
-      .orderBy("media_id")
   }
 
   /** T232: PERCEPTUAL near-dup over decoded media features — the
@@ -854,34 +868,61 @@ object MultimodalOps {
       .orderBy(col("fmt"))
   }
 
-  /** T262: WebDataset-style TAR SHARDS made real — [[mmPack]] computes
-    * the shard layout; this row actually PACKS the assets into
-    * from-spec USTAR archives ([[graft.multimodal.Tar]] — verified
-    * header checksums, octal sizes, 512-byte block padding, the
-    * two-zero-block end marker) and UNPACKS them again: per shard
-    * (asset id mod 8) the group's assets tar up in id order, the
-    * archive parses back, every entry re-decodes through
+  /** The SQL-replayable planning weight behind [[mmTarShards]]: the
+    * asset's decoded-unit count as a pure formula of its id (the same
+    * per-format L1 ledger the dispatch oracles replay). Units proxy
+    * payload bytes within a small per-codec constant (PNG ≲ 1 B/unit
+    * + DEFLATE overhead, GIF ≲ 1.5, μ-law = 1, JPEG < 1, AVI ≲ 1,
+    * PCM = 2, ADPCM ≲ 0.5, plus the 512 B tar header + ≤511 B padding
+    * per entry), so a unit budget bounds shard BYTES within that
+    * constant — the spec pins the byte bound on the real archives. */
+  private[ops] def tarUnitWeight = expr(
+    """CASE CAST(media_id % 7 AS INT)
+      |  WHEN 0 THEN 3 * (8 + (media_id % 3) * 4)
+      |    * (6 + (media_id % 2) * 2)
+      |  WHEN 1 THEN (20 + (media_id % 4) * 4) * 12
+      |  WHEN 2 THEN 150 + (media_id % 4) * 50
+      |  WHEN 3 THEN 1536
+      |  WHEN 4 THEN 2048
+      |  WHEN 5 THEN 120 + (media_id % 5) * 30
+      |  ELSE 100 + (media_id % 3) * 40 END""".stripMargin)
+
+  private[ops] val TarShardUnitBudget = 16384L
+
+  /** T262: WebDataset-style TAR SHARDS made real — the shard key comes
+    * from [[byteBudgetLayout]] (T102's two-level distributed prefix
+    * sum) over the per-asset decoded-unit weight, so the shard COUNT
+    * scales with the corpus and per-shard weight is bounded at
+    * budget + one straddling asset — per-group memory stays fixed at
+    * 100 TB because the group is budget-bounded, not |corpus|/k.
+    * Per shard the group's assets ([[buildAsset]], the 7-format
+    * dispatch mix) tar up in id order into from-spec USTAR archives
+    * ([[graft.multimodal.Tar]] — verified header checksums, octal
+    * sizes, 512-byte block padding, the two-zero-block end marker)
+    * and UNPACK again: every entry re-decodes through
     * [[graft.multimodal.Codecs.AutoCodec]], and the ledger pins
     * (entries, Σ recovered ids — the name round trip — and Σ decoded
     * units). A header-layout bug, a padding off-by-one, a lost or
-    * reordered entry, or a name mangle all go red.
+    * reordered entry, a name mangle, or a planner/oracle layout
+    * divergence all go red.
     *
-    * Scale posture: the one shuffle moves payload bytes TO their shard
-    * assembler — inherent to shard packing (it IS the write pattern);
-    * groups are bounded at |corpus|/shards, and at 100 TB the shard
-    * count scales with the data so per-group memory stays fixed.
-    * Decode work after unpacking stays in the same task — no second
-    * shuffle. */
+    * Scale posture: the layout shuffles only (media_id, weight); the
+    * one payload-bearing shuffle moves assets TO their shard
+    * assembler — inherent to shard packing (it IS the write pattern;
+    * here the synthetic assets build inside the assembler, so only
+    * ids ride it). Decode work after unpacking stays in the same
+    * task — no second shuffle. */
   def mmTarShards(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val ids = Tables.spread(Tables.documents(s, d))
-      .select(col("doc_id")).as[Long]
-    val assets = ids.map { id =>
-      ((id % 8).toInt, id, buildAsset(id, (id % 5).toInt))
-    }
-    val ledger = assets.groupByKey(_._1).mapGroups { (shard, it) =>
-      val entries = it.map { case (_, id, bytes) => (id, bytes) }
-        .toArray.sortBy(_._1)
+    val weighted = Tables.spread(Tables.documents(s, d))
+      .select(col("doc_id").as("media_id"))
+      .withColumn("n_bytes", tarUnitWeight)
+    val layout = byteBudgetLayout(weighted, TarShardUnitBudget)
+      .select(col("shard_id"), col("media_id")).as[(Long, Long)]
+    val ledger = layout.groupByKey(_._1).mapGroups { (shard, it) =>
+      val entries = it.map { case (_, id) =>
+        (id, buildAsset(id, (id % 7).toInt))
+      }.toArray.sortBy(_._1)
       val tar = graft.multimodal.Tar.build(
         entries.map { case (id, b) => (s"asset_$id.bin", b) }.toSeq)
       val unpacked = graft.multimodal.Tar.parse(tar)
@@ -1278,28 +1319,38 @@ object MultimodalOps {
         |  CAST(SUM(CASE WHEN d8 IS NOT NULL THEN d * d8 ELSE 0 END)
         |    AS BIGINT) AS r8
         |FROM lagged GROUP BY doc_id ORDER BY doc_id LIMIT 20""".stripMargin,
-    // pack → unpack → re-decode ledger replayed arithmetically: shard
-    // by id mod 8, format by id mod 5 (clean assets, no corruption),
-    // L1 per format as in mm_codec_dispatch; id_sum pins the entry
-    // NAME round trip through the archive
+    // pack → unpack → re-decode ledger replayed arithmetically: the
+    // shard id replays the byte-budget PLANNER itself (single-window
+    // restatement of the two-level prefix sum over the per-asset
+    // decoded-unit weight, md5 shuffle order, budget 16384), format
+    // by id mod 7 (clean assets, no corruption), L1 per format as in
+    // mm_codec_dispatch; id_sum pins the entry NAME round trip
     "mm_tar_shards" ->
       """WITH ids AS (SELECT doc_id,
-        |    CAST(doc_id % 8 AS INTEGER) AS shard_id,
-        |    CAST(doc_id % 5 AS INTEGER) AS fmt
+        |    CAST(doc_id % 7 AS INTEGER) AS fmt
         |  FROM documents),
-        |l AS (SELECT doc_id, shard_id,
+        |l AS (SELECT doc_id,
         |    CASE fmt
         |      WHEN 0 THEN 3 * (8 + (doc_id % 3) * 4)
         |        * (6 + (doc_id % 2) * 2)
         |      WHEN 1 THEN (20 + (doc_id % 4) * 4) * 12
         |      WHEN 2 THEN 150 + (doc_id % 4) * 50
         |      WHEN 3 THEN 1536
-        |      ELSE 2048 END AS l1
-        |  FROM ids)
-        |SELECT shard_id, CAST(COUNT(*) AS INTEGER) AS n_entries,
+        |      WHEN 4 THEN 2048
+        |      WHEN 5 THEN 120 + (doc_id % 5) * 30
+        |      ELSE 100 + (doc_id % 3) * 40 END AS l1
+        |  FROM ids),
+        |r AS (SELECT doc_id, l1,
+        |    (CAST(SUM(l1) OVER (
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) - l1) // 16384 AS shard_id
+        |  FROM l)
+        |SELECT CAST(shard_id AS BIGINT) AS shard_id,
+        |  CAST(COUNT(*) AS INTEGER) AS n_entries,
         |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
         |  CAST(SUM(l1) AS BIGINT) AS sum_l1
-        |FROM l GROUP BY shard_id ORDER BY shard_id""".stripMargin,
+        |FROM r GROUP BY shard_id ORDER BY shard_id""".stripMargin,
     // the binaryFile-source twin of mm_codec_dispatch's ledger: every
     // 10th doc is a file, format/corruption key off k = id/10, sizes
     // off the id itself (same buildAsset), so the replay is the same

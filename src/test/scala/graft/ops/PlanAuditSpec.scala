@@ -449,11 +449,19 @@ class PlanAuditSpec extends SparkFunSuite {
       "dispatch ledger should shuffle exactly once (the tiny agg)")
     assert(pd.contains("partial_count") || pd.contains("partial_sum"),
       "ledger agg lost its map-side partial phase")
-    // tar shards: ONE payload shuffle to the shard assembler (the
-    // write pattern itself), nothing else hash-partitions
+    // tar shards: the byte-budget layout shuffles only (media_id,
+    // weight) — group window + offsets agg + the shard grouping; the
+    // offset table rolls up in ONE bounded single-partition window
+    // (≤256 rows) and payloads never ride any of them (assets build
+    // inside the shard assembler)
     val pt = plan(MultimodalOps.mmTarShards(spark, sfDir))
-    assert(hashEx.findAllIn(pt).length == 1,
-      "tar packing should shuffle payloads exactly once")
+    assert(hashEx.findAllIn(pt).length == 3,
+      "layout should shuffle exactly thrice: gid window, offsets agg, " +
+        "shard grouping (all ids+weight only)")
+    assert("Exchange SinglePartition".r.findAllIn(pt).length == 1,
+      "the offset rollup should be the one bounded single-partition window")
+    assert("BroadcastExchange".r.findAllIn(pt).length == 1,
+      "the <=256-row offset table should broadcast to the layout join")
     assert(!pd.contains("CartesianProduct") && !pt.contains("CartesianProduct"))
   }
 

@@ -1,0 +1,99 @@
+package graft.ops
+
+import graft.SparkFunSuite
+import org.apache.spark.sql.functions._
+
+/** Round-11 pins: the byte-budget tar-shard layout (the mm_tar_shards
+  * scaladoc's "shard count scales with the data" claim, now made true
+  * in code via [[MultimodalOps.byteBudgetLayout]]) — bounded
+  * per-shard weight on an adversarially skewed corpus, exact
+  * data-scaled shard count, and the byte bound on the real USTAR
+  * archives. */
+class Round11OpsSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  private val Budget = 16384L
+
+  /** Adversarially skewed weights: a sea of tiny assets plus giants
+    * near the budget — the shape that makes a fixed shard count
+    * unbounded (everything lands in |corpus|/k groups) and that a
+    * budget planner must still bound. */
+  private lazy val skewed = {
+    val tiny = (1L to 3000L).map(i => (i, 10L))
+    val giant = (9001L to 9010L).map(i => (i, 12000L))
+    (tiny ++ giant).toDF("media_id", "n_bytes")
+  }
+
+  test("byteBudgetLayout: no shard's total weight exceeds budget + one " +
+    "straddling asset, even on a skewed corpus") {
+    val perShard = MultimodalOps.byteBudgetLayout(skewed, Budget)
+      .groupBy("shard_id").agg(sum("n_bytes").as("w"),
+        max("n_bytes").as("mx"))
+      .collect()
+    val maxAsset = 12000L
+    perShard.foreach { r =>
+      assert(r.getAs[Long]("w") <= Budget + maxAsset,
+        s"shard ${r.get(0)} holds ${r.getAs[Long]("w")} > budget+max")
+    }
+  }
+
+  test("byteBudgetLayout: shard count is exactly ceil(total/budget) — " +
+    "it scales with the data, not a constant") {
+    def shards(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val total = df.agg(sum("n_bytes")).as[Long].head()
+      val n = MultimodalOps.byteBudgetLayout(df, Budget)
+        .select("shard_id").distinct().count()
+      (n, (total - 1) / Budget + 1)
+    }
+    val (n1, exp1) = shards(skewed)
+    assert(n1 == exp1, s"skewed corpus: $n1 shards, expected $exp1")
+    // doubling the corpus doubles the plan (the 100 TB posture: shard
+    // count is a function of bytes, never a constant)
+    val doubled = skewed.union(
+      skewed.select((col("media_id") + 100000L).as("media_id"),
+        col("n_bytes")))
+    val (n2, exp2) = shards(doubled)
+    assert(n2 == exp2 && n2 >= 2 * n1 - 1,
+      s"doubled corpus: $n2 shards vs $n1 — count did not scale")
+  }
+
+  test("byteBudgetLayout: offsets are a perfect prefix (every asset's " +
+    "start_off equals the sum of all earlier weights)") {
+    val rows = MultimodalOps.byteBudgetLayout(skewed, Budget)
+      .orderBy("start_off").select("start_off", "n_bytes")
+      .as[(Long, Long)].collect()
+    var cum = 0L
+    rows.foreach { case (off, w) =>
+      assert(off == cum, s"gap/overlap at offset $off (expected $cum)")
+      cum += w
+    }
+  }
+
+  test("mm_tar_shards: real archive bytes per shard stay bounded by " +
+    "the unit budget (units proxy bytes within the per-codec constant)") {
+    val weighted = graft.Tables
+      .spread(graft.Tables.documents(spark, sfDir))
+      .select(col("doc_id").as("media_id"))
+      .withColumn("n_bytes", MultimodalOps.tarUnitWeight)
+    val maxUnits = weighted.agg(max("n_bytes")).as[Long].head()
+    val shards = MultimodalOps
+      .byteBudgetLayout(weighted, MultimodalOps.TarShardUnitBudget)
+      .select(col("shard_id"), col("media_id")).as[(Long, Long)]
+      .collect().groupBy(_._1)
+    assert(shards.size > 1, "test corpus should span several shards")
+    shards.foreach { case (shard, members) =>
+      val entries = members.map { case (_, id) =>
+        (s"asset_$id.bin", MultimodalOps.buildAsset(id, (id % 7).toInt))
+      }.sortBy(_._1)
+      val tar = graft.multimodal.Tar.build(entries.toSeq)
+      // bytes/unit <= 2 for every dispatched codec (PCM is the worst);
+      // per entry: container headers (<200 B) + tar header + padding
+      // (<1024 B); plus the end-of-archive marker
+      val bound = 2L * (MultimodalOps.TarShardUnitBudget + maxUnits) +
+        entries.length.toLong * 1224L + 1024L
+      assert(tar.length <= bound,
+        s"shard $shard: ${tar.length} B > bound $bound " +
+          s"(${entries.length} entries)")
+    }
+  }
+}
