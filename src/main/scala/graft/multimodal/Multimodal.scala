@@ -15,13 +15,16 @@ import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
   * (RIFF/WAVE PCM), [[Bmp]] (24-bit bottom-up), [[Y4m]] (YUV4MPEG2
   * 4:2:0), and — closing the compressed-format gap in round 10 —
   * [[JpegCodec]] over the from-spec baseline-JPEG pipeline
-  * ([[Jpeg]]). `FakeCodec`/`CountCodec` remain as the deterministic
-  * stand-ins for formats no zero-dependency JVM can decode
-  * (H.264/MP3-class), so the Spark-side plumbing — schema,
-  * partitioning, batch shape, feature extraction — stays testable
-  * end-to-end on every payload. Swapping codecs is a one-object
-  * change, and [[JpegCodec]] proves it with genuinely entropy-coded
-  * bytes.
+  * ([[Jpeg]]). `FakeCodec` survives ONLY as a spec fixture (since
+  * round 11 no production catalog entry constructs it — every
+  * SparkEntry query decodes real containers); `CountCodec` remains
+  * the documented perceptual-feature stand-in inside mm_near_dup's
+  * pairwise-cosine pipeline. H.264-class motion compensation and
+  * MP3-class perceptual audio are out-of-scope TIERS (no entry
+  * pretends to decode them): the honest coverage of those families
+  * is MJPEG-in-AVI + MS-RLE8 temporal deltas (video) and
+  * μ-law/ADPCM/Rice (audio). Swapping codecs is a one-object change,
+  * and [[JpegCodec]] proves it with genuinely entropy-coded bytes.
   */
 object Multimodal {
 

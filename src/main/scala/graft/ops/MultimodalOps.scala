@@ -6,38 +6,90 @@ import graft.Tables
 import graft.multimodal.{Avi, Multimodal}
 
 /** Multimodal catalog entries: binary payload → per-partition batched
-  * feature extraction (decode stubbed behind FakeCodec — see
-  * [[graft.multimodal.Multimodal]]). */
+  * feature extraction. Every production entry decodes REAL containers
+  * (the nine from-spec codecs behind [[graft.multimodal.Codecs.AutoCodec]]
+  * plus WAV/BMP/Y4M); the deterministic stand-ins in
+  * [[graft.multimodal.Multimodal]] survive only as spec fixtures and
+  * as [[mmNearDup]]'s perceptual-feature stand-in (documented
+  * there). */
 object MultimodalOps {
 
-  /** Feature extraction over the synthesized media table; emits scalar
-    * digests of the feature vector that the oracle recomputes from the
-    * payload bytes directly: unit-L1 mass, dimensionality, the argmax
-    * histogram class, and the count of populated classes — integer
-    * digests are exact across engines, so the whole decode → feature
-    * pipeline is hash-checked, not just row-counted. */
+  /** The PRODUCTION feature-extraction pass: the full 7-format real
+    * asset mix ([[buildAsset]] — PNG/GIF/μ-law/JPEG/MJPEG-AVI/PCM/
+    * ADPCM, clean) decodes through [[graft.multimodal.Codecs.AutoCodec]]
+    * and every asset emits its per-asset digest row — ok, dimension,
+    * and the exact decoded-unit L1 mass — hash-checked at FULL corpus
+    * scale (the dispatch ledger aggregates per format; this row pins
+    * per-asset decode truth). The deeper pixel/sample-level digests
+    * (argmax class, position-weighted sums, motion) live in the
+    * dedicated per-format rows whose oracles replay the decoded
+    * values themselves. No stand-in codec is involved: since round 11
+    * every production entry decodes real containers
+    * ([[Multimodal.FakeCodec]] survives only as a spec fixture). */
   def mmFeatures(s: SparkSession, d: String): DataFrame = {
-    val media =
-      Multimodal.mediaFromDocuments(Tables.spread(Tables.documents(s, d)))
-    Multimodal.extractFeatures(media, new Multimodal.FakeCodec(32))
-      .select(col("media_id"), col("ok"),
-        round(expr("aggregate(features, cast(0.0 as double), (acc, x) -> acc + x)"), 4)
-          .as("l1_mass"),
+    import s.implicits._
+    val ids = Tables.spread(Tables.documents(s, d))
+      .select(col("doc_id")).as[Long]
+    val media = ids.mapPartitions { it =>
+      it.map(id => (id, buildAsset(id, (id % 7).toInt)))
+    }.toDF("media_id", "payload")
+      .withColumn("meta", struct(
+        lit("mixed").as("media_type"), lit("auto").as("format"),
+        lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height"),
+        lit(null).cast("long").as("duration_ms"),
+        concat(lit("synthetic://asset/"), col("media_id")).as("source_uri")))
+    Multimodal.extractFeatures(media, new graft.multimodal.Codecs.AutoCodec)
+      .select(col("media_id"),
+        (col("media_id") % 7).cast("int").as("fmt"), col("ok"),
         size(col("features")).as("dim"),
-        (array_position(col("features"), array_max(col("features"))) - 1)
-          .cast("int").as("top_class"),
-        size(expr("filter(features, x -> x > 0)")).as("n_classes"))
+        expr("aggregate(features, cast(0.0 as double), (acc, x) -> acc + x)")
+          .cast("long").as("l1_mass"))
       .orderBy(col("media_id"))
   }
 
-  /** Frame sampling: payload split into 4 frames, per-frame byte count
-    * (SQL-expressible digest of the explode shape → full oracle). */
+  /** Frame sampling over REAL decoded video: the per-doc MS-RLE8
+    * stream ([[mmRleVideo]]'s moving-rectangle corpus — keyframe + 2
+    * temporal-delta frames) decodes through the bounds-checked
+    * [[graft.multimodal.Rle8]] decoder and EXPLODES into one row per
+    * frame, keeping the frame index — the explode-then-digest batch
+    * shape a video pipeline runs after decode. Lossless codec ⇒ the
+    * per-frame index mass replays arithmetically from the rectangle
+    * formula, so a delta applied to the wrong base frame, a skipped
+    * escape, or a frame-order bug all go red per frame (the combined
+    * per-doc sum in mm_rle_video could hide a swap). */
   def mmFrames(s: SparkSession, d: String): DataFrame = {
-    val media = Multimodal.mediaFromDocuments(Tables.documents(s, d))
-    Multimodal.sampleFrames(media, 4)
-      .select(col("media_id"), col("frame_no"),
-        length(col("frame_bytes")).as("frame_len"))
-      .orderBy(col("media_id"), col("frame_no"))
+    import s.implicits._
+    val ids = Tables.spread(Tables.documents(s, d))
+      .select(col("doc_id")).as[Long]
+    val rows = ids.mapPartitions { it =>
+      it.flatMap { id =>
+        val w = 40 + (id % 3).toInt * 8; val h = 32
+        def rect(f: Int) = (
+          ((id * 5 + f * 11) % (w - 8)).toInt,
+          ((id * 3 + f * 7) % (h - 6)).toInt,
+          (128 + (id * 13 + f * 17) % 128).toInt)
+        val frames = (0 until 3).map { f =>
+          val (rx, ry, rv) = rect(f)
+          Array.tabulate(w * h) { p =>
+            val x = p % w; val y = p / w
+            if (x >= rx && x < rx + 8 && y >= ry && y < ry + 6) rv.toByte
+            else ((id + x / 8 + y) % 128).toByte
+          }
+        }
+        val chunks = graft.multimodal.Rle8.encodeVideo(w, h, frames)
+        val dec = graft.multimodal.Rle8.decodeVideo(w, h, chunks)
+          .getOrElse(throw new IllegalStateException(
+            s"rle8 round-trip failed for doc $id"))
+        dec.zipWithIndex.map { case (fr, f) =>
+          var m = 0L
+          var p = 0
+          while (p < fr.length) { m += fr(p) & 0xff; p += 1 }
+          (id, f, fr.length, m)
+        }
+      }
+    }.toDF("media_id", "frame_no", "frame_len", "idx_sum")
+    rows.orderBy(col("media_id"), col("frame_no")).limit(60)
   }
 
   /** Exact binary dedup: md5 over the raw payload bytes — the media
@@ -1788,8 +1840,8 @@ object MultimodalOps {
         |SELECT m1, m2, cos FROM p WHERE cos >= 0.99
         |ORDER BY cos DESC, m1, m2 LIMIT 20""".stripMargin,
     // single-window replay of the two-level prefix sum (payload byte
-    // length == text length on the ASCII corpus, the mm_features
-    // convention)
+    // length == text length on the ASCII corpus, the
+    // mediaFromDocuments convention)
     "mm_pack" ->
       """WITH m AS (
         |  SELECT doc_id AS media_id,
@@ -1805,26 +1857,25 @@ object MultimodalOps {
         |SELECT media_id, n_bytes, start_off,
         |  start_off // 4096 AS shard_id
         |FROM r ORDER BY media_id""".stripMargin,
-    // Recompute the FakeCodec histogram from the utf-8 payload bytes
-    // (corpus is ASCII, so bytes == codepoints): class = byte % 32,
-    // features = per-class counts / total. l1_mass is exactly 1 after
-    // rounding; top_class is the first argmax; n_classes the distinct
-    // populated classes. Every text is non-empty, so ok is always true.
+    // per-asset decode truth at full corpus scale: the 7-format clean
+    // mix decodes through AutoCodec and every asset's L1 mass equals
+    // its decoded-unit formula (the dispatch CASE, per asset instead
+    // of per format)
     "mm_features" ->
-      """WITH b AS (
-        |  SELECT doc_id AS media_id,
-        |    list_transform(string_split(text, ''), c -> unicode(c) % 32) AS cls,
-        |    length(text) AS n
-        |  FROM documents),
-        |h AS (
-        |  SELECT media_id, n,
-        |    list_transform(range(0, 32),
-        |      j -> len(list_filter(cls, c -> c = j))) AS counts
-        |  FROM b)
-        |SELECT media_id, TRUE AS ok, CAST(1.0 AS DOUBLE) AS l1_mass, 32 AS dim,
-        |  CAST(list_position(counts, list_max(counts)) - 1 AS INTEGER) AS top_class,
-        |  CAST(len(list_filter(counts, c -> c > 0)) AS INTEGER) AS n_classes
-        |FROM h ORDER BY media_id""".stripMargin,
+      """WITH ids AS (SELECT doc_id AS media_id,
+        |    CAST(doc_id % 7 AS INTEGER) AS fmt
+        |  FROM documents)
+        |SELECT media_id, fmt, TRUE AS ok, 32 AS dim,
+        |  CAST(CASE fmt
+        |    WHEN 0 THEN 3 * (8 + (media_id % 3) * 4)
+        |      * (6 + (media_id % 2) * 2)
+        |    WHEN 1 THEN (20 + (media_id % 4) * 4) * 12
+        |    WHEN 2 THEN 150 + (media_id % 4) * 50
+        |    WHEN 3 THEN 1536
+        |    WHEN 4 THEN 2048
+        |    WHEN 5 THEN 120 + (media_id % 5) * 30
+        |    ELSE 100 + (media_id % 3) * 40 END AS BIGINT) AS l1_mass
+        |FROM ids ORDER BY media_id""".stripMargin,
     // md5 of the VARCHAR is md5 of its utf-8 bytes — exactly Spark's
     // md5(encode(text, 'UTF-8')) payload digest
     "mm_dedup" ->
@@ -1833,16 +1884,32 @@ object MultimodalOps {
         |  COUNT(*) AS n_copies,
         |  CAST(min(octet_length(encode(text))) AS INTEGER) AS n_bytes
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // per-frame index mass of the lossless RLE8 rect video replays
+    // from the rectangle formula (mm_rle_video's vals CTE, grouped by
+    // frame instead of per doc — a delta applied to the wrong base
+    // frame shifts exactly one frame's mass)
     "mm_frames" ->
-      """WITH m AS (
-        |  SELECT doc_id AS media_id, octet_length(encode(text)) AS n
+      """WITH ids AS (SELECT doc_id,
+        |    CAST(40 + (doc_id % 3) * 8 AS INTEGER) AS w,
+        |    CAST(32 AS INTEGER) AS h
         |  FROM documents),
-        |p AS (
-        |  SELECT media_id, n, least(4, n) AS k, n // least(4, n) AS step
-        |  FROM m WHERE n > 0)
-        |SELECT media_id, CAST(i AS INTEGER) AS frame_no,
-        |  CAST(CASE WHEN i = k - 1 THEN n - i * step ELSE step END AS INTEGER)
-        |    AS frame_len
-        |FROM p, UNNEST(range(0, k)) AS t(i)
+        |rects AS (
+        |  SELECT doc_id, w, h, CAST(tf.f AS BIGINT) AS f,
+        |    (doc_id * 5 + CAST(tf.f AS BIGINT) * 11) % (w - 8) AS rx,
+        |    (doc_id * 3 + CAST(tf.f AS BIGINT) * 7) % (h - 6) AS ry,
+        |    128 + (doc_id * 13 + CAST(tf.f AS BIGINT) * 17) % 128 AS rv
+        |  FROM (SELECT * FROM ids ORDER BY doc_id LIMIT 20) ids,
+        |    UNNEST(range(0, 3)) AS tf(f)),
+        |px AS (
+        |  SELECT doc_id, w, h, f, rx, ry, rv,
+        |    CAST(t.p AS BIGINT) % w AS x, CAST(t.p AS BIGINT) // w AS y
+        |  FROM rects, UNNEST(range(0, w * h)) AS t(p))
+        |SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_no,
+        |  CAST(w * h AS INTEGER) AS frame_len,
+        |  CAST(SUM(CASE WHEN x >= rx AND x < rx + 8
+        |      AND y >= ry AND y < ry + 6
+        |    THEN rv ELSE (doc_id + x // 8 + y) % 128 END) AS BIGINT)
+        |    AS idx_sum
+        |FROM px GROUP BY doc_id, f, w, h
         |ORDER BY media_id, frame_no""".stripMargin)
 }
