@@ -854,9 +854,14 @@ object MultimodalOps {
     * asset truncated on disk; media_id recovers from the file PATH
     * (regexp_extract — the id-in-filename convention object stores
     * use). The asset directory writes ONCE per (session, dataset)
-    * through a [[graft.SessionCache]] memo into a (dataset, JVM)-keyed
-    * tmpdir with a shutdown-hook cleanup (the layoutBucketing
-    * precedent) — re-entry does zero filesystem writes.
+    * through a [[graft.SessionCache]] memo via the Hadoop FileSystem
+    * API with a shutdown-hook cleanup (the layoutBucketing
+    * precedent) — re-entry does zero filesystem writes. The write
+    * target is `spark.graft.mm.assetDir` (a shared filesystem —
+    * HDFS/object store — for cluster runs) or, ONLY in local mode
+    * where driver and executors share a host, a (dataset, JVM)-keyed
+    * tmpdir; a non-local session without the conf key fails fast
+    * instead of producing an executor-invisible directory.
     *
     * Scale posture: binaryFile is a V2 FileTable source — file listing
     * partitions across the cluster, payload bytes never shuffle (the
@@ -872,13 +877,26 @@ object MultimodalOps {
       // both run this memo block (SessionCache keys per session) and
       // rewrite the same files while the other's scan reads them
       val sid = graft.SessionCache.sessionId(s).take(8)
-      val dirF = new java.io.File(
-        System.getProperty("java.io.tmpdir"),
+      // the fixture dir must be VISIBLE TO EXECUTORS: on a multi-host
+      // cluster a driver-local tmpdir is not, so either the operator
+      // runs under a shared filesystem configured via
+      // spark.graft.mm.assetDir (written through the Hadoop
+      // FileSystem API — HDFS/object-store capable), or the session
+      // must be local-mode where driver and executors share a host
+      val confDir = s.conf.getOption("spark.graft.mm.assetDir")
+      if (confDir.isEmpty && !s.sparkContext.isLocal)
+        throw new IllegalStateException(
+          "mm_binary_intake writes its asset fixtures to a " +
+            "driver-local tmpdir, which executors on other hosts " +
+            "cannot read; set spark.graft.mm.assetDir to a shared " +
+            "filesystem path (HDFS/object store) for cluster runs")
+      val base = new org.apache.hadoop.fs.Path(
+        confDir.getOrElse("file:" + System.getProperty("java.io.tmpdir")),
         s"graft_mmassets_${h}_${pid}_$sid")
-      dirF.mkdirs()
+      val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.mkdirs(base)
       Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        Option(dirF.listFiles()).foreach(_.foreach(_.delete()))
-        dirF.delete()
+        try fs.delete(base, true) catch { case _: Throwable => () }
       }))
       // bounded driver-side write (|docs|/10 small files, once per
       // session): the write is test scaffolding — a deployment's
@@ -892,10 +910,11 @@ object MultimodalOps {
           if ((id / 10) % 11 == 0)
             java.util.Arrays.copyOfRange(full, 0, full.length / 2)
           else full
-        java.nio.file.Files.write(
-          new java.io.File(dirF, s"asset_$id.bin").toPath, bytes)
+        val out = fs.create(
+          new org.apache.hadoop.fs.Path(base, s"asset_$id.bin"), true)
+        try out.write(bytes) finally out.close()
       }
-      dirF.getAbsolutePath
+      base.toString
     }
     val media = s.read.format("binaryFile").load(dir)
       .select(

@@ -69,6 +69,20 @@ class Round11OpsSpec extends SparkFunSuite {
     }
   }
 
+  test("mm_binary_intake: spark.graft.mm.assetDir routes the fixture " +
+    "write through the Hadoop FileSystem API to the configured root") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_shared_assets").toString
+    spark.conf.set("spark.graft.mm.assetDir", "file:" + root)
+    try {
+      val ledger = MultimodalOps.mmBinaryIntake(spark, sfDir).collect()
+      assert(ledger.nonEmpty, "intake ledger empty")
+      val written = new java.io.File(root).listFiles()
+      assert(written != null && written.exists(_.getName.startsWith(
+        "graft_mmassets_")), "assets not written under the configured root")
+    } finally spark.conf.unset("spark.graft.mm.assetDir")
+  }
+
   test("mm_tar_shards: real archive bytes per shard stay bounded by " +
     "the unit budget (units proxy bytes within the per-codec constant)") {
     val weighted = graft.Tables
