@@ -1834,6 +1834,7 @@ object CoreRelational {
   private val bucketedTablesCache = new graft.SessionCache[(String, String)]
 
   def layoutBucketing(s: SparkSession, d: String): DataFrame = {
+    assertCensusConfig(s)
     import s.implicits._
     val ord = Tables.orders(s, d)
       .select(col("o_orderkey"), col("o_custkey"))
@@ -2029,6 +2030,38 @@ object CoreRelational {
       .limit(10)
   }
 
+  /** The configuration CONTRACT behind every plan-census row
+    * (plan_buildsides / plan_shuffles / plan_asof / plan_salted /
+    * layout_bucketing): their oracles are LITERAL panels pinned under
+    * one Spark configuration, so a config drift (a Spark upgrade, AQE
+    * toggled, a broadcast-threshold change) would otherwise surface
+    * as an undiagnosable hash fail. This gate asserts exactly the
+    * knobs the pinned counts are sensitive to and fails FAST with a
+    * message naming the drifted key — a config mismatch, not a plan
+    * regression. `spark.sql.shuffle.partitions` is deliberately NOT
+    * pinned: the counted facts (exchange/join/scan/sort node counts)
+    * are partition-count invariant, and sessions legitimately vary it
+    * (specs run 4, the verify gate runs the host CPU count) — pinning
+    * it would make the gate itself the false red. */
+  private[ops] def assertCensusConfig(s: SparkSession): Unit = {
+    val problems = Seq.newBuilder[String]
+    val v = org.apache.spark.SPARK_VERSION
+    if (!v.startsWith("4.1.")) problems += s"spark version $v (pinned 4.1.x)"
+    def chk(key: String, pinned: String): Unit = {
+      val live = s.conf.get(key, pinned)
+      if (live != pinned) problems += s"$key=$live (pinned $pinned)"
+    }
+    chk("spark.sql.adaptive.enabled", "true")
+    chk("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    chk("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    chk("spark.sql.codegen.wholeStage", "true")
+    val ps = problems.result()
+    if (ps.nonEmpty) throw new IllegalStateException(
+      "plan-census CONFIG MISMATCH (not a plan regression): the " +
+        "literal oracle panel was pinned under a different Spark " +
+        "configuration — " + ps.mkString("; "))
+  }
+
   /** T242: AQE join-strategy census over the reference join-plan panel
     * (q02 / q09 / q18 — the three PLANS.md dump anchors). Executes each
     * panel query to its FINAL adaptive plan and pins the join census —
@@ -2048,6 +2081,7 @@ object CoreRelational {
     * section AQE appends to the final-plan dump is cut before counting
     * so pre-re-plan strategies are never double-counted. */
   def planBuildSides(s: SparkSession, d: String): DataFrame = {
+    assertCensusConfig(s)
     import s.implicits._
     def census(name: String, df: DataFrame)
         : (String, Long, Long, Long, Long) = {
@@ -2083,6 +2117,7 @@ object CoreRelational {
     * data moves; the oracle is the LITERAL expected census (Spark plan
     * facts are not replayable elsewhere — the pin is the check). */
   def planShuffles(s: SparkSession, d: String): DataFrame = {
+    assertCensusConfig(s)
     import s.implicits._
     def census(name: String, df: DataFrame)
         : (String, Long, Long, Long) = {
@@ -2120,6 +2155,7 @@ object CoreRelational {
     * plan_buildsides contract: Spark plan facts are not replayable
     * elsewhere — the pin is the check. */
   def planAsof(s: SparkSession, d: String): DataFrame = {
+    assertCensusConfig(s)
     import s.implicits._
     val df = EventOps.evAsofNative(s, d)
     df.collect() // run so every AQE query stage finalizes
@@ -2149,6 +2185,7 @@ object CoreRelational {
     * spec assertions. LITERAL oracle, same contract as the other
     * census rows. */
   def planSalted(s: SparkSession, d: String): DataFrame = {
+    assertCensusConfig(s)
     import s.implicits._
     val df = j14SaltedJoin(s, d)
     df.collect()

@@ -69,6 +69,21 @@ class Round11OpsSpec extends SparkFunSuite {
     }
   }
 
+  test("plan census: a deliberate config change yields the diagnosable " +
+    "CONFIG MISMATCH signal, not a silent literal-oracle hash fail") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val e = intercept[IllegalStateException] {
+        CoreRelational.planShuffles(spark, sfDir).collect()
+      }
+      assert(e.getMessage.contains("CONFIG MISMATCH"))
+      assert(e.getMessage.contains("autoBroadcastJoinThreshold"),
+        "the mismatch message must name the drifted key")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    // back under the pinned config the row computes normally
+    assert(CoreRelational.planShuffles(spark, sfDir).collect().length == 5)
+  }
+
   test("mm_binary_intake: spark.graft.mm.assetDir routes the fixture " +
     "write through the Hadoop FileSystem API to the configured root") {
     val root = java.nio.file.Files
