@@ -137,7 +137,7 @@ object MultimodalOps {
     * scales with Σ weights while per-shard weight stays bounded at
     * budget + one straddling asset. Input needs (media_id, n_bytes);
     * only those two columns ride the layout shuffles. */
-  private[ops] def byteBudgetLayout(weighted: DataFrame,
+  private[graft] def byteBudgetLayout(weighted: DataFrame,
       budget: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val keyed = weighted
