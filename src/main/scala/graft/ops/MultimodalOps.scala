@@ -1201,7 +1201,110 @@ object MultimodalOps {
     feats.orderBy(col("doc_id")).limit(20)
   }
 
+  /** T273: INTRA-DCT video with conditional-replenishment P-frames —
+    * [[graft.multimodal.Dctv]], the motion-vector-free tier of
+    * MPEG-class video: the keyframe and every CHANGED 8x8 block ride
+    * the real baseline-JPEG pipeline (forward DCT, quantize, Huffman,
+    * byte stuffing), unchanged blocks are skipped per frame (the
+    * Rle8 temporal idiom at the DCT tier). Per doc: three frames of a
+    * block-aligned background with a moving 2x2-BLOCK rectangle
+    * (values ≥128 over a <112 background, so every covered block
+    * changes), encoded closed-loop and decoded back. Digests from the
+    * DECODED frames: exact luma mass, the replenished-block count
+    * (which the oracle replays as |blocks(rect_f) ∪ blocks(rect_{f-1})|
+    * via the block-coordinate overlap formula — a skip-map bug or a
+    * strip scattered to the wrong blocks shifts it), the decoded
+    * first pixel, and two pinned compression facts: the stream beats
+    * raw luma, and every P-frame section (bitmap + strip) is smaller
+    * than the I-frame (the conditional-replenishment gain itself).
+    * Flat blocks survive [[graft.multimodal.Jpeg]]'s all-ones
+    * quantization bit-exactly, so everything else replays
+    * arithmetically. What this tier still does NOT cover — honest
+    * ledger — is motion-compensated prediction and B-frames
+    * (H.264-class). */
+  def mmDctvFeatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ids = Tables.spread(Tables.documents(s, d))
+      .select(col("doc_id")).as[Long]
+    val feats = ids.mapPartitions { it =>
+      it.map { id =>
+        val w = 48 + (id % 2).toInt * 16; val h = 32
+        val wb = w / 8; val hb = h / 8
+        def rect(f: Int) = (
+          ((id * 4 + f * 3) % (wb - 1)).toInt,
+          ((id * 2 + f * 5) % (hb - 1)).toInt,
+          (128 + (id * 13 + f * 17) % 96).toInt)
+        val frames = (0 until 3).map { f =>
+          val (rbx, rby, rv) = rect(f)
+          Array.tabulate(w * h) { p =>
+            val bx = (p % w) / 8; val by = (p / w) / 8
+            if (bx >= rbx && bx < rbx + 2 && by >= rby && by < rby + 2)
+              rv.toByte
+            else ((id * 7 + bx * 13 + by * 31) % 112).toByte
+          }
+        }
+        val stream = graft.multimodal.Dctv.build(w, h, frames)
+        val (pw, ph, dec) = graft.multimodal.Dctv.parse(stream)
+          .getOrElse(throw new IllegalStateException(
+            s"dctv round-trip failed for doc $id"))
+        var yMass = 0L
+        dec.foreach { fr =>
+          var p = 0
+          while (p < fr.length) { yMass += fr(p) & 0xff; p += 1 }
+        }
+        // replenished blocks from the DECODED frames (closed loop +
+        // exact flat-block round trip ⇒ replenished == changed)
+        var nRep = 0L
+        var f = 1
+        while (f < dec.length) {
+          var by = 0
+          while (by < hb) {
+            var bx = 0
+            while (bx < wb) {
+              var changed = false
+              var r = 0
+              while (r < 8 && !changed) {
+                val off = (by * 8 + r) * w + bx * 8
+                var c2 = 0
+                while (c2 < 8 && !changed) {
+                  if (dec(f)(off + c2) != dec(f - 1)(off + c2))
+                    changed = true
+                  c2 += 1
+                }
+                r += 1
+              }
+              if (changed) nRep += 1
+              bx += 1
+            }
+            by += 1
+          }
+          f += 1
+        }
+        // container walk for the per-section compression facts
+        def u32(o: Int): Long =
+          ((stream(o) & 0xffL)) | ((stream(o + 1) & 0xffL) << 8) |
+            ((stream(o + 2) & 0xffL) << 16) | ((stream(o + 3) & 0xffL) << 24)
+        val iLen = u32(10)
+        var off2 = 14L + iLen
+        var temporalGain = true
+        val bmLen = (wb * hb + 7) / 8
+        var pf = 1
+        while (pf < dec.length) {
+          val sLen = u32((off2 + bmLen).toInt)
+          if (bmLen + 4 + sLen >= iLen) temporalGain = false
+          off2 += bmLen + 4 + sLen
+          pf += 1
+        }
+        (id, pw, ph, dec.length, yMass, nRep,
+          stream.length < 3L * w * h, temporalGain, dec(0)(0) & 0xff)
+      }
+    }.toDF("doc_id", "width", "height", "n_frames", "y_mass",
+      "n_replenished", "compressed", "temporal_gain", "y00")
+    feats.orderBy(col("doc_id")).limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_dctv_features" -> mmDctvFeatures _,
     "mm_rice_features" -> mmRiceFeatures _,
     "mm_adpcm_features" -> mmAdpcmFeatures _,
     "mm_rle_video" -> mmRleVideo _,
@@ -1226,6 +1329,52 @@ object MultimodalOps {
     "mm_dedup"    -> mmDedup _)
 
   val oracles: Map[String, String] = Map(
+    // lossless-for-flat-blocks DCT video: decoded masses regenerate
+    // arithmetically; replenishment is the block-coordinate
+    // rectangle-union formula; the two compression facts pin as TRUE
+    // (a Huffman bit-length is not SQL-replayable — the plan-census
+    // pinning idiom)
+    "mm_dctv_features" ->
+      """WITH ids AS (SELECT doc_id,
+        |    CAST(48 + (doc_id % 2) * 16 AS INTEGER) AS w,
+        |    CAST(32 AS INTEGER) AS h
+        |  FROM documents),
+        |g AS (SELECT doc_id, w, h, w // 8 AS wb, h // 8 AS hb FROM ids),
+        |rects AS (
+        |  SELECT doc_id, wb, hb, CAST(tf.f AS BIGINT) AS f,
+        |    (doc_id * 4 + CAST(tf.f AS BIGINT) * 3) % (wb - 1) AS rbx,
+        |    (doc_id * 2 + CAST(tf.f AS BIGINT) * 5) % (hb - 1) AS rby,
+        |    128 + (doc_id * 13 + CAST(tf.f AS BIGINT) * 17) % 96 AS rv
+        |  FROM g, UNNEST(range(0, 3)) AS tf(f)),
+        |blocks AS (
+        |  SELECT doc_id, f, rbx, rby, rv,
+        |    CAST(t.p AS BIGINT) % wb AS bx,
+        |    CAST(t.p AS BIGINT) // wb AS by
+        |  FROM rects, UNNEST(range(0, wb * hb)) AS t(p)),
+        |ym AS (
+        |  SELECT doc_id, CAST(64 * SUM(
+        |    CASE WHEN bx >= rbx AND bx < rbx + 2
+        |      AND by >= rby AND by < rby + 2 THEN rv
+        |    ELSE (doc_id * 7 + bx * 13 + by * 31) % 112 END) AS BIGINT)
+        |    AS y_mass
+        |  FROM blocks GROUP BY doc_id),
+        |rep AS (
+        |  SELECT a.doc_id, CAST(SUM(8
+        |      - GREATEST(0, 2 - ABS(a.rbx - b.rbx))
+        |      * GREATEST(0, 2 - ABS(a.rby - b.rby))) AS BIGINT)
+        |    AS n_replenished
+        |  FROM rects a JOIN rects b
+        |    ON a.doc_id = b.doc_id AND b.f = a.f + 1
+        |  GROUP BY a.doc_id)
+        |SELECT i.doc_id, i.w AS width, i.h AS height,
+        |  CAST(3 AS INTEGER) AS n_frames, ym.y_mass, rep.n_replenished,
+        |  TRUE AS compressed, TRUE AS temporal_gain,
+        |  CAST(CASE WHEN (i.doc_id * 4) % (i.w // 8 - 1) = 0
+        |      AND (i.doc_id * 2) % 3 = 0
+        |    THEN 128 + (i.doc_id * 13) % 96
+        |    ELSE (i.doc_id * 7) % 112 END AS INTEGER) AS y00
+        |FROM ids i JOIN ym USING (doc_id) JOIN rep USING (doc_id)
+        |ORDER BY i.doc_id LIMIT 20""".stripMargin,
     // Rice's closed-form size lets the oracle replay the EXACT byte
     // count of the real bitstream: 16 first-sample bits + per residual
     // (zigzag >> 6) + 7, rounded up to bytes; lossless ⇒ decoded mass

@@ -80,6 +80,16 @@ class CodecFuzzSpec extends SparkFunSuite {
     sweep("tar", Tar.build(Seq(
       "a.bin" -> Array.tabulate(700)(_.toByte),
       "b.bin" -> Array.tabulate(123)(_.toByte))), b => Tar.parse(b))
+    // intra-DCT conditional-replenishment video: a corrupted bitmap,
+    // strip length, or strip payload must quarantine, never crash
+    val dv = (0 until 3).map { f =>
+      Array.tabulate(48 * 32) { p =>
+        val bx = (p % 48) / 8; val by = (p / 48) / 8
+        if (bx == (f + 1) % 5 && by == f % 3) (140 + f * 7).toByte
+        else ((bx * 13 + by * 31) % 112).toByte
+      }
+    }
+    sweep("dctv", Dctv.build(48, 32, dv), b => Dctv.parse(b))
   }
 
   test("Rle8.decode survives seeded corruption of key and delta chunks") {
