@@ -67,15 +67,36 @@ object Bench {
       total, medTotal)
   }
 
+  /** One string identifying the HOST class a bench line was measured
+    * on (cpu model + logical cpu count): builder-host and judge-host
+    * runs of the same code differ ~10-15% (the round-10 false
+    * total_drift), so medians must compare same-host only. Sanitized
+    * like the label (the value lands inside the JSON line). */
+  private[graft] def hostFingerprint(cpus: Int): String = {
+    val model =
+      try {
+        val src = scala.io.Source.fromFile("/proc/cpuinfo")
+        try src.getLines().find(_.startsWith("model name"))
+          .map(_.split(":", 2)(1).trim).getOrElse("unknown-cpu")
+        finally src.close()
+      } catch { case _: Throwable => "unknown-cpu" }
+    (model + "/" + cpus).replaceAll("[\"\\\\\\p{Cntrl}]", "_")
+  }
+
   /** Per-query values from prior BENCH_DETAIL lines (best-effort: a
     * malformed line is skipped, never fatal). Round-9 hygiene: only
     * lines from the SAME sf dir feed the medians (the file accumulates
     * builder self-runs and driver runs across scale factors — a
     * different-sf history would skew the 10x inflation baseline), and
     * lines that self-flagged `contaminated` are excluded so a polluted
-    * run can't poison the very medians the flag depends on. */
-  private def priorQueryTimes(lines: Seq[String], sfDir: String)
-      : Map[String, Seq[Double]] = {
+    * run can't poison the very medians the flag depends on. Round-11
+    * hygiene: only lines from the SAME host fingerprint feed them —
+    * judge-host runs are consistently ~10-15% slower than
+    * builder-host runs, so a cross-host history tripped total_drift
+    * on genuinely quiet runs; legacy lines without the field are
+    * excluded (the history re-seeds within a round). */
+  private[graft] def priorQueryTimes(lines: Seq[String], sfDir: String,
+      hostFp: String): Map[String, Seq[Double]] = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     lines.flatMap { line =>
@@ -89,7 +110,11 @@ object Bench {
           case JBool(b) => !b
           case _        => true // pre-flag lines: keep (legacy format)
         }
-        if (!sfOk || !clean) Nil
+        val sameHost = (j \ "host_fp") match {
+          case JString(v) => v == hostFp
+          case _          => false // pre-fingerprint lines: cross-host risk
+        }
+        if (!sfOk || !clean || !sameHost) Nil
         else (j \ "queries") match {
           case JObject(fields) => fields.collect {
             case (k, JDouble(v)) => k -> v
@@ -194,7 +219,8 @@ object Bench {
     // trivial pushed-down-filter query (p*/f* class) at 10x its own
     // history with at least 1 s absolute — both are competing-load
     // signatures, never code signatures.
-    val medians = priorQueryTimes(prior, sfDir)
+    val hostFp = hostFingerprint(os.getAvailableProcessors)
+    val medians = priorQueryTimes(prior, sfDir, hostFp)
       .map { case (k, vs) => k -> median(vs) }
     val inflated = results.filter { case (k, v) =>
       (k.startsWith("p") || k.startsWith("f")) &&
@@ -257,7 +283,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"label":"$label","host_load":$load,"host_load_start":$loadStart,"steal_pct_start":$stealStart,"steal_pct_end":$stealEnd,"contaminated":$contaminated,"total_drift":$totalDrift,"common_total":$commonTotal,"common_median_total":$commonMedianTotal,"inflated_trivial":${inflated.map("\"" + _ + "\"").mkString("[", ",", "]")},"healed_total":$healedTotal,"healed_queries":$healedQs,"cpus_avail":${os.getAvailableProcessors},"ts_s":${System.currentTimeMillis / 1000},"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"label":"$label","host_load":$load,"host_load_start":$loadStart,"steal_pct_start":$stealStart,"steal_pct_end":$stealEnd,"contaminated":$contaminated,"total_drift":$totalDrift,"common_total":$commonTotal,"common_median_total":$commonMedianTotal,"inflated_trivial":${inflated.map("\"" + _ + "\"").mkString("[", ",", "]")},"healed_total":$healedTotal,"healed_queries":$healedQs,"cpus_avail":${os.getAvailableProcessors},"host_fp":"$hostFp","ts_s":${System.currentTimeMillis / 1000},"queries":$qs,"sf":"$sfDir"}"""
     println(detail)
     // Durable per-query map: stdout capture windows have truncated the
     // long line (and even the per-query lines) in past rounds, so the
