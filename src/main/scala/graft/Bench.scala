@@ -73,13 +73,18 @@ object Bench {
     * total_drift), so medians must compare same-host only. Sanitized
     * like the label (the value lands inside the JSON line). */
   private[graft] def hostFingerprint(cpus: Int): String = {
+    // hosts without a cpuinfo model line (macOS, some ARM kernels)
+    // must not all collapse to one class — fall back to os.name/arch
+    // so two such hosts with equal cpu counts still stay distinct
+    val fallback = "unknown-cpu(" + sys.props.getOrElse("os.name", "?") +
+      ":" + sys.props.getOrElse("os.arch", "?") + ")"
     val model =
       try {
         val src = scala.io.Source.fromFile("/proc/cpuinfo")
         try src.getLines().find(_.startsWith("model name"))
-          .map(_.split(":", 2)(1).trim).getOrElse("unknown-cpu")
+          .map(_.split(":", 2)(1).trim).getOrElse(fallback)
         finally src.close()
-      } catch { case _: Throwable => "unknown-cpu" }
+      } catch { case _: Throwable => fallback }
     (model + "/" + cpus).replaceAll("[\"\\\\\\p{Cntrl}]", "_")
   }
 

@@ -46,20 +46,25 @@ object Codecs {
       }
   }
 
-  /** μ-law WAVE → 32-dim count histogram over decoded 16-bit samples
-    * shifted to [0, 65535] and binned by 2048 (L1 = sample count). */
+  /** The shared audio feature map: 32-bin count histogram over 16-bit
+    * samples shifted to [0, 65535] and binned by 2048 (L1 = sample
+    * count) — one definition so the three WAVE codecs cannot drift
+    * apart from each other or their oracles. */
+  private def sampleHistogram(samples: Array[Short]): Array[Float] = {
+    val f = new Array[Float](32)
+    var i = 0
+    while (i < samples.length) {
+      f((samples(i).toInt + 32768) / 2048) += 1f
+      i += 1
+    }
+    f
+  }
+
+  /** μ-law WAVE → the shared decoded-sample histogram. */
   final class MulawCodec extends MediaCodec {
     val featureDim: Int = 32
     def decode(payload: Array[Byte], meta: Row): Option[Array[Float]] =
-      Mulaw.parse(payload).map { case (_, samples) =>
-        val f = new Array[Float](featureDim)
-        var i = 0
-        while (i < samples.length) {
-          f((samples(i).toInt + 32768) / 2048) += 1f
-          i += 1
-        }
-        f
-      }
+      Mulaw.parse(payload).map { case (_, s) => sampleHistogram(s) }
   }
 
   /** MJPEG/AVI → 32-dim LUMA count histogram over every decoded frame
@@ -78,38 +83,20 @@ object Codecs {
       }
   }
 
-  /** PCM WAVE → 32-dim count histogram over the 16-bit samples, same
-    * binning as [[MulawCodec]] (L1 = sample count). The uncompressed
+  /** PCM WAVE → the shared decoded-sample histogram. The uncompressed
     * sibling format a mixed audio intake sees most often. */
   final class PcmCodec extends MediaCodec {
     val featureDim: Int = 32
     def decode(payload: Array[Byte], meta: Row): Option[Array[Float]] =
-      Multimodal.Wav.parse(payload).map { case (_, samples) =>
-        val f = new Array[Float](featureDim)
-        var i = 0
-        while (i < samples.length) {
-          f((samples(i).toInt + 32768) / 2048) += 1f
-          i += 1
-        }
-        f
-      }
+      Multimodal.Wav.parse(payload).map { case (_, s) => sampleHistogram(s) }
   }
 
-  /** IMA/DVI ADPCM WAVE → 32-dim count histogram over the EXPANDED
-    * samples (the full adaptive decode loop runs; L1 = sample
-    * count). */
+  /** IMA/DVI ADPCM WAVE → the shared histogram over the EXPANDED
+    * samples (the full adaptive decode loop runs). */
   final class AdpcmCodec extends MediaCodec {
     val featureDim: Int = 32
     def decode(payload: Array[Byte], meta: Row): Option[Array[Float]] =
-      Adpcm.parse(payload).map { case (_, samples) =>
-        val f = new Array[Float](featureDim)
-        var i = 0
-        while (i < samples.length) {
-          f((samples(i).toInt + 32768) / 2048) += 1f
-          i += 1
-        }
-        f
-      }
+      Adpcm.parse(payload).map { case (_, s) => sampleHistogram(s) }
   }
 
   /** The production intake shape: sniff the container by magic bytes

@@ -20,8 +20,8 @@ package graft.multimodal
   *  - each P-frame: a 1-bit-per-8x8-block replenishment BITMAP
   *    (row-major, LSB-first within each byte), then u32 length + a
   *    JPEG "strip" holding ONLY the replenished blocks, packed four
-  *    per 16x16 MCU into a 16-high image (length 0 ⇔ nothing
-  *    changed).
+  *    per 16x16 MCU, at most 64 MCUs per row, wrapping into further
+  *    16-pixel rows (length 0 ⇔ nothing changed).
   *
   * The encoder is CLOSED-LOOP: change detection and the reference
   * frame use the DECODED previous frame, not the original, so
@@ -39,6 +39,13 @@ object Dctv {
 
   private val MaxDim = 4096
   private val MaxFrames = 64
+  // total decoded output cap (bytes across all frames): an all-zero
+  // bitmap P-frame legitimately costs only bmLen+4 payload bytes (the
+  // codec's whole point for static video), so a payload-proportional
+  // bound would defeat the format — instead the decoder bounds the
+  // ABSOLUTE allocation a hostile header can demand (the Y4M
+  // dimension-overflow posture, adapted for temporal skip)
+  private val MaxDecodedBytes = 1L << 26
 
   private def le16(b: java.io.ByteArrayOutputStream, v: Int): Unit = {
     b.write(v & 0xff); b.write((v >> 8) & 0xff)
@@ -48,18 +55,35 @@ object Dctv {
     b.write((v >> 16) & 0xff); b.write((v >> 24) & 0xff)
   }
 
-  /** Pack n 8x8 luma blocks, four per 16x16 MCU, into a 16-high
-    * 4:2:0 JPEG strip (unused slots and chroma flat at 128). */
+  /** Strip geometry for n blocks: four per 16x16 MCU, at most 64 MCUs
+    * per row (strip width ≤ 1024), wrapping into further 16-pixel MCU
+    * rows — a near-full-frame replenishment of a MaxDim video packs
+    * into a tall strip instead of blowing the JPEG width cap. */
+  private def stripDims(n: Int): (Int, Int, Int) = {
+    val m = (n + 3) / 4
+    val cols = math.min(m, 64)
+    val rows = (m + cols - 1) / cols
+    (16 * cols, 16 * rows, cols)
+  }
+
+  private def blockPos(i: Int, cols: Int, w: Int): Int = {
+    val mcu = i / 4
+    val ox = (mcu % cols) * 16 + (i % 2) * 8
+    val oy = (mcu / cols) * 16 + ((i % 4) / 2) * 8
+    oy * w + ox
+  }
+
+  /** Pack n 8x8 luma blocks into a 4:2:0 JPEG strip (unused slots and
+    * chroma flat at 128). */
   private def encodeStrip(blocks: Array[Array[Byte]]): Array[Byte] = {
-    val m = (blocks.length + 3) / 4
-    val w = 16 * m; val h = 16
+    val (w, h, cols) = stripDims(blocks.length)
     val y = Array.fill[Byte](w * h)(128.toByte)
     var i = 0
     while (i < blocks.length) {
-      val ox = (i / 4) * 16 + (i % 2) * 8; val oy = ((i % 4) / 2) * 8
+      val base = blockPos(i, cols, w)
       var r = 0
       while (r < 8) {
-        System.arraycopy(blocks(i), r * 8, y, (oy + r) * w + ox, 8)
+        System.arraycopy(blocks(i), r * 8, y, base + r * w, 8)
         r += 1
       }
       i += 1
@@ -69,25 +93,27 @@ object Dctv {
   }
 
   /** Unpack the first n blocks of a strip; None if the strip is not a
-    * valid 16-high JPEG with capacity for n blocks. */
+    * valid JPEG of exactly the geometry the encoder emits for n. */
   private def decodeStrip(strip: Array[Byte],
-      n: Int): Option[Array[Array[Byte]]] =
+      n: Int): Option[Array[Array[Byte]]] = {
+    val (ew, eh, cols) = stripDims(n)
     Jpeg.parse(strip) match {
       case Some((w, h, planes))
-          if h == 16 && w >= 16 * ((n + 3) / 4) && planes.nonEmpty =>
+          if w == ew && h == eh && planes.nonEmpty =>
         val y = planes(0)
         Some(Array.tabulate(n) { i =>
-          val ox = (i / 4) * 16 + (i % 2) * 8; val oy = ((i % 4) / 2) * 8
+          val base = blockPos(i, cols, w)
           val blk = new Array[Byte](64)
           var r = 0
           while (r < 8) {
-            System.arraycopy(y, (oy + r) * w + ox, blk, r * 8, 8)
+            System.arraycopy(y, base + r * w, blk, r * 8, 8)
             r += 1
           }
           blk
         })
       case _ => None
     }
+  }
 
   private def grabBlock(plane: Array[Byte], w: Int, bx: Int,
       by: Int): Array[Byte] = {
@@ -115,6 +141,8 @@ object Dctv {
       w <= MaxDim && h <= MaxDim)
     require(frames.nonEmpty && frames.length <= MaxFrames &&
       frames.forall(_.length == w * h))
+    require(w.toLong * h * frames.length <= MaxDecodedBytes,
+      "stream exceeds the decoder's total-output cap")
     val out = new java.io.ByteArrayOutputStream()
     out.write("DCTV".getBytes("US-ASCII"))
     le16(out, w); le16(out, h); le16(out, frames.length)
@@ -184,6 +212,7 @@ object Dctv {
     if (w <= 0 || h <= 0 || w > MaxDim || h > MaxDim ||
       w % 16 != 0 || h % 16 != 0) return None
     if (nf < 1 || nf > MaxFrames) return None
+    if (w.toLong * h * nf > MaxDecodedBytes) return None
     val wb = w / 8; val hb = h / 8
     var off = 10L
     val iLen = u32(off.toInt)

@@ -2047,12 +2047,32 @@ object CoreRelational {
     val problems = Seq.newBuilder[String]
     val v = org.apache.spark.SPARK_VERSION
     if (!v.startsWith("4.1.")) problems += s"spark version $v (pinned 4.1.x)"
-    def chk(key: String, pinned: String): Unit = {
+    // byte-valued configs compare SEMANTICALLY: Spark renders its
+    // registered default as "10485760b", and a save-and-restore
+    // elsewhere re-sets that rendering explicitly — "10485760b",
+    // "10MB" and "10485760" are the same threshold, not a drift
+    def asBytes(v: String): Option[Long] =
+      try Some(v.trim.toLong)
+      catch {
+        case _: NumberFormatException =>
+          try Some(org.apache.spark.network.util.JavaUtils
+            .byteStringAsBytes(v.trim))
+          catch { case _: Throwable => None }
+      }
+    def chk(key: String, pinned: String,
+        byteValued: Boolean = false): Unit = {
       val live = s.conf.get(key, pinned)
-      if (live != pinned) problems += s"$key=$live (pinned $pinned)"
+      val same =
+        if (byteValued) (asBytes(live), asBytes(pinned)) match {
+          case (Some(a), Some(b)) => a == b
+          case _                  => live == pinned
+        }
+        else live == pinned
+      if (!same) problems += s"$key=$live (pinned $pinned)"
     }
     chk("spark.sql.adaptive.enabled", "true")
-    chk("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    chk("spark.sql.autoBroadcastJoinThreshold", "10485760",
+      byteValued = true)
     chk("spark.sql.adaptive.coalescePartitions.enabled", "true")
     chk("spark.sql.codegen.wholeStage", "true")
     val ps = problems.result()

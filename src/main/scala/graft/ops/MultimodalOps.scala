@@ -868,7 +868,12 @@ object MultimodalOps {
     * decode ledger aggregates map-side); at 100 TB the same plan reads
     * an object-store prefix instead of a tmpdir. */
   def mmBinaryIntake(s: SparkSession, d: String): DataFrame = {
-    val dir = assetDirCache.getOrCompute(s, "mmfiles|" + d) {
+    // the memo key includes the configured root so a later conf
+    // change takes effect (a new keyed dir) instead of silently
+    // reusing a stale path
+    val confKey = s.conf.getOption("spark.graft.mm.assetDir")
+      .getOrElse("<tmpdir>")
+    val dir = assetDirCache.getOrCompute(s, "mmfiles|" + d + "|" + confKey) {
       val h = java.security.MessageDigest.getInstance("MD5")
         .digest(d.getBytes("UTF-8")).map("%02x".format(_))
         .mkString.take(12)

@@ -32,36 +32,47 @@ object MediaShards {
       budget: Long): Seq[(String, Int, Long, Long)] = {
     val spark = batch.sparkSession
     import spark.implicits._
-    val layout = graft.ops.MultimodalOps.byteBudgetLayout(
-      batch.select(col("media_id"), length(col("payload")).as("n_bytes")),
-      budget).select(col("media_id"), col("shard_id"))
-    batch.join(layout, Seq("media_id"))
-      .select(col("shard_id"), col("media_id"), col("payload"))
-      .as[(Long, Long, Array[Byte])]
-      .groupByKey(_._1)
-      .mapGroups { (shard, it) =>
-        val entries = it.map { case (_, id, b) => (id, b) }
-          .toArray.sortBy(_._1)
-        val tar = graft.multimodal.Tar.build(
-          entries.map { case (id, b) => (s"asset_$id.bin", b) }.toSeq)
-        val name = f"shard-$batchId%05d-$shard%05d.tar"
-        val p = new org.apache.hadoop.fs.Path(outDir, name)
-        // default Hadoop config resolves file:// and cluster-deployed
-        // defaults on executors; the write is executor-side by design
-        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-        val out = fs.create(p, true)
-        try out.write(tar) finally out.close()
-        // the ledger derives from the WRITTEN unit: re-parse + decode
-        // so a packing bug in this very writer cannot self-certify
-        val codec = new graft.multimodal.Codecs.AutoCodec
-        val unpacked = graft.multimodal.Tar.parse(tar).getOrElse(
-          throw new IllegalStateException(s"shard $name failed to re-parse"))
-        var idSum = 0L; var l1 = 0L
-        unpacked.foreach { case (n, bytes) =>
-          idSum += n.stripPrefix("asset_").stripSuffix(".bin").toLong
-          codec.decode(bytes, null).foreach(f => l1 += f.map(_.toLong).sum)
-        }
-        (name, unpacked.length, idSum, l1)
-      }.collect().toSeq
+    // the batch has two consumers (the length-only layout branch and
+    // the payload-bearing shard branch): persist for the call so each
+    // source file is read once per batch, not twice
+    val pinned = batch.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the SESSION's Hadoop conf must reach the executor-side writes —
+    // spark.hadoop.* (object-store credentials, fs.defaultFS) never
+    // lands in a bare `new Configuration()`
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    try {
+      val layout = graft.ops.MultimodalOps.byteBudgetLayout(
+        pinned.select(col("media_id"), length(col("payload")).as("n_bytes")),
+        budget).select(col("media_id"), col("shard_id"))
+      pinned.join(layout, Seq("media_id"))
+        .select(col("shard_id"), col("media_id"), col("payload"))
+        .as[(Long, Long, Array[Byte])]
+        .groupByKey(_._1)
+        .mapGroups { (shard, it) =>
+          val entries = it.map { case (_, id, b) => (id, b) }
+            .toArray.sortBy(_._1)
+          val tar = graft.multimodal.Tar.build(
+            entries.map { case (id, b) => (s"asset_$id.bin", b) }.toSeq)
+          val name = f"shard-$batchId%05d-$shard%05d.tar"
+          val p = new org.apache.hadoop.fs.Path(outDir, name)
+          val fs = p.getFileSystem(hconf.value)
+          val out = fs.create(p, true)
+          try out.write(tar) finally out.close()
+          // the ledger derives from the WRITTEN unit: re-parse +
+          // decode so a packing bug in this very writer cannot
+          // self-certify
+          val codec = new graft.multimodal.Codecs.AutoCodec
+          val unpacked = graft.multimodal.Tar.parse(tar).getOrElse(
+            throw new IllegalStateException(s"shard $name failed to re-parse"))
+          var idSum = 0L; var l1 = 0L
+          unpacked.foreach { case (n, bytes) =>
+            idSum += n.stripPrefix("asset_").stripSuffix(".bin").toLong
+            codec.decode(bytes, null).foreach(f => l1 += f.map(_.toLong).sum)
+          }
+          (name, unpacked.length, idSum, l1)
+        }.collect().toSeq
+    } finally pinned.unpersist()
   }
 }

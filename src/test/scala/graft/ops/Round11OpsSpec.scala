@@ -164,31 +164,47 @@ class Round11OpsSpec extends SparkFunSuite {
 
   test("plan census: a deliberate config change yields the diagnosable " +
     "CONFIG MISMATCH signal, not a silent literal-oracle hash fail") {
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try {
-      val e = intercept[IllegalStateException] {
-        CoreRelational.planShuffles(spark, sfDir).collect()
-      }
-      assert(e.getMessage.contains("CONFIG MISMATCH"))
-      assert(e.getMessage.contains("autoBroadcastJoinThreshold"),
-        "the mismatch message must name the drifted key")
-    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-    // back under the pinned config the row computes normally
+    // an ISOLATED session: suites share one SparkSession and run
+    // concurrently, so mutating the shared conf would race other
+    // suites' census calls (it did — three Round8DegenerateSpec
+    // failures in the full run)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val e = intercept[IllegalStateException] {
+      CoreRelational.planShuffles(s2, sfDir).collect()
+    }
+    assert(e.getMessage.contains("CONFIG MISMATCH"))
+    assert(e.getMessage.contains("autoBroadcastJoinThreshold"),
+      "the mismatch message must name the drifted key")
+    // the untouched shared session computes the row normally
     assert(CoreRelational.planShuffles(spark, sfDir).collect().length == 5)
+    // equivalent RENDERINGS of the same byte value are NOT a
+    // mismatch: a save-and-restore elsewhere re-sets Spark's own
+    // "10485760b" rendering explicitly (the BucketedJoinSpec race
+    // that failed the first full-suite run of this gate)
+    val s3 = spark.newSession()
+    s3.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    assert(CoreRelational.planShuffles(s3, sfDir).collect().length == 5)
+    val s4 = spark.newSession()
+    s4.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    assert(CoreRelational.planShuffles(s4, sfDir).collect().length == 5)
   }
 
   test("mm_binary_intake: spark.graft.mm.assetDir routes the fixture " +
     "write through the Hadoop FileSystem API to the configured root") {
     val root = java.nio.file.Files
       .createTempDirectory("graft_shared_assets").toString
-    spark.conf.set("spark.graft.mm.assetDir", "file:" + root)
-    try {
-      val ledger = MultimodalOps.mmBinaryIntake(spark, sfDir).collect()
-      assert(ledger.nonEmpty, "intake ledger empty")
-      val written = new java.io.File(root).listFiles()
-      assert(written != null && written.exists(_.getName.startsWith(
-        "graft_mmassets_")), "assets not written under the configured root")
-    } finally spark.conf.unset("spark.graft.mm.assetDir")
+    // an isolated session: the asset-dir memo is (session, dataset)-
+    // keyed and the conf read happens inside it, so this test must
+    // not depend on whether another suite already ran the intake on
+    // the shared session (and must not leak its conf to them)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.mm.assetDir", "file:" + root)
+    val ledger = MultimodalOps.mmBinaryIntake(s2, sfDir).collect()
+    assert(ledger.nonEmpty, "intake ledger empty")
+    val written = new java.io.File(root).listFiles()
+    assert(written != null && written.exists(_.getName.startsWith(
+      "graft_mmassets_")), "assets not written under the configured root")
   }
 
   test("mm_tar_shards: real archive bytes per shard stay bounded by " +
