@@ -449,20 +449,30 @@ class PlanAuditSpec extends SparkFunSuite {
       "dispatch ledger should shuffle exactly once (the tiny agg)")
     assert(pd.contains("partial_count") || pd.contains("partial_sum"),
       "ledger agg lost its map-side partial phase")
-    // tar shards: the byte-budget layout shuffles only (media_id,
-    // weight) — group window + offsets agg + the shard grouping; the
-    // offset table rolls up in ONE bounded single-partition window
-    // (≤256 rows) and payloads never ride any of them (assets build
-    // inside the shard assembler)
-    val pt = plan(MultimodalOps.mmTarShards(spark, sfDir))
-    assert(hashEx.findAllIn(pt).length == 3,
-      "layout should shuffle exactly thrice: gid window, offsets agg, " +
-        "shard grouping (all ids+weight only)")
-    assert("Exchange SinglePartition".r.findAllIn(pt).length == 1,
+    // tar shards, part 1 — the LAYOUT PLANNER's own shape: it
+    // shuffles only (media_id, weight) through the gid window and the
+    // offsets agg; the offset table rolls up in ONE bounded
+    // single-partition window (≤256 rows) and broadcasts to the join
+    val weighted = graft.Tables
+      .spread(graft.Tables.documents(spark, sfDir))
+      .select(col("doc_id").as("media_id"))
+      .withColumn("n_bytes", MultimodalOps.tarUnitWeight)
+    val pl = plan(MultimodalOps.byteBudgetLayout(
+      weighted, MultimodalOps.TarShardUnitBudget))
+    assert(hashEx.findAllIn(pl).length == 2,
+      "layout should shuffle exactly twice: gid window + offsets agg")
+    assert("Exchange SinglePartition".r.findAllIn(pl).length == 1,
       "the offset rollup should be the one bounded single-partition window")
-    assert("BroadcastExchange".r.findAllIn(pt).length == 1,
+    assert("BroadcastExchange".r.findAllIn(pl).length == 1,
       "the <=256-row offset table should broadcast to the layout join")
-    assert(!pd.contains("CartesianProduct") && !pt.contains("CartesianProduct"))
+    // part 2 — the ledger over the (session, dataset)-memoized,
+    // checkpointed layout: the ONLY remaining shuffle is the shard
+    // grouping (payloads build inside the assembler)
+    val pt = plan(MultimodalOps.mmTarShards(spark, sfDir))
+    assert(hashEx.findAllIn(pt).length == 1,
+      "ledger should shuffle once: the shard grouping over the memo")
+    assert(!pd.contains("CartesianProduct") && !pt.contains("CartesianProduct") &&
+      !pl.contains("CartesianProduct"))
   }
 
   test("partitioned table prunes partitions at scan time") {
