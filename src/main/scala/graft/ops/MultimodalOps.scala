@@ -997,16 +997,22 @@ object MultimodalOps {
     * here the synthetic assets build inside the assembler, so only
     * ids ride it). Decode work after unpacking stays in the same
     * task — no second shuffle. */
-  def mmTarShards(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val layout = tarLayoutCache.getOrCompute(s, "tarlayout|" + d) {
+  /** The memoized (shard_id, media_id) tar layout for a dataset —
+    * shared by [[mmTarShards]] (the packer) and [[mmShardAudit]] (the
+    * bound auditor). */
+  private def tarLayout(s: SparkSession, d: String): DataFrame =
+    tarLayoutCache.getOrCompute(s, "tarlayout|" + d) {
       val weighted = Tables.spread(Tables.documents(s, d))
         .select(col("doc_id").as("media_id"))
         .withColumn("n_bytes", tarUnitWeight)
       byteBudgetLayout(weighted, TarShardUnitBudget)
         .select(col("shard_id"), col("media_id"))
         .localCheckpoint()
-    }.as[(Long, Long)]
+    }
+
+  def mmTarShards(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val layout = tarLayout(s, d).as[(Long, Long)]
     val ledger = layout.groupByKey(_._1).mapGroups { (shard, it) =>
       val entries = it.map { case (_, id) =>
         (id, buildAsset(id, (id % 7).toInt))
@@ -1320,7 +1326,35 @@ object MultimodalOps {
     feats.orderBy(col("doc_id")).limit(20)
   }
 
+  /** T275: the shard-layout BOUND as a driver-checked catalog row —
+    * the mm_tar_shards planner's whole point ("per-shard weight ≤
+    * budget + one straddling asset; shard count scales with the
+    * corpus") audited from the layout itself: one row with the shard
+    * count, the min/max per-shard weight, the max entry count, and
+    * the bound verdict COMPUTED on both sides (the oracle re-derives
+    * the layout with the single-window restatement and re-checks the
+    * same inequality — a planner bug that overfills a shard flips
+    * bound_ok red in the driver gate, not just in a spec). The
+    * max-asset scalar rides the broadcast 1-row panel idiom. */
+  def mmShardAudit(s: SparkSession, d: String): DataFrame = {
+    val w = tarLayout(s, d).withColumn("u", tarUnitWeight)
+    val per = w.groupBy("shard_id")
+      .agg(sum("u").as("w"), count(lit(1)).as("n"))
+    val maxAsset = broadcast(w.agg(max("u").as("max_asset")))
+    per.crossJoin(maxAsset)
+      .agg(count(lit(1)).as("n_shards"),
+        max("w").as("max_units"), min("w").as("min_units"),
+        max("n").cast("int").as("max_entries"),
+        min("max_asset").as("max_asset"))
+      .withColumn("budget", lit(TarShardUnitBudget))
+      .withColumn("bound_ok",
+        col("max_units") <= col("budget") + col("max_asset"))
+      .select("n_shards", "max_units", "min_units", "max_entries",
+        "max_asset", "budget", "bound_ok")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_shard_audit" -> mmShardAudit _,
     "mm_dctv_features" -> mmDctvFeatures _,
     "mm_rice_features" -> mmRiceFeatures _,
     "mm_adpcm_features" -> mmAdpcmFeatures _,
@@ -1346,6 +1380,41 @@ object MultimodalOps {
     "mm_dedup"    -> mmDedup _)
 
   val oracles: Map[String, String] = Map(
+    // the layout replayed by the single-window restatement, then the
+    // SAME bound inequality re-checked oracle-side — bound_ok is
+    // computed, not pinned
+    "mm_shard_audit" ->
+      """WITH ids AS (SELECT doc_id,
+        |    CAST(doc_id % 7 AS INTEGER) AS fmt
+        |  FROM documents),
+        |l AS (SELECT doc_id,
+        |    CASE fmt
+        |      WHEN 0 THEN 3 * (8 + (doc_id % 3) * 4)
+        |        * (6 + (doc_id % 2) * 2)
+        |      WHEN 1 THEN (20 + (doc_id % 4) * 4) * 12
+        |      WHEN 2 THEN 150 + (doc_id % 4) * 50
+        |      WHEN 3 THEN 1536
+        |      WHEN 4 THEN 2048
+        |      WHEN 5 THEN 120 + (doc_id % 5) * 30
+        |      ELSE 100 + (doc_id % 3) * 40 END AS l1
+        |  FROM ids),
+        |r AS (SELECT doc_id, l1,
+        |    (CAST(SUM(l1) OVER (
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) - l1) // 16384 AS shard_id
+        |  FROM l),
+        |g AS (SELECT shard_id, CAST(SUM(l1) AS BIGINT) AS w,
+        |    COUNT(*) AS n
+        |  FROM r GROUP BY shard_id)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_shards,
+        |  CAST(MAX(w) AS BIGINT) AS max_units,
+        |  CAST(MIN(w) AS BIGINT) AS min_units,
+        |  CAST(MAX(n) AS INTEGER) AS max_entries,
+        |  CAST((SELECT MAX(l1) FROM l) AS BIGINT) AS max_asset,
+        |  CAST(16384 AS BIGINT) AS budget,
+        |  MAX(w) <= 16384 + (SELECT MAX(l1) FROM l) AS bound_ok
+        |FROM g""".stripMargin,
     // lossless-for-flat-blocks DCT video: decoded masses regenerate
     // arithmetically; replenishment is the block-coordinate
     // rectangle-union formula; the two compression facts pin as TRUE

@@ -1255,6 +1255,52 @@ object TextOps {
       .limit(20)
   }
 
+  /** The encoding-anomaly detectors behind [[textMojibake]], factored
+    * over a (source, text) frame so the spec can drive them with
+    * injected fixtures (the PiiSpec discipline — the shipped corpus
+    * is clean, so the catalog row's zero counts are COMPUTED by both
+    * engines running the same regexes, not pinned constants):
+    *  - `n_replacement`: U+FFFD — a decoder already gave up upstream;
+    *  - `n_c1_controls`: U+0080-U+009F — the classic CP1252/Latin-1
+    *    misread of UTF-8 continuation bytes;
+    *  - `n_double_utf8`: the two highest-frequency mojibake bigrams —
+    *    U+00C3 + a Latin-1 high byte (the e-acute→"Ã©" class) and
+    *    the "â€" smart-quote prefix (the ’→"â€™" class) — UTF-8
+    *    decoded as Latin-1/CP1252 and re-encoded;
+    *  - `n_controls`: C0 controls except TAB/LF/CR (binary bleed;
+    *    the range starts at U+0001 because a NUL can ride neither
+    *    the oracle-SQL JSON nor the parquet text column).
+    * This is the ftfy-class intake screen every web-scale text
+    * pipeline runs before quality scoring — mojibake inflates
+    * character entropy and deflates stopword ratios, silently
+    * poisoning the downstream gates. Pure per-row codegen'd regex
+    * counts, one map-side-combinable aggregate, no shuffle beyond
+    * the tiny per-source ledger. */
+  private[ops] def mojibakePanel(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"),
+        regexp_count(col("text"), lit("\uFFFD")).as("repl"),
+        regexp_count(col("text"), lit("[\u0080-\u009F]")).as("c1"),
+        regexp_count(col("text"),
+          lit("\u00C3[\u0080-\u00BF]|\u00E2\u20AC")).as("dbl"),
+        regexp_count(col("text"),
+          lit("[\u0001-\u0008\u000B\u000C\u000E-\u001F]"))
+          .as("ctrl"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("repl") + col("c1") + col("dbl") + col("ctrl") === 0,
+          1L).otherwise(0L)).as("clean_docs"),
+        sum(col("repl")).cast("long").as("n_replacement"),
+        sum(col("c1")).cast("long").as("n_c1_controls"),
+        sum(col("dbl")).cast("long").as("n_double_utf8"),
+        sum(col("ctrl")).cast("long").as("n_controls"))
+      .orderBy(col("source"))
+
+  /** T274: encoding-anomaly / mojibake panel per source. */
+  def textMojibake(s: SparkSession, d: String): DataFrame =
+    mojibakePanel(Tables.spread(Tables.documents(s, d))
+      .select(col("source"), col("text")))
+
   /** T239: HAPAX LEGOMENA rate per source — the fraction of each
     * source's vocabulary seen exactly once, the classic lexical-health
     * probe (a scrape gone wrong shows up as a hapax spike — OCR
@@ -1363,6 +1409,7 @@ object TextOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_mojibake"       -> textMojibake _,
     "text_compress"       -> textCompress _,
     "text_hapax"          -> textHapax _,
     "text_watermark"      -> textWatermark _,
@@ -1455,6 +1502,29 @@ object TextOps {
         |  FROM cx)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // both engines RUN the same four detectors (RE2 \\x{...} ranges =
+    // the Java \\uXXXX classes on BMP points); the clean corpus yields
+    // computed zeros, the spec injects mojibake fixtures
+    "text_mojibake" ->
+      """WITH m AS (
+        |  SELECT source,
+        |    len(regexp_extract_all(text, '\x{FFFD}')) AS repl,
+        |    len(regexp_extract_all(text,
+        |      '[\x{0080}-\x{009F}]')) AS c1,
+        |    len(regexp_extract_all(text,
+        |      '\x{00C3}[\x{0080}-\x{00BF}]|\x{00E2}\x{20AC}')) AS dbl,
+        |    len(regexp_extract_all(text,
+        |      '[\x{0001}-\x{0008}\x{000B}\x{000C}\x{000E}-\x{001F}]'))
+        |      AS ctrl
+        |  FROM documents)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN repl + c1 + dbl + ctrl = 0 THEN 1
+        |    ELSE 0 END) AS BIGINT) AS clean_docs,
+        |  CAST(SUM(repl) AS BIGINT) AS n_replacement,
+        |  CAST(SUM(c1) AS BIGINT) AS n_c1_controls,
+        |  CAST(SUM(dbl) AS BIGINT) AS n_double_utf8,
+        |  CAST(SUM(ctrl) AS BIGINT) AS n_controls
+        |FROM m GROUP BY source ORDER BY source""".stripMargin,
     // compressed lengths are not replayable in SQL; the row pins the
     // codec's corpus-wide invariants (round trip everywhere, doubling
     // never raises the ratio, ratios in (0,1.2)) plus the replayable

@@ -69,6 +69,30 @@ class Round11OpsSpec extends SparkFunSuite {
     }
   }
 
+  test("text_mojibake: injected encoding anomalies are detected and " +
+    "classified (the corpus row's zeros are computed, not pinned)") {
+    val docs = Seq(
+      ("a", "caf\u00C3\u00A9 latte"),            // e-acute double-decoded
+      ("a", "it\u00E2\u20AC\u2122s fine"),        // smart quote double-decoded
+      ("a", "bad\uFFFDbyte"),                    // replacement char
+      ("b", "x\u0085y"),                         // C1 control (NEL)
+      ("b", "a\u0001b\u0002c"),                   // C0 controls
+      ("b", "perfectly clean text"),
+      ("b", "tabs\tand\nnewlines are fine")
+    ).toDF("source", "text")
+    val panel = TextOps.mojibakePanel(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = panel("a"); val b = panel("b")
+    assert(a.getAs[Long]("n_docs") == 3 && a.getAs[Long]("clean_docs") == 0)
+    assert(a.getAs[Long]("n_double_utf8") == 2,
+      "both double-UTF8 signatures must fire")
+    assert(a.getAs[Long]("n_replacement") == 1)
+    assert(b.getAs[Long]("n_c1_controls") == 1)
+    assert(b.getAs[Long]("n_controls") == 2, "two C0 controls injected")
+    assert(b.getAs[Long]("clean_docs") == 2,
+      "TAB/LF must not count as anomalies")
+  }
+
   // ---- intra-DCT conditional-replenishment video ---------------------
 
   private def dctvFrames(w: Int, h: Int): Seq[Array[Byte]] =
