@@ -74,10 +74,14 @@ object Bench {
     * like the label (the value lands inside the JSON line). */
   private[graft] def hostFingerprint(cpus: Int): String = {
     // hosts without a cpuinfo model line (macOS, some ARM kernels)
-    // must not all collapse to one class — fall back to os.name/arch
-    // so two such hosts with equal cpu counts still stay distinct
+    // must not all collapse to one class — fall back to
+    // os.name/arch + HOSTNAME, so two distinct model-less hosts with
+    // the same platform and cpu count still key separate histories
+    // (hostname is per-host stable, which is all the keying needs)
     val fallback = "unknown-cpu(" + sys.props.getOrElse("os.name", "?") +
-      ":" + sys.props.getOrElse("os.arch", "?") + ")"
+      ":" + sys.props.getOrElse("os.arch", "?") + ":" + (
+        try java.net.InetAddress.getLocalHost.getHostName
+        catch { case _: Throwable => "?" }) + ")"
     val model =
       try {
         val src = scala.io.Source.fromFile("/proc/cpuinfo")

@@ -952,7 +952,7 @@ object MultimodalOps {
     * PCM = 2, ADPCM ≲ 0.5, plus the 512 B tar header + ≤511 B padding
     * per entry), so a unit budget bounds shard BYTES within that
     * constant — the spec pins the byte bound on the real archives. */
-  private[ops] def tarUnitWeight = expr(
+  private[graft] def tarUnitWeight = expr(
     """CASE CAST(media_id % 7 AS INT)
       |  WHEN 0 THEN 3 * (8 + (media_id % 3) * 4)
       |    * (6 + (media_id % 2) * 2)
@@ -963,7 +963,7 @@ object MultimodalOps {
       |  WHEN 5 THEN 120 + (media_id % 5) * 30
       |  ELSE 100 + (media_id % 3) * 40 END""".stripMargin)
 
-  private[ops] val TarShardUnitBudget = 16384L
+  private[graft] val TarShardUnitBudget = 16384L
 
   /** The tar-shard LAYOUT memo (the layoutBucketing/tokCorpus
     * precedent): the planner output is deterministic per dataset, so
@@ -997,22 +997,26 @@ object MultimodalOps {
     * here the synthetic assets build inside the assembler, so only
     * ids ride it). Decode work after unpacking stays in the same
     * task — no second shuffle. */
-  /** The memoized (shard_id, media_id) tar layout for a dataset —
-    * shared by [[mmTarShards]] (the packer) and [[mmShardAudit]] (the
-    * bound auditor). */
+  /** The memoized (shard_id, media_id, n_bytes) tar layout for a
+    * dataset — shared by [[mmTarShards]] (the packer, which needs the
+    * first two columns) and [[mmShardAudit]] (the bound auditor,
+    * which audits against the SAME weights the planner consumed —
+    * carried here so the audit cannot silently diverge from the
+    * planner's input if the weighting ever changes). */
   private def tarLayout(s: SparkSession, d: String): DataFrame =
     tarLayoutCache.getOrCompute(s, "tarlayout|" + d) {
       val weighted = Tables.spread(Tables.documents(s, d))
         .select(col("doc_id").as("media_id"))
         .withColumn("n_bytes", tarUnitWeight)
       byteBudgetLayout(weighted, TarShardUnitBudget)
-        .select(col("shard_id"), col("media_id"))
+        .select(col("shard_id"), col("media_id"), col("n_bytes"))
         .localCheckpoint()
     }
 
   def mmTarShards(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val layout = tarLayout(s, d).as[(Long, Long)]
+    val layout = tarLayout(s, d)
+      .select(col("shard_id"), col("media_id")).as[(Long, Long)]
     val ledger = layout.groupByKey(_._1).mapGroups { (shard, it) =>
       val entries = it.map { case (_, id) =>
         (id, buildAsset(id, (id % 7).toInt))
@@ -1337,7 +1341,9 @@ object MultimodalOps {
     * bound_ok red in the driver gate, not just in a spec). The
     * max-asset scalar rides the broadcast 1-row panel idiom. */
   def mmShardAudit(s: SparkSession, d: String): DataFrame = {
-    val w = tarLayout(s, d).withColumn("u", tarUnitWeight)
+    // n_bytes carried from the memoized layout = the planner's own
+    // input weights, not an independent re-derivation
+    val w = tarLayout(s, d).withColumn("u", col("n_bytes"))
     val per = w.groupBy("shard_id")
       .agg(sum("u").as("w"), count(lit(1)).as("n"))
     val maxAsset = broadcast(w.agg(max("u").as("max_asset")))
