@@ -28,8 +28,9 @@ class MediaShardsSpec extends SparkFunSuite {
       .cast("long").as("media_id"),
     col("content").as("payload"))
 
-  /** Unpack every shard in dir → (id, decoded l1) through AutoCodec. */
-  private def unpackAll(dir: String): Map[Long, Long] = {
+  /** Unpack every shard in dir → (id, Some(decoded l1) | None for a
+    * quarantined payload) through AutoCodec. */
+  private def unpackAll(dir: String): Map[Long, Option[Long]] = {
     val codec = new graft.multimodal.Codecs.AutoCodec
     val files = new java.io.File(dir).listFiles()
       .filter(_.getName.endsWith(".tar")).sortBy(_.getName)
@@ -41,9 +42,7 @@ class MediaShardsSpec extends SparkFunSuite {
         .getOrElse(fail(s"${f.getName} failed to parse"))
         .map { case (n, b) =>
           val id = n.stripPrefix("asset_").stripSuffix(".bin").toLong
-          val l1 = codec.decode(b, null)
-            .getOrElse(fail(s"$n failed to decode")).map(_.toLong).sum
-          (id, l1)
+          (id, codec.decode(b, null).map(_.map(_.toLong).sum))
         }
     }.toMap
   }
@@ -71,6 +70,14 @@ class MediaShardsSpec extends SparkFunSuite {
     assert(unpackAll(shardDir.getAbsolutePath).keySet == (1L to 20L).toSet)
 
     writeAssets(src.getAbsolutePath, 21L to 30L)
+    // a corrupt asset arrives mid-stream: the shard writer is a BYTE
+    // archiver, so the payload still packs (and its name round-trips)
+    // — quarantine is the DECODE layer's job, and both the writer
+    // ledger and the unpack below must show it as undecodable, never
+    // crash on it
+    val corrupt = graft.ops.MultimodalOps.buildAsset(31L, 3)
+    Files.write(new java.io.File(src, "asset_31.bin").toPath,
+      corrupt.take(corrupt.length / 2))
     run()
     // wave-1 shards are append-only units: byte-identical after wave 2
     wave1Files.foreach { case (name, h) =>
@@ -79,8 +86,10 @@ class MediaShardsSpec extends SparkFunSuite {
       assert(now == h, s"$name was rewritten by a later wave")
     }
     val all = unpackAll(shardDir.getAbsolutePath)
-    assert(all.keySet == (1L to 30L).toSet,
+    assert(all.keySet == (1L to 31L).toSet,
       "assets lost or duplicated across waves")
+    assert(all(31L).isEmpty, "truncated asset must quarantine at decode")
+    assert((1L to 30L).forall(all(_).isDefined), "clean asset quarantined")
 
     // ledger equality with the one-shot batch path over the same files
     val batchLedger = graft.multimodal.Multimodal.extractFeatures(
@@ -92,15 +101,19 @@ class MediaShardsSpec extends SparkFunSuite {
           lit(null).cast("long").as("duration_ms"),
           lit("batch://asset").as("source_uri"))),
       new graft.multimodal.Codecs.AutoCodec)
-      .select(col("media_id"),
-        expr("aggregate(features, cast(0.0 as double), (acc, x) -> acc + x)")
-          .cast("long").as("l1"))
-      .as[(Long, Long)].collect().toMap
+      .select(col("media_id"), col("ok"),
+        coalesce(
+          expr("aggregate(features, cast(0.0 as double), (acc, x) -> acc + x)")
+            .cast("long"), lit(0L)).as("l1"))
+      .as[(Long, Boolean, Long)].collect()
+      .map { case (id, ok, l1) => id -> (if (ok) Some(l1) else None) }
+      .toMap
     assert(all == batchLedger,
       "streamed shard contents diverge from the batch decode ledger")
     // and the writer's own returned ledger tallies with the shards
-    assert(ledger.map(_._2).sum == 30, "writer ledger entry count")
-    assert(ledger.map(_._3).sum == (1L to 30L).sum, "writer ledger id sum")
-    assert(ledger.map(_._4).sum == all.values.sum, "writer ledger l1 sum")
+    assert(ledger.map(_._2).sum == 31, "writer ledger entry count")
+    assert(ledger.map(_._3).sum == (1L to 31L).sum, "writer ledger id sum")
+    assert(ledger.map(_._4).sum == all.values.flatten.sum,
+      "writer ledger l1 sum")
   }
 }
