@@ -198,6 +198,56 @@ object MultimodalOps {
       .limit(20)
   }
 
+  /** T276: perceptual similarity TOP-K over REALLY DECODED pixels —
+    * the [[mmNearDup]] pipeline (argmax-class blocking, capped
+    * ids-only bucket expansion, exact-integer cosine) with the
+    * feature vectors coming from a REAL codec instead of the
+    * codepoint stand-in: the fmt-0 (PNG) slice of the intake mix
+    * decodes through [[graft.multimodal.Codecs.AutoCodec]] (DEFLATE,
+    * scanline filters, CRC-verified chunks) and the 32-bin r/g/b
+    * count histograms ARE the perceptual features. The synthetic
+    * pixel fields are all DISTINCT (no two assets are near-dups — max
+    * pairwise cosine ≈ 0.85), so the row ranks the 20 most-similar
+    * pairs instead of thresholding at a vacuous 0.99; the total
+    * (cos DESC, m1, m2) order makes the cut deterministic. The
+    * oracle regenerates the histograms arithmetically from the
+    * pixel-field formulas — lossless PNG makes decoded counts
+    * exact — so a decode bug upstream of the similarity math goes red
+    * here where T232's stand-in could not catch it. */
+  def mmNearDupPx(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ids = Tables.spread(Tables.documents(s, d))
+      .select(col("doc_id")).filter(col("doc_id") % 7 === 0).as[Long]
+    val media = ids.mapPartitions { it =>
+      it.map(id => (id, buildAsset(id, 0)))
+    }.toDF("media_id", "payload")
+      .withColumn("meta", struct(
+        lit("image").as("media_type"), lit("png").as("format"),
+        lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height"),
+        lit(null).cast("long").as("duration_ms"),
+        concat(lit("synthetic://png/"), col("media_id")).as("source_uri")))
+    val counts = Multimodal
+      .extractFeatures(media, new graft.multimodal.Codecs.AutoCodec)
+      .filter(col("ok"))
+      .select(col("media_id"), col("features").as("cv"),
+        (array_position(col("features"), array_max(col("features"))) - 1)
+          .cast("int").as("tc"))
+      .localCheckpoint()
+    DedupOps.cappedBucketPairs(
+        counts.select(col("tc"), col("media_id")),
+        Seq("tc"), "media_id", "m1", "m2")
+      .join(counts.select(col("media_id").as("m1"), col("cv").as("ca")),
+        Seq("m1"))
+      .join(counts.select(col("media_id").as("m2"), col("cv").as("cb")),
+        Seq("m2"))
+      .select(col("m1"), col("m2"),
+        round(graft.functions.expressions.CosineSimilarity
+          .cosine_native(s, col("ca"), col("cb")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("m1").asc, col("m2").asc)
+      .limit(20)
+  }
+
   /** T248: REAL audio decode through the batched multimodal path —
     * the round-8 verdict's one "partial" was the stand-in codec; WAVE
     * PCM is the one container a zero-dependency JVM can parse for
@@ -1360,6 +1410,7 @@ object MultimodalOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_near_dup_px" -> mmNearDupPx _,
     "mm_shard_audit" -> mmShardAudit _,
     "mm_dctv_features" -> mmDctvFeatures _,
     "mm_rice_features" -> mmRiceFeatures _,
@@ -1386,6 +1437,48 @@ object MultimodalOps {
     "mm_dedup"    -> mmDedup _)
 
   val oracles: Map[String, String] = Map(
+    // the PNG pixel-field formulas regenerate the decoded r/g/b count
+    // histograms (lossless codec), then the SAME blocking + capped
+    // pairs + 6-decimal cosine as the mm_near_dup oracle
+    "mm_near_dup_px" ->
+      """WITH ids AS (SELECT doc_id,
+        |    CAST(8 + (doc_id % 3) * 4 AS INTEGER) AS w,
+        |    CAST(6 + (doc_id % 2) * 2 AS INTEGER) AS h
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |b AS (SELECT doc_id,
+        |    list_concat(list_concat(
+        |      list_transform(range(0, w * h), p ->
+        |        ((doc_id * 7 + (p % w) * 3 + (p // w) * 5) % 256) // 16),
+        |      list_transform(range(0, w * h), p ->
+        |        16 + ((doc_id * 11 + (p % w) * 2) % 256) // 32)),
+        |      list_transform(range(0, w * h), p ->
+        |        24 + ((doc_id * 13 + (p // w)) % 256) // 32)) AS cls
+        |  FROM ids),
+        |h AS (SELECT doc_id AS media_id,
+        |    list_transform(range(0, 32),
+        |      j -> len(list_filter(cls, c -> c = j))) AS counts
+        |  FROM b),
+        |t AS (SELECT media_id, counts,
+        |    list_position(counts, list_max(counts)) - 1 AS tc
+        |  FROM h),
+        |capped AS MATERIALIZED (
+        |  SELECT media_id, counts, tc FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY tc
+        |      ORDER BY media_id) AS rn FROM t) WHERE rn <= 64),
+        |p AS (
+        |  SELECT a.media_id AS m1, b.media_id AS m2,
+        |    round(list_sum(list_transform(range(1, 33),
+        |        i -> CAST(a.counts[i] AS DOUBLE)
+        |           * CAST(b.counts[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(a.counts,
+        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(b.counts,
+        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+        |      AS cos
+        |  FROM capped a JOIN capped b
+        |    ON a.tc = b.tc AND a.media_id < b.media_id)
+        |SELECT m1, m2, cos FROM p
+        |ORDER BY cos DESC, m1, m2 LIMIT 20""".stripMargin,
     // the layout replayed by the single-window restatement, then the
     // SAME bound inequality re-checked oracle-side — bound_ok is
     // computed, not pinned
