@@ -144,6 +144,56 @@ class Round11OpsSpec extends SparkFunSuite {
     assert(off == moving.length)
   }
 
+  test("Dctv: NON-flat (noise) frames survive the closed loop — " +
+    "bounded per-pixel error, correct structure, later frames stable") {
+    val (w, h) = (48, 32)
+    // deterministic noise: every pixel distinct-ish, nothing flat —
+    // the content class where a strip scattered to the wrong block
+    // could NOT hide behind block-periodic values
+    def mix(i: Long): Int = {
+      var x = i * 0x9e3779b97f4a7c15L
+      x ^= x >>> 32; x *= 0xbf58476d1ce4e5b9L; x ^= x >>> 29
+      (x & 0xff).toInt
+    }
+    val frames = (0 until 3).map { f =>
+      Array.tabulate(w * h)(p => mix(f.toLong * 100000 + p).toByte)
+    }
+    val stream = graft.multimodal.Dctv.build(w, h, frames)
+    val (pw, ph, dec) = graft.multimodal.Dctv.parse(stream).get
+    assert((pw, ph) == (w, h) && dec.length == 3)
+    // all-ones quantization means the only loss is DCT rounding: the
+    // per-pixel error of each decoded frame vs its ORIGINAL must stay
+    // tiny (a mis-scattered block would show up as ~uniform-random
+    // ~85-level mean error instead)
+    frames.zip(dec).zipWithIndex.foreach { case ((exp, got), f) =>
+      var maxErr = 0
+      var p = 0
+      while (p < exp.length) {
+        val e = math.abs((exp(p) & 0xff) - (got(p) & 0xff))
+        if (e > maxErr) maxErr = e
+        p += 1
+      }
+      assert(maxErr <= 8, s"frame $f: max pixel error $maxErr")
+    }
+    // generational drift stays bounded too: re-encoding the DECODED
+    // frames is NOT bit-idempotent (integer-rounded IDCT output
+    // re-transforms to ±1-different coefficients — real JPEG
+    // generational loss, present even with all-ones quantization),
+    // but the second generation must stay within the same tiny band
+    val second = graft.multimodal.Dctv.build(w, h, dec)
+    val dec2 = graft.multimodal.Dctv.parse(second).get._3
+    dec.zip(dec2).zipWithIndex.foreach { case ((a, b), f) =>
+      var maxErr = 0
+      var p = 0
+      while (p < a.length) {
+        val e = math.abs((a(p) & 0xff) - (b(p) & 0xff))
+        if (e > maxErr) maxErr = e
+        p += 1
+      }
+      assert(maxErr <= 8, s"generation-2 frame $f: max error $maxErr")
+    }
+  }
+
   test("Dctv: hostile headers quarantine (dimension caps, frame-count " +
     "cap, truncation, trailing garbage)") {
     val good = graft.multimodal.Dctv.build(48, 32, dctvFrames(48, 32))
