@@ -72,16 +72,27 @@ object Bench {
     * runs of the same code differ ~10-15% (the round-10 false
     * total_drift), so medians must compare same-host only. Sanitized
     * like the label (the value lands inside the JSON line). */
+  /** Host name for the fingerprint fallback, resolved ONCE: the
+    * HOSTNAME/COMPUTERNAME environment variables are free, while
+    * InetAddress.getLocalHost can block for seconds on hosts with
+    * misconfigured DNS — nondeterministic latency the timing harness
+    * exists to avoid, so the reverse lookup is the last resort and the
+    * lazy val caches whichever source answered. */
+  private lazy val hostNameForFp: String =
+    sys.env.get("HOSTNAME").orElse(sys.env.get("COMPUTERNAME"))
+      .map(_.trim).filter(_.nonEmpty)
+      .getOrElse(
+        try java.net.InetAddress.getLocalHost.getHostName
+        catch { case _: Throwable => "?" })
+
   private[graft] def hostFingerprint(cpus: Int): String = {
     // hosts without a cpuinfo model line (macOS, some ARM kernels)
     // must not all collapse to one class — fall back to
-    // os.name/arch + HOSTNAME, so two distinct model-less hosts with
+    // os.name/arch + hostname, so two distinct model-less hosts with
     // the same platform and cpu count still key separate histories
     // (hostname is per-host stable, which is all the keying needs)
     val fallback = "unknown-cpu(" + sys.props.getOrElse("os.name", "?") +
-      ":" + sys.props.getOrElse("os.arch", "?") + ":" + (
-        try java.net.InetAddress.getLocalHost.getHostName
-        catch { case _: Throwable => "?" }) + ")"
+      ":" + sys.props.getOrElse("os.arch", "?") + ":" + hostNameForFp + ")"
     val model =
       try {
         val src = scala.io.Source.fromFile("/proc/cpuinfo")
@@ -231,6 +242,15 @@ object Bench {
     val hostFp = hostFingerprint(os.getAvailableProcessors)
     val medians = priorQueryTimes(prior, sfDir, hostFp)
       .map { case (k, vs) => k -> median(vs) }
+    // the round-11 host-keyed filter drops legacy lines without a
+    // host_fp, so the first runs on a new host have NO median set and
+    // every drift/inflation check is silently inert — make the quiet
+    // period OBSERVABLE (a visible note + the n_hist_queries field)
+    // instead of letting an undetected-drift window pass as a pass
+    if (medians.isEmpty)
+      System.err.println("[bench] no same-host clean history for " +
+        s"sf=$sfDir host_fp=$hostFp — drift/inflation checks are inert " +
+        "until this run seeds BENCH_DETAIL")
     val inflated = results.filter { case (k, v) =>
       (k.startsWith("p") || k.startsWith("f")) &&
         medians.get(k).exists(m => m > 0 && v > 10 * m && v > 1.0)
@@ -292,7 +312,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"label":"$label","host_load":$load,"host_load_start":$loadStart,"steal_pct_start":$stealStart,"steal_pct_end":$stealEnd,"contaminated":$contaminated,"total_drift":$totalDrift,"common_total":$commonTotal,"common_median_total":$commonMedianTotal,"inflated_trivial":${inflated.map("\"" + _ + "\"").mkString("[", ",", "]")},"healed_total":$healedTotal,"healed_queries":$healedQs,"cpus_avail":${os.getAvailableProcessors},"host_fp":"$hostFp","ts_s":${System.currentTimeMillis / 1000},"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"label":"$label","host_load":$load,"host_load_start":$loadStart,"steal_pct_start":$stealStart,"steal_pct_end":$stealEnd,"contaminated":$contaminated,"total_drift":$totalDrift,"common_total":$commonTotal,"common_median_total":$commonMedianTotal,"inflated_trivial":${inflated.map("\"" + _ + "\"").mkString("[", ",", "]")},"healed_total":$healedTotal,"healed_queries":$healedQs,"cpus_avail":${os.getAvailableProcessors},"n_hist_queries":${medians.size},"host_fp":"$hostFp","ts_s":${System.currentTimeMillis / 1000},"queries":$qs,"sf":"$sfDir"}"""
     println(detail)
     // Durable per-query map: stdout capture windows have truncated the
     // long line (and even the per-query lines) in past rounds, so the

@@ -49,9 +49,25 @@ object FecSchemas {
     "cand_id:s", "cand_election_yr:i", "fec_election_yr:i", "cmte_id:s",
     "cmte_tp:s", "cmte_dsgn:s", "linkage_id:i")
 
-  /** webl22 — House/Senate current campaigns (main.py:105-137), same
-    * shape as weball. */
-  val webl: StructType = weball
+  /** webl22 — House/Senate current campaigns, declared from its OWN
+    * reference definition (main.py:105-137), not aliased to weball22
+    * (main.py:44-76): the two column lists coincide TODAY, but the
+    * reference declares them separately, so a reference-side divergence
+    * must surface as a schema diff here instead of being silently
+    * absorbed by a shared object (round-11 honest-limits ledger #4,
+    * closed). A registry spec asserts the declarations are independent
+    * objects whose fields happen to match. */
+  val webl: StructType = st(
+    "cand_id:s", "cand_name:s", "cand_ici:s", "pty_cd:s",
+    "cand_pty_affiliation:s", "ttl_receipts:f", "trans_from_auth:f",
+    "ttl_disb:f", "trans_to_auth:f", "coh_bop:f", "coh_cop:f",
+    "cand_contrib:f", "cand_loans:f", "other_loans:f",
+    "cand_loan_repay:f", "other_loan_repay:f", "debts_owed_by:f",
+    "ttl_indiv_contrib:f", "cand_office_st:s", "cand_office_district:s",
+    "spec_election:s", "prim_election:s", "run_election:s",
+    "gen_election:s", "gen_election_precent:f",
+    "other_pol_cmte_contrib:f", "pol_pty_contrib:f", "cvg_end_dt:s",
+    "indiv_refunds:f", "cmte_refunds:f")
 
   /** cm22 — committee master (main.py:138-155). */
   val cm: StructType = st(

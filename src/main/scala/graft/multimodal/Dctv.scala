@@ -234,6 +234,15 @@ object Dctv {
       val bitmap = java.util.Arrays.copyOfRange(payload, off.toInt,
         (off + bmLen).toInt)
       off += bmLen
+      // canonical-encoding strictness: the encoder can never set a
+      // padding bit at index >= wb*hb in the final bitmap byte, so a
+      // stream carrying one is non-canonical — reject it like trailing
+      // garbage and zero-length mismatches
+      var pad = wb * hb
+      while (pad < bmLen * 8) {
+        if ((bitmap(pad / 8) & (1 << (pad % 8))) != 0) return None
+        pad += 1
+      }
       var n = 0
       var i = 0
       while (i < wb * hb) {

@@ -2059,22 +2059,34 @@ object CoreRelational {
             .byteStringAsBytes(v.trim))
           catch { case _: Throwable => None }
       }
-    def chk(key: String, pinned: String,
-        byteValued: Boolean = false): Unit = {
+    // boolean-valued configs compare semantically too: an operator
+    // that SET "TRUE"/"True" is the same plan regime, not a drift
+    def asBool(v: String): Option[Boolean] = v.trim.toLowerCase match {
+      case "true"  => Some(true)
+      case "false" => Some(false)
+      case _       => None
+    }
+    def chk(key: String, pinned: String, byteValued: Boolean = false,
+        boolValued: Boolean = false): Unit = {
       val live = s.conf.get(key, pinned)
       val same =
         if (byteValued) (asBytes(live), asBytes(pinned)) match {
           case (Some(a), Some(b)) => a == b
           case _                  => live == pinned
         }
+        else if (boolValued) (asBool(live), asBool(pinned)) match {
+          case (Some(a), Some(b)) => a == b
+          case _                  => live == pinned
+        }
         else live == pinned
       if (!same) problems += s"$key=$live (pinned $pinned)"
     }
-    chk("spark.sql.adaptive.enabled", "true")
+    chk("spark.sql.adaptive.enabled", "true", boolValued = true)
     chk("spark.sql.autoBroadcastJoinThreshold", "10485760",
       byteValued = true)
-    chk("spark.sql.adaptive.coalescePartitions.enabled", "true")
-    chk("spark.sql.codegen.wholeStage", "true")
+    chk("spark.sql.adaptive.coalescePartitions.enabled", "true",
+      boolValued = true)
+    chk("spark.sql.codegen.wholeStage", "true", boolValued = true)
     val ps = problems.result()
     if (ps.nonEmpty) throw new IllegalStateException(
       "plan-census CONFIG MISMATCH (not a plan regression): the " +

@@ -79,6 +79,20 @@ class FecPipelineSpec extends SparkFunSuite {
     assert(indExp.count() == 3) // header skipped
   }
 
+  test("S5: webl22 is declared from its own reference definition") {
+    // the reference declares weball22 (main.py:44-76) and webl22
+    // (main.py:105-137) SEPARATELY; their column lists coincide today,
+    // but the registry must hold independent declarations so a
+    // reference-side divergence surfaces as a schema diff instead of
+    // being silently absorbed by a shared object
+    assert(!(FecSchemas.webl eq FecSchemas.weball),
+      "webl22 must not alias the weball22 StructType object")
+    assert(FecSchemas.webl == FecSchemas.weball,
+      "today the two declarations' fields coincide (per the reference)")
+    assert(FecSchemas.registry("webl22") eq FecSchemas.webl)
+    assert(FecSchemas.registry("weball22") eq FecSchemas.weball)
+  }
+
   test("master contributions22: dedup + memo exclusion + transforms") {
     val rows = contributions.collect()
     // 6 indiv (1 memo, 1 dup) + 3 oth = 9 → minus memo, minus dup = 7
