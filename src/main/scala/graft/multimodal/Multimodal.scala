@@ -16,15 +16,16 @@ import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
   * 4:2:0), and — closing the compressed-format gap in round 10 —
   * [[JpegCodec]] over the from-spec baseline-JPEG pipeline
   * ([[Jpeg]]). `FakeCodec` survives ONLY as a spec fixture (since
-  * round 11 no production catalog entry constructs it — every
-  * SparkEntry query decodes real containers); `CountCodec` remains
-  * the documented perceptual-feature stand-in inside mm_near_dup's
-  * pairwise-cosine pipeline. H.264-class motion compensation and
-  * MP3-class perceptual audio are out-of-scope TIERS (no entry
-  * pretends to decode them): the honest coverage of those families
-  * is MJPEG-in-AVI + MS-RLE8 temporal deltas (video) and
-  * μ-law/ADPCM/Rice (audio). Swapping codecs is a one-object change,
-  * and [[JpegCodec]] proves it with genuinely entropy-coded bytes.
+  * round 12 NO production catalog entry constructs any stand-in —
+  * every SparkEntry query decodes real containers; the CountCodec
+  * stand-in that backed mm_near_dup through round 11 is deleted).
+  * B-frames and MP3-class perceptual audio are out-of-scope TIERS (no
+  * entry pretends to decode them): the honest coverage of those
+  * families is MJPEG-in-AVI + MS-RLE8 temporal deltas + intra-DCT
+  * conditional replenishment and motion-compensated P-frames (video)
+  * and μ-law/ADPCM/Rice (audio). Swapping codecs is a one-object
+  * change, and [[JpegCodec]] proves it with genuinely entropy-coded
+  * bytes.
   */
 object Multimodal {
 
@@ -341,28 +342,6 @@ object Multimodal {
       }
       val total = payload.length.toFloat
       Some(hist.map(_ / total))
-    }
-  }
-
-  /** [[FakeCodec]] without the unit-L1 normalization: raw CODEPOINT-
-    * class COUNTS (exact small integers, exactly representable in
-    * float32). The near-dup operator pairs on these so its cosine is
-    * scale-invariant-identical to the normalized features' cosine
-    * while staying exact-integer replayable cross-engine — no float32
-    * division ever enters the compare. Classes are UNICODE CODEPOINTS
-    * mod dim, not raw UTF-8 bytes (round-8 ADVICE: the oracle
-    * histograms `unicode(c) % 32` per character, so a byte-based
-    * histogram silently desynchronized on any non-ASCII payload —
-    * multi-byte sequences bucket differently); decoding the payload as
-    * UTF-8 keeps engine and oracle aligned for every codepoint. */
-  final class CountCodec(val featureDim: Int = 32) extends MediaCodec {
-    def decode(payload: Array[Byte], meta: Row): Option[Array[Float]] = {
-      if (payload == null || payload.isEmpty) return None
-      val hist = new Array[Float](featureDim)
-      val it = new String(payload, java.nio.charset.StandardCharsets.UTF_8)
-        .codePoints().iterator()
-      while (it.hasNext) hist(it.nextInt() % featureDim) += 1f
-      Some(hist)
     }
   }
 

@@ -7,11 +7,10 @@ import graft.multimodal.{Avi, Multimodal}
 
 /** Multimodal catalog entries: binary payload → per-partition batched
   * feature extraction. Every production entry decodes REAL containers
-  * (the nine from-spec codecs behind [[graft.multimodal.Codecs.AutoCodec]]
-  * plus WAV/BMP/Y4M); the deterministic stand-ins in
-  * [[graft.multimodal.Multimodal]] survive only as spec fixtures and
-  * as [[mmNearDup]]'s perceptual-feature stand-in (documented
-  * there). */
+  * (the from-spec codecs behind [[graft.multimodal.Codecs.AutoCodec]]
+  * plus WAV/BMP/Y4M); since round 12 NO production entry constructs a
+  * stand-in codec — the deterministic stand-ins in
+  * [[graft.multimodal.Multimodal]] survive only as spec fixtures. */
 object MultimodalOps {
 
   /** The PRODUCTION feature-extraction pass: the full 7-format real
@@ -160,30 +159,33 @@ object MultimodalOps {
       .select("media_id", "n_bytes", "start_off", "shard_id")
   }
 
-  /** T232: PERCEPTUAL near-dup over decoded media features — the
-    * embedding-space dedup every multimodal corpus runs after
-    * [[mmDedup]]'s exact-bytes pass (re-encoded/resized assets hash
-    * differently but decode alike). Feature vectors come through the
-    * real batched-codec path ([[Multimodal.extractFeatures]],
-    * mapPartitions with one codec per partition) using the COUNT
-    * variant of the stub codec, so the pairwise cosine is exact
-    * integer arithmetic (scale-invariant ⇒ identical to the
-    * normalized features' cosine) and the whole pipeline hash-checks
-    * cross-engine. Blocking = argmax feature class (the coarse
-    * quantizer the IVF family uses), pairs via the shared capped
-    * ids-only bucket expansion; the decoded table localCheckpoints
-    * once (two pair-side consumers of a non-codegen decode stage). */
-  def mmNearDup(s: SparkSession, d: String): DataFrame = {
-    val media =
-      Multimodal.mediaFromDocuments(Tables.spread(Tables.documents(s, d)))
-    val counts = Multimodal
-      .extractFeatures(media, new Multimodal.CountCodec(32))
+  /** The ONE perceptual feature pass behind [[mmNearDup]] (T232) and
+    * [[mmNearDupPx]] (T276): decode through the real
+    * [[graft.multimodal.Codecs.AutoCodec]] (per-partition batched
+    * construction), keep ok rows, and derive the blocking key — the
+    * argmax feature class, the coarse quantizer the IVF family uses.
+    * localCheckpointed once: the pair pipeline hydrates features on
+    * BOTH sides of a non-codegen decode stage. */
+  private def perceptualCounts(media: DataFrame): DataFrame =
+    Multimodal
+      .extractFeatures(media, new graft.multimodal.Codecs.AutoCodec)
       .filter(col("ok"))
       .select(col("media_id"), col("features").as("cv"),
         (array_position(col("features"), array_max(col("features"))) - 1)
           .cast("int").as("tc"))
       .localCheckpoint()
-    DedupOps.cappedBucketPairs(
+
+  /** The ONE pair pipeline behind both perceptual near-dup rows
+    * (round-11 verdict's consolidation ask — a future threshold or
+    * capping fix lands in exactly one place): argmax-class blocking,
+    * the shared capped ids-only bucket expansion, broadcast feature
+    * hydration on both pair sides, exact-integer cosine rounded at
+    * 6dp, then EITHER the ≥ threshold cut (the dedup-gate shape) or
+    * the pure top-k ranking (the similarity-panel shape); the total
+    * (cos DESC, m1, m2) order makes the 20-row cut deterministic. */
+  private def perceptualPairs(s: SparkSession, counts: DataFrame,
+      threshold: Option[Double]): DataFrame = {
+    val scored = DedupOps.cappedBucketPairs(
         counts.select(col("tc"), col("media_id")),
         Seq("tc"), "media_id", "m1", "m2")
       .join(counts.select(col("media_id").as("m1"), col("cv").as("ca")),
@@ -193,27 +195,67 @@ object MultimodalOps {
       .select(col("m1"), col("m2"),
         round(graft.functions.expressions.CosineSimilarity
           .cosine_native(s, col("ca"), col("cb")), 6).as("cos"))
-      .filter(col("cos") >= 0.99)
+    threshold.fold(scored)(t => scored.filter(col("cos") >= t))
       .orderBy(col("cos").desc, col("m1").asc, col("m2").asc)
       .limit(20)
   }
 
+  /** T232: PERCEPTUAL near-dup over REALLY DECODED pixels — the
+    * embedding-space dedup every multimodal corpus runs after
+    * [[mmDedup]]'s exact-bytes pass (re-encoded/retouched assets hash
+    * differently but decode alike). Since round 12 the features come
+    * from a REAL codec, not the retired codepoint stand-in: every 5th
+    * doc carries a PNG through [[graft.multimodal.Codecs.AutoCodec]]
+    * (DEFLATE, scanline filters, CRC-verified chunks), and the corpus
+    * contains GENUINE near-dup pairs by construction — ids 10g and
+    * 10g+5 share one base pixel field, with the odd member's FIRST
+    * ROW red channel shifted by +16, one full histogram bin (the
+    * retouched-banner re-encode; a ±1 perturbation rounds to cosine
+    * 1.0 at 6dp, so the shift is a bin width to keep the pair
+    * HONESTLY below 1.0). The pair's 32-bin histograms differ by w
+    * counts moved between red bins, so its exact-integer cosine lands
+    * in (0.99, 1) — above the gate, visibly not identical — while
+    * cross-base pairs score by their true overlap; a decode bug
+    * upstream of the similarity math desynchronizes the counts and
+    * goes red. The oracle
+    * regenerates the histograms arithmetically from the pixel-field
+    * formulas (lossless PNG ⇒ decoded counts exact). */
+  def mmNearDup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ids = Tables.spread(Tables.documents(s, d))
+      .select(col("doc_id")).filter(col("doc_id") % 5 === 0).as[Long]
+    val media = ids.mapPartitions { it =>
+      it.map { id =>
+        val base = id / 10; val member = ((id / 5) % 2).toInt
+        val w = 16 + (base % 3).toInt * 8; val h = 16 + (base % 2).toInt * 8
+        val png = graft.multimodal.Png.build(w, h, Array.tabulate(w * h) { p =>
+          val x = p % w; val y = p / w
+          val pert = if (member == 1 && y == 0) 16 else 0
+          ((((base * 7 + x * 3 + y * 5 + pert) % 256).toInt << 16) |
+            (((base * 11 + x * 2) % 256).toInt << 8) |
+            ((base * 13 + y) % 256).toInt)
+        })
+        (id, png)
+      }
+    }.toDF("media_id", "payload")
+      .withColumn("meta", struct(
+        lit("image").as("media_type"), lit("png").as("format"),
+        lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height"),
+        lit(null).cast("long").as("duration_ms"),
+        concat(lit("synthetic://png/"), col("media_id")).as("source_uri")))
+    perceptualPairs(s, perceptualCounts(media), Some(0.99))
+  }
+
   /** T276: perceptual similarity TOP-K over REALLY DECODED pixels —
-    * the [[mmNearDup]] pipeline (argmax-class blocking, capped
-    * ids-only bucket expansion, exact-integer cosine) with the
-    * feature vectors coming from a REAL codec instead of the
-    * codepoint stand-in: the fmt-0 (PNG) slice of the intake mix
-    * decodes through [[graft.multimodal.Codecs.AutoCodec]] (DEFLATE,
-    * scanline filters, CRC-verified chunks) and the 32-bin r/g/b
-    * count histograms ARE the perceptual features. The synthetic
-    * pixel fields are all DISTINCT (no two assets are near-dups — max
-    * pairwise cosine ≈ 0.85), so the row ranks the 20 most-similar
-    * pairs instead of thresholding at a vacuous 0.99; the total
-    * (cos DESC, m1, m2) order makes the cut deterministic. The
-    * oracle regenerates the histograms arithmetically from the
-    * pixel-field formulas — lossless PNG makes decoded counts
-    * exact — so a decode bug upstream of the similarity math goes red
-    * here where T232's stand-in could not catch it. */
+    * the same decode + pair pipeline ([[perceptualCounts]] ∘
+    * [[perceptualPairs]]) in its similarity-PANEL shape: the fmt-0
+    * (PNG) slice of the intake mix has all-DISTINCT pixel fields (no
+    * two assets are near-dups — max pairwise cosine ≈ 0.85), so the
+    * row ranks the 20 most-similar pairs instead of thresholding at a
+    * vacuous 0.99. The oracle regenerates the histograms
+    * arithmetically from the pixel-field formulas — lossless PNG
+    * makes decoded counts exact. */
   def mmNearDupPx(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val ids = Tables.spread(Tables.documents(s, d))
@@ -227,25 +269,7 @@ object MultimodalOps {
         lit(null).cast("int").as("height"),
         lit(null).cast("long").as("duration_ms"),
         concat(lit("synthetic://png/"), col("media_id")).as("source_uri")))
-    val counts = Multimodal
-      .extractFeatures(media, new graft.multimodal.Codecs.AutoCodec)
-      .filter(col("ok"))
-      .select(col("media_id"), col("features").as("cv"),
-        (array_position(col("features"), array_max(col("features"))) - 1)
-          .cast("int").as("tc"))
-      .localCheckpoint()
-    DedupOps.cappedBucketPairs(
-        counts.select(col("tc"), col("media_id")),
-        Seq("tc"), "media_id", "m1", "m2")
-      .join(counts.select(col("media_id").as("m1"), col("cv").as("ca")),
-        Seq("m1"))
-      .join(counts.select(col("media_id").as("m2"), col("cv").as("cb")),
-        Seq("m2"))
-      .select(col("m1"), col("m2"),
-        round(graft.functions.expressions.CosineSimilarity
-          .cosine_native(s, col("ca"), col("cb")), 6).as("cos"))
-      .orderBy(col("cos").desc, col("m1").asc, col("m2").asc)
-      .limit(20)
+    perceptualPairs(s, perceptualCounts(media), None)
   }
 
   /** T248: REAL audio decode through the batched multimodal path —
@@ -2157,17 +2181,30 @@ object MultimodalOps {
         |  round(sqrt(CAST(sum_sq AS DOUBLE) / CAST(n_samples AS DOUBLE)),
         |    6) AS rms
         |FROM feats ORDER BY rms DESC, doc_id ASC LIMIT 20""".stripMargin,
-    // byte-class COUNT histogram rebuilt from the utf-8 payload (ASCII
-    // corpus: bytes == codepoints), argmax block, the 64-cap replay,
-    // exact-integer cosine — every value identical by construction
+    // the paired-PNG pixel-field formulas regenerate the decoded r/g/b
+    // count histograms (lossless codec; the odd member's first-row +16
+    // red shift applied INSIDE the mod exactly like the builder), then
+    // the SAME blocking + capped pairs + 6-decimal cosine and the 0.99
+    // near-dup gate
     "mm_near_dup" ->
-      """WITH b AS (
-        |  SELECT doc_id AS media_id,
-        |    list_transform(string_split(text, ''), c -> unicode(c) % 32)
-        |      AS cls
-        |  FROM documents),
-        |h AS (
-        |  SELECT media_id,
+      """WITH ids AS (SELECT doc_id,
+        |    doc_id // 10 AS base,
+        |    (doc_id // 5) % 2 AS member,
+        |    CAST(16 + ((doc_id // 10) % 3) * 8 AS INTEGER) AS w,
+        |    CAST(16 + ((doc_id // 10) % 2) * 8 AS INTEGER) AS h
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |b AS (SELECT doc_id,
+        |    list_concat(list_concat(
+        |      list_transform(range(0, w * h), p ->
+        |        ((base * 7 + (p % w) * 3 + (p // w) * 5
+        |          + CASE WHEN member = 1 AND p < w THEN 16 ELSE 0 END)
+        |          % 256) // 16),
+        |      list_transform(range(0, w * h), p ->
+        |        16 + ((base * 11 + (p % w) * 2) % 256) // 32)),
+        |      list_transform(range(0, w * h), p ->
+        |        24 + ((base * 13 + (p // w)) % 256) // 32)) AS cls
+        |  FROM ids),
+        |h AS (SELECT doc_id AS media_id,
         |    list_transform(range(0, 32),
         |      j -> len(list_filter(cls, c -> c = j))) AS counts
         |  FROM b),

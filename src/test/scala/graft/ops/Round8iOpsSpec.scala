@@ -45,17 +45,27 @@ class Round8iOpsSpec extends SparkFunSuite {
       ("view", 1L, "2024-01-01 00:10:00.000000", 30L)))
   }
 
-  test("mm_near_dup: identical payloads pair at cosine 1.0") {
+  test("mm_near_dup: the single-pixel-perturbed PNG pair decodes to a " +
+    "near-1-but-not-1 cosine and passes the 0.99 gate") {
     val d = Files.createTempDirectory("mmnd").toString
-    // docs 1,2 are byte-identical ('aa' -> count vector 2*e1, argmax
-    // class 1); doc 3 ('zz' -> 2*e26) blocks alone -> single pair
-    Seq((1L, "aa", "en", "s", 2L), (2L, "aa", "en", "s", 2L),
-      (3L, "zz", "en", "s", 2L))
+    // ids 10 and 15 share base 1 (the constructed near-dup pair: 15's
+    // first-row red is shifted one full bin); id 40 is base 4 with no
+    // partner — the corpus-construction contract the production row
+    // relies on
+    Seq((10L, "x", "en", "s", 1L), (15L, "x", "en", "s", 1L),
+      (40L, "x", "en", "s", 1L), (3L, "skipped", "en", "s", 7L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.parquet(s"$d/documents.parquet")
     val got = MultimodalOps.mmNearDup(spark, d).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-    assert(got.toSeq == Seq((1L, 2L, 1.0)))
+    val pair = got.find(p => p._1 == 10L && p._2 == 15L)
+    assert(pair.isDefined, s"constructed near-dup pair missing: ${got.toSeq}")
+    // strictly below 1.0 proves the decoded perturbation reached the
+    // histogram (a stand-in or a dropped perturbation would give 1.0);
+    // above the gate proves it still reads as a near-dup
+    assert(pair.get._3 >= 0.99 && pair.get._3 < 1.0,
+      s"pair cosine ${pair.get._3} outside the near-dup band")
+    assert(got.forall(_._3 >= 0.99), "the 0.99 gate leaked")
   }
 
   test("dq_referential: one orphan per foreign key") {
