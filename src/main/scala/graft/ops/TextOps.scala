@@ -1301,6 +1301,110 @@ object TextOps {
     mojibakePanel(Tables.spread(Tables.documents(s, d))
       .select(col("source"), col("text")))
 
+  /** The CP1252 inverse table behind [[mojibakeRepair]] — the 27
+    * codepoints Windows-1252 places at bytes 0x80-0x9F (€‚ƒ„…†‡ˆ‰Š‹Œ
+    * Ž''""•–—˜™š›œžŸ); everything else maps "sloppily": U+0080-U+00BF
+    * pass through as their Latin-1 byte (ftfy's sloppy-windows-1252
+    * posture — an undefined CP1252 byte decodes to its C1 codepoint,
+    * so the inverse must accept it back), anything else is
+    * unmappable (0). */
+  private val cp1252Inverse: Map[Int, Int] = Map(
+    0x20AC -> 0x80, 0x201A -> 0x82, 0x0192 -> 0x83, 0x201E -> 0x84,
+    0x2026 -> 0x85, 0x2020 -> 0x86, 0x2021 -> 0x87, 0x02C6 -> 0x88,
+    0x2030 -> 0x89, 0x0160 -> 0x8A, 0x2039 -> 0x8B, 0x0152 -> 0x8C,
+    0x017D -> 0x8E, 0x2018 -> 0x91, 0x2019 -> 0x92, 0x201C -> 0x93,
+    0x201D -> 0x94, 0x2022 -> 0x95, 0x2013 -> 0x96, 0x2014 -> 0x97,
+    0x02DC -> 0x98, 0x2122 -> 0x99, 0x0161 -> 0x9A, 0x203A -> 0x9B,
+    0x0153 -> 0x9C, 0x017E -> 0x9E, 0x0178 -> 0x9F)
+
+  private def sloppyByte(c: Int): Int =
+    cp1252Inverse.getOrElse(c, if (c >= 0x80 && c <= 0xBF) c else 0)
+
+  /** The REPAIR step complementing [[mojibakePanel]]'s detection — the
+    * ftfy fix for exactly the detector's classes, one deterministic
+    * left-to-right pass:
+    *  - `Ã` + [U+0080-U+00BF]: the 2-byte double-UTF8 class — the pair
+    *    IS the UTF-8 encoding (0xC3, b) read as Latin-1, so the repair
+    *    re-decodes it: emit U+00C0 + (b - 0x80) (é from "Ã©");
+    *  - `â€` + c where c's sloppy-CP1252 byte b3 ∈ [0x80, 0xBF]: the
+    *    3-byte class — (0xE2, 0x80, b3) read as CP1252, re-decoded to
+    *    U+2000 + (b3 - 0x80) ('’' from "â€™");
+    *  - stray C1 (U+0080-U+009F) and C0-except-TAB/LF/CR controls are
+    *    STRIPPED (binary bleed has no textual reading);
+    *  - everything else — including U+FFFD, which records an upstream
+    *    decoder's loss and is NOT repairable, and `â€` sequences whose
+    *    third character maps outside a UTF-8 continuation byte —
+    *    passes through byte-identical, so clean text round-trips
+    *    unchanged and honest damage stays visible to the detector.
+    * Scope is deliberately the detector's own two double-UTF8 classes
+    * (the two highest-frequency mojibake shapes), not a generic
+    * any-prefix resurrection: a wider rule (e.g. every U+00C2-U+00DF
+    * lead) starts rewriting legitimate text ("Ö£") without ftfy's
+    * badness heuristics, which is worse than leaving it flagged. */
+  private[ops] def mojibakeRepair(t: String): String = {
+    val sb = new java.lang.StringBuilder(t.length)
+    var i = 0
+    while (i < t.length) {
+      val c = t.charAt(i).toInt
+      if (c == 0xC3 && i + 1 < t.length &&
+          t.charAt(i + 1) >= 0x80 && t.charAt(i + 1) <= 0xBF) {
+        sb.append((t.charAt(i + 1) + 0x40).toChar); i += 2
+      } else if (c == 0xE2 && i + 2 < t.length &&
+          t.charAt(i + 1).toInt == 0x20AC &&
+          sloppyByte(t.charAt(i + 2).toInt) >= 0x80) {
+        sb.append((0x2000 + sloppyByte(t.charAt(i + 2).toInt) - 0x80).toChar)
+        i += 3
+      } else if ((c >= 0x80 && c <= 0x9F) || (c >= 0x01 && c <= 0x08) ||
+          c == 0x0B || c == 0x0C || (c >= 0x0E && c <= 0x1F)) {
+        i += 1 // stripped: stray C1 / C0-except-TAB-LF-CR
+      } else { sb.append(t.charAt(i)); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** The transformative companion row to T274 (the dedup_substr_clean
+    * pattern): run [[mojibakeRepair]] over the corpus and hash-check
+    * the per-source repair ledger — docs changed, characters removed,
+    * and the four detector counts RE-RUN ON THE REPAIRED TEXT (zeros
+    * for the repairable classes must be computed by both engines
+    * applying the same repair, never pinned; U+FFFD survives repair by
+    * design and its post count says so). The oracle replays the whole
+    * repair character-by-character in SQL — the greedy scan decomposes
+    * into independent per-position classification because no repair's
+    * leading character can ever be consumed by another repair (starts
+    * are Ã/â, consumed positions are continuation-class). One
+    * mapPartitions scan (the repair needs 2-char lookahead, beyond a
+    * codegen'd regex), detectors stay codegen'd column expressions,
+    * one map-side-combinable aggregate. */
+  def textMojibakeFix(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.spread(Tables.documents(s, d))
+      .select(col("source"), col("text")).as[(String, String)]
+    val fixed = docs.mapPartitions { it =>
+      it.map { case (src, t) => (src, t, mojibakeRepair(t)) }
+    }.toDF("source", "text", "fixed")
+    fixed.select(col("source"),
+        (col("text") =!= col("fixed")).cast("long").as("changed"),
+        (length(col("text")) - length(col("fixed"))).cast("long")
+          .as("removed"),
+        regexp_count(col("fixed"), lit("\uFFFD")).as("repl"),
+        regexp_count(col("fixed"), lit("[\u0080-\u009F]")).as("c1"),
+        regexp_count(col("fixed"),
+          lit("\u00C3[\u0080-\u00BF]|\u00E2\u20AC")).as("dbl"),
+        regexp_count(col("fixed"),
+          lit("[\u0001-\u0008\u000B\u000C\u000E-\u001F]"))
+          .as("ctrl"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("changed")).as("n_changed"),
+        sum(col("removed")).as("chars_removed"),
+        sum(col("repl")).cast("long").as("post_replacement"),
+        sum(col("c1")).cast("long").as("post_c1"),
+        sum(col("dbl")).cast("long").as("post_double_utf8"),
+        sum(col("ctrl")).cast("long").as("post_controls"))
+      .orderBy(col("source"))
+  }
+
   /** T239: HAPAX LEGOMENA rate per source — the fraction of each
     * source's vocabulary seen exactly once, the classic lexical-health
     * probe (a scrape gone wrong shows up as a hapax spike — OCR
@@ -1409,6 +1513,7 @@ object TextOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_mojibake_fix"   -> textMojibakeFix _,
     "text_mojibake"       -> textMojibake _,
     "text_compress"       -> textCompress _,
     "text_hapax"          -> textHapax _,
@@ -1501,7 +1606,75 @@ object TextOps {
         |    c -> c != '')) AS chunk
         |  FROM cx)""".stripMargin
 
+  /** The sloppy-CP1252 inverse byte as inline SQL (the [[sloppyByte]]
+    * table restated as a searched CASE over codepoint `x`): the 27
+    * Windows-1252 specials, then the Latin-1/C1 passthrough band,
+    * else 0 (unmappable). Generated, because the repair oracle needs
+    * it inlined at three positions. */
+  private def sqlSloppyByte(x: String): String = {
+    val whens = cp1252Inverse.toSeq.sorted
+      .map { case (c, b) => s"WHEN $x = $c THEN $b" }.mkString(" ")
+    s"(CASE $whens WHEN $x BETWEEN 128 AND 191 THEN $x ELSE 0 END)"
+  }
+
   val oracles: Map[String, String] = Map(
+    // the full repair REPLAYED character-by-character in SQL: the
+    // greedy scan decomposes into independent per-position
+    // classification (no repair's lead char is ever consumable by
+    // another repair), then the T274 detectors re-run on the repaired
+    // text — zeros computed, never pinned
+    "text_mojibake_fix" -> {
+      val bSelf = sqlSloppyByte("cp[i]")
+      val bNext = sqlSloppyByte("cp[i+1]")
+      val bThird = sqlSloppyByte("cp[i+2]")
+      s"""WITH cps AS (
+        |  SELECT source, text,
+        |    list_transform(string_split(text, ''), c -> unicode(c)) AS cp,
+        |    string_split(text, '') AS cs
+        |  FROM documents),
+        |fix AS (
+        |  SELECT source, text,
+        |    array_to_string(list_transform(range(1, len(cp) + 1), i ->
+        |      CASE
+        |        WHEN i >= 2 AND cp[i-1] = 195
+        |          AND cp[i] BETWEEN 128 AND 191 THEN ''
+        |        WHEN i >= 2 AND cp[i-1] = 226 AND cp[i] = 8364
+        |          AND $bNext >= 128 THEN ''
+        |        WHEN i >= 3 AND cp[i-2] = 226 AND cp[i-1] = 8364
+        |          AND $bSelf >= 128 THEN ''
+        |        WHEN cp[i] = 195
+        |          AND COALESCE(cp[i+1], 0) BETWEEN 128 AND 191
+        |          THEN chr(CAST(cp[i+1] + 64 AS INTEGER))
+        |        WHEN cp[i] = 226 AND COALESCE(cp[i+1], 0) = 8364
+        |          AND $bThird >= 128
+        |          THEN chr(CAST(8064 + $bThird AS INTEGER))
+        |        WHEN cp[i] BETWEEN 128 AND 159 THEN ''
+        |        WHEN cp[i] BETWEEN 1 AND 8 OR cp[i] IN (11, 12)
+        |          OR cp[i] BETWEEN 14 AND 31 THEN ''
+        |        ELSE cs[i] END), '') AS fixed
+        |  FROM cps),
+        |m AS (
+        |  SELECT source,
+        |    CASE WHEN fixed <> text THEN 1 ELSE 0 END AS changed,
+        |    length(text) - length(fixed) AS removed,
+        |    len(regexp_extract_all(fixed, '\\x{FFFD}')) AS repl,
+        |    len(regexp_extract_all(fixed,
+        |      '[\\x{0080}-\\x{009F}]')) AS c1,
+        |    len(regexp_extract_all(fixed,
+        |      '\\x{00C3}[\\x{0080}-\\x{00BF}]|\\x{00E2}\\x{20AC}')) AS dbl,
+        |    len(regexp_extract_all(fixed,
+        |      '[\\x{0001}-\\x{0008}\\x{000B}\\x{000C}\\x{000E}-\\x{001F}]'))
+        |      AS ctrl
+        |  FROM fix)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(changed) AS BIGINT) AS n_changed,
+        |  CAST(SUM(removed) AS BIGINT) AS chars_removed,
+        |  CAST(SUM(repl) AS BIGINT) AS post_replacement,
+        |  CAST(SUM(c1) AS BIGINT) AS post_c1,
+        |  CAST(SUM(dbl) AS BIGINT) AS post_double_utf8,
+        |  CAST(SUM(ctrl) AS BIGINT) AS post_controls
+        |FROM m GROUP BY source ORDER BY source""".stripMargin
+    },
     // both engines RUN the same four detectors (RE2 \\x{...} ranges =
     // the Java \\uXXXX classes on BMP points); the clean corpus yields
     // computed zeros, the spec injects mojibake fixtures
