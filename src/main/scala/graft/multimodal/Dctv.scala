@@ -8,11 +8,11 @@ package graft.multimodal
   * blocks are SKIPPED per frame exactly like [[Rle8]]'s delta
   * escapes, so a static background costs one keyframe. Conditional
   * replenishment is the textbook pre-motion-compensation design
-  * (H.261's ancestor: transmit only the blocks that changed); what
-  * this deliberately does NOT implement — and documents as the
-  * remaining honest gap — is motion-compensated prediction (block
-  * displacement search + residual coding) and bidirectional frames,
-  * the H.264-class mechanisms.
+  * (H.261's ancestor: transmit only the blocks that changed); the
+  * motion-compensated tier above it — block displacement search,
+  * vectors + DCT residuals on the wire — is [[Mcv]] (round 12),
+  * leaving bidirectional frames and sub-pixel motion as the
+  * remaining documented gap.
   *
   * Wire format (little-endian):
   *  - magic `DCTV`, u16 width, u16 height, u16 n_frames;
@@ -59,14 +59,14 @@ object Dctv {
     * per row (strip width ≤ 1024), wrapping into further 16-pixel MCU
     * rows — a near-full-frame replenishment of a MaxDim video packs
     * into a tall strip instead of blowing the JPEG width cap. */
-  private def stripDims(n: Int): (Int, Int, Int) = {
+  private[multimodal] def stripDims(n: Int): (Int, Int, Int) = {
     val m = (n + 3) / 4
     val cols = math.min(m, 64)
     val rows = (m + cols - 1) / cols
     (16 * cols, 16 * rows, cols)
   }
 
-  private def blockPos(i: Int, cols: Int, w: Int): Int = {
+  private[multimodal] def blockPos(i: Int, cols: Int, w: Int): Int = {
     val mcu = i / 4
     val ox = (mcu % cols) * 16 + (i % 2) * 8
     val oy = (mcu / cols) * 16 + ((i % 4) / 2) * 8
@@ -75,7 +75,7 @@ object Dctv {
 
   /** Pack n 8x8 luma blocks into a 4:2:0 JPEG strip (unused slots and
     * chroma flat at 128). */
-  private def encodeStrip(blocks: Array[Array[Byte]]): Array[Byte] = {
+  private[multimodal] def encodeStrip(blocks: Array[Array[Byte]]): Array[Byte] = {
     val (w, h, cols) = stripDims(blocks.length)
     val y = Array.fill[Byte](w * h)(128.toByte)
     var i = 0
@@ -94,7 +94,7 @@ object Dctv {
 
   /** Unpack the first n blocks of a strip; None if the strip is not a
     * valid JPEG of exactly the geometry the encoder emits for n. */
-  private def decodeStrip(strip: Array[Byte],
+  private[multimodal] def decodeStrip(strip: Array[Byte],
       n: Int): Option[Array[Array[Byte]]] = {
     val (ew, eh, cols) = stripDims(n)
     Jpeg.parse(strip) match {
@@ -115,7 +115,7 @@ object Dctv {
     }
   }
 
-  private def grabBlock(plane: Array[Byte], w: Int, bx: Int,
+  private[multimodal] def grabBlock(plane: Array[Byte], w: Int, bx: Int,
       by: Int): Array[Byte] = {
     val blk = new Array[Byte](64)
     var r = 0
@@ -126,7 +126,7 @@ object Dctv {
     blk
   }
 
-  private def putBlock(plane: Array[Byte], w: Int, bx: Int, by: Int,
+  private[multimodal] def putBlock(plane: Array[Byte], w: Int, bx: Int, by: Int,
       blk: Array[Byte]): Unit = {
     var r = 0
     while (r < 8) {

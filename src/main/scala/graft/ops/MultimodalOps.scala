@@ -1320,9 +1320,71 @@ object MultimodalOps {
     * than the I-frame (the conditional-replenishment gain itself).
     * Flat blocks survive [[graft.multimodal.Jpeg]]'s all-ones
     * quantization bit-exactly, so everything else replays
-    * arithmetically. What this tier still does NOT cover — honest
-    * ledger — is motion-compensated prediction and B-frames
-    * (H.264-class). */
+    * arithmetically. The motion-compensated tier above this one is
+    * [[mmMcFeatures]] ([[graft.multimodal.Mcv]], round 12); B-frames
+    * remain the honest ledger's residue. */
+  /** MOTION-COMPENSATED video through the real closed-loop codec —
+    * the tier the round-11 verdict named as the last honest video gap
+    * ([[graft.multimodal.Mcv]]: per 8x8 block a bounded ±4 px
+    * exhaustive displacement search over the DECODED reference,
+    * (dx, dy) on the wire, DCT-coded residuals and intra fallback
+    * through the shared [[graft.multimodal.Jpeg]] strip machinery).
+    * Per doc: three frames of an infinite block-constant field
+    * translating +4 px/frame — cell(i, j) with the two leftmost
+    * column cells EQUAL (max(i, 1)), which makes every block of every
+    * P-frame exactly predictable: interior blocks at vector (−4, 0),
+    * the left column at (0, 0) (the revealed strip equals the shared
+    * edge cell), so the whole stream is motion vectors with ZERO
+    * residuals and ZERO intra fallbacks — fully lossless, and every
+    * decoded mass replays arithmetically. The mode census comes from
+    * the PARSED stream (a census bug or a mis-routed vector shifts a
+    * count or a mass and goes red); `mc_beats_cr` pins the tier's
+    * reason to exist — [[graft.multimodal.Dctv]]'s conditional
+    * replenishment must re-send every straddling block of the SAME
+    * translating frames as DCT strips, so the MC stream is strictly
+    * smaller (computed engine-side; a byte count is not
+    * SQL-replayable — the plan-census pinning idiom). B-frames and
+    * sub-pixel motion remain the documented out-of-scope residue. */
+  def mmMcFeatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ids = Tables.spread(Tables.documents(s, d))
+      .select(col("doc_id")).as[Long]
+    val feats = ids.mapPartitions { it =>
+      it.map { id =>
+        val w = 48 + (id % 2).toInt * 16; val h = 32
+        val wb = w / 8; val hb = h / 8
+        def cell(i: Int, j: Int): Int =
+          ((id * 7 + math.max(i, 1) * 13 + j * 31) % 256).toInt
+        val frames = (0 until 3).map { f =>
+          Array.tabulate(w * h) { p =>
+            val x = p % w; val y = p / w
+            cell((x - 4 * f + 8) / 8, y / 8).toByte
+          }
+        }
+        val stream = graft.multimodal.Mcv.build(w, h, frames)
+        val (pw, ph, dec, census) = graft.multimodal.Mcv.parse(stream)
+          .getOrElse(throw new IllegalStateException(
+            s"mcv round-trip failed for doc $id"))
+        val masses = dec.map { fr =>
+          var m = 0L; var p = 0
+          while (p < fr.length) { m += fr(p) & 0xff; p += 1 }
+          m
+        }
+        val cr = graft.multimodal.Dctv.build(w, h, frames)
+        (id, pw, ph, (wb * hb).toLong,
+          census.map(_.zeroVectors).sum.toLong,
+          census.map(c => c.mvBlocks - c.zeroVectors).sum.toLong,
+          census.map(_.intraBlocks).sum.toLong,
+          census.map(_.residBlocks).sum.toLong,
+          masses(0), masses(1), masses(2),
+          stream.length < cr.length)
+      }
+    }.toDF("doc_id", "width", "height", "n_blocks", "n_mv_static",
+      "n_mv_moving", "n_intra_p", "n_resid", "mass_f0", "mass_f1",
+      "mass_f2", "mc_beats_cr")
+    feats.orderBy(col("doc_id")).limit(20)
+  }
+
   def mmDctvFeatures(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val ids = Tables.spread(Tables.documents(s, d))
@@ -1434,6 +1496,7 @@ object MultimodalOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_mc_features" -> mmMcFeatures _,
     "mm_near_dup_px" -> mmNearDupPx _,
     "mm_shard_audit" -> mmShardAudit _,
     "mm_dctv_features" -> mmDctvFeatures _,
@@ -1461,6 +1524,43 @@ object MultimodalOps {
     "mm_dedup"    -> mmDedup _)
 
   val oracles: Map[String, String] = Map(
+    // the translating field is fully lossless through the MC codec
+    // (every P-block exactly predicted), so decoded masses regenerate
+    // arithmetically; the mode census follows from the corpus
+    // geometry (left column static, interior at (-4,0)); the one
+    // compression fact pins as TRUE — a Huffman byte count is not
+    // SQL-replayable (the plan-census pinning idiom)
+    "mm_mc_features" ->
+      """WITH ids AS (SELECT doc_id,
+        |    CAST(48 + (doc_id % 2) * 16 AS INTEGER) AS w,
+        |    CAST(32 AS INTEGER) AS h
+        |  FROM documents ORDER BY doc_id LIMIT 20),
+        |g AS (SELECT doc_id, w, h, w // 8 AS wb, h // 8 AS hb FROM ids),
+        |fx AS (SELECT doc_id, w, h, wb, hb, CAST(tf.f AS BIGINT) AS f
+        |  FROM g, UNNEST(range(0, 3)) AS tf(f)),
+        |px AS (SELECT doc_id, w, h, wb, hb, f,
+        |    (doc_id * 7
+        |      + greatest((CAST(t.p AS BIGINT) % w - 4 * f + 8) // 8, 1)
+        |        * 13
+        |      + ((CAST(t.p AS BIGINT) // w) // 8) * 31) % 256 AS v
+        |  FROM fx, UNNEST(range(0, w * h)) AS t(p)),
+        |m AS (SELECT doc_id, w, h, wb, hb,
+        |    CAST(SUM(CASE WHEN f = 0 THEN v ELSE 0 END) AS BIGINT)
+        |      AS mass_f0,
+        |    CAST(SUM(CASE WHEN f = 1 THEN v ELSE 0 END) AS BIGINT)
+        |      AS mass_f1,
+        |    CAST(SUM(CASE WHEN f = 2 THEN v ELSE 0 END) AS BIGINT)
+        |      AS mass_f2
+        |  FROM px GROUP BY doc_id, w, h, wb, hb)
+        |SELECT doc_id, w AS width, h AS height,
+        |  CAST(wb * hb AS BIGINT) AS n_blocks,
+        |  CAST(2 * hb AS BIGINT) AS n_mv_static,
+        |  CAST(2 * (wb - 1) * hb AS BIGINT) AS n_mv_moving,
+        |  CAST(0 AS BIGINT) AS n_intra_p,
+        |  CAST(0 AS BIGINT) AS n_resid,
+        |  mass_f0, mass_f1, mass_f2,
+        |  TRUE AS mc_beats_cr
+        |FROM m ORDER BY doc_id""".stripMargin,
     // the PNG pixel-field formulas regenerate the decoded r/g/b count
     // histograms (lossless codec), then the SAME blocking + capped
     // pairs + 6-decimal cosine as the mm_near_dup oracle

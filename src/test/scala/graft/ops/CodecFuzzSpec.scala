@@ -90,6 +90,16 @@ class CodecFuzzSpec extends SparkFunSuite {
       }
     }
     sweep("dctv", Dctv.build(48, 32, dv), b => Dctv.parse(b))
+    // motion-compensated video: a corrupted bitmap, motion byte
+    // (nibble/bounds), strip length, or strip payload must
+    // quarantine, never crash
+    val mv = (0 until 3).map { f =>
+      Array.tabulate(48 * 32) { p =>
+        val x = p % 48; val y = p / 48
+        ((math.max((x - 4 * f + 8) / 8, 1) * 13 + (y / 8) * 31) % 256).toByte
+      }
+    }
+    sweep("mcv", Mcv.build(48, 32, mv), b => Mcv.parse(b))
   }
 
   test("Rle8.decode survives seeded corruption of key and delta chunks") {

@@ -93,6 +93,140 @@ class Round12OpsSpec extends SparkFunSuite {
       b.getAs[Long]("post_c1") == 0 && b.getAs[Long]("post_controls") == 0)
   }
 
+  // ---- motion-compensated video -------------------------------------
+
+  /** The mm_mc_features corpus class: an infinite block-constant field
+    * translating +4 px/frame, leftmost two column cells equal. */
+  private def mcFrames(id: Long, w: Int, h: Int): Seq[Array[Byte]] = {
+    def cell(i: Int, j: Int): Int =
+      ((id * 7 + math.max(i, 1) * 13 + j * 31) % 256).toInt
+    (0 until 3).map { f =>
+      Array.tabulate(w * h) { p =>
+        cell((p % w - 4 * f + 8) / 8, (p / w) / 8).toByte
+      }
+    }
+  }
+
+  test("Mcv: a translating scene is FULLY lossless through pure motion " +
+    "compensation — zero residuals, zero intra, and the MC stream " +
+    "beats conditional replenishment") {
+    val (w, h) = (48, 32)
+    val frames = mcFrames(5L, w, h)
+    val stream = graft.multimodal.Mcv.build(w, h, frames)
+    val (pw, ph, dec, census) = graft.multimodal.Mcv.parse(stream).get
+    assert((pw, ph) == (w, h) && dec.length == 3)
+    frames.zip(dec).zipWithIndex.foreach { case ((exp, got), f) =>
+      assert(java.util.Arrays.equals(exp, got),
+        s"frame $f diverged — MC prediction must be exact here")
+    }
+    val wb = w / 8; val hb = h / 8
+    census.foreach { c =>
+      assert(c.intraBlocks == 0 && c.residBlocks == 0,
+        "the translating corpus needs no intra/residual blocks")
+      assert(c.zeroVectors == hb, "the left column rides (0,0)")
+      assert(c.mvBlocks == wb * hb)
+    }
+    // the tier's reason to exist: CR re-sends every straddling block
+    // as a DCT strip; MC sends one byte per block
+    val cr = graft.multimodal.Dctv.build(w, h, frames)
+    assert(stream.length < cr.length,
+      s"MC (${stream.length} B) must beat CR (${cr.length} B) on a " +
+        "translating scene")
+  }
+
+  test("Mcv: a scene cut falls back to intra coding (no displacement " +
+    "explains the new content)") {
+    val (w, h) = (48, 32)
+    val f0 = Array.tabulate(w * h)(p =>
+      ((((p % w) / 8) * 13 + ((p / w) / 8) * 31) % 100).toByte)
+    val cut = Array.tabulate(w * h)(p => (200 + ((p % w) / 8)).toByte)
+    val stream = graft.multimodal.Mcv.build(w, h, Seq(f0, cut))
+    val (_, _, dec, census) = graft.multimodal.Mcv.parse(stream).get
+    assert(census.head.intraBlocks == (w / 8) * (h / 8),
+      "every block of the cut frame must code intra")
+    // flat blocks ride the all-ones-quantization JPEG exactly
+    assert(java.util.Arrays.equals(dec(1), cut))
+  }
+
+  test("Mcv: near-predictable noise rides the residual path with " +
+    "bounded loss and bounded generational drift") {
+    val (w, h) = (48, 32)
+    def mix(i: Long): Int = {
+      var x = i * 0x9e3779b97f4a7c15L
+      x ^= x >>> 32; x *= 0xbf58476d1ce4e5b9L; x ^= x >>> 29
+      (x & 0xff).toInt
+    }
+    val f0 = Array.tabulate(w * h)(p => (64 + mix(p.toLong) % 128).toByte)
+    // frame 1 = frame 0 + a small per-pixel wiggle (±7): best SAD is
+    // small but nonzero -> MC + residual, never intra
+    val f1 = Array.tabulate(w * h) { p =>
+      ((f0(p) & 0xff) + (mix(p.toLong + 999) % 15) - 7).toByte
+    }
+    val stream = graft.multimodal.Mcv.build(w, h, Seq(f0, f1))
+    val (_, _, dec, census) = graft.multimodal.Mcv.parse(stream).get
+    assert(census.head.intraBlocks == 0, "wiggle must not trip intra")
+    assert(census.head.residBlocks > 0, "wiggle must need residuals")
+    var maxErr = 0
+    var p = 0
+    while (p < f1.length) {
+      val e = math.abs((f1(p) & 0xff) - (dec(1)(p) & 0xff))
+      if (e > maxErr) maxErr = e
+      p += 1
+    }
+    assert(maxErr <= 10, s"residual reconstruction error $maxErr")
+    // closed loop: re-encoding the DECODED frames stays in band
+    val second = graft.multimodal.Mcv.build(w, h, dec)
+    val dec2 = graft.multimodal.Mcv.parse(second).get._3
+    var drift = 0
+    p = 0
+    while (p < dec(1).length) {
+      val e = math.abs((dec(1)(p) & 0xff) - (dec2(1)(p) & 0xff))
+      if (e > drift) drift = e
+      p += 1
+    }
+    assert(drift <= 10, s"generation-2 drift $drift")
+  }
+
+  test("Mcv: hostile streams fail closed — padding bits, conflicting " +
+    "mode bits, bad nibbles, out-of-bounds vectors, truncation, " +
+    "trailing garbage") {
+    // 48x48 -> 36 blocks -> bmLen 5, so padding bits exist at 36..39
+    val (pw, ph) = (48, 48)
+    val good = graft.multimodal.Mcv.build(pw, ph, mcFrames(3L, pw, ph))
+    assert(graft.multimodal.Mcv.parse(good).isDefined)
+    def u32(b: Array[Byte], o: Int): Long =
+      ((b(o) & 0xffL)) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    val bmLen = ((pw / 8) * (ph / 8) + 7) / 8
+    val intraOff = (14L + u32(good, 10)).toInt // first P-frame bitmaps
+    // padding bit in the INTRA bitmap
+    val padI = good.clone()
+    padI(intraOff + bmLen - 1) = (padI(intraOff + bmLen - 1) | 0x80).toByte
+    assert(graft.multimodal.Mcv.parse(padI).isEmpty)
+    // padding bit in the RESIDUAL bitmap
+    val padR = good.clone()
+    padR(intraOff + 2 * bmLen - 1) =
+      (padR(intraOff + 2 * bmLen - 1) | 0x80).toByte
+    assert(graft.multimodal.Mcv.parse(padR).isEmpty)
+    // intra AND residual on the same block is non-canonical
+    val conflict = good.clone()
+    conflict(intraOff) = (conflict(intraOff) | 1).toByte
+    conflict(intraOff + bmLen) = (conflict(intraOff + bmLen) | 1).toByte
+    assert(graft.multimodal.Mcv.parse(conflict).isEmpty)
+    // a motion nibble above 8 is invalid
+    val badNibble = good.clone()
+    badNibble(intraOff + 2 * bmLen) = 0xFF.toByte
+    assert(graft.multimodal.Mcv.parse(badNibble).isEmpty)
+    // block 0 with dx = -4 points outside the frame
+    val oob = good.clone()
+    oob(intraOff + 2 * bmLen) = 0x40.toByte // dy=0 (4<<4), dx=-4 (0)
+    assert(graft.multimodal.Mcv.parse(oob).isEmpty)
+    assert(graft.multimodal.Mcv.parse(good.take(good.length / 2)).isEmpty)
+    assert(graft.multimodal.Mcv
+      .parse(good ++ Array[Byte](0)).isEmpty)
+    assert(graft.multimodal.Mcv.parse(null).isEmpty)
+  }
+
   test("plan census: boolean-valued configs compare semantically " +
     "('TRUE'/'True' is the same plan regime, not a drift)") {
     val s2 = spark.newSession()
