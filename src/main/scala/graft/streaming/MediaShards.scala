@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 
 /** WebDataset-style INCREMENTAL tar-shard writer — the production
   * write pattern behind mm_tar_shards (T262) run under Structured
@@ -15,12 +16,33 @@ import org.apache.spark.sql.functions._
   * wave adds new files and never rewrites an earlier wave's (the
   * spec pins wave-1 files byte-stable across wave 2).
   *
+  * COMPACTION (round 12): successive small micro-batches produce
+  * sub-budget shards — the small-files problem layout_filesizing
+  * models for tables. [[compact]] re-packs the accumulated small
+  * shards into full ones under an ATOMIC manifest commit:
+  *  - outputs are named `compact-<gen>-<shardId>.tar` where `gen` is
+  *    a digest of the SORTED input names — a deterministic function
+  *    of what is being compacted, so a crashed run re-executes to
+  *    byte-identical files (no timestamps anywhere);
+  *  - a `compact-` output is LIVE only once its generation's manifest
+  *    `_compact-<gen>.manifest` exists; the manifest (written via
+  *    temp + rename, the atomic-commit idiom) simultaneously
+  *    TOMBSTONES the inputs — so at every crash point [[liveShards]]
+  *    sees each asset exactly once: before the rename the inputs are
+  *    live and the outputs invisible, after it the reverse;
+  *  - input files are then deleted lazily (best-effort; a leftover
+  *    tombstoned file is dead weight, never duplicate data).
+  *
   * Scale posture: the layout shuffles only (media_id, n_bytes);
   * payloads ride the ONE shard-assembly shuffle (the write pattern
   * itself), each assembler holds at most budget + one straddling
   * asset, and every assembler writes its own shard through the
   * Hadoop FileSystem API — no driver collection of payload bytes
-  * (only the tiny per-shard ledger returns).
+  * (only the tiny per-shard ledger returns; the scaladoc bound: at a
+  * pathological budget the ledger is rows≈bytes/budget — size the
+  * budget so that stays small). Compaction reads candidates through
+  * the distributed binaryFile source, so payload bytes never visit
+  * the driver there either.
   */
 object MediaShards {
 
@@ -30,49 +52,155 @@ object MediaShards {
     * the written bytes). */
   def writeBatch(batch: DataFrame, batchId: Long, outDir: String,
       budget: Long): Seq[(String, Int, Long, Long)] = {
-    val spark = batch.sparkSession
-    import spark.implicits._
     // the batch has two consumers (the length-only layout branch and
     // the payload-bearing shard branch): persist for the call so each
     // source file is read once per batch, not twice
     val pinned = batch.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try writeShards(pinned, outDir, budget,
+      shard => f"shard-$batchId%05d-$shard%05d.tar")
+    finally pinned.unpersist()
+  }
+
+  /** The shared assembler behind [[writeBatch]] and [[compact]]: plan
+    * the byte-budget layout, shuffle payloads once to their shard
+    * assembler, write each shard executor-side through the Hadoop FS
+    * API, and derive the ledger from the WRITTEN bytes (re-parse +
+    * decode, so a packing bug cannot self-certify). */
+  private def writeShards(media: DataFrame, outDir: String, budget: Long,
+      namer: Long => String): Seq[(String, Int, Long, Long)] = {
+    val spark = media.sparkSession
+    import spark.implicits._
     // the SESSION's Hadoop conf must reach the executor-side writes —
     // spark.hadoop.* (object-store credentials, fs.defaultFS) never
     // lands in a bare `new Configuration()`
     val hconf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
-    try {
-      val layout = graft.ops.MultimodalOps.byteBudgetLayout(
-        pinned.select(col("media_id"), length(col("payload")).as("n_bytes")),
-        budget).select(col("media_id"), col("shard_id"))
-      pinned.join(layout, Seq("media_id"))
-        .select(col("shard_id"), col("media_id"), col("payload"))
-        .as[(Long, Long, Array[Byte])]
-        .groupByKey(_._1)
-        .mapGroups { (shard, it) =>
-          val entries = it.map { case (_, id, b) => (id, b) }
-            .toArray.sortBy(_._1)
-          val tar = graft.multimodal.Tar.build(
-            entries.map { case (id, b) => (s"asset_$id.bin", b) }.toSeq)
-          val name = f"shard-$batchId%05d-$shard%05d.tar"
-          val p = new org.apache.hadoop.fs.Path(outDir, name)
-          val fs = p.getFileSystem(hconf.value)
-          val out = fs.create(p, true)
-          try out.write(tar) finally out.close()
-          // the ledger derives from the WRITTEN unit: re-parse +
-          // decode so a packing bug in this very writer cannot
-          // self-certify
-          val codec = new graft.multimodal.Codecs.AutoCodec
-          val unpacked = graft.multimodal.Tar.parse(tar).getOrElse(
-            throw new IllegalStateException(s"shard $name failed to re-parse"))
-          var idSum = 0L; var l1 = 0L
-          unpacked.foreach { case (n, bytes) =>
-            idSum += n.stripPrefix("asset_").stripSuffix(".bin").toLong
-            codec.decode(bytes, null).foreach(f => l1 += f.map(_.toLong).sum)
-          }
-          (name, unpacked.length, idSum, l1)
-        }.collect().toSeq
-    } finally pinned.unpersist()
+    val layout = graft.ops.MultimodalOps.byteBudgetLayout(
+      media.select(col("media_id"), length(col("payload")).as("n_bytes")),
+      budget).select(col("media_id"), col("shard_id"))
+    media.join(layout, Seq("media_id"))
+      .select(col("shard_id"), col("media_id"), col("payload"))
+      .as[(Long, Long, Array[Byte])]
+      .groupByKey(_._1)
+      .mapGroups { (shard, it) =>
+        val entries = it.map { case (_, id, b) => (id, b) }
+          .toArray.sortBy(_._1)
+        val tar = graft.multimodal.Tar.build(
+          entries.map { case (id, b) => (s"asset_$id.bin", b) }.toSeq)
+        val name = namer(shard)
+        val p = new org.apache.hadoop.fs.Path(outDir, name)
+        val fs = p.getFileSystem(hconf.value)
+        val out = fs.create(p, true)
+        try out.write(tar) finally out.close()
+        // the ledger derives from the WRITTEN unit: re-parse +
+        // decode so a packing bug in this very writer cannot
+        // self-certify
+        val codec = new graft.multimodal.Codecs.AutoCodec
+        val unpacked = graft.multimodal.Tar.parse(tar).getOrElse(
+          throw new IllegalStateException(s"shard $name failed to re-parse"))
+        var idSum = 0L; var l1 = 0L
+        unpacked.foreach { case (n, bytes) =>
+          idSum += n.stripPrefix("asset_").stripSuffix(".bin").toLong
+          codec.decode(bytes, null).foreach(f => l1 += f.map(_.toLong).sum)
+        }
+        (name, unpacked.length, idSum, l1)
+      }.collect().toSeq
+  }
+
+  private def genOf(compactName: String): String =
+    compactName.stripPrefix("compact-").takeWhile(_ != '-')
+
+  /** The shard files a READER must consume for exactly-once content:
+    * regular `shard-*` files unless tombstoned by a committed
+    * compaction manifest; `compact-*` files only once their
+    * generation's manifest exists (the atomic cut-over). */
+  def liveShards(fs: FileSystem, dir: Path): Seq[FileStatus] = {
+    val all =
+      if (fs.exists(dir)) fs.listStatus(dir).toSeq else Seq.empty
+    val manifests = all.filter(_.getPath.getName
+      .matches("_compact-[0-9a-f]+\\.manifest"))
+    val committed = manifests.map(m => m.getPath.getName
+      .stripPrefix("_compact-").stripSuffix(".manifest")).toSet
+    val tombstoned = manifests.flatMap { m =>
+      val in = fs.open(m.getPath)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.startsWith("tomb:")).map(_.stripPrefix("tomb:")).toList
+      finally in.close()
+    }.toSet
+    all.filter { st =>
+      val n = st.getPath.getName
+      if (!n.endsWith(".tar") || tombstoned.contains(n)) false
+      else if (n.startsWith("compact-")) committed.contains(genOf(n))
+      else n.startsWith("shard-")
+    }.sortBy(_.getPath.getName)
+  }
+
+  /** Compact accumulated SMALL shards — entry payload sum under HALF
+    * the budget (the standard min-fill criterion: a planner-produced
+    * non-tail shard holds at least budget − maxAsset, so half-budget
+    * keeps healthy shards out and re-running on the compacted output
+    * cannot churn) — into full ones, preserving exactly-once through
+    * the manifest commit described in the object scaladoc. Triggers
+    * only when at least `minSmall` live shards qualify; returns None
+    * when nothing tripped, else (gen, tombstoned inputs, output
+    * ledger). Deterministic end to end: same live inputs → same gen →
+    * same output bytes, so a crashed run is safely re-run. */
+  def compact(spark: SparkSession, outDir: String, budget: Long,
+      minSmall: Int = 2): Option[(String, Seq[String],
+        Seq[(String, Int, Long, Long)])] = {
+    import spark.implicits._
+    val dir = new Path(outDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val small = liveShards(fs, dir).filter { st =>
+      val bytes = readFully(fs, st)
+      graft.multimodal.Tar.parse(bytes)
+        .exists(_.map(_._2.length.toLong).sum * 2 < budget)
+    }
+    if (small.size < minSmall) return None
+    val names = small.map(_.getPath.getName).sorted
+    val gen = java.security.MessageDigest.getInstance("MD5")
+      .digest(names.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8)
+    // distributed re-read of the candidate shards: payloads stay on
+    // executors, exactly as they did on the way in
+    val paths = small.map(_.getPath.toString)
+    val media = spark.read.format("binaryFile").load(paths: _*)
+      .select(col("content")).as[Array[Byte]]
+      .flatMap { tar =>
+        graft.multimodal.Tar.parse(tar).getOrElse(Seq.empty).map {
+          case (n, b) =>
+            (n.stripPrefix("asset_").stripSuffix(".bin").toLong, b)
+        }
+      }.toDF("media_id", "payload")
+    val ledger = writeShards(media, outDir, budget,
+      shard => f"compact-$gen-$shard%05d.tar")
+    // the ATOMIC ledger commit: tombstone the inputs and publish the
+    // outputs in one rename
+    val manifest = new Path(dir, s"_compact-$gen.manifest")
+    val tmp = new Path(dir, s"_compact-$gen.manifest.tmp")
+    val body = (names.map("tomb:" + _) ++
+      ledger.map("out:" + _._1)).mkString("", "\n", "\n")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmp, manifest)) {
+      // a committed manifest from the identical re-run already exists;
+      // anything else is a real failure
+      if (!fs.exists(manifest)) throw new IllegalStateException(
+        s"compaction manifest commit failed for gen $gen")
+      fs.delete(tmp, false)
+    }
+    // lazy cleanup: a tombstoned input is already dead to readers
+    small.foreach(st =>
+      try fs.delete(st.getPath, false)
+      catch { case _: Throwable => () })
+    Some((gen, names, ledger))
+  }
+
+  private def readFully(fs: FileSystem, st: FileStatus): Array[Byte] = {
+    val buf = new Array[Byte](st.getLen.toInt)
+    val in = fs.open(st.getPath)
+    try in.readFully(0L, buf) finally in.close()
+    buf
   }
 }

@@ -16,6 +16,8 @@ class MediaShardsSpec extends SparkFunSuite {
   import spark.implicits._
 
   private val Budget = 4096L
+  // the compaction fixture needs batches well under HALF a budget
+  private val CompactBudget = 16384L
 
   private def writeAssets(dir: String, ids: Seq[Long]): Unit =
     ids.foreach { id =>
@@ -115,5 +117,91 @@ class MediaShardsSpec extends SparkFunSuite {
     assert(ledger.map(_._3).sum == (1L to 31L).sum, "writer ledger id sum")
     assert(ledger.map(_._4).sum == all.values.flatten.sum,
       "writer ledger l1 sum")
+  }
+
+  /** Entry name → payload md5 across the LIVE shards — the
+    * exactly-once content view a reader gets. */
+  private def liveContent(dir: String): Map[String, String] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    MediaShards.liveShards(fs, p).flatMap { st =>
+      val bytes = Files.readAllBytes(
+        new java.io.File(dir, st.getPath.getName).toPath)
+      graft.multimodal.Tar.parse(bytes).get.map { case (n, b) =>
+        n -> java.security.MessageDigest.getInstance("MD5").digest(b)
+          .map("%02x".format(_)).mkString
+      }
+    }.toMap
+  }
+
+  test("compaction: small shards re-pack byte-identically under an " +
+    "atomic manifest commit, exactly-once at every crash point, " +
+    "idempotent re-run") {
+    val tmp = Files.createTempDirectory("media_compact").toString
+    val shardDir = new java.io.File(tmp, "shards"); shardDir.mkdirs()
+    // three tiny micro-batches -> three+ sub-budget shards
+    (0 until 3).foreach { b =>
+      val ids = (b * 4 + 1).toLong to (b * 4 + 4).toLong
+      val media = ids.map(id =>
+        (id, graft.ops.MultimodalOps.buildAsset(id, (id % 7).toInt)))
+        .toDF("media_id", "payload")
+      MediaShards.writeBatch(media, b.toLong, shardDir.getAbsolutePath,
+        CompactBudget)
+    }
+    val before = liveContent(shardDir.getAbsolutePath)
+    assert(before.keySet == (1L to 12L).map(i => s"asset_$i.bin").toSet)
+    val nBefore = shardDir.listFiles().count(_.getName.endsWith(".tar"))
+    assert(nBefore >= 3, "fixture must produce several small shards")
+
+    val (gen, tombs, ledger) = MediaShards.compact(spark,
+      shardDir.getAbsolutePath, CompactBudget).get
+    // content is byte-identical through the re-pack
+    assert(liveContent(shardDir.getAbsolutePath) == before,
+      "compaction changed the live content")
+    assert(tombs.size == nBefore, "every small shard must compact")
+    assert(ledger.map(_._2).sum == 12, "compacted entry count")
+    val outFiles = shardDir.listFiles()
+      .filter(_.getName.startsWith(s"compact-$gen-")).sortBy(_.getName)
+    assert(outFiles.length == ledger.size && outFiles.length < nBefore,
+      "compaction must reduce the file count")
+    val outBytes = outFiles.map(f =>
+      f.getName -> Files.readAllBytes(f.toPath).toSeq).toMap
+
+    // crash-window replay: restore the inputs, remove the manifest
+    // (the state an interrupted run leaves before its atomic commit —
+    // outputs on disk but INVISIBLE, inputs still live)...
+    val manifest = new java.io.File(shardDir, s"_compact-$gen.manifest")
+    val manifestBytes = Files.readAllBytes(manifest.toPath)
+    assert(manifest.delete())
+    // rebuild the original inputs exactly as the batches wrote them
+    (0 until 3).foreach { b =>
+      val ids = (b * 4 + 1).toLong to (b * 4 + 4).toLong
+      val media = ids.map(id =>
+        (id, graft.ops.MultimodalOps.buildAsset(id, (id % 7).toInt)))
+        .toDF("media_id", "payload")
+      MediaShards.writeBatch(media, b.toLong, shardDir.getAbsolutePath,
+        CompactBudget)
+    }
+    // pre-commit state: outputs exist but are NOT live; inputs are
+    assert(liveContent(shardDir.getAbsolutePath) == before,
+      "uncommitted compact outputs leaked into the live view")
+
+    // idempotent re-run: same inputs -> same gen -> same bytes
+    val (gen2, _, _) = MediaShards.compact(spark,
+      shardDir.getAbsolutePath, CompactBudget).get
+    assert(gen2 == gen, "re-run must derive the same generation")
+    outBytes.foreach { case (name, bytes) =>
+      val now = Files.readAllBytes(
+        new java.io.File(shardDir, name).toPath).toSeq
+      assert(now == bytes, s"$name not byte-identical on re-run")
+    }
+    assert(java.util.Arrays.equals(
+      Files.readAllBytes(manifest.toPath), manifestBytes),
+      "manifest not byte-identical on re-run")
+    assert(liveContent(shardDir.getAbsolutePath) == before)
+    // nothing small remains -> no further compaction trips
+    assert(MediaShards.compact(spark, shardDir.getAbsolutePath,
+      CompactBudget).isEmpty)
   }
 }
