@@ -21,6 +21,20 @@ class PlanAuditSpec extends SparkFunSuite {
     assert(!p.contains("o_totalprice")) // unused columns pruned
   }
 
+  test("text_html_extract: the wrap+extract scan stays narrow (three " +
+    "columns) and shuffles only the per-source ledger") {
+    val p = plan(TextOps.textHtmlExtract(spark, sfDir))
+    // the typed select before mapPartitions must prune the documents
+    // scan to (source, doc_id, text) — a full-width scan would read
+    // every column of a 100 TB corpus for a 3-column transform
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string,source:string>")
+      || p.contains("ReadSchema: struct<source:string,doc_id:bigint,text:string>"),
+      p.linesIterator.filter(_.contains("ReadSchema")).mkString)
+    // one exchange: the tiny per-source aggregate (plus AQE reads)
+    assert(p.linesIterator.count(_.trim.startsWith("Exchange")) <= 2,
+      "extraction pipeline grew an unexpected shuffle")
+  }
+
   test("keyset pagination: the OR-of-ranges cursor predicate reaches the scan") {
     val p = plan(CoreRelational.o09Keyset(spark, sfDir))
     assert(p.contains("PushedFilters: [Or("),
