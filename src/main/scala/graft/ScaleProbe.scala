@@ -118,33 +118,53 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // a history line may name a query that was since renamed/removed:
+    // rank only what the current catalog can run
     val names = slowest(detailPath, baseDir, nQueries)
+      .filter(SparkEntry.queries.contains)
     require(names.nonEmpty,
       s"no clean BENCH_DETAIL history for $baseDir — run graft.Bench first")
     val queries = names.map(n => n -> SparkEntry.queries(n))
 
+    // the marker records WHAT was built — a stale scratch dir from a
+    // different base corpus or factor must rebuild, not silently feed
+    // exponents computed with the wrong divisor
     val marker = new java.io.File(scratch, "_built_ok")
-    if (!marker.exists()) {
+    val stamp = s"base=$baseDir factor=$factor"
+    val fresh = marker.exists() &&
+      new String(java.nio.file.Files.readAllBytes(marker.toPath),
+        "UTF-8") == stamp
+    if (!fresh) {
       System.err.println(s"[probe] building ${factor}x corpus at $scratch")
       buildScaled(spark, baseDir, scratch, factor)
-      marker.getParentFile.mkdirs(); marker.createNewFile()
+      marker.getParentFile.mkdirs()
+      java.nio.file.Files.write(marker.toPath, stamp.getBytes("UTF-8"))
     }
 
     // steady-state warm-up at both scales (JIT + per-dataset memos)
     queries.foreach { case (n, fn) =>
-      try fn(spark, baseDir).count() catch { case _: Throwable => () }
-      try fn(spark, scratch).count() catch { case _: Throwable => () }
+      fn(spark, baseDir).count()
+      fn(spark, scratch).count()
     }
 
-    def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+    // a failure must ABORT the probe loudly: recording time-to-throw
+    // would publish a bogus (often flattering) exponent for exactly
+    // the query that broke at scale — the one the probe exists to find
+    def time(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         dir: String): Double = {
       val t0 = System.nanoTime()
-      try fn(spark, dir).count() catch { case _: Throwable => () }
+      try fn(spark, dir).count()
+      catch {
+        case e: Throwable => throw new IllegalStateException(
+          s"scaling probe: $name FAILED at $dir — fix before trusting " +
+            "any exponent", e)
+      }
       (System.nanoTime() - t0) / 1e9
     }
     val rows = queries.map { case (n, fn) =>
-      val t1 = time(fn, baseDir)
-      val tf = time(fn, scratch)
+      val t1 = time(n, fn, baseDir)
+      val tf = time(n, fn, scratch)
       val exp = math.log(tf / t1) / math.log(factor.toDouble)
       System.err.println(f"[probe] $n%-24s t1=$t1%7.2f tf=$tf%8.2f exp=$exp%5.2f")
       (n, t1, tf, exp)

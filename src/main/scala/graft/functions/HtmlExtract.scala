@@ -73,6 +73,13 @@ object HtmlExtract {
     words
   }
 
+  /** A numeric reference is emittable only if it is a real scalar
+    * value: in Unicode range, not a lone surrogate — anything else
+    * (e.g. `&#x110000;`) stays literal, upholding the fail-soft
+    * contract (appendCodePoint would THROW on it otherwise). */
+  private def validCp(cp: Int): Boolean =
+    cp >= 0 && cp <= 0x10FFFF && !(cp >= 0xD800 && cp <= 0xDFFF)
+
   /** Decode the entity starting at `i` (which holds '&'). Returns
     * (codepoint, indexAfter), or (-1, _) meaning "not an entity —
     * keep the '&' literal". */
@@ -83,14 +90,18 @@ object HtmlExtract {
     if (body.startsWith("#x") || body.startsWith("#X")) {
       val hex = body.substring(2)
       if (hex.nonEmpty && hex.forall(c => Character.digit(c, 16) >= 0))
-        try { (Integer.parseInt(hex, 16), semi + 1) }
-        catch { case _: NumberFormatException => (-1, i + 1) }
+        try {
+          val cp = Integer.parseInt(hex, 16)
+          if (validCp(cp)) (cp, semi + 1) else (-1, i + 1)
+        } catch { case _: NumberFormatException => (-1, i + 1) }
       else (-1, i + 1)
     } else if (body.startsWith("#")) {
       val dec = body.substring(1)
       if (dec.nonEmpty && dec.forall(_.isDigit))
-        try { (Integer.parseInt(dec, 10), semi + 1) }
-        catch { case _: NumberFormatException => (-1, i + 1) }
+        try {
+          val cp = Integer.parseInt(dec, 10)
+          if (validCp(cp)) (cp, semi + 1) else (-1, i + 1)
+        } catch { case _: NumberFormatException => (-1, i + 1) }
       else (-1, i + 1)
     } else namedEntities.get(body) match {
       case Some(cp) => (cp, semi + 1)
@@ -115,12 +126,13 @@ object HtmlExtract {
     }
     def flush(): Unit = {
       val t = sb.toString
-      var ws = true; var k = 0
-      while (ws && k < t.length) {
-        if (!Character.isWhitespace(t.charAt(k))) ws = false
-        k += 1
-      }
-      if (!ws) blocks += Block(t, countWords(t), linkChars, links)
+      // ONE whitespace class everywhere: a block is emitted iff it has
+      // at least one word under the SAME [ \t\n\r] split the word
+      // counter and the SQL oracle use — a wider Java-isWhitespace
+      // emptiness test here would disagree with the oracle about
+      // whether a U+000B-only block exists
+      val wc = countWords(t)
+      if (wc > 0) blocks += Block(t, wc, linkChars, links)
       sb.setLength(0); linkChars = 0; links = 0
     }
     while (i < n) {

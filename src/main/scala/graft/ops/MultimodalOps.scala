@@ -1347,8 +1347,11 @@ object MultimodalOps {
     * sub-pixel motion remain the documented out-of-scope residue. */
   def mmMcFeatures(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // the row reports the first 20 docs (the oracle's LIMIT 20 CTE):
+    // limit BEFORE the mapPartitions so the 81-candidate-per-block MC
+    // search runs 20 times, not corpus-size times — O(1) in corpus
     val ids = Tables.spread(Tables.documents(s, d))
-      .select(col("doc_id")).as[Long]
+      .select(col("doc_id")).orderBy(col("doc_id")).limit(20).as[Long]
     val feats = ids.mapPartitions { it =>
       it.map { id =>
         val w = 48 + (id % 2).toInt * 16; val h = 32

@@ -152,11 +152,14 @@ object MediaShards {
     import spark.implicits._
     val dir = new Path(outDir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val small = liveShards(fs, dir).filter { st =>
-      val bytes = readFully(fs, st)
-      graft.multimodal.Tar.parse(bytes)
-        .exists(_.map(_._2.length.toLong).sum * 2 < budget)
-    }
+    // smallness from FileStatus metadata alone — the tar FILE length
+    // (payload + 512 B/entry headers + end padding) upper-bounds the
+    // payload sum, so `file < budget/2` is a conservative trigger and
+    // the check costs one directory listing, never a driver read of
+    // shard bytes (a healthy directory would otherwise re-download the
+    // whole corpus per trigger check, and a >2 GiB shard would not
+    // even fit an Int-sized buffer)
+    val small = liveShards(fs, dir).filter(_.getLen * 2 < budget)
     if (small.size < minSmall) return None
     val names = small.map(_.getPath.getName).sorted
     val gen = java.security.MessageDigest.getInstance("MD5")
@@ -173,8 +176,13 @@ object MediaShards {
             (n.stripPrefix("asset_").stripSuffix(".bin").toLong, b)
         }
       }.toDF("media_id", "payload")
-    val ledger = writeShards(media, outDir, budget,
-      shard => f"compact-$gen-$shard%05d.tar")
+      // two consumers inside writeShards (layout + payload branch):
+      // pin so each candidate shard is read and un-tarred once
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ledger =
+      try writeShards(media, outDir, budget,
+        shard => f"compact-$gen-$shard%05d.tar")
+      finally media.unpersist()
     // the ATOMIC ledger commit: tombstone the inputs and publish the
     // outputs in one rename
     val manifest = new Path(dir, s"_compact-$gen.manifest")
@@ -197,10 +205,4 @@ object MediaShards {
     Some((gen, names, ledger))
   }
 
-  private def readFully(fs: FileSystem, st: FileStatus): Array[Byte] = {
-    val buf = new Array[Byte](st.getLen.toInt)
-    val in = fs.open(st.getPath)
-    try in.readFully(0L, buf) finally in.close()
-    buf
-  }
 }

@@ -16,8 +16,11 @@ class MediaShardsSpec extends SparkFunSuite {
   import spark.implicits._
 
   private val Budget = 4096L
-  // the compaction fixture needs batches well under HALF a budget
-  private val CompactBudget = 16384L
+  // the compaction fixture's batch tars are 6-8 KiB files; the
+  // smallness trigger reads FILE length (payload + tar overhead), so
+  // the budget must put all three under half (24576/2 = 12288) while
+  // the ~19 KiB compacted output lands over half (no churn)
+  private val CompactBudget = 24576L
 
   private def writeAssets(dir: String, ids: Seq[Long]): Unit =
     ids.foreach { id =>
