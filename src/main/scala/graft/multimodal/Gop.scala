@@ -1,0 +1,321 @@
+package graft.multimodal
+
+/** From-spec GROUP-OF-PICTURES codec with BIDIRECTIONAL (B) frames —
+  * the tier above [[Mcv]]'s forward-only motion compensation, closing
+  * the next line of the honest-limits ledger: odd display positions
+  * are B-frames predicted from BOTH surrounding anchors (the classic
+  * IBPBP structure), choosing per 8x8 block among FORWARD (previous
+  * anchor), BACKWARD (next anchor — the mode that explains content
+  * APPEARING mid-GOP, which no forward codec can predict) and AVERAGE
+  * ((fwd + bwd + 1) >> 1 with one shared vector — the cross-fade
+  * mode), each with its own bounded ±4 px exhaustive search; residual
+  * and intra fallback ride the same [[Jpeg]] strip machinery. What
+  * remains out of scope after this: sub-pixel motion and per-direction
+  * vector pairs for the average mode (the H.264-class refinements).
+  *
+  * Structure: display order f0 f1 f2 ... f_{nf-1} with nf ODD —
+  * anchors at even indices (I at 0, then P chained anchor-to-anchor),
+  * one B between each anchor pair. CODED order interleaves each
+  * anchor BEFORE its preceding B (the decoder needs both references):
+  * I, P2, B1, P4, B3, ... — the standard decode-order/display-order
+  * split, reordered back by the parser.
+  *
+  * Wire format (little-endian): magic `MCVB`, then exactly [[Mcv]]'s
+  * header and P-frame sections (shared code paths, not copies); each
+  * B-frame section is:
+  *  - INTRA bitmap + RESIDUAL bitmap (same padding/conflict rules);
+  *  - per NON-intra block in scan order: a DIRECTION byte
+  *    (0 = forward, 1 = backward, 2 = average; anything else
+  *    rejected) then the [[Mcv]] motion byte (nibbles ≤ 8,
+  *    bounds-checked against the frame);
+  *  - u32 length + ONE strip of intra blocks then residual blocks.
+  *
+  * B-frames are NOT reference frames (the standard rule), so their
+  * quantization error never compounds into the anchor chain; anchors
+  * stay closed-loop through [[Mcv.encodeP]]/[[Mcv.decodeP]].
+  *
+  * Mode policy (deterministic): directions probed in order
+  * fwd → bwd → avg, each scanning (dy, dx) row-major from (−4, −4)
+  * with first-strictly-better SAD and a zero short-circuit; overall
+  * best SAD 0 → vector only; < 1024 → vector + residual; else intra.
+  */
+object Gop {
+
+  /** Per-B-frame mode census from a real parse. */
+  final case class BCensus(fwdBlocks: Int, bwdBlocks: Int,
+      avgBlocks: Int, residBlocks: Int, intraBlocks: Int,
+      zeroVectors: Int)
+
+  private def avgBlock(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val o = new Array[Byte](64)
+    var p = 0
+    while (p < 64) {
+      o(p) = (((a(p) & 0xff) + (b(p) & 0xff) + 1) >> 1).toByte
+      p += 1
+    }
+    o
+  }
+
+  private def predictB(dir: Int, prevA: Array[Byte], nextA: Array[Byte],
+      w: Int, bx: Int, by: Int, dx: Int, dy: Int): Array[Byte] =
+    dir match {
+      case 0 => Mcv.grabAt(prevA, w, bx, by, dx, dy)
+      case 1 => Mcv.grabAt(nextA, w, bx, by, dx, dy)
+      case _ => avgBlock(Mcv.grabAt(prevA, w, bx, by, dx, dy),
+        Mcv.grabAt(nextA, w, bx, by, dx, dy))
+    }
+
+  /** Encode ONE B-frame section against the two decoded anchors. */
+  private def encodeB(cur: Array[Byte], prevA: Array[Byte],
+      nextA: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val wb = w / 8; val hb = h / 8
+    val bmLen = (wb * hb + 7) / 8
+    val intraBm = new Array[Byte](bmLen)
+    val residBm = new Array[Byte](bmLen)
+    val intraBlocks =
+      scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    val residBlocks =
+      scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    val modes = new Array[Int](wb * hb) // 0 mv, 1 mv+resid, 2 intra
+    val dirs = new Array[Int](wb * hb)
+    val vecs = new Array[Int](wb * hb)
+    var by = 0
+    while (by < hb) {
+      var bx = 0
+      while (bx < wb) {
+        val idx = by * wb + bx
+        val curBlk = Dctv.grabBlock(cur, w, bx, by)
+        var bestSad = Int.MaxValue
+        var bestDir = 0; var bestDx = 0; var bestDy = 0
+        var dir = 0
+        while (dir <= 2 && bestSad > 0) {
+          var dy = -Mcv.Range
+          while (dy <= Mcv.Range && bestSad > 0) {
+            if (by * 8 + dy >= 0 && by * 8 + dy + 8 <= h) {
+              var dx = -Mcv.Range
+              while (dx <= Mcv.Range && bestSad > 0) {
+                if (bx * 8 + dx >= 0 && bx * 8 + dx + 8 <= w) {
+                  val s = dir match {
+                    case 0 => Mcv.sad(curBlk, prevA, w, bx, by, dx, dy)
+                    case 1 => Mcv.sad(curBlk, nextA, w, bx, by, dx, dy)
+                    case _ =>
+                      // avg SAD materializes the averaged block (no
+                      // plane to scan); bounded by the 81-candidate cap
+                      var s2 = 0
+                      val pb = predictB(2, prevA, nextA, w, bx, by, dx, dy)
+                      var p = 0
+                      while (p < 64) {
+                        s2 += math.abs((curBlk(p) & 0xff) - (pb(p) & 0xff))
+                        p += 1
+                      }
+                      s2
+                  }
+                  if (s < bestSad) {
+                    bestSad = s; bestDir = dir; bestDx = dx; bestDy = dy
+                  }
+                }
+                dx += 1
+              }
+            }
+            dy += 1
+          }
+          dir += 1
+        }
+        if (bestSad >= Mcv.IntraSad) {
+          modes(idx) = 2
+          intraBm(idx / 8) = (intraBm(idx / 8) | (1 << (idx % 8))).toByte
+          intraBlocks += curBlk
+        } else {
+          dirs(idx) = bestDir
+          vecs(idx) = ((bestDy + Mcv.Range) << 4) | (bestDx + Mcv.Range)
+          if (bestSad == 0) modes(idx) = 0
+          else {
+            modes(idx) = 1
+            residBm(idx / 8) = (residBm(idx / 8) | (1 << (idx % 8))).toByte
+            residBlocks += Mcv.residualOf(curBlk,
+              predictB(bestDir, prevA, nextA, w, bx, by, bestDx, bestDy))
+          }
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    val stripIn = (intraBlocks ++ residBlocks).toArray
+    val strip =
+      if (stripIn.isEmpty) Array.emptyByteArray
+      else Dctv.encodeStrip(stripIn)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(intraBm); out.write(residBm)
+    var i = 0
+    while (i < wb * hb) {
+      if (modes(i) != 2) { out.write(dirs(i)); out.write(vecs(i)) }
+      i += 1
+    }
+    Mcv.le32(out, strip.length)
+    out.write(strip)
+    out.toByteArray
+  }
+
+  /** Decode ONE B-frame section at `off0`. */
+  private def decodeB(payload: Array[Byte], off0: Long,
+      prevA: Array[Byte], nextA: Array[Byte], w: Int,
+      h: Int): Option[(Array[Byte], BCensus, Long)] = {
+    val wb = w / 8; val hb = h / 8
+    val nBlocks = wb * hb
+    val bmLen = (nBlocks + 7) / 8
+    var off = off0
+    if (off + 2L * bmLen > payload.length) return None
+    val intraBm = java.util.Arrays.copyOfRange(payload, off.toInt,
+      (off + bmLen).toInt)
+    val residBm = java.util.Arrays.copyOfRange(payload,
+      (off + bmLen).toInt, (off + 2 * bmLen).toInt)
+    off += 2L * bmLen
+    def bit(bm: Array[Byte], i: Int): Boolean =
+      (bm(i / 8) & (1 << (i % 8))) != 0
+    var i = nBlocks
+    while (i < bmLen * 8) {
+      if (bit(intraBm, i) || bit(residBm, i)) return None
+      i += 1
+    }
+    var nIntra = 0; var nResid = 0
+    i = 0
+    while (i < nBlocks) {
+      if (bit(intraBm, i)) {
+        if (bit(residBm, i)) return None
+        nIntra += 1
+      } else if (bit(residBm, i)) nResid += 1
+      i += 1
+    }
+    val nMv = nBlocks - nIntra
+    if (off + 2L * nMv > payload.length) return None
+    val dirs = new Array[Int](nBlocks)
+    val vecs = new Array[Int](nBlocks)
+    var nFwd = 0; var nBwd = 0; var nAvg = 0; var zeroVecs = 0
+    var vOff = off.toInt
+    i = 0
+    while (i < nBlocks) {
+      if (!bit(intraBm, i)) {
+        val d = payload(vOff) & 0xff
+        val b = payload(vOff + 1) & 0xff
+        vOff += 2
+        if (d > 2) return None
+        val dxN = b & 0xF; val dyN = b >> 4
+        if (dxN > 2 * Mcv.Range || dyN > 2 * Mcv.Range) return None
+        val dx = dxN - Mcv.Range; val dy = dyN - Mcv.Range
+        val bx = i % wb; val by = i / wb
+        if (bx * 8 + dx < 0 || bx * 8 + dx + 8 > w ||
+          by * 8 + dy < 0 || by * 8 + dy + 8 > h) return None
+        dirs(i) = d; vecs(i) = b
+        d match {
+          case 0 => nFwd += 1
+          case 1 => nBwd += 1
+          case _ => nAvg += 1
+        }
+        if (dx == 0 && dy == 0) zeroVecs += 1
+      }
+      i += 1
+    }
+    off += 2L * nMv
+    if (off + 4 > payload.length) return None
+    def u32(o: Int): Long =
+      ((payload(o) & 0xffL)) | ((payload(o + 1) & 0xffL) << 8) |
+        ((payload(o + 2) & 0xffL) << 16) | ((payload(o + 3) & 0xffL) << 24)
+    val sLen = u32(off.toInt)
+    if (sLen < 0 || off + 4 + sLen > payload.length) return None
+    val nStrip = nIntra + nResid
+    val cur = new Array[Byte](w * h)
+    val dec =
+      if (nStrip == 0) {
+        if (sLen != 0) return None
+        off += 4
+        Array.empty[Array[Byte]]
+      } else {
+        if (sLen == 0) return None
+        val strip = java.util.Arrays.copyOfRange(payload,
+          (off + 4).toInt, (off + 4 + sLen).toInt)
+        off += 4 + sLen
+        Dctv.decodeStrip(strip, nStrip) match {
+          case Some(d) => d
+          case None    => return None
+        }
+      }
+    var intraSeen = 0
+    var residSeen = 0
+    i = 0
+    while (i < nBlocks) {
+      val bx = i % wb; val by = i / wb
+      if (bit(intraBm, i)) {
+        Dctv.putBlock(cur, w, bx, by, dec(intraSeen)); intraSeen += 1
+      } else {
+        val v = vecs(i)
+        val pred = predictB(dirs(i), prevA, nextA, w, bx, by,
+          (v & 0xF) - Mcv.Range, (v >> 4) - Mcv.Range)
+        if (bit(residBm, i)) {
+          Dctv.putBlock(cur, w, bx, by,
+            Mcv.applyResidual(pred, dec(nIntra + residSeen)))
+          residSeen += 1
+        } else Dctv.putBlock(cur, w, bx, by, pred)
+      }
+      i += 1
+    }
+    Some((cur, BCensus(nFwd, nBwd, nAvg, nResid, nIntra, zeroVecs), off))
+  }
+
+  /** Encode luma frames in DISPLAY order; nf must be odd (the GOP
+    * ends on an anchor so every B has both references). */
+  def build(w: Int, h: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(frames.length % 2 == 1,
+      "GOP must end on an anchor (odd display-frame count)")
+    val (out, ref) = Mcv.encodeHeader(w, h, frames, "MCVB")
+    var k = 1
+    var prevAnchor = ref
+    while (k < frames.length) {
+      // coded order: the NEXT anchor first (P vs previous anchor),
+      // then the B between them (needs both decoded)
+      val (pSection, pRec) = Mcv.encodeP(frames(k + 1), prevAnchor, w, h)
+      out.write(pSection)
+      out.write(encodeB(frames(k), prevAnchor, pRec, w, h))
+      prevAnchor = pRec
+      k += 2
+    }
+    out.toByteArray
+  }
+
+  /** Parse + decode: (w, h, frames in DISPLAY order, per-P census,
+    * per-B census), or None for anything hostile. */
+  def parse(payload: Array[Byte]): Option[(Int, Int, Seq[Array[Byte]],
+      Seq[Mcv.FrameCensus], Seq[BCensus])] = {
+    Mcv.decodeHeader(payload, "MCVB") match {
+      case None => None
+      case Some((w, h, nf, first, off0)) =>
+        if (nf % 2 == 0) return None // a GOP ends on an anchor
+        val frames = new Array[Array[Byte]](nf)
+        frames(0) = first
+        val pCensus =
+          scala.collection.mutable.ArrayBuffer.empty[Mcv.FrameCensus]
+        val bCensus = scala.collection.mutable.ArrayBuffer.empty[BCensus]
+        var prevAnchor = first
+        var off = off0
+        var k = 1
+        while (k < nf) {
+          Mcv.decodeP(payload, off, prevAnchor, w, h) match {
+            case None => return None
+            case Some((anchor, pc, o1)) =>
+              decodeB(payload, o1, prevAnchor, anchor, w, h) match {
+                case None => return None
+                case Some((bFrame, bc, o2)) =>
+                  frames(k) = bFrame
+                  frames(k + 1) = anchor
+                  pCensus += pc
+                  bCensus += bc
+                  prevAnchor = anchor
+                  off = o2
+              }
+          }
+          k += 2
+        }
+        if (off != payload.length) return None // trailing garbage
+        Some((w, h, frames.toSeq, pCensus.toSeq, bCensus.toSeq))
+    }
+  }
+}

@@ -9,9 +9,9 @@ package graft.multimodal
   * prediction nearly matches transmits the vector plus a DCT-coded
   * RESIDUAL through the proven [[Jpeg]] strip machinery (shared with
   * [[Dctv]]); a block no displacement explains falls back to INTRA
-  * coding through the same strip. What remains out of scope — the
-  * honest ledger — is bidirectional (B-frame) prediction and
-  * sub-pixel motion, the H.264-class refinements.
+  * coding through the same strip. The bidirectional tier above this
+  * one is [[Gop]] (B-frames predicted from BOTH surrounding anchors,
+  * round 12); sub-pixel motion remains the documented gap.
   *
   * Wire format (little-endian):
   *  - magic `MCV1`, u16 width, u16 height, u16 n_frames
@@ -50,33 +50,39 @@ package graft.multimodal
   * bitmap padding bits, conflicting mode bits, nibble and bounds
   * checks on every vector, strip-geometry cross-check, trailing
   * garbage.
+  *
+  * The per-P-frame section encode/decode pair is `private[multimodal]`
+  * so [[Gop]]'s anchors ride the IDENTICAL code path — a P-section
+  * fix lands in exactly one place.
   */
 object Mcv {
 
-  private val MaxDim = 4096
-  private val MaxFrames = 64
-  private val MaxDecodedBytes = 1L << 26
-  private val Range = 4
+  private[multimodal] val MaxDim = 4096
+  private[multimodal] val MaxFrames = 64
+  private[multimodal] val MaxDecodedBytes = 1L << 26
+  private[multimodal] val Range = 4
   /** SAD at or above this codes the block intra (mean |err| ≥ 16). */
-  private val IntraSad = 1024
+  private[multimodal] val IntraSad = 1024
 
   /** Per-P-frame mode census from a real parse: how many blocks rode
     * each path, and the zero-vector count (static background). */
   final case class FrameCensus(mvBlocks: Int, residBlocks: Int,
       intraBlocks: Int, zeroVectors: Int)
 
-  private def le16(b: java.io.ByteArrayOutputStream, v: Int): Unit = {
+  private[multimodal] def le16(b: java.io.ByteArrayOutputStream,
+      v: Int): Unit = {
     b.write(v & 0xff); b.write((v >> 8) & 0xff)
   }
-  private def le32(b: java.io.ByteArrayOutputStream, v: Int): Unit = {
+  private[multimodal] def le32(b: java.io.ByteArrayOutputStream,
+      v: Int): Unit = {
     b.write(v & 0xff); b.write((v >> 8) & 0xff)
     b.write((v >> 16) & 0xff); b.write((v >> 24) & 0xff)
   }
 
   /** Prediction block at (bx·8+dx, by·8+dy) — caller guarantees
     * bounds. */
-  private def grabAt(plane: Array[Byte], w: Int, bx: Int, by: Int,
-      dx: Int, dy: Int): Array[Byte] = {
+  private[multimodal] def grabAt(plane: Array[Byte], w: Int, bx: Int,
+      by: Int, dx: Int, dy: Int): Array[Byte] = {
     val blk = new Array[Byte](64)
     var r = 0
     while (r < 8) {
@@ -87,8 +93,8 @@ object Mcv {
     blk
   }
 
-  private def sad(a: Array[Byte], plane: Array[Byte], w: Int, bx: Int,
-      by: Int, dx: Int, dy: Int): Int = {
+  private[multimodal] def sad(a: Array[Byte], plane: Array[Byte],
+      w: Int, bx: Int, by: Int, dx: Int, dy: Int): Int = {
     var s = 0
     var r = 0
     while (r < 8) {
@@ -104,147 +110,245 @@ object Mcv {
     s
   }
 
-  /** Encode luma frames (w·h bytes each, dims multiples of 16). */
-  def build(w: Int, h: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
-    require(w % 16 == 0 && h % 16 == 0 && w > 0 && h > 0 &&
-      w <= MaxDim && h <= MaxDim)
-    require(frames.nonEmpty && frames.length <= MaxFrames &&
-      frames.forall(_.length == w * h))
-    require(w.toLong * h * frames.length <= MaxDecodedBytes,
-      "stream exceeds the decoder's total-output cap")
-    val out = new java.io.ByteArrayOutputStream()
-    out.write("MCV1".getBytes("US-ASCII"))
-    le16(out, w); le16(out, h); le16(out, frames.length)
-    val flatC = Array.fill[Byte]((w / 2) * (h / 2))(128.toByte)
-    val iFrame = Jpeg.build(w, h, frames.head, flatC, flatC)
-    le32(out, iFrame.length); out.write(iFrame)
-    val ref = Jpeg.parse(iFrame)
-      .getOrElse(throw new IllegalStateException("i-frame self-decode"))
-      ._3(0)
-    val wb = w / 8; val hb = h / 8
-    frames.tail.foreach { cur =>
-      val bmLen = (wb * hb + 7) / 8
-      val intraBm = new Array[Byte](bmLen)
-      val residBm = new Array[Byte](bmLen)
-      val mvBytes = new java.io.ByteArrayOutputStream()
-      val intraBlocks =
-        scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
-      val residBlocks =
-        scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Byte])]
-      // pass 1: choose per-block mode + vector against the decoded ref
-      val rec = new Array[Byte](w * h) // this frame's reconstruction
-      val modes = new Array[Int](wb * hb) // 0 = mv, 1 = mv+resid, 2 = intra
-      val vecs = new Array[Int](wb * hb)
-      var by = 0
-      while (by < hb) {
-        var bx = 0
-        while (bx < wb) {
-          val idx = by * wb + bx
-          val curBlk = Dctv.grabBlock(cur, w, bx, by)
-          var bestSad = Int.MaxValue
-          var bestDx = 0; var bestDy = 0
-          var dy = -Range
-          while (dy <= Range && bestSad > 0) {
-            if (by * 8 + dy >= 0 && by * 8 + dy + 8 <= h) {
-              var dx = -Range
-              while (dx <= Range && bestSad > 0) {
-                if (bx * 8 + dx >= 0 && bx * 8 + dx + 8 <= w) {
-                  val s = sad(curBlk, ref, w, bx, by, dx, dy)
-                  if (s < bestSad) { bestSad = s; bestDx = dx; bestDy = dy }
-                }
-                dx += 1
-              }
-            }
-            dy += 1
-          }
-          if (bestSad >= IntraSad) {
-            modes(idx) = 2
-            intraBm(idx / 8) = (intraBm(idx / 8) | (1 << (idx % 8))).toByte
-            intraBlocks += curBlk
-          } else {
-            vecs(idx) = ((bestDy + Range) << 4) | (bestDx + Range)
-            if (bestSad == 0) modes(idx) = 0
-            else {
-              modes(idx) = 1
-              residBm(idx / 8) = (residBm(idx / 8) | (1 << (idx % 8))).toByte
-              val pred = grabAt(ref, w, bx, by, bestDx, bestDy)
-              val res = new Array[Byte](64)
-              var p = 0
-              while (p < 64) {
-                val d = (curBlk(p) & 0xff) - (pred(p) & 0xff)
-                res(p) = (math.max(-128, math.min(127, d)) + 128).toByte
-                p += 1
-              }
-              residBlocks += ((idx, res))
-            }
-          }
-          bx += 1
-        }
-        by += 1
-      }
-      // strip: intra blocks then residual blocks, in scan order
-      val stripIn = (intraBlocks ++ residBlocks.map(_._2)).toArray
-      val strip =
-        if (stripIn.isEmpty) Array.emptyByteArray
-        else Dctv.encodeStrip(stripIn)
-      val dec =
-        if (stripIn.isEmpty) Array.empty[Array[Byte]]
-        else Dctv.decodeStrip(strip, stripIn.length)
-          .getOrElse(throw new IllegalStateException("strip self-decode"))
-      // pass 2: reconstruct EXACTLY like the decoder (closed loop)
-      var intraSeen = 0
-      var residSeen = 0
-      val nIntra = intraBlocks.length
-      by = 0
-      while (by < hb) {
-        var bx = 0
-        while (bx < wb) {
-          val idx = by * wb + bx
-          modes(idx) match {
-            case 2 =>
-              Dctv.putBlock(rec, w, bx, by, dec(intraSeen)); intraSeen += 1
-            case m =>
-              val v = vecs(idx)
-              val pred = grabAt(ref, w, bx, by, (v & 0xF) - Range,
-                (v >> 4) - Range)
-              if (m == 0) Dctv.putBlock(rec, w, bx, by, pred)
-              else {
-                val rb = dec(nIntra + residSeen); residSeen += 1
-                val outB = new Array[Byte](64)
-                var p = 0
-                while (p < 64) {
-                  val vv = (pred(p) & 0xff) + ((rb(p) & 0xff) - 128)
-                  outB(p) = math.max(0, math.min(255, vv)).toByte
-                  p += 1
-                }
-                Dctv.putBlock(rec, w, bx, by, outB)
-              }
-          }
-          bx += 1
-        }
-        by += 1
-      }
-      out.write(intraBm); out.write(residBm)
-      var i = 0
-      while (i < wb * hb) {
-        if (modes(i) != 2) mvBytes.write(vecs(i))
-        i += 1
-      }
-      mvBytes.writeTo(out)
-      le32(out, strip.length)
-      out.write(strip)
-      System.arraycopy(rec, 0, ref, 0, w * h)
+  /** The level-shift residual coder: res = clamp(cur−pred)+128. */
+  private[multimodal] def residualOf(curBlk: Array[Byte],
+      pred: Array[Byte]): Array[Byte] = {
+    val res = new Array[Byte](64)
+    var p = 0
+    while (p < 64) {
+      val d = (curBlk(p) & 0xff) - (pred(p) & 0xff)
+      res(p) = (math.max(-128, math.min(127, d)) + 128).toByte
+      p += 1
     }
-    out.toByteArray
+    res
   }
 
-  /** Parse + decode: (w, h, decoded frames, per-P-frame census), or
-    * None for anything hostile. */
-  def parse(payload: Array[Byte])
-      : Option[(Int, Int, Seq[Array[Byte]], Seq[FrameCensus])] = {
+  /** res ∘ pred reconstruction, clamped to [0, 255]. */
+  private[multimodal] def applyResidual(pred: Array[Byte],
+      rb: Array[Byte]): Array[Byte] = {
+    val outB = new Array[Byte](64)
+    var p = 0
+    while (p < 64) {
+      val vv = (pred(p) & 0xff) + ((rb(p) & 0xff) - 128)
+      outB(p) = math.max(0, math.min(255, vv)).toByte
+      p += 1
+    }
+    outB
+  }
+
+  /** Encode ONE P-frame section against the decoded reference;
+    * returns (section bytes, closed-loop reconstruction). */
+  private[multimodal] def encodeP(cur: Array[Byte], ref: Array[Byte],
+      w: Int, h: Int): (Array[Byte], Array[Byte]) = {
+    val wb = w / 8; val hb = h / 8
+    val bmLen = (wb * hb + 7) / 8
+    val intraBm = new Array[Byte](bmLen)
+    val residBm = new Array[Byte](bmLen)
+    val intraBlocks =
+      scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    val residBlocks =
+      scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    val rec = new Array[Byte](w * h)
+    val modes = new Array[Int](wb * hb) // 0 = mv, 1 = mv+resid, 2 = intra
+    val vecs = new Array[Int](wb * hb)
+    var by = 0
+    while (by < hb) {
+      var bx = 0
+      while (bx < wb) {
+        val idx = by * wb + bx
+        val curBlk = Dctv.grabBlock(cur, w, bx, by)
+        var bestSad = Int.MaxValue
+        var bestDx = 0; var bestDy = 0
+        var dy = -Range
+        while (dy <= Range && bestSad > 0) {
+          if (by * 8 + dy >= 0 && by * 8 + dy + 8 <= h) {
+            var dx = -Range
+            while (dx <= Range && bestSad > 0) {
+              if (bx * 8 + dx >= 0 && bx * 8 + dx + 8 <= w) {
+                val s = sad(curBlk, ref, w, bx, by, dx, dy)
+                if (s < bestSad) { bestSad = s; bestDx = dx; bestDy = dy }
+              }
+              dx += 1
+            }
+          }
+          dy += 1
+        }
+        if (bestSad >= IntraSad) {
+          modes(idx) = 2
+          intraBm(idx / 8) = (intraBm(idx / 8) | (1 << (idx % 8))).toByte
+          intraBlocks += curBlk
+        } else {
+          vecs(idx) = ((bestDy + Range) << 4) | (bestDx + Range)
+          if (bestSad == 0) modes(idx) = 0
+          else {
+            modes(idx) = 1
+            residBm(idx / 8) = (residBm(idx / 8) | (1 << (idx % 8))).toByte
+            residBlocks +=
+              residualOf(curBlk, grabAt(ref, w, bx, by, bestDx, bestDy))
+          }
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    val stripIn = (intraBlocks ++ residBlocks).toArray
+    val strip =
+      if (stripIn.isEmpty) Array.emptyByteArray
+      else Dctv.encodeStrip(stripIn)
+    val dec =
+      if (stripIn.isEmpty) Array.empty[Array[Byte]]
+      else Dctv.decodeStrip(strip, stripIn.length)
+        .getOrElse(throw new IllegalStateException("strip self-decode"))
+    // reconstruct EXACTLY like the decoder (closed loop)
+    var intraSeen = 0
+    var residSeen = 0
+    val nIntra = intraBlocks.length
+    by = 0
+    while (by < hb) {
+      var bx = 0
+      while (bx < wb) {
+        val idx = by * wb + bx
+        modes(idx) match {
+          case 2 =>
+            Dctv.putBlock(rec, w, bx, by, dec(intraSeen)); intraSeen += 1
+          case m =>
+            val v = vecs(idx)
+            val pred = grabAt(ref, w, bx, by, (v & 0xF) - Range,
+              (v >> 4) - Range)
+            if (m == 0) Dctv.putBlock(rec, w, bx, by, pred)
+            else {
+              Dctv.putBlock(rec, w, bx, by,
+                applyResidual(pred, dec(nIntra + residSeen)))
+              residSeen += 1
+            }
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(intraBm); out.write(residBm)
+    var i = 0
+    while (i < wb * hb) {
+      if (modes(i) != 2) out.write(vecs(i))
+      i += 1
+    }
+    le32(out, strip.length)
+    out.write(strip)
+    (out.toByteArray, rec)
+  }
+
+  /** Decode ONE P-frame section at `off0`; returns
+    * (frame, census, offset after), or None for anything hostile. */
+  private[multimodal] def decodeP(payload: Array[Byte], off0: Long,
+      ref: Array[Byte], w: Int,
+      h: Int): Option[(Array[Byte], FrameCensus, Long)] = {
+    val wb = w / 8; val hb = h / 8
+    val nBlocks = wb * hb
+    val bmLen = (nBlocks + 7) / 8
+    var off = off0
+    if (off + 2L * bmLen > payload.length) return None
+    val intraBm = java.util.Arrays.copyOfRange(payload, off.toInt,
+      (off + bmLen).toInt)
+    val residBm = java.util.Arrays.copyOfRange(payload,
+      (off + bmLen).toInt, (off + 2 * bmLen).toInt)
+    off += 2L * bmLen
+    def bit(bm: Array[Byte], i: Int): Boolean =
+      (bm(i / 8) & (1 << (i % 8))) != 0
+    // canonical strictness: padding bits zero in BOTH bitmaps, and
+    // no block is simultaneously intra and residual
+    var i = nBlocks
+    while (i < bmLen * 8) {
+      if (bit(intraBm, i) || bit(residBm, i)) return None
+      i += 1
+    }
+    var nIntra = 0; var nResid = 0
+    i = 0
+    while (i < nBlocks) {
+      if (bit(intraBm, i)) {
+        if (bit(residBm, i)) return None
+        nIntra += 1
+      } else if (bit(residBm, i)) nResid += 1
+      i += 1
+    }
+    val nMv = nBlocks - nIntra
+    if (off + nMv > payload.length) return None
+    val vecs = new Array[Int](nBlocks)
+    var zeroVecs = 0
+    var vOff = off.toInt
+    i = 0
+    while (i < nBlocks) {
+      if (!bit(intraBm, i)) {
+        val b = payload(vOff) & 0xff; vOff += 1
+        val dxN = b & 0xF; val dyN = b >> 4
+        if (dxN > 2 * Range || dyN > 2 * Range) return None
+        val dx = dxN - Range; val dy = dyN - Range
+        val bx = i % wb; val by = i / wb
+        if (bx * 8 + dx < 0 || bx * 8 + dx + 8 > w ||
+          by * 8 + dy < 0 || by * 8 + dy + 8 > h) return None
+        vecs(i) = b
+        if (dx == 0 && dy == 0) zeroVecs += 1
+      }
+      i += 1
+    }
+    off += nMv
+    if (off + 4 > payload.length) return None
+    def u32(o: Int): Long =
+      ((payload(o) & 0xffL)) | ((payload(o + 1) & 0xffL) << 8) |
+        ((payload(o + 2) & 0xffL) << 16) | ((payload(o + 3) & 0xffL) << 24)
+    val sLen = u32(off.toInt)
+    if (sLen < 0 || off + 4 + sLen > payload.length) return None
+    val nStrip = nIntra + nResid
+    val cur = new Array[Byte](w * h)
+    val dec =
+      if (nStrip == 0) {
+        if (sLen != 0) return None
+        off += 4
+        Array.empty[Array[Byte]]
+      } else {
+        if (sLen == 0) return None
+        val strip = java.util.Arrays.copyOfRange(payload,
+          (off + 4).toInt, (off + 4 + sLen).toInt)
+        off += 4 + sLen
+        Dctv.decodeStrip(strip, nStrip) match {
+          case Some(d) => d
+          case None    => return None
+        }
+      }
+    var intraSeen = 0
+    var residSeen = 0
+    i = 0
+    while (i < nBlocks) {
+      val bx = i % wb; val by = i / wb
+      if (bit(intraBm, i)) {
+        Dctv.putBlock(cur, w, bx, by, dec(intraSeen)); intraSeen += 1
+      } else {
+        val v = vecs(i)
+        val pred = grabAt(ref, w, bx, by, (v & 0xF) - Range,
+          (v >> 4) - Range)
+        if (bit(residBm, i)) {
+          Dctv.putBlock(cur, w, bx, by,
+            applyResidual(pred, dec(nIntra + residSeen)))
+          residSeen += 1
+        } else Dctv.putBlock(cur, w, bx, by, pred)
+      }
+      i += 1
+    }
+    Some((cur, FrameCensus(nMv, nResid, nIntra, zeroVecs), off))
+  }
+
+  /** Validate + decode the common header; returns
+    * (w, h, nf, I-frame, offset after). Shared with [[Gop]] (whose
+    * magic differs). */
+  private[multimodal] def decodeHeader(payload: Array[Byte],
+      magic: String): Option[(Int, Int, Int, Array[Byte], Long)] = {
     if (payload == null || payload.length < 14) return None
-    if (payload(0) != 'M' || payload(1) != 'C' || payload(2) != 'V' ||
-      payload(3) != '1') return None
+    val m = magic.getBytes("US-ASCII")
+    var k = 0
+    while (k < 4) {
+      if (payload(k) != m(k)) return None
+      k += 1
+    }
     def u16(o: Int): Int =
       (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8)
     def u32(o: Int): Long =
@@ -255,121 +359,79 @@ object Mcv {
       w % 16 != 0 || h % 16 != 0) return None
     if (nf < 1 || nf > MaxFrames) return None
     if (w.toLong * h * nf > MaxDecodedBytes) return None
-    val wb = w / 8; val hb = h / 8
-    val nBlocks = wb * hb
-    val bmLen = (nBlocks + 7) / 8
     var off = 10L
     val iLen = u32(off.toInt)
     if (iLen <= 0 || off + 4 + iLen > payload.length) return None
     val iBytes = java.util.Arrays.copyOfRange(payload,
       (off + 4).toInt, (off + 4 + iLen).toInt)
     off += 4 + iLen
-    val first = Jpeg.parse(iBytes) match {
+    Jpeg.parse(iBytes) match {
       case Some((pw, ph, planes))
-          if pw == w && ph == h && planes.nonEmpty => planes(0)
-      case _ => return None
+          if pw == w && ph == h && planes.nonEmpty =>
+        Some((w, h, nf, planes(0), off))
+      case _ => None
     }
-    val frames = scala.collection.mutable.ArrayBuffer(first)
-    val census = scala.collection.mutable.ArrayBuffer.empty[FrameCensus]
-    var ref = first
-    var f = 1
-    while (f < nf) {
-      if (off + 2L * bmLen > payload.length) return None
-      val intraBm = java.util.Arrays.copyOfRange(payload, off.toInt,
-        (off + bmLen).toInt)
-      val residBm = java.util.Arrays.copyOfRange(payload,
-        (off + bmLen).toInt, (off + 2 * bmLen).toInt)
-      off += 2L * bmLen
-      def bit(bm: Array[Byte], i: Int): Boolean =
-        (bm(i / 8) & (1 << (i % 8))) != 0
-      // canonical strictness: padding bits zero in BOTH bitmaps, and
-      // no block is simultaneously intra and residual
-      var i = nBlocks
-      while (i < bmLen * 8) {
-        if (bit(intraBm, i) || bit(residBm, i)) return None
-        i += 1
-      }
-      var nIntra = 0; var nResid = 0
-      i = 0
-      while (i < nBlocks) {
-        if (bit(intraBm, i)) {
-          if (bit(residBm, i)) return None
-          nIntra += 1
-        } else if (bit(residBm, i)) nResid += 1
-        i += 1
-      }
-      val nMv = nBlocks - nIntra
-      if (off + nMv > payload.length) return None
-      val vecs = new Array[Int](nBlocks)
-      var zeroVecs = 0
-      var vOff = off.toInt
-      i = 0
-      while (i < nBlocks) {
-        if (!bit(intraBm, i)) {
-          val b = payload(vOff) & 0xff; vOff += 1
-          val dxN = b & 0xF; val dyN = b >> 4
-          if (dxN > 2 * Range || dyN > 2 * Range) return None
-          val dx = dxN - Range; val dy = dyN - Range
-          val bx = i % wb; val by = i / wb
-          if (bx * 8 + dx < 0 || bx * 8 + dx + 8 > w ||
-            by * 8 + dy < 0 || by * 8 + dy + 8 > h) return None
-          vecs(i) = b
-          if (dx == 0 && dy == 0) zeroVecs += 1
-        }
-        i += 1
-      }
-      off += nMv
-      if (off + 4 > payload.length) return None
-      val sLen = u32(off.toInt)
-      if (sLen < 0 || off + 4 + sLen > payload.length) return None
-      val nStrip = nIntra + nResid
-      val cur = new Array[Byte](w * h)
-      val dec =
-        if (nStrip == 0) {
-          if (sLen != 0) return None
-          off += 4
-          Array.empty[Array[Byte]]
-        } else {
-          if (sLen == 0) return None
-          val strip = java.util.Arrays.copyOfRange(payload,
-            (off + 4).toInt, (off + 4 + sLen).toInt)
-          off += 4 + sLen
-          Dctv.decodeStrip(strip, nStrip) match {
-            case Some(d) => d
-            case None    => return None
+  }
+
+  /** Encode the header + I-frame; returns (stream builder, decoded
+    * I-frame reference). */
+  private[multimodal] def encodeHeader(w: Int, h: Int,
+      frames: Seq[Array[Byte]], magic: String)
+      : (java.io.ByteArrayOutputStream, Array[Byte]) = {
+    require(w % 16 == 0 && h % 16 == 0 && w > 0 && h > 0 &&
+      w <= MaxDim && h <= MaxDim)
+    require(frames.nonEmpty && frames.length <= MaxFrames &&
+      frames.forall(_.length == w * h))
+    require(w.toLong * h * frames.length <= MaxDecodedBytes,
+      "stream exceeds the decoder's total-output cap")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(magic.getBytes("US-ASCII"))
+    le16(out, w); le16(out, h); le16(out, frames.length)
+    val flatC = Array.fill[Byte]((w / 2) * (h / 2))(128.toByte)
+    val iFrame = Jpeg.build(w, h, frames.head, flatC, flatC)
+    le32(out, iFrame.length); out.write(iFrame)
+    val ref = Jpeg.parse(iFrame)
+      .getOrElse(throw new IllegalStateException("i-frame self-decode"))
+      ._3(0)
+    (out, ref)
+  }
+
+  /** Encode luma frames (w·h bytes each, dims multiples of 16). */
+  def build(w: Int, h: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+    val (out, ref) = encodeHeader(w, h, frames, "MCV1")
+    frames.tail.foreach { cur =>
+      val (section, rec) = encodeP(cur, ref, w, h)
+      out.write(section)
+      System.arraycopy(rec, 0, ref, 0, w * h)
+    }
+    out.toByteArray
+  }
+
+  /** Parse + decode: (w, h, decoded frames, per-P-frame census), or
+    * None for anything hostile. */
+  def parse(payload: Array[Byte])
+      : Option[(Int, Int, Seq[Array[Byte]], Seq[FrameCensus])] = {
+    decodeHeader(payload, "MCV1") match {
+      case None => None
+      case Some((w, h, nf, first, off0)) =>
+        val frames = scala.collection.mutable.ArrayBuffer(first)
+        val census = scala.collection.mutable.ArrayBuffer.empty[FrameCensus]
+        var ref = first
+        var off = off0
+        var f = 1
+        while (f < nf) {
+          decodeP(payload, off, ref, w, h) match {
+            case None => return None
+            case Some((cur, c, newOff)) =>
+              frames += cur
+              census += c
+              ref = cur
+              off = newOff
           }
+          f += 1
         }
-      var intraSeen = 0
-      var residSeen = 0
-      i = 0
-      while (i < nBlocks) {
-        val bx = i % wb; val by = i / wb
-        if (bit(intraBm, i)) {
-          Dctv.putBlock(cur, w, bx, by, dec(intraSeen)); intraSeen += 1
-        } else {
-          val v = vecs(i)
-          val pred = grabAt(ref, w, bx, by, (v & 0xF) - Range,
-            (v >> 4) - Range)
-          if (bit(residBm, i)) {
-            val rb = dec(nIntra + residSeen); residSeen += 1
-            val outB = new Array[Byte](64)
-            var p = 0
-            while (p < 64) {
-              val vv = (pred(p) & 0xff) + ((rb(p) & 0xff) - 128)
-              outB(p) = math.max(0, math.min(255, vv)).toByte
-              p += 1
-            }
-            Dctv.putBlock(cur, w, bx, by, outB)
-          } else Dctv.putBlock(cur, w, bx, by, pred)
-        }
-        i += 1
-      }
-      census += FrameCensus(nMv, nResid, nIntra, zeroVecs)
-      frames += cur
-      ref = cur
-      f += 1
+        if (off != payload.length) return None // trailing garbage
+        Some((w, h, frames.toSeq, census.toSeq))
     }
-    if (off != payload.length) return None // trailing garbage
-    Some((w, h, frames.toSeq, census.toSeq))
   }
 }

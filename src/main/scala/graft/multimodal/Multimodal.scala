@@ -19,13 +19,13 @@ import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
   * round 12 NO production catalog entry constructs any stand-in —
   * every SparkEntry query decodes real containers; the CountCodec
   * stand-in that backed mm_near_dup through round 11 is deleted).
-  * B-frames and MP3-class perceptual audio are out-of-scope TIERS (no
-  * entry pretends to decode them): the honest coverage of those
-  * families is MJPEG-in-AVI + MS-RLE8 temporal deltas + intra-DCT
-  * conditional replenishment and motion-compensated P-frames (video)
-  * and μ-law/ADPCM/Rice (audio). Swapping codecs is a one-object
-  * change, and [[JpegCodec]] proves it with genuinely entropy-coded
-  * bytes.
+  * Sub-pixel motion and MP3-class perceptual audio are out-of-scope
+  * TIERS (no entry pretends to decode them): the honest coverage of
+  * those families is MJPEG-in-AVI + MS-RLE8 temporal deltas +
+  * intra-DCT conditional replenishment, motion-compensated P-frames
+  * and bidirectional GOP video ([[Dctv]]/[[Mcv]]/[[Gop]]) and
+  * μ-law/ADPCM/Rice (audio). Swapping codecs is a one-object change,
+  * and [[JpegCodec]] proves it with genuinely entropy-coded bytes.
   */
 object Multimodal {
 

@@ -1321,8 +1321,9 @@ object MultimodalOps {
     * Flat blocks survive [[graft.multimodal.Jpeg]]'s all-ones
     * quantization bit-exactly, so everything else replays
     * arithmetically. The motion-compensated tier above this one is
-    * [[mmMcFeatures]] ([[graft.multimodal.Mcv]], round 12); B-frames
-    * remain the honest ledger's residue. */
+    * [[mmMcFeatures]] ([[graft.multimodal.Mcv]]) and the
+    * bidirectional tier [[mmBframeFeatures]] ([[graft.multimodal.Gop]],
+    * both round 12); sub-pixel motion remains the ledger's residue. */
   /** MOTION-COMPENSATED video through the real closed-loop codec —
     * the tier the round-11 verdict named as the last honest video gap
     * ([[graft.multimodal.Mcv]]: per 8x8 block a bounded ±4 px
@@ -1343,8 +1344,9 @@ object MultimodalOps {
     * replenishment must re-send every straddling block of the SAME
     * translating frames as DCT strips, so the MC stream is strictly
     * smaller (computed engine-side; a byte count is not
-    * SQL-replayable — the plan-census pinning idiom). B-frames and
-    * sub-pixel motion remain the documented out-of-scope residue. */
+    * SQL-replayable — the plan-census pinning idiom). The
+    * bidirectional tier above this one is [[mmBframeFeatures]];
+    * sub-pixel motion remains the documented out-of-scope residue. */
   def mmMcFeatures(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     // the row reports the first 20 docs (the oracle's LIMIT 20 CTE):
@@ -1386,6 +1388,70 @@ object MultimodalOps {
       "n_mv_moving", "n_intra_p", "n_resid", "mass_f0", "mass_f1",
       "mass_f2", "mc_beats_cr")
     feats.orderBy(col("doc_id")).limit(20)
+  }
+
+  /** BIDIRECTIONAL (B-frame) video through the real GOP codec —
+    * [[graft.multimodal.Gop]], the tier above [[mmMcFeatures]]'s
+    * forward-only MC and the next line of the honest-limits ledger.
+    * Per doc: an I-B-P group over a block-constant field translating
+    * +2 px/frame PLUS a flat 2x2-block object that APPEARS at the B
+    * frame and persists — content no forward codec can predict, so
+    * its four blocks must ride BACKWARD prediction from the future
+    * anchor (bwd zero-SAD; in the P anchor itself they intra-code,
+    * flat ⇒ lossless). Everything is exactly predicted or flat-intra,
+    * so the whole GOP is LOSSLESS: per-frame masses and the full mode
+    * census (fwd/bwd counts, the hb+1 zero vectors — the left column
+    * rides fwd (0,0), the object's top-left block bwd (0,0); the
+    * other three object blocks match at interior offsets of the flat
+    * object) replay arithmetically from the corpus geometry.
+    * `gop_beats_cr` pins the compression fact vs [[graft.multimodal
+    * .Dctv]] (computed engine-side — byte counts are not
+    * SQL-replayable). Sub-pixel motion and per-direction vector pairs
+    * for the average mode remain the documented residue. */
+  def mmBframeFeatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // first 20 docs (the oracle's LIMIT 20), limited BEFORE the codec
+    val ids = Tables.spread(Tables.documents(s, d))
+      .select(col("doc_id")).orderBy(col("doc_id")).limit(20).as[Long]
+    val feats = ids.mapPartitions { it =>
+      it.map { id =>
+        val w = 48 + (id % 2).toInt * 16; val h = 32
+        val wb = w / 8; val hb = h / 8
+        val rbx = 1 + (id % (wb - 3)).toInt
+        val rby = (id % (hb - 1)).toInt
+        def field(f: Int, x: Int, y: Int): Int =
+          ((id * 7 + math.max((x - 2 * f + 8) / 8, 1) * 13 +
+            (y / 8) * 31) % 128).toInt
+        val frames = (0 until 3).map { f =>
+          Array.tabulate(w * h) { p =>
+            val x = p % w; val y = p / w
+            val inRect = f >= 1 && x >= 8 * rbx && x < 8 * rbx + 16 &&
+              y >= 8 * rby && y < 8 * rby + 16
+            if (inRect) 255.toByte else field(f, x, y).toByte
+          }
+        }
+        val stream = graft.multimodal.Gop.build(w, h, frames)
+        val (pw, ph, dec, pCensus, bCensus) =
+          graft.multimodal.Gop.parse(stream)
+            .getOrElse(throw new IllegalStateException(
+              s"gop round-trip failed for doc $id"))
+        val masses = dec.map { fr =>
+          var m = 0L; var p = 0
+          while (p < fr.length) { m += fr(p) & 0xff; p += 1 }
+          m
+        }
+        val cr = graft.multimodal.Dctv.build(w, h, frames)
+        val b = bCensus.head
+        (id, pw, ph, (wb * hb).toLong,
+          b.fwdBlocks.toLong, b.bwdBlocks.toLong, b.avgBlocks.toLong,
+          b.intraBlocks.toLong, b.residBlocks.toLong,
+          b.zeroVectors.toLong, pCensus.head.intraBlocks.toLong,
+          masses(0), masses(1), masses(2), stream.length < cr.length)
+      }
+    }.toDF("doc_id", "width", "height", "n_blocks", "b_fwd", "b_bwd",
+      "b_avg", "b_intra", "b_resid", "b_zero_vecs", "p_intra",
+      "mass_f0", "mass_f1", "mass_f2", "gop_beats_cr")
+    feats.orderBy(col("doc_id"))
   }
 
   def mmDctvFeatures(s: SparkSession, d: String): DataFrame = {
@@ -1499,6 +1565,7 @@ object MultimodalOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_bframe_features" -> mmBframeFeatures _,
     "mm_mc_features" -> mmMcFeatures _,
     "mm_near_dup_px" -> mmNearDupPx _,
     "mm_shard_audit" -> mmShardAudit _,
@@ -1527,6 +1594,55 @@ object MultimodalOps {
     "mm_dedup"    -> mmDedup _)
 
   val oracles: Map[String, String] = Map(
+    // the I-B-P group is fully lossless (exact prediction everywhere,
+    // flat intra for the appearing object), so masses regenerate from
+    // the field + object formulas and the whole mode census follows
+    // from the corpus geometry; the byte-count fact pins as TRUE
+    "mm_bframe_features" ->
+      """WITH ids AS (SELECT doc_id,
+        |    CAST(48 + (doc_id % 2) * 16 AS INTEGER) AS w,
+        |    CAST(32 AS INTEGER) AS h
+        |  FROM documents ORDER BY doc_id LIMIT 20),
+        |g AS (SELECT doc_id, w, h, w // 8 AS wb, h // 8 AS hb,
+        |    1 + doc_id % (w // 8 - 3) AS rbx,
+        |    doc_id % (h // 8 - 1) AS rby
+        |  FROM ids),
+        |fx AS (SELECT doc_id, w, h, wb, hb, rbx, rby,
+        |    CAST(tf.f AS BIGINT) AS f
+        |  FROM g, UNNEST(range(0, 3)) AS tf(f)),
+        |px AS (SELECT doc_id, w, h, wb, hb, f,
+        |    CASE WHEN f >= 1
+        |        AND CAST(t.p AS BIGINT) % w BETWEEN 8 * rbx
+        |          AND 8 * rbx + 15
+        |        AND CAST(t.p AS BIGINT) // w BETWEEN 8 * rby
+        |          AND 8 * rby + 15
+        |      THEN 255
+        |      ELSE (doc_id * 7
+        |        + greatest((CAST(t.p AS BIGINT) % w - 2 * f + 8) // 8, 1)
+        |          * 13
+        |        + ((CAST(t.p AS BIGINT) // w) // 8) * 31) % 128
+        |    END AS v
+        |  FROM fx, UNNEST(range(0, w * h)) AS t(p)),
+        |m AS (SELECT doc_id, w, h, wb, hb,
+        |    CAST(SUM(CASE WHEN f = 0 THEN v ELSE 0 END) AS BIGINT)
+        |      AS mass_f0,
+        |    CAST(SUM(CASE WHEN f = 1 THEN v ELSE 0 END) AS BIGINT)
+        |      AS mass_f1,
+        |    CAST(SUM(CASE WHEN f = 2 THEN v ELSE 0 END) AS BIGINT)
+        |      AS mass_f2
+        |  FROM px GROUP BY doc_id, w, h, wb, hb)
+        |SELECT doc_id, w AS width, h AS height,
+        |  CAST(wb * hb AS BIGINT) AS n_blocks,
+        |  CAST(wb * hb - 4 AS BIGINT) AS b_fwd,
+        |  CAST(4 AS BIGINT) AS b_bwd,
+        |  CAST(0 AS BIGINT) AS b_avg,
+        |  CAST(0 AS BIGINT) AS b_intra,
+        |  CAST(0 AS BIGINT) AS b_resid,
+        |  CAST(hb + 1 AS BIGINT) AS b_zero_vecs,
+        |  CAST(4 AS BIGINT) AS p_intra,
+        |  mass_f0, mass_f1, mass_f2,
+        |  TRUE AS gop_beats_cr
+        |FROM m ORDER BY doc_id""".stripMargin,
     // the translating field is fully lossless through the MC codec
     // (every P-block exactly predicted), so decoded masses regenerate
     // arithmetically; the mode census follows from the corpus

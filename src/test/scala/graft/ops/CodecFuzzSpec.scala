@@ -100,6 +100,17 @@ class CodecFuzzSpec extends SparkFunSuite {
       }
     }
     sweep("mcv", Mcv.build(48, 32, mv), b => Mcv.parse(b))
+    // bidirectional GOP: a corrupted direction byte, bitmap, vector,
+    // or strip in either the P or B section must quarantine
+    val gop = (0 until 3).map { f =>
+      Array.tabulate(48 * 32) { p =>
+        val x = p % 48; val y = p / 48
+        if (f >= 1 && x >= 16 && x < 32 && y >= 8 && y < 24) 255.toByte
+        else ((math.max((x - 2 * f + 8) / 8, 1) * 13 +
+          (y / 8) * 31) % 128).toByte
+      }
+    }
+    sweep("gop", Gop.build(48, 32, gop), b => Gop.parse(b))
   }
 
   test("Rle8.decode survives seeded corruption of key and delta chunks") {

@@ -227,6 +227,99 @@ class Round12OpsSpec extends SparkFunSuite {
     assert(graft.multimodal.Mcv.parse(null).isEmpty)
   }
 
+  // ---- bidirectional (B-frame) video ---------------------------------
+
+  /** The mm_bframe_features corpus: field translating +2 px/frame and
+    * a flat 2x2-block object appearing at the B frame. */
+  private def gopFrames(id: Long, w: Int, h: Int): Seq[Array[Byte]] = {
+    val wb = w / 8; val hb = h / 8
+    val rbx = 1 + (id % (wb - 3)).toInt
+    val rby = (id % (hb - 1)).toInt
+    (0 until 3).map { f =>
+      Array.tabulate(w * h) { p =>
+        val x = p % w; val y = p / w
+        val inRect = f >= 1 && x >= 8 * rbx && x < 8 * rbx + 16 &&
+          y >= 8 * rby && y < 8 * rby + 16
+        if (inRect) 255.toByte
+        else ((id * 7 + math.max((x - 2 * f + 8) / 8, 1) * 13 +
+          (y / 8) * 31) % 128).toByte
+      }
+    }
+  }
+
+  test("Gop: content APPEARING at the B frame rides backward " +
+    "prediction, the whole I-B-P group is lossless, and only the " +
+    "B tier explains it without intra") {
+    val (w, h) = (48, 32)
+    val frames = gopFrames(7L, w, h)
+    val stream = graft.multimodal.Gop.build(w, h, frames)
+    val (pw, ph, dec, pCensus, bCensus) =
+      graft.multimodal.Gop.parse(stream).get
+    assert((pw, ph) == (w, h) && dec.length == 3)
+    frames.zip(dec).zipWithIndex.foreach { case ((exp, got), f) =>
+      assert(java.util.Arrays.equals(exp, got), s"frame $f diverged")
+    }
+    val wb = w / 8; val hb = h / 8
+    val b = bCensus.head
+    assert(b.bwdBlocks == 4,
+      "the appearing object's 4 blocks must predict BACKWARD")
+    assert(b.fwdBlocks == wb * hb - 4 && b.avgBlocks == 0)
+    assert(b.intraBlocks == 0 && b.residBlocks == 0,
+      "the constructed GOP needs no intra/residual in the B frame")
+    assert(b.zeroVectors == hb + 1,
+      "left column fwd (0,0) + the object's top-left bwd (0,0)")
+    // in the P anchor the same object has NO past to predict from
+    assert(pCensus.head.intraBlocks == 4)
+  }
+
+  test("Gop: the average mode wins on a cross-fade (B = midpoint of " +
+    "its anchors)") {
+    val (w, h) = (48, 32)
+    val a0 = Array.fill[Byte](w * h)(100.toByte)
+    val b1 = Array.fill[Byte](w * h)(150.toByte)
+    val a2 = Array.fill[Byte](w * h)(200.toByte)
+    val stream = graft.multimodal.Gop.build(w, h, Seq(a0, b1, a2))
+    val (_, _, dec, _, bCensus) = graft.multimodal.Gop.parse(stream).get
+    assert(bCensus.head.avgBlocks == (w / 8) * (h / 8),
+      "every block of the midpoint frame must ride the average mode")
+    assert(bCensus.head.residBlocks == 0, "the rounded average is exact")
+    assert(java.util.Arrays.equals(dec(1), b1))
+  }
+
+  test("Gop: hostile streams fail closed — bad direction byte, even " +
+    "frame count, trailing garbage") {
+    val (w, h) = (48, 32)
+    val good = graft.multimodal.Gop.build(w, h, gopFrames(3L, w, h))
+    assert(graft.multimodal.Gop.parse(good).isDefined)
+    def u32(b: Array[Byte], o: Int): Long =
+      ((b(o) & 0xffL)) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    // walk to the B section: header+I, then the P section (2 bitmaps
+    // + MV bytes + strip), then the B bitmaps, then dir/MV pairs
+    val wb = w / 8; val hb = h / 8
+    val bmLen = (wb * hb + 7) / 8
+    var off = (14L + u32(good, 10)).toInt // P intra bitmap
+    def bitCount(o: Int): Int =
+      (0 until wb * hb).count(i => (good(o + i / 8) & (1 << (i % 8))) != 0)
+    val pIntra = bitCount(off)
+    val pMv = wb * hb - pIntra
+    val pStripLen = u32(good, off + 2 * bmLen + pMv).toInt
+    off += 2 * bmLen + pMv + 4 + pStripLen // B intra bitmap
+    val bIntra = bitCount(off)
+    assert(bIntra == 0) // corpus contract: all B blocks are MC
+    val dirOff = off + 2 * bmLen // first (dir, mv) pair
+    val bad = good.clone()
+    bad(dirOff) = 3.toByte // direction 3 does not exist
+    assert(graft.multimodal.Gop.parse(bad).isEmpty,
+      "an invalid direction byte must fail closed")
+    // an even display count cannot end on an anchor
+    val evenNf = good.clone()
+    evenNf(8) = 4.toByte; evenNf(9) = 0.toByte
+    assert(graft.multimodal.Gop.parse(evenNf).isEmpty)
+    assert(graft.multimodal.Gop.parse(good ++ Array[Byte](0)).isEmpty)
+    assert(graft.multimodal.Gop.parse(null).isEmpty)
+  }
+
   test("plan census: boolean-valued configs compare semantically " +
     "('TRUE'/'True' is the same plan regime, not a drift)") {
     val s2 = spark.newSession()
