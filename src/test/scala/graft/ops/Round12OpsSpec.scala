@@ -320,6 +320,36 @@ class Round12OpsSpec extends SparkFunSuite {
     assert(graft.multimodal.Gop.parse(null).isEmpty)
   }
 
+  test("crawl_funnel: the composed extract -> repair -> gates path " +
+    "routes each fixture class to the right stage") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("crawlfun").toString
+    val long = ("the quick brown fox jumps over the lazy dog and keeps " +
+      "on running through the field ") * 3
+    Seq(
+      // survives everything (en, long, quality prose)
+      (1L, long, "en", "a", 100L),
+      // an exact duplicate: dropped only at the dedup tail
+      (2L, long, "en", "a", 100L),
+      // too short for the boilerplate rule: dies at `extracted`
+      (3L, "three words only", "en", "a", 3L),
+      // extractable but not English: dies at lang_en
+      (4L, long, "de", "a", 100L),
+      // the repair-in-composition path: a C1 control INSIDE the text
+      // is stripped by the repair stage and the doc still survives
+      (5L, long + "x\u0085y", "en", "a", 100L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val got = TextOps.crawlFunnel(spark, d).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(got("total") == 5)
+    assert(got("extracted") == 4, "the 3-word doc dies at extraction")
+    assert(got("nonempty") == 4 && got("lang_en") == 3)
+    assert(got("quality") == 3 && got("token_range") == 3)
+    assert(got("exact_unique") == 2,
+      "the duplicate dies only at the dedup tail")
+  }
+
   test("plan census: boolean-valued configs compare semantically " +
     "('TRUE'/'True' is the same plan regime, not a drift)") {
     val s2 = spark.newSession()
