@@ -65,6 +65,28 @@ object Gop {
         Mcv.grabAt(nextA, w, bx, by, dx, dy))
     }
 
+  /** Allocation-free average-mode SAD: reads both planes in place —
+    * the search probes up to 81 candidates per block, so the hot loop
+    * must not materialize three arrays per candidate. */
+  private def sadAvg(curBlk: Array[Byte], prevA: Array[Byte],
+      nextA: Array[Byte], w: Int, bx: Int, by: Int, dx: Int,
+      dy: Int): Int = {
+    var s = 0
+    var r = 0
+    while (r < 8) {
+      val off = (by * 8 + dy + r) * w + bx * 8 + dx
+      val ao = r * 8
+      var c = 0
+      while (c < 8) {
+        val avg = ((prevA(off + c) & 0xff) + (nextA(off + c) & 0xff) + 1) >> 1
+        s += math.abs((curBlk(ao + c) & 0xff) - avg)
+        c += 1
+      }
+      r += 1
+    }
+    s
+  }
+
   /** Encode ONE B-frame section against the two decoded anchors. */
   private def encodeB(cur: Array[Byte], prevA: Array[Byte],
       nextA: Array[Byte], w: Int, h: Int): Array[Byte] = {
@@ -98,17 +120,8 @@ object Gop {
                   val s = dir match {
                     case 0 => Mcv.sad(curBlk, prevA, w, bx, by, dx, dy)
                     case 1 => Mcv.sad(curBlk, nextA, w, bx, by, dx, dy)
-                    case _ =>
-                      // avg SAD materializes the averaged block (no
-                      // plane to scan); bounded by the 81-candidate cap
-                      var s2 = 0
-                      val pb = predictB(2, prevA, nextA, w, bx, by, dx, dy)
-                      var p = 0
-                      while (p < 64) {
-                        s2 += math.abs((curBlk(p) & 0xff) - (pb(p) & 0xff))
-                        p += 1
-                      }
-                      s2
+                    case _ => sadAvg(curBlk, prevA, nextA, w, bx, by,
+                      dx, dy)
                   }
                   if (s < bestSad) {
                     bestSad = s; bestDir = dir; bestDx = dx; bestDy = dy
@@ -156,101 +169,66 @@ object Gop {
     out.toByteArray
   }
 
-  /** Decode ONE B-frame section at `off0`. */
+  /** Decode ONE B-frame section at `off0` — the bitmap, vector-bounds
+    * and strip strictness all ride [[Mcv]]'s shared primitives, so a
+    * hostile-input fix to the P section applies here automatically;
+    * only the direction byte and the two-anchor prediction are
+    * B-specific. */
   private def decodeB(payload: Array[Byte], off0: Long,
       prevA: Array[Byte], nextA: Array[Byte], w: Int,
       h: Int): Option[(Array[Byte], BCensus, Long)] = {
     val wb = w / 8; val hb = h / 8
     val nBlocks = wb * hb
-    val bmLen = (nBlocks + 7) / 8
-    var off = off0
-    if (off + 2L * bmLen > payload.length) return None
-    val intraBm = java.util.Arrays.copyOfRange(payload, off.toInt,
-      (off + bmLen).toInt)
-    val residBm = java.util.Arrays.copyOfRange(payload,
-      (off + bmLen).toInt, (off + 2 * bmLen).toInt)
-    off += 2L * bmLen
-    def bit(bm: Array[Byte], i: Int): Boolean =
-      (bm(i / 8) & (1 << (i % 8))) != 0
-    var i = nBlocks
-    while (i < bmLen * 8) {
-      if (bit(intraBm, i) || bit(residBm, i)) return None
-      i += 1
-    }
-    var nIntra = 0; var nResid = 0
-    i = 0
-    while (i < nBlocks) {
-      if (bit(intraBm, i)) {
-        if (bit(residBm, i)) return None
-        nIntra += 1
-      } else if (bit(residBm, i)) nResid += 1
-      i += 1
-    }
+    val (intraBm, residBm, nIntra, nResid, off1) =
+      Mcv.readModeBitmaps(payload, off0, nBlocks) match {
+        case Some(t) => t
+        case None    => return None
+      }
+    var off = off1
     val nMv = nBlocks - nIntra
     if (off + 2L * nMv > payload.length) return None
     val dirs = new Array[Int](nBlocks)
     val vecs = new Array[Int](nBlocks)
     var nFwd = 0; var nBwd = 0; var nAvg = 0; var zeroVecs = 0
     var vOff = off.toInt
-    i = 0
+    var i = 0
     while (i < nBlocks) {
-      if (!bit(intraBm, i)) {
+      if (!Mcv.bit(intraBm, i)) {
         val d = payload(vOff) & 0xff
         val b = payload(vOff + 1) & 0xff
         vOff += 2
         if (d > 2) return None
-        val dxN = b & 0xF; val dyN = b >> 4
-        if (dxN > 2 * Mcv.Range || dyN > 2 * Mcv.Range) return None
-        val dx = dxN - Mcv.Range; val dy = dyN - Mcv.Range
-        val bx = i % wb; val by = i / wb
-        if (bx * 8 + dx < 0 || bx * 8 + dx + 8 > w ||
-          by * 8 + dy < 0 || by * 8 + dy + 8 > h) return None
+        if (!Mcv.vectorValid(b, i, wb, w, h)) return None
         dirs(i) = d; vecs(i) = b
         d match {
           case 0 => nFwd += 1
           case 1 => nBwd += 1
           case _ => nAvg += 1
         }
-        if (dx == 0 && dy == 0) zeroVecs += 1
+        if (b == ((Mcv.Range << 4) | Mcv.Range)) zeroVecs += 1
       }
       i += 1
     }
     off += 2L * nMv
-    if (off + 4 > payload.length) return None
-    def u32(o: Int): Long =
-      ((payload(o) & 0xffL)) | ((payload(o + 1) & 0xffL) << 8) |
-        ((payload(o + 2) & 0xffL) << 16) | ((payload(o + 3) & 0xffL) << 24)
-    val sLen = u32(off.toInt)
-    if (sLen < 0 || off + 4 + sLen > payload.length) return None
-    val nStrip = nIntra + nResid
-    val cur = new Array[Byte](w * h)
-    val dec =
-      if (nStrip == 0) {
-        if (sLen != 0) return None
-        off += 4
-        Array.empty[Array[Byte]]
-      } else {
-        if (sLen == 0) return None
-        val strip = java.util.Arrays.copyOfRange(payload,
-          (off + 4).toInt, (off + 4 + sLen).toInt)
-        off += 4 + sLen
-        Dctv.decodeStrip(strip, nStrip) match {
-          case Some(d) => d
-          case None    => return None
-        }
+    val (dec, off2) =
+      Mcv.readStripBlocks(payload, off, nIntra + nResid) match {
+        case Some(t) => t
+        case None    => return None
       }
+    off = off2
+    val cur = new Array[Byte](w * h)
     var intraSeen = 0
     var residSeen = 0
     i = 0
     while (i < nBlocks) {
       val bx = i % wb; val by = i / wb
-      if (bit(intraBm, i)) {
+      if (Mcv.bit(intraBm, i)) {
         Dctv.putBlock(cur, w, bx, by, dec(intraSeen)); intraSeen += 1
       } else {
         val v = vecs(i)
         val pred = predictB(dirs(i), prevA, nextA, w, bx, by,
           (v & 0xF) - Mcv.Range, (v >> 4) - Mcv.Range)
-        if (bit(residBm, i)) {
+        if (Mcv.bit(residBm, i)) {
           Dctv.putBlock(cur, w, bx, by,
             Mcv.applyResidual(pred, dec(nIntra + residSeen)))
           residSeen += 1

@@ -238,25 +238,23 @@ object Mcv {
     (out.toByteArray, rec)
   }
 
-  /** Decode ONE P-frame section at `off0`; returns
-    * (frame, census, offset after), or None for anything hostile. */
-  private[multimodal] def decodeP(payload: Array[Byte], off0: Long,
-      ref: Array[Byte], w: Int,
-      h: Int): Option[(Array[Byte], FrameCensus, Long)] = {
-    val wb = w / 8; val hb = h / 8
-    val nBlocks = wb * hb
+  private[multimodal] def bit(bm: Array[Byte], i: Int): Boolean =
+    (bm(i / 8) & (1 << (i % 8))) != 0
+
+  /** Read + validate the two mode bitmaps shared by P and B sections:
+    * padding bits must be zero in BOTH, and no block may be intra and
+    * residual at once (canonical strictness — one implementation, so
+    * the two frame types cannot diverge on hostile input). Returns
+    * (intraBm, residBm, nIntra, nResid, offset after). */
+  private[multimodal] def readModeBitmaps(payload: Array[Byte],
+      off0: Long, nBlocks: Int)
+      : Option[(Array[Byte], Array[Byte], Int, Int, Long)] = {
     val bmLen = (nBlocks + 7) / 8
-    var off = off0
-    if (off + 2L * bmLen > payload.length) return None
-    val intraBm = java.util.Arrays.copyOfRange(payload, off.toInt,
-      (off + bmLen).toInt)
+    if (off0 + 2L * bmLen > payload.length) return None
+    val intraBm = java.util.Arrays.copyOfRange(payload, off0.toInt,
+      (off0 + bmLen).toInt)
     val residBm = java.util.Arrays.copyOfRange(payload,
-      (off + bmLen).toInt, (off + 2 * bmLen).toInt)
-    off += 2L * bmLen
-    def bit(bm: Array[Byte], i: Int): Boolean =
-      (bm(i / 8) & (1 << (i % 8))) != 0
-    // canonical strictness: padding bits zero in BOTH bitmaps, and
-    // no block is simultaneously intra and residual
+      (off0 + bmLen).toInt, (off0 + 2 * bmLen).toInt)
     var i = nBlocks
     while (i < bmLen * 8) {
       if (bit(intraBm, i) || bit(residBm, i)) return None
@@ -271,50 +269,77 @@ object Mcv {
       } else if (bit(residBm, i)) nResid += 1
       i += 1
     }
+    Some((intraBm, residBm, nIntra, nResid, off0 + 2L * bmLen))
+  }
+
+  /** Validate one motion byte for block i: nibbles in range AND the
+    * displaced block fully inside the frame (shared strictness). */
+  private[multimodal] def vectorValid(b: Int, i: Int, wb: Int, w: Int,
+      h: Int): Boolean = {
+    val dxN = b & 0xF; val dyN = b >> 4
+    if (dxN > 2 * Range || dyN > 2 * Range) return false
+    val dx = dxN - Range; val dy = dyN - Range
+    val bx = i % wb; val by = i / wb
+    bx * 8 + dx >= 0 && bx * 8 + dx + 8 <= w &&
+      by * 8 + dy >= 0 && by * 8 + dy + 8 <= h
+  }
+
+  /** Read + decode the u32-length strip holding nStrip blocks (shared
+    * by P and B sections; length 0 ⇔ no blocks). */
+  private[multimodal] def readStripBlocks(payload: Array[Byte],
+      off0: Long, nStrip: Int): Option[(Array[Array[Byte]], Long)] = {
+    if (off0 + 4 > payload.length) return None
+    def u32(o: Int): Long =
+      ((payload(o) & 0xffL)) | ((payload(o + 1) & 0xffL) << 8) |
+        ((payload(o + 2) & 0xffL) << 16) | ((payload(o + 3) & 0xffL) << 24)
+    val sLen = u32(off0.toInt)
+    if (sLen < 0 || off0 + 4 + sLen > payload.length) return None
+    if (nStrip == 0) {
+      if (sLen != 0) None else Some((Array.empty[Array[Byte]], off0 + 4))
+    } else {
+      if (sLen == 0) return None
+      val strip = java.util.Arrays.copyOfRange(payload,
+        (off0 + 4).toInt, (off0 + 4 + sLen).toInt)
+      Dctv.decodeStrip(strip, nStrip)
+        .map(d => (d, off0 + 4 + sLen))
+    }
+  }
+
+  /** Decode ONE P-frame section at `off0`; returns
+    * (frame, census, offset after), or None for anything hostile. */
+  private[multimodal] def decodeP(payload: Array[Byte], off0: Long,
+      ref: Array[Byte], w: Int,
+      h: Int): Option[(Array[Byte], FrameCensus, Long)] = {
+    val wb = w / 8; val hb = h / 8
+    val nBlocks = wb * hb
+    val (intraBm, residBm, nIntra, nResid, off1) =
+      readModeBitmaps(payload, off0, nBlocks) match {
+        case Some(t) => t
+        case None    => return None
+      }
+    var off = off1
     val nMv = nBlocks - nIntra
     if (off + nMv > payload.length) return None
     val vecs = new Array[Int](nBlocks)
     var zeroVecs = 0
     var vOff = off.toInt
-    i = 0
+    var i = 0
     while (i < nBlocks) {
       if (!bit(intraBm, i)) {
         val b = payload(vOff) & 0xff; vOff += 1
-        val dxN = b & 0xF; val dyN = b >> 4
-        if (dxN > 2 * Range || dyN > 2 * Range) return None
-        val dx = dxN - Range; val dy = dyN - Range
-        val bx = i % wb; val by = i / wb
-        if (bx * 8 + dx < 0 || bx * 8 + dx + 8 > w ||
-          by * 8 + dy < 0 || by * 8 + dy + 8 > h) return None
+        if (!vectorValid(b, i, wb, w, h)) return None
         vecs(i) = b
-        if (dx == 0 && dy == 0) zeroVecs += 1
+        if (b == ((Range << 4) | Range)) zeroVecs += 1
       }
       i += 1
     }
     off += nMv
-    if (off + 4 > payload.length) return None
-    def u32(o: Int): Long =
-      ((payload(o) & 0xffL)) | ((payload(o + 1) & 0xffL) << 8) |
-        ((payload(o + 2) & 0xffL) << 16) | ((payload(o + 3) & 0xffL) << 24)
-    val sLen = u32(off.toInt)
-    if (sLen < 0 || off + 4 + sLen > payload.length) return None
-    val nStrip = nIntra + nResid
+    val (dec, off2) = readStripBlocks(payload, off, nIntra + nResid) match {
+      case Some(t) => t
+      case None    => return None
+    }
+    off = off2
     val cur = new Array[Byte](w * h)
-    val dec =
-      if (nStrip == 0) {
-        if (sLen != 0) return None
-        off += 4
-        Array.empty[Array[Byte]]
-      } else {
-        if (sLen == 0) return None
-        val strip = java.util.Arrays.copyOfRange(payload,
-          (off + 4).toInt, (off + 4 + sLen).toInt)
-        off += 4 + sLen
-        Dctv.decodeStrip(strip, nStrip) match {
-          case Some(d) => d
-          case None    => return None
-        }
-      }
     var intraSeen = 0
     var residSeen = 0
     i = 0

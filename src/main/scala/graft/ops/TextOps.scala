@@ -154,37 +154,10 @@ object TextOps {
     * unpivot presents them as rows. Zero per-stage scans: at 100 TB
     * this costs a single corpus read + a window on the fingerprint
     * (needed only for the final dedup stage). */
-  def filterFunnel(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val flagged = funnelFlags(Tables.documents(s, d))
-    // survivor-min per fingerprint: the doc that represents its content
-    // among stage-5 survivors (null when no survivor has this fp)
-    val minSurvivor = min(when(col("s5"), col("doc_id")))
-      .over(Window.partitionBy(col("fp")))
-    val counts = flagged
-      .withColumn("s6", col("s5") && col("doc_id") === minSurvivor)
-      .agg(
-        // coalesce: a zero-row corpus must report 0 per stage (as the
-        // oracle's FILTER counts do), not NULL from an empty sum
-        count(lit(1)).as("n1"),
-        coalesce(sum(col("s2").cast("long")), lit(0L)).as("n2"),
-        coalesce(sum(col("s3").cast("long")), lit(0L)).as("n3"),
-        coalesce(sum(col("s4").cast("long")), lit(0L)).as("n4"),
-        coalesce(sum(col("s5").cast("long")), lit(0L)).as("n5"),
-        coalesce(sum(col("s6").cast("long")), lit(0L)).as("n6"))
-    counts.select(explode(array(
-        struct(lit(1).as("stage_idx"), lit("total").as("stage"), col("n1").as("n_docs")),
-        struct(lit(2).as("stage_idx"), lit("nonempty").as("stage"), col("n2").as("n_docs")),
-        struct(lit(3).as("stage_idx"), lit("lang_en").as("stage"), col("n3").as("n_docs")),
-        struct(lit(4).as("stage_idx"), lit("quality").as("stage"), col("n4").as("n_docs")),
-        struct(lit(5).as("stage_idx"), lit("token_range").as("stage"), col("n5").as("n_docs")),
-        struct(lit(6).as("stage_idx"), lit("exact_unique").as("stage"), col("n6").as("n_docs"))))
-        .as("r"), col("n1"))
-      .select(col("r.stage_idx"), col("r.stage"), col("r.n_docs"),
-        round(col("r.n_docs").cast("double") /
-          greatest(col("n1"), lit(1L)).cast("double"), 6).as("retained_frac"))
-      .orderBy(col("stage_idx"))
-  }
+  def filterFunnel(s: SparkSession, d: String): DataFrame =
+    funnelStageTable(funnelFlags(Tables.documents(s, d)), Seq(
+      "nonempty" -> "s2", "lang_en" -> "s3", "quality" -> "s4",
+      "token_range" -> "s5", "exact_unique" -> "s6"))
 
   /** The END-TO-END crawl-to-corpus funnel — the composition the
     * reference actually runs (fetch → bs4/newspaper extraction →
@@ -204,7 +177,6 @@ object TextOps {
     * full raw-crawl → training-corpus path costs one corpus read. */
   def crawlFunnel(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     val raw = Tables.spread(Tables.documents(s, d))
       .select(col("doc_id"), col("lang"), col("text"))
       .as[(Long, String, String)]
@@ -214,38 +186,41 @@ object TextOps {
         (id, lang, mojibakeRepair(r.content), r.keptBlocks == 1)
       }
     }.toDF("doc_id", "lang", "text", "extracted")
-    val flagged = funnelFlags(recovered)
+    funnelStageTable(funnelFlags(recovered), Seq(
+      "extracted" -> "extracted", "nonempty" -> "s2", "lang_en" -> "s3",
+      "quality" -> "s4", "token_range" -> "s5", "exact_unique" -> "s6"))
+  }
+
+  /** The ONE stage-table presenter behind [[filterFunnel]] and
+    * [[crawlFunnel]] (a dedup-rule or presentation fix lands once):
+    * derives the exact-unique tail (survivor-min per fingerprint),
+    * folds the cumulative flags in one hash-agg (coalesce: a zero-row
+    * corpus must report 0 per stage, not NULL), and unpivots into the
+    * dataset-card rows. `stages` lists (name, flag column) AFTER the
+    * implicit leading `total`; the "s6" name resolves to the derived
+    * dedup column. */
+  private def funnelStageTable(flagged: DataFrame,
+      stages: Seq[(String, String)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val minSurvivor = min(when(col("s5"), col("doc_id")))
       .over(Window.partitionBy(col("fp")))
-    val counts = flagged
-      .withColumn("s6", col("s5") && col("doc_id") === minSurvivor)
-      .agg(
-        count(lit(1)).as("n1"),
-        coalesce(sum(col("extracted").cast("long")), lit(0L)).as("nx"),
-        coalesce(sum(col("s2").cast("long")), lit(0L)).as("n2"),
-        coalesce(sum(col("s3").cast("long")), lit(0L)).as("n3"),
-        coalesce(sum(col("s4").cast("long")), lit(0L)).as("n4"),
-        coalesce(sum(col("s5").cast("long")), lit(0L)).as("n5"),
-        coalesce(sum(col("s6").cast("long")), lit(0L)).as("n6"))
-    counts.select(explode(array(
-        struct(lit(1).as("stage_idx"), lit("total").as("stage"),
-          col("n1").as("n_docs")),
-        struct(lit(2).as("stage_idx"), lit("extracted").as("stage"),
-          col("nx").as("n_docs")),
-        struct(lit(3).as("stage_idx"), lit("nonempty").as("stage"),
-          col("n2").as("n_docs")),
-        struct(lit(4).as("stage_idx"), lit("lang_en").as("stage"),
-          col("n3").as("n_docs")),
-        struct(lit(5).as("stage_idx"), lit("quality").as("stage"),
-          col("n4").as("n_docs")),
-        struct(lit(6).as("stage_idx"), lit("token_range").as("stage"),
-          col("n5").as("n_docs")),
-        struct(lit(7).as("stage_idx"), lit("exact_unique").as("stage"),
-          col("n6").as("n_docs"))))
-        .as("r"), col("n1"))
+    val withS6 = flagged.withColumn("s6",
+      col("s5") && col("doc_id") === minSurvivor)
+    val aggs = stages.zipWithIndex.map { case ((_, c), i) =>
+      coalesce(sum(col(c).cast("long")), lit(0L)).as(s"c${i + 1}")
+    }
+    val counts = withS6.agg(count(lit(1)).as("c0"), aggs: _*)
+    val structs =
+      struct(lit(1).as("stage_idx"), lit("total").as("stage"),
+        col("c0").as("n_docs")) +:
+        stages.zipWithIndex.map { case ((nm, _), i) =>
+          struct(lit(i + 2).as("stage_idx"), lit(nm).as("stage"),
+            col(s"c${i + 1}").as("n_docs"))
+        }
+    counts.select(explode(array(structs: _*)).as("r"), col("c0"))
       .select(col("r.stage_idx"), col("r.stage"), col("r.n_docs"),
         round(col("r.n_docs").cast("double") /
-          greatest(col("n1"), lit(1L)).cast("double"), 6)
+          greatest(col("c0"), lit(1L)).cast("double"), 6)
           .as("retained_frac"))
       .orderBy(col("stage_idx"))
   }
@@ -1762,32 +1737,69 @@ object TextOps {
     s"(CASE $whens WHEN $x BETWEEN 128 AND 191 THEN $x ELSE 0 END)"
   }
 
+  /** The character-level repair replay (`cps` → `fix` CTEs), shared by
+    * the text_mojibake_fix and crawl_funnel oracles so the two cannot
+    * drift; `passCols` ride through. Margin-free text: it interpolates
+    * into stripMargin'd strings, so no line may lead with a pipe (the
+    * double-strip trap in the verify notes). */
+  private def sqlRepairCtes(passCols: String): String = {
+    val bSelf = sqlSloppyByte("cp[i]")
+    val bNext = sqlSloppyByte("cp[i+1]")
+    val bThird = sqlSloppyByte("cp[i+2]")
+    s"""cps AS (
+  SELECT $passCols, text,
+    list_transform(string_split(text, ''), c -> unicode(c)) AS cp,
+    string_split(text, '') AS cs
+  FROM documents),
+fix AS (
+  SELECT $passCols, text,
+    array_to_string(list_transform(range(1, len(cp) + 1), i ->
+      CASE
+        WHEN i >= 2 AND cp[i-1] = 195
+          AND cp[i] BETWEEN 128 AND 191 THEN ''
+        WHEN i >= 2 AND cp[i-1] = 226 AND cp[i] = 8364
+          AND $bNext >= 128 THEN ''
+        WHEN i >= 3 AND cp[i-2] = 226 AND cp[i-1] = 8364
+          AND $bSelf >= 128 THEN ''
+        WHEN cp[i] = 195
+          AND COALESCE(cp[i+1], 0) BETWEEN 128 AND 191
+          THEN chr(CAST(cp[i+1] + 64 AS INTEGER))
+        WHEN cp[i] = 226 AND COALESCE(cp[i+1], 0) = 8364
+          AND $bThird >= 128
+          THEN chr(CAST(8064 + $bThird AS INTEGER))
+        WHEN cp[i] BETWEEN 128 AND 159 THEN ''
+        WHEN cp[i] BETWEEN 1 AND 8 OR cp[i] IN (11, 12)
+          OR cp[i] BETWEEN 14 AND 31 THEN ''
+        ELSE cs[i] END), '') AS fixed
+  FROM cps)"""
+  }
+
   val oracles: Map[String, String] = Map(
     // the filter_funnel stage replay with the extraction stage
-    // prepended: a doc keeps its recovered text iff its main block
-    // survives the >= 4-words boilerplate rule (and the extractor is
-    // separately hash-checked to return it VERBATIM), so every later
-    // gate is the original-text gate conjoined with that keep flag.
-    // The repair step is identity here BY MEASUREMENT, not assumption:
-    // text_mojibake's computed detector zeros pin the corpus clean,
-    // and the spec drives the repair-in-composition path on injected
-    // fixtures
+    // prepended AND the repair replayed: a doc keeps its recovered
+    // text iff its main block survives the >= 4-words boilerplate rule
+    // on the RAW text (extraction precedes repair and returns the text
+    // verbatim — separately hash-checked), and every later gate runs
+    // on the REPAIRED text in both engines, so the parity holds on ANY
+    // corpus, mojibaked or clean — no identity assumption
     "crawl_funnel" ->
-      """WITH f AS (
+      s"""WITH ${sqlRepairCtes("doc_id, lang")},
+        |f AS (
         |  SELECT doc_id, lang,
-        |    len(list_filter(string_split_regex(text, '[ \t\n\r]+'),
+        |    len(list_filter(string_split_regex(text, '[ \\t\\n\\r]+'),
         |      x -> x != '')) >= 4 AS sx,
-        |    length(trim(text)) > 0 AS raw2,
-        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
-        |    CASE WHEN length(trim(text)) = 0 THEN 0
-        |         ELSE len(string_split_regex(trim(text), '\s+')) END
+        |    length(trim(fixed)) > 0 AS raw2,
+        |    md5(regexp_replace(lower(trim(fixed)), '\\s+', ' ', 'g'))
+        |      AS fp,
+        |    CASE WHEN length(trim(fixed)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(fixed), '\\s+')) END
         |      AS n_words,
-        |    len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
-        |    length(text) AS n_chars2,
-        |    len(regexp_extract_all(lower(text),
-        |      '\b(the|a|an|of|to|in|and|is|it|that|for|on|was|with|as|at|be|this|are|or)\b'))
+        |    len(regexp_extract_all(fixed, '[^\\w\\s]')) AS n_punct,
+        |    length(fixed) AS n_chars2,
+        |    len(regexp_extract_all(lower(fixed),
+        |      '\\b(the|a|an|of|to|in|and|is|it|that|for|on|was|with|as|at|be|this|are|or)\\b'))
         |      AS n_stop
-        |  FROM documents),
+        |  FROM fix),
         |g AS (
         |  SELECT doc_id, fp, sx,
         |    sx AND raw2 AS s2,
@@ -1865,35 +1877,7 @@ object TextOps {
     // another repair), then the T274 detectors re-run on the repaired
     // text — zeros computed, never pinned
     "text_mojibake_fix" -> {
-      val bSelf = sqlSloppyByte("cp[i]")
-      val bNext = sqlSloppyByte("cp[i+1]")
-      val bThird = sqlSloppyByte("cp[i+2]")
-      s"""WITH cps AS (
-        |  SELECT source, text,
-        |    list_transform(string_split(text, ''), c -> unicode(c)) AS cp,
-        |    string_split(text, '') AS cs
-        |  FROM documents),
-        |fix AS (
-        |  SELECT source, text,
-        |    array_to_string(list_transform(range(1, len(cp) + 1), i ->
-        |      CASE
-        |        WHEN i >= 2 AND cp[i-1] = 195
-        |          AND cp[i] BETWEEN 128 AND 191 THEN ''
-        |        WHEN i >= 2 AND cp[i-1] = 226 AND cp[i] = 8364
-        |          AND $bNext >= 128 THEN ''
-        |        WHEN i >= 3 AND cp[i-2] = 226 AND cp[i-1] = 8364
-        |          AND $bSelf >= 128 THEN ''
-        |        WHEN cp[i] = 195
-        |          AND COALESCE(cp[i+1], 0) BETWEEN 128 AND 191
-        |          THEN chr(CAST(cp[i+1] + 64 AS INTEGER))
-        |        WHEN cp[i] = 226 AND COALESCE(cp[i+1], 0) = 8364
-        |          AND $bThird >= 128
-        |          THEN chr(CAST(8064 + $bThird AS INTEGER))
-        |        WHEN cp[i] BETWEEN 128 AND 159 THEN ''
-        |        WHEN cp[i] BETWEEN 1 AND 8 OR cp[i] IN (11, 12)
-        |          OR cp[i] BETWEEN 14 AND 31 THEN ''
-        |        ELSE cs[i] END), '') AS fixed
-        |  FROM cps),
+      s"""WITH ${sqlRepairCtes("source")},
         |m AS (
         |  SELECT source,
         |    CASE WHEN fixed <> text THEN 1 ELSE 0 END AS changed,
