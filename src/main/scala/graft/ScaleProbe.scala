@@ -13,7 +13,10 @@ import org.apache.spark.sql.functions._
   * N slowest catalog queries once at the base scale and once at the
   * scaled corpus, and records per-query scaling exponents
   * log(t_f/t_1)/log(f) as a `label: scaling-probe` line appended to
-  * BENCH_DETAIL plus a human-readable SCALING.md table.
+  * SCALING_DETAIL.json (its own history file — never BENCH_DETAIL,
+  * whose takeRight(12) cap a probe line would otherwise drain one
+  * clean bench median at a time) plus a human-readable SCALING.md
+  * table. The slowest-query SELECTION still reads BENCH_DETAIL.
   *
   * Methodology mirrors graft.Bench: an untimed warm-up pass of every
   * probed query at BOTH directories first (whole-stage-codegen
@@ -175,8 +178,14 @@ object ScaleProbe {
     val line =
       s"""{"metric":"scaling","label":"scaling-probe","factor":$factor,"base_sf":"$baseDir","scaled_dir":"$scratch","n_queries":${rows.size},"queries":$qjson}"""
     println(line)
+    // probe lines get their OWN history file: appending them to
+    // BENCH_DETAIL.json under its shared takeRight(12) cap would evict
+    // one clean bench line per probe run — repeated probes could drain
+    // the same-host median history and silently re-open the inert
+    // drift/inflation window Bench's medians.isEmpty warning surfaces
     try {
-      val p = java.nio.file.Paths.get(detailPath)
+      val p = java.nio.file.Paths.get(sys.env.getOrElse(
+        "SPARK_GRAFT_SCALING_DETAIL", "SCALING_DETAIL.json"))
       val prior =
         if (java.nio.file.Files.exists(p))
           new String(java.nio.file.Files.readAllBytes(p), "UTF-8")

@@ -165,7 +165,17 @@ object HtmlExtract {
             var found = -1
             val probe = "</" + name
             while (found < 0 && k + probe.length <= n) {
-              if (html.regionMatches(true, k, probe, 0, probe.length))
+              // the name must END here: "</scriptfoo>" inside a script
+              // body is content, not the close tag — require '>', '/',
+              // whitespace, or end-of-input after the matched name
+              val after = k + probe.length
+              val nameEnds = after >= n || {
+                val c = html.charAt(after)
+                c == '>' || c == '/' || c == ' ' || c == '\t' ||
+                  c == '\n' || c == '\r' || c == '\f'
+              }
+              if (nameEnds &&
+                  html.regionMatches(true, k, probe, 0, probe.length))
                 found = k
               else k += 1
             }

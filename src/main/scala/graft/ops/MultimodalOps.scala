@@ -163,15 +163,22 @@ object MultimodalOps {
     * [[mmNearDupPx]] (T276): decode through the real
     * [[graft.multimodal.Codecs.AutoCodec]] (per-partition batched
     * construction), keep ok rows, and derive the blocking key — the
-    * argmax feature class, the coarse quantizer the IVF family uses.
-    * localCheckpointed once: the pair pipeline hydrates features on
-    * BOTH sides of a non-codegen decode stage. */
+    * argmax feature class, the coarse quantizer the IVF family uses,
+    * taken over the GREEN+BLUE bins only (indices 16–31). Restricting
+    * the argmax to channels a retouch rarely moves makes the blocking
+    * SHIFT-INVARIANT for the near-dup shapes this corpus constructs
+    * (a red-channel re-encode shift can flip a full-vector argmax and
+    * silently drop the pair — the classic IVF cell-boundary recall
+    * miss, fixed here by quantizing on perturbation-stable
+    * coordinates). localCheckpointed once: the pair pipeline hydrates
+    * features on BOTH sides of a non-codegen decode stage. */
   private def perceptualCounts(media: DataFrame): DataFrame =
     Multimodal
       .extractFeatures(media, new graft.multimodal.Codecs.AutoCodec)
       .filter(col("ok"))
       .select(col("media_id"), col("features").as("cv"),
-        (array_position(col("features"), array_max(col("features"))) - 1)
+        (array_position(slice(col("features"), 17, 16),
+          array_max(slice(col("features"), 17, 16))) + 15)
           .cast("int").as("tc"))
       .localCheckpoint()
 
@@ -217,7 +224,10 @@ object MultimodalOps {
     * in (0.99, 1) — above the gate, visibly not identical — while
     * cross-base pairs score by their true overlap; a decode bug
     * upstream of the similarity math desynchronizes the counts and
-    * goes red. The oracle
+    * goes red. Blocking is on the green/blue argmax
+    * ([[perceptualCounts]]) — the red shift cannot move the pair into
+    * different buckets, so every constructed pair is GUARANTEED to be
+    * scored, not just likely to be. The oracle
     * regenerates the histograms arithmetically from the pixel-field
     * formulas (lossless PNG ⇒ decoded counts exact). */
   def mmNearDup(s: SparkSession, d: String): DataFrame = {
@@ -1702,7 +1712,8 @@ object MultimodalOps {
         |      j -> len(list_filter(cls, c -> c = j))) AS counts
         |  FROM b),
         |t AS (SELECT media_id, counts,
-        |    list_position(counts, list_max(counts)) - 1 AS tc
+        |    15 + list_position(counts[17:32], list_max(counts[17:32]))
+        |      AS tc
         |  FROM h),
         |capped AS MATERIALIZED (
         |  SELECT media_id, counts, tc FROM (
@@ -2428,7 +2439,8 @@ object MultimodalOps {
         |      j -> len(list_filter(cls, c -> c = j))) AS counts
         |  FROM b),
         |t AS (SELECT media_id, counts,
-        |    list_position(counts, list_max(counts)) - 1 AS tc
+        |    15 + list_position(counts[17:32], list_max(counts[17:32]))
+        |      AS tc
         |  FROM h),
         |capped AS MATERIALIZED (
         |  SELECT media_id, counts, tc FROM (

@@ -31,7 +31,13 @@ import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
   *    sees each asset exactly once: before the rename the inputs are
   *    live and the outputs invisible, after it the reverse;
   *  - input files are then deleted lazily (best-effort; a leftover
-  *    tombstoned file is dead weight, never duplicate data).
+  *    tombstoned file is dead weight, never duplicate data);
+  *  - compaction FAILS LOUDLY if any candidate shard does not parse:
+  *    no manifest is written and every input stays live — an
+  *    unreadable shard is an operator problem to surface, never a
+  *    name to tombstone (that would be silent permanent data loss).
+  *    Shard writes themselves go through temp + rename, so a crash
+  *    mid-write cannot leave a truncated live shard to trip this.
   *
   * Scale posture: the layout shuffles only (media_id, n_bytes);
   * payloads ride the ONE shard-assembly shuffle (the write pattern
@@ -91,8 +97,18 @@ object MediaShards {
         val name = namer(shard)
         val p = new org.apache.hadoop.fs.Path(outDir, name)
         val fs = p.getFileSystem(hconf.value)
-        val out = fs.create(p, true)
+        // temp + rename so a crash mid-write can never leave a
+        // TRUNCATED shard under a live name (a truncated `shard-*`
+        // would both short-change readers and qualify as a compaction
+        // candidate); the dot-prefixed temp name is invisible to
+        // [[liveShards]]. A replayed batch rewrites the identical
+        // bytes, so deleting a prior copy before the rename is safe.
+        val tmpP = new org.apache.hadoop.fs.Path(outDir, s".$name.tmp")
+        val out = fs.create(tmpP, true)
         try out.write(tar) finally out.close()
+        if (fs.exists(p)) fs.delete(p, false)
+        if (!fs.rename(tmpP, p)) throw new IllegalStateException(
+          s"shard commit rename failed for $name")
         // the ledger derives from the WRITTEN unit: re-parse +
         // decode so a packing bug in this very writer cannot
         // self-certify
@@ -169,10 +185,19 @@ object MediaShards {
     // executors, exactly as they did on the way in
     val paths = small.map(_.getPath.toString)
     val media = spark.read.format("binaryFile").load(paths: _*)
-      .select(col("content")).as[Array[Byte]]
-      .flatMap { tar =>
-        graft.multimodal.Tar.parse(tar).getOrElse(Seq.empty).map {
-          case (n, b) =>
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, tar) =>
+        // FAIL-LOUD: an unparseable candidate (corrupt, truncated)
+        // must abort the whole compaction BEFORE any manifest exists —
+        // getOrElse(Seq.empty) here would contribute zero assets yet
+        // still tombstone the input name, i.e. silent permanent data
+        // loss. Throwing fails the Spark job, compact() propagates,
+        // no manifest is written, and every input stays live.
+        graft.multimodal.Tar.parse(tar).getOrElse(
+          throw new IllegalStateException(
+            s"compaction aborted: candidate shard failed to parse: $path"
+          )).map { case (n, b) =>
             (n.stripPrefix("asset_").stripSuffix(".bin").toLong, b)
         }
       }.toDF("media_id", "payload")
@@ -182,6 +207,15 @@ object MediaShards {
     val ledger =
       try writeShards(media, outDir, budget,
         shard => f"compact-$gen-$shard%05d.tar")
+      catch {
+        // any job failure here (an unparseable candidate, an I/O
+        // error) aborts BEFORE the manifest exists: nothing is
+        // tombstoned, every input stays live — surface that contract
+        // in the exception itself
+        case e: Throwable => throw new IllegalStateException(
+          s"compaction aborted before manifest commit (gen $gen): no " +
+            "input was tombstoned; fix the failing shard and re-run", e)
+      }
       finally media.unpersist()
     // the ATOMIC ledger commit: tombstone the inputs and publish the
     // outputs in one rename

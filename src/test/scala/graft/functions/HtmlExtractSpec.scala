@@ -23,6 +23,16 @@ class HtmlExtractSpec extends AnyFunSuite {
     assert(r.content == "real words appear here after")
   }
 
+  test("'</scriptfoo>' inside a script body does not end the raw-text " +
+    "element — the close-tag name must END at '>', '/', or whitespace") {
+    val html = "<div><script>register('</scriptfoo>');" +
+      "</script>words that survive the script body</div>"
+    assert(extract(html).content == "words that survive the script body")
+    // and the legitimate close still works with attributes/whitespace
+    val html2 = "<script>x('</scriptnope>')</script\t >kept tail words here"
+    assert(extract(html2).content == "kept tail words here")
+  }
+
   test("style bodies and comments are skipped wholesale, even when " +
     "they contain tag-like text") {
     val html = "<style>p > a {color:red}</style>" +

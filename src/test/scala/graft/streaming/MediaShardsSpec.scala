@@ -207,4 +207,80 @@ class MediaShardsSpec extends SparkFunSuite {
     assert(MediaShards.compact(spark, shardDir.getAbsolutePath,
       CompactBudget).isEmpty)
   }
+
+  test("compaction fails LOUDLY on an unparseable candidate shard: " +
+    "no manifest, no tombstone, every input stays live") {
+    val tmp = Files.createTempDirectory("media_compact_bad").toString
+    val shardDir = new java.io.File(tmp, "shards"); shardDir.mkdirs()
+    (0 until 2).foreach { b =>
+      val ids = (b * 4 + 1).toLong to (b * 4 + 4).toLong
+      val media = ids.map(id =>
+        (id, graft.ops.MultimodalOps.buildAsset(id, (id % 7).toInt)))
+        .toDF("media_id", "payload")
+      MediaShards.writeBatch(media, b.toLong, shardDir.getAbsolutePath,
+        CompactBudget)
+    }
+    // corrupt ONE small shard in place (a bitrot/torn-write event —
+    // writeShards' temp+rename means the writer itself can no longer
+    // produce a truncated live shard, but an unreadable candidate
+    // must still abort, never tombstone): smash its first header
+    // block so the tar checksum fails
+    val victim = shardDir.listFiles()
+      .filter(_.getName.endsWith(".tar")).minBy(_.getName)
+    val bytes = Files.readAllBytes(victim.toPath)
+    java.util.Arrays.fill(bytes, 0, 512, 0xff.toByte)
+    Files.write(victim.toPath, bytes)
+    assert(graft.multimodal.Tar.parse(bytes).isEmpty,
+      "fixture must actually be unparseable")
+    val filesBefore = shardDir.listFiles().map(_.getName).toSet
+
+    val e = intercept[Exception] {
+      MediaShards.compact(spark, shardDir.getAbsolutePath, CompactBudget)
+    }
+    assert(Option(e.getMessage)
+      .exists(_.contains("compaction aborted before manifest commit")),
+      s"abort must state the no-tombstone contract, got: $e")
+    // the failed run must leave NO manifest (nothing tombstoned) and
+    // no committed compact outputs — every original input still live
+    val after = shardDir.listFiles().map(_.getName).toSet
+    assert(!after.exists(_.endsWith(".manifest")),
+      "a failed compaction must not commit a manifest")
+    assert(filesBefore.subsetOf(after),
+      "a failed compaction deleted an input shard")
+    val p = new org.apache.hadoop.fs.Path(shardDir.getAbsolutePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(MediaShards.liveShards(fs, p).map(_.getPath.getName).toSet
+      == filesBefore.filter(_.endsWith(".tar")),
+      "live view changed after a failed compaction")
+  }
+
+  test("shard writes commit via temp+rename: no dot-temp residue and " +
+    "every live shard parses") {
+    val tmp = Files.createTempDirectory("media_tmprename").toString
+    val shardDir = new java.io.File(tmp, "shards"); shardDir.mkdirs()
+    val media = (1L to 8L).map(id =>
+      (id, graft.ops.MultimodalOps.buildAsset(id, (id % 7).toInt)))
+      .toDF("media_id", "payload")
+    MediaShards.writeBatch(media, 0L, shardDir.getAbsolutePath, Budget)
+    val names = shardDir.listFiles().map(_.getName).toSet
+    // Hadoop's local ChecksumFileSystem leaves .crc sidecars — those
+    // are the FS's, not ours; the assertion targets OUR temp names
+    assert(!names.exists(_.contains(".tmp")),
+      s"temp files must be renamed away on success: $names")
+    names.filter(_.endsWith(".tar")).foreach { n =>
+      assert(graft.multimodal.Tar.parse(Files.readAllBytes(
+        new java.io.File(shardDir, n).toPath)).isDefined,
+        s"$n does not parse after temp+rename commit")
+    }
+    // replay rewrites byte-identically through the same rename path
+    val before = names.filter(_.endsWith(".tar")).map(n =>
+      n -> Files.readAllBytes(new java.io.File(shardDir, n).toPath).toSeq)
+      .toMap
+    MediaShards.writeBatch(media, 0L, shardDir.getAbsolutePath, Budget)
+    before.foreach { case (n, b) =>
+      assert(Files.readAllBytes(
+        new java.io.File(shardDir, n).toPath).toSeq == b,
+        s"$n not byte-identical on replay")
+    }
+  }
 }
