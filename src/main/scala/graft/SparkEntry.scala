@@ -45,7 +45,8 @@ object SparkEntry {
     QueryModule(ops.TrainOps.queries, ops.TrainOps.oracles),
     QueryModule(ops.StatsOps.queries, ops.StatsOps.oracles),
     QueryModule(ops.GraphOps.queries, ops.GraphOps.oracles),
-    QueryModule(ops.Headline.queries, ops.Headline.oracles))
+    QueryModule(ops.Headline.queries, ops.Headline.oracles),
+    QueryModule(fec.FecFunnel.queries, fec.FecFunnel.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

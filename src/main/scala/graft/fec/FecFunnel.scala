@@ -1,0 +1,243 @@
+package graft.fec
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** The FEC FLAGSHIP dataflow (SURVEY §3.1) as ONE hash-checked catalog
+  * row — the round-12 verdict's top ask: the reference's own headline
+  * pipeline, raw pipe-text bytes → schema dispatch (S5,
+  * `import_bigquery/main.py:27-33`) → master table (A1/U1/F3/F4,
+  * `create_master_tables/main.py:26-61`) → classification + elastic
+  * enrichment (P2/U2/U3, `contributions.sql:3-129`) → document
+  * envelopes (F1/F6, `load_elastic_contributions/main.py:90-196`) →
+  * graph CONTRIBUTED_TO MERGE keys (G7, `load_graph_contributions/
+  * cypher.py:11-112`) — presented as the per-stage row-count funnel
+  * the crawl_funnel row established for the web path. Every stage runs
+  * the REAL production function ([[FecSchemas]], [[MasterTables]],
+  * [[ContributionViews]], [[FecDocs]], [[FecGraph]] — no copies), so
+  * a semantics regression anywhere in the §3.1 chain flips this one
+  * driver-gate row red.
+  *
+  * Fixture: pipe-text LINES synthesized deterministically from
+  * documents.doc_id (one indiv22 fact per doc plus an exact-duplicate
+  * line every 17th doc, a memo-coded line every 11th, a malformed line
+  * every 19th, and an oth22 inter-committee fact every 10th), parsed
+  * through the real quarantined S3 scan — so the funnel starts from
+  * BYTES, not from pre-typed rows, exactly like the reference's bulk
+  * load. The oracle regenerates the logical rows arithmetically from
+  * the same formulas and REPLAYS every stage rule in SQL (quarantine,
+  * memo exclusion, 19-col dedup, the classification predicates, the
+  * process_name/clean_zip donor identity, the MERGE-key distinct), so
+  * each stage count is computed twice from the shared doc_id seed —
+  * never pinned.
+  *
+  * Scale posture: line synthesis is a flatMap over the distributed doc
+  * scan; the parse is Spark's codegen'd CSV reader over the cached
+  * line partitions (one scan serves clean + quarantine + both counts);
+  * the master DISTINCT is the one wide shuffle (exactly the production
+  * plan — at 100 TB it runs per cycle partition); dims broadcast; the
+  * MERGE-key stage shuffles (label, key, target) triples only. Stage
+  * counts are six bounded aggregates; no payload ever visits the
+  * driver.
+  */
+object FecFunnel {
+
+  private val States = Array("CA", "TX", "NY", "FL", "WA", "IL", "MA")
+  private val IndivTps = Array("15", "24T", "22Y", "24A", "10", "24I")
+
+  /** One synthetic indiv22 pipe line per doc — 21 fields in schema
+    * order. Field variety exercises the master transforms: 9-digit and
+    * zero zips, MMDDYYYY dates, LAST, FIRST names, IND/ORG/COM entity
+    * classes, receipt and disbursement transaction types. */
+  private[fec] def indivLine(k: Long): String = {
+    val e4 = (k % 4).toInt
+    val entity = if (e4 == 3) "COM" else if (e4 == 2) "ORG" else "IND"
+    val zip =
+      if (k % 13 == 0) "0"
+      else if (k % 3 == 0) "941101234"
+      else (10000 + k % 80000).toString
+    val otherId = if (e4 == 3) s"C000${k % 3 + 1}" else ""
+    val memo = if (k % 11 == 0) "X" else ""
+    Seq(
+      s"C000${k % 5 + 1}", "N", "Q1", "P", s"IMG$k",
+      IndivTps((k % 6).toInt), entity,
+      s"LAST${k % 40}, FIRST${k % 40}", s"CITY${k % 10}",
+      States((k % 7).toInt), zip, s"EMP${k % 8}", s"JOB${k % 5}",
+      f"${k % 12 + 1}%02d${k % 28 + 1}%02d2022", s"${k % 997 + 1}.0",
+      otherId, s"T$k", (100 + k % 50).toString, memo, "_", k.toString
+    ).mkString("|")
+  }
+
+  /** One synthetic oth22 line per 10th doc: committee receipts (18K)
+    * on 20-multiples, candidate receipts (15) on odd 30-multiples,
+    * candidate-side disbursements (24A, other_id = H…) otherwise —
+    * the last class is deliberately OUTSIDE every classification view
+    * (canDisbursements requires a C-prefixed counterparty), so the
+    * classified stage shows a real drop from the oth side too. */
+  private[fec] def othLine(k: Long): String = {
+    val com = k % 20 == 0
+    val tp = if (com) "18K" else if (k % 30 == 0) "15" else "24A"
+    val entity = if (com) "COM" else "CAN"
+    val otherId = if (com) s"C000${k % 3 + 1}" else s"H000${k % 4 + 1}"
+    Seq(
+      s"C000${k % 5 + 1}", "N", "Q1", "P", s"IMG$k", tp, entity,
+      s"PAC NAME ${k % 20}", s"CITY${k % 10}", States((k % 7).toInt),
+      (10000 + k % 80000).toString, "", "",
+      f"${k % 12 + 1}%02d${k % 28 + 1}%02d2022", s"${k % 997 + 1}.0",
+      otherId, s"T$k", (100 + k % 50).toString, "", "_",
+      (1000000 + k).toString
+    ).mkString("|")
+  }
+
+  /** Tiny candidate/committee dims, parsed through the SAME pipe-text
+    * dispatch as the facts (the dims ride S5 too in the reference).
+    * Enrichment joins are LEFT, so dim content shapes enrichment
+    * columns, never stage counts. */
+  private def dim(s: SparkSession, table: String,
+      lines: Seq[String]): DataFrame = {
+    import s.implicits._
+    FecSchemas.readPipeTextLinesQuarantined(
+      s, table, s.createDataset(lines))._1
+  }
+
+  def fecFunnel(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ids = Tables.spread(Tables.documents(s, d))
+      .select(col("doc_id")).as[Long]
+
+    val indivLines = ids.flatMap { k =>
+      val main = indivLine(k)
+      main +: ((if (k % 17 == 0) Seq(main) else Nil) ++
+        (if (k % 19 == 0) Seq(main + "|XTRA|XTRA") else Nil))
+    }
+    val othLines = ids.filter(_ % 10 == 0).map(othLine)
+
+    // S3/S5: the real quarantined pipe-text scan, once per feed; the
+    // cached parse serves the clean rows AND both stage counts
+    val (indiv, indivBad) =
+      FecSchemas.readPipeTextLinesQuarantined(s, "indiv22", indivLines)
+    val (oth, othBad) =
+      FecSchemas.readPipeTextLinesQuarantined(s, "oth22", othLines)
+
+    val cn = dim(s, "cn22", (1 to 4).map(i =>
+      s"H000$i|CAND $i|DEM|2022|CA|H|0$i|C|C|C000$i|||LA|CA|90001"))
+    val cm = dim(s, "cm22", (1 to 5).map(i =>
+      s"C000$i|COMMITTEE $i|TRES $i||||LA|CA|9000$i|A|Q|DEM|Q||H0001"))
+
+    // the §3.1 chain, each stage the production function
+    val master = MasterTables.contributions(oth, indiv)
+      .localCheckpoint(true)
+    val elastic = ContributionViews.elastic(master, cn, cm)
+      .localCheckpoint(true)
+    val envelopes = FecDocs.contributionDocs(elastic,
+      to_timestamp(lit("2022-06-01 00:00:00")))
+    val mergeKeys = FecGraph.contributedToEdges(elastic)
+      .select(col("src_label"), col("src_key"), col("target"))
+      .distinct()
+
+    val parsedN = indiv.count() + oth.count()
+    val rawN = parsedN + indivBad.count() + othBad.count()
+    val masterN = master.count()
+    val classifiedN = elastic.count()
+    val envelopeN = envelopes.count()
+    val mergeN = mergeKeys.count()
+
+    Seq(
+      (1, "raw_lines", rawN),
+      (2, "parsed", parsedN),
+      (3, "master", masterN),
+      (4, "classified", classifiedN),
+      (5, "envelopes", envelopeN),
+      (6, "contributed_to_keys", mergeN))
+      .toDF("stage_idx", "stage", "n_rows")
+      .withColumn("retained_frac",
+        round(col("n_rows").cast("double") / lit(rawN.toDouble), 6))
+      .orderBy(col("stage_idx"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fec_funnel" -> (fecFunnel _))
+
+  /** The oracle regenerates the synthetic rows from doc_id and replays
+    * every stage rule in SQL: line multiplicity (dup/memo/corrupt
+    * mods), PERMISSIVE quarantine (the |XTRA|XTRA lines), memo
+    * exclusion + the 19-col DISTINCT (sub_id is unique per feed, so
+    * only the constructed duplicate collapses), the classification
+    * predicates (disbursement = tp starting 2/4 except 24I/24T; the
+    * entity/other_id routing of contributions.sql:3-80), the
+    * process_name flip + clean_zip donor identity, and the
+    * CONTRIBUTED_TO MERGE-key distinct. */
+  val oracles: Map[String, String] = Map(
+    "fec_funnel" ->
+      """WITH ids AS (SELECT doc_id AS k FROM documents),
+        |ind AS (SELECT k, k % 4 AS e4, k % 6 AS t6,
+        |    (k % 11 = 0) AS memo, (k % 17 = 0) AS dup,
+        |    (k % 19 = 0) AS corrupt
+        |  FROM ids),
+        |oth AS (SELECT k,
+        |    CASE WHEN k % 20 = 0 THEN 'COM_R'
+        |         WHEN k % 30 = 0 THEN 'CAN_R' ELSE NULL END AS cls
+        |  FROM ids WHERE k % 10 = 0),
+        |indcls AS (SELECT k, e4,
+        |    CASE WHEN e4 IN (0, 1) AND t6 NOT IN (2, 3) THEN 'IND_R'
+        |         WHEN e4 = 2 AND t6 NOT IN (2, 3) THEN 'ORG_R'
+        |         WHEN e4 = 3 AND t6 NOT IN (2, 3) THEN 'COM_R'
+        |         WHEN e4 = 3 THEN 'COM_D'
+        |         ELSE NULL END AS cls
+        |  FROM ind WHERE NOT memo),
+        |dz AS (SELECT k,
+        |    'FIRST' || CAST(k % 40 AS VARCHAR) || ' LAST'
+        |      || CAST(k % 40 AS VARCHAR) AS nm,
+        |    CASE WHEN k % 13 = 0 THEN ''
+        |         WHEN k % 3 = 0 THEN '94110'
+        |         ELSE CAST(10000 + k % 80000 AS VARCHAR) END AS zip,
+        |    'C000' || CAST(k % 5 + 1 AS VARCHAR) AS cmte,
+        |    'C000' || CAST(k % 3 + 1 AS VARCHAR) AS oth_id
+        |  FROM ids),
+        |triples AS (
+        |  SELECT CASE WHEN cls IN ('IND_R', 'ORG_R') THEN 'Donor'
+        |              ELSE 'Committee' END AS lbl,
+        |    CASE WHEN cls IN ('IND_R', 'ORG_R') THEN nm || '|' || zip
+        |         WHEN cls = 'COM_R' THEN oth_id
+        |         ELSE cmte END AS src,
+        |    CASE WHEN cls = 'COM_D' THEN oth_id ELSE cmte END AS tgt
+        |  FROM indcls JOIN dz USING (k) WHERE cls IS NOT NULL
+        |  UNION ALL
+        |  SELECT CASE WHEN cls = 'CAN_R' THEN 'Candidate'
+        |              ELSE 'Committee' END,
+        |    CASE WHEN cls = 'CAN_R'
+        |           THEN 'H000' || CAST(k % 4 + 1 AS VARCHAR)
+        |         ELSE 'C000' || CAST(k % 3 + 1 AS VARCHAR) END,
+        |    'C000' || CAST(k % 5 + 1 AS VARCHAR)
+        |  FROM oth WHERE cls IS NOT NULL),
+        |c AS (SELECT
+        |    (SELECT COUNT(*)
+        |       + SUM(CASE WHEN dup THEN 1 ELSE 0 END)
+        |       + SUM(CASE WHEN corrupt THEN 1 ELSE 0 END) FROM ind)
+        |      + (SELECT COUNT(*) FROM oth) AS raw_lines,
+        |    (SELECT COUNT(*) + SUM(CASE WHEN dup THEN 1 ELSE 0 END)
+        |       FROM ind) + (SELECT COUNT(*) FROM oth) AS parsed,
+        |    (SELECT COUNT(*) FROM ind WHERE NOT memo)
+        |      + (SELECT COUNT(*) FROM oth) AS master,
+        |    (SELECT COUNT(*) FROM indcls WHERE cls IS NOT NULL)
+        |      + (SELECT COUNT(*) FROM oth WHERE cls IS NOT NULL)
+        |      AS classified,
+        |    (SELECT COUNT(*) FROM
+        |      (SELECT DISTINCT lbl, src, tgt FROM triples)) AS merge_keys)
+        |SELECT CAST(stage_idx AS INTEGER) AS stage_idx, stage,
+        |  CAST(n_rows AS BIGINT) AS n_rows,
+        |  round(CAST(n_rows AS DOUBLE)
+        |    / CAST((SELECT raw_lines FROM c) AS DOUBLE), 6)
+        |    AS retained_frac
+        |FROM (
+        |  SELECT 1 AS stage_idx, 'raw_lines' AS stage,
+        |    (SELECT raw_lines FROM c) AS n_rows
+        |  UNION ALL SELECT 2, 'parsed', (SELECT parsed FROM c)
+        |  UNION ALL SELECT 3, 'master', (SELECT master FROM c)
+        |  UNION ALL SELECT 4, 'classified', (SELECT classified FROM c)
+        |  UNION ALL SELECT 5, 'envelopes', (SELECT classified FROM c)
+        |  UNION ALL SELECT 6, 'contributed_to_keys',
+        |    (SELECT merge_keys FROM c))
+        |ORDER BY stage_idx""".stripMargin)
+}

@@ -187,6 +187,32 @@ object FecSchemas {
     else readCsv(spark, schema, path)
   }
 
+  /** The quarantined pipe-text scan over an in-memory line Dataset —
+    * the same parser options as [[readBulkFileQuarantined]]'s `.txt`
+    * branch (delimiter `|`, quoting disabled, no header, PERMISSIVE
+    * with a `_corrupt_record` column) applied to lines that arrive as
+    * a Dataset instead of files: the shape a streaming intake or a
+    * fixture synthesizer produces. Returns (clean rows, quarantined
+    * raw lines); the input is scanned once (cached) for both sides. */
+  def readPipeTextLinesQuarantined(spark: SparkSession, table: String,
+      lines: org.apache.spark.sql.Dataset[String]): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.col
+    val schema = registry.getOrElse(table,
+      throw new IllegalArgumentException(s"unexpected file: $table"))
+    val withCorrupt = StructType(schema.fields :+
+      StructField("_corrupt_record", StringType, nullable = true))
+    val cached = spark.read.schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .option("delimiter", "|").option("quote", "")
+      .option("header", "false")
+      .csv(lines)
+      .cache()
+    (cached.filter(col("_corrupt_record").isNull).drop("_corrupt_record"),
+      cached.filter(col("_corrupt_record").isNotNull)
+        .select(col("_corrupt_record")))
+  }
+
   /** Lenient variant for dirty feeds at scale: malformed rows land in a
     * `_corrupt_record` quarantine column instead of failing the load
     * (the reference's BQ load job fails the whole file on a bad row —
