@@ -47,6 +47,31 @@ object Bench {
     else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
   }
 
+  /** Which queries the self-healing pass re-measures. Three arms:
+    *  - 10× a clean same-host median (≥1 s): a spike, healed on ANY
+    *    run;
+    *  - a drift-contaminated run (broad band + environmental
+    *    corroboration): everything ≥1.25× its median (+0.1 s floor);
+    *  - a LOAD-contaminated run (loadStart > 3.0 already made the run
+    *    untrusted): everything ≥2× its median (+0.1 s floor). The
+    *    round-12 driver run exposed this gap — graph_pagerank sat at
+    *    4.4× its median under load_start 3.52, below the 10× spike
+    *    trigger, and the damage was too concentrated to arm the drift
+    *    stripe, so the artifact survived into healed_total. Once the
+    *    run is ALREADY condemned by its start load there is no
+    *    false-positive risk in re-measuring a 2× band: heals only
+    *    ever take min(raw, re-run), and the raw total stays the
+    *    headline. */
+  private[graft] def healCandidates(results: Seq[(String, Double)],
+      medians: Map[String, Double], loadContaminated: Boolean,
+      driftContaminated: Boolean): Seq[String] =
+    results.filter { case (k, v) =>
+      medians.get(k).exists(m => m > 0 &&
+        ((v > 10 * m && v > 1.0) ||
+          (driftContaminated && v > 1.25 * m && v - m > 0.1) ||
+          (loadContaminated && v > 2 * m && v - m > 0.1)))
+    }.map(_._1)
+
   /** Run-level contamination check (round-10 ask): per-query 10×
     * triggers catch spikes but a BROAD band — every query +40% under
     * residual host load, none at 10× — passed every round-9 guard
@@ -287,12 +312,13 @@ object Bench {
     // whole band (every query sitting 1.25x over its median with a
     // 0.1 s absolute floor — the 10x trigger alone would re-measure
     // none of a +40% stripe), not just the 10x offenders; quiet-host
-    // drift is a regression, not a band to heal
-    val inflatedAll = results.filter { case (k, v) =>
-      medians.get(k).exists(m => m > 0 &&
-        ((v > 10 * m && v > 1.0) ||
-          (driftContaminated && v > 1.25 * m && v - m > 0.1)))
-    }.map(_._1)
+    // drift is a regression, not a band to heal. A loadStart-condemned
+    // run additionally heals its 2x band (see healCandidates — the
+    // round-12 graph_pagerank artifact sat at 4.4x, invisible to both
+    // prior arms).
+    val inflatedAll = healCandidates(results, medians,
+      loadContaminated = loadStart > 3.0,
+      driftContaminated = driftContaminated)
     val healed: Map[String, Double] =
       if (inflatedAll.isEmpty) Map.empty
       else inflatedAll.flatMap { k =>
