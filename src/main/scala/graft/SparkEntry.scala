@@ -46,7 +46,8 @@ object SparkEntry {
     QueryModule(ops.StatsOps.queries, ops.StatsOps.oracles),
     QueryModule(ops.GraphOps.queries, ops.GraphOps.oracles),
     QueryModule(ops.Headline.queries, ops.Headline.oracles),
-    QueryModule(fec.FecFunnel.queries, fec.FecFunnel.oracles))
+    QueryModule(fec.FecFunnel.queries, fec.FecFunnel.oracles),
+    QueryModule(ops.StreamOps.queries, ops.StreamOps.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
