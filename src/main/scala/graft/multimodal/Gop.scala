@@ -9,9 +9,12 @@ package graft.multimodal
   * APPEARING mid-GOP, which no forward codec can predict) and AVERAGE
   * ((fwd + bwd + 1) >> 1 with one shared vector — the cross-fade
   * mode), each with its own bounded ±4 px exhaustive search; residual
-  * and intra fallback ride the same [[Jpeg]] strip machinery. What
-  * remains out of scope after this: sub-pixel motion and per-direction
-  * vector pairs for the average mode (the H.264-class refinements).
+  * and intra fallback ride the same [[Jpeg]] strip machinery. Since
+  * round 13 every direction's winning vector REFINES TO HALF-PEL
+  * through [[Mcv]]'s shared bilinear interpolation stage (applied to
+  * BOTH anchors in the average mode). What remains out of scope:
+  * per-direction vector pairs for the average mode (the H.264-class
+  * refinement above one shared vector).
   *
   * Structure: display order f0 f1 f2 ... f_{nf-1} with nf ODD —
   * anchors at even indices (I at 0, then P chained anchor-to-anchor),
@@ -20,14 +23,15 @@ package graft.multimodal
   * I, P2, B1, P4, B3, ... — the standard decode-order/display-order
   * split, reordered back by the parser.
   *
-  * Wire format (little-endian): magic `MCVB`, then exactly [[Mcv]]'s
+  * Wire format (little-endian): magic `MCB2`, then exactly [[Mcv]]'s
   * header and P-frame sections (shared code paths, not copies); each
   * B-frame section is:
   *  - INTRA bitmap + RESIDUAL bitmap (same padding/conflict rules);
   *  - per NON-intra block in scan order: a DIRECTION byte
   *    (0 = forward, 1 = backward, 2 = average; anything else
-  *    rejected) then the [[Mcv]] motion byte (nibbles ≤ 8,
-  *    bounds-checked against the frame);
+  *    rejected) then the [[Mcv]] motion byte PAIR (half-sample
+  *    units, each byte ≤ 16, interpolation footprint bounds-checked
+  *    against the frame);
   *  - u32 length + ONE strip of intra blocks then residual blocks.
   *
   * B-frames are NOT reference frames (the standard rule), so their
@@ -35,8 +39,10 @@ package graft.multimodal
   * stay closed-loop through [[Mcv.encodeP]]/[[Mcv.decodeP]].
   *
   * Mode policy (deterministic): directions probed in order
-  * fwd → bwd → avg, each scanning (dy, dx) row-major from (−4, −4)
-  * with first-strictly-better SAD and a zero short-circuit; overall
+  * fwd → bwd → avg, each scanning integer (dy, dx) row-major from
+  * (−4, −4) with first-strictly-better SAD and a zero short-circuit;
+  * a nonzero winner then refines to half-pel around the winning
+  * (direction, vector) — [[Mcv]]'s 8-neighbour probe order. Overall
   * best SAD 0 → vector only; < 1024 → vector + residual; else intra.
   */
 object Gop {
@@ -44,7 +50,7 @@ object Gop {
   /** Per-B-frame mode census from a real parse. */
   final case class BCensus(fwdBlocks: Int, bwdBlocks: Int,
       avgBlocks: Int, residBlocks: Int, intraBlocks: Int,
-      zeroVectors: Int)
+      zeroVectors: Int, halfVectors: Int)
 
   private def avgBlock(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
     val o = new Array[Byte](64)
@@ -56,13 +62,17 @@ object Gop {
     o
   }
 
+  /** B prediction at a HALF-SAMPLE vector: the shared [[Mcv]]
+    * interpolation against one anchor (fwd/bwd) or both (avg — the
+    * same vector drives both references, interpolated independently
+    * then averaged). */
   private def predictB(dir: Int, prevA: Array[Byte], nextA: Array[Byte],
-      w: Int, bx: Int, by: Int, dx: Int, dy: Int): Array[Byte] =
+      w: Int, bx: Int, by: Int, dxH: Int, dyH: Int): Array[Byte] =
     dir match {
-      case 0 => Mcv.grabAt(prevA, w, bx, by, dx, dy)
-      case 1 => Mcv.grabAt(nextA, w, bx, by, dx, dy)
-      case _ => avgBlock(Mcv.grabAt(prevA, w, bx, by, dx, dy),
-        Mcv.grabAt(nextA, w, bx, by, dx, dy))
+      case 0 => Mcv.grabAtHalf(prevA, w, bx, by, dxH, dyH)
+      case 1 => Mcv.grabAtHalf(nextA, w, bx, by, dxH, dyH)
+      case _ => avgBlock(Mcv.grabAtHalf(prevA, w, bx, by, dxH, dyH),
+        Mcv.grabAtHalf(nextA, w, bx, by, dxH, dyH))
     }
 
   /** Allocation-free average-mode SAD: reads both planes in place —
@@ -100,13 +110,15 @@ object Gop {
       scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     val modes = new Array[Int](wb * hb) // 0 mv, 1 mv+resid, 2 intra
     val dirs = new Array[Int](wb * hb)
-    val vecs = new Array[Int](wb * hb)
+    val vx = new Array[Int](wb * hb) // half-sample units
+    val vy = new Array[Int](wb * hb)
     var by = 0
     while (by < hb) {
       var bx = 0
       while (bx < wb) {
         val idx = by * wb + bx
         val curBlk = Dctv.grabBlock(cur, w, bx, by)
+        // stage 1: exhaustive integer search across the 3 directions
         var bestSad = Int.MaxValue
         var bestDir = 0; var bestDx = 0; var bestDy = 0
         var dir = 0
@@ -134,19 +146,38 @@ object Gop {
           }
           dir += 1
         }
+        // stage 2: half-pel refinement around the winning
+        // (direction, vector) — Mcv's probe order
+        var bDxH = 2 * bestDx; var bDyH = 2 * bestDy
+        var uy = -1
+        while (uy <= 1 && bestSad > 0) {
+          var ux = -1
+          while (ux <= 1 && bestSad > 0) {
+            if ((ux | uy) != 0) {
+              val dxH = 2 * bestDx + ux; val dyH = 2 * bestDy + uy
+              if (Mcv.halfVectorValid(dxH, dyH, bx, by, w, h)) {
+                val s = Mcv.sadBlk(curBlk,
+                  predictB(bestDir, prevA, nextA, w, bx, by, dxH, dyH))
+                if (s < bestSad) { bestSad = s; bDxH = dxH; bDyH = dyH }
+              }
+            }
+            ux += 1
+          }
+          uy += 1
+        }
         if (bestSad >= Mcv.IntraSad) {
           modes(idx) = 2
           intraBm(idx / 8) = (intraBm(idx / 8) | (1 << (idx % 8))).toByte
           intraBlocks += curBlk
         } else {
           dirs(idx) = bestDir
-          vecs(idx) = ((bestDy + Mcv.Range) << 4) | (bestDx + Mcv.Range)
+          vx(idx) = bDxH; vy(idx) = bDyH
           if (bestSad == 0) modes(idx) = 0
           else {
             modes(idx) = 1
             residBm(idx / 8) = (residBm(idx / 8) | (1 << (idx % 8))).toByte
             residBlocks += Mcv.residualOf(curBlk,
-              predictB(bestDir, prevA, nextA, w, bx, by, bestDx, bestDy))
+              predictB(bestDir, prevA, nextA, w, bx, by, bDxH, bDyH))
           }
         }
         bx += 1
@@ -161,7 +192,10 @@ object Gop {
     out.write(intraBm); out.write(residBm)
     var i = 0
     while (i < wb * hb) {
-      if (modes(i) != 2) { out.write(dirs(i)); out.write(vecs(i)) }
+      if (modes(i) != 2) {
+        out.write(dirs(i))
+        out.write(vx(i) + Mcv.HalfRange); out.write(vy(i) + Mcv.HalfRange)
+      }
       i += 1
     }
     Mcv.le32(out, strip.length)
@@ -186,30 +220,35 @@ object Gop {
       }
     var off = off1
     val nMv = nBlocks - nIntra
-    if (off + 2L * nMv > payload.length) return None
+    if (off + 3L * nMv > payload.length) return None
     val dirs = new Array[Int](nBlocks)
-    val vecs = new Array[Int](nBlocks)
-    var nFwd = 0; var nBwd = 0; var nAvg = 0; var zeroVecs = 0
+    val vx = new Array[Int](nBlocks)
+    val vy = new Array[Int](nBlocks)
+    var nFwd = 0; var nBwd = 0; var nAvg = 0
+    var zeroVecs = 0; var halfVecs = 0
     var vOff = off.toInt
     var i = 0
     while (i < nBlocks) {
       if (!Mcv.bit(intraBm, i)) {
         val d = payload(vOff) & 0xff
-        val b = payload(vOff + 1) & 0xff
-        vOff += 2
+        val b0 = payload(vOff + 1) & 0xff
+        val b1 = payload(vOff + 2) & 0xff
+        vOff += 3
         if (d > 2) return None
-        if (!Mcv.vectorValid(b, i, wb, w, h)) return None
-        dirs(i) = d; vecs(i) = b
+        if (!Mcv.vectorValid(b0, b1, i, wb, w, h)) return None
+        dirs(i) = d
+        vx(i) = b0 - Mcv.HalfRange; vy(i) = b1 - Mcv.HalfRange
         d match {
           case 0 => nFwd += 1
           case 1 => nBwd += 1
           case _ => nAvg += 1
         }
-        if (b == ((Mcv.Range << 4) | Mcv.Range)) zeroVecs += 1
+        if (vx(i) == 0 && vy(i) == 0) zeroVecs += 1
+        if (((vx(i) | vy(i)) & 1) != 0) halfVecs += 1
       }
       i += 1
     }
-    off += 2L * nMv
+    off += 3L * nMv
     val (dec, off2) =
       Mcv.readStripBlocks(payload, off, nIntra + nResid) match {
         case Some(t) => t
@@ -225,9 +264,8 @@ object Gop {
       if (Mcv.bit(intraBm, i)) {
         Dctv.putBlock(cur, w, bx, by, dec(intraSeen)); intraSeen += 1
       } else {
-        val v = vecs(i)
         val pred = predictB(dirs(i), prevA, nextA, w, bx, by,
-          (v & 0xF) - Mcv.Range, (v >> 4) - Mcv.Range)
+          vx(i), vy(i))
         if (Mcv.bit(residBm, i)) {
           Dctv.putBlock(cur, w, bx, by,
             Mcv.applyResidual(pred, dec(nIntra + residSeen)))
@@ -236,7 +274,8 @@ object Gop {
       }
       i += 1
     }
-    Some((cur, BCensus(nFwd, nBwd, nAvg, nResid, nIntra, zeroVecs), off))
+    Some((cur,
+      BCensus(nFwd, nBwd, nAvg, nResid, nIntra, zeroVecs, halfVecs), off))
   }
 
   /** Encode luma frames in DISPLAY order; nf must be odd (the GOP
@@ -244,7 +283,7 @@ object Gop {
   def build(w: Int, h: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
     require(frames.length % 2 == 1,
       "GOP must end on an anchor (odd display-frame count)")
-    val (out, ref) = Mcv.encodeHeader(w, h, frames, "MCVB")
+    val (out, ref) = Mcv.encodeHeader(w, h, frames, "MCB2")
     var k = 1
     var prevAnchor = ref
     while (k < frames.length) {
@@ -263,7 +302,7 @@ object Gop {
     * per-B census), or None for anything hostile. */
   def parse(payload: Array[Byte]): Option[(Int, Int, Seq[Array[Byte]],
       Seq[Mcv.FrameCensus], Seq[BCensus])] = {
-    Mcv.decodeHeader(payload, "MCVB") match {
+    Mcv.decodeHeader(payload, "MCB2") match {
       case None => None
       case Some((w, h, nf, first, off0)) =>
         if (nf % 2 == 0) return None // a GOP ends on an anchor

@@ -1,20 +1,24 @@
 package graft.multimodal
 
 /** From-spec MOTION-COMPENSATED video codec — the tier above
-  * [[Dctv]]'s conditional replenishment, closing the round-11
-  * verdict's "last honest video tier": per 8x8 block a bounded
-  * EXHAUSTIVE displacement search (±4 px, the H.261 search-range
-  * idea) over the DECODED previous frame picks the best-SAD motion
-  * vector; a zero-SAD block transmits ONLY its (dx, dy); a block the
-  * prediction nearly matches transmits the vector plus a DCT-coded
-  * RESIDUAL through the proven [[Jpeg]] strip machinery (shared with
-  * [[Dctv]]); a block no displacement explains falls back to INTRA
-  * coding through the same strip. The bidirectional tier above this
-  * one is [[Gop]] (B-frames predicted from BOTH surrounding anchors,
-  * round 12); sub-pixel motion remains the documented gap.
+  * [[Dctv]]'s conditional replenishment: per 8x8 block a bounded
+  * EXHAUSTIVE integer displacement search (±4 px, the H.261
+  * search-range idea) over the DECODED previous frame, REFINED to
+  * HALF-PEL (round 13, closing the sub-pixel line of the
+  * honest-limits ledger): when the best integer SAD is nonzero, the
+  * eight half-sample neighbours of the winning vector are probed
+  * against a bilinear +1-rounding interpolation of the reference (the
+  * H.261/MPEG-1 half-sample filter; the coarse-to-fine two-stage
+  * search real encoders use instead of a 17×17 exhaustive sweep). A
+  * zero-SAD block transmits ONLY its vector; a block the prediction
+  * nearly matches adds a DCT-coded RESIDUAL through the proven
+  * [[Jpeg]] strip machinery (shared with [[Dctv]]); a block no
+  * displacement explains falls back to INTRA coding through the same
+  * strip. The bidirectional tier above this one is [[Gop]] (B-frames
+  * predicted from BOTH surrounding anchors).
   *
   * Wire format (little-endian):
-  *  - magic `MCV1`, u16 width, u16 height, u16 n_frames
+  *  - magic `MCV2`, u16 width, u16 height, u16 n_frames
   *    (dims multiples of 16, bounded like [[Dctv]]);
   *  - I-frame: u32 length + a full 4:2:0 baseline JPEG (flat chroma);
   *  - each P-frame:
@@ -23,11 +27,13 @@ package graft.multimodal
   *     - a RESIDUAL bitmap, same shape (a set bit marks an MC block
   *       carrying a coded residual; a bit here AND in the intra
   *       bitmap is non-canonical — rejected);
-  *     - one MOTION byte per NON-intra block in scan order:
-  *       ((dy+4) << 4) | (dx+4), each nibble in [0, 8] — any other
-  *       value, or a vector pointing outside the frame, is rejected
-  *       (no edge extension: the encoder only emits in-bounds
-  *       vectors, so out-of-bounds is hostile by definition);
+  *     - TWO MOTION bytes per NON-intra block in scan order:
+  *       (dxH+8, dyH+8) in HALF-SAMPLE units, each in [0, 16] — any
+  *       other value, or a vector whose interpolation footprint
+  *       (one extra row/column when the component is odd) leaves the
+  *       frame, is rejected (no edge extension: the encoder only
+  *       emits in-bounds vectors, so out-of-bounds is hostile by
+  *       definition);
   *     - u32 length + ONE JPEG strip holding the intra blocks then
   *       the residual blocks, in scan order (length 0 ⇔ neither).
   *
@@ -40,16 +46,19 @@ package graft.multimodal
   * diverge and generational drift stays bounded (the [[Dctv]] noise
   * spec's property, inherited).
   *
-  * Mode policy (deterministic): scan (dy, dx) in row-major order from
-  * (−4, −4), keep the first strictly-better SAD; SAD 0 → MC only;
-  * 0 < SAD < 1024 → MC + residual; SAD ≥ 1024 (mean |error| ≥ 16 —
-  * a scene cut, nothing to predict) → intra.
+  * Mode policy (deterministic): integer stage scans (dy, dx) in
+  * row-major order from (−4, −4), keeps the first strictly-better
+  * SAD and short-circuits at zero; if still nonzero, the half-pel
+  * stage probes the 8 neighbours (uy, ux) row-major from (−1, −1)
+  * under the same rule. Final SAD 0 → MC only; 0 < SAD < 1024 →
+  * MC + residual; SAD ≥ 1024 (mean |error| ≥ 16 — a scene cut,
+  * nothing to predict) → intra.
   *
   * The parser fails closed on everything hostile (the CodecFuzzSpec
   * contract): Long cursor, dimension/frame caps, total-output cap,
-  * bitmap padding bits, conflicting mode bits, nibble and bounds
-  * checks on every vector, strip-geometry cross-check, trailing
-  * garbage.
+  * bitmap padding bits, conflicting mode bits, range and
+  * footprint-bounds checks on every vector byte, strip-geometry
+  * cross-check, trailing garbage.
   *
   * The per-P-frame section encode/decode pair is `private[multimodal]`
   * so [[Gop]]'s anchors ride the IDENTICAL code path — a P-section
@@ -61,13 +70,17 @@ object Mcv {
   private[multimodal] val MaxFrames = 64
   private[multimodal] val MaxDecodedBytes = 1L << 26
   private[multimodal] val Range = 4
+  /** Vector range in HALF-SAMPLE units (±4 px = ±8 half-samples). */
+  private[multimodal] val HalfRange = 2 * Range
   /** SAD at or above this codes the block intra (mean |err| ≥ 16). */
   private[multimodal] val IntraSad = 1024
 
   /** Per-P-frame mode census from a real parse: how many blocks rode
-    * each path, and the zero-vector count (static background). */
+    * each path, the zero-vector count (static background), and how
+    * many vectors carry a half-sample component (blocks integer
+    * search could not explain as well). */
   final case class FrameCensus(mvBlocks: Int, residBlocks: Int,
-      intraBlocks: Int, zeroVectors: Int)
+      intraBlocks: Int, zeroVectors: Int, halfVectors: Int)
 
   private[multimodal] def le16(b: java.io.ByteArrayOutputStream,
       v: Int): Unit = {
@@ -110,6 +123,57 @@ object Mcv {
     s
   }
 
+  /** Prediction block at HALF-SAMPLE displacement (dxH, dyH in
+    * half-pel units): bilinear interpolation with +1 rounding (the
+    * H.261/MPEG-1 half-sample filter) between the 1 (both even),
+    * 2 (one odd) or 4 (both odd) nearest integer samples. Even
+    * components degrade to the integer grab. Caller guarantees the
+    * interpolation footprint (8 + oddness extra row/column) is in
+    * bounds — [[halfVectorValid]]. */
+  private[multimodal] def grabAtHalf(plane: Array[Byte], w: Int, bx: Int,
+      by: Int, dxH: Int, dyH: Int): Array[Byte] = {
+    val ix = dxH >> 1; val iy = dyH >> 1 // arithmetic shift = floor
+    val fx = dxH & 1; val fy = dyH & 1
+    if (fx == 0 && fy == 0) return grabAt(plane, w, bx, by, ix, iy)
+    val blk = new Array[Byte](64)
+    var r = 0
+    while (r < 8) {
+      val row0 = (by * 8 + iy + r) * w + bx * 8 + ix
+      val row1 = if (fy == 1) row0 + w else row0
+      var c = 0
+      while (c < 8) {
+        val p00 = plane(row0 + c) & 0xff
+        val v =
+          if (fx == 1 && fy == 1)
+            (p00 + (plane(row0 + c + 1) & 0xff) + (plane(row1 + c) & 0xff) +
+              (plane(row1 + c + 1) & 0xff) + 2) >> 2
+          else if (fx == 1) (p00 + (plane(row0 + c + 1) & 0xff) + 1) >> 1
+          else (p00 + (plane(row1 + c) & 0xff) + 1) >> 1
+        blk(r * 8 + c) = v.toByte
+        c += 1
+      }
+      r += 1
+    }
+    blk
+  }
+
+  private[multimodal] def sadBlk(a: Array[Byte], b: Array[Byte]): Int = {
+    var s = 0; var p = 0
+    while (p < 64) { s += math.abs((a(p) & 0xff) - (b(p) & 0xff)); p += 1 }
+    s
+  }
+
+  /** Range + interpolation-footprint bounds for a half-sample vector:
+    * an odd component reads one extra row/column past the block. */
+  private[multimodal] def halfVectorValid(dxH: Int, dyH: Int, bx: Int,
+      by: Int, w: Int, h: Int): Boolean = {
+    if (dxH < -HalfRange || dxH > HalfRange ||
+      dyH < -HalfRange || dyH > HalfRange) return false
+    val ix = dxH >> 1; val iy = dyH >> 1
+    bx * 8 + ix >= 0 && bx * 8 + ix + 8 + (dxH & 1) <= w &&
+      by * 8 + iy >= 0 && by * 8 + iy + 8 + (dyH & 1) <= h
+  }
+
   /** The level-shift residual coder: res = clamp(cur−pred)+128. */
   private[multimodal] def residualOf(curBlk: Array[Byte],
       pred: Array[Byte]): Array[Byte] = {
@@ -150,13 +214,15 @@ object Mcv {
       scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     val rec = new Array[Byte](w * h)
     val modes = new Array[Int](wb * hb) // 0 = mv, 1 = mv+resid, 2 = intra
-    val vecs = new Array[Int](wb * hb)
+    val vx = new Array[Int](wb * hb) // half-sample units
+    val vy = new Array[Int](wb * hb)
     var by = 0
     while (by < hb) {
       var bx = 0
       while (bx < wb) {
         val idx = by * wb + bx
         val curBlk = Dctv.grabBlock(cur, w, bx, by)
+        // stage 1: exhaustive integer search
         var bestSad = Int.MaxValue
         var bestDx = 0; var bestDy = 0
         var dy = -Range
@@ -173,18 +239,36 @@ object Mcv {
           }
           dy += 1
         }
+        // stage 2: half-pel refinement around the integer winner
+        var bDxH = 2 * bestDx; var bDyH = 2 * bestDy
+        var uy = -1
+        while (uy <= 1 && bestSad > 0) {
+          var ux = -1
+          while (ux <= 1 && bestSad > 0) {
+            if ((ux | uy) != 0) {
+              val dxH = 2 * bestDx + ux; val dyH = 2 * bestDy + uy
+              if (halfVectorValid(dxH, dyH, bx, by, w, h)) {
+                val s = sadBlk(curBlk,
+                  grabAtHalf(ref, w, bx, by, dxH, dyH))
+                if (s < bestSad) { bestSad = s; bDxH = dxH; bDyH = dyH }
+              }
+            }
+            ux += 1
+          }
+          uy += 1
+        }
         if (bestSad >= IntraSad) {
           modes(idx) = 2
           intraBm(idx / 8) = (intraBm(idx / 8) | (1 << (idx % 8))).toByte
           intraBlocks += curBlk
         } else {
-          vecs(idx) = ((bestDy + Range) << 4) | (bestDx + Range)
+          vx(idx) = bDxH; vy(idx) = bDyH
           if (bestSad == 0) modes(idx) = 0
           else {
             modes(idx) = 1
             residBm(idx / 8) = (residBm(idx / 8) | (1 << (idx % 8))).toByte
             residBlocks +=
-              residualOf(curBlk, grabAt(ref, w, bx, by, bestDx, bestDy))
+              residualOf(curBlk, grabAtHalf(ref, w, bx, by, bDxH, bDyH))
           }
         }
         bx += 1
@@ -212,9 +296,7 @@ object Mcv {
           case 2 =>
             Dctv.putBlock(rec, w, bx, by, dec(intraSeen)); intraSeen += 1
           case m =>
-            val v = vecs(idx)
-            val pred = grabAt(ref, w, bx, by, (v & 0xF) - Range,
-              (v >> 4) - Range)
+            val pred = grabAtHalf(ref, w, bx, by, vx(idx), vy(idx))
             if (m == 0) Dctv.putBlock(rec, w, bx, by, pred)
             else {
               Dctv.putBlock(rec, w, bx, by,
@@ -230,7 +312,9 @@ object Mcv {
     out.write(intraBm); out.write(residBm)
     var i = 0
     while (i < wb * hb) {
-      if (modes(i) != 2) out.write(vecs(i))
+      if (modes(i) != 2) {
+        out.write(vx(i) + HalfRange); out.write(vy(i) + HalfRange)
+      }
       i += 1
     }
     le32(out, strip.length)
@@ -272,16 +356,13 @@ object Mcv {
     Some((intraBm, residBm, nIntra, nResid, off0 + 2L * bmLen))
   }
 
-  /** Validate one motion byte for block i: nibbles in range AND the
-    * displaced block fully inside the frame (shared strictness). */
-  private[multimodal] def vectorValid(b: Int, i: Int, wb: Int, w: Int,
-      h: Int): Boolean = {
-    val dxN = b & 0xF; val dyN = b >> 4
-    if (dxN > 2 * Range || dyN > 2 * Range) return false
-    val dx = dxN - Range; val dy = dyN - Range
-    val bx = i % wb; val by = i / wb
-    bx * 8 + dx >= 0 && bx * 8 + dx + 8 <= w &&
-      by * 8 + dy >= 0 && by * 8 + dy + 8 <= h
+  /** Validate one motion byte PAIR for block i: both bytes in
+    * [0, 2·HalfRange] AND the interpolation footprint fully inside
+    * the frame (shared strictness for P and B sections). */
+  private[multimodal] def vectorValid(b0: Int, b1: Int, i: Int, wb: Int,
+      w: Int, h: Int): Boolean = {
+    if (b0 > 2 * HalfRange || b1 > 2 * HalfRange) return false
+    halfVectorValid(b0 - HalfRange, b1 - HalfRange, i % wb, i / wb, w, h)
   }
 
   /** Read + decode the u32-length strip holding nStrip blocks (shared
@@ -319,21 +400,26 @@ object Mcv {
       }
     var off = off1
     val nMv = nBlocks - nIntra
-    if (off + nMv > payload.length) return None
-    val vecs = new Array[Int](nBlocks)
+    if (off + 2L * nMv > payload.length) return None
+    val vx = new Array[Int](nBlocks)
+    val vy = new Array[Int](nBlocks)
     var zeroVecs = 0
+    var halfVecs = 0
     var vOff = off.toInt
     var i = 0
     while (i < nBlocks) {
       if (!bit(intraBm, i)) {
-        val b = payload(vOff) & 0xff; vOff += 1
-        if (!vectorValid(b, i, wb, w, h)) return None
-        vecs(i) = b
-        if (b == ((Range << 4) | Range)) zeroVecs += 1
+        val b0 = payload(vOff) & 0xff
+        val b1 = payload(vOff + 1) & 0xff
+        vOff += 2
+        if (!vectorValid(b0, b1, i, wb, w, h)) return None
+        vx(i) = b0 - HalfRange; vy(i) = b1 - HalfRange
+        if (vx(i) == 0 && vy(i) == 0) zeroVecs += 1
+        if (((vx(i) | vy(i)) & 1) != 0) halfVecs += 1
       }
       i += 1
     }
-    off += nMv
+    off += 2L * nMv
     val (dec, off2) = readStripBlocks(payload, off, nIntra + nResid) match {
       case Some(t) => t
       case None    => return None
@@ -348,9 +434,7 @@ object Mcv {
       if (bit(intraBm, i)) {
         Dctv.putBlock(cur, w, bx, by, dec(intraSeen)); intraSeen += 1
       } else {
-        val v = vecs(i)
-        val pred = grabAt(ref, w, bx, by, (v & 0xF) - Range,
-          (v >> 4) - Range)
+        val pred = grabAtHalf(ref, w, bx, by, vx(i), vy(i))
         if (bit(residBm, i)) {
           Dctv.putBlock(cur, w, bx, by,
             applyResidual(pred, dec(nIntra + residSeen)))
@@ -359,7 +443,7 @@ object Mcv {
       }
       i += 1
     }
-    Some((cur, FrameCensus(nMv, nResid, nIntra, zeroVecs), off))
+    Some((cur, FrameCensus(nMv, nResid, nIntra, zeroVecs, halfVecs), off))
   }
 
   /** Validate + decode the common header; returns
@@ -423,7 +507,7 @@ object Mcv {
 
   /** Encode luma frames (w·h bytes each, dims multiples of 16). */
   def build(w: Int, h: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
-    val (out, ref) = encodeHeader(w, h, frames, "MCV1")
+    val (out, ref) = encodeHeader(w, h, frames, "MCV2")
     frames.tail.foreach { cur =>
       val (section, rec) = encodeP(cur, ref, w, h)
       out.write(section)
@@ -436,7 +520,7 @@ object Mcv {
     * None for anything hostile. */
   def parse(payload: Array[Byte])
       : Option[(Int, Int, Seq[Array[Byte]], Seq[FrameCensus])] = {
-    decodeHeader(payload, "MCV1") match {
+    decodeHeader(payload, "MCV2") match {
       case None => None
       case Some((w, h, nf, first, off0)) =>
         val frames = scala.collection.mutable.ArrayBuffer(first)

@@ -1464,6 +1464,106 @@ object MultimodalOps {
     feats.orderBy(col("doc_id"))
   }
 
+  /** T284: HALF-PEL motion through the real two-stage codec — the
+    * sub-pixel line of the honest-limits ledger, closed (round 13).
+    * Per doc: an I-P pair where the P frame IS the half-sample
+    * interpolation of the I frame (each pixel the bilinear
+    * +1-rounding average of x and x+1, clamped at the right edge) —
+    * motion that NO integer vector can explain (adjacent cells differ
+    * by 3, the interpolated boundary column by 2, so every integer
+    * candidate leaves a nonzero SAD — `n_fullpel_miss` measures this
+    * directly with an exhaustive integer-only search) yet the
+    * half-pel stage predicts EXACTLY at (dxH=1, dyH=0): the whole P
+    * frame is vector-only, zero residuals, zero intra — fully
+    * lossless, so both masses replay arithmetically from the cell
+    * formulas (the I frame is block-constant, which [[graft
+    * .multimodal.Jpeg]] carries bit-exactly). The right-edge block
+    * column cannot reach dxH=1 (the interpolation footprint would
+    * leave the frame) but is flat after the clamp, so it rides zero
+    * vectors — the census split (`n_half` = (wb−1)·hb moving blocks,
+    * `n_zero_vecs` = hb edge blocks) replays from geometry alone. */
+  def mmHalfpelFeatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // first 20 docs (the oracle's LIMIT 20), limited BEFORE the codec
+    val ids = Tables.spread(Tables.documents(s, d))
+      .select(col("doc_id")).orderBy(col("doc_id")).limit(20).as[Long]
+    val feats = ids.mapPartitions { it =>
+      it.map { id =>
+        val w = 48 + (id % 2).toInt * 16; val h = 32
+        val wb = w / 8; val hb = h / 8
+        def cell(i: Int, j: Int): Int =
+          20 + (id % 30).toInt + 3 * i + 17 * j
+        val f0 = Array.tabulate(w * h) { p =>
+          cell((p % w) / 8, (p / w) / 8).toByte
+        }
+        val f1 = Array.tabulate(w * h) { p =>
+          val x = p % w; val y = p / w
+          val a = cell(x / 8, y / 8)
+          val b = cell(math.min(x + 1, w - 1) / 8, y / 8)
+          ((a + b + 1) >> 1).toByte
+        }
+        val stream = graft.multimodal.Mcv.build(w, h, Seq(f0, f1))
+        val (pw, ph, dec, census) = graft.multimodal.Mcv.parse(stream)
+          .getOrElse(throw new IllegalStateException(
+            s"halfpel round-trip failed for doc $id"))
+        val masses = dec.map { fr =>
+          var m = 0L; var p = 0
+          while (p < fr.length) { m += fr(p) & 0xff; p += 1 }
+          m
+        }
+        // the half-pel-beats-full-pel fact, measured not assumed: an
+        // exhaustive INTEGER-only search against the same decoded
+        // reference — blocks it cannot explain at SAD 0 are exactly
+        // the blocks the half-pel stage rescued
+        val ref = dec(0)
+        var miss = 0
+        var by = 0
+        while (by < hb) {
+          var bx = 0
+          while (bx < wb) {
+            var best = Int.MaxValue
+            var dy = -4
+            while (dy <= 4 && best > 0) {
+              if (by * 8 + dy >= 0 && by * 8 + dy + 8 <= h) {
+                var dx = -4
+                while (dx <= 4 && best > 0) {
+                  if (bx * 8 + dx >= 0 && bx * 8 + dx + 8 <= w) {
+                    var s = 0; var r = 0
+                    while (r < 8) {
+                      val co = (by * 8 + r) * w + bx * 8
+                      val po = (by * 8 + dy + r) * w + bx * 8 + dx
+                      var c2 = 0
+                      while (c2 < 8) {
+                        s += math.abs(
+                          (f1(co + c2) & 0xff) - (ref(po + c2) & 0xff))
+                        c2 += 1
+                      }
+                      r += 1
+                    }
+                    if (s < best) best = s
+                  }
+                  dx += 1
+                }
+              }
+              dy += 1
+            }
+            if (best > 0) miss += 1
+            bx += 1
+          }
+          by += 1
+        }
+        val c = census.head
+        (id, pw, ph, (wb * hb).toLong, c.mvBlocks.toLong,
+          c.halfVectors.toLong, c.zeroVectors.toLong,
+          c.residBlocks.toLong, c.intraBlocks.toLong, miss.toLong,
+          masses(0), masses(1))
+      }
+    }.toDF("doc_id", "width", "height", "n_blocks", "n_mv", "n_half",
+      "n_zero_vecs", "n_resid", "n_intra", "n_fullpel_miss",
+      "mass_f0", "mass_f1")
+    feats.orderBy(col("doc_id"))
+  }
+
   def mmDctvFeatures(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val ids = Tables.spread(Tables.documents(s, d))
@@ -1598,6 +1698,7 @@ object MultimodalOps {
     "mm_bmp_features" -> mmBmpFeatures _,
     "mm_wav_features" -> mmWavFeatures _,
     "mm_near_dup" -> mmNearDup _,
+    "mm_halfpel_features" -> mmHalfpelFeatures _,
     "mm_features" -> mmFeatures _,
     "mm_frames"   -> mmFrames _,
     "mm_pack"     -> mmPack _,
@@ -1652,6 +1753,39 @@ object MultimodalOps {
         |  CAST(4 AS BIGINT) AS p_intra,
         |  mass_f0, mass_f1, mass_f2,
         |  TRUE AS gop_beats_cr
+        |FROM m ORDER BY doc_id""".stripMargin,
+    // the half-pel-interpolated P frame is fully lossless through the
+    // two-stage codec (every moving block exactly predicted at
+    // dxH=1), so both masses regenerate arithmetically from the cell
+    // formulas (mass_f1 = mass_f0 + 2 per interior cell boundary per
+    // pixel row); the census and the integer-search miss count follow
+    // from the corpus geometry
+    "mm_halfpel_features" ->
+      """WITH ids AS (SELECT doc_id
+        |  FROM documents ORDER BY doc_id LIMIT 20),
+        |d AS (SELECT doc_id,
+        |    CAST(48 + (doc_id % 2) * 16 AS INTEGER) AS w,
+        |    CAST(32 AS INTEGER) AS h,
+        |    (48 + (doc_id % 2) * 16) // 8 AS wb,
+        |    CAST(4 AS BIGINT) AS hb
+        |  FROM ids),
+        |cells AS (SELECT d.doc_id, d.w, d.h, d.wb, d.hb,
+        |    20 + d.doc_id % 30 + 3 * t.i + 17 * u.j AS c
+        |  FROM d, UNNEST(range(0, d.wb)) AS t(i),
+        |    UNNEST(range(0, d.hb)) AS u(j)),
+        |m AS (SELECT doc_id, w, h, wb, hb,
+        |    CAST(64 * SUM(c) AS BIGINT) AS mass_f0
+        |  FROM cells GROUP BY doc_id, w, h, wb, hb)
+        |SELECT doc_id, w AS width, h AS height,
+        |  CAST(wb * hb AS BIGINT) AS n_blocks,
+        |  CAST(wb * hb AS BIGINT) AS n_mv,
+        |  CAST((wb - 1) * hb AS BIGINT) AS n_half,
+        |  CAST(hb AS BIGINT) AS n_zero_vecs,
+        |  CAST(0 AS BIGINT) AS n_resid,
+        |  CAST(0 AS BIGINT) AS n_intra,
+        |  CAST((wb - 1) * hb AS BIGINT) AS n_fullpel_miss,
+        |  mass_f0,
+        |  CAST(mass_f0 + 2 * (wb - 1) * h AS BIGINT) AS mass_f1
         |FROM m ORDER BY doc_id""".stripMargin,
     // the translating field is fully lossless through the MC codec
     // (every P-block exactly predicted), so decoded masses regenerate

@@ -213,14 +213,20 @@ class Round12OpsSpec extends SparkFunSuite {
     conflict(intraOff) = (conflict(intraOff) | 1).toByte
     conflict(intraOff + bmLen) = (conflict(intraOff + bmLen) | 1).toByte
     assert(graft.multimodal.Mcv.parse(conflict).isEmpty)
-    // a motion nibble above 8 is invalid
+    // a half-sample vector byte above 16 is out of range
     val badNibble = good.clone()
     badNibble(intraOff + 2 * bmLen) = 0xFF.toByte
     assert(graft.multimodal.Mcv.parse(badNibble).isEmpty)
-    // block 0 with dx = -4 points outside the frame
+    // block 0 with dxH = -8 (byte 0) points outside the frame — in
+    // range, but the footprint leaves the left edge
     val oob = good.clone()
-    oob(intraOff + 2 * bmLen) = 0x40.toByte // dy=0 (4<<4), dx=-4 (0)
+    oob(intraOff + 2 * bmLen) = 0x00.toByte
     assert(graft.multimodal.Mcv.parse(oob).isEmpty)
+    // block 0 with dxH = -1 (byte 7): the ODD component needs one
+    // extra interpolation column past the left edge — also hostile
+    val oobHalf = good.clone()
+    oobHalf(intraOff + 2 * bmLen) = 0x07.toByte
+    assert(graft.multimodal.Mcv.parse(oobHalf).isEmpty)
     assert(graft.multimodal.Mcv.parse(good.take(good.length / 2)).isEmpty)
     assert(graft.multimodal.Mcv
       .parse(good ++ Array[Byte](0)).isEmpty)
@@ -295,7 +301,8 @@ class Round12OpsSpec extends SparkFunSuite {
       ((b(o) & 0xffL)) | ((b(o + 1) & 0xffL) << 8) |
         ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
     // walk to the B section: header+I, then the P section (2 bitmaps
-    // + MV bytes + strip), then the B bitmaps, then dir/MV pairs
+    // + 2-byte MV pairs + strip), then the B bitmaps, then
+    // (dir, mv-pair) triples
     val wb = w / 8; val hb = h / 8
     val bmLen = (wb * hb + 7) / 8
     var off = (14L + u32(good, 10)).toInt // P intra bitmap
@@ -303,11 +310,11 @@ class Round12OpsSpec extends SparkFunSuite {
       (0 until wb * hb).count(i => (good(o + i / 8) & (1 << (i % 8))) != 0)
     val pIntra = bitCount(off)
     val pMv = wb * hb - pIntra
-    val pStripLen = u32(good, off + 2 * bmLen + pMv).toInt
-    off += 2 * bmLen + pMv + 4 + pStripLen // B intra bitmap
+    val pStripLen = u32(good, off + 2 * bmLen + 2 * pMv).toInt
+    off += 2 * bmLen + 2 * pMv + 4 + pStripLen // B intra bitmap
     val bIntra = bitCount(off)
     assert(bIntra == 0) // corpus contract: all B blocks are MC
-    val dirOff = off + 2 * bmLen // first (dir, mv) pair
+    val dirOff = off + 2 * bmLen // first (dir, mv-pair) triple
     val bad = good.clone()
     bad(dirOff) = 3.toByte // direction 3 does not exist
     assert(graft.multimodal.Gop.parse(bad).isEmpty,
