@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
-/** The FEC FLAGSHIP dataflow (SURVEY §3.1) as ONE hash-checked catalog
-  * row — the round-12 verdict's top ask: the reference's own headline
+/** T286: the FEC FLAGSHIP dataflow (SURVEY §3.1) as ONE hash-checked
+  * catalog row — the round-12 verdict's top ask: the reference's own headline
   * pipeline, raw pipe-text bytes → schema dispatch (S5,
   * `import_bigquery/main.py:27-33`) → master table (A1/U1/F3/F4,
   * `create_master_tables/main.py:26-61`) → classification + elastic

@@ -10,9 +10,8 @@ package graft.multimodal
   * replenishment is the textbook pre-motion-compensation design
   * (H.261's ancestor: transmit only the blocks that changed); the
   * motion-compensated tier above it — block displacement search,
-  * vectors + DCT residuals on the wire — is [[Mcv]] (round 12),
-  * leaving bidirectional frames and sub-pixel motion as the
-  * remaining documented gap.
+  * vectors + DCT residuals on the wire — is [[Mcv]]; bidirectional
+  * frames are [[Gop]]; both carry half-pel vectors since round 13.
   *
   * Wire format (little-endian):
   *  - magic `DCTV`, u16 width, u16 height, u16 n_frames;

@@ -16,7 +16,9 @@ package graft.multimodal
   */
 object Rice {
 
-  private final class BitWriter {
+  /** MSB-first bit packer, shared with [[Subband]] (one bit-I/O
+    * implementation for every bit-packed codec). */
+  private[multimodal] final class BitWriter {
     private val out = new java.io.ByteArrayOutputStream()
     private var acc = 0
     private var n = 0
@@ -34,7 +36,7 @@ object Rice {
     }
   }
 
-  private final class BitReader(data: Array[Byte]) {
+  private[multimodal] final class BitReader(data: Array[Byte]) {
     private var pos = 0L
     private val total = data.length.toLong * 8
     def bit(): Int = {

@@ -111,6 +111,14 @@ class CodecFuzzSpec extends SparkFunSuite {
       }
     }
     sweep("gop", Gop.build(48, 32, gop), b => Gop.parse(b))
+    // 32-subband perceptual audio: a corrupted allocation nibble,
+    // non-canonical scalefactor, out-of-range quantized field,
+    // nonzero pad bit, or truncation must quarantine, never crash
+    val sb = Array.tabulate(768) { i =>
+      (900 * Subband.walshSign(5, i % 32) +
+        300 * Subband.walshSign(11, i % 32) + (i % 5) - 2).toShort
+    }
+    sweep("subband", Subband.encode(sb, 16000), b => Subband.decode(b))
   }
 
   test("Rle8.decode survives seeded corruption of key and delta chunks") {

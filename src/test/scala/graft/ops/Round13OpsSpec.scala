@@ -2,8 +2,75 @@ package graft.ops
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Round-13 codec additions: half-pel motion (Mcv/Gop stage 2). */
+/** Round-13 codec additions: half-pel motion (Mcv/Gop stage 2) and
+  * the MP2-class 32-subband audio tier. */
 class Round13OpsSpec extends AnyFunSuite {
+
+  import graft.multimodal.Subband
+
+  test("Subband: threshold allocation drops quiet bands, keeps tones, " +
+    "bounded round-trip error, stream beats raw") {
+    val n = 2 * Subband.FrameSamples
+    val xs = Array.tabulate(n) { i =>
+      (1200 * Subband.walshSign(9, i % 32) +
+        300 * Subband.walshSign(3, i % 32) + (i % 5) - 2).toShort
+    }
+    val stream = Subband.encode(xs, 16000)
+    assert(stream.length < 2 * n, "coded stream must beat raw PCM")
+    val (rate, dec, nActive, nDropped) = Subband.decode(stream).get
+    assert(rate == 16000)
+    assert(nActive == 4 && nDropped == 60,
+      "two tones per frame keep bits; the dither bands drop")
+    val errs = xs.indices.map(i => math.abs(dec(i) - xs(i)))
+    assert(errs.max <= 256, s"round-trip error ${errs.max} out of band")
+    assert(errs.max > 0, "a lossy codec that is bit-exact here would " +
+      "mean the threshold never engaged")
+    // energy conservation within the quantization bound
+    def energy(a: IndexedSeq[Int]): Double =
+      a.map(v => v.toDouble * v).sum
+    val e0 = energy(xs.map(_.toInt))
+    val e1 = energy(dec.map(_.toInt).toIndexedSeq)
+    assert(math.abs(e1 - e0) / e0 < 0.01,
+      "subband energy must be conserved within the quantization bound")
+  }
+
+  test("Subband: a silent signal codes all-dropped and decodes to " +
+    "silence; a full-scale signal survives the clamp") {
+    val silent = new Array[Short](Subband.FrameSamples)
+    val (_, ds, a0, d0) = Subband.decode(Subband.encode(silent, 8000)).get
+    assert(a0 == 0 && d0 == 32 && ds.forall(_ == 0))
+    val loud = Array.tabulate(Subband.FrameSamples)(i =>
+      (if ((i % 32) < 16) 32000 else -32000).toShort)
+    val (_, dl, _, _) = Subband.decode(Subband.encode(loud, 8000)).get
+    dl.indices.foreach(i => assert(math.abs(dl(i) - loud(i)) <= 2048,
+      s"sample $i: ${dl(i)} vs ${loud(i)}"))
+  }
+
+  test("Subband: hostile streams fail closed — bad alloc nibble, " +
+    "non-canonical scalefactor, nonzero pad bits, bad header, " +
+    "trailing garbage") {
+    val xs = Array.tabulate(Subband.FrameSamples)(i =>
+      (1000 * Subband.walshSign(7, i % 32) + (i % 5) - 2).toShort)
+    val good = Subband.encode(xs, 16000)
+    assert(Subband.decode(good).isDefined)
+    // alloc nibble 11..15 is out of range: the first body byte holds
+    // the allocations of bands 0 and 1
+    val badAlloc = good.clone()
+    badAlloc(10) = 0xFF.toByte
+    assert(Subband.decode(badAlloc).isEmpty)
+    // n_samples not a multiple of 384
+    val badN = good.clone()
+    badN(4) = 1.toByte
+    assert(Subband.decode(badN).isEmpty)
+    // absurd sample rate
+    val badRate = good.clone()
+    badRate(8) = 0.toByte; badRate(9) = 0.toByte
+    assert(Subband.decode(badRate).isEmpty)
+    assert(Subband.decode(good.take(good.length / 2)).isEmpty)
+    assert(Subband.decode(good ++ Array[Byte](0)).isEmpty)
+    assert(Subband.decode(null).isEmpty)
+    assert(Subband.decode(Array.emptyByteArray).isEmpty)
+  }
 
   /** The mm_halfpel corpus: block-constant I frame; P frame = its
     * half-sample interpolation (clamped at the right edge). */
