@@ -35,6 +35,9 @@ object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
     QueryModule(ops.CoreRelational.queries, ops.CoreRelational.oracles),
+    QueryModule(ops.PlanCensus.queries, ops.PlanCensus.oracles),
+    QueryModule(ops.Profiling.queries, ops.Profiling.oracles),
+    QueryModule(ops.LayoutOlap.queries, ops.LayoutOlap.oracles),
     QueryModule(ops.TextOps.queries, ops.TextOps.oracles),
     QueryModule(ops.DedupOps.queries, ops.DedupOps.oracles),
     QueryModule(ops.SimOps.queries, ops.SimOps.oracles),

@@ -596,43 +596,6 @@ object CoreRelational {
         col("o_custkey"))
   }
 
-  /** A: deterministic per-group mode — the most frequent order
-    * priority per customer, ties to the lexicographically smallest
-    * (native `mode()` breaks ties by encounter order in both engines
-    * — nondeterministic under parallelism, so it can never
-    * hash-match). Two hash aggs + a row_number window partitioned by
-    * the HIGH-cardinality customer key (safe at any scale, unlike the
-    * low-cardinality windows PlanAuditSpec forbids). */
-  def a16Mode(s: SparkSession, d: String): DataFrame = {
-    val counts = Tables.orders(s, d)
-      .groupBy(col("o_custkey"), col("o_orderpriority"))
-      .agg(count(lit(1)).as("n"))
-    val w = Window.partitionBy(col("o_custkey"))
-      .orderBy(col("n").desc, col("o_orderpriority").asc)
-    counts.withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("o_custkey"), col("o_orderpriority").as("mode_priority"),
-        col("n").as("n_mode"))
-      .orderBy(col("o_custkey"))
-  }
-
-  /** A: approximate distinct via the KMV sketch aggregate
-    * ([[graft.functions.expressions.KmvDistinct]], a custom
-    * TypedImperativeAggregate): per-group buffer is O(k)=64 doubles at
-    * EVERY stage — partial agg, shuffle, merge — where countDistinct
-    * pays a full dedup shuffle of the group's members. The md5-based
-    * sketch is deterministic, so the oracle replays the estimate
-    * bit-for-bit (unlike HLL-based approx_count_distinct); the exact
-    * count rides along as the accuracy reference. */
-  def a15Kmv(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d)
-      .groupBy(col("event_type"))
-      .agg(
-        round(graft.functions.expressions.KmvDistinct.kmv_native(s,
-          col("user_id").cast("string")), 6).as("approx_users"),
-        countDistinct(col("user_id")).as("exact_users"))
-      .orderBy(col("event_type"))
-
   /** A: approximate distinct via DETERMINISTIC HyperLogLog (Flajolet
     * et al. 2007) — the industry-standard cardinality sketch, restated
     * so a SQL oracle can replay the estimate exactly: the hash is the
@@ -654,109 +617,6 @@ object CoreRelational {
     * count rides along as the accuracy reference. */
   /** Per-row HLL (register, rank) derivation from md5(user_id) — see
     * [[a20Hll]] for the contract. */
-  private def hllRanks(ev: DataFrame): DataFrame =
-    hllRanksWith(ev)
-
-  /** [[hllRanks]] plus caller-supplied pass-through columns (e.g. a
-    * parity flag), so a single scan can feed several register sets. */
-  private def hllRanksWith(ev: DataFrame, extra: Column*): DataFrame = {
-    val hex = md5(col("user_id").cast("string"))
-    val reg = conv(substring(hex, 1, 2), 16, 10).cast("int")
-    val h13 = substring(hex, 3, 13)
-    val lz = length(regexp_extract(h13, "^0*", 0))
-    val d1 = h13.substr(lz + lit(1), lit(1))
-    val clz4 = when(d1 === "1", 3).when(d1.isin("2", "3"), 2)
-      .when(d1.isin("4", "5", "6", "7"), 1).otherwise(0)
-    val rank = when(lz === 13, lit(53)).otherwise(lz * 4 + clz4 + 1)
-    ev.select(col("event_type") +: reg.as("reg") +: rank.as("rk")
-      +: extra: _*)
-  }
-
-  /** (keys..., reg, mr) register table → per-keys HLL estimate. */
-  private def hllEstimateKeys(regs: DataFrame, estCol: String,
-      keys: Seq[String]): DataFrame = {
-    val kc = keys.map(col)
-    regs.groupBy(kc: _*).agg(
-        count(lit(1)).as("n_used"),
-        sum(expr("shiftleft(cast(1 as bigint), 53 - mr)")).as("zp"))
-      .select(kc :+ (lit(256L) - col("n_used")).as("n_zero_regs") :+
-        (col("zp") + (lit(256L) - col("n_used"))
-          * lit(9007199254740992L)).as("zs"): _*)
-      .withColumn("raw",
-        expr("(0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0" +
-          " / (cast(zs as double) / 9007199254740992.0)"))
-      .select(kc :+ col("n_zero_regs") :+
-        round(expr("case when n_zero_regs > 0 and raw <= 640.0" +
-          " then 256.0 * ln(256.0 / cast(n_zero_regs as double))" +
-          " else raw end"), 4).as(estCol): _*)
-  }
-
-  /** (event_type, reg, mr) register table → per-type HLL estimate. */
-  private def hllEstimate(regs: DataFrame, estCol: String): DataFrame =
-    hllEstimateKeys(regs, estCol, Seq("event_type"))
-
-  def a20Hll(s: SparkSession, d: String): DataFrame = {
-    val regs = hllRanks(Tables.events(s, d))
-      .groupBy("event_type", "reg").agg(max(col("rk")).as("mr"))
-    val sketch = hllEstimate(regs, "est_users")
-    val exact = Tables.events(s, d).groupBy("event_type")
-      .agg(countDistinct(col("user_id")).as("exact_users"))
-    sketch.join(exact, Seq("event_type")).orderBy(col("event_type"))
-  }
-
-  /** A: HLL MERGEABILITY as a hash-checked row — the property that
-    * makes a sketch a DISTRIBUTED sketch: registers built on two
-    * disjoint halves of the corpus (user-id parity), merged by
-    * element-wise max, must reproduce the whole-corpus estimate
-    * exactly, while the half estimates visibly DON'T add (distinct
-    * count is not a sum). The algebraic re-aggregation contract (the
-    * ev_merge_partials idiom applied to a sketch): at 100 TB this is
-    * why per-partition/per-day register blocks roll up later without
-    * touching raw data.
-    *
-    * ONE corpus scan (round-6 fix; the ev_overlap_kmv idiom): the
-    * per-(type, reg) aggregate computes both parity-half maxima as
-    * conditional aggregates plus the unconditional full max, then the
-    * four register SETS (even, odd, merged = greatest of the halves —
-    * derived, never re-scanned — and full) explode from that one
-    * 256-registers-per-type table into a `which`-keyed long panel for
-    * a single shared estimate aggregate. */
-  def a22HllMerge(s: SparkSession, d: String): DataFrame = {
-    val regs = hllRanksWith(Tables.events(s, d),
-        (col("user_id") % 2 === 0).as("even"))
-      .groupBy("event_type", "reg")
-      .agg(max(when(col("even"), col("rk"))).as("mra"),
-        max(when(!col("even"), col("rk"))).as("mrb"),
-        max(col("rk")).as("mrf"))
-    val longRegs = regs.select(col("event_type"), col("reg"),
-        explode(array(
-          struct(lit("est_even").as("which"), col("mra").as("mr")),
-          struct(lit("est_odd").as("which"), col("mrb").as("mr")),
-          struct(lit("est_merged").as("which"),
-            greatest(col("mra"), col("mrb")).as("mr")),
-          struct(lit("est_full").as("which"), col("mrf").as("mr"))))
-          .as("e"))
-      .filter(col("e.mr").isNotNull)
-      .select(col("event_type"), col("e.which").as("which"),
-        col("reg"), col("e.mr").as("mr"))
-    hllEstimateKeys(longRegs, "est", Seq("event_type", "which"))
-      .groupBy("event_type")
-      .agg(
-        max(when(col("which") === "est_even", col("est")))
-          .as("est_even"),
-        max(when(col("which") === "est_odd", col("est"))).as("est_odd"),
-        max(when(col("which") === "est_merged", col("est")))
-          .as("est_merged"),
-        max(when(col("which") === "est_full", col("est")))
-          .as("est_full"))
-      // a type whose users are all one parity has no half estimate;
-      // the panel drops it (the oracle's inner joins do the same)
-      .filter(col("est_even").isNotNull && col("est_odd").isNotNull)
-      .withColumn("merged_equals_full",
-        (col("est_merged") === col("est_full")).cast("int"))
-      .orderBy(col("event_type"))
-  }
-
   /** A: data profiling — the ANALYZE-TABLE panel (per-column null
     * count, distinct estimate, min/max) computed in ONE corpus pass:
     * all 13 aggregates run in a single hash-agg (the KMV sketch keeps
@@ -773,238 +633,6 @@ object CoreRelational {
     * before summing (few terms, order-proof all the same). The
     * [[profileTable]] companion for distribution SHAPE rather than
     * null/min/max bounds. */
-  def profileEntropy(s: SparkSession, d: String): DataFrame = {
-    val ord = Tables.orders(s, d)
-    val panels = Seq("o_orderstatus", "o_orderpriority").map { c =>
-      val vc = ord.groupBy(col(c).as("v")).agg(count(lit(1)).as("n"))
-      val tot = vc.agg(sum("n").as("tot"), count(lit(1)).as("nd"),
-        max("n").as("mx"))
-      vc.crossJoin(broadcast(tot))
-        .withColumn("q", expr(
-          "cast(floor(-(cast(n as double) / cast(tot as double))" +
-            " * ln(cast(n as double) / cast(tot as double))" +
-            " * 1000000000.0 + 0.5) as bigint)"))
-        .groupBy()
-        .agg(max("nd").as("n_distinct"), max("tot").as("tot"),
-          max("mx").as("mx"), sum("q").as("sq"))
-        .select(lit(c).as("column_name"), col("n_distinct"),
-          expr("round(cast(sq as double) / 1000000000.0, 6)").as("entropy"),
-          expr("round(cast(mx as double) / cast(tot as double), 6)")
-            .as("top_share"))
-    }
-    panels.reduce(_ unionAll _).orderBy("column_name")
-  }
-
-  def profileTable(s: SparkSession, d: String): DataFrame = {
-    val ord = Tables.orders(s, d)
-    val cols = Seq("o_orderstatus", "o_orderpriority", "o_custkey")
-    val aggs = cols.flatMap { c => Seq(
-      sum(col(c).isNull.cast("long")).as(s"${c}__nn"),
-      round(graft.functions.expressions.KmvDistinct.kmv_native(s,
-        col(c).cast("string")), 6).as(s"${c}__kd"),
-      min(col(c).cast("string")).as(s"${c}__mn"),
-      max(col(c).cast("string")).as(s"${c}__mx"))
-    } :+ count(lit(1)).as("n_rows")
-    val stackExpr = s"stack(${cols.size}, " + cols.map(c =>
-      s"'$c', ${c}__nn, ${c}__kd, ${c}__mn, ${c}__mx").mkString(", ") +
-      ") as (col_name, n_null, n_distinct_est, min_s, max_s)"
-    ord.agg(aggs.head, aggs.tail: _*)
-      .selectExpr("n_rows", stackExpr)
-      .select(col("col_name"), col("n_rows"), col("n_null"),
-        col("n_distinct_est"), col("min_s"), col("max_s"))
-      .orderBy(col("col_name"))
-  }
-
-  /** One-pass Pearson correlation panel over the fact table — the
-    * numeric-profiling companion to [[profileTable]]: for each
-    * l_returnflag group, r(quantity, extendedprice) and r(discount,
-    * extendedprice) from a SINGLE scan of sufficient statistics
-    * (n, Σx, Σy, Σx², Σy², Σxy).
-    *
-    * Cross-engine FP without sorted folds: every input is cast to
-    * DECIMAL(18,2) first, so all six sums are EXACT decimal arithmetic
-    * — commutative, partition-order-free, bit-identical in any engine
-    * — and the floating-point work is a fixed expression tree over six
-    * exact scalars per group (then a 1e-6 round as belt-and-braces).
-    * This is the same exactness trick as ev_window_agg's decimal sum,
-    * extended to second moments: the ONLY way a distributed corr can
-    * hash-match a single-threaded oracle without pinning partition
-    * order (Spark's built-in `corr` accumulates doubles in shuffle
-    * order — unusable for a bit-exact compare).
-    *
-    * 100 TB posture: one narrow scan + one map-side-combined hash agg
-    * on a low-cardinality key; the panel explode is per-group in-row.
-    */
-  def profileCorr(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d).select(col("l_returnflag"),
-      col("l_quantity").cast("decimal(18,2)").as("q"),
-      col("l_extendedprice").cast("decimal(18,2)").as("p"),
-      col("l_discount").cast("decimal(18,2)").as("disc"))
-    val a = li.groupBy("l_returnflag").agg(
-      count(lit(1)).cast("double").as("n"),
-      sum(col("q")).cast("double").as("sq"),
-      sum(col("p")).cast("double").as("sp"),
-      sum(col("disc")).cast("double").as("sd"),
-      sum(col("q") * col("q")).cast("double").as("sqq"),
-      sum(col("p") * col("p")).cast("double").as("spp"),
-      sum(col("disc") * col("disc")).cast("double").as("sdd"),
-      sum(col("q") * col("p")).cast("double").as("sqp"),
-      sum(col("disc") * col("p")).cast("double").as("sdp"))
-    // try_divide: a zero-variance column yields NULL (SQL corr()'s
-    // convention), not an ANSI divide-by-zero error; oracle CASEs the
-    // same zero-denominator check
-    def r(sxy: Column, sx: Column, sy: Column,
-        sxx: Column, syy: Column): Column =
-      round(try_divide(col("n") * sxy - sx * sy,
-        sqrt(col("n") * sxx - sx * sx) *
-          sqrt(col("n") * syy - sy * sy)), 6)
-    a.select(col("l_returnflag"), explode(array(
-        struct(lit("quantity").as("x_col"),
-          lit("extendedprice").as("y_col"),
-          r(col("sqp"), col("sq"), col("sp"), col("sqq"), col("spp"))
-            .as("r")),
-        struct(lit("discount").as("x_col"),
-          lit("extendedprice").as("y_col"),
-          r(col("sdp"), col("sd"), col("sp"), col("sdd"), col("spp"))
-            .as("r")))).as("c"))
-      .select(col("l_returnflag"), col("c.x_col"), col("c.y_col"),
-        col("c.r"))
-      .orderBy(col("l_returnflag"), col("c.x_col"))
-  }
-
-  /** Data-quality expectation suite — the Deequ-style constraint
-    * check that gates every load the reference performs with ad-hoc
-    * rowcount asserts (import_bigquery/main.py's validate step): each
-    * rule yields (rule, n_checked, n_violations, pass). ALL row-level
-    * rules (null, range, domain) fold into ONE full-scan aggregate —
-    * adding a rule adds a conditional-sum column, not a pass; the two
-    * rules that genuinely need other shapes (referential integrity =
-    * one anti-join count, key uniqueness = one distinct count) ride
-    * the same scan family. The three 1-row aggregates cross-join
-    * (trivially broadcast) and unpivot via an in-row array explode —
-    * no collect, no per-rule jobs.
-    *
-    * NULL discipline: a NULL checked value COUNTS AS A VIOLATION for
-    * range/domain rules (explicit `isNull ||` guard) — mirrored by
-    * `IS NULL OR` in the oracle's CASE, so the engines can never
-    * diverge on three-valued logic (the corpusKeep lesson). r3 is
-    * deliberately tight (discount ≤ 5%) so real violation counts flow
-    * through the hash compare — an all-green panel would be vacuous. */
-  def dqExpectations(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d)
-    def viol(c: Column): Column = sum(when(c, 1).otherwise(0)).cast("bigint")
-    val base = li.agg(
-      count(lit(1)).as("n"),
-      viol(col("l_orderkey").isNull).as("v1"),
-      viol(col("l_quantity").isNull ||
-        col("l_quantity") < 1 || col("l_quantity") > 50).as("v2"),
-      viol(col("l_discount").isNull || col("l_discount") > 0.05).as("v3"),
-      viol(col("l_returnflag").isNull ||
-        !col("l_returnflag").isin("A", "N", "R")).as("v4"),
-      viol(col("l_shipdate").isNull ||
-        col("l_shipdate") < lit("1992-01-01").cast("timestamp") ||
-        col("l_shipdate") >= lit("1999-01-01").cast("timestamp")).as("v5"),
-      countDistinct(col("l_orderkey"), col("l_linenumber")).as("nd"))
-    val ri = li.select(col("l_orderkey"))
-      .join(Tables.orders(s, d).select(col("o_orderkey")),
-        col("l_orderkey") === col("o_orderkey"), "left_anti")
-      .agg(count(lit(1)).as("v6"))
-    base.crossJoin(ri)
-      .select(explode(array(
-        struct(lit("r1_orderkey_not_null").as("rule"),
-          col("n").as("n_checked"), col("v1").as("n_violations")),
-        struct(lit("r2_quantity_in_1_50").as("rule"),
-          col("n").as("n_checked"), col("v2").as("n_violations")),
-        struct(lit("r3_discount_le_5pct").as("rule"),
-          col("n").as("n_checked"), col("v3").as("n_violations")),
-        struct(lit("r4_returnflag_domain").as("rule"),
-          col("n").as("n_checked"), col("v4").as("n_violations")),
-        struct(lit("r5_shipdate_in_range").as("rule"),
-          col("n").as("n_checked"), col("v5").as("n_violations")),
-        struct(lit("r6_orderkey_in_orders").as("rule"),
-          col("n").as("n_checked"), col("v6").as("n_violations")),
-        struct(lit("r7_line_pk_unique").as("rule"),
-          col("n").as("n_checked"),
-          (col("n") - col("nd")).as("n_violations")))).as("r"))
-      .select(col("r.rule").as("rule"), col("r.n_checked"),
-        col("r.n_violations"),
-        when(col("r.n_violations") === 0, 1).otherwise(0).as("pass"))
-      .orderBy(col("rule"))
-  }
-
-  /** Order-independent per-partition table digest — the anti-entropy
-    * primitive for verifying a replica/migration copy of a 100 TB
-    * table WITHOUT sorting it (the relational restatement of the
-    * reference's transactional-load rowcount validation,
-    * import_bigquery/main.py:367-403, upgraded from "same count" to
-    * "same content"): each row canonicalizes to one pipe-joined
-    * string, hashes to the 52-bit md5 integer (the a15_kmv nibble
-    * fraction's integer form — exact in double arithmetic, so the
-    * oracle replays it), and per-month digests combine with
-    * `bit_xor`, which is commutative/associative — identical under
-    * any partitioning, shuffle order, or file layout. Compare
-    * (month, n_rows, digest) panels on both sides; a mismatch
-    * localizes to one partition, which alone gets re-read.
-    *
-    * 100 TB posture: one narrow scan + one map-side-combined hash agg
-    * on the partition key; no sort, no window, no collect. */
-  def profileChecksum(s: SparkSession, d: String): DataFrame = {
-    val canon = concat_ws("|",
-      col("o_orderkey").cast("string"),
-      col("o_custkey").cast("string"),
-      col("o_orderstatus"),
-      col("o_totalprice").cast("decimal(18,2)").cast("string"),
-      date_format(col("o_orderdate"), "yyyy-MM-dd"))
-    Tables.orders(s, d)
-      .withColumn("cs", canon)
-      .withColumn("h",
-        expr("cast(conv(substring(md5(cs), 1, 13), 16, 10) as bigint)"))
-      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
-      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("digest"))
-      .orderBy(col("month"))
-  }
-
-  /** Z-order (Morton) clustering key + tile evidence — the
-    * multi-dimensional data-skipping layout (the published idea
-    * behind Delta/Iceberg OPTIMIZE ZORDER): normalize two query
-    * dimensions to 8-bit grids, interleave their bits into one
-    * 16-bit z key, and the table clustered by z gets parquet
-    * min/max file stats that are TIGHT IN BOTH dimensions — a
-    * predicate on either column prunes files, where a single-column
-    * sort only serves its own column. At 100 TB the write is
-    * `repartitionByRange($"z").sortWithinPartitions($"z")` — a range
-    * shuffle, no window anywhere; this query computes the key and
-    * PROVES the pruning bound: grouped by z's top byte (a 16×16
-    * tile), every tile spans ≤ 1/16 of EACH dimension's range
-    * (asserted in the spec, hash-pinned in the oracle — pure integer
-    * bit arithmetic, replayed with `>>`/`&` in SQL).
-    *
-    * Normalization uses the dimensions' min/max from a 1-row
-    * broadcast stats subquery (exact integer-in-double scaling, no
-    * rank/ntile window). */
-  def layoutZorder(s: SparkSession, d: String): DataFrame = {
-    val o = Tables.orders(s, d)
-      .select(col("o_custkey"), to_date(col("o_orderdate")).as("od"))
-    val stats = o.agg(
-      min(col("o_custkey")).as("ck0"), max(col("o_custkey")).as("ck1"),
-      min(col("od")).as("d0"), max(col("od")).as("d1"))
-    val b = o.crossJoin(broadcast(stats))
-      .withColumn("x", floor((col("o_custkey") - col("ck0")) * lit(256.0)
-        / (col("ck1") - col("ck0") + lit(1))).cast("int"))
-      .withColumn("y", floor(datediff(col("od"), col("d0")) * lit(256.0)
-        / (datediff(col("d1"), col("d0")) + lit(1))).cast("int"))
-    val z = (0 until 8).map { i =>
-      shiftright(col("x"), i).bitwiseAND(lit(1)) * lit(1 << (2 * i + 1)) +
-        shiftright(col("y"), i).bitwiseAND(lit(1)) * lit(1 << (2 * i))
-    }.reduce(_ + _)
-    b.withColumn("z", z)
-      .groupBy(shiftright(col("z"), 8).as("tile"))
-      .agg(count(lit(1)).as("n_rows"),
-        min(col("x")).as("min_x"), max(col("x")).as("max_x"),
-        min(col("y")).as("min_y"), max(col("y")).as("max_y"))
-      .orderBy(col("tile"))
-  }
-
   /** Temporal-dimension lookup — "the attribute as of date X": facts
     * resolve against the SCD2-style change table through the NATIVE
     * as-of join ([[graft.plans.Asof.join]]) instead of a BETWEEN
@@ -1040,579 +668,6 @@ object CoreRelational {
           .as("matches_actual"))
       .orderBy(col("o_orderkey"))
   }
-
-  /** Hilbert-curve layout key over the same (custkey, orderdate) grid
-    * as [[layoutZorder]] — the strictly-better-locality alternative
-    * (consecutive indexes are always grid-neighbors; Z-order jumps at
-    * tile seams). The index is the native codegen
-    * [[graft.functions.expressions.HilbertIndex]] expression (a Column
-    * composition of the 8 rotate/flip rounds would blow up the
-    * expression tree multiplicatively); the oracle replays the xy2d
-    * walk as 8 chained CTE rounds in exact integer arithmetic.
-    * HilbertSpec proves bijectivity and the unit-step adjacency
-    * property over the full 65536-cell grid. */
-  def layoutHilbert(s: SparkSession, d: String): DataFrame = {
-    val o = Tables.orders(s, d)
-      .select(col("o_custkey"), to_date(col("o_orderdate")).as("od"))
-    val stats = o.agg(
-      min(col("o_custkey")).as("ck0"), max(col("o_custkey")).as("ck1"),
-      min(col("od")).as("d0"), max(col("od")).as("d1"))
-    val b = o.crossJoin(broadcast(stats))
-      .withColumn("x", floor((col("o_custkey") - col("ck0")) * lit(256.0)
-        / (col("ck1") - col("ck0") + lit(1))).cast("int"))
-      .withColumn("y", floor(datediff(col("od"), col("d0")) * lit(256.0)
-        / (datediff(col("d1"), col("d0")) + lit(1))).cast("int"))
-    b.withColumn("h", graft.functions.expressions.HilbertIndex.hilbert(
-        s, col("x"), col("y")))
-      .groupBy(shiftright(col("h"), 8).as("tile"))
-      .agg(count(lit(1)).as("n_rows"),
-        min(col("x")).as("min_x"), max(col("x")).as("max_x"),
-        min(col("y")).as("min_y"), max(col("y")).as("max_y"))
-      .orderBy(col("tile"))
-  }
-
-  /** A: pivot — per-day event counts spread across one column per
-    * event type (the dashboard "crosstab" shape). The value list is
-    * explicit, so this is ONE hash aggregate (no value-discovery job
-    * and no second shuffle — `pivot` without values runs a distinct
-    * scan first) with fixed output width; missing (day, type) cells
-    * surface as NULL from the pivot and are pinned to 0 to match the
-    * oracle's conditional counts. */
-  def a13Pivot(s: SparkSession, d: String): DataFrame = {
-    val types = Seq("click", "error", "purchase", "signup", "view")
-    Tables.events(s, d)
-      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
-      .pivot("event_type", types)
-      .agg(count(lit(1)))
-      .na.fill(0L, types)
-      .orderBy(col("day"))
-  }
-
-  /** 2-D skyline (Pareto front) of distinct (price, size) part points:
-    * minimize price, maximize size. Rather than the naive O(n²)
-    * dominance self-join (the oracle), the engine uses the sort-sweep
-    * property — sorted by (price ASC, size DESC), a point survives iff
-    * its size strictly exceeds every earlier size — restated at scale
-    * with the TWO-LEVEL prefix idiom: price-bucketed intra-group
-    * running max plus a buckets-count-sized carry-in table (broadcast),
-    * so there is no single global window partition and no quadratic
-    * pair generation anywhere. Bucket boundaries are sound because
-    * every earlier bucket's price is strictly lower (floor(price/100)),
-    * making carry-in dominance strict in price by construction. */
-  def o10Skyline(s: SparkSession, d: String): DataFrame = {
-    val pts = Tables.part(s, d)
-      .groupBy(col("p_retailprice").as("price"), col("p_size").as("size"))
-      .agg(count(lit(1)).as("n_parts"))
-      .withColumn("gid", floor(col("price") / 100).cast("long"))
-    val wIn = Window.partitionBy("gid")
-      .orderBy(col("price").asc, col("size").desc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val wOff = Window.orderBy("gid").rowsBetween(Window.unboundedPreceding, -1)
-    val offs = pts.groupBy("gid").agg(max(col("size")).as("g_max"))
-      .withColumn("g_prev", max(col("g_max")).over(wOff))
-      .select("gid", "g_prev")
-    pts.join(broadcast(offs), "gid")
-      .withColumn("best_before",
-        greatest(coalesce(max(col("size")).over(wIn), lit(Int.MinValue)),
-          coalesce(col("g_prev"), lit(Int.MinValue))))
-      .filter(col("size") > col("best_before"))
-      .select(col("price"), col("size"), col("n_parts"))
-      .orderBy(col("price"))
-  }
-
-  /** Benford first-digit audit over line-item amounts — the
-    * fraud-screening pass an ingest pipeline runs on reported financial
-    * figures (first-significant-digit frequencies against Benford's
-    * log₁₀(1+1/d) law). The digit is extracted from the DECIMAL(18,2)
-    * string rendering (no FP log in the classifier, so binning is
-    * exact in any engine); observed shares are exact-integer divisions
-    * via a 9-row window; only the irrational expected-share and the
-    * excess are rounded. ONE map-side-combined scan; everything after
-    * is digit-cardinality (≤9 rows). */
-  def dqBenford(s: SparkSession, d: String): DataFrame = {
-    val digits = Tables.lineitem(s, d)
-      .filter(col("l_extendedprice") > 0)
-      .groupBy(substring(col("l_extendedprice").cast("decimal(18,2)")
-        .cast("string"), 1, 1).cast("int").as("digit"))
-      .agg(count(lit(1)).as("n"))
-    val pObs = col("n").cast("double") /
-      sum(col("n")).over(Window.partitionBy()).cast("double")
-    val pExp = log10(lit(1.0) + lit(1.0) / col("digit").cast("double"))
-    digits.select(col("digit"), col("n"),
-        round(pObs, 6).as("p_obs"),
-        round(pExp, 6).as("p_benford"),
-        round(pObs - pExp, 6).as("excess"))
-      .orderBy(col("digit"))
-  }
-
-  /** Diversified top-k: the 20 highest-value orders with AT MOST TWO
-    * per customer — the result-diversification shape search/feed
-    * ranking uses so one heavy key can't monopolize the page. The
-    * per-customer cap is a KEYED row_number (scale-safe window), which
-    * Catalyst rewrites to a WindowGroupLimit (rank-limit pushdown: each
-    * partition keeps ≤2 rows per key BEFORE the full sort — Spark
-    * 3.5+'s InferWindowGroupLimit); the final cut is a
-    * TakeOrderedAndProject, never a global sort of the survivors. */
-  def o11Diversify(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("o_custkey")
-      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-    Tables.orders(s, d)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 2)
-      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
-        col("rn").as("cust_rank"))
-      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-      .limit(20)
-  }
-
-  /** O: EXACT distributed weighted median — per supplier nation, the
-    * price at which half the shipped quantity lies below (the
-    * robust "typical price point" a mean can't give on skewed money
-    * data; `percentile_approx` trades exactness away, this doesn't).
-    *
-    * Lower weighted median: the smallest price p with
-    * 2·cumweight(≤p) ≥ totalweight. The cumulative weight is the
-    * TWO-LEVEL bucketed prefix sum (the ev_concurrency /
-    * sourceCumTokens idiom, keyed here by fixed-width PRICE buckets —
-    * the bucket id is a prefix of the value sort order, so intra-
-    * bucket windows + a per-nation bucket-offset table compose to the
-    * exact global order): no nation — however dominant — is ever one
-    * monolithic window partition; at 100 TB each (nation, bucket)
-    * window partition is a bounded value slice, and the offset window
-    * runs over ≤ ~100 bucket rows per nation. Crossing-row selection
-    * is a min_by-style aggregate, not a second sort. All weights are
-    * exact integers (quantity), so the threshold compare 2·cum ≥ tot
-    * has no FP at all; the median price itself is one decimal cast. */
-  def o15Wmedian(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d).select(col("l_suppkey"),
-      col("l_extendedprice").as("price"),
-      col("l_quantity").cast("bigint").as("w"),
-      col("l_orderkey"), col("l_linenumber"))
-    val sup = Tables.supplier(s, d)
-      .select(col("s_suppkey"), col("s_nationkey"))
-    val nat = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
-    val fact = li.join(sup, li("l_suppkey") === sup("s_suppkey"))
-      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
-      .select(col("n_name"), col("price"), col("w"),
-        col("l_orderkey"), col("l_linenumber"))
-      .withColumn("__b", floor(col("price") / 1000).cast("int"))
-    val wIn = Window.partitionBy("n_name", "__b")
-      .orderBy(col("price"), col("l_orderkey"), col("l_linenumber"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wOff = Window.partitionBy("n_name").orderBy("__b")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val groups = fact.groupBy(col("n_name"), col("__b"))
-      .agg(sum(col("w")).as("__g_tot"))
-    val offs = groups
-      .withColumn("__g_off", coalesce(sum(col("__g_tot")).over(wOff), lit(0L)))
-      .select("n_name", "__b", "__g_off")
-    val tots = groups.groupBy("n_name").agg(sum(col("__g_tot")).as("tot_w"))
-    fact
-      .withColumn("__run", sum(col("w")).over(wIn))
-      .join(offs, Seq("n_name", "__b"))
-      .withColumn("cum", col("__g_off") + col("__run"))
-      .join(broadcast(tots), Seq("n_name")) // |nations| rows
-      .filter(col("cum") * 2 >= col("tot_w"))
-      .groupBy(col("n_name"))
-      .agg(min(col("price")).as("mp"), max(col("tot_w")).as("total_weight"))
-      .select(col("n_name"), col("total_weight"),
-        col("mp").cast("double").as("w_median_price"))
-      .orderBy(col("n_name"))
-  }
-
-  /** Layout EVALUATION: how much row-group skipping does each physical
-    * layout actually buy for a 2-D predicate (one month of order dates
-    * × the lowest 10% of customer keys)? Models parquet row-group
-    * pruning exactly as engines do it — per group, keep [min, max] of
-    * each filter column; a group is SCANNED iff both ranges intersect
-    * the predicate. Three layouts of the same table:
-    * `natural` (orderkey prefix — the as-loaded order), `bydate`
-    * (orderdate-clustered) and `zorder` (the [[layoutZorder]] bit
-    * interleave). The expected story IS the result: natural skips
-    * nothing, bydate skips the date dimension only, zorder skips on
-    * both — the panel that justifies paying for a re-layout before a
-    * 100 TB rewrite.
-    *
-    * One scan derives the sort keys; each layout is one hash agg on
-    * its group key + a group-count-sized reduce. Exact ints/dates;
-    * rates are single divisions, round 6. */
-  def layoutSkipping(s: SparkSession, d: String): DataFrame = {
-    val o = Tables.orders(s, d)
-      .select(col("o_orderkey"), col("o_custkey"),
-        to_date(col("o_orderdate")).as("od"))
-    val stats = o.agg(
-      min(col("o_custkey")).as("ck0"), max(col("o_custkey")).as("ck1"),
-      min(col("od")).as("d0"), max(col("od")).as("d1"))
-    val base = o.crossJoin(broadcast(stats))
-      .withColumn("x", floor((col("o_custkey") - col("ck0")) * lit(256.0)
-        / (col("ck1") - col("ck0") + lit(1))).cast("int"))
-      .withColumn("y", floor(datediff(col("od"), col("d0")) * lit(256.0)
-        / (datediff(col("d1"), col("d0")) + lit(1))).cast("int"))
-      .withColumn("z", (0 until 8).map { i =>
-        shiftright(col("x"), i).bitwiseAND(lit(1)) * lit(1 << (2 * i + 1)) +
-          shiftright(col("y"), i).bitwiseAND(lit(1)) * lit(1 << (2 * i))
-      }.reduce(_ + _))
-      // predicate: one month x bottom-decile customers
-      .withColumn("ckHi", expr("ck0 + (ck1 - ck0) div 10"))
-      .withColumn("m", col("od") >= lit("1997-03-01").cast("date") &&
-        col("od") <= lit("1997-03-31").cast("date") &&
-        col("o_custkey") <= col("ckHi"))
-    def layout(name: String, grp: Column): DataFrame =
-      base.groupBy(grp.as("g"))
-        .agg(count(lit(1)).as("rows"),
-          sum(col("m").cast("long")).as("hits"),
-          min(col("od")).as("odMin"), max(col("od")).as("odMax"),
-          min(col("o_custkey")).as("ckMin"),
-          max(col("o_custkey")).as("ckMax"),
-          max(col("ckHi")).as("ckHi"))
-        .withColumn("scanned",
-          (col("odMax") >= lit("1997-03-01").cast("date") &&
-            col("odMin") <= lit("1997-03-31").cast("date") &&
-            col("ckMin") <= col("ckHi")).cast("long"))
-        .agg(count(lit(1)).as("n_groups"),
-          sum(col("scanned")).as("n_scanned"),
-          sum(col("rows")).as("rows_total"),
-          sum(col("scanned") * col("rows")).as("rows_scanned"),
-          sum(col("hits")).as("n_matching"))
-        .select(lit(name).as("layout"), col("n_groups"), col("n_scanned"),
-          round(lit(1.0) - col("n_scanned").cast("double")
-            / col("n_groups").cast("double"), 6).as("skip_rate"),
-          col("rows_total"), col("rows_scanned"), col("n_matching"))
-    layout("natural", expr("o_orderkey div 512"))
-      .unionAll(layout("bydate", expr("datediff(od, '1994-01-01') div 30")))
-      .unionAll(layout("zorder", expr("z div 256")))
-      .orderBy(col("layout"))
-  }
-
-  /** DQ: functional-dependency audit — test candidate "X determines Y"
-    * rules and report how badly each is violated (the schema-
-    * inference / normalization prerequisite: a HOLDING fd is a
-    * candidate for dimension extraction, a nearly-holding one is
-    * usually a data bug). Four candidates spanning both outcomes:
-    * nation→region holds by construction, partkey→brand is the
-    * key-uniqueness flavor;
-    * customer nation→mktsegment and order→returnflag should fail
-    * loudly.
-    *
-    * 100 TB posture: each rule is one (lhs, rhs) dedup + lhs-keyed
-    * count-distinct aggregate (map-side combinable) collapsed to a
-    * 1-row panel — no joins, no windows; the union stacks four 1-row
-    * panels. Exact integers; the rate is one division, round 6. */
-  def dqFd(s: SparkSession, d: String): DataFrame = {
-    def panel(name: String, df: DataFrame, lhs: String, rhs: String) =
-      df.groupBy(col(lhs)).agg(countDistinct(col(rhs)).as("ndv"))
-        .agg(count(lit(1)).as("n_groups"),
-          sum((col("ndv") > 1).cast("long")).as("n_violating"),
-          max(col("ndv")).as("max_rhs_distinct"))
-        .select(lit(name).as("fd"), col("n_groups"), col("n_violating"),
-          round(col("n_violating").cast("double")
-            / col("n_groups").cast("double"), 6).as("violation_rate"),
-          col("max_rhs_distinct"))
-    panel("nation_to_region", Tables.nation(s, d),
-        "n_nationkey", "n_regionkey")
-      .unionAll(panel("partkey_to_brand", Tables.part(s, d),
-        "p_partkey", "p_brand"))
-      .unionAll(panel("custnation_to_segment", Tables.customer(s, d),
-        "c_nationkey", "c_mktsegment"))
-      .unionAll(panel("order_to_returnflag", Tables.lineitem(s, d),
-        "l_orderkey", "l_returnflag"))
-      .orderBy(col("fd"))
-  }
-
-  /** A: EXACT money allocation by the largest-remainder method — split
-    * each order's total price (in integer cents) across its line items
-    * proportional to quantity, with the allocation GUARANTEED to sum
-    * back to the total: base share = ⌊total·qty/sumqty⌋, and the
-    * leftover cents go one each to the lines with the largest
-    * remainder (deterministic tie-break on line number). The standard
-    * finance-ETL primitive (prorating revenue, tax, discounts) that a
-    * naive `total · qty / sumqty` double multiply gets wrong — FP
-    * shares neither sum to the total nor reproduce across engines.
-    *
-    * 100 TB posture: one fact join + one order-keyed agg + one
-    * order-keyed window (o_orderkey is the high-cardinality balanced
-    * key — never a monolithic partition); everything is exact 64-bit
-    * integer arithmetic (cents·qty ≤ ~10¹⁰), no FP anywhere. The
-    * deterministic `% 50` order sample keeps the audit output bounded
-    * and pushes down to the scan. */
-  def a21Allocate(s: SparkSession, d: String): DataFrame = {
-    val ord = Tables.orders(s, d)
-      .filter(col("o_orderkey") % 50 === 0)
-      .select(col("o_orderkey"),
-        // money → exact cents through decimal(18,2) (the repo's money
-        // convention): a double×100 truncation would drop a cent
-        (col("o_totalprice").cast("decimal(18,2)") * 100)
-          .cast("bigint").as("total_cents"))
-    val li = Tables.lineitem(s, d)
-      .select(col("l_orderkey"), col("l_linenumber"),
-        col("l_quantity").cast("bigint").as("qty"))
-    val j = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .select(col("o_orderkey"), col("l_linenumber"), col("qty"),
-        col("total_cents"))
-    val sq = j.groupBy("o_orderkey").agg(sum(col("qty")).as("sumqty"))
-    val wOrd = Window.partitionBy("o_orderkey")
-    // tie-break includes qty: the testdata's l_linenumber is not
-    // unique per order; rows identical in (line, qty) have equal fr
-    // and base, so whichever gets the leftover cent, the output
-    // multiset is the same
-    val wr = Window.partitionBy("o_orderkey")
-      .orderBy(col("fr").desc, col("l_linenumber").asc, col("qty").asc)
-    j.join(sq, Seq("o_orderkey"))
-      .withColumn("base", expr("total_cents * qty div sumqty"))
-      .withColumn("fr", expr("(total_cents * qty) % sumqty"))
-      .withColumn("rsum", sum(col("fr")).over(wOrd))
-      .withColumn("r", expr("rsum div sumqty")) // exact: sumqty | Σfr
-      .withColumn("rn", row_number().over(wr))
-      .select(col("o_orderkey"), col("l_linenumber"), col("qty"),
-        col("total_cents"),
-        (col("base") + when(col("rn") <= col("r"), 1L).otherwise(0L))
-          .as("alloc_cents"))
-      .orderBy(col("o_orderkey"), col("l_linenumber"))
-  }
-
-  /** T174: two-table financial RECONCILIATION report — does the order
-    * header's `o_totalprice` equal the recomputed sum of its line
-    * amounts (extprice·(1−disc)·(1+tax))? The close-the-books query
-    * every warehouse runs between a fact table and its rollup, with
-    * mismatches CLASSED, not just counted: exact (0¢), minor (<$1),
-    * major (≥$1), and headers with no lines at all. All comparisons
-    * happen in exact integer CENTS (money through decimal(18,2), the
-    * repo convention — a double recompute would misclassify
-    * penny-level drift, the very thing the report exists to catch).
-    *
-    * One fact aggregate keyed on order + one broadcast-ineligible but
-    * key-colocated header join + one 4-row class aggregate; nothing
-    * wider than (orderkey, cents) ever shuffles. */
-  def dqReconcile(s: SparkSession, d: String): DataFrame = {
-    // per-line amount in EXACT INTEGER units (cents × 1e4): the
-    // decimal-product route rounds differently per engine at decimal-
-    // precision limits; extc·(100−disc%)·(100+tax%) is overflow-free
-    // and bit-identical everywhere, and the final half-up to cents is
-    // one integer expression
-    val lines = Tables.lineitem(s, d)
-      .groupBy(col("l_orderkey"))
-      .agg(expr(
-        "(sum(cast(cast(l_extendedprice as decimal(18,2)) * 100" +
-          " as bigint)" +
-          " * (100 - cast(cast(l_discount as decimal(18,2)) * 100" +
-          " as bigint))" +
-          " * (100 + cast(cast(l_tax as decimal(18,2)) * 100" +
-          " as bigint))) + 5000) div 10000")
-        .as("ltot_cents"))
-    Tables.orders(s, d)
-      .select(col("o_orderkey"),
-        expr("cast(cast(o_totalprice as decimal(18,2)) * 100" +
-          " as bigint)").as("otot_cents"))
-      .join(lines, col("o_orderkey") === col("l_orderkey"), "left")
-      .withColumn("diff_cents", expr(
-        "case when ltot_cents is null then null" +
-          " else abs(otot_cents - ltot_cents) end"))
-      .withColumn("class", expr(
-        "case when diff_cents is null then 'missing_lines'" +
-          " when diff_cents = 0 then 'exact'" +
-          " when diff_cents < 100 then 'minor'" +
-          " else 'major' end"))
-      .groupBy("class")
-      .agg(count(lit(1)).as("n_orders"),
-        sum(coalesce(col("diff_cents"), lit(0L))).as("cents"))
-      .select(col("class"), col("n_orders"),
-        expr("round(cast(cents as double) / 100.0, 2)")
-          .as("sum_abs_diff"))
-      .orderBy("class")
-  }
-
-  /** T191: IQR OUTLIER FENCES (the Tukey boxplot rule, the DQ
-    * monitor's robust complement to z-scores): per profiled money
-    * column, exact q1/q3 (Spark `percentile` ≡ DuckDB
-    * `quantile_cont`), fences at ±1.5·IQR, and the row counts outside
-    * each fence. Per column: ONE quartile aggregate (1-row broadcast)
-    * + one conditional-count rescan; fences are rounded to the 1e-6
-    * grid before the comparison so both engines cut at the identical
-    * boundary. Panel = one row per profiled column. */
-  def dqIqrOutliers(s: SparkSession, d: String): DataFrame = {
-    def panel(df: DataFrame, colName: String, label: String): DataFrame = {
-      val v = df.select(col(colName).cast("double").as("v"))
-      val qs = v.agg(
-        round(expr("percentile(v, 0.25)"), 6).as("q1"),
-        round(expr("percentile(v, 0.75)"), 6).as("q3"))
-        .withColumn("lo", round(col("q1")
-          - lit(1.5) * (col("q3") - col("q1")), 6))
-        .withColumn("hi", round(col("q3")
-          + lit(1.5) * (col("q3") - col("q1")), 6))
-      v.crossJoin(broadcast(qs))
-        .groupBy()
-        .agg(count(lit(1)).as("n"),
-          max("q1").as("q1"), max("q3").as("q3"),
-          max("lo").as("fence_lo"), max("hi").as("fence_hi"),
-          sum(when(col("v") < col("lo"), 1L).otherwise(0L))
-            .as("n_below"),
-          sum(when(col("v") > col("hi"), 1L).otherwise(0L))
-            .as("n_above"))
-        .select(lit(label).as("column"), col("n"), col("q1"),
-          col("q3"), col("fence_lo"), col("fence_hi"),
-          col("n_below"), col("n_above"))
-    }
-    panel(Tables.orders(s, d), "o_totalprice", "o_totalprice")
-      .unionAll(panel(Tables.lineitem(s, d), "l_extendedprice",
-        "l_extendedprice"))
-      .orderBy("column")
-  }
-
-  /** T244: JOIN-KEY SKEW CENSUS — the "needs salting?" pre-flight a
-    * 100 TB join plan runs before choosing its shuffle strategy. For
-    * the five join/grouping keys the catalog actually shuffles on
-    * (fact FKs, the event user key, and the low-cardinality event
-    * type as the known-pathological contrast) it reports exact
-    * per-key-distribution facts: row/key counts, the heaviest key and
-    * its share, and the max/avg skew ratio with a >10× salting flag —
-    * the number that decides between a plain hash join, AQE's skew
-    * split, and an explicit salt.
-    *
-    * Scale posture: per key ONE map-side-combinable hash agg folds the
-    * corpus to its key-count table, and the census is a second
-    * aggregate OVER THAT (key-table-sized) — no windows, no sorts; the
-    * heaviest key rides a struct-argmin (min of (-count, key), the q02
-    * idiom) so the tie-break (smallest key among equal counts) is
-    * engine-agnostic. The salting flag compares the ROUNDED ratio on
-    * both sides, so the boolean is as cross-engine-stable as the
-    * double it derives from. */
-  def profileSkew(s: SparkSession, d: String): DataFrame = {
-    def census(table: String, key: String, df: DataFrame): DataFrame =
-      df.select(col(key).cast("string").as("k"))
-        .groupBy("k").agg(count(lit(1)).as("c"))
-        .agg(sum("c").as("n_rows"), count(lit(1)).as("n_keys"),
-          min(struct((-col("c")).as("nc"), col("k").as("k"))).as("m"))
-        .select(lit(table).as("table_name"), lit(key).as("key_col"),
-          col("n_rows"), col("n_keys"),
-          (-col("m.nc")).as("max_count"), col("m.k").as("top_key"),
-          round(expr("cast(-m.nc as double) / cast(n_rows as double)"),
-            6).as("max_share"),
-          round(expr("(cast(-m.nc as double) * cast(n_keys as double))" +
-            " / cast(n_rows as double)"), 6).as("skew_ratio"))
-        .withColumn("needs_salting", col("skew_ratio") > 10.0)
-    census("events", "event_type", Tables.events(s, d))
-      .unionAll(census("events", "user_id", Tables.events(s, d)))
-      .unionAll(census("lineitem", "l_orderkey", Tables.lineitem(s, d)))
-      .unionAll(census("lineitem", "l_suppkey", Tables.lineitem(s, d)))
-      .unionAll(census("orders", "o_custkey", Tables.orders(s, d)))
-      .orderBy("table_name", "key_col")
-  }
-
-  /** T200: TOP-K VALUE PROFILE per categorical column — the "what's
-    * actually in this column" half of a data profile
-    * ([[profileTable]] gives the stats, this gives the values; every
-    * warehouse profiler ships both). Per column: the 3 most frequent
-    * values with exact counts (count desc, value asc tiebreak). One
-    * hash agg per column folds the corpus to the distinct-value
-    * table; the rank window runs OVER THAT (domain-constant rows —
-    * the second-level-pass rule), never over the corpus. */
-  def profileTopk(s: SparkSession, d: String): DataFrame = {
-    val doc = Tables.documents(s, d)
-    def top(colName: String): DataFrame = {
-      val w = Window.orderBy(col("n").desc, col("value").asc)
-      doc.groupBy(col(colName).as("value"))
-        .agg(count(lit(1)).as("n"))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 3)
-        .select(lit(colName).as("column"), col("rk"), col("value"),
-          col("n"))
-    }
-    top("lang").unionAll(top("source")).orderBy("column", "rk")
-  }
-
-  /** T206: χ² INDEPENDENCE test of the source × lang contingency — the
-    * DQ monitor's "did the corpus mix shift" alarm (a skewed
-    * source-language association is how a scraper regression shows up
-    * before any single count looks wrong). The full r×c grid comes
-    * from the cross join of the two broadcast-sized marginal panels
-    * LEFT-joined to observed cells (zero cells MUST contribute their
-    * expected mass); each (o−e)²/e term quantizes to the 1e-9 grid so
-    * the grid-sized sum is order-free, and Cramér's V normalizes by
-    * N·min(r−1, c−1). One corpus scan builds all three count tables
-    * map-side; everything after is dim-cardinality. */
-  def dqChisq(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-    val obs = docs.groupBy("source", "lang").agg(count(lit(1)).as("o"))
-    val rowt = docs.groupBy("source").agg(count(lit(1)).as("rt"))
-    val colt = docs.groupBy("lang").agg(count(lit(1)).as("ctt"))
-    val tot = docs.agg(count(lit(1)).as("nn"),
-      countDistinct("source").as("r"), countDistinct("lang").as("cdim"))
-    rowt.crossJoin(colt)
-      .join(obs, Seq("source", "lang"), "left")
-      .crossJoin(broadcast(tot))
-      .withColumn("o", coalesce(col("o"), lit(0L)))
-      .withColumn("e", expr(
-        "cast(rt as double) * cast(ctt as double) / cast(nn as double)"))
-      .withColumn("term", expr(
-        "cast(round((cast(o as double) - e) * (cast(o as double) - e)" +
-          " / e, 9) as decimal(28,9))"))
-      .agg(max("nn").as("n_docs"), max("r").as("r"),
-        max("cdim").as("cdim"), sum("term").as("chi2q"))
-      .select(col("n_docs"),
-        col("r").cast("int").as("n_sources"),
-        col("cdim").cast("int").as("n_langs"),
-        expr("cast((r - 1) * (cdim - 1) as int)").as("dof"),
-        expr("round(cast(chi2q as double), 6)").as("chi2"),
-        expr("round(sqrt(cast(chi2q as double) / (cast(n_docs as double)" +
-          " * cast(least(r - 1, cdim - 1) as double))), 6)")
-          .as("cramers_v"))
-  }
-
-  /** T211: SNAPSHOT DRIFT report between the two key-parity halves of
-    * the orders table — the ingest monitor's "did today's load change
-    * shape" check, restated on a deterministic split (o_orderkey
-    * parity stands in for yesterday/today). Three signals in one row:
-    * PSI over the order-status distribution (the standard population-
-    * stability index, Σ(pa−pb)·ln(pa/pb), each term 1e-9-quantized on
-    * the ≤3-row status panel, zero-share terms dropped by the usual
-    * clamp-free convention), exact DECIMAL(18,2) mean order values
-    * per half, and the relative mean shift. Two map-side-combinable
-    * scans (status cells, money sums); everything after is
-    * status-cardinality. */
-  def dqSnapshotDrift(s: SparkSession, d: String): DataFrame = {
-    val ord = Tables.orders(s, d)
-      .withColumn("half", expr("cast(o_orderkey % 2 as int)"))
-    val halves = ord.groupBy("half")
-      .agg(count(lit(1)).as("n"),
-        sum(col("o_totalprice").cast("decimal(18,2)")).as("sv"))
-    val wide = halves.groupBy()
-      .agg(max(when(col("half") === 0, col("n"))).as("n_a"),
-        max(when(col("half") === 1, col("n"))).as("n_b"),
-        max(when(col("half") === 0, col("sv"))).as("sv_a"),
-        max(when(col("half") === 1, col("sv"))).as("sv_b"))
-    val cells = ord.groupBy("o_orderstatus", "half")
-      .agg(count(lit(1)).as("c"))
-    val psi = cells.groupBy("o_orderstatus")
-      .agg(coalesce(max(when(col("half") === 0, col("c"))), lit(0L))
-        .as("ca"),
-        coalesce(max(when(col("half") === 1, col("c"))), lit(0L))
-          .as("cb"))
-      .crossJoin(broadcast(wide.select("n_a", "n_b")))
-      .withColumn("pa", expr("cast(ca as double) / cast(n_a as double)"))
-      .withColumn("pb", expr("cast(cb as double) / cast(n_b as double)"))
-      .withColumn("term", expr(
-        "cast(round(case when pa * pb = 0 then 0.0" +
-          " else (pa - pb) * ln(pa / pb) end, 9) as decimal(18,9))"))
-      .agg(sum("term").as("psiq"))
-    wide.crossJoin(broadcast(psi))
-      .select(col("n_a"), col("n_b"),
-        expr("round(cast(psiq as double), 6)").as("psi_status"),
-        expr("round(cast(sv_a as double) / cast(n_a as double), 6)")
-          .as("mean_price_a"),
-        expr("round(cast(sv_b as double) / cast(n_b as double), 6)")
-          .as("mean_price_b"),
-        expr("round((cast(sv_b as double) / cast(n_b as double)" +
-          " - cast(sv_a as double) / cast(n_a as double))" +
-          " / (cast(sv_a as double) / cast(n_a as double)) * 100.0, 6)")
-          .as("mean_shift_pct"))
-  }
-
-  /** The shared QI balance band for the privacy audits: k-anonymity
-    * and l-diversity must agree on what an equivalence class is by
-    * construction. floor(bal/1000): identical IEEE division + floor
-    * in both engines, then exact integers everywhere. */
-  private def balBand: Column =
-    floor(col("c_acctbal") / lit(1000.0)).cast("long").as("bal_band")
 
   /** T265: bucketized INTERVAL-OVERLAP self-join — the missing join
     * class between the equi family and j11's broadcast theta: "which
@@ -1661,141 +716,6 @@ object CoreRelational {
       .limit(20)
   }
 
-  /** T267: approximate-quantile cross-check — the mergeable quantile
-    * sketch every 100 TB profiler actually runs (Spark's
-    * approx_percentile, a Greenwald–Khanna variant with rank error
-    * ≤ 1/accuracy), verified against EXACT quantiles cross-engine:
-    * the row emits the exact interpolated p50/p90 (DuckDB replays
-    * them with quantile_cont — both engines use the p·(n−1) linear
-    * interpolation) and pins the sketch's RANK guarantee as a
-    * boolean: at accuracy 10000 the approx p must land between the
-    * exact p∓0.05 quantiles (1e-4 rank error, checked against a 500×
-    * looser band — a broken sketch fails it, FP noise cannot). One
-    * aggregate computes all six exact percentiles AND both sketches
-    * in a single pass.
-    *
-    * Scale posture: the SKETCH is the production path (mergeable,
-    * bounded memory — the reason it exists at 100 TB); the exact
-    * `percentile` side buffers values and is the VERIFIER, run at
-    * gate SF only — the same exact-vs-approx asymmetry as
-    * ann_recall's brute-force side. */
-  def a23ApproxQuantile(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d)
-    val agg = li.agg(
-      expr("percentile(l_quantity, array(0.45, 0.5, 0.55, 0.85, 0.9, 0.95))")
-        .as("eq"),
-      expr("approx_percentile(l_quantity, array(0.5, 0.9), 10000)")
-        .as("aq"),
-      expr("percentile(l_extendedprice, array(0.45, 0.5, 0.55, 0.85, 0.9, 0.95))")
-        .as("ep"),
-      expr("approx_percentile(l_extendedprice, array(0.5, 0.9), 10000)")
-        .as("ap"))
-    agg.select(explode(array(
-      struct(lit("l_extendedprice").as("col_name"), lit(0.5).as("p"),
-        round(col("ep").getItem(1), 4).as("exact"),
-        (col("ap").getItem(0) >= col("ep").getItem(0) &&
-          col("ap").getItem(0) <= col("ep").getItem(2)).as("rank_bounded")),
-      struct(lit("l_extendedprice").as("col_name"), lit(0.9).as("p"),
-        round(col("ep").getItem(4), 4).as("exact"),
-        (col("ap").getItem(1) >= col("ep").getItem(3) &&
-          col("ap").getItem(1) <= col("ep").getItem(5)).as("rank_bounded")),
-      struct(lit("l_quantity").as("col_name"), lit(0.5).as("p"),
-        round(col("eq").getItem(1), 4).as("exact"),
-        (col("aq").getItem(0) >= col("eq").getItem(0) &&
-          col("aq").getItem(0) <= col("eq").getItem(2)).as("rank_bounded")),
-      struct(lit("l_quantity").as("col_name"), lit(0.9).as("p"),
-        round(col("eq").getItem(4), 4).as("exact"),
-        (col("aq").getItem(1) >= col("eq").getItem(3) &&
-          col("aq").getItem(1) <= col("eq").getItem(5)).as("rank_bounded"))))
-      .as("r"))
-      .select(col("r.col_name"), col("r.p"), col("r.exact"),
-        col("r.rank_bounded"))
-      .orderBy(col("col_name"), col("p"))
-  }
-
-  /** T269: CONTRIBUTION-CAPPED aggregation — the bounded-sensitivity
-    * preprocessing under every user-level differential-privacy or
-    * robust-statistics release: before aggregating, each user
-    * contributes at most k = 5 events (their FIRST five by time — the
-    * deterministic cap that makes the statistic's user-sensitivity
-    * bounded, so calibrated noise or trimmed estimators work
-    * downstream). The panel reports raw vs capped count and revenue
-    * per event type with the retained share — exactly the "how much
-    * did the cap bite" audit a release pipeline prints. One
-    * row_number window partitioned by user (user count bounds state),
-    * then a map-side-combinable agg; money through DECIMAL(18,2) per
-    * the hash rules. */
-  def dqContributionCap(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val ev = Tables.events(s, d)
-      .select(col("event_type"), col("user_id"), col("event_id"),
-        col("ts"), col("value"))
-    val ranked = ev.withColumn("rn", row_number().over(
-      Window.partitionBy(col("user_id"))
-        .orderBy(col("ts").asc, col("event_id").asc)))
-    ranked.groupBy(col("event_type"))
-      .agg(count(lit(1)).as("raw_n"),
-        sum(when(col("rn") <= 5, 1L).otherwise(0L)).as("capped_n"),
-        sum(col("value").cast("decimal(18,2)")).cast("double")
-          .as("raw_sum"),
-        sum(when(col("rn") <= 5, col("value").cast("decimal(18,2)"))
-          .otherwise(lit(java.math.BigDecimal.ZERO).cast("decimal(18,2)")))
-          .cast("double").as("capped_sum"),
-        round(sum(when(col("rn") <= 5, 1.0).otherwise(0.0))
-          / count(lit(1)), 6).as("retained_frac"))
-      .orderBy(col("event_type"))
-  }
-
-  /** T266: l-DIVERSITY audit — dq_kanon's standard companion: class
-    * SIZE (k) says a row hides in a crowd, but if the whole crowd
-    * shares one sensitive value the attribute still leaks. Classes =
-    * (nation, account-balance band), sensitive = market segment;
-    * l = distinct segments per class. The histogram of l (classes,
-    * rows, row share) is the release-gate panel. Same shape as
-    * dq_kanon: one hash-agg to classes (countDistinct folds
-    * map-side), one tiny re-agg, one broadcast total. */
-  def dqLdiversity(s: SparkSession, d: String): DataFrame = {
-    val classes = Tables.customer(s, d)
-      .groupBy(col("c_nationkey"), balBand)
-      .agg(countDistinct(col("c_mktsegment")).as("l"),
-        count(lit(1)).as("class_size"))
-    val tot = classes.agg(sum("class_size").as("n_total"))
-    classes.groupBy(col("l"))
-      .agg(count(lit(1)).as("n_classes"),
-        sum(col("class_size")).as("n_rows"))
-      .crossJoin(broadcast(tot))
-      .select(col("l"), col("n_classes"), col("n_rows"),
-        round(col("n_rows").cast("double")
-          / col("n_total").cast("double"), 6).as("pct_rows"))
-      .orderBy(col("l"))
-  }
-
-  /** T222: K-ANONYMITY audit over a quasi-identifier set — the privacy
-    * gate a training corpus passes before release (Sweeney 2002): group
-    * the table by the QI tuple (nation, market segment, account-balance
-    * band), then report the equivalence-class-size HISTOGRAM. The
-    * k-anonymity level is the smallest class_size row; the re-identifi-
-    * cation risk mass is the pct_rows sitting in small classes. Two
-    * map-side-combinable hash aggs (corpus → classes → histogram) plus
-    * a broadcast 1-row total — nothing wider than the QI tuple
-    * shuffles, and the histogram is bounded by max class size. The
-    * balance band is the shared [[balBand]]. */
-  def dqKanon(s: SparkSession, d: String): DataFrame = {
-    val classes = Tables.customer(s, d)
-      .groupBy(col("c_nationkey"), col("c_mktsegment"), balBand)
-      .agg(count(lit(1)).as("class_size"))
-    val tot = classes.agg(sum("class_size").as("n_total"))
-    classes.groupBy("class_size")
-      .agg(count(lit(1)).as("n_classes"))
-      .crossJoin(broadcast(tot))
-      .select(col("class_size"),
-        col("n_classes"),
-        (col("class_size") * col("n_classes")).as("n_rows"),
-        round((col("class_size") * col("n_classes")).cast("double")
-          / col("n_total").cast("double"), 6).as("pct_rows"))
-      .orderBy(col("class_size"))
-  }
-
   /** T227: FILE-SIZING plan per output partition (source) — the
     * small-files/compaction planner every lake-house writer runs
     * before a `partitionBy` write: given a target file size, how many
@@ -1807,472 +727,12 @@ object CoreRelational {
     * agg to the key panel + one broadcast 1-row total; the hot flag is
     * an INTEGER cross-multiplication (10·bytes·n_keys > 11·total), so
     * no FP enters the plan at all. */
-  /** T245: BUCKETED-LAYOUT join census — the co-located-join mechanism
-    * itself, pinned as a hash-checked row. Writes orders⋈lineitem's
-    * two sides as 8-bucket tables (bucketed + sorted by the join key),
-    * then compares the SAME merge-join plan over plain parquet vs the
-    * bucketed layout: plain pays one shuffle exchange per side, the
-    * bucketed scan pays ZERO (bucketing hands the join co-partitioned
-    * input; the per-side sort remains because multi-file buckets are
-    * only sorted within each file) — at 100 TB that is the difference
-    * between re-shuffling the fact table on every join and never
-    * shuffling it at all. The row carries the exchange census
-    * (literal-pinned, a Spark plan fact) AND the joined row count
-    * (data fact, replayed by the oracle), so a layout regression and a
-    * data regression are both visible. The merge hint forces the
-    * sort-merge strategy on both variants — without it the sf0.01 dim
-    * side broadcasts and the contrast would be vacuous; at scale SMJ
-    * is the strategy bucketing exists to serve. Bucketed tables write
-    * ONCE per (session, dataset) — a [[graft.SessionCache]] memo (the
-    * bpeArtifacts precedent) holds the catalog table names, so
-    * re-entry does ZERO filesystem writes — into a (dataset, JVM)-
-    * keyed dir under java.io.tmpdir that a shutdown hook removes
-    * (round-10: the old fresh-temp-dir-per-call leaked orphaned
-    * parquet copies, because DROP TABLE on a path-based external
-    * table keeps its files; the pid key keeps two concurrent JVMs
-    * from overwriting each other's files mid-scan). */
-  private val bucketedTablesCache = new graft.SessionCache[(String, String)]
-
-  def layoutBucketing(s: SparkSession, d: String): DataFrame = {
-    assertCensusConfig(s)
-    import s.implicits._
-    val ord = Tables.orders(s, d)
-      .select(col("o_orderkey"), col("o_custkey"))
-    val li = Tables.lineitem(s, d)
-      .select(col("l_orderkey"), col("l_quantity"))
-    def census(o: DataFrame, l: DataFrame): (Long, Long, Long) = {
-      val j = o.hint("merge")
-        .join(l, o("o_orderkey") === l("l_orderkey"))
-      val n = j.count()
-      val p = j.queryExecution.executedPlan.toString
-      val sh = "Exchange (hashpartitioning|rangepartitioning)"
-        .r.findAllIn(p).length.toLong
-      val srt = "Sort \\[".r.findAllIn(p).length.toLong
-      (sh, srt, n)
-    }
-    val (shP, srtP, nP) = census(ord, li)
-    val (tOrd, tLi) = bucketedTablesCache.getOrCompute(s, "bkt|" + d) {
-      // dataset-keyed table names: two datasets in one session (the
-      // warm-up pass runs sf0.001 before the bench sf) must not fight
-      // over one catalog name. The on-disk path is (dataset, JVM)-
-      // keyed: dataset hash for stability within a process, pid so
-      // two CONCURRENT JVMs (a bench next to a test suite) never
-      // overwrite each other's files mid-scan; a shutdown hook
-      // deletes this JVM's dir so repeated runs don't accumulate
-      // (the round-10 ADVICE leak, closed without the shared-path
-      // race the first fix traded it for)
-      val h = java.security.MessageDigest.getInstance("MD5")
-        .digest(d.getBytes("UTF-8")).map("%02x".format(_))
-        .mkString.take(12)
-      val pid = ProcessHandle.current().pid()
-      val dirF = new java.io.File(
-        System.getProperty("java.io.tmpdir"), s"graft_bucketed_${h}_$pid")
-      val dir = dirF.getAbsolutePath
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete(); ()
-        }
-        try rm(dirF) catch { case _: Throwable => () }
-      }))
-      val (to, tl) = (s"graft_bkt_orders_$h", s"graft_bkt_lineitem_$h")
-      s.sql(s"DROP TABLE IF EXISTS $to")
-      s.sql(s"DROP TABLE IF EXISTS $tl")
-      ord.write.format("parquet").option("path", s"$dir/o")
-        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .mode("overwrite").saveAsTable(to)
-      li.write.format("parquet").option("path", s"$dir/l")
-        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .mode("overwrite").saveAsTable(tl)
-      (to, tl)
-    }
-    val (shB, srtB, nB) = census(s.table(tOrd), s.table(tLi))
-    Seq(("bucketed", shB, srtB, nB), ("plain", shP, srtP, nP))
-      .toDF("variant", "n_shuffle_exchange", "n_sort", "n_rows")
-      .orderBy("variant")
-  }
-
-  def layoutFilesizing(s: SparkSession, d: String): DataFrame = {
-    val target = 4096L
-    val per = Tables.documents(s, d).groupBy("source")
-      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_bytes"))
-    val tot = broadcast(per.agg(sum(col("n_bytes")).as("tb"),
-      count(lit(1)).as("ns")))
-    per.crossJoin(tot)
-      .select(col("source"), col("n_docs"), col("n_bytes"),
-        expr(s"cast((n_bytes + $target - 1) div $target as bigint)")
-          .as("n_files"),
-        expr("cast(10 * n_bytes * ns > 11 * tb as int)").as("hot"))
-      .orderBy("source")
-  }
-
-  /** T230: REFERENTIAL-INTEGRITY audit — orphan rates for the three
-    * fact→dim foreign keys (lineitem→orders, lineitem→supplier,
-    * orders→customer): the load-gate every warehouse runs after
-    * ingest, and the check [[j06Anti]]'s incremental anti-join
-    * pattern generalizes into a standing panel. Each FK is ONE scan:
-    * LEFT join against the DISTINCT dim keys (distinct first, so a
-    * duplicated dim key can never multiply fact rows) + a conditional
-    * null count in the same aggregate — never a count scan plus a
-    * separate anti-join scan. Exact integers; the rate rounds at 6dp.
-    * A clean corpus reports zeros — that IS the expected production
-    * readout; the operator's value is the alarm when it isn't. */
-  def dqReferential(s: SparkSession, d: String): DataFrame = {
-    def audit(name: String, fact: DataFrame, key: String,
-        dim: DataFrame, dimKey: String): DataFrame =
-      fact.join(dim.select(col(dimKey).as("dk")).distinct(),
-          col(key) === col("dk"), "left")
-        .agg(count(lit(1)).as("n_rows"),
-          sum(when(col("dk").isNull, 1L).otherwise(0L)).as("n_orphans"))
-        .select(lit(name).as("fk"), col("n_rows"), col("n_orphans"),
-          round(col("n_orphans").cast("double")
-            / col("n_rows").cast("double"), 6).as("orphan_rate"))
-    audit("lineitem.l_orderkey", Tables.lineitem(s, d), "l_orderkey",
-        Tables.orders(s, d), "o_orderkey")
-      .unionAll(audit("lineitem.l_suppkey", Tables.lineitem(s, d),
-        "l_suppkey", Tables.supplier(s, d), "s_suppkey"))
-      .unionAll(audit("orders.o_custkey", Tables.orders(s, d),
-        "o_custkey", Tables.customer(s, d), "c_custkey"))
-      .orderBy("fk")
-  }
-
-  /** T231: FRESHNESS audit per event stream — how far each
-    * event_type's newest event lags the newest event anywhere (the
-    * "is this feed stale" monitor a streaming warehouse pages on;
-    * lateness inside the stream is [[graft.streaming]]'s ev_lateness —
-    * this is the cross-feed panel). One map-side-combinable agg to the
-    * type panel + a broadcast 1-row global max; the lag is exact
-    * integer MICROSECOND arithmetic floored to whole minutes, and the
-    * timestamp pins to an ISO string (the hash-match date rule). */
-  def dqFreshness(s: SparkSession, d: String): DataFrame = {
-    val perType = Tables.events(s, d)
-      .groupBy("event_type")
-      .agg(count(lit(1)).as("n_events"), max(col("ts")).as("mx"))
-    val glob = broadcast(perType.agg(max(col("mx")).as("gx")))
-    perType.crossJoin(glob)
-      .select(col("event_type"), col("n_events"),
-        date_format(col("mx"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
-          .as("last_seen"),
-        expr("(unix_micros(gx) - unix_micros(mx)) div 60000000")
-          .as("lag_min"))
-      .orderBy("event_type")
-  }
-
-  /** T234: PRIMARY-KEY uniqueness audit — duplicate-key row counts for
-    * the four tables whose keys every join in the catalog assumes
-    * unique ([[dqReferential]]'s dual: that one checks the FK side,
-    * this one the PK side). Each table is one map-side-combinable
-    * aggregate (count + countDistinct — at scale the exact distinct
-    * shuffles the key once; the audit runs per load, not per query);
-    * dup rows = rows − distinct keys, exact integers. */
-  def dqPkUnique(s: SparkSession, d: String): DataFrame = {
-    def audit(table: String, df: DataFrame, key: String): DataFrame =
-      df.agg(count(lit(1)).as("n_rows"),
-          countDistinct(col(key)).as("n_keys"))
-        .select(lit(s"$table.$key").as("pk"), col("n_rows"),
-          col("n_keys"), (col("n_rows") - col("n_keys")).as("n_dup_rows"))
-    audit("customer", Tables.customer(s, d), "c_custkey")
-      .unionAll(audit("documents", Tables.documents(s, d), "doc_id"))
-      .unionAll(audit("events", Tables.events(s, d), "event_id"))
-      .unionAll(audit("orders", Tables.orders(s, d), "o_orderkey"))
-      .orderBy("pk")
-  }
-
-  /** T241: SEQUENCE-GAP detection over the purchase event-id stream —
-    * the ingest-completeness audit ("did we drop a range") that a
-    * plain count can't see. A global lag over the id order would be
-    * one monolithic sort; instead consecutive pairs decompose exactly
-    * into WITHIN-bucket pairs (id div 1000 buckets, keyed lag windows)
-    * plus ADJACENT-bucket boundary pairs — and the boundary pass
-    * RECURSES the same banding (round-9: the bucket summary lags
-    * within `b div 1000` SUPER-buckets, then one final lag over the
-    * super-bucket summary), so no window partition scales linearly
-    * with the id span: level sizes are n, n/10³, n/10⁶. Bucket id
-    * ranges are monotone in b, so min(mn)/max(mx) per super-bucket ARE
-    * its first bucket's mn / last bucket's mx, and the three levels
-    * together enumerate every consecutive pair of the global order
-    * exactly once. Top-10 gaps by length; the total missing count
-    * rides as a constant column derived from the bucket summary (no
-    * extra corpus scan). All exact integers. */
-  def dqSequenceGaps(s: SparkSession, d: String): DataFrame = {
-    val ids = Tables.events(s, d)
-      .filter(col("event_type") === "purchase")
-      .select(col("event_id").as("id"))
-      .withColumn("b", expr("id div 1000"))
-    val wIn = Window.partitionBy("b").orderBy(col("id").asc)
-    val intra = ids.withColumn("prev", lag(col("id"), 1).over(wIn))
-      .filter(col("prev").isNotNull && col("id") - col("prev") > 1)
-      .select((col("prev") + 1).as("gap_start"),
-        (col("id") - 1).as("gap_end"))
-    val bs = ids.groupBy("b")
-      .agg(min("id").as("mn"), max("id").as("mx"), count(lit(1)).as("n"))
-      .withColumn("sb", expr("b div 1000"))
-    val wInB = Window.partitionBy("sb").orderBy(col("b").asc)
-    val crossB = bs.withColumn("pmx", lag(col("mx"), 1).over(wInB))
-      .filter(col("pmx").isNotNull && col("mn") - col("pmx") > 1)
-      .select((col("pmx") + 1).as("gap_start"),
-        (col("mn") - 1).as("gap_end"))
-    val sbs = bs.groupBy("sb")
-      .agg(min("mn").as("mn"), max("mx").as("mx"), sum("n").as("n"))
-    val wSb = Window.orderBy(col("sb").asc)
-    val crossSb = sbs.withColumn("pmx", lag(col("mx"), 1).over(wSb))
-      .filter(col("pmx").isNotNull && col("mn") - col("pmx") > 1)
-      .select((col("pmx") + 1).as("gap_start"),
-        (col("mn") - 1).as("gap_end"))
-    val tot = broadcast(sbs
-      .agg(min("mn").as("mn"), max("mx").as("mx"), sum("n").as("n"))
-      .select((col("mx") - col("mn") + 1 - col("n")).as("n_missing")))
-    intra.unionAll(crossB).unionAll(crossSb).crossJoin(tot)
-      .select(col("gap_start"), col("gap_end"),
-        (col("gap_end") - col("gap_start") + 1).as("gap_len"),
-        col("n_missing"))
-      .orderBy(col("gap_len").desc, col("gap_start").asc)
-      .limit(10)
-  }
-
-  /** The configuration CONTRACT behind every plan-census row
-    * (plan_buildsides / plan_shuffles / plan_asof / plan_salted /
-    * layout_bucketing): their oracles are LITERAL panels pinned under
-    * one Spark configuration, so a config drift (a Spark upgrade, AQE
-    * toggled, a broadcast-threshold change) would otherwise surface
-    * as an undiagnosable hash fail. This gate asserts exactly the
-    * knobs the pinned counts are sensitive to and fails FAST with a
-    * message naming the drifted key — a config mismatch, not a plan
-    * regression. `spark.sql.shuffle.partitions` is deliberately NOT
-    * pinned: the counted facts (exchange/join/scan/sort node counts)
-    * are partition-count invariant, and sessions legitimately vary it
-    * (specs run 4, the verify gate runs the host CPU count) — pinning
-    * it would make the gate itself the false red. */
-  private[ops] def assertCensusConfig(s: SparkSession): Unit = {
-    val problems = Seq.newBuilder[String]
-    val v = org.apache.spark.SPARK_VERSION
-    if (!v.startsWith("4.1.")) problems += s"spark version $v (pinned 4.1.x)"
-    // byte-valued configs compare SEMANTICALLY: Spark renders its
-    // registered default as "10485760b", and a save-and-restore
-    // elsewhere re-sets that rendering explicitly — "10485760b",
-    // "10MB" and "10485760" are the same threshold, not a drift
-    def asBytes(v: String): Option[Long] =
-      try Some(v.trim.toLong)
-      catch {
-        case _: NumberFormatException =>
-          try Some(org.apache.spark.network.util.JavaUtils
-            .byteStringAsBytes(v.trim))
-          catch { case _: Throwable => None }
-      }
-    // boolean-valued configs compare semantically too: an operator
-    // that SET "TRUE"/"True" is the same plan regime, not a drift
-    def asBool(v: String): Option[Boolean] = v.trim.toLowerCase match {
-      case "true"  => Some(true)
-      case "false" => Some(false)
-      case _       => None
-    }
-    def chk(key: String, pinned: String, byteValued: Boolean = false,
-        boolValued: Boolean = false): Unit = {
-      val live = s.conf.get(key, pinned)
-      val same =
-        if (byteValued) (asBytes(live), asBytes(pinned)) match {
-          case (Some(a), Some(b)) => a == b
-          case _                  => live == pinned
-        }
-        else if (boolValued) (asBool(live), asBool(pinned)) match {
-          case (Some(a), Some(b)) => a == b
-          case _                  => live == pinned
-        }
-        else live == pinned
-      if (!same) problems += s"$key=$live (pinned $pinned)"
-    }
-    chk("spark.sql.adaptive.enabled", "true", boolValued = true)
-    chk("spark.sql.autoBroadcastJoinThreshold", "10485760",
-      byteValued = true)
-    chk("spark.sql.adaptive.coalescePartitions.enabled", "true",
-      boolValued = true)
-    chk("spark.sql.codegen.wholeStage", "true", boolValued = true)
-    val ps = problems.result()
-    if (ps.nonEmpty) throw new IllegalStateException(
-      "plan-census CONFIG MISMATCH (not a plan regression): the " +
-        "literal oracle panel was pinned under a different Spark " +
-        "configuration — " + ps.mkString("; "))
-  }
-
-  /** T242: AQE join-strategy census over the reference join-plan panel
-    * (q02 / q09 / q18 — the three PLANS.md dump anchors). Executes each
-    * panel query to its FINAL adaptive plan and pins the join census —
-    * how many broadcast-hash vs sort-merge joins survived AQE's
-    * runtime re-plan, and which side it chose to build — as a
-    * hash-checked catalog row. This turns PLANS.md's prose claims
-    * ("the dim side broadcasts") into a driver-checkable contract: a
-    * lost broadcast (a stats regression, a disabled rule, a stray
-    * hint) flips a count and goes red in the catalog instead of
-    * surfacing as unexplained bench drift. The oracle is a LITERAL
-    * panel — the expected census at the verify scale: AQE decisions
-    * are Spark runtime facts no other engine can replay, and pinning
-    * them IS the check (the a22_hll_merge hash-pinning precedent).
-    * Scale posture: the probe reads plan TREES (bounded strings); the
-    * three panel executions are the queries' own bounded-output runs,
-    * and the census itself never touches data. The "Initial Plan"
-    * section AQE appends to the final-plan dump is cut before counting
-    * so pre-re-plan strategies are never double-counted. */
-  def planBuildSides(s: SparkSession, d: String): DataFrame = {
-    assertCensusConfig(s)
-    import s.implicits._
-    def census(name: String, df: DataFrame)
-        : (String, Long, Long, Long, Long) = {
-      df.collect() // run so every AQE query stage finalizes
-      val full = df.queryExecution.executedPlan.toString
-      val cut = full.indexOf("== Initial Plan ==")
-      val p = if (cut >= 0) full.substring(0, cut) else full
-      def n(pat: String): Long = pat.r.findAllIn(p).length.toLong
-      (name, n("BroadcastHashJoin"), n("SortMergeJoin"),
-        n("BuildLeft"), n("BuildRight"))
-    }
-    Seq(
-      census("q02", Headline.q02MinCost(s, d)),
-      census("q09", Headline.q09Profit(s, d)),
-      census("q18", Headline.q18BigOrders(s, d)))
-      .toDF("query", "n_broadcast_hash", "n_sort_merge",
-        "n_build_left", "n_build_right")
-      .orderBy("query")
-  }
-
-  /** T243: static shuffle census over a signature-query panel — the
-    * compile-time companion to [[planBuildSides]]' runtime census.
-    * For five queries whose shuffle structure IS their scale contract
-    * (one-shuffle aggregate, broadcast-enriched fact, anti-join
-    * increment, keyed keep-oldest window, TakeOrdered head) it counts
-    * shuffle exchanges, broadcast exchanges and parquet scans in the
-    * physical plan and pins them as a hash-checked row.
-    * An accidental extra Exchange (a lost co-partitioning, a
-    * repartition slipped into a shared helper, a broadcast fallen back
-    * to shuffle) is exactly the regression class that costs hours at
-    * 100 TB and is invisible to row-level correctness — here it flips
-    * a count and goes red in the catalog. Pure plan inspection: no
-    * data moves; the oracle is the LITERAL expected census (Spark plan
-    * facts are not replayable elsewhere — the pin is the check). */
-  def planShuffles(s: SparkSession, d: String): DataFrame = {
-    assertCensusConfig(s)
-    import s.implicits._
-    def census(name: String, df: DataFrame)
-        : (String, Long, Long, Long) = {
-      val p = df.queryExecution.executedPlan.toString
-      val shuffle =
-        "Exchange (hashpartitioning|rangepartitioning|SinglePartition)"
-          .r.findAllIn(p).length.toLong
-      val bcast = "BroadcastExchange".r.findAllIn(p).length.toLong
-      val scans = "Scan parquet".r.findAllIn(p).length.toLong
-      (name, shuffle, bcast, scans)
-    }
-    Seq(
-      census("a02_keepoldest", a02KeepOldest(s, d)),
-      census("j01_enrich", j01Enrich(s, d)),
-      census("j06_anti", j06Anti(s, d)),
-      census("o01_topk", o01TopK(s, d)),
-      census("q01_pricing", q01Pricing(s, d)))
-      .toDF("query", "n_shuffle_exchange", "n_broadcast_exchange",
-        "n_scans")
-      .orderBy("query")
-  }
-
-  /** T251: NATIVE-AS-OF strategy census — [[EventOps.evAsofNative]]
-    * executed to its FINAL adaptive plan, pinning that the custom
-    * [[graft.plans.AsofJoinExec]] merge node is the operator that
-    * actually runs (n_asof_exec = 1) and that NO fallback join
-    * strategy silently replaced it (n_fallback_join = 0): the exact
-    * regression a strategy/extension wiring change causes — the
-    * row-level result would stay identical through the compositional
-    * fallback while the plan quietly pays a union+window's cost. The
-    * shuffle/sort/scan counts pin the native plan's whole cost
-    * contract: two key-hash exchanges (probe + build), the build
-    * side's pre-aggregate exchange, the presentation range exchange,
-    * three (key, time) sorts, two parquet scans. LITERAL oracle, the
-    * plan_buildsides contract: Spark plan facts are not replayable
-    * elsewhere — the pin is the check. */
-  def planAsof(s: SparkSession, d: String): DataFrame = {
-    assertCensusConfig(s)
-    import s.implicits._
-    val df = EventOps.evAsofNative(s, d)
-    df.collect() // run so every AQE query stage finalizes
-    val full = df.queryExecution.executedPlan.toString
-    val cut = full.indexOf("== Initial Plan ==")
-    val p = if (cut >= 0) full.substring(0, cut) else full
-    def n(pat: String): Long = pat.r.findAllIn(p).length.toLong
-    Seq(("ev_asof_native", n("AsofJoin \\["),
-      n("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin" +
-        "|BroadcastNestedLoopJoin|CartesianProduct)"),
-      n("Exchange (hashpartitioning|rangepartitioning)"),
-      n("Sort \\["), n("Scan parquet")))
-      .toDF("query", "n_asof_exec", "n_fallback_join",
-        "n_shuffle_exchange", "n_sort", "n_scans")
-  }
-
-  /** T252: SALTED-JOIN shape census — [[j14SaltedJoin]] executed to
-    * its final adaptive plan, pinning the mechanism the salted row's
-    * VALUES cannot see: the join that runs is keyed on (key, __salt)
-    * (n_salted_joins = 1 — a lost salt column degrades to a plain
-    * hot-key join with identical output), the dim side replicates
-    * through exactly one explode Generate (the 8x spread), and the
-    * fact side still pays ZERO extra shuffle for it (2 exchanges =
-    * the aggregate pair only; the salted dim BROADCASTS). Together
-    * with [[planAsof]] this closes the round-9 gap: both custom-
-    * strategy plans are now driver-checkable catalog rows, not just
-    * spec assertions. LITERAL oracle, same contract as the other
-    * census rows. */
-  def planSalted(s: SparkSession, d: String): DataFrame = {
-    assertCensusConfig(s)
-    import s.implicits._
-    val df = j14SaltedJoin(s, d)
-    df.collect()
-    val full = df.queryExecution.executedPlan.toString
-    val cut = full.indexOf("== Initial Plan ==")
-    val p = if (cut >= 0) full.substring(0, cut) else full
-    def n(pat: String): Long = pat.r.findAllIn(p).length.toLong
-    Seq(("j14_saltedjoin", n("Join \\[[^\\]]*__salt"),
-      n("Generate explode"),
-      n("Exchange (hashpartitioning|rangepartitioning)"),
-      n("BroadcastExchange")))
-      .toDF("query", "n_salted_joins", "n_generate",
-        "n_shuffle_exchange", "n_broadcast_exchange")
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "plan_asof" -> planAsof _,
-    "plan_salted" -> planSalted _,
-    "plan_buildsides" -> planBuildSides _,
-    "plan_shuffles" -> planShuffles _,
-    "profile_skew" -> profileSkew _,
-    "layout_bucketing" -> layoutBucketing _,
-    "dq_sequence_gaps" -> dqSequenceGaps _,
-    "dq_pk_unique"   -> dqPkUnique _,
-    "dq_freshness"   -> dqFreshness _,
-    "dq_referential" -> dqReferential _,
-    "layout_filesizing" -> layoutFilesizing _,
-    "dq_kanon"       -> dqKanon _,
-    "dq_snapshot_drift" -> dqSnapshotDrift _,
-    "dq_chisq"       -> dqChisq _,
-    "profile_topk"   -> profileTopk _,
-    "dq_iqr"         -> dqIqrOutliers _,
-    "dq_reconcile"   -> dqReconcile _,
-    "dq_fd"          -> dqFd _,
-    "layout_skipping" -> layoutSkipping _,
-    "a21_allocate"   -> a21Allocate _,
-    "o15_wmedian"    -> o15Wmedian _,
-    "o11_diversify"  -> o11Diversify _,
-    "o10_skyline"    -> o10Skyline _,
-    "dq_benford"     -> dqBenford _,
-    "layout_zorder"  -> layoutZorder _,
-    "layout_hilbert" -> layoutHilbert _,
-    "profile_checksum" -> profileChecksum _,
-    "profile_corr"   -> profileCorr _,
     "u04_intersect"  -> u04Intersect _,
     "u05_except"     -> u05Except _,
     "p14_aboveavg"   -> p14AboveAvg _,
     "o09_keyset"     -> o09Keyset _,
-    "a16_mode"       -> a16Mode _,
-    "profile_table"  -> profileTable _,
-    "profile_entropy" -> profileEntropy _,
-    "a15_kmv"        -> a15Kmv _,
-    "a20_hll"        -> a20Hll _,
-    "a22_hll_merge"  -> a22HllMerge _,
-    "a13_pivot"      -> a13Pivot _,
     "q01_pricing"    -> q01Pricing _,
     "p08_boolshould" -> p08BoolShould _,
     "p10_blacklist"  -> p10Blacklist _,
@@ -2288,7 +748,6 @@ object CoreRelational {
     "w04_ranks"      -> w04Ranks _,
     "dim_scd2"       -> dimScd2 _,
     "dim_asof_lookup" -> dimAsofLookup _,
-    "dq_expectations" -> dqExpectations _,
     "p01_project"    -> p01Project _,
     "p02_classify"   -> p02Classify _,
     "p03_nullfilter" -> p03NullFilter _,
@@ -2304,9 +763,6 @@ object CoreRelational {
     "j11_theta"      -> j11Theta _,
     "j14_saltedjoin" -> j14SaltedJoin _,
     "j15_interval" -> j15Interval _,
-    "dq_ldiversity" -> dqLdiversity _,
-    "a23_approx_quantile" -> a23ApproxQuantile _,
-    "dq_contribution_cap" -> dqContributionCap _,
     "a01_distinct"   -> a01Distinct _,
     "a02_keepoldest" -> a02KeepOldest _,
     "a03_collect"    -> a03CollectList _,
@@ -2318,97 +774,6 @@ object CoreRelational {
     "w02_running"    -> w02Running _)
 
   val oracles: Map[String, String] = Map(
-    // LITERAL expected panel (plan_buildsides contract): the native
-    // as-of exec node runs, no fallback join, and the cost shape is
-    // 4 exchanges / 3 sorts / 2 scans at the verify config
-    "plan_asof" ->
-      """SELECT * FROM (VALUES
-        |  ('ev_asof_native', CAST(1 AS BIGINT), CAST(0 AS BIGINT),
-        |   CAST(4 AS BIGINT), CAST(3 AS BIGINT), CAST(2 AS BIGINT))
-        |) AS t(query, n_asof_exec, n_fallback_join,
-        |       n_shuffle_exchange, n_sort, n_scans)""".stripMargin,
-    // LITERAL expected panel: one (key, salt)-keyed join, one explode
-    // replication, two agg exchanges (the salted dim broadcasts — the
-    // fact never re-shuffles for the salt)
-    "plan_salted" ->
-      """SELECT * FROM (VALUES
-        |  ('j14_saltedjoin', CAST(1 AS BIGINT), CAST(1 AS BIGINT),
-        |   CAST(2 AS BIGINT), CAST(1 AS BIGINT))
-        |) AS t(query, n_salted_joins, n_generate,
-        |       n_shuffle_exchange, n_broadcast_exchange)""".stripMargin,
-    // LITERAL expected panel: AQE build-side choices are Spark runtime
-    // facts no other engine can replay — the pin is the check (at the
-    // sf0.01 verify scale every panel join broadcasts its dim side,
-    // BuildRight; a stats/hint regression flips a count and goes red)
-    "plan_buildsides" ->
-      """SELECT * FROM (VALUES
-        |  ('q02', CAST(3 AS BIGINT), CAST(0 AS BIGINT),
-        |          CAST(0 AS BIGINT), CAST(3 AS BIGINT)),
-        |  ('q09', CAST(4 AS BIGINT), CAST(0 AS BIGINT),
-        |          CAST(0 AS BIGINT), CAST(4 AS BIGINT)),
-        |  ('q18', CAST(2 AS BIGINT), CAST(0 AS BIGINT),
-        |          CAST(0 AS BIGINT), CAST(2 AS BIGINT))
-        |) AS t(query, n_broadcast_hash, n_sort_merge,
-        |       n_build_left, n_build_right)
-        |ORDER BY query""".stripMargin,
-    // LITERAL expected panel (same contract as plan_buildsides): the
-    // static shuffle/broadcast/scan structure of the signature plans —
-    // o01's TakeOrdered head is shuffle-FREE, j01 broadcasts both dims
-    // around one fact shuffle, j06's anti-join adds none, q01/a02 are
-    // the two-exchange agg/window shapes, and no panel query re-scans
-    // its fact
-    "plan_shuffles" ->
-      """SELECT * FROM (VALUES
-        |  ('a02_keepoldest', CAST(2 AS BIGINT), CAST(0 AS BIGINT),
-        |     CAST(1 AS BIGINT)),
-        |  ('j01_enrich',     CAST(1 AS BIGINT), CAST(2 AS BIGINT),
-        |     CAST(3 AS BIGINT)),
-        |  ('j06_anti',       CAST(1 AS BIGINT), CAST(1 AS BIGINT),
-        |     CAST(2 AS BIGINT)),
-        |  ('o01_topk',       CAST(0 AS BIGINT), CAST(0 AS BIGINT),
-        |     CAST(1 AS BIGINT)),
-        |  ('q01_pricing',    CAST(2 AS BIGINT), CAST(0 AS BIGINT),
-        |     CAST(1 AS BIGINT))
-        |) AS t(query, n_shuffle_exchange, n_broadcast_exchange, n_scans)
-        |ORDER BY query""".stripMargin,
-    // same row_number cap replayed; money through DECIMAL(18,2)
-    "dq_contribution_cap" ->
-      """WITH ranked AS (
-        |  SELECT event_type, value,
-        |    row_number() OVER (PARTITION BY user_id
-        |      ORDER BY ts ASC, event_id ASC) AS rn
-        |  FROM events)
-        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS raw_n,
-        |  CAST(SUM(CASE WHEN rn <= 5 THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS capped_n,
-        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
-        |    AS DOUBLE) AS raw_sum,
-        |  CAST(CAST(SUM(CASE WHEN rn <= 5
-        |      THEN CAST(value AS DECIMAL(18,2))
-        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2))
-        |    AS DOUBLE) AS capped_sum,
-        |  round(CAST(SUM(CASE WHEN rn <= 5 THEN 1 ELSE 0 END) AS DOUBLE)
-        |    / COUNT(*), 6) AS retained_frac
-        |FROM ranked GROUP BY event_type ORDER BY event_type""".stripMargin,
-    // exact interpolated quantiles replay with quantile_cont (both
-    // engines interpolate at p*(n-1)); rank_bounded pins the GK
-    // sketch's guarantee against a 500x looser band than its 1e-4
-    // rank error, so a broken sketch fails but FP noise cannot
-    "a23_approx_quantile" ->
-      """SELECT col_name, p, exact, TRUE AS rank_bounded FROM (
-        |  SELECT 'l_extendedprice' AS col_name, 0.5 AS p,
-        |    round(quantile_cont(l_extendedprice, 0.5), 4) AS exact
-        |  FROM lineitem
-        |  UNION ALL
-        |  SELECT 'l_extendedprice', 0.9,
-        |    round(quantile_cont(l_extendedprice, 0.9), 4) FROM lineitem
-        |  UNION ALL
-        |  SELECT 'l_quantity', 0.5,
-        |    round(quantile_cont(l_quantity, 0.5), 4) FROM lineitem
-        |  UNION ALL
-        |  SELECT 'l_quantity', 0.9,
-        |    round(quantile_cont(l_quantity, 0.9), 4) FROM lineitem)
-        |ORDER BY col_name, p""".stripMargin,
     // the oracle joins the SAME derived intervals directly with the
     // range predicate — DuckDB's planner handles the theta join at
     // oracle scale; the engine's bucket decomposition must agree
@@ -2430,19 +795,6 @@ object CoreRelational {
         |  AND a.ship <= b.receipt AND b.ship <= a.receipt
         |ORDER BY overlap_days DESC, a.suppkey, okey1, lnum1, okey2, lnum2
         |LIMIT 20""".stripMargin,
-    "dq_ldiversity" ->
-      """WITH classes AS (
-        |  SELECT c_nationkey,
-        |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
-        |    COUNT(DISTINCT c_mktsegment) AS l,
-        |    COUNT(*) AS class_size
-        |  FROM customer GROUP BY 1, 2),
-        |tot AS (SELECT SUM(class_size) AS n_total FROM classes)
-        |SELECT l, CAST(COUNT(*) AS BIGINT) AS n_classes,
-        |  CAST(SUM(class_size) AS BIGINT) AS n_rows,
-        |  round(CAST(SUM(class_size) AS DOUBLE)
-        |    / (SELECT n_total FROM tot), 6) AS pct_rows
-        |FROM classes GROUP BY l ORDER BY l""".stripMargin,
     // the salt is invisible to semantics: the oracle IS the plain join
     "j14_saltedjoin" ->
       """SELECT c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -2450,317 +802,6 @@ object CoreRelational {
         |    AS DOUBLE) AS revenue
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
-    // exchange census literal-pinned (Spark plan facts); the joined
-    // row count is the replayed data fact shared by both variants
-    "layout_bucketing" ->
-      """WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows
-        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
-        |SELECT v.variant, v.n_shuffle_exchange, v.n_sort, n.n_rows
-        |FROM (VALUES
-        |  ('bucketed', CAST(0 AS BIGINT), CAST(2 AS BIGINT)),
-        |  ('plain',    CAST(2 AS BIGINT), CAST(2 AS BIGINT))
-        |) AS v(variant, n_shuffle_exchange, n_sort), n
-        |ORDER BY v.variant""".stripMargin,
-    // exact per-key counts, window-max top key with MIN(k) tie-break
-    // (≡ the engine's struct-argmin), identical double expression and
-    // 1e-6 rounding on both shares so the salting boolean agrees
-    "profile_skew" ->
-      """WITH census AS MATERIALIZED (
-        |  SELECT 'events' AS table_name, 'event_type' AS key_col,
-        |    CAST(event_type AS VARCHAR) AS k, CAST(COUNT(*) AS BIGINT) AS c
-        |  FROM events GROUP BY 3
-        |  UNION ALL
-        |  SELECT 'events', 'user_id', CAST(user_id AS VARCHAR),
-        |    CAST(COUNT(*) AS BIGINT) FROM events GROUP BY 3
-        |  UNION ALL
-        |  SELECT 'lineitem', 'l_orderkey', CAST(l_orderkey AS VARCHAR),
-        |    CAST(COUNT(*) AS BIGINT) FROM lineitem GROUP BY 3
-        |  UNION ALL
-        |  SELECT 'lineitem', 'l_suppkey', CAST(l_suppkey AS VARCHAR),
-        |    CAST(COUNT(*) AS BIGINT) FROM lineitem GROUP BY 3
-        |  UNION ALL
-        |  SELECT 'orders', 'o_custkey', CAST(o_custkey AS VARCHAR),
-        |    CAST(COUNT(*) AS BIGINT) FROM orders GROUP BY 3),
-        |stats AS (
-        |  SELECT table_name, key_col, CAST(SUM(c) AS BIGINT) AS n_rows,
-        |    CAST(COUNT(*) AS BIGINT) AS n_keys,
-        |    CAST(MAX(c) AS BIGINT) AS max_count
-        |  FROM census GROUP BY 1, 2),
-        |top AS (
-        |  SELECT table_name, key_col, MIN(k) AS top_key FROM (
-        |    SELECT table_name, key_col, k, c,
-        |      MAX(c) OVER (PARTITION BY table_name, key_col) AS mc
-        |    FROM census) WHERE c = mc GROUP BY 1, 2)
-        |SELECT s.table_name, s.key_col, s.n_rows, s.n_keys,
-        |  s.max_count, t.top_key,
-        |  round(CAST(s.max_count AS DOUBLE)
-        |    / CAST(s.n_rows AS DOUBLE), 6) AS max_share,
-        |  round((CAST(s.max_count AS DOUBLE) * CAST(s.n_keys AS DOUBLE))
-        |    / CAST(s.n_rows AS DOUBLE), 6) AS skew_ratio,
-        |  round((CAST(s.max_count AS DOUBLE) * CAST(s.n_keys AS DOUBLE))
-        |    / CAST(s.n_rows AS DOUBLE), 6) > 10.0 AS needs_salting
-        |FROM stats s JOIN top t USING (table_name, key_col)
-        |ORDER BY s.table_name, s.key_col""".stripMargin,
-    // same parity split, exact DECIMAL money sums, 1e-9-quantized PSI
-    // the plain global-lag statement of the same consecutive pairs
-    // (provably equal to the engine's bucket decomposition)
-    "dq_sequence_gaps" ->
-      """WITH ids AS (
-        |  SELECT event_id AS id FROM events
-        |  WHERE event_type = 'purchase'),
-        |g AS (SELECT lag(id) OVER (ORDER BY id) AS prev, id FROM ids),
-        |gaps AS (
-        |  SELECT CAST(prev + 1 AS BIGINT) AS gap_start,
-        |    CAST(id - 1 AS BIGINT) AS gap_end
-        |  FROM g WHERE prev IS NOT NULL AND id - prev > 1),
-        |tot AS (SELECT CAST(MAX(id) - MIN(id) + 1 - COUNT(*) AS BIGINT)
-        |    AS n_missing FROM ids)
-        |SELECT gap_start, gap_end,
-        |  CAST(gap_end - gap_start + 1 AS BIGINT) AS gap_len,
-        |  t.n_missing
-        |FROM gaps, tot t
-        |ORDER BY gap_len DESC, gap_start ASC LIMIT 10""".stripMargin,
-    // one COUNT + COUNT(DISTINCT) aggregate per table
-    "dq_pk_unique" ->
-      """SELECT pk, n_rows, n_keys, n_rows - n_keys AS n_dup_rows
-        |FROM (
-        |  SELECT 'customer.c_custkey' AS pk,
-        |    CAST(COUNT(*) AS BIGINT) AS n_rows,
-        |    CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_keys
-        |  FROM customer
-        |  UNION ALL
-        |  SELECT 'documents.doc_id', CAST(COUNT(*) AS BIGINT),
-        |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) FROM documents
-        |  UNION ALL
-        |  SELECT 'events.event_id', CAST(COUNT(*) AS BIGINT),
-        |    CAST(COUNT(DISTINCT event_id) AS BIGINT) FROM events
-        |  UNION ALL
-        |  SELECT 'orders.o_orderkey', CAST(COUNT(*) AS BIGINT),
-        |    CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders)
-        |ORDER BY pk""".stripMargin,
-    // micros-exact lag floored to minutes; strftime pins the ISO string
-    "dq_freshness" ->
-      """WITH p AS (
-        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
-        |    MAX(ts) AS mx
-        |  FROM events GROUP BY event_type),
-        |g AS (SELECT MAX(mx) AS gx FROM p)
-        |SELECT p.event_type, p.n_events,
-        |  strftime(p.mx, '%Y-%m-%d %H:%M:%S.%f') AS last_seen,
-        |  CAST((epoch_us(g.gx) - epoch_us(p.mx)) // 60000000 AS BIGINT)
-        |    AS lag_min
-        |FROM p, g ORDER BY p.event_type""".stripMargin,
-    // same one-scan-per-FK left-join null counts
-    "dq_referential" ->
-      """SELECT fk, n_rows, n_orphans,
-        |  round(CAST(n_orphans AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
-        |    AS orphan_rate
-        |FROM (
-        |  SELECT 'lineitem.l_orderkey' AS fk,
-        |    CAST(COUNT(*) AS BIGINT) AS n_rows,
-        |    CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS n_orphans
-        |  FROM lineitem l LEFT JOIN
-        |    (SELECT DISTINCT o_orderkey FROM orders) o
-        |    ON l.l_orderkey = o.o_orderkey
-        |  UNION ALL
-        |  SELECT 'lineitem.l_suppkey', CAST(COUNT(*) AS BIGINT),
-        |    CAST(SUM(CASE WHEN sp.s_suppkey IS NULL THEN 1 ELSE 0 END)
-        |      AS BIGINT)
-        |  FROM lineitem l LEFT JOIN
-        |    (SELECT DISTINCT s_suppkey FROM supplier) sp
-        |    ON l.l_suppkey = sp.s_suppkey
-        |  UNION ALL
-        |  SELECT 'orders.o_custkey', CAST(COUNT(*) AS BIGINT),
-        |    CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
-        |      AS BIGINT)
-        |  FROM orders od LEFT JOIN
-        |    (SELECT DISTINCT c_custkey FROM customer) c
-        |    ON od.o_custkey = c.c_custkey)
-        |ORDER BY fk""".stripMargin,
-    // same integer file-count ceiling + cross-multiplied hot flag
-    "layout_filesizing" ->
-      """WITH per AS (
-        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-        |    CAST(SUM(n_chars) AS BIGINT) AS n_bytes
-        |  FROM documents GROUP BY source),
-        |tot AS (SELECT CAST(SUM(n_bytes) AS BIGINT) AS tb,
-        |    CAST(COUNT(*) AS BIGINT) AS ns
-        |  FROM per)
-        |SELECT p.source, p.n_docs, p.n_bytes,
-        |  CAST((p.n_bytes + 4095) // 4096 AS BIGINT) AS n_files,
-        |  CAST(10 * p.n_bytes * t.ns > 11 * t.tb AS INTEGER) AS hot
-        |FROM per p, tot t
-        |ORDER BY p.source""".stripMargin,
-    // QI classes → class-size histogram; SUM/COUNT cast to BIGINT
-    "dq_kanon" ->
-      """WITH classes AS (
-        |  SELECT c_nationkey, c_mktsegment,
-        |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
-        |    CAST(COUNT(*) AS BIGINT) AS class_size
-        |  FROM customer GROUP BY 1, 2, 3),
-        |tot AS (SELECT CAST(SUM(class_size) AS BIGINT) AS n_total
-        |        FROM classes)
-        |SELECT class_size,
-        |  CAST(COUNT(*) AS BIGINT) AS n_classes,
-        |  CAST(class_size * COUNT(*) AS BIGINT) AS n_rows,
-        |  round(CAST(class_size * COUNT(*) AS DOUBLE)
-        |    / CAST(t.n_total AS DOUBLE), 6) AS pct_rows
-        |FROM classes, tot t
-        |GROUP BY class_size, t.n_total
-        |ORDER BY class_size""".stripMargin,
-    // terms over the status panel, one shared double tree
-    "dq_snapshot_drift" ->
-      """WITH ord AS MATERIALIZED (
-        |  SELECT CAST(o_orderkey % 2 AS INTEGER) AS half, o_orderstatus,
-        |    CAST(o_totalprice AS DECIMAL(18,2)) AS v
-        |  FROM orders),
-        |halves AS (
-        |  SELECT half, CAST(COUNT(*) AS BIGINT) AS n, SUM(v) AS sv
-        |  FROM ord GROUP BY half),
-        |wide AS (
-        |  SELECT MAX(CASE WHEN half = 0 THEN n END) AS n_a,
-        |    MAX(CASE WHEN half = 1 THEN n END) AS n_b,
-        |    MAX(CASE WHEN half = 0 THEN sv END) AS sv_a,
-        |    MAX(CASE WHEN half = 1 THEN sv END) AS sv_b
-        |  FROM halves),
-        |cells AS (
-        |  SELECT o_orderstatus,
-        |    CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS ca,
-        |    CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS cb
-        |  FROM ord GROUP BY o_orderstatus),
-        |terms AS (
-        |  SELECT CAST(round(CASE WHEN pa * pb = 0 THEN 0.0
-        |    ELSE (pa - pb) * ln(pa / pb) END, 9) AS DECIMAL(18,9))
-        |    AS term
-        |  FROM (
-        |    SELECT CAST(ca AS DOUBLE) / CAST(wide.n_a AS DOUBLE) AS pa,
-        |      CAST(cb AS DOUBLE) / CAST(wide.n_b AS DOUBLE) AS pb
-        |    FROM cells, wide) p),
-        |psi AS (SELECT SUM(term) AS psiq FROM terms)
-        |SELECT n_a, n_b,
-        |  round(CAST(psiq AS DOUBLE), 6) AS psi_status,
-        |  round(CAST(sv_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6)
-        |    AS mean_price_a,
-        |  round(CAST(sv_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6)
-        |    AS mean_price_b,
-        |  round((CAST(sv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
-        |    - CAST(sv_a AS DOUBLE) / CAST(n_a AS DOUBLE))
-        |    / (CAST(sv_a AS DOUBLE) / CAST(n_a AS DOUBLE)) * 100.0, 6)
-        |    AS mean_shift_pct
-        |FROM wide, psi""".stripMargin,
-    // same full-grid expectation algebra: marginals cross-joined, zero
-    // cells kept, 1e-9-quantized terms, one final double tree
-    "dq_chisq" ->
-      """WITH obs AS MATERIALIZED (
-        |  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS o
-        |  FROM documents GROUP BY source, lang),
-        |rowt AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS rt
-        |  FROM documents GROUP BY source),
-        |colt AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS ctt
-        |  FROM documents GROUP BY lang),
-        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn,
-        |  CAST(COUNT(DISTINCT source) AS BIGINT) AS r,
-        |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS cdim
-        |  FROM documents),
-        |grid AS (
-        |  SELECT rowt.rt, colt.ctt, COALESCE(obs.o, 0) AS o, tot.nn,
-        |    tot.r, tot.cdim
-        |  FROM rowt CROSS JOIN colt
-        |  LEFT JOIN obs ON rowt.source = obs.source
-        |    AND colt.lang = obs.lang
-        |  CROSS JOIN tot),
-        |terms AS (
-        |  SELECT nn, r, cdim,
-        |    CAST(round((CAST(o AS DOUBLE) - CAST(rt AS DOUBLE)
-        |      * CAST(ctt AS DOUBLE) / CAST(nn AS DOUBLE))
-        |      * (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE)
-        |      * CAST(ctt AS DOUBLE) / CAST(nn AS DOUBLE))
-        |      / (CAST(rt AS DOUBLE) * CAST(ctt AS DOUBLE)
-        |      / CAST(nn AS DOUBLE)), 9) AS DECIMAL(28,9)) AS term
-        |  FROM grid),
-        |agg AS (
-        |  SELECT MAX(nn) AS n_docs, MAX(r) AS r, MAX(cdim) AS cdim,
-        |    SUM(term) AS chi2q
-        |  FROM terms)
-        |SELECT n_docs, CAST(r AS INTEGER) AS n_sources,
-        |  CAST(cdim AS INTEGER) AS n_langs,
-        |  CAST((r - 1) * (cdim - 1) AS INTEGER) AS dof,
-        |  round(CAST(chi2q AS DOUBLE), 6) AS chi2,
-        |  round(sqrt(CAST(chi2q AS DOUBLE) / (CAST(n_docs AS DOUBLE)
-        |    * CAST(least(r - 1, cdim - 1) AS DOUBLE))), 6) AS cramers_v
-        |FROM agg""".stripMargin,
-    // same exact-cents recompute and mismatch classing
-    "dq_reconcile" ->
-      """WITH lt AS MATERIALIZED (
-        |  SELECT l_orderkey,
-        |    (SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
-        |        AS BIGINT)
-        |      * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100
-        |        AS BIGINT))
-        |      * (100 + CAST(CAST(l_tax AS DECIMAL(18,2)) * 100
-        |        AS BIGINT))) + 5000) // 10000 AS ltot_cents
-        |  FROM lineitem GROUP BY 1),
-        |j AS (
-        |  SELECT o.o_orderkey,
-        |    CASE WHEN lt.ltot_cents IS NULL THEN NULL
-        |      ELSE abs(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
-        |          AS BIGINT)
-        |        - lt.ltot_cents) END AS diff_cents
-        |  FROM orders o LEFT JOIN lt ON lt.l_orderkey = o.o_orderkey),
-        |c AS (
-        |  SELECT CASE WHEN diff_cents IS NULL THEN 'missing_lines'
-        |      WHEN diff_cents = 0 THEN 'exact'
-        |      WHEN diff_cents < 100 THEN 'minor'
-        |      ELSE 'major' END AS class,
-        |    coalesce(diff_cents, 0) AS dc
-        |  FROM j)
-        |SELECT class, COUNT(*) AS n_orders,
-        |  round(CAST(SUM(dc) AS DOUBLE) / 100.0, 2) AS sum_abs_diff
-        |FROM c GROUP BY class ORDER BY class""".stripMargin,
-    // DuckDB row_number is BIGINT → cast to match Spark's INT
-    "o11_diversify" ->
-      """WITH r AS (
-        |  SELECT o_orderkey, o_custkey, o_totalprice,
-        |    row_number() OVER (PARTITION BY o_custkey
-        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
-        |  FROM orders)
-        |SELECT o_orderkey, o_custkey, o_totalprice,
-        |  CAST(rn AS INTEGER) AS cust_rank
-        |FROM r WHERE rn <= 2
-        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
-    // the definitional NOT EXISTS dominance check over distinct points
-    // (quadratic is fine at oracle scale; the engine's sweep must
-    // reproduce it exactly)
-    "o10_skyline" ->
-      """WITH p AS (
-        |  SELECT p_retailprice AS price, p_size AS size, COUNT(*) AS n_parts
-        |  FROM part GROUP BY 1, 2)
-        |SELECT price, size, n_parts FROM p a
-        |WHERE NOT EXISTS (
-        |  SELECT 1 FROM p b
-        |  WHERE b.price <= a.price AND b.size >= a.size
-        |    AND (b.price < a.price OR b.size > a.size))
-        |ORDER BY price""".stripMargin,
-    // same decimal-string digit extraction; windowed SUM is HUGEINT in
-    // DuckDB → cast; p_obs is an exact integer division, p_benford the
-    // identical (1.0 + 1.0/d) expression tree rounded at 6
-    "dq_benford" ->
-      """WITH d AS (
-        |  SELECT CAST(substr(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-        |      AS VARCHAR), 1, 1) AS INTEGER) AS digit,
-        |    COUNT(*) AS n
-        |  FROM lineitem WHERE l_extendedprice > 0 GROUP BY 1)
-        |SELECT digit, n,
-        |  round(CAST(n AS DOUBLE) / CAST(CAST(SUM(n) OVER () AS BIGINT)
-        |    AS DOUBLE), 6) AS p_obs,
-        |  round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS p_benford,
-        |  round(CAST(n AS DOUBLE) / CAST(CAST(SUM(n) OVER () AS BIGINT)
-        |      AS DOUBLE)
-        |    - log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS excess
-        |FROM d ORDER BY digit""".stripMargin,
     "u04_intersect" ->
       """SELECT o_custkey FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
@@ -2789,166 +830,6 @@ object CoreRelational {
         |FROM orders o JOIN ap USING (o_orderpriority)
         |WHERE CAST(o.o_totalprice AS DOUBLE) > ap.ap
         |ORDER BY o.o_orderkey""".stripMargin,
-    // per-column KMV replay (same 52-bit md5 fraction as a15_kmv) +
-    // exact null/min/max, one SELECT per profiled column
-    // pure integer bit interleave replayed with >>/&; scaling is
-    // exact integer-in-double arithmetic, identical on both engines
-    // the xy2d walk unrolled as 8 chained integer-CTE rounds — exact
-    // integers end to end, so the tile panel hash-matches the native
-    // codegen expression
-    "layout_hilbert" -> {
-      val rounds = (7 to 0 by -1).map { k =>
-        val s = 1 << k
-        s"""h${7 - k + 1} AS (
-           |  SELECT x, y,
-           |    CASE WHEN ((hy >> $k) & 1) = 0 THEN
-           |      (CASE WHEN ((hx >> $k) & 1) = 1
-           |         THEN ${s - 1} - hy ELSE hy END)
-           |    ELSE hx END AS hx,
-           |    CASE WHEN ((hy >> $k) & 1) = 0 THEN
-           |      (CASE WHEN ((hx >> $k) & 1) = 1
-           |         THEN ${s - 1} - hx ELSE hx END)
-           |    ELSE hy END AS hy,
-           |    hd + ${s * s} * xor(3 * ((hx >> $k) & 1), (hy >> $k) & 1)
-           |      AS hd
-           |  FROM h${7 - k})""".stripMargin
-      }.mkString(",\n")
-      s"""WITH o AS (
-         |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS od FROM orders),
-         |s AS (
-         |  SELECT MIN(o_custkey) AS ck0, MAX(o_custkey) AS ck1,
-         |    MIN(od) AS d0, MAX(od) AS d1 FROM o),
-         |b AS (
-         |  SELECT
-         |    CAST(floor((o_custkey - s.ck0) * 256.0
-         |      / (s.ck1 - s.ck0 + 1)) AS INT) AS x,
-         |    CAST(floor(date_diff('day', s.d0, od) * 256.0
-         |      / (date_diff('day', s.d0, s.d1) + 1)) AS INT) AS y
-         |  FROM o, s),
-         |h0 AS (SELECT x, y, x AS hx, y AS hy, 0 AS hd FROM b),
-         |$rounds
-         |SELECT (hd >> 8) AS tile, COUNT(*) AS n_rows,
-         |  MIN(x) AS min_x, MAX(x) AS max_x,
-         |  MIN(y) AS min_y, MAX(y) AS max_y
-         |FROM h8 GROUP BY 1 ORDER BY tile""".stripMargin
-    },
-    "layout_zorder" -> {
-      val weave = (0 until 8).map(i =>
-        s"(((x >> $i) & 1) * ${1 << (2 * i + 1)} + " +
-          s"((y >> $i) & 1) * ${1 << (2 * i)})").mkString(" + ")
-      s"""WITH o AS (
-         |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS od FROM orders),
-         |s AS (
-         |  SELECT MIN(o_custkey) AS ck0, MAX(o_custkey) AS ck1,
-         |    MIN(od) AS d0, MAX(od) AS d1 FROM o),
-         |b AS (
-         |  SELECT
-         |    CAST(floor((o_custkey - s.ck0) * 256.0
-         |      / (s.ck1 - s.ck0 + 1)) AS INT) AS x,
-         |    CAST(floor(date_diff('day', s.d0, od) * 256.0
-         |      / (date_diff('day', s.d0, s.d1) + 1)) AS INT) AS y
-         |  FROM o, s),
-         |zt AS (SELECT x, y, ($weave) AS z FROM b)
-         |SELECT (z >> 8) AS tile, COUNT(*) AS n_rows,
-         |  MIN(x) AS min_x, MAX(x) AS max_x,
-         |  MIN(y) AS min_y, MAX(y) AS max_y
-         |FROM zt GROUP BY 1 ORDER BY tile""".stripMargin
-    },
-    // replayed row hash: the 13-nibble md5 integer (exact below 2^53)
-    // xor-combined per month — order-independent on both engines
-    // exact DECIMAL sufficient statistics → the same fixed double
-    // expression tree per group; the round(…,6) is belt-and-braces
-    "profile_corr" ->
-      """WITH c AS (
-        |  SELECT l_returnflag,
-        |    CAST(l_quantity AS DECIMAL(18,2)) AS q,
-        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS p,
-        |    CAST(l_discount AS DECIMAL(18,2)) AS disc
-        |  FROM lineitem),
-        |a AS (
-        |  SELECT l_returnflag,
-        |    CAST(COUNT(*) AS DOUBLE) AS n,
-        |    CAST(SUM(q) AS DOUBLE) AS sq,
-        |    CAST(SUM(p) AS DOUBLE) AS sp,
-        |    CAST(SUM(disc) AS DOUBLE) AS sd,
-        |    CAST(SUM(q * q) AS DOUBLE) AS sqq,
-        |    CAST(SUM(p * p) AS DOUBLE) AS spp,
-        |    CAST(SUM(disc * disc) AS DOUBLE) AS sdd,
-        |    CAST(SUM(q * p) AS DOUBLE) AS sqp,
-        |    CAST(SUM(disc * p) AS DOUBLE) AS sdp
-        |  FROM c GROUP BY 1)
-        |SELECT l_returnflag, 'quantity' AS x_col,
-        |  'extendedprice' AS y_col,
-        |  round(CASE WHEN sqrt(n * sqq - sq * sq)
-        |               * sqrt(n * spp - sp * sp) = 0 THEN NULL
-        |    ELSE (n * sqp - sq * sp) /
-        |      (sqrt(n * sqq - sq * sq) * sqrt(n * spp - sp * sp))
-        |    END, 6) AS r
-        |FROM a
-        |UNION ALL
-        |SELECT l_returnflag, 'discount', 'extendedprice',
-        |  round(CASE WHEN sqrt(n * sdd - sd * sd)
-        |               * sqrt(n * spp - sp * sp) = 0 THEN NULL
-        |    ELSE (n * sdp - sd * sp) /
-        |      (sqrt(n * sdd - sd * sd) * sqrt(n * spp - sp * sp))
-        |    END, 6)
-        |FROM a
-        |ORDER BY l_returnflag, x_col""".stripMargin,
-    "profile_checksum" ->
-      """WITH c AS (
-        |  SELECT strftime(o_orderdate, '%Y-%m') AS month,
-        |    concat_ws('|', CAST(o_orderkey AS VARCHAR),
-        |      CAST(o_custkey AS VARCHAR), o_orderstatus,
-        |      CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
-        |      strftime(o_orderdate, '%Y-%m-%d')) AS cs
-        |  FROM orders)
-        |SELECT month, COUNT(*) AS n_rows,
-        |  bit_xor(CAST(list_sum(list_transform(range(13), i ->
-        |    CAST(strpos('0123456789abcdef',
-        |      substr(md5(cs), CAST(i AS INTEGER) + 1, 1)) - 1 AS DOUBLE)
-        |    * power(16.0, CAST(12 - i AS DOUBLE)))) AS BIGINT)) AS digest
-        |FROM c GROUP BY month ORDER BY month""".stripMargin,
-    "profile_entropy" -> {
-      val panel = (c: String) =>
-        s"""SELECT '$c' AS column_name,
-           |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
-           |  round(CAST(SUM(CAST(floor(-(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))
-           |      * ln(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))
-           |      * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
-           |    / 1000000000.0, 6) AS entropy,
-           |  round(CAST(MAX(n) AS DOUBLE) / CAST(MAX(tot) AS DOUBLE), 6)
-           |    AS top_share
-           |FROM (
-           |  SELECT n, SUM(n) OVER () AS tot FROM (
-           |    SELECT COUNT(*) AS n FROM orders GROUP BY $c))""".stripMargin
-      s"""SELECT * FROM (
-         |${panel("o_orderstatus")}
-         |UNION ALL
-         |${panel("o_orderpriority")})
-         |ORDER BY column_name""".stripMargin
-    },
-    "profile_table" -> {
-      val kmv = (c: String) =>
-        s"""(SELECT round(CASE WHEN len(arr) < 64
-           |    THEN CAST(len(arr) AS DOUBLE) ELSE 63.0 / arr[64] END, 6)
-           | FROM (SELECT list_sort(list(DISTINCT frac)) AS arr FROM (
-           |   SELECT list_sum(list_transform(range(13), i ->
-           |     CAST(strpos('0123456789abcdef',
-           |       substr(md5(u), CAST(i AS INTEGER) + 1, 1)) - 1 AS DOUBLE)
-           |     * power(16.0, CAST(12 - i AS DOUBLE))))
-           |     / 4503599627370496.0 AS frac
-           |   FROM (SELECT DISTINCT CAST($c AS VARCHAR) AS u
-           |         FROM orders WHERE $c IS NOT NULL))))""".stripMargin
-      val row = (c: String) =>
-        s"""SELECT '$c' AS col_name,
-           |  (SELECT COUNT(*) FROM orders) AS n_rows,
-           |  (SELECT COUNT(*) - COUNT($c) FROM orders) AS n_null,
-           |  ${kmv(c)} AS n_distinct_est,
-           |  (SELECT MIN(CAST($c AS VARCHAR)) FROM orders) AS min_s,
-           |  (SELECT MAX(CAST($c AS VARCHAR)) FROM orders) AS max_s""".stripMargin
-      Seq("o_orderstatus", "o_orderpriority", "o_custkey").map(row)
-        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
-    },
     "o09_keyset" ->
       """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS od,
         |  o_custkey
@@ -2956,298 +837,6 @@ object CoreRelational {
         |WHERE o_orderdate > TIMESTAMP '1997-06-01'
         |   OR (o_orderdate = TIMESTAMP '1997-06-01' AND o_orderkey > 3000)
         |ORDER BY o_orderdate, o_orderkey LIMIT 100""".stripMargin,
-    "a16_mode" ->
-      """WITH counts AS (
-        |  SELECT o_custkey, o_orderpriority, COUNT(*) AS n
-        |  FROM orders GROUP BY 1, 2),
-        |ranked AS (
-        |  SELECT o_custkey, o_orderpriority, n, row_number() OVER
-        |    (PARTITION BY o_custkey ORDER BY n DESC, o_orderpriority ASC)
-        |    AS rk
-        |  FROM counts)
-        |SELECT o_custkey, o_orderpriority AS mode_priority, n AS n_mode
-        |FROM ranked WHERE rk = 1 ORDER BY o_custkey""".stripMargin,
-    // replays the KMV sketch exactly: frac = first 52 md5 bits / 2^52
-    // (every Σ digit·16^(12-i) term and the sum are exact doubles),
-    // k smallest DISTINCT fracs, est = 63/h_64 (exact size below 64)
-    // identical min/max-range pruning model per layout; same z bits
-    "layout_skipping" -> {
-      def lay(name: String, grp: String) =
-        s"""SELECT '$name' AS layout,
-           |  COUNT(*) AS n_groups,
-           |  CAST(SUM(scanned) AS BIGINT) AS n_scanned,
-           |  round(1.0 - CAST(SUM(scanned) AS DOUBLE)
-           |    / CAST(COUNT(*) AS DOUBLE), 6) AS skip_rate,
-           |  CAST(SUM(rows) AS BIGINT) AS rows_total,
-           |  CAST(SUM(scanned * rows) AS BIGINT) AS rows_scanned,
-           |  CAST(SUM(hits) AS BIGINT) AS n_matching
-           |FROM (
-           |  SELECT $grp AS g, COUNT(*) AS rows,
-           |    CAST(SUM(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS hits,
-           |    CASE WHEN MAX(od) >= DATE '1997-03-01'
-           |          AND MIN(od) <= DATE '1997-03-31'
-           |          AND MIN(o_custkey) <= MAX(ckHi)
-           |         THEN 1 ELSE 0 END AS scanned
-           |  FROM base GROUP BY 1)""".stripMargin
-      s"""WITH o AS (
-         |  SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS od
-         |  FROM orders),
-         |st AS (
-         |  SELECT MIN(o_custkey) AS ck0, MAX(o_custkey) AS ck1,
-         |    MIN(od) AS d0, MAX(od) AS d1
-         |  FROM o),
-         |bx AS (
-         |  SELECT o.*, st.ck0, st.ck1, st.d0, st.d1,
-         |    CAST(floor((o_custkey - ck0) * 256.0 / (ck1 - ck0 + 1))
-         |      AS INTEGER) AS x,
-         |    CAST(floor(date_diff('day', d0, od) * 256.0
-         |      / (date_diff('day', d0, d1) + 1)) AS INTEGER) AS y
-         |  FROM o, st),
-         |base AS (
-         |  SELECT *,
-         |    (((x >> 0) & 1) * 2 + ((y >> 0) & 1) * 1
-         |     + ((x >> 1) & 1) * 8 + ((y >> 1) & 1) * 4
-         |     + ((x >> 2) & 1) * 32 + ((y >> 2) & 1) * 16
-         |     + ((x >> 3) & 1) * 128 + ((y >> 3) & 1) * 64
-         |     + ((x >> 4) & 1) * 512 + ((y >> 4) & 1) * 256
-         |     + ((x >> 5) & 1) * 2048 + ((y >> 5) & 1) * 1024
-         |     + ((x >> 6) & 1) * 8192 + ((y >> 6) & 1) * 4096
-         |     + ((x >> 7) & 1) * 32768 + ((y >> 7) & 1) * 16384) AS z,
-         |    ck0 + (ck1 - ck0) // 10 AS ckHi,
-         |    (od >= DATE '1997-03-01' AND od <= DATE '1997-03-31'
-         |     AND o_custkey <= ck0 + (ck1 - ck0) // 10) AS m
-         |  FROM bx)
-         |SELECT * FROM (
-         |${lay("natural", "o_orderkey // 512")}
-         |UNION ALL
-         |${lay("bydate", "date_diff('day', DATE '1994-01-01', od) // 30")}
-         |UNION ALL
-         |${lay("zorder", "z // 256")}
-         |) ORDER BY layout""".stripMargin
-    },
-    "dq_fd" -> {
-      def p(name: String, tbl: String, lhs: String, rhs: String) =
-        s"""SELECT '$name' AS fd,
-           |  COUNT(*) AS n_groups,
-           |  CAST(SUM(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) AS BIGINT)
-           |    AS n_violating,
-           |  round(CAST(SUM(CASE WHEN ndv > 1 THEN 1 ELSE 0 END)
-           |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
-           |    AS violation_rate,
-           |  CAST(MAX(ndv) AS BIGINT) AS max_rhs_distinct
-           |FROM (SELECT $lhs, COUNT(DISTINCT $rhs) AS ndv
-           |      FROM $tbl GROUP BY $lhs)""".stripMargin
-      Seq(
-        p("nation_to_region", "nation", "n_nationkey", "n_regionkey"),
-        p("partkey_to_brand", "part", "p_partkey", "p_brand"),
-        p("custnation_to_segment", "customer",
-          "c_nationkey", "c_mktsegment"),
-        p("order_to_returnflag", "lineitem",
-          "l_orderkey", "l_returnflag"))
-        .mkString("SELECT * FROM (\n", "\nUNION ALL\n",
-          "\n) ORDER BY fd")
-    },
-    // identical integer largest-remainder replay: base = floor-div,
-    // leftover cents by (remainder DESC, linenumber) row_number
-    "a21_allocate" ->
-      """WITH o AS (
-        |  SELECT o_orderkey,
-        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-        |      AS total_cents
-        |  FROM orders WHERE o_orderkey % 50 = 0),
-        |l AS (
-        |  SELECT l_orderkey, l_linenumber,
-        |    CAST(l_quantity AS BIGINT) AS qty
-        |  FROM lineitem),
-        |j AS (
-        |  SELECT o.o_orderkey, l.l_linenumber, l.qty, o.total_cents
-        |  FROM l JOIN o ON l.l_orderkey = o.o_orderkey),
-        |sq AS (
-        |  SELECT o_orderkey, CAST(SUM(qty) AS BIGINT) AS sumqty
-        |  FROM j GROUP BY 1),
-        |b AS (
-        |  SELECT j.o_orderkey, j.l_linenumber, j.qty, j.total_cents,
-        |    j.total_cents * j.qty // s.sumqty AS base,
-        |    (j.total_cents * j.qty) % s.sumqty AS fr,
-        |    s.sumqty
-        |  FROM j JOIN sq s USING (o_orderkey)),
-        |w AS (
-        |  SELECT *,
-        |    CAST(SUM(fr) OVER (PARTITION BY o_orderkey) AS BIGINT)
-        |      // sumqty AS r,
-        |    row_number() OVER (PARTITION BY o_orderkey
-        |      ORDER BY fr DESC, l_linenumber ASC, qty ASC) AS rn
-        |  FROM b)
-        |SELECT o_orderkey, l_linenumber, qty, total_cents,
-        |  base + CASE WHEN rn <= r THEN 1 ELSE 0 END AS alloc_cents
-        |FROM w ORDER BY o_orderkey, l_linenumber""".stripMargin,
-    // the oracle's monolithic per-nation window computes the same
-    // cumulative weight the engine's two-level bucketed prefix sum
-    // does; identical crossing rule, exact integers throughout
-    "o15_wmedian" ->
-      """WITH f AS (
-        |  SELECT n.n_name, l.l_extendedprice AS price,
-        |    CAST(l.l_quantity AS BIGINT) AS w,
-        |    l.l_orderkey, l.l_linenumber
-        |  FROM lineitem l
-        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
-        |  JOIN nation n ON s.s_nationkey = n.n_nationkey),
-        |c AS (
-        |  SELECT n_name, price,
-        |    SUM(w) OVER (PARTITION BY n_name
-        |      ORDER BY price, l_orderkey, l_linenumber
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-        |    SUM(w) OVER (PARTITION BY n_name) AS tot_w
-        |  FROM f)
-        |SELECT n_name, CAST(MAX(tot_w) AS BIGINT) AS total_weight,
-        |  CAST(MIN(price) AS DOUBLE) AS w_median_price
-        |FROM c WHERE cum * 2 >= tot_w
-        |GROUP BY n_name ORDER BY n_name""".stripMargin,
-    // parity-split register tables, element-wise-max merge, and the
-    // four estimates from the identical a20 pipeline
-    "a22_hll_merge" -> {
-      def est(src: String, alias: String) =
-        s"""${alias}sk AS (
-           |  SELECT event_type,
-           |    CAST(256 - COUNT(*) AS BIGINT) AS nz,
-           |    CAST(SUM(CAST(1 AS BIGINT) << (53 - mr)) AS BIGINT)
-           |      + CAST(256 - COUNT(*) AS BIGINT) * 9007199254740992 AS zs
-           |  FROM $src GROUP BY 1),
-           |$alias AS (
-           |  SELECT event_type,
-           |    round(CASE WHEN nz > 0
-           |        AND (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
-           |          / (CAST(zs AS DOUBLE) / 9007199254740992.0) <= 640.0
-           |      THEN 256.0 * ln(256.0 / CAST(nz AS DOUBLE))
-           |      ELSE (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
-           |        / (CAST(zs AS DOUBLE) / 9007199254740992.0) END, 4)
-           |      AS est
-           |  FROM ${alias}sk)""".stripMargin
-      s"""WITH h AS (
-         |  SELECT event_type, user_id % 2 = 0 AS even,
-         |    md5(CAST(user_id AS VARCHAR)) AS hx
-         |  FROM events),
-         |r AS (
-         |  SELECT event_type, even,
-         |    (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
-         |      + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) AS reg,
-         |    substr(hx, 3, 13) AS h13
-         |  FROM h),
-         |rr AS (
-         |  SELECT event_type, even, reg,
-         |    CASE WHEN lz = 13 THEN 53
-         |         ELSE lz * 4 + (CASE WHEN d1 = '1' THEN 3
-         |                             WHEN d1 IN ('2', '3') THEN 2
-         |                             WHEN d1 IN ('4', '5', '6', '7') THEN 1
-         |                             ELSE 0 END) + 1 END AS rk
-         |  FROM (
-         |    SELECT event_type, even, reg,
-         |      length(regexp_extract(h13, '^0*')) AS lz,
-         |      substr(h13, length(regexp_extract(h13, '^0*')) + 1, 1) AS d1
-         |    FROM r)),
-         |regsE AS (SELECT event_type, reg, MAX(rk) AS mr
-         |          FROM rr WHERE even GROUP BY 1, 2),
-         |regsO AS (SELECT event_type, reg, MAX(rk) AS mr
-         |          FROM rr WHERE NOT even GROUP BY 1, 2),
-         |regsM AS (
-         |  SELECT event_type, reg, MAX(mr) AS mr FROM (
-         |    SELECT * FROM regsE UNION ALL SELECT * FROM regsO)
-         |  GROUP BY 1, 2),
-         |regsF AS (SELECT event_type, reg, MAX(rk) AS mr
-         |          FROM rr GROUP BY 1, 2),
-         |${est("regsE", "ee")},
-         |${est("regsO", "eo")},
-         |${est("regsM", "em")},
-         |${est("regsF", "ef")}
-         |SELECT ee.event_type, ee.est AS est_even, eo.est AS est_odd,
-         |  em.est AS est_merged, ef.est AS est_full,
-         |  CAST(CASE WHEN em.est = ef.est THEN 1 ELSE 0 END AS INTEGER)
-         |    AS merged_equals_full
-         |FROM ee JOIN eo USING (event_type) JOIN em USING (event_type)
-         |JOIN ef USING (event_type)
-         |ORDER BY event_type""".stripMargin
-    },
-    // full HLL replay: same md5 register/rank derivation by string
-    // ops, exact scaled-integer harmonic sum, same one-expression
-    // estimate + linear-counting branch
-    "a20_hll" ->
-      """WITH h AS (
-        |  SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hx
-        |  FROM events),
-        |r AS (
-        |  SELECT event_type,
-        |    (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
-        |      + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) AS reg,
-        |    substr(hx, 3, 13) AS h13
-        |  FROM h),
-        |rk AS (
-        |  SELECT event_type, reg,
-        |    length(regexp_extract(h13, '^0*')) AS lz,
-        |    substr(h13, length(regexp_extract(h13, '^0*')) + 1, 1) AS d1
-        |  FROM r),
-        |rr AS (
-        |  SELECT event_type, reg,
-        |    CASE WHEN lz = 13 THEN 53
-        |         ELSE lz * 4 + (CASE WHEN d1 = '1' THEN 3
-        |                             WHEN d1 IN ('2', '3') THEN 2
-        |                             WHEN d1 IN ('4', '5', '6', '7') THEN 1
-        |                             ELSE 0 END) + 1 END AS rk
-        |  FROM rk),
-        |mm AS (
-        |  SELECT event_type, reg, MAX(rk) AS mr FROM rr GROUP BY 1, 2),
-        |sk AS (
-        |  SELECT event_type,
-        |    CAST(256 - COUNT(*) AS BIGINT) AS n_zero_regs,
-        |    CAST(SUM(CAST(1 AS BIGINT) << (53 - mr)) AS BIGINT)
-        |      + CAST(256 - COUNT(*) AS BIGINT) * 9007199254740992 AS zs
-        |  FROM mm GROUP BY 1),
-        |e AS (
-        |  SELECT event_type, n_zero_regs,
-        |    (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
-        |      / (CAST(zs AS DOUBLE) / 9007199254740992.0) AS raw
-        |  FROM sk),
-        |ex AS (
-        |  SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
-        |  FROM events GROUP BY 1)
-        |SELECT e.event_type, n_zero_regs,
-        |  round(CASE WHEN n_zero_regs > 0 AND raw <= 640.0
-        |        THEN 256.0 * ln(256.0 / CAST(n_zero_regs AS DOUBLE))
-        |        ELSE raw END, 4) AS est_users,
-        |  ex.exact_users
-        |FROM e JOIN ex USING (event_type)
-        |ORDER BY event_type""".stripMargin,
-    "a15_kmv" ->
-      """WITH vals AS (
-        |  SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS u
-        |  FROM events),
-        |fr AS (
-        |  SELECT event_type,
-        |    list_sum(list_transform(range(13), i ->
-        |      CAST(strpos('0123456789abcdef',
-        |        substr(md5(u), CAST(i AS INTEGER) + 1, 1)) - 1 AS DOUBLE)
-        |      * power(16.0, CAST(12 - i AS DOUBLE))))
-        |      / 4503599627370496.0 AS frac
-        |  FROM vals),
-        |ks AS (
-        |  SELECT event_type, list_sort(list(DISTINCT frac)) AS arr
-        |  FROM fr GROUP BY 1),
-        |ex AS (
-        |  SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
-        |  FROM events GROUP BY 1)
-        |SELECT ks.event_type,
-        |  round(CASE WHEN len(arr) < 64 THEN CAST(len(arr) AS DOUBLE)
-        |        ELSE 63.0 / arr[64] END, 6) AS approx_users,
-        |  ex.exact_users
-        |FROM ks JOIN ex USING (event_type)
-        |ORDER BY event_type""".stripMargin,
-    "a13_pivot" ->
-      """SELECT strftime(ts, '%Y-%m-%d') AS day,
-        |  COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
-        |  COUNT(*) FILTER (WHERE event_type = 'error')    AS error,
-        |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
-        |  COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup,
-        |  COUNT(*) FILTER (WHERE event_type = 'view')     AS view
-        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
     "p08_boolshould" ->
       """SELECT event_id, event_type FROM events
         |WHERE json_extract_string(props, '$.k') IS NOT NULL
@@ -3319,41 +908,6 @@ object CoreRelational {
         |  UNION ALL
         |  SELECT l_suppkey AS key, 'li' AS src FROM lineitem)
         |ORDER BY key, src""".stripMargin,
-    "dq_expectations" ->
-      """WITH b AS (
-        |  SELECT COUNT(*) AS n,
-        |    CAST(SUM(CASE WHEN l_orderkey IS NULL
-        |      THEN 1 ELSE 0 END) AS BIGINT) AS v1,
-        |    CAST(SUM(CASE WHEN l_quantity IS NULL OR l_quantity < 1
-        |      OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS v2,
-        |    CAST(SUM(CASE WHEN l_discount IS NULL OR l_discount > 0.05
-        |      THEN 1 ELSE 0 END) AS BIGINT) AS v3,
-        |    CAST(SUM(CASE WHEN l_returnflag IS NULL
-        |      OR l_returnflag NOT IN ('A', 'N', 'R')
-        |      THEN 1 ELSE 0 END) AS BIGINT) AS v4,
-        |    CAST(SUM(CASE WHEN l_shipdate IS NULL
-        |      OR l_shipdate < TIMESTAMP '1992-01-01'
-        |      OR l_shipdate >= TIMESTAMP '1999-01-01'
-        |      THEN 1 ELSE 0 END) AS BIGINT) AS v5,
-        |    COUNT(DISTINCT (l_orderkey, l_linenumber)) AS nd
-        |  FROM lineitem),
-        |ri AS (
-        |  SELECT COUNT(*) AS v6
-        |  FROM lineitem l LEFT JOIN orders o
-        |    ON l.l_orderkey = o.o_orderkey
-        |  WHERE o.o_orderkey IS NULL),
-        |rules AS (
-        |  SELECT 'r1_orderkey_not_null' AS rule, n AS n_checked,
-        |    v1 AS n_violations FROM b
-        |  UNION ALL SELECT 'r2_quantity_in_1_50', n, v2 FROM b
-        |  UNION ALL SELECT 'r3_discount_le_5pct', n, v3 FROM b
-        |  UNION ALL SELECT 'r4_returnflag_domain', n, v4 FROM b
-        |  UNION ALL SELECT 'r5_shipdate_in_range', n, v5 FROM b
-        |  UNION ALL SELECT 'r6_orderkey_in_orders', n, v6 FROM b, ri
-        |  UNION ALL SELECT 'r7_line_pk_unique', n, n - nd FROM b)
-        |SELECT rule, n_checked, n_violations,
-        |  CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS pass
-        |FROM rules ORDER BY rule""".stripMargin,
     // same change-table build + DuckDB's native ASOF as the interval
     // lookup (arg_max ≡ max_by on the unique change key)
     "dim_asof_lookup" ->
@@ -3382,60 +936,6 @@ object CoreRelational {
         |FROM f ASOF LEFT JOIN dim
         |  ON f.o_custkey = dim.d_custkey AND f.od >= dim.valid_from
         |ORDER BY o_orderkey""".stripMargin,
-    "profile_topk" ->
-      """WITH lt AS (
-        |  SELECT 'lang' AS "column",
-        |    CAST(row_number() OVER (ORDER BY n DESC, value ASC)
-        |      AS INTEGER) AS rk,
-        |    value, n
-        |  FROM (SELECT lang AS value, COUNT(*) AS n
-        |        FROM documents GROUP BY 1)),
-        |st AS (
-        |  SELECT 'source' AS "column",
-        |    CAST(row_number() OVER (ORDER BY n DESC, value ASC)
-        |      AS INTEGER) AS rk,
-        |    value, n
-        |  FROM (SELECT source AS value, COUNT(*) AS n
-        |        FROM documents GROUP BY 1))
-        |SELECT * FROM (
-        |  SELECT * FROM lt WHERE rk <= 3
-        |  UNION ALL SELECT * FROM st WHERE rk <= 3)
-        |ORDER BY "column", rk""".stripMargin,
-    "dq_iqr" ->
-      """WITH po AS (
-        |  SELECT round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.25), 6) AS q1,
-        |    round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.75), 6) AS q3
-        |  FROM orders),
-        |pof AS (SELECT q1, q3,
-        |    round(q1 - 1.5 * (q3 - q1), 6) AS lo,
-        |    round(q3 + 1.5 * (q3 - q1), 6) AS hi FROM po),
-        |oo AS (
-        |  SELECT 'o_totalprice' AS "column", COUNT(*) AS n,
-        |    MAX(f.q1) AS q1, MAX(f.q3) AS q3,
-        |    MAX(f.lo) AS fence_lo, MAX(f.hi) AS fence_hi,
-        |    CAST(SUM(CASE WHEN CAST(o_totalprice AS DOUBLE) < f.lo
-        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
-        |    CAST(SUM(CASE WHEN CAST(o_totalprice AS DOUBLE) > f.hi
-        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_above
-        |  FROM orders, pof f),
-        |pl AS (
-        |  SELECT round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25), 6) AS q1,
-        |    round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75), 6) AS q3
-        |  FROM lineitem),
-        |plf AS (SELECT q1, q3,
-        |    round(q1 - 1.5 * (q3 - q1), 6) AS lo,
-        |    round(q3 + 1.5 * (q3 - q1), 6) AS hi FROM pl),
-        |ll AS (
-        |  SELECT 'l_extendedprice' AS "column", COUNT(*) AS n,
-        |    MAX(f.q1) AS q1, MAX(f.q3) AS q3,
-        |    MAX(f.lo) AS fence_lo, MAX(f.hi) AS fence_hi,
-        |    CAST(SUM(CASE WHEN CAST(l_extendedprice AS DOUBLE) < f.lo
-        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
-        |    CAST(SUM(CASE WHEN CAST(l_extendedprice AS DOUBLE) > f.hi
-        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_above
-        |  FROM lineitem, plf f)
-        |SELECT * FROM oo UNION ALL SELECT * FROM ll
-        |ORDER BY "column"""".stripMargin,
     "w04_ranks" ->
       """SELECT l_orderkey, l_linenumber, l_quantity,
         |  CAST(rank() OVER w AS INT) AS rnk,

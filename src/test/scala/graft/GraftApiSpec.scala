@@ -99,7 +99,10 @@ class CatalogIntegritySpec extends SparkFunSuite {
       graft.ops.EventOps.queries.size, graft.ops.MultimodalOps.queries.size,
       graft.ops.FuncOps.queries.size, graft.ops.Headline.queries.size,
       graft.ops.DocOps.queries.size, graft.ops.TrainOps.queries.size,
-      graft.ops.GraphOps.queries.size, graft.ops.StatsOps.queries.size)
+      graft.ops.GraphOps.queries.size, graft.ops.StatsOps.queries.size,
+      graft.ops.PlanCensus.queries.size, graft.ops.Profiling.queries.size,
+      graft.ops.LayoutOlap.queries.size, graft.ops.StreamOps.queries.size,
+      graft.fec.FecFunnel.queries.size)
     assert(SparkEntry.queries.size == moduleSizes.sum,
       "duplicate query name across modules")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

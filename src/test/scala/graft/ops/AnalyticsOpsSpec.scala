@@ -32,7 +32,7 @@ class AnalyticsOpsSpec extends SparkFunSuite {
   }
 
   test("a13_pivot: explicit-value crosstab with absent cells pinned to 0") {
-    val rows = CoreRelational.a13Pivot(spark, dir).collect()
+    val rows = LayoutOlap.a13Pivot(spark, dir).collect()
     assert(rows.map(_.getString(0)).toSeq == Seq("2024-03-01", "2024-03-02"))
     val d1 = rows(0)
     assert(d1.getAs[Long]("click") == 2L && d1.getAs[Long]("view") == 1L
@@ -78,7 +78,7 @@ class AnalyticsOpsSpec extends SparkFunSuite {
       .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority")
       .write.parquet(s"$d2/orders.parquet")
-    val rows = CoreRelational.profileTable(spark, d2).collect()
+    val rows = Profiling.profileTable(spark, d2).collect()
       .map(r => r.getString(0) -> r).toMap
     val st = rows("o_orderstatus")
     assert(st.getAs[Long]("n_rows") == 3L && st.getAs[Long]("n_null") == 1L)
@@ -106,7 +106,7 @@ class AnalyticsOpsSpec extends SparkFunSuite {
     write(d1, 30.0, parts = 1)
     write(d2, 30.0, parts = 3) // same content, different file layout
     write(d3, 30.5, parts = 1) // one row's price changed
-    def panel(d: String) = CoreRelational.profileChecksum(spark, d)
+    def panel(d: String) = Profiling.profileChecksum(spark, d)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(panel(d1).toSeq == panel(d2).toSeq) // layout/order independent
     val (a, b) = (panel(d1).map { case (m, n, g) => m -> (n, g) }.toMap,
@@ -124,7 +124,7 @@ class AnalyticsOpsSpec extends SparkFunSuite {
         Timestamp.valueOf(f"2024-${k % 12 + 1}%02d-${k % 28 + 1}%02d 00:00:00"))
     rows.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
       "o_orderdate").write.parquet(s"$d/orders.parquet")
-    val tiles = CoreRelational.layoutZorder(spark, d).collect()
+    val tiles = LayoutOlap.layoutZorder(spark, d).collect()
     assert(tiles.length > 30) // genuinely 2-D spread, not one stripe
     tiles.foreach { t =>
       // top-4 bits of each dim are fixed within a tile -> span <= 15
@@ -185,7 +185,7 @@ class AnalyticsOpsSpec extends SparkFunSuite {
       .toDF("l_orderkey", "l_linenumber", "l_quantity", "l_discount",
         "l_returnflag", "l_shipdate")
       .write.parquet(s"$d/lineitem.parquet")
-    val got = CoreRelational.dqExpectations(spark, d).collect()
+    val got = Profiling.dqExpectations(spark, d).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
         r.getInt(3)))).toMap
     assert(got == Map(

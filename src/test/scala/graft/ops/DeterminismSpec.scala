@@ -35,9 +35,9 @@ class DeterminismSpec extends SparkFunSuite {
     // round-10: the GK sketch's merge order varies with fan-out — the
     // rank_bounded booleans (and the sort-based exact side) must not
     "a23_approx_quantile" ->
-      (() => CoreRelational.a23ApproxQuantile(spark, sfDir)),
+      (() => LayoutOlap.a23ApproxQuantile(spark, sfDir)),
     "dq_contribution_cap" ->
-      (() => CoreRelational.dqContributionCap(spark, sfDir)),
+      (() => Profiling.dqContributionCap(spark, sfDir)),
     "text_compress" -> (() => TextOps.textCompress(spark, sfDir)))
 
   test("quantized statistics are bit-identical across shuffle fan-outs") {

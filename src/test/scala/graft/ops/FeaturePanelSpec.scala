@@ -167,7 +167,7 @@ class FeaturePanelSpec extends SparkFunSuite {
       ("F", "1-URGENT")): Seq[(String, String)])
       .toDF("o_orderstatus", "o_orderpriority")
       .write.parquet(s"$d/orders.parquet")
-    val got = CoreRelational.profileEntropy(spark, d).collect()
+    val got = Profiling.profileEntropy(spark, d).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
         r.getDouble(3)))).toMap
     val ln2 = BigDecimal(math.floor(0.5 * math.log(2.0) * 1e9 + 0.5) * 2 / 1e9)

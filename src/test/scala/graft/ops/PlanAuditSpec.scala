@@ -216,7 +216,7 @@ class PlanAuditSpec extends SparkFunSuite {
 
   test("round-6 plans: single-scan aggregates, broadcast probes, rank pushdown") {
     // profile_corr: all six sufficient statistics in ONE lineitem scan
-    val corr = plan(CoreRelational.profileCorr(spark, sfDir))
+    val corr = plan(Profiling.profileCorr(spark, sfDir))
     assert(corr.linesIterator.count(l =>
       l.contains("Scan parquet") && l.contains("lineitem")) == 1,
       "profile_corr re-scans the fact per moment")
@@ -306,12 +306,12 @@ class PlanAuditSpec extends SparkFunSuite {
       assert(ws.exists(_._1.exists(_.contains("__b"))),
         s"$name has no bucket-keyed window at all: $ws")
     }
-    audit(CoreRelational.o15Wmedian(spark, sfDir), "o15_wmedian")
+    audit(LayoutOlap.o15Wmedian(spark, sfDir), "o15_wmedian")
     audit(EventOps.evAuc(spark, sfDir), "ev_auc")
     audit(EventOps.evHistogramEq(spark, sfDir), "ev_histogram_eq")
     audit(EventOps.evLateness(spark, sfDir), "ev_lateness")
     // a21_allocate windows key on the high-cardinality order key
-    val al = CoreRelational.a21Allocate(spark, sfDir).queryExecution
+    val al = LayoutOlap.a21Allocate(spark, sfDir).queryExecution
       .optimizedPlan.collect {
         case w: LogicalWindow => w.partitionSpec.map(_.sql)
       }
@@ -350,7 +350,7 @@ class PlanAuditSpec extends SparkFunSuite {
     // o11_diversify: the per-customer cap must compile to
     // WindowGroupLimit (rank-limit pushdown inside the sort) and the
     // global cut to TakeOrderedAndProject — never a full global sort
-    val div = plan(CoreRelational.o11Diversify(spark, sfDir))
+    val div = plan(LayoutOlap.o11Diversify(spark, sfDir))
     assert(div.contains("WindowGroupLimit"),
       "o11_diversify lost the rank-limit pushdown")
     assert(div.contains("TakeOrderedAndProject"),
@@ -375,11 +375,11 @@ class PlanAuditSpec extends SparkFunSuite {
       }
     }
     secondLevel(EventOps.evGini(spark, sfDir), "ev_gini")
-    secondLevel(CoreRelational.dqSequenceGaps(spark, sfDir),
+    secondLevel(Profiling.dqSequenceGaps(spark, sfDir),
       "dq_sequence_gaps")
     secondLevel(EventOps.evGains(spark, sfDir), "ev_gains")
     // dq scans keep their predicates at the parquet reader
-    val gaps = plan(CoreRelational.dqSequenceGaps(spark, sfDir))
+    val gaps = plan(Profiling.dqSequenceGaps(spark, sfDir))
     assert(gaps.linesIterator.exists(l =>
       l.contains("PushedFilters") && l.contains("event_type")),
       "dq_sequence_gaps' purchase filter left the events scan")

@@ -67,7 +67,7 @@ class Round10OpsSpec extends SparkFunSuite {
   // ---- plan census rows ---------------------------------------------
 
   test("plan_asof: the native exec node runs, no fallback join") {
-    val r = CoreRelational.planAsof(spark, sfDir).collect()
+    val r = PlanCensus.planAsof(spark, sfDir).collect()
     assert(r.length == 1)
     assert(r(0).getString(0) == "ev_asof_native")
     assert(r(0).getLong(1) == 1, "AsofJoinExec missing from the plan")
@@ -76,7 +76,7 @@ class Round10OpsSpec extends SparkFunSuite {
   }
 
   test("plan_salted: (key, salt) join + one explode replication") {
-    val r = CoreRelational.planSalted(spark, sfDir).collect()
+    val r = PlanCensus.planSalted(spark, sfDir).collect()
     assert(r.length == 1)
     assert(r(0).getLong(1) == 1, "the running join lost its salt key")
     assert(r(0).getLong(2) == 1, "dim replication explode missing")
@@ -88,7 +88,7 @@ class Round10OpsSpec extends SparkFunSuite {
   // ---- layoutBucketing memo -----------------------------------------
 
   test("layout_bucketing: re-entry does zero filesystem writes") {
-    val first = CoreRelational.layoutBucketing(spark, sfDir).collect()
+    val first = LayoutOlap.layoutBucketing(spark, sfDir).collect()
     val h = java.security.MessageDigest.getInstance("MD5")
       .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_))
       .mkString.take(12)
@@ -102,7 +102,7 @@ class Round10OpsSpec extends SparkFunSuite {
       walk(dir).map(f => f.getAbsolutePath -> f.lastModified()).toMap
     }
     val before = snapshot()
-    val second = CoreRelational.layoutBucketing(spark, sfDir).collect()
+    val second = LayoutOlap.layoutBucketing(spark, sfDir).collect()
     assert(snapshot() == before, "re-entry rewrote the bucketed tables")
     assert(first.toSeq == second.toSeq)
   }

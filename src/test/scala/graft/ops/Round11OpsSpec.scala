@@ -245,23 +245,23 @@ class Round11OpsSpec extends SparkFunSuite {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     val e = intercept[IllegalStateException] {
-      CoreRelational.planShuffles(s2, sfDir).collect()
+      PlanCensus.planShuffles(s2, sfDir).collect()
     }
     assert(e.getMessage.contains("CONFIG MISMATCH"))
     assert(e.getMessage.contains("autoBroadcastJoinThreshold"),
       "the mismatch message must name the drifted key")
     // the untouched shared session computes the row normally
-    assert(CoreRelational.planShuffles(spark, sfDir).collect().length == 5)
+    assert(PlanCensus.planShuffles(spark, sfDir).collect().length == 5)
     // equivalent RENDERINGS of the same byte value are NOT a
     // mismatch: a save-and-restore elsewhere re-sets Spark's own
     // "10485760b" rendering explicitly (the BucketedJoinSpec race
     // that failed the first full-suite run of this gate)
     val s3 = spark.newSession()
     s3.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760b")
-    assert(CoreRelational.planShuffles(s3, sfDir).collect().length == 5)
+    assert(PlanCensus.planShuffles(s3, sfDir).collect().length == 5)
     val s4 = spark.newSession()
     s4.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
-    assert(CoreRelational.planShuffles(s4, sfDir).collect().length == 5)
+    assert(PlanCensus.planShuffles(s4, sfDir).collect().length == 5)
   }
 
   test("mm_binary_intake: spark.graft.mm.assetDir routes the fixture " +

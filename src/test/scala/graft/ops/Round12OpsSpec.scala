@@ -363,12 +363,12 @@ class Round12OpsSpec extends SparkFunSuite {
     s2.conf.set("spark.sql.adaptive.enabled", "TRUE")
     s2.conf.set("spark.sql.codegen.wholeStage", "True")
     // must NOT throw: differently rendered booleans are equal
-    CoreRelational.assertCensusConfig(s2)
+    PlanCensus.assertCensusConfig(s2)
     // a semantically DIFFERENT boolean still fails fast with the
     // named diagnosis
     s2.conf.set("spark.sql.adaptive.enabled", "false")
     val e = intercept[IllegalStateException] {
-      CoreRelational.assertCensusConfig(s2)
+      PlanCensus.assertCensusConfig(s2)
     }
     assert(e.getMessage.contains("CONFIG MISMATCH"))
   }

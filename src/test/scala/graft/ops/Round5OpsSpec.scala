@@ -83,7 +83,7 @@ class Round5OpsSpec extends SparkFunSuite {
 
   test("dq_benford: decimal-string digit binning and exact shares") {
     // prices 1.23, 19.99, 2.50, 9.01 -> digits 1,1,2,9
-    val got = CoreRelational.dqBenford(spark, dirOrd).collect()
+    val got = Profiling.dqBenford(spark, dirOrd).collect()
       .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
     assert(got.keySet === Set(1, 2, 9))
     assert(got(1) === ((2L, 0.5)) && got(2)._1 === 1L && got(9)._1 === 1L)
@@ -91,7 +91,7 @@ class Round5OpsSpec extends SparkFunSuite {
   }
 
   test("o11_diversify: at most two rows per customer survive the cap") {
-    val got = CoreRelational.o11Diversify(spark, dirOrd).collect()
+    val got = LayoutOlap.o11Diversify(spark, dirOrd).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSeq
     assert(got === Seq((1L, 10L, 1), (2L, 10L, 2), (4L, 20L, 1)))
   }
@@ -118,7 +118,7 @@ class Round5OpsSpec extends SparkFunSuite {
   }
 
   test("o10_skyline: cross-bucket carry-in domination and point counts") {
-    val got = CoreRelational.o10Skyline(spark, dirPart).collect()
+    val got = LayoutOlap.o10Skyline(spark, dirPart).collect()
       .map(r => (r.getDouble(0), r.getInt(1), r.getLong(2))).toSeq
     assert(got === Seq((40.0, 5, 1L), (50.0, 10, 2L), (150.0, 12, 1L)))
   }

@@ -175,7 +175,7 @@ class Round6OpsSpec extends SparkFunSuite {
         ("B", (i + 1).toDouble, 1000.0 - (i + 1) * 10.0, 0.01 * i)))
       .toDF("l_returnflag", "l_quantity", "l_extendedprice", "l_discount")
       .write.parquet(s"$d/lineitem.parquet")
-    val got = CoreRelational.profileCorr(spark, d).collect()
+    val got = Profiling.profileCorr(spark, d).collect()
       .map(r => (r.getString(0), r.getString(1)) ->
         (if (r.isNullAt(3)) null else r.getDouble(3))).toMap
     assert(got(("A", "quantity")) == 1.0)

@@ -59,7 +59,7 @@ class Round6cOpsSpec extends SparkFunSuite {
   }
 
   test("hll: linear-counting branch is exact-formula, estimate tracks exact") {
-    val rows = CoreRelational.a20Hll(spark, hllDir).collect()
+    val rows = LayoutOlap.a20Hll(spark, hllDir).collect()
       .map(r => r.getString(0) ->
         ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
     val (zerosA, estA, exactA) = rows("a")
@@ -82,16 +82,16 @@ class Round6cOpsSpec extends SparkFunSuite {
     (1L to 30L).map(u => ("a", u, new Timestamp(1700000000000L)))
       .toDF("event_type", "user_id", "ts")
       .write.parquet(s"$d2/events.parquet")
-    val once = CoreRelational.a20Hll(spark, d2).collect()
+    val once = LayoutOlap.a20Hll(spark, d2).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
-    val twice = CoreRelational.a20Hll(spark, hllDir).collect()
+    val twice = LayoutOlap.a20Hll(spark, hllDir).collect()
       .filter(_.getString(0) == "a")
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
     assert(once == twice)
   }
 
   test("hll merge: parity-half registers max-merge to the full estimate") {
-    val rows = CoreRelational.a22HllMerge(spark, hllDir).collect()
+    val rows = LayoutOlap.a22HllMerge(spark, hllDir).collect()
       .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2),
         r.getDouble(3), r.getDouble(4), r.getInt(5)))).toMap
     val (ev, od, mg, fl, eq) = rows("a")
@@ -206,7 +206,7 @@ class Round6cOpsSpec extends SparkFunSuite {
     Seq((1L, "R"), (1L, "N"), (2L, "N"))
       .toDF("l_orderkey", "l_returnflag")
       .write.parquet(s"$d/lineitem.parquet")
-    val got = CoreRelational.dqFd(spark, d).collect()
+    val got = Profiling.dqFd(spark, d).collect()
       .map(r => r.getString(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(4)))).toMap
     assert(got("nation_to_region") == ((2L, 0L, 1L)))
@@ -296,14 +296,14 @@ class Round6cOpsSpec extends SparkFunSuite {
     // weights 1,1,2 over prices 10,20,30: cum 1,2,4; 2*2 >= 4 at 20
     val d1 = wmedianDir(Seq((1L, bd(10)), (2L, bd(20)), (3L, bd(30)))
       .zip(Seq(1L, 1L, 2L)).map { case ((o, p), w) => (o, p, w) })
-    val r1 = CoreRelational.o15Wmedian(spark, d1).collect()
+    val r1 = LayoutOlap.o15Wmedian(spark, d1).collect()
     assert(r1.length == 1)
     assert(r1.head.getLong(1) == 4L)       // total_weight
     assert(r1.head.getDouble(2) == 20.0)   // w_median_price
     // a heavy tail row drags the median to it: weights 1,1,6 -> 30
     val d2 = wmedianDir(Seq((1L, bd(10)), (2L, bd(20)), (3L, bd(30)))
       .zip(Seq(1L, 1L, 6L)).map { case ((o, p), w) => (o, p, w) })
-    val r2 = CoreRelational.o15Wmedian(spark, d2).collect()
+    val r2 = LayoutOlap.o15Wmedian(spark, d2).collect()
     assert(r2.head.getLong(1) == 8L)
     assert(r2.head.getDouble(2) == 30.0)
   }
@@ -404,7 +404,7 @@ class Round6cOpsSpec extends SparkFunSuite {
   }
 
   test("layout skipping: clustered layouts prune, natural does not") {
-    val rows = CoreRelational.layoutSkipping(spark, sfDir).collect()
+    val rows = LayoutOlap.layoutSkipping(spark, sfDir).collect()
       .map(r => r.getString(0) -> r).toMap
     val matching = rows.values.map(_.getLong(6)).toSet
     assert(matching.size == 1) // the answer is layout-independent
@@ -597,7 +597,7 @@ class Round6cOpsSpec extends SparkFunSuite {
       (51L, 1, bd(2)))
       .toDF("l_orderkey", "l_linenumber", "l_quantity")
       .write.parquet(s"$d/lineitem.parquet")
-    val got = CoreRelational.a21Allocate(spark, d).collect()
+    val got = LayoutOlap.a21Allocate(spark, d).collect()
       .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(4)).toMap
     assert(got == Map(
       (50L, 1) -> 34L, (50L, 2) -> 33L, (50L, 3) -> 33L,

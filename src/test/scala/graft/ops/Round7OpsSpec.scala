@@ -225,7 +225,7 @@ class Round7OpsSpec extends SparkFunSuite {
       (3L, 100.00, 0.0, 0.0))
       .toDF("l_orderkey", "l_extendedprice", "l_discount", "l_tax")
       .write.parquet(s"$d/lineitem.parquet")
-    val got = CoreRelational.dqReconcile(spark, d).collect().toSeq
+    val got = Profiling.dqReconcile(spark, d).collect().toSeq
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
     assert(got == Seq(("exact", 1L, 0.0), ("major", 1L, 5.0),
       ("minor", 1L, 0.5), ("missing_lines", 1L, 0.0)))

@@ -239,7 +239,7 @@ class Round8OpsSpec extends SparkFunSuite {
       (i.toLong, s"text $i", l, "src0")
     }.toDF("doc_id", "text", "lang", "source")
       .write.parquet(s"$d/documents.parquet")
-    val got = CoreRelational.profileTopk(spark, d).collect().toSeq
+    val got = Profiling.profileTopk(spark, d).collect().toSeq
       .map(r => (r.getString(0), r.getInt(1), r.getString(2),
         r.getLong(3)))
     assert(got == Seq(
@@ -259,7 +259,7 @@ class Round8OpsSpec extends SparkFunSuite {
     Seq((1L, 5.0)).toDF("l_orderkey", "l_extendedprice")
       .write.parquet(s"$d/lineitem.parquet")
     val got = StatsOpsSpecHelpers.rowsByCol(
-      CoreRelational.dqIqrOutliers(spark, d).collect())
+      Profiling.dqIqrOutliers(spark, d).collect())
     val o = got("o_totalprice")
     assert(o.getLong(1) == 101L)
     assert(o.getDouble(2) == 26.0 && o.getDouble(3) == 76.0)

@@ -101,7 +101,7 @@ class Round8PropertySpec extends SparkFunSuite {
         .map { case (a, b) => (a + 1, b - 1, b - a - 1, missing) }
         .sortBy { case (s0, _, l, _) => (-l, s0) }
         .take(10)
-      val got = CoreRelational.dqSequenceGaps(spark, d).collect()
+      val got = Profiling.dqSequenceGaps(spark, d).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       assert(got.toSeq == naive, s"round $round")
     }

@@ -109,7 +109,7 @@ class Round8bOpsSpec extends SparkFunSuite {
       (3L, "cc", "en", "B", 2L), (4L, "dd", "fr", "B", 2L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.parquet(s"$d/documents.parquet")
-    val r = CoreRelational.dqChisq(spark, d).collect().head
+    val r = Profiling.dqChisq(spark, d).collect().head
     assert(r.getLong(0) == 4L)
     assert(r.getInt(1) == 2 && r.getInt(2) == 2 && r.getInt(3) == 1)
     assert(r.getDouble(4) == 1.333333)

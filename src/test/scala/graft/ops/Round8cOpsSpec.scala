@@ -100,7 +100,7 @@ class Round8cOpsSpec extends SparkFunSuite {
       (3L, "F", 30.00), (4L, "O", 40.00))
       .toDF("o_orderkey", "o_orderstatus", "o_totalprice")
       .write.parquet(s"$d/orders.parquet")
-    val r = CoreRelational.dqSnapshotDrift(spark, d).collect().head
+    val r = Profiling.dqSnapshotDrift(spark, d).collect().head
     assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
     assert(r.getDouble(2) == 0.346574)
     assert(r.getDouble(3) == 30.0 && r.getDouble(4) == 20.0)

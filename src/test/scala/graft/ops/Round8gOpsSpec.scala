@@ -42,7 +42,7 @@ class Round8gOpsSpec extends SparkFunSuite {
       .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal",
         "c_mktsegment")
       .write.parquet(s"$d/customer.parquet")
-    val got = CoreRelational.dqKanon(spark, d).collect()
+    val got = Profiling.dqKanon(spark, d).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     assert(got.toSeq == Seq((1L, 1L, 1L, 0.25), (3L, 1L, 3L, 0.75)))
   }

@@ -45,7 +45,7 @@ class Round8hOpsSpec extends SparkFunSuite {
       (3L, "t", "en", "srcB", 100L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.parquet(s"$d/documents.parquet")
-    val got = CoreRelational.layoutFilesizing(spark, d).collect()
+    val got = LayoutOlap.layoutFilesizing(spark, d).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getInt(4)))
     assert(got.toSeq == Seq(("srcA", 2L, 5000L, 2L, 1),

@@ -38,7 +38,7 @@ class Round8iOpsSpec extends SparkFunSuite {
       (3L, ts("2024-01-01 00:10:00"), 2L, "view", 1.0))
       .toDF("event_id", "ts", "user_id", "event_type", "value")
       .write.parquet(s"$d/events.parquet")
-    val got = CoreRelational.dqFreshness(spark, d).collect()
+    val got = Profiling.dqFreshness(spark, d).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
     assert(got.toSeq == Seq(
       ("click", 2L, "2024-01-01 00:40:30.000000", 0L),
@@ -79,7 +79,7 @@ class Round8iOpsSpec extends SparkFunSuite {
       .write.parquet(s"$d/customer.parquet")
     Seq((10L, "s")).toDF("s_suppkey", "s_name")
       .write.parquet(s"$d/supplier.parquet")
-    val got = CoreRelational.dqReferential(spark, d).collect()
+    val got = Profiling.dqReferential(spark, d).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     // lineitem 2 -> no order 2; suppkey 20 -> no supplier; order 3 ->
     // no customer 999: every FK has exactly one orphan of two rows

@@ -41,7 +41,7 @@ class Round8jOpsSpec extends SparkFunSuite {
       .write.parquet(s"$d/events.parquet")
     Seq((1L, 10L), (1L, 11L)).toDF("o_orderkey", "o_custkey")
       .write.parquet(s"$d/orders.parquet")
-    val got = CoreRelational.dqPkUnique(spark, d).collect()
+    val got = Profiling.dqPkUnique(spark, d).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(got.toSeq == Seq(("customer.c_custkey", 3L, 2L, 1L),
       ("documents.doc_id", 2L, 2L, 0L),
@@ -136,7 +136,7 @@ class Round8jOpsSpec extends SparkFunSuite {
       (i, t0, 1L, "purchase", 1.0)) :+ (3L, t0, 1L, "view", 1.0)
     rows.toDF("event_id", "ts", "user_id", "event_type", "value")
       .write.parquet(s"$d/events.parquet")
-    val got = CoreRelational.dqSequenceGaps(spark, d).collect()
+    val got = Profiling.dqSequenceGaps(spark, d).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(got.toSeq == Seq((1000L, 2000L, 1001L, 1996L),
       (7L, 998L, 992L, 1996L), (2L, 4L, 3L, 1996L)))

@@ -6,7 +6,7 @@ import graft.SparkFunSuite
 class Round9OpsSpec extends SparkFunSuite {
 
   test("plan_buildsides: census columns, one row per panel query, sane counts") {
-    val rows = CoreRelational.planBuildSides(spark, sfDir).collect()
+    val rows = PlanCensus.planBuildSides(spark, sfDir).collect()
     assert(rows.map(_.getString(0)).toSeq == Seq("q02", "q09", "q18"))
     rows.foreach { r =>
       val (bhj, smj, bl, br) =
@@ -23,13 +23,13 @@ class Round9OpsSpec extends SparkFunSuite {
   }
 
   test("plan_buildsides: the census is deterministic run-over-run") {
-    val a = CoreRelational.planBuildSides(spark, sfDir).collect().toSeq
-    val b = CoreRelational.planBuildSides(spark, sfDir).collect().toSeq
+    val a = PlanCensus.planBuildSides(spark, sfDir).collect().toSeq
+    val b = PlanCensus.planBuildSides(spark, sfDir).collect().toSeq
     assert(a == b)
   }
 
   test("plan_shuffles: static census invariants hold at fixture scale") {
-    val rows = CoreRelational.planShuffles(spark, sfDir).collect()
+    val rows = PlanCensus.planShuffles(spark, sfDir).collect()
     assert(rows.map(_.getString(0)).toSeq ==
       Seq("a02_keepoldest", "j01_enrich", "j06_anti", "o01_topk",
         "q01_pricing"))
@@ -45,7 +45,7 @@ class Round9OpsSpec extends SparkFunSuite {
   }
 
   test("profile_skew: census identities hold on the fixture") {
-    val rows = CoreRelational.profileSkew(spark, sfDir).collect()
+    val rows = Profiling.profileSkew(spark, sfDir).collect()
     assert(rows.map(r => (r.getString(0), r.getString(1))).toSeq == Seq(
       ("events", "event_type"), ("events", "user_id"),
       ("lineitem", "l_orderkey"), ("lineitem", "l_suppkey"),
@@ -67,7 +67,7 @@ class Round9OpsSpec extends SparkFunSuite {
   }
 
   test("layout_bucketing: bucketed layout eliminates the join shuffle") {
-    val rows = CoreRelational.layoutBucketing(spark, sfDir).collect()
+    val rows = LayoutOlap.layoutBucketing(spark, sfDir).collect()
       .map(r => r.getString(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     assert(rows.keySet == Set("bucketed", "plain"))
