@@ -30,8 +30,18 @@ import org.apache.spark.sql.functions._
   * on second-scale runs land there); a query beyond that without a
   * documented reason is a scale bug to fix, not to explain away.
   *
+  * SATURATED mode (round-13 ask #2): measuring sf0.1 → 8× leaves the
+  * small end below CPU saturation, so those exponents conflate
+  * core-fill-up with real scaling and are only LOWER bounds. Passing
+  * a 5th argument `baseFactor` > 1 builds TWO scaled corpora
+  * (baseFactor× and factor×) and measures between them — e.g.
+  * `... 32 10 8` probes 8× → 32× (effective step 4×) with both
+  * measurement points saturating the host, so the exponent reflects
+  * steady-state complexity, not scheduler fill.
+  *
   * Usage: ScaleProbe [baseDir] [scratchDir] [factor] [nQueries]
-  * (defaults: /root/testdata/sf0.1, /tmp/graft_scale8, 8, 25). */
+  * [baseFactor] (defaults: /root/testdata/sf0.1, /tmp/graft_scale8,
+  * 8, 25, 1). */
 object ScaleProbe {
 
   /** Key columns to shift per copy — FKs shift with their PKs so each
@@ -109,6 +119,9 @@ object ScaleProbe {
     val scratch = args.lift(1).getOrElse("/tmp/graft_scale8")
     val factor = args.lift(2).map(_.toInt).getOrElse(8)
     val nQueries = args.lift(3).map(_.toInt).getOrElse(25)
+    val baseFactor = args.lift(4).map(_.toInt).getOrElse(1)
+    require(baseFactor >= 1 && factor > baseFactor,
+      "need baseFactor >= 1 and factor > baseFactor")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
       "BENCH_DETAIL.json")
@@ -132,22 +145,33 @@ object ScaleProbe {
     // the marker records WHAT was built — a stale scratch dir from a
     // different base corpus or factor must rebuild, not silently feed
     // exponents computed with the wrong divisor
-    val marker = new java.io.File(scratch, "_built_ok")
-    val stamp = s"base=$baseDir factor=$factor"
-    val fresh = marker.exists() &&
-      new String(java.nio.file.Files.readAllBytes(marker.toPath),
-        "UTF-8") == stamp
-    if (!fresh) {
-      System.err.println(s"[probe] building ${factor}x corpus at $scratch")
-      buildScaled(spark, baseDir, scratch, factor)
-      marker.getParentFile.mkdirs()
-      java.nio.file.Files.write(marker.toPath, stamp.getBytes("UTF-8"))
+    def ensureBuilt(dir: String, f: Int): Unit = {
+      val marker = new java.io.File(dir, "_built_ok")
+      val stamp = s"base=$baseDir factor=$f"
+      val fresh = marker.exists() &&
+        new String(java.nio.file.Files.readAllBytes(marker.toPath),
+          "UTF-8") == stamp
+      if (!fresh) {
+        System.err.println(s"[probe] building ${f}x corpus at $dir")
+        buildScaled(spark, baseDir, dir, f)
+        marker.getParentFile.mkdirs()
+        java.nio.file.Files.write(marker.toPath, stamp.getBytes("UTF-8"))
+      }
     }
+    // saturated mode: the LOW measurement point is itself a scaled
+    // corpus (suffix-named next to the high one); classic mode keeps
+    // the low point at baseDir
+    val (lowDir, highDir) =
+      if (baseFactor == 1) (baseDir, scratch)
+      else (s"$scratch-x$baseFactor", s"$scratch-x$factor")
+    if (baseFactor > 1) ensureBuilt(lowDir, baseFactor)
+    ensureBuilt(highDir, factor)
+    val effFactor = factor.toDouble / baseFactor
 
     // steady-state warm-up at both scales (JIT + per-dataset memos)
     queries.foreach { case (n, fn) =>
-      fn(spark, baseDir).count()
-      fn(spark, scratch).count()
+      fn(spark, lowDir).count()
+      fn(spark, highDir).count()
     }
 
     // a failure must ABORT the probe loudly: recording time-to-throw
@@ -166,9 +190,9 @@ object ScaleProbe {
       (System.nanoTime() - t0) / 1e9
     }
     val rows = queries.map { case (n, fn) =>
-      val t1 = time(n, fn, baseDir)
-      val tf = time(n, fn, scratch)
-      val exp = math.log(tf / t1) / math.log(factor.toDouble)
+      val t1 = time(n, fn, lowDir)
+      val tf = time(n, fn, highDir)
+      val exp = math.log(tf / t1) / math.log(effFactor)
       System.err.println(f"[probe] $n%-24s t1=$t1%7.2f tf=$tf%8.2f exp=$exp%5.2f")
       (n, t1, tf, exp)
     }
@@ -176,7 +200,7 @@ object ScaleProbe {
       s""""$n":{"t1":$t1,"tf":$tf,"exp":${math.rint(e * 100) / 100}}"""
     }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"scaling","label":"scaling-probe","factor":$factor,"base_sf":"$baseDir","scaled_dir":"$scratch","n_queries":${rows.size},"queries":$qjson}"""
+      s"""{"metric":"scaling","label":"scaling-probe","factor":$factor,"base_factor":$baseFactor,"base_sf":"$baseDir","low_dir":"$lowDir","scaled_dir":"$highDir","n_queries":${rows.size},"queries":$qjson}"""
     println(line)
     // probe lines get their OWN history file: appending them to
     // BENCH_DETAIL.json under its shared takeRight(12) cap would evict
