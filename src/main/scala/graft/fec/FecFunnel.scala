@@ -95,10 +95,11 @@ object FecFunnel {
     * Enrichment joins are LEFT, so dim content shapes enrichment
     * columns, never stage counts. */
   private def dim(s: SparkSession, table: String,
-      lines: Seq[String]): DataFrame = {
+      lines: Seq[String]): (DataFrame, DataFrame) = {
     import s.implicits._
-    FecSchemas.readPipeTextLinesQuarantined(
-      s, table, s.createDataset(lines))._1
+    val (clean, _, pin) = FecSchemas.readPipeTextLinesQuarantined(
+      s, table, s.createDataset(lines))
+    (clean, pin)
   }
 
   def fecFunnel(s: SparkSession, d: String): DataFrame = {
@@ -114,15 +115,16 @@ object FecFunnel {
     val othLines = ids.filter(_ % 10 == 0).map(othLine)
 
     // S3/S5: the real quarantined pipe-text scan, once per feed; the
-    // cached parse serves the clean rows AND both stage counts
-    val (indiv, indivBad) =
+    // cached parse serves the clean rows AND both stage counts, and
+    // unpersists below once the checkpoints + counts materialize
+    val (indiv, indivBad, indivPin) =
       FecSchemas.readPipeTextLinesQuarantined(s, "indiv22", indivLines)
-    val (oth, othBad) =
+    val (oth, othBad, othPin) =
       FecSchemas.readPipeTextLinesQuarantined(s, "oth22", othLines)
 
-    val cn = dim(s, "cn22", (1 to 4).map(i =>
+    val (cn, cnPin) = dim(s, "cn22", (1 to 4).map(i =>
       s"H000$i|CAND $i|DEM|2022|CA|H|0$i|C|C|C000$i|||LA|CA|90001"))
-    val cm = dim(s, "cm22", (1 to 5).map(i =>
+    val (cm, cmPin) = dim(s, "cm22", (1 to 5).map(i =>
       s"C000$i|COMMITTEE $i|TRES $i||||LA|CA|9000$i|A|Q|DEM|Q||H0001"))
 
     // the §3.1 chain, each stage the production function
@@ -142,6 +144,10 @@ object FecFunnel {
     val classifiedN = elastic.count()
     val envelopeN = envelopes.count()
     val mergeN = mergeKeys.count()
+    // the eager checkpoints cut every lineage back to themselves and
+    // all counts are in hand — release the four parse caches so
+    // repeated bench passes don't accumulate dead relations
+    Seq(indivPin, othPin, cnPin, cmPin).foreach(_.unpersist())
 
     Seq(
       (1, "raw_lines", rawN),

@@ -193,9 +193,14 @@ object FecSchemas {
     * with a `_corrupt_record` column) applied to lines that arrive as
     * a Dataset instead of files: the shape a streaming intake or a
     * fixture synthesizer produces. Returns (clean rows, quarantined
-    * raw lines); the input is scanned once (cached) for both sides. */
+    * raw lines, the CACHED parse they both read) — the input is
+    * scanned once for both sides, and the caller unpersists the third
+    * element once its counts are materialized (a catalog row that
+    * re-runs per bench pass must not accumulate dead cached
+    * relations). */
   def readPipeTextLinesQuarantined(spark: SparkSession, table: String,
-      lines: org.apache.spark.sql.Dataset[String]): (DataFrame, DataFrame) = {
+      lines: org.apache.spark.sql.Dataset[String])
+      : (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.functions.col
     val schema = registry.getOrElse(table,
       throw new IllegalArgumentException(s"unexpected file: $table"))
@@ -210,7 +215,8 @@ object FecSchemas {
       .cache()
     (cached.filter(col("_corrupt_record").isNull).drop("_corrupt_record"),
       cached.filter(col("_corrupt_record").isNotNull)
-        .select(col("_corrupt_record")))
+        .select(col("_corrupt_record")),
+      cached)
   }
 
   /** Lenient variant for dirty feeds at scale: malformed rows land in a

@@ -29,7 +29,9 @@ package graft.multimodal
   *
   * Wire format (MSB-first bit packing via [[Rice]]'s shared bit I/O):
   *  - magic `SBA1`, u32 n_samples (≥ 384, multiple of 384, ≤ 2^22),
-  *    u16 sample_rate (8000..96000) — little-endian header;
+  *    u16 sample_rate (8000..48000 — the u16 field caps the band, so
+  *    the encoder REJECTS higher rates instead of silently wrapping
+  *    them) — little-endian header;
   *  - per frame: 32 four-bit allocation fields (0 or 1..10; anything
   *    else rejected); then per ACTIVE band in band order: an 8-bit
   *    scalefactor that must be CANONICAL (alloc == min(sf−7, 10),
@@ -98,7 +100,9 @@ object Subband {
   def encode(samples: Array[Short], rate: Int): Array[Byte] = {
     require(samples.nonEmpty && samples.length % FrameSamples == 0 &&
       samples.length <= MaxSamples, "length must be a multiple of 384")
-    require(rate >= 8000 && rate <= 96000, "rate out of band")
+    // 48000 is also the u16 wire-field safety line: a 96 kHz rate
+    // would wrap modulo 65536 and decode as a WRONG rate silently
+    require(rate >= 8000 && rate <= 48000, "rate out of band")
     val out = header(samples.length, rate)
     var f = 0
     while (f < samples.length / FrameSamples) {
@@ -167,7 +171,7 @@ object Subband {
       ((payload(6) & 0xff) << 16) | ((payload(7) & 0xff) << 24)
     if (n <= 0 || n > MaxSamples || n % FrameSamples != 0) return None
     val rate = (payload(8) & 0xff) | ((payload(9) & 0xff) << 8)
-    if (rate < 8000 || rate > 96000) return None
+    if (rate < 8000 || rate > 48000) return None
     val nFrames = n / FrameSamples
     val outS = new Array[Short](n)
     var nActive = 0; var nDropped = 0

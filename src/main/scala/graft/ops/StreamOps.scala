@@ -58,21 +58,33 @@ object StreamOps {
     val nUnique = batch.size.toLong
     val nSurvivors = batch.valuesIterator.map(_._2).sum
 
-    // the two-wave streaming replay through the REAL engine
-    val tmp = java.nio.file.Files
-      .createTempDirectory("funnel_stream_eq").toString
-    for (w <- 0 to 1)
-      all.filter(pmod(col("doc_id"), lit(2)) === w)
-        .coalesce(1).write.mode("append").parquet(s"$tmp/src")
-    val schema = s.read.parquet(s"$tmp/src").schema
+    // the two-wave streaming replay through the REAL engine; the
+    // source dir + checkpoint are per-invocation scratch and must not
+    // accumulate across the bench's warm-up/timed/heal re-runs —
+    // deleted in the finally once the sink map is drained
+    val tmpPath = java.nio.file.Files
+      .createTempDirectory("funnel_stream_eq")
+    val tmp = tmpPath.toString
     val sink = scala.collection.mutable.Map.empty[String, (Long, Long)]
-    IncrementalPipeline.runAvailableNow(
-      s, s"$tmp/src", schema, s"$tmp/ckpt",
-      df => FunnelIntake.intake(df).toDF(),
-      (b, _) => b.collect().foreach { r =>
-        sink(r.getString(0)) = (r.getLong(1), r.getLong(2))
-      },
-      maxFilesPerTrigger = Some(1))
+    try {
+      for (w <- 0 to 1)
+        all.filter(pmod(col("doc_id"), lit(2)) === w)
+          .coalesce(1).write.mode("append").parquet(s"$tmp/src")
+      val schema = s.read.parquet(s"$tmp/src").schema
+      IncrementalPipeline.runAvailableNow(
+        s, s"$tmp/src", schema, s"$tmp/ckpt",
+        df => FunnelIntake.intake(df).toDF(),
+        (b, _) => b.collect().foreach { r =>
+          sink(r.getString(0)) = (r.getLong(1), r.getLong(2))
+        },
+        maxFilesPerTrigger = Some(1))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmpPath).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => try java.nio.file.Files.deleteIfExists(p)
+          catch { case _: Throwable => () })
+    }
 
     val eqKeepers = sink.view.mapValues(_._1).toMap ==
       batch.view.mapValues(_._1).toMap

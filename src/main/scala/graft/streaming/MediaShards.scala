@@ -101,14 +101,28 @@ object MediaShards {
         // TRUNCATED shard under a live name (a truncated `shard-*`
         // would both short-change readers and qualify as a compaction
         // candidate); the dot-prefixed temp name is invisible to
-        // [[liveShards]]. A replayed batch rewrites the identical
-        // bytes, so deleting a prior copy before the rename is safe.
-        val tmpP = new org.apache.hadoop.fs.Path(outDir, s".$name.tmp")
+        // [[liveShards]] and carries the TASK ATTEMPT id so a
+        // speculative duplicate or post-retry zombie attempt can never
+        // truncate another attempt's in-flight temp file.
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
+        val tmpP = new org.apache.hadoop.fs.Path(outDir,
+          s".$name.$attempt.tmp")
         val out = fs.create(tmpP, true)
         try out.write(tar) finally out.close()
-        if (fs.exists(p)) fs.delete(p, false)
-        if (!fs.rename(tmpP, p)) throw new IllegalStateException(
-          s"shard commit rename failed for $name")
+        if (!fs.rename(tmpP, p)) {
+          // no pre-delete: the live name must never blink out of
+          // existence (a reader mid-listing would miss its assets).
+          // A failed rename is fine ONLY when an identical replay
+          // already committed this shard — verify by length, then
+          // drop our temp copy.
+          val prior = try Some(fs.getFileStatus(p))
+            catch { case _: Throwable => None }
+          if (!prior.exists(_.getLen == tar.length))
+            throw new IllegalStateException(
+              s"shard commit rename failed for $name")
+          fs.delete(tmpP, false)
+        }
         // the ledger derives from the WRITTEN unit: re-parse +
         // decode so a packing bug in this very writer cannot
         // self-certify
