@@ -1,20 +1,18 @@
 package graft.multimodal
 
 /** From-spec GROUP-OF-PICTURES codec with BIDIRECTIONAL (B) frames —
-  * the tier above [[Mcv]]'s forward-only motion compensation, closing
-  * the next line of the honest-limits ledger: odd display positions
-  * are B-frames predicted from BOTH surrounding anchors (the classic
-  * IBPBP structure), choosing per 8x8 block among FORWARD (previous
-  * anchor), BACKWARD (next anchor — the mode that explains content
-  * APPEARING mid-GOP, which no forward codec can predict) and AVERAGE
-  * ((fwd + bwd + 1) >> 1 with one shared vector — the cross-fade
-  * mode), each with its own bounded ±4 px exhaustive search; residual
-  * and intra fallback ride the same [[Jpeg]] strip machinery. Since
-  * round 13 every direction's winning vector REFINES TO HALF-PEL
-  * through [[Mcv]]'s shared bilinear interpolation stage (applied to
-  * BOTH anchors in the average mode). What remains out of scope:
-  * per-direction vector pairs for the average mode (the H.264-class
-  * refinement above one shared vector).
+  * the tier above [[Mcv]]'s forward-only motion compensation: odd
+  * display positions are B-frames predicted from BOTH surrounding
+  * anchors (the classic IBPBP structure), choosing per 8x8 block
+  * among FORWARD (previous anchor), BACKWARD (next anchor — the mode
+  * that explains content APPEARING mid-GOP, which no forward codec
+  * can predict) and AVERAGE with a PER-DIRECTION VECTOR PAIR
+  * ((fwd@v1 + bwd@v2 + 1) >> 1 — the H.264-class biprediction that
+  * explains a B frame whose two anchors move INDEPENDENTLY, e.g. a
+  * cross-fade of two pans; round 13 closed both this and the
+  * half-pel line of the honest-limits ledger). Residual and intra
+  * fallback ride the same [[Jpeg]] strip machinery; all vectors are
+  * [[Mcv]]'s half-sample pairs.
   *
   * Structure: display order f0 f1 f2 ... f_{nf-1} with nf ODD —
   * anchors at even indices (I at 0, then P chained anchor-to-anchor),
@@ -23,34 +21,43 @@ package graft.multimodal
   * I, P2, B1, P4, B3, ... — the standard decode-order/display-order
   * split, reordered back by the parser.
   *
-  * Wire format (little-endian): magic `MCB2`, then exactly [[Mcv]]'s
+  * Wire format (little-endian): magic `MCB3`, then exactly [[Mcv]]'s
   * header and P-frame sections (shared code paths, not copies); each
   * B-frame section is:
   *  - INTRA bitmap + RESIDUAL bitmap (same padding/conflict rules);
   *  - per NON-intra block in scan order: a DIRECTION byte
   *    (0 = forward, 1 = backward, 2 = average; anything else
-  *    rejected) then the [[Mcv]] motion byte PAIR (half-sample
-  *    units, each byte ≤ 16, interpolation footprint bounds-checked
-  *    against the frame);
+  *    rejected) then ONE [[Mcv]] motion byte pair for dirs 0/1 or
+  *    TWO pairs (forward then backward) for dir 2 — half-sample
+  *    units, each byte ≤ 16, every pair's interpolation footprint
+  *    bounds-checked against the frame;
   *  - u32 length + ONE strip of intra blocks then residual blocks.
   *
   * B-frames are NOT reference frames (the standard rule), so their
   * quantization error never compounds into the anchor chain; anchors
   * stay closed-loop through [[Mcv.encodeP]]/[[Mcv.decodeP]].
   *
-  * Mode policy (deterministic): directions probed in order
-  * fwd → bwd → avg, each scanning integer (dy, dx) row-major from
-  * (−4, −4) with first-strictly-better SAD and a zero short-circuit;
-  * a nonzero winner then refines to half-pel around the winning
-  * (direction, vector) — [[Mcv]]'s 8-neighbour probe order. Overall
-  * best SAD 0 → vector only; < 1024 → vector + residual; else intra.
+  * Mode policy (deterministic): the two single directions run the
+  * full two-stage search (row-major integer sweep from (−4, −4),
+  * first-strictly-better, zero short-circuit, then [[Mcv]]'s 8
+  * half-pel neighbours) in order fwd → bwd; if neither reaches zero,
+  * the average PAIR runs an EXHAUSTIVE integer product search
+  * (fwd-major over the two precomputed 81-candidate lists,
+  * first-strictly-better — coordinate descent provably sticks in
+  * local optima when the two motions interact through the average,
+  * and 81² SADs over precomputed 8×8 grabs is cheap), then refines
+  * to half-pel coordinate-wise (fwd side then bwd side, two rounds,
+  * zero short-circuit). Overall best SAD 0 → vector(s) only;
+  * < 1024 → vector(s) + residual; else intra.
   */
 object Gop {
 
-  /** Per-B-frame mode census from a real parse. */
+  /** Per-B-frame mode census from a real parse. `splitPairs` counts
+    * average-mode blocks whose two vectors DIFFER — the blocks only
+    * the per-direction-pair capability can explain. */
   final case class BCensus(fwdBlocks: Int, bwdBlocks: Int,
       avgBlocks: Int, residBlocks: Int, intraBlocks: Int,
-      zeroVectors: Int, halfVectors: Int)
+      zeroVectors: Int, halfVectors: Int, splitPairs: Int)
 
   private def avgBlock(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
     val o = new Array[Byte](64)
@@ -62,39 +69,90 @@ object Gop {
     o
   }
 
-  /** B prediction at a HALF-SAMPLE vector: the shared [[Mcv]]
-    * interpolation against one anchor (fwd/bwd) or both (avg — the
-    * same vector drives both references, interpolated independently
-    * then averaged). */
+  /** Single-anchor B prediction at a HALF-SAMPLE vector (dirs 0/1);
+    * the average mode goes through [[pairPred]] with its own vector
+    * per anchor. */
   private def predictB(dir: Int, prevA: Array[Byte], nextA: Array[Byte],
       w: Int, bx: Int, by: Int, dxH: Int, dyH: Int): Array[Byte] =
-    dir match {
-      case 0 => Mcv.grabAtHalf(prevA, w, bx, by, dxH, dyH)
-      case 1 => Mcv.grabAtHalf(nextA, w, bx, by, dxH, dyH)
-      case _ => avgBlock(Mcv.grabAtHalf(prevA, w, bx, by, dxH, dyH),
-        Mcv.grabAtHalf(nextA, w, bx, by, dxH, dyH))
+    if (dir == 0) Mcv.grabAtHalf(prevA, w, bx, by, dxH, dyH)
+    else Mcv.grabAtHalf(nextA, w, bx, by, dxH, dyH)
+
+  /** The ONE two-stage sweep shared by the single-direction searches
+    * and each side of the pair's coordinate descent: exhaustive
+    * integer candidates (even half-units, row-major from (−4, −4) px,
+    * first-strictly-better, zero short-circuit), then [[Mcv]]'s 8
+    * half-pel neighbours of the integer winner. `eval` scores one
+    * candidate (dxH, dyH); candidates are footprint-validated before
+    * evaluation. Returns (sad, dxH, dyH). */
+  private def sweepTwoStage(w: Int, h: Int, bx: Int, by: Int)(
+      eval: (Int, Int) => Int): (Int, Int, Int) = {
+    var best = Int.MaxValue
+    var cx = 0; var cy = 0 // integer-stage winner (half-units)
+    var dy = -Mcv.Range
+    while (dy <= Mcv.Range && best > 0) {
+      var dx = -Mcv.Range
+      while (dx <= Mcv.Range && best > 0) {
+        if (Mcv.halfVectorValid(2 * dx, 2 * dy, bx, by, w, h)) {
+          val s = eval(2 * dx, 2 * dy)
+          if (s < best) { best = s; cx = 2 * dx; cy = 2 * dy }
+        }
+        dx += 1
+      }
+      dy += 1
+    }
+    var hx = cx; var hy = cy
+    var uy = -1
+    while (uy <= 1 && best > 0) {
+      var ux = -1
+      while (ux <= 1 && best > 0) {
+        if ((ux | uy) != 0) {
+          val nx = cx + ux; val ny = cy + uy
+          if (Mcv.halfVectorValid(nx, ny, bx, by, w, h)) {
+            val s = eval(nx, ny)
+            if (s < best) { best = s; hx = nx; hy = ny }
+          }
+        }
+        ux += 1
+      }
+      uy += 1
+    }
+    (best, hx, hy)
+  }
+
+  /** One direction's full two-stage search against one anchor;
+    * returns (sad, dxH, dyH). */
+  private def searchOne(curBlk: Array[Byte], anchor: Array[Byte],
+      w: Int, h: Int, bx: Int, by: Int): (Int, Int, Int) =
+    sweepTwoStage(w, h, bx, by) { (dxH, dyH) =>
+      Mcv.sadBlk(curBlk, Mcv.grabAtHalf(anchor, w, bx, by, dxH, dyH))
     }
 
-  /** Allocation-free average-mode SAD: reads both planes in place —
-    * the search probes up to 81 candidates per block, so the hot loop
-    * must not materialize three arrays per candidate. */
-  private def sadAvg(curBlk: Array[Byte], prevA: Array[Byte],
-      nextA: Array[Byte], w: Int, bx: Int, by: Int, dx: Int,
-      dy: Int): Int = {
-    var s = 0
-    var r = 0
-    while (r < 8) {
-      val off = (by * 8 + dy + r) * w + bx * 8 + dx
-      val ao = r * 8
-      var c = 0
-      while (c < 8) {
-        val avg = ((prevA(off + c) & 0xff) + (nextA(off + c) & 0xff) + 1) >> 1
-        s += math.abs((curBlk(ao + c) & 0xff) - avg)
-        c += 1
+  private def pairPred(prevA: Array[Byte], nextA: Array[Byte], w: Int,
+      bx: Int, by: Int, fx: Int, fy: Int, gx: Int,
+      gy: Int): Array[Byte] =
+    avgBlock(Mcv.grabAtHalf(prevA, w, bx, by, fx, fy),
+      Mcv.grabAtHalf(nextA, w, bx, by, gx, gy))
+
+  /** All in-bounds INTEGER candidates of one anchor for one block, in
+    * scan order, with their prediction blocks precomputed — the two
+    * sides of the pair product search share these 81-entry lists
+    * instead of re-grabbing per pair. Vectors in half-units (even). */
+  private def integerCands(anchor: Array[Byte], w: Int, h: Int, bx: Int,
+      by: Int): Array[(Int, Int, Array[Byte])] = {
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Int, Array[Byte])]
+    var dy = -Mcv.Range
+    while (dy <= Mcv.Range) {
+      var dx = -Mcv.Range
+      while (dx <= Mcv.Range) {
+        if (Mcv.halfVectorValid(2 * dx, 2 * dy, bx, by, w, h))
+          out += ((2 * dx, 2 * dy,
+            Mcv.grabAt(anchor, w, bx, by, dx, dy)))
+        dx += 1
       }
-      r += 1
+      dy += 1
     }
-    s
+    out.toArray
   }
 
   /** Encode ONE B-frame section against the two decoded anchors. */
@@ -110,60 +168,100 @@ object Gop {
       scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     val modes = new Array[Int](wb * hb) // 0 mv, 1 mv+resid, 2 intra
     val dirs = new Array[Int](wb * hb)
-    val vx = new Array[Int](wb * hb) // half-sample units
+    val vx = new Array[Int](wb * hb) // half-sample units (fwd / single)
     val vy = new Array[Int](wb * hb)
+    val wx = new Array[Int](wb * hb) // bwd vector of an average pair
+    val wy = new Array[Int](wb * hb)
     var by = 0
     while (by < hb) {
       var bx = 0
       while (bx < wb) {
         val idx = by * wb + bx
         val curBlk = Dctv.grabBlock(cur, w, bx, by)
-        // stage 1: exhaustive integer search across the 3 directions
-        var bestSad = Int.MaxValue
-        var bestDir = 0; var bestDx = 0; var bestDy = 0
-        var dir = 0
-        while (dir <= 2 && bestSad > 0) {
-          var dy = -Mcv.Range
-          while (dy <= Mcv.Range && bestSad > 0) {
-            if (by * 8 + dy >= 0 && by * 8 + dy + 8 <= h) {
-              var dx = -Mcv.Range
-              while (dx <= Mcv.Range && bestSad > 0) {
-                if (bx * 8 + dx >= 0 && bx * 8 + dx + 8 <= w) {
-                  val s = dir match {
-                    case 0 => Mcv.sad(curBlk, prevA, w, bx, by, dx, dy)
-                    case 1 => Mcv.sad(curBlk, nextA, w, bx, by, dx, dy)
-                    case _ => sadAvg(curBlk, prevA, nextA, w, bx, by,
-                      dx, dy)
-                  }
-                  if (s < bestSad) {
-                    bestSad = s; bestDir = dir; bestDx = dx; bestDy = dy
-                  }
+        // per-direction two-stage searches; probe order fwd → bwd →
+        // average PAIR keeps the deterministic mode preference and
+        // lets a zero-SAD single direction short-circuit the rest
+        val (sadF, fx0, fy0) = searchOne(curBlk, prevA, w, h, bx, by)
+        var bestSad = sadF; var bestDir = 0
+        var bFx = fx0; var bFy = fy0; var bGx = 0; var bGy = 0
+        if (bestSad > 0) {
+          val (sadB, gx0, gy0) = searchOne(curBlk, nextA, w, h, bx, by)
+          if (sadB < bestSad) {
+            bestSad = sadB; bestDir = 1; bFx = gx0; bFy = gy0
+          }
+          if (bestSad > 0) {
+            // average mode with a PER-DIRECTION VECTOR PAIR — the
+            // H.264-class step above one shared vector, able to
+            // explain a B frame whose two anchors move independently.
+            // The INTEGER pair is found by an exhaustive product
+            // search (≤ 81×81 candidates — affordable at this block
+            // size because both sides' prediction blocks precompute
+            // once, and coordinate descent provably sticks in local
+            // optima when the two motions interact through the
+            // average); the winner then refines to half-pel
+            // coordinate-wise with Mcv's 8-neighbour probe, two
+            // rounds, zero short-circuit throughout.
+            val fC = integerCands(prevA, w, h, bx, by)
+            val gC = integerCands(nextA, w, h, bx, by)
+            var sadP = Int.MaxValue
+            var pFx = 0; var pFy = 0; var pGx = 0; var pGy = 0
+            var fi = 0
+            while (fi < fC.length && sadP > 0) {
+              val (fxc, fyc, fb) = fC(fi)
+              var gi = 0
+              while (gi < gC.length && sadP > 0) {
+                val (gxc, gyc, gb) = gC(gi)
+                var s = 0; var p = 0
+                while (p < 64 && s < sadP) {
+                  val avg = ((fb(p) & 0xff) + (gb(p) & 0xff) + 1) >> 1
+                  s += math.abs((curBlk(p) & 0xff) - avg)
+                  p += 1
                 }
-                dx += 1
+                if (s < sadP) {
+                  sadP = s; pFx = fxc; pFy = fyc; pGx = gxc; pGy = gyc
+                }
+                gi += 1
               }
+              fi += 1
             }
-            dy += 1
-          }
-          dir += 1
-        }
-        // stage 2: half-pel refinement around the winning
-        // (direction, vector) — Mcv's probe order
-        var bDxH = 2 * bestDx; var bDyH = 2 * bestDy
-        var uy = -1
-        while (uy <= 1 && bestSad > 0) {
-          var ux = -1
-          while (ux <= 1 && bestSad > 0) {
-            if ((ux | uy) != 0) {
-              val dxH = 2 * bestDx + ux; val dyH = 2 * bestDy + uy
-              if (Mcv.halfVectorValid(dxH, dyH, bx, by, w, h)) {
-                val s = Mcv.sadBlk(curBlk,
-                  predictB(bestDir, prevA, nextA, w, bx, by, dxH, dyH))
-                if (s < bestSad) { bestSad = s; bDxH = dxH; bDyH = dyH }
+            var round = 0
+            while (round < 2 && sadP > 0) {
+              var side = 0
+              while (side < 2 && sadP > 0) {
+                var uy = -1
+                while (uy <= 1 && sadP > 0) {
+                  var ux = -1
+                  while (ux <= 1 && sadP > 0) {
+                    if ((ux | uy) != 0) {
+                      val cx = (if (side == 0) pFx else pGx) + ux
+                      val cy = (if (side == 0) pFy else pGy) + uy
+                      if (Mcv.halfVectorValid(cx, cy, bx, by, w, h)) {
+                        val s = Mcv.sadBlk(curBlk,
+                          if (side == 0)
+                            pairPred(prevA, nextA, w, bx, by, cx, cy,
+                              pGx, pGy)
+                          else pairPred(prevA, nextA, w, bx, by,
+                            pFx, pFy, cx, cy))
+                        if (s < sadP) {
+                          sadP = s
+                          if (side == 0) { pFx = cx; pFy = cy }
+                          else { pGx = cx; pGy = cy }
+                        }
+                      }
+                    }
+                    ux += 1
+                  }
+                  uy += 1
+                }
+                side += 1
               }
+              round += 1
             }
-            ux += 1
+            if (sadP < bestSad) {
+              bestSad = sadP; bestDir = 2
+              bFx = pFx; bFy = pFy; bGx = pGx; bGy = pGy
+            }
           }
-          uy += 1
         }
         if (bestSad >= Mcv.IntraSad) {
           modes(idx) = 2
@@ -171,13 +269,16 @@ object Gop {
           intraBlocks += curBlk
         } else {
           dirs(idx) = bestDir
-          vx(idx) = bDxH; vy(idx) = bDyH
+          vx(idx) = bFx; vy(idx) = bFy; wx(idx) = bGx; wy(idx) = bGy
           if (bestSad == 0) modes(idx) = 0
           else {
             modes(idx) = 1
             residBm(idx / 8) = (residBm(idx / 8) | (1 << (idx % 8))).toByte
-            residBlocks += Mcv.residualOf(curBlk,
-              predictB(bestDir, prevA, nextA, w, bx, by, bDxH, bDyH))
+            val pred =
+              if (bestDir == 2)
+                pairPred(prevA, nextA, w, bx, by, bFx, bFy, bGx, bGy)
+              else predictB(bestDir, prevA, nextA, w, bx, by, bFx, bFy)
+            residBlocks += Mcv.residualOf(curBlk, pred)
           }
         }
         bx += 1
@@ -195,6 +296,10 @@ object Gop {
       if (modes(i) != 2) {
         out.write(dirs(i))
         out.write(vx(i) + Mcv.HalfRange); out.write(vy(i) + Mcv.HalfRange)
+        if (dirs(i) == 2) {
+          out.write(wx(i) + Mcv.HalfRange)
+          out.write(wy(i) + Mcv.HalfRange)
+        }
       }
       i += 1
     }
@@ -220,35 +325,54 @@ object Gop {
       }
     var off = off1
     val nMv = nBlocks - nIntra
+    // minimum possible vector-section size (3 bytes per MV block); the
+    // exact size depends on how many blocks ride the 5-byte average
+    // pair, so each block ALSO bounds-checks before reading
     if (off + 3L * nMv > payload.length) return None
     val dirs = new Array[Int](nBlocks)
     val vx = new Array[Int](nBlocks)
     val vy = new Array[Int](nBlocks)
+    val wx = new Array[Int](nBlocks)
+    val wy = new Array[Int](nBlocks)
     var nFwd = 0; var nBwd = 0; var nAvg = 0
-    var zeroVecs = 0; var halfVecs = 0
-    var vOff = off.toInt
+    var zeroVecs = 0; var halfVecs = 0; var splitPairs = 0
+    var vOff = off
     var i = 0
     while (i < nBlocks) {
       if (!Mcv.bit(intraBm, i)) {
-        val d = payload(vOff) & 0xff
-        val b0 = payload(vOff + 1) & 0xff
-        val b1 = payload(vOff + 2) & 0xff
-        vOff += 3
+        if (vOff + 3 > payload.length) return None
+        val d = payload(vOff.toInt) & 0xff
         if (d > 2) return None
+        val need = if (d == 2) 5L else 3L
+        if (vOff + need > payload.length) return None
+        val b0 = payload(vOff.toInt + 1) & 0xff
+        val b1 = payload(vOff.toInt + 2) & 0xff
         if (!Mcv.vectorValid(b0, b1, i, wb, w, h)) return None
         dirs(i) = d
         vx(i) = b0 - Mcv.HalfRange; vy(i) = b1 - Mcv.HalfRange
+        var zero = vx(i) == 0 && vy(i) == 0
+        var half = ((vx(i) | vy(i)) & 1) != 0
+        if (d == 2) {
+          val b2 = payload(vOff.toInt + 3) & 0xff
+          val b3 = payload(vOff.toInt + 4) & 0xff
+          if (!Mcv.vectorValid(b2, b3, i, wb, w, h)) return None
+          wx(i) = b2 - Mcv.HalfRange; wy(i) = b3 - Mcv.HalfRange
+          zero = zero && wx(i) == 0 && wy(i) == 0
+          half = half || ((wx(i) | wy(i)) & 1) != 0
+          if (wx(i) != vx(i) || wy(i) != vy(i)) splitPairs += 1
+        }
+        vOff += need
         d match {
           case 0 => nFwd += 1
           case 1 => nBwd += 1
           case _ => nAvg += 1
         }
-        if (vx(i) == 0 && vy(i) == 0) zeroVecs += 1
-        if (((vx(i) | vy(i)) & 1) != 0) halfVecs += 1
+        if (zero) zeroVecs += 1
+        if (half) halfVecs += 1
       }
       i += 1
     }
-    off += 3L * nMv
+    off = vOff
     val (dec, off2) =
       Mcv.readStripBlocks(payload, off, nIntra + nResid) match {
         case Some(t) => t
@@ -264,8 +388,10 @@ object Gop {
       if (Mcv.bit(intraBm, i)) {
         Dctv.putBlock(cur, w, bx, by, dec(intraSeen)); intraSeen += 1
       } else {
-        val pred = predictB(dirs(i), prevA, nextA, w, bx, by,
-          vx(i), vy(i))
+        val pred =
+          if (dirs(i) == 2)
+            pairPred(prevA, nextA, w, bx, by, vx(i), vy(i), wx(i), wy(i))
+          else predictB(dirs(i), prevA, nextA, w, bx, by, vx(i), vy(i))
         if (Mcv.bit(residBm, i)) {
           Dctv.putBlock(cur, w, bx, by,
             Mcv.applyResidual(pred, dec(nIntra + residSeen)))
@@ -274,8 +400,8 @@ object Gop {
       }
       i += 1
     }
-    Some((cur,
-      BCensus(nFwd, nBwd, nAvg, nResid, nIntra, zeroVecs, halfVecs), off))
+    Some((cur, BCensus(nFwd, nBwd, nAvg, nResid, nIntra, zeroVecs,
+      halfVecs, splitPairs), off))
   }
 
   /** Encode luma frames in DISPLAY order; nf must be odd (the GOP
@@ -283,7 +409,7 @@ object Gop {
   def build(w: Int, h: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
     require(frames.length % 2 == 1,
       "GOP must end on an anchor (odd display-frame count)")
-    val (out, ref) = Mcv.encodeHeader(w, h, frames, "MCB2")
+    val (out, ref) = Mcv.encodeHeader(w, h, frames, "MCB3")
     var k = 1
     var prevAnchor = ref
     while (k < frames.length) {
@@ -302,7 +428,7 @@ object Gop {
     * per-B census), or None for anything hostile. */
   def parse(payload: Array[Byte]): Option[(Int, Int, Seq[Array[Byte]],
       Seq[Mcv.FrameCensus], Seq[BCensus])] = {
-    Mcv.decodeHeader(payload, "MCB2") match {
+    Mcv.decodeHeader(payload, "MCB3") match {
       case None => None
       case Some((w, h, nf, first, off0)) =>
         if (nf % 2 == 0) return None // a GOP ends on an anchor

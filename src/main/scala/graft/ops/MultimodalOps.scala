@@ -1419,9 +1419,9 @@ object MultimodalOps {
     * object) replay arithmetically from the corpus geometry.
     * `gop_beats_cr` pins the compression fact vs [[graft.multimodal
     * .Dctv]] (computed engine-side — byte counts are not
-    * SQL-replayable). Half-pel refinement landed in round 13
-    * ([[mmHalfpelFeatures]]); per-direction vector pairs for the
-    * average mode remain the one named refinement above this tier. */
+    * SQL-replayable). Half-pel refinement ([[mmHalfpelFeatures]]) and
+    * per-direction average-mode vector pairs ([[mmBvecFeatures]])
+    * both landed in round 13 — the video tier ladder is closed. */
   def mmBframeFeatures(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     // first 20 docs (the oracle's LIMIT 20), limited BEFORE the codec
@@ -1625,6 +1625,67 @@ object MultimodalOps {
     feats.orderBy(col("doc_id"))
   }
 
+  /** T287: PER-DIRECTION B-frame vector pairs through the real GOP
+    * codec — the H.264-class biprediction step above one shared
+    * vector, closing the last named refinement of the video ledger.
+    * Per doc: an I-B-P group whose anchors are two UNRELATED fields
+    * (the P anchor codes all-intra — flat blocks, lossless; cell
+    * slopes 3/cell vs 1/cell so neither is a shift of the other) and
+    * whose B frame is the rounded average of the I field shifted
+    * +2 px and the P field shifted −2 px (edge-clamped) — two
+    * anchors moving in OPPOSITE directions, which NO single direction
+    * and NO shared-vector average can explain (the slopes differ, so
+    * one displacement can never fit both; the spec measures this
+    * directly), yet the pair search reconstructs EXACTLY: every
+    * B block rides the average mode with two DIFFERENT vectors
+    * (`n_split_pairs` = every block), zero residuals, zero intra —
+    * fully lossless, so all three masses replay arithmetically from
+    * the cell formulas. A census regression (a pair collapsing to a
+    * shared vector, a block leaking onto the residual path) shifts a
+    * count or a mass and goes red. */
+  def mmBvecFeatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // first 20 docs (the oracle's LIMIT 20), limited BEFORE the codec
+    val ids = Tables.spread(Tables.documents(s, d))
+      .select(col("doc_id")).orderBy(col("doc_id")).limit(20).as[Long]
+    val feats = ids.mapPartitions { it =>
+      it.map { id =>
+        val w = 48 + (id % 2).toInt * 16; val h = 32
+        val wb = w / 8; val hb = h / 8
+        def cF(i: Int, j: Int): Int = 140 + (id % 40).toInt + 3 * i + 7 * j
+        def cG(i: Int, j: Int): Int = 20 + (id % 20).toInt + 2 * i + 5 * j
+        val f0 = Array.tabulate(w * h)(p =>
+          cF((p % w) / 8, (p / w) / 8).toByte)
+        val f2 = Array.tabulate(w * h)(p =>
+          cG((p % w) / 8, (p / w) / 8).toByte)
+        val f1 = Array.tabulate(w * h) { p =>
+          val x = p % w; val j = (p / w) / 8
+          ((cF(math.min(x + 2, w - 1) / 8, j) +
+            cG(math.max(x - 2, 0) / 8, j) + 1) >> 1).toByte
+        }
+        val stream = graft.multimodal.Gop.build(w, h, Seq(f0, f1, f2))
+        val (pw, ph, dec, pCensus, bCensus) =
+          graft.multimodal.Gop.parse(stream)
+            .getOrElse(throw new IllegalStateException(
+              s"bvec round-trip failed for doc $id"))
+        val masses = dec.map { fr =>
+          var m = 0L; var p = 0
+          while (p < fr.length) { m += fr(p) & 0xff; p += 1 }
+          m
+        }
+        val b = bCensus.head
+        (id, pw, ph, (wb * hb).toLong, b.avgBlocks.toLong,
+          b.splitPairs.toLong, b.fwdBlocks.toLong, b.bwdBlocks.toLong,
+          b.residBlocks.toLong, b.intraBlocks.toLong,
+          pCensus.head.intraBlocks.toLong,
+          masses(0), masses(1), masses(2))
+      }
+    }.toDF("doc_id", "width", "height", "n_blocks", "b_avg",
+      "n_split_pairs", "b_fwd", "b_bwd", "b_resid", "b_intra",
+      "p_intra", "mass_f0", "mass_f1", "mass_f2")
+    feats.orderBy(col("doc_id"))
+  }
+
   def mmDctvFeatures(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val ids = Tables.spread(Tables.documents(s, d))
@@ -1761,6 +1822,7 @@ object MultimodalOps {
     "mm_near_dup" -> mmNearDup _,
     "mm_halfpel_features" -> mmHalfpelFeatures _,
     "mm_subband_features" -> mmSubbandFeatures _,
+    "mm_bvec_features" -> mmBvecFeatures _,
     "mm_features" -> mmFeatures _,
     "mm_frames"   -> mmFrames _,
     "mm_pack"     -> mmPack _,
@@ -1816,6 +1878,54 @@ object MultimodalOps {
         |  mass_f0, mass_f1, mass_f2,
         |  TRUE AS gop_beats_cr
         |FROM m ORDER BY doc_id""".stripMargin,
+    // the bipredicted B frame is fully lossless through the pair
+    // vectors (every block average-mode with two different vectors),
+    // so all three masses regenerate arithmetically: f0 from the cF
+    // cells, f2 from the column-constant cG rows, f1 from the
+    // per-pixel rounded average of the +2-shifted cF term (clamped at
+    // the right edge) and cG; the census follows from the corpus
+    // geometry (two unrelated anchors; nothing single-direction)
+    "mm_bvec_features" ->
+      """WITH ids AS (SELECT doc_id
+        |  FROM documents ORDER BY doc_id LIMIT 20),
+        |d AS (SELECT doc_id,
+        |    CAST(48 + (doc_id % 2) * 16 AS INTEGER) AS w,
+        |    CAST(32 AS INTEGER) AS h,
+        |    (48 + (doc_id % 2) * 16) // 8 AS wb,
+        |    CAST(4 AS BIGINT) AS hb,
+        |    140 + doc_id % 40 AS bf,
+        |    20 + doc_id % 20 AS bg
+        |  FROM ids),
+        |cells AS (SELECT d.doc_id, d.wb, d.hb,
+        |    d.bf + 3 * t.i + 7 * u.j AS cf,
+        |    d.bg + 2 * t.i + 5 * u.j AS cg
+        |  FROM d, UNNEST(range(0, d.wb)) AS t(i),
+        |    UNNEST(range(0, d.hb)) AS u(j)),
+        |mm AS (SELECT doc_id,
+        |    CAST(64 * SUM(cf) AS BIGINT) AS mass_f0,
+        |    CAST(64 * SUM(cg) AS BIGINT) AS mass_f2
+        |  FROM cells GROUP BY doc_id),
+        |px AS (SELECT d.doc_id,
+        |    (d.bf + 3 * (LEAST(x.x + 2, d.w - 1) // 8) + 7 * u.j
+        |      + d.bg + 2 * (GREATEST(x.x - 2, 0) // 8) + 5 * u.j
+        |      + 1) // 2 AS v
+        |  FROM d, UNNEST(range(0, d.w)) AS x(x),
+        |    UNNEST(range(0, d.hb)) AS u(j)),
+        |m1 AS (SELECT doc_id, CAST(8 * SUM(v) AS BIGINT) AS mass_f1
+        |  FROM px GROUP BY doc_id)
+        |SELECT d.doc_id, d.w AS width, d.h AS height,
+        |  CAST(d.wb * d.hb AS BIGINT) AS n_blocks,
+        |  CAST(d.wb * d.hb AS BIGINT) AS b_avg,
+        |  CAST(d.wb * d.hb AS BIGINT) AS n_split_pairs,
+        |  CAST(0 AS BIGINT) AS b_fwd,
+        |  CAST(0 AS BIGINT) AS b_bwd,
+        |  CAST(0 AS BIGINT) AS b_resid,
+        |  CAST(0 AS BIGINT) AS b_intra,
+        |  CAST(d.wb * d.hb AS BIGINT) AS p_intra,
+        |  mm.mass_f0, m1.mass_f1, mm.mass_f2
+        |FROM d JOIN mm ON d.doc_id = mm.doc_id
+        |  JOIN m1 ON d.doc_id = m1.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     // FULL codec replay (the mm_mulaw precedent, for a lossy
     // transform codec): the oracle re-runs the 32-point WHT analysis,
     // the scalefactor/threshold allocation, the midtread quantizer

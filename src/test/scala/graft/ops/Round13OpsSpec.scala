@@ -46,6 +46,93 @@ class Round13OpsSpec extends AnyFunSuite {
       s"sample $i: ${dl(i)} vs ${loud(i)}"))
   }
 
+  /** The mm_bvec corpus: two unrelated anchors; B = rounded average
+    * of the first shifted +2 px (clamped) and the column-constant
+    * second. */
+  private def bvecFrames(id: Long, w: Int,
+      h: Int): Seq[Array[Byte]] = {
+    def cF(i: Int, j: Int): Int = 140 + (id % 40).toInt + 3 * i + 7 * j
+    def cG(i: Int, j: Int): Int = 20 + (id % 20).toInt + 2 * i + 5 * j
+    val f0 = Array.tabulate(w * h)(p => cF((p % w) / 8, (p / w) / 8).toByte)
+    val f2 = Array.tabulate(w * h)(p => cG((p % w) / 8, (p / w) / 8).toByte)
+    val f1 = Array.tabulate(w * h) { p =>
+      val x = p % w; val j = (p / w) / 8
+      ((cF(math.min(x + 2, w - 1) / 8, j) +
+        cG(math.max(x - 2, 0) / 8, j) + 1) >> 1).toByte
+    }
+    Seq(f0, f1, f2)
+  }
+
+  test("Gop: a B frame whose anchors move INDEPENDENTLY is lossless " +
+    "only through per-direction vector pairs — a shared vector " +
+    "provably cannot do it") {
+    val (w, h) = (48, 32)
+    val frames = bvecFrames(7L, w, h)
+    val stream = graft.multimodal.Gop.build(w, h, frames)
+    val (_, _, dec, _, bCensus) = graft.multimodal.Gop.parse(stream).get
+    val b = bCensus.head
+    val nBlocks = (w / 8) * (h / 8)
+    assert(b.avgBlocks == nBlocks && b.splitPairs == nBlocks,
+      "every block must ride the average mode with two DIFFERENT vectors")
+    assert(b.residBlocks == 0 && b.intraBlocks == 0)
+    assert(java.util.Arrays.equals(dec(1), frames(1)),
+      "pair biprediction must reproduce the B frame exactly")
+    // the capability claim, measured: the best SHARED-vector average
+    // over the full integer range leaves every block at SAD > 0
+    val prevA = dec(0); val nextA = dec(2)
+    var sharedLossless = 0
+    for (by <- 0 until h / 8; bx <- 0 until w / 8) {
+      var best = Int.MaxValue
+      for {
+        dy <- -4 to 4 if by * 8 + dy >= 0 && by * 8 + dy + 8 <= h
+        dx <- -4 to 4 if bx * 8 + dx >= 0 && bx * 8 + dx + 8 <= w
+      } {
+        var s = 0
+        for (r <- 0 until 8; c <- 0 until 8) {
+          val off = (by * 8 + dy + r) * w + bx * 8 + dx + c
+          val avg = ((prevA(off) & 0xff) + (nextA(off) & 0xff) + 1) >> 1
+          s += math.abs(
+            (frames(1)((by * 8 + r) * w + bx * 8 + c) & 0xff) - avg)
+        }
+        if (s < best) best = s
+      }
+      if (best == 0) sharedLossless += 1
+    }
+    assert(sharedLossless == 0,
+      "no shared-vector average may reach SAD 0 on this corpus")
+  }
+
+  test("Gop: hostile PAIR bytes fail closed — invalid second vector, " +
+    "truncation inside a 5-byte average entry") {
+    val (w, h) = (48, 32)
+    val good = graft.multimodal.Gop.build(w, h, bvecFrames(3L, w, h))
+    assert(graft.multimodal.Gop.parse(good).isDefined)
+    def u32(b: Array[Byte], o: Int): Long =
+      ((b(o) & 0xffL)) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    // walk past the P section to the B section's first (dir, pair,
+    // pair) entry; P is all-intra in this corpus (no P vectors)
+    val wb = w / 8; val hb = h / 8
+    val bmLen = (wb * hb + 7) / 8
+    var off = (14L + u32(good, 10)).toInt // P intra bitmap
+    def bitCount(o: Int): Int =
+      (0 until wb * hb).count(i => (good(o + i / 8) & (1 << (i % 8))) != 0)
+    assert(bitCount(off) == wb * hb, "corpus contract: P all-intra")
+    val pStripLen = u32(good, off + 2 * bmLen).toInt
+    off += 2 * bmLen + 4 + pStripLen // B intra bitmap
+    assert(bitCount(off) == 0, "corpus contract: all B blocks are MC")
+    val entry = off + 2 * bmLen // first (dir, fwd pair, bwd pair)
+    assert((good(entry) & 0xff) == 2, "corpus contract: average mode")
+    // the SECOND pair's x byte out of range
+    val badPair = good.clone()
+    badPair(entry + 3) = 0xFF.toByte
+    assert(graft.multimodal.Gop.parse(badPair).isEmpty)
+    // the second pair footprint out of bounds for block 0 (dxH = -8)
+    val oobPair = good.clone()
+    oobPair(entry + 3) = 0x00.toByte
+    assert(graft.multimodal.Gop.parse(oobPair).isEmpty)
+  }
+
   test("Subband: hostile streams fail closed — bad alloc nibble, " +
     "non-canonical scalefactor, nonzero pad bits, bad header, " +
     "trailing garbage") {
