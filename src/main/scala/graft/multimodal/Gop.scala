@@ -10,9 +10,9 @@ package graft.multimodal
   * ((fwd@v1 + bwd@v2 + 1) >> 1 — the H.264-class biprediction that
   * explains a B frame whose two anchors move INDEPENDENTLY, e.g. a
   * cross-fade of two pans; round 13 closed both this and the
-  * half-pel line of the honest-limits ledger). Residual and intra
+  * sub-pixel ladder of the honest-limits ledger). Residual and intra
   * fallback ride the same [[Jpeg]] strip machinery; all vectors are
-  * [[Mcv]]'s half-sample pairs.
+  * [[Mcv]]'s quarter-sample pairs.
   *
   * Structure: display order f0 f1 f2 ... f_{nf-1} with nf ODD —
   * anchors at even indices (I at 0, then P chained anchor-to-anchor),
@@ -21,15 +21,15 @@ package graft.multimodal
   * I, P2, B1, P4, B3, ... — the standard decode-order/display-order
   * split, reordered back by the parser.
   *
-  * Wire format (little-endian): magic `MCB3`, then exactly [[Mcv]]'s
+  * Wire format (little-endian): magic `MCB4`, then exactly [[Mcv]]'s
   * header and P-frame sections (shared code paths, not copies); each
   * B-frame section is:
   *  - INTRA bitmap + RESIDUAL bitmap (same padding/conflict rules);
   *  - per NON-intra block in scan order: a DIRECTION byte
   *    (0 = forward, 1 = backward, 2 = average; anything else
   *    rejected) then ONE [[Mcv]] motion byte pair for dirs 0/1 or
-  *    TWO pairs (forward then backward) for dir 2 — half-sample
-  *    units, each byte ≤ 16, every pair's interpolation footprint
+  *    TWO pairs (forward then backward) for dir 2 — quarter-sample
+  *    units, each byte ≤ 32, every pair's interpolation footprint
   *    bounds-checked against the frame;
   *  - u32 length + ONE strip of intra blocks then residual blocks.
   *
@@ -38,23 +38,26 @@ package graft.multimodal
   * stay closed-loop through [[Mcv.encodeP]]/[[Mcv.decodeP]].
   *
   * Mode policy (deterministic): the two single directions run the
-  * full two-stage search (row-major integer sweep from (−4, −4),
-  * first-strictly-better, zero short-circuit, then [[Mcv]]'s 8
-  * half-pel neighbours) in order fwd → bwd; if neither reaches zero,
-  * the average PAIR runs an EXHAUSTIVE integer product search
-  * (fwd-major over the two precomputed 81-candidate lists,
+  * full search ladder (row-major integer sweep from (−4, −4),
+  * first-strictly-better, zero short-circuit, then [[Mcv]]'s
+  * half-pel and quarter-pel rings) in order fwd → bwd; if neither
+  * reaches zero, the average PAIR runs an EXHAUSTIVE integer product
+  * search (fwd-major over the two precomputed 81-candidate lists,
   * first-strictly-better — coordinate descent provably sticks in
   * local optima when the two motions interact through the average,
   * and 81² SADs over precomputed 8×8 grabs is cheap), then refines
-  * to half-pel coordinate-wise (fwd side then bwd side, two rounds,
-  * zero short-circuit). Overall best SAD 0 → vector(s) only;
-  * < 1024 → vector(s) + residual; else intra.
+  * coordinate-wise (fwd side then bwd side, two rounds at the
+  * half-pel ring then two at the quarter ring, zero short-circuit).
+  * Overall best SAD 0 → vector(s) only; < 1024 → vector(s) +
+  * residual; else intra.
   */
 object Gop {
 
-  /** Per-B-frame mode census from a real parse. `splitPairs` counts
-    * average-mode blocks whose two vectors DIFFER — the blocks only
-    * the per-direction-pair capability can explain. */
+  /** Per-B-frame mode census from a real parse. `halfVectors` counts
+    * blocks carrying ANY fractional (half- or quarter-sample)
+    * component; `splitPairs` counts average-mode blocks whose two
+    * vectors DIFFER — the blocks only the per-direction-pair
+    * capability can explain. */
   final case class BCensus(fwdBlocks: Int, bwdBlocks: Int,
       avgBlocks: Int, residBlocks: Int, intraBlocks: Int,
       zeroVectors: Int, halfVectors: Int, splitPairs: Int)
@@ -69,74 +72,59 @@ object Gop {
     o
   }
 
-  /** Single-anchor B prediction at a HALF-SAMPLE vector (dirs 0/1);
+  /** Single-anchor B prediction at a QUARTER-SAMPLE vector (dirs 0/1);
     * the average mode goes through [[pairPred]] with its own vector
     * per anchor. */
   private def predictB(dir: Int, prevA: Array[Byte], nextA: Array[Byte],
       w: Int, bx: Int, by: Int, dxH: Int, dyH: Int): Array[Byte] =
-    if (dir == 0) Mcv.grabAtHalf(prevA, w, bx, by, dxH, dyH)
-    else Mcv.grabAtHalf(nextA, w, bx, by, dxH, dyH)
+    if (dir == 0) Mcv.grabAtQuarter(prevA, w, bx, by, dxH, dyH)
+    else Mcv.grabAtQuarter(nextA, w, bx, by, dxH, dyH)
 
-  /** The ONE two-stage sweep shared by the single-direction searches
-    * and each side of the pair's coordinate descent: exhaustive
-    * integer candidates (even half-units, row-major from (−4, −4) px,
-    * first-strictly-better, zero short-circuit), then [[Mcv]]'s 8
-    * half-pel neighbours of the integer winner. `eval` scores one
-    * candidate (dxH, dyH); candidates are footprint-validated before
-    * evaluation. Returns (sad, dxH, dyH). */
+  /** The ONE search ladder shared by the single-direction searches:
+    * exhaustive integer candidates (quarter-unit multiples of 4,
+    * row-major from (−4, −4) px, first-strictly-better, zero
+    * short-circuit), then [[Mcv.refineFractional]]'s half-pel and
+    * quarter-pel rings. `eval` scores one candidate (dxQ, dyQ);
+    * candidates are footprint-validated before evaluation. Returns
+    * (sad, dxQ, dyQ). */
   private def sweepTwoStage(w: Int, h: Int, bx: Int, by: Int)(
       eval: (Int, Int) => Int): (Int, Int, Int) = {
     var best = Int.MaxValue
-    var cx = 0; var cy = 0 // integer-stage winner (half-units)
+    var cx = 0; var cy = 0 // integer-stage winner (quarter units)
     var dy = -Mcv.Range
     while (dy <= Mcv.Range && best > 0) {
       var dx = -Mcv.Range
       while (dx <= Mcv.Range && best > 0) {
-        if (Mcv.halfVectorValid(2 * dx, 2 * dy, bx, by, w, h)) {
-          val s = eval(2 * dx, 2 * dy)
-          if (s < best) { best = s; cx = 2 * dx; cy = 2 * dy }
+        if (Mcv.quarterVectorValid(4 * dx, 4 * dy, bx, by, w, h)) {
+          val s = eval(4 * dx, 4 * dy)
+          if (s < best) { best = s; cx = 4 * dx; cy = 4 * dy }
         }
         dx += 1
       }
       dy += 1
     }
-    var hx = cx; var hy = cy
-    var uy = -1
-    while (uy <= 1 && best > 0) {
-      var ux = -1
-      while (ux <= 1 && best > 0) {
-        if ((ux | uy) != 0) {
-          val nx = cx + ux; val ny = cy + uy
-          if (Mcv.halfVectorValid(nx, ny, bx, by, w, h)) {
-            val s = eval(nx, ny)
-            if (s < best) { best = s; hx = nx; hy = ny }
-          }
-        }
-        ux += 1
-      }
-      uy += 1
-    }
-    (best, hx, hy)
+    Mcv.refineFractional(best, cx, cy, bx, by, w, h)(eval)
   }
 
   /** One direction's full two-stage search against one anchor;
     * returns (sad, dxH, dyH). */
   private def searchOne(curBlk: Array[Byte], anchor: Array[Byte],
       w: Int, h: Int, bx: Int, by: Int): (Int, Int, Int) =
-    sweepTwoStage(w, h, bx, by) { (dxH, dyH) =>
-      Mcv.sadBlk(curBlk, Mcv.grabAtHalf(anchor, w, bx, by, dxH, dyH))
+    sweepTwoStage(w, h, bx, by) { (dxQ, dyQ) =>
+      Mcv.sadBlk(curBlk, Mcv.grabAtQuarter(anchor, w, bx, by, dxQ, dyQ))
     }
 
   private def pairPred(prevA: Array[Byte], nextA: Array[Byte], w: Int,
       bx: Int, by: Int, fx: Int, fy: Int, gx: Int,
       gy: Int): Array[Byte] =
-    avgBlock(Mcv.grabAtHalf(prevA, w, bx, by, fx, fy),
-      Mcv.grabAtHalf(nextA, w, bx, by, gx, gy))
+    avgBlock(Mcv.grabAtQuarter(prevA, w, bx, by, fx, fy),
+      Mcv.grabAtQuarter(nextA, w, bx, by, gx, gy))
 
   /** All in-bounds INTEGER candidates of one anchor for one block, in
     * scan order, with their prediction blocks precomputed — the two
     * sides of the pair product search share these 81-entry lists
-    * instead of re-grabbing per pair. Vectors in half-units (even). */
+    * instead of re-grabbing per pair. Vectors in quarter units
+    * (multiples of 4). */
   private def integerCands(anchor: Array[Byte], w: Int, h: Int, bx: Int,
       by: Int): Array[(Int, Int, Array[Byte])] = {
     val out = scala.collection.mutable.ArrayBuffer
@@ -145,8 +133,8 @@ object Gop {
     while (dy <= Mcv.Range) {
       var dx = -Mcv.Range
       while (dx <= Mcv.Range) {
-        if (Mcv.halfVectorValid(2 * dx, 2 * dy, bx, by, w, h))
-          out += ((2 * dx, 2 * dy,
+        if (Mcv.quarterVectorValid(4 * dx, 4 * dy, bx, by, w, h))
+          out += ((4 * dx, 4 * dy,
             Mcv.grabAt(anchor, w, bx, by, dx, dy)))
         dx += 1
       }
@@ -168,7 +156,7 @@ object Gop {
       scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     val modes = new Array[Int](wb * hb) // 0 mv, 1 mv+resid, 2 intra
     val dirs = new Array[Int](wb * hb)
-    val vx = new Array[Int](wb * hb) // half-sample units (fwd / single)
+    val vx = new Array[Int](wb * hb) // quarter units (fwd / single)
     val vy = new Array[Int](wb * hb)
     val wx = new Array[Int](wb * hb) // bwd vector of an average pair
     val wy = new Array[Int](wb * hb)
@@ -224,8 +212,12 @@ object Gop {
               }
               fi += 1
             }
+            // fractional ladder per side: two coordinate rounds at
+            // quarter-step 2 (the half-pel ring), then two at step 1
+            // (the quarter ring) — Mcv's coarse-to-fine order
             var round = 0
-            while (round < 2 && sadP > 0) {
+            while (round < 4 && sadP > 0) {
+              val step = if (round < 2) 2 else 1
               var side = 0
               while (side < 2 && sadP > 0) {
                 var uy = -1
@@ -233,9 +225,9 @@ object Gop {
                   var ux = -1
                   while (ux <= 1 && sadP > 0) {
                     if ((ux | uy) != 0) {
-                      val cx = (if (side == 0) pFx else pGx) + ux
-                      val cy = (if (side == 0) pFy else pGy) + uy
-                      if (Mcv.halfVectorValid(cx, cy, bx, by, w, h)) {
+                      val cx = (if (side == 0) pFx else pGx) + ux * step
+                      val cy = (if (side == 0) pFy else pGy) + uy * step
+                      if (Mcv.quarterVectorValid(cx, cy, bx, by, w, h)) {
                         val s = Mcv.sadBlk(curBlk,
                           if (side == 0)
                             pairPred(prevA, nextA, w, bx, by, cx, cy,
@@ -295,10 +287,10 @@ object Gop {
     while (i < wb * hb) {
       if (modes(i) != 2) {
         out.write(dirs(i))
-        out.write(vx(i) + Mcv.HalfRange); out.write(vy(i) + Mcv.HalfRange)
+        out.write(vx(i) + Mcv.QRange); out.write(vy(i) + Mcv.QRange)
         if (dirs(i) == 2) {
-          out.write(wx(i) + Mcv.HalfRange)
-          out.write(wy(i) + Mcv.HalfRange)
+          out.write(wx(i) + Mcv.QRange)
+          out.write(wy(i) + Mcv.QRange)
         }
       }
       i += 1
@@ -349,16 +341,16 @@ object Gop {
         val b1 = payload(vOff.toInt + 2) & 0xff
         if (!Mcv.vectorValid(b0, b1, i, wb, w, h)) return None
         dirs(i) = d
-        vx(i) = b0 - Mcv.HalfRange; vy(i) = b1 - Mcv.HalfRange
+        vx(i) = b0 - Mcv.QRange; vy(i) = b1 - Mcv.QRange
         var zero = vx(i) == 0 && vy(i) == 0
-        var half = ((vx(i) | vy(i)) & 1) != 0
+        var half = ((vx(i) | vy(i)) & 3) != 0
         if (d == 2) {
           val b2 = payload(vOff.toInt + 3) & 0xff
           val b3 = payload(vOff.toInt + 4) & 0xff
           if (!Mcv.vectorValid(b2, b3, i, wb, w, h)) return None
-          wx(i) = b2 - Mcv.HalfRange; wy(i) = b3 - Mcv.HalfRange
+          wx(i) = b2 - Mcv.QRange; wy(i) = b3 - Mcv.QRange
           zero = zero && wx(i) == 0 && wy(i) == 0
-          half = half || ((wx(i) | wy(i)) & 1) != 0
+          half = half || ((wx(i) | wy(i)) & 3) != 0
           if (wx(i) != vx(i) || wy(i) != vy(i)) splitPairs += 1
         }
         vOff += need
@@ -409,7 +401,7 @@ object Gop {
   def build(w: Int, h: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
     require(frames.length % 2 == 1,
       "GOP must end on an anchor (odd display-frame count)")
-    val (out, ref) = Mcv.encodeHeader(w, h, frames, "MCB3")
+    val (out, ref) = Mcv.encodeHeader(w, h, frames, "MCB4")
     var k = 1
     var prevAnchor = ref
     while (k < frames.length) {
@@ -428,7 +420,7 @@ object Gop {
     * per-B census), or None for anything hostile. */
   def parse(payload: Array[Byte]): Option[(Int, Int, Seq[Array[Byte]],
       Seq[Mcv.FrameCensus], Seq[BCensus])] = {
-    Mcv.decodeHeader(payload, "MCB3") match {
+    Mcv.decodeHeader(payload, "MCB4") match {
       case None => None
       case Some((w, h, nf, first, off0)) =>
         if (nf % 2 == 0) return None // a GOP ends on an anchor

@@ -3,22 +3,24 @@ package graft.multimodal
 /** From-spec MOTION-COMPENSATED video codec — the tier above
   * [[Dctv]]'s conditional replenishment: per 8x8 block a bounded
   * EXHAUSTIVE integer displacement search (±4 px, the H.261
-  * search-range idea) over the DECODED previous frame, REFINED to
-  * HALF-PEL (round 13, closing the sub-pixel line of the
-  * honest-limits ledger): when the best integer SAD is nonzero, the
-  * eight half-sample neighbours of the winning vector are probed
-  * against a bilinear +1-rounding interpolation of the reference (the
-  * H.261/MPEG-1 half-sample filter; the coarse-to-fine two-stage
-  * search real encoders use instead of a 17×17 exhaustive sweep). A
-  * zero-SAD block transmits ONLY its vector; a block the prediction
-  * nearly matches adds a DCT-coded RESIDUAL through the proven
-  * [[Jpeg]] strip machinery (shared with [[Dctv]]); a block no
-  * displacement explains falls back to INTRA coding through the same
-  * strip. The bidirectional tier above this one is [[Gop]] (B-frames
-  * predicted from BOTH surrounding anchors).
+  * search-range idea) over the DECODED previous frame, refined to
+  * HALF-PEL and then QUARTER-PEL (round 13, closing the sub-pixel
+  * ladder of the honest-limits ledger): when the best integer SAD is
+  * nonzero, the eight half-sample neighbours of the winner are
+  * probed, then the eight quarter-sample neighbours of THAT winner —
+  * the H.264 coarse-to-fine ladder — against a 2D bilinear
+  * (4−f, f)/4-weight +8-rounding interpolation (the MPEG-4
+  * simple-profile filter shape, which reduces exactly to the H.261
+  * half-sample filter at half positions). A zero-SAD block transmits
+  * ONLY its vector; a block the prediction nearly matches adds a
+  * DCT-coded RESIDUAL through the proven [[Jpeg]] strip machinery
+  * (shared with [[Dctv]]); a block no displacement explains falls
+  * back to INTRA coding through the same strip. The bidirectional
+  * tier above this one is [[Gop]] (B-frames predicted from BOTH
+  * surrounding anchors, with per-direction vector pairs).
   *
   * Wire format (little-endian):
-  *  - magic `MCV2`, u16 width, u16 height, u16 n_frames
+  *  - magic `MCV3`, u16 width, u16 height, u16 n_frames
   *    (dims multiples of 16, bounded like [[Dctv]]);
   *  - I-frame: u32 length + a full 4:2:0 baseline JPEG (flat chroma);
   *  - each P-frame:
@@ -28,9 +30,9 @@ package graft.multimodal
   *       carrying a coded residual; a bit here AND in the intra
   *       bitmap is non-canonical — rejected);
   *     - TWO MOTION bytes per NON-intra block in scan order:
-  *       (dxH+8, dyH+8) in HALF-SAMPLE units, each in [0, 16] — any
-  *       other value, or a vector whose interpolation footprint
-  *       (one extra row/column when the component is odd) leaves the
+  *       (dxQ+16, dyQ+16) in QUARTER-SAMPLE units, each in [0, 32] —
+  *       any other value, or a vector whose interpolation footprint
+  *       (one extra row/column per fractional component) leaves the
   *       frame, is rejected (no edge extension: the encoder only
   *       emits in-bounds vectors, so out-of-bounds is hostile by
   *       definition);
@@ -48,11 +50,12 @@ package graft.multimodal
   *
   * Mode policy (deterministic): integer stage scans (dy, dx) in
   * row-major order from (−4, −4), keeps the first strictly-better
-  * SAD and short-circuits at zero; if still nonzero, the half-pel
-  * stage probes the 8 neighbours (uy, ux) row-major from (−1, −1)
-  * under the same rule. Final SAD 0 → MC only; 0 < SAD < 1024 →
-  * MC + residual; SAD ≥ 1024 (mean |error| ≥ 16 — a scene cut,
-  * nothing to predict) → intra.
+  * SAD and short-circuits at zero; if still nonzero,
+  * [[refineFractional]] probes the 8 neighbours at quarter-step 2
+  * (the half-pel ring, (uy, ux) row-major from (−1, −1)), re-centres,
+  * then at step 1 (the quarter ring) under the same rule. Final SAD
+  * 0 → MC only; 0 < SAD < 1024 → MC + residual; SAD ≥ 1024 (mean
+  * |error| ≥ 16 — a scene cut, nothing to predict) → intra.
   *
   * The parser fails closed on everything hostile (the CodecFuzzSpec
   * contract): Long cursor, dimension/frame caps, total-output cap,
@@ -70,17 +73,26 @@ object Mcv {
   private[multimodal] val MaxFrames = 64
   private[multimodal] val MaxDecodedBytes = 1L << 26
   private[multimodal] val Range = 4
-  /** Vector range in HALF-SAMPLE units (±4 px = ±8 half-samples). */
-  private[multimodal] val HalfRange = 2 * Range
+  /** Vector range in QUARTER-SAMPLE units (±4 px = ±16 quarters). */
+  private[multimodal] val QRange = 4 * Range
   /** SAD at or above this codes the block intra (mean |err| ≥ 16). */
   private[multimodal] val IntraSad = 1024
 
   /** Per-P-frame mode census from a real parse: how many blocks rode
     * each path, the zero-vector count (static background), and how
-    * many vectors carry a half-sample component (blocks integer
-    * search could not explain as well). */
+    * many vectors' FINEST fractional component is a half sample
+    * (blocks integer search could not explain) or a quarter sample
+    * (blocks half-pel search could not explain either). */
   final case class FrameCensus(mvBlocks: Int, residBlocks: Int,
-      intraBlocks: Int, zeroVectors: Int, halfVectors: Int)
+      intraBlocks: Int, zeroVectors: Int, halfVectors: Int,
+      quarterVectors: Int)
+
+  /** Finest-fraction classifiers over a vector's two quarter-unit
+    * components. */
+  private[multimodal] def isQuarterVec(vx: Int, vy: Int): Boolean =
+    ((vx | vy) & 1) != 0
+  private[multimodal] def isHalfVec(vx: Int, vy: Int): Boolean =
+    !isQuarterVec(vx, vy) && ((vx | vy) & 2) != 0
 
   private[multimodal] def le16(b: java.io.ByteArrayOutputStream,
       v: Int): Unit = {
@@ -123,33 +135,36 @@ object Mcv {
     s
   }
 
-  /** Prediction block at HALF-SAMPLE displacement (dxH, dyH in
-    * half-pel units): bilinear interpolation with +1 rounding (the
-    * H.261/MPEG-1 half-sample filter) between the 1 (both even),
-    * 2 (one odd) or 4 (both odd) nearest integer samples. Even
-    * components degrade to the integer grab. Caller guarantees the
-    * interpolation footprint (8 + oddness extra row/column) is in
-    * bounds — [[halfVectorValid]]. */
-  private[multimodal] def grabAtHalf(plane: Array[Byte], w: Int, bx: Int,
-      by: Int, dxH: Int, dyH: Int): Array[Byte] = {
-    val ix = dxH >> 1; val iy = dyH >> 1 // arithmetic shift = floor
-    val fx = dxH & 1; val fy = dyH & 1
+  /** Prediction block at QUARTER-SAMPLE displacement (dxQ, dyQ in
+    * quarter-pel units): 2D bilinear interpolation with (4−f, f)/4
+    * weights and +8 rounding over the 4 nearest integer samples (the
+    * MPEG-4 simple-profile filter shape). At half positions (f = 2)
+    * the weights reduce EXACTLY to the H.261 half-sample filter
+    * ((a+b+1)>>1 and the +2/4-tap diagonal), and at integer positions
+    * to the plain grab, so the quarter filter is a strict extension
+    * of the coarser tiers. Caller guarantees the footprint (8 + one
+    * extra row/column per fractional component) is in bounds —
+    * [[quarterVectorValid]]. */
+  private[multimodal] def grabAtQuarter(plane: Array[Byte], w: Int,
+      bx: Int, by: Int, dxQ: Int, dyQ: Int): Array[Byte] = {
+    val ix = dxQ >> 2; val iy = dyQ >> 2 // arithmetic shift = floor
+    val fx = dxQ & 3; val fy = dyQ & 3
     if (fx == 0 && fy == 0) return grabAt(plane, w, bx, by, ix, iy)
     val blk = new Array[Byte](64)
+    val w00 = (4 - fx) * (4 - fy); val w10 = fx * (4 - fy)
+    val w01 = (4 - fx) * fy; val w11 = fx * fy
     var r = 0
     while (r < 8) {
       val row0 = (by * 8 + iy + r) * w + bx * 8 + ix
-      val row1 = if (fy == 1) row0 + w else row0
+      val row1 = if (fy != 0) row0 + w else row0
       var c = 0
       while (c < 8) {
         val p00 = plane(row0 + c) & 0xff
-        val v =
-          if (fx == 1 && fy == 1)
-            (p00 + (plane(row0 + c + 1) & 0xff) + (plane(row1 + c) & 0xff) +
-              (plane(row1 + c + 1) & 0xff) + 2) >> 2
-          else if (fx == 1) (p00 + (plane(row0 + c + 1) & 0xff) + 1) >> 1
-          else (p00 + (plane(row1 + c) & 0xff) + 1) >> 1
-        blk(r * 8 + c) = v.toByte
+        val p10 = if (fx != 0) plane(row0 + c + 1) & 0xff else p00
+        val p01 = plane(row1 + c) & 0xff
+        val p11 = if (fx != 0) plane(row1 + c + 1) & 0xff else p01
+        blk(r * 8 + c) =
+          ((w00 * p00 + w10 * p10 + w01 * p01 + w11 * p11 + 8) >> 4).toByte
         c += 1
       }
       r += 1
@@ -163,15 +178,18 @@ object Mcv {
     s
   }
 
-  /** Range + interpolation-footprint bounds for a half-sample vector:
-    * an odd component reads one extra row/column past the block. */
-  private[multimodal] def halfVectorValid(dxH: Int, dyH: Int, bx: Int,
+  /** Range + interpolation-footprint bounds for a quarter-sample
+    * vector: a fractional component reads one extra row/column past
+    * the block. */
+  private[multimodal] def quarterVectorValid(dxQ: Int, dyQ: Int, bx: Int,
       by: Int, w: Int, h: Int): Boolean = {
-    if (dxH < -HalfRange || dxH > HalfRange ||
-      dyH < -HalfRange || dyH > HalfRange) return false
-    val ix = dxH >> 1; val iy = dyH >> 1
-    bx * 8 + ix >= 0 && bx * 8 + ix + 8 + (dxH & 1) <= w &&
-      by * 8 + iy >= 0 && by * 8 + iy + 8 + (dyH & 1) <= h
+    if (dxQ < -QRange || dxQ > QRange ||
+      dyQ < -QRange || dyQ > QRange) return false
+    val ix = dxQ >> 2; val iy = dyQ >> 2
+    val ex = if ((dxQ & 3) != 0) 1 else 0
+    val ey = if ((dyQ & 3) != 0) 1 else 0
+    bx * 8 + ix >= 0 && bx * 8 + ix + 8 + ex <= w &&
+      by * 8 + iy >= 0 && by * 8 + iy + 8 + ey <= h
   }
 
   /** The level-shift residual coder: res = clamp(cur−pred)+128. */
@@ -239,36 +257,25 @@ object Mcv {
           }
           dy += 1
         }
-        // stage 2: half-pel refinement around the integer winner
-        var bDxH = 2 * bestDx; var bDyH = 2 * bestDy
-        var uy = -1
-        while (uy <= 1 && bestSad > 0) {
-          var ux = -1
-          while (ux <= 1 && bestSad > 0) {
-            if ((ux | uy) != 0) {
-              val dxH = 2 * bestDx + ux; val dyH = 2 * bestDy + uy
-              if (halfVectorValid(dxH, dyH, bx, by, w, h)) {
-                val s = sadBlk(curBlk,
-                  grabAtHalf(ref, w, bx, by, dxH, dyH))
-                if (s < bestSad) { bestSad = s; bDxH = dxH; bDyH = dyH }
-              }
-            }
-            ux += 1
-          }
-          uy += 1
+        // stages 2+3: half-pel then quarter-pel refinement around the
+        // integer winner (the shared coarse-to-fine ladder)
+        val (refSad, bDxQ, bDyQ) = refineFractional(bestSad,
+          4 * bestDx, 4 * bestDy, bx, by, w, h) { (qx, qy) =>
+          sadBlk(curBlk, grabAtQuarter(ref, w, bx, by, qx, qy))
         }
+        bestSad = refSad
         if (bestSad >= IntraSad) {
           modes(idx) = 2
           intraBm(idx / 8) = (intraBm(idx / 8) | (1 << (idx % 8))).toByte
           intraBlocks += curBlk
         } else {
-          vx(idx) = bDxH; vy(idx) = bDyH
+          vx(idx) = bDxQ; vy(idx) = bDyQ
           if (bestSad == 0) modes(idx) = 0
           else {
             modes(idx) = 1
             residBm(idx / 8) = (residBm(idx / 8) | (1 << (idx % 8))).toByte
-            residBlocks +=
-              residualOf(curBlk, grabAtHalf(ref, w, bx, by, bDxH, bDyH))
+            residBlocks += residualOf(curBlk,
+              grabAtQuarter(ref, w, bx, by, bDxQ, bDyQ))
           }
         }
         bx += 1
@@ -296,7 +303,7 @@ object Mcv {
           case 2 =>
             Dctv.putBlock(rec, w, bx, by, dec(intraSeen)); intraSeen += 1
           case m =>
-            val pred = grabAtHalf(ref, w, bx, by, vx(idx), vy(idx))
+            val pred = grabAtQuarter(ref, w, bx, by, vx(idx), vy(idx))
             if (m == 0) Dctv.putBlock(rec, w, bx, by, pred)
             else {
               Dctv.putBlock(rec, w, bx, by,
@@ -313,7 +320,7 @@ object Mcv {
     var i = 0
     while (i < wb * hb) {
       if (modes(i) != 2) {
-        out.write(vx(i) + HalfRange); out.write(vy(i) + HalfRange)
+        out.write(vx(i) + QRange); out.write(vy(i) + QRange)
       }
       i += 1
     }
@@ -357,12 +364,46 @@ object Mcv {
   }
 
   /** Validate one motion byte PAIR for block i: both bytes in
-    * [0, 2·HalfRange] AND the interpolation footprint fully inside
+    * [0, 2·QRange] AND the interpolation footprint fully inside
     * the frame (shared strictness for P and B sections). */
   private[multimodal] def vectorValid(b0: Int, b1: Int, i: Int, wb: Int,
       w: Int, h: Int): Boolean = {
-    if (b0 > 2 * HalfRange || b1 > 2 * HalfRange) return false
-    halfVectorValid(b0 - HalfRange, b1 - HalfRange, i % wb, i / wb, w, h)
+    if (b0 > 2 * QRange || b1 > 2 * QRange) return false
+    quarterVectorValid(b0 - QRange, b1 - QRange, i % wb, i / wb, w, h)
+  }
+
+  /** The shared fractional refinement: probe the 8 neighbours of the
+    * current winner at quarter-unit step 2 (the half-pel ring), move
+    * the centre to that winner, then at step 1 (the quarter ring) —
+    * the H.264 coarse-to-fine ladder. `eval` scores one candidate;
+    * returns (sad, dxQ, dyQ). */
+  private[multimodal] def refineFractional(startSad: Int, startX: Int,
+      startY: Int, bx: Int, by: Int, w: Int, h: Int)(
+      eval: (Int, Int) => Int): (Int, Int, Int) = {
+    var best = startSad
+    var cx = startX; var cy = startY
+    var step = 2
+    while (step >= 1 && best > 0) {
+      var nx = cx; var ny = cy
+      var uy = -1
+      while (uy <= 1 && best > 0) {
+        var ux = -1
+        while (ux <= 1 && best > 0) {
+          if ((ux | uy) != 0) {
+            val qx = cx + ux * step; val qy = cy + uy * step
+            if (quarterVectorValid(qx, qy, bx, by, w, h)) {
+              val s = eval(qx, qy)
+              if (s < best) { best = s; nx = qx; ny = qy }
+            }
+          }
+          ux += 1
+        }
+        uy += 1
+      }
+      cx = nx; cy = ny
+      step -= 1
+    }
+    (best, cx, cy)
   }
 
   /** Read + decode the u32-length strip holding nStrip blocks (shared
@@ -405,6 +446,7 @@ object Mcv {
     val vy = new Array[Int](nBlocks)
     var zeroVecs = 0
     var halfVecs = 0
+    var quarterVecs = 0
     var vOff = off.toInt
     var i = 0
     while (i < nBlocks) {
@@ -413,9 +455,10 @@ object Mcv {
         val b1 = payload(vOff + 1) & 0xff
         vOff += 2
         if (!vectorValid(b0, b1, i, wb, w, h)) return None
-        vx(i) = b0 - HalfRange; vy(i) = b1 - HalfRange
+        vx(i) = b0 - QRange; vy(i) = b1 - QRange
         if (vx(i) == 0 && vy(i) == 0) zeroVecs += 1
-        if (((vx(i) | vy(i)) & 1) != 0) halfVecs += 1
+        if (isHalfVec(vx(i), vy(i))) halfVecs += 1
+        if (isQuarterVec(vx(i), vy(i))) quarterVecs += 1
       }
       i += 1
     }
@@ -434,7 +477,7 @@ object Mcv {
       if (bit(intraBm, i)) {
         Dctv.putBlock(cur, w, bx, by, dec(intraSeen)); intraSeen += 1
       } else {
-        val pred = grabAtHalf(ref, w, bx, by, vx(i), vy(i))
+        val pred = grabAtQuarter(ref, w, bx, by, vx(i), vy(i))
         if (bit(residBm, i)) {
           Dctv.putBlock(cur, w, bx, by,
             applyResidual(pred, dec(nIntra + residSeen)))
@@ -443,7 +486,8 @@ object Mcv {
       }
       i += 1
     }
-    Some((cur, FrameCensus(nMv, nResid, nIntra, zeroVecs, halfVecs), off))
+    Some((cur, FrameCensus(nMv, nResid, nIntra, zeroVecs, halfVecs,
+      quarterVecs), off))
   }
 
   /** Validate + decode the common header; returns
@@ -507,7 +551,7 @@ object Mcv {
 
   /** Encode luma frames (w·h bytes each, dims multiples of 16). */
   def build(w: Int, h: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
-    val (out, ref) = encodeHeader(w, h, frames, "MCV2")
+    val (out, ref) = encodeHeader(w, h, frames, "MCV3")
     frames.tail.foreach { cur =>
       val (section, rec) = encodeP(cur, ref, w, h)
       out.write(section)
@@ -520,7 +564,7 @@ object Mcv {
     * None for anything hostile. */
   def parse(payload: Array[Byte])
       : Option[(Int, Int, Seq[Array[Byte]], Seq[FrameCensus])] = {
-    decodeHeader(payload, "MCV2") match {
+    decodeHeader(payload, "MCV3") match {
       case None => None
       case Some((w, h, nf, first, off0)) =>
         val frames = scala.collection.mutable.ArrayBuffer(first)

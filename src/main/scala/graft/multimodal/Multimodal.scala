@@ -22,15 +22,15 @@ import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
   * The honest-limits codec ledger CLOSED in round 13: video covers
   * MJPEG-in-AVI + MS-RLE8 temporal deltas + intra-DCT conditional
   * replenishment + motion-compensated P-frames + bidirectional GOP
-  * frames with HALF-PEL vectors and PER-DIRECTION average-mode
+  * frames with QUARTER-PEL vectors and PER-DIRECTION average-mode
   * vector pairs ([[Dctv]]/[[Mcv]]/[[Gop]]); audio covers
   * μ-law/ADPCM (lossy companding), Rice (lossless prediction) and
   * the MP2-class 32-subband perceptual tier with threshold-based bit
-  * allocation ([[Subband]]). The remaining refinements above these
-  * tiers (quarter-pel motion, a 512-tap polyphase prototype in place
-  * of the integer-exact rectangular window) are named in the owning
-  * codec's header — refinements of closed tiers, not missing
-  * families.
+  * allocation ([[Subband]]). The one remaining refinement above
+  * these tiers — a 512-tap polyphase prototype in place of
+  * [[Subband]]'s integer-exact rectangular window — is a DELIBERATE
+  * trade (it would break the oracle's exact whole-codec replay) and
+  * is named in that codec's header.
   * Swapping codecs is a one-object change, and [[JpegCodec]] proves
   * it with genuinely entropy-coded bytes.
   */

@@ -1468,8 +1468,9 @@ object MultimodalOps {
     feats.orderBy(col("doc_id"))
   }
 
-  /** T284: HALF-PEL motion through the real two-stage codec — the
-    * sub-pixel line of the honest-limits ledger, closed (round 13).
+  /** T284: HALF-PEL motion through the real search ladder — the
+    * first sub-pixel rung (the quarter tier above it is
+    * [[mmQuarterpelFeatures]], T288).
     * Per doc: an I-P pair where the P frame IS the half-sample
     * interpolation of the I frame (each pixel the bilinear
     * +1-rounding average of x and x+1, clamped at the right edge) —
@@ -1686,6 +1687,114 @@ object MultimodalOps {
     feats.orderBy(col("doc_id"))
   }
 
+  /** T288: QUARTER-PEL motion through the three-stage ladder — the
+    * tier above [[mmHalfpelFeatures]], closing the last sub-pixel
+    * line: the P frame IS the quarter-sample interpolation of its
+    * reference (each pixel (3a+b+2)>>2 of x and x+1, clamped at the
+    * right edge — exactly [[graft.multimodal.Mcv]]'s bilinear filter
+    * at dxQ=1), with cell slope 4 so the interpolated boundary column
+    * sits EXACTLY one level above its cell — a value no integer and
+    * no half-sample candidate can produce (`n_subhalf_miss` measures
+    * this with an exhaustive integer+half sweep). The whole frame is
+    * vector-only, zero residual/intra — lossless — so both masses
+    * replay arithmetically (mass_f1 = mass_f0 + one level per
+    * boundary column per pixel row); the right-edge block column is
+    * flat after the clamp and rides zero vectors. */
+  def mmQuarterpelFeatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // first 20 docs (the oracle's LIMIT 20), limited BEFORE the codec
+    val ids = Tables.spread(Tables.documents(s, d))
+      .select(col("doc_id")).orderBy(col("doc_id")).limit(20).as[Long]
+    val feats = ids.mapPartitions { it =>
+      it.map { id =>
+        val w = 48 + (id % 2).toInt * 16; val h = 32
+        val wb = w / 8; val hb = h / 8
+        def cell(i: Int, j: Int): Int =
+          20 + (id % 30).toInt + 4 * i + 17 * j
+        val f0 = Array.tabulate(w * h) { p =>
+          cell((p % w) / 8, (p / w) / 8).toByte
+        }
+        val f1 = Array.tabulate(w * h) { p =>
+          val x = p % w; val y = p / w
+          val a = cell(x / 8, y / 8)
+          val b = cell(math.min(x + 1, w - 1) / 8, y / 8)
+          ((3 * a + b + 2) >> 2).toByte
+        }
+        val stream = graft.multimodal.Mcv.build(w, h, Seq(f0, f1))
+        val (pw, ph, dec, census) = graft.multimodal.Mcv.parse(stream)
+          .getOrElse(throw new IllegalStateException(
+            s"quarterpel round-trip failed for doc $id"))
+        val masses = dec.map { fr =>
+          var m = 0L; var p = 0
+          while (p < fr.length) { m += fr(p) & 0xff; p += 1 }
+          m
+        }
+        // the quarter-beats-coarser fact, measured: an exhaustive
+        // sweep over every INTEGER AND HALF-SAMPLE candidate (17x17
+        // half-unit grid, inline half bilinear with the codec's
+        // +1 rounding) against the same decoded reference
+        val ref = dec(0)
+        var miss = 0
+        var by = 0
+        while (by < hb) {
+          var bx = 0
+          while (bx < wb) {
+            var best = Int.MaxValue
+            var hy = -8
+            while (hy <= 8 && best > 0) {
+              var hx = -8
+              while (hx <= 8 && best > 0) {
+                val ixq = hx >> 1; val iyq = hy >> 1
+                val fxh = hx & 1; val fyh = hy & 1
+                val okX = bx * 8 + ixq >= 0 && bx * 8 + ixq + 8 + fxh <= w
+                val okY = by * 8 + iyq >= 0 && by * 8 + iyq + 8 + fyh <= h
+                if (okX && okY) {
+                  var s = 0; var r = 0
+                  while (r < 8) {
+                    val row0 = (by * 8 + iyq + r) * w + bx * 8 + ixq
+                    val row1 = if (fyh == 1) row0 + w else row0
+                    var c2 = 0
+                    while (c2 < 8) {
+                      val p00 = ref(row0 + c2) & 0xff
+                      val v =
+                        if (fxh == 1 && fyh == 1)
+                          (p00 + (ref(row0 + c2 + 1) & 0xff) +
+                            (ref(row1 + c2) & 0xff) +
+                            (ref(row1 + c2 + 1) & 0xff) + 2) >> 2
+                        else if (fxh == 1)
+                          (p00 + (ref(row0 + c2 + 1) & 0xff) + 1) >> 1
+                        else if (fyh == 1)
+                          (p00 + (ref(row1 + c2) & 0xff) + 1) >> 1
+                        else p00
+                      s += math.abs(
+                        (f1((by * 8 + r) * w + bx * 8 + c2) & 0xff) - v)
+                      c2 += 1
+                    }
+                    r += 1
+                  }
+                  if (s < best) best = s
+                }
+                hx += 1
+              }
+              hy += 1
+            }
+            if (best > 0) miss += 1
+            bx += 1
+          }
+          by += 1
+        }
+        val c = census.head
+        (id, pw, ph, (wb * hb).toLong, c.mvBlocks.toLong,
+          c.quarterVectors.toLong, c.halfVectors.toLong,
+          c.zeroVectors.toLong, c.residBlocks.toLong,
+          c.intraBlocks.toLong, miss.toLong, masses(0), masses(1))
+      }
+    }.toDF("doc_id", "width", "height", "n_blocks", "n_mv",
+      "n_quarter", "n_half", "n_zero_vecs", "n_resid", "n_intra",
+      "n_subhalf_miss", "mass_f0", "mass_f1")
+    feats.orderBy(col("doc_id"))
+  }
+
   def mmDctvFeatures(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val ids = Tables.spread(Tables.documents(s, d))
@@ -1823,6 +1932,7 @@ object MultimodalOps {
     "mm_halfpel_features" -> mmHalfpelFeatures _,
     "mm_subband_features" -> mmSubbandFeatures _,
     "mm_bvec_features" -> mmBvecFeatures _,
+    "mm_quarterpel_features" -> mmQuarterpelFeatures _,
     "mm_features" -> mmFeatures _,
     "mm_frames"   -> mmFrames _,
     "mm_pack"     -> mmPack _,
@@ -1877,6 +1987,40 @@ object MultimodalOps {
         |  CAST(4 AS BIGINT) AS p_intra,
         |  mass_f0, mass_f1, mass_f2,
         |  TRUE AS gop_beats_cr
+        |FROM m ORDER BY doc_id""".stripMargin,
+    // the quarter-interpolated P frame is fully lossless through the
+    // three-stage ladder (every moving block exactly predicted at
+    // dxQ=1), so both masses regenerate arithmetically (mass_f1 =
+    // mass_f0 + one level per interior cell boundary per pixel row);
+    // the census and the integer+half miss count follow from the
+    // corpus geometry
+    "mm_quarterpel_features" ->
+      """WITH ids AS (SELECT doc_id
+        |  FROM documents ORDER BY doc_id LIMIT 20),
+        |d AS (SELECT doc_id,
+        |    CAST(48 + (doc_id % 2) * 16 AS INTEGER) AS w,
+        |    CAST(32 AS INTEGER) AS h,
+        |    (48 + (doc_id % 2) * 16) // 8 AS wb,
+        |    CAST(4 AS BIGINT) AS hb
+        |  FROM ids),
+        |cells AS (SELECT d.doc_id, d.w, d.h, d.wb, d.hb,
+        |    20 + d.doc_id % 30 + 4 * t.i + 17 * u.j AS c
+        |  FROM d, UNNEST(range(0, d.wb)) AS t(i),
+        |    UNNEST(range(0, d.hb)) AS u(j)),
+        |m AS (SELECT doc_id, w, h, wb, hb,
+        |    CAST(64 * SUM(c) AS BIGINT) AS mass_f0
+        |  FROM cells GROUP BY doc_id, w, h, wb, hb)
+        |SELECT doc_id, w AS width, h AS height,
+        |  CAST(wb * hb AS BIGINT) AS n_blocks,
+        |  CAST(wb * hb AS BIGINT) AS n_mv,
+        |  CAST((wb - 1) * hb AS BIGINT) AS n_quarter,
+        |  CAST(0 AS BIGINT) AS n_half,
+        |  CAST(hb AS BIGINT) AS n_zero_vecs,
+        |  CAST(0 AS BIGINT) AS n_resid,
+        |  CAST(0 AS BIGINT) AS n_intra,
+        |  CAST((wb - 1) * hb AS BIGINT) AS n_subhalf_miss,
+        |  mass_f0,
+        |  CAST(mass_f0 + (wb - 1) * h AS BIGINT) AS mass_f1
         |FROM m ORDER BY doc_id""".stripMargin,
     // the bipredicted B frame is fully lossless through the pair
     // vectors (every block average-mode with two different vectors),

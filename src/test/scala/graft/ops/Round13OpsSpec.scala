@@ -211,6 +211,61 @@ class Round13OpsSpec extends AnyFunSuite {
       "only the flat edge column should be integer-predictable at SAD 0")
   }
 
+  test("Mcv: a quarter-sample-translating frame is lossless through " +
+    "the three-stage ladder, and an exhaustive integer+half sweep " +
+    "provably cannot do it") {
+    val (w, h) = (48, 32)
+    val wb = w / 8; val hb = h / 8
+    def cell(i: Int, j: Int): Int = 20 + 11 + 4 * i + 17 * j
+    val f0 = Array.tabulate(w * h)(p => cell((p % w) / 8, (p / w) / 8).toByte)
+    val f1 = Array.tabulate(w * h) { p =>
+      val x = p % w; val y = p / w
+      ((3 * cell(x / 8, y / 8) +
+        cell(math.min(x + 1, w - 1) / 8, y / 8) + 2) >> 2).toByte
+    }
+    val stream = graft.multimodal.Mcv.build(w, h, Seq(f0, f1))
+    val (_, _, dec, census) = graft.multimodal.Mcv.parse(stream).get
+    assert(census.head.residBlocks == 0 && census.head.intraBlocks == 0)
+    assert(java.util.Arrays.equals(dec(1), f1),
+      "quarter-pel prediction must reproduce the interpolated frame")
+    assert(census.head.quarterVectors == (wb - 1) * hb,
+      "every interior block needs a quarter-sample component")
+    assert(census.head.halfVectors == 0 &&
+      census.head.zeroVectors == hb)
+    // the boundary column sits one level above its cell — a value the
+    // half-pel filter (averages of cells differing by 4) cannot form
+    val ref = dec(0)
+    var subHalfLossless = 0
+    for (by <- 0 until hb; bx <- 0 until wb) {
+      var best = Int.MaxValue
+      for {
+        hy <- -8 to 8; hx <- -8 to 8
+        ixq = hx >> 1; iyq = hy >> 1; fxh = hx & 1; fyh = hy & 1
+        if bx * 8 + ixq >= 0 && bx * 8 + ixq + 8 + fxh <= w &&
+          by * 8 + iyq >= 0 && by * 8 + iyq + 8 + fyh <= h
+      } {
+        var s = 0
+        for (r <- 0 until 8; c <- 0 until 8) {
+          val row0 = (by * 8 + iyq + r) * w + bx * 8 + ixq
+          val row1 = if (fyh == 1) row0 + w else row0
+          val p00 = ref(row0 + c) & 0xff
+          val v =
+            if (fxh == 1 && fyh == 1)
+              (p00 + (ref(row0 + c + 1) & 0xff) + (ref(row1 + c) & 0xff) +
+                (ref(row1 + c + 1) & 0xff) + 2) >> 2
+            else if (fxh == 1) (p00 + (ref(row0 + c + 1) & 0xff) + 1) >> 1
+            else if (fyh == 1) (p00 + (ref(row1 + c) & 0xff) + 1) >> 1
+            else p00
+          s += math.abs((f1((by * 8 + r) * w + bx * 8 + c) & 0xff) - v)
+        }
+        if (s < best) best = s
+      }
+      if (best == 0) subHalfLossless += 1
+    }
+    assert(subHalfLossless == hb,
+      "only the flat edge column should be half-or-coarser predictable")
+  }
+
   test("Gop: B-frames refine to half-pel through the shared stage — a " +
     "half-sample pan is lossless end to end") {
     val (w, h) = (48, 32)
