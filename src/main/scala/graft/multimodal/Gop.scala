@@ -80,39 +80,35 @@ object Gop {
     if (dir == 0) Mcv.grabAtQuarter(prevA, w, bx, by, dxH, dyH)
     else Mcv.grabAtQuarter(nextA, w, bx, by, dxH, dyH)
 
-  /** The ONE search ladder shared by the single-direction searches:
-    * exhaustive integer candidates (quarter-unit multiples of 4,
-    * row-major from (−4, −4) px, first-strictly-better, zero
-    * short-circuit), then [[Mcv.refineFractional]]'s half-pel and
-    * quarter-pel rings. `eval` scores one candidate (dxQ, dyQ);
-    * candidates are footprint-validated before evaluation. Returns
-    * (sad, dxQ, dyQ). */
-  private def sweepTwoStage(w: Int, h: Int, bx: Int, by: Int)(
-      eval: (Int, Int) => Int): (Int, Int, Int) = {
+  /** One direction's full search ladder against one anchor: the
+    * integer stage rides [[Mcv.sad]]'s ALLOCATION-FREE in-place SAD
+    * (81 candidates per block per direction — materializing a
+    * prediction array per candidate on this hot path is the garbage
+    * churn the old shared-vector search deliberately avoided); only
+    * the ≤16 fractional-ring probes pay a [[Mcv.grabAtQuarter]]
+    * allocation. Returns (sad, dxQ, dyQ). */
+  private def searchOne(curBlk: Array[Byte], anchor: Array[Byte],
+      w: Int, h: Int, bx: Int, by: Int): (Int, Int, Int) = {
     var best = Int.MaxValue
     var cx = 0; var cy = 0 // integer-stage winner (quarter units)
     var dy = -Mcv.Range
     while (dy <= Mcv.Range && best > 0) {
-      var dx = -Mcv.Range
-      while (dx <= Mcv.Range && best > 0) {
-        if (Mcv.quarterVectorValid(4 * dx, 4 * dy, bx, by, w, h)) {
-          val s = eval(4 * dx, 4 * dy)
-          if (s < best) { best = s; cx = 4 * dx; cy = 4 * dy }
+      if (by * 8 + dy >= 0 && by * 8 + dy + 8 <= h) {
+        var dx = -Mcv.Range
+        while (dx <= Mcv.Range && best > 0) {
+          if (bx * 8 + dx >= 0 && bx * 8 + dx + 8 <= w) {
+            val s = Mcv.sad(curBlk, anchor, w, bx, by, dx, dy)
+            if (s < best) { best = s; cx = 4 * dx; cy = 4 * dy }
+          }
+          dx += 1
         }
-        dx += 1
       }
       dy += 1
     }
-    Mcv.refineFractional(best, cx, cy, bx, by, w, h)(eval)
-  }
-
-  /** One direction's full two-stage search against one anchor;
-    * returns (sad, dxH, dyH). */
-  private def searchOne(curBlk: Array[Byte], anchor: Array[Byte],
-      w: Int, h: Int, bx: Int, by: Int): (Int, Int, Int) =
-    sweepTwoStage(w, h, bx, by) { (dxQ, dyQ) =>
+    Mcv.refineFractional(best, cx, cy, bx, by, w, h) { (dxQ, dyQ) =>
       Mcv.sadBlk(curBlk, Mcv.grabAtQuarter(anchor, w, bx, by, dxQ, dyQ))
     }
+  }
 
   private def pairPred(prevA: Array[Byte], nextA: Array[Byte], w: Int,
       bx: Int, by: Int, fx: Int, fy: Int, gx: Int,

@@ -28,7 +28,9 @@ package graft.multimodal
   * (matching SQL `//`).
   *
   * Wire format (MSB-first bit packing via [[Rice]]'s shared bit I/O):
-  *  - magic `SBA1`, u32 n_samples (≥ 384, multiple of 384, ≤ 2^22),
+  *  - magic `SBA2` (bumped with the 48 kHz rate-band narrowing — a
+  *    format change must never silently re-interpret old streams),
+  *    u32 n_samples (≥ 384, multiple of 384, ≤ 2^22),
   *    u16 sample_rate (8000..48000 — the u16 field caps the band, so
   *    the encoder REJECTS higher rates instead of silently wrapping
   *    them) — little-endian header;
@@ -89,7 +91,7 @@ object Subband {
 
   private def header(n: Int, rate: Int): java.io.ByteArrayOutputStream = {
     val out = new java.io.ByteArrayOutputStream()
-    out.write("SBA1".getBytes("US-ASCII"))
+    out.write("SBA2".getBytes("US-ASCII"))
     out.write(n & 0xff); out.write((n >> 8) & 0xff)
     out.write((n >> 16) & 0xff); out.write((n >> 24) & 0xff)
     out.write(rate & 0xff); out.write((rate >> 8) & 0xff)
@@ -164,7 +166,7 @@ object Subband {
   def decode(payload: Array[Byte])
       : Option[(Int, Array[Short], Int, Int)] = {
     if (payload == null || payload.length < 10) return None
-    val m = "SBA1".getBytes("US-ASCII")
+    val m = "SBA2".getBytes("US-ASCII")
     var k = 0
     while (k < 4) { if (payload(k) != m(k)) return None; k += 1 }
     val n = (payload(4) & 0xff) | ((payload(5) & 0xff) << 8) |

@@ -79,11 +79,17 @@ object StreamOps {
         },
         maxFilesPerTrigger = Some(1))
     } finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(tmpPath).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount)
-        .foreach(p => try java.nio.file.Files.deleteIfExists(p)
-          catch { case _: Throwable => () })
+      // the WHOLE sweep is swallow-guarded: a cleanup IOException in
+      // a finally would otherwise mask the real streaming failure;
+      // the walk stream closes so the directory handle never leaks
+      try {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(tmpPath)
+        try walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+          .foreach(p => try java.nio.file.Files.deleteIfExists(p)
+            catch { case _: Throwable => () })
+        finally walk.close()
+      } catch { case _: Throwable => () }
     }
 
     val eqKeepers = sink.view.mapValues(_._1).toMap ==

@@ -113,16 +113,39 @@ object MediaShards {
         if (!fs.rename(tmpP, p)) {
           // no pre-delete: the live name must never blink out of
           // existence (a reader mid-listing would miss its assets).
-          // A failed rename is fine ONLY when an identical replay
-          // already committed this shard — verify by length, then
-          // drop our temp copy.
-          val prior = try Some(fs.getFileStatus(p))
-            catch { case _: Throwable => None }
-          if (!prior.exists(_.getLen == tar.length))
+          // A failed rename is fine ONLY when a byte-identical replay
+          // already committed this shard — verified by CONTENT (tar
+          // lengths are 512-block quantized, so a length check alone
+          // would let a stale different-content shard self-certify
+          // through the ledger below); shards are budget-bounded, so
+          // the read-back is small.
+          val prior =
+            try {
+              val in = fs.open(p)
+              try {
+                val buf = new java.io.ByteArrayOutputStream()
+                val chunk = new Array[Byte](8192)
+                var n = in.read(chunk)
+                while (n >= 0 && buf.size <= tar.length) {
+                  buf.write(chunk, 0, n); n = in.read(chunk)
+                }
+                Some(buf.toByteArray)
+              } finally in.close()
+            } catch { case _: Throwable => None }
+          if (!prior.exists(java.util.Arrays.equals(_, tar)))
             throw new IllegalStateException(
-              s"shard commit rename failed for $name")
+              s"shard commit rename failed for $name and the existing " +
+                "file does not match this batch's bytes")
           fs.delete(tmpP, false)
         }
+        // best-effort sweep of this shard's own temp residue from
+        // earlier failed/zombie attempts (attempt-unique names never
+        // self-overwrite, so without this they would accumulate)
+        try fs.globStatus(new org.apache.hadoop.fs.Path(outDir,
+            s".$name.*.tmp")).foreach(st =>
+          try fs.delete(st.getPath, false)
+          catch { case _: Throwable => () })
+        catch { case _: Throwable => () }
         // the ledger derives from the WRITTEN unit: re-parse +
         // decode so a packing bug in this very writer cannot
         // self-certify
