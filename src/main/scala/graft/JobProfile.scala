@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.scheduler._
+import scala.collection.mutable
+
+/** Dev utility (optimization rounds): run one catalog query steady-state
+  * and print its per-job / per-stage breakdown — job wall ms, stage task
+  * counts, task time sums, shuffle bytes — so "slow" decomposes into
+  * scheduling floor vs shuffle vs compute before anything is changed.
+  *
+  * Usage: `runMain graft.JobProfile <sfDir> <name> [reps]`
+  */
+object JobProfile {
+  def main(args: Array[String]): Unit = {
+    val (sfDir, name) = (args(0), args(1))
+    val reps = if (args.length > 2) args(2).toInt else 1
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    final case class StageRow(id: Int, name: String, nTasks: Int,
+        runMs: Long, shufReadB: Long, shufWriteB: Long)
+    val jobStart = mutable.Map[Int, Long]()
+    val jobRows = mutable.ArrayBuffer[(Int, Long)]() // id, wall ms
+    val stageRows = mutable.ArrayBuffer[StageRow]()
+    val listener = new SparkListener {
+      override def onJobStart(e: SparkListenerJobStart): Unit =
+        jobStart(e.jobId) = e.time
+      override def onJobEnd(e: SparkListenerJobEnd): Unit =
+        jobRows += ((e.jobId, e.time - jobStart.getOrElse(e.jobId, e.time)))
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+        val si = e.stageInfo
+        val m = si.taskMetrics
+        stageRows += StageRow(si.stageId,
+          si.name.linesIterator.next().take(80), si.numTasks,
+          si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L),
+          if (m == null) 0L else m.shuffleReadMetrics.totalBytesRead,
+          if (m == null) 0L else m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+
+    val fn = SparkEntry.queries(name)
+    fn(spark, sfDir).count() // warm-up: codegen + memoized artifacts
+    fn(spark, sfDir).count()
+    spark.sparkContext.addSparkListener(listener)
+    (1 to reps).foreach { i =>
+      jobStart.clear(); jobRows.clear(); stageRows.clear()
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500) // let the async listener bus drain
+      val jobsMs = jobRows.map(_._2).sum
+      println(f"[prof] $name rep$i wall=$wall%.3f s jobs=${jobRows.size} " +
+        f"jobWallSum=${jobsMs / 1000.0}%.3f s stages=${stageRows.size} " +
+        f"tasks=${stageRows.map(_.nTasks).sum}")
+      stageRows.sortBy(-_.runMs).take(15).foreach { r =>
+        println(f"[prof]   stage ${r.id}%4d ${r.runMs}%6d ms " +
+          f"tasks=${r.nTasks}%4d shufR=${r.shufReadB}%9d " +
+          f"shufW=${r.shufWriteB}%9d  ${r.name}")
+      }
+    }
+    spark.stop()
+  }
+}
