@@ -208,6 +208,17 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // scan-split sizing (r13 optimization, guide §6): the default
+      // 4 MB file-open cost floors maxSplitBytes at 4 MB, so a small
+      // single-file table scans 1-3-wide regardless of cores (lineitem
+      // at sf0.1 is 11 MB → 3 splits → every scan-rooted compute stage
+      // ran on 3 of 32 cores). 128 KB lets bytesPerCore (total size /
+      // minPartitionNum, which already scales with the session's core
+      // count) set the split size instead. Scale posture: with
+      // production-sized files (128 MB-1 GB) splits are governed by
+      // maxPartitionBytes, not openCost, so this only stops the
+      // small-file under-split; it never widens a big scan.
+      .config("spark.sql.files.openCostInBytes", "131072")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

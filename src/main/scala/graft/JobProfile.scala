@@ -12,7 +12,7 @@ import scala.collection.mutable
   */
 object JobProfile {
   def main(args: Array[String]): Unit = {
-    val (sfDir, name) = (args(0), args(1))
+    val (sfDir, names) = (args(0), args(1).split(',').toSeq)
     val reps = if (args.length > 2) args(2).toInt else 1
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = org.apache.spark.sql.SparkSession.builder()
@@ -21,6 +21,8 @@ object JobProfile {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // match Bench's scan-split sizing so profiles reflect the bench
+      .config("spark.sql.files.openCostInBytes", "131072")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -45,24 +47,27 @@ object JobProfile {
       }
     }
 
-    val fn = SparkEntry.queries(name)
-    fn(spark, sfDir).count() // warm-up: codegen + memoized artifacts
-    fn(spark, sfDir).count()
+    // warm-up the whole list first: codegen + memoized artifacts
+    names.foreach(n => SparkEntry.queries(n)(spark, sfDir).count())
+    names.foreach(n => SparkEntry.queries(n)(spark, sfDir).count())
     spark.sparkContext.addSparkListener(listener)
-    (1 to reps).foreach { i =>
-      jobStart.clear(); jobRows.clear(); stageRows.clear()
-      val t0 = System.nanoTime()
-      fn(spark, sfDir).count()
-      val wall = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(500) // let the async listener bus drain
-      val jobsMs = jobRows.map(_._2).sum
-      println(f"[prof] $name rep$i wall=$wall%.3f s jobs=${jobRows.size} " +
-        f"jobWallSum=${jobsMs / 1000.0}%.3f s stages=${stageRows.size} " +
-        f"tasks=${stageRows.map(_.nTasks).sum}")
-      stageRows.sortBy(-_.runMs).take(15).foreach { r =>
-        println(f"[prof]   stage ${r.id}%4d ${r.runMs}%6d ms " +
-          f"tasks=${r.nTasks}%4d shufR=${r.shufReadB}%9d " +
-          f"shufW=${r.shufWriteB}%9d  ${r.name}")
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      (1 to reps).foreach { i =>
+        jobStart.clear(); jobRows.clear(); stageRows.clear()
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(500) // let the async listener bus drain
+        val jobsMs = jobRows.map(_._2).sum
+        println(f"[prof] $name rep$i wall=$wall%.3f s jobs=${jobRows.size} " +
+          f"jobWallSum=${jobsMs / 1000.0}%.3f s stages=${stageRows.size} " +
+          f"tasks=${stageRows.map(_.nTasks).sum}")
+        stageRows.sortBy(-_.runMs).take(12).foreach { r =>
+          println(f"[prof]   stage ${r.id}%4d ${r.runMs}%6d ms " +
+            f"tasks=${r.nTasks}%4d shufR=${r.shufReadB}%9d " +
+            f"shufW=${r.shufWriteB}%9d  ${r.name}")
+        }
       }
     }
     spark.stop()

@@ -19,6 +19,8 @@ object TimeQuery {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // match Bench's scan-split sizing so A/B timings transfer
+      .config("spark.sql.files.openCostInBytes", "131072")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm-up: codegen/JIT + memoized artifacts, across the whole list

@@ -62,9 +62,22 @@ object GraphOps {
     * thousand rows (measured 23% of graph_cc's loop); at cluster
     * scale the width grows with the subgraph exactly like AQE sizes
     * its post-shuffle stages. Division runs in Long BEFORE narrowing
-    * so an astronomically large count cannot wrap negative. */
-  private[graft] def dataParts(rows: Long): Int =
-    math.max(4L, math.min(2048L, rows / 250000L)).toInt
+    * so an astronomically large count cannot wrap negative.
+    *
+    * r13 optimization (guide §2.6 idle capacity): the pure 250k-row
+    * target left the MIDDLE of the size range under-parallel — a
+    * 500k-row edge table got 4 partitions, so every per-round join
+    * map stage ran 4-wide on a 32-core host (measured: pagerank's
+    * five 430-725 ms round stages, katz/betweenness/diameter the
+    * same shape). A CORE floor now applies once there is enough work
+    * to feed the cores (≥ 8k rows per task — below that the round-10
+    * task-launch overhead lesson still holds and the floor stays 4).
+    * At cluster scale the 250k target dominates exactly as before. */
+  private[graft] def dataParts(rows: Long, cores: Int): Int = {
+    val coreFloor = math.min(cores.toLong, rows / 8192L)
+    math.max(4L, math.max(coreFloor, math.min(2048L, rows / 250000L)))
+      .toInt
+  }
 
   private val csCache = new graft.SessionCache[DataFrame](df => {
     df.unpersist(); ()
@@ -116,7 +129,8 @@ object GraphOps {
       // makes every round's map side pay 32 task launches for a few
       // thousand rows — measured 23% of an iterative loop).
       val edgesDeg = edges.join(deg, "src")
-        .repartition(dataParts(csIndex(s, d).count() * 2L), col("src"))
+        .repartition(dataParts(csIndex(s, d).count() * 2L,
+          s.sparkContext.defaultParallelism), col("src"))
         .persist()
       // bounded driver scalar (node count), like the bucket-id collects
       val n = deg.count()
@@ -677,48 +691,66 @@ object GraphOps {
       .filter(col("src") =!= col("dst"))
   }
 
+  /** The gated bulk-subgraph propagation index behind
+    * [[graphComponents]] — (hopEdges = edges ∪ capped edges²,
+    * dst-keyed; the singleton label init, node-keyed) — memoized per
+    * (session, dataset) like [[edgeIndex]]/[[seedBall]] (r13: the
+    * corpus join + distinct + 2-hop expansion + two checkpoints were
+    * rebuilt on every call — profiled ~2 s of graph_cc's 5.5 s;
+    * the label-propagation LOOP itself still runs per call). */
+  private val ccIndexCache = new graft.SessionCache[(DataFrame, DataFrame)]()
+
+  private def ccIndex(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    ccIndexCache.getOrCompute(s, d) {
+      val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      // full-quantity deep-discount lineitems: sparse enough to
+      // fragment (65 components over 369 nodes at sf0.01) — a giant
+      // component would make the canonical-label compare vacuous
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_quantity") >= 50 && col("l_discount") >= 0.08)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .distinct()
+      val edges = pairs.union(
+        pairs.select(col("dst").as("src"), col("src").as("dst")))
+        .persist()
+      // 2-hop propagation edges (round-9): the bulk subgraph chained
+      // ~15 single-hop rounds at sf0.1 with per-round cost dominated by
+      // fixed job latency, not data — propagating the min over
+      // edges ∪ edges² moves it two hops per round and halves the round
+      // count for one extra up-front join. Round-10 writes the
+      // HUB-DEGREE CAP the squaring needs at cluster scale: a node of
+      // degree d contributes d² two-hop pairs, so one power-law hub
+      // makes edges² quadratic in its degree — [[twoHopCapped]] keeps
+      // only pivots with degree ≤ 32, bounding the expansion to
+      // O(cap·|E|) REGARDLESS of skew; hub rows still propagate 1-hop
+      // through `edges` itself, so the fixpoint is identical (2-hop
+      // edges are pure accelerators — any subset preserves the closure).
+      // Probe semantics are unchanged: a zero-delta round under the
+      // WIDER edge set is a fortiori stable on the 1-hop edges, which
+      // is the convergence certificate.
+      // The loop artifacts are BULK-SUBGRAPH-sized, not corpus-sized —
+      // checkpoint them at [[dataParts]]' data-sized width. The 33x
+      // factor bounds the capped 2-hop expansion (≤ cap·|E| + |E|);
+      // keyed on the join columns so round 1 co-partitions both probe
+      // inputs for free.
+      val parts = dataParts(edges.count() * 33L,
+        s.sparkContext.defaultParallelism)
+      val hopEdges = edges.union(twoHopCapped(edges, 32))
+        .distinct().repartition(parts, col("dst")).localCheckpoint()
+      val l0 = hopEdges.select(col("src").as("node")).distinct()
+        .withColumn("label", col("node"))
+        .repartition(parts, col("node"))
+        .localCheckpoint()
+      edges.unpersist()
+      (hopEdges, l0)
+    }
+
   def graphComponents(s: SparkSession, d: String): DataFrame = {
-    val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
-    // full-quantity deep-discount lineitems: sparse enough to
-    // fragment (65 components over 369 nodes at sf0.01) — a giant
-    // component would make the canonical-label compare vacuous
-    val li = Tables.lineitem(s, d)
-      .filter(col("l_quantity") >= 50 && col("l_discount") >= 0.08)
-      .select(col("l_orderkey"), col("l_suppkey"))
-    val pairs = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .select(concat(lit("c"), col("o_custkey")).as("src"),
-        concat(lit("s"), col("l_suppkey")).as("dst"))
-      .distinct()
-    val edges = pairs.union(
-      pairs.select(col("dst").as("src"), col("src").as("dst")))
-      .persist()
-    // 2-hop propagation edges (round-9): the bulk subgraph chained
-    // ~15 single-hop rounds at sf0.1 with per-round cost dominated by
-    // fixed job latency, not data — propagating the min over
-    // edges ∪ edges² moves it two hops per round and halves the round
-    // count for one extra up-front join. Round-10 writes the
-    // HUB-DEGREE CAP the squaring needs at cluster scale: a node of
-    // degree d contributes d² two-hop pairs, so one power-law hub
-    // makes edges² quadratic in its degree — [[twoHopCapped]] keeps
-    // only pivots with degree ≤ 32, bounding the expansion to
-    // O(cap·|E|) REGARDLESS of skew; hub rows still propagate 1-hop
-    // through `edges` itself, so the fixpoint is identical (2-hop
-    // edges are pure accelerators — any subset preserves the closure).
-    // Probe semantics are unchanged: a zero-delta round under the
-    // WIDER edge set is a fortiori stable on the 1-hop edges, which
-    // is the convergence certificate.
-    // The loop artifacts are BULK-SUBGRAPH-sized, not corpus-sized —
-    // checkpoint them at [[dataParts]]' data-sized width (at sf0.1
-    // that is 4 tasks per stage instead of 32). The 33x factor bounds
-    // the capped 2-hop expansion (≤ cap·|E| + |E|); keyed on the join
-    // columns so round 1 co-partitions both probe inputs for free.
-    val parts = dataParts(edges.count() * 33L)
-    val hopEdges = edges.union(twoHopCapped(edges, 32))
-      .distinct().repartition(parts, col("dst")).localCheckpoint()
-    var labels = hopEdges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .repartition(parts, col("node"))
-      .localCheckpoint()
+    val (hopEdges, l0) = ccIndex(s, d)
+    var labels = l0
     var changed = true
     var round = 0
     while (changed && round < 20) {
@@ -765,7 +797,6 @@ object GraphOps {
         labels = prop.select(col("node"), col("label"))
       }
     }
-    edges.unpersist()
     labels.groupBy(col("label").as("component"))
       .agg(count(lit(1)).as("n_nodes"),
         sum(when(col("node").startsWith("c"), 1).otherwise(0))
@@ -929,25 +960,40 @@ object GraphOps {
     * least/greatest (corner `a` is the degree-rank-lowest, not the
     * id-lowest). Totals ride as constant columns off two bounded
     * aggregates; exact integers throughout. */
+  /** The ≥48-gated sparse co-occurrence edge list and its triangle
+    * census for [[graphBridges]], memoized per (session, dataset) —
+    * the [[bulkTriangles]] pattern at the bridges gate (r13: the
+    * corpus join + pair expansion + oriented wedge census were
+    * rebuilt on every call; only the anti-join/degree/panel tail is
+    * per-call work). */
+  private val bridgeCache = new graft.SessionCache[(DataFrame, DataFrame)]()
+
+  private def bridgeIndex(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) =
+    bridgeCache.getOrCompute(s, d) {
+      val ord = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"))
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_quantity") >= 48)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val cs = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
+        .distinct()
+      val und = cs.groupBy("c")
+        .agg(sort_array(collect_list(col("sk"))).as("ss"))
+        .select(explode(expr(
+          """flatten(transform(ss, (a, i) ->
+            |  transform(slice(ss, i + 2, size(ss)), b ->
+            |    struct(a AS s1, b AS s2))))""".stripMargin)).as("p"))
+        .select(col("p.s1"), col("p.s2"))
+        .groupBy("s1", "s2").agg(count(lit(1)).as("co"))
+        .filter(col("co") >= 2).select(col("s1"), col("s2"))
+        .localCheckpoint() // 4 consumers (census, anti, degree, totals)
+      (und, triangleTable(und))
+    }
+
   def graphBridges(s: SparkSession, d: String): DataFrame = {
-    val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
-    val li = Tables.lineitem(s, d)
-      .filter(col("l_quantity") >= 48)
-      .select(col("l_orderkey"), col("l_suppkey"))
-    val cs = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
-      .distinct()
-    val und = cs.groupBy("c")
-      .agg(sort_array(collect_list(col("sk"))).as("ss"))
-      .select(explode(expr(
-        """flatten(transform(ss, (a, i) ->
-          |  transform(slice(ss, i + 2, size(ss)), b ->
-          |    struct(a AS s1, b AS s2))))""".stripMargin)).as("p"))
-      .select(col("p.s1"), col("p.s2"))
-      .groupBy("s1", "s2").agg(count(lit(1)).as("co"))
-      .filter(col("co") >= 2).select(col("s1"), col("s2"))
-      .localCheckpoint() // 4 consumers (census, anti, degree, totals)
-    val tri = triangleTable(und)
+    val (und, tri) = bridgeIndex(s, d)
     val te = tri.select(least(col("a"), col("b")).as("s1"),
         greatest(col("a"), col("b")).as("s2"))
       .union(tri.select(least(col("a"), col("c")),
@@ -1111,29 +1157,41 @@ object GraphOps {
     * 100 TB posture: per round one edges⋈nodes semi-join per endpoint
     * + one hash agg — node-keyed shuffles only; `localCheckpoint`
     * bounds lineage; the survivor table shrinks monotonically. */
+  /** The ≥48/≥0.06-gated symmetric edge list [[graphKcore]] peels,
+    * memoized per (session, dataset) (r13: the corpus join + distinct
+    * + symmetrize + checkpoint were rebuilt per call; the 6 peel
+    * rounds are per-call work). */
+  private val kcoreEdgeCache = new graft.SessionCache[DataFrame]()
+
+  private def kcoreEdges(s: SparkSession, d: String): DataFrame =
+    kcoreEdgeCache.getOrCompute(s, d) {
+      val ord = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"))
+      // a slightly wider gate than graphComponents' (>=50, >=0.08):
+      // that graph is tree-like (empty 2-core — vacuous); this one
+      // keeps a real core (sf0.01: 534 of 1033 nodes survive) and the
+      // peel CONVERGES by round 6 at both test SFs (probed: n6 == n8)
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_quantity") >= 48 && col("l_discount") >= 0.06)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .distinct()
+      pairs.union(
+        pairs.select(col("dst").as("src"), col("src").as("dst")))
+        .localCheckpoint()
+    }
+
   def graphKcore(s: SparkSession, d: String): DataFrame = {
     val k = 2
     val rounds = 6
-    val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
-    // a slightly wider gate than graphComponents' (>=50, >=0.08): that
-    // graph is tree-like (empty 2-core — vacuous); this one keeps a
-    // real core (sf0.01: 534 of 1033 nodes survive) and the peel
-    // CONVERGES by round 6 at both test SFs (probed: n6 == n8)
-    val li = Tables.lineitem(s, d)
-      .filter(col("l_quantity") >= 48 && col("l_discount") >= 0.06)
-      .select(col("l_orderkey"), col("l_suppkey"))
-    val pairs = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .select(concat(lit("c"), col("o_custkey")).as("src"),
-        concat(lit("s"), col("l_suppkey")).as("dst"))
-      .distinct()
     // the edge set SHRINKS with the peel: each round restricts the
     // previous round's surviving edges (not the full graph) to the
     // current survivors — node sets are monotone decreasing, so
     // progressive restriction ≡ restricting to the latest set, and
     // later rounds scan strictly smaller checkpointed tables
-    var cur = pairs.union(
-      pairs.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint()
+    var cur = kcoreEdges(s, d)
     var nodes: DataFrame = null
     for (i <- 1 to rounds) {
       if (i > 1) {
@@ -1207,12 +1265,21 @@ object GraphOps {
     * vs round 3 at every test SF, hand-pinned in Round6bOpsSpec),
     * state is node-sized. */
   /** Two pre-partitioned persisted copies of the directed projection
-    * for [[graphHits]]: hash-partitioned by `sk` (authority rounds
-    * aggregate on it) and by `c` (hub rounds) — so each half-round is
-    * a broadcast/colocated join + an EXCHANGE-FREE aggregate instead
-    * of re-shuffling the edge table every round (the edgeIndex
-    * `repartition(src)` rationale, applied to the bipartite two-key
-    * case). Built once per (session, dataset). */
+    * for [[graphHits]]: hash-partitioned by `c` (authority rounds
+    * JOIN on it) and by `sk` (hub rounds) — each half-round joins the
+    * copy partitioned on its JOIN key, so the edge table never
+    * re-shuffles, and the cross-key aggregate relies on map-side
+    * partial aggregation to shrink its exchange to node-sized
+    * partials. (r13 fix, guide §2.4/§3.1: the previous orientation
+    * joined the copy partitioned on the AGGREGATION key, betting the
+    * node-score side would broadcast; scores descend from
+    * localCheckpoint RDDs with unknown size stats, so the planner
+    * chose a sort-merge join and re-shuffled the 4.7 MB edge copy
+    * every half-round — and AQE then coalesced the join's reduce to
+    * ONE 900 ms task. Joining on the partition key removes the edge
+    * exchange under EVERY strategy the planner can pick; only the
+    * node-sized score table ever shuffles.) Built once per (session,
+    * dataset). */
   private val hitsIndexCache =
     new graft.SessionCache[(DataFrame, DataFrame)](v => {
       v._1.unpersist(); v._2.unpersist(); ()
@@ -1246,22 +1313,36 @@ object GraphOps {
       // checkpoint the AGGREGATE, not the normalized projection: the
       // max subquery and the next round's join then both read the
       // materialized node-sized table instead of re-running the
-      // corpus-sized join+agg twice per round. Each half-round reads
-      // the copy pre-partitioned on ITS aggregation key, so the
-      // node-score join (AQE broadcast at test scale) leaves the edge
-      // partitioning intact and the groupBy inserts no Exchange.
-      val av = csBySk.join(hub, "c").groupBy(col("sk"))
+      // corpus-sized join+agg twice per round. Each half-round joins
+      // the copy pre-partitioned on its JOIN key (edge side pays no
+      // exchange whatever join strategy fires); the cross-key groupBy
+      // shuffles only map-combined (key, partial-decimal) rows.
+      // the normalized score table carries an explicit repartition on
+      // the next half-round's join key, with the edge copy's EXPLICIT
+      // partition count: a localCheckpoint here would erase the
+      // partitioning fact (ExistingRDD reports UnknownPartitioning)
+      // and a count-less repartition(col) lets AQE coalesce the tiny
+      // score shuffle to ONE partition — which drags the co-
+      // partitioned join (and the whole persisted edge side) into a
+      // single task (measured: 1.1 s 1-task join stages). Pinned to
+      // the edge copy's width, both join inputs satisfy the same
+      // hash clustering and the join inserts NO exchange on either
+      // side.
+      val edgeParts = csBySk.rdd.getNumPartitions
+      val av = csByC.join(hub, "c").groupBy(col("sk"))
         .agg(qsum("hub").as("v"))
         .localCheckpoint()
       val amax = av.agg(max(col("v")).as("m"))
       auth = av.join(broadcast(amax))
         .select(col("sk"), (col("v") / col("m")).as("auth"))
-      val hv = csByC.join(auth, "sk").groupBy(col("c"))
+        .repartition(edgeParts, col("sk"))
+      val hv = csBySk.join(auth, "sk").groupBy(col("c"))
         .agg(qsum("auth").as("v"))
         .localCheckpoint()
       val hmax = hv.agg(max(col("v")).as("m"))
       hub = hv.join(broadcast(hmax))
         .select(col("c"), (col("v") / col("m")).as("hub"))
+        .repartition(edgeParts, col("c"))
     }
     auth.select(lit("auth").as("side"),
         concat(lit("s"), col("sk")).as("node"),

@@ -656,6 +656,11 @@ object TextOps {
   def textTextrank(s: SparkSession, d: String): DataFrame = {
     val toks = tokCorpus(s, d).select(col("ts"))
       .filter(size(col("ts")) >= 2)
+    // r13: checkpointed — the vocab-sized pair aggregate is consumed
+    // through edges (×2 via the symmetrizing union), wdeg AND the
+    // vocab count; unmaterialized, the corpus-wide explode+agg
+    // subtree re-executed per consumer (profiled: four identical
+    // 380 ms 32-task stages per call)
     val pairs = toks.select(explode(expr(
         """transform(sequence(1, size(ts) - 1),
           |  i -> struct(least(ts[i - 1], ts[i]) AS a,
@@ -663,6 +668,7 @@ object TextOps {
       .filter(col("p.a") =!= col("p.b"))
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("w"))
+      .localCheckpoint()
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"), col("w"))
       .unionAll(pairs.select(col("b").as("src"), col("a").as("dst"), col("w")))
     val wdeg = edges.groupBy("src").agg(sum("w").as("wdeg"))

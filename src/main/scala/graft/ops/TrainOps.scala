@@ -676,7 +676,10 @@ object TrainOps {
     * [[graft.ops.DedupOps.dedupClusters]] pattern); one step is enough
     * to pin the machinery under the oracle. */
   def bpePairs(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    // spread: the interpreted-HOF pair explode is the cost — a
+    // single-split documents file would run it one-threaded (r13,
+    // guide §2.6; no-op once the scan has ≥cores splits)
+    Tables.spread(Tables.documents(s, d))
       // one fused explode: per-doc pair array built by nested HOFs, so
       // the intermediate one-row-per-word stage never materializes
       .select(explode(expr(
@@ -709,7 +712,7 @@ object TrainOps {
       s"""CASE WHEN length($c) < 2 THEN cast(array() as array<string>)
          |ELSE transform(sequence(1, length($c) - 1),
          |  i -> substring($c, i, 2)) END""".stripMargin
-    val words = Tables.documents(s, d)
+    val words = Tables.spread(Tables.documents(s, d))
       .select(explode(expr(
         """filter(split(trim(lower(text)), '\\s+'), t -> t != '')"""))
         .as("w"))
@@ -789,7 +792,7 @@ object TrainOps {
       """CASE WHEN length(w) < 2 THEN cast(array() as array<string>)
         |ELSE transform(sequence(1, length(w) - 1),
         |  i -> substring(w, i, 2)) END""".stripMargin
-    var words = Tables.documents(s, d)
+    var words = Tables.spread(Tables.documents(s, d))
       .select(explode(expr(
         """filter(split(trim(lower(text)), '\\s+'), t -> t != '')"""))
         .as("w"))
