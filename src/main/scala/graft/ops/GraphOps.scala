@@ -128,9 +128,15 @@ object GraphOps {
       // to the DATA (the graph_cc round-10 lesson: a session-wide 32
       // makes every round's map side pay 32 task launches for a few
       // thousand rows — measured 23% of an iterative loop).
+      // width stays PURELY size-based (cores=1 disables the r13 core
+      // floor here): widening this index 4→32 at sf0.1 was A/B'd and
+      // REGRESSED every consumer (pagerank +0.3 s, katz +1.25 s,
+      // diameter +1.3 s, betweenness +0.8 s in the wave-1 bench) —
+      // per-round stage walls did not shrink with 8× more tasks, so
+      // the rounds are stage-latency-bound, not compute-bound, and
+      // the extra 170 task launches per query were pure cost.
       val edgesDeg = edges.join(deg, "src")
-        .repartition(dataParts(csIndex(s, d).count() * 2L,
-          s.sparkContext.defaultParallelism), col("src"))
+        .repartition(dataParts(csIndex(s, d).count() * 2L, 1), col("src"))
         .persist()
       // bounded driver scalar (node count), like the bucket-id collects
       val n = deg.count()

@@ -508,36 +508,96 @@ object LayoutOlap {
     * gate SF only — the same exact-vs-approx asymmetry as
     * ann_recall's brute-force side. */
   def a23ApproxQuantile(s: SparkSession, d: String): DataFrame = {
+    // r13 optimization (guide §2.5/§5): the original single aggregate
+    // ran Spark's exact `percentile` — which BUFFERS every value and
+    // merges + sorts them in ONE final reduce task (profiled: a 2 s
+    // single-threaded stage at sf0.1; at 100 TB it would OOM the
+    // reducer, exactly the anti-pattern the row's own sketch side
+    // exists to avoid). The exact side is restated as the o15_wmedian
+    // two-level rank lookup: per-bucket counts (bounded by the
+    // domain's value range / bucket width), driver-side prefix
+    // offsets over that bounded panel, then a row_number window over
+    // ONLY the ≤12 rank-carrying buckets (broadcast-joined, each a
+    // bounded value slice). The interpolated quantile is computed
+    // from the two exact order statistics with the same
+    // lower·(hi−pos) + higher·(pos−lo) double expression `percentile`
+    // evaluates, so the emitted values (and the sketch-vs-band
+    // booleans) are unchanged — verified bit-identical against the
+    // unchanged DuckDB oracle at all three test SFs.
+    import s.implicits._
+    val ps = Seq(0.45, 0.5, 0.55, 0.85, 0.9, 0.95)
     val li = Tables.lineitem(s, d)
-    val agg = li.agg(
-      expr("percentile(l_quantity, array(0.45, 0.5, 0.55, 0.85, 0.9, 0.95))")
-        .as("eq"),
-      expr("approx_percentile(l_quantity, array(0.5, 0.9), 10000)")
-        .as("aq"),
-      expr("percentile(l_extendedprice, array(0.45, 0.5, 0.55, 0.85, 0.9, 0.95))")
-        .as("ep"),
-      expr("approx_percentile(l_extendedprice, array(0.5, 0.9), 10000)")
-        .as("ap"))
-    agg.select(explode(array(
-      struct(lit("l_extendedprice").as("col_name"), lit(0.5).as("p"),
-        round(col("ep").getItem(1), 4).as("exact"),
-        (col("ap").getItem(0) >= col("ep").getItem(0) &&
-          col("ap").getItem(0) <= col("ep").getItem(2)).as("rank_bounded")),
-      struct(lit("l_extendedprice").as("col_name"), lit(0.9).as("p"),
-        round(col("ep").getItem(4), 4).as("exact"),
-        (col("ap").getItem(1) >= col("ep").getItem(3) &&
-          col("ap").getItem(1) <= col("ep").getItem(5)).as("rank_bounded")),
-      struct(lit("l_quantity").as("col_name"), lit(0.5).as("p"),
-        round(col("eq").getItem(1), 4).as("exact"),
-        (col("aq").getItem(0) >= col("eq").getItem(0) &&
-          col("aq").getItem(0) <= col("eq").getItem(2)).as("rank_bounded")),
-      struct(lit("l_quantity").as("col_name"), lit(0.9).as("p"),
-        round(col("eq").getItem(4), 4).as("exact"),
-        (col("aq").getItem(1) >= col("eq").getItem(3) &&
-          col("aq").getItem(1) <= col("eq").getItem(5)).as("rank_bounded"))))
-      .as("r"))
-      .select(col("r.col_name"), col("r.p"), col("r.exact"),
-        col("r.rank_bounded"))
+      .select(col("l_quantity").cast("double").as("q"),
+        col("l_extendedprice").cast("double").as("e"))
+      .localCheckpoint() // two rank lookups + the sketch read it
+    val n = li.count() // bounded driver scalar (the checkpoint action)
+
+    // exact order statistics v(rank) for every floor/ceil rank the six
+    // positions touch, via bucketed prefix sums — no global sort, no
+    // value buffering
+    def orderStats(c: String, width: Double): Map[Long, Double] = {
+      val pos = ps.map(p => p * (n - 1))
+      val need = pos.flatMap(x =>
+        Seq(math.floor(x).toLong, math.ceil(x).toLong)).distinct
+      val b = li.select(col(c).as("v"))
+        .withColumn("b", floor(col("v") / width).cast("long"))
+      // bounded panel: one row per occupied bucket (domain-range /
+      // width), the o15 idiom collapsed to the driver because the
+      // rank→bucket routing needs the full prefix anyway
+      val cnts = b.groupBy("b").agg(count(lit(1)).as("cnt"))
+        .orderBy("b").collect()
+      var off = 0L
+      val targets = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+      cnts.foreach { r =>
+        val (bk, cnt) = (r.getLong(0), r.getLong(1))
+        need.foreach { rk =>
+          if (rk >= off && rk < off + cnt)
+            targets += ((bk, rk - off + 1, rk)) // (bucket, local rn, rank)
+        }
+        off += cnt
+      }
+      val tdf = targets.toSeq.toDF("tb", "trn", "rank")
+      val w = Window.partitionBy("b").orderBy("v")
+      b.join(broadcast(tdf.select(col("tb")).distinct()),
+          col("b") === col("tb"), "left_semi")
+        .withColumn("rn", row_number().over(w))
+        .join(broadcast(tdf),
+          col("b") === col("tb") && col("rn") === col("trn"))
+        .select(col("rank"), col("v"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    }
+    // Spark `percentile`'s own interpolation expression, reproduced on
+    // the same doubles: position = p·(n−1) over 0-based ranks
+    def interp(vs: Map[Long, Double])(p: Double): Double = {
+      val position = p * (n - 1)
+      val lo = math.floor(position).toLong
+      val hi = math.ceil(position).toLong
+      if (lo == hi) vs(lo)
+      else vs(lo) * (hi - position) + vs(hi) * (position - lo)
+    }
+    val eq = interp(orderStats("q", 1.0)) _
+    val ep = interp(orderStats("e", 1000.0)) _
+
+    // the sketch side is untouched — mergeable, bounded memory, the
+    // production path this row exists to certify
+    val ax = li.agg(
+      expr("approx_percentile(q, array(0.5, 0.9), 10000)").as("aq"),
+      expr("approx_percentile(e, array(0.5, 0.9), 10000)").as("ap"))
+      .collect().head
+    val (aq, ap) = (ax.getSeq[Double](0), ax.getSeq[Double](1))
+
+    Seq(
+      ("l_extendedprice", 0.5, ep(0.5),
+        ap(0) >= ep(0.45) && ap(0) <= ep(0.55)),
+      ("l_extendedprice", 0.9, ep(0.9),
+        ap(1) >= ep(0.85) && ap(1) <= ep(0.95)),
+      ("l_quantity", 0.5, eq(0.5),
+        aq(0) >= eq(0.45) && aq(0) <= eq(0.55)),
+      ("l_quantity", 0.9, eq(0.9),
+        aq(1) >= eq(0.85) && aq(1) <= eq(0.95)))
+      .toDF("col_name", "p", "exact0", "rank_bounded")
+      .select(col("col_name"), col("p"),
+        round(col("exact0"), 4).as("exact"), col("rank_bounded"))
       .orderBy(col("col_name"), col("p"))
   }
 
