@@ -27,7 +27,7 @@ object JobProfile {
     spark.sparkContext.setLogLevel("ERROR")
 
     final case class StageRow(id: Int, name: String, nTasks: Int,
-        runMs: Long, shufReadB: Long, shufWriteB: Long)
+        runMs: Long, cpuMs: Long, shufReadB: Long, shufWriteB: Long)
     val jobStart = mutable.Map[Int, Long]()
     val jobRows = mutable.ArrayBuffer[(Int, Long)]() // id, wall ms
     val stageRows = mutable.ArrayBuffer[StageRow]()
@@ -42,6 +42,7 @@ object JobProfile {
         stageRows += StageRow(si.stageId,
           si.name.linesIterator.next().take(80), si.numTasks,
           si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L),
+          if (m == null) 0L else m.executorRunTime,
           if (m == null) 0L else m.shuffleReadMetrics.totalBytesRead,
           if (m == null) 0L else m.shuffleWriteMetrics.bytesWritten)
       }
@@ -65,8 +66,8 @@ object JobProfile {
           f"tasks=${stageRows.map(_.nTasks).sum}")
         stageRows.sortBy(-_.runMs).take(12).foreach { r =>
           println(f"[prof]   stage ${r.id}%4d ${r.runMs}%6d ms " +
-            f"tasks=${r.nTasks}%4d shufR=${r.shufReadB}%9d " +
-            f"shufW=${r.shufWriteB}%9d  ${r.name}")
+            f"cpu=${r.cpuMs}%6d tasks=${r.nTasks}%4d " +
+            f"shufR=${r.shufReadB}%9d shufW=${r.shufWriteB}%9d  ${r.name}")
         }
       }
     }

@@ -138,8 +138,20 @@ object FecFunnel {
       .select(col("src_label"), col("src_key"), col("target"))
       .distinct()
 
-    val parsedN = indiv.count() + oth.count()
-    val rawN = parsedN + indivBad.count() + othBad.count()
+    // r13: one fused (total, corrupt) aggregate per feed over the
+    // parse cache — the four separate clean/bad counts each re-walked
+    // the cached partitions as their own job; the integers are
+    // identical (clean = total − corrupt by the quarantine split)
+    def feedCounts(pin: DataFrame): (Long, Long) = {
+      val r = pin.agg(count(lit(1)).as("n"),
+        sum(col("_corrupt_record").isNotNull.cast("long")).as("bad"))
+        .head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    val (indivAllN, indivBadN) = feedCounts(indivPin)
+    val (othAllN, othBadN) = feedCounts(othPin)
+    val parsedN = (indivAllN - indivBadN) + (othAllN - othBadN)
+    val rawN = parsedN + indivBadN + othBadN
     val masterN = master.count()
     val classifiedN = elastic.count()
     val envelopeN = envelopes.count()
