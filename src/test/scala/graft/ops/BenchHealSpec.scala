@@ -57,4 +57,17 @@ class BenchHealSpec extends AnyFunSuite {
     assert(graft.Bench.healCandidates(run, Map.empty,
       loadContaminated = true, driftContaminated = true).isEmpty)
   }
+
+  test("canary witness (r13): a wide within-run canary spread is " +
+    "contention evidence; flat or thin series never flag") {
+    // wide spread + absolute gap: contention witnessed
+    assert(graft.Bench.canarySuspect(Seq(0.2, 0.25, 0.8)))
+    // flat canary: a quiet-host drift stays a REAL regression signal
+    assert(!graft.Bench.canarySuspect(Seq(0.2, 0.22, 0.25)))
+    // wide RATIO but tiny absolute gap (trivial-query jitter): no flag
+    assert(!graft.Bench.canarySuspect(Seq(0.02, 0.03, 0.06)))
+    // thin series (a short catalog / failed canary runs): no flag
+    assert(!graft.Bench.canarySuspect(Seq(0.2, 0.9)))
+    assert(!graft.Bench.canarySuspect(Nil))
+  }
 }
