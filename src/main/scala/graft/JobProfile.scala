@@ -27,7 +27,8 @@ object JobProfile {
     spark.sparkContext.setLogLevel("ERROR")
 
     final case class StageRow(id: Int, name: String, nTasks: Int,
-        runMs: Long, cpuMs: Long, shufReadB: Long, shufWriteB: Long)
+        runMs: Long, cpuMs: Long, gcMs: Long, shufReadB: Long,
+        shufWriteB: Long)
     val jobStart = mutable.Map[Int, Long]()
     val jobRows = mutable.ArrayBuffer[(Int, Long)]() // id, wall ms
     val stageRows = mutable.ArrayBuffer[StageRow]()
@@ -43,6 +44,7 @@ object JobProfile {
           si.name.linesIterator.next().take(80), si.numTasks,
           si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L),
           if (m == null) 0L else m.executorRunTime,
+          if (m == null) 0L else m.jvmGCTime,
           if (m == null) 0L else m.shuffleReadMetrics.totalBytesRead,
           if (m == null) 0L else m.shuffleWriteMetrics.bytesWritten)
       }
@@ -63,10 +65,11 @@ object JobProfile {
         val jobsMs = jobRows.map(_._2).sum
         println(f"[prof] $name rep$i wall=$wall%.3f s jobs=${jobRows.size} " +
           f"jobWallSum=${jobsMs / 1000.0}%.3f s stages=${stageRows.size} " +
-          f"tasks=${stageRows.map(_.nTasks).sum}")
+          f"tasks=${stageRows.map(_.nTasks).sum} " +
+          f"gcSum=${stageRows.map(_.gcMs).sum} ms")
         stageRows.sortBy(-_.runMs).take(12).foreach { r =>
           println(f"[prof]   stage ${r.id}%4d ${r.runMs}%6d ms " +
-            f"cpu=${r.cpuMs}%6d tasks=${r.nTasks}%4d " +
+            f"cpu=${r.cpuMs}%6d gc=${r.gcMs}%5d tasks=${r.nTasks}%4d " +
             f"shufR=${r.shufReadB}%9d shufW=${r.shufWriteB}%9d  ${r.name}")
         }
       }
