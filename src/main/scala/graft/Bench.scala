@@ -220,24 +220,11 @@ object Bench {
     // competing-work signal, not self-load
     val loadStart = os.getSystemLoadAverage
     val stealStart = stealPct()
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // scan-split sizing (r13 optimization, guide §6): the default
-      // 4 MB file-open cost floors maxSplitBytes at 4 MB, so a small
-      // single-file table scans 1-3-wide regardless of cores (lineitem
-      // at sf0.1 is 11 MB → 3 splits → every scan-rooted compute stage
-      // ran on 3 of 32 cores). 128 KB lets bytesPerCore (total size /
-      // minPartitionNum, which already scales with the session's core
-      // count) set the split size instead. Scale posture: with
-      // production-sized files (128 MB-1 GB) splits are governed by
-      // maxPartitionBytes, not openCost, so this only stops the
-      // small-file under-split; it never widens a big scan.
-      .config("spark.sql.files.openCostInBytes", "131072")
-      .getOrCreate()
+    // shared session builder (r14 item 1): the scan-split sizing that
+    // was bench-session-only in r13 is now code-delivered to every
+    // main — see Sessions.scala for the A/B/A evidence and the scale
+    // posture
+    val spark = Sessions.local(cpus)
     spark.sparkContext.setLogLevel("WARN")
 
     // warm-up: table scans + one full plan end-to-end
@@ -380,9 +367,54 @@ object Bench {
     val healedQs = healed.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // Cold-path witness (r14 item 4, additive, default OFF): with
+    // SPARK_GRAFT_COLD=1 a SECOND loop times every query after evicting
+    // every SessionCache memo AND dropping every persisted/checkpointed
+    // block, so index builds that the warm-up pass normally absorbs
+    // (shingle/IVF/edge/cc/bridge/kcore/ball/walks/pair memos) are
+    // charged to the queries that need them — the honest cold
+    // single-shot cost at scale. Runs AFTER the heal pass so the
+    // default warm numbers are untouched; emits total_cold/queries_cold
+    // in the detail line plus its own stdout metric line (the final
+    // "total" line stays LAST — the driver contract).
+    val coldMode = sys.env.get("SPARK_GRAFT_COLD").contains("1")
+    val coldResults: Seq[(String, Double)] =
+      if (!coldMode) Seq.empty
+      else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        SessionCache.evictAll()
+        // localCheckpoint blocks are not reachable from DataFrame
+        // .unpersist — dropping ALL persistent RDDs is safe here
+        // because every memo entry referencing them was just evicted
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(r => try r.unpersist(false) catch {
+            case _: Throwable => ()
+          })
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+    val coldTotal = coldResults.map(_._2).sum
+    val coldFields =
+      if (!coldMode) ""
+      else {
+        val cq = coldResults.map { case (k, v) => "\"" + k + "\":" + v }
+          .mkString("{", ",", "}")
+        s""","total_cold":$coldTotal,"queries_cold":$cq"""
+      }
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"label":"$label","host_load":$load,"host_load_start":$loadStart,"steal_pct_start":$stealStart,"steal_pct_end":$stealEnd,"canary_n":${canaryTimes.size},"canary_min":${if (canaryTimes.isEmpty) 0.0 else canaryTimes.min},"canary_max":${if (canaryTimes.isEmpty) 0.0 else canaryTimes.max},"canary_suspect":$canarySus,"contaminated":$contaminated,"total_drift":$totalDrift,"common_total":$commonTotal,"common_median_total":$commonMedianTotal,"inflated_trivial":${inflated.map("\"" + _ + "\"").mkString("[", ",", "]")},"healed_total":$healedTotal,"healed_queries":$healedQs,"cpus_avail":${os.getAvailableProcessors},"n_hist_queries":${medians.size},"host_fp":"$hostFp","ts_s":${System.currentTimeMillis / 1000},"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"label":"$label","host_load":$load,"host_load_start":$loadStart,"steal_pct_start":$stealStart,"steal_pct_end":$stealEnd,"canary_n":${canaryTimes.size},"canary_min":${if (canaryTimes.isEmpty) 0.0 else canaryTimes.min},"canary_max":${if (canaryTimes.isEmpty) 0.0 else canaryTimes.max},"canary_suspect":$canarySus,"contaminated":$contaminated,"total_drift":$totalDrift,"common_total":$commonTotal,"common_median_total":$commonMedianTotal,"inflated_trivial":${inflated.map("\"" + _ + "\"").mkString("[", ",", "]")},"healed_total":$healedTotal,"healed_queries":$healedQs,"cpus_avail":${os.getAvailableProcessors},"n_hist_queries":${medians.size},"host_fp":"$hostFp","ts_s":${System.currentTimeMillis / 1000}$coldFields,"queries":$qs,"sf":"$sfDir"}"""
     println(detail)
+    // Fixed SMALL per-run file (r14 item 2): the driver's stdout tail
+    // capture truncated the per-query lines in round 13 (PERF had
+    // n_common: 0), so the full detail line is ALSO written — overwrite,
+    // one line — to a fixed path no capture window can eat. Purely
+    // additive; the stdout contract is unchanged.
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(sys.env.getOrElse(
+          "SPARK_GRAFT_BENCH_LAST", "BENCH_LAST.json")),
+        (detail + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
     // Durable per-query map: stdout capture windows have truncated the
     // long line (and even the per-query lines) in past rounds, so the
     // full map is ALSO written to a committed file that no capture
@@ -401,6 +433,8 @@ object Bench {
     results.foreach { case (k, v) =>
       println(s"""{"metric":"query","name":"$k","value":$v,"unit":"sec"}""")
     }
+    if (coldMode)
+      println(s"""{"metric":"total_cold","value":$coldTotal,"unit":"sec","sf":"$sfDir"}""")
     // compact total LAST: the last line always survives the tail.
     println(s"""{"metric":"total","value":$total,"unit":"sec","contaminated":$contaminated,"healed_total":$healedTotal,"sf":"$sfDir"}""")
     spark.stop()

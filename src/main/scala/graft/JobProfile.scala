@@ -15,15 +15,7 @@ object JobProfile {
     val (sfDir, names) = (args(0), args(1).split(',').toSeq)
     val reps = if (args.length > 2) args(2).toInt else 1
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = org.apache.spark.sql.SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // match Bench's scan-split sizing so profiles reflect the bench
-      .config("spark.sql.files.openCostInBytes", "131072")
-      .getOrCreate()
+    val spark = Sessions.local(cpus) // same confs as Bench/Verify (r14)
     spark.sparkContext.setLogLevel("ERROR")
 
     final case class StageRow(id: Int, name: String, nTasks: Int,

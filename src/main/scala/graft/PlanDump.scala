@@ -15,19 +15,18 @@ object PlanDump {
     val Array(sfDir, outDir, suffix, list) = args.take(4)
     val names = list.split(',').toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = org.apache.spark.sql.SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // match Bench's scan-split sizing so dumped plans are the benched ones
-      .config("spark.sql.files.openCostInBytes", "131072")
-      .getOrCreate()
+    val spark = Sessions.local(cpus) // same confs as Bench/Verify (r14)
     spark.sparkContext.setLogLevel("ERROR")
     Files.createDirectories(Paths.get(outDir))
+    // dev-only plan subjects that are not catalog entries (e.g. the
+    // inside-the-loop join shape of an iterative query, which the
+    // catalog entry's final plan cannot show)
+    val devPlans: Map[String,
+        (org.apache.spark.sql.SparkSession, String)
+          => org.apache.spark.sql.DataFrame] = Map(
+      "hits_half_round" -> (ops.GraphOps.hitsHalfRoundPlan _))
     names.foreach { n =>
-      val df = SparkEntry.queries(n)(spark, sfDir)
+      val df = SparkEntry.queries.getOrElse(n, devPlans(n))(spark, sfDir)
       try df.count() catch { case _: Throwable => () }
       val txt = df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))

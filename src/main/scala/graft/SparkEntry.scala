@@ -52,13 +52,15 @@ object SparkEntry {
     QueryModule(fec.FecFunnel.queries, fec.FecFunnel.oracles),
     QueryModule(ops.StreamOps.queries, ops.StreamOps.oracles))
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
+  /** One entry per implemented operator from SURVEY.md §2. (lazy val,
+    * r14: the harness loops resolve queries hundreds of times per run —
+    * rebuilding the 387-entry map each call was avoidable driver work.) */
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     modules.flatMap(_.queries).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] =
+  lazy val oracleSql: Map[String, String] =
     modules.flatMap(_.oracles).toMap
 }
 

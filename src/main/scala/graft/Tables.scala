@@ -14,8 +14,24 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Parquet footer schemas memoized per (session, file path) — r14
+    * planning-floor trim (guide §7.3 driver-side work): `spark.read
+    * .parquet` re-infers the schema (footer read + merge) on EVERY
+    * call, and the catalog takes ~450 table loads per full pass.
+    * Supplying the once-inferred schema skips inference; the returned
+    * DataFrame is otherwise identical (same relation, same pushdown).
+    * Session-scoped like every memo here — nothing persists across
+    * runs. */
+  private val schemaCache =
+    new graft.SessionCache[org.apache.spark.sql.types.StructType]()
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    val schema = schemaCache.getOrCompute(spark, path) {
+      spark.read.parquet(path).schema
+    }
+    spark.read.schema(schema).parquet(path)
+  }
 
   /** The events table's `ts` column has shipped in several physical
     * parquet forms across driver testdata generations: nanosecond
@@ -28,8 +44,10 @@ object Tables {
     * Verify/tests), so the NTZ→LTZ cast is value-preserving and
     * matches DuckDB's naive-TIMESTAMP reading of the same file. */
   private def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    // the conf is set BEFORE the first (schema-inferring) read of this
+    // path, so the memoized schema is the one inferred under it
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val raw = load(spark, sfDir, "events")
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     raw.schema("ts").dataType match {
@@ -55,7 +73,25 @@ object Tables {
     // file would under-count splits and trigger a pointless full
     // repartition at scale. Driver-side plan instantiation only; no
     // job runs.
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    if (scanParts(df) < target) df.repartition(target) else df
+  }
+
+  /** The split count behind [[spread]], memoized per (session, scanned
+    * file set) — r14 planning-floor trim: `df.rdd.getNumPartitions`
+    * instantiates a full physical plan per call (analyzer + optimizer +
+    * RDD graph), and ~60 catalog entries call spread on the same
+    * handful of table scans. Split math depends only on the files and
+    * the session's split confs (projections/filters over the same scan
+    * split identically), so the file set is the correct key; every
+    * spread input is a scan-rooted narrow chain (documented contract of
+    * spread). Non-file-rooted inputs fall back to the uncached path. */
+  private val scanPartsCache = new graft.SessionCache[Int]()
+
+  private def scanParts(df: DataFrame): Int = {
+    val files = df.inputFiles // driver-side, from the analyzed plan
+    if (files.isEmpty) df.rdd.getNumPartitions
+    else scanPartsCache.getOrCompute(df.sparkSession,
+      files.sorted.mkString(",")) { df.rdd.getNumPartitions }
   }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")

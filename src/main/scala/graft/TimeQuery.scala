@@ -13,15 +13,7 @@ object TimeQuery {
     val (sfDir, names) = (args(0), args(1).split(',').toSeq)
     val reps = if (args.length > 2) args(2).toInt else 3
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // match Bench's scan-split sizing so A/B timings transfer
-      .config("spark.sql.files.openCostInBytes", "131072")
-      .getOrCreate()
+    val spark = Sessions.local(cpus) // same confs as Bench/Verify (r14)
     spark.sparkContext.setLogLevel("WARN")
     // warm-up: codegen/JIT + memoized artifacts, across the whole list
     names.foreach(n => SparkEntry.queries(n)(spark, sfDir).count())

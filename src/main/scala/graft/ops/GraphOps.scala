@@ -182,8 +182,8 @@ object GraphOps {
 
     var ranks = deg.select(col("src").as("node"))
       .withColumn("rank", lit(1.0 / nNodes))
-    for (_ <- 1 to iters) {
-      ranks = edgesDeg.join(ranks, edgesDeg("src") === ranks("node"))
+    for (i <- 1 to iters) {
+      val next = edgesDeg.join(ranks, edgesDeg("src") === ranks("node"))
         .select(col("dst"), (col("rank") / col("outdeg")).as("c"))
         .groupBy(col("dst"))
         .agg(expr(
@@ -191,12 +191,16 @@ object GraphOps {
             " (a, x) -> a + x)").as("insum"))
         .select(col("dst").as("node"),
           (lit(base) + lit(damping) * col("insum")).as("rank"))
-        // per-round materialization measured FASTER than one lazy
-        // 5-round chain (3.4 s vs 6-17 s at sf0.1): the checkpoint
-        // hands AQE an exact-size 16k-row ranks table each round (→
-        // broadcast join, no re-planning of the whole chain) and
-        // bounds the re-optimization scope to one round
-        .localCheckpoint()
+      // per-round materialization measured FASTER than one lazy
+      // 5-round chain (3.4 s vs 6-17 s at sf0.1): the checkpoint
+      // hands AQE an exact-size 16k-row ranks table each round (→
+      // broadcast join, no re-planning of the whole chain) and
+      // bounds the re-optimization scope to one round. r14 (item 7):
+      // checkpoint every OTHER round — a depth-2 segment still starts
+      // from a materialized table (AQE keeps real size stats at the
+      // segment base), fuses two rounds into one materializing job,
+      // and the full-lazy pathology above never applies.
+      ranks = if (i % 2 == 1 && i < iters) next else next.localCheckpoint()
     }
     ranks.orderBy(col("node"))
   }
@@ -704,7 +708,13 @@ object GraphOps {
     * corpus join + distinct + 2-hop expansion + two checkpoints were
     * rebuilt on every call — profiled ~2 s of graph_cc's 5.5 s;
     * the label-propagation LOOP itself still runs per call). */
-  private val ccIndexCache = new graft.SessionCache[(DataFrame, DataFrame)]()
+  // onEvict keeps the cache contract uniform with csCache/hitsIndex
+  // (r13 ADVICE); localCheckpoint blocks additionally fall to the
+  // bench cold sweep's getPersistentRDDs pass
+  private val ccIndexCache =
+    new graft.SessionCache[(DataFrame, DataFrame)](v => {
+      v._1.unpersist(); v._2.unpersist(); ()
+    })
 
   private def ccIndex(s: SparkSession, d: String): (DataFrame, DataFrame) =
     ccIndexCache.getOrCompute(s, d) {
@@ -742,8 +752,15 @@ object GraphOps {
       // factor bounds the capped 2-hop expansion (≤ cap·|E| + |E|);
       // keyed on the join columns so round 1 co-partitions both probe
       // inputs for free.
-      val parts = dataParts(edges.count() * 33L,
-        s.sparkContext.defaultParallelism)
+      // Width from the 33x-bounded estimate, but the r13 CORE floor
+      // arms on the REALIZED edge count (r13 ADVICE: evaluating the
+      // ≥8k-rows-per-task guard on the inflated estimate armed it at
+      // ~250 actual rows/task, re-introducing the round-10 task-launch
+      // overhead the guard exists to prevent).
+      val nEdges = edges.count()
+      val parts = math.max(dataParts(nEdges * 33L, 1),
+        math.min(s.sparkContext.defaultParallelism.toLong,
+          nEdges / 8192L).toInt)
       val hopEdges = edges.union(twoHopCapped(edges, 32))
         .distinct().repartition(parts, col("dst")).localCheckpoint()
       val l0 = hopEdges.select(col("src").as("node")).distinct()
@@ -972,7 +989,10 @@ object GraphOps {
     * corpus join + pair expansion + oriented wedge census were
     * rebuilt on every call; only the anti-join/degree/panel tail is
     * per-call work). */
-  private val bridgeCache = new graft.SessionCache[(DataFrame, DataFrame)]()
+  private val bridgeCache =
+    new graft.SessionCache[(DataFrame, DataFrame)](v => {
+      v._1.unpersist(); v._2.unpersist(); ()
+    })
 
   private def bridgeIndex(s: SparkSession, d: String)
       : (DataFrame, DataFrame) =
@@ -1167,7 +1187,8 @@ object GraphOps {
     * memoized per (session, dataset) (r13: the corpus join + distinct
     * + symmetrize + checkpoint were rebuilt per call; the 6 peel
     * rounds are per-call work). */
-  private val kcoreEdgeCache = new graft.SessionCache[DataFrame]()
+  private val kcoreEdgeCache =
+    new graft.SessionCache[DataFrame](df => { df.unpersist(); () })
 
   private def kcoreEdges(s: SparkSession, d: String): DataFrame =
     kcoreEdgeCache.getOrCompute(s, d) {
@@ -1306,10 +1327,24 @@ object GraphOps {
     // the per-node sum is a plain order-free decimal aggregate — no
     // per-node collect_list+sort+fold buffering the neighbor lists
     // through the shuffle
-    def qsum(c: String) = sum(round(col(c), 15).cast("decimal(25,15)"))
-      .cast("double")
-    var hub = csByC.select(col("c")).distinct().withColumn("hub", lit(1.0))
+    // r14 (guide §1.2 per-task work): the quantization runs ONCE per
+    // NODE in the score projection (the `*q` columns below), not per
+    // EDGE row inside the aggregate — the old sum(round(edgeRow.score,
+    // 15)) paid the double→BigDecimal→setScale conversion E times per
+    // half-round (profiled: four ~11 s-CPU 32-task map stages, GC
+    // spikes from BigDecimal churn). Summing the pre-quantized decimal
+    // adds the IDENTICAL per-node values in an order-free aggregate —
+    // bit-identical scores.
+    def q15(c: org.apache.spark.sql.Column) =
+      round(c, 15).cast("decimal(25,15)")
+    def qsum(c: String) = sum(col(c)).cast("double")
+    var hub = csByC.select(col("c")).distinct()
+      .withColumn("hub", lit(1.0))
+      .withColumn("hubq", q15(lit(1.0)))
     var auth: DataFrame = csByC.sparkSession.emptyDataFrame
+    // hoisted: the persisted edge copy's width is loop-invariant, and
+    // .rdd per iteration would re-instantiate a physical plan (r14)
+    val edgeParts = csBySk.rdd.getNumPartitions
     // 2 iterations, not 3 (round-7 trim): on this bipartite projection
     // the max-normalized scores are rank-stable after round 2
     // (Round6bOpsSpec hand-pins the round-2 scores AND the round-3
@@ -1334,20 +1369,28 @@ object GraphOps {
       // the edge copy's width, both join inputs satisfy the same
       // hash clustering and the join inserts NO exchange on either
       // side.
-      val edgeParts = csBySk.rdd.getNumPartitions
+      // r14 (guide §2.4, fewer jobs per round): the max-normalize is
+      // FUSED into the checkpoint's materializing action — the lazy
+      // checkpoint MARK plus one agg(max).head() materializes the
+      // node-sized aggregate AND returns the round max as a bounded
+      // driver scalar (the bfs/diameter precedent), replacing the old
+      // eager-checkpoint job + broadcast-exchange job + 1-row cross
+      // join per half-round. The division by a literal is the same
+      // double division the broadcast join evaluated — bit-identical
+      // scores.
       val av = csByC.join(hub, "c").groupBy(col("sk"))
-        .agg(qsum("hub").as("v"))
-        .localCheckpoint()
-      val amax = av.agg(max(col("v")).as("m"))
-      auth = av.join(broadcast(amax))
-        .select(col("sk"), (col("v") / col("m")).as("auth"))
+        .agg(qsum("hubq").as("v"))
+        .localCheckpoint(false)
+      val am = av.agg(max(col("v"))).head().getDouble(0)
+      auth = av.select(col("sk"), (col("v") / lit(am)).as("auth"))
+        .withColumn("authq", q15(col("auth")))
         .repartition(edgeParts, col("sk"))
       val hv = csBySk.join(auth, "sk").groupBy(col("c"))
-        .agg(qsum("auth").as("v"))
-        .localCheckpoint()
-      val hmax = hv.agg(max(col("v")).as("m"))
-      hub = hv.join(broadcast(hmax))
-        .select(col("c"), (col("v") / col("m")).as("hub"))
+        .agg(qsum("authq").as("v"))
+        .localCheckpoint(false)
+      val hm = hv.agg(max(col("v"))).head().getDouble(0)
+      hub = hv.select(col("c"), (col("v") / lit(hm)).as("hub"))
+        .withColumn("hubq", q15(col("hub")))
         .repartition(edgeParts, col("c"))
     }
     auth.select(lit("auth").as("side"),
@@ -1441,19 +1484,45 @@ object GraphOps {
     val edges = edgesDeg.select(col("src"), col("dst"))
     val nodes = deg.select(col("src").as("node"))
     var k = nodes.withColumn("kx", lit(512L))
-    for (_ <- 1 to 3) {
+    for (r <- 1 to 3) {
       val contrib = edges.join(k, edges("src") === k("node"))
         .groupBy(col("dst")).agg(sum("kx").as("insum"))
-      k = nodes
+      val next = nodes
         .join(contrib, col("node") === col("dst"), "left")
         .select(col("node"),
           expr("512 + coalesce(insum, 0) div 8").as("kx"))
-        .localCheckpoint()
+      // r14 (VERDICT item 7): checkpoint every OTHER round — each
+      // round's table has exactly one consumer (the next round), so a
+      // depth-2 lineage fuses two rounds into one materializing job
+      // (halving the per-round job latency floor) while keeping the
+      // plan bounded; the r13 lesson against a full lazy chain (AQE
+      // loses all size stats) does not bite at depth 2 because the
+      // fused segment still starts from a materialized table.
+      k = if (r % 2 == 0) next else next.localCheckpoint()
     }
     k.select(col("node"),
         round(col("kx").cast("double") / 512.0, 6).as("katz"))
       .orderBy(col("katz").desc, col("node").asc)
       .limit(20)
+  }
+
+  /** Dev evidence hook (NOT a catalog entry; used by PlanDump's
+    * devPlans): ONE authority half-round of [[graphHits]] — the
+    * memoized c-partitioned edge copy joined with a representative
+    * checkpointed-then-repartitioned hub table, exactly the per-round
+    * join the loop executes — so the committed formatted plan can show
+    * whether the edge side carries an exchange (r13 verdict: the
+    * committed hits plans only showed the post-loop assembly). */
+  private[graft] def hitsHalfRoundPlan(s: SparkSession, d: String)
+      : DataFrame = {
+    val (csBySk, csByC) = hitsIndex(s, d)
+    val edgeParts = csBySk.rdd.getNumPartitions
+    val hub = csByC.select(col("c")).distinct()
+      .withColumn("hubq", round(lit(1.0), 15).cast("decimal(25,15)"))
+      .localCheckpoint() // same provenance as a round's score table
+      .repartition(edgeParts, col("c"))
+    csByC.join(hub, "c").groupBy(col("sk"))
+      .agg(sum(col("hubq")).cast("double").as("v"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -526,49 +526,110 @@ object LayoutOlap {
     // unchanged DuckDB oracle at all three test SFs.
     import s.implicits._
     val ps = Seq(0.45, 0.5, 0.55, 0.85, 0.9, 0.95)
+    // r14 (item 8 + r13 ADVICE): NO corpus-wide localCheckpoint — each
+    // pass re-reads the column-pruned parquet scan (one double column
+    // per pass; cheaper than pinning a sixth of the corpus in executor
+    // storage at scale). Per-column row counts come from the bucket
+    // panel itself (no separate count job) and exclude NULLs, matching
+    // `percentile`'s null handling (TPC-H lineitem is null-free, so the
+    // emitted values are unchanged — the old shared count was a latent
+    // divergence on null-bearing data).
     val li = Tables.lineitem(s, d)
       .select(col("l_quantity").cast("double").as("q"),
         col("l_extendedprice").cast("double").as("e"))
-      .localCheckpoint() // two rank lookups + the sketch read it
-    val n = li.count() // bounded driver scalar (the checkpoint action)
+    // Per-partition work in the rank-lookup window is bounded by ROW
+    // COUNT, not value width (r13 ADVICE: a wide-SF bucket single-task-
+    // sorts ~2% of the corpus): buckets holding a target rank refine
+    // recursively — constant-value buckets resolve driver-side with no
+    // executor work at all; buckets over the row threshold re-bucket
+    // their [min,max] range 1024-ways (one bounded panel job per
+    // oversized bucket per level, converging in O(log_1024 range)
+    // levels); only row-bounded, multi-valued buckets reach the final
+    // single window pass.
+    val maxBucketRows = s.conf.getOption("spark.graft.a23.maxBucketRows")
+      .map(_.toLong).getOrElse(4194304L)
 
-    // exact order statistics v(rank) for every floor/ceil rank the six
-    // positions touch, via bucketed prefix sums — no global sort, no
-    // value buffering
-    def orderStats(c: String, width: Double): Map[Long, Double] = {
-      val pos = ps.map(p => p * (n - 1))
-      val need = pos.flatMap(x =>
-        Seq(math.floor(x).toLong, math.ceil(x).toLong)).distinct
-      val b = li.select(col(c).as("v"))
-        .withColumn("b", floor(col("v") / width).cast("long"))
-      // bounded panel: one row per occupied bucket (domain-range /
-      // width), the o15 idiom collapsed to the driver because the
-      // rank→bucket routing needs the full prefix anyway
-      val cnts = b.groupBy("b").agg(count(lit(1)).as("cnt"))
-        .orderBy("b").collect()
+    // one terminal rank-lookup segment: a row predicate, the (0-based
+    // local rank → global rank) targets inside it, and its stats
+    final case class Seg(pred: org.apache.spark.sql.Column,
+        targets: Seq[(Long, Long)], cnt: Long, mn: Double, mx: Double)
+
+    // route local ranks into a sorted (key, cnt, mn, mx) panel
+    def walk(panel: Seq[(Long, Long, Double, Double)],
+        targets: Seq[(Long, Long)],
+        mkPred: Long => org.apache.spark.sql.Column): Seq[Seg] = {
       var off = 0L
-      val targets = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
-      cnts.foreach { r =>
-        val (bk, cnt) = (r.getLong(0), r.getLong(1))
-        need.foreach { rk =>
-          if (rk >= off && rk < off + cnt)
-            targets += ((bk, rk - off + 1, rk)) // (bucket, local rn, rank)
+      val out = scala.collection.mutable.ArrayBuffer[Seg]()
+      panel.foreach { case (k, cnt, mn, mx) =>
+        val here = targets.collect {
+          case (lr, gr) if lr >= off && lr < off + cnt => (lr - off, gr)
         }
+        if (here.nonEmpty) out += Seg(mkPred(k), here, cnt, mn, mx)
         off += cnt
       }
-      val tdf = targets.toSeq.toDF("tb", "trn", "rank")
-      val w = Window.partitionBy("b").orderBy("v")
-      b.join(broadcast(tdf.select(col("tb")).distinct()),
-          col("b") === col("tb"), "left_semi")
-        .withColumn("rn", row_number().over(w))
-        .join(broadcast(tdf),
-          col("b") === col("tb") && col("rn") === col("trn"))
-        .select(col("rank"), col("v"))
-        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      out.toSeq
+    }
+
+    def orderStats(c: String, width: Double): (Long, Map[Long, Double]) = {
+      val vc = li.select(col(c).as("v")).filter(col("v").isNotNull)
+      def panelOf(df: org.apache.spark.sql.DataFrame,
+          bkt: org.apache.spark.sql.Column): Seq[(Long, Long, Double, Double)] =
+        df.groupBy(bkt.as("b"))
+          .agg(count(lit(1)).as("cnt"), min("v").as("mn"), max("v").as("mx"))
+          .orderBy("b").collect().toSeq
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+            r.getDouble(3)))
+      val b0 = floor(col("v") / width).cast("long")
+      val p0 = panelOf(vc, b0)
+      val n = p0.map(_._2).sum
+      val need = ps.map(p => p * (n - 1)).flatMap(x =>
+        Seq(math.floor(x).toLong, math.ceil(x).toLong)).distinct
+      val resolved = scala.collection.mutable.Map[Long, Double]()
+      val windowSegs = scala.collection.mutable.ArrayBuffer[Seg]()
+      var segs = walk(p0, need.map(r => (r, r)), k => b0 === k)
+      while (segs.nonEmpty) {
+        segs = segs.flatMap { sg =>
+          if (sg.mn == sg.mx) { // constant bucket: v(rank) IS the value
+            sg.targets.foreach { case (_, gr) => resolved(gr) = sg.mn }
+            Nil
+          } else if (sg.cnt <= maxBucketRows) { windowSegs += sg; Nil }
+          else {
+            val w2 = (sg.mx - sg.mn) / 1024.0
+            if (!(w2 > 0)) { windowSegs += sg; Nil } // subnormal range
+            else {
+              val sb = floor((col("v") - sg.mn) / w2).cast("long")
+              walk(panelOf(vc.filter(sg.pred), sb), sg.targets,
+                k => sg.pred && sb === k)
+            }
+          }
+        }
+      }
+      if (windowSegs.nonEmpty) {
+        // ONE window pass over only the surviving segments: rows tag
+        // their segment id (predicates are disjoint by construction),
+        // row_number within segment, broadcast rank-target join — the
+        // o15 idiom with row-bounded partitions
+        val segId = windowSegs.zipWithIndex.foldLeft(
+          lit(null).cast("int")) { case (acc, (sg, i)) =>
+          when(sg.pred, lit(i)).otherwise(acc)
+        }
+        val tdf = windowSegs.zipWithIndex.flatMap { case (sg, i) =>
+          sg.targets.map { case (lr, gr) => (i, lr + 1L, gr) }
+        }.toSeq.toDF("tseg", "trn", "rank")
+        val w = Window.partitionBy("seg").orderBy("v")
+        vc.withColumn("seg", segId).filter(col("seg").isNotNull)
+          .withColumn("rn", row_number().over(w))
+          .join(broadcast(tdf),
+            col("seg") === col("tseg") && col("rn") === col("trn"))
+          .select(col("rank"), col("v"))
+          .collect().foreach(r => resolved(r.getLong(0)) = r.getDouble(1))
+      }
+      (n, resolved.toMap)
     }
     // Spark `percentile`'s own interpolation expression, reproduced on
     // the same doubles: position = p·(n−1) over 0-based ranks
-    def interp(vs: Map[Long, Double])(p: Double): Double = {
+    def interp(nvs: (Long, Map[Long, Double]))(p: Double): Double = {
+      val (n, vs) = nvs
       val position = p * (n - 1)
       val lo = math.floor(position).toLong
       val hi = math.ceil(position).toLong

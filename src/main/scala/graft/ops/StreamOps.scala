@@ -66,7 +66,23 @@ object StreamOps {
       .createTempDirectory("funnel_stream_eq")
     val tmp = tmpPath.toString
     val sink = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    // r14 (guide §2.2 — fewer, larger partitions): the stateful
+    // micro-batches ran at the session's shuffle width, and EVERY state
+    // partition pays a per-batch store open/commit — profiled 34 s of
+    // state-store CPU behind ~1.2 s of wall for state that is one row
+    // per distinct fingerprint. The stream's width is scoped to this
+    // query (set/restored around the run; the checkpoint dir is
+    // per-invocation scratch, so the pinned width never fights a prior
+    // checkpoint). The ledger is width-independent — DedupState is
+    // keyed by fingerprint and commutative — and the two-wave replay
+    // order is unchanged. Parameterised for scale:
+    // spark.graft.stream.statePartitions (state scales with distinct
+    // fingerprints; size it to the corpus on a cluster).
+    val stateParts = s.conf
+      .getOption("spark.graft.stream.statePartitions").getOrElse("8")
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     try {
+      s.conf.set("spark.sql.shuffle.partitions", stateParts)
       for (w <- 0 to 1)
         all.filter(pmod(col("doc_id"), lit(2)) === w)
           .coalesce(1).write.mode("append").parquet(s"$tmp/src")
@@ -79,6 +95,8 @@ object StreamOps {
         },
         maxFilesPerTrigger = Some(1))
     } finally {
+      try s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      catch { case _: Throwable => () }
       // the WHOLE sweep is swallow-guarded: a cleanup IOException in
       // a finally would otherwise mask the real streaming failure;
       // the walk stream closes so the directory handle never leaks
